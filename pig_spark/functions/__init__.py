@@ -1,0 +1,39 @@
+"""pig_spark builtin function library.
+
+Mirrors Pig's builtin package (src/org/apache/pig/builtin/, 188 files —
+SURVEY §2.4) on pyspark.sql.functions, plus training-data-pipeline
+extensions (text analysis, dedup, similarity). Aggregates (COUNT, SUM,
+AVG, MIN, MAX, COUNT_STAR — all Algebraic in Pig, COUNT.java:54) map
+straight to Spark aggregate expressions, which already do map-side
+partial aggregation (Pig's combiner).
+"""
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+from . import bags, datetime, dedup, math, similarity, string, text
+from .bags import *  # noqa: F401,F403
+from .datetime import *  # noqa: F401,F403
+from .math import *  # noqa: F401,F403
+from .string import *  # noqa: F401,F403
+
+# --- aggregates (builtin/COUNT.java, SUM.java, AVG.java, MIN/MAX, COR, COV)
+COUNT = F.count  # counts non-null first field (COUNT.java:40-49)
+
+
+def COUNT_STAR(col: Column | str = "*") -> Column:
+    """COUNT_STAR.java — counts all tuples incl. nulls."""
+    return F.count(F.lit(1))
+
+
+SUM = F.sum
+AVG = F.avg
+MIN = F.min
+MAX = F.max
+COR = F.corr
+COV = F.covar_samp
+
+
+def UniqueID() -> Column:
+    """UniqueID.java (task id + counter) ≅ monotonically_increasing_id."""
+    return F.monotonically_increasing_id()

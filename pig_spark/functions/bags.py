@@ -1,0 +1,107 @@
+"""Pig bag/tuple/map builtins — the nested-model glue
+(builtin/TOBAG.java, TOTUPLE.java, TOMAP.java, BagToString.java,
+SIZE.java, IsEmpty.java, TOP.java, KEYSET.java, VALUELIST.java,
+VALUESET.java, INVERSEMAP.java, PluckTuple.java, DIFF.java).
+
+Bags are array<struct>, tuples are struct, maps are map<string,T>
+(SURVEY §1.1). All JVM-side higher-order functions — no Python.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def TOBAG(*cols: Column) -> Column:
+    """TOBAG.java — bag of single-field tuples from scalars."""
+    return F.array(*[F.struct(c.alias("t")) for c in cols])
+
+
+def TOTUPLE(*cols: Column) -> Column:
+    return F.struct(*cols)
+
+
+def TOMAP(*cols: Column) -> Column:
+    """TOMAP.java — alternating key, value args."""
+    return F.create_map(*cols)
+
+
+def BagToString(bag: Column, delimiter: str = "_") -> Column:
+    """BagToString.java — join bag elements into one chararray."""
+    return F.array_join(F.transform(bag, lambda t: t.cast("string")), delimiter)
+
+
+def BagToTuple(bag: Column) -> Column:
+    """BagToTuple.java — flatten a bag into a single wide tuple: as array."""
+    return F.flatten(F.transform(bag, lambda t: F.array(t.cast("string"))))
+
+
+def SIZE(col: Column) -> Column:
+    """SIZE.java family — element count; Pig returns long."""
+    return F.size(col).cast("long")
+
+
+BagSize = SIZE
+TupleSize = SIZE
+MapSize = SIZE
+
+
+def IsEmpty(col: Column) -> Column:
+    """IsEmpty.java — true for empty bag/map."""
+    return F.size(col) == 0
+
+
+def Distinct(bag: Column) -> Column:
+    """Distinct.java — dedup a bag."""
+    return F.array_distinct(bag)
+
+
+def TOP(n: int, field: str, bag: Column, ascending: bool = False) -> Column:
+    """TOP.java:72 — top-n tuples of a bag by one field (priority queue
+    in Pig; sort+slice here, JVM-evaluated). For top-k per *group* at
+    scale prefer operators.nested.topk_per_group (no bag materialized).
+    """
+    lt, gt = (-1, 1) if ascending else (1, -1)
+    sorted_bag = F.array_sort(
+        bag,
+        lambda a, b: F.when(a[field] < b[field], F.lit(lt))
+        .when(a[field] > b[field], F.lit(gt))
+        .otherwise(F.lit(0)),
+    )
+    return F.slice(sorted_bag, 1, n)
+
+
+def KEYSET(m: Column) -> Column:
+    return F.map_keys(m)
+
+
+def VALUELIST(m: Column) -> Column:
+    return F.map_values(m)
+
+
+def VALUESET(m: Column) -> Column:
+    return F.array_distinct(F.map_values(m))
+
+
+def INVERSEMAP(m: Column) -> Column:
+    """INVERSEMAP.java — swap keys/values (values coerced to string keys)."""
+    return F.map_from_entries(
+        F.transform(F.map_entries(m), lambda e: F.struct(e["value"].cast("string").alias("key"), e["key"].alias("value")))
+    )
+
+
+def DIFF(a: Column, b: Column) -> Column:
+    """DIFF.java — symmetric difference of two bags."""
+    return F.array_union(F.array_except(a, b), F.array_except(b, a))
+
+
+def SUBTRACT(a: Column, b: Column) -> Column:
+    """SUBTRACT.java (string pkg but bag-typed) — set-minus of bags."""
+    return F.array_except(a, b)
+
+
+def pluck_tuple(df: DataFrame, prefix: str) -> DataFrame:
+    """PluckTuple.java — project columns matching a prefix (used after
+    joins to grab one side's `alias::` columns)."""
+    return df.select(*[c for c in df.columns if c.startswith(prefix)])

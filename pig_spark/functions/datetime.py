@@ -1,0 +1,109 @@
+"""Pig datetime builtins (builtin/ToDate.java, GetYear.java ...,
+AddDuration.java, YearsBetween.java ... — Joda-Time based).
+
+Pig datetimes are timezone-aware Joda DateTimes; Spark TimestampType +
+a fixed UTC session timezone (session.py) gives equivalent arithmetic.
+Durations are ISO-8601 strings (P1Y2M3DT4H5M6S), parsed here into
+Spark interval expressions.
+"""
+
+from __future__ import annotations
+
+import re
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+ToString = F.date_format
+CurrentTime = F.current_timestamp
+GetYear = F.year
+GetMonth = F.month
+GetDay = F.dayofmonth
+GetHour = F.hour
+GetMinute = F.minute
+GetSecond = F.second
+GetWeek = F.weekofyear
+
+
+def ToDate(col: Column, fmt: str | None = None) -> Column:
+    """ToDate.java — chararray/long → datetime."""
+    return F.to_timestamp(col, fmt) if fmt else F.to_timestamp(col)
+
+
+def ToUnixTime(col: Column) -> Column:
+    return F.unix_timestamp(col)
+
+
+def ToMilliSeconds(col: Column) -> Column:
+    return (F.unix_timestamp(col) * 1000 + F.date_part(F.lit("MILLISECOND"), col).cast("long") % 1000).cast("long")
+
+
+def GetMilliSecond(col: Column) -> Column:
+    return (F.date_part(F.lit("MILLISECOND"), col) % 1000).cast("int")
+
+
+_DUR = re.compile(
+    r"^P(?:(?P<y>\d+)Y)?(?:(?P<mo>\d+)M)?(?:(?P<w>\d+)W)?(?:(?P<d>\d+)D)?"
+    r"(?:T(?:(?P<h>\d+)H)?(?:(?P<mi>\d+)M)?(?:(?P<s>\d+(?:\.\d+)?)S)?)?$"
+)
+
+
+def AddDuration(col: Column, duration: str) -> Column:
+    """AddDuration.java — datetime + ISO-8601 duration."""
+    return _apply_duration(col, duration, add=True)
+
+
+def SubtractDuration(col: Column, duration: str) -> Column:
+    return _apply_duration(col, duration, add=False)
+
+
+def _apply_duration(col: Column, duration: str, add: bool) -> Column:
+    m = _DUR.match(duration)
+    if not m:
+        raise ValueError(f"bad ISO-8601 duration: {duration!r}")
+    g = {k: v or "0" for k, v in m.groupdict().items()}
+    months = int(g["y"]) * 12 + int(g["mo"])
+    days = int(g["w"]) * 7 + int(g["d"])
+    secs = int(g["h"]) * 3600 + int(g["mi"]) * 60 + float(g["s"])
+    out = col
+    if months:
+        iv = F.expr(f"INTERVAL '{months}' MONTH")
+        out = out + iv if add else out - iv
+    if days or secs:
+        total = days * 86400 + secs
+        iv = F.expr(f"INTERVAL '{total}' SECOND")
+        out = out + iv if add else out - iv
+    return out
+
+
+def YearsBetween(end: Column, start: Column) -> Column:
+    """YearsBetween.java — whole years between (Joda Years.yearsBetween)."""
+    return F.floor(F.months_between(end, start) / 12).cast("long")
+
+
+def MonthsBetween(end: Column, start: Column) -> Column:
+    return F.floor(F.months_between(end, start)).cast("long")
+
+
+def WeeksBetween(end: Column, start: Column) -> Column:
+    return F.floor((F.unix_timestamp(end) - F.unix_timestamp(start)) / (7 * 86400)).cast("long")
+
+
+def DaysBetween(end: Column, start: Column) -> Column:
+    return F.floor((F.unix_timestamp(end) - F.unix_timestamp(start)) / 86400).cast("long")
+
+
+def HoursBetween(end: Column, start: Column) -> Column:
+    return F.floor((F.unix_timestamp(end) - F.unix_timestamp(start)) / 3600).cast("long")
+
+
+def MinutesBetween(end: Column, start: Column) -> Column:
+    return F.floor((F.unix_timestamp(end) - F.unix_timestamp(start)) / 60).cast("long")
+
+
+def SecondsBetween(end: Column, start: Column) -> Column:
+    return (F.unix_timestamp(end) - F.unix_timestamp(start)).cast("long")
+
+
+def MilliSecondsBetween(end: Column, start: Column) -> Column:
+    return (ToMilliSeconds(end) - ToMilliSeconds(start)).cast("long")

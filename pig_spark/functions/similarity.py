@@ -1,0 +1,106 @@
+"""Similarity search over embedding columns (array<float>):
+brute-force cosine top-k (exact baseline) and LSH/IVF-bucketed ANN
+(the scale path).
+
+Design for 100 TB / billions of vectors:
+
+- dot products are JVM-side ``aggregate(zip_with(...))`` column
+  expressions — vectorized by codegen, no Python, no UDF serialization.
+- brute-force top-k against ONE query = a map-side scan + TakeOrdered;
+  no shuffle of the vectors.
+- random-hyperplane LSH assigns each vector a small bucket key in one
+  projection; at query time only matching buckets are scanned
+  (partition pruning if the table is written partitioned by bucket).
+- hyperplanes are deterministic (seeded LCG) module constants so the
+  DuckDB oracle reproduces the exact bucket assignment.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+EMB_DIM = 64
+LSH_PLANES = 6  # 2^6 = 64 buckets (tune up with corpus size)
+_LCG_M = 1 << 63
+
+
+def _lcg_floats(seed: int, n: int) -> list[float]:
+    out, x = [], seed
+    for _ in range(n):
+        x = (x * 6364136223846793005 + 1442695040888963407) % _LCG_M
+        out.append(x / _LCG_M * 2.0 - 1.0)
+    return out
+
+
+HYPERPLANES: list[list[float]] = [_lcg_floats(1000 + p, EMB_DIM) for p in range(LSH_PLANES)]
+
+
+def dot(a: Column, b: Column) -> Column:
+    return F.aggregate(F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, v: acc + v)
+
+
+def norm(a: Column) -> Column:
+    return F.sqrt(F.aggregate(a, F.lit(0.0), lambda acc, v: acc + v * v))
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return dot(a, b) / (norm(a) * norm(b))
+
+
+def _vec_lit(vec: list[float]) -> Column:
+    return F.array(*[F.lit(float(v)) for v in vec])
+
+
+def cosine_topk(df: DataFrame, query: list[float], k: int, id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
+    """Exact top-k by cosine against one query vector.
+
+    Plan: project score (map-only) → TakeOrdered(k) — no shuffle of the
+    embedding column; ties broken by id for determinism.
+    """
+    q = _vec_lit(query)
+    scored = df.select(F.col(id_col), F.round(cosine(F.col(vec_col).cast("array<double>"), q), 6).alias("score"))
+    return scored.orderBy(F.col("score").desc(), F.col(id_col).asc()).limit(k)
+
+
+def lsh_bucket(vec_col: Column) -> Column:
+    """Random-hyperplane bucket id: bit p = sign(v · h_p)."""
+    v = vec_col.cast("array<double>")
+    bucket = F.lit(0)
+    for p, plane in enumerate(HYPERPLANES):
+        bit = F.when(dot(v, _vec_lit(plane)) > 0, F.lit(1 << p)).otherwise(F.lit(0))
+        bucket = bucket + bit
+    return bucket.cast("int")
+
+
+def ann_topk_lsh(df: DataFrame, query: list[float], k: int, id_col: str = "vec_id", vec_col: str = "embedding", probes: int = 1) -> DataFrame:
+    """Approximate top-k: score only vectors in the query's LSH bucket
+    (plus ``probes-1`` single-bit-flip neighbor buckets for recall).
+
+    At scale: write the table partitioned by ``lsh_bucket`` so this is
+    a partition-pruned scan of ~n/256 vectors.
+    """
+    import itertools
+
+    qvec = [float(x) for x in query]
+    qbits = [1 if sum(a * b for a, b in zip(qvec, plane)) > 0 else 0 for plane in HYPERPLANES]
+    qbucket = sum(bit << p for p, bit in enumerate(qbits))
+    buckets = [qbucket] + [qbucket ^ (1 << p) for p in range(min(probes - 1, LSH_PLANES))]
+    bucketed = df.withColumn("__bucket", lsh_bucket(F.col(vec_col)))
+    cand = bucketed.filter(F.col("__bucket").isin(*buckets))
+    q = _vec_lit(qvec)
+    scored = cand.select(F.col(id_col), F.round(cosine(F.col(vec_col).cast("array<double>"), q), 6).alias("score"))
+    return scored.orderBy(F.col("score").desc(), F.col(id_col).asc()).limit(k)
+
+
+def cosine_self_join_pairs(df: DataFrame, threshold: float, id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
+    """Embedding near-dup pairs: cosine ≥ threshold, id_a < id_b.
+
+    Brute force (n² within LSH buckets would be the scale path; exact
+    form kept as the verifiable baseline — bucket first at 100 TB).
+    """
+    a = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).cast("array<double>").alias("va"))
+    b = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).cast("array<double>").alias("vb"))
+    pairs = a.join(b, F.col("id_a") < F.col("id_b"))
+    scored = pairs.select("id_a", "id_b", F.round(cosine(F.col("va"), F.col("vb")), 6).alias("cos_sim"))
+    return scored.filter(F.col("cos_sim") >= threshold)

@@ -1,0 +1,120 @@
+"""Text-analysis operators for large-scale training-data pipelines:
+whitespace/BPE-ish tokenization, token counting, n-gram language ID,
+quality scoring, and document fingerprinting.
+
+These go beyond the Pig reference surface (closest analogue:
+builtin/TOKENIZE.java) — they are first-class engine ops for the
+100 TB document-pipeline use case. Everything is a JVM-side Column
+expression (split / filter / transform / aggregate higher-order
+functions) — no Python in the hot path — so whole-stage codegen
+applies and throughput scales linearly with executors.
+
+The module doubles as the single source of truth for the DuckDB
+correctness oracles: constants (stopword lists, scoring weights) are
+consumed by both the Spark expressions here and the SQL generators in
+``oracles.py``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# deterministic per-language marker lists for the n-gram/stopword
+# language-ID heuristic (tiny on purpose: broadcast as literals).
+LANG_STOPWORDS: dict[str, list[str]] = {
+    "en": ["the", "a", "of", "and", "to", "in", "is", "that"],
+    "es": ["el", "la", "de", "que", "y", "en", "un", "por"],
+    "fr": ["le", "la", "et", "les", "des", "un", "une", "que"],
+    "de": ["der", "die", "das", "und", "ist", "von", "ein", "mit"],
+    "zh": ["的", "是", "了", "在", "和", "有", "我", "不"],
+}
+LANG_ORDER = ["en", "es", "fr", "de", "zh"]
+
+# quality-score weights (formula mirrored in oracles.py)
+QUALITY_TARGET_AVG_WORD_LEN = 5.0
+
+# BPE-ish token regex: word pieces, numbers, or single non-space symbols
+BPE_TOKEN_RE = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+
+
+def tokenize_ws(col: Column) -> Column:
+    """Whitespace tokenization; empty tokens dropped."""
+    return F.filter(F.split(F.trim(col), r"\s+"), lambda t: t != "")
+
+
+def token_count(col: Column) -> Column:
+    return F.size(tokenize_ws(col)).cast("long")
+
+
+def bpe_token_count(col: Column) -> Column:
+    """Approximate BPE token count via regex pieces (regexp_count is
+    JVM-side; a real tokenizer would be a pandas UDF at the UDF
+    boundary)."""
+    return F.regexp_count(col, F.lit(BPE_TOKEN_RE)).cast("long")
+
+
+def _stopword_hits(tokens: Column, lang: str) -> Column:
+    words = LANG_STOPWORDS[lang]
+    return F.size(F.filter(tokens, lambda t: F.lower(t).isin(*words)))
+
+
+def lang_scores(col: Column) -> dict[str, Column]:
+    toks = tokenize_ws(col)
+    return {lang: _stopword_hits(toks, lang) for lang in LANG_ORDER}
+
+
+def lang_id(col: Column) -> Column:
+    """Heuristic language ID: argmax of per-language stopword hits,
+    ties broken by LANG_ORDER; 'und' when nothing matches."""
+    scores = lang_scores(col)
+    best = F.lit("und")
+    best_score = F.lit(0)
+    for lang in reversed(LANG_ORDER):
+        s = scores[lang]
+        cond = (s > F.lit(0)) & (s >= best_score)
+        best = F.when(cond, F.lit(lang)).otherwise(best)
+        best_score = F.when(cond, s).otherwise(best_score)
+    return best
+
+
+def quality_score(col: Column) -> Column:
+    """Deterministic quality heuristic in [0,1]:
+
+    0.4 * english-stopword ratio (clamped at 0.2 → 1.0)
+    + 0.3 * length factor  min(n_tokens/50, 1)
+    + 0.3 * word-shape factor  1 - min(|avg_len - 5| / 5, 1)
+    """
+    toks = tokenize_ws(col)
+    n = F.size(toks).cast("double")
+    sw = _stopword_hits(toks, "en").cast("double")
+    sw_ratio = F.when(n > 0, sw / n).otherwise(F.lit(0.0))
+    sw_factor = F.least(sw_ratio / F.lit(0.2), F.lit(1.0))
+    len_factor = F.least(n / F.lit(50.0), F.lit(1.0))
+    avg_len = F.when(
+        n > 0,
+        F.aggregate(toks, F.lit(0).cast("double"), lambda acc, t: acc + F.length(t)) / n,
+    ).otherwise(F.lit(0.0))
+    shape_factor = F.lit(1.0) - F.least(F.abs(avg_len - QUALITY_TARGET_AVG_WORD_LEN) / F.lit(5.0), F.lit(1.0))
+    return F.round(F.lit(0.4) * sw_factor + F.lit(0.3) * len_factor + F.lit(0.3) * shape_factor, 6)
+
+
+def fingerprint(col: Column) -> Column:
+    """Key-collision fingerprint (OpenRefine-style): lowercase, split,
+    dedup, sort, rejoin, md5 — identical texts modulo word order and
+    repetition collide."""
+    toks = F.array_sort(F.array_distinct(tokenize_ws(F.lower(col))))
+    return F.md5(F.array_join(toks, " "))
+
+
+def rolling_hash_fingerprint(col: Column, window: int = 4) -> Column:
+    """Winnowing-style content fingerprint: min 32-bit hash over
+    word ``window``-shingles (a 1-hash MinHash — robust to local edits).
+    """
+    toks = tokenize_ws(F.lower(col))
+    n_sh = F.greatest(F.size(toks) - F.lit(window - 1), F.lit(1))
+    shingles = F.transform(
+        F.sequence(F.lit(1), n_sh),
+        lambda i: F.conv(F.substring(F.md5(F.array_join(F.slice(toks, i, window), " ")), 1, 8), 16, 10).cast("long"),
+    )
+    return F.array_min(shingles)

@@ -1,0 +1,37 @@
+"""STREAM rel THROUGH 'cmd' AS schema (QueryParser.g:487,
+POStream.java:43-127, impl/streaming/ExecutableManager.java).
+
+Pig pipes tab-delimited rows through an external executable with async
+stdin/stdout pumps. Spark equivalent: ``rdd.pipe`` — one process per
+partition, rows serialized tab-delimited (Pig's PigStreaming default
+serializer), output lines parsed back by the declared schema with
+Pig-style cast-to-null on garbage.
+
+Scale: one subprocess per partition, streaming both directions — the
+same process model as Pig's per-task ExecutableManager. Repartition
+first if the command benefits from more/fewer parallel instances
+(Pig: PARALLEL clause).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+
+def stream_through(df: DataFrame, cmd: str, schema: str | T.StructType) -> DataFrame:
+    if isinstance(schema, str):
+        schema = T.StructType.fromDDL(schema)
+    spark = df.sparkSession
+
+    # serialize: tab-delimited text, null → empty field (PigStreaming.java)
+    serialized = df.select(
+        F.concat_ws("\t", *[F.coalesce(F.col(c).cast("string"), F.lit("")) for c in df.columns])
+    )
+    piped = serialized.rdd.map(lambda r: r[0]).pipe(cmd)
+    split_rows = piped.map(lambda line: line.split("\t"))
+    str_schema = T.StructType([T.StructField(f.name, T.StringType(), True) for f in schema.fields])
+    raw = spark.createDataFrame(split_rows, schema=str_schema)
+    # Pig LoadCaster semantics: cast each field, null on failure
+    return raw.select(*[F.col(f.name).cast(f.dataType).alias(f.name) for f in schema.fields])

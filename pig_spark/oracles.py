@@ -1,0 +1,352 @@
+"""DuckDB oracle SQL — one entry per query in ``pig_spark.queries``.
+
+The driver runs these side-by-side with the Spark DataFrames and
+hash-compares values, so every aliased column here matches the Spark
+output name, and float-sensitive aggregates follow the same
+determinism policy (decimal-exact sums cast to double; round(…,6) for
+similarity ratios).
+
+Hash-parameterized oracles (minhash / simhash / LSH / lang-id /
+quality) are GENERATED from the same module constants the Spark
+implementations use (pig_spark.functions.dedup / similarity / text) —
+single source of truth, so a constant change cannot desync the check.
+
+Omitted keys (rows-only checks, non-SQL-expressible): q19_rank_global
+(rank over physical scan order), q32_sample (nondeterministic).
+"""
+
+from __future__ import annotations
+
+from .functions import dedup, similarity, text
+
+_DEC = "DECIMAL(18,2)"
+
+
+def _dsum(col: str) -> str:
+    return f"CAST(SUM(CAST({col} AS {_DEC})) AS DOUBLE)"
+
+
+def _davg(col: str) -> str:
+    return f"CAST(SUM(CAST({col} AS {_DEC})) AS DOUBLE) / COUNT({col})"
+
+
+_DISC_PRICE = f"CAST(l_extendedprice AS {_DEC}) * (CAST(1 AS {_DEC}) - CAST(l_discount AS {_DEC}))"
+
+# ----------------------------------------------------------------------
+# shared text fragments (must mirror pig_spark.functions.text exactly)
+# ----------------------------------------------------------------------
+
+
+def _toks(expr: str) -> str:
+    """tokenize_ws: split on whitespace, drop empties."""
+    return f"list_filter(string_split_regex(trim({expr}), '\\s+'), x -> x <> '')"
+
+
+def _shingles(expr: str, n: int = dedup.SHINGLE_N) -> str:
+    """word_shingles: distinct word n-grams of lower(text)."""
+    t = _toks(f"lower({expr})")
+    return (
+        f"list_distinct(list_transform(generate_series(1, greatest(len({t}) - {n - 1}, 1)), "
+        f"i -> array_to_string(({t})[i:i+{n - 1}], ' ')))"
+    )
+
+
+def _h32(expr: str) -> str:
+    """md5_32: first 8 md5 hex chars as unsigned 32-bit int."""
+    return f"CAST(('0x' || substr(md5({expr}), 1, 8)) AS BIGINT)"
+
+
+def _minhash_sig_select() -> str:
+    """mh0..mh{K-1} columns over an `h` hashed-shingle-list column
+    (pure BIGINT arithmetic: a,b < 2^30, h < 2^32 — no overflow)."""
+    cols = []
+    for i in range(dedup.MINHASH_K):
+        a, b = dedup.MINHASH_A[i], dedup.MINHASH_B[i]
+        cols.append(f"list_min(list_transform(h, x -> (x * {a} + {b}) % {dedup.MINHASH_PRIME})) AS mh{i}")
+    return ",\n       ".join(cols)
+
+
+def _band_rows() -> str:
+    rows = dedup.MINHASH_K // dedup.MINHASH_BANDS
+    parts = []
+    for b in range(dedup.MINHASH_BANDS):
+        concat = " || ',' || ".join(f"CAST(mh{b * rows + j} AS VARCHAR)" for j in range(rows))
+        parts.append(f"SELECT doc_id, {b} AS band, md5({concat}) AS bh FROM sigs")
+    return "\nUNION ALL\n".join(parts)
+
+
+def _vec_sql(vec: list[float]) -> str:
+    return "[" + ", ".join(repr(float(v)) for v in vec) + "]"
+
+
+_QUERY_VEC = [((i * 37) % 13 - 6) / 13.0 for i in range(similarity.EMB_DIM)]
+
+
+def _lang_case() -> str:
+    score_cols = ", ".join(
+        f"len(list_filter(toks, x -> list_contains({_sw_list(lang)}, lower(x)))) AS s_{lang}"
+        for lang in text.LANG_ORDER
+    )
+    gm = "greatest(" + ", ".join(f"s_{lang}" for lang in text.LANG_ORDER) + ")"
+    whens = "\n       ".join(f"WHEN s_{lang} = {gm} THEN '{lang}'" for lang in text.LANG_ORDER)
+    return score_cols, f"CASE WHEN {gm} = 0 THEN 'und'\n       {whens} END"
+
+
+def _sw_list(lang: str) -> str:
+    return "[" + ", ".join(f"'{w}'" for w in text.LANG_STOPWORDS[lang]) + "]"
+
+
+def _simhash_expr() -> str:
+    """Mirror dedup.simhash: 32-bit signature from token-hash bit votes."""
+    h = _h32("t")
+    bits = []
+    for b in range(dedup.SIMHASH_BITS):
+        s = f"list_sum(list_transform(toks, t -> CASE WHEN ({h} >> {b}) & 1 = 1 THEN 1 ELSE -1 END))"
+        bits.append(f"(CASE WHEN {s} > 0 THEN CAST({1 << b} AS BIGINT) ELSE CAST(0 AS BIGINT) END)")
+    return " + ".join(bits)
+
+
+def oracle_sql() -> dict[str, str]:
+    rows = dedup.MINHASH_K // dedup.MINHASH_BANDS
+    lang_scores, lang_case = _lang_case()
+    qv = _vec_sql(_QUERY_VEC)
+    qnorm = f"sqrt(list_dot_product({qv}, {qv}))"
+
+    # LSH query bucket, computed from the same hyperplane constants
+    qbits = [1 if sum(a * b for a, b in zip(_QUERY_VEC, plane)) > 0 else 0 for plane in similarity.HYPERPLANES]
+    qbucket = sum(bit << p for p, bit in enumerate(qbits))
+    probe_buckets = [qbucket, qbucket ^ 1]  # probes=2 in q46
+    bucket_expr = " + ".join(
+        f"(CASE WHEN list_dot_product(CAST(embedding AS DOUBLE[]), {_vec_sql(plane)}) > 0 THEN {1 << p} ELSE 0 END)"
+        for p, plane in enumerate(similarity.HYPERPLANES)
+    )
+
+    quality = f"""
+        WITH t AS (SELECT doc_id, {_toks('text')} AS toks FROM documents),
+        m AS (SELECT doc_id,
+                     CAST(len(toks) AS DOUBLE) AS n,
+                     CAST(len(list_filter(toks, x -> list_contains({_sw_list('en')}, lower(x)))) AS DOUBLE) AS sw,
+                     toks
+              FROM t)
+        SELECT doc_id,
+               round(0.4 * least((CASE WHEN n > 0 THEN sw / n ELSE 0.0 END) / 0.2, 1.0)
+                   + 0.3 * least(n / 50.0, 1.0)
+                   + 0.3 * (1.0 - least(abs((CASE WHEN n > 0 THEN CAST(list_sum(list_transform(toks, t -> length(t))) AS DOUBLE) / n ELSE 0.0 END) - 5.0) / 5.0, 1.0)), 6) AS q
+        FROM m"""
+
+    return {
+        "q01_group_agg": f"""
+            SELECT l_returnflag, l_linestatus,
+                   {_dsum('l_quantity')} AS sum_qty,
+                   {_dsum('l_extendedprice')} AS sum_base_price,
+                   CAST(SUM({_DISC_PRICE}) AS DOUBLE) AS sum_disc_price,
+                   {_davg('l_quantity')} AS avg_qty,
+                   {_davg('l_extendedprice')} AS avg_price,
+                   {_davg('l_discount')} AS avg_disc,
+                   COUNT(*) AS count_order
+            FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+            GROUP BY l_returnflag, l_linestatus""",
+        "q02_filter_project": f"""
+            SELECT l_orderkey, l_linenumber,
+                   CAST({_DISC_PRICE} * (CAST(1 AS {_DEC}) + CAST(l_tax AS {_DEC})) AS DOUBLE) AS charge,
+                   CASE WHEN l_quantity > 45 THEN 'H' ELSE 'L' END AS heavy
+            FROM lineitem WHERE l_quantity > 30 AND l_returnflag <> 'R'""",
+        "q03_order_limit": """
+            SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+            ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 25""",
+        "q04_distinct": "SELECT DISTINCT l_returnflag, l_linestatus, l_shipdate FROM lineitem",
+        "q05_join_inner": f"""
+            SELECT c_mktsegment, COUNT(*) AS n_orders, {_dsum('o_totalprice')} AS total
+            FROM orders JOIN customer ON o_custkey = c_custkey
+            GROUP BY c_mktsegment""",
+        "q06_join_left": f"""
+            SELECT c_custkey, COUNT(o_orderkey) AS n_orders,
+                   COALESCE({_dsum('o_totalprice')}, 0.0) AS spend
+            FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+            GROUP BY c_custkey""",
+        "q07_join_full": """
+            SELECT COALESCE(c.c_custkey, o.o_custkey) AS custkey, c.c_acctbal AS acctbal, o.n_orders
+            FROM (SELECT c_custkey, c_acctbal FROM customer WHERE c_custkey <= 1000) c
+            FULL JOIN (SELECT o_custkey, COUNT(*) AS n_orders FROM orders WHERE o_custkey >= 800 GROUP BY o_custkey) o
+            ON c.c_custkey = o.o_custkey""",
+        "q08_join_replicated": f"""
+            SELECT n_name, CAST(SUM({_DISC_PRICE}) AS DOUBLE) AS revenue, COUNT(*) AS n_items
+            FROM lineitem JOIN supplier ON l_suppkey = s_suppkey JOIN nation ON s_nationkey = n_nationkey
+            GROUP BY n_name""",
+        "q09_join_multiway": f"""
+            SELECT o_orderkey, o_orderdate, CAST(SUM({_DISC_PRICE}) AS DOUBLE) AS revenue
+            FROM customer JOIN orders ON c_custkey = o_custkey JOIN lineitem ON o_orderkey = l_orderkey
+            WHERE c_mktsegment = 'BUILDING'
+            GROUP BY o_orderkey, o_orderdate""",
+        "q10_semi_join": """
+            SELECT c_custkey, c_name FROM customer
+            WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)""",
+        "q11_anti_join": """
+            SELECT c_custkey, c_acctbal FROM customer
+            WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey AND o_totalprice > 250000)""",
+        "q12_cross": "SELECT r_name, n_name FROM region CROSS JOIN nation",
+        "q13_union_onschema": """
+            SELECT c_name, c_custkey AS key, c_acctbal AS bal, CAST(NULL AS VARCHAR) AS sname FROM customer
+            UNION ALL
+            SELECT CAST(NULL AS VARCHAR), s_suppkey, CAST(NULL AS DOUBLE), s_name FROM supplier""",
+        "q14_union_positional": """
+            SELECT l_orderkey, l_quantity FROM lineitem WHERE l_returnflag = 'R'
+            UNION ALL
+            SELECT l_orderkey, l_quantity FROM lineitem WHERE l_quantity >= 49""",
+        "q15_cogroup": """
+            SELECT COALESCE(c.k, o.k) AS custkey, COALESCE(c.n, 0) AS n_cust, COALESCE(o.n, 0) AS n_orders
+            FROM (SELECT c_custkey AS k, COUNT(*) AS n FROM customer GROUP BY 1) c
+            FULL JOIN (SELECT o_custkey AS k, COUNT(*) AS n FROM orders GROUP BY 1) o ON c.k = o.k""",
+        "q16_group_flatten": """
+            SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem WHERE l_orderkey <= 1000""",
+        "q17_rank_by": """
+            SELECT rank() OVER (ORDER BY c_acctbal DESC NULLS LAST) AS rank, c_custkey, c_acctbal
+            FROM customer""",
+        "q18_rank_dense": """
+            SELECT dense_rank() OVER (ORDER BY p_size ASC NULLS FIRST) AS drank, p_partkey, p_size
+            FROM part""",
+        "q20_cube": f"""
+            SELECT l_returnflag, l_linestatus, CAST(GROUPING(l_returnflag, l_linestatus) AS BIGINT) AS grouping_id,
+                   {_dsum('l_quantity')} AS sum_qty, COUNT(*) AS n
+            FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus)""",
+        "q21_rollup": f"""
+            SELECT o_orderstatus, o_orderpriority, CAST(GROUPING(o_orderstatus, o_orderpriority) AS BIGINT) AS grouping_id,
+                   {_dsum('o_totalprice')} AS total, COUNT(*) AS n
+            FROM orders GROUP BY ROLLUP(o_orderstatus, o_orderpriority)""",
+        "q22_split": "SELECT o_orderkey, o_totalprice FROM orders WHERE o_totalprice > 150000",
+        "q23_nested_topk": """
+            SELECT l_orderkey, l_linenumber, l_extendedprice FROM (
+                SELECT l_orderkey, l_linenumber, l_extendedprice,
+                       row_number() OVER (PARTITION BY l_orderkey ORDER BY l_extendedprice DESC, l_linenumber DESC) AS rn
+                FROM lineitem WHERE l_orderkey <= 2000) t
+            WHERE rn <= 2""",
+        "q24_scalar": """
+            SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem
+            WHERE l_quantity > (SELECT AVG(l_quantity) FROM lineitem) * 1.9""",
+        "q25_case_in": """
+            SELECT p_partkey,
+                   CASE WHEN p_size < 10 THEN 'small' WHEN p_size < 30 THEN 'medium' ELSE 'large' END AS size_class,
+                   CASE WHEN p_retailprice > 1500 THEN 1 ELSE 0 END AS pricey
+            FROM part WHERE p_brand IN ('Brand#1', 'Brand#2', 'Brand#3')""",
+        "q26_regex_match": r"""
+            SELECT p_partkey, p_type,
+                   CASE WHEN regexp_matches(p_type, '^(\w+)') THEN regexp_extract(p_type, '^(\w+)', 1) ELSE NULL END AS first_word
+            FROM part WHERE regexp_full_match(p_type, '.*O.*')""",
+        "q27_string_funcs": """
+            SELECT c_custkey,
+                   upper(c_name) AS up,
+                   lower(c_name) AS lo,
+                   substr(c_name, 1, 8) AS sub,
+                   CAST(strpos(c_name, '#') - 1 AS INTEGER) AS idx,
+                   regexp_replace(c_name, 'Customer', 'Cust', 'g') AS rep,
+                   c_name || '|' || c_mktsegment AS cat,
+                   trim('  ' || c_mktsegment || '  ') AS tr
+            FROM customer""",
+        "q28_math_funcs": """
+            SELECT l_orderkey, l_linenumber,
+                   abs(l_quantity - 25) AS a,
+                   CAST(ceil(l_discount * 100) AS BIGINT) AS c,
+                   CAST(floor(l_tax * 100) AS BIGINT) AS fl,
+                   CAST(floor(l_extendedprice + 0.5) AS BIGINT) AS r,
+                   round(l_quantity / 7.0, 2) AS r2,
+                   round(sqrt(l_quantity), 6) AS s,
+                   round(ln(l_extendedprice), 6) AS lg
+            FROM lineitem WHERE l_orderkey <= 500""",
+        "q29_datetime_funcs": """
+            SELECT o_orderkey,
+                   CAST(date_part('year', o_orderdate) AS INTEGER) AS y,
+                   CAST(date_part('month', o_orderdate) AS INTEGER) AS m,
+                   CAST(date_part('day', o_orderdate) AS INTEGER) AS d,
+                   CAST(epoch(o_orderdate) AS BIGINT) AS unix_ts,
+                   o_orderdate + INTERVAL 1 MONTH AS plus_month,
+                   CAST(floor((epoch(TIMESTAMP '1998-12-31 00:00:00') - epoch(o_orderdate)) / 86400) AS BIGINT) AS days_since
+            FROM orders WHERE o_orderkey <= 2000""",
+        "q30_group_null_keys": """
+            SELECT CASE WHEN c_nationkey % 7 = 0 THEN NULL ELSE c_nationkey END AS nk_null,
+                   COUNT(*) AS n, COUNT(c_acctbal) AS n_nonnull_bal
+            FROM customer GROUP BY 1""",
+        "q31_json_map": """
+            SELECT event_type, SUM(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS sum_k, COUNT(*) AS n
+            FROM events GROUP BY event_type""",
+        "q33_tokenize_wordcount": f"""
+            SELECT u.word, COUNT(*) AS cnt
+            FROM documents d, unnest({_toks('d.text')}) AS u(word)
+            GROUP BY u.word""",
+        "q34_assert": "SELECT * FROM region",
+        "q35_intersect_except": """
+            SELECT DISTINCT o_custkey FROM orders WHERE o_totalprice > 100000
+            INTERSECT
+            SELECT DISTINCT o_custkey FROM orders WHERE o_orderstatus = 'F'""",
+        "q40_dedup_exact": """
+            SELECT MIN(doc_id) AS doc_id, COUNT(*) AS dup_count
+            FROM documents GROUP BY md5(text)""",
+        "q41_minhash_pairs": f"""
+            WITH docs AS (SELECT doc_id, {_shingles('text')} AS sh FROM documents),
+            hashed AS (SELECT doc_id, sh, list_transform(sh, s -> {_h32('s')}) AS h FROM docs),
+            sigs AS (SELECT doc_id, {_minhash_sig_select()} FROM hashed),
+            bands AS ({_band_rows()}),
+            cands AS (
+                SELECT l.doc_id AS id_a, r.doc_id AS id_b
+                FROM bands l JOIN bands r ON l.band = r.band AND l.bh = r.bh AND l.doc_id < r.doc_id
+                GROUP BY 1, 2),
+            verified AS (
+                SELECT c.id_a, c.id_b,
+                       round(CAST(len(list_filter(a.sh, x -> list_contains(b.sh, x))) AS DOUBLE)
+                             / (len(a.sh) + len(b.sh) - len(list_filter(a.sh, x -> list_contains(b.sh, x)))), 6) AS jaccard
+                FROM cands c JOIN docs a ON c.id_a = a.doc_id JOIN docs b ON c.id_b = b.doc_id)
+            SELECT id_a, id_b, jaccard FROM verified WHERE jaccard >= 0.4""",
+        "q42_ngram_jaccard": f"""
+            WITH docs AS (SELECT doc_id, {_shingles('text')} AS sh FROM documents),
+            posting AS (SELECT doc_id, u.g FROM docs, unnest(docs.sh) AS u(g)),
+            shared AS (
+                SELECT l.doc_id AS id_a, r.doc_id AS id_b, COUNT(*) AS inter
+                FROM posting l JOIN posting r ON l.g = r.g AND l.doc_id < r.doc_id
+                GROUP BY 1, 2),
+            sizes AS (SELECT doc_id, len(sh) AS n FROM docs)
+            SELECT s.id_a, s.id_b, round(CAST(s.inter AS DOUBLE) / (na.n + nb.n - s.inter), 6) AS jaccard
+            FROM shared s JOIN sizes na ON s.id_a = na.doc_id JOIN sizes nb ON s.id_b = nb.doc_id
+            WHERE round(CAST(s.inter AS DOUBLE) / (na.n + nb.n - s.inter), 6) >= 0.5""",
+        "q43_simhash": f"""
+            WITH t AS (SELECT doc_id, {_toks('lower(text)')} AS toks FROM documents)
+            SELECT doc_id, {_simhash_expr()} AS simhash FROM t""",
+        "q44_cosine_topk": f"""
+            SELECT vec_id,
+                   round(list_dot_product(CAST(embedding AS DOUBLE[]), {qv})
+                         / (sqrt(list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[]))) * {qnorm}), 6) AS score
+            FROM embeddings ORDER BY score DESC, vec_id ASC LIMIT 20""",
+        "q45_cosine_pairs": """
+            SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+                   round(list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[]))
+                         / (sqrt(list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(a.embedding AS DOUBLE[])))
+                            * sqrt(list_dot_product(CAST(b.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])))), 6) AS cos_sim
+            FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+            WHERE a.vec_id < 200 AND b.vec_id < 200
+              AND round(list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[]))
+                        / (sqrt(list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(a.embedding AS DOUBLE[])))
+                           * sqrt(list_dot_product(CAST(b.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])))), 6) >= 0.3""",
+        "q46_ann_lsh": f"""
+            WITH b AS (SELECT vec_id, embedding, {bucket_expr} AS bucket FROM embeddings)
+            SELECT vec_id,
+                   round(list_dot_product(CAST(embedding AS DOUBLE[]), {qv})
+                         / (sqrt(list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[]))) * {qnorm}), 6) AS score
+            FROM b WHERE bucket IN ({probe_buckets[0]}, {probe_buckets[1]})
+            ORDER BY score DESC, vec_id ASC LIMIT 10""",
+        "q47_lang_id": f"""
+            WITH t AS (SELECT doc_id, {_toks('text')} AS toks FROM documents),
+            s AS (SELECT doc_id, {lang_scores} FROM t)
+            SELECT {lang_case} AS pred_lang, COUNT(*) AS n FROM s GROUP BY 1""",
+        "q48_quality_score": quality,
+        "q49_fingerprint": f"""
+            WITH fp AS (SELECT doc_id, md5(array_to_string(list_sort(list_distinct({_toks('lower(text)')})), ' ')) AS fp FROM documents)
+            SELECT fp, COUNT(*) AS n_docs, MIN(doc_id) AS min_doc FROM fp GROUP BY fp""",
+        "q50_token_stats": f"""
+            SELECT doc_id,
+                   CAST(len({_toks('text')}) AS BIGINT) AS n_ws_tokens,
+                   CAST(len(regexp_extract_all(text, '{text.BPE_TOKEN_RE}')) AS BIGINT) AS n_bpe_tokens,
+                   list_min(list_transform(generate_series(1, greatest(len({_toks('lower(text)')}) - 3, 1)),
+                            i -> CAST(('0x' || substr(md5(array_to_string(({_toks('lower(text)')})[i:i+3], ' ')), 1, 8)) AS BIGINT))) AS rolling_fp
+            FROM documents""",
+        "q51_join_qualified": """
+            SELECT n_name AS nation, r_name AS region
+            FROM nation JOIN region ON n_regionkey = r_regionkey""",
+    }

@@ -1,0 +1,532 @@
+"""Query catalog — one entry per implemented operator/capability
+(SURVEY §2 inventory + training-data-pipeline extensions).
+
+Every function takes (spark, sf_dir) and returns a DataFrame built
+through the pig_spark DSL; ``pig_spark.oracles`` holds the equivalent
+DuckDB SQL (same column names/aliases — the driver hash-compares).
+
+Float determinism policy (so oracle hashes match bit-for-bit): sums
+over double money columns go through DECIMAL(18,2) (exact in both
+engines) and cast back to double; averages are exact-decimal sums
+divided as doubles; similarity scores round to 6 decimals on both
+sides.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from . import functions as PF
+from .compat import join_qualified
+from .dsl import Relation
+from .functions import dedup, similarity, text
+from .operators.nested import topk_per_group
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> Relation:
+    return Relation.load(spark, f"{sf_dir}/{name}.parquet", "parquet")
+
+
+def dsum(col: Column, scale: int = 2) -> Column:
+    """Exact-decimal sum of a double column, returned as double."""
+    return F.sum(col.cast(f"decimal(18,{scale})")).cast("double")
+
+
+def davg(col: Column, scale: int = 2) -> Column:
+    """Exact-decimal mean as double: cast(sum_dec as double)/count."""
+    return F.sum(col.cast(f"decimal(18,{scale})")).cast("double") / F.count(col)
+
+
+_DEC = "decimal(18,2)"
+
+
+# ----------------------------------------------------------------------
+# core relational operators (SURVEY §2.2)
+# ----------------------------------------------------------------------
+
+
+def q01_group_agg(spark: SparkSession, sf: str) -> DataFrame:
+    """Flagship: TPC-H Q1 shape — FILTER + GROUP + algebraic aggs
+    (COUNT/SUM/AVG, Pig combiner path = Catalyst partial agg)."""
+    li = _t(spark, sf, "lineitem")
+    disc_price = F.col("l_extendedprice").cast(_DEC) * (F.lit(1).cast(_DEC) - F.col("l_discount").cast(_DEC))
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02"))
+        .group_by("l_returnflag", "l_linestatus")
+        .agg(
+            sum_qty=dsum(F.col("l_quantity")),
+            sum_base_price=dsum(F.col("l_extendedprice")),
+            sum_disc_price=F.sum(disc_price).cast("double"),
+            avg_qty=davg(F.col("l_quantity")),
+            avg_price=davg(F.col("l_extendedprice")),
+            avg_disc=davg(F.col("l_discount")),
+            count_order=F.count(F.lit(1)),
+        )
+        .df
+    )
+
+
+def q02_filter_project(spark: SparkSession, sf: str) -> DataFrame:
+    """FILTER BY + FOREACH GENERATE with arithmetic & bincond
+    (LOFilter/LOForEach; POBinCond)."""
+    li = _t(spark, sf, "lineitem")
+    return (
+        li.filter((F.col("l_quantity") > 30) & (F.col("l_returnflag") != "R"))
+        .foreach(
+            "l_orderkey",
+            "l_linenumber",
+            charge=(F.col("l_extendedprice").cast(_DEC) * (F.lit(1).cast(_DEC) - F.col("l_discount").cast(_DEC)) * (F.lit(1).cast(_DEC) + F.col("l_tax").cast(_DEC))).cast("double"),
+            heavy=F.when(F.col("l_quantity") > 45, F.lit("H")).otherwise(F.lit("L")),
+        )
+        .df
+    )
+
+
+def q03_order_limit(spark: SparkSession, sf: str) -> DataFrame:
+    """ORDER BY ... LIMIT (LOSort + LOLimit → TakeOrdered)."""
+    o = _t(spark, sf, "orders")
+    return (
+        o.order_by(F.col("o_totalprice").desc(), F.col("o_orderkey").asc())
+        .limit(25)
+        .foreach("o_orderkey", "o_custkey", "o_totalprice")
+        .df
+    )
+
+
+def q04_distinct(spark: SparkSession, sf: str) -> DataFrame:
+    """DISTINCT (LODistinct)."""
+    li = _t(spark, sf, "lineitem")
+    return li.foreach("l_returnflag", "l_linestatus", "l_shipdate").distinct().df
+
+
+def q05_join_inner(spark: SparkSession, sf: str) -> DataFrame:
+    """JOIN USING 'hash' (default equi-join) + group agg."""
+    c = _t(spark, sf, "customer")
+    o = _t(spark, sf, "orders")
+    return (
+        o.join(c, on=[F.col("o_custkey") == F.col("c_custkey")], how="inner")
+        .group_by("c_mktsegment")
+        .agg(n_orders=F.count(F.lit(1)), total=dsum(F.col("o_totalprice")))
+        .df
+    )
+
+
+def q06_join_left(spark: SparkSession, sf: str) -> DataFrame:
+    """LEFT OUTER JOIN (LOJoin 2-way outer) — customers w/o orders kept."""
+    c = _t(spark, sf, "customer")
+    o = _t(spark, sf, "orders")
+    return (
+        c.join(o, on=[F.col("c_custkey") == F.col("o_custkey")], how="left")
+        .group_by("c_custkey")
+        .agg(n_orders=F.count(F.col("o_orderkey")), spend=F.coalesce(dsum(F.col("o_totalprice")), F.lit(0.0)))
+        .df
+    )
+
+
+def q07_join_full(spark: SparkSession, sf: str) -> DataFrame:
+    """FULL OUTER JOIN with non-overlapping key ranges."""
+    c = _t(spark, sf, "customer").filter(F.col("c_custkey") <= 1000).foreach("c_custkey", "c_acctbal")
+    o = (
+        _t(spark, sf, "orders")
+        .filter(F.col("o_custkey") >= 800)
+        .group_by("o_custkey")
+        .agg(n_orders=F.count(F.lit(1)))
+    )
+    j = c.join(o, on=[F.col("c_custkey") == F.col("o_custkey")], how="full")
+    return j.foreach(
+        custkey=F.coalesce(F.col("c_custkey"), F.col("o_custkey")),
+        acctbal=F.col("c_acctbal"),
+        n_orders=F.col("n_orders"),
+    ).df
+
+
+def q08_join_replicated(spark: SparkSession, sf: str) -> DataFrame:
+    """JOIN USING 'replicated' (POFRJoin → broadcast): fact ⋈ small dims."""
+    li = _t(spark, sf, "lineitem")
+    s = _t(spark, sf, "supplier")
+    n = _t(spark, sf, "nation")
+    rev = F.col("l_extendedprice").cast(_DEC) * (F.lit(1).cast(_DEC) - F.col("l_discount").cast(_DEC))
+    return (
+        li.join(s, on=[F.col("l_suppkey") == F.col("s_suppkey")], how="inner", strategy="replicated")
+        .join(n, on=[F.col("s_nationkey") == F.col("n_nationkey")], how="inner", strategy="replicated")
+        .group_by("n_name")
+        .agg(revenue=F.sum(rev).cast("double"), n_items=F.count(F.lit(1)))
+        .df
+    )
+
+
+def q09_join_multiway(spark: SparkSession, sf: str) -> DataFrame:
+    """n-ary hash join (TPC-H Q3 shape): customer ⋈ orders ⋈ lineitem."""
+    c = _t(spark, sf, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    o = _t(spark, sf, "orders")
+    li = _t(spark, sf, "lineitem")
+    rev = F.col("l_extendedprice").cast(_DEC) * (F.lit(1).cast(_DEC) - F.col("l_discount").cast(_DEC))
+    return (
+        c.join(o, on=[F.col("c_custkey") == F.col("o_custkey")], how="inner")
+        .join(li, on=[F.col("o_orderkey") == F.col("l_orderkey")], how="inner")
+        .group_by("o_orderkey", "o_orderdate")
+        .agg(revenue=F.sum(rev).cast("double"))
+        .df
+    )
+
+
+def q10_semi_join(spark: SparkSession, sf: str) -> DataFrame:
+    """Pig idiom COGROUP+IsEmpty-not → left_semi: customers with ≥1 order."""
+    c = _t(spark, sf, "customer")
+    o = _t(spark, sf, "orders")
+    return c.semi_join(o, on=[F.col("c_custkey") == F.col("o_custkey")]).foreach("c_custkey", "c_name").df
+
+
+def q11_anti_join(spark: SparkSession, sf: str) -> DataFrame:
+    """COGROUP+IsEmpty → left_anti: customers with no orders."""
+    c = _t(spark, sf, "customer")
+    o = _t(spark, sf, "orders").filter(F.col("o_totalprice") > 250000)
+    return c.anti_join(o, on=[F.col("c_custkey") == F.col("o_custkey")]).foreach("c_custkey", "c_acctbal").df
+
+
+def q12_cross(spark: SparkSession, sf: str) -> DataFrame:
+    """CROSS (LOCross → BroadcastNestedLoop on small inputs)."""
+    r = _t(spark, sf, "region")
+    n = _t(spark, sf, "nation")
+    return r.cross(n).foreach("r_name", "n_name").df
+
+
+def q13_union_onschema(spark: SparkSession, sf: str) -> DataFrame:
+    """UNION ONSCHEMA (merge-by-name + null-fill, UnionOnSchemaSetter)."""
+    c = _t(spark, sf, "customer").foreach("c_name", key=F.col("c_custkey"), bal=F.col("c_acctbal"))
+    s = _t(spark, sf, "supplier").foreach(key=F.col("s_suppkey"), sname=F.col("s_name"))
+    return c.union(s, onschema=True).df
+
+
+def q14_union_positional(spark: SparkSession, sf: str) -> DataFrame:
+    """UNION (positional, no dedup — bag union)."""
+    a = _t(spark, sf, "lineitem").filter(F.col("l_returnflag") == "R").foreach("l_orderkey", "l_quantity")
+    b = _t(spark, sf, "lineitem").filter(F.col("l_quantity") >= 49).foreach("l_orderkey", "l_quantity")
+    return a.union(b).df
+
+
+def q15_cogroup(spark: SparkSession, sf: str) -> DataFrame:
+    """COGROUP customer, orders BY custkey → per-key bag sizes
+    (operators/cogroup.py; null keys isolated per input)."""
+    c = _t(spark, sf, "customer")
+    o = _t(spark, sf, "orders").foreach(o_custkey=F.col("o_custkey"), o_totalprice=F.col("o_totalprice"))
+    cg = c.cogroup([o], on=[["c_custkey"], ["o_custkey"]], bag_names=["cust_bag", "order_bag"])
+    return cg.foreach(
+        custkey=F.col("c_custkey"),
+        n_cust=F.size("cust_bag").cast("long"),
+        n_orders=F.size("order_bag").cast("long"),
+    ).df
+
+
+def q16_group_flatten(spark: SparkSession, sf: str) -> DataFrame:
+    """GROUP → bag → FLATTEN round-trip (collect_list(struct) + inline)."""
+    li = _t(spark, sf, "lineitem").filter(F.col("l_orderkey") <= 1000)
+    bagged = li.group_by("l_orderkey").bag("items", columns=["l_linenumber", "l_quantity"])
+    return bagged.flatten("items").df
+
+
+def q17_rank_by(spark: SparkSession, sf: str) -> DataFrame:
+    """RANK rel BY col DESC (LORank; SQL rank ties)."""
+    c = _t(spark, sf, "customer")
+    return (
+        c.rank(F.col("c_acctbal"), ascending=False, name="rank")
+        .foreach("rank", "c_custkey", "c_acctbal")
+        .df
+    )
+
+
+def q18_rank_dense(spark: SparkSession, sf: str) -> DataFrame:
+    """RANK rel BY col DENSE (dense_rank)."""
+    p = _t(spark, sf, "part")
+    return p.rank(F.col("p_size"), ascending=True, dense=True, name="drank").foreach("drank", "p_partkey", "p_size").df
+
+
+def q19_rank_global(spark: SparkSession, sf: str) -> DataFrame:
+    """RANK rel (no BY): global contiguous row number (POCounter/PORank
+    two-pass). Input order is parquet scan order — verified rows-only
+    (the oracle cannot see scan order); the contiguity invariant is
+    unit-tested instead."""
+    n = _t(spark, sf, "nation")
+    return n.rank(name="r").df
+
+
+def q20_cube(spark: SparkSession, sf: str) -> DataFrame:
+    """CUBE BY (LOCube → native cube with partial aggs below shuffle)."""
+    li = _t(spark, sf, "lineitem")
+    return li.cube(
+        "l_returnflag",
+        "l_linestatus",
+        agg={"sum_qty": dsum(F.col("l_quantity")), "n": F.count(F.lit(1))},
+    ).df
+
+
+def q21_rollup(spark: SparkSession, sf: str) -> DataFrame:
+    """ROLLUP BY (RollupDimensions.java → native rollup)."""
+    o = _t(spark, sf, "orders")
+    return o.rollup(
+        "o_orderstatus",
+        "o_orderpriority",
+        agg={"total": dsum(F.col("o_totalprice")), "n": F.count(F.lit(1))},
+    ).df
+
+
+def q22_split(spark: SparkSession, sf: str) -> DataFrame:
+    """SPLIT INTO ... IF (one branch verified; routing is the operator)."""
+    o = _t(spark, sf, "orders")
+    hi, lo = o.split(F.col("o_totalprice") > 150000, F.col("o_totalprice") <= 150000, persist=False)
+    return hi.foreach("o_orderkey", "o_totalprice").df
+
+
+def q23_nested_topk(spark: SparkSession, sf: str) -> DataFrame:
+    """Nested FOREACH { ORDER; LIMIT } / TOP() — lowered to a
+    partitioned window (operators/nested.topk_per_group), no bags."""
+    li = _t(spark, sf, "lineitem").df
+    top = topk_per_group(
+        li.filter(F.col("l_orderkey") <= 2000),
+        group_keys=["l_orderkey"],
+        order_by=["l_extendedprice", "l_linenumber"],
+        k=2,
+    )
+    return top.select("l_orderkey", "l_linenumber", "l_extendedprice")
+
+
+def q24_scalar(spark: SparkSession, sf: str) -> DataFrame:
+    """Scalar projection (ReadScalars.java): filter by a 1-row global
+    aggregate without driver collect (broadcast cross join)."""
+    li = _t(spark, sf, "lineitem")
+    stats = li.group_all().agg(avg_q=F.avg("l_quantity"))
+    return (
+        li.with_scalar("avg_q", stats, "avg_q")
+        .filter(F.col("l_quantity") > F.col("avg_q") * 1.9)
+        .foreach("l_orderkey", "l_linenumber", "l_quantity")
+        .df
+    )
+
+
+def q25_case_in(spark: SparkSession, sf: str) -> DataFrame:
+    """CASE / IN / bincond / IS NULL expression surface
+    (QueryParser.g:731-769, :656-671; POBinCond)."""
+    p = _t(spark, sf, "part")
+    size_class = (
+        F.when(F.col("p_size") < 10, "small").when(F.col("p_size") < 30, "medium").otherwise("large")
+    )
+    return (
+        p.filter(F.col("p_brand").isin("Brand#1", "Brand#2", "Brand#3"))
+        .foreach(
+            "p_partkey",
+            size_class=size_class,
+            pricey=F.when(F.col("p_retailprice") > 1500, F.lit(1)).otherwise(F.lit(0)),
+        )
+        .df
+    )
+
+
+def q26_regex_match(spark: SparkSession, sf: str) -> DataFrame:
+    """MATCHES (PORegexp) + REGEX_EXTRACT with Pig null-on-no-match."""
+    p = _t(spark, sf, "part")
+    return (
+        p.filter(PF.MATCHES(F.col("p_type"), ".*O.*"))
+        .foreach(
+            "p_partkey",
+            "p_type",
+            first_word=PF.REGEX_EXTRACT(F.col("p_type"), r"^(\w+)", 1),
+        )
+        .df
+    )
+
+
+def q27_string_funcs(spark: SparkSession, sf: str) -> DataFrame:
+    """String builtin battery (CONCAT/UPPER/LOWER/SUBSTRING/INDEXOF/
+    REPLACE/TRIM — builtin/*.java)."""
+    c = _t(spark, sf, "customer")
+    return c.foreach(
+        "c_custkey",
+        up=PF.UPPER(F.col("c_name")),
+        lo=PF.LOWER(F.col("c_name")),
+        sub=PF.SUBSTRING(F.col("c_name"), 0, 8),
+        idx=PF.INDEXOF(F.col("c_name"), "#", 0),
+        rep=PF.REPLACE(F.col("c_name"), "Customer", "Cust"),
+        cat=PF.CONCAT(F.col("c_name"), F.lit("|"), F.col("c_mktsegment")),
+        tr=PF.TRIM(PF.CONCAT(F.lit("  "), F.col("c_mktsegment"), F.lit("  "))),
+    ).df
+
+
+def q28_math_funcs(spark: SparkSession, sf: str) -> DataFrame:
+    """Math builtin battery (ABS/CEIL/FLOOR/ROUND/SQRT/LOG/EXP)."""
+    li = _t(spark, sf, "lineitem").filter(F.col("l_orderkey") <= 500)
+    return li.foreach(
+        "l_orderkey",
+        "l_linenumber",
+        a=PF.ABS(F.col("l_quantity") - 25),
+        c=PF.CEIL(F.col("l_discount") * 100),
+        fl=PF.FLOOR(F.col("l_tax") * 100),
+        r=PF.ROUND(F.col("l_extendedprice")),
+        r2=PF.ROUND_TO(F.col("l_quantity") / 7.0, 2),
+        s=F.round(PF.SQRT(F.col("l_quantity")), 6),
+        lg=F.round(PF.LOG(F.col("l_extendedprice")), 6),
+    ).df
+
+
+def q29_datetime_funcs(spark: SparkSession, sf: str) -> DataFrame:
+    """Datetime builtins (GetYear/GetMonth/...; DaysBetween; AddDuration)."""
+    o = _t(spark, sf, "orders").filter(F.col("o_orderkey") <= 2000)
+    return o.foreach(
+        "o_orderkey",
+        y=PF.GetYear(F.col("o_orderdate")),
+        m=PF.GetMonth(F.col("o_orderdate")),
+        d=PF.GetDay(F.col("o_orderdate")),
+        unix_ts=PF.ToUnixTime(F.col("o_orderdate")),
+        plus_month=PF.AddDuration(F.col("o_orderdate"), "P1M"),
+        days_since=PF.DaysBetween(F.lit("1998-12-31").cast("timestamp"), F.col("o_orderdate")),
+    ).df
+
+
+def q30_group_null_keys(spark: SparkSession, sf: str) -> DataFrame:
+    """GROUP with null keys: Pig keeps null as its own group
+    (PigNullableWritable semantics; Spark groupBy matches)."""
+    c = _t(spark, sf, "customer")
+    nk = F.when(F.col("c_nationkey") % 7 == 0, F.lit(None)).otherwise(F.col("c_nationkey"))
+    return (
+        c.foreach(nk_null=nk, c_acctbal=F.col("c_acctbal"))
+        .group_by("nk_null")
+        .agg(n=F.count(F.lit(1)), n_nonnull_bal=F.count(F.col("c_acctbal")))
+        .df
+    )
+
+
+def q31_json_map(spark: SparkSession, sf: str) -> DataFrame:
+    """Map-value access (MapLookup ≅ JSON field extract on events.props)."""
+    e = _t(spark, sf, "events")
+    k = F.get_json_object(F.col("props"), "$.k").cast("int")
+    return (
+        e.foreach("event_id", "event_type", k=k)
+        .group_by("event_type")
+        .agg(sum_k=F.sum(F.col("k")), n=F.count(F.lit(1)))
+        .df
+    )
+
+
+def q32_sample(spark: SparkSession, sf: str) -> DataFrame:
+    """SAMPLE rel p (nondeterministic → rows-only check by design)."""
+    li = _t(spark, sf, "lineitem")
+    return li.sample(0.1, seed=42).foreach("l_orderkey", "l_linenumber").df
+
+
+def q33_tokenize_wordcount(spark: SparkSession, sf: str) -> DataFrame:
+    """TOKENIZE + FLATTEN + GROUP — the canonical Pig wordcount
+    (builtin/TOKENIZE.java), on the documents table."""
+    d = _t(spark, sf, "documents")
+    return (
+        d.foreach(tok=text.tokenize_ws(F.col("text")))
+        .flatten("tok")
+        .group_by(F.col("tok").alias("word"))
+        .agg(cnt=F.count(F.lit(1)))
+        .df
+    )
+
+
+def q34_assert(spark: SparkSession, sf: str) -> DataFrame:
+    """ASSERT rel BY cond (passes for all rows → identity)."""
+    r = _t(spark, sf, "region")
+    return r.assert_by(F.col("r_regionkey") >= 0, "negative regionkey").df
+
+
+def q35_intersect_except(spark: SparkSession, sf: str) -> DataFrame:
+    """INTERSECT/EXCEPT (bonus vs Pig, which needs cogroup idioms)."""
+    a = _t(spark, sf, "orders").filter(F.col("o_totalprice") > 100000).foreach("o_custkey").distinct()
+    b = _t(spark, sf, "orders").filter(F.col("o_orderstatus") == "F").foreach("o_custkey").distinct()
+    return a.intersect(b).df
+
+
+# ----------------------------------------------------------------------
+# training-data pipeline operators
+# ----------------------------------------------------------------------
+
+
+def q40_dedup_exact(spark: SparkSession, sf: str) -> DataFrame:
+    d = _t(spark, sf, "documents").df
+    return dedup.exact_dedup(d, "text", "doc_id")
+
+
+def q41_minhash_pairs(spark: SparkSession, sf: str) -> DataFrame:
+    d = _t(spark, sf, "documents").df
+    return dedup.minhash_lsh_pairs(d, "text", "doc_id", threshold=0.4)
+
+
+def q42_ngram_jaccard(spark: SparkSession, sf: str) -> DataFrame:
+    d = _t(spark, sf, "documents").df
+    return dedup.ngram_jaccard_pairs(d, "text", "doc_id", threshold=0.5)
+
+
+def q43_simhash(spark: SparkSession, sf: str) -> DataFrame:
+    d = _t(spark, sf, "documents").df
+    return dedup.simhash(d, "text", "doc_id")
+
+
+def q44_cosine_topk(spark: SparkSession, sf: str) -> DataFrame:
+    e = _t(spark, sf, "embeddings").df
+    query = [((i * 37) % 13 - 6) / 13.0 for i in range(similarity.EMB_DIM)]
+    return similarity.cosine_topk(e, query, k=20)
+
+
+def q45_cosine_pairs(spark: SparkSession, sf: str) -> DataFrame:
+    e = _t(spark, sf, "embeddings").df
+    e = e.filter(F.col("vec_id") < 200)
+    return similarity.cosine_self_join_pairs(e, threshold=0.3)
+
+
+def q46_ann_lsh(spark: SparkSession, sf: str) -> DataFrame:
+    e = _t(spark, sf, "embeddings").df
+    query = [((i * 37) % 13 - 6) / 13.0 for i in range(similarity.EMB_DIM)]
+    return similarity.ann_topk_lsh(e, query, k=10, probes=2)
+
+
+def q47_lang_id(spark: SparkSession, sf: str) -> DataFrame:
+    d = _t(spark, sf, "documents")
+    return d.foreach(pred_lang=text.lang_id(F.col("text"))).group_by("pred_lang").agg(n=F.count(F.lit(1))).df
+
+
+def q48_quality_score(spark: SparkSession, sf: str) -> DataFrame:
+    d = _t(spark, sf, "documents")
+    return d.foreach("doc_id", q=text.quality_score(F.col("text"))).df
+
+
+def q49_fingerprint(spark: SparkSession, sf: str) -> DataFrame:
+    d = _t(spark, sf, "documents")
+    return (
+        d.foreach(fp=text.fingerprint(F.col("text")), doc_id=F.col("doc_id"))
+        .group_by("fp")
+        .agg(n_docs=F.count(F.lit(1)), min_doc=F.min("doc_id"))
+        .df
+    )
+
+
+def q50_token_stats(spark: SparkSession, sf: str) -> DataFrame:
+    d = _t(spark, sf, "documents")
+    return d.foreach(
+        "doc_id",
+        n_ws_tokens=text.token_count(F.col("text")),
+        n_bpe_tokens=text.bpe_token_count(F.col("text")),
+        rolling_fp=text.rolling_hash_fingerprint(F.col("text")),
+    ).df
+
+
+def q51_join_qualified(spark: SparkSession, sf: str) -> DataFrame:
+    """Pig `::`-qualified join output naming (LogicalSchema merge)."""
+    n = _t(spark, sf, "nation").df
+    r = _t(spark, sf, "region").df
+    j = join_qualified(n.withColumnRenamed("n_regionkey", "key"), "n", r.withColumnRenamed("r_regionkey", "key"), "r", on=["key"])
+    return j.select(
+        F.col("`n::n_name`").alias("nation"),
+        F.col("`r::r_name`").alias("region"),
+    )
+
+
+QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    name: fn
+    for name, fn in sorted(globals().items())
+    if name.startswith("q") and callable(fn) and name[1:3].isdigit()
+}

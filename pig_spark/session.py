@@ -1,0 +1,69 @@
+"""SparkSession factory tuned for the pig_spark engine.
+
+Defaults reproduce Pig's execution-semantics expectations on top of
+Spark (reference: apache/pig):
+
+- ``spark.sql.ansi.enabled=false`` — Pig casts bad input to null with a
+  warning instead of erroring (POCast.java, Utf8StorageConverter.java),
+  and division by zero yields null (expressionOperators/Divide.java).
+  Spark 4 defaults ANSI on, which would raise instead.
+- AQE on (+ skew join) — replaces Pig's skewed join
+  (POSkewedJoin.java / SkewedPartitioner.java) and reducer-parallelism
+  estimation (InputSizeReducerEstimator.java) with runtime re-planning.
+- runtime bloom filter — replaces Pig's Tez bloom join
+  (POBuildBloomRearrangeTez.java).
+
+Scale notes (100 TB target): shuffle partitions default to 32 for
+local[32] testing but should be sized ~2-3x total cores on a real
+cluster; AQE coalescing makes over-provisioning cheap, so prefer high
+values + AQE rather than hand-tuning per query.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+DEFAULT_SHUFFLE_PARTITIONS = 32
+
+
+def get_spark(
+    app_name: str = "pig_spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Create (or reuse) a SparkSession with pig_spark defaults."""
+    if master is None:
+        cpus = os.environ.get("SPARK_GRAFT_CPUS", "*")
+        master = f"local[{cpus}]"
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(master)
+        # Pig semantics: null on bad cast / div-by-zero, not errors.
+        .config("spark.sql.ansi.enabled", "false")
+        # Deterministic timestamps vs external oracles.
+        .config("spark.sql.session.timeZone", "UTC")
+        # Adaptive execution: skew joins, partition coalescing, runtime
+        # join-strategy switches. Replaces Pig's MR-layer optimizers.
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions or DEFAULT_SHUFFLE_PARTITIONS))
+        # Arrow for any pandas UDF boundary.
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        # Runtime row-level filtering (Pig bloom join equivalent).
+        .config("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
+        # Broadcast generously: dims like nation/region/part are tiny
+        # even at 100 TB lineitem scale (replicated join, POFRJoin.java).
+        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        .config("spark.driver.maxResultSize", "4g")
+        # the events test table carries TIMESTAMP(NANOS) parquet fields;
+        # read them as long (convert with events_ts helper) — Spark has
+        # no nanosecond timestamp type.
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+    )
+    for key, value in (extra_conf or {}).items():
+        builder = builder.config(key, value)
+    return builder.getOrCreate()

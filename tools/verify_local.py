@@ -1,0 +1,104 @@
+"""Local mini-verifier: runs each queries() entry on Spark and its
+oracle_sql() on DuckDB over the same parquet tables, then compares
+row count, column names, and order-insensitive values — a stand-in
+for the driver's CORRECTNESS gate so failures surface before a round
+ends.
+
+Usage: python tools/verify_local.py [sf_dir] [query_name ...]
+"""
+
+from __future__ import annotations
+
+import math
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+TABLES = "region nation customer supplier part orders lineitem events documents embeddings".split()
+
+
+def normalize(val):
+    if isinstance(val, float):
+        if math.isnan(val):
+            return "nan"
+        return f"{val:.9g}"
+    if hasattr(val, "isoformat"):
+        return val.isoformat().replace("T", " ")[:26]
+    if isinstance(val, bool):
+        return str(int(val))
+    return str(val)
+
+
+def rows_to_multiset(rows, colnames):
+    order = sorted(range(len(colnames)), key=lambda i: colnames[i])
+    out = []
+    for r in rows:
+        out.append(tuple(normalize(r[i]) for i in order))
+    return sorted(out)
+
+
+def main():
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    only = set(sys.argv[2:])
+
+    import duckdb
+
+    import __spark_entry__ as entrymod
+    from pig_spark.session import get_spark
+
+    spark = get_spark("verify_local")
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+
+    qs = entrymod.queries()
+    oracles = entrymod.oracle_sql()
+    failures = []
+    for name, fn in qs.items():
+        if only and name not in only:
+            continue
+        t0 = time.time()
+        try:
+            df = fn(spark, sf_dir)
+            spark_cols = df.columns
+            spark_rows = df.collect()
+        except Exception as e:
+            failures.append(name)
+            print(f"FAIL {name}: spark error: {e}")
+            continue
+        if name not in oracles:
+            print(f"ok   {name}: rows-only ({len(spark_rows)} rows, {time.time()-t0:.1f}s)")
+            continue
+        try:
+            res = con.execute(oracles[name])
+            duck_cols = [d[0] for d in res.description]
+            duck_rows = res.fetchall()
+        except Exception as e:
+            failures.append(name)
+            print(f"FAIL {name}: duckdb error: {e}")
+            continue
+        problems = []
+        if sorted(spark_cols) != sorted(duck_cols):
+            problems.append(f"columns {sorted(spark_cols)} != {sorted(duck_cols)}")
+        if len(spark_rows) != len(duck_rows):
+            problems.append(f"rowcount {len(spark_rows)} != {len(duck_rows)}")
+        if not problems:
+            s = rows_to_multiset(spark_rows, spark_cols)
+            d = rows_to_multiset(duck_rows, duck_cols)
+            if s != d:
+                diff = [(a, b) for a, b in zip(s, d) if a != b]
+                problems.append(f"values differ ({len(diff)} of {len(s)}): first {diff[:2]}")
+        if problems:
+            failures.append(name)
+            print(f"FAIL {name}: " + "; ".join(problems))
+        else:
+            print(f"ok   {name}: {len(spark_rows)} rows match ({time.time()-t0:.1f}s)")
+
+    print(f"\n{len(failures)} failures" + (f": {failures}" if failures else ""))
+    sys.exit(1 if failures else 0)
+
+
+if __name__ == "__main__":
+    main()
