@@ -34,6 +34,15 @@ def ToUnixTime(col: Column) -> Column:
     return F.unix_timestamp(col)
 
 
+def ns_to_timestamp(col: Column) -> Column:
+    """Nanosecond-epoch long → TimestampType (truncating to micros).
+
+    Spark has no nanosecond timestamps; parquet TIMESTAMP(NANOS)
+    columns are read as long via spark.sql.legacy.parquet.nanosAsLong
+    (session.py) and converted at use sites."""
+    return F.timestamp_micros((col / 1000).cast("long"))
+
+
 def ToMilliSeconds(col: Column) -> Column:
     return (F.unix_timestamp(col) * 1000 + F.date_part(F.lit("MILLISECOND"), col).cast("long") % 1000).cast("long")
 

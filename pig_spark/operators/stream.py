@@ -29,7 +29,9 @@ def stream_through(df: DataFrame, cmd: str, schema: str | T.StructType) -> DataF
     serialized = df.select(
         F.concat_ws("\t", *[F.coalesce(F.col(c).cast("string"), F.lit("")) for c in df.columns])
     )
-    piped = serialized.rdd.map(lambda r: r[0]).pipe(cmd)
+    # checkCode: non-zero exit of the external command fails the job,
+    # as Pig's ExecutableManager does (POStream error contract).
+    piped = serialized.rdd.map(lambda r: r[0]).pipe(cmd, checkCode=True)
     split_rows = piped.map(lambda line: line.split("\t"))
     str_schema = T.StructType([T.StructField(f.name, T.StringType(), True) for f in schema.fields])
     raw = spark.createDataFrame(split_rows, schema=str_schema)

@@ -349,4 +349,77 @@ def oracle_sql() -> dict[str, str]:
         "q51_join_qualified": """
             SELECT n_name AS nation, r_name AS region
             FROM nation JOIN region ON n_regionkey = r_regionkey""",
+        "q36_window_over": f"""
+            SELECT l_suppkey, l_orderkey, l_linenumber,
+                   lag(l_quantity) OVER w AS prev_qty,
+                   lead(l_quantity) OVER w AS next_qty,
+                   first_value(l_quantity) OVER w AS first_qty,
+                   row_number() OVER w AS rn,
+                   CAST(SUM(CAST(l_quantity AS {_DEC})) OVER
+                        (PARTITION BY l_suppkey ORDER BY l_orderkey, l_linenumber
+                         ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS DOUBLE) AS run_qty3
+            FROM lineitem WHERE l_orderkey <= 1000
+            WINDOW w AS (PARTITION BY l_suppkey ORDER BY l_orderkey, l_linenumber)""",
+        "q37_ntile_stats": """
+            SELECT c_custkey,
+                   ntile(4) OVER w AS quartile,
+                   round(percent_rank() OVER w, 6) AS pct_rank,
+                   round(cume_dist() OVER w, 6) AS cdist
+            FROM customer WINDOW w AS (ORDER BY c_acctbal ASC, c_custkey ASC)""",
+        "q52_stream_upper": "SELECT r_regionkey, upper(r_name) AS r_name FROM region",
+        "q53_bag_ops": """
+            SELECT l_orderkey,
+                   CAST(COUNT(*) AS BIGINT) AS n_items,
+                   array_to_string(list_sort(list_distinct(list(CAST(l_quantity AS INT)))), '_') AS qty_str,
+                   MAX(CAST(l_quantity AS INT)) AS top_qty
+            FROM lineitem WHERE l_orderkey <= 200 GROUP BY l_orderkey""",
+        "q54_map_ops": """
+            SELECT c_custkey,
+                   map(['seg','name'], [c_mktsegment, c_name])['seg'][1] AS seg_val,
+                   array_to_string(map_keys(map(['seg','name'], [c_mktsegment, c_name])), ',') AS keys_str
+            FROM customer""",
+        "q55_strsplit": """
+            SELECT p_partkey,
+                   string_split(p_type, ' ')[1] AS word1,
+                   string_split(p_type, ' ')[10] AS word9
+            FROM part""",
+        "q56_theta_join": """
+            SELECT a.n_regionkey AS rk, a.n_name AS name_a, b.n_name AS name_b
+            FROM nation a JOIN nation b
+              ON a.n_regionkey = b.n_regionkey AND a.n_name < b.n_name""",
+        "q57_cast_gradual": r"""
+            SELECT p_partkey,
+                   TRY_CAST(CASE WHEN regexp_matches(p_brand, '#(\d+)$')
+                                 THEN regexp_extract(p_brand, '#(\d+)$', 1) END AS INTEGER) AS brand_no,
+                   TRY_CAST(p_type AS INTEGER) AS bogus,
+                   TRY_CAST(CAST(p_size AS VARCHAR) AS INTEGER) AS size_str_roundtrip
+            FROM part""",
+        "q58_events_hourly": """
+            SELECT date_trunc('hour', ts) AS hour, event_type,
+                   COUNT(*) AS n,
+                   CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total
+            FROM events GROUP BY 1, 2""",
+        "q59_nested_distinct": """
+            SELECT l_orderkey, COUNT(DISTINCT l_suppkey) AS n_supp, COUNT(*) AS n_items
+            FROM lineitem GROUP BY l_orderkey""",
+        "q60_nested_filter": """
+            SELECT l_returnflag,
+                   COUNT(CASE WHEN l_quantity > 25 THEN 1 END) AS n_heavy,
+                   COUNT(*) AS n_all
+            FROM lineitem GROUP BY l_returnflag""",
+        "q61_median": """
+            SELECT l_returnflag,
+                   round(quantile_cont(l_quantity, 0.5), 6) AS med_qty,
+                   round(quantile_cont(l_quantity, 0.9), 6) AS p90_qty
+            FROM lineitem GROUP BY l_returnflag""",
+        "q62_corr_cov": """
+            SELECT l_linestatus,
+                   round(corr(l_quantity, l_extendedprice), 6) AS cor_qp,
+                   round(covar_samp(l_quantity, l_discount), 6) AS cov_qd
+            FROM lineitem GROUP BY l_linestatus""",
+        "q63_decimal_types": """
+            SELECT o_orderstatus,
+                   CAST(CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS DECIMAL(38,18))) AS DECIMAL(38,6)) AS VARCHAR) AS exact_total,
+                   CAST(SUM(CAST(o_orderkey AS DECIMAL(38,0))) AS VARCHAR) AS as_bigint
+            FROM orders GROUP BY o_orderstatus""",
     }

@@ -525,6 +525,192 @@ def q51_join_qualified(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+# ----------------------------------------------------------------------
+# batch 2: window functions, stream, bag/map ops, theta joins,
+# gradual typing, event-time windows, statistics
+# ----------------------------------------------------------------------
+
+
+def q36_window_over(spark: SparkSession, sf: str) -> DataFrame:
+    """piggybank Over.java:74-140 window surface: lead/lag/first_value/
+    running sum with rows frames → native Window (exact 1:1)."""
+    from pyspark.sql import Window
+
+    li = _t(spark, sf, "lineitem").filter(F.col("l_orderkey") <= 1000).df
+    w = Window.partitionBy("l_suppkey").orderBy("l_orderkey", "l_linenumber")
+    wf = w.rowsBetween(-2, 0)
+    return li.select(
+        "l_suppkey",
+        "l_orderkey",
+        "l_linenumber",
+        F.lag("l_quantity").over(w).alias("prev_qty"),
+        F.lead("l_quantity").over(w).alias("next_qty"),
+        F.first("l_quantity").over(w).alias("first_qty"),
+        F.row_number().over(w).alias("rn"),
+        F.sum(F.col("l_quantity").cast(_DEC)).over(wf).cast("double").alias("run_qty3"),
+    )
+
+
+def q37_ntile_stats(spark: SparkSession, sf: str) -> DataFrame:
+    """Over.java ntile/percent_rank/cume_dist."""
+    from pyspark.sql import Window
+
+    c = _t(spark, sf, "customer").df
+    w = Window.orderBy(F.col("c_acctbal").asc(), F.col("c_custkey").asc())
+    return c.select(
+        "c_custkey",
+        F.ntile(4).over(w).alias("quartile"),
+        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+        F.round(F.cume_dist().over(w), 6).alias("cdist"),
+    )
+
+
+def q52_stream_upper(spark: SparkSession, sf: str) -> DataFrame:
+    """STREAM rel THROUGH 'tr' AS schema (POStream.java) — external
+    process transform with tab-delimited serde."""
+    r = _t(spark, sf, "region")
+    return r.stream_through("tr '[:lower:]' '[:upper:]'", "r_regionkey int, r_name string").df
+
+
+def q53_bag_ops(spark: SparkSession, sf: str) -> DataFrame:
+    """Bag builtins over grouped data: SIZE, BagToString, sorted
+    distinct bag (Distinct.java/BagToString.java)."""
+    li = _t(spark, sf, "lineitem").filter(F.col("l_orderkey") <= 200)
+    bagged = (
+        li.foreach(l_orderkey=F.col("l_orderkey"), qty=F.col("l_quantity").cast("int"))
+        .group_by("l_orderkey")
+        .agg(qtys=F.collect_list("qty"))
+    )
+    sorted_distinct = F.array_sort(F.array_distinct(F.col("qtys")))
+    return bagged.foreach(
+        "l_orderkey",
+        n_items=PF.SIZE(F.col("qtys")),
+        qty_str=PF.BagToString(sorted_distinct, "_"),
+        top_qty=F.array_max(F.col("qtys")),
+    ).df
+
+
+def q54_map_ops(spark: SparkSession, sf: str) -> DataFrame:
+    """Map builtins: TOMAP, map lookup #, KEYSET (TOMAP.java,
+    MapLookupExpression / POMapLookUp)."""
+    c = _t(spark, sf, "customer")
+    m = PF.TOMAP(F.lit("seg"), F.col("c_mktsegment"), F.lit("name"), F.col("c_name"))
+    return c.foreach(
+        "c_custkey",
+        seg_val=m.getItem("seg"),
+        keys_str=F.array_join(PF.KEYSET(m), ","),
+    ).df
+
+
+def q55_strsplit(spark: SparkSession, sf: str) -> DataFrame:
+    """STRSPLIT + tuple indexing (out-of-range → null)."""
+    p = _t(spark, sf, "part")
+    parts = PF.STRSPLIT(F.col("p_type"), " ")
+    return p.foreach("p_partkey", word1=parts.getItem(0), word9=parts.getItem(9)).df
+
+
+def q56_theta_join(spark: SparkSession, sf: str) -> DataFrame:
+    """Theta/range join (CROSS+FILTER idiom in Pig; direct non-equi
+    join condition here — SURVEY §2.2#13 bonus capability)."""
+    n1 = _t(spark, sf, "nation").foreach(rk=F.col("n_regionkey"), name_a=F.col("n_name"))
+    n2 = _t(spark, sf, "nation").foreach(rk2=F.col("n_regionkey"), name_b=F.col("n_name"))
+    cond = (F.col("rk") == F.col("rk2")) & (F.col("name_a") < F.col("name_b"))
+    return n1.join(n2, on=cond, how="inner").foreach("rk", "name_a", "name_b").df
+
+
+def q57_cast_gradual(spark: SparkSession, sf: str) -> DataFrame:
+    """bytearray gradual typing: cast garbage → null, numbers parse
+    (POCast.java / Utf8StorageConverter.java; ANSI off)."""
+    p = _t(spark, sf, "part")
+    brand_num = PF.REGEX_EXTRACT(F.col("p_brand"), r"#(\d+)$", 1)
+    return p.foreach(
+        "p_partkey",
+        brand_no=brand_num.cast("int"),
+        bogus=F.col("p_type").cast("int"),
+        size_str_roundtrip=F.col("p_size").cast("string").cast("int"),
+    ).df
+
+
+def q58_events_hourly(spark: SparkSession, sf: str) -> DataFrame:
+    """Event-time tumbling window aggregation (batch form of the
+    Structured Streaming windowed count; TIMESTAMP(NANOS) ingestion)."""
+    e = _t(spark, sf, "events")
+    ts = PF.ns_to_timestamp(F.col("ts"))
+    return (
+        e.foreach(hour=F.date_trunc("hour", ts), event_type=F.col("event_type"), value=F.col("value"))
+        .group_by("hour", "event_type")
+        .agg(n=F.count(F.lit(1)), total=dsum(F.col("value"), 4))
+        .df
+    )
+
+
+def q59_nested_distinct(spark: SparkSession, sf: str) -> DataFrame:
+    """Nested FOREACH { d = DISTINCT x.f; GENERATE COUNT(d) } — lowered
+    to countDistinct (no bag materialization)."""
+    li = _t(spark, sf, "lineitem")
+    return (
+        li.group_by("l_orderkey")
+        .agg(n_supp=F.countDistinct("l_suppkey"), n_items=F.count(F.lit(1)))
+        .df
+    )
+
+
+def q60_nested_filter(spark: SparkSession, sf: str) -> DataFrame:
+    """Nested FOREACH { f = FILTER bag BY cond; GENERATE COUNT(f) } —
+    lowered to conditional aggregation."""
+    li = _t(spark, sf, "lineitem")
+    return (
+        li.group_by("l_returnflag")
+        .agg(
+            n_heavy=F.count(F.when(F.col("l_quantity") > 25, 1)),
+            n_all=F.count(F.lit(1)),
+        )
+        .df
+    )
+
+
+def q61_median(spark: SparkSession, sf: str) -> DataFrame:
+    """Exact interpolated percentile (no Pig builtin — datafu quantile
+    territory; Spark percentile ≅ DuckDB quantile_cont)."""
+    li = _t(spark, sf, "lineitem")
+    return (
+        li.group_by("l_returnflag")
+        .agg(
+            med_qty=F.round(F.expr("percentile(l_quantity, 0.5)"), 6),
+            p90_qty=F.round(F.expr("percentile(l_quantity, 0.9)"), 6),
+        )
+        .df
+    )
+
+
+def q62_corr_cov(spark: SparkSession, sf: str) -> DataFrame:
+    """COR/COV builtins (COR.java, COV.java) → corr/covar_samp."""
+    li = _t(spark, sf, "lineitem")
+    return (
+        li.group_by("l_linestatus")
+        .agg(
+            cor_qp=F.round(F.corr("l_quantity", "l_extendedprice"), 6),
+            cov_qd=F.round(F.covar_samp("l_quantity", "l_discount"), 6),
+        )
+        .df
+    )
+
+
+def q63_decimal_types(spark: SparkSession, sf: str) -> DataFrame:
+    """biginteger/bigdecimal lattice (DataType.java:71-72 →
+    DecimalType(38,0)/(38,18)) — exact wide-decimal arithmetic."""
+    o = _t(spark, sf, "orders")
+    big = F.col("o_totalprice").cast("decimal(18,2)").cast("decimal(38,18)")
+    return (
+        o.group_by("o_orderstatus")
+        .agg(
+            exact_total=F.sum(big).cast("decimal(38,6)").cast("string"),
+            as_bigint=F.sum(F.col("o_orderkey").cast("decimal(38,0)")).cast("string"),
+        )
+        .df
+    )
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     name: fn
     for name, fn in sorted(globals().items())
