@@ -1,0 +1,773 @@
+"""Pig Latin lexer + recursive-descent parser.
+
+Statement surface derived from the reference grammar
+(parser/QueryParser.g:370-386 op_clause: load/filter/foreach/group/
+cogroup/join/order/distinct/limit/sample/union/cross/rank/split/
+stream/store, plus dump/describe/explain at the Grunt level).
+Hand-written LL parser (no third-party parser generator available in
+the target environment); expression precedence follows
+QueryParser.g's cond/expr ladder.
+
+AST nodes are plain dataclasses consumed by latin.translate.
+"""
+
+from __future__ import annotations
+
+import re
+from dataclasses import dataclass, field
+
+# ----------------------------------------------------------------------
+# lexer
+# ----------------------------------------------------------------------
+
+_TOKEN_RE = re.compile(
+    r"""
+    (?P<ws>\s+)
+  | (?P<comment>--[^\n]*|/\*.*?\*/)
+  | (?P<num>\d+\.\d+([eE][-+]?\d+)?[fF]?|\d+[lL]?)
+  | (?P<str>'(?:[^'\\]|\\.)*')
+  | (?P<dollar>\$\w+)
+  | (?P<id>[A-Za-z_][A-Za-z0-9_]*(::[A-Za-z_][A-Za-z0-9_]*)*)
+  | (?P<op>==|!=|<=|>=|\.\.|[-+*/%()<>,;.#?:{}\[\]=])
+    """,
+    re.VERBOSE | re.DOTALL,
+)
+
+KEYWORDS = {
+    "load", "using", "as", "filter", "by", "foreach", "generate", "group",
+    "cogroup", "all", "join", "left", "right", "full", "outer", "inner",
+    "order", "asc", "desc", "distinct", "limit", "sample", "union",
+    "onschema", "cross", "rank", "dense", "split", "into", "if",
+    "otherwise", "stream", "through", "store", "dump", "describe",
+    "explain", "and", "or", "not", "is", "null", "matches", "flatten",
+    "assert", "define", "register", "set", "in", "case", "when", "then",
+    "else", "end", "true", "false",
+}
+
+
+@dataclass
+class Tok:
+    kind: str  # 'num' 'str' 'dollar' 'id' 'kw' 'op' 'eof'
+    text: str
+    pos: int
+
+
+def tokenize(src: str) -> list[Tok]:
+    toks: list[Tok] = []
+    i = 0
+    while i < len(src):
+        m = _TOKEN_RE.match(src, i)
+        if not m:
+            raise SyntaxError(f"pig latin: bad character {src[i]!r} at offset {i}")
+        i = m.end()
+        kind = m.lastgroup
+        if kind in ("ws", "comment"):
+            continue
+        text = m.group()
+        if kind == "id" and text.lower() in KEYWORDS:
+            toks.append(Tok("kw", text.lower(), m.start()))
+        else:
+            toks.append(Tok(kind, text, m.start()))
+    toks.append(Tok("eof", "", len(src)))
+    return toks
+
+
+# ----------------------------------------------------------------------
+# AST
+# ----------------------------------------------------------------------
+
+
+@dataclass
+class Field:
+    name: str
+    type: str | None = None  # pig type name
+
+
+@dataclass
+class Load:
+    path: str
+    loader: str | None
+    loader_args: list[str]
+    schema: list[Field] | None
+
+
+@dataclass
+class Filter:
+    rel: str
+    cond: "Expr"
+
+
+@dataclass
+class GenItem:
+    expr: "Expr"
+    alias: str | None
+    flatten: bool = False
+
+
+@dataclass
+class Foreach:
+    rel: str
+    items: list[GenItem]
+
+
+@dataclass
+class Group:
+    rels: list[str]
+    keys: list[list["Expr"]]  # per input; empty = ALL
+    cogroup: bool = False
+
+
+@dataclass
+class Join:
+    rels: list[str]
+    keys: list[list["Expr"]]
+    how: str  # inner/left/right/full
+    strategy: str | None  # replicated/skewed/merge
+
+
+@dataclass
+class Order:
+    rel: str
+    keys: list[tuple["Expr", bool]]  # (expr, ascending)
+
+
+@dataclass
+class Simple:
+    op: str  # distinct / dump / describe / explain
+    rel: str
+
+
+@dataclass
+class Limit:
+    rel: str
+    n: "Expr"
+
+
+@dataclass
+class Sample:
+    rel: str
+    p: "Expr"
+
+
+@dataclass
+class Union:
+    rels: list[str]
+    onschema: bool
+
+
+@dataclass
+class Cross:
+    rels: list[str]
+
+
+@dataclass
+class Rank:
+    rel: str
+    keys: list[tuple["Expr", bool]]
+    dense: bool
+
+
+@dataclass
+class SplitStmt:
+    rel: str
+    branches: list[tuple[str, "Expr | None"]]  # (alias, cond); None = OTHERWISE
+
+
+@dataclass
+class Stream:
+    rel: str
+    cmd: str
+    schema: list[Field]
+
+
+@dataclass
+class Store:
+    rel: str
+    path: str
+    storer: str | None
+    storer_args: list[str]
+
+
+@dataclass
+class AssertStmt:
+    rel: str
+    cond: "Expr"
+    msg: str | None
+
+
+@dataclass
+class Assign:
+    alias: str
+    op: object
+
+
+@dataclass
+class Script:
+    statements: list[object] = field(default_factory=list)
+
+
+# expressions
+@dataclass
+class Num:
+    value: str
+
+
+@dataclass
+class Str:
+    value: str
+
+
+@dataclass
+class Bool:
+    value: bool
+
+
+@dataclass
+class Null:
+    pass
+
+
+@dataclass
+class Col:
+    name: str  # identifier, $N, or dotted a.b / group
+
+
+@dataclass
+class Bin:
+    op: str
+    left: "Expr"
+    right: "Expr"
+
+
+@dataclass
+class Un:
+    op: str  # 'not' / 'neg'
+    operand: "Expr"
+
+
+@dataclass
+class IsNull:
+    operand: "Expr"
+    negated: bool
+
+
+@dataclass
+class Matches:
+    operand: "Expr"
+    pattern: str
+
+
+@dataclass
+class InList:
+    operand: "Expr"
+    options: list["Expr"]
+
+
+@dataclass
+class BinCond:
+    cond: "Expr"
+    then: "Expr"
+    otherwise: "Expr"
+
+
+@dataclass
+class CaseWhen:
+    subject: "Expr | None"
+    whens: list[tuple["Expr", "Expr"]]
+    otherwise: "Expr | None"
+
+
+@dataclass
+class Call:
+    func: str
+    args: list["Expr"]
+
+
+@dataclass
+class Cast:
+    type: str
+    operand: "Expr"
+
+
+@dataclass
+class Star:
+    pass
+
+
+@dataclass
+class MapLookup:
+    operand: "Expr"
+    key: str
+
+
+Expr = object
+
+# ----------------------------------------------------------------------
+# parser
+# ----------------------------------------------------------------------
+
+PIG_TYPES = {
+    "int", "long", "float", "double", "chararray", "boolean", "datetime",
+    "bytearray", "biginteger", "bigdecimal", "map", "tuple", "bag",
+}
+
+
+class Parser:
+    def __init__(self, toks: list[Tok]):
+        self.toks = toks
+        self.i = 0
+
+    # -- token helpers
+    def peek(self, k: int = 0) -> Tok:
+        return self.toks[min(self.i + k, len(self.toks) - 1)]
+
+    def next(self) -> Tok:
+        t = self.toks[self.i]
+        self.i += 1
+        return t
+
+    def accept(self, kind: str, text: str | None = None) -> Tok | None:
+        t = self.peek()
+        if t.kind == kind and (text is None or t.text == text):
+            return self.next()
+        return None
+
+    def expect(self, kind: str, text: str | None = None) -> Tok:
+        t = self.accept(kind, text)
+        if t is None:
+            got = self.peek()
+            raise SyntaxError(f"pig latin: expected {text or kind}, got {got.text!r} at offset {got.pos}")
+        return t
+
+    def _ident(self) -> str:
+        t = self.peek()
+        if t.kind == "id":
+            return self.next().text
+        # allow non-reserved keywords as identifiers where unambiguous
+        if t.kind == "kw" and t.text in ("group",):
+            return self.next().text
+        raise SyntaxError(f"pig latin: expected identifier, got {t.text!r} at offset {t.pos}")
+
+    # -- entry
+    def parse_script(self) -> Script:
+        script = Script()
+        while self.peek().kind != "eof":
+            if self.accept("op", ";"):
+                continue
+            script.statements.append(self.statement())
+        return script
+
+    def statement(self):
+        t = self.peek()
+        if t.kind == "kw" and t.text in ("store", "dump", "describe", "explain", "split", "assert"):
+            return self._top_level_op()
+        alias = self._ident()
+        self.expect("op", "=")
+        op = self._op_clause()
+        self.expect("op", ";")
+        return Assign(alias, op)
+
+    def _top_level_op(self):
+        kw = self.next().text
+        if kw == "store":
+            rel = self._ident()
+            self.expect("kw", "into")
+            path = self._string()
+            storer, args = None, []
+            if self.accept("kw", "using"):
+                storer, args = self._func_spec()
+            self.expect("op", ";")
+            return Store(rel, path, storer, args)
+        if kw in ("dump", "describe", "explain"):
+            rel = self._ident()
+            self.expect("op", ";")
+            return Simple(kw, rel)
+        if kw == "assert":
+            rel = self._ident()
+            self.expect("kw", "by")
+            cond = self.expr()
+            msg = None
+            if self.accept("op", ","):
+                msg = self._string()
+            self.expect("op", ";")
+            return AssertStmt(rel, cond, msg)
+        if kw == "split":
+            rel = self._ident()
+            self.expect("kw", "into")
+            branches: list[tuple[str, object]] = []
+            while True:
+                b_alias = self._ident()
+                if self.accept("kw", "if"):
+                    branches.append((b_alias, self.expr()))
+                else:
+                    self.expect("kw", "otherwise")
+                    branches.append((b_alias, None))
+                if not self.accept("op", ","):
+                    break
+            self.expect("op", ";")
+            return SplitStmt(rel, branches)
+        raise SyntaxError(f"unhandled statement {kw}")
+
+    def _op_clause(self):
+        t = self.peek()
+        if t.kind != "kw":
+            raise SyntaxError(f"pig latin: expected operator keyword, got {t.text!r} at offset {t.pos}")
+        kw = self.next().text
+        method = getattr(self, f"_op_{kw}", None)
+        if method is None:
+            raise SyntaxError(f"pig latin: unsupported operator {kw.upper()}")
+        return method()
+
+    # -- operator clauses
+    def _op_load(self):
+        path = self._string()
+        loader, args = None, []
+        if self.accept("kw", "using"):
+            loader, args = self._func_spec()
+        schema = None
+        if self.accept("kw", "as"):
+            schema = self._schema()
+        return Load(path, loader, args, schema)
+
+    def _op_filter(self):
+        rel = self._ident()
+        self.expect("kw", "by")
+        return Filter(rel, self.expr())
+
+    def _op_foreach(self):
+        rel = self._ident()
+        self.expect("kw", "generate")
+        items = [self._gen_item()]
+        while self.accept("op", ","):
+            items.append(self._gen_item())
+        return Foreach(rel, items)
+
+    def _gen_item(self) -> GenItem:
+        flatten = False
+        if self.peek().kind == "kw" and self.peek().text == "flatten":
+            self.next()
+            self.expect("op", "(")
+            e = self.expr()
+            self.expect("op", ")")
+            flatten = True
+        else:
+            e = self.expr()
+        alias = None
+        if self.accept("kw", "as"):
+            # optional parenthesized schema after flatten; simple name otherwise
+            if self.accept("op", "("):
+                alias = self._ident()
+                self.expect("op", ")")
+            else:
+                alias = self._ident()
+        return GenItem(e, alias, flatten)
+
+    def _op_group(self, cogroup: bool = False):
+        rels, keys = [], []
+        while True:
+            rels.append(self._ident())
+            if self.accept("kw", "all"):
+                keys.append([])
+            else:
+                self.expect("kw", "by")
+                keys.append(self._key_list())
+            if not self.accept("op", ","):
+                break
+        # ignore PARTITION BY / USING clauses (optimizer hints) — AQE handles
+        return Group(rels, keys, cogroup=cogroup)
+
+    def _op_cogroup(self):
+        return self._op_group(cogroup=True)
+
+    def _key_list(self) -> list[object]:
+        if self.accept("op", "("):
+            ks = [self.expr()]
+            while self.accept("op", ","):
+                ks.append(self.expr())
+            self.expect("op", ")")
+            return ks
+        return [self.expr()]
+
+    def _op_join(self):
+        rels, keys = [], []
+        how = "inner"
+        while True:
+            rels.append(self._ident())
+            self.expect("kw", "by")
+            keys.append(self._key_list())
+            for h in ("left", "right", "full"):
+                if self.accept("kw", h):
+                    how = h
+                    self.accept("kw", "outer")
+                    break
+            else:
+                self.accept("kw", "inner")
+            if not self.accept("op", ","):
+                break
+        strategy = None
+        if self.accept("kw", "using"):
+            strategy = self._string()
+        return Join(rels, keys, how, strategy)
+
+    def _op_order(self):
+        rel = self._ident()
+        self.expect("kw", "by")
+        return Order(rel, self._sort_keys())
+
+    def _sort_keys(self) -> list[tuple[object, bool]]:
+        keys = []
+        while True:
+            e = self.expr()
+            asc = True
+            if self.accept("kw", "desc"):
+                asc = False
+            else:
+                self.accept("kw", "asc")
+            keys.append((e, asc))
+            if not self.accept("op", ","):
+                break
+        return keys
+
+    def _op_distinct(self):
+        return Simple("distinct", self._ident())
+
+    def _op_limit(self):
+        return Limit(self._ident(), self.expr())
+
+    def _op_sample(self):
+        return Sample(self._ident(), self.expr())
+
+    def _op_union(self):
+        onschema = bool(self.accept("kw", "onschema"))
+        rels = [self._ident()]
+        while self.accept("op", ","):
+            rels.append(self._ident())
+        return Union(rels, onschema)
+
+    def _op_cross(self):
+        rels = [self._ident()]
+        while self.accept("op", ","):
+            rels.append(self._ident())
+        return Cross(rels)
+
+    def _op_rank(self):
+        rel = self._ident()
+        keys, dense = [], False
+        if self.accept("kw", "by"):
+            keys = self._sort_keys()
+            if self.accept("kw", "dense"):
+                dense = True
+        return Rank(rel, keys, dense)
+
+    def _op_stream(self):
+        rel = self._ident()
+        self.expect("kw", "through")
+        cmd = self._string()
+        self.expect("kw", "as")
+        schema = self._schema()
+        return Stream(rel, cmd, schema)
+
+    # -- helpers
+    def _string(self) -> str:
+        t = self.expect("str")
+        return t.text[1:-1].replace("\\'", "'")
+
+    def _func_spec(self) -> tuple[str, list[str]]:
+        name = self._ident()
+        args: list[str] = []
+        if self.accept("op", "("):
+            while self.peek().kind == "str":
+                args.append(self._string())
+                if not self.accept("op", ","):
+                    break
+            self.expect("op", ")")
+        return name, args
+
+    def _schema(self) -> list[Field]:
+        self.expect("op", "(")
+        fields = [self._field_def()]
+        while self.accept("op", ","):
+            fields.append(self._field_def())
+        self.expect("op", ")")
+        return fields
+
+    def _field_def(self) -> Field:
+        name = self._ident()
+        ftype = None
+        if self.accept("op", ":"):
+            ftype = self._type_name()
+        return Field(name, ftype)
+
+    def _type_name(self) -> str:
+        t = self.next()
+        name = t.text.lower()
+        if name not in PIG_TYPES:
+            raise SyntaxError(f"pig latin: unknown type {t.text!r}")
+        if name == "map" and self.accept("op", "["):
+            self.expect("op", "]")
+        return name
+
+    # -- expression ladder: bincond > or > and > not > cmp > add > mul > unary > postfix > primary
+    def expr(self):
+        cond = self._or()
+        if self.accept("op", "?"):
+            then = self.expr()
+            self.expect("op", ":")
+            other = self.expr()
+            return BinCond(cond, then, other)
+        return cond
+
+    def _or(self):
+        left = self._and()
+        while self.accept("kw", "or"):
+            left = Bin("or", left, self._and())
+        return left
+
+    def _and(self):
+        left = self._not()
+        while self.accept("kw", "and"):
+            left = Bin("and", left, self._not())
+        return left
+
+    def _not(self):
+        if self.accept("kw", "not"):
+            return Un("not", self._not())
+        return self._cmp()
+
+    def _cmp(self):
+        left = self._add()
+        t = self.peek()
+        if t.kind == "op" and t.text in ("==", "!=", "<", "<=", ">", ">="):
+            op = self.next().text
+            return Bin(op, left, self._add())
+        if t.kind == "kw" and t.text == "is":
+            self.next()
+            negated = bool(self.accept("kw", "not"))
+            self.expect("kw", "null")
+            return IsNull(left, negated)
+        if t.kind == "kw" and t.text == "matches":
+            self.next()
+            return Matches(left, self._string())
+        if t.kind == "kw" and t.text == "in":
+            self.next()
+            self.expect("op", "(")
+            opts = [self.expr()]
+            while self.accept("op", ","):
+                opts.append(self.expr())
+            self.expect("op", ")")
+            return InList(left, opts)
+        return left
+
+    def _add(self):
+        left = self._mul()
+        while True:
+            t = self.peek()
+            if t.kind == "op" and t.text in ("+", "-"):
+                op = self.next().text
+                left = Bin(op, left, self._mul())
+            else:
+                return left
+
+    def _mul(self):
+        left = self._unary()
+        while True:
+            t = self.peek()
+            if t.kind == "op" and t.text in ("*", "/", "%"):
+                op = self.next().text
+                left = Bin(op, left, self._unary())
+            else:
+                return left
+
+    def _unary(self):
+        if self.accept("op", "-"):
+            return Un("neg", self._unary())
+        # (type) cast — lookahead: '(' typename ')'
+        t, t1, t2 = self.peek(), self.peek(1), self.peek(2)
+        if (
+            t.kind == "op" and t.text == "("
+            and t1.kind == "id" and t1.text.lower() in PIG_TYPES
+            and t2.kind == "op" and t2.text == ")"
+        ):
+            self.next()
+            typ = self._type_name()
+            self.expect("op", ")")
+            return Cast(typ, self._unary())
+        return self._postfix()
+
+    def _postfix(self):
+        e = self._primary()
+        while True:
+            t = self.peek()
+            if t.kind == "op" and t.text == ".":
+                # dotted projection a.b (bag/tuple deref)
+                self.next()
+                name = self._ident()
+                if isinstance(e, Col):
+                    e = Col(e.name + "." + name)
+                else:
+                    raise SyntaxError("pig latin: dotted access only on columns")
+            elif t.kind == "op" and t.text == "#":
+                self.next()
+                e = MapLookup(e, self._string())
+            else:
+                return e
+
+    def _primary(self):
+        t = self.peek()
+        if t.kind == "num":
+            return Num(self.next().text)
+        if t.kind == "str":
+            return Str(self._string())
+        if t.kind == "kw" and t.text in ("true", "false"):
+            return Bool(self.next().text == "true")
+        if t.kind == "kw" and t.text == "null":
+            self.next()
+            return Null()
+        if t.kind == "kw" and t.text == "case":
+            return self._case()
+        if t.kind == "op" and t.text == "*":
+            self.next()
+            return Star()
+        if t.kind == "dollar":
+            return Col(self.next().text)
+        if t.kind == "op" and t.text == "(":
+            self.next()
+            e = self.expr()
+            self.expect("op", ")")
+            return e
+        if t.kind == "kw" and t.text == "group":
+            self.next()
+            # allow group.key
+            return Col("group")
+        if t.kind == "id":
+            name = self.next().text
+            if self.accept("op", "("):
+                args: list[object] = []
+                if not (self.peek().kind == "op" and self.peek().text == ")"):
+                    args.append(self.expr())
+                    while self.accept("op", ","):
+                        args.append(self.expr())
+                self.expect("op", ")")
+                return Call(name, args)
+            return Col(name)
+        raise SyntaxError(f"pig latin: unexpected token {t.text!r} at offset {t.pos}")
+
+    def _case(self):
+        self.expect("kw", "case")
+        subject = None
+        if not (self.peek().kind == "kw" and self.peek().text == "when"):
+            subject = self.expr()
+        whens = []
+        while self.accept("kw", "when"):
+            w = self.expr()
+            self.expect("kw", "then")
+            whens.append((w, self.expr()))
+        otherwise = None
+        if self.accept("kw", "else"):
+            otherwise = self.expr()
+        self.expect("kw", "end")
+        return CaseWhen(subject, whens, otherwise)
+
+
+def parse(src: str) -> Script:
+    return Parser(tokenize(src)).parse_script()

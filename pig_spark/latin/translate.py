@@ -1,0 +1,472 @@
+"""Pig Latin AST → pig_spark DSL translation.
+
+Mirrors the reference pipeline (QueryParserDriver.parse →
+LogicalPlanBuilder → LogicalPlan, PigServer.java:707): each statement
+binds an alias to a lazy Relation; STORE/DUMP force execution.
+Catalyst replaces all of Pig's logical optimization
+(LogicalPlanOptimizer.java) — we only translate.
+
+The load-bearing piece is FOREACH-over-GROUP: Pig's
+  g = GROUP li BY k;  out = FOREACH g GENERATE group, SUM(li.x);
+materializes reducer bags in the reference; here, when every GENERATE
+item is a group-key or an algebraic aggregate, it lowers to
+groupBy().agg() — bags never exist and Catalyst plans partial
+aggregation (the CombinerOptimizer path). Non-algebraic FOREACH falls
+back to the literal bag-form relation.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import Column, SparkSession
+from pyspark.sql import functions as F
+
+from .. import functions as PF
+from ..compat import cast_as
+from ..dsl import Relation
+from . import grammar as G
+
+PIG_TO_SPARK_TYPE = {
+    "int": "int",
+    "long": "bigint",
+    "float": "float",
+    "double": "double",
+    "chararray": "string",
+    "boolean": "boolean",
+    "datetime": "timestamp",
+    "bytearray": "binary",
+    "biginteger": "decimal(38,0)",
+    "bigdecimal": "decimal(38,18)",
+}
+
+LOADER_FORMAT = {
+    None: "csv",
+    "pigstorage": "csv",
+    "textloader": "text",
+    "jsonloader": "json",
+    "jsonstorage": "json",
+    "avrostorage": "avro",
+    "orcstorage": "orc",
+    "parquetloader": "parquet",
+    "parquetstorer": "parquet",
+}
+
+AGG_FUNCS = {"count", "count_star", "sum", "avg", "min", "max"}
+
+
+@dataclass
+class GroupedInfo:
+    key_exprs: list[tuple[str, Column]]  # output key name → child expr
+    child: Relation
+    child_alias: str
+
+
+@dataclass
+class RelInfo:
+    rel: Relation
+    grouped: GroupedInfo | None = None
+
+
+class PigTranslator:
+    def __init__(self, spark: SparkSession, params: dict[str, str] | None = None):
+        self.spark = spark
+        self.aliases: dict[str, RelInfo] = {}
+        self.outputs: dict[str, object] = {}
+        self.params = params or {}
+
+    # ------------------------------------------------------------------
+    def run(self, src: str) -> dict[str, Relation]:
+        for name, value in self.params.items():
+            src = src.replace(f"${name}", str(value))
+        script = G.parse(src)
+        for stmt in script.statements:
+            self._stmt(stmt)
+        return {a: info.rel for a, info in self.aliases.items()}
+
+    def relation(self, alias: str) -> Relation:
+        return self.aliases[alias].rel
+
+    # ------------------------------------------------------------------
+    def _stmt(self, stmt):
+        if isinstance(stmt, G.Assign):
+            self.aliases[stmt.alias] = self._op(stmt.op, stmt.alias)
+        elif isinstance(stmt, G.Store):
+            fmt = LOADER_FORMAT.get((stmt.storer or "pigstorage").lower(), "parquet")
+            sep = stmt.storer_args[0] if stmt.storer_args else "\t"
+            self._rel(stmt.rel).store(stmt.path, format=fmt, sep=sep)
+        elif isinstance(stmt, G.Simple) and stmt.op == "dump":
+            rows = self._rel(stmt.rel).df.collect()
+            self.outputs[stmt.rel] = rows
+            for r in rows[:100]:
+                print("(" + ",".join("" if v is None else str(v) for v in r) + ")")
+        elif isinstance(stmt, G.Simple) and stmt.op == "describe":
+            print(f"{stmt.rel}: {self._rel(stmt.rel).describe()}")
+        elif isinstance(stmt, G.Simple) and stmt.op == "explain":
+            self._rel(stmt.rel).explain()
+        elif isinstance(stmt, G.SplitStmt):
+            parent = self._rel(stmt.rel)
+            conds = [self._expr(c, parent) for _, c in stmt.branches if c is not None]
+            has_otherwise = any(c is None for _, c in stmt.branches)
+            outs = parent.split(*conds, otherwise=has_otherwise)
+            for (alias, _), rel in zip(stmt.branches, outs):
+                self.aliases[alias] = RelInfo(rel)
+        elif isinstance(stmt, G.AssertStmt):
+            rel = self._rel(stmt.rel)
+            self.aliases[stmt.rel] = RelInfo(rel.assert_by(self._expr(stmt.cond, rel), stmt.msg or ""))
+        else:
+            raise NotImplementedError(f"statement {type(stmt).__name__}")
+
+    def _rel(self, alias: str) -> Relation:
+        if alias not in self.aliases:
+            raise NameError(f"pig latin: unknown alias {alias!r}")
+        return self.aliases[alias].rel
+
+    # ------------------------------------------------------------------
+    def _op(self, op, out_alias: str) -> RelInfo:
+        if isinstance(op, G.Load):
+            return RelInfo(self._load(op))
+        if isinstance(op, G.Filter):
+            rel = self._rel(op.rel)
+            return RelInfo(rel.filter(self._expr(op.cond, rel)))
+        if isinstance(op, G.Foreach):
+            return self._foreach(op)
+        if isinstance(op, G.Group):
+            return self._group(op)
+        if isinstance(op, G.Join):
+            return RelInfo(self._join(op))
+        if isinstance(op, G.Order):
+            rel = self._rel(op.rel)
+            cols = [self._expr(e, rel).asc() if asc else self._expr(e, rel).desc() for e, asc in op.keys]
+            return RelInfo(rel.order_by(*cols))
+        if isinstance(op, G.Simple) and op.op == "distinct":
+            return RelInfo(self._rel(op.rel).distinct())
+        if isinstance(op, G.Limit):
+            return RelInfo(self._rel(op.rel).limit(int(_const(op.n))))
+        if isinstance(op, G.Sample):
+            return RelInfo(self._rel(op.rel).sample(float(_const(op.p))))
+        if isinstance(op, G.Union):
+            rels = [self._rel(r) for r in op.rels]
+            return RelInfo(rels[0].union(*rels[1:], onschema=op.onschema))
+        if isinstance(op, G.Cross):
+            rels = [self._rel(r) for r in op.rels]
+            out = rels[0]
+            for r in rels[1:]:
+                out = out.cross(r)
+            return RelInfo(out)
+        if isinstance(op, G.Rank):
+            rel = self._rel(op.rel)
+            if not op.keys:
+                return RelInfo(rel.rank(name="rank"))
+            cols = [self._expr(e, rel) for e, _ in op.keys]
+            asc = [a for _, a in op.keys]
+            return RelInfo(rel.rank(*cols, ascending=asc, dense=op.dense, name="rank"))
+        if isinstance(op, G.Stream):
+            rel = self._rel(op.rel)
+            ddl = ", ".join(f"{f.name} {PIG_TO_SPARK_TYPE.get(f.type or 'bytearray', 'string')}" for f in op.schema)
+            return RelInfo(rel.stream_through(op.cmd, ddl))
+        raise NotImplementedError(f"operator {type(op).__name__}")
+
+    # ------------------------------------------------------------------
+    def _load(self, op: G.Load) -> Relation:
+        loader = (op.loader or "pigstorage").lower()
+        fmt = LOADER_FORMAT.get(loader, loader)
+        opts = {}
+        if fmt == "csv" and op.loader_args:
+            opts["sep"] = op.loader_args[0]
+        rel = Relation.load(self.spark, op.path, fmt, **opts)
+        if op.schema:
+            ddl = ", ".join(f"{f.name} {PIG_TO_SPARK_TYPE.get(f.type or 'bytearray', 'string')}" for f in op.schema)
+            if fmt in ("csv", "text"):
+                # gradual typing: strings → declared types, null on garbage
+                rel = Relation(cast_as(rel.df, ddl))
+            else:
+                rel = Relation(rel.df.toDF(*[f.name for f in op.schema]))
+        return rel
+
+    # ------------------------------------------------------------------
+    def _group(self, op: G.Group) -> RelInfo:
+        if len(op.rels) == 1:
+            alias = op.rels[0]
+            child = self._rel(alias)
+            keys = op.keys[0]
+            if not keys:  # GROUP rel ALL
+                info = GroupedInfo([], child, alias)
+                bag = child.group_all().bag(alias)
+                return RelInfo(bag, grouped=info)
+            named = self._key_names(keys, child)
+            bag_rel = Relation(
+                child.df.groupBy(*[c.alias(n) for n, c in named]).agg(
+                    F.collect_list(F.struct(*[child.df[x] for x in child.df.columns])).alias(alias)
+                )
+            )
+            # single key → Pig names it 'group'
+            if len(named) == 1:
+                bag_rel = Relation(bag_rel.df.withColumnRenamed(named[0][0], "group"))
+            return RelInfo(bag_rel, grouped=GroupedInfo(named, child, alias))
+        # COGROUP: n-ary bags via operators.cogroup
+        first = self._rel(op.rels[0])
+        others = [self._rel(r) for r in op.rels[1:]]
+        key_names = []
+        dfs = []
+        for rel_alias, keys in zip(op.rels, op.keys):
+            rel = self._rel(rel_alias)
+            named = self._key_names(keys, rel)
+            key_names.append([n for n, _ in named])
+            dfs.append(rel)
+        out = first.cogroup(others, on=key_names, bag_names=list(op.rels))
+        if len(key_names[0]) == 1:
+            out = Relation(out.df.withColumnRenamed(key_names[0][0], "group"))
+        return RelInfo(out)
+
+    def _key_names(self, keys, rel: Relation) -> list[tuple[str, Column]]:
+        named = []
+        for k in keys:
+            col = self._expr(k, rel)
+            name = k.name.split(".")[-1].replace("::", "_") if isinstance(k, G.Col) else f"k{len(named)}"
+            named.append((name, col))
+        return named
+
+    # ------------------------------------------------------------------
+    def _foreach(self, op: G.Foreach) -> RelInfo:
+        info = self.aliases.get(op.rel)
+        if info is None:
+            raise NameError(f"pig latin: unknown alias {op.rel!r}")
+        if info.grouped is not None and self._all_algebraic(op.items, info.grouped):
+            return RelInfo(self._foreach_agg(op, info.grouped))
+        rel = info.rel
+        cols: list[Column] = []
+        flatten_aliases: list[str] = []
+        for i, item in enumerate(op.items):
+            if isinstance(item.expr, G.Star):
+                cols.extend(rel.df[c] for c in rel.df.columns)
+                continue
+            c = self._expr(item.expr, rel)
+            name = item.alias or _default_name(item.expr, i)
+            if item.flatten:
+                flatten_aliases.append(name)
+            cols.append(c.alias(name))
+        out = Relation(rel.df.select(*cols))
+        for name in flatten_aliases:
+            out = out.flatten(name)
+        return RelInfo(out)
+
+    def _all_algebraic(self, items: list[G.GenItem], g: GroupedInfo) -> bool:
+        for item in items:
+            e = item.expr
+            if isinstance(e, G.Col) and (e.name == "group" or e.name.startswith("group.")):
+                continue
+            if self._is_agg_expr(e):
+                continue
+            return False
+        return True
+
+    def _is_agg_expr(self, e) -> bool:
+        if isinstance(e, G.Call) and e.func.lower() in AGG_FUNCS:
+            return True
+        if isinstance(e, G.Bin):
+            return self._is_agg_expr(e.left) and self._is_agg_expr(e.right)
+        if isinstance(e, (G.Num, G.Str)):
+            return True
+        return False
+
+    def _foreach_agg(self, op: G.Foreach, g: GroupedInfo) -> Relation:
+        child = g.child
+        key_cols = [c.alias(n) for n, c in g.key_exprs]
+        aggs: list[Column] = []
+        selects: list[Column] = []
+        for i, item in enumerate(op.items):
+            e = item.expr
+            name = item.alias or _default_name(e, i)
+            if isinstance(e, G.Col) and e.name == "group":
+                if len(g.key_exprs) == 1 and not item.flatten:
+                    selects.append(F.col(g.key_exprs[0][0]).alias(item.alias or "group"))
+                else:
+                    selects.extend(F.col(n) for n, _ in g.key_exprs)
+                continue
+            if isinstance(e, G.Col) and e.name.startswith("group."):
+                kname = e.name.split(".", 1)[1]
+                selects.append(F.col(kname).alias(item.alias or kname))
+                continue
+            aggs.append(self._agg_expr(e, g).alias(name))
+            selects.append(F.col(name))
+        grouped = child.df.groupBy(*key_cols) if key_cols else child.df.groupBy()
+        out = grouped.agg(*aggs) if aggs else grouped.agg(F.count(F.lit(1)).alias("__n")).drop("__n")
+        return Relation(out.select(*selects))
+
+    def _agg_expr(self, e, g: GroupedInfo) -> Column:
+        child = g.child
+        if isinstance(e, G.Call):
+            fn = e.func.lower()
+            if fn in AGG_FUNCS:
+                if fn == "count_star" or not e.args:
+                    return F.count(F.lit(1))
+                arg = e.args[0]
+                if isinstance(arg, G.Col):
+                    name = arg.name
+                    if name == g.child_alias:
+                        # COUNT(rel): counts tuples with non-null first field (COUNT.java:40)
+                        return F.count(child.df[child.df.columns[0]]) if fn == "count" else F.count(F.lit(1))
+                    if name.startswith(g.child_alias + "."):
+                        inner: Column = self._expr(G.Col(name.split(".", 1)[1]), child)
+                    else:
+                        inner = self._expr(arg, child)
+                else:
+                    inner = self._expr(arg, child)
+                return {"count": F.count, "sum": F.sum, "avg": F.avg, "min": F.min, "max": F.max}[fn](inner)
+        if isinstance(e, G.Bin):
+            return _binop(e.op, self._agg_expr(e.left, g), self._agg_expr(e.right, g))
+        if isinstance(e, (G.Num, G.Str)):
+            return self._expr(e, g.child)
+        raise NotImplementedError(f"aggregate expression {e}")
+
+    # ------------------------------------------------------------------
+    def _join(self, op: G.Join) -> Relation:
+        if len(op.rels) < 2:
+            raise SyntaxError("JOIN needs ≥2 inputs")
+        if op.how != "inner" and len(op.rels) != 2:
+            raise SyntaxError("outer JOIN is 2-way only (Pig restriction)")
+        strategy = None
+        if op.strategy in ("replicated", "repl"):
+            strategy = "replicated"
+        elif op.strategy in ("merge", "merge-sparse"):
+            strategy = "merge"
+        # qualify columns alias::col (Pig join output naming)
+        sides = []
+        for rel_alias, keys in zip(op.rels, op.keys):
+            rel = self._rel(rel_alias)
+            qdf = rel.df.select(*[rel.df[c].alias(f"{rel_alias}::{c}") for c in rel.df.columns])
+            qrel = Relation(qdf)
+            key_cols = [self._expr(k, qrel) for k in keys]
+            sides.append((qrel, key_cols))
+        out, out_keys = sides[0]
+        for qrel, key_cols in sides[1:]:
+            cond = None
+            for a, b in zip(out_keys, key_cols):
+                c = a == b
+                cond = c if cond is None else (cond & c)
+            out = out.join(qrel, on=cond, how=op.how, strategy=strategy)
+        return out
+
+    # ------------------------------------------------------------------
+    # expressions
+    # ------------------------------------------------------------------
+    def _expr(self, e, rel: Relation) -> Column:
+        if isinstance(e, G.Num):
+            t = e.value.lower()
+            if "." in t or "e" in t:
+                return F.lit(float(t.rstrip("f")))
+            return F.lit(int(t.rstrip("l")))
+        if isinstance(e, G.Str):
+            return F.lit(e.value)
+        if isinstance(e, G.Bool):
+            return F.lit(e.value)
+        if isinstance(e, G.Null):
+            return F.lit(None)
+        if isinstance(e, G.Col):
+            return self._resolve(e.name, rel)
+        if isinstance(e, G.Bin):
+            if e.op == "and":
+                return self._expr(e.left, rel) & self._expr(e.right, rel)
+            if e.op == "or":
+                return self._expr(e.left, rel) | self._expr(e.right, rel)
+            return _binop(e.op, self._expr(e.left, rel), self._expr(e.right, rel))
+        if isinstance(e, G.Un):
+            if e.op == "not":
+                return ~self._expr(e.operand, rel)
+            return -self._expr(e.operand, rel)
+        if isinstance(e, G.IsNull):
+            c = self._expr(e.operand, rel)
+            return c.isNotNull() if e.negated else c.isNull()
+        if isinstance(e, G.Matches):
+            return PF.MATCHES(self._expr(e.operand, rel), e.pattern)
+        if isinstance(e, G.InList):
+            return self._expr(e.operand, rel).isin(*[_const(o) for o in e.options])
+        if isinstance(e, G.BinCond):
+            return F.when(self._expr(e.cond, rel), self._expr(e.then, rel)).otherwise(self._expr(e.otherwise, rel))
+        if isinstance(e, G.CaseWhen):
+            out = None
+            for w, t in e.whens:
+                cond = self._expr(w, rel) if e.subject is None else (self._expr(e.subject, rel) == self._expr(w, rel))
+                out = F.when(cond, self._expr(t, rel)) if out is None else out.when(cond, self._expr(t, rel))
+            return out.otherwise(self._expr(e.otherwise, rel)) if e.otherwise is not None else out
+        if isinstance(e, G.Cast):
+            spark_t = PIG_TO_SPARK_TYPE.get(e.type, e.type)
+            return self._expr(e.operand, rel).cast(spark_t)
+        if isinstance(e, G.MapLookup):
+            return self._expr(e.operand, rel).getItem(e.key)
+        if isinstance(e, G.Call):
+            return self._call(e, rel)
+        if isinstance(e, G.Star):
+            return F.struct(*[rel.df[c] for c in rel.df.columns])
+        raise NotImplementedError(f"expression {e}")
+
+    def _resolve(self, name: str, rel: Relation) -> Column:
+        cols = rel.df.columns
+        if name.startswith("$"):
+            return rel.df[cols[int(name[1:])]]
+        if name in cols:
+            return rel.df[name]
+        # alias::col written with dots or ::; also bare suffix match
+        if "." in name:
+            head, rest = name.split(".", 1)
+            q = f"{head}::{rest}"
+            if q in cols:
+                return rel.df[q]
+            if head in cols:  # struct field access
+                return rel.df[head].getField(rest)
+        suffix = [c for c in cols if c.endswith("::" + name)]
+        if len(suffix) == 1:
+            return rel.df[suffix[0]]
+        if len(suffix) > 1:
+            raise ValueError(f"pig latin: ambiguous field {name!r}: {suffix}")
+        return F.expr(name)
+
+    def _call(self, e: G.Call, rel: Relation) -> Column:
+        fname = e.func
+        fn = getattr(PF, fname, None) or getattr(PF, fname.upper(), None)
+        if fn is None:
+            raise NameError(f"pig latin: unknown function {fname!r}")
+        args = []
+        for a in e.args:
+            if isinstance(a, G.Num):
+                t = a.value.lower().rstrip("lf")
+                args.append(float(t) if "." in t or "e" in t else int(t))
+            elif isinstance(a, G.Str):
+                args.append(a.value)
+            else:
+                args.append(self._expr(a, rel))
+        return fn(*args)
+
+
+def _binop(op: str, a: Column, b: Column) -> Column:
+    return {
+        "+": lambda: a + b,
+        "-": lambda: a - b,
+        "*": lambda: a * b,
+        "/": lambda: a / b,
+        "%": lambda: a % b,
+        "==": lambda: a == b,
+        "!=": lambda: a != b,
+        "<": lambda: a < b,
+        "<=": lambda: a <= b,
+        ">": lambda: a > b,
+        ">=": lambda: a >= b,
+    }[op]()
+
+
+def _const(e):
+    if isinstance(e, G.Num):
+        t = e.value.lower().rstrip("lf")
+        return float(t) if "." in t or "e" in t else int(t)
+    if isinstance(e, G.Str):
+        return e.value
+    raise ValueError("pig latin: constant expected")
+
+
+def _default_name(e, i: int) -> str:
+    if isinstance(e, G.Col):
+        return e.name.split(".")[-1].split("::")[-1]
+    if isinstance(e, G.Call):
+        return e.func.lower()
+    return f"c{i}"

@@ -417,6 +417,15 @@ def oracle_sql() -> dict[str, str]:
                    round(corr(l_quantity, l_extendedprice), 6) AS cor_qp,
                    round(covar_samp(l_quantity, l_discount), 6) AS cov_qd
             FROM lineitem GROUP BY l_linestatus""",
+        "q70_latin_script": """
+            SELECT l_returnflag, COUNT(*) AS n,
+                   CAST(SUM(l_quantity) AS DOUBLE) AS sum_qty
+            FROM lineitem WHERE l_quantity > 40 AND NOT l_returnflag = 'R'
+            GROUP BY l_returnflag""",
+        "q71_latin_join_script": """
+            SELECT c_mktsegment AS seg, COUNT(*) AS n, MAX(o_totalprice) AS max_price
+            FROM orders JOIN customer ON o_custkey = c_custkey
+            GROUP BY c_mktsegment""",
         "q63_decimal_types": """
             SELECT o_orderstatus,
                    CAST(CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS DECIMAL(38,18))) AS DECIMAL(38,6)) AS VARCHAR) AS exact_total,

@@ -711,6 +711,40 @@ def q63_decimal_types(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q70_latin_script(spark: SparkSession, sf: str) -> DataFrame:
+    """Pig Latin front-end end-to-end: a real .pig script (nightly.conf
+    Checkin shape) parsed, translated, and lowered to groupBy().agg()
+    (latin/grammar.py, latin/translate.py)."""
+    from .latin import run
+
+    rels = run(spark, f"""
+        li  = LOAD '{sf}/lineitem.parquet' USING ParquetLoader();
+        big = FILTER li BY l_quantity > 40 AND NOT l_returnflag == 'R';
+        g   = GROUP big BY l_returnflag;
+        out = FOREACH g GENERATE group, COUNT(big) AS n, SUM(big.l_quantity) AS sum_qty;
+    """)
+    return rels["out"].df.select(
+        F.col("group").alias("l_returnflag"),
+        "n",
+        F.col("sum_qty").cast("double").alias("sum_qty"),
+    )
+
+
+def q71_latin_join_script(spark: SparkSession, sf: str) -> DataFrame:
+    """Pig Latin JOIN + qualified names + ORDER + LIMIT."""
+    from .latin import run
+
+    rels = run(spark, f"""
+        c = LOAD '{sf}/customer.parquet' USING ParquetLoader();
+        o = LOAD '{sf}/orders.parquet' USING ParquetLoader();
+        j = JOIN o BY o_custkey, c BY c_custkey;
+        p = FOREACH j GENERATE c_mktsegment AS seg, o_totalprice;
+        g = GROUP p BY seg;
+        s = FOREACH g GENERATE group, COUNT(p) AS n, MAX(p.o_totalprice) AS max_price;
+    """)
+    return rels["s"].df.withColumnRenamed("group", "seg")
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     name: fn
     for name, fn in sorted(globals().items())

@@ -1,0 +1,196 @@
+"""Pig Latin front-end: scripts a reference user would actually run
+(e2e nightly.conf shapes: Checkin/Types/Join/CoGroup/Union/Rank)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from pig_spark.latin import run, translator
+
+
+@pytest.fixture(scope="module")
+def tsv_students(spark, tmp_path_factory):
+    p = tmp_path_factory.mktemp("pigdata") / "students"
+    rows = ["alice\t20\t3.5", "bob\t22\t2.0", "carol\t20\t4.0", "dan\toops\t1.0"]
+    (p / "part-0.tsv").parent.mkdir(parents=True, exist_ok=True)
+    (p / "part-0.tsv").write_text("\n".join(rows) + "\n")
+    return str(p)
+
+
+def test_load_as_schema_gradual_typing(spark, tsv_students):
+    rels = run(spark, f"""
+        s = LOAD '{tsv_students}' USING PigStorage('\\t') AS (name:chararray, age:int, gpa:double);
+        good = FILTER s BY age IS NOT NULL;
+    """)
+    assert rels["s"].df.columns == ["name", "age", "gpa"]
+    # 'oops' age → null (bytearray gradual typing)
+    assert rels["good"].df.count() == 3
+
+
+def test_group_foreach_agg_lowering(spark, tsv_students):
+    rels = run(spark, f"""
+        s = LOAD '{tsv_students}' AS (name:chararray, age:int, gpa:double);
+        g = GROUP s BY age;
+        out = FOREACH g GENERATE group, COUNT(s) AS n, AVG(s.gpa) AS avg_gpa;
+    """)
+    got = {r["group"]: (r["n"], r["avg_gpa"]) for r in rels["out"].df.collect()}
+    assert got[20] == (2, 3.75)
+    # lowered plan must have no collect_list (bags never materialize)
+    assert "collect_list" not in rels["out"].df._jdf.queryExecution().optimizedPlan().toString()
+
+
+def test_group_all(spark, tsv_students):
+    rels = run(spark, f"""
+        s = LOAD '{tsv_students}' AS (name:chararray, age:int, gpa:double);
+        g = GROUP s ALL;
+        out = FOREACH g GENERATE COUNT(s) AS n, MIN(s.gpa) AS lo, MAX(s.gpa) AS hi;
+    """)
+    row = rels["out"].df.collect()[0]
+    assert (row["n"], row["lo"], row["hi"]) == (4, 1.0, 4.0)
+
+
+def test_foreach_expressions(spark, tsv_students):
+    rels = run(spark, f"""
+        s = LOAD '{tsv_students}' AS (name:chararray, age:int, gpa:double);
+        p = FOREACH s GENERATE UPPER(name) AS uname, gpa * 2.0 + 1.0 AS boosted,
+                      (gpa > 3.0 ? 'good' : 'meh') AS verdict,
+                      (int)gpa AS gpa_int;
+    """)
+    rows = {r["uname"]: r for r in rels["p"].df.collect()}
+    assert rows["ALICE"]["boosted"] == 8.0
+    assert rows["ALICE"]["verdict"] == "good"
+    assert rows["BOB"]["gpa_int"] == 2
+
+
+def test_case_when_matches_in(spark, tsv_students):
+    rels = run(spark, f"""
+        s = LOAD '{tsv_students}' AS (name:chararray, age:int, gpa:double);
+        p = FOREACH s GENERATE name,
+                (CASE WHEN gpa >= 3.5 THEN 'A' WHEN gpa >= 2.0 THEN 'B' ELSE 'C' END) AS grade;
+        f = FILTER s BY name MATCHES 'a.*' OR name IN ('bob', 'dan');
+    """)
+    grades = {r["name"]: r["grade"] for r in rels["p"].df.collect()}
+    assert grades == {"alice": "A", "bob": "B", "carol": "A", "dan": "C"}
+    assert sorted(r["name"] for r in rels["f"].df.collect()) == ["alice", "bob", "dan"]
+
+
+def test_join_qualified_names(spark, sf_dir):
+    rels = run(spark, f"""
+        n = LOAD '{sf_dir}/nation.parquet' USING ParquetLoader();
+        r = LOAD '{sf_dir}/region.parquet' USING ParquetLoader();
+        j = JOIN n BY n_regionkey, r BY r_regionkey;
+        p = FOREACH j GENERATE n::n_name AS nation, r_name AS region;
+    """)
+    assert rels["j"].df.columns[0].startswith("n::")
+    assert rels["p"].df.count() == 25
+
+
+def test_join_replicated_and_outer(spark, sf_dir):
+    rels = run(spark, f"""
+        c = LOAD '{sf_dir}/customer.parquet' USING ParquetLoader();
+        o = LOAD '{sf_dir}/orders.parquet' USING ParquetLoader();
+        j = JOIN c BY c_custkey LEFT OUTER, o BY o_custkey USING 'replicated';
+    """)
+    assert rels["j"].df.count() >= rels["c"].df.count()
+
+
+def test_flatten_tokenize_wordcount(spark, sf_dir):
+    rels = run(spark, f"""
+        d = LOAD '{sf_dir}/documents.parquet' USING ParquetLoader();
+        w = FOREACH d GENERATE FLATTEN(TOKENIZE(text)) AS word;
+        g = GROUP w BY word;
+        out = FOREACH g GENERATE group, COUNT(w) AS cnt;
+    """)
+    rows = rels["out"].df.collect()
+    assert len(rows) > 10 and all(r["cnt"] > 0 for r in rows)
+
+
+def test_split_and_union(spark, tsv_students):
+    rels = run(spark, f"""
+        s = LOAD '{tsv_students}' AS (name:chararray, age:int, gpa:double);
+        SPLIT s INTO young IF age < 21, old IF age >= 21, unknown OTHERWISE;
+        back = UNION young, old;
+    """)
+    assert rels["young"].df.count() == 2
+    assert rels["old"].df.count() == 1
+    assert rels["unknown"].df.count() == 1
+    assert rels["back"].df.count() == 3
+
+
+def test_order_limit_distinct_sample(spark, tsv_students):
+    rels = run(spark, f"""
+        s = LOAD '{tsv_students}' AS (name:chararray, age:int, gpa:double);
+        o = ORDER s BY gpa DESC, name;
+        top2 = LIMIT o 2;
+        ages = FOREACH s GENERATE age;
+        d = DISTINCT ages;
+        sm = SAMPLE s 0.5;
+    """)
+    assert [r["name"] for r in rels["top2"].df.collect()] == ["carol", "alice"]
+    assert rels["d"].df.count() == 3
+
+
+def test_rank(spark, tsv_students):
+    rels = run(spark, f"""
+        s = LOAD '{tsv_students}' AS (name:chararray, age:int, gpa:double);
+        r = RANK s BY gpa DESC;
+    """)
+    got = {row["name"]: row["rank"] for row in rels["r"].df.collect()}
+    assert got["carol"] == 1 and got["alice"] == 2
+
+
+def test_stream(spark, tsv_students):
+    rels = run(spark, f"""
+        s = LOAD '{tsv_students}' AS (name:chararray, age:int, gpa:double);
+        up = STREAM s THROUGH 'tr a-z A-Z' AS (name:chararray, age:int, gpa:double);
+    """)
+    assert "ALICE" in {r["name"] for r in rels["up"].df.collect()}
+
+
+def test_cogroup(spark, sf_dir):
+    rels = run(spark, f"""
+        c = LOAD '{sf_dir}/customer.parquet' USING ParquetLoader();
+        o = LOAD '{sf_dir}/orders.parquet' USING ParquetLoader();
+        cg = COGROUP c BY c_custkey, o BY o_custkey;
+    """)
+    df = rels["cg"].df
+    assert set(df.columns) == {"group", "c", "o"}
+    assert df.count() == rels["c"].df.count()
+
+
+def test_params_and_store(spark, tsv_students, tmp_path):
+    out = str(tmp_path / "out")
+    run(spark, f"""
+        s = LOAD '{tsv_students}' AS (name:chararray, age:int, gpa:double);
+        f = FILTER s BY gpa >= $min_gpa;
+        STORE f INTO '{out}' USING PigStorage(',');
+    """, params={"min_gpa": "3.5"})
+    back = spark.read.csv(out, sep=",")
+    assert back.count() == 2
+
+
+def test_positional_refs(spark, tsv_students):
+    rels = run(spark, f"""
+        s = LOAD '{tsv_students}' AS (name:chararray, age:int, gpa:double);
+        p = FOREACH s GENERATE $0 AS n, $2 AS g;
+    """)
+    assert rels["p"].df.columns == ["n", "g"]
+
+
+def test_assert_statement(spark, tsv_students):
+    t = translator(spark)
+    t.run(f"""
+        s = LOAD '{tsv_students}' AS (name:chararray, age:int, gpa:double);
+        ASSERT s BY gpa > 0.5, 'gpa sanity';
+    """)
+    assert t.relation("s").df.count() == 4
+
+
+def test_syntax_error_reports_offset(spark):
+    with pytest.raises(SyntaxError) as e:
+        run(spark, "x = FILTER ;")
+    assert "offset" in str(e.value)
+
+
+def test_unknown_alias(spark):
+    with pytest.raises(NameError):
+        run(spark, "y = FILTER nope BY 1 == 1;")
