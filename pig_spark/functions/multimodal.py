@@ -1,0 +1,183 @@
+"""Multimodal columns: image/audio/video as opaque ``binary`` columns
+with typed metadata, processed via Arrow-batched ``mapInPandas``.
+
+Design for 100 TB of media:
+
+- media rows are (id, modality, binary payload, metadata struct);
+  payloads never pass through Python row-at-a-time — every transform
+  is `mapInPandas` over Arrow record batches.
+- decode / resize / frame-sample are PLUGGABLE: the actual codec
+  (PIL/ffmpeg/soundfile) is injected; this container has none, so the
+  default codec is a deterministic fake that parses our synthetic
+  payload header. Real deployments pass `codec=` with the real
+  library. The Spark-side plumbing — schema, batching, partitioning,
+  UDF signatures — is identical either way and is what's tested.
+- feature extraction emits fixed-width float arrays (embedding-ready),
+  so downstream similarity/dedup operators (functions.similarity)
+  compose directly.
+
+Spark schema for a media table:
+    id bigint, modality string, payload binary,
+    meta struct<width:int, height:int, duration_ms:int, codec:string>
+"""
+
+from __future__ import annotations
+
+import struct as _struct
+from collections.abc import Callable, Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+MEDIA_SCHEMA = T.StructType(
+    [
+        T.StructField("id", T.LongType()),
+        T.StructField("modality", T.StringType()),
+        T.StructField("payload", T.BinaryType()),
+        T.StructField(
+            "meta",
+            T.StructType(
+                [
+                    T.StructField("width", T.IntegerType()),
+                    T.StructField("height", T.IntegerType()),
+                    T.StructField("duration_ms", T.IntegerType()),
+                    T.StructField("codec", T.StringType()),
+                ]
+            ),
+        ),
+    ]
+)
+
+# --- synthetic payload format (deterministic fake codec) --------------
+# header: magic 4s | width i | height i | duration_ms i, then raw bytes.
+_MAGIC = b"PGSK"
+_HDR = _struct.Struct("<4siii")
+
+
+def encode_fake_payload(width: int, height: int, duration_ms: int, body: bytes = b"") -> bytes:
+    return _HDR.pack(_MAGIC, width, height, duration_ms) + body
+
+
+def _fake_decode(payload: bytes) -> dict:
+    """Deterministic stand-in for PIL/ffmpeg decode. Real decode:
+
+        def pil_codec(payload):
+            img = PIL.Image.open(io.BytesIO(payload))   # pragma: no cover
+            ...
+
+    raises NotImplementedError for non-synthetic payloads, making the
+    stub boundary explicit.
+    """
+    if len(payload) < _HDR.size or payload[:4] != _MAGIC:
+        raise NotImplementedError(
+            "real media decoding requires an image/audio codec "
+            "(PIL/ffmpeg/soundfile) — not available in this environment"
+        )
+    _, w, h, d = _HDR.unpack(payload[: _HDR.size])
+    return {"width": w, "height": h, "duration_ms": d, "body": payload[_HDR.size :]}
+
+
+Codec = Callable[[bytes], dict]
+
+
+def extract_metadata(df: DataFrame, codec: Codec = _fake_decode, payload_col: str = "payload") -> DataFrame:
+    """Decode headers → typed meta struct. Arrow-batched; payloads stay
+    in-executor (never collected)."""
+    out_schema = T.StructType(
+        [f for f in df.schema.fields if f.name != "meta"]
+        + [MEDIA_SCHEMA["meta"]]
+    )
+
+    def _run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            metas = []
+            for payload in pdf[payload_col]:
+                m = codec(bytes(payload))
+                metas.append(
+                    {"width": m["width"], "height": m["height"], "duration_ms": m["duration_ms"], "codec": "fake"}
+                )
+            pdf = pdf.drop(columns=["meta"], errors="ignore")
+            pdf["meta"] = metas
+            yield pdf
+
+    return df.mapInPandas(_run, schema=out_schema)
+
+
+def resize_images(df: DataFrame, max_dim: int, codec: Codec = _fake_decode) -> DataFrame:
+    """Image resize plumbing: per-batch decode → transform → re-encode.
+
+    The fake codec rescales header dims (aspect-preserving) without
+    touching pixels; a real codec does the pixel work in the same
+    batch loop."""
+
+    def _run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            new_payloads = []
+            for payload in pdf["payload"]:
+                m = codec(bytes(payload))
+                w, h = m["width"], m["height"]
+                scale = min(1.0, max_dim / max(w, h, 1))
+                new_payloads.append(
+                    encode_fake_payload(int(w * scale), int(h * scale), m["duration_ms"], m["body"])
+                )
+            pdf["payload"] = new_payloads
+            yield pdf
+
+    return df.mapInPandas(_run, schema=df.schema)
+
+
+FEATURE_DIM = 16
+
+
+def extract_features(df: DataFrame, codec: Codec = _fake_decode) -> DataFrame:
+    """payload → fixed-width float feature vector (embedding-ready for
+    functions.similarity). Fake features: deterministic byte-histogram
+    of the body; real codecs plug a model forward pass into the same
+    batch loop."""
+    out_schema = T.StructType(
+        [T.StructField("id", T.LongType()), T.StructField("features", T.ArrayType(T.FloatType()))]
+    )
+
+    def _run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            feats = []
+            for payload in pdf["payload"]:
+                m = codec(bytes(payload))
+                body = m["body"] or b"\x00"
+                hist = [0.0] * FEATURE_DIM
+                for byte in body:
+                    hist[byte % FEATURE_DIM] += 1.0
+                total = sum(hist) or 1.0
+                feats.append([v / total for v in hist])
+            yield pd.DataFrame({"id": pdf["id"], "features": feats})
+
+    return df.mapInPandas(_run, schema=out_schema)
+
+
+def sample_frames(df: DataFrame, every_ms: int, codec: Codec = _fake_decode) -> DataFrame:
+    """Video frame sampling plumbing: one row in → N frame rows out
+    (timestamps every ``every_ms`` across duration). Fake codec emits
+    frame stubs; real ffmpeg slots into the same expansion loop."""
+    out_schema = T.StructType(
+        [
+            T.StructField("id", T.LongType()),
+            T.StructField("frame_ms", T.IntegerType()),
+            T.StructField("frame", T.BinaryType()),
+        ]
+    )
+
+    def _run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, times, frames = [], [], []
+            for rid, payload in zip(pdf["id"], pdf["payload"]):
+                m = codec(bytes(payload))
+                for ts in range(0, max(m["duration_ms"], 1), every_ms):
+                    ids.append(rid)
+                    times.append(ts)
+                    frames.append(_MAGIC + _struct.pack("<i", ts))
+            yield pd.DataFrame({"id": ids, "frame_ms": times, "frame": frames})
+
+    return df.mapInPandas(_run, schema=out_schema)

@@ -22,10 +22,28 @@ values + AQE rather than hand-tuning per query.
 from __future__ import annotations
 
 import os
+import shutil
+import tempfile
 
 from pyspark.sql import SparkSession
 
 DEFAULT_SHUFFLE_PARTITIONS = 32
+
+
+def _ship_package(spark: SparkSession) -> None:
+    """Make pig_spark importable on executor Python workers.
+
+    Closures in mapInPandas/UDFs reference this package; on a real
+    cluster (and in local mode launched from another cwd) workers
+    don't share the driver's sys.path. Shipping a zip via addPyFile is
+    the standard --py-files deployment, done automatically."""
+    if getattr(spark, "_pig_spark_shipped", False):
+        return
+    pkg_dir = os.path.dirname(os.path.abspath(__file__))
+    zip_base = os.path.join(tempfile.gettempdir(), f"pig_spark_pkg_{os.getpid()}")
+    zip_path = shutil.make_archive(zip_base, "zip", root_dir=os.path.dirname(pkg_dir), base_dir="pig_spark")
+    spark.sparkContext.addPyFile(zip_path)
+    spark._pig_spark_shipped = True  # noqa: SLF001
 
 
 def get_spark(
@@ -66,4 +84,6 @@ def get_spark(
     )
     for key, value in (extra_conf or {}).items():
         builder = builder.config(key, value)
-    return builder.getOrCreate()
+    spark = builder.getOrCreate()
+    _ship_package(spark)
+    return spark

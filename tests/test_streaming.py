@@ -1,0 +1,56 @@
+"""Structured Streaming wrappers (additive capability — Pig is
+batch-only, SURVEY §2.6): windowed counts with watermarks over an
+unbounded source, exercised with the rate source + memory sink."""
+
+import time
+
+import pytest
+from pyspark.sql import functions as F
+
+from pig_spark.streaming import read_stream, windowed_count
+
+
+def test_windowed_count_rate_source(spark):
+    src = read_stream(spark, "rate", rowsPerSecond=50)
+    counts = windowed_count(src, "timestamp", "1 second", watermark="0 seconds")
+    q = (
+        counts.writeStream.format("memory")
+        .queryName("win_counts")
+        .outputMode("complete")
+        .start()
+    )
+    try:
+        deadline = time.time() + 30
+        rows = []
+        while time.time() < deadline:
+            q.processAllAvailable()
+            rows = spark.sql("SELECT * FROM win_counts").collect()
+            if len(rows) >= 2:
+                break
+            time.sleep(0.5)
+        assert len(rows) >= 2, "expected ≥2 windows of rate data"
+        assert all(r["count"] > 0 for r in rows)
+        assert all(r["window"]["end"] > r["window"]["start"] for r in rows)
+    finally:
+        q.stop()
+
+
+def test_stream_filter_compose(spark):
+    """The DSL's transformations compose onto streaming DataFrames."""
+    src = read_stream(spark, "rate", rowsPerSecond=100)
+    filtered = src.filter(F.col("value") % 2 == 0).select("timestamp", "value")
+    assert filtered.isStreaming
+    q = filtered.writeStream.format("memory").queryName("evens").outputMode("append").start()
+    try:
+        deadline = time.time() + 30
+        rows = []
+        while time.time() < deadline:
+            q.processAllAvailable()
+            rows = spark.sql("SELECT * FROM evens").collect()
+            if len(rows) >= 5:
+                break
+            time.sleep(0.5)
+        assert len(rows) >= 5
+        assert all(r["value"] % 2 == 0 for r in rows)
+    finally:
+        q.stop()
