@@ -13,18 +13,41 @@ Design for 100 TB:
   signature buckets (or banded XOR for distance>0).
 - **n-gram Jaccard**: inverted-index self-join on shared n-grams —
   exact, but candidate generation is |postings|² per gram; use for
-  bounded corpora or after LSH filtering.
+  bounded corpora or after LSH filtering. Join key is a 60-bit gram
+  hash (8-byte shuffle rows, not ~20-byte strings).
+
+Evaluation-order rules learned from `.explain`/timing (these shape the
+whole module):
+
+- NEVER put a non-trivial expression inside a higher-order-function
+  lambda: Spark re-evaluates lambda-body subtrees per array element
+  (no subexpression elimination across the lambda boundary), so
+  `transform(seq, i -> slice(tokenize(text), i, n))` re-runs the regex
+  tokenizer once per shingle per row. Every stage here materializes
+  its input as a real projection and lambdas only touch bound column
+  refs — 5× on the LSH pipeline at sf0.1.
+- A self-join (or sig + verify) pipeline references the shingle stage
+  2-3×; Catalyst duplicates the subtree per reference. The stage is
+  persisted (MEMORY_AND_DISK) — at 100 TB this is the standard
+  "materialize signatures" step (alternatively write the stage to
+  parquet between jobs); re-deriving shingles per branch costs 3 full
+  corpus scans + tokenizations.
 
 All hashing is md5-derived (F.conv(substr(md5,…),16,10)) so the DuckDB
 oracle can reproduce values bit-for-bit (cast('0x'||substr(md5,…) as
 bigint)). Hash parameters live here and are imported by oracles.py —
 one source of truth.
+
+Reference parity: Pig has only DISTINCT (whole-row exact dedup —
+reference newplan/logical/relational/LODistinct.java) — the near-dup
+family is the training-data-pipeline extension surface.
 """
 
 from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.storagelevel import StorageLevel
 
 from .text import tokenize_ws
 
@@ -60,17 +83,42 @@ def md5_32(col: Column) -> Column:
 
 
 def md5_60(col: Column) -> Column:
-    """60-bit variant for SimHash bit sampling."""
+    """60-bit variant: gram join keys, SimHash bit sampling. Collision
+    probability is negligible at 60 bits (vs 32: birthday at ~80k
+    values), and it still fits signed-long arithmetic."""
     return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("long")
 
 
 def word_shingles(col: Column, n: int = SHINGLE_N) -> Column:
-    """Distinct word n-gram shingles of a text column."""
+    """Distinct word n-gram shingles of a text column, as a single
+    Column expression.
+
+    Prefer :func:`shingle_stage` in pipelines — this form re-runs the
+    tokenizer per shingle when evaluated (see module docstring); it
+    exists for one-shot projections where the input is short."""
     toks = tokenize_ws(F.lower(col))
     n_sh = F.greatest(F.size(toks) - F.lit(n - 1), F.lit(1))
     return F.array_distinct(
         F.transform(F.sequence(F.lit(1), n_sh), lambda i: F.array_join(F.slice(toks, i, n), " "))
     )
+
+
+def shingle_stage(df: DataFrame, text_col: str, id_col: str, n: int = SHINGLE_N) -> DataFrame:
+    """(id, __sh: array<string>) with tokenization materialized first.
+
+    Two chained projections (Catalyst keeps them in one codegen stage,
+    but the lambda bodies only reference the bound `__t` column, so the
+    regex tokenizer runs exactly once per row)."""
+    toks = tokenize_ws(F.lower(F.col(text_col)))
+    staged = df.select(F.col(id_col), toks.alias("__t"))
+    n_sh = F.greatest(F.size("__t") - F.lit(n - 1), F.lit(1))
+    sh = F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(1), n_sh),
+            lambda i: F.array_join(F.slice(F.col("__t"), i, n), " "),
+        )
+    )
+    return staged.select(F.col(id_col), sh.alias("__sh"))
 
 
 # ---------------------------------------------------------------------
@@ -102,19 +150,25 @@ def minhash_signatures(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     """id → array<long> of MINHASH_K min-hash values over word shingles.
 
     Stays columnar: no explode, no shuffle for the signature stage. The
-    shingle-hash array is materialized as its own projection so the K
-    permuted mins scan a computed array instead of re-deriving
-    tokenize→shingle→md5 K times (16× speedup at sf0.1)."""
-    sh = word_shingles(F.col(text_col))
-    staged = df.select(F.col(id_col), F.transform(sh, md5_32).alias("__h"))
+    K permuted mins scan the materialized `__h` hashed-shingle array
+    (column ref inside the lambdas — hashing runs once)."""
+    staged = _hashed_stage(shingle_stage(df, text_col, id_col), id_col)
+    return staged.select(F.col(id_col), _sig_expr().alias("signature"))
 
+
+def _hashed_stage(shingled: DataFrame, id_col: str) -> DataFrame:
+    """(id, __sh, __h): keep string shingles (verification) alongside
+    their 32-bit hashes (signatures)."""
+    return shingled.select(F.col(id_col), F.col("__sh"), F.transform("__sh", md5_32).alias("__h"))
+
+
+def _sig_expr() -> Column:
     def _perm(a: int, b: int):
         return lambda h: (h * a + b) % MINHASH_PRIME
 
-    sig = F.array(
+    return F.array(
         *[F.array_min(F.transform(F.col("__h"), _perm(MINHASH_A[i], MINHASH_B[i]))) for i in range(MINHASH_K)]
     )
-    return staged.select(F.col(id_col), sig.alias("signature"))
 
 
 def minhash_lsh_pairs(
@@ -123,9 +177,17 @@ def minhash_lsh_pairs(
     """Candidate generation via banding + exact-Jaccard verification.
 
     Returns (id_a, id_b, jaccard) with id_a < id_b, jaccard ≥ threshold.
+
+    The shingle stage is persisted: it feeds signatures AND both sides
+    of the verification join (3 references). At cluster scale this is
+    the canonical two-job shape (materialize signatures, then bucket-
+    join); MEMORY_AND_DISK spills cleanly if the corpus exceeds RAM.
     """
     rows = MINHASH_K // MINHASH_BANDS
-    sigs = minhash_signatures(df, text_col, id_col)
+    docs = _hashed_stage(shingle_stage(df, text_col, id_col), id_col).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+    sigs = docs.select(F.col(id_col), _sig_expr().alias("signature"))
     bands = sigs.select(
         F.col(id_col),
         F.explode(
@@ -147,11 +209,11 @@ def minhash_lsh_pairs(
         .select(F.col(f"l.{id_col}").alias("id_a"), F.col(f"r.{id_col}").alias("id_b"))
         .distinct()
     )
-    return _verify_jaccard(cand, df, text_col, id_col, threshold)
+    return _verify_jaccard(cand, docs, id_col, threshold)
 
 
-def _verify_jaccard(pairs: DataFrame, df: DataFrame, text_col: str, id_col: str, threshold: float) -> DataFrame:
-    docs = df.select(F.col(id_col), word_shingles(F.col(text_col)).alias("__sh"))
+def _verify_jaccard(pairs: DataFrame, docs: DataFrame, id_col: str, threshold: float) -> DataFrame:
+    """Exact Jaccard on candidate pairs; `docs` is a (id, __sh) stage."""
     a = docs.select(F.col(id_col).alias("id_a"), F.col("__sh").alias("sh_a"))
     b = docs.select(F.col(id_col).alias("id_b"), F.col("__sh").alias("sh_b"))
     joined = pairs.join(a, "id_a").join(b, "id_b")
@@ -165,17 +227,29 @@ def _verify_jaccard(pairs: DataFrame, df: DataFrame, text_col: str, id_col: str,
     )
 
 
-def ngram_jaccard_pairs(df: DataFrame, text_col: str, id_col: str, threshold: float = 0.5, n: int = SHINGLE_N) -> DataFrame:
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    threshold: float = 0.5,
+    n: int = SHINGLE_N,
+    max_doc_freq: int | None = None,
+) -> DataFrame:
     """Exact n-gram-Jaccard near-dup pairs via inverted-index self-join.
 
-    explode(shingles) → join on shingle → count shared per pair →
-    |A∩B| / (|A|+|B|-|A∩B|). Distributed: shuffle keys are shingles
-    then pair ids. Quadratic only within a shingle's posting list —
-    drop ultra-common shingles (stopword-grams) upstream at true scale.
+    explode(hashed shingles) → join on gram hash → count shared per
+    pair → |A∩B| / (|A|+|B|-|A∩B|). Distributed: shuffle keys are
+    8-byte gram hashes then pair ids. Quadratic only within a gram's
+    posting list; `max_doc_freq` drops grams appearing in more than
+    that many docs (stopword-grams — THE skew control at corpus scale;
+    None = exact, matches the oracle).
     """
-    docs = df.select(F.col(id_col), word_shingles(F.col(text_col), n).alias("__sh"))
+    docs = shingle_stage(df, text_col, id_col, n).persist(StorageLevel.MEMORY_AND_DISK)
     sizes = docs.select(id_col, F.size("__sh").alias("__n"))
-    posting = docs.select(F.col(id_col), F.explode("__sh").alias("g"))
+    posting = docs.select(F.col(id_col), F.explode(F.transform("__sh", md5_60)).alias("g"))
+    if max_doc_freq is not None:
+        hot = posting.groupBy("g").count().filter(F.col("count") > max_doc_freq).select("g")
+        posting = posting.join(F.broadcast(hot), "g", "left_anti")
     l, r = posting.alias("l"), posting.alias("r")
     shared = (
         l.join(r, (F.col("l.g") == F.col("r.g")) & (F.col(f"l.{id_col}") < F.col(f"r.{id_col}")))
@@ -203,17 +277,18 @@ def simhash(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     """32-bit SimHash over whitespace tokens (unit weights).
 
     bit_b(doc) = 1 iff Σ_tokens (bit_b(md5_32(token)) ? 1 : -1) > 0.
-    One projection, no shuffle; near-dup grouping = groupBy(simhash).
-    """
+    Two projections, no shuffle; near-dup grouping = groupBy(simhash).
+    The token-hash array is materialized before the 32 per-bit
+    aggregates so md5 runs once per token, not 32×."""
     toks = tokenize_ws(F.lower(F.col(text_col)))
-    hashes = F.transform(toks, md5_32)
+    staged = df.select(F.col(id_col), F.transform(toks, md5_32).alias("__th"))
 
     def _bit_vote(b: int):
         return lambda acc, h: acc + F.when(F.shiftright(h, b).bitwiseAND(F.lit(1)) == 1, F.lit(1)).otherwise(F.lit(-1))
 
-    bit_sums = [F.aggregate(hashes, F.lit(0), _bit_vote(b)) for b in range(SIMHASH_BITS)]
+    bit_sums = [F.aggregate(F.col("__th"), F.lit(0), _bit_vote(b)) for b in range(SIMHASH_BITS)]
     sig = None
     for b, s in enumerate(bit_sums):
         bit = F.when(s > 0, F.lit(1).cast("long")).otherwise(F.lit(0).cast("long")) * F.lit(1 << b).cast("long")
         sig = bit if sig is None else (sig + bit)
-    return df.select(F.col(id_col), sig.alias("simhash"))
+    return staged.select(F.col(id_col), sig.alias("simhash"))

@@ -56,6 +56,12 @@ def _h32(expr: str) -> str:
     return f"CAST(('0x' || substr(md5({expr}), 1, 8)) AS BIGINT)"
 
 
+def _h60(expr: str) -> str:
+    """md5_60: first 15 md5 hex chars as unsigned 60-bit int (gram join
+    keys — mirrors pig_spark.functions.dedup.md5_60)."""
+    return f"CAST(('0x' || substr(md5({expr}), 1, 15)) AS BIGINT)"
+
+
 def _minhash_sig_select() -> str:
     """mh0..mh{K-1} columns over an `h` hashed-shingle-list column
     (pure BIGINT arithmetic: a,b < 2^30, h < 2^32 — no overflow)."""
@@ -297,7 +303,7 @@ def oracle_sql() -> dict[str, str]:
             SELECT id_a, id_b, jaccard FROM verified WHERE jaccard >= 0.4""",
         "q42_ngram_jaccard": f"""
             WITH docs AS (SELECT doc_id, {_shingles('text')} AS sh FROM documents),
-            posting AS (SELECT doc_id, u.g FROM docs, unnest(docs.sh) AS u(g)),
+            posting AS (SELECT doc_id, {_h60('u.g')} AS g FROM docs, unnest(docs.sh) AS u(g)),
             shared AS (
                 SELECT l.doc_id AS id_a, r.doc_id AS id_b, COUNT(*) AS inter
                 FROM posting l JOIN posting r ON l.g = r.g AND l.doc_id < r.doc_id
