@@ -51,8 +51,10 @@ def main():
     # warm-up: JVM, codegen, parquet footer caches
     QUERIES["q01_group_agg"](spark, sf_dir).write.format("noop").mode("overwrite").save()
 
+    from pig_spark.pigmix import PIGMIX_QUERIES
+
     timings: dict[str, float] = {}
-    for name in HEADLINE:
+    for name in HEADLINE + sorted(PIGMIX_QUERIES):
         t0 = time.time()
         QUERIES[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
         timings[name] = round(time.time() - t0, 3)

@@ -437,4 +437,11 @@ def oracle_sql() -> dict[str, str]:
                    CAST(CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS DECIMAL(38,18))) AS DECIMAL(38,6)) AS VARCHAR) AS exact_total,
                    CAST(SUM(CAST(o_orderkey AS DECIMAL(38,0))) AS VARCHAR) AS as_bigint
             FROM orders GROUP BY o_orderstatus""",
+        **_pigmix_oracles(),
     }
+
+
+def _pigmix_oracles() -> dict[str, str]:
+    from .pigmix import ORACLES as pigmix_oracles
+
+    return pigmix_oracles

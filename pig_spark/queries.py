@@ -745,8 +745,11 @@ def q71_latin_join_script(spark: SparkSession, sf: str) -> DataFrame:
     return rels["s"].df.withColumnRenamed("group", "seg")
 
 
+from .pigmix import PIGMIX_QUERIES  # noqa: E402  (avoids circular import)
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     name: fn
     for name, fn in sorted(globals().items())
     if name.startswith("q") and callable(fn) and name[1:3].isdigit()
 }
+QUERIES.update(PIGMIX_QUERIES)
