@@ -437,8 +437,31 @@ def oracle_sql() -> dict[str, str]:
                    CAST(CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS DECIMAL(38,18))) AS DECIMAL(38,6)) AS VARCHAR) AS exact_total,
                    CAST(SUM(CAST(o_orderkey AS DECIMAL(38,0))) AS VARCHAR) AS as_bigint
             FROM orders GROUP BY o_orderstatus""",
+        "q64_bloom_filter": _bloom_oracle(),
         **_pigmix_oracles(),
     }
+
+
+def _bloom_oracle() -> str:
+    """Mirrors functions.bloom exactly: the sparse set-bit list is the
+    DISTINCT union of all build-key positions; membership = every probe
+    position present."""
+    from .functions import bloom
+
+    def pos(key: str, i: int) -> str:
+        key_expr = f"CAST({key} AS VARCHAR) || '#{i}'"
+        return f"({_h32(key_expr)} % {bloom.BLOOM_M})"
+
+    bits = " UNION ".join(
+        f"SELECT {pos('c_custkey', i)} AS p FROM customer" for i in range(bloom.BLOOM_K)
+    )
+    member = " AND ".join(
+        f"({pos('o_orderkey', i)} IN (SELECT p FROM bits))" for i in range(bloom.BLOOM_K)
+    )
+    return f"""
+        WITH bits AS ({bits})
+        SELECT ({member}) AS maybe_member, COUNT(*) AS n
+        FROM orders GROUP BY 1"""
 
 
 def _pigmix_oracles() -> dict[str, str]:

@@ -711,6 +711,19 @@ def q63_decimal_types(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q64_bloom_filter(spark: SparkSession, sf: str) -> DataFrame:
+    """BuildBloom/Bloom (builtin/BuildBloom.java, Bloom.java): build a
+    deterministic bloom over customer keys, tag orders keys with
+    membership. True-member keys always pass; non-members pass at the
+    FP rate — counts are exact because positions are md5-derived."""
+    from .functions import bloom
+
+    c = _t(spark, sf, "customer").df
+    o = _t(spark, sf, "orders").df
+    tagged = bloom.bloom_tag(o, c, "o_orderkey", "c_custkey")
+    return tagged.groupBy("maybe_member").agg(F.count(F.lit(1)).alias("n"))
+
+
 def q70_latin_script(spark: SparkSession, sf: str) -> DataFrame:
     """Pig Latin front-end end-to-end: a real .pig script (nightly.conf
     Checkin shape) parsed, translated, and lowered to groupBy().agg()

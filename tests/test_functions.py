@@ -146,3 +146,29 @@ def test_agg_func(spark):
     df = spark.createDataFrame([Row(g=1, v=1.0), Row(g=1, v=5.0), Row(g=2, v=2.0)])
     got = {r["g"]: r["s"] for r in df.groupBy("g").agg(spread("v").alias("s")).collect()}
     assert got == {1: 4.0, 2: 0.0}
+
+
+def test_bloom_no_false_negatives(spark):
+    from pyspark.sql import Row
+
+    from pig_spark.functions import bloom
+
+    build = spark.createDataFrame([Row(k=i) for i in range(50)])
+    probe = spark.createDataFrame([Row(k=i) for i in range(200)])
+    tagged = {r["k"]: r["m"] for r in bloom.bloom_tag(probe, build, "k", "k", "m").collect()}
+    # every true member passes; non-members mostly rejected (fp rate
+    # with 50 keys in 1024 slots is a few percent, never ~100%)
+    assert all(tagged[i] for i in range(50))
+    false_pos = sum(tagged[i] for i in range(50, 200))
+    assert false_pos < 30
+
+
+def test_bloom_filter_broadcast_plan(spark):
+    from pyspark.sql import Row
+
+    from pig_spark.functions import bloom
+
+    build = spark.createDataFrame([Row(k=i) for i in range(10)])
+    probe = spark.createDataFrame([Row(k=i) for i in range(100)])
+    plan = bloom.bloom_filter(probe, build, "k", "k")._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
