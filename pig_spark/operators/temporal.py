@@ -1,0 +1,110 @@
+"""Temporal operators Pig lacks: as-of join and gap sessionization.
+
+Pig's idiom for either is CROSS + FILTER (SURVEY §2.2#13) — quadratic
+and unusable at scale. These are the Spark-first formulations; both
+are one-shuffle plans.
+
+**as-of join** (`asof_join`): for each left row, the latest right row
+with the same key and right_ts <= left_ts. Implemented as the
+union-tag + running `last(ignorenulls)` window — NOT a range join:
+
+    union(left tagged 1, right tagged 0)
+      -> Window.partitionBy(key).orderBy(ts, tag, right_id)
+         .rowsBetween(unboundedPreceding, current)
+      -> last(right_payload, ignorenulls=True) carries the most recent
+         right row forward; filter back to left rows.
+
+One shuffle on the key, linear in |L|+|R|; a range join would explode
+to |L|x|matching-range| and AQE can't save it. Ties: at equal ts the
+right row sorts first (<= inclusive semantics), multiple right rows at
+one ts resolve to the max right_id — deterministic, mirrored by the
+oracle's argmax.
+
+**sessionize**: classic gap-based session assignment — lag() per key
+to flag gaps > threshold, running sum of flags = session id. One
+shuffle on the key; window is whole-stage-codegen'd. (Streaming twin:
+``F.session_window`` / applyInPandasWithState in pig_spark.streaming.)
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    left_ts: str,
+    right_ts: str,
+    right_id: str,
+    suffix: str = "_r",
+) -> DataFrame:
+    """ASOF LEFT JOIN: every left row + payload of the latest right row
+    at-or-before its timestamp (null-filled when none precedes).
+
+    `right_id` is a unique tie-break column on the right side; right
+    payload columns are suffixed on name collisions.
+    """
+    rpayload = [c for c in right.columns if c != key]
+    l_tag = left.select(
+        F.col(key),
+        F.col(left_ts).alias("__ts"),
+        F.lit(1).alias("__is_l"),
+        F.lit(None).cast("long").alias("__rid"),
+        F.struct(*[F.col(c) for c in left.columns]).alias("__l"),
+        F.lit(None).cast(
+            "struct<" + ",".join(f"{c}:{right.schema[c].dataType.simpleString()}" for c in rpayload) + ">"
+        ).alias("__r"),
+    )
+    r_tag = right.select(
+        F.col(key),
+        F.col(right_ts).alias("__ts"),
+        F.lit(0).alias("__is_l"),
+        F.col(right_id).cast("long").alias("__rid"),
+        F.lit(None).cast(l_tag.schema["__l"].dataType.simpleString()).alias("__l"),
+        F.struct(*[F.col(c) for c in rpayload]).alias("__r"),
+    )
+    w = (
+        Window.partitionBy(key)
+        .orderBy("__ts", "__is_l", "__rid")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    carried = F.last("__r", ignorenulls=True).over(w)
+    out = (
+        l_tag.unionByName(r_tag)
+        .withColumn("__carried", carried)
+        .filter(F.col("__is_l") == 1)
+    )
+    lcols = [F.col(f"__l.{c}").alias(c) for c in left.columns]
+    seen = set(left.columns)
+    rcols = [
+        F.col(f"__carried.{c}").alias(c if c not in seen else f"{c}{suffix}") for c in rpayload
+    ]
+    return out.select(*lcols, *rcols)
+
+
+def sessionize(
+    df: DataFrame,
+    key: str,
+    ts: str | Column,
+    gap: int,
+    order_tiebreak: str | None = None,
+    session_col: str = "session_id",
+) -> DataFrame:
+    """Assign gap-based session ids per key: a new session starts when
+    the time since the previous row (same key) exceeds `gap` (same
+    units as `ts`). Session ids are 1-based per key, ordered by time.
+    """
+    ts_col = F.col(ts) if isinstance(ts, str) else ts
+    order = [ts_col] + ([F.col(order_tiebreak)] if order_tiebreak else [])
+    w = Window.partitionBy(key).orderBy(*order)
+    prev = F.lag(ts_col).over(w)
+    new_s = F.when(prev.isNull() | ((ts_col - prev) > gap), 1).otherwise(0)
+    run = (
+        Window.partitionBy(key)
+        .orderBy(*order)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return df.withColumn(session_col, F.sum(new_s).over(run))

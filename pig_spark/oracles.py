@@ -438,6 +438,37 @@ def oracle_sql() -> dict[str, str]:
                    CAST(SUM(CAST(o_orderkey AS DECIMAL(38,0))) AS VARCHAR) AS as_bigint
             FROM orders GROUP BY o_orderstatus""",
         "q64_bloom_filter": _bloom_oracle(),
+        "q65_sessionize": """
+            WITH x AS (
+                SELECT user_id, event_id, epoch_ns(ts) AS tns,
+                       lag(epoch_ns(ts)) OVER (PARTITION BY user_id ORDER BY epoch_ns(ts), event_id) AS prev
+                FROM events),
+            flagged AS (
+                SELECT user_id, event_id, tns,
+                       CASE WHEN prev IS NULL OR tns - prev > 1800000000000 THEN 1 ELSE 0 END AS new_s
+                FROM x),
+            sessions AS (
+                SELECT user_id,
+                       SUM(new_s) OVER (PARTITION BY user_id ORDER BY tns, event_id
+                                        ROWS UNBOUNDED PRECEDING) AS session_id
+                FROM flagged),
+            per_session AS (
+                SELECT user_id, session_id, COUNT(*) AS n FROM sessions GROUP BY 1, 2)
+            SELECT user_id, COUNT(*) AS n_sessions, SUM(n) AS n_events, MAX(n) AS max_session
+            FROM per_session GROUP BY user_id""",
+        "q66_asof_attribution": """
+            WITH p AS (SELECT event_id, user_id, epoch_us(ts) AS pts, value
+                       FROM events WHERE event_type = 'purchase'),
+            c AS (SELECT user_id, epoch_us(ts) AS cts, event_id AS click_id
+                  FROM events WHERE event_type = 'click'),
+            cand AS (
+                SELECT p.event_id, c.click_id, c.cts,
+                       row_number() OVER (PARTITION BY p.event_id
+                                          ORDER BY c.cts DESC, c.click_id DESC) AS rn
+                FROM p JOIN c ON p.user_id = c.user_id AND c.cts <= p.pts)
+            SELECT p.event_id, p.user_id, p.value, w.click_id, p.pts - w.cts AS gap_us
+            FROM p LEFT JOIN (SELECT event_id, click_id, cts FROM cand WHERE rn = 1) w
+                 USING (event_id)""",
         **_pigmix_oracles(),
     }
 

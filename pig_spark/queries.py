@@ -724,6 +724,48 @@ def q64_bloom_filter(spark: SparkSession, sf: str) -> DataFrame:
     return tagged.groupBy("maybe_member").agg(F.count(F.lit(1)).alias("n"))
 
 
+def q65_sessionize(spark: SparkSession, sf: str) -> DataFrame:
+    """Gap-based sessionization (30-min gap on raw nanos) + per-user
+    session stats — one shuffle on user_id, windows in codegen."""
+    from .operators.temporal import sessionize
+
+    e = _t(spark, sf, "events").df
+    gap_ns = 30 * 60 * 1_000_000_000
+    s = sessionize(e, "user_id", "ts", gap_ns, order_tiebreak="event_id")
+    per_session = s.groupBy("user_id", "session_id").agg(F.count(F.lit(1)).alias("n"))
+    return per_session.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_sessions"),
+        F.sum("n").alias("n_events"),
+        F.max("n").alias("max_session"),
+    )
+
+
+def q66_asof_attribution(spark: SparkSession, sf: str) -> DataFrame:
+    """As-of join: each purchase attributed to the user's latest
+    at-or-before click (union-tag + running-last window — linear, one
+    shuffle; the Pig idiom would be CROSS + FILTER)."""
+    from .operators.temporal import asof_join
+
+    e = _t(spark, sf, "events").df
+    # microsecond resolution: DuckDB reads TIMESTAMP(NANOS) parquet at
+    # us precision, so the oracle can't see nanos — truncate both sides
+    ts_us = F.expr("CAST(ts DIV 1000 AS BIGINT)")
+    purchases = e.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", ts_us.alias("tus"), "value"
+    )
+    clicks = e.filter(F.col("event_type") == "click").select(
+        "user_id", ts_us.alias("tus"), F.col("event_id").alias("click_id")
+    )
+    j = asof_join(purchases, clicks, key="user_id", left_ts="tus", right_ts="tus", right_id="click_id")
+    return j.select(
+        "event_id",
+        "user_id",
+        "value",
+        "click_id",
+        (F.col("tus") - F.col("tus_r")).alias("gap_us"),
+    )
+
+
 def q70_latin_script(spark: SparkSession, sf: str) -> DataFrame:
     """Pig Latin front-end end-to-end: a real .pig script (nightly.conf
     Checkin shape) parsed, translated, and lowered to groupBy().agg()

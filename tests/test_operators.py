@@ -119,3 +119,51 @@ def test_multi_store(spark, tmp_path):
     )
     assert spark.read.parquet(p1).count() == 50
     assert spark.read.parquet(p2).count() == 50
+
+
+def test_asof_join_basic(spark):
+    from pyspark.sql import Row
+
+    from pig_spark.operators.temporal import asof_join
+
+    left = spark.createDataFrame(
+        [Row(k=1, ts=10, name="a"), Row(k=1, ts=3, name="b"), Row(k=2, ts=5, name="c")]
+    )
+    right = spark.createDataFrame(
+        [Row(k=1, ts=2, rid=100), Row(k=1, ts=10, rid=101), Row(k=1, ts=10, rid=102), Row(k=3, ts=1, rid=103)]
+    )
+    out = {
+        r["name"]: (r["rid"], r["ts_r"])
+        for r in asof_join(left, right, "k", "ts", "ts", "rid").collect()
+    }
+    assert out["b"] == (100, 2)          # only ts=2 precedes 3
+    assert out["a"] == (102, 10)         # equal-ts included, max rid wins tie
+    assert out["c"] == (None, None)      # no right rows for k=2 -> null-filled
+
+
+def test_sessionize_gaps(spark):
+    from pyspark.sql import Row
+
+    from pig_spark.operators.temporal import sessionize
+
+    df = spark.createDataFrame(
+        [Row(u=1, t=0), Row(u=1, t=5), Row(u=1, t=100), Row(u=1, t=102), Row(u=2, t=0)]
+    )
+    got = {
+        (r["u"], r["t"]): r["session_id"]
+        for r in sessionize(df, "u", "t", gap=10).collect()
+    }
+    assert got == {(1, 0): 1, (1, 5): 1, (1, 100): 2, (1, 102): 2, (2, 0): 1}
+
+
+def test_asof_join_single_shuffle(spark, sf_dir):
+    """The union-window as-of plan must not contain a join node at all
+    (no range-join explosion) — one exchange on the key."""
+    from pig_spark.operators.temporal import asof_join
+    from pyspark.sql import functions as F
+
+    e = spark.read.parquet(f"{sf_dir}/events.parquet")
+    p = e.filter(F.col("event_type") == "purchase").select("event_id", "user_id", "ts")
+    c = e.filter(F.col("event_type") == "click").select("user_id", "ts", F.col("event_id").alias("cid"))
+    plan = asof_join(p, c, "user_id", "ts", "ts", "cid")._jdf.queryExecution().executedPlan().toString()
+    assert "Join" not in plan
