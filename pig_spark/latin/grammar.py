@@ -105,9 +105,22 @@ class GenItem:
 
 
 @dataclass
+class NestedStmt:
+    """One statement inside a FOREACH { ... } block
+    (QueryParser.g:921-971 nested_blk: filter/order/distinct/limit/
+    projection over inner bags)."""
+
+    alias: str
+    kind: str  # 'distinct' | 'filter' | 'order' | 'limit' | 'project'
+    source: str  # child-relation ref ('B', 'B.col') or earlier inner alias
+    cond: object = None  # filter predicate / order cols / limit n
+
+
+@dataclass
 class Foreach:
     rel: str
     items: list[GenItem]
+    nested: list["NestedStmt"] | None = None
 
 
 @dataclass
@@ -364,7 +377,10 @@ class Parser:
         alias = self._ident()
         self.expect("op", "=")
         op = self._op_clause()
-        self.expect("op", ";")
+        if isinstance(op, Foreach) and op.nested is not None:
+            self.accept("op", ";")  # trailing ';' after '}' is optional
+        else:
+            self.expect("op", ";")
         return Assign(alias, op)
 
     def _top_level_op(self):
@@ -436,11 +452,60 @@ class Parser:
 
     def _op_foreach(self):
         rel = self._ident()
+        if self.accept("op", "{"):
+            return self._foreach_block(rel)
         self.expect("kw", "generate")
         items = [self._gen_item()]
         while self.accept("op", ","):
             items.append(self._gen_item())
         return Foreach(rel, items)
+
+    def _foreach_block(self, rel: str):
+        """FOREACH rel { inner-stmts; GENERATE ...; }"""
+        nested: list[NestedStmt] = []
+        while not (self.peek().kind == "kw" and self.peek().text == "generate"):
+            alias = self._ident()
+            self.expect("op", "=")
+            t = self.peek()
+            if t.kind == "kw" and t.text == "distinct":
+                self.next()
+                nested.append(NestedStmt(alias, "distinct", self._dotted()))
+            elif t.kind == "kw" and t.text == "filter":
+                self.next()
+                src = self._dotted()
+                self.expect("kw", "by")
+                nested.append(NestedStmt(alias, "filter", src, self.expr()))
+            elif t.kind == "kw" and t.text == "order":
+                self.next()
+                src = self._dotted()
+                self.expect("kw", "by")
+                cols = [self._dotted()]
+                while self.accept("op", ","):
+                    cols.append(self._dotted())
+                if self.peek().kind == "kw" and self.peek().text in ("asc", "desc"):
+                    self.next()
+                nested.append(NestedStmt(alias, "order", src, cols))
+            elif t.kind == "kw" and t.text == "limit":
+                self.next()
+                src = self._dotted()
+                n = self.next()
+                nested.append(NestedStmt(alias, "limit", src, int(n.text)))
+            else:
+                nested.append(NestedStmt(alias, "project", self._dotted()))
+            self.expect("op", ";")
+        self.expect("kw", "generate")
+        items = [self._gen_item()]
+        while self.accept("op", ","):
+            items.append(self._gen_item())
+        self.accept("op", ";")
+        self.expect("op", "}")
+        return Foreach(rel, items, nested=nested)
+
+    def _dotted(self) -> str:
+        name = self._ident()
+        while self.accept("op", "."):
+            name += "." + self._ident()
+        return name
 
     def _gen_item(self) -> GenItem:
         flatten = False

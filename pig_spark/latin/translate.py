@@ -68,6 +68,20 @@ class RelInfo:
     grouped: GroupedInfo | None = None
 
 
+@dataclass
+class _Pipe:
+    """Flattened state of an inner-bag pipeline inside FOREACH { }."""
+
+    col: str | None = None
+    distinct: bool = False
+    cond: object = None
+    ordered: bool = False
+    limited: bool = False
+
+    def copy(self) -> "_Pipe":
+        return _Pipe(self.col, self.distinct, self.cond, self.ordered, self.limited)
+
+
 class PigTranslator:
     def __init__(self, spark: SparkSession, params: dict[str, str] | None = None):
         self.spark = spark
@@ -232,6 +246,8 @@ class PigTranslator:
         info = self.aliases.get(op.rel)
         if info is None:
             raise NameError(f"pig latin: unknown alias {op.rel!r}")
+        if op.nested:
+            return RelInfo(self._foreach_nested(op, info))
         if info.grouped is not None and self._all_algebraic(op.items, info.grouped):
             return RelInfo(self._foreach_agg(op, info.grouped))
         rel = info.rel
@@ -293,6 +309,119 @@ class PigTranslator:
         grouped = child.df.groupBy(*key_cols) if key_cols else child.df.groupBy()
         out = grouped.agg(*aggs) if aggs else grouped.agg(F.count(F.lit(1)).alias("__n")).drop("__n")
         return Relation(out.select(*selects))
+
+    # -- nested FOREACH { ... } blocks ---------------------------------
+    def _foreach_nested(self, op: G.Foreach, info: RelInfo) -> Relation:
+        """Lower a nested block to FLAT aggregates — no reducer bags.
+
+        Pig streams each group's bag through the inner pipeline
+        (POForEach.java inner plans + SecondaryKeyOptimizer for nested
+        order); the Spark-first lowering rewrites each supported shape:
+
+          x = DISTINCT B.col   → COUNT/SUM/AVG(x) = distinct aggregates
+          x = FILTER B BY p    → aggregates over when(p, ...)
+          x = ORDER B BY c     → dropped for algebraic consumers
+                                 (order-insensitive; no secondary sort)
+          x = B.col            → plain column pipe
+
+        LIMIT inside a block isn't algebraic — use the flat top-k form
+        (operators.nested.topk_per_group) instead; we raise with that
+        pointer rather than silently materializing bags.
+        """
+        g = info.grouped
+        if g is None:
+            raise SyntaxError("nested FOREACH { ... } requires FOREACH over a GROUP/COGROUP alias")
+        pipes: dict[str, _Pipe] = {}
+        for st in op.nested:
+            base = self._resolve_pipe(st.source, g, pipes)
+            if st.kind == "project":
+                pass  # _resolve_pipe already applied the column
+            elif st.kind == "distinct":
+                base.distinct = True
+            elif st.kind == "filter":
+                base.cond = st.cond if base.cond is None else G.Bin("and", base.cond, st.cond)
+            elif st.kind == "order":
+                base.ordered = True
+            elif st.kind == "limit":
+                base.limited = True
+            pipes[st.alias] = base
+        key_cols = [c.alias(n) for n, c in g.key_exprs]
+        aggs: list[Column] = []
+        selects: list[Column] = []
+        for i, item in enumerate(op.items):
+            e = item.expr
+            name = item.alias or _default_name(e, i)
+            if isinstance(e, G.Col) and e.name == "group":
+                if len(g.key_exprs) == 1 and not item.flatten:
+                    selects.append(F.col(g.key_exprs[0][0]).alias(item.alias or "group"))
+                else:
+                    selects.extend(F.col(n) for n, _ in g.key_exprs)
+                continue
+            aggs.append(self._nested_agg(e, g, pipes).alias(name))
+            selects.append(F.col(name))
+        grouped = g.child.df.groupBy(*key_cols) if key_cols else g.child.df.groupBy()
+        return Relation(grouped.agg(*aggs).select(*selects))
+
+    def _resolve_pipe(self, source: str, g: GroupedInfo, pipes: dict[str, "_Pipe"]) -> "_Pipe":
+        head, _, rest = source.partition(".")
+        if head in pipes:
+            p = pipes[head].copy()
+            if rest:
+                if p.col is not None:
+                    raise SyntaxError(f"nested ref {source!r}: {head!r} is already a column pipe")
+                p.col = rest
+            return p
+        if head == g.child_alias:
+            return _Pipe(col=rest or None)
+        raise NameError(f"nested FOREACH: unknown inner source {source!r}")
+
+    def _nested_agg(self, e, g: GroupedInfo, pipes: dict[str, "_Pipe"]) -> Column:
+        if isinstance(e, G.Bin):
+            return _binop(e.op, self._nested_agg(e.left, g, pipes), self._nested_agg(e.right, g, pipes))
+        if isinstance(e, (G.Num, G.Str)):
+            return self._expr(e, g.child)
+        if isinstance(e, G.Cast):
+            return self._nested_agg(e.operand, g, pipes).cast(PIG_TO_SPARK_TYPE[e.type])
+        if not (isinstance(e, G.Call) and e.func.lower() in AGG_FUNCS and e.args):
+            # not a pipe aggregate — fall back to the plain grouped path
+            return self._agg_expr(e, g)
+        fn = e.func.lower()
+        arg = e.args[0]
+        if not isinstance(arg, G.Col):
+            return self._agg_expr(e, g)
+        head = arg.name.split(".", 1)[0]
+        if head not in pipes and head != g.child_alias:
+            return self._agg_expr(e, g)
+        pipe = self._resolve_pipe(arg.name, g, pipes)
+        if pipe.limited:
+            raise NotImplementedError(
+                "LIMIT inside FOREACH {} is not algebraic; use "
+                "pig_spark.operators.nested.topk_per_group for nested top-k"
+            )
+        cond = self._expr(pipe.cond, g.child) if pipe.cond is not None else None
+        if pipe.col is not None:
+            val: Column = self._expr(G.Col(pipe.col), g.child)
+        else:
+            # whole-tuple pipe: COUNT uses the non-null first field
+            # (COUNT.java:40); other aggs need a column
+            if fn in ("count", "count_star"):
+                val = g.child.df[g.child.df.columns[0]] if fn == "count" else F.lit(1)
+            else:
+                raise SyntaxError(f"{fn.upper()} over a whole-tuple pipe needs a column (e.g. x.field)")
+        if cond is not None:
+            val = F.when(cond, val)
+        if pipe.distinct:
+            if fn == "count":
+                return F.countDistinct(val)
+            if fn == "sum":
+                return F.sum_distinct(val)
+            if fn == "avg":
+                return F.sum_distinct(val).cast("double") / F.countDistinct(val)
+            if fn in ("min", "max"):  # distinct is a no-op for min/max
+                return {"min": F.min, "max": F.max}[fn](val)
+            raise NotImplementedError(f"DISTINCT pipe with {fn.upper()}")
+        mapping = {"count": F.count, "count_star": F.count, "sum": F.sum, "avg": F.avg, "min": F.min, "max": F.max}
+        return mapping[fn](val)
 
     def _agg_expr(self, e, g: GroupedInfo) -> Column:
         child = g.child

@@ -428,6 +428,11 @@ def oracle_sql() -> dict[str, str]:
                    CAST(SUM(l_quantity) AS DOUBLE) AS sum_qty
             FROM lineitem WHERE l_quantity > 40 AND NOT l_returnflag = 'R'
             GROUP BY l_returnflag""",
+        "q72_latin_nested_block": """
+            SELECT user_id, COUNT(DISTINCT event_type) AS n_types,
+                   COUNT(CASE WHEN value < 250.0 THEN 1 END) AS n_cheap,
+                   MAX(value) AS max_rev
+            FROM events GROUP BY user_id""",
         "q71_latin_join_script": """
             SELECT c_mktsegment AS seg, COUNT(*) AS n, MAX(o_totalprice) AS max_price
             FROM orders JOIN customer ON o_custkey = c_custkey

@@ -766,6 +766,28 @@ def q66_asof_attribution(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q72_latin_nested_block(spark: SparkSession, sf: str) -> DataFrame:
+    """Nested FOREACH { } block (QueryParser.g:921-971; PigMix L4/L7/
+    L15/L16 shapes): inner DISTINCT/FILTER/ORDER pipelines lowered to
+    flat distinct/conditional aggregates — no reducer bags."""
+    from .latin import run
+
+    rels = run(spark, f"""
+        A = LOAD '{sf}/events.parquet' USING ParquetLoader();
+        B = FOREACH A GENERATE user_id, event_type, value;
+        C = GROUP B BY user_id;
+        D = FOREACH C {{
+            types = DISTINCT B.event_type;
+            cheap = FILTER B BY value < 250.0;
+            E = ORDER B BY value;
+            rev = E.value;
+            GENERATE group, COUNT(types) AS n_types, COUNT(cheap) AS n_cheap,
+                     MAX(rev) AS max_rev;
+        }}
+    """)
+    return rels["D"].df.withColumnRenamed("group", "user_id")
+
+
 def q70_latin_script(spark: SparkSession, sf: str) -> DataFrame:
     """Pig Latin front-end end-to-end: a real .pig script (nightly.conf
     Checkin shape) parsed, translated, and lowered to groupBy().agg()

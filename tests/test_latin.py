@@ -194,3 +194,63 @@ def test_syntax_error_reports_offset(spark):
 def test_unknown_alias(spark):
     with pytest.raises(NameError):
         run(spark, "y = FILTER nope BY 1 == 1;")
+
+
+def test_nested_foreach_distinct(spark, sf_dir):
+    from pig_spark.latin import run
+
+    rels = run(spark, f"""
+        A = LOAD '{sf_dir}/events.parquet' USING ParquetLoader();
+        B = FOREACH A GENERATE user_id, event_type;
+        C = GROUP B BY user_id;
+        D = FOREACH C {{
+            aleph = B.event_type;
+            beth = DISTINCT aleph;
+            GENERATE group, COUNT(beth) AS n;
+        }}
+    """)
+    df = rels["D"].df
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "collect_list" not in plan.lower()  # lowered, not bag-materialized
+    exp = {
+        r["user_id"]: r["n"]
+        for r in spark.read.parquet(f"{sf_dir}/events.parquet")
+        .groupBy("user_id").agg(F.countDistinct("event_type").alias("n")).collect()
+    }
+    assert {r["group"]: r["n"] for r in df.collect()} == exp
+
+
+def test_nested_foreach_filter_and_order(spark, sf_dir):
+    from pig_spark.latin import run
+
+    rels = run(spark, f"""
+        A = LOAD '{sf_dir}/events.parquet' USING ParquetLoader();
+        B = FOREACH A GENERATE user_id, value;
+        C = GROUP B BY user_id;
+        D = FOREACH C {{
+            lo = FILTER B BY value < 250.0;
+            E = ORDER B BY value;
+            FF = E.value;
+            GENERATE group, COUNT(lo) AS n_lo, SUM(FF) AS total;
+        }}
+    """)
+    row = rels["D"].df.filter(F.col("group") == 0).collect()[0]
+    e = spark.read.parquet(f"{sf_dir}/events.parquet").filter(F.col("user_id") == 0)
+    assert row["n_lo"] == e.filter(F.col("value") < 250.0).count()
+    assert abs(row["total"] - e.agg(F.sum("value")).first()[0]) < 1e-6
+
+
+def test_nested_foreach_limit_rejected(spark, sf_dir):
+    import pytest
+
+    from pig_spark.latin import run
+
+    with pytest.raises(NotImplementedError, match="topk_per_group"):
+        run(spark, f"""
+            A = LOAD '{sf_dir}/events.parquet' USING ParquetLoader();
+            C = GROUP A BY user_id;
+            D = FOREACH C {{
+                x = LIMIT A 3;
+                GENERATE group, COUNT(x) AS n;
+            }}
+        """)
