@@ -56,10 +56,16 @@ def cosine_topk(df: DataFrame, query: list[float], k: int, id_col: str = "vec_id
     """Exact top-k by cosine against one query vector.
 
     Plan: project score (map-only) → TakeOrdered(k) — no shuffle of the
-    embedding column; ties broken by id for determinism.
+    embedding column; ties broken by id for determinism. The query norm
+    is a Python-computed literal (it's constant — evaluating the
+    aggregate per row would re-reduce 64 elements × n rows for nothing).
     """
-    q = _vec_lit(query)
-    scored = df.select(F.col(id_col), F.round(cosine(F.col(vec_col).cast("array<double>"), q), 6).alias("score"))
+    qvec = [float(x) for x in query]
+    qnorm = sum(x * x for x in qvec) ** 0.5
+    q = _vec_lit(qvec)
+    v = F.col(vec_col).cast("array<double>")
+    score = dot(v, q) / (norm(v) * F.lit(qnorm))
+    scored = df.select(F.col(id_col), F.round(score, 6).alias("score"))
     return scored.orderBy(F.col("score").desc(), F.col(id_col).asc()).limit(k)
 
 
@@ -88,8 +94,11 @@ def ann_topk_lsh(df: DataFrame, query: list[float], k: int, id_col: str = "vec_i
     buckets = [qbucket] + [qbucket ^ (1 << p) for p in range(min(probes - 1, LSH_PLANES))]
     bucketed = df.withColumn("__bucket", lsh_bucket(F.col(vec_col)))
     cand = bucketed.filter(F.col("__bucket").isin(*buckets))
+    qnorm = sum(x * x for x in qvec) ** 0.5
     q = _vec_lit(qvec)
-    scored = cand.select(F.col(id_col), F.round(cosine(F.col(vec_col).cast("array<double>"), q), 6).alias("score"))
+    v = F.col(vec_col).cast("array<double>")
+    score = dot(v, q) / (norm(v) * F.lit(qnorm))
+    scored = cand.select(F.col(id_col), F.round(score, 6).alias("score"))
     return scored.orderBy(F.col("score").desc(), F.col(id_col).asc()).limit(k)
 
 
@@ -98,9 +107,13 @@ def cosine_self_join_pairs(df: DataFrame, threshold: float, id_col: str = "vec_i
 
     Brute force (n² within LSH buckets would be the scale path; exact
     form kept as the verifiable baseline — bucket first at 100 TB).
+    Norms are computed once per VECTOR in the input projections, not
+    once per pair — n norm reductions instead of n².
     """
-    a = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).cast("array<double>").alias("va"))
-    b = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).cast("array<double>").alias("vb"))
+    v = F.col(vec_col).cast("array<double>")
+    a = df.select(F.col(id_col).alias("id_a"), v.alias("va"), norm(v).alias("na"))
+    b = df.select(F.col(id_col).alias("id_b"), v.alias("vb"), norm(v).alias("nb"))
     pairs = a.join(b, F.col("id_a") < F.col("id_b"))
-    scored = pairs.select("id_a", "id_b", F.round(cosine(F.col("va"), F.col("vb")), 6).alias("cos_sim"))
+    score = dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb"))
+    scored = pairs.select("id_a", "id_b", F.round(score, 6).alias("cos_sim"))
     return scored.filter(F.col("cos_sim") >= threshold)

@@ -110,11 +110,21 @@ def fingerprint(col: Column) -> Column:
 def rolling_hash_fingerprint(col: Column, window: int = 4) -> Column:
     """Winnowing-style content fingerprint: min 32-bit hash over
     word ``window``-shingles (a 1-hash MinHash — robust to local edits).
+
+    The token array is bound through a single-entry map_filter-free
+    trick: wrapping it in a 1-element array and transforming binds it
+    to a lambda variable, so the regex tokenizer runs once per row
+    even though the shingle lambda references it per element (Spark
+    does no common-subexpression elimination across lambda bodies).
     """
-    toks = tokenize_ws(F.lower(col))
-    n_sh = F.greatest(F.size(toks) - F.lit(window - 1), F.lit(1))
-    shingles = F.transform(
-        F.sequence(F.lit(1), n_sh),
-        lambda i: F.conv(F.substring(F.md5(F.array_join(F.slice(toks, i, window), " ")), 1, 8), 16, 10).cast("long"),
-    )
-    return F.array_min(shingles)
+
+    def _fp(toks: Column) -> Column:
+        n_sh = F.greatest(F.size(toks) - F.lit(window - 1), F.lit(1))
+        shingles = F.transform(
+            F.sequence(F.lit(1), n_sh),
+            lambda i: F.conv(F.substring(F.md5(F.array_join(F.slice(toks, i, window), " ")), 1, 8), 16, 10).cast("long"),
+        )
+        return F.array_min(shingles)
+
+    staged = F.array(tokenize_ws(F.lower(col)))  # 1-element array<array<string>>
+    return F.element_at(F.transform(staged, _fp), 1)
