@@ -66,3 +66,29 @@ def test_wholestage_codegen(lineitem):
     df = lineitem.filter(F.col("l_quantity") > 10).group_by("l_returnflag").agg(n=F.count(F.lit(1))).df
     # '*(n)' marks WholeStageCodegen stage ids in the executed plan
     assert re.search(r"\*\(\d+\)", executed_plan_string(df))
+
+
+# ----------------------------------------------------------------------
+# catalog-wide audit: every registered query's optimized plan obeys the
+# scale invariants (this is the ".explain and iterate" loop, pinned)
+# ----------------------------------------------------------------------
+
+# rdd.pipe is the STREAM contract — the one deliberate RDD/Python hop
+_PYTHON_OK = {"q52_stream_upper"}
+# explicit CROSS / 1-row scalar broadcast are the only sanctioned
+# cartesian shapes; everything else must be an equi/broadcast join
+_CARTESIAN_OK = {"q12_cross", "q24_scalar", "q64_bloom_filter"}
+
+
+def test_catalog_plan_audit(spark, sf_dir):
+    from pig_spark.queries import QUERIES
+
+    bad: list[str] = []
+    for name, fn in QUERIES.items():
+        df = fn(spark, sf_dir)
+        s = df._jdf.queryExecution().optimizedPlan().toString()
+        if name not in _PYTHON_OK and ("PythonUDF" in s or "BatchEvalPython" in s):
+            bad.append(f"{name}: python in plan")
+        if name not in _CARTESIAN_OK and "Join Cross" in s and "Broadcast" not in s:
+            bad.append(f"{name}: non-broadcast cartesian join")
+    assert not bad, "\n".join(bad)
