@@ -83,6 +83,32 @@ def _fake_decode(payload: bytes) -> dict:
 Codec = Callable[[bytes], dict]
 
 
+def media_from_documents(docs: DataFrame) -> DataFrame:
+    """Synthesize a MEDIA_SCHEMA table from the documents fixture —
+    deterministic payload headers derived from (doc_id, n_chars), so a
+    SQL oracle can predict every decoded field while the Spark side
+    exercises the real binary round-trip (encode → BinaryType column →
+    codec decode via mapInPandas)."""
+
+    def _run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        mods = ["image", "audio", "video"]
+        for pdf in batches:
+            payloads, modality = [], []
+            for doc_id, n_chars, txt in zip(pdf["doc_id"], pdf["n_chars"], pdf["text"]):
+                did, nc = int(doc_id), int(n_chars)
+                payloads.append(
+                    encode_fake_payload(
+                        (did % 640) + 16, (did * 7) % 480 + 16, nc * 10, str(txt).encode()[:64]
+                    )
+                )
+                modality.append(mods[did % 3])
+            yield pd.DataFrame(
+                {"id": pdf["doc_id"], "modality": modality, "payload": payloads, "meta": [None] * len(pdf)}
+            )
+
+    return docs.select("doc_id", "n_chars", "text").mapInPandas(_run, schema=MEDIA_SCHEMA)
+
+
 def extract_metadata(df: DataFrame, codec: Codec = _fake_decode, payload_col: str = "payload") -> DataFrame:
     """Decode headers → typed meta struct. Arrow-batched; payloads stay
     in-executor (never collected)."""

@@ -428,6 +428,14 @@ def oracle_sql() -> dict[str, str]:
                    CAST(SUM(l_quantity) AS DOUBLE) AS sum_qty
             FROM lineitem WHERE l_quantity > 40 AND NOT l_returnflag = 'R'
             GROUP BY l_returnflag""",
+        "q67_multimodal_meta": """
+            SELECT CASE CAST(doc_id % 3 AS INTEGER) WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
+                   ELSE 'video' END AS modality,
+                   COUNT(*) AS n,
+                   SUM((doc_id % 640) + 16) AS sum_w,
+                   SUM((doc_id * 7) % 480 + 16) AS sum_h,
+                   SUM(n_chars * 10) AS sum_dur
+            FROM documents GROUP BY 1""",
         "q72_latin_nested_block": """
             SELECT user_id, COUNT(DISTINCT event_type) AS n_types,
                    COUNT(CASE WHEN value < 250.0 THEN 1 END) AS n_cheap,

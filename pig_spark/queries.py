@@ -788,6 +788,26 @@ def q72_latin_nested_block(spark: SparkSession, sf: str) -> DataFrame:
     return rels["D"].df.withColumnRenamed("group", "user_id")
 
 
+def q67_multimodal_meta(spark: SparkSession, sf: str) -> DataFrame:
+    """Multimodal plumbing in the gate: synthesize binary media
+    payloads from documents, round-trip them through the Arrow-batched
+    codec boundary (mapInPandas encode → BinaryType → decode), then
+    aggregate the decoded metadata. The oracle predicts every field
+    from (doc_id, n_chars) arithmetic — if schema, batching, or the
+    binary round-trip corrupt anything, the hashes diverge."""
+    from .functions import multimodal as MM
+
+    d = _t(spark, sf, "documents").df
+    media = MM.media_from_documents(d)
+    decoded = MM.extract_metadata(media)
+    return decoded.groupBy("modality").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("meta.width")).alias("sum_w"),
+        F.sum(F.col("meta.height")).alias("sum_h"),
+        F.sum(F.col("meta.duration_ms")).alias("sum_dur"),
+    )
+
+
 def q70_latin_script(spark: SparkSession, sf: str) -> DataFrame:
     """Pig Latin front-end end-to-end: a real .pig script (nightly.conf
     Checkin shape) parsed, translated, and lowered to groupBy().agg()

@@ -35,3 +35,23 @@ def write_stream(df: DataFrame, path: str, checkpoint: str, format: str = "parqu
         .option("checkpointLocation", checkpoint)
         .start()
     )
+
+
+def session_counts(
+    df: DataFrame,
+    ts_col: str,
+    gap: str,
+    keys: list[str] | None = None,
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """Streaming twin of operators.temporal.sessionize: event-time
+    session windows (dynamic gap-merged), watermarked for late data.
+
+    Built-in ``session_window`` covers the gap-session case with
+    managed state; genuinely custom per-key state machines (e.g.
+    funnel detection) drop to ``applyInPandasWithState`` instead —
+    same groupBy shape, user-defined state struct.
+    """
+    w = F.session_window(F.col(ts_col), gap)
+    grouped = df.withWatermark(ts_col, watermark).groupBy(w, *(keys or []))
+    return grouped.agg(F.count(F.lit(1)).alias("count"))

@@ -74,7 +74,7 @@ def test_wholestage_codegen(lineitem):
 # ----------------------------------------------------------------------
 
 # rdd.pipe is the STREAM contract — the one deliberate RDD/Python hop
-_PYTHON_OK = {"q52_stream_upper"}
+_PYTHON_OK = {"q52_stream_upper", "q67_multimodal_meta"}  # stream pipe; codec boundary
 # explicit CROSS / 1-row scalar broadcast are the only sanctioned
 # cartesian shapes; everything else must be an equi/broadcast join
 _CARTESIAN_OK = {"q12_cross", "q24_scalar", "q64_bloom_filter"}

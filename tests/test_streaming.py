@@ -54,3 +54,34 @@ def test_stream_filter_compose(spark):
         assert all(r["value"] % 2 == 0 for r in rows)
     finally:
         q.stop()
+
+
+def test_session_counts_rate_source(spark):
+    """session_window sessions over the rate source: continuous 10/s
+    events with a large gap collapse into one growing session per key."""
+    from pig_spark.streaming import session_counts
+
+    src = read_stream(spark, "rate", rowsPerSecond=10)
+    keyed = src.select("timestamp", (F.col("value") % 2).alias("k"))
+    sessions = session_counts(keyed, "timestamp", "10 seconds", keys=["k"], watermark="0 seconds")
+    q = (
+        sessions.writeStream.format("memory")
+        .queryName("sess")
+        .outputMode("complete")
+        .start()
+    )
+    try:
+        deadline = time.time() + 30
+        rows = []
+        while time.time() < deadline:
+            q.processAllAvailable()
+            rows = spark.sql("SELECT * FROM sess").collect()
+            if len(rows) >= 2 and all(r["count"] > 0 for r in rows):
+                break
+            time.sleep(0.5)
+        assert len(rows) >= 2
+        keys = {r["k"] for r in rows}
+        assert keys == {0, 1}
+        assert all(r["session_window"]["end"] >= r["session_window"]["start"] for r in rows)
+    finally:
+        q.stop()
