@@ -209,6 +209,19 @@ class AssertStmt:
 
 
 @dataclass
+class Define:
+    alias: str
+    func: str
+    args: list
+
+
+@dataclass
+class SetStmt:
+    key: str
+    value: str
+
+
+@dataclass
 class Assign:
     alias: str
     op: object
@@ -374,6 +387,8 @@ class Parser:
         t = self.peek()
         if t.kind == "kw" and t.text in ("store", "dump", "describe", "explain", "split", "assert"):
             return self._top_level_op()
+        if t.kind == "kw" and t.text in ("register", "define", "set"):
+            return self._preamble_stmt()
         alias = self._ident()
         self.expect("op", "=")
         op = self._op_clause()
@@ -382,6 +397,29 @@ class Parser:
         else:
             self.expect("op", ";")
         return Assign(alias, op)
+
+    def _preamble_stmt(self):
+        """REGISTER jar / DEFINE alias Func(args) / SET key value —
+        QueryParser.g:355-361. REGISTER is a recorded no-op (code
+        registration is Python-native here); SET maps known keys to
+        Spark confs; DEFINE installs a UDF alias."""
+        kw = self.next().text
+        if kw == "register":
+            parts = []
+            while not (self.peek().kind == "op" and self.peek().text == ";"):
+                parts.append(self.next().text)
+            self.expect("op", ";")
+            return Simple("register", "".join(parts))
+        if kw == "set":
+            key = self.next().text
+            value = self.next().text
+            self.expect("op", ";")
+            return SetStmt(key, value)
+        # define
+        alias = self._ident()
+        func, args = self._func_spec()
+        self.expect("op", ";")
+        return Define(alias, func, args)
 
     def _top_level_op(self):
         kw = self.next().text

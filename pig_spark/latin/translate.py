@@ -88,6 +88,8 @@ class PigTranslator:
         self.aliases: dict[str, RelInfo] = {}
         self.outputs: dict[str, object] = {}
         self.params = params or {}
+        self.registered: list[str] = []
+        self.defines: dict[str, str] = {}
 
     # ------------------------------------------------------------------
     def run(self, src: str) -> dict[str, Relation]:
@@ -125,6 +127,17 @@ class PigTranslator:
             outs = parent.split(*conds, otherwise=has_otherwise)
             for (alias, _), rel in zip(stmt.branches, outs):
                 self.aliases[alias] = RelInfo(rel)
+        elif isinstance(stmt, G.Simple) and stmt.op == "register":
+            self.registered.append(stmt.rel)  # recorded no-op: code is Python-native
+        elif isinstance(stmt, G.SetStmt):
+            # SET default_parallel n ≅ PARALLEL clause → shuffle partitions
+            key = {"default_parallel": "spark.sql.shuffle.partitions"}.get(stmt.key, stmt.key)
+            try:
+                self.spark.conf.set(key, stmt.value)
+            except Exception:
+                pass  # unknown/static confs are advisory in Pig too
+        elif isinstance(stmt, G.Define):
+            self.defines[stmt.alias] = stmt.func
         elif isinstance(stmt, G.AssertStmt):
             rel = self._rel(stmt.rel)
             self.aliases[stmt.rel] = RelInfo(rel.assert_by(self._expr(stmt.cond, rel), stmt.msg or ""))
@@ -552,7 +565,7 @@ class PigTranslator:
         return F.expr(name)
 
     def _call(self, e: G.Call, rel: Relation) -> Column:
-        fname = e.func
+        fname = self.defines.get(e.func, e.func)  # DEFINE alias → func
         fn = getattr(PF, fname, None) or getattr(PF, fname.upper(), None)
         if fn is None:
             raise NameError(f"pig latin: unknown function {fname!r}")

@@ -254,3 +254,20 @@ def test_nested_foreach_limit_rejected(spark, sf_dir):
                 GENERATE group, COUNT(x) AS n;
             }}
         """)
+
+
+def test_preamble_register_define_set(spark, sf_dir):
+    from pig_spark.latin import translator
+
+    tr = translator(spark)
+    tr.run(f"""
+        REGISTER piggybank.jar;
+        DEFINE shout UPPER();
+        SET default_parallel 8;
+        a = LOAD '{sf_dir}/nation.parquet' USING ParquetLoader();
+        b = FOREACH a GENERATE shout(n_name) AS loud;
+    """)
+    assert tr.registered == ["piggybank.jar"]
+    assert tr.defines == {"shout": "UPPER"}
+    vals = {r["loud"] for r in tr.relation("b").df.collect()}
+    assert vals and all(v == v.upper() for v in vals)
