@@ -167,3 +167,24 @@ def test_asof_join_single_shuffle(spark, sf_dir):
     c = e.filter(F.col("event_type") == "click").select("user_id", "ts", F.col("event_id").alias("cid"))
     plan = asof_join(p, c, "user_id", "ts", "ts", "cid")._jdf.queryExecution().executedPlan().toString()
     assert "Join" not in plan
+
+
+def test_salted_join_matches_plain(spark, sf_dir):
+    from pig_spark.operators.skew import salted_join
+
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet").select("o_custkey", "o_totalprice")
+    c = spark.read.parquet(f"{sf_dir}/customer.parquet").select(F.col("c_custkey").alias("o_custkey"), "c_mktsegment")
+    plain = o.join(c, "o_custkey").groupBy("c_mktsegment").count()
+    salted = salted_join(o, c, "o_custkey", salt=8).groupBy("c_mktsegment").count()
+    assert {tuple(r) for r in plain.collect()} == {tuple(r) for r in salted.collect()}
+
+
+def test_salted_join_left_outer(spark):
+    from pyspark.sql import Row
+
+    from pig_spark.operators.skew import salted_join
+
+    left = spark.createDataFrame([Row(k=1, v="a"), Row(k=2, v="b")])
+    right = spark.createDataFrame([Row(k=1, w="x")])
+    got = {(r["k"], r["w"]) for r in salted_join(left, right, "k", how="left", salt=4).collect()}
+    assert got == {(1, "x"), (2, None)}
