@@ -330,6 +330,28 @@ def oracle_sql() -> dict[str, str]:
               AND round(list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[]))
                         / (sqrt(list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(a.embedding AS DOUBLE[])))
                            * sqrt(list_dot_product(CAST(b.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])))), 6) >= 0.3""",
+        "q68_ann_ivf": f"""
+            WITH cents AS (
+                SELECT vec_id AS cid, CAST(embedding AS DOUBLE[]) AS cv
+                FROM embeddings WHERE vec_id < {similarity.IVF_NLIST}),
+            qprobe AS (
+                SELECT cid FROM cents
+                ORDER BY list_dot_product(cv, {qv}) / (sqrt(list_dot_product(cv, cv)) * {qnorm}) DESC, cid ASC
+                LIMIT {similarity.IVF_NPROBE}),
+            ranked AS (
+                SELECT e.vec_id, c.cid,
+                       row_number() OVER (PARTITION BY e.vec_id ORDER BY
+                           list_dot_product(CAST(e.embedding AS DOUBLE[]), c.cv)
+                           / (sqrt(list_dot_product(CAST(e.embedding AS DOUBLE[]), CAST(e.embedding AS DOUBLE[])))
+                              * sqrt(list_dot_product(c.cv, c.cv))) DESC, c.cid ASC) AS rn
+                FROM embeddings e CROSS JOIN cents c),
+            cand AS (
+                SELECT e.vec_id, CAST(e.embedding AS DOUBLE[]) AS v
+                FROM embeddings e JOIN ranked a ON e.vec_id = a.vec_id AND a.rn = 1
+                WHERE a.cid IN (SELECT cid FROM qprobe))
+            SELECT vec_id,
+                   round(list_dot_product(v, {qv}) / (sqrt(list_dot_product(v, v)) * {qnorm}), 6) AS score
+            FROM cand ORDER BY score DESC, vec_id ASC LIMIT 20""",
         "q46_ann_lsh": f"""
             WITH b AS (SELECT vec_id, embedding, {bucket_expr} AS bucket FROM embeddings)
             SELECT vec_id,

@@ -484,6 +484,15 @@ def q46_ann_lsh(spark: SparkSession, sf: str) -> DataFrame:
     return similarity.ann_topk_lsh(e, query, k=10, probes=2)
 
 
+def q68_ann_ivf(spark: SparkSession, sf: str) -> DataFrame:
+    """IVF ANN (coarse-quantizer scale path, complements q46's LSH):
+    deterministic bootstrap centroids, cell assignment in one JVM
+    projection, probe = top-3 cells."""
+    e = _t(spark, sf, "embeddings").df
+    query = [((i * 37) % 13 - 6) / 13.0 for i in range(similarity.EMB_DIM)]
+    return similarity.ann_topk_ivf(e, query, k=20)
+
+
 def q47_lang_id(spark: SparkSession, sf: str) -> DataFrame:
     d = _t(spark, sf, "documents")
     return d.foreach(pred_lang=text.lang_id(F.col("text"))).group_by("pred_lang").agg(n=F.count(F.lit(1))).df
