@@ -392,6 +392,12 @@ class Parser:
         alias = self._ident()
         self.expect("op", "=")
         op = self._op_clause()
+        # optional PARALLEL n (reducer-count hint, QueryParser.g). Spark
+        # parallelism is AQE-governed; recorded as advisory metadata.
+        t = self.peek()
+        if t.kind == "id" and t.text.lower() == "parallel":
+            self.next()
+            op.parallel = int(self.next().text)  # type: ignore[attr-defined]
         if isinstance(op, Foreach) and op.nested is not None:
             self.accept("op", ";")  # trailing ';' after '}' is optional
         else:

@@ -93,6 +93,7 @@ class PigTranslator:
 
     # ------------------------------------------------------------------
     def run(self, src: str) -> dict[str, Relation]:
+        src = self._preprocess(src)
         for name, value in self.params.items():
             src = src.replace(f"${name}", str(value))
         script = G.parse(src)
@@ -102,6 +103,25 @@ class PigTranslator:
 
     def relation(self, alias: str) -> Relation:
         return self.aliases[alias].rel
+
+    def _preprocess(self, src: str) -> str:
+        """Parameter preprocessor (tools/parameters in the reference):
+        %declare NAME value (always set) and %default NAME value (set
+        unless passed via params). Lines are consumed, values join the
+        $NAME substitution map."""
+        import re as _re
+
+        out_lines = []
+        for line in src.splitlines():
+            m = _re.match(r"\s*%(declare|default)\s+(\w+)\s+(.+?)\s*;?\s*$", line)
+            if m:
+                kind, name, value = m.groups()
+                value = value.strip("'\"")
+                if kind == "declare" or name not in self.params:
+                    self.params[name] = value
+                continue
+            out_lines.append(line)
+        return "\n".join(out_lines)
 
     # ------------------------------------------------------------------
     def _stmt(self, stmt):

@@ -271,3 +271,20 @@ def test_preamble_register_define_set(spark, sf_dir):
     assert tr.defines == {"shout": "UPPER"}
     vals = {r["loud"] for r in tr.relation("b").df.collect()}
     assert vals and all(v == v.upper() for v in vals)
+
+
+def test_parallel_clause_and_declare(spark, sf_dir):
+    """PARALLEL n parses (advisory — AQE governs parallelism) and
+    %declare/%default substitute like the reference preprocessor."""
+    from pig_spark.latin import run
+
+    rels = run(spark, f"""
+        %declare QTY 40
+        %default FLAG 'R'
+        a = LOAD '{sf_dir}/lineitem.parquet' USING ParquetLoader();
+        b = FILTER a BY l_quantity > $QTY AND l_returnflag == '$FLAG';
+        g = GROUP b BY l_returnflag PARALLEL 8;
+        out = FOREACH g GENERATE group, COUNT(b) AS n;
+    """)
+    rows = rels["out"].df.collect()
+    assert len(rows) == 1 and rows[0]["group"] == "R" and rows[0]["n"] > 0
