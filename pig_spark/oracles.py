@@ -458,6 +458,12 @@ def oracle_sql() -> dict[str, str]:
                    SUM((doc_id * 7) % 480 + 16) AS sum_h,
                    SUM(n_chars * 10) AS sum_dur
             FROM documents GROUP BY 1""",
+        "q69_range_join": f"""
+            SELECT n_nationkey AS band_id, COUNT(*) AS n, {_dsum('o_totalprice')} AS total
+            FROM orders JOIN nation
+              ON o_totalprice >= n_nationkey * 20000.0
+             AND o_totalprice < (n_nationkey + 1) * 20000.0
+            GROUP BY 1""",
         "q72_latin_nested_block": """
             SELECT user_id, COUNT(DISTINCT event_type) AS n_types,
                    COUNT(CASE WHEN value < 250.0 THEN 1 END) AS n_cheap,

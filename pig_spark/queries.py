@@ -817,6 +817,24 @@ def q67_multimodal_meta(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q69_range_join(spark: SparkSession, sf: str) -> DataFrame:
+    """Binned range join (point-in-interval as equi-join on bins):
+    orders priced into 20k-wide bands derived from nation keys. The
+    naive Pig idiom is CROSS+FILTER; this shuffles once on the bin."""
+    from .operators.range_join import range_join
+
+    o = _t(spark, sf, "orders").df.select("o_orderkey", "o_totalprice")
+    bands = _t(spark, sf, "nation").df.select(
+        F.col("n_nationkey").alias("band_id"),
+        (F.col("n_nationkey").cast("double") * 20000.0).alias("lo"),
+        ((F.col("n_nationkey").cast("double") + 1.0) * 20000.0).alias("hi"),
+    )
+    j = range_join(o, bands, val="o_totalprice", lo="lo", hi="hi", bin_width=20000.0)
+    return j.groupBy("band_id").agg(
+        F.count(F.lit(1)).alias("n"), dsum(F.col("o_totalprice")).alias("total")
+    )
+
+
 def q70_latin_script(spark: SparkSession, sf: str) -> DataFrame:
     """Pig Latin front-end end-to-end: a real .pig script (nightly.conf
     Checkin shape) parsed, translated, and lowered to groupBy().agg()

@@ -188,3 +188,46 @@ def test_salted_join_left_outer(spark):
     right = spark.createDataFrame([Row(k=1, w="x")])
     got = {(r["k"], r["w"]) for r in salted_join(left, right, "k", how="left", salt=4).collect()}
     assert got == {(1, "x"), (2, None)}
+
+
+def test_range_join_matches_naive(spark, sf_dir):
+    from pig_spark.operators.range_join import range_join
+
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet").select("o_orderkey", "o_totalprice")
+    bands = spark.range(30).select(
+        F.col("id").alias("band_id"),
+        (F.col("id") * 20000.0).alias("lo"),
+        ((F.col("id") + 1) * 20000.0).alias("hi"),
+    )
+    binned = range_join(o, bands, "o_totalprice", "lo", "hi", bin_width=20000.0)
+    naive = o.join(bands, (F.col("o_totalprice") >= F.col("lo")) & (F.col("o_totalprice") < F.col("hi")))
+    assert binned.count() == naive.count() == o.count()  # bands cover the domain
+    got = {(r["o_orderkey"], r["band_id"]) for r in binned.collect()}
+    exp = {(r["o_orderkey"], r["band_id"]) for r in naive.collect()}
+    assert got == exp
+
+
+def test_range_join_is_equi_shuffle(spark, sf_dir):
+    """The binned plan must be a hash/sort-merge equi join, not a
+    nested-loop/cartesian."""
+    from pig_spark.operators.range_join import range_join
+
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet").select("o_orderkey", "o_totalprice")
+    bands = spark.range(30).select(
+        F.col("id").alias("band_id"),
+        (F.col("id") * 20000.0).alias("lo"),
+        ((F.col("id") + 1) * 20000.0).alias("hi"),
+    )
+    plan = range_join(o, bands, "o_totalprice", "lo", "hi", 20000.0)._jdf.queryExecution().executedPlan().toString()
+    assert "NestedLoop" not in plan and "Cartesian" not in plan
+
+
+def test_range_join_left_outer(spark):
+    from pyspark.sql import Row
+
+    from pig_spark.operators.range_join import range_join
+
+    left = spark.createDataFrame([Row(k=1, v=5.0), Row(k=2, v=95.0)])
+    right = spark.createDataFrame([Row(name="low", lo=0.0, hi=10.0)])
+    got = {(r["k"], r["name"]) for r in range_join(left, right, "v", "lo", "hi", 10.0, how="left").collect()}
+    assert got == {(1, "low"), (2, None)}
