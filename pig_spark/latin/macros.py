@@ -1,0 +1,131 @@
+"""Pig macro expansion — DEFINE name(params) RETURNS alias { body }
+and IMPORT 'file.pig' (reference parser/PigMacro.java,
+QueryParserDriver.java:568-572 expandMacro).
+
+Like the reference, expansion is TEXTUAL and happens before parsing:
+each invocation `out = name(args);` splices the body with $param →
+argument and $return → out, and masks the body's internal aliases
+with a per-expansion prefix (macro_<name>_<n>_) so repeated
+invocations don't collide — the same hygiene scheme PigMacro uses.
+Macros may invoke other macros (expansion loops to fixpoint, depth
+capped to catch recursion, which Pig also forbids).
+"""
+
+from __future__ import annotations
+
+import os
+import re
+
+_DEFINE_RE = re.compile(
+    r"define\s+(\w+)\s*\(([^)]*)\)\s+returns\s+(\w+)\s*\{", re.IGNORECASE
+)
+_IMPORT_RE = re.compile(r"^\s*import\s+'([^']+)'\s*;\s*$", re.IGNORECASE | re.MULTILINE)
+_MAX_DEPTH = 16
+
+
+class Macro:
+    def __init__(self, name: str, params: list[str], ret: str, body: str):
+        self.name = name
+        self.params = params
+        self.ret = ret
+        self.body = body
+
+
+def _find_block_end(src: str, open_idx: int) -> int:
+    """Index just past the '}' matching src[open_idx]=='{' (handles
+    nested FOREACH { } blocks inside macro bodies)."""
+    depth = 0
+    for i in range(open_idx, len(src)):
+        if src[i] == "{":
+            depth += 1
+        elif src[i] == "}":
+            depth -= 1
+            if depth == 0:
+                return i + 1
+    raise SyntaxError("pig latin: unterminated macro body")
+
+
+def _extract_macros(src: str) -> tuple[str, dict[str, Macro]]:
+    macros: dict[str, Macro] = {}
+    out = src
+    while True:
+        m = _DEFINE_RE.search(out)
+        if not m:
+            return out, macros
+        name = m.group(1)
+        params = [p.strip() for p in m.group(2).split(",") if p.strip()]
+        ret = m.group(3)
+        end = _find_block_end(out, m.end() - 1)
+        body = out[m.end(): end - 1]
+        macros[name.lower()] = Macro(name, params, ret, body)
+        # consume an optional trailing ';'
+        tail = end
+        while tail < len(out) and out[tail] in " \t\r\n":
+            tail += 1
+        if tail < len(out) and out[tail] == ";":
+            tail += 1
+        out = out[: m.start()] + out[tail:]
+
+
+def _mask_inner_aliases(body: str, macro: Macro, counter: int) -> str:
+    """Rename aliases assigned inside the body (other than $-refs) to
+    macro_<name>_<n>_<alias> — PigMacro's alias masking."""
+    inner = set()
+    for am in re.finditer(r"(?m)^\s*(\w+)\s*=", body):
+        inner.add(am.group(1))
+    for alias in inner:
+        body = re.sub(rf"\b{re.escape(alias)}\b", f"macro_{macro.name}_{counter}_{alias}", body)
+    return body
+
+
+def _expand_once(src: str, macros: dict[str, Macro], counter: list[int]) -> tuple[str, bool]:
+    changed = False
+
+    def repl(m: re.Match) -> str:
+        nonlocal changed
+        lhs, name, argstr = m.group(1), m.group(2), m.group(3)
+        macro = macros.get(name.lower())
+        if macro is None:
+            return m.group(0)
+        args = [a.strip() for a in argstr.split(",") if a.strip()] if argstr.strip() else []
+        if len(args) != len(macro.params):
+            raise SyntaxError(
+                f"macro {macro.name}: expected {len(macro.params)} args, got {len(args)}"
+            )
+        changed = True
+        counter[0] += 1
+        body = _mask_inner_aliases(macro.body, macro, counter[0])
+        for p, a in zip(macro.params, args):
+            body = body.replace(f"${p}", a)
+        body = body.replace(f"${macro.ret}", lhs)
+        return body
+
+    pattern = re.compile(r"(?m)^\s*(\w+)\s*=\s*(\w+)\s*\(([^;]*)\)\s*;")
+    out = pattern.sub(repl, src)
+    return out, changed
+
+
+def expand(src: str, base_dir: str = ".") -> str:
+    """IMPORT-inline then macro-expand to fixpoint."""
+
+    def _inline(m: re.Match) -> str:
+        path = m.group(1)
+        full = path if os.path.isabs(path) else os.path.join(base_dir, path)
+        with open(full) as fh:
+            return fh.read()
+
+    for _ in range(_MAX_DEPTH):
+        new = _IMPORT_RE.sub(_inline, src)
+        if new == src:
+            break
+        src = new
+
+    src, macros = _extract_macros(src)
+    if not macros:
+        return src
+    counter = [0]  # persistent across passes — every expansion unique
+    for _ in range(_MAX_DEPTH):
+        src, changed = _expand_once(src, macros, counter)
+        if not changed:
+            return src
+    raise SyntaxError("pig latin: macro expansion did not converge (recursive macro?)")

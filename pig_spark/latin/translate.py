@@ -93,6 +93,9 @@ class PigTranslator:
 
     # ------------------------------------------------------------------
     def run(self, src: str) -> dict[str, Relation]:
+        from .macros import expand as _expand_macros
+
+        src = _expand_macros(src)
         src = self._preprocess(src)
         for name, value in self.params.items():
             src = src.replace(f"${name}", str(value))

@@ -288,3 +288,46 @@ def test_parallel_clause_and_declare(spark, sf_dir):
     """)
     rows = rels["out"].df.collect()
     assert len(rows) == 1 and rows[0]["group"] == "R" and rows[0]["n"] > 0
+
+
+def test_macro_define_returns(spark, sf_dir):
+    """DEFINE name(params) RETURNS alias { body } — textual expansion
+    with alias masking (PigMacro.java scheme)."""
+    from pig_spark.latin import run
+
+    rels = run(spark, f"""
+        DEFINE count_by(REL, key) RETURNS out {{
+            g = GROUP $REL BY $key;
+            $out = FOREACH g GENERATE group, COUNT($REL) AS n;
+        }};
+        e = LOAD '{sf_dir}/events.parquet' USING ParquetLoader();
+        by_type = count_by(e, event_type);
+        by_user = count_by(e, user_id);
+    """)
+    by_type = {r["group"]: r["n"] for r in rels["by_type"].df.collect()}
+    assert by_type and sum(by_type.values()) == rels["e"].df.count()
+    by_user = {r["group"]: r["n"] for r in rels["by_user"].df.collect()}
+    assert len(by_user) == 15  # sf0.001 has 15 distinct users
+    # masked inner aliases from both expansions exist, no collision
+    assert "macro_count_by_1_g" in rels and "macro_count_by_2_g" in rels
+
+
+def test_macro_import(spark, sf_dir, tmp_path):
+    from pig_spark.latin import run
+
+    macro_file = tmp_path / "lib.pig"
+    macro_file.write_text("""
+        DEFINE top_price(REL) RETURNS out {
+            o = ORDER $REL BY o_totalprice DESC;
+            $out = LIMIT o 5;
+        };
+    """)
+    rels = run(spark, f"""
+        IMPORT '{macro_file}';
+        ord = LOAD '{sf_dir}/orders.parquet' USING ParquetLoader();
+        best = top_price(ord);
+    """)
+    rows = rels["best"].df.collect()
+    assert len(rows) == 5
+    prices = [r["o_totalprice"] for r in rows]
+    assert prices == sorted(prices, reverse=True)
