@@ -26,7 +26,7 @@ from collections.abc import Sequence
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import types as T
 
-_FORMATS = {"parquet", "orc", "avro", "json", "csv", "text"}
+_FORMATS = {"parquet", "orc", "avro", "json", "csv", "text", "xml"}
 _ALIASES = {
     "pigstorage": "csv",
     "pig_storage": "csv",
@@ -34,6 +34,8 @@ _ALIASES = {
     "jsonloader": "json",
     "avrostorage": "avro",
     "orcstorage": "orc",
+    "xmlloader": "xml",  # piggybank XMLLoader → Spark 4 built-in xml source
+    "csvexcelstorage": "csv",  # piggybank CSVExcelStorage (quote/escape opts)
 }
 
 
@@ -100,6 +102,25 @@ def store(
         writer.format(fmt).saveAsTable(path)
         return
     writer.format(fmt).save(path)
+
+
+def load_fixed_width(
+    spark: SparkSession,
+    path: str,
+    fields: Sequence[tuple[str, int, int, str]],
+) -> DataFrame:
+    """piggybank FixedWidthLoader: fields = (name, start, end, type)
+    with 1-based inclusive column ranges. One text scan + substring
+    projections + gradual-typed casts (bad parse → null, Pig
+    semantics) — all codegen, splittable like any text file."""
+    from pyspark.sql import functions as F
+
+    raw = spark.read.text(path)
+    cols = [
+        F.trim(F.substring(F.col("value"), start, end - start + 1)).cast(typ).alias(name)
+        for name, start, end, typ in fields
+    ]
+    return raw.select(*cols)
 
 
 def load_tables(spark: SparkSession, sf_dir: str, *names: str) -> dict[str, DataFrame]:

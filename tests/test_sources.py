@@ -61,3 +61,30 @@ def test_relation_load_store(spark, df3, tmp_path):
 def test_unsupported_format_raises(spark):
     with pytest.raises(ValueError):
         load(spark, "/tmp/x", format="hbase")
+
+
+def test_xml_loader(spark, tmp_path):
+    """piggybank XMLLoader → Spark 4 built-in xml source."""
+    from pig_spark.sources import load
+
+    p = tmp_path / "data.xml"
+    p.write_text("<rows><row><a>1</a><b>x</b></row><row><a>2</a><b>y</b></row></rows>")
+    df = load(spark, str(tmp_path), format="XMLLoader", rowTag="row")
+    assert sorted((r["a"], r["b"]) for r in df.collect()) == [(1, "x"), (2, "y")]
+
+
+def test_fixed_width_loader(spark, tmp_path):
+    """piggybank FixedWidthLoader: 1-based inclusive ranges, bad parse
+    -> null (gradual typing)."""
+    from pig_spark.sources import load_fixed_width
+
+    p = tmp_path / "fw.txt"
+    p.write_text("alice  42  3.9\nbob    xx  2.5\n")
+    df = load_fixed_width(
+        spark,
+        str(p),
+        [("name", 1, 7, "string"), ("age", 8, 11, "int"), ("gpa", 12, 14, "double")],
+    )
+    rows = {r["name"]: (r["age"], r["gpa"]) for r in df.collect()}
+    assert rows["alice"] == (42, 3.9)
+    assert rows["bob"] == (None, 2.5)  # 'xx' -> null, not an error
