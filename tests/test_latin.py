@@ -331,3 +331,25 @@ def test_macro_import(spark, sf_dir, tmp_path):
     assert len(rows) == 5
     prices = [r["o_totalprice"] for r in rows]
     assert prices == sorted(prices, reverse=True)
+
+
+def test_cli_runner(tmp_path):
+    """python -m pig_spark.latin script.pig -p NAME=VALUE (bin/pig shape)."""
+    import subprocess
+    import sys
+
+    script = tmp_path / "s.pig"
+    script.write_text("""
+        li = LOAD '/root/testdata/sf0.001/nation.parquet' USING ParquetLoader();
+        g = GROUP li BY n_regionkey;
+        out = FOREACH g GENERATE group, COUNT(li) AS n;
+        DUMP out;
+    """)
+    r = subprocess.run(
+        [sys.executable, "-m", "pig_spark.latin", str(script)],
+        capture_output=True, text=True, timeout=180,
+        cwd="/root/repo",
+    )
+    assert r.returncode == 0, r.stderr[-500:]
+    tuples = [ln for ln in r.stdout.splitlines() if ln.startswith("(")]
+    assert len(tuples) == 5  # 5 regions
