@@ -20,10 +20,20 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 
-def stream_through(df: DataFrame, cmd: str, schema: str | T.StructType) -> DataFrame:
+def stream_through(
+    df: DataFrame, cmd: str, schema: str | T.StructType, ship: list[str] | None = None
+) -> DataFrame:
+    """``ship`` ≅ DEFINE ... SHIP('file') — distribute scripts/binaries
+    via ``SparkContext.addFile``. On YARN/K8s, spark.files localize
+    into the task working directory, so ``cmd`` invokes them as
+    ``./name`` — exactly Pig's ship-to-task-cwd contract. (local mode
+    keeps them under SparkFiles.getRootDirectory(); resolve with
+    ``pyspark.SparkFiles.get(name)``.)"""
     if isinstance(schema, str):
         schema = T.StructType.fromDDL(schema)
     spark = df.sparkSession
+    for path in ship or []:
+        spark.sparkContext.addFile(path)
 
     # serialize: tab-delimited text, null → empty field (PigStreaming.java)
     serialized = df.select(

@@ -1,0 +1,97 @@
+"""Seeded randomized differential testing: generate filter/group/agg
+query shapes over lineitem, run the DSL on Spark AND the equivalent
+SQL on DuckDB, compare exactly. Extends the fixed 90-query oracle
+gate with combinatorial coverage of the expression/aggregate surface
+(the reference's e2e harness plays the same role with a previous Pig
+release as the oracle — SURVEY §5).
+
+Deterministic seed → stable CI; bump N_QUERIES for a deeper soak.
+"""
+
+import random
+
+import duckdb
+import pytest
+from pyspark.sql import functions as F
+
+from pig_spark import Relation
+
+N_QUERIES = 24
+SEED = 20240813
+
+NUM_COLS = ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
+STR_COLS = ["l_returnflag", "l_linestatus"]
+CMP_OPS = [(">", lambda c, v: c > v), ("<", lambda c, v: c < v), (">=", lambda c, v: c >= v), ("<=", lambda c, v: c <= v)]
+AGGS = [
+    ("COUNT(*)", lambda c: F.count(F.lit(1))),
+    ("MIN({0})", lambda c: F.min(c)),
+    ("MAX({0})", lambda c: F.max(c)),
+    ("SUM(CAST(floor({0} * 100) AS BIGINT))", lambda c: F.sum(F.floor(F.col(c) * 100).cast("long"))),
+    ("COUNT(DISTINCT {0})", lambda c: F.countDistinct(c)),
+]
+
+
+def _gen_case(rng: random.Random):
+    """One random query: 1-2 conjunct filter, 0-2 group keys, 1-3 aggs."""
+    conds_sql, conds_col = [], []
+    for _ in range(rng.randint(1, 2)):
+        if rng.random() < 0.7:
+            col = rng.choice(NUM_COLS)
+            op_sql, op_fn = rng.choice(CMP_OPS)
+            v = round(rng.uniform(0.0, 50.0), 2) if col == "l_quantity" else round(rng.uniform(0.0, 0.1), 3)
+            conds_sql.append(f"{col} {op_sql} {v}")
+            conds_col.append(op_fn(F.col(col), F.lit(v)))
+        else:
+            col = rng.choice(STR_COLS)
+            vals = {"l_returnflag": ["A", "N", "R"], "l_linestatus": ["F", "O"]}[col]
+            v = rng.choice(vals)
+            if rng.random() < 0.5:
+                conds_sql.append(f"{col} = '{v}'")
+                conds_col.append(F.col(col) == v)
+            else:
+                conds_sql.append(f"{col} <> '{v}'")
+                conds_col.append(F.col(col) != v)
+    keys = rng.sample(STR_COLS, rng.randint(0, 2))
+    aggs = []
+    for i in range(rng.randint(1, 3)):
+        sql_tpl, fn = rng.choice(AGGS)
+        col = rng.choice(NUM_COLS)
+        aggs.append((f"a{i}", sql_tpl.format(col), fn(col)))
+    return conds_sql, conds_col, keys, aggs
+
+
+def _rows_to_set(rows, cols):
+    out = set()
+    for r in rows:
+        vals = []
+        for c in cols:
+            v = r[c] if not isinstance(r, tuple) else r[cols.index(c)]
+            if isinstance(v, float):
+                v = round(v, 6)
+            if v is not None and not isinstance(v, (str, float, bool)):
+                v = int(v)
+            vals.append(v)
+        out.add(tuple(vals))
+    return out
+
+
+@pytest.mark.parametrize("case_i", range(N_QUERIES))
+def test_random_query_matches_duckdb(spark, sf_dir, case_i):
+    rng = random.Random(SEED + case_i)
+    conds_sql, conds_col, keys, aggs = _gen_case(rng)
+
+    rel = Relation.load(spark, f"{sf_dir}/lineitem.parquet")
+    cond = conds_col[0]
+    for c in conds_col[1:]:
+        cond = cond & c
+    g = rel.filter(cond).group_by(*keys) if keys else rel.filter(cond).group_all()
+    spark_df = g.agg(**{name: col for name, _, col in aggs}).df
+    cols = keys + [name for name, _, _ in aggs]
+    got = _rows_to_set(spark_df.collect(), cols)
+
+    select = ", ".join(keys + [f"{sql} AS {name}" for name, sql, _ in aggs])
+    group = f"GROUP BY {', '.join(keys)}" if keys else ""
+    sql = f"SELECT {select} FROM '{sf_dir}/lineitem.parquet' WHERE {' AND '.join(conds_sql)} {group}"
+    exp = _rows_to_set(duckdb.sql(sql).fetchall(), cols)
+
+    assert got == exp, f"case {case_i}: {sql}"

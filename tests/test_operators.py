@@ -231,3 +231,23 @@ def test_range_join_left_outer(spark):
     right = spark.createDataFrame([Row(name="low", lo=0.0, hi=10.0)])
     got = {(r["k"], r["name"]) for r in range_join(left, right, "v", "lo", "hi", 10.0, how="left").collect()}
     assert got == {(1, "low"), (2, None)}
+
+
+def test_stream_through_ship(spark, tmp_path):
+    """DEFINE ... SHIP: shipped script is distributed via addFile and
+    runnable by the piped command (SparkFiles path in local mode;
+    ./name in cluster deploy — same contract as Pig's task-cwd ship)."""
+    import os
+    import stat
+
+    from pyspark import SparkFiles
+
+    script = tmp_path / "upper_b.sh"
+    script.write_text("#!/bin/sh\nsed 's/b/B/g'\n")
+    script.chmod(script.stat().st_mode | stat.S_IEXEC)
+
+    df = spark.createDataFrame([Row(a=1, b="abc")])
+    out = stream_through(df, str(script), "a int, b string", ship=[str(script)])
+    assert [(r["a"], r["b"]) for r in out.collect()] == [(1, "aBc")]
+    shipped = SparkFiles.get("upper_b.sh")
+    assert os.path.exists(shipped)
