@@ -35,6 +35,12 @@ HEADLINE = [
     "q42_ngram_jaccard",
     "q44_cosine_topk",
     "q48_quality_score",
+    "q64_bloom_filter",
+    "q65_sessionize",
+    "q66_asof_attribution",
+    "q67_multimodal_meta",
+    "q68_ann_ivf",
+    "q69_range_join",
 ]
 
 

@@ -107,3 +107,14 @@ def TOKENIZE(col: Column, delims: str | None = None) -> Column:
     pattern = f"[{delims}]+" if delims else _TOKENIZE_DELIMS
     toks = F.split(F.trim(col), pattern)
     return F.filter(toks, lambda t: t != "")
+
+
+def REGEX_EXTRACT_ALL(col: Column, pattern: str) -> Column:
+    """REGEX_EXTRACT_ALL.java — tuple of ALL capture groups of the
+    first match (null when no match). Pig returns a tuple; here a
+    struct-like array of group strings via regexp_extract per group."""
+    import re as _re
+
+    n_groups = _re.compile(pattern).groups
+    extracted = F.array(*[F.regexp_extract(col, pattern, g + 1) for g in range(n_groups)])
+    return F.when(col.rlike(pattern), extracted)

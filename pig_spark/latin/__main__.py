@@ -21,9 +21,6 @@ def main(argv: list[str] | None = None) -> int:
     ap.add_argument("--explain", action="store_true", help="print the plan of every alias instead of executing stores")
     args = ap.parse_args(argv)
 
-    if not args.script and not args.execute:
-        ap.error("need a script file or -e 'statements;'")
-    src = args.execute if args.execute else open(args.script).read()
     params = dict(p.split("=", 1) for p in args.param)
 
     from ..session import get_spark
@@ -32,12 +29,43 @@ def main(argv: list[str] | None = None) -> int:
     spark = get_spark("pig_spark_latin")
     spark.sparkContext.setLogLevel("ERROR")
     tr = translator(spark, params=params)
+
+    if not args.script and not args.execute:
+        return _grunt(tr)
+
+    src = args.execute if args.execute else open(args.script).read()
     rels = tr.run(src)
     if args.explain:
         for alias, rel in rels.items():
             print(f"-- {alias}")
             rel.explain()
     return 0
+
+
+def _grunt(tr) -> int:
+    """Grunt shell (reference tools/grunt/Grunt.java): read statements
+    until a terminating ';' (or '}'), execute incrementally, keep the
+    alias environment across inputs. quit/exit leaves."""
+    print("grunt — pig_spark interactive shell (quit; to exit)")
+    buf: list[str] = []
+    while True:
+        try:
+            line = input("grunt> " if not buf else "    >> ")
+        except EOFError:
+            print()
+            return 0
+        if not buf and line.strip().rstrip(";").lower() in ("quit", "exit"):
+            return 0
+        buf.append(line)
+        joined = "\n".join(buf)
+        # a statement ends at ';' (or '}' for nested-foreach blocks)
+        if not (line.rstrip().endswith(";") or line.rstrip().endswith("}")):
+            continue
+        buf = []
+        try:
+            tr.run(joined)
+        except Exception as e:  # keep the shell alive like Grunt does
+            print(f"ERROR: {e}")
 
 
 if __name__ == "__main__":

@@ -39,7 +39,7 @@ KEYWORDS = {
     "order", "asc", "desc", "distinct", "limit", "sample", "union",
     "onschema", "cross", "rank", "dense", "split", "into", "if",
     "otherwise", "stream", "through", "store", "dump", "describe",
-    "explain", "and", "or", "not", "is", "null", "matches", "flatten",
+    "explain", "illustrate", "and", "or", "not", "is", "null", "matches", "flatten",
     "assert", "define", "register", "set", "in", "case", "when", "then",
     "else", "end", "true", "false",
 }
@@ -385,7 +385,7 @@ class Parser:
 
     def statement(self):
         t = self.peek()
-        if t.kind == "kw" and t.text in ("store", "dump", "describe", "explain", "split", "assert"):
+        if t.kind == "kw" and t.text in ("store", "dump", "describe", "explain", "illustrate", "split", "assert"):
             return self._top_level_op()
         if t.kind == "kw" and t.text in ("register", "define", "set"):
             return self._preamble_stmt()
@@ -438,7 +438,7 @@ class Parser:
                 storer, args = self._func_spec()
             self.expect("op", ";")
             return Store(rel, path, storer, args)
-        if kw in ("dump", "describe", "explain"):
+        if kw in ("dump", "describe", "explain", "illustrate"):
             rel = self._ident()
             self.expect("op", ";")
             return Simple(kw, rel)

@@ -143,6 +143,8 @@ class PigTranslator:
             print(f"{stmt.rel}: {self._rel(stmt.rel).describe()}")
         elif isinstance(stmt, G.Simple) and stmt.op == "explain":
             self._rel(stmt.rel).explain()
+        elif isinstance(stmt, G.Simple) and stmt.op == "illustrate":
+            self._rel(stmt.rel).illustrate()
         elif isinstance(stmt, G.SplitStmt):
             parent = self._rel(stmt.rel)
             conds = [self._expr(c, parent) for _, c in stmt.branches if c is not None]

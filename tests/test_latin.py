@@ -353,3 +353,25 @@ def test_cli_runner(tmp_path):
     assert r.returncode == 0, r.stderr[-500:]
     tuples = [ln for ln in r.stdout.splitlines() if ln.startswith("(")]
     assert len(tuples) == 5  # 5 regions
+
+
+def test_grunt_repl(tmp_path):
+    """Interactive Grunt shell: incremental statements, alias env
+    persists, errors don't kill the shell."""
+    import subprocess
+    import sys
+
+    r = subprocess.run(
+        [sys.executable, "-m", "pig_spark.latin"],
+        input=(
+            "a = LOAD '/root/testdata/sf0.001/region.parquet' USING ParquetLoader();\n"
+            "bogus = FILTER nope BY x > 1;\n"  # error -> shell survives
+            "b = FILTER a BY r_regionkey > 2;\n"
+            "DUMP b;\n"
+            "quit;\n"
+        ),
+        capture_output=True, text=True, timeout=180, cwd="/root/repo",
+    )
+    assert r.returncode == 0, r.stderr[-400:]
+    assert "ERROR" in r.stdout  # the bad statement reported, not fatal
+    assert "(3,EUROPE)" in r.stdout and "(4,MIDDLE EAST)" in r.stdout
