@@ -95,3 +95,52 @@ def test_random_query_matches_duckdb(spark, sf_dir, case_i):
     exp = _rows_to_set(duckdb.sql(sql).fetchall(), cols)
 
     assert got == exp, f"case {case_i}: {sql}"
+
+
+N_JOIN_QUERIES = 12
+
+
+@pytest.mark.parametrize("case_i", range(N_JOIN_QUERIES))
+def test_random_join_query_matches_duckdb(spark, sf_dir, case_i):
+    """Random join shapes: orders ⋈ customer with a filter on either
+    side, grouped aggregate over the join output."""
+    rng = random.Random(SEED * 7 + case_i)
+    o_pred_v = round(rng.uniform(50_000, 400_000), 2)
+    o_op_sql, o_op_fn = rng.choice(CMP_OPS)
+    seg = rng.choice(["BUILDING", "AUTOMOBILE", "MACHINERY", "HOUSEHOLD", "FURNITURE"])
+    how = rng.choice(["inner", "left"])
+    key = rng.choice(["c_mktsegment", "c_nationkey"])
+
+    c = Relation.load(spark, f"{sf_dir}/customer.parquet")
+    o = Relation.load(spark, f"{sf_dir}/orders.parquet").filter(
+        o_op_fn(F.col("o_totalprice"), F.lit(o_pred_v))
+    )
+    filter_customer = rng.random() < 0.5
+    if filter_customer:
+        c = c.filter(F.col("c_mktsegment") != seg)
+    j = c.join(o, on=[F.col("c_custkey") == F.col("o_custkey")], how=how)
+    spark_df = (
+        j.group_by(key)
+        .agg(
+            n=F.count(F.col("o_orderkey")),
+            s=F.sum(F.floor(F.col("o_totalprice")).cast("long")),
+        )
+        .df
+    )
+    cols = [key, "n", "s"]
+    got = _rows_to_set(spark_df.collect(), cols)
+
+    c_src = (
+        f"(SELECT * FROM '{sf_dir}/customer.parquet' WHERE c_mktsegment <> '{seg}')"
+        if filter_customer
+        else f"'{sf_dir}/customer.parquet'"
+    )
+    sql = f"""
+        SELECT {key}, COUNT(o_orderkey) AS n, SUM(CAST(floor(o_totalprice) AS BIGINT)) AS s
+        FROM {c_src} c
+        {'JOIN' if how == 'inner' else 'LEFT JOIN'}
+             (SELECT * FROM '{sf_dir}/orders.parquet' WHERE o_totalprice {o_op_sql} {o_pred_v}) o
+          ON c.c_custkey = o.o_custkey
+        GROUP BY {key}"""
+    exp = _rows_to_set(duckdb.sql(sql).fetchall(), cols)
+    assert got == exp, f"case {case_i}: how={how} key={key}"
