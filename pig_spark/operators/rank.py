@@ -11,9 +11,20 @@ Pig's RANK prepends a 1-based rank column:
   partition global window.
 - ``RANK rel BY cols [DESC] [DENSE]``: SQL rank()/dense_rank() by the
   sort key. A naive ``Window.orderBy`` without partitioning drags the
-  whole relation to one task; instead we aggregate per distinct key
-  (distributed), compute the cumulative offsets on the *key* domain
-  (orders of magnitude smaller), and broadcast-join the rank back.
+  whole relation to one task; instead:
+
+  1. aggregate per distinct key (one distributed shuffle);
+  2. range-partition the key domain by the sort order and compute
+     per-partition cumulative row/key counts (windows partitioned by
+     range-partition id — distributed);
+  3. cumulative offsets across partitions come from a per-partition
+     totals table (≤ shuffle-partition-count rows — the only
+     single-partition step, bounded by cluster config not data);
+  4. join ranks back on the key (Catalyst/AQE picks broadcast when
+     the key domain is small, sort-merge when it isn't).
+
+  This is POCounter/PORank's two-pass scheme applied to the key
+  domain — no single-partition pass over data-sized input anywhere.
 """
 
 from __future__ import annotations
@@ -50,19 +61,39 @@ def rank(
         ascending = [ascending] * len(by)
     tagged = df.select(F.struct(*[c.alias(k) for c, k in zip(by, key_names)]).alias("__key"), "*")
 
-    # distinct-key domain with per-key row counts (one shuffle, distributed)
+    # 1. distinct-key domain with per-key row counts (one shuffle)
     key_counts = tagged.groupBy("__key").agg(F.count(F.lit(1)).alias("__cnt"))
     order = [F.col(f"__key.{k}").asc_nulls_first() if a else F.col(f"__key.{k}").desc_nulls_last() for k, a in zip(key_names, ascending)]
+
+    # 2. range-partition the key domain in sort order; per-partition
+    #    cumulative counts are distributed windows over __rpid
+    kc = (
+        key_counts.repartitionByRange(*order)
+        .sortWithinPartitions(*order)
+        .withColumn("__rpid", F.spark_partition_id())
+    )
+    w_prev = Window.partitionBy("__rpid").orderBy(*order).rowsBetween(Window.unboundedPreceding, -1)
+    local_prev_rows = F.coalesce(F.sum("__cnt").over(w_prev), F.lit(0))
+    local_prev_keys = F.row_number().over(Window.partitionBy("__rpid").orderBy(*order)) - 1
+
+    # 3. cross-partition offsets from the tiny totals table
+    totals = kc.groupBy("__rpid").agg(
+        F.sum("__cnt").alias("__rows"), F.count(F.lit(1)).alias("__keys")
+    )
+    w_off = Window.orderBy("__rpid").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = totals.select(
+        "__rpid",
+        F.coalesce(F.sum("__rows").over(w_off), F.lit(0)).alias("__off_rows"),
+        F.coalesce(F.sum("__keys").over(w_off), F.lit(0)).alias("__off_keys"),
+    )
+    ranked_keys = kc.join(F.broadcast(offsets), "__rpid")
     if dense:
-        # dense_rank(k) = #distinct keys before k + 1
-        w = Window.orderBy(*order)
-        ranks = key_counts.withColumn(name, F.row_number().over(w).cast("long"))
+        rank_col = (F.col("__off_keys") + local_prev_keys + 1).cast("long")
     else:
-        # rank(k) = #rows with key strictly before k + 1
-        w = Window.orderBy(*order).rowsBetween(Window.unboundedPreceding, -1)
-        ranks = key_counts.withColumn(name, (F.coalesce(F.sum("__cnt").over(w), F.lit(0)) + 1).cast("long"))
-    ranks = ranks.select("__key", name)
-    # the window above runs on the distinct-key relation only; join the
-    # rank back broadcast-style (key domain ≪ row count).
-    out = tagged.join(F.broadcast(ranks), "__key").drop("__key")
+        rank_col = (F.col("__off_rows") + local_prev_rows + 1).cast("long")
+    ranks = ranked_keys.withColumn(name, rank_col).select("__key", name)
+
+    # 4. join back on the key — no forced broadcast: AQE broadcasts a
+    #    small key domain and falls back to SMJ for huge ones.
+    out = tagged.join(ranks, "__key").drop("__key")
     return out.select(name, *df.columns)

@@ -469,6 +469,12 @@ def oracle_sql() -> dict[str, str]:
                    COUNT(CASE WHEN value < 250.0 THEN 1 END) AS n_cheap,
                    MAX(value) AS max_rev
             FROM events GROUP BY user_id""",
+        "q73_latin_macro": """
+            SELECT 'orders' AS src, o_orderstatus AS key, COUNT(*) AS n, MAX(o_totalprice) AS max_p
+            FROM orders GROUP BY o_orderstatus
+            UNION ALL
+            SELECT 'customer' AS src, c_mktsegment AS key, COUNT(*) AS n, MAX(c_acctbal) AS max_p
+            FROM customer GROUP BY c_mktsegment""",
         "q71_latin_join_script": """
             SELECT c_mktsegment AS seg, COUNT(*) AS n, MAX(o_totalprice) AS max_price
             FROM orders JOIN customer ON o_custkey = c_custkey

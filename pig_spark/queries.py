@@ -835,6 +835,30 @@ def q69_range_join(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q73_latin_macro(spark: SparkSession, sf: str) -> DataFrame:
+    """Macro expansion end-to-end (parser/PigMacro.java): one macro,
+    two invocations over different tables, results unioned."""
+    from .latin import run
+
+    rels = run(spark, f"""
+        DEFINE price_stats(REL, key, price) RETURNS out {{
+            g = GROUP $REL BY $key;
+            $out = FOREACH g GENERATE group, COUNT($REL) AS n, MAX($REL.$price) AS max_p;
+        }};
+        ord = LOAD '{sf}/orders.parquet' USING ParquetLoader();
+        cust = LOAD '{sf}/customer.parquet' USING ParquetLoader();
+        by_status = price_stats(ord, o_orderstatus, o_totalprice);
+        by_seg = price_stats(cust, c_mktsegment, c_acctbal);
+    """)
+    a = rels["by_status"].df.select(
+        F.lit("orders").alias("src"), F.col("group").alias("key"), "n", "max_p"
+    )
+    b = rels["by_seg"].df.select(
+        F.lit("customer").alias("src"), F.col("group").alias("key"), "n", "max_p"
+    )
+    return a.unionByName(b)
+
+
 def q70_latin_script(spark: SparkSession, sf: str) -> DataFrame:
     """Pig Latin front-end end-to-end: a real .pig script (nightly.conf
     Checkin shape) parsed, translated, and lowered to groupBy().agg()
