@@ -85,3 +85,48 @@ def test_session_counts_rate_source(spark):
         assert all(r["session_window"]["end"] >= r["session_window"]["start"] for r in rows)
     finally:
         q.stop()
+
+
+def test_file_stream_matches_batch(spark, sf_dir, tmp_path):
+    """Batch/streaming parity: the same windowed count over
+    events.parquet via readStream (availableNow, bounded) equals the
+    batch aggregation — one pipeline definition, two execution modes."""
+    from pig_spark.functions import ns_to_timestamp
+
+    batch_df = spark.read.parquet(f"{sf_dir}/events.parquet")
+    schema = batch_df.schema
+    src = (
+        spark.readStream.schema(schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+
+    def pipeline(df):
+        ts = ns_to_timestamp(F.col("ts"))
+        return (
+            df.where(F.col("event_type").isNotNull())
+            .groupBy(F.window(ts, "1 hour"), F.col("event_type"))
+            .agg(F.count(F.lit(1)).alias("n"))
+        )
+
+    q = (
+        pipeline(src)
+        .writeStream.format("memory")
+        .queryName("file_win")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        q.awaitTermination(120)
+    finally:
+        q.stop()
+    got = {
+        (r["window"]["start"], r["event_type"]): r["n"]
+        for r in spark.sql("SELECT * FROM file_win").collect()
+    }
+    exp = {
+        (r["window"]["start"], r["event_type"]): r["n"]
+        for r in pipeline(batch_df).collect()
+    }
+    assert got == exp and len(got) > 10
