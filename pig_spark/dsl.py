@@ -165,11 +165,11 @@ class Relation:
         """GROUP rel ALL — single global group (GroupByConstParallelSetter)."""
         return GroupedRelation(self, [])
 
-    def cogroup(self, others: "Sequence[Relation]", on: Sequence[Sequence[str]], bag_names: Sequence[str] | None = None) -> "Relation":
+    def cogroup(self, others: "Sequence[Relation]", on: Sequence[Sequence[str]], bag_names: Sequence[str] | None = None, inner: Sequence[bool] | None = None) -> "Relation":
         """COGROUP — see operators.cogroup for null-key semantics."""
         from .operators.cogroup import cogroup as _cogroup
 
-        return Relation(_cogroup([self.df] + [o.df for o in others], on, bag_names))
+        return Relation(_cogroup([self.df] + [o.df for o in others], on, bag_names, inner))
 
     def cube(self, *dims: str, agg: dict[str, Column], all_marker: str | None = None) -> "Relation":
         """CUBE rel BY CUBE(dims) (QueryParser.g:595, LOCube.java)."""

@@ -128,6 +128,7 @@ class Group:
     rels: list[str]
     keys: list[list["Expr"]]  # per input; empty = ALL
     cogroup: bool = False
+    inner: list[bool] | None = None  # per-input INNER flags
 
 
 @dataclass
@@ -572,7 +573,7 @@ class Parser:
         return GenItem(e, alias, flatten)
 
     def _op_group(self, cogroup: bool = False):
-        rels, keys = [], []
+        rels, keys, inner = [], [], []
         while True:
             rels.append(self._ident())
             if self.accept("kw", "all"):
@@ -580,10 +581,15 @@ class Parser:
             else:
                 self.expect("kw", "by")
                 keys.append(self._key_list())
+            if self.accept("kw", "inner"):
+                inner.append(True)
+            else:
+                self.accept("kw", "outer")
+                inner.append(False)
             if not self.accept("op", ","):
                 break
         # ignore PARTITION BY / USING clauses (optimizer hints) — AQE handles
-        return Group(rels, keys, cogroup=cogroup)
+        return Group(rels, keys, cogroup=cogroup, inner=inner if any(inner) else None)
 
     def _op_cogroup(self):
         return self._op_group(cogroup=True)

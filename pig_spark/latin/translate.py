@@ -266,7 +266,7 @@ class PigTranslator:
             named = self._key_names(keys, rel)
             key_names.append([n for n, _ in named])
             dfs.append(rel)
-        out = first.cogroup(others, on=key_names, bag_names=list(op.rels))
+        out = first.cogroup(others, on=key_names, bag_names=list(op.rels), inner=op.inner)
         if len(key_names[0]) == 1:
             out = Relation(out.df.withColumnRenamed(key_names[0][0], "group"))
         return RelInfo(out)

@@ -31,8 +31,13 @@ def cogroup(
     dfs: Sequence[DataFrame],
     on: Sequence[Sequence[str]],
     bag_names: Sequence[str] | None = None,
+    inner: Sequence[bool] | None = None,
 ) -> DataFrame:
-    """COGROUP df0 BY on[0], df1 BY on[1], ...
+    """COGROUP df0 BY on[0], df1 BY on[1], ... [INNER|OUTER]
+
+    ``inner[i]`` marks input i INNER (QueryParser.g:429-437,
+    LOCogroup): output rows where that input's bag is empty are
+    dropped — Pig's cogroup-based join idiom. Default all OUTER.
 
     Returns key columns (named after on[0]) + one array<struct> bag per
     input. Bags are empty arrays (not null) for non-matching keys, like
@@ -75,4 +80,7 @@ def cogroup(
         result = result.withColumn(name, F.coalesce(F.col(name), F.array().cast(result.schema[name].dataType)))
     for j, k in enumerate(on[0]):
         result = result.withColumnRenamed(out_keys[j], k)
+    for i, is_inner in enumerate(inner or []):
+        if is_inner:
+            result = result.filter(F.size(F.col(bag_names[i])) > 0)
     return result.select(*on[0], *bag_names)

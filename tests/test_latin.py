@@ -375,3 +375,17 @@ def test_grunt_repl(tmp_path):
     assert r.returncode == 0, r.stderr[-400:]
     assert "ERROR" in r.stdout  # the bad statement reported, not fatal
     assert "(3,EUROPE)" in r.stdout and "(4,MIDDLE EAST)" in r.stdout
+
+
+def test_cogroup_inner_latin(spark, sf_dir):
+    from pig_spark.latin import run
+
+    rels = run(spark, f"""
+        c = LOAD '{sf_dir}/customer.parquet' USING ParquetLoader();
+        o = LOAD '{sf_dir}/orders.parquet' USING ParquetLoader();
+        cg = COGROUP o BY o_custkey INNER, c BY c_custkey;
+    """)
+    df = rels["cg"].df
+    # INNER on orders: every surviving row has a non-empty orders bag
+    assert df.filter(F.size("o") == 0).count() == 0
+    assert df.count() > 0

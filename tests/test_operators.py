@@ -251,3 +251,19 @@ def test_stream_through_ship(spark, tmp_path):
     assert [(r["a"], r["b"]) for r in out.collect()] == [(1, "aBc")]
     shipped = SparkFiles.get("upper_b.sh")
     assert os.path.exists(shipped)
+
+
+def test_cogroup_inner_modifier(spark):
+    """COGROUP a BY k INNER, b BY k: rows with empty a-bag dropped
+    (LOCogroup inner flag); b stays outer."""
+    a = spark.createDataFrame([Row(k=1, v="x")])
+    b = spark.createDataFrame([Row(k=1, w=10), Row(k=2, w=20)])
+    out = Relation(a).cogroup(
+        [Relation(b)], on=[["k"], ["k"]], bag_names=["ba", "bb"], inner=[True, False]
+    ).df.collect()
+    keys = sorted(r["k"] for r in out)
+    assert keys == [1]  # k=2 dropped: a's bag empty and a is INNER
+    both_inner = Relation(a).cogroup(
+        [Relation(b)], on=[["k"], ["k"]], bag_names=["ba", "bb"], inner=[True, True]
+    ).df.collect()
+    assert sorted(r["k"] for r in both_inner) == [1]
