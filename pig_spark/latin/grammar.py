@@ -37,7 +37,7 @@ KEYWORDS = {
     "load", "using", "as", "filter", "by", "foreach", "generate", "group",
     "cogroup", "all", "join", "left", "right", "full", "outer", "inner",
     "order", "asc", "desc", "distinct", "limit", "sample", "union",
-    "onschema", "cross", "rank", "dense", "split", "into", "if",
+    "onschema", "cross", "rank", "dense", "cube", "rollup", "split", "into", "if",
     "otherwise", "stream", "through", "store", "dump", "describe",
     "explain", "illustrate", "and", "or", "not", "is", "null", "matches", "flatten",
     "assert", "define", "register", "set", "in", "case", "when", "then",
@@ -179,6 +179,14 @@ class Rank:
     rel: str
     keys: list[tuple["Expr", bool]]
     dense: bool
+
+
+@dataclass
+class CubeStmt:
+    """CUBE rel BY CUBE(d1,d2) / ROLLUP(d3,d4) [, ...] (QueryParser.g:595)."""
+
+    rel: str
+    clauses: list[tuple[str, list["Expr"]]]  # ('cube'|'rollup', dims)
 
 
 @dataclass
@@ -665,6 +673,26 @@ class Parser:
             rels.append(self._ident())
         return Cross(rels)
 
+    def _op_cube(self):
+        rel = self._ident()
+        self.expect("kw", "by")
+        clauses: list[tuple[str, list]] = []
+        while True:
+            t = self.peek()
+            if t.kind == "kw" and t.text in ("cube", "rollup"):
+                kind = self.next().text
+            else:
+                raise SyntaxError(f"pig latin: expected CUBE or ROLLUP, got {t.text!r} at offset {t.pos}")
+            self.expect("op", "(")
+            dims = [self.expr()]
+            while self.accept("op", ","):
+                dims.append(self.expr())
+            self.expect("op", ")")
+            clauses.append((kind, dims))
+            if not self.accept("op", ","):
+                break
+        return CubeStmt(rel, clauses)
+
     def _op_rank(self):
         rel = self._ident()
         keys, dense = [], False
@@ -850,10 +878,12 @@ class Parser:
             e = self.expr()
             self.expect("op", ")")
             return e
-        if t.kind == "kw" and t.text == "group":
+        if t.kind == "kw" and t.text in ("group", "cube", "rollup"):
+            # 'group' = the group-key tuple; 'cube' = the CUBE
+            # statement's output bag; both usable as plain columns in
+            # expressions (non-reserved in these positions in Pig)
             self.next()
-            # allow group.key
-            return Col("group")
+            return Col(t.text)
         if t.kind == "id":
             name = self.next().text
             if self.accept("op", "("):

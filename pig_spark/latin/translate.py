@@ -60,6 +60,11 @@ class GroupedInfo:
     key_exprs: list[tuple[str, Column]]  # output key name → child expr
     child: Relation
     child_alias: str
+    # CUBE/ROLLUP statements carry explicit grouping sets (lists of key
+    # names); None = plain GROUP BY. Lowered to df.groupingSets so
+    # partial aggregation stays below the Expand node (LOCube.java
+    # desugars to row expansion BEFORE the shuffle — strictly worse).
+    sets: list[list[str]] | None = None
 
 
 @dataclass
@@ -206,6 +211,8 @@ class PigTranslator:
             for r in rels[1:]:
                 out = out.cross(r)
             return RelInfo(out)
+        if isinstance(op, G.CubeStmt):
+            return self._cube_stmt(op)
         if isinstance(op, G.Rank):
             rel = self._rel(op.rel)
             if not op.keys:
@@ -270,6 +277,52 @@ class PigTranslator:
         if len(key_names[0]) == 1:
             out = Relation(out.df.withColumnRenamed(key_names[0][0], "group"))
         return RelInfo(out)
+
+    def _cube_stmt(self, op: G.CubeStmt) -> RelInfo:
+        """CUBE rel BY CUBE(..)/ROLLUP(..) (QueryParser.g:595, LOCube.java:31-70).
+
+        Grouping sets = the cross product of each clause's sets (CUBE →
+        powerset, ROLLUP → prefixes), exactly Pig's CubeDimensions ×
+        RollupDimensions expansion — but expressed as df.groupingSets
+        so Catalyst plans Expand + partial agg instead of pre-shuffle
+        row multiplication. Rolled-up dims are NULL (SQL-standard);
+        Pig's 'ALL' string marker is available via Relation.cube(
+        all_marker=...) for golden-output compat.
+        """
+        from itertools import combinations, product
+
+        alias = op.rel
+        child = self._rel(alias)
+        named: list[tuple[str, Column]] = []
+        clause_sets: list[list[list[str]]] = []
+        for kind, dims in op.clauses:
+            dn = self._key_names(dims, child)
+            # offset default names so CUBE(a,b), ROLLUP(c,d) don't collide
+            dn = [(n if not n.startswith("k") or not n[1:].isdigit() else f"k{len(named) + i}", c)
+                  for i, (n, c) in enumerate(dn)]
+            names = [n for n, _ in dn]
+            named.extend(dn)
+            if kind == "cube":
+                sets = [list(c) for r in range(len(names), -1, -1) for c in combinations(names, r)]
+            else:  # rollup: full prefix chain down to ()
+                sets = [names[:i] for i in range(len(names), -1, -1)]
+            clause_sets.append(sets)
+        sets = [sum(combo, []) for combo in product(*clause_sets)]
+        # materialize key exprs under their output names; keep every other
+        # child column for downstream aggregates
+        names = [n for n, _ in named]
+        base = child.df.select(
+            *[c.alias(n) for n, c in named],
+            *[child.df[x] for x in child.df.columns if x not in names],
+        )
+        # Pig names the cubed relation's bag 'cube' (LOCube docs), so
+        # downstream FOREACH writes COUNT(cube) / SUM(cube.x)
+        info = GroupedInfo([(n, F.col(n)) for n in names], Relation(base), "cube", sets=sets)
+        # literal bag form (FOREACH fallback): bag named 'cube' per Pig
+        bag = base.groupingSets([[F.col(n) for n in s] for s in sets], *[F.col(n) for n in names]).agg(
+            F.collect_list(F.struct(*[F.col(x) for x in base.columns])).alias("cube")
+        )
+        return RelInfo(Relation(bag), grouped=info)
 
     def _key_names(self, keys, rel: Relation) -> list[tuple[str, Column]]:
         named = []
@@ -344,7 +397,15 @@ class PigTranslator:
                 continue
             aggs.append(self._agg_expr(e, g).alias(name))
             selects.append(F.col(name))
-        grouped = child.df.groupBy(*key_cols) if key_cols else child.df.groupBy()
+        if g.sets is not None:
+            names = [n for n, _ in g.key_exprs]
+            grouped = child.df.groupingSets(
+                [[F.col(n) for n in s] for s in g.sets], *[F.col(n) for n in names]
+            )
+        elif key_cols:
+            grouped = child.df.groupBy(*key_cols)
+        else:
+            grouped = child.df.groupBy()
         out = grouped.agg(*aggs) if aggs else grouped.agg(F.count(F.lit(1)).alias("__n")).drop("__n")
         return Relation(out.select(*selects))
 

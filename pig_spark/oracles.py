@@ -475,6 +475,10 @@ def oracle_sql() -> dict[str, str]:
             UNION ALL
             SELECT 'customer' AS src, c_mktsegment AS key, COUNT(*) AS n, MAX(c_acctbal) AS max_p
             FROM customer GROUP BY c_mktsegment""",
+        "q74_latin_cube": """
+            SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n,
+                   CAST(SUM(CAST(o_totalprice AS DECIMAL(38,18))) AS DOUBLE) AS total
+            FROM orders GROUP BY CUBE(o_orderstatus, o_orderpriority)""",
         "q71_latin_join_script": """
             SELECT c_mktsegment AS seg, COUNT(*) AS n, MAX(o_totalprice) AS max_price
             FROM orders JOIN customer ON o_custkey = c_custkey

@@ -893,6 +893,29 @@ def q71_latin_join_script(spark: SparkSession, sf: str) -> DataFrame:
     return rels["s"].df.withColumnRenamed("group", "seg")
 
 
+def q74_latin_cube(spark: SparkSession, sf: str) -> DataFrame:
+    """CUBE statement through the Latin front-end (QueryParser.g:595,
+    LOCube.java:31-70): grouping-set expansion lowered to
+    df.groupingSets — Expand below partial aggregation, the inverse of
+    Pig's pre-shuffle CubeDimensions row multiplication."""
+    from .latin import run
+
+    rels = run(spark, f"""
+        o = LOAD '{sf}/orders.parquet' USING ParquetLoader();
+        p = FOREACH o GENERATE o_orderstatus, o_orderpriority,
+                     (bigdecimal) o_totalprice AS price;
+        c = CUBE p BY CUBE(o_orderstatus, o_orderpriority);
+        out = FOREACH c GENERATE FLATTEN(group), COUNT(cube) AS n,
+                       SUM(cube.price) AS total;
+    """)
+    return rels["out"].df.select(
+        "o_orderstatus",
+        "o_orderpriority",
+        "n",
+        F.col("total").cast("double").alias("total"),
+    )
+
+
 from .pigmix import PIGMIX_QUERIES  # noqa: E402  (avoids circular import)
 
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {

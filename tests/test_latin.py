@@ -389,3 +389,51 @@ def test_cogroup_inner_latin(spark, sf_dir):
     # INNER on orders: every surviving row has a non-empty orders bag
     assert df.filter(F.size("o") == 0).count() == 0
     assert df.count() > 0
+
+
+def test_cube_statement_latin(spark, sf_dir):
+    """CUBE rel BY CUBE(a,b) (QueryParser.g:595): grouping-set counts
+    match DuckDB's GROUP BY CUBE on the same table."""
+    import duckdb
+
+    from pig_spark.latin import run
+
+    rels = run(spark, f"""
+        o = LOAD '{sf_dir}/orders.parquet' USING ParquetLoader();
+        c = CUBE o BY CUBE(o_orderstatus, o_orderpriority);
+        out = FOREACH c GENERATE FLATTEN(group), COUNT(cube) AS n;
+    """)
+    got = {
+        (r["o_orderstatus"], r["o_orderpriority"]): r["n"]
+        for r in rels["out"].df.collect()
+    }
+    con = duckdb.connect()
+    exp = {
+        (s, p): n
+        for s, p, n in con.execute(
+            f"""SELECT o_orderstatus, o_orderpriority, COUNT(*)
+                FROM read_parquet('{sf_dir}/orders.parquet')
+                GROUP BY CUBE(o_orderstatus, o_orderpriority)"""
+        ).fetchall()
+    }
+    assert got == exp
+
+
+def test_cube_mixed_rollup_latin(spark, sf_dir):
+    """Mixed CUBE(a), ROLLUP(b) = cross product of the clause's
+    grouping sets (CubeDimensions × RollupDimensions expansion)."""
+    from pig_spark.latin import run
+
+    rels = run(spark, f"""
+        o = LOAD '{sf_dir}/orders.parquet' USING ParquetLoader();
+        c = CUBE o BY CUBE(o_orderstatus), ROLLUP(o_orderpriority);
+        out = FOREACH c GENERATE FLATTEN(group), COUNT(cube) AS n;
+    """)
+    df = rels["out"].df
+    n_status = df.select("o_orderstatus").distinct().count()  # statuses + NULL
+    # sets = {(s,p),(s),(p),()} → (|s|+1) × (|p|+1) combos present
+    n_prio = df.select("o_orderpriority").distinct().count()
+    assert df.count() == n_status * n_prio
+    # grand total row exists exactly once
+    total = df.filter(F.col("o_orderstatus").isNull() & F.col("o_orderpriority").isNull())
+    assert total.count() == 1
