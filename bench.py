@@ -41,6 +41,7 @@ HEADLINE = [
     "q67_multimodal_meta",
     "q68_ann_ivf",
     "q69_range_join",
+    "q75_funnel",
 ]
 
 

@@ -108,3 +108,45 @@ def sessionize(
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     return df.withColumn(session_col, F.sum(new_s).over(run))
+
+
+def funnel(
+    df: DataFrame,
+    steps: list[str],
+    user: str = "user_id",
+    ts: str = "ts",
+    etype: str = "event_type",
+) -> DataFrame:
+    """Ordered-funnel detection: per key, the earliest chain of events
+    matching ``steps`` in timestamp order (t0 = min ts of step 0,
+    t_i = min ts >= t_{i-1} of step i). Pig has no such operator — the
+    idiom would be k self-cogroups; SQL needs k correlated aggregates.
+
+    Plan shape: k Window aggregates over the SAME partitioning (one
+    Exchange on the key, no sorts — unbounded frames) + a final
+    groupBy on the key that reuses the partitioning. Output: one row
+    per key with nullable t0..t{k-1} step timestamps and `completed`.
+    Linear, one shuffle, scales to any group size (no bags).
+
+    Streaming twin: ``pig_spark.streaming.stateful_funnel`` (same
+    greedy semantics via applyInPandasWithState). Steps must be
+    distinct event types — with repeats, "min ts >= prev" would let
+    one event satisfy two steps, which the streaming greedy pass
+    (strictly-advancing) would not reproduce.
+    """
+    if len(set(steps)) != len(steps):
+        raise ValueError("funnel steps must be distinct event types")
+    w = Window.partitionBy(user)
+    cur = df
+    tcols: list[str] = []
+    for i, step in enumerate(steps):
+        cond = F.col(etype) == F.lit(step)
+        if tcols:
+            cond = cond & (F.col(ts) >= F.col(tcols[-1]))
+        name = f"t{i}"
+        cur = cur.withColumn(name, F.min(F.when(cond, F.col(ts))).over(w))
+        tcols.append(name)
+    return cur.groupBy(user).agg(
+        *[F.first(t).alias(t) for t in tcols],
+        F.first(F.col(tcols[-1]).isNotNull()).alias("completed"),
+    )

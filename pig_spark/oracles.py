@@ -475,6 +475,18 @@ def oracle_sql() -> dict[str, str]:
             UNION ALL
             SELECT 'customer' AS src, c_mktsegment AS key, COUNT(*) AS n, MAX(c_acctbal) AS max_p
             FROM customer GROUP BY c_mktsegment""",
+        "q75_funnel": """
+            WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS tns FROM events),
+            s0 AS (SELECT user_id, MIN(CASE WHEN event_type = 'view' THEN tns END) AS t0
+                   FROM e GROUP BY user_id),
+            s1 AS (SELECT e.user_id,
+                          MIN(CASE WHEN event_type = 'click' AND tns >= t0 THEN tns END) AS t1
+                   FROM e JOIN s0 USING (user_id) GROUP BY e.user_id),
+            s2 AS (SELECT e.user_id,
+                          MIN(CASE WHEN event_type = 'purchase' AND tns >= t1 THEN tns END) AS t2
+                   FROM e JOIN s1 USING (user_id) GROUP BY e.user_id)
+            SELECT s0.user_id, t0, t1, t2, (t2 IS NOT NULL) AS completed
+            FROM s0 JOIN s1 USING (user_id) JOIN s2 USING (user_id)""",
         "q74_latin_cube": """
             SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n,
                    CAST(SUM(CAST(o_totalprice AS DECIMAL(38,18))) AS DOUBLE) AS total

@@ -893,6 +893,21 @@ def q71_latin_join_script(spark: SparkSession, sf: str) -> DataFrame:
     return rels["s"].df.withColumnRenamed("group", "seg")
 
 
+def q75_funnel(spark: SparkSession, sf: str) -> DataFrame:
+    """Ordered-funnel detection (view→click→purchase per user):
+    k Window aggregates over ONE Exchange on user_id (unbounded
+    frames, no sorts) + a partitioning-reusing final groupBy. The Pig
+    idiom would be k self-cogroups. Streaming twin:
+    streaming.stateful_funnel (applyInPandasWithState)."""
+    from .operators.temporal import funnel
+
+    # truncate nanos→µs BEFORE the funnel: DuckDB reads this parquet at
+    # µs precision, so both sides must compare identical values (the
+    # memory-noted µs-timestamp oracle gotcha)
+    e = _t(spark, sf, "events").df.withColumn("ts", F.expr("CAST(ts DIV 1000 AS BIGINT)"))
+    return funnel(e, ["view", "click", "purchase"])
+
+
 def q74_latin_cube(spark: SparkSession, sf: str) -> DataFrame:
     """CUBE statement through the Latin front-end (QueryParser.g:595,
     LOCube.java:31-70): grouping-set expansion lowered to

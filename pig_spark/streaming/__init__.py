@@ -55,3 +55,80 @@ def session_counts(
     w = F.session_window(F.col(ts_col), gap)
     grouped = df.withWatermark(ts_col, watermark).groupBy(w, *(keys or []))
     return grouped.agg(F.count(F.lit(1)).alias("count"))
+
+
+def stateful_funnel(
+    df: DataFrame,
+    steps: list[str],
+    user: str = "user_id",
+    ts: str = "ts",
+    etype: str = "event_type",
+    timeout_ms: int | None = None,
+):
+    """Custom stateful streaming operator (applyInPandasWithState):
+    per-key ordered-funnel detection — the streaming twin of
+    ``operators.temporal.funnel`` with identical greedy semantics
+    (earliest event of step 0, then earliest event >= that of step 1,
+    ...). Emits one row per key the moment its funnel completes.
+
+    State per key = (stage reached, step timestamps so far) — O(k),
+    independent of event volume, so 1000-executor state stores stay
+    tiny. ``timeout_ms`` evicts abandoned funnels via processing-time
+    timeout (state TTL); without it state is O(distinct keys).
+
+    Parity contract: exact equality with the batch operator holds when
+    each key's events arrive in event-time order across micro-batches
+    (in-batch disorder is fine — batches are sorted before the scan);
+    a late out-of-order event can miss an already-passed stage, which
+    is the standard streaming trade-off watermarks bound.
+
+    Keys and timestamps are surfaced as BIGINT (event-time columns in
+    this engine's nanos-as-long convention).
+    """
+    if len(set(steps)) != len(steps):
+        raise ValueError("funnel steps must be distinct event types")
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    k = len(steps)
+    out_cols = [user] + [f"t{i}" for i in range(k)]
+    out_schema = ", ".join(f"{c} bigint" for c in out_cols)
+    state_schema = "stage int, tslist array<bigint>"
+
+    def fn(key, pdf_iter, state: GroupState):
+        if state.hasTimedOut:
+            state.remove()
+            return
+        if state.exists:
+            stage, tslist = state.get
+            tslist = list(tslist)
+        else:
+            stage, tslist = 0, []
+        done = stage >= k
+        rows = []
+        for pdf in pdf_iter:
+            if done:
+                continue  # drain the iterator; funnel already emitted
+            pdf = pdf.sort_values(ts, kind="mergesort")
+            for t, et in zip(pdf[ts], pdf[etype]):
+                if et == steps[stage] and (stage == 0 or t >= tslist[-1]):
+                    tslist.append(int(t))
+                    stage += 1
+                    if stage == k:
+                        done = True
+                        rows.append((key[0], *tslist))
+                        break
+        state.update((stage, tslist))
+        if timeout_ms is not None and not done:
+            state.setTimeoutDuration(timeout_ms)
+        if rows:
+            yield pd.DataFrame(rows, columns=out_cols)
+
+    timeout_conf = (
+        GroupStateTimeout.ProcessingTimeTimeout
+        if timeout_ms is not None
+        else GroupStateTimeout.NoTimeout
+    )
+    return df.groupBy(user).applyInPandasWithState(
+        fn, out_schema, state_schema, "append", timeout_conf
+    )

@@ -267,3 +267,26 @@ def test_cogroup_inner_modifier(spark):
         [Relation(b)], on=[["k"], ["k"]], bag_names=["ba", "bb"], inner=[True, True]
     ).df.collect()
     assert sorted(r["k"] for r in both_inner) == [1]
+
+
+def test_funnel_batch(spark):
+    from pig_spark.operators.temporal import funnel
+
+    rows = [
+        # user 1 completes a->b->c; earliest chain is (1, 5, 7)
+        (1, 1, "a"), (1, 3, "a"), (1, 5, "b"), (1, 6, "a"), (1, 7, "c"),
+        # user 2: c before b — never completes (stops at t1)
+        (2, 1, "a"), (2, 2, "c"), (2, 3, "b"),
+        # user 3: no step-0 event at all
+        (3, 4, "b"), (3, 5, "c"),
+    ]
+    df = spark.createDataFrame(rows, "user_id int, ts long, event_type string")
+    out = {r["user_id"]: (r["t0"], r["t1"], r["t2"], r["completed"])
+           for r in funnel(df, ["a", "b", "c"]).collect()}
+    assert out[1] == (1, 5, 7, True)
+    assert out[2] == (1, 3, None, False)
+    assert out[3] == (None, None, None, False)
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        funnel(df, ["a", "a"])

@@ -130,3 +130,65 @@ def test_file_stream_matches_batch(spark, sf_dir, tmp_path):
         for r in pipeline(batch_df).collect()
     }
     assert got == exp and len(got) > 10
+
+
+def test_stateful_funnel_matches_batch(spark, sf_dir, tmp_path):
+    """Custom stateful operator (applyInPandasWithState): streaming
+    funnel detection carries per-user state across micro-batches
+    (maxFilesPerTrigger=1 over time-ordered files) and emits exactly
+    the batch operator's completed funnels."""
+    import shutil
+    from pathlib import Path
+
+    from pig_spark.operators.temporal import funnel
+    from pig_spark.streaming import stateful_funnel
+
+    steps = ["view", "click", "purchase"]
+    e = (
+        spark.read.parquet(f"{sf_dir}/events.parquet")
+        .select("user_id", F.expr("CAST(ts DIV 1000 AS BIGINT)").alias("ts"), "event_type")
+    )
+    # three contiguous time ranges → per-user event order is preserved
+    # across files, so cross-batch state must reproduce batch exactly
+    b1, b2 = e.selectExpr("percentile(ts, 0.33)", "percentile(ts, 0.66)").first()
+    stream_dir = tmp_path / "stream"
+    stream_dir.mkdir()
+    parts = [
+        e.filter(F.col("ts") <= b1),
+        e.filter((F.col("ts") > b1) & (F.col("ts") <= b2)),
+        e.filter(F.col("ts") > b2),
+    ]
+    for i, part in enumerate(parts):
+        tmp = tmp_path / f"w{i}"
+        part.coalesce(1).write.parquet(str(tmp))
+        pq = next(Path(tmp).glob("*.parquet"))
+        shutil.move(str(pq), stream_dir / f"{i:02d}.parquet")
+
+    src = (
+        spark.readStream.schema(e.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(str(stream_dir))
+    )
+    q = (
+        stateful_funnel(src, steps)
+        .writeStream.format("memory")
+        .queryName("funnel_stream")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        q.awaitTermination(120)
+        n_batches = len(q.recentProgress)
+    finally:
+        q.stop()
+    assert n_batches >= 3, "expected one micro-batch per file"
+    got = {
+        (r["user_id"], r["t0"], r["t1"], r["t2"])
+        for r in spark.sql("SELECT * FROM funnel_stream").collect()
+    }
+    exp = {
+        (r["user_id"], r["t0"], r["t1"], r["t2"])
+        for r in funnel(e, steps).filter("completed").collect()
+    }
+    assert got == exp and len(got) > 0
