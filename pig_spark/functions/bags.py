@@ -45,6 +45,7 @@ def SIZE(col: Column) -> Column:
 BagSize = SIZE
 TupleSize = SIZE
 MapSize = SIZE
+ARITY = SIZE  # ARITY.java — deprecated tuple-width alias of SIZE
 
 
 def IsEmpty(col: Column) -> Column:

@@ -25,6 +25,14 @@ GetSecond = F.second
 GetWeek = F.weekofyear
 
 
+def GetWeekYear(col: Column) -> Column:
+    """GetWeekYear.java:73-82 (Joda getWeekyear): ISO week-based year
+    = the calendar year of that ISO week's Thursday (weekday() is
+    Monday=0, so Thursday = date + (3 - weekday))."""
+    d = F.to_date(col)
+    return F.year(F.date_add(d, F.lit(3) - F.weekday(d)))
+
+
 def ToDate(col: Column, fmt: str | None = None) -> Column:
     """ToDate.java — chararray/long → datetime."""
     return F.to_timestamp(col, fmt) if fmt else F.to_timestamp(col)

@@ -190,3 +190,19 @@ def test_ivf_recall_vs_exact(spark, sf_dir):
     cents = similarity.bootstrap_centroids(e)
     cells = similarity.ivf_assign(e, cents).groupBy("__cell").count().collect()
     assert len(cells) > 4  # vectors actually spread across cells
+
+
+def test_getweekyear(spark):
+    """GetWeekYear.java (Joda getWeekyear): ISO week-based year around
+    year boundaries, cross-checked against DuckDB isoyear."""
+    import duckdb
+
+    from pig_spark.functions.datetime import GetWeekYear
+
+    dates = ["2027-01-01", "2025-12-29", "2024-12-31", "2021-01-03", "2023-06-15"]
+    df = spark.createDataFrame([(d,) for d in dates], "d string")
+    got = {r["d"]: r["wy"] for r in df.select("d", GetWeekYear(F.col("d")).alias("wy")).collect()}
+    con = duckdb.connect()
+    for d in dates:
+        exp = con.execute(f"SELECT isoyear(DATE '{d}')").fetchone()[0]
+        assert got[d] == exp, (d, got[d], exp)
