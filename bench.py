@@ -42,6 +42,7 @@ HEADLINE = [
     "q68_ann_ivf",
     "q69_range_join",
     "q75_funnel",
+    "q76_corpus_clean",
 ]
 
 

@@ -475,6 +475,40 @@ def oracle_sql() -> dict[str, str]:
             UNION ALL
             SELECT 'customer' AS src, c_mktsegment AS key, COUNT(*) AS n, MAX(c_acctbal) AS max_p
             FROM customer GROUP BY c_mktsegment""",
+        "q76_corpus_clean": f"""
+            WITH tk AS (SELECT doc_id, text, {_toks('text')} AS toks FROM documents),
+            sco AS (SELECT doc_id, text, toks, {lang_scores} FROM tk),
+            lng AS (SELECT doc_id, text, toks, {lang_case} AS lang FROM sco),
+            met AS (SELECT doc_id, text, lang,
+                           CAST(len(toks) AS DOUBLE) AS n,
+                           CAST(len(list_filter(toks, x -> list_contains({_sw_list('en')}, lower(x)))) AS DOUBLE) AS sw,
+                           toks FROM lng),
+            scored AS (SELECT doc_id, text, lang,
+                   round(0.4 * least((CASE WHEN n > 0 THEN sw / n ELSE 0.0 END) / 0.2, 1.0)
+                       + 0.3 * least(n / 50.0, 1.0)
+                       + 0.3 * (1.0 - least(abs((CASE WHEN n > 0 THEN CAST(list_sum(list_transform(toks, t -> length(t))) AS DOUBLE) / n ELSE 0.0 END) - 5.0) / 5.0, 1.0)), 6) AS q
+                   FROM met),
+            base AS (SELECT doc_id, text, q FROM scored WHERE lang = 'en' AND q >= 0.5),
+            uniq AS (SELECT doc_id, text, q FROM (
+                        SELECT doc_id, text, q,
+                               row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
+                        FROM base)
+                     WHERE rn = 1),
+            docs AS (SELECT doc_id, {_shingles('text')} AS sh FROM uniq),
+            hashed AS (SELECT doc_id, sh, list_transform(sh, s -> {_h32('s')}) AS h FROM docs),
+            sigs AS (SELECT doc_id, {_minhash_sig_select()} FROM hashed),
+            bands AS ({_band_rows()}),
+            cands AS (
+                SELECT l.doc_id AS id_a, r.doc_id AS id_b
+                FROM bands l JOIN bands r ON l.band = r.band AND l.bh = r.bh AND l.doc_id < r.doc_id
+                GROUP BY 1, 2),
+            verified AS (
+                SELECT c.id_a, c.id_b,
+                       round(CAST(len(list_filter(a.sh, x -> list_contains(b.sh, x))) AS DOUBLE)
+                             / (len(a.sh) + len(b.sh) - len(list_filter(a.sh, x -> list_contains(b.sh, x)))), 6) AS jaccard
+                FROM cands c JOIN docs a ON c.id_a = a.doc_id JOIN docs b ON c.id_b = b.doc_id)
+            SELECT doc_id, q FROM uniq
+            WHERE doc_id NOT IN (SELECT id_b FROM verified WHERE jaccard >= 0.4)""",
         "q75_funnel": """
             WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS tns FROM events),
             s0 AS (SELECT user_id, MIN(CASE WHEN event_type = 'view' THEN tns END) AS t0

@@ -908,6 +908,31 @@ def q75_funnel(spark: SparkSession, sf: str) -> DataFrame:
     return funnel(e, ["view", "click", "purchase"])
 
 
+def q76_corpus_clean(spark: SparkSession, sf: str) -> DataFrame:
+    """The flagship training-data pipeline, end to end: language ID →
+    quality filter → exact dedup (md5 16-byte shuffle key, min-id
+    survivor) → MinHash-LSH near-dup removal (drop the higher id of
+    each verified pair). Every stage is the already-oracle-checked
+    operator; this query checks their COMPOSITION under one plan."""
+    from pyspark.sql import Window
+
+    from .functions import dedup, text
+
+    d = _t(spark, sf, "documents").df
+    scored = d.select(
+        "doc_id",
+        "text",
+        text.lang_id(F.col("text")).alias("lang"),
+        text.quality_score(F.col("text")).alias("q"),
+    )
+    base = scored.filter((F.col("lang") == "en") & (F.col("q") >= 0.5))
+    w = Window.partitionBy(F.md5(F.col("text"))).orderBy("doc_id")
+    uniq = base.withColumn("__rn", F.row_number().over(w)).filter(F.col("__rn") == 1).drop("__rn")
+    pairs = dedup.minhash_lsh_pairs(uniq, "text", "doc_id", threshold=0.4)
+    drop = pairs.select(F.col("id_b").alias("doc_id")).distinct()
+    return uniq.join(drop, "doc_id", "left_anti").select("doc_id", "q")
+
+
 def q74_latin_cube(spark: SparkSession, sf: str) -> DataFrame:
     """CUBE statement through the Latin front-end (QueryParser.g:595,
     LOCube.java:31-70): grouping-set expansion lowered to
