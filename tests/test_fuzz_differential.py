@@ -144,3 +144,80 @@ def test_random_join_query_matches_duckdb(spark, sf_dir, case_i):
         GROUP BY {key}"""
     exp = _rows_to_set(duckdb.sql(sql).fetchall(), cols)
     assert got == exp, f"case {case_i}: how={how} key={key}"
+
+
+N_CUBE_QUERIES = 8
+
+
+@pytest.mark.parametrize("case_i", range(N_CUBE_QUERIES))
+def test_random_cube_matches_duckdb(spark, sf_dir, case_i):
+    """Random CUBE/ROLLUP shapes (LOCube.java surface): grouping-set
+    expansion + grouping_id bit order must match DuckDB exactly."""
+    rng = random.Random(SEED * 13 + case_i)
+    keys = rng.sample(STR_COLS, rng.randint(1, 2))
+    mode = rng.choice(["cube", "rollup"])
+    col = rng.choice(NUM_COLS)
+    v = round(rng.uniform(0.0, 40.0), 2)
+
+    rel = Relation.load(spark, f"{sf_dir}/lineitem.parquet").filter(F.col("l_quantity") > v)
+    agg = {
+        "n": F.count(F.lit(1)),
+        "s": F.sum(F.floor(F.col(col) * 100).cast("long")),
+    }
+    g = rel.cube(*keys, agg=agg) if mode == "cube" else rel.rollup(*keys, agg=agg)
+    cols = keys + ["grouping_id", "n", "s"]
+    got = _rows_to_set(g.df.select(*cols).collect(), cols)
+
+    sql = f"""
+        SELECT {', '.join(keys)}, GROUPING({', '.join(keys)}) AS grouping_id,
+               COUNT(*) AS n, SUM(CAST(floor({col} * 100) AS BIGINT)) AS s
+        FROM '{sf_dir}/lineitem.parquet' WHERE l_quantity > {v}
+        GROUP BY {mode.upper()}({', '.join(keys)})"""
+    exp = _rows_to_set(duckdb.sql(sql).fetchall(), cols)
+    assert got == exp, f"case {case_i}: {mode} {keys}"
+
+
+N_WINDOW_QUERIES = 8
+
+
+@pytest.mark.parametrize("case_i", range(N_WINDOW_QUERIES))
+def test_random_window_matches_duckdb(spark, sf_dir, case_i):
+    """Random window shapes (piggybank Over.java surface): ranking and
+    frame aggregates over orders — o_orderkey is unique, so the window
+    order is total and row_number/lag/running sums are deterministic
+    on both engines (lineitem's synthetic keys are NOT unique)."""
+    from pyspark.sql import Window
+
+    rng = random.Random(SEED * 29 + case_i)
+    part = rng.choice(["o_orderstatus", "o_orderpriority"])
+    desc = rng.choice([True, False])
+    v = round(rng.uniform(10_000, 200_000), 2)
+    fn_name = rng.choice(["row_number", "rank", "lag_price", "run_sum"])
+
+    o_sql = f"o_orderkey {'DESC' if desc else 'ASC'}"
+    w = Window.partitionBy(part).orderBy(
+        F.col("o_orderkey").desc() if desc else F.col("o_orderkey").asc()
+    )
+    cents = F.floor(F.col("o_totalprice") * 100).cast("long")
+    spark_fns = {
+        "row_number": F.row_number().over(w),
+        "rank": F.rank().over(w),
+        "lag_price": F.lag(cents, 1).over(w),
+        "run_sum": F.sum(cents).over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    }
+    sql_fns = {
+        "row_number": "row_number() OVER win",
+        "rank": "rank() OVER win",
+        "lag_price": "lag(CAST(floor(o_totalprice * 100) AS BIGINT), 1) OVER win",
+        "run_sum": "SUM(CAST(floor(o_totalprice * 100) AS BIGINT)) OVER (win ROWS UNBOUNDED PRECEDING)",
+    }
+
+    rel = Relation.load(spark, f"{sf_dir}/orders.parquet").filter(F.col("o_totalprice") > v)
+    cols = ["o_orderkey", "x"]
+    got = _rows_to_set(rel.df.select("o_orderkey", spark_fns[fn_name].alias("x")).collect(), cols)
+    sql = f"""
+        SELECT o_orderkey, {sql_fns[fn_name]} AS x
+        FROM '{sf_dir}/orders.parquet' WHERE o_totalprice > {v}
+        WINDOW win AS (PARTITION BY {part} ORDER BY {o_sql})"""
+    exp = _rows_to_set(duckdb.sql(sql).fetchall(), cols)
+    assert got == exp, f"case {case_i}: {fn_name} part={part} desc={desc}"
