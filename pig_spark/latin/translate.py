@@ -92,6 +92,7 @@ class PigTranslator:
         self.spark = spark
         self.aliases: dict[str, RelInfo] = {}
         self.outputs: dict[str, object] = {}
+        self.stores: list[str] = []  # paths written by STORE
         self.params = params or {}
         self.registered: list[str] = []
         self.defines: dict[str, str] = {}
@@ -139,11 +140,14 @@ class PigTranslator:
             fmt = LOADER_FORMAT.get((stmt.storer or "pigstorage").lower(), "parquet")
             sep = stmt.storer_args[0] if stmt.storer_args else "\t"
             self._rel(stmt.rel).store(stmt.path, format=fmt, sep=sep)
+            self.stores.append(stmt.path)
         elif isinstance(stmt, G.Simple) and stmt.op == "dump":
+            from ..render import render_row
+
             rows = self._rel(stmt.rel).df.collect()
             self.outputs[stmt.rel] = rows
             for r in rows[:100]:
-                print("(" + ",".join("" if v is None else str(v) for v in r) + ")")
+                print(render_row(r))
         elif isinstance(stmt, G.Simple) and stmt.op == "describe":
             print(f"{stmt.rel}: {self._rel(stmt.rel).describe()}")
         elif isinstance(stmt, G.Simple) and stmt.op == "explain":
