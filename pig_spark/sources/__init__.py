@@ -123,6 +123,30 @@ def load_fixed_width(
     return raw.select(*cols)
 
 
+def load_sequence_file(
+    spark: SparkSession,
+    path: str,
+    schema: str = "key string, value string",
+) -> DataFrame:
+    """piggybank SequenceFileLoader: Hadoop SequenceFile of
+    (Writable key, Writable value) → two-column relation. Legacy
+    row-format ingest, so this is one of the sanctioned RDD sites
+    (the other is STREAM's pipe): sequence files have no DataSource
+    V2 reader. Splittable (block-compressed seqfiles split on sync
+    marks), so scans still parallelize; convert to parquet once and
+    stay columnar after."""
+    rdd = spark.sparkContext.sequenceFile(path)
+    return spark.createDataFrame(rdd, schema)
+
+
+def store_sequence_file(df: DataFrame, path: str) -> None:
+    """Write a 2-column relation as a Hadoop SequenceFile (the
+    write half of SequenceFileLoader parity)."""
+    if len(df.columns) != 2:
+        raise ValueError("sequence file store needs exactly (key, value) columns")
+    df.rdd.map(tuple).saveAsSequenceFile(path)
+
+
 def load_tables(spark: SparkSession, sf_dir: str, *names: str) -> dict[str, DataFrame]:
     """Convenience: load driver test tables from a scale-factor dir."""
     return {n: spark.read.parquet(f"{sf_dir}/{n}.parquet") for n in names}

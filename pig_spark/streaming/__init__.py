@@ -57,6 +57,23 @@ def session_counts(
     return grouped.agg(F.count(F.lit(1)).alias("count"))
 
 
+def dedup_stream(
+    df: DataFrame,
+    keys: list[str],
+    ts_col: str,
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """Streaming exact dedup — the unbounded twin of
+    ``functions.dedup.exact_dedup``. ``dropDuplicatesWithinWatermark``
+    keeps per-key state only inside the watermark horizon, so state
+    size is bounded by (arrival rate × delay), not stream history —
+    the only formulation that survives an unbounded 100 TB/day feed.
+    Exact global dedup over all history is a batch job by definition
+    (state would be unbounded); this is the standard streaming
+    contract for it."""
+    return df.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(keys)
+
+
 def stateful_funnel(
     df: DataFrame,
     steps: list[str],

@@ -88,3 +88,22 @@ def test_fixed_width_loader(spark, tmp_path):
     rows = {r["name"]: (r["age"], r["gpa"]) for r in df.collect()}
     assert rows["alice"] == (42, 3.9)
     assert rows["bob"] == (None, 2.5)  # 'xx' -> null, not an error
+
+
+def test_sequence_file_round_trip(spark, tmp_path):
+    """piggybank SequenceFileLoader parity: (key,value) Writable pairs
+    round-trip through a Hadoop SequenceFile."""
+    from pig_spark.sources import load_sequence_file, store_sequence_file
+
+    df = spark.createDataFrame([("k1", "v1"), ("k2", "v2"), ("k3", "v3")], "key string, value string")
+    path = str(tmp_path / "seq")
+    store_sequence_file(df, path)
+    back = load_sequence_file(spark, path)
+    assert sorted((r.key, r.value) for r in back.collect()) == [("k1", "v1"), ("k2", "v2"), ("k3", "v3")]
+
+
+def test_sequence_file_store_arity(spark):
+    from pig_spark.sources import store_sequence_file
+
+    with __import__("pytest").raises(ValueError):
+        store_sequence_file(spark.range(3), "/tmp/never")

@@ -192,3 +192,40 @@ def test_stateful_funnel_matches_batch(spark, sf_dir, tmp_path):
         for r in funnel(e, steps).filter("completed").collect()
     }
     assert got == exp and len(got) > 0
+
+
+def test_dedup_stream_matches_batch(spark, sf_dir):
+    """Streaming exact-dedup (dropDuplicatesWithinWatermark) over a
+    bounded availableNow run equals batch dropDuplicates when all
+    duplicates fall inside the watermark horizon."""
+    from pig_spark.functions import ns_to_timestamp
+    from pig_spark.streaming import dedup_stream
+
+    batch_df = spark.read.parquet(f"{sf_dir}/events.parquet")
+    schema = batch_df.schema
+    src = (
+        spark.readStream.schema(schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+
+    def prep(df):
+        return df.withColumn("event_ts", ns_to_timestamp(F.col("ts")))
+
+    deduped = dedup_stream(prep(src), ["user_id", "event_type"], "event_ts", watermark="365 days")
+    q = (
+        deduped.groupBy()
+        .count()
+        .writeStream.format("memory")
+        .queryName("dedup_ct")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        q.awaitTermination(120)
+    finally:
+        q.stop()
+    got = spark.sql("SELECT * FROM dedup_ct").collect()[0]["count"]
+    exp = prep(batch_df).dropDuplicates(["user_id", "event_type"]).count()
+    assert got == exp > 0
