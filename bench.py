@@ -56,8 +56,12 @@ def main():
     spark = get_spark("pig_spark_bench")
     spark.sparkContext.setLogLevel("ERROR")
 
-    # warm-up: JVM, codegen, parquet footer caches
+    # warm-up: JVM, codegen, parquet footer caches — touch every table
+    # family the headline set reads so per-query timings measure the
+    # query, not first-contact footer/OS-cache effects
     QUERIES["q01_group_agg"](spark, sf_dir).write.format("noop").mode("overwrite").save()
+    for t in ("documents", "embeddings", "events", "orders", "customer"):
+        spark.read.parquet(f"{sf_dir}/{t}.parquet").write.format("noop").mode("overwrite").save()
 
     from pig_spark.pigmix import PIGMIX_QUERIES
 

@@ -202,11 +202,27 @@ def minhash_lsh_pairs(
             )
         ).alias("bb"),
     ).select(id_col, "bb.band", "bb.bh")
-    left = bands.alias("l")
-    right = bands.alias("r")
+    # candidate pairs as ONE shuffle of the band stream: groupBy bucket
+    # → sorted member array → in-array pair expansion (same scheme as
+    # ngram_jaccard_pairs' posting groupBy — a band self-join exchanges
+    # the band stream twice plus a sort-merge). LSH buckets are small
+    # by construction (that's the point of banding), so the m²/2
+    # in-bucket expansion is bounded; a degenerate corpus (all docs
+    # identical) degrades identically under either formulation.
+    ids_arr = F.array_sort(F.collect_list(id_col))
+    grouped = bands.groupBy("band", "bh").agg(ids_arr.alias("__ids")).filter(F.size("__ids") > 1)
+    pair_structs = F.flatten(
+        F.transform(
+            "__ids",
+            lambda x, i: F.transform(
+                F.slice("__ids", i + 2, F.size("__ids")),
+                lambda y: F.struct(x.alias("a"), y.alias("b")),
+            ),
+        )
+    )
     cand = (
-        left.join(right, (F.col("l.band") == F.col("r.band")) & (F.col("l.bh") == F.col("r.bh")) & (F.col(f"l.{id_col}") < F.col(f"r.{id_col}")))
-        .select(F.col(f"l.{id_col}").alias("id_a"), F.col(f"r.{id_col}").alias("id_b"))
+        grouped.select(F.explode(pair_structs).alias("__p"))
+        .select(F.col("__p.a").alias("id_a"), F.col("__p.b").alias("id_b"))
         .distinct()
     )
     return _verify_jaccard(cand, docs, id_col, threshold)
