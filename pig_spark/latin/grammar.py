@@ -237,6 +237,12 @@ class Assign:
 
 
 @dataclass
+class Realias:
+    alias: str
+    src: str
+
+
+@dataclass
 class Script:
     statements: list[object] = field(default_factory=list)
 
@@ -400,6 +406,12 @@ class Parser:
             return self._preamble_stmt()
         alias = self._ident()
         self.expect("op", "=")
+        # realias `a = b;` (QueryParser.g:364 statement-level form):
+        # bare identifier followed by the terminator
+        if self.peek().kind == "id" and self.peek(1).kind == "op" and self.peek(1).text == ";":
+            src = self._ident()
+            self.expect("op", ";")
+            return Realias(alias, src)
         op = self._op_clause()
         # optional PARALLEL n (reducer-count hint, QueryParser.g). Spark
         # parallelism is AQE-governed; recorded as advisory metadata.

@@ -136,6 +136,8 @@ class PigTranslator:
     def _stmt(self, stmt):
         if isinstance(stmt, G.Assign):
             self.aliases[stmt.alias] = self._op(stmt.op, stmt.alias)
+        elif isinstance(stmt, G.Realias):
+            self.aliases[stmt.alias] = self.aliases[stmt.src]
         elif isinstance(stmt, G.Store):
             fmt = LOADER_FORMAT.get((stmt.storer or "pigstorage").lower(), "parquet")
             sep = stmt.storer_args[0] if stmt.storer_args else "\t"

@@ -437,3 +437,19 @@ def test_cube_mixed_rollup_latin(spark, sf_dir):
     # grand total row exists exactly once
     total = df.filter(F.col("o_orderstatus").isNull() & F.col("o_orderpriority").isNull())
     assert total.count() == 1
+
+
+def test_realias(spark, sf_dir):
+    """`b = a;` rebinds an alias (QueryParser.g:364 realias form)."""
+    from pig_spark.latin import run
+
+    rels = run(
+        spark,
+        f"""
+        a = LOAD '{sf_dir}/region.parquet' USING ParquetLoader();
+        b = a;
+        c = FILTER b BY r_regionkey > 1;
+        """,
+    )
+    assert rels["c"].df.count() == 3
+    assert rels["b"].df.columns == rels["a"].df.columns
