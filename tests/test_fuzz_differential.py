@@ -221,3 +221,100 @@ def test_random_window_matches_duckdb(spark, sf_dir, case_i):
         WINDOW win AS (PARTITION BY {part} ORDER BY {o_sql})"""
     exp = _rows_to_set(duckdb.sql(sql).fetchall(), cols)
     assert got == exp, f"case {case_i}: {fn_name} part={part} desc={desc}"
+
+
+N_EXPR_QUERIES = 12
+
+# scalar-function compositions with identical semantics in Spark and
+# DuckDB (the TestBuiltin matrix, randomized): each entry is
+# (sql_template, spark_column_fn) over customer
+_STR_FNS = [
+    ("upper(c_name)", lambda: F.upper(F.col("c_name"))),
+    ("lower(c_mktsegment)", lambda: F.lower(F.col("c_mktsegment"))),
+    ("substr(c_name, 3, 5)", lambda: F.substring(F.col("c_name"), 3, 5)),
+    ("concat(c_mktsegment, '_', c_name)", lambda: F.concat(F.col("c_mktsegment"), F.lit("_"), F.col("c_name"))),
+    ("length(c_name)", lambda: F.length(F.col("c_name")).cast("long")),
+    ("replace(c_name, '#', '-')", lambda: F.replace(F.col("c_name"), F.lit("#"), F.lit("-"))),
+    ("ltrim(rtrim(c_name))", lambda: F.ltrim(F.rtrim(F.col("c_name")))),
+    ("reverse(c_mktsegment)", lambda: F.reverse(F.col("c_mktsegment"))),
+]
+_DT_FNS = [
+    ("year(o_orderdate)", lambda: F.year(F.col("o_orderdate")).cast("long")),
+    ("month(o_orderdate)", lambda: F.month(F.col("o_orderdate")).cast("long")),
+    ("day(o_orderdate)", lambda: F.dayofmonth(F.col("o_orderdate")).cast("long")),
+    ("hour(o_orderdate)", lambda: F.hour(F.col("o_orderdate")).cast("long")),
+    ("strftime(o_orderdate, '%Y-%m')", lambda: F.date_format(F.col("o_orderdate"), "yyyy-MM")),
+]
+_MATH_FNS = [
+    ("abs(c_acctbal)", lambda: F.abs(F.col("c_acctbal"))),
+    ("floor(c_acctbal)", lambda: F.floor(F.col("c_acctbal")).cast("double")),
+    ("ceil(c_acctbal)", lambda: F.ceil(F.col("c_acctbal")).cast("double")),
+    ("round(sqrt(abs(c_acctbal)), 6)", lambda: F.round(F.sqrt(F.abs(F.col("c_acctbal"))), 6)),
+    ("round(ln(abs(c_acctbal) + 1), 6)", lambda: F.round(F.log(F.abs(F.col("c_acctbal")) + 1), 6)),
+    ("c_custkey % 7", lambda: F.col("c_custkey") % 7),
+]
+
+
+@pytest.mark.parametrize("case_i", range(N_EXPR_QUERIES))
+def test_random_scalar_exprs_match_duckdb(spark, sf_dir, case_i):
+    """Random scalar-function projections (string/math over customer,
+    datetime over orders) — the TestBuiltin matrix with random
+    composition, checked value-for-value against DuckDB."""
+    rng = random.Random(SEED * 41 + case_i)
+    on_orders = rng.random() < 0.35
+    if on_orders:
+        table, key, pool = "orders", "o_orderkey", _DT_FNS
+    else:
+        table, key, pool = "customer", "c_custkey", _STR_FNS + _MATH_FNS
+    picks = rng.sample(pool, rng.randint(1, 3))
+
+    rel = Relation.load(spark, f"{sf_dir}/{table}.parquet")
+    named = {f"e{i}": fn() for i, (_, fn) in enumerate(picks)}
+    cols = [key] + list(named)
+    got = _rows_to_set(rel.foreach(key, **named).df.collect(), cols)
+
+    select = ", ".join([key] + [f"{sql} AS e{i}" for i, (sql, _) in enumerate(picks)])
+    exp = _rows_to_set(duckdb.sql(f"SELECT {select} FROM '{sf_dir}/{table}.parquet'").fetchall(), cols)
+    assert got == exp, f"case {case_i}: {select}"
+
+
+N_SETOP_QUERIES = 8
+
+
+@pytest.mark.parametrize("case_i", range(N_SETOP_QUERIES))
+def test_random_set_ops_match_duckdb(spark, sf_dir, case_i):
+    """Random UNION [ALL] / INTERSECT / EXCEPT chains over customer
+    projections (LOUnion + the cogroup set-op idioms)."""
+    rng = random.Random(SEED * 53 + case_i)
+    segs = ["BUILDING", "AUTOMOBILE", "MACHINERY", "HOUSEHOLD", "FURNITURE"]
+    a_seg, b_seg = rng.sample(segs, 2)
+    op = rng.choice(["union_all", "union_distinct", "intersect", "except"])
+    col = rng.choice(["c_mktsegment", "c_nationkey"])
+
+    base = Relation.load(spark, f"{sf_dir}/customer.parquet")
+    a = base.filter(F.col("c_mktsegment") != a_seg).foreach(col)
+    b = base.filter(F.col("c_mktsegment") != b_seg).foreach(col)
+    if op == "union_all":
+        out = a.union(b)
+    elif op == "union_distinct":
+        out = a.union(b).distinct()
+    elif op == "intersect":
+        out = a.intersect(b)
+    else:
+        out = a.except_(b)
+    got = sorted(tuple(r) for r in out.df.collect())
+
+    sql_op = {
+        "union_all": "UNION ALL",
+        "union_distinct": "UNION",
+        "intersect": "INTERSECT",
+        # Relation.except_ is bag semantics (exceptAll — Pig relations
+        # are bags); intersect is set semantics (df.intersect)
+        "except": "EXCEPT ALL",
+    }[op]
+    sql = f"""
+        SELECT {col} FROM '{sf_dir}/customer.parquet' WHERE c_mktsegment <> '{a_seg}'
+        {sql_op}
+        SELECT {col} FROM '{sf_dir}/customer.parquet' WHERE c_mktsegment <> '{b_seg}'"""
+    exp = sorted(tuple(r) for r in duckdb.sql(sql).fetchall())
+    assert got == exp, f"case {case_i}: {op} on {col}"
