@@ -56,6 +56,8 @@ def _grunt(tr) -> int:
             return 0
         if not buf and line.strip().rstrip(";").lower() in ("quit", "exit"):
             return 0
+        if not buf and _utility_cmd(line):
+            continue
         buf.append(line)
         joined = "\n".join(buf)
         # a statement ends at ';' (or '}' for nested-foreach blocks)
@@ -66,6 +68,51 @@ def _grunt(tr) -> int:
             tr.run(joined)
         except Exception as e:  # keep the shell alive like Grunt does
             print(f"ERROR: {e}")
+
+
+def _utility_cmd(line: str) -> bool:
+    """Grunt's fs/sh/cat/pwd/cd utility commands (GruntParser.java
+    hosts these alongside DUMP/DESCRIBE). Returns True if handled."""
+    import os
+    import shlex
+    import subprocess
+
+    words = line.strip().rstrip(";").split(None, 1)
+    if not words:
+        return False
+    cmd, rest = words[0].lower(), words[1] if len(words) > 1 else ""
+    if cmd == "fs":
+        # `fs -ls path`, `fs -rm path` ... local filesystem flavors
+        args = shlex.split(rest)
+        op = args[0].lstrip("-") if args else "ls"
+        paths = args[1:] or ["."]
+        if op == "ls":
+            for p in paths:
+                for name in sorted(os.listdir(p)):
+                    print(name)
+        elif op in ("rm", "rmr"):
+            import shutil
+
+            for p in paths:
+                shutil.rmtree(p) if os.path.isdir(p) else os.remove(p)
+        else:
+            print(f"fs -{op}: unsupported")
+        return True
+    if cmd == "sh":
+        subprocess.run(rest, shell=True)
+        return True
+    if cmd == "cat":
+        for p in shlex.split(rest):
+            with open(p) as fh:
+                sys.stdout.write(fh.read())
+        return True
+    if cmd == "pwd":
+        print(os.getcwd())
+        return True
+    if cmd == "cd":
+        os.chdir(rest.strip() or os.path.expanduser("~"))
+        return True
+    return False
 
 
 if __name__ == "__main__":

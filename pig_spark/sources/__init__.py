@@ -52,12 +52,16 @@ def load(
     format: str = "parquet",
     schema: str | T.StructType | None = None,
     sep: str = "\t",
+    tag_file: bool = False,
     **options,
 ) -> DataFrame:
     """LOAD 'path' USING <loader> [AS schema].
 
     For delimited text without a declared schema, every field arrives
     as string (Pig: bytearray) — cast at use sites, nulls on garbage.
+    ``tag_file`` ≅ PigStorage('-tagFile'): prepend the source file's
+    name as the first column (``input_file_name``) — Spark's
+    ``input_file_name()``, evaluated at scan time so it costs nothing.
     """
     fmt = _norm_format(format)
     reader = spark.read
@@ -67,7 +71,14 @@ def load(
         options.setdefault("sep", sep)
         options.setdefault("header", False)
     reader = reader.options(**{k: str(v) for k, v in options.items()})
-    return reader.format(fmt).load(path)
+    df = reader.format(fmt).load(path)
+    if tag_file:
+        from pyspark.sql import functions as F
+
+        # Pig tags the bare filename, not the full URI
+        fname = F.element_at(F.split(F.input_file_name(), "/"), -1)
+        df = df.select(fname.alias("input_file_name"), "*")
+    return df
 
 
 def store(

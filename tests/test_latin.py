@@ -453,3 +453,19 @@ def test_realias(spark, sf_dir):
     )
     assert rels["c"].df.count() == 3
     assert rels["b"].df.columns == rels["a"].df.columns
+
+
+def test_grunt_utility_cmds(tmp_path, capsys):
+    """Grunt fs/sh/cat/pwd utility commands (GruntParser.java)."""
+    from pig_spark.latin.__main__ import _utility_cmd
+
+    f = tmp_path / "x.txt"
+    f.write_text("hello\n")
+    assert _utility_cmd(f"cat {f}")
+    assert _utility_cmd(f"fs -ls {tmp_path}")
+    assert _utility_cmd("pwd")
+    out = capsys.readouterr().out
+    assert "hello" in out and "x.txt" in out
+    assert _utility_cmd(f"fs -rm {f}")
+    assert not f.exists()
+    assert not _utility_cmd("a = LOAD 'x';")

@@ -107,3 +107,15 @@ def test_sequence_file_store_arity(spark):
 
     with __import__("pytest").raises(ValueError):
         store_sequence_file(spark.range(3), "/tmp/never")
+
+
+def test_tag_file(spark, tmp_path):
+    """PigStorage('-tagFile') parity: first column = source filename."""
+    from pig_spark.sources import load
+
+    (tmp_path / "part_a.tsv").write_text("1\tx\n")
+    (tmp_path / "part_b.tsv").write_text("2\ty\n")
+    df = load(spark, str(tmp_path), format="pigstorage", tag_file=True)
+    rows = sorted((r[0], r[1]) for r in df.collect())
+    assert rows == [("part_a.tsv", "1"), ("part_b.tsv", "2")]
+    assert df.columns[0] == "input_file_name"
