@@ -237,10 +237,18 @@ class PigTranslator:
         loader = (op.loader or "pigstorage").lower()
         fmt = LOADER_FORMAT.get(loader, loader)
         opts = {}
-        if fmt == "csv" and op.loader_args:
-            opts["sep"] = op.loader_args[0]
+        # PigStorage args: first non-flag = delimiter; '-tagFile' flag
+        # prepends the source filename column (PigStorage.java options)
+        args = list(op.loader_args or [])
+        if any(a.strip().lower() == "-tagfile" for a in args):
+            opts["tag_file"] = True
+            args = [a for a in args if a.strip().lower() != "-tagfile"]
+        if fmt == "csv" and args:
+            opts["sep"] = args[0]
         rel = Relation.load(self.spark, op.path, fmt, **opts)
         if op.schema:
+            # with -tagFile the filename is $0 and the user's AS clause
+            # includes it (Pig semantics) — positional cast covers both
             ddl = ", ".join(f"{f.name} {PIG_TO_SPARK_TYPE.get(f.type or 'bytearray', 'string')}" for f in op.schema)
             if fmt in ("csv", "text"):
                 # gradual typing: strings → declared types, null on garbage

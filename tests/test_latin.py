@@ -469,3 +469,21 @@ def test_grunt_utility_cmds(tmp_path, capsys):
     assert _utility_cmd(f"fs -rm {f}")
     assert not f.exists()
     assert not _utility_cmd("a = LOAD 'x';")
+
+
+def test_latin_tagfile(spark, tmp_path):
+    """LOAD USING PigStorage('\\t', '-tagFile'): filename is $0 and the
+    AS clause covers it (PigStorage.java -tagFile)."""
+    from pig_spark.latin import run
+
+    (tmp_path / "f1.tsv").write_text("1\ta\n")
+    (tmp_path / "f2.tsv").write_text("2\tb\n")
+    rels = run(
+        spark,
+        f"""
+        d = LOAD '{tmp_path}' USING PigStorage('\\t', '-tagFile') AS (fname:chararray, k:int, v:chararray);
+        out = FOREACH d GENERATE fname, k;
+        """,
+    )
+    rows = sorted((r.fname, r.k) for r in rels["out"].df.collect())
+    assert rows == [("f1.tsv", 1), ("f2.tsv", 2)]
