@@ -92,3 +92,17 @@ def test_catalog_plan_audit(spark, sf_dir):
         if name not in _CARTESIAN_OK and "Join Cross" in s and "Broadcast" not in s:
             bad.append(f"{name}: non-broadcast cartesian join")
     assert not bad, "\n".join(bad)
+
+
+def test_minhash_candidates_are_join_free(spark, sf_dir):
+    """q41's LSH candidate generation is ONE shuffle (bucket groupBy +
+    in-array pair expansion) — the only joins in the plan are the two
+    verification joins back to shingle sets. A band self-join
+    formulation would show a third join."""
+    from pig_spark.queries import QUERIES
+
+    import re
+
+    s = QUERIES["q41_minhash_pairs"](spark, sf_dir)._jdf.queryExecution().optimizedPlan().toString()
+    n_joins = len(re.findall(r"\bJoin\b", s))
+    assert n_joins == 2, f"expected 2 verify joins, plan has {n_joins}"
