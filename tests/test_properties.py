@@ -1,0 +1,82 @@
+"""Property-based tests (hypothesis) for the Java-semantics shims —
+random inputs checked against exact Python models of the reference
+behavior (SUBSTRING.java, INDEXOF.java, LAST_INDEX_OF.java,
+TOKENIZE.java, ROUND.java — Java String/Math semantics). The seeded
+differential fuzz covers query shapes; this covers the scalar
+functions' edge cases (empty strings, needles at boundaries,
+negative halves) that random query generation rarely hits.
+
+One Spark round-trip per property batch: hypothesis generates the
+corpus, a single createDataFrame + collect evaluates every example.
+"""
+
+import math
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+from pig_spark.functions import INDEXOF, LAST_INDEX_OF, ROUND, SUBSTRING, TOKENIZE
+
+# printable-ish text incl. the TOKENIZE delimiters
+_text = st.text(alphabet=st.sampled_from(list("abXY \",()*.-_")), max_size=12)
+
+
+def _eval(spark, strings, col_fn, out_type="int"):
+    """Evaluate col_fn over one string column in a single Spark job."""
+    df = spark.createDataFrame([(s,) for s in strings], "s string")
+    return [r.o for r in df.select(col_fn(F.col("s")).cast(out_type).alias("o")).collect()]
+
+
+@settings(max_examples=15, deadline=None)
+@given(st.lists(_text, min_size=1, max_size=8), st.integers(0, 6), st.integers(0, 8))
+def test_substring_java_model(spark, strings, start, length):
+    """SUBSTRING(s, start, stop) == Java s.substring clamped — model:
+    Python slice on [start:stop] (both engines: empty → null-safe)."""
+    stop = start + length
+    got = _eval(spark, strings, lambda c: SUBSTRING(c, start, stop), "string")
+    for s, g in zip(strings, got):
+        exp = s[start:stop] or None if start <= len(s) else None
+        # Spark substring of out-of-range → '', Pig returns null; our
+        # contract: empty/None both mean "no content"
+        assert (g or None) == (exp or None), (s, start, stop, g, exp)
+
+
+@settings(max_examples=15, deadline=None)
+@given(st.lists(_text, min_size=1, max_size=8), st.sampled_from(["a", "b", "X", "ab", ",", "*"]), st.integers(0, 4))
+def test_indexof_java_model(spark, strings, needle, start):
+    got = _eval(spark, strings, lambda c: INDEXOF(c, needle, start))
+    for s, g in zip(strings, got):
+        assert g == s.find(needle, start), (s, needle, start, g)
+
+
+@settings(max_examples=15, deadline=None)
+@given(st.lists(_text, min_size=1, max_size=8), st.sampled_from(["a", "b", "X", "ab"]))
+def test_last_index_of_java_model(spark, strings, needle):
+    got = _eval(spark, strings, lambda c: LAST_INDEX_OF(c, needle))
+    for s, g in zip(strings, got):
+        assert g == s.rfind(needle), (s, needle, g)
+
+
+@settings(max_examples=15, deadline=None)
+@given(st.lists(_text, min_size=1, max_size=8))
+def test_tokenize_model(spark, strings):
+    """TOKENIZE splits on [ \",()*]+ and drops empties (TOKENIZE.java:45)."""
+    import re
+
+    df = spark.createDataFrame([(s,) for s in strings], "s string")
+    got = [r.o for r in df.select(TOKENIZE(F.col("s")).alias("o")).collect()]
+    for s, g in zip(strings, got):
+        exp = [t for t in re.split(r'[ ",()*]+', s.strip()) if t]
+        assert list(g) == exp, (s, g, exp)
+
+
+@settings(max_examples=20, deadline=None)
+@given(st.lists(st.floats(-1e6, 1e6, allow_nan=False), min_size=1, max_size=10))
+def test_round_java_model(spark, xs):
+    """ROUND == Java Math.round == floor(x + 0.5) (differs from SQL
+    HALF_UP on negative halves: Math.round(-2.5) = -2)."""
+    df = spark.createDataFrame([(x,) for x in xs], "x double")
+    got = [r.o for r in df.select(ROUND(F.col("x")).alias("o")).collect()]
+    for x, g in zip(xs, got):
+        assert g == math.floor(x + 0.5), (x, g)
