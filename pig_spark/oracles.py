@@ -427,6 +427,16 @@ def oracle_sql() -> dict[str, str]:
                    COUNT(*) AS n,
                    CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total
             FROM events GROUP BY 1, 2""",
+        "q77_hypertable_rollup": """
+            WITH hourly AS (
+                SELECT date_trunc('hour', ts) AS hour, event_type,
+                       COUNT(*) AS n,
+                       SUM(CAST(value AS DECIMAL(18,4))) AS tot
+                FROM events GROUP BY 1, 2)
+            SELECT CAST(date_trunc('day', hour) AS TIMESTAMP) AS day, event_type,
+                   CAST(SUM(n) AS BIGINT) AS n,
+                   CAST(SUM(tot) AS DOUBLE) AS total
+            FROM hourly GROUP BY 1, 2""",
         "q59_nested_distinct": """
             SELECT l_orderkey, COUNT(DISTINCT l_suppkey) AS n_supp, COUNT(*) AS n_items
             FROM lineitem GROUP BY l_orderkey""",

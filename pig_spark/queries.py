@@ -933,6 +933,30 @@ def q76_corpus_clean(spark: SparkSession, sf: str) -> DataFrame:
     return uniq.join(drop, "doc_id", "left_anti").select("doc_id", "q")
 
 
+def q77_hypertable_rollup(spark: SparkSession, sf: str) -> DataFrame:
+    """Hypertable-style continuous aggregate: hourly pre-aggregate
+    re-aggregated to daily (the TimescaleDB/Druid rollup pattern —
+    additive partials compose, so the daily job reads the compact
+    hourly table, not raw events). Totals stay DECIMAL through both
+    levels (exact, order-independent) and cast to double only at the
+    end; counts re-sum as longs. At 100 TB the hourly stage is the
+    materialized table and this query is its reader — two cheap
+    shuffles over pre-shrunk data instead of one over raw events."""
+    e = _t(spark, sf, "events")
+    ts = PF.ns_to_timestamp(F.col("ts"))
+    hourly = (
+        e.foreach(hour=F.date_trunc("hour", ts), event_type=F.col("event_type"), value=F.col("value"))
+        .group_by("hour", "event_type")
+        .agg(n=F.count(F.lit(1)), tot=F.sum(F.col("value").cast("decimal(18,4)")))
+    )
+    return (
+        hourly.foreach(day=F.date_trunc("day", F.col("hour")), event_type=F.col("event_type"), n=F.col("n"), tot=F.col("tot"))
+        .group_by("day", "event_type")
+        .agg(n=F.sum("n").cast("long"), total=F.sum("tot").cast("double"))
+        .df
+    )
+
+
 def q74_latin_cube(spark: SparkSession, sf: str) -> DataFrame:
     """CUBE statement through the Latin front-end (QueryParser.g:595,
     LOCube.java:31-70): grouping-set expansion lowered to
