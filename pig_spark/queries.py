@@ -957,6 +957,28 @@ def q77_hypertable_rollup(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q78_sketch_uniques(spark: SparkSession, sf: str) -> DataFrame:
+    """Mergeable-sketch rollup: per-day Datasketches HLL of user_id,
+    then ONE union-merge for period uniques — COUNT(DISTINCT) without
+    re-touching raw events (the sketch twin of q77's additive rollup;
+    sketches are the non-additive analogue). At 100 TB the daily
+    sketch column is bytes per day, the merge is driver-trivial, and
+    no exact-distinct shuffle of raw ids ever happens. No SQL oracle
+    (estimates are impl-defined — rows-only gate); the error bound vs
+    exact is pinned in test_operators."""
+    e = _t(spark, sf, "events")
+    ts = PF.ns_to_timestamp(F.col("ts"))
+    daily = (
+        e.foreach(day=F.date_trunc("day", ts), user_id=F.col("user_id"))
+        .group_by("day")
+        .agg(sketch=F.hll_sketch_agg("user_id", F.lit(12)))
+    )
+    return daily.group_all().agg(
+        days=F.count(F.lit(1)).cast("long"),
+        uniques=F.hll_sketch_estimate(F.hll_union_agg("sketch")).cast("long"),
+    ).df
+
+
 def q74_latin_cube(spark: SparkSession, sf: str) -> DataFrame:
     """CUBE statement through the Latin front-end (QueryParser.g:595,
     LOCube.java:31-70): grouping-set expansion lowered to

@@ -290,3 +290,16 @@ def test_funnel_batch(spark):
 
     with _pytest.raises(ValueError):
         funnel(df, ["a", "a"])
+
+
+def test_sketch_uniques_error_bound(spark, sf_dir):
+    """q78: merged daily HLL sketches estimate period uniques within
+    HLL(lgK=12) error (<2% at this cardinality; assert 5%)."""
+    from pig_spark.functions import ns_to_timestamp
+    from pig_spark.queries import q78_sketch_uniques
+
+    row = q78_sketch_uniques(spark, sf_dir).collect()[0]
+    e = spark.read.parquet(f"{sf_dir}/events.parquet")
+    exact = e.select("user_id").distinct().count()
+    assert row.days > 0
+    assert abs(row.uniques - exact) / exact < 0.05, (row.uniques, exact)
