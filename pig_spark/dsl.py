@@ -113,7 +113,9 @@ class Relation:
         fields); tuple → splat; map → (key,value) rows; array<scalar> →
         explode. Pig drops rows whose bag is empty (inner semantics);
         ``outer=True`` keeps them with nulls (≅ FLATTEN on possibly-empty
-        bag guarded by IsEmpty).
+        bag guarded by IsEmpty). Splat fields that collide with an
+        existing column are disambiguated as ``bag::field`` — Pig's
+        `::` prefix scheme (LogicalSchema.java merge rules).
         """
         rel = self
         for name in bag_cols:
@@ -121,8 +123,12 @@ class Relation:
             dtype = df.schema[name].dataType
             others = [c for c in df.columns if c != name]
             if isinstance(dtype, T.ArrayType) and isinstance(dtype.elementType, T.StructType):
+                fields = dtype.elementType.fieldNames()
+                out_names = [f"{name}::{f}" if f in others else f for f in fields]
                 fn = F.inline_outer if outer else F.inline
                 df = df.select(*others, fn(F.col(name)))
+                if out_names != list(fields):
+                    df = df.toDF(*others, *out_names)
             elif isinstance(dtype, T.ArrayType):
                 fn = F.explode_outer if outer else F.explode
                 df = df.select(*others, fn(F.col(name)).alias(name))
@@ -130,7 +136,11 @@ class Relation:
                 fn = F.explode_outer if outer else F.explode
                 df = df.select(*others, fn(F.col(name)).alias("key", "value"))
             elif isinstance(dtype, T.StructType):
+                fields = dtype.fieldNames()
+                out_names = [f"{name}::{f}" if f in others else f for f in fields]
                 df = df.select(*others, F.col(name + ".*"))
+                if out_names != list(fields):
+                    df = df.toDF(*others, *out_names)
             else:
                 raise TypeError(f"FLATTEN target {name} has non-nested type {dtype}")
             rel = Relation(df)

@@ -57,6 +57,17 @@ def session_counts(
     return grouped.agg(F.count(F.lit(1)).alias("count"))
 
 
+def enrich(stream_df: DataFrame, dim_df: DataFrame, on: list[str] | str, how: str = "left") -> DataFrame:
+    """Stream-static enrichment join: each micro-batch joins the
+    static dimension — Spark broadcasts it per batch when under the
+    threshold, so the stream never shuffles (the 'replicated' join of
+    the streaming world). The dim is re-read per trigger, so slowly-
+    changing dimensions pick up updates without restart."""
+    from pyspark.sql.functions import broadcast
+
+    return stream_df.join(broadcast(dim_df), on, how)
+
+
 def dedup_stream(
     df: DataFrame,
     keys: list[str],

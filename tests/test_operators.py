@@ -303,3 +303,24 @@ def test_sketch_uniques_error_bound(spark, sf_dir):
     exact = e.select("user_id").distinct().count()
     assert row.days > 0
     assert abs(row.uniques - exact) / exact < 0.05, (row.uniques, exact)
+
+
+def test_nested_cross_via_double_flatten(spark, sf_dir):
+    """Nested FOREACH { c = CROSS a, b; } (QueryParser.g:921 inner
+    cross): two bag columns cross per group == double FLATTEN — the
+    flat plan never materializes either bag."""
+    from pig_spark import Relation
+    from pyspark.sql import functions as F
+
+    n = Relation.load(spark, f"{sf_dir}/nation.parquet")
+    r = Relation.load(spark, f"{sf_dir}/region.parquet")
+    co = n.cogroup([r], on=[["n_regionkey"], ["r_regionkey"]], bag_names=["nbag", "rbag"])
+    crossed = co.flatten("nbag").flatten("rbag")
+    got = crossed.df.count()
+    exp = (
+        spark.read.parquet(f"{sf_dir}/nation.parquet")
+        .join(spark.read.parquet(f"{sf_dir}/region.parquet"),
+              F.col("n_regionkey") == F.col("r_regionkey"))
+        .count()
+    )
+    assert got == exp > 0

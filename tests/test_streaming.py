@@ -229,3 +229,34 @@ def test_dedup_stream_matches_batch(spark, sf_dir):
     got = spark.sql("SELECT * FROM dedup_ct").collect()[0]["count"]
     exp = prep(batch_df).dropDuplicates(["user_id", "event_type"]).count()
     assert got == exp > 0
+
+
+def test_enrich_stream_static_matches_batch(spark, sf_dir):
+    """Stream-static broadcast enrichment equals the batch join."""
+    from pig_spark.streaming import enrich
+
+    batch_o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    dim = spark.read.parquet(f"{sf_dir}/customer.parquet").withColumnRenamed("c_custkey", "o_custkey")
+    src = (
+        spark.readStream.schema(batch_o.schema)
+        .option("pathGlobFilter", "orders.parquet")
+        .parquet(sf_dir)
+    )
+    out = enrich(src, dim, "o_custkey").groupBy("c_mktsegment").count()
+    q = (
+        out.writeStream.format("memory")
+        .queryName("enriched")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        q.awaitTermination(120)
+    finally:
+        q.stop()
+    got = {(r.c_mktsegment, r["count"]) for r in spark.sql("SELECT * FROM enriched").collect()}
+    exp = {
+        (r.c_mktsegment, r["count"])
+        for r in batch_o.join(dim, "o_custkey", "left").groupBy("c_mktsegment").count().collect()
+    }
+    assert got == exp and len(got) >= 5
