@@ -106,3 +106,24 @@ def test_minhash_candidates_are_join_free(spark, sf_dir):
     s = QUERIES["q41_minhash_pairs"](spark, sf_dir)._jdf.queryExecution().optimizedPlan().toString()
     n_joins = len(re.findall(r"\bJoin\b", s))
     assert n_joins == 2, f"expected 2 verify joins, plan has {n_joins}"
+
+
+def test_collected_group_on_bucketed_table_has_no_exchange(spark, sf_dir, tmp_path):
+    """GROUP USING 'collected' (POCollectedGroup.java — map-side group
+    when the loader is collectable): Spark's equivalent is a bucketed
+    table whose bucket spec matches the grouping key — the aggregate
+    runs without any Exchange. Same layout powers 'merge' cogroup."""
+    import uuid
+
+    from pig_spark.sources import store
+
+    name = f"li_bucketed_{uuid.uuid4().hex[:8]}"
+    df = spark.read.parquet(f"{sf_dir}/lineitem.parquet").select("l_orderkey", "l_quantity")
+    store(df, name, bucket_by=(4, ["l_orderkey"]), sort_by=["l_orderkey"])
+    try:
+        agg = spark.table(name).groupBy("l_orderkey").agg(F.sum("l_quantity").alias("s"))
+        plan = agg._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan, plan
+        assert agg.count() > 0
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {name}")
