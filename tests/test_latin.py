@@ -487,3 +487,47 @@ def test_latin_tagfile(spark, tmp_path):
     )
     rows = sorted((r.fname, r.k) for r in rels["out"].df.collect())
     assert rows == [("f1.tsv", 1), ("f2.tsv", 2)]
+
+
+def test_negative_unknown_alias(spark):
+    """negative.conf parity: referencing an undefined alias fails
+    with a clear error, not a stack bomb."""
+    from pig_spark.latin import run
+
+    with pytest.raises((KeyError, NameError)):
+        run(spark, "b = FILTER nosuch BY x > 1;")
+
+
+def test_negative_bad_syntax(spark):
+    from pig_spark.latin import run
+
+    with pytest.raises(SyntaxError):
+        run(spark, "a = LOAD ;")
+
+
+def test_negative_unsupported_operator(spark):
+    from pig_spark.latin import run
+
+    with pytest.raises(SyntaxError):
+        run(spark, "a = FROBNICATE b;")
+
+
+def test_utf8_round_trip(spark, tmp_path):
+    """utf8.conf parity: non-ASCII text survives load → transform →
+    store → reload through PigStorage and string functions."""
+    from pig_spark.latin import run
+
+    src = tmp_path / "u.tsv"
+    src.write_text("héllo\t1\nwörld\t2\n日本語\t3\n", encoding="utf-8")
+    out = tmp_path / "out"
+    run(
+        spark,
+        f"""
+        d = LOAD '{src}' USING PigStorage('\\t') AS (s:chararray, n:int);
+        u = FOREACH d GENERATE UPPER(s) AS s, n;
+        STORE u INTO '{out}' USING PigStorage('\\t');
+        """,
+    )
+    back = spark.read.csv(str(out), sep="\t").collect()
+    vals = sorted(r[0] for r in back)
+    assert vals == sorted(["HÉLLO", "WÖRLD", "日本語"])
