@@ -531,3 +531,26 @@ def test_utf8_round_trip(spark, tmp_path):
     back = spark.read.csv(str(out), sep="\t").collect()
     vals = sorted(r[0] for r in back)
     assert vals == sorted(["HÉLLO", "WÖRLD", "日本語"])
+
+
+def test_latin_split_multistore(spark, sf_dir, tmp_path):
+    """MultiQuery e2e shape (multiquery.conf): SPLIT + two STOREs off
+    one scan; both outputs correct and disjoint."""
+    from pig_spark.latin import run
+
+    a_out, b_out = tmp_path / "hi", tmp_path / "lo"
+    run(
+        spark,
+        f"""
+        o = LOAD '{sf_dir}/orders.parquet' USING ParquetLoader();
+        SPLIT o INTO hi IF o_totalprice > 200000.0, lo OTHERWISE;
+        STORE hi INTO '{a_out}' USING ParquetStorer();
+        STORE lo INTO '{b_out}' USING ParquetStorer();
+        """,
+    )
+    hi = spark.read.parquet(str(a_out))
+    lo = spark.read.parquet(str(b_out))
+    total = spark.read.parquet(f"{sf_dir}/orders.parquet").count()
+    assert hi.count() + lo.count() == total
+    assert hi.filter("o_totalprice <= 200000.0").count() == 0
+    assert lo.filter("o_totalprice > 200000.0").count() == 0
