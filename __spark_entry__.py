@@ -4,10 +4,8 @@ entry(spark): flagship query smoke check at sf0.001.
 queries(): every implemented operator from SURVEY.md §2 (+ training-
 data pipeline ops) as (spark, sf_dir) -> DataFrame callables.
 oracle_sql(): matching DuckDB SQL for the hash-compare correctness
-gate (keys omitted → rows-only check: q19_rank_global — rank over
-physical scan order; q32_sample — nondeterministic by design;
-q78_sketch_uniques — HLL estimates are impl-defined, error bound
-pinned in tests instead).
+gate (keys omitted → rows-only check: q78_sketch_uniques — HLL
+estimates are impl-defined, error bound pinned in tests instead).
 """
 
 from __future__ import annotations

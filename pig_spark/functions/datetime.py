@@ -93,29 +93,35 @@ def _apply_duration(col: Column, duration: str, add: bool) -> Column:
     return out
 
 
+# The *Between family truncates TOWARD ZERO, not floor: Joda's
+# fieldsBetween (used by YearsBetween.java etc.) returns complete
+# units of the signed duration, so -1.5 days between is -1, not -2.
+# Column.cast('long') on a double truncates toward zero — exactly it.
+
+
 def YearsBetween(end: Column, start: Column) -> Column:
     """YearsBetween.java — whole years between (Joda Years.yearsBetween)."""
-    return F.floor(F.months_between(end, start) / 12).cast("long")
+    return (F.months_between(end, start) / 12).cast("long")
 
 
 def MonthsBetween(end: Column, start: Column) -> Column:
-    return F.floor(F.months_between(end, start)).cast("long")
+    return F.months_between(end, start).cast("long")
 
 
 def WeeksBetween(end: Column, start: Column) -> Column:
-    return F.floor((F.unix_timestamp(end) - F.unix_timestamp(start)) / (7 * 86400)).cast("long")
+    return ((F.unix_timestamp(end) - F.unix_timestamp(start)) / (7 * 86400)).cast("long")
 
 
 def DaysBetween(end: Column, start: Column) -> Column:
-    return F.floor((F.unix_timestamp(end) - F.unix_timestamp(start)) / 86400).cast("long")
+    return ((F.unix_timestamp(end) - F.unix_timestamp(start)) / 86400).cast("long")
 
 
 def HoursBetween(end: Column, start: Column) -> Column:
-    return F.floor((F.unix_timestamp(end) - F.unix_timestamp(start)) / 3600).cast("long")
+    return ((F.unix_timestamp(end) - F.unix_timestamp(start)) / 3600).cast("long")
 
 
 def MinutesBetween(end: Column, start: Column) -> Column:
-    return F.floor((F.unix_timestamp(end) - F.unix_timestamp(start)) / 60).cast("long")
+    return ((F.unix_timestamp(end) - F.unix_timestamp(start)) / 60).cast("long")
 
 
 def SecondsBetween(end: Column, start: Column) -> Column:

@@ -174,14 +174,81 @@ def ann_topk_ivf(
     return scored.orderBy(F.col("score").desc(), F.col(id_col).asc()).limit(k)
 
 
-def cosine_self_join_pairs(df: DataFrame, threshold: float, id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
-    """Embedding near-dup pairs: cosine ≥ threshold, id_a < id_b.
+# ---------------------------------------------------------------------
+# embedding near-dup pairs — banded-LSH candidates + exact verify
+# ---------------------------------------------------------------------
+PAIR_BANDS = 3  # independent LSH tables (recall knob)
+PAIR_PLANES = 8  # sign bits per band -> 2^8 = 256 buckets per band
 
-    Brute force (n² within LSH buckets would be the scale path; exact
-    form kept as the verifiable baseline — bucket first at 100 TB).
-    Norms are computed once per VECTOR in the input projections, not
-    once per pair — n norm reductions instead of n².
+
+def pair_hyperplanes(bands: int = PAIR_BANDS, planes: int = PAIR_PLANES) -> list[list[list[float]]]:
+    """Deterministic per-band hyperplanes (seeded LCG, shared with the
+    DuckDB oracle) — [band][plane][dim]."""
+    return [[_lcg_floats(2000 + b * planes + p, EMB_DIM) for p in range(planes)] for b in range(bands)]
+
+
+def band_bucket(v: Column, planes: list[list[float]]) -> Column:
+    """One band's bucket id from sign bits of v · h_p. ``v`` must
+    already be array<double> (cast once in the caller — HOF lambdas get
+    no common-subexpression elimination)."""
+    bucket = F.lit(0)
+    for p, plane in enumerate(planes):
+        bucket = bucket + F.when(dot(v, _vec_lit(plane)) > 0, F.lit(1 << p)).otherwise(F.lit(0))
+    return bucket.cast("int")
+
+
+def cosine_lsh_pairs(
+    df: DataFrame,
+    threshold: float,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    bands: int = PAIR_BANDS,
+    planes: int = PAIR_PLANES,
+) -> DataFrame:
+    """Embedding near-dup pairs: exact cosine ≥ threshold among
+    banded-LSH candidate pairs, id_a < id_b. THE default pair finder —
+    the exact all-pairs form (:func:`cosine_allpairs_exact`) is
+    O(n²) and exists only as a small-scale verification baseline.
+
+    Plan shape (the same scheme as dedup.minhash_lsh_pairs):
+
+    1. one projection computes the cast vector, its norm, and ``bands``
+       bucket ids (sign bits of hyperplane dot products) — map-only;
+    2. posexplode to (band, bucket) keys, equi-JOIN on them — a plain
+       shuffled hash/sort-merge join, never a cartesian: candidates are
+       only same-bucket pairs;
+    3. exact cosine verifies candidates; DISTINCT dedups pairs that
+       collide in several bands.
+
+    100 TB: bucket count must scale with corpus size — 2^planes
+    buckets/band caps join parallelism and per-bucket pair work, so
+    size ``planes`` ~ log2(n / target_bucket_rows). Replication is
+    ``bands``×. Hot buckets (skewed embedding clusters) fall under AQE
+    skew-join splitting. No vector bags are materialized anywhere.
     """
+    hps = pair_hyperplanes(bands, planes)
+    v = F.col(vec_col).cast("array<double>")
+    staged = df.select(F.col(id_col).alias("__id"), v.alias("__v"))
+    staged = staged.select(
+        "__id",
+        "__v",
+        norm(F.col("__v")).alias("__n"),
+        F.array(*[band_bucket(F.col("__v"), planes_b) for planes_b in hps]).alias("__bks"),
+    )
+    keyed = staged.select("__id", "__v", "__n", F.posexplode("__bks").alias("band", "bucket"))
+    a = keyed.select("band", "bucket", F.col("__id").alias("id_a"), F.col("__v").alias("va"), F.col("__n").alias("na"))
+    b = keyed.select("band", "bucket", F.col("__id").alias("id_b"), F.col("__v").alias("vb"), F.col("__n").alias("nb"))
+    cand = a.join(b, on=["band", "bucket"]).filter(F.col("id_a") < F.col("id_b"))
+    score = dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb"))
+    scored = cand.select("id_a", "id_b", F.round(score, 6).alias("cos_sim"))
+    return scored.filter(F.col("cos_sim") >= threshold).distinct()
+
+
+def cosine_allpairs_exact(df: DataFrame, threshold: float, id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
+    """Exact all-pairs cosine ≥ threshold, id_a < id_b — O(n²)
+    inequality join (BroadcastNestedLoop). SMALL-SCALE VERIFICATION
+    BASELINE ONLY: use :func:`cosine_lsh_pairs` in pipelines. Norms are
+    computed once per vector in the input projections, not per pair."""
     v = F.col(vec_col).cast("array<double>")
     a = df.select(F.col(id_col).alias("id_a"), v.alias("va"), norm(v).alias("na"))
     b = df.select(F.col(id_col).alias("id_b"), v.alias("vb"), norm(v).alias("nb"))
@@ -189,3 +256,7 @@ def cosine_self_join_pairs(df: DataFrame, threshold: float, id_col: str = "vec_i
     score = dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb"))
     scored = pairs.select("id_a", "id_b", F.round(score, 6).alias("cos_sim"))
     return scored.filter(F.col("cos_sim") >= threshold)
+
+
+# backwards-compat alias (r1 name); the exact form is no longer the default
+cosine_self_join_pairs = cosine_allpairs_exact

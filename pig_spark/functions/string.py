@@ -110,11 +110,14 @@ def TOKENIZE(col: Column, delims: str | None = None) -> Column:
 
 
 def REGEX_EXTRACT_ALL(col: Column, pattern: str) -> Column:
-    """REGEX_EXTRACT_ALL.java — tuple of ALL capture groups of the
-    first match (null when no match). Pig returns a tuple; here a
-    struct-like array of group strings via regexp_extract per group."""
+    """REGEX_EXTRACT_ALL.java — tuple of all capture groups (null when
+    no match). Pig defaults to useMatches=true, i.e. the pattern must
+    match the ENTIRE input (Matcher.matches(), REGEX_EXTRACT_ALL.java
+    exec): anchor with a non-capturing wrapper so group numbering is
+    preserved while substring-only matches return null, as in Pig."""
     import re as _re
 
     n_groups = _re.compile(pattern).groups
-    extracted = F.array(*[F.regexp_extract(col, pattern, g + 1) for g in range(n_groups)])
-    return F.when(col.rlike(pattern), extracted)
+    anchored = f"^(?:{pattern})$"
+    extracted = F.array(*[F.regexp_extract(col, anchored, g + 1) for g in range(n_groups)])
+    return F.when(col.rlike(anchored), extracted)

@@ -544,11 +544,16 @@ class Parser:
                 self.next()
                 src = self._dotted()
                 self.expect("kw", "by")
-                cols = [self._dotted()]
-                while self.accept("op", ","):
-                    cols.append(self._dotted())
-                if self.peek().kind == "kw" and self.peek().text in ("asc", "desc"):
-                    self.next()
+                # per-column [ASC|DESC], as in QueryParser.g order_by_clause
+                cols = []
+                while True:
+                    cname = self._dotted()
+                    asc = True
+                    if self.peek().kind == "kw" and self.peek().text in ("asc", "desc"):
+                        asc = self.next().text == "asc"
+                    cols.append((cname, asc))
+                    if not self.accept("op", ","):
+                        break
                 nested.append(NestedStmt(alias, "order", src, cols))
             elif t.kind == "kw" and t.text == "limit":
                 self.next()

@@ -82,9 +82,14 @@ class _Pipe:
     cond: object = None
     ordered: bool = False
     limited: bool = False
+    order_keys: object = None  # list[(col, asc)] from nested ORDER
+    limit_n: int | None = None
 
     def copy(self) -> "_Pipe":
-        return _Pipe(self.col, self.distinct, self.cond, self.ordered, self.limited)
+        return _Pipe(
+            self.col, self.distinct, self.cond, self.ordered, self.limited,
+            self.order_keys, self.limit_n,
+        )
 
 
 class PigTranslator:
@@ -103,8 +108,13 @@ class PigTranslator:
 
         src = _expand_macros(src)
         src = self._preprocess(src)
+        # token-aware substitution: '$a' must not rewrite the prefix of
+        # '$ab' (Pig's PreprocessorContext substitutes whole names)
+        import re as _re
+
         for name, value in self.params.items():
-            src = src.replace(f"${name}", str(value))
+            sval = str(value)
+            src = _re.sub(r"\$" + _re.escape(name) + r"\b", lambda _m: sval, src)
         script = G.parse(src)
         for stmt in script.statements:
             self._stmt(stmt)
@@ -455,9 +465,18 @@ class PigTranslator:
                 base.cond = st.cond if base.cond is None else G.Bin("and", base.cond, st.cond)
             elif st.kind == "order":
                 base.ordered = True
+                base.order_keys = st.cond
             elif st.kind == "limit":
                 base.limited = True
+                base.limit_n = int(st.cond)
             pipes[st.alias] = base
+        limited_names = {n for n, p in pipes.items() if p.limited}
+        if limited_names and any(
+            self._pipe_heads(item.expr) & limited_names
+            for item in op.items
+            if not (isinstance(item.expr, G.Col) and (item.expr.name == "group" or item.expr.name.startswith("group.")))
+        ):
+            return self._foreach_nested_topk(op, g, pipes, limited_names)
         key_cols = [c.alias(n) for n, c in g.key_exprs]
         aggs: list[Column] = []
         selects: list[Column] = []
@@ -474,6 +493,157 @@ class PigTranslator:
             selects.append(F.col(name))
         grouped = g.child.df.groupBy(*key_cols) if key_cols else g.child.df.groupBy()
         return Relation(grouped.agg(*aggs).select(*selects))
+
+    def _pipe_heads(self, e) -> set:
+        """Inner-pipe aliases referenced anywhere in a GENERATE expr."""
+        if isinstance(e, G.Bin):
+            return self._pipe_heads(e.left) | self._pipe_heads(e.right)
+        if isinstance(e, G.Cast):
+            return self._pipe_heads(e.operand)
+        if isinstance(e, G.Call):
+            out: set = set()
+            for a in e.args:
+                out |= self._pipe_heads(a)
+            return out
+        if isinstance(e, G.Col):
+            return {e.name.split(".", 1)[0]}
+        return set()
+
+    def _foreach_nested_topk(self, op: G.Foreach, g: GroupedInfo, pipes: dict[str, "_Pipe"], limited_names: set) -> Relation:
+        """{ s = ORDER x BY f [DESC]; l = LIMIT s k; GENERATE ... } — the
+        nested top-k idiom (reference nightly.conf Nested cases,
+        QueryParser.g:921-971). Lowered to
+        operators.nested.topk_per_group: one shuffle on the group keys
+        and a partitioned window row_number ≤ k — no reducer bags, no
+        global sort, scale-safe on hot keys. The k survivors then feed
+        either flat rows (FLATTEN(l)) or aggregates (SUM(l.f), COUNT(l));
+        aggregates over *unlimited* pipes in the same GENERATE are
+        computed by the normal flat-agg path and equi-joined back on the
+        group keys (AQE broadcasts the smaller aggregate side)."""
+        from ..operators.nested import topk_per_group
+
+        if len(limited_names) > 1:
+            raise NotImplementedError("only one LIMIT pipe per nested FOREACH block is supported")
+        lname = next(iter(limited_names))
+        pipe = pipes[lname]
+        if not (pipe.ordered and pipe.order_keys):
+            raise NotImplementedError(
+                "LIMIT inside FOREACH {} needs a preceding ORDER (top-k); "
+                "an unordered nested LIMIT selects arbitrary rows"
+            )
+        if pipe.distinct:
+            raise NotImplementedError("DISTINCT combined with LIMIT in one nested pipe is unsupported")
+
+        child = g.child
+        df = child.df
+        if pipe.cond is not None:
+            df = df.filter(self._expr(pipe.cond, child))
+        key_names = [n for n, _ in g.key_exprs]
+        others = [c for c in df.columns if c not in key_names]
+        kdf = df.select(*[c.alias(n) for n, c in g.key_exprs], *[df[c] for c in others])
+
+        order_names: list[str] = []
+        asc: list[bool] = []
+        for ok in pipe.order_keys:
+            cname, a = ok if isinstance(ok, tuple) else (ok, True)
+            if cname.startswith(g.child_alias + "."):
+                cname = cname.split(".", 1)[1]
+            order_names.append(cname)
+            asc.append(a)
+        topk = topk_per_group(kdf, key_names, order_names, pipe.limit_n, ascending=asc)
+
+        # classify GENERATE items
+        flat_items = []
+        topk_aggs: list[tuple[str, object]] = []
+        other_aggs: list[tuple[str, object]] = []
+        layout: list[tuple[str, object]] = []  # (kind, payload) in output order
+        for i, item in enumerate(op.items):
+            e = item.expr
+            name = item.alias or _default_name(e, i)
+            if isinstance(e, G.Col) and (e.name == "group" or e.name.startswith("group.")):
+                layout.append(("group", item))
+                continue
+            if self._pipe_heads(e) & {lname}:
+                if item.flatten:
+                    flat_items.append(item)
+                    layout.append(("flatten", item))
+                else:
+                    topk_aggs.append((name, e))
+                    layout.append(("col", name))
+            else:
+                other_aggs.append((name, e))
+                layout.append(("col", name))
+        if flat_items and (topk_aggs or other_aggs):
+            raise NotImplementedError("FLATTEN of a LIMIT pipe cannot mix with aggregates in one GENERATE")
+
+        def group_selects(item) -> list[Column]:
+            if isinstance(item.expr, G.Col) and item.expr.name.startswith("group."):
+                kname = item.expr.name.split(".", 1)[1]
+                return [F.col(kname).alias(item.alias or kname)]
+            if len(g.key_exprs) == 1 and not item.flatten:
+                return [F.col(g.key_exprs[0][0]).alias(item.alias or "group")]
+            return [F.col(n) for n, _ in g.key_exprs]
+
+        if flat_items:
+            # row output: group keys + the limited pipe's tuple/column
+            selects: list[Column] = []
+            for kind, payload in layout:
+                if kind == "group":
+                    selects.extend(group_selects(payload))
+                else:
+                    item = payload
+                    ref = item.expr.name if isinstance(item.expr, G.Col) else None
+                    _, _, rest = (ref or "").partition(".")
+                    if rest:
+                        selects.append(F.col(rest).alias(item.alias or rest))
+                    else:
+                        selects.extend(F.col(c) for c in others)
+            return Relation(topk.select(*selects))
+
+        out = topk.groupBy(*[F.col(n) for n in key_names]).agg(
+            *[self._topk_agg(e, topk, lname, g).alias(n) for n, e in topk_aggs]
+        ) if topk_aggs else None
+        if other_aggs:
+            odf = (g.child.df.groupBy(*[c.alias(n) for n, c in g.key_exprs]) if key_names else g.child.df.groupBy()).agg(
+                *[self._nested_agg(e, g, pipes).alias(n) for n, e in other_aggs]
+            )
+            out = odf if out is None else out.join(odf, key_names)
+        selects = []
+        for kind, payload in layout:
+            if kind == "group":
+                selects.extend(group_selects(payload))
+            else:
+                selects.append(F.col(payload))
+        return Relation(out.select(*selects))
+
+    def _topk_agg(self, e, topk, lname: str, g: GroupedInfo) -> Column:
+        """Aggregate expression over the top-k survivors (references to
+        the LIMIT pipe resolve against the topk DataFrame's columns)."""
+        if isinstance(e, G.Bin):
+            return _binop(e.op, self._topk_agg(e.left, topk, lname, g), self._topk_agg(e.right, topk, lname, g))
+        if isinstance(e, (G.Num, G.Str)):
+            return self._expr(e, g.child)
+        if isinstance(e, G.Cast):
+            return self._topk_agg(e.operand, topk, lname, g).cast(PIG_TO_SPARK_TYPE[e.type])
+        if isinstance(e, G.Call) and e.func.lower() in AGG_FUNCS:
+            fn = e.func.lower()
+            if not e.args:
+                return F.count(F.lit(1))
+            arg = e.args[0]
+            if not isinstance(arg, G.Col):
+                raise NotImplementedError(f"{fn.upper()} over non-column expr in a LIMIT pipe")
+            head, _, rest = arg.name.partition(".")
+            if head != lname:
+                raise NotImplementedError(f"aggregate over {head!r} mixed into the LIMIT-pipe expression")
+            if rest:
+                val: Column = topk[rest]
+            elif fn in ("count", "count_star"):
+                # COUNT(bag) counts non-null first fields (COUNT.java:40)
+                val = topk[g.child.df.columns[0]] if fn == "count" else F.lit(1)
+            else:
+                raise SyntaxError(f"{fn.upper()} over a whole-tuple pipe needs a column (e.g. {lname}.field)")
+            return {"count": F.count, "count_star": F.count, "sum": F.sum, "avg": F.avg, "min": F.min, "max": F.max}[fn](val)
+        raise NotImplementedError(f"unsupported expression over LIMIT pipe: {e}")
 
     def _resolve_pipe(self, source: str, g: GroupedInfo, pipes: dict[str, "_Pipe"]) -> "_Pipe":
         head, _, rest = source.partition(".")
@@ -547,8 +717,23 @@ class PigTranslator:
                 if isinstance(arg, G.Col):
                     name = arg.name
                     if name == g.child_alias:
-                        # COUNT(rel): counts tuples with non-null first field (COUNT.java:40)
-                        return F.count(child.df[child.df.columns[0]]) if fn == "count" else F.count(F.lit(1))
+                        if fn == "count":
+                            # COUNT(rel): counts tuples with non-null first field (COUNT.java:40)
+                            return F.count(child.df[child.df.columns[0]])
+                        if fn == "count_star":
+                            return F.count(F.lit(1))
+                        # SUM/AVG/MIN/MAX(rel): Pig requires a bag of
+                        # single-field tuples and aggregates that field
+                        # (SUM.java:58 input schema check)
+                        if len(child.df.columns) != 1:
+                            raise SyntaxError(
+                                f"{fn.upper()}({name}) needs a single-field bag "
+                                f"(got {len(child.df.columns)} fields); project the "
+                                f"field first or use {name}.field"
+                            )
+                        return {"sum": F.sum, "avg": F.avg, "min": F.min, "max": F.max}[fn](
+                            child.df[child.df.columns[0]]
+                        )
                     if name.startswith(g.child_alias + "."):
                         inner: Column = self._expr(G.Col(name.split(".", 1)[1]), child)
                     else:

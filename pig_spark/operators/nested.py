@@ -34,14 +34,17 @@ def topk_per_group(
     group_keys: Sequence[str],
     order_by: Sequence[str],
     k: int,
-    ascending: bool = False,
+    ascending: bool | Sequence[bool] = False,
 ) -> DataFrame:
     """{ sorted = ORDER x BY c; lim = LIMIT sorted k; } and builtin TOP()
     (builtin/TOP.java:72) → partitioned window row_number ≤ k.
 
     Fully distributed: one shuffle on group keys; no global sort, no bag.
+    ``ascending`` may be per-column (ORDER ... BY a DESC, b ASC).
     """
-    order = [F.col(c).asc() if ascending else F.col(c).desc() for c in order_by]
+    if isinstance(ascending, bool):
+        ascending = [ascending] * len(order_by)
+    order = [F.col(c).asc() if a else F.col(c).desc() for c, a in zip(order_by, ascending)]
     w = Window.partitionBy(*group_keys).orderBy(*order)
     return (
         df.withColumn("__rn", F.row_number().over(w))

@@ -11,8 +11,10 @@ quality) are GENERATED from the same module constants the Spark
 implementations use (pig_spark.functions.dedup / similarity / text) —
 single source of truth, so a constant change cannot desync the check.
 
-Omitted keys (rows-only checks, non-SQL-expressible): q19_rank_global
-(rank over physical scan order), q32_sample (nondeterministic).
+Omitted keys (rows-only checks, non-SQL-expressible):
+q78_sketch_uniques (HLL estimates are impl-defined; error bound pinned
+in tests). q19 (rank) and q32 (sample) gained checkable twins in r2:
+rank-after-ORDER and deterministic hash-sample.
 """
 
 from __future__ import annotations
@@ -127,6 +129,17 @@ def oracle_sql() -> dict[str, str]:
         for p, plane in enumerate(similarity.HYPERPLANES)
     )
 
+    # q45 banded-LSH pair buckets from the same per-band hyperplane
+    # constants the Spark side uses (similarity.pair_hyperplanes)
+    pair_band_selects = []
+    for bi, planes in enumerate(similarity.pair_hyperplanes()):
+        bexpr = " + ".join(
+            f"(CASE WHEN list_dot_product(v, {_vec_sql(plane)}) > 0 THEN {1 << p} ELSE 0 END)"
+            for p, plane in enumerate(planes)
+        )
+        pair_band_selects.append(f"SELECT vec_id, v, n, {bi} AS band, {bexpr} AS bucket FROM vs")
+    pair_bands_sql = "\nUNION ALL\n".join(pair_band_selects)
+
     quality = f"""
         WITH t AS (SELECT doc_id, {_toks('text')} AS toks FROM documents),
         m AS (SELECT doc_id,
@@ -211,6 +224,9 @@ def oracle_sql() -> dict[str, str]:
         "q18_rank_dense": """
             SELECT dense_rank() OVER (ORDER BY p_size ASC NULLS FIRST) AS drank, p_partkey, p_size
             FROM part""",
+        "q19_rank_global": """
+            SELECT row_number() OVER (ORDER BY n_name) AS r, n_nationkey, n_name
+            FROM nation""",
         "q20_cube": f"""
             SELECT l_returnflag, l_linestatus, CAST(GROUPING(l_returnflag, l_linestatus) AS BIGINT) AS grouping_id,
                    {_dsum('l_quantity')} AS sum_qty, COUNT(*) AS n
@@ -274,6 +290,9 @@ def oracle_sql() -> dict[str, str]:
         "q31_json_map": """
             SELECT event_type, SUM(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS sum_k, COUNT(*) AS n
             FROM events GROUP BY event_type""",
+        "q32_sample": f"""
+            SELECT l_orderkey, l_linenumber FROM lineitem
+            WHERE {_h32("CAST(l_orderkey AS VARCHAR) || '|' || CAST(l_linenumber AS VARCHAR)")} % 1000 < 100""",
         "q33_tokenize_wordcount": f"""
             SELECT u.word, COUNT(*) AS cnt
             FROM documents d, unnest({_toks('d.text')}) AS u(word)
@@ -320,16 +339,16 @@ def oracle_sql() -> dict[str, str]:
                    round(list_dot_product(CAST(embedding AS DOUBLE[]), {qv})
                          / (sqrt(list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[]))) * {qnorm}), 6) AS score
             FROM embeddings ORDER BY score DESC, vec_id ASC LIMIT 20""",
-        "q45_cosine_pairs": """
-            SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-                   round(list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[]))
-                         / (sqrt(list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(a.embedding AS DOUBLE[])))
-                            * sqrt(list_dot_product(CAST(b.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])))), 6) AS cos_sim
-            FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
-            WHERE a.vec_id < 200 AND b.vec_id < 200
-              AND round(list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[]))
-                        / (sqrt(list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(a.embedding AS DOUBLE[])))
-                           * sqrt(list_dot_product(CAST(b.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])))), 6) >= 0.3""",
+        "q45_cosine_pairs": f"""
+            WITH vs AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+                               sqrt(list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[]))) AS n
+                        FROM embeddings),
+            k AS ({pair_bands_sql}),
+            cand AS (
+                SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b,
+                       round(list_dot_product(a.v, b.v) / (a.n * b.n), 6) AS cos_sim
+                FROM k a JOIN k b ON a.band = b.band AND a.bucket = b.bucket AND a.vec_id < b.vec_id)
+            SELECT id_a, id_b, cos_sim FROM cand WHERE cos_sim >= 0.3""",
         "q68_ann_ivf": f"""
             WITH cents AS (
                 SELECT vec_id AS cid, CAST(embedding AS DOUBLE[]) AS cv
@@ -374,6 +393,13 @@ def oracle_sql() -> dict[str, str]:
                    list_min(list_transform(generate_series(1, greatest(len({_toks('lower(text)')}) - 3, 1)),
                             i -> CAST(('0x' || substr(md5(array_to_string(({_toks('lower(text)')})[i:i+3], ' ')), 1, 8)) AS BIGINT))) AS rolling_fp
             FROM documents""",
+        "q79_latin_nested_limit": """
+            WITH r AS (SELECT l_orderkey, l_extendedprice,
+                              row_number() OVER (PARTITION BY l_orderkey
+                                                 ORDER BY l_extendedprice DESC, l_linenumber ASC) AS rn
+                       FROM lineitem)
+            SELECT l_orderkey, SUM(l_extendedprice) AS top2_price, COUNT(*) AS n_top
+            FROM r WHERE rn <= 2 GROUP BY l_orderkey""",
         "q51_join_qualified": """
             SELECT n_name AS nation, r_name AS region
             FROM nation JOIN region ON n_regionkey = r_regionkey""",

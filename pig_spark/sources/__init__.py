@@ -64,12 +64,25 @@ def load(
     ``input_file_name()``, evaluated at scan time so it costs nothing.
     """
     fmt = _norm_format(format)
+    if fmt == "parquet":
+        # Testdata events.parquet carries INT64 TIMESTAMP(NANOS) which a
+        # vanilla Spark 4 session rejects (PARQUET_TYPE_ILLEGAL). The conf
+        # is runtime-settable; set it here so loads work under ANY session,
+        # not just the one session.get_session() builds.
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     reader = spark.read
     if schema is not None:
         reader = reader.schema(schema)
     if fmt == "csv":
         options.setdefault("sep", sep)
         options.setdefault("header", False)
+        if format.lower() in ("pigstorage", "pig_storage"):
+            # PigStorage splits on the delimiter literally — no quote or
+            # escape handling (PigStorage.java readField); only
+            # CSVExcelStorage does quotes. Disable Spark CSV's default
+            # '"' quoting so embedded quotes round-trip byte-identical.
+            options.setdefault("quote", "")
+            options.setdefault("escape", "")
     reader = reader.options(**{k: str(v) for k, v in options.items()})
     df = reader.format(fmt).load(path)
     if tag_file:
@@ -102,6 +115,11 @@ def store(
     writer = df.write.mode(mode)
     if fmt == "csv":
         options.setdefault("sep", sep)
+        if format.lower() in ("pigstorage", "pig_storage"):
+            # mirror load(): PigStorage joins fields with the delimiter
+            # literally, no quoting/escaping
+            options.setdefault("quote", "")
+            options.setdefault("escape", "")
     writer = writer.options(**{k: str(v) for k, v in options.items()})
     if partition_by:
         writer = writer.partitionBy(*partition_by)
@@ -160,4 +178,4 @@ def store_sequence_file(df: DataFrame, path: str) -> None:
 
 def load_tables(spark: SparkSession, sf_dir: str, *names: str) -> dict[str, DataFrame]:
     """Convenience: load driver test tables from a scale-factor dir."""
-    return {n: spark.read.parquet(f"{sf_dir}/{n}.parquet") for n in names}
+    return {n: load(spark, f"{sf_dir}/{n}.parquet", "parquet") for n in names}

@@ -240,12 +240,15 @@ def test_nested_foreach_filter_and_order(spark, sf_dir):
     assert abs(row["total"] - e.agg(F.sum("value")).first()[0]) < 1e-6
 
 
-def test_nested_foreach_limit_rejected(spark, sf_dir):
+def test_nested_foreach_limit_now_lowered(spark, sf_dir):
+    """r1 rejected nested LIMIT outright; r2 lowers ORDER+LIMIT to
+    topk_per_group (see test_latin_nested_limit_*). Unordered LIMIT
+    still raises — arbitrary-row selection is nondeterministic."""
     import pytest
 
     from pig_spark.latin import run
 
-    with pytest.raises(NotImplementedError, match="topk_per_group"):
+    with pytest.raises(NotImplementedError, match="ORDER"):
         run(spark, f"""
             A = LOAD '{sf_dir}/events.parquet' USING ParquetLoader();
             C = GROUP A BY user_id;
@@ -554,3 +557,115 @@ def test_latin_split_multistore(spark, sf_dir, tmp_path):
     assert hi.count() + lo.count() == total
     assert hi.filter("o_totalprice <= 200000.0").count() == 0
     assert lo.filter("o_totalprice > 200000.0").count() == 0
+
+
+# ----------------------------------------------------------------------
+# nested ORDER+LIMIT (r2: translate._foreach_nested_topk)
+# ----------------------------------------------------------------------
+
+
+def test_latin_nested_limit_flatten(spark, sf_dir):
+    """{ s = ORDER x BY f DESC; l = LIMIT s k; GENERATE group, FLATTEN(l.f) }
+    returns the per-group top-k ROWS (reference nightly.conf Nested)."""
+    from pyspark.sql import functions as F
+
+    from pig_spark.latin import run
+
+    rels = run(spark, f"""
+        o = LOAD '{sf_dir}/orders.parquet' USING ParquetLoader();
+        g = GROUP o BY o_custkey;
+        t = FOREACH g {{
+            s = ORDER o BY o_totalprice DESC;
+            l = LIMIT s 3;
+            GENERATE group AS o_custkey, FLATTEN(l.o_totalprice) AS price;
+        }}
+    """)
+    got = rels["t"].df
+    assert got.columns == ["o_custkey", "price"]
+    # oracle: window top-3 per customer
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("o_custkey").orderBy(F.col("o_totalprice").desc())
+    want = (
+        o.withColumn("rn", F.row_number().over(w))
+        .filter("rn <= 3")
+        .select("o_custkey", F.col("o_totalprice").alias("price"))
+    )
+    assert got.exceptAll(want).count() == 0 and want.exceptAll(got).count() == 0
+
+
+def test_latin_nested_limit_mixed_aggregates(spark, sf_dir):
+    """SUM over the LIMIT pipe + COUNT over the full bag in one
+    GENERATE: topk aggregate joined back to the flat aggregate."""
+    from pyspark.sql import functions as F
+
+    from pig_spark.latin import run
+
+    rels = run(spark, f"""
+        o = LOAD '{sf_dir}/orders.parquet' USING ParquetLoader();
+        g = GROUP o BY o_custkey;
+        t = FOREACH g {{
+            s = ORDER o BY o_totalprice DESC, o_orderkey ASC;
+            l = LIMIT s 1;
+            GENERATE group AS o_custkey, MAX(l.o_totalprice) AS top1, COUNT(o) AS n_all;
+        }}
+    """)
+    got = rels["t"].df
+    want = (
+        spark.read.parquet(f"{sf_dir}/orders.parquet")
+        .groupBy("o_custkey")
+        .agg(F.max("o_totalprice").alias("top1"), F.count(F.lit(1)).alias("n_all"))
+    )
+    assert got.exceptAll(want).count() == 0 and want.exceptAll(got).count() == 0
+
+
+def test_latin_nested_limit_without_order_raises(spark, sf_dir):
+    import pytest
+
+    from pig_spark.latin import run
+
+    with pytest.raises(NotImplementedError, match="ORDER"):
+        run(spark, f"""
+            o = LOAD '{sf_dir}/orders.parquet' USING ParquetLoader();
+            g = GROUP o BY o_custkey;
+            t = FOREACH g {{
+                l = LIMIT o 2;
+                GENERATE group, COUNT(l) AS n;
+            }}
+        """)
+
+
+def test_latin_sum_of_single_field_bag(spark, sf_dir):
+    """SUM(<relation alias>) over a single-field bag aggregates the
+    field (ADVICE r1: previously returned a row count)."""
+    from pyspark.sql import functions as F
+
+    from pig_spark.latin import run
+
+    rels = run(spark, f"""
+        o = LOAD '{sf_dir}/orders.parquet' USING ParquetLoader();
+        p = FOREACH o GENERATE o_totalprice;
+        g = GROUP p ALL;
+        t = FOREACH g GENERATE SUM(p) AS total;
+    """)
+    want = spark.read.parquet(f"{sf_dir}/orders.parquet").agg(F.sum("o_totalprice")).collect()[0][0]
+    got = rels["t"].df.collect()[0]["total"]
+    assert abs(got - want) < 1e-6
+
+
+def test_latin_param_substitution_token_aware(spark, sf_dir):
+    """$a must not rewrite the prefix of $ab (ADVICE r1)."""
+    from pig_spark.latin import run
+
+    rels = run(
+        spark,
+        f"""
+        o = LOAD '{sf_dir}/orders.parquet' USING ParquetLoader();
+        t = FILTER o BY o_totalprice > $a AND o_totalprice < $ab;
+        """,
+        params={"a": "100000.0", "ab": "200000.0"},
+    )
+    df = rels["t"].df
+    assert df.filter("o_totalprice <= 100000.0 OR o_totalprice >= 200000.0").count() == 0
+    assert df.count() > 0

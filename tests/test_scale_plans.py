@@ -108,6 +108,19 @@ def test_minhash_candidates_are_join_free(spark, sf_dir):
     assert n_joins == 2, f"expected 2 verify joins, plan has {n_joins}"
 
 
+def test_cosine_pairs_has_no_cartesian(spark, sf_dir):
+    """q45's near-dup pair finder must generate candidates from LSH
+    band buckets (equi-join on band+bucket), never an O(n²)
+    inequality join: no CartesianProduct / BroadcastNestedLoopJoin
+    anywhere in the physical plan."""
+    from pig_spark.queries import QUERIES
+
+    df = QUERIES["q45_cosine_pairs"](spark, sf_dir)
+    s = df._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in s, s
+    assert "BroadcastNestedLoopJoin" not in s, s
+
+
 def test_collected_group_on_bucketed_table_has_no_exchange(spark, sf_dir, tmp_path):
     """GROUP USING 'collected' (POCollectedGroup.java — map-side group
     when the loader is collectable): Spark's equivalent is a bucketed
