@@ -41,8 +41,8 @@ PIG_TO_SPARK_TYPE = {
 }
 
 LOADER_FORMAT = {
-    None: "csv",
-    "pigstorage": "csv",
+    None: "pigstorage",
+    "pigstorage": "pigstorage",
     "textloader": "text",
     "jsonloader": "json",
     "jsonstorage": "json",
@@ -150,8 +150,13 @@ class PigTranslator:
             self.aliases[stmt.alias] = self.aliases[stmt.src]
         elif isinstance(stmt, G.Store):
             fmt = LOADER_FORMAT.get((stmt.storer or "pigstorage").lower(), "parquet")
-            sep = stmt.storer_args[0] if stmt.storer_args else "\t"
-            self._rel(stmt.rel).store(stmt.path, format=fmt, sep=sep)
+            args = list(stmt.storer_args or [])
+            opts = {}
+            if any(a.strip().lower() == "-schema" for a in args):
+                opts["schema_sidecar"] = True
+            args = [a for a in args if not a.strip().lower().startswith("-")]
+            sep = args[0] if args else "\t"
+            self._rel(stmt.rel).store(stmt.path, format=fmt, sep=sep, **opts)
             self.stores.append(stmt.path)
         elif isinstance(stmt, G.Simple) and stmt.op == "dump":
             from ..render import render_row
@@ -248,19 +253,23 @@ class PigTranslator:
         fmt = LOADER_FORMAT.get(loader, loader)
         opts = {}
         # PigStorage args: first non-flag = delimiter; '-tagFile' flag
-        # prepends the source filename column (PigStorage.java options)
+        # prepends the source filename column; '-schema' applies the
+        # .pig_schema sidecar (PigStorage.java options)
         args = list(op.loader_args or [])
-        if any(a.strip().lower() == "-tagfile" for a in args):
+        flags = {a.strip().lower() for a in args}
+        if "-tagfile" in flags:
             opts["tag_file"] = True
-            args = [a for a in args if a.strip().lower() != "-tagfile"]
-        if fmt == "csv" and args:
+        if "-schema" in flags:
+            opts["schema_sidecar"] = True
+        args = [a for a in args if not a.strip().lower().startswith("-")]
+        if fmt in ("csv", "pigstorage") and args:
             opts["sep"] = args[0]
         rel = Relation.load(self.spark, op.path, fmt, **opts)
         if op.schema:
             # with -tagFile the filename is $0 and the user's AS clause
             # includes it (Pig semantics) — positional cast covers both
             ddl = ", ".join(f"{f.name} {PIG_TO_SPARK_TYPE.get(f.type or 'bytearray', 'string')}" for f in op.schema)
-            if fmt in ("csv", "text"):
+            if fmt in ("csv", "pigstorage", "text"):
                 # gradual typing: strings → declared types, null on garbage
                 rel = Relation(cast_as(rel.df, ddl))
             else:

@@ -27,6 +27,91 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import types as T
 
 _FORMATS = {"parquet", "orc", "avro", "json", "csv", "text", "xml"}
+SCHEMA_SIDECAR = ".pig_schema"
+
+# Pig type names <-> Spark types (reference: JsonMetadata.java writes a
+# ResourceSchema JSON sidecar named .pig_schema next to PigStorage
+# output when the '-schema' option is set; PigStorage reads it back on
+# load. DataType.java defines the type lattice.)
+_SPARK_TO_PIG = {
+    "integer": "int",
+    "short": "int",
+    "byte": "int",
+    "long": "long",
+    "float": "float",
+    "double": "double",
+    "string": "chararray",
+    "boolean": "boolean",
+    "binary": "bytearray",
+    "timestamp": "datetime",
+    "date": "datetime",
+}
+# bytearray maps to string on load: in delimited text, undeclared/raw
+# fields ARE strings (Pig's gradual typing; Utf8StorageConverter)
+_PIG_TO_SPARK: dict[str, T.DataType] = {
+    "int": T.IntegerType(),
+    "long": T.LongType(),
+    "float": T.FloatType(),
+    "double": T.DoubleType(),
+    "chararray": T.StringType(),
+    "boolean": T.BooleanType(),
+    "bytearray": T.StringType(),
+    "datetime": T.TimestampType(),
+    "bigdecimal": T.DecimalType(38, 18),
+    "biginteger": T.DecimalType(38, 0),
+}
+
+
+def _hadoop_path(df_or_spark, path: str):
+    spark = df_or_spark if isinstance(df_or_spark, SparkSession) else df_or_spark.sparkSession
+    jvm = spark._jvm
+    p = jvm.org.apache.hadoop.fs.Path(path)
+    fs = p.getFileSystem(spark._jsc.hadoopConfiguration())
+    return fs, p
+
+
+def write_schema_sidecar(df: DataFrame, dir_path: str) -> None:
+    """Write ``.pig_schema`` beside a text/csv output — PigStorage's
+    '-schema' option (JsonMetadata.java:write). Uses the Hadoop FS API
+    so it lands on whatever filesystem the output went to (local, HDFS,
+    object store); a one-file driver-side write, no data motion."""
+    import json
+
+    fields = []
+    for f in df.schema.fields:
+        t = f.dataType
+        if t.typeName() == "decimal" or t.typeName().startswith("decimal"):
+            pig_t = "bigdecimal"
+        else:
+            pig_t = _SPARK_TO_PIG.get(t.typeName(), "bytearray")
+        fields.append({"name": f.name, "type": pig_t})
+    payload = json.dumps({"fields": fields}, indent=2)
+    fs, p = _hadoop_path(df, f"{dir_path}/{SCHEMA_SIDECAR}")
+    out = fs.create(p, True)
+    out.write(bytearray(payload.encode("utf-8")))
+    out.close()
+
+
+def read_schema_sidecar(spark: SparkSession, dir_path: str) -> T.StructType | None:
+    """Read ``.pig_schema`` if present (JsonMetadata.java:getSchema);
+    returns None when the sidecar doesn't exist."""
+    import json
+
+    fs, p = _hadoop_path(spark, f"{dir_path}/{SCHEMA_SIDECAR}")
+    if not fs.exists(p):
+        return None
+    stream = fs.open(p)
+    try:
+        data = bytes(stream.readAllBytes()).decode("utf-8")
+    finally:
+        stream.close()
+    doc = json.loads(data)
+    return T.StructType(
+        [
+            T.StructField(f["name"], _PIG_TO_SPARK.get(f.get("type", "bytearray"), T.StringType()), True)
+            for f in doc["fields"]
+        ]
+    )
 _ALIASES = {
     "pigstorage": "csv",
     "pig_storage": "csv",
@@ -53,6 +138,7 @@ def load(
     schema: str | T.StructType | None = None,
     sep: str = "\t",
     tag_file: bool = False,
+    schema_sidecar: bool = False,
     **options,
 ) -> DataFrame:
     """LOAD 'path' USING <loader> [AS schema].
@@ -62,8 +148,13 @@ def load(
     ``tag_file`` ≅ PigStorage('-tagFile'): prepend the source file's
     name as the first column (``input_file_name``) — Spark's
     ``input_file_name()``, evaluated at scan time so it costs nothing.
+    ``schema_sidecar`` ≅ PigStorage('-schema'): apply the
+    ``.pig_schema`` JSON written beside the data (JsonMetadata.java),
+    restoring names and types over schemaless text.
     """
     fmt = _norm_format(format)
+    if schema_sidecar and schema is None:
+        schema = read_schema_sidecar(spark, path)
     if fmt == "parquet":
         # Testdata events.parquet carries INT64 TIMESTAMP(NANOS) which a
         # vanilla Spark 4 session rejects (PARQUET_TYPE_ILLEGAL). The conf
@@ -103,6 +194,7 @@ def store(
     partition_by: Sequence[str] | None = None,
     bucket_by: tuple[int, Sequence[str]] | None = None,
     sort_by: Sequence[str] | None = None,
+    schema_sidecar: bool = False,
     **options,
 ) -> None:
     """STORE rel INTO 'path' USING <storer>.
@@ -110,6 +202,9 @@ def store(
     ``partition_by`` ≅ piggybank MultiStorage; ``bucket_by`` +
     ``sort_by`` pre-organizes for shuffle-free merge joins downstream
     (Pig 'merge' join via IndexableLoadFunc → Spark bucketed SMJ).
+    ``schema_sidecar`` ≅ PigStorage('-schema'): also write a
+    ``.pig_schema`` JSON beside the output so a later schemaless LOAD
+    recovers names and types (JsonMetadata.java).
     """
     fmt = _norm_format(format)
     writer = df.write.mode(mode)
@@ -131,6 +226,8 @@ def store(
         writer.format(fmt).saveAsTable(path)
         return
     writer.format(fmt).save(path)
+    if schema_sidecar:
+        write_schema_sidecar(df, path)
 
 
 def load_fixed_width(

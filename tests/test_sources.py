@@ -119,3 +119,56 @@ def test_tag_file(spark, tmp_path):
     rows = sorted((r[0], r[1]) for r in df.collect())
     assert rows == [("part_a.tsv", "1"), ("part_b.tsv", "2")]
     assert df.columns[0] == "input_file_name"
+
+
+def test_pig_schema_sidecar_round_trip(spark, tmp_path):
+    """PigStorage('-schema') parity (JsonMetadata.java): STORE writes a
+    .pig_schema JSON beside the text output; a schemaless LOAD with the
+    option restores names AND types."""
+    from pyspark.sql import types as T
+
+    from pig_spark.sources import load, store
+
+    df = spark.createDataFrame(
+        [(1, 9.5, "a", True), (2, -0.25, "b", False)],
+        "k int, v double, s string, flag boolean",
+    )
+    path = str(tmp_path / "sidecar_out")
+    store(df, path, format="pigstorage", schema_sidecar=True)
+    assert (tmp_path / "sidecar_out" / ".pig_schema").exists()
+
+    back = load(spark, path, format="pigstorage", schema_sidecar=True)
+    assert back.columns == ["k", "v", "s", "flag"]
+    assert isinstance(back.schema["k"].dataType, T.IntegerType)
+    assert isinstance(back.schema["v"].dataType, T.DoubleType)
+    assert isinstance(back.schema["flag"].dataType, T.BooleanType)
+    assert sorted((r.k, r.v, r.s, r.flag) for r in back.collect()) == [
+        (1, 9.5, "a", True),
+        (2, -0.25, "b", False),
+    ]
+
+
+def test_pig_schema_sidecar_absent_returns_none(spark, tmp_path):
+    from pig_spark.sources import read_schema_sidecar
+
+    assert read_schema_sidecar(spark, str(tmp_path)) is None
+
+
+def test_pig_schema_sidecar_latin_e2e(spark, tmp_path):
+    """LOAD ... USING PigStorage('\\t', '-schema') after a STORE with
+    '-schema' — the full Latin round-trip, types preserved with no AS
+    clause on the reload."""
+    from pig_spark.latin import run
+
+    (tmp_path / "in.tsv").write_text("1\t1.5\n2\t2.5\n")
+    out = tmp_path / "latin_sidecar"
+    run(spark, f"""
+        a = LOAD '{tmp_path}/in.tsv' USING PigStorage() AS (k:int, v:double);
+        STORE a INTO '{out}' USING PigStorage('\\t', '-schema');
+    """)
+    rels = run(spark, f"""
+        b = LOAD '{out}' USING PigStorage('\\t', '-schema');
+        c = FOREACH b GENERATE k, v * 2.0 AS v2;
+    """)
+    got = sorted((r.k, r.v2) for r in rels["c"].df.collect())
+    assert got == [(1, 3.0), (2, 5.0)]
