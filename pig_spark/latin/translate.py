@@ -101,6 +101,10 @@ class PigTranslator:
         self.params = params or {}
         self.registered: list[str] = []
         self.defines: dict[str, str] = {}
+        # STOREs are deferred to end-of-script (Pig batch semantics:
+        # PigServer executes the whole plan at the last STORE) so the
+        # MultiQuery planner can cache subplans shared between sinks
+        self._pending_stores: list[tuple[Relation, str, str, str, dict]] = []
 
     # ------------------------------------------------------------------
     def run(self, src: str) -> dict[str, Relation]:
@@ -118,7 +122,27 @@ class PigTranslator:
         script = G.parse(src)
         for stmt in script.statements:
             self._stmt(stmt)
+        self._flush_stores()
         return {a: info.rel for a, info in self.aliases.items()}
+
+    def _flush_stores(self) -> None:
+        """Execute pending STOREs through the MultiQuery planner —
+        subplans shared by several sinks are detected automatically and
+        cached once (MultiQueryOptimizer.java equivalent)."""
+        if not self._pending_stores:
+            return
+        from ..operators.multisink import multi_store
+        from ..sources import store as _store
+
+        sinks = [
+            (
+                rel.df,
+                lambda d, p=path, f=fmt, s=sep, o=opts: _store(d, p, format=f, sep=s, **o),
+            )
+            for rel, path, fmt, sep, opts in self._pending_stores
+        ]
+        self._pending_stores = []
+        multi_store(sinks)
 
     def relation(self, alias: str) -> Relation:
         return self.aliases[alias].rel
@@ -156,7 +180,7 @@ class PigTranslator:
                 opts["schema_sidecar"] = True
             args = [a for a in args if not a.strip().lower().startswith("-")]
             sep = args[0] if args else "\t"
-            self._rel(stmt.rel).store(stmt.path, format=fmt, sep=sep, **opts)
+            self._pending_stores.append((self._rel(stmt.rel), stmt.path, fmt, sep, opts))
             self.stores.append(stmt.path)
         elif isinstance(stmt, G.Simple) and stmt.op == "dump":
             from ..render import render_row
@@ -249,6 +273,13 @@ class PigTranslator:
 
     # ------------------------------------------------------------------
     def _load(self, op: G.Load) -> Relation:
+        # a LOAD of a path some pending STORE will write is a job
+        # dependency (Pig orders these jobs): flush the writes first
+        if any(
+            op.path.startswith(p) or p.startswith(op.path)
+            for _, p, _, _, _ in self._pending_stores
+        ):
+            self._flush_stores()
         loader = (op.loader or "pigstorage").lower()
         fmt = LOADER_FORMAT.get(loader, loader)
         opts = {}

@@ -324,3 +324,93 @@ def test_nested_cross_via_double_flatten(spark, sf_dir):
         .count()
     )
     assert got == exp > 0
+
+
+# ----------------------------------------------------------------------
+# multi-STORE shared-subplan auto-detection (r2)
+# ----------------------------------------------------------------------
+
+
+def test_multisink_auto_detects_shared_stage(spark, sf_dir, tmp_path):
+    """MultiQueryOptimizer parity: two sinks over one computed stage —
+    the stage is found by plan fingerprinting (no manual shared= arg)
+    and caching it makes the second sink read InMemoryRelation."""
+    from pyspark.sql import functions as F
+
+    from pig_spark.operators.multisink import find_shared_subplans, multi_store
+
+    base = (
+        spark.read.parquet(f"{sf_dir}/orders.parquet")
+        .filter(F.col("o_totalprice") > 50000)
+        .select("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice")
+    )
+    a = base.groupBy("o_orderstatus").agg(F.count(F.lit(1)).alias("n"))
+    b = base.filter(F.col("o_totalprice") > 150000)
+
+    shared = find_shared_subplans([a, b])
+    assert len(shared) == 1
+    assert shared[0]._jdf.queryExecution().analyzed().sameResult(
+        base._jdf.queryExecution().analyzed()
+    )
+
+    # caching the detected subplan rewrites BOTH sink plans to read it
+    shared[0].persist()
+    try:
+        shared[0].count()
+        for sink in (a, b):
+            s = sink._jdf.queryExecution().executedPlan().toString()
+            assert "InMemory" in s, s
+    finally:
+        shared[0].unpersist()
+
+    # end-to-end through multi_store
+    multi_store([
+        (a, lambda d: d.write.mode("overwrite").parquet(str(tmp_path / "a"))),
+        (b, lambda d: d.write.mode("overwrite").parquet(str(tmp_path / "b"))),
+    ])
+    assert spark.read.parquet(str(tmp_path / "a")).count() > 0
+    assert spark.read.parquet(str(tmp_path / "b")).count() == b.count()
+
+
+def test_multisink_bare_scan_not_cached(spark, sf_dir):
+    """Two sinks straight off the same raw scan: re-reading parquet
+    beats caching a table-sized scan at 100 TB — no auto-persist."""
+    from pig_spark.operators.multisink import find_shared_subplans
+
+    raw = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    a = raw.groupBy("o_orderstatus").count()
+    b = raw.groupBy("o_orderpriority").count()
+    assert find_shared_subplans([a, b]) == []
+
+
+def test_multisink_disjoint_sinks_share_nothing(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from pig_spark.operators.multisink import find_shared_subplans
+
+    a = spark.read.parquet(f"{sf_dir}/orders.parquet").filter(F.col("o_totalprice") > 0)
+    b = spark.read.parquet(f"{sf_dir}/customer.parquet").filter(F.col("c_acctbal") > 0)
+    assert find_shared_subplans([a, b]) == []
+
+
+def test_latin_multistore_shares_stage(spark, sf_dir, tmp_path):
+    """Latin script with two STOREs off one FILTERed stage: deferred
+    batch execution (Pig semantics) + automatic subplan cache."""
+    from pig_spark.latin import run
+
+    a_out, b_out = tmp_path / "big", tmp_path / "agg"
+    run(spark, f"""
+        o = LOAD '{sf_dir}/orders.parquet' USING ParquetLoader();
+        f = FILTER o BY o_totalprice > 100000.0;
+        g = GROUP f BY o_orderstatus;
+        s = FOREACH g GENERATE group, COUNT(f) AS n;
+        STORE f INTO '{a_out}' USING ParquetStorer();
+        STORE s INTO '{b_out}' USING ParquetStorer();
+    """)
+    f = spark.read.parquet(str(a_out))
+    s = spark.read.parquet(str(b_out))
+    assert f.filter("o_totalprice <= 100000.0").count() == 0
+    assert s.count() > 0
+    want = f.count()
+    got = sum(r.n for r in s.collect())
+    assert got == want
