@@ -304,20 +304,30 @@ class Relation:
 
         return Relation(_stream(self.df, cmd, schema))
 
-    def scalar(self, expr: str | Column) -> Column:
-        """Scalar projection rel.field (ScalarVisitor.java,
-        ReadScalars.java:40): read a 1-row relation's field as a scalar
-        usable in another relation's expressions.
-
-        Implemented as a broadcast cross-join column, keeping the plan
-        lazy/distributed (no driver collect)."""
-        one = F.broadcast(self.df.select(self._c(expr).alias("__scalar__")).limit(2))
-        return one  # consumed by with_scalar below
-
     def with_scalar(self, name: str, other: "Relation", expr: str | Column) -> "Relation":
-        """Attach ``other``'s single-row value of ``expr`` as column ``name``."""
-        one = F.broadcast(other.df.select(other._c(expr).alias(name)))
-        return Relation(self.df.crossJoin(one))
+        """Scalar projection rel.field (ScalarVisitor.java): attach
+        ``other``'s single-row value of ``expr`` as column ``name`` via
+        a broadcast cross join — lazy and distributed, no driver
+        collect. Pig's runtime error "scalar has more than one row"
+        (ReadScalars.java:40) is enforced inside the plan: the scalar
+        side aggregates to exactly one row carrying its input count and
+        raises lazily when that count exceeds 1. An empty relation
+        yields null, as in Pig."""
+        src = other.df.select(other._c(expr).alias(name))
+        dtype = src.schema[0].dataType.simpleString()
+        one = src.groupBy().agg(
+            F.first(name).alias(name), F.count(F.lit(1)).alias("__n")
+        )
+        checked = one.select(
+            F.when(
+                F.col("__n") <= 1, F.col(name)
+            ).otherwise(
+                F.raise_error(
+                    F.lit("scalar has more than one row in the output (ReadScalars)")
+                ).cast(dtype)
+            ).alias(name)
+        )
+        return Relation(self.df.crossJoin(F.broadcast(checked)))
 
     # ------------------------------------------------------------------
     # diagnostics
@@ -330,9 +340,18 @@ class Relation:
         """EXPLAIN rel (GruntParser.java:330) — Catalyst plan."""
         self.df.explain(mode=mode)
 
-    def illustrate(self, n: int = 5) -> None:
-        """ILLUSTRATE-ish: show a small sample (GruntParser.java:802)."""
-        self.df.show(n, truncate=80)
+    def illustrate(self, n: int = 5) -> list[str]:
+        """ILLUSTRATE on a single relation: n exemplar rows in Pig's
+        DUMP tuple syntax (GruntParser.java:802). The full per-operator
+        generator — hit-and-miss rows for FILTER, unmatched rows for
+        JOIN, per-alias walk of a whole script (ExampleGenerator.java)
+        — is ``pig_spark.latin.illustrate.illustrate(spark, script)``."""
+        from .render import render_rows
+
+        lines = render_rows(self.df.limit(n).collect())
+        for s in lines:
+            print(s)
+        return lines
 
     def persist(self, level: str = "MEMORY_AND_DISK") -> "Relation":
         from pyspark import StorageLevel

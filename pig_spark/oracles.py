@@ -393,6 +393,11 @@ def oracle_sql() -> dict[str, str]:
                    list_min(list_transform(generate_series(1, greatest(len({_toks('lower(text)')}) - 3, 1)),
                             i -> CAST(('0x' || substr(md5(array_to_string(({_toks('lower(text)')})[i:i+3], ' ')), 1, 8)) AS BIGINT))) AS rolling_fp
             FROM documents""",
+        "q80_skewed_join": """
+            SELECT l.l_orderkey, l.l_linenumber, l.l_returnflag, d.flag_n
+            FROM lineitem l JOIN (SELECT l_returnflag, COUNT(*) AS flag_n
+                                  FROM lineitem GROUP BY l_returnflag) d
+            USING (l_returnflag)""",
         "q79_latin_nested_limit": """
             WITH r AS (SELECT l_orderkey, l_extendedprice,
                               row_number() OVER (PARTITION BY l_orderkey

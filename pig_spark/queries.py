@@ -1022,6 +1022,28 @@ def q74_latin_cube(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q80_skewed_join(spark: SparkSession, sf: str) -> DataFrame:
+    """JOIN ... USING 'skewed' (POSkewedJoin.java) — explicit salted
+    fallback (operators/skew.salted_join): l_returnflag has 3 hot keys
+    covering ALL rows, the worst case for a hash join. The salt spreads
+    each hot key over 16 reducers; results are identical to the plain
+    join (the oracle), which is exactly the point — same answer, no
+    straggler partition. AQE skew handling is the primary path; this
+    gate pins the deterministic fallback."""
+    from .operators.skew import salted_join
+
+    li = _t(spark, sf, "lineitem").foreach("l_orderkey", "l_linenumber", "l_returnflag").df
+    dim = (
+        _t(spark, sf, "lineitem")
+        .group_by("l_returnflag")
+        .agg(flag_n=F.count(F.lit(1)))
+        .df
+    )
+    return salted_join(li, dim, on="l_returnflag").select(
+        "l_orderkey", "l_linenumber", "l_returnflag", "flag_n"
+    )
+
+
 def q79_latin_nested_limit(spark: SparkSession, sf: str) -> DataFrame:
     """Nested ORDER+LIMIT inside FOREACH {} through the Latin front-end
     (QueryParser.g:921-971 nested_blk; reference nightly.conf Nested
@@ -1064,6 +1086,7 @@ _REVERIFY = {
     "q32_sample",  # r1 no_oracle -> deterministic hash-sample twin
     "q45_cosine_pairs",  # r1 all-pairs -> banded-LSH rewrite
     "q79_latin_nested_limit",  # new in r2
+    "q80_skewed_join",  # new in r2
 }
 
 

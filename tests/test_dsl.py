@@ -96,6 +96,24 @@ def test_with_scalar(students):
     assert [r["name"] for r in top] == ["carol"]
 
 
+def test_with_scalar_multirow_raises(students):
+    """Pig runtime error parity (ReadScalars.java:40): a scalar source
+    with >1 row must raise at execution, not silently duplicate."""
+    import pytest
+    from py4j.protocol import Py4JJavaError
+    from pyspark.errors.exceptions.captured import SparkRuntimeException
+
+    out = students.with_scalar("gpa2", students, "gpa")  # students has >1 row
+    with pytest.raises((SparkRuntimeException, Py4JJavaError), match="more than one row"):
+        out.dump()
+
+
+def test_with_scalar_empty_is_null(students):
+    empty = students.filter(F.lit(False))
+    out = students.with_scalar("nope", empty, "gpa")
+    assert all(r["nope"] is None for r in out.dump())
+
+
 def test_order_by_explicit_ascending(students):
     names = [r["name"] for r in students.filter(F.col("age").isNotNull()).order_by("gpa", ascending=False).dump()]
     assert names == ["carol", "alice", "bob"]

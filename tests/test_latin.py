@@ -669,3 +669,35 @@ def test_latin_param_substitution_token_aware(spark, sf_dir):
     df = rels["t"].df
     assert df.filter("o_totalprice <= 100000.0 OR o_totalprice >= 200000.0").count() == 0
     assert df.count() > 0
+
+
+def test_illustrate_filter_join_hit_and_miss(spark, sf_dir):
+    """ILLUSTRATE on a FILTER+JOIN script shows exemplar rows per
+    alias, rows DROPPED by the filter, and left rows with no join
+    match (ExampleGenerator behavior, sample-based)."""
+    from pig_spark.latin.illustrate import illustrate
+
+    report = illustrate(spark, f"""
+        n = LOAD '{sf_dir}/nation.parquet' USING ParquetLoader();
+        big = FILTER n BY n_regionkey > 2;
+        r = LOAD '{sf_dir}/region.parquet' USING ParquetLoader();
+        rsmall = FILTER r BY r_regionkey > 2;
+        j = JOIN n BY n_regionkey, rsmall BY r_regionkey;
+    """, n=2)
+    assert "big:" in report and "j:" in report
+    assert "dropped by the filter" in report
+    assert "no rsmall match" in report
+    # exemplar rows render in Pig tuple syntax
+    assert "  (" in report
+
+
+def test_illustrate_does_not_execute_stores(spark, sf_dir, tmp_path):
+    from pig_spark.latin.illustrate import illustrate
+
+    out = tmp_path / "never_written"
+    report = illustrate(spark, f"""
+        n = LOAD '{sf_dir}/nation.parquet' USING ParquetLoader();
+        STORE n INTO '{out}' USING ParquetStorer();
+    """, n=1)
+    assert "not executed" in report
+    assert not out.exists()

@@ -414,3 +414,16 @@ def test_latin_multistore_shares_stage(spark, sf_dir, tmp_path):
     want = f.count()
     got = sum(r.n for r in s.collect())
     assert got == want
+
+
+def test_skew_metrics_reports_hot_keys(spark, sf_dir):
+    """skew_metrics is the measure-before-salting tool: on lineitem,
+    l_returnflag's top key must carry a dominant share (the reason
+    q80_skewed_join salts it)."""
+    from pig_spark.operators.skew import skew_metrics
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    rows = skew_metrics(li, "l_returnflag", top=3).collect()
+    assert len(rows) == 3
+    assert rows[0]["share"] > 0.3  # 3 keys cover everything: severe skew
+    assert abs(sum(r["share"] for r in rows) - 1.0) < 0.01
