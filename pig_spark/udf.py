@@ -59,3 +59,46 @@ def agg_func(returns: str | T.DataType) -> Callable:
         return pandas_udf(returns, PandasUDFType.GROUPED_AGG)(fn)
 
     return deco
+
+
+def monitored_udf(
+    returns: str | T.DataType,
+    timeout_ms: int = 10_000,
+    default=None,
+) -> Callable:
+    """@MonitoredUDF (org.apache.pig.builtin.MonitoredUDF annotation,
+    MonitoredUDFExecutor.java): evaluate the UDF under a wall-clock
+    timeout; a row that exceeds it yields ``default`` instead of
+    stalling the task — Pig's guard against pathological inputs
+    (catastrophic regex, runaway parser) taking down a job.
+
+    Same mechanism as the reference: a single-thread executor per
+    worker runs the call, the caller waits with a timeout and falls
+    back to the default. Same limitation too (Java can't stop a
+    running thread either): a truly hung call occupies the worker
+    thread until it returns, so subsequent timed-out rows fail fast
+    but the hot thread lingers. For CPU-bound per-row Python, prefer
+    builtins or pandas UDFs; this is a safety net, not a fast path.
+    """
+    import concurrent.futures as _cf
+
+    def deco(fn: Callable):
+        pool_cell = {"pool": None}  # created lazily per executor process
+
+        def wrapped(*args):
+            pool = pool_cell["pool"]
+            if pool is None:
+                pool = pool_cell["pool"] = _cf.ThreadPoolExecutor(max_workers=1)
+            fut = pool.submit(fn, *args)
+            try:
+                return fut.result(timeout=timeout_ms / 1000.0)
+            except _cf.TimeoutError:
+                fut.cancel()
+                # replace a clogged worker so later rows aren't queued
+                # behind the hung call (cancel() can't stop a running fn)
+                pool_cell["pool"] = _cf.ThreadPoolExecutor(max_workers=1)
+                return default
+
+        return udf(wrapped, returnType=returns)
+
+    return deco

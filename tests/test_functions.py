@@ -206,3 +206,53 @@ def test_getweekyear(spark):
     for d in dates:
         exp = con.execute(f"SELECT isoyear(DATE '{d}')").fetchone()[0]
         assert got[d] == exp, (d, got[d], exp)
+
+
+def test_monitored_udf_timeout_yields_default(spark):
+    """MonitoredUDF parity: rows exceeding the timeout produce the
+    default instead of hanging the task; fast rows are unaffected."""
+    import time
+
+    from pig_spark.udf import monitored_udf
+
+    @monitored_udf("string", timeout_ms=500, default="TIMEOUT")
+    def slow_when_x(s):
+        if s == "x":
+            time.sleep(5)
+        return s.upper()
+
+    df = spark.createDataFrame([("a",), ("x",), ("b",)], "s string")
+    got = {r.s: r.out for r in df.select("s", slow_when_x("s").alias("out")).collect()}
+    assert got == {"a": "A", "x": "TIMEOUT", "b": "B"}
+
+
+def test_regex_extract_all_full_match_semantics(spark):
+    """Pig REGEX_EXTRACT_ALL defaults to Matcher.matches(): a pattern
+    matching only a substring returns null (ADVICE r1)."""
+    from pyspark.sql import functions as F
+
+    from pig_spark.functions.string import REGEX_EXTRACT_ALL
+
+    df = spark.createDataFrame([("192.168.1.5",), ("x 192.168.1.5 y",)], "s string")
+    out = df.select(REGEX_EXTRACT_ALL(F.col("s"), r"(\d+)\.(\d+)\.(\d+)\.(\d+)").alias("g")).collect()
+    assert out[0].g == ["192", "168", "1", "5"]  # full match -> groups
+    assert out[1].g is None  # substring-only match -> null, as in Pig
+
+
+def test_between_truncates_toward_zero(spark):
+    """Joda fieldsBetween truncates toward zero: -1.5 days -> -1
+    (ADVICE r1: floor gave -2)."""
+    from pyspark.sql import functions as F
+
+    from pig_spark.functions.datetime import DaysBetween, HoursBetween
+
+    df = spark.createDataFrame(
+        [("2024-01-10 00:00:00", "2024-01-11 12:00:00")], "a string, b string"
+    ).select(F.to_timestamp("a").alias("a"), F.to_timestamp("b").alias("b"))
+    row = df.select(
+        DaysBetween(F.col("a"), F.col("b")).alias("neg"),
+        DaysBetween(F.col("b"), F.col("a")).alias("pos"),
+        HoursBetween(F.col("a"), F.col("b")).alias("negh"),
+    ).collect()[0]
+    assert row.pos == 1 and row.neg == -1  # not -2
+    assert row.negh == -36
