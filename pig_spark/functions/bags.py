@@ -13,18 +13,23 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 
+def _c(c) -> Column:
+    return c if isinstance(c, Column) else F.lit(c)
+
+
 def TOBAG(*cols: Column) -> Column:
-    """TOBAG.java — bag of single-field tuples from scalars."""
-    return F.array(*[F.struct(c.alias("t")) for c in cols])
+    """TOBAG.java — bag of single-field tuples from scalars (literals
+    coerce)."""
+    return F.array(*[F.struct(_c(c).alias("t")) for c in cols])
 
 
 def TOTUPLE(*cols: Column) -> Column:
-    return F.struct(*cols)
+    return F.struct(*[_c(c) for c in cols])
 
 
 def TOMAP(*cols: Column) -> Column:
-    """TOMAP.java — alternating key, value args."""
-    return F.create_map(*cols)
+    """TOMAP.java — alternating key, value args (literal keys coerce)."""
+    return F.create_map(*[_c(c) for c in cols])
 
 
 def BagToString(bag: Column, delimiter: str = "_") -> Column:

@@ -12,8 +12,10 @@ from pyspark.sql import functions as F
 
 
 def CONCAT(*cols: Column) -> Column:
-    """CONCAT.java — null if any input null (unlike SQL CONCAT_WS)."""
-    return F.concat(*cols)
+    """CONCAT.java — null if any input null (unlike SQL CONCAT_WS).
+    Literal str/num args coerce to columns (CONCAT(name, '!') is
+    everyday Pig)."""
+    return F.concat(*[c if isinstance(c, Column) else F.lit(c) for c in cols])
 
 
 def STARTSWITH(col: Column, prefix: Column | str) -> Column:

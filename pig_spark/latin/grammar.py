@@ -117,6 +117,16 @@ class NestedStmt:
 
 
 @dataclass
+class RangeProj:
+    """Positional range projection ``a .. c`` / ``.. c`` / ``a ..``
+    (QueryParser.g col_range): expands to every schema column between
+    the endpoints inclusive."""
+
+    start: str | None
+    end: str | None
+
+
+@dataclass
 class Foreach:
     rel: str
     items: list[GenItem]
@@ -585,8 +595,19 @@ class Parser:
             e = self.expr()
             self.expect("op", ")")
             flatten = True
+        elif self.peek().kind == "op" and self.peek().text == "..":
+            # open-start range projection: GENERATE .. c
+            self.next()
+            e = RangeProj(None, self._range_endpoint())
         else:
             e = self.expr()
+            if isinstance(e, Col) and self.peek().kind == "op" and self.peek().text == "..":
+                self.next()
+                end = None
+                t = self.peek()
+                if t.kind in ("id", "dollar"):
+                    end = self._range_endpoint()
+                e = RangeProj(e.name, end)
         alias = None
         if self.accept("kw", "as"):
             # optional parenthesized schema after flatten; simple name otherwise
@@ -596,6 +617,13 @@ class Parser:
             else:
                 alias = self._ident()
         return GenItem(e, alias, flatten)
+
+    def _range_endpoint(self) -> str:
+        t = self.peek()
+        if t.kind == "dollar":
+            self.next()
+            return t.text
+        return self._ident()
 
     def _op_group(self, cogroup: bool = False):
         rels, keys, inner = [], [], []

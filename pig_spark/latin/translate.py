@@ -412,6 +412,9 @@ class PigTranslator:
             if isinstance(item.expr, G.Star):
                 cols.extend(rel.df[c] for c in rel.df.columns)
                 continue
+            if isinstance(item.expr, G.RangeProj):
+                cols.extend(rel.df[c] for c in _range_span(rel, item.expr))
+                continue
             c = self._expr(item.expr, rel)
             name = item.alias or _default_name(item.expr, i)
             if item.flatten:
@@ -904,6 +907,27 @@ class PigTranslator:
             else:
                 args.append(self._expr(a, rel))
         return fn(*args)
+
+
+def _range_span(rel: Relation, rp) -> list[str]:
+    """Expand ``a .. c`` to the positional column span (QueryParser.g
+    col_range; open ends cover to the schema edge)."""
+    names = rel.df.columns
+
+    def idx(ref: str | None, default: int) -> int:
+        if ref is None:
+            return default
+        if ref.startswith("$"):
+            return int(ref[1:])
+        if ref not in names:
+            raise NameError(f"pig latin: range endpoint {ref!r} not in schema {names}")
+        return names.index(ref)
+
+    lo = idx(rp.start, 0)
+    hi = idx(rp.end, len(names) - 1)
+    if lo > hi:
+        raise SyntaxError(f"pig latin: range projection {rp.start}..{rp.end} is reversed")
+    return names[lo : hi + 1]
 
 
 def _binop(op: str, a: Column, b: Column) -> Column:

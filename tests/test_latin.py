@@ -701,3 +701,38 @@ def test_illustrate_does_not_execute_stores(spark, sf_dir, tmp_path):
     """, n=1)
     assert "not executed" in report
     assert not out.exists()
+
+
+def test_range_projection(spark, sf_dir):
+    """Positional range projection a .. c / .. c / a .. / $0 .. $1
+    (QueryParser.g col_range)."""
+    rels = run(spark, f"""
+        c = LOAD '{sf_dir}/customer.parquet' USING ParquetLoader();
+        mid = FOREACH c GENERATE c_name .. c_acctbal;
+        head = FOREACH c GENERATE .. c_name;
+        tail = FOREACH c GENERATE c_acctbal ..;
+        pos = FOREACH c GENERATE $0 .. $1;
+    """)
+    assert rels["mid"].df.columns == ["c_name", "c_nationkey", "c_acctbal"]
+    assert rels["head"].df.columns == ["c_custkey", "c_name"]
+    assert rels["tail"].df.columns == ["c_acctbal", "c_mktsegment"]
+    assert rels["pos"].df.columns == ["c_custkey", "c_name"]
+
+
+def test_range_projection_reversed_raises(spark, sf_dir):
+    with pytest.raises(SyntaxError, match="reversed"):
+        run(spark, f"""
+            c = LOAD '{sf_dir}/customer.parquet' USING ParquetLoader();
+            x = FOREACH c GENERATE c_acctbal .. c_name;
+        """)
+
+
+def test_concat_and_map_literals(spark, sf_dir):
+    """CONCAT(col, '!') / TOMAP('k', col): literal args coerce to
+    columns instead of resolving as column names."""
+    rels = run(spark, f"""
+        n = LOAD '{sf_dir}/nation.parquet' USING ParquetLoader();
+        p = FOREACH n GENERATE CONCAT(n_name, '!') AS bang, TOMAP('name', n_name) AS m;
+    """)
+    row = rels["p"].df.filter("bang = 'NATION_1!'").collect()[0]
+    assert row["m"]["name"] == "NATION_1"
