@@ -430,16 +430,27 @@ class PigTranslator:
             e = item.expr
             if isinstance(e, G.Col) and (e.name == "group" or e.name.startswith("group.")):
                 continue
-            if self._is_agg_expr(e):
+            if self._is_agg_expr(e, g):
                 continue
             return False
         return True
 
-    def _is_agg_expr(self, e) -> bool:
+    def _is_agg_expr(self, e, g: GroupedInfo | None = None) -> bool:
         if isinstance(e, G.Call) and e.func.lower() in AGG_FUNCS:
             return True
+        if (
+            g is not None
+            and isinstance(e, G.Call)
+            and e.func.lower() in ("size", "arity")
+            and len(e.args) == 1
+            and isinstance(e.args[0], G.Col)
+            and e.args[0].name == g.child_alias
+        ):
+            # SIZE(bag) in a grouped FOREACH is an aggregate in Pig
+            # (BagSize ≡ COUNT_STAR) — keep the GENERATE algebraic
+            return True
         if isinstance(e, G.Bin):
-            return self._is_agg_expr(e.left) and self._is_agg_expr(e.right)
+            return self._is_agg_expr(e.left, g) and self._is_agg_expr(e.right, g)
         if isinstance(e, (G.Num, G.Str)):
             return True
         return False
@@ -753,6 +764,14 @@ class PigTranslator:
         child = g.child
         if isinstance(e, G.Call):
             fn = e.func.lower()
+            if (
+                fn in ("size", "arity")
+                and len(e.args) == 1
+                and isinstance(e.args[0], G.Col)
+                and e.args[0].name == g.child_alias
+            ):
+                # SIZE(bag) over the grouped relation ≡ COUNT_STAR
+                return F.count(F.lit(1))
             if fn in AGG_FUNCS:
                 if fn == "count_star" or not e.args:
                     return F.count(F.lit(1))
@@ -897,6 +916,40 @@ class PigTranslator:
         fn = getattr(PF, fname, None) or getattr(PF, fname.upper(), None)
         if fn is None:
             raise NameError(f"pig latin: unknown function {fname!r}")
+        if fname.upper() in ("SIZE", "ARITY") and len(e.args) == 1 and isinstance(e.args[0], G.Col):
+            # SIZE is type-polymorphic in Pig (StringSize/TupleSize/
+            # BagSize/MapSize dispatched by the frontend) — resolve the
+            # argument's Spark type here, where the schema is known
+            from pyspark.sql import types as T
+
+            cname = e.args[0].name
+            if cname in rel.df.columns:
+                c = self._expr(e.args[0], rel)
+                dtype = rel.df.schema[cname].dataType
+                if isinstance(dtype, T.StringType):
+                    return F.length(c).cast("long")
+                if isinstance(dtype, (T.ArrayType, T.MapType)):
+                    return F.size(c).cast("long")
+                if isinstance(dtype, T.StructType):
+                    return F.lit(len(dtype.fields)).cast("long")
+                return F.lit(1).cast("long")  # scalar SIZE = 1 (SIZE.java)
+        if (
+            fname.upper() == "TOP"
+            and len(e.args) >= 3
+            and isinstance(e.args[1], G.Num)
+            and isinstance(e.args[2], G.Col)
+        ):
+            # TOP(n, column_INDEX, bag) — Pig's positional field arg
+            # (TOP.java). Resolve the index against the bag's element
+            # struct here, where the schema is known.
+            from pyspark.sql import types as T
+
+            bag_name = e.args[2].name
+            if bag_name in rel.df.columns:
+                dtype = rel.df.schema[bag_name].dataType
+                if isinstance(dtype, T.ArrayType) and isinstance(dtype.elementType, T.StructType):
+                    field = dtype.elementType.fieldNames()[int(e.args[1].value)]
+                    return PF.TOP(int(e.args[0].value), field, self._expr(e.args[2], rel))
         args = []
         for a in e.args:
             if isinstance(a, G.Num):

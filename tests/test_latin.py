@@ -736,3 +736,37 @@ def test_concat_and_map_literals(spark, sf_dir):
     """)
     row = rels["p"].df.filter("bang = 'NATION_1!'").collect()[0]
     assert row["m"]["name"] == "NATION_1"
+
+
+def test_top_positional_field_index(spark, sf_dir):
+    """TOP(n, column_INDEX, bag) — Pig's positional field argument
+    (TOP.java), resolved against the bag element schema."""
+    rels = run(spark, f"""
+        li = LOAD '{sf_dir}/lineitem.parquet' USING ParquetLoader();
+        g = GROUP li BY l_orderkey;
+        t = FOREACH g GENERATE group, TOP(2, 5, li) AS top2;
+    """)
+    row = rels["t"].df.limit(1).collect()[0]
+    assert len(row["top2"]) <= 2
+    # field 5 of lineitem is l_extendedprice: bag sorted descending
+    if len(row["top2"]) == 2:
+        assert row["top2"][0]["l_extendedprice"] >= row["top2"][1]["l_extendedprice"]
+
+
+def test_size_polymorphic(spark, sf_dir):
+    """SIZE dispatches by type as in Pig: chararray -> length, bag ->
+    count, scalar -> 1 (SIZE.java family)."""
+    rels = run(spark, f"""
+        o = LOAD '{sf_dir}/orders.parquet' USING ParquetLoader();
+        p = FOREACH o GENERATE o_orderpriority, SIZE(o_orderpriority) AS slen, SIZE(o_totalprice) AS one;
+    """)
+    r = rels["p"].df.limit(1).collect()[0]
+    assert r["slen"] == len(r["o_orderpriority"])
+    assert r["one"] == 1
+    rels2 = run(spark, f"""
+        o = LOAD '{sf_dir}/orders.parquet' USING ParquetLoader();
+        g = GROUP o BY o_orderstatus;
+        p = FOREACH g GENERATE group, SIZE(o) AS n, COUNT_STAR(o) AS n2;
+    """)
+    for row in rels2["p"].df.collect():
+        assert row["n"] == row["n2"]
