@@ -531,6 +531,11 @@ class PigTranslator:
             if not (isinstance(item.expr, G.Col) and (item.expr.name == "group" or item.expr.name.startswith("group.")))
         ):
             return self._foreach_nested_topk(op, g, pipes, limited_names)
+        if any(
+            item.flatten and (self._pipe_heads(item.expr) & set(pipes))
+            for item in op.items
+        ):
+            return self._foreach_nested_flatten(op, g, pipes)
         key_cols = [c.alias(n) for n, c in g.key_exprs]
         aggs: list[Column] = []
         selects: list[Column] = []
@@ -562,6 +567,68 @@ class PigTranslator:
         if isinstance(e, G.Col):
             return {e.name.split(".", 1)[0]}
         return set()
+
+    def _foreach_nested_flatten(self, op: G.Foreach, g: GroupedInfo, pipes: dict[str, "_Pipe"]) -> Relation:
+        """{ s = ORDER x BY f; GENERATE group, FLATTEN(s[.col]) } — the
+        SecondarySort idiom (SecondaryKeyOptimizer.java: Pig moves the
+        nested sort into the shuffle's secondary key instead of sorting
+        reducer bags). Spark-first equivalent: hash-partition on the
+        group key and sortWithinPartitions(key, order) — per-group
+        sorted row output, no bags, one shuffle. A nested FILTER in the
+        pipe becomes a pre-shuffle predicate."""
+        flat_items = [it for it in op.items if it.flatten and (self._pipe_heads(it.expr) & set(pipes))]
+        if len(flat_items) != 1:
+            raise NotImplementedError("exactly one FLATTEN(<inner pipe>) per nested GENERATE is supported")
+        agg_like = [
+            it for it in op.items
+            if it not in flat_items
+            and not (isinstance(it.expr, G.Col) and (it.expr.name == "group" or it.expr.name.startswith("group.")))
+        ]
+        if agg_like:
+            raise NotImplementedError("FLATTEN of an inner pipe cannot mix with aggregates in one GENERATE")
+        item = flat_items[0]
+        if not isinstance(item.expr, G.Col):
+            raise NotImplementedError("FLATTEN of an inner pipe takes the pipe or pipe.column")
+        pipe = self._resolve_pipe(item.expr.name, g, pipes)
+        if pipe.distinct:
+            raise NotImplementedError("FLATTEN of a DISTINCT pipe is unsupported; use the flat DISTINCT form")
+
+        child = g.child
+        df = child.df
+        if pipe.cond is not None:
+            df = df.filter(self._expr(pipe.cond, child))
+        key_names = [n for n, _ in g.key_exprs]
+        others = [c for c in df.columns if c not in key_names]
+        kdf = df.select(*[c.alias(n) for n, c in g.key_exprs], *[df[c] for c in others])
+        if pipe.ordered and pipe.order_keys:
+            order_cols = []
+            for ok in pipe.order_keys:
+                cname, a = ok if isinstance(ok, tuple) else (ok, True)
+                if cname.startswith(g.child_alias + "."):
+                    cname = cname.split(".", 1)[1]
+                order_cols.append(F.col(cname).asc() if a else F.col(cname).desc())
+            if key_names:
+                kdf = kdf.repartition(*[F.col(n) for n in key_names]).sortWithinPartitions(
+                    *[F.col(n) for n in key_names], *order_cols
+                )
+            else:
+                kdf = kdf.sortWithinPartitions(*order_cols)
+
+        selects: list[Column] = []
+        for it in op.items:
+            if isinstance(it.expr, G.Col) and it.expr.name == "group":
+                if len(g.key_exprs) == 1:
+                    selects.append(F.col(g.key_exprs[0][0]).alias(it.alias or "group"))
+                else:
+                    selects.extend(F.col(n) for n, _ in g.key_exprs)
+            elif isinstance(it.expr, G.Col) and it.expr.name.startswith("group."):
+                kname = it.expr.name.split(".", 1)[1]
+                selects.append(F.col(kname).alias(it.alias or kname))
+            elif pipe.col is not None:
+                selects.append(F.col(pipe.col).alias(it.alias or pipe.col.split("::")[-1]))
+            else:
+                selects.extend(F.col(c) for c in others)
+        return Relation(kdf.select(*selects))
 
     def _foreach_nested_topk(self, op: G.Foreach, g: GroupedInfo, pipes: dict[str, "_Pipe"], limited_names: set) -> Relation:
         """{ s = ORDER x BY f [DESC]; l = LIMIT s k; GENERATE ... } — the
