@@ -43,6 +43,9 @@ HEADLINE = [
     "q69_range_join",
     "q75_funnel",
     "q76_corpus_clean",
+    "q45_cosine_pairs",  # r2: banded-LSH near-dup pairs (no cartesian)
+    "q79_latin_nested_limit",  # r2: nested ORDER+LIMIT via topk window
+    "q80_skewed_join",  # r2: salted join on a hot-key column
 ]
 
 
