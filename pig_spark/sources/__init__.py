@@ -206,6 +206,11 @@ def store(
     ``.pig_schema`` JSON beside the output so a later schemaless LOAD
     recovers names and types (JsonMetadata.java).
     """
+    if format.lower() == "dbstorage":
+        from pig_spark.sources.db import store_db
+
+        store_db(df, url=path, mode=mode, **options)
+        return
     fmt = _norm_format(format)
     writer = df.write.mode(mode)
     if fmt == "csv":

@@ -172,3 +172,55 @@ def test_pig_schema_sidecar_latin_e2e(spark, tmp_path):
     """)
     got = sorted((r.k, r.v2) for r in rels["c"].df.collect())
     assert got == [(1, 3.0), (2, 5.0)]
+
+
+def test_dbstorage_round_trip(spark, sf_dir, tmp_path):
+    """DBStorage (piggybank DBStorage.java StoreFunc contract): one
+    connection per partition task, batched INSERTs from the executors.
+    8 partitions write concurrently (WAL writers queue like a server
+    DB's sessions); round-trip must be lossless."""
+    import sqlite3
+
+    from pig_spark.sources import load, store
+    from pig_spark.sources.db import load_db
+
+    url = f"sqlite:///{tmp_path}/out.db"
+    nation = load(spark, f"{sf_dir}/nation.parquet").repartition(8)
+    store(nation, url, format="dbstorage", mode="overwrite", table="nation", batch_size=7)
+
+    con = sqlite3.connect(f"{tmp_path}/out.db")
+    n, = con.execute('SELECT COUNT(*) FROM "nation"').fetchone()
+    names = {r[0] for r in con.execute('SELECT n_name FROM "nation"')}
+    con.close()
+    assert n == nation.count()
+    assert "NATION_0" in names
+
+    back = load_db(spark, url, "nation")
+    assert sorted(back.columns) == sorted(nation.columns)
+    assert back.count() == nation.count()
+
+
+def test_dbstorage_append_and_types(spark, tmp_path):
+    """mode='append' accumulates (DBStorage default); timestamps,
+    decimals, arrays and booleans survive as text/JSON affinities."""
+    import datetime
+    import sqlite3
+    from decimal import Decimal
+
+    from pig_spark.sources.db import store_db
+
+    url = f"sqlite:///{tmp_path}/t.db"
+    df = spark.createDataFrame(
+        [(1, Decimal("1.50"), datetime.datetime(2024, 1, 2, 3, 4, 5), [1, 2], True)],
+        "k long, d decimal(10,2), ts timestamp, xs array<int>, b boolean",
+    )
+    store_db(df, url, "t", mode="overwrite")
+    store_db(df, url, "t", mode="append")
+
+    con = sqlite3.connect(f"{tmp_path}/t.db")
+    rows = con.execute('SELECT k, d, ts, xs, b FROM "t"').fetchall()
+    con.close()
+    assert len(rows) == 2
+    # NUMERIC affinity coerces the decimal text to a number (JDBC
+    # setBigDecimal → NUMERIC column behaves the same way)
+    assert rows[0] == (1, 1.5, "2024-01-02 03:04:05", "[1, 2]", 1)
