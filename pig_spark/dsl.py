@@ -208,10 +208,32 @@ class Relation:
 
         'replicated' → broadcast hint (POFRJoin.java:69);
         'merge' → merge-join hint over sorted inputs (POMergeJoin.java:68);
-        'skewed' → AQE skew handling is always on (POSkewedJoin.java).
+        'skewed' → AQE skew handling is always on (POSkewedJoin.java);
+        'bloom' → pre-filter the probe side with a broadcast bloom of
+        the other side's keys before the shuffle (Pig's Tez bloom join,
+        builtin/BuildBloom.java) — exact semantics, fewer shuffled rows.
         Non-equi conditions (theta/range joins) pass a Column for `on`.
         """
+        left = self.df
         right = other.df
+        if strategy == "bloom":
+            from pig_spark.functions.bloom import bloom_filter
+
+            if isinstance(on, Column):
+                raise ValueError("bloom join needs named equi-keys")
+            keys = [on] if isinstance(on, str) else list(on)
+            key = (
+                keys[0]
+                if len(keys) == 1
+                else F.concat_ws("\x1f", *[F.col(k).cast("string") for k in keys])
+            )
+            # filter only the side whose rows can't survive unmatched:
+            # inner/right → probe=left; left outer → probe=right; full → none
+            if how in ("inner", "right", "right_outer"):
+                left = bloom_filter(left, right, key, key)
+            elif how in ("left", "left_outer", "left_semi"):
+                right = bloom_filter(right, left, key, key)
+            return Relation(left.join(right, on=keys, how=how))
         if strategy in ("replicated", "broadcast"):
             right = F.broadcast(right)
         elif strategy in ("merge", "merge-sparse"):

@@ -887,9 +887,13 @@ class Parser:
         while True:
             t = self.peek()
             if t.kind == "op" and t.text == ".":
-                # dotted projection a.b (bag/tuple deref)
+                # dotted projection a.b (bag/tuple deref); positional
+                # deref a.$0 (QueryParser.g col_ref inside a path)
                 self.next()
-                name = self._ident()
+                if self.peek().kind == "dollar":
+                    name = self.next().text
+                else:
+                    name = self._ident()
                 if isinstance(e, Col):
                     e = Col(e.name + "." + name)
                 else:

@@ -466,8 +466,14 @@ class PigTranslator:
             if isinstance(e, G.Col) and e.name == "group":
                 if len(g.key_exprs) == 1 and not item.flatten:
                     selects.append(F.col(g.key_exprs[0][0]).alias(item.alias or "group"))
-                else:
+                elif item.flatten:
                     selects.extend(F.col(n) for n, _ in g.key_exprs)
+                else:
+                    # tuple key: 'group' is one tuple-typed field
+                    # (LogicalSchema) — deref later via g.$0 / g.field
+                    selects.append(
+                        F.struct(*[F.col(n) for n, _ in g.key_exprs]).alias(item.alias or "group")
+                    )
                 continue
             if isinstance(e, G.Col) and e.name.startswith("group."):
                 kname = e.name.split(".", 1)[1]
@@ -545,8 +551,12 @@ class PigTranslator:
             if isinstance(e, G.Col) and e.name == "group":
                 if len(g.key_exprs) == 1 and not item.flatten:
                     selects.append(F.col(g.key_exprs[0][0]).alias(item.alias or "group"))
-                else:
+                elif item.flatten:
                     selects.extend(F.col(n) for n, _ in g.key_exprs)
+                else:
+                    selects.append(
+                        F.struct(*[F.col(n) for n, _ in g.key_exprs]).alias(item.alias or "group")
+                    )
                 continue
             aggs.append(self._nested_agg(e, g, pipes).alias(name))
             selects.append(F.col(name))
@@ -897,6 +907,21 @@ class PigTranslator:
             sides.append((qrel, key_cols))
         out, out_keys = sides[0]
         for qrel, key_cols in sides[1:]:
+            if op.strategy == "bloom":
+                # Tez bloom join (BuildBloom.java): broadcast a bloom of
+                # one side's keys and pre-filter the other before the
+                # shuffle — exact semantics, only the probe side shrinks.
+                from pig_spark.functions.bloom import bloom_filter
+
+                def _bkey(cols):
+                    return cols[0] if len(cols) == 1 else F.concat_ws(
+                        "\x1f", *[c.cast("string") for c in cols]
+                    )
+
+                if op.how in ("inner", "right"):
+                    out = Relation(bloom_filter(out.df, qrel.df, _bkey(out_keys), _bkey(key_cols)))
+                elif op.how == "left":
+                    qrel = Relation(bloom_filter(qrel.df, out.df, _bkey(key_cols), _bkey(out_keys)))
             cond = None
             for a, b in zip(out_keys, key_cols):
                 c = a == b
@@ -970,12 +995,27 @@ class PigTranslator:
             if q in cols:
                 return rel.df[q]
             if head in cols:  # struct field access
+                if rest.startswith("$"):
+                    # positional deref g.$0 — tuple fields by index
+                    from pyspark.sql import types as T
+
+                    dtype = rel.df.schema[head].dataType
+                    if isinstance(dtype, T.StructType):
+                        return rel.df[head].getField(dtype.names[int(rest[1:])])
                 return rel.df[head].getField(rest)
         suffix = [c for c in cols if c.endswith("::" + name)]
         if len(suffix) == 1:
             return rel.df[suffix[0]]
         if len(suffix) > 1:
             raise ValueError(f"pig latin: ambiguous field {name!r}: {suffix}")
+        if "::" in name:
+            # qualified alias::field where flatten kept the bare name
+            # (no collision) — Pig resolves either form (LogicalSchema
+            # disambiguation); strip qualifiers left-to-right
+            rest = name.split("::", 1)[1]
+            if rest in cols or "::" in rest:
+                return self._resolve(rest, rel)
+            raise NameError(f"pig latin: unknown field {name!r} (columns: {cols})")
         return F.expr(name)
 
     def _call(self, e: G.Call, rel: Relation) -> Column:

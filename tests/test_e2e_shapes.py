@@ -196,3 +196,110 @@ def test_union_onschema_missing_columns(spark, sf_dir):
     df = rels["u"].df
     assert df.count() == 50
     assert df.filter(F.col("n_regionkey").isNull()).count() == 25
+
+
+def test_bigdata_checkin_cogroup_chain(spark, sf_dir):
+    """bigdata.conf 'BigData_Checkin' #1: cogroup by tuple key →
+    double FLATTEN → regroup → SUM of a qualified field → ORDER by
+    ($1, $0). The canonical Pig big-data smoke chain."""
+    rels = run(spark, f"""
+        c = LOAD '{sf_dir}/customer.parquet' USING ParquetLoader();
+        o = LOAD '{sf_dir}/orders.parquet' USING ParquetLoader();
+        cf = FILTER c BY c_acctbal > 0.0;
+        of = FILTER o BY o_totalprice > 1000.0;
+        e = COGROUP cf BY c_custkey, of BY o_custkey;
+        f = FOREACH e GENERATE FLATTEN(cf), FLATTEN(of);
+        g = GROUP f BY cf::c_mktsegment;
+        h = FOREACH g GENERATE group, SUM(f.of::o_totalprice) AS total;
+        i = ORDER h BY total, group;
+    """)
+    got = [(r["group"], round(float(r["total"]), 2)) for r in rels["i"].df.collect()]
+
+    c = spark.read.parquet(f"{sf_dir}/customer.parquet").filter("c_acctbal > 0.0")
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet").filter("o_totalprice > 1000.0")
+    exp = (
+        c.join(o, c["c_custkey"] == o["o_custkey"])
+        .groupBy("c_mktsegment")
+        .agg(F.sum("o_totalprice").alias("total"))
+        .orderBy("total", "c_mktsegment")
+    )
+    want = [(r["c_mktsegment"], round(float(r["total"]), 2)) for r in exp.collect()]
+    assert sorted(got) == sorted(want)
+
+
+def test_bigdata_group_regroup(spark, sf_dir):
+    """bigdata.conf 'BigData_Group' #1: group by tuple key → AVG →
+    filter on the aggregate → deref group.$0 / group.$1 → regroup →
+    AVG again."""
+    rels = run(spark, f"""
+        a = LOAD '{sf_dir}/orders.parquet' USING ParquetLoader();
+        a1 = FILTER a BY o_totalprice < 150000.0;
+        b = GROUP a1 BY (o_custkey, o_orderpriority);
+        c = FOREACH b GENERATE group AS g, AVG(a1.o_totalprice) AS avg_price;
+        d = FILTER c BY avg_price > 50000.0;
+        d1 = FOREACH d GENERATE g.$0 AS custkey, g.$1 AS prio, avg_price;
+        e = GROUP d1 BY prio;
+        f = FOREACH e GENERATE group, AVG(d1.avg_price) AS avg_of_avg;
+    """)
+    got = sorted((r["group"], round(float(r["avg_of_avg"]), 6)) for r in rels["f"].df.collect())
+
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet").filter("o_totalprice < 150000.0")
+    inner = (
+        o.groupBy("o_custkey", "o_orderpriority")
+        .agg(F.avg("o_totalprice").alias("avg_price"))
+        .filter("avg_price > 50000.0")
+    )
+    exp = inner.groupBy("o_orderpriority").agg(F.avg("avg_price").alias("a"))
+    want = sorted((r["o_orderpriority"], round(float(r["a"]), 6)) for r in exp.collect())
+    assert got == want
+
+
+def test_bloom_join_tuple_key(spark, sf_dir):
+    """join.conf 'BloomJoin_Map'/'BloomJoin_Reduce' #1: JOIN by a
+    tuple key USING 'bloom' must equal the plain join (the conf's own
+    verify_pig_script is the strategy-less twin) — blooms have no
+    false negatives, and the join removes false positives."""
+    script = """
+        a = LOAD '{sf}/orders.parquet' USING ParquetLoader();
+        b = LOAD '{sf}/customer.parquet' USING ParquetLoader();
+        bf = FILTER b BY c_acctbal > 5000.0;
+        e = JOIN a BY o_custkey, bf BY c_custkey{using};
+    """
+    bloom = run(spark, script.format(sf=sf_dir, using=" USING 'bloom'"))
+    plain = run(spark, script.format(sf=sf_dir, using=""))
+    nb = bloom["e"].df.count()
+    assert nb == plain["e"].df.count()
+    assert nb > 0
+    # the bloom pre-filter is a broadcast of one aggregated row — the
+    # probe side must not gain a shuffle Exchange for the filter itself
+    plan = bloom["e"].df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+
+
+def test_bloom_join_dsl_outer_sides(spark, sf_dir):
+    """DSL bloom join: left-outer must preserve unmatched left rows
+    (bloom applies to the right side only), matching the plain join."""
+    from pig_spark.dsl import Relation
+
+    o = Relation(spark.read.parquet(f"{sf_dir}/orders.parquet""").withColumnRenamed("o_custkey", "k"))
+    c = Relation(
+        spark.read.parquet(f"{sf_dir}/customer.parquet")
+        .filter("c_acctbal > 9000.0")
+        .withColumnRenamed("c_custkey", "k")
+    )
+    got = o.join(c, on="k", how="left", strategy="bloom").df
+    want = o.join(c, on="k", how="left").df
+    assert got.count() == want.count()
+    assert got.filter("c_name IS NULL").count() == want.filter("c_name IS NULL").count()
+
+
+def test_bigdata_order_parallel(spark, sf_dir):
+    """bigdata.conf 'BigData_Order' #2: total ORDER BY (name, age
+    DESC) with a PARALLEL clause — parallel parses as advisory; order
+    must be globally correct across partitions."""
+    rels = run(spark, f"""
+        a = LOAD '{sf_dir}/customer.parquet' USING ParquetLoader();
+        b = ORDER a BY c_nationkey, c_acctbal DESC PARALLEL 20;
+    """)
+    rows = [(r["c_nationkey"], float(r["c_acctbal"])) for r in rels["b"].df.collect()]
+    assert rows == sorted(rows, key=lambda t: (t[0], -t[1]))
