@@ -393,6 +393,14 @@ def oracle_sql() -> dict[str, str]:
                    list_min(list_transform(generate_series(1, greatest(len({_toks('lower(text)')}) - 3, 1)),
                             i -> CAST(('0x' || substr(md5(array_to_string(({_toks('lower(text)')})[i:i+3], ' ')), 1, 8)) AS BIGINT))) AS rolling_fp
             FROM documents""",
+        "q81_latin_bigdata_chain": """
+            SELECT c_mktsegment AS seg, o_orderpriority AS prio,
+                   COUNT(*) AS n,
+                   MAX(o_totalprice) AS max_price,
+                   MIN(o_totalprice) AS min_price
+            FROM customer JOIN orders ON c_custkey = o_custkey
+            WHERE c_acctbal > 0.0
+            GROUP BY 1, 2""",
         "q80_skewed_join": """
             SELECT l.l_orderkey, l.l_linenumber, l.l_returnflag, d.flag_n
             FROM lineitem l JOIN (SELECT l_returnflag, COUNT(*) AS flag_n

@@ -1066,6 +1066,30 @@ def q79_latin_nested_limit(spark: SparkSession, sf: str) -> DataFrame:
     return rels["t"].df
 
 
+def q81_latin_bigdata_chain(spark: SparkSession, sf: str) -> DataFrame:
+    """bigdata.conf 'BigData_Checkin' + join.conf 'BloomJoin' in one
+    Latin script: bloom-strategy join (BuildBloom.java — broadcast
+    bloom pre-filter of the probe side, exact semantics), GROUP by a
+    tuple key, 'group AS gk' as a tuple-typed field, positional deref
+    gk.$0/gk.$1 (QueryParser.g col_ref), qualified-field aggregates.
+    COUNT/MIN/MAX only — order-insensitive and IEEE-exact, so the
+    value-hash gate is deterministic."""
+    from .latin import run
+
+    rels = run(spark, f"""
+        c = LOAD '{sf}/customer.parquet' USING ParquetLoader();
+        o = LOAD '{sf}/orders.parquet' USING ParquetLoader();
+        cf = FILTER c BY c_acctbal > 0.0;
+        e = JOIN cf BY c_custkey, o BY o_custkey USING 'bloom';
+        g = GROUP e BY (cf::c_mktsegment, o::o_orderpriority);
+        h = FOREACH g GENERATE group AS gk, COUNT(e) AS n,
+                     MAX(e.o::o_totalprice) AS max_price,
+                     MIN(e.o::o_totalprice) AS min_price;
+        i = FOREACH h GENERATE gk.$0 AS seg, gk.$1 AS prio, n, max_price, min_price;
+    """)
+    return rels["i"].df
+
+
 from .pigmix import PIGMIX_QUERIES  # noqa: E402  (avoids circular import)
 
 _ALL: dict[str, Callable[[SparkSession, str], DataFrame]] = {
@@ -1087,6 +1111,7 @@ _REVERIFY = {
     "q45_cosine_pairs",  # r1 all-pairs -> banded-LSH rewrite
     "q79_latin_nested_limit",  # new in r2
     "q80_skewed_join",  # new in r2
+    "q81_latin_bigdata_chain",  # new in r2 (bloom join + tuple-key group)
 }
 
 
