@@ -1,0 +1,155 @@
+"""Seeded randomized differential testing of the LATIN FRONT-END:
+generate whole Pig Latin scripts (FILTER / FOREACH expr / bincond /
+GROUP+aggs chains), run them through grammar→translate→Spark, and the
+equivalent SQL on DuckDB; compare exact multisets.
+
+Complements test_fuzz_differential (which fuzzes the DSL): here the
+*parser and translator* are inside the loop, so an expression-
+precedence or name-resolution bug anywhere in latin/ shows up as a
+value diff. Aggregates are restricted to COUNT/MIN/MAX and integer
+SUM so both engines are IEEE-exact.
+"""
+
+import random
+
+import duckdb
+import pytest
+
+from pig_spark.latin import run
+
+N_SCRIPTS = 16
+SEED = 20260813
+
+NUM = ["l_quantity", "l_extendedprice", "l_discount"]
+STR = ["l_returnflag", "l_linestatus"]
+FLAGS = {"l_returnflag": ["A", "N", "R"], "l_linestatus": ["F", "O"]}
+
+
+def _filter_clause(rng):
+    """Returns (latin_pred, sql_pred)."""
+    parts = []
+    for _ in range(rng.randint(1, 2)):
+        roll = rng.random()
+        if roll < 0.4:
+            c = rng.choice(NUM)
+            op = rng.choice([">", "<", ">=", "<="])
+            v = round(rng.uniform(0.0, 40.0), 2) if c == "l_quantity" else round(rng.uniform(0.0, 0.09), 3)
+            parts.append((f"{c} {op} {v}", f"{c} {op} {v}"))
+        elif roll < 0.6:
+            c = rng.choice(STR)
+            v = rng.choice(FLAGS[c])
+            neg = rng.random() < 0.5
+            op = "!=" if neg else "=="
+            sop = "<>" if neg else "="
+            parts.append((f"{c} {op} '{v}'", f"{c} {sop} '{v}'"))
+        elif roll < 0.8:
+            c = rng.choice(STR)
+            vals = rng.sample(FLAGS[c], 2)
+            q = ", ".join(f"'{v}'" for v in vals)
+            parts.append((f"{c} IN ({q})", f"{c} IN ({q})"))
+        else:
+            c = rng.choice(STR)
+            v = rng.choice(FLAGS[c])
+            parts.append((f"{c} MATCHES '{v}.*'", f"regexp_full_match({c}, '{v}.*')"))
+    joiner = " AND " if rng.random() < 0.7 else " OR "
+    latin = joiner.join(p[0] for p in parts)
+    sql = joiner.join(p[1] for p in parts)
+    return latin, sql
+
+
+def _proj_items(rng):
+    """Returns (latin_items, sql_items, out_cols) for a FOREACH."""
+    items_l, items_s, cols = [], [], []
+    # always carry the group-able strings through
+    for c in STR:
+        items_l.append(c)
+        items_s.append(c)
+        cols.append(c)
+    # one arithmetic expr: integer cents, exact in both engines
+    items_l.append("(long)(l_extendedprice * 100.0) AS cents")
+    # Spark/Java (long) cast truncates; DuckDB CAST rounds — FLOOR on
+    # the oracle side (prices are positive, so floor ≡ truncate)
+    items_s.append("CAST(FLOOR(l_extendedprice * 100.0) AS BIGINT) AS cents")
+    cols.append("cents")
+    if rng.random() < 0.5:
+        v = rng.randint(10, 40)
+        items_l.append(f"(l_quantity > {v} ? 'big' : 'small') AS bucket")
+        items_s.append(f"CASE WHEN l_quantity > {v} THEN 'big' ELSE 'small' END AS bucket")
+        cols.append("bucket")
+    return ", ".join(items_l), ", ".join(items_s), cols
+
+
+def _gen(rng, sf_dir):
+    fl, fs = _filter_clause(rng)
+    pl, ps, cols = _proj_items(rng)
+    lines = [
+        f"li = LOAD '{sf_dir}/lineitem.parquet' USING ParquetLoader();",
+        f"f = FILTER li BY {fl};",
+        f"p = FOREACH f GENERATE {pl};",
+    ]
+    sql_base = f"SELECT {ps} FROM lineitem WHERE {fs}"
+    if rng.random() < 0.6:
+        keys = rng.sample([c for c in cols if c != "cents"], rng.randint(1, 2))
+        aggs_l, aggs_s = ["COUNT(p) AS n"], ["COUNT(*) AS n"]
+        if rng.random() < 0.7:
+            aggs_l.append("MAX(p.cents) AS mx")
+            aggs_s.append("MAX(cents) AS mx")
+        if rng.random() < 0.5:
+            aggs_l.append("SUM(p.cents) AS s")
+            aggs_s.append("SUM(cents) AS s")
+        if len(keys) == 1:
+            lines.append(f"g = GROUP p BY {keys[0]};")
+            lines.append(f"out = FOREACH g GENERATE group AS {keys[0]}, {', '.join(aggs_l)};")
+        else:
+            lines.append(f"g = GROUP p BY ({', '.join(keys)});")
+            gen_keys = ", ".join(f"gk.${i} AS {k}" for i, k in enumerate(keys))
+            lines.append(f"h = FOREACH g GENERATE group AS gk, {', '.join(aggs_l)};")
+            lines.append(f"out = FOREACH h GENERATE {gen_keys}, {', '.join(aggs_l and [a.split(' AS ')[1] for a in aggs_l])};")
+        key_sql = ", ".join(keys)
+        sql = f"SELECT {key_sql}, {', '.join(aggs_s)} FROM ({sql_base}) GROUP BY {key_sql}"
+    elif rng.random() < 0.5:
+        lines.append("out = DISTINCT p;")
+        sql = f"SELECT DISTINCT * FROM ({sql_base})"
+    else:
+        lines.append("out = FOREACH p GENERATE *;")
+        sql = f"SELECT * FROM ({sql_base})"
+    return "\n".join(lines), sql
+
+
+def _norm(v):
+    if isinstance(v, float):
+        return f"{v:.9g}"
+    return str(v)
+
+
+@pytest.fixture(scope="module")
+def duck(sf_dir):
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW lineitem AS SELECT * FROM read_parquet('{sf_dir}/lineitem.parquet')")
+    yield con
+    con.close()
+
+
+def test_latin_fuzz_differential(spark, sf_dir, duck):
+    rng = random.Random(SEED)
+    failures = []
+    for i in range(N_SCRIPTS):
+        script, sql = _gen(rng, sf_dir)
+        try:
+            got_rows = run(spark, script)["out"].df
+            cols = got_rows.columns
+            got = sorted(tuple(_norm(v) for v in r) for r in got_rows.collect())
+            duck_rel = duck.execute(sql)
+            dcols = [d[0] for d in duck_rel.description]
+            # align DuckDB column order to Spark's output order
+            order = [dcols.index(c) for c in cols]
+            want = sorted(tuple(_norm(r[j]) for j in order) for r in duck_rel.fetchall())
+        except Exception as ex:  # pragma: no cover - diagnostic path
+            failures.append(f"case {i} raised {type(ex).__name__}: {ex}\n{script}\n{sql}")
+            continue
+        if got != want:
+            failures.append(
+                f"case {i} diff: spark {len(got)} rows vs duckdb {len(want)}\n{script}\n{sql}"
+                f"\nfirst spark: {got[:2]}\nfirst duck: {want[:2]}"
+            )
+    assert not failures, "\n\n".join(failures)

@@ -77,7 +77,7 @@ def test_wholestage_codegen(lineitem):
 _PYTHON_OK = {"q52_stream_upper", "q67_multimodal_meta"}  # stream pipe; codec boundary
 # explicit CROSS / 1-row scalar broadcast are the only sanctioned
 # cartesian shapes; everything else must be an equi/broadcast join
-_CARTESIAN_OK = {"q12_cross", "q24_scalar", "q64_bloom_filter"}
+_CARTESIAN_OK = {"q12_cross", "q24_scalar", "q64_bloom_filter", "q81_latin_bigdata_chain"}
 
 
 def test_catalog_plan_audit(spark, sf_dir):
