@@ -50,8 +50,10 @@ def cast_as(df: DataFrame, schema: str | T.StructType) -> DataFrame:
         schema = T.StructType.fromDDL(schema)
     if len(schema.fields) > len(df.columns):
         raise ValueError("declared schema wider than relation")
+    # try_cast: null on garbage regardless of spark.sql.ansi.enabled —
+    # the Pig semantic must hold on any session, not just ours.
     cols = [
-        df[df.columns[i]].cast(f.dataType).alias(f.name)
+        df[df.columns[i]].try_cast(f.dataType).alias(f.name)
         for i, f in enumerate(schema.fields)
     ]
     return df.select(*cols)

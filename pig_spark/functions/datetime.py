@@ -51,6 +51,36 @@ def ns_to_timestamp(col: Column) -> Column:
     return F.timestamp_micros((col / 1000).cast("long"))
 
 
+def event_ts(df, col: str = "ts") -> Column:
+    """The events timestamp as TimestampType, whatever physical type
+    the parquet delivered: long nanos (legacy TIMESTAMP(NANOS) files
+    read under nanosAsLong), native timestamp, or timestamp_ntz
+    (current testdata is TIMESTAMP(MICROS, ntz)). The session timezone
+    is pinned to UTC by sources.ensure_pig_session_semantics, so the
+    ntz→timestamp cast is instant-stable and matches an oracle's naive
+    read of the same file."""
+    from pyspark.sql import types as T
+
+    dt = df.schema[col].dataType
+    if isinstance(dt, T.LongType):
+        return ns_to_timestamp(F.col(col))
+    if isinstance(dt, T.TimestampNTZType):
+        return F.col(col).cast("timestamp")
+    return F.col(col)
+
+
+def event_ts_us(df, col: str = "ts") -> Column:
+    """Micros-since-epoch BIGINT of the events timestamp (the unit
+    DuckDB's epoch_us(ts) yields) — for gap/as-of arithmetic that
+    wants plain integers instead of intervals."""
+    from pyspark.sql import types as T
+
+    dt = df.schema[col].dataType
+    if isinstance(dt, T.LongType):
+        return F.expr(f"CAST({col} DIV 1000 AS BIGINT)")
+    return F.unix_micros(event_ts(df, col))
+
+
 def ToMilliSeconds(col: Column) -> Column:
     return (F.unix_timestamp(col) * 1000 + F.date_part(F.lit("MILLISECOND"), col).cast("long") % 1000).cast("long")
 

@@ -132,15 +132,8 @@ class PigTranslator:
         if not self._pending_stores:
             return
         from ..operators.multisink import multi_store
-        from ..sources import store as _store
 
-        sinks = [
-            (
-                rel.df,
-                lambda d, p=path, f=fmt, s=sep, o=opts: _store(d, p, format=f, sep=s, **o),
-            )
-            for rel, path, fmt, sep, opts in self._pending_stores
-        ]
+        sinks = [(rel.df, store_fn) for rel, _path, store_fn in self._pending_stores]
         self._pending_stores = []
         multi_store(sinks)
 
@@ -173,14 +166,37 @@ class PigTranslator:
         elif isinstance(stmt, G.Realias):
             self.aliases[stmt.alias] = self.aliases[stmt.src]
         elif isinstance(stmt, G.Store):
-            fmt = LOADER_FORMAT.get((stmt.storer or "pigstorage").lower(), "parquet")
+            storer = (stmt.storer or "pigstorage").lower()
             args = list(stmt.storer_args or [])
-            opts = {}
-            if any(a.strip().lower() == "-schema" for a in args):
-                opts["schema_sidecar"] = True
-            args = [a for a in args if not a.strip().lower().startswith("-")]
-            sep = args[0] if args else "\t"
-            self._pending_stores.append((self._rel(stmt.rel), stmt.path, fmt, sep, opts))
+            if storer == "dbstorage":
+                # DBStorage(driver, url[, table]) — builtin/DBStorage.java
+                # ctor order; the INTO target doubles as the table name
+                # when no explicit table arg is given, and as the url for
+                # `STORE x INTO 'sqlite:///db' USING DBStorage()`.
+                from ..sources.db import store_db
+
+                url = next((a for a in args if "://" in a or a.lower().startswith("jdbc:")), None)
+                if url is None:
+                    url, table = stmt.path, (args[-1] if args else "pig_out")
+                else:
+                    table = stmt.path
+                store_fn = lambda d, u=url, t=table: store_db(d, u, t)  # noqa: E731
+            elif storer in LOADER_FORMAT:
+                fmt = LOADER_FORMAT[storer]
+                opts = {}
+                if any(a.strip().lower() == "-schema" for a in args):
+                    opts["schema_sidecar"] = True
+                args = [a for a in args if not a.strip().lower().startswith("-")]
+                sep = args[0] if args else "\t"
+                from ..sources import store as _sstore
+
+                store_fn = lambda d, p=stmt.path, f=fmt, s=sep, o=opts: _sstore(d, p, format=f, sep=s, **o)  # noqa: E731
+            else:
+                raise NameError(
+                    f"unknown storer {stmt.storer!r} — one of "
+                    f"{sorted(k for k in LOADER_FORMAT if k)} or DBStorage"
+                )
+            self._pending_stores.append((self._rel(stmt.rel), stmt.path, store_fn))
             self.stores.append(stmt.path)
         elif isinstance(stmt, G.Simple) and stmt.op == "dump":
             from ..render import render_row
@@ -277,7 +293,7 @@ class PigTranslator:
         # dependency (Pig orders these jobs): flush the writes first
         if any(
             op.path.startswith(p) or p.startswith(op.path)
-            for _, p, _, _, _ in self._pending_stores
+            for _, p, _ in self._pending_stores
         ):
             self._flush_stores()
         loader = (op.loader or "pigstorage").lower()
@@ -738,7 +754,22 @@ class PigTranslator:
             odf = (g.child.df.groupBy(*[c.alias(n) for n, c in g.key_exprs]) if key_names else g.child.df.groupBy()).agg(
                 *[self._nested_agg(e, g, pipes).alias(n) for n, e in other_aggs]
             )
-            out = odf if out is None else out.join(odf, key_names)
+            if out is None:
+                out = odf
+            elif not key_names:
+                # GROUP ALL: both sides are single-row aggregates — a
+                # 1×1 crossJoin, not an empty-key equi-join
+                out = out.crossJoin(odf)
+            else:
+                # full_outer, not inner: a group whose rows are all
+                # removed by the nested FILTER on the limited pipe is
+                # absent from topk, but Pig still emits it — null SUM,
+                # 0 COUNT over the empty bag (POForEach over an empty
+                # DataBag). Coalesce COUNT-shaped topk aggregates to 0.
+                out = out.join(odf, key_names, "full_outer")
+                for n, e in topk_aggs:
+                    if isinstance(e, G.Call) and e.func.lower() in ("count", "count_star"):
+                        out = out.withColumn(n, F.coalesce(F.col(n), F.lit(0).cast("long")))
         selects = []
         for kind, payload in layout:
             if kind == "group":
@@ -972,10 +1003,14 @@ class PigTranslator:
                 out = F.when(cond, self._expr(t, rel)) if out is None else out.when(cond, self._expr(t, rel))
             return out.otherwise(self._expr(e.otherwise, rel)) if e.otherwise is not None else out
         if isinstance(e, G.Cast):
+            # try_cast: Pig casts garbage to null (POCast.java), on any
+            # session — must not depend on spark.sql.ansi.enabled.
             spark_t = PIG_TO_SPARK_TYPE.get(e.type, e.type)
-            return self._expr(e.operand, rel).cast(spark_t)
+            return self._expr(e.operand, rel).try_cast(spark_t)
         if isinstance(e, G.MapLookup):
-            return self._expr(e.operand, rel).getItem(e.key)
+            # try_element_at: missing map key → null even under ANSI
+            # (POMapLookUp.java returns null, never throws).
+            return F.try_element_at(self._expr(e.operand, rel), F.lit(e.key))
         if isinstance(e, G.Call):
             return self._call(e, rel)
         if isinstance(e, G.Star):

@@ -11,10 +11,13 @@ quality) are GENERATED from the same module constants the Spark
 implementations use (pig_spark.functions.dedup / similarity / text) —
 single source of truth, so a constant change cannot desync the check.
 
-Omitted keys (rows-only checks, non-SQL-expressible):
-q78_sketch_uniques (HLL estimates are impl-defined; error bound pinned
-in tests). q19 (rank) and q32 (sample) gained checkable twins in r2:
-rank-after-ORDER and deterministic hash-sample.
+Every query is oracle-checked as of r3. The last rows-only entry,
+q78_sketch_uniques, gained a deterministic boundedness twin: the query
+outputs (scope, within_bound) where within_bound = |HLL estimate −
+exact| / exact < 5%, and the oracle predicts `true` for every scope —
+an out-of-bound sketch hash-mismatches. q19 (rank) and q32 (sample)
+gained checkable twins in r2: rank-after-ORDER and deterministic
+hash-sample.
 """
 
 from __future__ import annotations
@@ -288,7 +291,7 @@ def oracle_sql() -> dict[str, str]:
                    COUNT(*) AS n, COUNT(c_acctbal) AS n_nonnull_bal
             FROM customer GROUP BY 1""",
         "q31_json_map": """
-            SELECT event_type, SUM(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS sum_k, COUNT(*) AS n
+            SELECT event_type, CAST(SUM(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS BIGINT) AS sum_k, COUNT(*) AS n
             FROM events GROUP BY event_type""",
         "q32_sample": f"""
             SELECT l_orderkey, l_linenumber FROM lineitem
@@ -476,6 +479,11 @@ def oracle_sql() -> dict[str, str]:
                    CAST(SUM(n) AS BIGINT) AS n,
                    CAST(SUM(tot) AS DOUBLE) AS total
             FROM hourly GROUP BY 1, 2""",
+        "q78_sketch_uniques": """
+            SELECT strftime(CAST(ts AS DATE), '%Y-%m-%d') AS scope, TRUE AS within_bound
+            FROM events GROUP BY CAST(ts AS DATE)
+            UNION ALL
+            SELECT '__total__' AS scope, TRUE AS within_bound""",
         "q59_nested_distinct": """
             SELECT l_orderkey, COUNT(DISTINCT l_suppkey) AS n_supp, COUNT(*) AS n_items
             FROM lineitem GROUP BY l_orderkey""",
@@ -503,9 +511,9 @@ def oracle_sql() -> dict[str, str]:
             SELECT CASE CAST(doc_id % 3 AS INTEGER) WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
                    ELSE 'video' END AS modality,
                    COUNT(*) AS n,
-                   SUM((doc_id % 640) + 16) AS sum_w,
-                   SUM((doc_id * 7) % 480 + 16) AS sum_h,
-                   SUM(n_chars * 10) AS sum_dur
+                   CAST(SUM((doc_id % 640) + 16) AS BIGINT) AS sum_w,
+                   CAST(SUM((doc_id * 7) % 480 + 16) AS BIGINT) AS sum_h,
+                   CAST(SUM(n_chars * 10) AS BIGINT) AS sum_dur
             FROM documents GROUP BY 1""",
         "q69_range_join": f"""
             SELECT n_nationkey AS band_id, COUNT(*) AS n, {_dsum('o_totalprice')} AS total
@@ -586,12 +594,12 @@ def oracle_sql() -> dict[str, str]:
         "q64_bloom_filter": _bloom_oracle(),
         "q65_sessionize": """
             WITH x AS (
-                SELECT user_id, event_id, epoch_ns(ts) AS tns,
-                       lag(epoch_ns(ts)) OVER (PARTITION BY user_id ORDER BY epoch_ns(ts), event_id) AS prev
+                SELECT user_id, event_id, epoch_us(ts) AS tns,
+                       lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id) AS prev
                 FROM events),
             flagged AS (
                 SELECT user_id, event_id, tns,
-                       CASE WHEN prev IS NULL OR tns - prev > 1800000000000 THEN 1 ELSE 0 END AS new_s
+                       CASE WHEN prev IS NULL OR tns - prev > 1800000000 THEN 1 ELSE 0 END AS new_s
                 FROM x),
             sessions AS (
                 SELECT user_id,
@@ -600,7 +608,7 @@ def oracle_sql() -> dict[str, str]:
                 FROM flagged),
             per_session AS (
                 SELECT user_id, session_id, COUNT(*) AS n FROM sessions GROUP BY 1, 2)
-            SELECT user_id, COUNT(*) AS n_sessions, SUM(n) AS n_events, MAX(n) AS max_session
+            SELECT user_id, COUNT(*) AS n_sessions, CAST(SUM(n) AS BIGINT) AS n_events, MAX(n) AS max_session
             FROM per_session GROUP BY user_id""",
         "q66_asof_attribution": """
             WITH p AS (SELECT event_id, user_id, epoch_us(ts) AS pts, value

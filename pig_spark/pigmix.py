@@ -23,7 +23,7 @@ from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from .dsl import Relation
-from .functions import ns_to_timestamp
+from .functions import event_ts
 from .operators.cogroup import cogroup
 
 
@@ -116,7 +116,7 @@ def pm06_multikey_group(spark: SparkSession, sf: str) -> DataFrame:
         e.foreach(
             "user_id",
             "event_type",
-            day=F.to_date(ns_to_timestamp(F.col("ts"))),
+            day=F.to_date(event_ts(e.df)),
             pk=F.get_json_object(F.col("props"), "$.k").cast("int"),
             spent=F.floor("value").cast("long"),
         )
@@ -131,7 +131,7 @@ def pm07_nested_filter_counts(spark: SparkSession, sf: str) -> DataFrame:
     splits each reducer bag twice; the Spark-first lowering is
     conditional aggregates — one pass, no bags."""
     e = _t(spark, sf, "events")
-    hr = F.hour(ns_to_timestamp(F.col("ts")))
+    hr = F.hour(event_ts(e.df))
     return (
         e.group_by("user_id")
         .agg(
@@ -261,9 +261,9 @@ def pm17_wide_group_key(spark: SparkSession, sf: str) -> DataFrame:
         u1=F.col("user_id") + 1000,
         u2=F.col("user_id") * 7,
         t1=F.concat(F.col("event_type"), F.lit("_1")),
-        h=F.hour(ns_to_timestamp(F.col("ts"))),
+        h=F.hour(event_ts(e.df)),
         pk=F.get_json_object(F.col("props"), "$.k").cast("int"),
-        day=F.to_date(ns_to_timestamp(F.col("ts"))),
+        day=F.to_date(event_ts(e.df)),
         spent=F.floor("value").cast("long"),
         val=F.col("value"),
     )
@@ -312,7 +312,7 @@ ORACLES: dict[str, str] = {
     "pm06_multikey_group": """
         SELECT user_id, event_type, CAST(ts AS DATE) AS day,
                CAST(json_extract_string(props, '$.k') AS INTEGER) AS pk,
-               SUM(CAST(floor(value) AS BIGINT)) AS total
+               CAST(SUM(CAST(floor(value) AS BIGINT)) AS BIGINT) AS total
         FROM events GROUP BY 1, 2, 3, 4""",
     "pm07_nested_filter_counts": """
         SELECT user_id,
@@ -320,7 +320,7 @@ ORACLES: dict[str, str] = {
                COUNT(CASE WHEN hour(ts) >= 12 THEN 1 END) AS afternoon
         FROM events GROUP BY user_id""",
     "pm08_group_all": f"""
-        SELECT SUM(CAST(floor(value) AS BIGINT)) AS total_spent,
+        SELECT CAST(SUM(CAST(floor(value) AS BIGINT)) AS BIGINT) AS total_spent,
                {_DS.format('value')} / COUNT(*) AS avg_rev
         FROM events""",
     "pm09_order_single": """
@@ -348,7 +348,7 @@ ORACLES: dict[str, str] = {
             SELECT user_id, event_type, CAST(floor(value) AS BIGINT) AS spent FROM events)
         SELECT user_id,
                COUNT(DISTINCT event_type) AS n_act,
-               SUM(DISTINCT spent) AS sum_spent,
+               CAST(SUM(DISTINCT spent) AS BIGINT) AS sum_spent,
                round(AVG(DISTINCT spent), 6) AS avg_spent
         FROM staged GROUP BY user_id""",
     "pm16_nested_order_sum": f"""
@@ -362,7 +362,7 @@ ORACLES: dict[str, str] = {
                    CAST(floor(value) AS BIGINT) AS spent, value AS val
             FROM events)
         SELECT user_id, event_type, u1, u2, t1, h, pk, day,
-               SUM(spent) AS s0, SUM(spent * 2) AS s1,
+               CAST(SUM(spent) AS BIGINT) AS s0, CAST(SUM(spent * 2) AS BIGINT) AS s1,
                {_DS.format('val')} / COUNT(*) AS a0, COUNT(*) AS n
         FROM staged GROUP BY 1, 2, 3, 4, 5, 6, 7, 8""",
 }

@@ -635,7 +635,9 @@ def q55_strsplit(spark: SparkSession, sf: str) -> DataFrame:
     """STRSPLIT + tuple indexing (out-of-range → null)."""
     p = _t(spark, sf, "part")
     parts = PF.STRSPLIT(F.col("p_type"), " ")
-    return p.foreach("p_partkey", word1=parts.getItem(0), word9=parts.getItem(9)).df
+    # F.get (not getItem): null on out-of-range even under ANSI mode —
+    # Pig tuple deref never throws (POProject.java returns null).
+    return p.foreach("p_partkey", word1=F.get(parts, 0), word9=F.get(parts, 9)).df
 
 
 def q56_theta_join(spark: SparkSession, sf: str) -> DataFrame:
@@ -652,11 +654,13 @@ def q57_cast_gradual(spark: SparkSession, sf: str) -> DataFrame:
     (POCast.java / Utf8StorageConverter.java; ANSI off)."""
     p = _t(spark, sf, "part")
     brand_num = PF.REGEX_EXTRACT(F.col("p_brand"), r"#(\d+)$", 1)
+    # try_cast (not cast): null-on-garbage even under ANSI mode — Pig
+    # cast semantics must not depend on session conf (POCast.java).
     return p.foreach(
         "p_partkey",
-        brand_no=brand_num.cast("int"),
-        bogus=F.col("p_type").cast("int"),
-        size_str_roundtrip=F.col("p_size").cast("string").cast("int"),
+        brand_no=brand_num.try_cast("int"),
+        bogus=F.col("p_type").try_cast("int"),
+        size_str_roundtrip=F.col("p_size").cast("string").try_cast("int"),
     ).df
 
 
@@ -664,7 +668,7 @@ def q58_events_hourly(spark: SparkSession, sf: str) -> DataFrame:
     """Event-time tumbling window aggregation (batch form of the
     Structured Streaming windowed count; TIMESTAMP(NANOS) ingestion)."""
     e = _t(spark, sf, "events")
-    ts = PF.ns_to_timestamp(F.col("ts"))
+    ts = PF.event_ts(e.df)
     return (
         e.foreach(hour=F.date_trunc("hour", ts), event_type=F.col("event_type"), value=F.col("value"))
         .group_by("hour", "event_type")
@@ -759,8 +763,9 @@ def q65_sessionize(spark: SparkSession, sf: str) -> DataFrame:
     from .operators.temporal import sessionize
 
     e = _t(spark, sf, "events").df
-    gap_ns = 30 * 60 * 1_000_000_000
-    s = sessionize(e, "user_id", "ts", gap_ns, order_tiebreak="event_id")
+    e = e.withColumn("__tus", PF.event_ts_us(e))
+    gap_us = 30 * 60 * 1_000_000
+    s = sessionize(e, "user_id", "__tus", gap_us, order_tiebreak="event_id")
     per_session = s.groupBy("user_id", "session_id").agg(F.count(F.lit(1)).alias("n"))
     return per_session.groupBy("user_id").agg(
         F.count(F.lit(1)).alias("n_sessions"),
@@ -776,9 +781,9 @@ def q66_asof_attribution(spark: SparkSession, sf: str) -> DataFrame:
     from .operators.temporal import asof_join
 
     e = _t(spark, sf, "events").df
-    # microsecond resolution: DuckDB reads TIMESTAMP(NANOS) parquet at
-    # us precision, so the oracle can't see nanos — truncate both sides
-    ts_us = F.expr("CAST(ts DIV 1000 AS BIGINT)")
+    # integer micros on both sides (DuckDB epoch_us) — as-of arithmetic
+    # wants plain BIGINTs, not intervals
+    ts_us = PF.event_ts_us(e)
     purchases = e.filter(F.col("event_type") == "purchase").select(
         "event_id", "user_id", ts_us.alias("tus"), "value"
     )
@@ -921,10 +926,10 @@ def q75_funnel(spark: SparkSession, sf: str) -> DataFrame:
     streaming.stateful_funnel (applyInPandasWithState)."""
     from .operators.temporal import funnel
 
-    # truncate nanos→µs BEFORE the funnel: DuckDB reads this parquet at
-    # µs precision, so both sides must compare identical values (the
-    # memory-noted µs-timestamp oracle gotcha)
-    e = _t(spark, sf, "events").df.withColumn("ts", F.expr("CAST(ts DIV 1000 AS BIGINT)"))
+    # integer micros (matches DuckDB epoch_us) — funnel compares ts as
+    # plain BIGINTs on both sides
+    e = _t(spark, sf, "events").df
+    e = e.withColumn("ts", PF.event_ts_us(e))
     return funnel(e, ["view", "click", "purchase"])
 
 
@@ -963,7 +968,7 @@ def q77_hypertable_rollup(spark: SparkSession, sf: str) -> DataFrame:
     materialized table and this query is its reader — two cheap
     shuffles over pre-shrunk data instead of one over raw events."""
     e = _t(spark, sf, "events")
-    ts = PF.ns_to_timestamp(F.col("ts"))
+    ts = PF.event_ts(e.df)
     hourly = (
         e.foreach(hour=F.date_trunc("hour", ts), event_type=F.col("event_type"), value=F.col("value"))
         .group_by("hour", "event_type")
@@ -987,16 +992,35 @@ def q78_sketch_uniques(spark: SparkSession, sf: str) -> DataFrame:
     (estimates are impl-defined — rows-only gate); the error bound vs
     exact is pinned in test_operators."""
     e = _t(spark, sf, "events")
-    ts = PF.ns_to_timestamp(F.col("ts"))
+    ts = PF.event_ts(e.df)
     daily = (
         e.foreach(day=F.date_trunc("day", ts), user_id=F.col("user_id"))
         .group_by("day")
-        .agg(sketch=F.hll_sketch_agg("user_id", F.lit(12)))
+        .agg(
+            sketch=F.hll_sketch_agg("user_id", F.lit(12)),
+            exact=F.countDistinct("user_id"),
+        )
     )
-    return daily.group_all().agg(
-        days=F.count(F.lit(1)).cast("long"),
-        uniques=F.hll_sketch_estimate(F.hll_union_agg("sketch")).cast("long"),
+    # Deterministic gate (r3): per-day boundedness |est - exact|/exact
+    # < 5% (HLL lgK=12 ≈ 1.6% RSE — 3σ margin), plus one __total__ row
+    # exercising the union-merge path. The oracle predicts `true` for
+    # every scope, so an out-of-bound estimate hash-mismatches. The
+    # exact countDistinct here is gate scaffolding only — the 100 TB
+    # deployment keeps just the sketch column and merges.
+    bound = lambda est, exact: (F.abs(est - exact) / exact < F.lit(0.05))  # noqa: E731
+    per_day = daily.foreach(
+        scope=F.date_format("day", "yyyy-MM-dd"),
+        within_bound=bound(F.hll_sketch_estimate(F.col("sketch")).cast("double"), F.col("exact").cast("double")),
     ).df
+    total = daily.group_all().agg(
+        est=F.hll_sketch_estimate(F.hll_union_agg("sketch")).cast("double"),
+    ).df
+    total_exact = e.df.select(F.countDistinct("user_id").cast("double").alias("exact"))
+    total_row = total.crossJoin(F.broadcast(total_exact)).select(
+        F.lit("__total__").alias("scope"),
+        bound(F.col("est"), F.col("exact")).alias("within_bound"),
+    )
+    return per_day.unionByName(total_row)
 
 
 def q74_latin_cube(spark: SparkSession, sf: str) -> DataFrame:
@@ -1100,28 +1124,42 @@ _ALL: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 _ALL.update(PIGMIX_QUERIES)
 
 # The driver's correctness gate checks the FIRST 50 entries in dict
-# order. Order by verification need, not by name: (0) queries added or
-# changed this round plus r1 red rows — must (re)earn a green row;
-# (1) entries the r1 window never reached (q53+, pm01–pm17, r1 checked
-# q01–q52 only); (2) the r1-green block.
-_REVERIFY = {
-    "q19_rank_global",  # r1 no_oracle -> rank-after-ORDER gate
-    "q31_json_map",  # r1 PARQUET_TYPE_ILLEGAL -> nanosAsLong fix
-    "q32_sample",  # r1 no_oracle -> deterministic hash-sample twin
-    "q45_cosine_pairs",  # r1 all-pairs -> banded-LSH rewrite
-    "q79_latin_nested_limit",  # new in r2
-    "q80_skewed_join",  # new in r2
-    "q81_latin_bigdata_chain",  # new in r2 (bloom join + tuple-key group)
+# order. Order by verification need, not by name: (0) r2 red rows
+# (ERR/hash-fail) — the r3 fixes must earn a green driver row;
+# (1) queries whose Spark side changed this round (events ts became
+# native TIMESTAMP(MICROS) in the regenerated testdata — every ts
+# consumer was adapted); (2) the q01–q52 family, whose latest green
+# row is r1 (oldest evidence — refresh); (3) the r2-green block.
+_RED_R2 = {
+    "q55_strsplit",  # ERR: ANSI getItem -> F.get + runtime conf
+    "q57_cast_gradual",  # ERR: ANSI cast -> try_cast + runtime conf
+    "q78_sketch_uniques",  # no_oracle -> boundedness gate
+    "q31_json_map",  # hash: HUGEINT sum -> CAST AS BIGINT
+    "q65_sessionize",  # hash: HUGEINT sum
+    "q67_multimodal_meta",  # hash: HUGEINT sums
+    "pm06_multikey_group",  # hash: HUGEINT sum
+    "pm08_group_all",  # hash: HUGEINT sum
+    "pm15_multi_distinct",  # hash: HUGEINT sum
+    "pm17_wide_group_key",  # hash: HUGEINT sums
+}
+_CHANGED_R3 = {
+    "q58_events_hourly",  # event_ts adaptation
+    "q66_asof_attribution",  # event_ts_us adaptation
+    "q75_funnel",  # event_ts_us adaptation
+    "q77_hypertable_rollup",  # event_ts adaptation
+    "pm07_nested_filter_counts",  # event_ts adaptation
 }
 
 
 def _order_key(name: str) -> tuple[int, str]:
-    if name in _REVERIFY:
+    if name in _RED_R2:
         return (0, name)
-    num = int(name[1:3]) if name[1:3].isdigit() else -1
-    if name.startswith("pm") or num >= 53:
+    if name in _CHANGED_R3:
         return (1, name)
-    return (2, name)
+    num = int(name[1:3]) if name[1:3].isdigit() else -1
+    if name.startswith("q") and 0 <= num <= 52:
+        return (2, name)
+    return (3, name)
 
 
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {

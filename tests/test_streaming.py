@@ -91,7 +91,7 @@ def test_file_stream_matches_batch(spark, sf_dir, tmp_path):
     """Batch/streaming parity: the same windowed count over
     events.parquet via readStream (availableNow, bounded) equals the
     batch aggregation — one pipeline definition, two execution modes."""
-    from pig_spark.functions import ns_to_timestamp
+    from pig_spark.functions import event_ts
 
     batch_df = spark.read.parquet(f"{sf_dir}/events.parquet")
     schema = batch_df.schema
@@ -102,7 +102,7 @@ def test_file_stream_matches_batch(spark, sf_dir, tmp_path):
     )
 
     def pipeline(df):
-        ts = ns_to_timestamp(F.col("ts"))
+        ts = event_ts(df)
         return (
             df.where(F.col("event_type").isNotNull())
             .groupBy(F.window(ts, "1 hour"), F.col("event_type"))
@@ -140,14 +140,13 @@ def test_stateful_funnel_matches_batch(spark, sf_dir, tmp_path):
     import shutil
     from pathlib import Path
 
+    from pig_spark.functions import event_ts_us
     from pig_spark.operators.temporal import funnel
     from pig_spark.streaming import stateful_funnel
 
     steps = ["view", "click", "purchase"]
-    e = (
-        spark.read.parquet(f"{sf_dir}/events.parquet")
-        .select("user_id", F.expr("CAST(ts DIV 1000 AS BIGINT)").alias("ts"), "event_type")
-    )
+    e_raw = spark.read.parquet(f"{sf_dir}/events.parquet")
+    e = e_raw.select("user_id", event_ts_us(e_raw).alias("ts"), "event_type")
     # three contiguous time ranges → per-user event order is preserved
     # across files, so cross-batch state must reproduce batch exactly
     b1, b2 = e.selectExpr("percentile(ts, 0.33)", "percentile(ts, 0.66)").first()
@@ -198,7 +197,7 @@ def test_dedup_stream_matches_batch(spark, sf_dir):
     """Streaming exact-dedup (dropDuplicatesWithinWatermark) over a
     bounded availableNow run equals batch dropDuplicates when all
     duplicates fall inside the watermark horizon."""
-    from pig_spark.functions import ns_to_timestamp
+    from pig_spark.functions import event_ts
     from pig_spark.streaming import dedup_stream
 
     batch_df = spark.read.parquet(f"{sf_dir}/events.parquet")
@@ -210,7 +209,7 @@ def test_dedup_stream_matches_batch(spark, sf_dir):
     )
 
     def prep(df):
-        return df.withColumn("event_ts", ns_to_timestamp(F.col("ts")))
+        return df.withColumn("event_ts", event_ts(df))
 
     deduped = dedup_stream(prep(src), ["user_id", "event_type"], "event_ts", watermark="365 days")
     q = (

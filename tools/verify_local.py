@@ -84,6 +84,21 @@ def main():
             problems.append(f"columns {sorted(spark_cols)} != {sorted(duck_cols)}")
         if len(spark_rows) != len(duck_rows):
             problems.append(f"rowcount {len(spark_rows)} != {len(duck_rows)}")
+        if not problems and os.environ.get("VERIFY_STRICT", "1") != "0":
+            # Driver-faithful typing check: the round-2 hash fails were
+            # all DuckDB HUGEINT sums landing in pandas as float64 while
+            # Spark delivered int64 — values equal, dtype different, and
+            # the driver's value-hasher is type-sensitive. Compare the
+            # pandas dtype KIND per column (both sides via their native
+            # to-pandas path, same as the driver) and flag the dangerous
+            # int-vs-float disagreement loudly before a round ends.
+            sp = df.toPandas()
+            dk = con.execute(oracles[name]).df()
+            kind = lambda s: {"u": "i"}.get(s.dtype.kind, s.dtype.kind)  # noqa: E731
+            for c in sorted(spark_cols):
+                ks, kd = kind(sp[c]), kind(dk[c])
+                if {ks, kd} == {"i", "f"}:
+                    problems.append(f"dtype kind mismatch col {c}: spark {ks} vs duck {kd}")
         if not problems:
             s = rows_to_multiset(spark_rows, spark_cols)
             d = rows_to_multiset(duck_rows, duck_cols)
