@@ -616,8 +616,6 @@ class PigTranslator:
         if not isinstance(item.expr, G.Col):
             raise NotImplementedError("FLATTEN of an inner pipe takes the pipe or pipe.column")
         pipe = self._resolve_pipe(item.expr.name, g, pipes)
-        if pipe.distinct:
-            raise NotImplementedError("FLATTEN of a DISTINCT pipe is unsupported; use the flat DISTINCT form")
 
         child = g.child
         df = child.df
@@ -626,6 +624,13 @@ class PigTranslator:
         key_names = [n for n, _ in g.key_exprs]
         others = [c for c in df.columns if c not in key_names]
         kdf = df.select(*[c.alias(n) for n, c in g.key_exprs], *[df[c] for c in others])
+        if pipe.distinct:
+            # { d = DISTINCT B[.col]; GENERATE group, FLATTEN(d) } —
+            # per-group distinct rows of the pipe's projection: one
+            # dropDuplicates over (keys + projection), no bags
+            cols = [pipe.col] if pipe.col is not None else others
+            kdf = kdf.select(*[F.col(n) for n in key_names], *[F.col(c) for c in cols]).dropDuplicates()
+            others = cols
         if pipe.ordered and pipe.order_keys:
             order_cols = []
             for ok in pipe.order_keys:
@@ -663,45 +668,55 @@ class PigTranslator:
         operators.nested.topk_per_group: one shuffle on the group keys
         and a partitioned window row_number ≤ k — no reducer bags, no
         global sort, scale-safe on hot keys. The k survivors then feed
-        either flat rows (FLATTEN(l)) or aggregates (SUM(l.f), COUNT(l));
-        aggregates over *unlimited* pipes in the same GENERATE are
-        computed by the normal flat-agg path and equi-joined back on the
-        group keys (AQE broadcasts the smaller aggregate side)."""
+        either flat rows (FLATTEN(l)) or aggregates (SUM(l.f), COUNT(l)).
+
+        Multiple independent LIMIT pipes are supported (r3): each gets
+        its own topk_per_group candidate frame; their per-group
+        aggregates — plus aggregates over *unlimited* pipes from the
+        normal flat-agg path — are stitched with full_outer equi-joins
+        on the group keys (AQE broadcasts small aggregate sides;
+        COUNT-shaped aggregates coalesce to 0 for groups the pipe's
+        FILTER emptied, matching Pig's empty-bag semantics).
+        DISTINCT-then-ORDER-then-LIMIT in one pipe dedupes the pipe's
+        projection per group before the window rank."""
         from ..operators.nested import topk_per_group
 
-        if len(limited_names) > 1:
-            raise NotImplementedError("only one LIMIT pipe per nested FOREACH block is supported")
-        lname = next(iter(limited_names))
-        pipe = pipes[lname]
-        if not (pipe.ordered and pipe.order_keys):
-            raise NotImplementedError(
-                "LIMIT inside FOREACH {} needs a preceding ORDER (top-k); "
-                "an unordered nested LIMIT selects arbitrary rows"
-            )
-        if pipe.distinct:
-            raise NotImplementedError("DISTINCT combined with LIMIT in one nested pipe is unsupported")
-
         child = g.child
-        df = child.df
-        if pipe.cond is not None:
-            df = df.filter(self._expr(pipe.cond, child))
         key_names = [n for n, _ in g.key_exprs]
-        others = [c for c in df.columns if c not in key_names]
-        kdf = df.select(*[c.alias(n) for n, c in g.key_exprs], *[df[c] for c in others])
 
-        order_names: list[str] = []
-        asc: list[bool] = []
-        for ok in pipe.order_keys:
-            cname, a = ok if isinstance(ok, tuple) else (ok, True)
-            if cname.startswith(g.child_alias + "."):
-                cname = cname.split(".", 1)[1]
-            order_names.append(cname)
-            asc.append(a)
-        topk = topk_per_group(kdf, key_names, order_names, pipe.limit_n, ascending=asc)
+        def build_topk(lname: str):
+            """Top-k candidate frame for one LIMIT pipe: returns
+            (frame, its non-key columns)."""
+            pipe = pipes[lname]
+            if not (pipe.ordered and pipe.order_keys):
+                raise NotImplementedError(
+                    "LIMIT inside FOREACH {} needs a preceding ORDER (top-k); "
+                    "an unordered nested LIMIT selects arbitrary rows"
+                )
+            df = child.df
+            if pipe.cond is not None:
+                df = df.filter(self._expr(pipe.cond, child))
+            others = [c for c in df.columns if c not in key_names]
+            kdf = df.select(*[c.alias(n) for n, c in g.key_exprs], *[df[c] for c in others])
+            if pipe.distinct:
+                # DISTINCT before ORDER/LIMIT: dedupe the pipe's
+                # projection per group ahead of the window rank
+                cols = [pipe.col] if pipe.col is not None else others
+                kdf = kdf.select(*[F.col(n) for n in key_names], *[F.col(c) for c in cols]).dropDuplicates()
+                others = cols
+            order_names: list[str] = []
+            asc: list[bool] = []
+            for ok in pipe.order_keys:
+                cname, a = ok if isinstance(ok, tuple) else (ok, True)
+                if cname.startswith(g.child_alias + "."):
+                    cname = cname.split(".", 1)[1]
+                order_names.append(cname)
+                asc.append(a)
+            return topk_per_group(kdf, key_names, order_names, pipe.limit_n, ascending=asc), others
 
         # classify GENERATE items
         flat_items = []
-        topk_aggs: list[tuple[str, object]] = []
+        topk_aggs: list[tuple[str, str, object]] = []  # (name, pipe, expr)
         other_aggs: list[tuple[str, object]] = []
         layout: list[tuple[str, object]] = []  # (kind, payload) in output order
         for i, item in enumerate(op.items):
@@ -710,18 +725,23 @@ class PigTranslator:
             if isinstance(e, G.Col) and (e.name == "group" or e.name.startswith("group.")):
                 layout.append(("group", item))
                 continue
-            if self._pipe_heads(e) & {lname}:
+            heads = self._pipe_heads(e) & limited_names
+            if len(heads) > 1:
+                raise NotImplementedError("one GENERATE expression cannot mix two LIMIT pipes")
+            if heads:
                 if item.flatten:
                     flat_items.append(item)
                     layout.append(("flatten", item))
                 else:
-                    topk_aggs.append((name, e))
+                    topk_aggs.append((name, next(iter(heads)), e))
                     layout.append(("col", name))
             else:
                 other_aggs.append((name, e))
                 layout.append(("col", name))
         if flat_items and (topk_aggs or other_aggs):
             raise NotImplementedError("FLATTEN of a LIMIT pipe cannot mix with aggregates in one GENERATE")
+        if len({ln for _, ln, _ in topk_aggs} | {next(iter(self._pipe_heads(it.expr) & limited_names)) for it in flat_items}) == 0:
+            raise NotImplementedError("LIMIT pipe defined but never consumed in GENERATE")
 
         def group_selects(item) -> list[Column]:
             if isinstance(item.expr, G.Col) and item.expr.name.startswith("group."):
@@ -732,6 +752,8 @@ class PigTranslator:
             return [F.col(n) for n, _ in g.key_exprs]
 
         if flat_items:
+            lname = next(iter(self._pipe_heads(flat_items[0].expr) & limited_names))
+            topk, others = build_topk(lname)
             # row output: group keys + the limited pipe's tuple/column
             selects: list[Column] = []
             for kind, payload in layout:
@@ -747,29 +769,45 @@ class PigTranslator:
                         selects.extend(F.col(c) for c in others)
             return Relation(topk.select(*selects))
 
-        out = topk.groupBy(*[F.col(n) for n in key_names]).agg(
-            *[self._topk_agg(e, topk, lname, g).alias(n) for n, e in topk_aggs]
-        ) if topk_aggs else None
-        if other_aggs:
-            odf = (g.child.df.groupBy(*[c.alias(n) for n, c in g.key_exprs]) if key_names else g.child.df.groupBy()).agg(
-                *[self._nested_agg(e, g, pipes).alias(n) for n, e in other_aggs]
+        # one aggregate frame per consumed LIMIT pipe, in first-use order
+        parts: list = []
+        count_cols: list[str] = []
+        seen_pipes: list[str] = []
+        for _, ln, _ in topk_aggs:
+            if ln not in seen_pipes:
+                seen_pipes.append(ln)
+        for ln in seen_pipes:
+            aggs_for = [(n, e) for n, pl, e in topk_aggs if pl == ln]
+            topk, _ = build_topk(ln)
+            parts.append(
+                topk.groupBy(*[F.col(n) for n in key_names]).agg(
+                    *[self._topk_agg(e, topk, ln, g).alias(n) for n, e in aggs_for]
+                )
             )
-            if out is None:
-                out = odf
-            elif not key_names:
-                # GROUP ALL: both sides are single-row aggregates — a
-                # 1×1 crossJoin, not an empty-key equi-join
-                out = out.crossJoin(odf)
+            count_cols.extend(
+                n for n, e in aggs_for
+                if isinstance(e, G.Call) and e.func.lower() in ("count", "count_star")
+            )
+        if other_aggs:
+            parts.append(
+                (child.df.groupBy(*[c.alias(n) for n, c in g.key_exprs]) if key_names else child.df.groupBy()).agg(
+                    *[self._nested_agg(e, g, pipes).alias(n) for n, e in other_aggs]
+                )
+            )
+        out = parts[0]
+        for p in parts[1:]:
+            if not key_names:
+                # GROUP ALL: single-row aggregates — 1×1 crossJoin
+                out = out.crossJoin(p)
             else:
                 # full_outer, not inner: a group whose rows are all
-                # removed by the nested FILTER on the limited pipe is
-                # absent from topk, but Pig still emits it — null SUM,
-                # 0 COUNT over the empty bag (POForEach over an empty
-                # DataBag). Coalesce COUNT-shaped topk aggregates to 0.
-                out = out.join(odf, key_names, "full_outer")
-                for n, e in topk_aggs:
-                    if isinstance(e, G.Call) and e.func.lower() in ("count", "count_star"):
-                        out = out.withColumn(n, F.coalesce(F.col(n), F.lit(0).cast("long")))
+                # removed by a pipe's nested FILTER is absent from that
+                # pipe's topk frame, but Pig still emits it — null SUM,
+                # 0 COUNT over the empty bag (POForEach on empty DataBag)
+                out = out.join(p, key_names, "full_outer")
+        if len(parts) > 1 and key_names:
+            for n in count_cols:
+                out = out.withColumn(n, F.coalesce(F.col(n), F.lit(0).cast("long")))
         selects = []
         for kind, payload in layout:
             if kind == "group":
@@ -800,8 +838,14 @@ class PigTranslator:
             if rest:
                 val: Column = topk[rest]
             elif fn in ("count", "count_star"):
-                # COUNT(bag) counts non-null first fields (COUNT.java:40)
-                val = topk[g.child.df.columns[0]] if fn == "count" else F.lit(1)
+                # COUNT(bag) counts non-null first fields (COUNT.java:40).
+                # The bag tuple is the pipe's projection — after a
+                # DISTINCT pipe narrowed it, the first field is the
+                # first non-key column of the topk frame, not the
+                # child's first column.
+                keyset = {n for n, _ in g.key_exprs}
+                first = next((c for c in topk.columns if c not in keyset), topk.columns[0])
+                val = topk[first] if fn == "count" else F.lit(1)
             else:
                 raise SyntaxError(f"{fn.upper()} over a whole-tuple pipe needs a column (e.g. {lname}.field)")
             return {"count": F.count, "count_star": F.count, "sum": F.sum, "avg": F.avg, "min": F.min, "max": F.max}[fn](val)

@@ -409,6 +409,29 @@ def oracle_sql() -> dict[str, str]:
             FROM lineitem l JOIN (SELECT l_returnflag, COUNT(*) AS flag_n
                                   FROM lineitem GROUP BY l_returnflag) d
             USING (l_returnflag)""",
+        "q82_latin_two_limit_pipes": """
+            WITH r1 AS (SELECT l_returnflag AS flag, l_extendedprice, l_quantity,
+                               row_number() OVER (PARTITION BY l_returnflag
+                                                  ORDER BY l_extendedprice DESC, l_orderkey ASC, l_linenumber ASC) AS rn
+                        FROM lineitem),
+            r2 AS (SELECT l_returnflag AS flag, l_quantity,
+                          row_number() OVER (PARTITION BY l_returnflag
+                                             ORDER BY l_quantity ASC, l_orderkey ASC, l_linenumber ASC) AS rn
+                   FROM lineitem),
+            hi AS (SELECT flag, MAX(l_extendedprice) AS max_price,
+                          SUM(l_quantity) AS top3_qty, COUNT(*) AS n_top
+                   FROM r1 WHERE rn <= 3 GROUP BY flag),
+            lo AS (SELECT flag, SUM(l_quantity) AS bot5_qty
+                   FROM r2 WHERE rn <= 5 GROUP BY flag)
+            SELECT flag, max_price, top3_qty, n_top, bot5_qty
+            FROM hi JOIN lo USING (flag)""",
+        "q83_latin_distinct_limit": """
+            WITH d AS (SELECT DISTINCT l_returnflag AS flag, l_quantity FROM lineitem),
+            r AS (SELECT flag, l_quantity,
+                         row_number() OVER (PARTITION BY flag ORDER BY l_quantity DESC) AS rn
+                  FROM d)
+            SELECT flag, SUM(l_quantity) AS top3_qty, COUNT(*) AS n_top
+            FROM r WHERE rn <= 3 GROUP BY flag""",
         "q79_latin_nested_limit": """
             WITH r AS (SELECT l_orderkey, l_extendedprice,
                               row_number() OVER (PARTITION BY l_orderkey

@@ -1090,6 +1090,52 @@ def q79_latin_nested_limit(spark: SparkSession, sf: str) -> DataFrame:
     return rels["t"].df
 
 
+def q82_latin_two_limit_pipes(spark: SparkSession, sf: str) -> DataFrame:
+    """TWO independent ORDER+LIMIT pipes in one nested FOREACH block
+    (QueryParser.g:921-971 — nested ops compose arbitrarily; r3 corner
+    from VERDICT). Each pipe gets its own topk_per_group frame; their
+    per-group aggregates stitch with a full_outer equi-join on the
+    group key. Order keys carry a unique tiebreak so the top-k set is
+    deterministic; SUMs run over l_quantity (integer-valued doubles —
+    IEEE-exact, order-insensitive), MAX/COUNT are exact anywhere."""
+    from .latin import run
+
+    rels = run(spark, f"""
+        li = LOAD '{sf}/lineitem.parquet' USING ParquetLoader();
+        g = GROUP li BY l_returnflag;
+        t = FOREACH g {{
+            s1 = ORDER li BY l_extendedprice DESC, l_orderkey ASC, l_linenumber ASC;
+            hi = LIMIT s1 3;
+            s2 = ORDER li BY l_quantity ASC, l_orderkey ASC, l_linenumber ASC;
+            lo = LIMIT s2 5;
+            GENERATE group AS flag, MAX(hi.l_extendedprice) AS max_price,
+                     SUM(hi.l_quantity) AS top3_qty, COUNT(hi) AS n_top,
+                     SUM(lo.l_quantity) AS bot5_qty;
+        }}
+    """)
+    return rels["t"].df
+
+
+def q83_latin_distinct_limit(spark: SparkSession, sf: str) -> DataFrame:
+    """DISTINCT → ORDER → LIMIT composed in ONE nested pipe (r3 corner
+    from VERDICT): the pipe's projection is deduped per group
+    (dropDuplicates — no bags) before the window rank takes the top k.
+    Distinct values make the top-k set unique, so SUM is exact."""
+    from .latin import run
+
+    rels = run(spark, f"""
+        li = LOAD '{sf}/lineitem.parquet' USING ParquetLoader();
+        g = GROUP li BY l_returnflag;
+        t = FOREACH g {{
+            d = DISTINCT li.l_quantity;
+            s = ORDER d BY l_quantity DESC;
+            l = LIMIT s 3;
+            GENERATE group AS flag, SUM(l.l_quantity) AS top3_qty, COUNT(l) AS n_top;
+        }}
+    """)
+    return rels["t"].df
+
+
 def q81_latin_bigdata_chain(spark: SparkSession, sf: str) -> DataFrame:
     """bigdata.conf 'BigData_Checkin' + join.conf 'BloomJoin' in one
     Latin script: bloom-strategy join (BuildBloom.java — broadcast
@@ -1148,6 +1194,8 @@ _CHANGED_R3 = {
     "q75_funnel",  # event_ts_us adaptation
     "q77_hypertable_rollup",  # event_ts adaptation
     "pm07_nested_filter_counts",  # event_ts adaptation
+    "q82_latin_two_limit_pipes",  # new in r3
+    "q83_latin_distinct_limit",  # new in r3
 }
 
 

@@ -770,3 +770,96 @@ def test_size_polymorphic(spark, sf_dir):
     """)
     for row in rels2["p"].df.collect():
         assert row["n"] == row["n2"]
+
+
+def test_nested_two_limit_pipes(spark, sf_dir):
+    """Two independent ORDER+LIMIT pipes in one block (r3): per-pipe
+    topk frames stitched with a full_outer join on the group key."""
+    from pyspark.sql import functions as F
+
+    rels = run(spark, f"""
+        li = LOAD '{sf_dir}/lineitem.parquet' USING ParquetLoader();
+        g = GROUP li BY l_returnflag;
+        t = FOREACH g {{
+            s1 = ORDER li BY l_extendedprice DESC, l_orderkey ASC, l_linenumber ASC;
+            hi = LIMIT s1 3;
+            s2 = ORDER li BY l_quantity ASC, l_orderkey ASC, l_linenumber ASC;
+            lo = LIMIT s2 5;
+            GENERATE group AS flag, MAX(hi.l_extendedprice) AS max_price,
+                     COUNT(hi) AS n_top, SUM(lo.l_quantity) AS bot5_qty;
+        }}
+    """)
+    out = {r["flag"]: r for r in rels["t"].df.collect()}
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    for flag, row in out.items():
+        grp = li.filter(F.col("l_returnflag") == flag)
+        exp_max = grp.agg(F.max("l_extendedprice")).first()[0]
+        bot5 = [r[0] for r in grp.orderBy("l_quantity", "l_orderkey", "l_linenumber").select("l_quantity").limit(5).collect()]
+        assert row["n_top"] == 3
+        assert row["max_price"] == exp_max
+        assert row["bot5_qty"] == sum(bot5)
+
+
+def test_nested_distinct_then_limit(spark, sf_dir):
+    """DISTINCT -> ORDER -> LIMIT in one pipe (r3): dedupe the pipe's
+    projection per group before the window rank."""
+    from pyspark.sql import functions as F
+
+    rels = run(spark, f"""
+        li = LOAD '{sf_dir}/lineitem.parquet' USING ParquetLoader();
+        g = GROUP li BY l_returnflag;
+        t = FOREACH g {{
+            d = DISTINCT li.l_quantity;
+            s = ORDER d BY l_quantity DESC;
+            l = LIMIT s 3;
+            GENERATE group AS flag, SUM(l.l_quantity) AS top3_qty, COUNT(l) AS n_top;
+        }}
+    """)
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    for row in rels["t"].df.collect():
+        qs = [
+            r[0]
+            for r in li.filter(F.col("l_returnflag") == row["flag"])
+            .select("l_quantity").distinct().orderBy(F.desc("l_quantity")).limit(3).collect()
+        ]
+        assert row["top3_qty"] == sum(qs)
+        assert row["n_top"] == len(qs)
+
+
+def test_nested_flatten_distinct(spark, sf_dir):
+    """{ d = DISTINCT B.col; GENERATE group, FLATTEN(d) } (r3): one
+    dropDuplicates over (key, col) — per-group distinct value rows."""
+    rels = run(spark, f"""
+        o = LOAD '{sf_dir}/orders.parquet' USING ParquetLoader();
+        g = GROUP o BY o_orderstatus;
+        t = FOREACH g {{
+            d = DISTINCT o.o_orderpriority;
+            GENERATE group, FLATTEN(d);
+        }}
+    """)
+    got = {(r[0], r[1]) for r in rels["t"].df.collect()}
+    exp = {
+        (r[0], r[1])
+        for r in spark.read.parquet(f"{sf_dir}/orders.parquet")
+        .select("o_orderstatus", "o_orderpriority").distinct().collect()
+    }
+    assert got == exp
+
+
+def test_nested_empty_filtered_group_survives(spark, sf_dir):
+    """A group whose rows all fail the LIMIT pipe's nested FILTER still
+    appears: COUNT=0, SUM=null (Pig empty-bag semantics; full_outer fix)."""
+    rels = run(spark, f"""
+        o = LOAD '{sf_dir}/orders.parquet' USING ParquetLoader();
+        g = GROUP o BY o_orderstatus;
+        t = FOREACH g {{
+            f = FILTER o BY o_totalprice < -1.0;
+            s = ORDER f BY o_totalprice DESC;
+            l = LIMIT s 2;
+            GENERATE group AS st, COUNT(l) AS n, COUNT(o) AS n_all;
+        }}
+    """)
+    rows = rels["t"].df.collect()
+    n_status = spark.read.parquet(f"{sf_dir}/orders.parquet").select("o_orderstatus").distinct().count()
+    assert len(rows) == n_status
+    assert all(r["n"] == 0 and r["n_all"] > 0 for r in rows)
