@@ -49,6 +49,48 @@ HEADLINE = [
 ]
 
 
+def _skew_bench(spark, sf_dir: str, timings: dict) -> None:
+    """Zipf-skew stress (VERDICT r2 #6): q80/q81 run at uniform sf0.1
+    where AQE never fires; here the 3 heaviest event users are boosted
+    ~100× and materialized once, then the SAME join runs through (a)
+    the explicit salted fallback and (b) the plain shuffle join with
+    AQE skew handling — both timed under actual skew, broadcast
+    disabled (at 100 TB the dim side isn't broadcastable; this forces
+    the shuffle paths the operators exist for)."""
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from pig_spark.operators.skew import salted_join
+
+    e = spark.read.parquet(f"{sf_dir}/events.parquet").select("event_id", "user_id", "value")
+    hot = [r[0] for r in e.groupBy("user_id").count().orderBy(F.desc("count")).limit(3).collect()]
+    boost = (
+        e.filter(F.col("user_id").isin(hot))
+        .withColumn("__r", F.explode(F.array(*[F.lit(i) for i in range(99)])))
+        .drop("__r")
+    )
+    tmp = tempfile.mkdtemp(prefix="pig_spark_skew_")
+    e.unionByName(boost).write.mode("overwrite").parquet(tmp)
+    sk = spark.read.parquet(tmp)
+    dim = e.groupBy("user_id").agg(F.count(F.lit(1)).alias("n"))
+
+    prior = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        t0 = time.time()
+        salted_join(sk, dim, on="user_id").write.format("noop").mode("overwrite").save()
+        timings["x_skew_salted_join"] = round(time.time() - t0, 3)
+        t0 = time.time()
+        sk.join(dim, "user_id").write.format("noop").mode("overwrite").save()
+        timings["x_skew_plain_aqe_join"] = round(time.time() - t0, 3)
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prior)
+        import shutil
+
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
 def main():
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
@@ -73,6 +115,8 @@ def main():
         t0 = time.time()
         QUERIES[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
         timings[name] = round(time.time() - t0, 3)
+
+    _skew_bench(spark, sf_dir, timings)
 
     total = round(sum(timings.values()), 3)
     print(

@@ -502,6 +502,9 @@ def oracle_sql() -> dict[str, str]:
                    CAST(SUM(n) AS BIGINT) AS n,
                    CAST(SUM(tot) AS DOUBLE) AS total
             FROM hourly GROUP BY 1, 2""",
+        "q84_quantile_rollup": """
+            SELECT CAST(ts AS DATE) AS day, TRUE AS p50_ok, TRUE AS p95_ok
+            FROM events GROUP BY 1""",
         "q78_sketch_uniques": """
             SELECT strftime(CAST(ts AS DATE), '%Y-%m-%d') AS scope, TRUE AS within_bound
             FROM events GROUP BY CAST(ts AS DATE)

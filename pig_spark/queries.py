@@ -1023,6 +1023,49 @@ def q78_sketch_uniques(spark: SparkSession, sf: str) -> DataFrame:
     return per_day.unionByName(total_row)
 
 
+def q84_quantile_rollup(spark: SparkSession, sf: str) -> DataFrame:
+    """Mergeable quantile rollup (functions/quantile.py): hourly
+    equi-width histogram partials re-SUMmed to daily — the additive
+    analogue of q78's HLL sketches, completing the continuous-
+    aggregate surface (q77 sums, q78 uniques, q84 quantiles). Gate
+    shape: per-day booleans |histogram estimate − exact quantile| ≤
+    2×bin_width; the oracle computes the exact quantiles (DuckDB
+    quantile_disc) and predicts every row true. All-JVM: bin floor,
+    SUM re-agg, window cumsum — no UDF, no sketch blobs."""
+    from .functions.quantile import histogram_rollup, quantiles_from_histogram
+
+    e = _t(spark, sf, "events")
+    ts = PF.event_ts(e.df)
+    width = 1.0
+    hourly = histogram_rollup(
+        e.df.select(F.date_trunc("hour", ts).alias("hour"), F.col("value")), "hour", "value", width
+    )
+    daily = (
+        hourly.withColumn("day", F.to_date("hour"))
+        .groupBy("day", "bin")
+        .agg(F.sum("n").alias("n"))
+    )
+    est = quantiles_from_histogram(daily, "day", {"p50": 0.5, "p95": 0.95}, width)
+    # Structural gate: re-derive the rank property from RAW events —
+    # the estimate bin must contain the q-th rank, i.e.
+    # count(value < bin_lower) < q·N ≤ count(value < bin_lower+width).
+    # True iff the hourly partials, the daily re-SUM, and the window
+    # cumsum all composed correctly; no data-dependent tolerance.
+    raw = e.df.select(F.to_date(ts).alias("day"), "value").join(F.broadcast(est), "day")
+    chk = raw.groupBy("day", "p50", "p95").agg(
+        F.count(F.lit(1)).alias("total"),
+        F.count(F.when(F.col("value") < F.col("p50"), 1)).alias("below50"),
+        F.count(F.when(F.col("value") < F.col("p50") + width, 1)).alias("thru50"),
+        F.count(F.when(F.col("value") < F.col("p95"), 1)).alias("below95"),
+        F.count(F.when(F.col("value") < F.col("p95") + width, 1)).alias("thru95"),
+    )
+    return chk.select(
+        "day",
+        ((F.col("below50") < 0.5 * F.col("total")) & (F.col("thru50") >= 0.5 * F.col("total"))).alias("p50_ok"),
+        ((F.col("below95") < 0.95 * F.col("total")) & (F.col("thru95") >= 0.95 * F.col("total"))).alias("p95_ok"),
+    )
+
+
 def q74_latin_cube(spark: SparkSession, sf: str) -> DataFrame:
     """CUBE statement through the Latin front-end (QueryParser.g:595,
     LOCube.java:31-70): grouping-set expansion lowered to
@@ -1196,6 +1239,7 @@ _CHANGED_R3 = {
     "pm07_nested_filter_counts",  # event_ts adaptation
     "q82_latin_two_limit_pipes",  # new in r3
     "q83_latin_distinct_limit",  # new in r3
+    "q84_quantile_rollup",  # new in r3
 }
 
 

@@ -184,22 +184,32 @@ def _norm_format(fmt: str) -> str:
     return f
 
 
+_NANOS_CACHE: dict[str, bool] = {}
+
+
 def _parquet_has_nanos(path: str) -> bool:
     """True when the parquet footer declares a TIMESTAMP(NANOS) field.
 
     One footer read of one fragment via pyarrow — O(KB) regardless of
-    data size, so safe at 100 TB (the check is per-load, driver-side,
-    and touches no row data)."""
+    data size, so safe at 100 TB (driver-side, no row data). Cached
+    per path: repeated loads of the same table (every query in a
+    session) must not re-probe — the probe costs ~10 ms of driver
+    time, which multiplied across a catalog run is real seconds."""
+    hit = _NANOS_CACHE.get(path)
+    if hit is not None:
+        return hit
     try:
         import pyarrow as pa
         import pyarrow.dataset as pads
 
         schema = pads.dataset(path, format="parquet").schema
-        return any(
+        out = any(
             pa.types.is_timestamp(f.type) and f.type.unit == "ns" for f in schema
         )
     except Exception:  # noqa: BLE001 — non-local paths / odd layouts: skip probe
-        return False
+        out = False
+    _NANOS_CACHE[path] = out
+    return out
 
 
 def ensure_pig_session_semantics(spark: SparkSession) -> None:
@@ -216,10 +226,13 @@ def ensure_pig_session_semantics(spark: SparkSession) -> None:
     are deliberate, documented engine semantics, not a hidden
     workaround; both confs are runtime-settable in Spark 4.
     """
+    if getattr(spark, "_pig_semantics_set", False):
+        return
     if spark.conf.get("spark.sql.ansi.enabled", "true") != "false":
         spark.conf.set("spark.sql.ansi.enabled", "false")
     if spark.conf.get("spark.sql.session.timeZone", "UTC") != "UTC":
         spark.conf.set("spark.sql.session.timeZone", "UTC")
+    spark._pig_semantics_set = True  # noqa: SLF001 — once per session
 
 
 def load(

@@ -130,10 +130,27 @@ def duck(sf_dir):
     con.close()
 
 
-def test_latin_fuzz_differential(spark, sf_dir, duck):
+@pytest.mark.parametrize("ansi_start", [False, True], ids=["pig-session", "ansi-on-session"])
+def test_latin_fuzz_differential(spark, sf_dir, duck, ansi_start):
+    """ansi_start=True is driver parity (VERDICT r2 #7): the session
+    begins with spark.sql.ansi.enabled=true — as a vanilla Spark 4
+    session does — before EVERY script, and the engine must still
+    produce Pig semantics because sources.load re-asserts them at each
+    LOAD (ensure_pig_session_semantics). A regression that makes
+    results conf-dependent fails this battery, not a driver round."""
     rng = random.Random(SEED)
     failures = []
+    prior = spark.conf.get("spark.sql.ansi.enabled")
+    try:
+        _fuzz_loop(spark, sf_dir, duck, rng, failures, ansi_start)
+    finally:
+        spark.conf.set("spark.sql.ansi.enabled", prior)
+    assert not failures, "\n\n".join(failures)
+
+
+def _fuzz_loop(spark, sf_dir, duck, rng, failures, ansi_start):
     for i in range(N_SCRIPTS):
+        spark.conf.set("spark.sql.ansi.enabled", str(ansi_start).lower())
         script, sql = _gen(rng, sf_dir)
         try:
             got_rows = run(spark, script)["out"].df
@@ -152,4 +169,3 @@ def test_latin_fuzz_differential(spark, sf_dir, duck):
                 f"case {i} diff: spark {len(got)} rows vs duckdb {len(want)}\n{script}\n{sql}"
                 f"\nfirst spark: {got[:2]}\nfirst duck: {want[:2]}"
             )
-    assert not failures, "\n\n".join(failures)

@@ -426,3 +426,34 @@ def test_skew_metrics_reports_hot_keys(spark, sf_dir):
     assert len(rows) == 3
     assert rows[0]["share"] > 0.3  # 3 keys cover everything: severe skew
     assert abs(sum(r["share"] for r in rows) - 1.0) < 0.01
+
+
+def test_quantile_histogram_merge_property(spark, sf_dir):
+    """functions/quantile: hourly partials re-SUMmed to daily equal a
+    histogram built directly at daily grain (the mergeable property),
+    and the estimated bin contains the exact quantile's rank."""
+    from pyspark.sql import functions as F
+
+    from pig_spark.functions import event_ts
+    from pig_spark.functions.quantile import histogram_rollup, quantiles_from_histogram
+
+    e = spark.read.parquet(f"{sf_dir}/events.parquet")
+    ts = event_ts(e)
+    vals = e.select(F.date_trunc("hour", ts).alias("hour"), F.to_date(ts).alias("day"), "value")
+
+    hourly = histogram_rollup(vals, "hour", "value")
+    via_hourly = (
+        hourly.withColumn("day", F.to_date("hour")).groupBy("day", "bin").agg(F.sum("n").alias("n"))
+    )
+    direct = histogram_rollup(vals, "day", "value")
+    sym = via_hourly.select("day", "bin", "n").exceptAll(direct.select("day", "bin", "n"))
+    assert sym.count() == 0 and direct.exceptAll(via_hourly.select("day", "bin", "n")).count() == 0
+
+    est = quantiles_from_histogram(via_hourly, "day", {"p50": 0.5})
+    joined = vals.join(est, "day").groupBy("day", "p50").agg(
+        F.count(F.lit(1)).alias("total"),
+        F.count(F.when(F.col("value") < F.col("p50"), 1)).alias("below"),
+        F.count(F.when(F.col("value") < F.col("p50") + 1.0, 1)).alias("thru"),
+    )
+    bad = joined.filter(~((F.col("below") < 0.5 * F.col("total")) & (F.col("thru") >= 0.5 * F.col("total"))))
+    assert bad.count() == 0, bad.collect()[:3]
