@@ -77,10 +77,11 @@ def get_spark(
         # even at 100 TB lineitem scale (replicated join, POFRJoin.java).
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         .config("spark.driver.maxResultSize", "4g")
-        # the events test table carries TIMESTAMP(NANOS) parquet fields;
-        # read them as long (convert with events_ts helper) — Spark has
-        # no nanosecond timestamp type.
-        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        # NOTE: no nanosAsLong here — sources.load probes parquet
+        # footers and sets the legacy conf only when a file actually
+        # carries TIMESTAMP(NANOS), so builder sessions and vanilla
+        # sessions behave identically (the r2 lesson: semantics that
+        # live only in a session factory break every other consumer).
     )
     for key, value in (extra_conf or {}).items():
         builder = builder.config(key, value)
