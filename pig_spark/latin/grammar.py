@@ -26,6 +26,7 @@ _TOKEN_RE = re.compile(
   | (?P<comment>--[^\n]*|/\*.*?\*/)
   | (?P<num>\d+\.\d+([eE][-+]?\d+)?[fF]?|\d+[lL]?)
   | (?P<str>'(?:[^'\\]|\\.)*')
+  | (?P<exec>`[^`]*`)
   | (?P<dollar>\$\w+)
   | (?P<id>[A-Za-z_][A-Za-z0-9_]*(::[A-Za-z_][A-Za-z0-9_]*)*)
   | (?P<op>==|!=|<=|>=|\.\.|[-+*/%()<>,;.#?:{}\[\]=])
@@ -454,6 +455,29 @@ class Parser:
             return SetStmt(key, value)
         # define
         alias = self._ident()
+        if self.peek().kind == "exec":
+            # DEFINE alias `cmd` [SHIP(..)|CACHE(..)|INPUT(..)|OUTPUT(..)|stderr(..)]
+            # (QueryParser.g command clause). The exec string becomes a
+            # STREAM THROUGH command; SHIP/CACHE lists are recorded and
+            # otherwise no-ops here — local/cluster file distribution
+            # is Spark's --files domain, not the translator's.
+            cmd = self.next().text[1:-1]
+            extras = []
+            while self.peek().kind in ("id", "kw") and self.peek().text.lower() in ("ship", "cache", "input", "output", "stderr"):
+                kind = self.next().text.lower()
+                self.expect("op", "(")
+                depth, items = 1, []
+                while depth:
+                    t = self.next()
+                    if t.kind == "op" and t.text == "(":
+                        depth += 1
+                    elif t.kind == "op" and t.text == ")":
+                        depth -= 1
+                    elif t.kind == "str":
+                        items.append(t.text[1:-1])
+                extras.append((kind, items))
+            self.expect("op", ";")
+            return Define(alias, cmd, ["__exec__", extras])
         func, args = self._func_spec()
         self.expect("op", ";")
         return Define(alias, func, args)
@@ -610,12 +634,17 @@ class Parser:
                 e = RangeProj(e.name, end)
         alias = None
         if self.accept("kw", "as"):
-            # optional parenthesized schema after flatten; simple name otherwise
-            if self.accept("op", "("):
-                alias = self._ident()
+            # optional parenthesized schema after flatten; simple name
+            # otherwise; either form takes an optional :type which Pig
+            # applies as an implicit cast (QueryParser.g as_clause +
+            # LogicalPlanBuilder cast insertion)
+            paren = bool(self.accept("op", "("))
+            alias = self._ident()
+            if self.accept("op", ":"):
+                ftype = self._ident()
+                e = Cast(ftype, e)
+            if paren:
                 self.expect("op", ")")
-            else:
-                alias = self._ident()
         return GenItem(e, alias, flatten)
 
     def _range_endpoint(self) -> str:
@@ -750,7 +779,13 @@ class Parser:
     def _op_stream(self):
         rel = self._ident()
         self.expect("kw", "through")
-        cmd = self._string()
+        if self.peek().kind == "str":
+            cmd = self._string()
+        elif self.peek().kind == "exec":
+            cmd = self.next().text[1:-1]
+        else:
+            # DEFINEd command alias (resolved by the translator)
+            cmd = "\x00alias:" + self._ident()
         self.expect("kw", "as")
         schema = self._schema()
         return Stream(rel, cmd, schema)

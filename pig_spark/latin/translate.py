@@ -283,8 +283,14 @@ class PigTranslator:
             return RelInfo(rel.rank(*cols, ascending=asc, dense=op.dense, name="rank"))
         if isinstance(op, G.Stream):
             rel = self._rel(op.rel)
+            cmd = op.cmd
+            if cmd.startswith("\x00alias:"):
+                name = cmd[len("\x00alias:"):]
+                if name not in self.defines:
+                    raise NameError(f"STREAM THROUGH {name}: no such DEFINE")
+                cmd = self.defines[name]
             ddl = ", ".join(f"{f.name} {PIG_TO_SPARK_TYPE.get(f.type or 'bytearray', 'string')}" for f in op.schema)
-            return RelInfo(rel.stream_through(op.cmd, ddl))
+            return RelInfo(rel.stream_through(cmd, ddl))
         raise NotImplementedError(f"operator {type(op).__name__}")
 
     # ------------------------------------------------------------------
@@ -1191,6 +1197,15 @@ def _const(e):
         return float(t) if "." in t or "e" in t else int(t)
     if isinstance(e, G.Str):
         return e.value
+    if isinstance(e, G.Bin) and e.op in ("+", "-", "*", "/", "%"):
+        # LIMIT/SAMPLE take scalar expressions (QueryParser.g rel_op
+        # integer expr); fold constant arithmetic here
+        l, r = _const(e.left), _const(e.right)
+        if e.op == "/":
+            return l / r
+        import operator as _o
+
+        return {"+": _o.add, "-": _o.sub, "*": _o.mul, "%": _o.mod}[e.op](l, r)
     raise ValueError("pig latin: constant expected")
 
 

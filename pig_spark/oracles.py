@@ -502,6 +502,15 @@ def oracle_sql() -> dict[str, str]:
                    CAST(SUM(n) AS BIGINT) AS n,
                    CAST(SUM(tot) AS DOUBLE) AS total
             FROM hourly GROUP BY 1, 2""",
+        "q85_stratified_sample": f"""
+            WITH r AS (
+                SELECT doc_id, lang, source,
+                       row_number() OVER (
+                           PARTITION BY lang, source
+                           ORDER BY {_h32("CAST(doc_id AS VARCHAR)")} ASC,
+                                    CAST(doc_id AS VARCHAR) ASC) AS rn
+                FROM documents)
+            SELECT doc_id, lang, source FROM r WHERE rn <= 7""",
         "q84_quantile_rollup": """
             SELECT CAST(ts AS DATE) AS day, TRUE AS p50_ok, TRUE AS p95_ok
             FROM events GROUP BY 1""",

@@ -1023,6 +1023,22 @@ def q78_sketch_uniques(spark: SparkSession, sf: str) -> DataFrame:
     return per_day.unionByName(total_row)
 
 
+def q85_stratified_sample(spark: SparkSession, sf: str) -> DataFrame:
+    """Stratified hash-rank reservoir (operators/sampling.py): exactly
+    min(k, |stratum|) documents per (lang, source) stratum, ranked by
+    md5 of doc_id — deterministic, retry-stable, and byte-reproducible
+    by the DuckDB oracle. Pig's SAMPLE cannot do any of this
+    (RANDOM()-based Bernoulli, no per-stratum control); this is the
+    curation op a training pipeline shards with. One shuffle on the
+    stratum key, window in codegen."""
+    from .operators.sampling import stratified_sample
+
+    d = _t(spark, sf, "documents").df
+    return stratified_sample(d, ["lang", "source"], 7, "doc_id").select(
+        "doc_id", "lang", "source"
+    )
+
+
 def q84_quantile_rollup(spark: SparkSession, sf: str) -> DataFrame:
     """Mergeable quantile rollup (functions/quantile.py): hourly
     equi-width histogram partials re-SUMmed to daily — the additive
@@ -1240,6 +1256,7 @@ _CHANGED_R3 = {
     "q82_latin_two_limit_pipes",  # new in r3
     "q83_latin_distinct_limit",  # new in r3
     "q84_quantile_rollup",  # new in r3
+    "q85_stratified_sample",  # new in r3
 }
 
 

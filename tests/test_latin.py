@@ -863,3 +863,37 @@ def test_nested_empty_filtered_group_survives(spark, sf_dir):
     n_status = spark.read.parquet(f"{sf_dir}/orders.parquet").select("o_orderstatus").distinct().count()
     assert len(rows) == n_status
     assert all(r["n"] == 0 and r["n_all"] > 0 for r in rows)
+
+
+def test_generate_typed_as_alias(spark, sf_dir):
+    """AS name:type in GENERATE applies an implicit cast (QueryParser.g
+    as_clause + LogicalPlanBuilder cast insertion), both bare and
+    parenthesized."""
+    rels = run(spark, f"""
+        a = LOAD '{sf_dir}/orders.parquet' USING ParquetLoader();
+        p = FOREACH a GENERATE o_orderkey AS k:chararray, o_totalprice AS (cents:long);
+    """)
+    sch = {f.name: f.dataType.simpleString() for f in rels["p"].df.schema.fields}
+    assert sch == {"k": "string", "cents": "bigint"}
+
+
+def test_define_exec_command_stream(spark, sf_dir):
+    """DEFINE alias `cmd` SHIP(...) + STREAM THROUGH alias — the
+    backtick command form (QueryParser.g command clause)."""
+    rels = run(spark, f"""
+        DEFINE up `tr a-z A-Z` SHIP('/usr/bin/tr');
+        a = LOAD '{sf_dir}/nation.parquet' USING ParquetLoader();
+        b = FOREACH a GENERATE n_name;
+        s = STREAM b THROUGH up AS (name:chararray);
+    """)
+    names = {r[0] for r in rels["s"].df.collect()}
+    assert names and all(n == n.upper() for n in names)
+
+
+def test_limit_constant_expression(spark, sf_dir):
+    """LIMIT takes scalar constant expressions (10 * 2)."""
+    rels = run(spark, f"""
+        a = LOAD '{sf_dir}/orders.parquet' USING ParquetLoader();
+        l = LIMIT a 10 * 2;
+    """)
+    assert rels["l"].df.count() == 20

@@ -457,3 +457,24 @@ def test_quantile_histogram_merge_property(spark, sf_dir):
     )
     bad = joined.filter(~((F.col("below") < 0.5 * F.col("total")) & (F.col("thru") >= 0.5 * F.col("total"))))
     assert bad.count() == 0, bad.collect()[:3]
+
+
+def test_stratified_sample_exact_k(spark, sf_dir):
+    """operators/sampling: exactly min(k, |stratum|) rows per stratum,
+    deterministic across runs, and a different salt re-draws."""
+    from pyspark.sql import functions as F
+
+    from pig_spark.operators.sampling import stratified_sample
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    k = 5
+    s1 = stratified_sample(d, ["lang"], k, "doc_id")
+    sizes = {r["lang"]: r["n"] for r in s1.groupBy("lang").agg(F.count(F.lit(1)).alias("n")).collect()}
+    full = {r["lang"]: r["n"] for r in d.groupBy("lang").agg(F.count(F.lit(1)).alias("n")).collect()}
+    for lang, n in sizes.items():
+        assert n == min(k, full[lang])
+    ids1 = sorted(r["doc_id"] for r in s1.collect())
+    ids2 = sorted(r["doc_id"] for r in stratified_sample(d, ["lang"], k, "doc_id").collect())
+    assert ids1 == ids2  # retry-stable
+    ids3 = sorted(r["doc_id"] for r in stratified_sample(d, ["lang"], k, "doc_id", salt="v2").collect())
+    assert ids1 != ids3  # salted re-draw
