@@ -46,6 +46,9 @@ HEADLINE = [
     "q45_cosine_pairs",  # r2: banded-LSH near-dup pairs (no cartesian)
     "q79_latin_nested_limit",  # r2: nested ORDER+LIMIT via topk window
     "q80_skewed_join",  # r2: salted join on a hot-key column
+    "q82_latin_two_limit_pipes",  # r3: per-pipe topk + full_outer stitch
+    "q84_quantile_rollup",  # r3: histogram partials + window cumsum
+    "q85_stratified_sample",  # r3: hash-rank reservoir per stratum
 ]
 
 
