@@ -336,6 +336,16 @@ class Call:
 
 
 @dataclass
+class MultiCol:
+    """Multi-column bag/tuple projection ``rel.(c1, c2, ...)``
+    (QueryParser.g col_ref_list inside a path) — projects a bag of
+    structs to a bag of narrower tuples."""
+
+    rel: str
+    cols: list
+
+
+@dataclass
 class Cast:
     type: str
     operand: "Expr"
@@ -635,17 +645,30 @@ class Parser:
         alias = None
         if self.accept("kw", "as"):
             # optional parenthesized schema after flatten; simple name
-            # otherwise; either form takes an optional :type which Pig
+            # otherwise; fields take an optional :type which Pig
             # applies as an implicit cast (QueryParser.g as_clause +
-            # LogicalPlanBuilder cast insertion)
+            # LogicalPlanBuilder cast insertion). A parenthesized list
+            # of several fields names the splatted FLATTEN columns.
             paren = bool(self.accept("op", "("))
-            alias = self._ident()
-            if self.accept("op", ":"):
-                ftype = self._ident()
-                e = Cast(ftype, e)
+            fields = [self._as_field()]
+            while paren and self.accept("op", ","):
+                fields.append(self._as_field())
             if paren:
                 self.expect("op", ")")
+            if len(fields) == 1:
+                alias, ftype = fields[0]
+                if ftype is not None:
+                    e = Cast(ftype, e)
+            else:
+                alias = fields  # list[(name, type|None)] — FLATTEN schema
         return GenItem(e, alias, flatten)
+
+    def _as_field(self):
+        name = self._ident()
+        ftype = None
+        if self.accept("op", ":"):
+            ftype = self._ident()
+        return (name, ftype)
 
     def _range_endpoint(self) -> str:
         t = self.peek()
@@ -917,6 +940,11 @@ class Parser:
             return Cast(typ, self._unary())
         return self._postfix()
 
+    def _deref_name(self) -> str:
+        if self.peek().kind == "dollar":
+            return self.next().text
+        return self._ident()
+
     def _postfix(self):
         e = self._primary()
         while True:
@@ -925,6 +953,17 @@ class Parser:
                 # dotted projection a.b (bag/tuple deref); positional
                 # deref a.$0 (QueryParser.g col_ref inside a path)
                 self.next()
+                if self.peek().kind == "op" and self.peek().text == "(":
+                    # rel.(c1, c2, ...) — multi-column projection
+                    self.next()
+                    cols = [self._deref_name()]
+                    while self.accept("op", ","):
+                        cols.append(self._deref_name())
+                    self.expect("op", ")")
+                    if not isinstance(e, Col):
+                        raise SyntaxError("pig latin: dotted access only on columns")
+                    e = Col(e.name + "." + cols[0]) if len(cols) == 1 else MultiCol(e.name, cols)
+                    continue
                 if self.peek().kind == "dollar":
                     name = self.next().text
                 else:

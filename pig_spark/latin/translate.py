@@ -438,13 +438,35 @@ class PigTranslator:
                 cols.extend(rel.df[c] for c in _range_span(rel, item.expr))
                 continue
             c = self._expr(item.expr, rel)
-            name = item.alias or _default_name(item.expr, i)
-            if item.flatten:
-                flatten_aliases.append(name)
+            if isinstance(item.alias, list):
+                # FLATTEN(...) AS (a:int, b:chararray): splat then
+                # rename/cast the appended field columns positionally
+                name = f"__flat{i}"
+                if not item.flatten:
+                    raise SyntaxError("pig latin: a multi-field AS schema requires FLATTEN")
+                flatten_aliases.append((name, item.alias))
+            else:
+                name = item.alias or _default_name(item.expr, i)
+                if item.flatten:
+                    flatten_aliases.append((name, None))
             cols.append(c.alias(name))
         out = Relation(rel.df.select(*cols))
-        for name in flatten_aliases:
+        for name, schema in flatten_aliases:
+            n_before = len(out.df.columns) - 1  # flatten consumes `name`
             out = out.flatten(name)
+            if schema is not None:
+                df = out.df
+                splat = df.columns[n_before:]
+                if len(splat) != len(schema):
+                    raise ValueError(
+                        f"pig latin: FLATTEN AS schema has {len(schema)} fields, got {len(splat)} columns"
+                    )
+                for cur, (new_name, ftype) in zip(splat, schema):
+                    col = df[cur]
+                    if ftype is not None:
+                        col = col.try_cast(PIG_TO_SPARK_TYPE.get(ftype, ftype))
+                    df = df.withColumn(cur, col).withColumnRenamed(cur, new_name)
+                out = Relation(df)
         return RelInfo(out)
 
     def _all_algebraic(self, items: list[G.GenItem], g: GroupedInfo) -> bool:
@@ -598,6 +620,8 @@ class PigTranslator:
             return out
         if isinstance(e, G.Col):
             return {e.name.split(".", 1)[0]}
+        if isinstance(e, G.MultiCol):
+            return {e.rel.split(".", 1)[0]}
         return set()
 
     def _foreach_nested_flatten(self, op: G.Foreach, g: GroupedInfo, pipes: dict[str, "_Pipe"]) -> Relation:
@@ -1065,7 +1089,32 @@ class PigTranslator:
             return self._call(e, rel)
         if isinstance(e, G.Star):
             return F.struct(*[rel.df[c] for c in rel.df.columns])
+        if isinstance(e, G.MultiCol):
+            return self._multicol(e, rel)
         raise NotImplementedError(f"expression {e}")
+
+    def _multicol(self, e: "G.MultiCol", rel: Relation) -> Column:
+        """rel.(c1, c2): project a bag of structs to a bag of narrower
+        tuples (POProject over inner plans) — F.transform keeps it
+        JVM-side; a plain struct (tuple) projects directly."""
+        from pyspark.sql import types as T
+
+        head = self._resolve(e.rel, rel)
+        name = e.rel if e.rel in rel.df.columns else None
+        dtype = rel.df.schema[name].dataType if name else None
+
+        def field(t, c, names):
+            if c.startswith("$"):
+                return t[names[int(c[1:])]].alias(names[int(c[1:])])
+            return t[c].alias(c)
+
+        if isinstance(dtype, T.ArrayType) and isinstance(dtype.elementType, T.StructType):
+            names = dtype.elementType.fieldNames()
+            return F.transform(head, lambda t: F.struct(*[field(t, c, names) for c in e.cols]))
+        if isinstance(dtype, T.StructType):
+            names = dtype.fieldNames()
+            return F.struct(*[field(head, c, names) for c in e.cols])
+        raise TypeError(f"pig latin: {e.rel}.({', '.join(e.cols)}) needs a bag or tuple column")
 
     def _resolve(self, name: str, rel: Relation) -> Column:
         cols = rel.df.columns

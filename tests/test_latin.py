@@ -897,3 +897,21 @@ def test_limit_constant_expression(spark, sf_dir):
         l = LIMIT a 10 * 2;
     """)
     assert rels["l"].df.count() == 20
+
+
+def test_multicol_bag_projection_flatten(spark, sf_dir):
+    """rel.(c1,c2) multi-column bag projection + FLATTEN ... AS
+    (name:type, ...) schema (QueryParser.g col_ref_list / as_clause)."""
+    rels = run(spark, f"""
+        a = LOAD '{sf_dir}/orders.parquet' USING ParquetLoader();
+        g = GROUP a BY o_orderstatus;
+        f = FOREACH g GENERATE group, FLATTEN(a.(o_orderkey, o_custkey)) AS (k:long, c:chararray);
+    """)
+    df = rels["f"].df
+    sch = {fl.name: fl.dataType.simpleString() for fl in df.schema.fields}
+    assert sch == {"group": "string", "k": "bigint", "c": "string"}
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    assert df.count() == orders.count()
+    got = {(r["group"], r["k"]) for r in df.collect()}
+    exp = {(r[0], r[1]) for r in orders.select("o_orderstatus", "o_orderkey").collect()}
+    assert got == exp
