@@ -1,0 +1,86 @@
+"""Batch CLI — the `pig` launcher surface (reference: bin/pig +
+Main.java option handling), Spark-first:
+
+    python -m pig_spark script.pig
+    python -m pig_spark -p date=2024-01-01 -p sf=sf0.1 script.pig
+    python -m pig_spark -e "a = LOAD 's.parquet' USING ParquetLoader(); DUMP a;"
+    python -m pig_spark -c script.pig          # syntax check only
+    python -m pig_spark -r script.pig          # preprocessor dryrun
+
+Supported flags mirror the reference launcher where they make sense on
+Spark: `-p/-param`, `-m/-param_file`, `-e/-execute`, `-c/-check`,
+`-r/-dryrun`. `-x/-exectype` is accepted and ignored — the execution
+engine is always Spark (local master unless SPARK_GRAFT_CPUS or an
+existing session says otherwise).
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+
+
+def _parse_params(pairs: list[str], files: list[str]) -> dict[str, str]:
+    params: dict[str, str] = {}
+    for path in files:
+        # param files: NAME=value lines, '#' comments (reference
+        # tools/parameters/ParamLoader.jj)
+        with open(path, encoding="utf-8") as fh:
+            for line in fh:
+                line = line.strip()
+                if not line or line.startswith("#"):
+                    continue
+                name, _, value = line.partition("=")
+                params[name.strip()] = value.strip().strip("'\"")
+    for pair in pairs:
+        name, _, value = pair.partition("=")
+        params[name.strip()] = value.strip("'\"")
+    return params
+
+
+def main(argv: list[str] | None = None) -> int:
+    ap = argparse.ArgumentParser(
+        prog="python -m pig_spark",
+        description="Run a Pig Latin script on Spark (pig_spark engine).",
+    )
+    ap.add_argument("script", nargs="?", help="path to the .pig script")
+    ap.add_argument("-e", "-execute", dest="execute", help="execute a script string")
+    ap.add_argument("-p", "-param", dest="params", action="append", default=[], metavar="NAME=value")
+    ap.add_argument("-m", "-param_file", dest="param_files", action="append", default=[], metavar="FILE")
+    ap.add_argument("-c", "-check", dest="check", action="store_true", help="syntax check only")
+    ap.add_argument("-r", "-dryrun", dest="dryrun", action="store_true", help="print preprocessed script, don't run")
+    ap.add_argument("-x", "-exectype", dest="exectype", help="accepted for compatibility; engine is always Spark")
+    args = ap.parse_args(argv)
+
+    if bool(args.script) == bool(args.execute):
+        ap.error("exactly one of <script> or -e is required")
+    src = args.execute if args.execute else open(args.script, encoding="utf-8").read()
+    params = _parse_params(args.params, args.param_files)
+
+    if args.check or args.dryrun:
+        # no SparkSession needed for a front-end-only pass
+        from .latin import grammar as G
+        from .latin.macros import expand as expand_macros
+
+        import re as _re
+
+        expanded = expand_macros(src)
+        for name, value in params.items():
+            expanded = _re.sub(r"\$" + _re.escape(name) + r"\b", lambda _m, v=str(value): v, expanded)
+        if args.dryrun:
+            print(expanded)
+            return 0
+        G.parse(_re.sub(r"^\s*%(declare|default)[^\n]*$", "", expanded, flags=_re.M))
+        print(f"{args.script or '<inline>'}: syntax OK")
+        return 0
+
+    from .latin import run
+    from .session import get_spark
+
+    spark = get_spark("pig_spark_cli")
+    run(spark, src, params=params)
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

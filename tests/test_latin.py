@@ -915,3 +915,22 @@ def test_multicol_bag_projection_flatten(spark, sf_dir):
     got = {(r["group"], r["k"]) for r in df.collect()}
     exp = {(r[0], r[1]) for r in orders.select("o_orderstatus", "o_orderkey").collect()}
     assert got == exp
+
+
+def test_cli_check_and_params(tmp_path):
+    """python -m pig_spark launcher: -c syntax check, -r dryrun with
+    param substitution, -m param files (bin/pig + Main.java surface)."""
+    from pig_spark.__main__ import main
+
+    script = tmp_path / "s.pig"
+    script.write_text("a = LOAD '$path' USING ParquetLoader();\n")
+    pfile = tmp_path / "params.txt"
+    pfile.write_text("# comment\npath=/root/testdata/sf0.001/region.parquet\n")
+    assert main(["-c", str(script)]) == 0
+    import contextlib
+    import io
+
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        assert main(["-r", "-m", str(pfile), str(script)]) == 0
+    assert "/root/testdata/sf0.001/region.parquet" in buf.getvalue()
