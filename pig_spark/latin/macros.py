@@ -19,7 +19,9 @@ import re
 _DEFINE_RE = re.compile(
     r"define\s+(\w+)\s*\(([^)]*)\)\s+returns\s+(\w+)\s*\{", re.IGNORECASE
 )
-_IMPORT_RE = re.compile(r"^\s*import\s+'([^']+)'\s*;\s*$", re.IGNORECASE | re.MULTILINE)
+# not line-anchored: IMPORT may share a line with other statements
+# (QueryParser.g import_clause is a plain statement)
+_IMPORT_RE = re.compile(r"(?:^|(?<=;))\s*import\s+'([^']+)'\s*;", re.IGNORECASE)
 _MAX_DEPTH = 16
 
 
@@ -100,7 +102,9 @@ def _expand_once(src: str, macros: dict[str, Macro], counter: list[int]) -> tupl
         body = body.replace(f"${macro.ret}", lhs)
         return body
 
-    pattern = re.compile(r"(?m)^\s*(\w+)\s*=\s*(\w+)\s*\(([^;]*)\)\s*;")
+    # invocations may share a line with other statements (after an
+    # inlined IMPORT, for instance) — anchor on start-of-line OR ';'
+    pattern = re.compile(r"(?m)(?:^|(?<=;))\s*(\w+)\s*=\s*(\w+)\s*\(([^;]*)\)\s*;")
     out = pattern.sub(repl, src)
     return out, changed
 
