@@ -49,6 +49,7 @@ HEADLINE = [
     "q82_latin_two_limit_pipes",  # r3: per-pipe topk + full_outer stitch
     "q84_quantile_rollup",  # r3: histogram partials + window cumsum
     "q85_stratified_sample",  # r3: hash-rank reservoir per stratum
+    "q86_token_packing",  # r3: budget block packing via one window
 ]
 
 

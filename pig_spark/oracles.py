@@ -502,6 +502,18 @@ def oracle_sql() -> dict[str, str]:
                    CAST(SUM(n) AS BIGINT) AS n,
                    CAST(SUM(tot) AS DOUBLE) AS total
             FROM hourly GROUP BY 1, 2""",
+        "q86_token_packing": f"""
+            WITH staged AS (
+                SELECT doc_id, source, len({_toks('text')}) AS toks
+                FROM documents),
+            packed AS (
+                SELECT source, toks,
+                       CAST(floor(CAST(SUM(toks) OVER (PARTITION BY source ORDER BY doc_id
+                                        ROWS UNBOUNDED PRECEDING) - toks AS DOUBLE) / 2000) AS BIGINT) AS bucket
+                FROM staged)
+            SELECT source, bucket, COUNT(*) AS n_docs,
+                   CAST(SUM(toks) AS BIGINT) AS n_tokens
+            FROM packed GROUP BY source, bucket""",
         "q85_stratified_sample": f"""
             WITH r AS (
                 SELECT doc_id, lang, source,

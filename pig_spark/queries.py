@@ -1039,6 +1039,25 @@ def q85_stratified_sample(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q86_token_packing(spark: SparkSession, sf: str) -> DataFrame:
+    """Token-budget block packing (operators/packing.py): documents
+    ordered by doc_id within each source shard, running token sum,
+    bucket = floor(prior_cum / budget). One window over one shuffle on
+    the shard key — the scalable form of greedy context packing.
+    Output: per-(source,bucket) doc count and token totals — stable
+    and exactly reproducible in SQL."""
+    from .functions import text
+    from .operators.packing import pack_by_budget
+
+    d = _t(spark, sf, "documents").df
+    staged = d.select("doc_id", "source", text.token_count(F.col("text")).alias("toks"))
+    packed = pack_by_budget(staged, "toks", budget=2000, shard="source", order="doc_id")
+    return packed.groupBy("source", "bucket").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("toks").cast("long").alias("n_tokens"),
+    )
+
+
 def q84_quantile_rollup(spark: SparkSession, sf: str) -> DataFrame:
     """Mergeable quantile rollup (functions/quantile.py): hourly
     equi-width histogram partials re-SUMmed to daily — the additive
@@ -1257,6 +1276,7 @@ _CHANGED_R3 = {
     "q83_latin_distinct_limit",  # new in r3
     "q84_quantile_rollup",  # new in r3
     "q85_stratified_sample",  # new in r3
+    "q86_token_packing",  # new in r3
 }
 
 

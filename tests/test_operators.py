@@ -478,3 +478,27 @@ def test_stratified_sample_exact_k(spark, sf_dir):
     assert ids1 == ids2  # retry-stable
     ids3 = sorted(r["doc_id"] for r in stratified_sample(d, ["lang"], k, "doc_id", salt="v2").collect())
     assert ids1 != ids3  # salted re-draw
+
+
+def test_token_packing_budget_property(spark, sf_dir):
+    """operators/packing: buckets are contiguous by doc order, every
+    bucket except possibly the last stays under budget + max_doc
+    (block-packing bound), and totals are preserved."""
+    from pyspark.sql import functions as F
+
+    from pig_spark.functions import text
+    from pig_spark.operators.packing import pack_by_budget
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    staged = d.select("doc_id", "source", text.token_count(F.col("text")).alias("toks"))
+    B = 500
+    packed = pack_by_budget(staged, "toks", budget=B, shard="source", order="doc_id")
+    per = packed.groupBy("source", "bucket").agg(
+        F.sum("toks").alias("tot"), F.max("toks").alias("mx"), F.count(F.lit(1)).alias("n")
+    )
+    bad = per.filter(F.col("tot") > B + F.col("mx")).count()
+    assert bad == 0
+    assert packed.agg(F.sum("toks")).first()[0] == staged.agg(F.sum("toks")).first()[0]
+    # buckets 0..max contiguous per shard
+    for r in per.groupBy("source").agg(F.max("bucket").alias("mb"), F.count(F.lit(1)).alias("nb")).collect():
+        assert r["nb"] == r["mb"] + 1

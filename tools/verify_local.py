@@ -46,9 +46,22 @@ def main():
     import duckdb
 
     import __spark_entry__ as entrymod
-    from pig_spark.session import get_spark
+    if os.environ.get("VERIFY_VANILLA") == "1":
+        # driver rehearsal: a PLAIN Spark 4 session (ANSI on, local tz,
+        # no pig_spark confs) — the engine must produce identical
+        # results because sources.load asserts Pig semantics itself
+        from pyspark.sql import SparkSession
 
-    spark = get_spark("verify_local")
+        spark = (
+            SparkSession.builder.appName("verify_vanilla")
+            .master("local[8]")
+            .config("spark.sql.shuffle.partitions", "8")
+            .getOrCreate()
+        )
+    else:
+        from pig_spark.session import get_spark
+
+        spark = get_spark("verify_local")
     con = duckdb.connect()
     for t in TABLES:
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
