@@ -17,7 +17,7 @@ import pytest
 
 from pig_spark.latin import run
 
-N_SCRIPTS = 16
+N_SCRIPTS = 24
 SEED = 20260813
 
 NUM = ["l_quantity", "l_extendedprice", "l_discount"]
@@ -88,7 +88,47 @@ def _gen(rng, sf_dir):
         f"p = FOREACH f GENERATE {pl};",
     ]
     sql_base = f"SELECT {ps} FROM lineitem WHERE {fs}"
-    if rng.random() < 0.6:
+    shape = rng.random()
+    if shape < 0.18:
+        # JOIN tail: carry the key through the projection, join orders,
+        # aggregate per status (join + qualified-name resolution fuzz)
+        lines[2] = f"p = FOREACH f GENERATE l_orderkey, {pl};"
+        sql_p = f"SELECT l_orderkey, {ps} FROM lineitem WHERE {fs}"
+        lines.append("j = JOIN p BY l_orderkey, o BY o_orderkey;")
+        lines.insert(1, f"o = LOAD '{sf_dir}/orders.parquet' USING ParquetLoader();")
+        lines.append("g = GROUP j BY o_orderstatus;")
+        lines.append("out = FOREACH g GENERATE group AS st, COUNT(j) AS n, MAX(j.cents) AS mx;")
+        sql = (
+            f"SELECT o_orderstatus AS st, COUNT(*) AS n, MAX(cents) AS mx "
+            f"FROM ({sql_p}) p JOIN orders o ON p.l_orderkey = o.o_orderkey "
+            f"GROUP BY o_orderstatus"
+        )
+        return "\n".join(lines), sql
+    if shape < 0.36:
+        # nested ORDER+LIMIT tail (topk lowering fuzz): unique tiebreak
+        # makes the top-k set — and MIN/MAX/COUNT over it — exact
+        k = rng.randint(1, 4)
+        desc = rng.random() < 0.5
+        lines[2] = f"p = FOREACH f GENERATE l_orderkey, l_linenumber, {pl};"
+        sql_p = f"SELECT l_orderkey, l_linenumber, {ps} FROM lineitem WHERE {fs}"
+        key = rng.choice(STR)
+        d = "DESC" if desc else "ASC"
+        lines.append(f"g = GROUP p BY {key};")
+        lines.append(
+            "out = FOREACH g { s = ORDER p BY cents "
+            + d
+            + ", l_orderkey ASC, l_linenumber ASC; l = LIMIT s "
+            + str(k)
+            + "; GENERATE group AS k, COUNT(l) AS n, MAX(l.cents) AS mx; };"
+        )
+        sql = (
+            f"WITH p AS ({sql_p}), r AS ("
+            f"SELECT {key} AS k, cents, row_number() OVER (PARTITION BY {key} "
+            f"ORDER BY cents {d}, l_orderkey ASC, l_linenumber ASC) AS rn FROM p) "
+            f"SELECT k, COUNT(*) AS n, MAX(cents) AS mx FROM r WHERE rn <= {k} GROUP BY k"
+        )
+        return "\n".join(lines), sql
+    if shape < 0.62:
         keys = rng.sample([c for c in cols if c != "cents"], rng.randint(1, 2))
         aggs_l, aggs_s = ["COUNT(p) AS n"], ["COUNT(*) AS n"]
         if rng.random() < 0.7:
@@ -107,7 +147,7 @@ def _gen(rng, sf_dir):
             lines.append(f"out = FOREACH h GENERATE {gen_keys}, {', '.join(aggs_l and [a.split(' AS ')[1] for a in aggs_l])};")
         key_sql = ", ".join(keys)
         sql = f"SELECT {key_sql}, {', '.join(aggs_s)} FROM ({sql_base}) GROUP BY {key_sql}"
-    elif rng.random() < 0.5:
+    elif shape < 0.8:
         lines.append("out = DISTINCT p;")
         sql = f"SELECT DISTINCT * FROM ({sql_base})"
     else:
@@ -126,6 +166,7 @@ def _norm(v):
 def duck(sf_dir):
     con = duckdb.connect()
     con.execute(f"CREATE VIEW lineitem AS SELECT * FROM read_parquet('{sf_dir}/lineitem.parquet')")
+    con.execute(f"CREATE VIEW orders AS SELECT * FROM read_parquet('{sf_dir}/orders.parquet')")
     yield con
     con.close()
 
