@@ -50,6 +50,7 @@ HEADLINE = [
     "q84_quantile_rollup",  # r3: histogram partials + window cumsum
     "q85_stratified_sample",  # r3: hash-rank reservoir per stratum
     "q86_token_packing",  # r3: budget block packing via one window
+    "q87_dedup_groups",  # r3: minhash pairs -> large-star/small-star CC
 ]
 
 

@@ -143,6 +143,22 @@ def oracle_sql() -> dict[str, str]:
         pair_band_selects.append(f"SELECT vec_id, v, n, {bi} AS band, {bexpr} AS bucket FROM vs")
     pair_bands_sql = "\nUNION ALL\n".join(pair_band_selects)
 
+    # shared minhash-LSH pair pipeline (q41 result set; q87 closes it
+    # transitively into components with a recursive min-label CTE)
+    minhash_ctes = f"""docs AS (SELECT doc_id, {_shingles('text')} AS sh FROM documents),
+            hashed AS (SELECT doc_id, sh, list_transform(sh, s -> {_h32('s')}) AS h FROM docs),
+            sigs AS (SELECT doc_id, {_minhash_sig_select()} FROM hashed),
+            bands AS ({_band_rows()}),
+            cands AS (
+                SELECT l.doc_id AS id_a, r.doc_id AS id_b
+                FROM bands l JOIN bands r ON l.band = r.band AND l.bh = r.bh AND l.doc_id < r.doc_id
+                GROUP BY 1, 2),
+            verified AS (
+                SELECT c.id_a, c.id_b,
+                       round(CAST(len(list_filter(a.sh, x -> list_contains(b.sh, x))) AS DOUBLE)
+                             / (len(a.sh) + len(b.sh) - len(list_filter(a.sh, x -> list_contains(b.sh, x)))), 6) AS jaccard
+                FROM cands c JOIN docs a ON c.id_a = a.doc_id JOIN docs b ON c.id_b = b.doc_id)"""
+
     quality = f"""
         WITH t AS (SELECT doc_id, {_toks('text')} AS toks FROM documents),
         m AS (SELECT doc_id,
@@ -309,20 +325,19 @@ def oracle_sql() -> dict[str, str]:
             SELECT MIN(doc_id) AS doc_id, COUNT(*) AS dup_count
             FROM documents GROUP BY md5(text)""",
         "q41_minhash_pairs": f"""
-            WITH docs AS (SELECT doc_id, {_shingles('text')} AS sh FROM documents),
-            hashed AS (SELECT doc_id, sh, list_transform(sh, s -> {_h32('s')}) AS h FROM docs),
-            sigs AS (SELECT doc_id, {_minhash_sig_select()} FROM hashed),
-            bands AS ({_band_rows()}),
-            cands AS (
-                SELECT l.doc_id AS id_a, r.doc_id AS id_b
-                FROM bands l JOIN bands r ON l.band = r.band AND l.bh = r.bh AND l.doc_id < r.doc_id
-                GROUP BY 1, 2),
-            verified AS (
-                SELECT c.id_a, c.id_b,
-                       round(CAST(len(list_filter(a.sh, x -> list_contains(b.sh, x))) AS DOUBLE)
-                             / (len(a.sh) + len(b.sh) - len(list_filter(a.sh, x -> list_contains(b.sh, x)))), 6) AS jaccard
-                FROM cands c JOIN docs a ON c.id_a = a.doc_id JOIN docs b ON c.id_b = b.doc_id)
+            WITH {minhash_ctes}
             SELECT id_a, id_b, jaccard FROM verified WHERE jaccard >= 0.4""",
+        "q87_dedup_groups": f"""
+            WITH RECURSIVE {minhash_ctes},
+            pairs AS (SELECT id_a, id_b FROM verified WHERE jaccard >= 0.4),
+            ed AS (SELECT id_a AS a, id_b AS b FROM pairs
+                   UNION SELECT id_b, id_a FROM pairs),
+            nd AS (SELECT DISTINCT a AS node FROM ed),
+            reach(node, lbl) AS (
+                SELECT node, node FROM nd
+                UNION
+                SELECT ed.b, r.lbl FROM reach r JOIN ed ON ed.a = r.node WHERE r.lbl < ed.b)
+            SELECT node AS doc_id, MIN(lbl) AS group_id FROM reach GROUP BY node""",
         "q42_ngram_jaccard": f"""
             WITH docs AS (SELECT doc_id, {_shingles('text')} AS sh FROM documents),
             posting AS (SELECT doc_id, {_h60('u.g')} AS g FROM docs, unnest(docs.sh) AS u(g)),

@@ -1058,6 +1058,23 @@ def q86_token_packing(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q87_dedup_groups(spark: SparkSession, sf: str) -> DataFrame:
+    """Near-dup GROUPS: the q41 minhash-LSH pair stream transitively
+    closed into connected components (operators/graph.py large-star/
+    small-star, O(log n) rounds) — group_id = min doc_id of the
+    component, the deterministic "canonical survivor" a 100 TB dedup
+    keeps. Pairs alone under-delete: A~B, B~C must collapse even when
+    LSH never emitted A~C."""
+    from .operators.graph import connected_components
+
+    d = _t(spark, sf, "documents").df
+    pairs = dedup.minhash_lsh_pairs(d, "text", "doc_id", threshold=0.4)
+    edges = pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
+    return connected_components(edges, "src", "dst").select(
+        F.col("node").alias("doc_id"), F.col("component").alias("group_id")
+    )
+
+
 def q84_quantile_rollup(spark: SparkSession, sf: str) -> DataFrame:
     """Mergeable quantile rollup (functions/quantile.py): hourly
     equi-width histogram partials re-SUMmed to daily — the additive
@@ -1277,6 +1294,7 @@ _CHANGED_R3 = {
     "q84_quantile_rollup",  # new in r3
     "q85_stratified_sample",  # new in r3
     "q86_token_packing",  # new in r3
+    "q87_dedup_groups",  # new in r3
 }
 
 

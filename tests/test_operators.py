@@ -502,3 +502,50 @@ def test_token_packing_budget_property(spark, sf_dir):
     # buckets 0..max contiguous per shard
     for r in per.groupBy("source").agg(F.max("bucket").alias("mb"), F.count(F.lit(1)).alias("nb")).collect():
         assert r["nb"] == r["mb"] + 1
+
+
+def test_connected_components_vs_union_find(spark):
+    """operators/graph: large-star/small-star CC equals a driver-side
+    union-find on random graphs, including a 300-node chain (the
+    O(log n)-rounds case that kills naive label propagation)."""
+    import random
+
+    from pig_spark.operators.graph import connected_components
+
+    def uf(edges, nodes):
+        parent = {n: n for n in nodes}
+
+        def find(x):
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for a, b in edges:
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+        comp = {}
+        for n in nodes:
+            comp.setdefault(find(n), []).append(n)
+        return {n: min(mem) for mem in comp.values() for n in mem}
+
+    rng = random.Random(7)
+    cases = [
+        [(rng.randrange(40), rng.randrange(40)) for _ in range(30)],
+        [(rng.randrange(150), rng.randrange(150)) for _ in range(80)],
+        [(i, i + 1) for i in range(299)],  # chain
+    ]
+    for edges in cases:
+        df = spark.createDataFrame(edges, "src: long, dst: long")
+        got = {r["node"]: r["component"] for r in connected_components(df, "src", "dst").collect()}
+        real = [(a, b) for a, b in edges if a != b]
+        nodes = sorted({x for e in real for x in e})
+        assert got == uf(real, nodes)
+
+
+def test_connected_components_empty_and_selfloops(spark):
+    from pig_spark.operators.graph import connected_components
+
+    df = spark.createDataFrame([(1, 1), (2, 2)], "src: long, dst: long")
+    assert connected_components(df).count() == 0
