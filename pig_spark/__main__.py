@@ -52,10 +52,17 @@ def main(argv: list[str] | None = None) -> int:
     ap.add_argument("-x", "-exectype", dest="exectype", help="accepted for compatibility; engine is always Spark")
     args = ap.parse_args(argv)
 
-    if bool(args.script) == bool(args.execute):
-        ap.error("exactly one of <script> or -e is required")
-    src = args.execute if args.execute else open(args.script, encoding="utf-8").read()
+    if args.script and args.execute:
+        ap.error("give either <script> or -e, not both")
     params = _parse_params(args.params, args.param_files)
+    if not args.script and not args.execute:
+        if args.check or args.dryrun:
+            ap.error("-c/-r need a <script> or -e")
+        # no script → interactive Grunt shell (bin/pig with no args)
+        from .grunt import main as grunt_main
+
+        return grunt_main(params=params)
+    src = args.execute if args.execute else open(args.script, encoding="utf-8").read()
 
     if args.check or args.dryrun:
         # no SparkSession needed for a front-end-only pass
