@@ -160,3 +160,76 @@ def stateful_funnel(
     return df.groupBy(user).applyInPandasWithState(
         fn, out_schema, state_schema, "append", timeout_conf
     )
+
+
+def interval_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    left_ts: str,
+    right_ts: str,
+    lower: str = "0 seconds",
+    upper: str = "1 hour",
+    left_watermark: str = "10 minutes",
+    right_watermark: str = "10 minutes",
+) -> DataFrame:
+    """Stream-stream interval join — the streaming twin of
+    ``operators.range_join`` / the attribution half of
+    ``operators.temporal.asof_join``: match right-side events whose
+    event time falls in ``[left_ts + lower, left_ts + upper]`` for the
+    same key.
+
+    Both sides carry watermarks and the join condition bounds event
+    time in BOTH directions, which is exactly what lets Spark expire
+    buffered state: each side holds only rows inside
+    (watermark + interval width), so state is bounded by rate × delay
+    at any scale — the supported stream-stream equi-join-plus-time-
+    bound pattern. Without the time bound Spark would have to buffer
+    the streams forever (and rejects the plan in append mode).
+    """
+    lw = left.withWatermark(left_ts, left_watermark)
+    rw = right.withWatermark(right_ts, right_watermark)
+    cond = (
+        (lw[on] == rw[on])
+        & (rw[right_ts] >= F.expr(f"{left_ts} + interval {lower}"))
+        & (rw[right_ts] <= F.expr(f"{left_ts} + interval {upper}"))
+    )
+    return lw.join(rw, cond, "inner").drop(rw[on])
+
+
+def rollup_stream(
+    df: DataFrame,
+    ts_col: str,
+    window: str,
+    keys: list[str] | None = None,
+    aggs: dict[str, str] | None = None,
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """Continuous aggregate — the streaming twin of the hypertable
+    rollup (q77): watermarked event-time windows carrying ADDITIVE
+    partials (count / sum / min / max), append-mode-safe (a window is
+    emitted once, when the watermark closes it).
+
+    ``aggs`` maps output column → "fn(col)" with fn in count/sum/min/
+    max — the mergeable subset: the emitted rows re-aggregate to any
+    coarser grain downstream (hour → day → month) without reading raw
+    events again, exactly like the batch hypertable's hourly stage.
+    AVG belongs downstream as sum/count; quantiles via the histogram
+    partials of ``functions/quantile.py``.
+    """
+    import re as _re
+
+    parsed = []
+    for out_col, spec in (aggs or {"n": "count(*)"}).items():
+        m = _re.fullmatch(r"\s*(count|sum|min|max)\s*\(\s*(\*|\w+)\s*\)\s*", spec, _re.I)
+        if not m:
+            raise ValueError(f"rollup_stream agg {spec!r}: count/sum/min/max(col) only (mergeable partials)")
+        fn, col = m.group(1).lower(), m.group(2)
+        if fn == "count":
+            parsed.append(F.count(F.lit(1) if col == "*" else F.col(col)).alias(out_col))
+        else:
+            parsed.append(getattr(F, fn)(F.col(col)).alias(out_col))
+    grouped = df.withWatermark(ts_col, watermark).groupBy(
+        F.window(F.col(ts_col), window), *(keys or [])
+    )
+    return grouped.agg(*parsed)

@@ -259,3 +259,110 @@ def test_enrich_stream_static_matches_batch(spark, sf_dir):
         for r in batch_o.join(dim, "o_custkey", "left").groupBy("c_mktsegment").count().collect()
     }
     assert got == exp and len(got) >= 5
+
+
+def test_interval_join_matches_batch(spark, sf_dir, tmp_path):
+    """Stream-stream interval join (streaming.interval_join) equals the
+    same time-bounded join run in batch: views matched to clicks by the
+    same user within [0s, 2h] after the view."""
+    from pig_spark.functions import event_ts
+    from pig_spark.streaming import interval_join
+
+    batch = spark.read.parquet(f"{sf_dir}/events.parquet")
+    ev = batch.select("user_id", "event_type", event_ts(batch).alias("ts"))
+    views_b = ev.where(F.col("event_type") == "view").select("user_id", F.col("ts").alias("vts"))
+    clicks_b = ev.where(F.col("event_type") == "click").select(
+        F.col("user_id").alias("cu"), F.col("ts").alias("cts")
+    )
+    exp_df = views_b.join(
+        clicks_b,
+        (views_b.user_id == clicks_b.cu)
+        & (clicks_b.cts >= views_b.vts)
+        & (clicks_b.cts <= F.expr("vts + interval 2 hours")),
+    ).select("user_id", "vts", "cts")
+    exp = sorted((r["user_id"], r["vts"], r["cts"]) for r in exp_df.collect())
+
+    views_b.write.mode("overwrite").parquet(str(tmp_path / "views"))
+    clicks_b.write.mode("overwrite").parquet(str(tmp_path / "clicks"))
+    vs = spark.readStream.schema(views_b.schema).parquet(str(tmp_path / "views"))
+    cs = spark.readStream.schema(clicks_b.schema).parquet(str(tmp_path / "clicks"))
+    cs = cs.withColumnRenamed("cu", "user_id")
+    joined = interval_join(
+        vs, cs, on="user_id", left_ts="vts", right_ts="cts",
+        lower="0 seconds", upper="2 hours",
+        left_watermark="1 hour", right_watermark="1 hour",
+    ).select("user_id", "vts", "cts")
+    q = (
+        joined.writeStream.format("memory")
+        .queryName("ij")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        q.awaitTermination(120)
+    finally:
+        q.stop()
+    got = sorted(
+        (r["user_id"], r["vts"], r["cts"]) for r in spark.sql("SELECT * FROM ij").collect()
+    )
+    assert got == exp and len(got) > 0
+
+
+def test_rollup_stream_matches_batch(spark, sf_dir):
+    """Continuous aggregate (streaming.rollup_stream) carries additive
+    partials equal to the batch hourly rollup, and the emitted partials
+    re-aggregate to the daily grain without raw events (mergeability)."""
+    from pig_spark.functions import event_ts
+    from pig_spark.streaming import rollup_stream
+
+    batch = spark.read.parquet(f"{sf_dir}/events.parquet")
+    ev = batch.select("event_type", event_ts(batch).alias("ts"), "value")
+    schema = ev.schema
+    import tempfile
+
+    d = tempfile.mkdtemp(prefix="pig_spark_rollup_stream_")
+    ev.write.mode("overwrite").parquet(d)
+    src = spark.readStream.schema(schema).parquet(d)
+    aggs = {"n": "count(*)", "sum_v": "sum(value)", "max_v": "max(value)"}
+    q = (
+        rollup_stream(src, "ts", "1 hour", keys=["event_type"], aggs=aggs)
+        .writeStream.format("memory")
+        .queryName("cagg")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        q.awaitTermination(120)
+    finally:
+        q.stop()
+    got = spark.sql("SELECT window.start AS h, event_type, n, sum_v, max_v FROM cagg")
+    exp = (
+        ev.groupBy(F.window("ts", "1 hour").alias("window"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("value").alias("sum_v"), F.max("value").alias("max_v"))
+        .select(F.col("window.start").alias("h"), "event_type", "n", "sum_v", "max_v")
+    )
+    def key(rows):
+        return sorted((r["h"], r["event_type"], r["n"], float(r["sum_v"]), float(r["max_v"])) for r in rows)
+    assert key(got.collect()) == key(exp.collect())
+    # mergeability: hourly partials -> daily == daily over raw
+    daily_from_partials = got.groupBy(F.date_trunc("day", "h").alias("d"), "event_type").agg(
+        F.sum("n").alias("n"), F.sum("sum_v").alias("sum_v"), F.max("max_v").alias("max_v")
+    )
+    daily_raw = ev.groupBy(F.date_trunc("day", "ts").alias("d"), "event_type").agg(
+        F.count(F.lit(1)).alias("n"), F.sum("value").alias("sum_v"), F.max("value").alias("max_v")
+    )
+    def dkey(rows):
+        return sorted((r["d"], r["event_type"], r["n"], round(float(r["sum_v"]), 6), float(r["max_v"])) for r in rows)
+    assert dkey(daily_from_partials.collect()) == dkey(daily_raw.collect())
+
+
+def test_rollup_stream_rejects_non_mergeable(spark):
+    import pytest as _pytest
+
+    from pig_spark.streaming import rollup_stream
+
+    df = spark.readStream.format("rate").load()
+    with _pytest.raises(ValueError, match="mergeable"):
+        rollup_stream(df, "timestamp", "1 minute", aggs={"a": "avg(value)"})
