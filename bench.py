@@ -51,6 +51,8 @@ HEADLINE = [
     "q85_stratified_sample",  # r3: hash-rank reservoir per stratum
     "q86_token_packing",  # r3: budget block packing via one window
     "q87_dedup_groups",  # r3: minhash pairs -> large-star/small-star CC
+    "q88_contamination",  # r3: broadcast gram-hash semi-join vs eval set
+    "q89_repetition",  # r3: all-codegen Gopher repetition signals
 ]
 
 

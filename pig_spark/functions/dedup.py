@@ -329,3 +329,56 @@ def simhash(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
         bit = F.when(s > 0, F.lit(1).cast("long")).otherwise(F.lit(0).cast("long")) * F.lit(1 << b).cast("long")
         sig = bit if sig is None else (sig + bit)
     return staged.select(F.col(id_col), sig.alias("simhash"))
+
+
+def contamination_check(
+    train: DataFrame,
+    bench: DataFrame,
+    text_col: str,
+    id_col: str,
+    n: int = SHINGLE_N,
+    threshold: float = 0.1,
+) -> DataFrame:
+    """Benchmark-contamination detection: for every training document,
+    the fraction of its word n-grams that also occur in an evaluation
+    corpus. Output: (id, n_shared, n_grams, ratio, contaminated).
+
+    Training pipelines must decontaminate against eval sets before
+    training; this is the distributed n-gram-overlap formulation.
+
+    100 TB shape: the benchmark side is SMALL (eval suites are
+    thousands of docs) — its distinct gram-hash set is broadcast, so
+    the train side is ONE map-side semi-join over the exploded gram
+    stream followed by ONE groupBy on doc id (co-partitioned with the
+    size join under AQE). No shuffle ever carries gram strings — only
+    60-bit hashes — and the train corpus is scanned once.
+    """
+    tr = shingle_stage(train, text_col, id_col, n)
+    sizes = tr.select(id_col, F.size("__sh").alias("n_grams"), "__sh")
+    tr_grams = sizes.select(id_col, F.explode("__sh").alias("__g")).select(
+        id_col, md5_60(F.col("__g")).alias("__gh")
+    )
+    bench_grams = (
+        bench.select(F.explode(word_shingles(F.col(text_col), n)).alias("__g"))
+        .select(md5_60(F.col("__g")).alias("__gh"))
+        .distinct()
+    )
+    hits = (
+        tr_grams.join(F.broadcast(bench_grams), "__gh")
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+    )
+    ratio = F.round(
+        F.coalesce(F.col("n_shared"), F.lit(0)) / F.greatest(F.col("n_grams"), F.lit(1)), 6
+    )
+    return (
+        sizes.drop("__sh")
+        .join(hits, id_col, "left")
+        .select(
+            F.col(id_col),
+            F.coalesce(F.col("n_shared"), F.lit(0)).cast("long").alias("n_shared"),
+            F.col("n_grams").cast("long").alias("n_grams"),
+            ratio.alias("ratio"),
+            (ratio >= threshold).alias("contaminated"),
+        )
+    )

@@ -128,3 +128,74 @@ def rolling_hash_fingerprint(col: Column, window: int = 4) -> Column:
 
     staged = F.array(tokenize_ws(F.lower(col)))  # 1-element array<array<string>>
     return F.element_at(F.transform(staged, _fp), 1)
+
+
+# repetition thresholds (Gopher-style corpus-quality rules; mirrored
+# in oracles.py q89)
+REP_DUP_2GRAM_MAX = 0.20
+REP_TOP_2GRAM_MAX = 0.08
+
+
+def _grams(tokens: Column, n: int) -> Column:
+    """Non-distinct sliding word n-grams (repetition needs multiplicity,
+    unlike dedup's distinct shingles); empty array when the doc has
+    fewer than n tokens. The sequence stop is clamped to ≥1 because
+    Spark's sequence(1, 0) counts DOWN (negative default step), which
+    would feed slice() a zero start."""
+    n_g = F.size(tokens) - F.lit(n - 1)
+    grams = F.transform(
+        F.sequence(F.lit(1), F.greatest(n_g, F.lit(1))),
+        lambda i: F.array_join(F.slice(tokens, i, n), " "),
+    )
+    return F.when(n_g >= 1, grams).otherwise(F.array().cast("array<string>"))
+
+
+def dup_ngram_frac(tokens: Column, n: int) -> Column:
+    """Fraction of n-gram occurrences that are repeats of an earlier
+    one: 1 - distinct/total (0 for docs shorter than n tokens)."""
+    g = _grams(tokens, n)
+    total = F.size(g)
+    return F.when(total > 0, F.round(1 - F.size(F.array_distinct(g)) / total, 6)).otherwise(
+        F.lit(0.0)
+    )
+
+
+def top_ngram_frac(tokens: Column, n: int) -> Column:
+    """Occurrence share of the single most frequent n-gram — the
+    "stuck-in-a-loop" signal boilerplate and generation loops trip.
+
+    All-codegen: sort the gram array, then one ``aggregate`` pass
+    computing the longest equal-run (struct accumulator: previous
+    value, current run, max run). No explode, no shuffle — O(k log k)
+    per row inside whole-stage codegen.
+    """
+    g = F.array_sort(_grams(tokens, n))
+    total = F.size(g)
+    acc0 = F.struct(
+        F.lit("").alias("prev"), F.lit(0).alias("run"), F.lit(0).alias("mx")
+    )
+    run = lambda acc, x: F.when(x == acc["prev"], acc["run"] + 1).otherwise(F.lit(1))  # noqa: E731
+    step = lambda acc, x: F.struct(  # noqa: E731
+        x.alias("prev"),
+        run(acc, x).alias("run"),
+        F.greatest(acc["mx"], run(acc, x)).alias("mx"),
+    )
+    mx = F.aggregate(g, acc0, step, lambda acc: acc["mx"])
+    return F.when(total > 0, F.round(mx / total, 6)).otherwise(F.lit(0.0))
+
+
+def repetition_stats(col: Column) -> dict[str, Column]:
+    """Gopher-style repetition signals over lower-cased whitespace
+    tokens: duplicate 2-/3-gram fractions, top-2-gram share, and the
+    composite ``repetitive`` flag. Returns named Columns so callers
+    select only what they pay for."""
+    toks = tokenize_ws(F.lower(col))
+    d2 = dup_ngram_frac(toks, 2)
+    d3 = dup_ngram_frac(toks, 3)
+    t2 = top_ngram_frac(toks, 2)
+    return {
+        "dup_2gram_frac": d2,
+        "dup_3gram_frac": d3,
+        "top_2gram_frac": t2,
+        "repetitive": (d2 > REP_DUP_2GRAM_MAX) | (t2 > REP_TOP_2GRAM_MAX),
+    }

@@ -67,6 +67,15 @@ def _h60(expr: str) -> str:
     return f"CAST(('0x' || substr(md5({expr}), 1, 15)) AS BIGINT)"
 
 
+def _rep_grams(n: int) -> str:
+    """text._grams: NON-distinct sliding word n-grams (repetition needs
+    multiplicity); empty when the doc has fewer than n tokens."""
+    return (
+        f"list_transform(generate_series(1, greatest(len(toks) - {n - 1}, 0)), "
+        f"i -> array_to_string(toks[i:i+{n - 1}], ' '))"
+    )
+
+
 def _minhash_sig_select() -> str:
     """mh0..mh{K-1} columns over an `h` hashed-shingle-list column
     (pure BIGINT arithmetic: a,b < 2^30, h < 2^32 — no overflow)."""
@@ -338,6 +347,33 @@ def oracle_sql() -> dict[str, str]:
                 UNION
                 SELECT ed.b, r.lbl FROM reach r JOIN ed ON ed.a = r.node WHERE r.lbl < ed.b)
             SELECT node AS doc_id, MIN(lbl) AS group_id FROM reach GROUP BY node""",
+        "q88_contamination": f"""
+            WITH bench AS (SELECT doc_id, {_shingles('text')} AS sh FROM documents WHERE doc_id % 97 = 0),
+            bg AS (SELECT DISTINCT {_h60('u.g')} AS gh FROM bench, unnest(bench.sh) AS u(g)),
+            train AS (SELECT doc_id, {_shingles('text')} AS sh FROM documents WHERE doc_id % 97 <> 0),
+            sizes AS (SELECT doc_id, len(sh) AS n_grams FROM train),
+            tg AS (SELECT doc_id, {_h60('u.g')} AS gh FROM train, unnest(train.sh) AS u(g)),
+            hits AS (SELECT doc_id, COUNT(*) AS n_shared FROM tg WHERE gh IN (SELECT gh FROM bg) GROUP BY doc_id)
+            SELECT doc_id, n_shared, n_grams, ratio, ratio >= 0.05 AS contaminated FROM (
+                SELECT s.doc_id,
+                       CAST(COALESCE(h.n_shared, 0) AS BIGINT) AS n_shared,
+                       CAST(s.n_grams AS BIGINT) AS n_grams,
+                       round(CAST(COALESCE(h.n_shared, 0) AS DOUBLE) / greatest(s.n_grams, 1), 6) AS ratio
+                FROM sizes s LEFT JOIN hits h USING (doc_id)) z""",
+        "q89_repetition": f"""
+            WITH t AS (SELECT doc_id, {_toks('lower(text)')} AS toks FROM documents),
+            gr AS (SELECT doc_id, {_rep_grams(2)} AS g2, {_rep_grams(3)} AS g3 FROM t),
+            g2u AS (SELECT doc_id, u.x AS gram FROM gr, unnest(gr.g2) AS u(x)),
+            cnt AS (SELECT doc_id, gram, COUNT(*) AS n FROM g2u GROUP BY 1, 2),
+            mx AS (SELECT doc_id, MAX(n) AS mx FROM cnt GROUP BY 1)
+            SELECT doc_id, dup_2gram_frac, dup_3gram_frac, top_2gram_frac,
+                   (dup_2gram_frac > {text.REP_DUP_2GRAM_MAX} OR top_2gram_frac > {text.REP_TOP_2GRAM_MAX}) AS repetitive
+            FROM (
+                SELECT gr.doc_id,
+                       CASE WHEN len(g2) > 0 THEN round(1 - CAST(len(list_distinct(g2)) AS DOUBLE) / len(g2), 6) ELSE 0.0 END AS dup_2gram_frac,
+                       CASE WHEN len(g3) > 0 THEN round(1 - CAST(len(list_distinct(g3)) AS DOUBLE) / len(g3), 6) ELSE 0.0 END AS dup_3gram_frac,
+                       CASE WHEN len(g2) > 0 THEN round(CAST(COALESCE(mx.mx, 0) AS DOUBLE) / len(g2), 6) ELSE 0.0 END AS top_2gram_frac
+                FROM gr LEFT JOIN mx ON gr.doc_id = mx.doc_id) z""",
         "q42_ngram_jaccard": f"""
             WITH docs AS (SELECT doc_id, {_shingles('text')} AS sh FROM documents),
             posting AS (SELECT doc_id, {_h60('u.g')} AS g FROM docs, unnest(docs.sh) AS u(g)),

@@ -1058,6 +1058,36 @@ def q86_token_packing(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q88_contamination(spark: SparkSession, sf: str) -> DataFrame:
+    """Benchmark decontamination (dedup.contamination_check): the
+    "eval set" is the deterministic doc_id % 97 == 0 slice; every
+    other document is scored by shared-3-gram fraction. Broadcast
+    gram-hash semi-join — one corpus scan, no gram-string shuffle."""
+    d = _t(spark, sf, "documents").df
+    bench = d.filter(F.col("doc_id") % 97 == 0)
+    train = d.filter(F.col("doc_id") % 97 != 0)
+    return dedup.contamination_check(train, bench, "text", "doc_id", threshold=0.05)
+
+
+def q89_repetition(spark: SparkSession, sf: str) -> DataFrame:
+    """Gopher-style repetition quality signals (text.repetition_stats):
+    duplicate 2-/3-gram fractions + top-2-gram share, all-codegen array
+    ops over one tokenization projection (no explode, no shuffle)."""
+    d = _t(spark, sf, "documents").df
+    toked = d.select("doc_id", text.tokenize_ws(F.lower(F.col("text"))).alias("__toks"))
+    stats = {
+        "dup_2gram_frac": text.dup_ngram_frac(F.col("__toks"), 2),
+        "dup_3gram_frac": text.dup_ngram_frac(F.col("__toks"), 3),
+        "top_2gram_frac": text.top_ngram_frac(F.col("__toks"), 2),
+    }
+    rep = (stats["dup_2gram_frac"] > text.REP_DUP_2GRAM_MAX) | (
+        stats["top_2gram_frac"] > text.REP_TOP_2GRAM_MAX
+    )
+    return toked.select(
+        "doc_id", *[c.alias(name) for name, c in stats.items()], rep.alias("repetitive")
+    )
+
+
 def q87_dedup_groups(spark: SparkSession, sf: str) -> DataFrame:
     """Near-dup GROUPS: the q41 minhash-LSH pair stream transitively
     closed into connected components (operators/graph.py large-star/
@@ -1295,6 +1325,8 @@ _CHANGED_R3 = {
     "q85_stratified_sample",  # new in r3
     "q86_token_packing",  # new in r3
     "q87_dedup_groups",  # new in r3
+    "q88_contamination",  # new in r3
+    "q89_repetition",  # new in r3
 }
 
 

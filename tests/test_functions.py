@@ -256,3 +256,60 @@ def test_between_truncates_toward_zero(spark):
     ).collect()[0]
     assert row.pos == 1 and row.neg == -1  # not -2
     assert row.negh == -36
+
+
+def test_repetition_stats_crafted(spark):
+    """text.repetition: hand-computed fractions on crafted docs."""
+    from pyspark.sql import functions as F
+
+    from pig_spark.functions import text
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a b a b a b"),         # 2-grams: ab ba ab ba ab -> 5 total, 2 distinct
+            (2, "all words differ here completely"),
+            (3, "x"),                    # shorter than n -> 0s
+            (4, "loop loop loop loop"),  # maximally repetitive
+        ],
+        "doc_id: long, text: string",
+    )
+    toked = docs.select("doc_id", text.tokenize_ws(F.lower(F.col("text"))).alias("t"))
+    out = {
+        r["doc_id"]: r
+        for r in toked.select(
+            "doc_id",
+            text.dup_ngram_frac(F.col("t"), 2).alias("d2"),
+            text.top_ngram_frac(F.col("t"), 2).alias("t2"),
+        ).collect()
+    }
+    assert abs(out[1]["d2"] - (1 - 2 / 5)) < 1e-6
+    assert abs(out[1]["t2"] - 3 / 5) < 1e-6
+    assert out[2]["d2"] == 0.0 and abs(out[2]["t2"] - 0.25) < 1e-6  # all distinct: top = 1/4
+    assert out[3]["d2"] == 0.0 and out[3]["t2"] == 0.0
+    assert abs(out[4]["d2"] - (1 - 1 / 3)) < 1e-6
+    assert out[4]["t2"] == 1.0
+
+
+def test_contamination_check_edges(spark):
+    """dedup.contamination: zero-overlap and full-overlap docs."""
+    from pig_spark.functions.dedup import contamination_check
+
+    bench = spark.createDataFrame(
+        [(100, "the quick brown fox jumps over the lazy dog")],
+        "doc_id: long, text: string",
+    )
+    train = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog"),  # identical
+            (2, "completely unrelated words appear in this sentence"),
+            (3, "xy"),  # single short gram, no overlap
+        ],
+        "doc_id: long, text: string",
+    )
+    got = {
+        r["doc_id"]: r
+        for r in contamination_check(train, bench, "text", "doc_id", threshold=0.5).collect()
+    }
+    assert got[1]["ratio"] == 1.0 and got[1]["contaminated"]
+    assert got[2]["n_shared"] == 0 and not got[2]["contaminated"]
+    assert got[3]["n_shared"] == 0 and got[3]["n_grams"] == 1
