@@ -5,9 +5,12 @@ as decorators over Spark UDFs.
 Guidance baked into the API: row-at-a-time Python UDFs are the slow
 path; ``@pandas_eval_func`` (Arrow-batched) is the default offered for
 anything numeric, and builtins from pig_spark.functions should always
-be preferred. Pig's Algebraic (combiner-enabled 2-phase agg) maps to
-pandas GROUPED_AGG — Spark plans partial aggregation automatically for
-builtins, so custom algebraic UDAFs are only for genuinely custom math.
+be preferred. Pig's Algebraic (combiner-enabled 2-phase agg): builtins
+get partial aggregation from Spark for free; for genuinely custom math
+use ``algebraic_agg`` — pandas GROUPED_AGG has NO combiner (it ships
+raw group rows), while ``algebraic_agg`` restores the Initial/
+Intermed/Final two-phase shape with `mapInPandas` partials before the
+exchange.
 """
 
 from __future__ import annotations
@@ -132,3 +135,62 @@ def monitored_udf(
         return udf(wrapped, returnType=returns)
 
     return deco
+
+
+def algebraic_agg(
+    df,
+    keys: list[str],
+    seed,
+    merge,
+    finish,
+    state_schema: str,
+    result_schema: str,
+):
+    """Pig ``Algebraic`` (Initial/Intermed/Final — Algebraic.java:53-67)
+    for CUSTOM Python aggregations, with the combiner property Spark
+    cannot plan for opaque Python aggs.
+
+    ``pandas_udf`` GROUPED_AGG ships EVERY raw group row to one
+    executor (no partial aggregation for black-box Python), so a hot
+    key at 100 TB concentrates its whole bag, exactly what Pig's
+    combiner existed to avoid. This helper restores the two-phase
+    shape:
+
+    1. **seed** (≅ Initial+Intermed over one Arrow batch):
+       ``seed(pdf) -> pd.DataFrame`` of one state row per key present
+       in the batch — runs inside ``mapInPandas`` BEFORE the exchange,
+       so the shuffle carries per-(batch × key) states, not raw rows.
+    2. **merge** (≅ Intermed): ``merge(states_pdf) -> pd.Series|dict``
+       one combined state from that key's partial states.
+    3. **finish** (≅ Final): ``finish(state) -> pd.Series|dict`` maps
+       the final state to result columns.
+
+    State must be decomposable into columns (``state_schema``) —
+    additive numbers, small lists — the same discipline Pig's
+    combiner imposed (Initial output had to be a Tuple the combiner
+    could re-consume).
+
+    Returns a DataFrame with ``keys + result_schema`` columns.
+    """
+    import pandas as pd  # noqa: F401 — callers' fns operate on pandas
+
+    key_fields = ", ".join(f"{k} {df.schema[k].dataType.simpleString()}" for k in keys)
+    partial_schema = f"{key_fields}, {state_schema}"
+    out_schema = f"{key_fields}, {result_schema}"
+
+    def _partial(batches):
+        for pdf in batches:
+            if len(pdf):
+                yield seed(pdf)
+
+    def _combine(pdf):
+        state = merge(pdf)
+        result = finish(state)
+        row = {k: pdf[k].iloc[0] for k in keys}
+        row.update(dict(result))
+        import pandas as _pd
+
+        return _pd.DataFrame([row])
+
+    partials = df.mapInPandas(_partial, schema=partial_schema)
+    return partials.groupBy(*keys).applyInPandas(_combine, schema=out_schema)

@@ -313,3 +313,66 @@ def test_contamination_check_edges(spark):
     assert got[1]["ratio"] == 1.0 and got[1]["contaminated"]
     assert got[2]["n_shared"] == 0 and not got[2]["contaminated"]
     assert got[3]["n_shared"] == 0 and got[3]["n_grams"] == 1
+
+
+def test_algebraic_agg_two_phase(spark, sf_dir):
+    """udf.algebraic_agg: custom weighted-average with map-side
+    partials equals the exact computation, and the plan aggregates
+    BEFORE the exchange (the combiner property)."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from pig_spark.udf import algebraic_agg
+
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet").select(
+        "o_orderstatus", "o_totalprice", "o_custkey"
+    )
+
+    def seed(pdf):
+        g = pdf.assign(w=(pdf.o_custkey % 5) + 1.0)
+        g = g.assign(ws=g.o_totalprice * g.w)
+        agg = g.groupby("o_orderstatus", as_index=False).agg(
+            sum_ws=("ws", "sum"), sum_w=("w", "sum")
+        )
+        return agg
+
+    def merge(states):
+        return {"sum_ws": states.sum_ws.sum(), "sum_w": states.sum_w.sum()}
+
+    def finish(state):
+        return {"wavg": state["sum_ws"] / state["sum_w"]}
+
+    got = {
+        r["o_orderstatus"]: r["wavg"]
+        for r in algebraic_agg(
+            o, ["o_orderstatus"], seed, merge, finish,
+            state_schema="sum_ws double, sum_w double",
+            result_schema="wavg double",
+        ).collect()
+    }
+    exp = {
+        r["o_orderstatus"]: r["wavg"]
+        for r in o.groupBy("o_orderstatus")
+        .agg(
+            (
+                F.sum(F.col("o_totalprice") * (F.col("o_custkey") % 5 + 1.0))
+                / F.sum(F.col("o_custkey") % 5 + 1.0)
+            ).alias("wavg")
+        )
+        .collect()
+    }
+    assert set(got) == set(exp)
+    for k in exp:
+        assert abs(got[k] - exp[k]) < 1e-6
+    # combiner property: the Python map stage runs BEFORE the shuffle
+    plan = (
+        algebraic_agg(
+            o, ["o_orderstatus"], seed, merge, finish,
+            state_schema="sum_ws double, sum_w double",
+            result_schema="wavg double",
+        )
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert plan.index("MapInPandas") > plan.index("Exchange")  # physical plans print top-down: map stage is below (before) the exchange
