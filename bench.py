@@ -53,6 +53,7 @@ HEADLINE = [
     "q87_dedup_groups",  # r3: minhash pairs -> large-star/small-star CC
     "q88_contamination",  # r3: broadcast gram-hash semi-join vs eval set
     "q89_repetition",  # r3: all-codegen Gopher repetition signals
+    "q90_pii_redaction",  # r3: chained-regex PII scrub, map-only
 ]
 
 

@@ -199,3 +199,30 @@ def repetition_stats(col: Column) -> dict[str, Column]:
         "top_2gram_frac": t2,
         "repetitive": (d2 > REP_DUP_2GRAM_MAX) | (t2 > REP_TOP_2GRAM_MAX),
     }
+
+
+# PII redaction patterns — RE2-safe (no lookarounds) so the DuckDB
+# oracle evaluates the IDENTICAL regex; order matters (ssn before
+# phone: a bare \d{3}[-]\d{2}[-]\d{4} would otherwise half-match)
+PII_PATTERNS: list[tuple[str, str, str]] = [
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("ssn", r"\b\d{3}-\d{2}-\d{4}\b", "<SSN>"),
+    ("phone", r"\b\d{3}[-.]\d{3}[-.]\d{4}\b", "<PHONE>"),
+    ("ip", r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b", "<IP>"),
+]
+
+
+def pii_counts(col: Column) -> dict[str, Column]:
+    """Per-kind PII match counts (regexp_count — JVM codegen)."""
+    return {f"n_{name}": F.regexp_count(col, F.lit(pat)).cast("long") for name, pat, _ in PII_PATTERNS}
+
+
+def redact(col: Column, kinds: list[str] | None = None) -> Column:
+    """Scrub PII spans with typed placeholder tokens — one chained
+    regexp_replace per kind, entirely inside whole-stage codegen (the
+    standard pre-training scrub stage; map-only at any scale)."""
+    out = col
+    for name, pat, token in PII_PATTERNS:
+        if kinds is None or name in kinds:
+            out = F.regexp_replace(out, pat, token)
+    return out

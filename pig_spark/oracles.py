@@ -67,6 +67,14 @@ def _h60(expr: str) -> str:
     return f"CAST(('0x' || substr(md5({expr}), 1, 15)) AS BIGINT)"
 
 
+def _pii_redact_sql(expr: str) -> str:
+    """Mirror text.redact: chained global regexp_replace, same order."""
+    out = expr
+    for _name, pat, token in text.PII_PATTERNS:
+        out = f"regexp_replace({out}, '{pat}', '{token}', 'g')"
+    return out
+
+
 def _rep_grams(n: int) -> str:
     """text._grams: NON-distinct sliding word n-grams (repetition needs
     multiplicity); empty when the doc has fewer than n tokens."""
@@ -360,6 +368,16 @@ def oracle_sql() -> dict[str, str]:
                        CAST(s.n_grams AS BIGINT) AS n_grams,
                        round(CAST(COALESCE(h.n_shared, 0) AS DOUBLE) / greatest(s.n_grams, 1), 6) AS ratio
                 FROM sizes s LEFT JOIN hits h USING (doc_id)) z""",
+        "q90_pii_redaction": f"""
+            WITH s AS (
+                SELECT doc_id,
+                       text || ' reach user' || CAST(doc_id AS VARCHAR) || '@example.com ip 10.0.'
+                            || CAST(doc_id % 256 AS VARCHAR) || '.7 ssn 123-45-6789 call 555-123-4567' AS t
+                FROM documents)
+            SELECT doc_id,
+                   {", ".join(f"CAST(len(regexp_extract_all(t, '{pat}')) AS BIGINT) AS n_{name}" for name, pat, _ in text.PII_PATTERNS)},
+                   md5({_pii_redact_sql('t')}) AS redacted_md5
+            FROM s""",
         "q89_repetition": f"""
             WITH t AS (SELECT doc_id, {_toks('lower(text)')} AS toks FROM documents),
             gr AS (SELECT doc_id, {_rep_grams(2)} AS g2, {_rep_grams(3)} AS g3 FROM t),

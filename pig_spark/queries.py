@@ -1088,6 +1088,32 @@ def q89_repetition(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q90_pii_redaction(spark: SparkSession, sf: str) -> DataFrame:
+    """PII scrubbing (text.redact / text.pii_counts): deterministic PII
+    spans are injected per doc (synthetic corpus carries none), then
+    counted and redacted with typed placeholders — chained
+    regexp_replace, map-only codegen. Output pins both the counts and
+    the md5 of the scrubbed text."""
+    d = _t(spark, sf, "documents").df
+    salted = d.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(" reach user"),
+            F.col("doc_id").cast("string"),
+            F.lit("@example.com ip 10.0."),
+            (F.col("doc_id") % 256).cast("string"),
+            F.lit(".7 ssn 123-45-6789 call 555-123-4567"),
+        ).alias("t"),
+    )
+    counts = text.pii_counts(F.col("t"))
+    return salted.select(
+        "doc_id",
+        *[c.alias(name) for name, c in counts.items()],
+        F.md5(text.redact(F.col("t"))).alias("redacted_md5"),
+    )
+
+
 def q87_dedup_groups(spark: SparkSession, sf: str) -> DataFrame:
     """Near-dup GROUPS: the q41 minhash-LSH pair stream transitively
     closed into connected components (operators/graph.py large-star/
@@ -1327,6 +1353,7 @@ _CHANGED_R3 = {
     "q87_dedup_groups",  # new in r3
     "q88_contamination",  # new in r3
     "q89_repetition",  # new in r3
+    "q90_pii_redaction",  # new in r3
 }
 
 
