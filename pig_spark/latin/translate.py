@@ -607,6 +607,35 @@ class PigTranslator:
         grouped = g.child.df.groupBy(*key_cols) if key_cols else g.child.df.groupBy()
         return Relation(grouped.agg(*aggs).select(*selects))
 
+    def _strip_pipe_prefix(self, e, lname: str):
+        """Rewrite ``lname.x`` column refs to bare ``x`` so a scalar
+        expression over a nested pipe's survivors can resolve against
+        the top-k frame; any ref outside the pipe raises."""
+        if isinstance(e, G.Col):
+            head, _, rest = e.name.partition(".")
+            if head == lname and rest:
+                return G.Col(rest)
+            raise NotImplementedError(
+                f"aggregate over {e.name!r} mixed into the {lname!r} LIMIT-pipe expression"
+            )
+        if isinstance(e, G.Bin):
+            return G.Bin(e.op, self._strip_pipe_prefix(e.left, lname), self._strip_pipe_prefix(e.right, lname))
+        if isinstance(e, G.Cast):
+            return G.Cast(e.type, self._strip_pipe_prefix(e.operand, lname))
+        if isinstance(e, G.Call):
+            return G.Call(e.func, [self._strip_pipe_prefix(a, lname) for a in e.args])
+        if isinstance(e, G.BinCond):
+            return G.BinCond(
+                self._strip_pipe_prefix(e.cond, lname),
+                self._strip_pipe_prefix(e.then, lname),
+                self._strip_pipe_prefix(e.otherwise, lname),
+            )
+        if isinstance(e, (G.Num, G.Str, G.Bool)):
+            return e
+        raise NotImplementedError(
+            f"unsupported expression {type(e).__name__} inside a LIMIT-pipe aggregate"
+        )
+
     def _pipe_heads(self, e) -> set:
         """Inner-pipe aliases referenced anywhere in a GENERATE expr."""
         if isinstance(e, G.Bin):
@@ -861,7 +890,18 @@ class PigTranslator:
                 return F.count(F.lit(1))
             arg = e.args[0]
             if not isinstance(arg, G.Col):
-                raise NotImplementedError(f"{fn.upper()} over non-column expr in a LIMIT pipe")
+                # SUM(l.a * l.b + 2) over the survivors: rewrite every
+                # l.x ref to the topk frame's x and evaluate the scalar
+                # expression there, then aggregate (QueryParser.g lets
+                # nested aggregates take arbitrary projections)
+                from ..dsl import Relation as _Rel
+
+                stripped = self._strip_pipe_prefix(arg, lname)
+                scalar = self._expr(stripped, _Rel(topk))
+                return {
+                    "sum": F.sum, "avg": F.avg, "min": F.min, "max": F.max,
+                    "count": F.count, "count_star": lambda _c: F.count(F.lit(1)),
+                }[fn](scalar)
             head, _, rest = arg.name.partition(".")
             if head != lname:
                 raise NotImplementedError(f"aggregate over {head!r} mixed into the LIMIT-pipe expression")

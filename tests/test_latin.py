@@ -934,3 +934,39 @@ def test_cli_check_and_params(tmp_path):
     with contextlib.redirect_stdout(buf):
         assert main(["-r", "-m", str(pfile), str(script)]) == 0
     assert "/root/testdata/sf0.001/region.parquet" in buf.getvalue()
+
+
+def test_latin_nested_limit_agg_over_expression(spark, sf_dir):
+    """r3: SUM/AVG over a non-column expression of the LIMIT pipe's
+    survivors (SUM(l.a * 2 + 1)) — pipe refs rewritten against the
+    top-k frame."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from pig_spark.latin import run
+
+    rels = run(spark, f"""
+        o = LOAD '{sf_dir}/orders.parquet' USING ParquetLoader();
+        g = GROUP o BY o_orderstatus;
+        t = FOREACH g {{
+            s = ORDER o BY o_totalprice DESC, o_orderkey ASC;
+            l = LIMIT s 3;
+            GENERATE group AS st, SUM(l.o_totalprice * 2.0 + 1.0) AS twice,
+                     AVG(l.o_totalprice) AS m3;
+        }}
+    """)
+    got = rels["t"].df
+    base = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    w = Window.partitionBy("o_orderstatus").orderBy(
+        F.desc("o_totalprice"), F.asc("o_orderkey")
+    )
+    want = (
+        base.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .groupBy(F.col("o_orderstatus").alias("st"))
+        .agg(
+            F.sum(F.col("o_totalprice") * 2.0 + 1.0).alias("twice"),
+            F.avg("o_totalprice").alias("m3"),
+        )
+    )
+    assert got.exceptAll(want).count() == 0 and want.exceptAll(got).count() == 0
