@@ -260,3 +260,40 @@ def cosine_allpairs_exact(df: DataFrame, threshold: float, id_col: str = "vec_id
 
 # backwards-compat alias (r1 name); the exact form is no longer the default
 cosine_self_join_pairs = cosine_allpairs_exact
+
+
+def kmeans_refine(
+    df: DataFrame,
+    centroids: list[tuple[int, list[float]]],
+    iters: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> list[tuple[int, list[float]]]:
+    """Distributed Lloyd refinement of the IVF coarse quantizer — the
+    production replacement for ``bootstrap_centroids`` (SCALE.md).
+
+    Each iteration is ONE job: assign (map-only ``ivf_assign``) →
+    per-cell elementwise mean via ``posexplode`` + groupBy(cell, dim)
+    — the shuffle carries (cell, dim, partial-sum) rows, i.e. at most
+    nlist × dim × partitions combiner outputs, independent of corpus
+    size. Only nlist × dim aggregated floats ever reach the driver
+    (the new centroids), never vectors.
+
+    Deterministic: means of deterministic assignments; empty cells
+    keep their previous centroid. Returns centroids in cell-id order.
+    """
+    cur = sorted((cid, list(map(float, c))) for cid, c in centroids)
+    for _ in range(iters):
+        assigned = ivf_assign(df, cur, id_col, vec_col)
+        means = (
+            assigned.select("__cell", F.posexplode(F.col(vec_col).cast("array<double>")))
+            .groupBy("__cell", "pos")
+            .agg(F.avg("col").alias("m"))
+            .groupBy("__cell")
+            .agg(F.array_sort(F.collect_list(F.struct("pos", "m"))).alias("dims"))
+            .select("__cell", F.transform("dims", lambda s: s["m"]).alias("mean"))
+            .collect()
+        )
+        by_cell = {int(r["__cell"]): [float(x) for x in r["mean"]] for r in means}
+        cur = [(cid, by_cell.get(cid, c)) for cid, c in cur]
+    return cur

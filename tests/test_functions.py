@@ -376,3 +376,36 @@ def test_algebraic_agg_two_phase(spark, sf_dir):
         .toString()
     )
     assert plan.index("MapInPandas") > plan.index("Exchange")  # physical plans print top-down: map stage is below (before) the exchange
+
+
+def test_kmeans_refine_improves_objective(spark, sf_dir):
+    """similarity.kmeans_refine: Lloyd iterations must not worsen the
+    mean max-cosine objective vs the bootstrap centroids, and must
+    keep cell-id order/count; q68's probe machinery runs unchanged on
+    the refined set."""
+    from pyspark.sql import functions as F
+
+    from pig_spark.functions import similarity
+
+    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    boot = similarity.bootstrap_centroids(e)
+    refined = similarity.kmeans_refine(e, boot, iters=2)
+    assert [cid for cid, _ in refined] == [cid for cid, _ in boot]
+
+    def objective(cents):
+        scored = similarity.ivf_assign(e, cents)
+        # mean cosine to the assigned centroid == mean of per-row max score
+        v = F.col("embedding").cast("array<double>")
+        best = None
+        df = scored
+        # recompute max score array the same way ivf_assign does
+        from pig_spark.functions.similarity import _vec_lit, dot, norm
+
+        exprs = []
+        for _, cvec in cents:
+            cn = sum(x * x for x in cvec) ** 0.5
+            exprs.append(dot(v, _vec_lit(cvec)) / (norm(v) * F.lit(cn)))
+        return df.select(F.greatest(*exprs).alias("s")).agg(F.avg("s")).first()[0]
+
+    o0, o1 = objective(boot), objective(refined)
+    assert o1 >= o0 - 1e-9  # Lloyd never decreases the objective

@@ -150,3 +150,18 @@ def test_collected_group_on_bucketed_table_has_no_exchange(spark, sf_dir, tmp_pa
         assert agg.count() > 0
     finally:
         spark.sql(f"DROP TABLE IF EXISTS {name}")
+
+
+def test_contamination_broadcasts_eval_side(spark, sf_dir):
+    """q88: the benchmark gram-hash set must broadcast (map-side
+    semi-join) — a shuffled join here would exchange the full train
+    gram stream against a tiny eval set."""
+    from pig_spark.queries import q88_contamination
+
+    plan = (
+        q88_contamination(spark, sf_dir)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan
