@@ -114,18 +114,25 @@ def _gen(rng, sf_dir):
         key = rng.choice(STR)
         d = "DESC" if desc else "ASC"
         lines.append(f"g = GROUP p BY {key};")
+        extra_l = extra_s = ""
+        if rng.random() < 0.5:
+            # r3: aggregate over a scalar EXPRESSION of the survivors
+            extra_l = ", SUM(l.cents * 2 + 1) AS sx"
+            extra_s = ", SUM(cents * 2 + 1) AS sx"
         lines.append(
             "out = FOREACH g { s = ORDER p BY cents "
             + d
             + ", l_orderkey ASC, l_linenumber ASC; l = LIMIT s "
             + str(k)
-            + "; GENERATE group AS k, COUNT(l) AS n, MAX(l.cents) AS mx; };"
+            + "; GENERATE group AS k, COUNT(l) AS n, MAX(l.cents) AS mx"
+            + extra_l
+            + "; };"
         )
         sql = (
             f"WITH p AS ({sql_p}), r AS ("
             f"SELECT {key} AS k, cents, row_number() OVER (PARTITION BY {key} "
             f"ORDER BY cents {d}, l_orderkey ASC, l_linenumber ASC) AS rn FROM p) "
-            f"SELECT k, COUNT(*) AS n, MAX(cents) AS mx FROM r WHERE rn <= {k} GROUP BY k"
+            f"SELECT k, COUNT(*) AS n, MAX(cents) AS mx{extra_s} FROM r WHERE rn <= {k} GROUP BY k"
         )
         return "\n".join(lines), sql
     if shape < 0.62:
