@@ -54,6 +54,7 @@ HEADLINE = [
     "q88_contamination",  # r3: broadcast gram-hash semi-join vs eval set
     "q89_repetition",  # r3: all-codegen Gopher repetition signals
     "q90_pii_redaction",  # r3: chained-regex PII scrub, map-only
+    "q92_gapfill",  # r3: rollup densification, grid-sized not event-sized
 ]
 
 

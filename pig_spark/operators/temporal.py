@@ -150,3 +150,45 @@ def funnel(
         *[F.first(t).alias(t) for t in tcols],
         F.first(F.col(tcols[-1]).isNotNull()).alias("completed"),
     )
+
+
+def gapfill(
+    df: DataFrame,
+    ts_col: str,
+    keys: list[str],
+    step: str = "1 hour",
+    locf_cols: list[str] | None = None,
+    zero_cols: list[str] | None = None,
+) -> DataFrame:
+    """Time-series gap filling for rollup tables (the hypertable
+    companion q77 implies): emit ONE row per key per ``step`` bucket
+    between that key's first and last observation; missing buckets are
+    synthesized with ``locf_cols`` carried forward (last observation)
+    and ``zero_cols`` coalesced to 0 (count-shaped). Adds a boolean
+    ``__gap`` marking synthesized rows.
+
+    Scale shape: the grid is ``sequence(min, max, interval)`` exploded
+    per key — grid size = span/step per key, independent of raw event
+    volume (this runs over the ROLLED-UP table, not raw events). One
+    join back on (keys, ts) and one ordered window per key; both hash
+    the same small grid, and a gap row never resurrects raw data —
+    carried values come from the rollup row preceding it.
+    """
+    lo, hi = F.min(ts_col).alias("__lo"), F.max(ts_col).alias("__hi")
+    bounds = df.groupBy(*keys).agg(lo, hi)
+    grid = bounds.select(
+        *keys,
+        F.explode(F.sequence("__lo", "__hi", F.expr(f"interval {step}"))).alias(ts_col),
+    )
+    joined = grid.join(df.withColumn("__present", F.lit(True)), [*keys, ts_col], "left")
+    out = joined.withColumn("__gap", F.col("__present").isNull()).drop("__present")
+    w = (
+        Window.partitionBy(*keys)
+        .orderBy(ts_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    for c in locf_cols or []:
+        out = out.withColumn(c, F.last(c, ignorenulls=True).over(w))
+    for c in zero_cols or []:
+        out = out.withColumn(c, F.coalesce(F.col(c), F.lit(0)))
+    return out

@@ -355,6 +355,38 @@ def oracle_sql() -> dict[str, str]:
                 UNION
                 SELECT ed.b, r.lbl FROM reach r JOIN ed ON ed.a = r.node WHERE r.lbl < ed.b)
             SELECT node AS doc_id, MIN(lbl) AS group_id FROM reach GROUP BY node""",
+        "q91_dedup_survivors": f"""
+            WITH RECURSIVE {minhash_ctes},
+            pairs AS (SELECT id_a, id_b FROM verified WHERE jaccard >= 0.4),
+            ed AS (SELECT id_a AS a, id_b AS b FROM pairs
+                   UNION SELECT id_b, id_a FROM pairs),
+            nd AS (SELECT DISTINCT a AS node FROM ed),
+            reach(node, lbl) AS (
+                SELECT node, node FROM nd
+                UNION
+                SELECT ed.b, r.lbl FROM reach r JOIN ed ON ed.a = r.node WHERE r.lbl < ed.b),
+            cc AS (SELECT node AS doc_id, MIN(lbl) AS group_id FROM reach GROUP BY node),
+            m AS (SELECT cc.group_id, cc.doc_id,
+                         row_number() OVER (PARTITION BY cc.group_id
+                             ORDER BY d.n_chars DESC, cc.doc_id ASC) AS rn
+                  FROM cc JOIN documents d USING (doc_id))
+            SELECT group_id, MAX(CASE WHEN rn = 1 THEN doc_id END) AS survivor_id,
+                   CAST(COUNT(*) AS BIGINT) AS n_docs
+            FROM m GROUP BY group_id""",
+        "q92_gapfill": """
+            WITH h AS (SELECT event_type, date_trunc('hour', ts) AS hour, COUNT(*) AS n,
+                              CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total
+                       FROM events GROUP BY 1, 2),
+            b AS (SELECT event_type, MIN(hour) AS lo, MAX(hour) AS hi FROM h GROUP BY 1),
+            grid AS (SELECT b.event_type, u.h AS hour
+                     FROM b, unnest(generate_series(b.lo, b.hi, INTERVAL '1 hour')) AS u(h)),
+            j AS (SELECT g.event_type, g.hour, h.n, h.total, (h.hour IS NULL) AS was_gap
+                  FROM grid g LEFT JOIN h ON g.event_type = h.event_type AND g.hour = h.hour)
+            SELECT event_type, hour, CAST(COALESCE(n, 0) AS BIGINT) AS n,
+                   last_value(total IGNORE NULLS) OVER (PARTITION BY event_type ORDER BY hour
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS total,
+                   was_gap
+            FROM j""",
         "q88_contamination": f"""
             WITH bench AS (SELECT doc_id, {_shingles('text')} AS sh FROM documents WHERE doc_id % 97 = 0),
             bg AS (SELECT DISTINCT {_h60('u.g')} AS gh FROM bench, unnest(bench.sh) AS u(g)),

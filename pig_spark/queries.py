@@ -1114,6 +1114,54 @@ def q90_pii_redaction(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q91_dedup_survivors(spark: SparkSession, sf: str) -> DataFrame:
+    """Survivor selection over near-dup groups: q87's components joined
+    back to the corpus, keep-best = max n_chars (tie → min doc_id) per
+    group — one window over the group stream. Closes the dedup story:
+    pairs (q41) → groups (q87) → one canonical survivor + group size."""
+    from pyspark.sql import Window
+
+    from .operators.graph import connected_components
+
+    d = _t(spark, sf, "documents").df
+    pairs = dedup.minhash_lsh_pairs(d, "text", "doc_id", threshold=0.4)
+    cc = connected_components(
+        pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
+    ).select(F.col("node").alias("doc_id"), F.col("component").alias("group_id"))
+    member = cc.join(d.select("doc_id", "n_chars"), "doc_id")
+    w = Window.partitionBy("group_id").orderBy(F.desc("n_chars"), F.asc("doc_id"))
+    ranked = member.withColumn("__rn", F.row_number().over(w))
+    return (
+        ranked.groupBy("group_id")
+        .agg(
+            F.max(F.when(F.col("__rn") == 1, F.col("doc_id"))).alias("survivor_id"),
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+        )
+    )
+
+
+def q92_gapfill(spark: SparkSession, sf: str) -> DataFrame:
+    """Rollup gap filling (operators.temporal.gapfill): hourly
+    event-type rollup densified to one row per hour in each type's
+    span — counts zero-filled, totals carried forward (locf), `__gap`
+    marks synthesized rows. The hypertable companion: continuous
+    aggregates need dense time axes for downstream windows."""
+    from .operators.temporal import gapfill
+
+    e = _t(spark, sf, "events")
+    ts = PF.event_ts(e.df)
+    hourly = (
+        e.foreach(hour=F.date_trunc("hour", ts), event_type=F.col("event_type"), value=F.col("value"))
+        .group_by("hour", "event_type")
+        .agg(n=F.count(F.lit(1)), total=dsum(F.col("value"), 4))
+        .df
+    )
+    filled = gapfill(hourly, "hour", ["event_type"], "1 hour", locf_cols=["total"], zero_cols=["n"])
+    return filled.select(
+        "event_type", "hour", F.col("n").cast("long").alias("n"), "total", F.col("__gap").alias("was_gap")
+    )
+
+
 def q87_dedup_groups(spark: SparkSession, sf: str) -> DataFrame:
     """Near-dup GROUPS: the q41 minhash-LSH pair stream transitively
     closed into connected components (operators/graph.py large-star/
@@ -1354,6 +1402,8 @@ _CHANGED_R3 = {
     "q88_contamination",  # new in r3
     "q89_repetition",  # new in r3
     "q90_pii_redaction",  # new in r3
+    "q91_dedup_survivors",  # new in r3
+    "q92_gapfill",  # new in r3
 }
 
 

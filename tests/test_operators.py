@@ -549,3 +549,29 @@ def test_connected_components_empty_and_selfloops(spark):
 
     df = spark.createDataFrame([(1, 1), (2, 2)], "src: long, dst: long")
     assert connected_components(df).count() == 0
+
+
+def test_gapfill_locf_and_zero(spark):
+    """operators.temporal.gapfill: gaps synthesized per step, counts
+    zero-filled, locf carries across consecutive gaps, single-row keys
+    emit no gaps."""
+    from pyspark.sql import functions as F
+
+    from pig_spark.operators.temporal import gapfill
+
+    rows = [
+        ("a", "2024-01-01 00:00:00", 5, 10.0),
+        ("a", "2024-01-01 03:00:00", 2, 7.0),   # 2 missing hours before
+        ("b", "2024-01-01 05:00:00", 1, 1.0),   # singleton key
+    ]
+    df = (
+        spark.createDataFrame(rows, "k: string, ts: string, n: int, total: double")
+        .withColumn("ts", F.col("ts").cast("timestamp"))
+    )
+    out = gapfill(df, "ts", ["k"], "1 hour", locf_cols=["total"], zero_cols=["n"])
+    got = {(r["k"], str(r["ts"])): (r["n"], r["total"], r["__gap"]) for r in out.collect()}
+    assert len(got) == 5  # a: 4 hours, b: 1 hour
+    assert got[("a", "2024-01-01 01:00:00")] == (0, 10.0, True)
+    assert got[("a", "2024-01-01 02:00:00")] == (0, 10.0, True)  # locf across 2 gaps
+    assert got[("a", "2024-01-01 03:00:00")] == (2, 7.0, False)
+    assert got[("b", "2024-01-01 05:00:00")] == (1, 1.0, False)
