@@ -636,6 +636,50 @@ class PigTranslator:
             f"unsupported expression {type(e).__name__} inside a LIMIT-pipe aggregate"
         )
 
+    def _split_agg_leaves(self, e, limited_names: set, leaves: list, combo_idx: int):
+        """Decompose a combining expression into aggregate-call leaves:
+        each leaf is replaced by a generated column ref and recorded as
+        (gen_name, limited_pipe_or_None, call) so it can be computed in
+        its pipe's top-k frame (or the flat-agg path) and stitched; the
+        returned rewritten expression is pure scalar over those
+        columns (plus group-key refs)."""
+        if isinstance(e, G.Call) and e.func.lower() in AGG_FUNCS:
+            lheads = self._pipe_heads(e) & limited_names
+            if len(lheads) > 1:
+                raise NotImplementedError("one aggregate call cannot span two LIMIT pipes")
+            gen = f"__agg{combo_idx}_{len(leaves)}"
+            leaves.append((gen, next(iter(lheads)) if lheads else None, e))
+            return G.Col(gen)
+        if isinstance(e, G.Bin):
+            return G.Bin(
+                e.op,
+                self._split_agg_leaves(e.left, limited_names, leaves, combo_idx),
+                self._split_agg_leaves(e.right, limited_names, leaves, combo_idx),
+            )
+        if isinstance(e, G.Cast):
+            return G.Cast(e.type, self._split_agg_leaves(e.operand, limited_names, leaves, combo_idx))
+        if isinstance(e, G.BinCond):
+            return G.BinCond(
+                self._split_agg_leaves(e.cond, limited_names, leaves, combo_idx),
+                self._split_agg_leaves(e.then, limited_names, leaves, combo_idx),
+                self._split_agg_leaves(e.otherwise, limited_names, leaves, combo_idx),
+            )
+        if isinstance(e, G.Call):  # scalar function over combined aggs
+            return G.Call(
+                e.func,
+                [self._split_agg_leaves(a, limited_names, leaves, combo_idx) for a in e.args],
+            )
+        if isinstance(e, (G.Num, G.Str, G.Bool)):
+            return e
+        if isinstance(e, G.Col) and e.name == "group":
+            return e  # single-key group ref — rewritten by the caller's frame
+        if isinstance(e, G.Col) and e.name.startswith("group."):
+            return G.Col(e.name.split(".", 1)[1])  # stitched frame carries key columns
+        raise NotImplementedError(
+            f"unaggregated pipe reference {getattr(e, 'name', type(e).__name__)!r} "
+            "in an expression combining aggregates"
+        )
+
     def _pipe_heads(self, e) -> set:
         """Inner-pipe aliases referenced anywhere in a GENERATE expr."""
         if isinstance(e, G.Bin):
@@ -777,6 +821,7 @@ class PigTranslator:
         flat_items = []
         topk_aggs: list[tuple[str, str, object]] = []  # (name, pipe, expr)
         other_aggs: list[tuple[str, object]] = []
+        combos: list[tuple[str, object]] = []  # (name, rewritten scalar over agg leaves)
         layout: list[tuple[str, object]] = []  # (kind, payload) in output order
         for i, item in enumerate(op.items):
             e = item.expr
@@ -785,15 +830,31 @@ class PigTranslator:
                 layout.append(("group", item))
                 continue
             heads = self._pipe_heads(e) & limited_names
-            if len(heads) > 1:
-                raise NotImplementedError("one GENERATE expression cannot mix two LIMIT pipes")
-            if heads:
-                if item.flatten:
-                    flat_items.append(item)
-                    layout.append(("flatten", item))
-                else:
-                    topk_aggs.append((name, next(iter(heads)), e))
-                    layout.append(("col", name))
+            if heads and item.flatten:
+                if len(heads) > 1:
+                    raise NotImplementedError("cannot FLATTEN two LIMIT pipes in one expression")
+                flat_items.append(item)
+                layout.append(("flatten", item))
+            elif heads and isinstance(e, G.Call) and e.func.lower() in AGG_FUNCS and len(self._pipe_heads(e)) == 1:
+                # whole expression is one aggregate over one pipe
+                topk_aggs.append((name, next(iter(heads)), e))
+                layout.append(("col", name))
+            elif heads:
+                # r3: expression COMBINING aggregates — possibly over
+                # several LIMIT pipes and/or the full bag, e.g.
+                # SUM(a.x) / COUNT(b) — split into aggregate leaves
+                # (each computed in its pipe's frame / the flat path),
+                # then re-evaluate the combining scalar over the
+                # stitched aggregate columns
+                leaves: list[tuple[str, str | None, object]] = []
+                rewritten = self._split_agg_leaves(e, limited_names, leaves, len(combos))
+                for gen, head, call in leaves:
+                    if head is not None:
+                        topk_aggs.append((gen, head, call))
+                    else:
+                        other_aggs.append((gen, call))
+                combos.append((name, rewritten))
+                layout.append(("combo", name))
             else:
                 other_aggs.append((name, e))
                 layout.append(("col", name))
@@ -867,6 +928,8 @@ class PigTranslator:
         if len(parts) > 1 and key_names:
             for n in count_cols:
                 out = out.withColumn(n, F.coalesce(F.col(n), F.lit(0).cast("long")))
+        for name, rewritten in combos:
+            out = out.withColumn(name, self._expr(rewritten, Relation(out)))
         selects = []
         for kind, payload in layout:
             if kind == "group":

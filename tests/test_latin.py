@@ -970,3 +970,47 @@ def test_latin_nested_limit_agg_over_expression(spark, sf_dir):
         )
     )
     assert got.exceptAll(want).count() == 0 and want.exceptAll(got).count() == 0
+
+
+def test_latin_nested_two_pipes_one_expression(spark, sf_dir):
+    """r3: one GENERATE expression combining aggregates over TWO LIMIT
+    pipes and the full bag: SUM(top3) / COUNT(all) and
+    MAX(top2 bottom) — decomposed into per-pipe aggregate leaves."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from pig_spark.latin import run
+
+    rels = run(spark, f"""
+        o = LOAD '{sf_dir}/orders.parquet' USING ParquetLoader();
+        g = GROUP o BY o_orderstatus;
+        t = FOREACH g {{
+            s = ORDER o BY o_totalprice DESC, o_orderkey ASC;
+            hi = LIMIT s 3;
+            s2 = ORDER o BY o_totalprice ASC, o_orderkey ASC;
+            lo = LIMIT s2 2;
+            GENERATE group AS st,
+                     SUM(hi.o_totalprice) / COUNT(o) AS top3_per_row,
+                     MAX(hi.o_totalprice) - MIN(lo.o_totalprice) AS spread;
+        }}
+    """)
+    got = rels["t"].df
+    base = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    wd = Window.partitionBy("o_orderstatus").orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+    wa = Window.partitionBy("o_orderstatus").orderBy(F.asc("o_totalprice"), F.asc("o_orderkey"))
+    ranked = base.withColumn("rd", F.row_number().over(wd)).withColumn("ra", F.row_number().over(wa))
+    want = ranked.groupBy(F.col("o_orderstatus").alias("st")).agg(
+        (
+            F.sum(F.when(F.col("rd") <= 3, F.col("o_totalprice")))
+            / F.count(F.lit(1))
+        ).alias("top3_per_row"),
+        (
+            F.max(F.when(F.col("rd") <= 3, F.col("o_totalprice")))
+            - F.min(F.when(F.col("ra") <= 2, F.col("o_totalprice")))
+        ).alias("spread"),
+    )
+    gm = {r["st"]: (r["top3_per_row"], r["spread"]) for r in got.collect()}
+    wm = {r["st"]: (r["top3_per_row"], r["spread"]) for r in want.collect()}
+    assert set(gm) == set(wm)
+    for k in wm:  # double SUM order differs between plans — compare to tolerance
+        assert abs(gm[k][0] - wm[k][0]) < 1e-6 and abs(gm[k][1] - wm[k][1]) < 1e-6
