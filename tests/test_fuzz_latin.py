@@ -114,25 +114,40 @@ def _gen(rng, sf_dir):
         key = rng.choice(STR)
         d = "DESC" if desc else "ASC"
         lines.append(f"g = GROUP p BY {key};")
-        extra_l = extra_s = ""
-        if rng.random() < 0.5:
+        roll = rng.random()
+        if roll < 0.3:
+            # r3: one expression COMBINING a pipe aggregate with a
+            # full-bag aggregate (leaf decomposition + stitch)
+            gen = "GENERATE group AS k, COUNT(l) AS n, MAX(l.cents) AS mx, MAX(l.cents) - COUNT(p) AS dx;"
+            final = (
+                f"SELECT k, COUNT(*) FILTER (WHERE rn <= {k}) AS n, "
+                f"MAX(cents) FILTER (WHERE rn <= {k}) AS mx, "
+                f"MAX(cents) FILTER (WHERE rn <= {k}) - COUNT(*) AS dx FROM r GROUP BY k"
+            )
+        elif roll < 0.6:
             # r3: aggregate over a scalar EXPRESSION of the survivors
-            extra_l = ", SUM(l.cents * 2 + 1) AS sx"
-            extra_s = ", SUM(cents * 2 + 1) AS sx"
+            gen = "GENERATE group AS k, COUNT(l) AS n, MAX(l.cents) AS mx, SUM(l.cents * 2 + 1) AS sx;"
+            final = (
+                f"SELECT k, COUNT(*) AS n, MAX(cents) AS mx, SUM(cents * 2 + 1) AS sx "
+                f"FROM r WHERE rn <= {k} GROUP BY k"
+            )
+        else:
+            gen = "GENERATE group AS k, COUNT(l) AS n, MAX(l.cents) AS mx;"
+            final = f"SELECT k, COUNT(*) AS n, MAX(cents) AS mx FROM r WHERE rn <= {k} GROUP BY k"
         lines.append(
             "out = FOREACH g { s = ORDER p BY cents "
             + d
             + ", l_orderkey ASC, l_linenumber ASC; l = LIMIT s "
             + str(k)
-            + "; GENERATE group AS k, COUNT(l) AS n, MAX(l.cents) AS mx"
-            + extra_l
-            + "; };"
+            + "; "
+            + gen
+            + " };"
         )
         sql = (
             f"WITH p AS ({sql_p}), r AS ("
             f"SELECT {key} AS k, cents, row_number() OVER (PARTITION BY {key} "
             f"ORDER BY cents {d}, l_orderkey ASC, l_linenumber ASC) AS rn FROM p) "
-            f"SELECT k, COUNT(*) AS n, MAX(cents) AS mx{extra_s} FROM r WHERE rn <= {k} GROUP BY k"
+            + final
         )
         return "\n".join(lines), sql
     if shape < 0.62:
