@@ -354,31 +354,32 @@ def contamination_check(
     60-bit hashes — and the train corpus is scanned once.
     """
     tr = shingle_stage(train, text_col, id_col, n)
-    sizes = tr.select(id_col, F.size("__sh").alias("n_grams"), "__sh")
-    tr_grams = sizes.select(id_col, F.explode("__sh").alias("__g")).select(
+    # ONE corpus pass: every doc has ≥1 shingle (word_shingles clamps),
+    # so n_grams = exploded-gram count and the broadcast LEFT join lets
+    # a single groupBy produce both totals and hit counts — no second
+    # scan/tokenization, no join-back for zero-overlap docs
+    tr_grams = tr.select(id_col, F.explode("__sh").alias("__g")).select(
         id_col, md5_60(F.col("__g")).alias("__gh")
     )
     bench_grams = (
         bench.select(F.explode(word_shingles(F.col(text_col), n)).alias("__g"))
         .select(md5_60(F.col("__g")).alias("__gh"))
         .distinct()
+        .withColumn("__hit", F.lit(1))
     )
-    hits = (
-        tr_grams.join(F.broadcast(bench_grams), "__gh")
+    counts = (
+        tr_grams.join(F.broadcast(bench_grams), "__gh", "left")
         .groupBy(id_col)
-        .agg(F.count(F.lit(1)).alias("n_shared"))
-    )
-    ratio = F.round(
-        F.coalesce(F.col("n_shared"), F.lit(0)) / F.greatest(F.col("n_grams"), F.lit(1)), 6
-    )
-    return (
-        sizes.drop("__sh")
-        .join(hits, id_col, "left")
-        .select(
-            F.col(id_col),
-            F.coalesce(F.col("n_shared"), F.lit(0)).cast("long").alias("n_shared"),
-            F.col("n_grams").cast("long").alias("n_grams"),
-            ratio.alias("ratio"),
-            (ratio >= threshold).alias("contaminated"),
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            F.count("__hit").alias("n_shared"),
         )
+    )
+    ratio = F.round(F.col("n_shared") / F.greatest(F.col("n_grams"), F.lit(1)), 6)
+    return counts.select(
+        F.col(id_col),
+        F.col("n_shared").cast("long").alias("n_shared"),
+        F.col("n_grams").cast("long").alias("n_grams"),
+        ratio.alias("ratio"),
+        (ratio >= threshold).alias("contaminated"),
     )

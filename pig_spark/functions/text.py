@@ -150,14 +150,20 @@ def _grams(tokens: Column, n: int) -> Column:
     return F.when(n_g >= 1, grams).otherwise(F.array().cast("array<string>"))
 
 
-def dup_ngram_frac(tokens: Column, n: int) -> Column:
-    """Fraction of n-gram occurrences that are repeats of an earlier
-    one: 1 - distinct/total (0 for docs shorter than n tokens)."""
-    g = _grams(tokens, n)
+def dup_frac_from_grams(g: Column) -> Column:
+    """1 - distinct/total over a PRE-STAGED gram array column (stage
+    the grams as a projection first — per the module rule, lambda
+    bodies re-evaluate per element with no CSE)."""
     total = F.size(g)
     return F.when(total > 0, F.round(1 - F.size(F.array_distinct(g)) / total, 6)).otherwise(
         F.lit(0.0)
     )
+
+
+def dup_ngram_frac(tokens: Column, n: int) -> Column:
+    """Fraction of n-gram occurrences that are repeats of an earlier
+    one: 1 - distinct/total (0 for docs shorter than n tokens)."""
+    return dup_frac_from_grams(_grams(tokens, n))
 
 
 def top_ngram_frac(tokens: Column, n: int) -> Column:
@@ -169,7 +175,12 @@ def top_ngram_frac(tokens: Column, n: int) -> Column:
     value, current run, max run). No explode, no shuffle — O(k log k)
     per row inside whole-stage codegen.
     """
-    g = F.array_sort(_grams(tokens, n))
+    return top_frac_from_grams(_grams(tokens, n))
+
+
+def top_frac_from_grams(grams: Column) -> Column:
+    """Max-run/total over a PRE-STAGED gram array column."""
+    g = F.array_sort(grams)
     total = F.size(g)
     acc0 = F.struct(
         F.lit("").alias("prev"), F.lit(0).alias("run"), F.lit(0).alias("mx")

@@ -1075,15 +1075,20 @@ def q89_repetition(spark: SparkSession, sf: str) -> DataFrame:
     ops over one tokenization projection (no explode, no shuffle)."""
     d = _t(spark, sf, "documents").df
     toked = d.select("doc_id", text.tokenize_ws(F.lower(F.col("text"))).alias("__toks"))
+    staged = toked.select(  # grams staged ONCE (module rule: no CSE across lambdas)
+        "doc_id",
+        text._grams(F.col("__toks"), 2).alias("__g2"),
+        text._grams(F.col("__toks"), 3).alias("__g3"),
+    )
     stats = {
-        "dup_2gram_frac": text.dup_ngram_frac(F.col("__toks"), 2),
-        "dup_3gram_frac": text.dup_ngram_frac(F.col("__toks"), 3),
-        "top_2gram_frac": text.top_ngram_frac(F.col("__toks"), 2),
+        "dup_2gram_frac": text.dup_frac_from_grams(F.col("__g2")),
+        "dup_3gram_frac": text.dup_frac_from_grams(F.col("__g3")),
+        "top_2gram_frac": text.top_frac_from_grams(F.col("__g2")),
     }
     rep = (stats["dup_2gram_frac"] > text.REP_DUP_2GRAM_MAX) | (
         stats["top_2gram_frac"] > text.REP_TOP_2GRAM_MAX
     )
-    return toked.select(
+    return staged.select(
         "doc_id", *[c.alias(name) for name, c in stats.items()], rep.alias("repetitive")
     )
 
