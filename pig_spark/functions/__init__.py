@@ -37,3 +37,16 @@ COV = F.covar_samp
 def UniqueID() -> Column:
     """UniqueID.java (task id + counter) ≅ monotonically_increasing_id."""
     return F.monotonically_increasing_id()
+
+
+# --- training-pipeline scalar functions, Latin-callable (UPPERCASE is
+# the Pig convention the front-end resolves via getattr; these let a
+# Pig Latin script run the text-pipeline stages inline:
+#   FOREACH d GENERATE doc_id, LANG_ID(text), QUALITY_SCORE(text);
+LANG_ID = text.lang_id
+QUALITY_SCORE = text.quality_score
+TOKEN_COUNT = text.token_count
+BPE_TOKEN_COUNT = text.bpe_token_count
+FINGERPRINT = text.fingerprint
+ROLLING_FINGERPRINT = text.rolling_hash_fingerprint
+REDACT = text.redact

@@ -1014,3 +1014,29 @@ def test_latin_nested_two_pipes_one_expression(spark, sf_dir):
     assert set(gm) == set(wm)
     for k in wm:  # double SUM order differs between plans — compare to tolerance
         assert abs(gm[k][0] - wm[k][0]) < 1e-6 and abs(gm[k][1] - wm[k][1]) < 1e-6
+
+
+def test_latin_pipeline_functions(spark, sf_dir):
+    """r3: training-pipeline scalar functions are Latin-callable
+    (LANG_ID/QUALITY_SCORE/TOKEN_COUNT/REDACT) — a corpus-cleaning
+    stage can be written as plain Pig Latin."""
+    from pyspark.sql import functions as F
+
+    from pig_spark.functions import text
+    from pig_spark.latin import run
+
+    rels = run(spark, f"""
+        d = LOAD '{sf_dir}/documents.parquet' USING ParquetLoader();
+        t = FOREACH d GENERATE doc_id, LANG_ID(text) AS lang,
+                      QUALITY_SCORE(text) AS q, TOKEN_COUNT(text) AS toks;
+        f = FILTER t BY lang == 'en' AND q >= 0.5;
+    """)
+    got = rels["f"].df
+    base = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    want = base.select(
+        "doc_id",
+        text.lang_id(F.col("text")).alias("lang"),
+        text.quality_score(F.col("text")).alias("q"),
+        text.token_count(F.col("text")).alias("toks"),
+    ).filter((F.col("lang") == "en") & (F.col("q") >= 0.5))
+    assert got.exceptAll(want).count() == 0 and want.exceptAll(got).count() == 0
