@@ -1001,6 +1001,23 @@ class Parser:
             e = self.expr()
             self.expect("op", ")")
             return e
+        if t.kind == "op" and t.text == "[":
+            # map literal ['k'#v, ...] (QueryParser.g map_initializer) —
+            # lowered to the TOMAP builtin (alternating key/value args)
+            self.next()
+            args: list[object] = []
+            if not (self.peek().kind == "op" and self.peek().text == "]"):
+                while True:
+                    # keys are quoted chararrays (parsed directly — the
+                    # postfix pass would otherwise read key#value as a
+                    # map lookup)
+                    args.append(Str(self._string()))
+                    self.expect("op", "#")
+                    args.append(self.expr())
+                    if not self.accept("op", ","):
+                        break
+            self.expect("op", "]")
+            return Call("TOMAP", args)
         if t.kind == "kw" and t.text in ("group", "cube", "rollup"):
             # 'group' = the group-key tuple; 'cube' = the CUBE
             # statement's output bag; both usable as plain columns in

@@ -636,6 +636,54 @@ class PigTranslator:
             f"unsupported expression {type(e).__name__} inside a LIMIT-pipe aggregate"
         )
 
+    def _bag_agg(self, fname: str, e: G.Call, rel: Relation) -> Column | None:
+        """Aggregates applied to a MATERIALIZED bag column — FOREACH
+        over a COGROUP alias (`FOREACH cg GENERATE group, COUNT(c),
+        MAX(o.o_totalprice)`). Pig evaluates the aggregate UDF per
+        tuple over the bag; here the bag is an array column, so the
+        aggregate lowers to array functions (map-only, no shuffle —
+        POForEach over DataBag ≅ higher-order functions over arrays).
+        Returns None when not applicable (plain aggregate contexts)."""
+        from pyspark.sql import types as T
+
+        lfn = fname.lower()
+        if lfn not in ("count", "count_star", "sum", "avg", "min", "max") or len(e.args) != 1:
+            return None
+        arg = e.args[0]
+        if not isinstance(arg, G.Col):
+            return None
+        head, _, rest = arg.name.partition(".")
+        if head not in rel.df.columns:
+            return None
+        dtype = rel.df.schema[head].dataType
+        if not isinstance(dtype, T.ArrayType):
+            return None
+        arr = F.col(head)
+        elem = dtype.elementType
+        if lfn == "count_star":
+            return F.size(arr).cast("long")
+        if rest:
+            vals = F.transform(arr, lambda t: t[rest])
+            velem = elem[rest].dataType if isinstance(elem, T.StructType) else elem
+        elif isinstance(elem, T.StructType):
+            first = elem.names[0]  # COUNT(bag): non-null FIRST field (COUNT.java:40)
+            vals = F.transform(arr, lambda t: t[first])
+            velem = elem[first].dataType
+        else:
+            vals, velem = arr, elem
+        nn = F.filter(vals, lambda x: x.isNotNull())
+        if lfn == "count":
+            return F.size(nn).cast("long")
+        if lfn == "min":
+            return F.array_min(nn)
+        if lfn == "max":
+            return F.array_max(nn)
+        zero = F.lit(0).cast(velem.simpleString())
+        total = F.aggregate(nn, zero, lambda acc, x: acc + x)
+        if lfn == "sum":
+            return total
+        return F.when(F.size(nn) > 0, total.cast("double") / F.size(nn)).otherwise(F.lit(None))
+
     def _split_agg_leaves(self, e, limited_names: set, leaves: list, combo_idx: int):
         """Decompose a combining expression into aggregate-call leaves:
         each leaf is replaced by a generated column ref and recorded as
@@ -1260,6 +1308,9 @@ class PigTranslator:
         fn = getattr(PF, fname, None) or getattr(PF, fname.upper(), None)
         if fn is None:
             raise NameError(f"pig latin: unknown function {fname!r}")
+        bag_agg = self._bag_agg(fname, e, rel)
+        if bag_agg is not None:
+            return bag_agg
         if fname.upper() in ("SIZE", "ARITY") and len(e.args) == 1 and isinstance(e.args[0], G.Col):
             # SIZE is type-polymorphic in Pig (StringSize/TupleSize/
             # BagSize/MapSize dispatched by the frontend) — resolve the

@@ -1040,3 +1040,46 @@ def test_latin_pipeline_functions(spark, sf_dir):
         text.token_count(F.col("text")).alias("toks"),
     ).filter((F.col("lang") == "en") & (F.col("q") >= 0.5))
     assert got.exceptAll(want).count() == 0 and want.exceptAll(got).count() == 0
+
+
+def test_latin_map_literal(spark, sf_dir):
+    """r3: map literal ['k'#v, ...] (QueryParser.g map_initializer)
+    lowers to TOMAP; lookup round-trips."""
+    rels = run(spark, f"""
+        n = LOAD '{sf_dir}/nation.parquet' USING ParquetLoader();
+        m = FOREACH n GENERATE n_nationkey, ['key'#n_name, 'fixed'#'x'] AS meta;
+        v = FOREACH m GENERATE n_nationkey, meta#'key' AS name, meta#'fixed' AS fx;
+    """)
+    row = rels["v"].df.orderBy("n_nationkey").first()
+    assert row["name"] == "NATION_0" and row["fx"] == "x"
+
+
+def test_latin_cogroup_bag_aggregates(spark, sf_dir):
+    """r3: FOREACH over a COGROUP alias applies aggregates to the
+    MATERIALIZED bags via array functions (map-only) — equal to the
+    plain groupBy aggregation."""
+    rels = run(spark, f"""
+        c = LOAD '{sf_dir}/customer.parquet' USING ParquetLoader();
+        o = LOAD '{sf_dir}/orders.parquet' USING ParquetLoader();
+        cg = COGROUP c BY c_custkey, o BY o_custkey;
+        t = FOREACH cg GENERATE group, COUNT(c) AS nc, COUNT(o) AS no,
+                      MAX(o.o_totalprice) AS mx, AVG(o.o_totalprice) AS av;
+    """)
+    df = rels["t"].df
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    want = {
+        r["o_custkey"]: (r["no"], r["mx"])
+        for r in o.groupBy("o_custkey")
+        .agg(F.count(F.lit(1)).alias("no"), F.max("o_totalprice").alias("mx"))
+        .collect()
+    }
+    got = {r["group"]: (r["no"], r["mx"]) for r in df.collect() if r["no"] > 0}
+    assert got == want
+    # customers with no orders keep COUNT(o) == 0 (empty bag, not null)
+    zeros = df.filter(F.col("no") == 0).count()
+    assert zeros == df.count() - len(want)
+    # map-only lowering: the bag aggregates appear as array functions
+    # in the plan (no hash-aggregate added on top of the COGROUP)
+    opt = df._jdf.queryExecution().optimizedPlan().toString()
+    assert "aggregate(" in opt or "size(" in opt
+    assert "Aggregate [group" not in opt
