@@ -50,7 +50,16 @@ def main(argv: list[str] | None = None) -> int:
     ap.add_argument("-c", "-check", dest="check", action="store_true", help="syntax check only")
     ap.add_argument("-r", "-dryrun", dest="dryrun", action="store_true", help="print preprocessed script, don't run")
     ap.add_argument("-x", "-exectype", dest="exectype", help="accepted for compatibility; engine is always Spark")
+    ap.add_argument("-version", action="store_true", dest="version", help="print version and exit")
     args = ap.parse_args(argv)
+
+    if args.version:
+        import pyspark
+
+        from . import __version__
+
+        print(f"pig_spark {__version__} (Spark {pyspark.__version__})")
+        return 0
 
     if args.script and args.execute:
         ap.error("give either <script> or -e, not both")
