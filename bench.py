@@ -55,6 +55,7 @@ HEADLINE = [
     "q89_repetition",  # r3: all-codegen Gopher repetition signals
     "q90_pii_redaction",  # r3: chained-regex PII scrub, map-only
     "q92_gapfill",  # r3: rollup densification, grid-sized not event-sized
+    "q93_latin_corpus_pipeline",  # r3: cleaning pipeline in pure Pig Latin
 ]
 
 

@@ -355,6 +355,24 @@ def oracle_sql() -> dict[str, str]:
                 UNION
                 SELECT ed.b, r.lbl FROM reach r JOIN ed ON ed.a = r.node WHERE r.lbl < ed.b)
             SELECT node AS doc_id, MIN(lbl) AS group_id FROM reach GROUP BY node""",
+        "q93_latin_corpus_pipeline": f"""
+            WITH tk AS (SELECT doc_id, text, {_toks('text')} AS toks FROM documents),
+            sco AS (SELECT doc_id, text, toks, {lang_scores} FROM tk),
+            lng AS (SELECT doc_id, text, toks, {lang_case} AS lang FROM sco),
+            met AS (SELECT doc_id, text, lang,
+                           CAST(len(toks) AS DOUBLE) AS n,
+                           CAST(len(list_filter(toks, x -> list_contains({_sw_list('en')}, lower(x)))) AS DOUBLE) AS sw,
+                           toks FROM lng),
+            scored AS (SELECT doc_id, text, lang,
+                   round(0.4 * least((CASE WHEN n > 0 THEN sw / n ELSE 0.0 END) / 0.2, 1.0)
+                       + 0.3 * least(n / 50.0, 1.0)
+                       + 0.3 * (1.0 - least(abs((CASE WHEN n > 0 THEN CAST(list_sum(list_transform(toks, t -> length(t))) AS DOUBLE) / n ELSE 0.0 END) - 5.0) / 5.0, 1.0)), 6) AS q
+                   FROM met),
+            base AS (SELECT doc_id,
+                            md5(array_to_string(list_sort(list_distinct({_toks('lower(text)')})), ' ')) AS fp
+                     FROM scored WHERE lang = 'en' AND q >= 0.5)
+            SELECT fp, MIN(doc_id) AS keep_id, CAST(COUNT(*) AS BIGINT) AS n_dups
+            FROM base GROUP BY fp""",
         "q91_dedup_survivors": f"""
             WITH RECURSIVE {minhash_ctes},
             pairs AS (SELECT id_a, id_b FROM verified WHERE jaccard >= 0.4),

@@ -1167,6 +1167,28 @@ def q92_gapfill(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q93_latin_corpus_pipeline(spark: SparkSession, sf: str) -> DataFrame:
+    """The corpus-cleaning pipeline written in PURE Pig Latin — what a
+    reference user migrating their cleaning job would write: language
+    filter + quality gate (Latin-callable pipeline functions), then
+    key-collision exact dedup via FINGERPRINT with a min-id survivor
+    per fingerprint group."""
+    from .latin import run
+
+    rels = run(spark, f"""
+        d = LOAD '{sf}/documents.parquet' USING ParquetLoader();
+        t = FOREACH d GENERATE doc_id, LANG_ID(text) AS lang,
+                      QUALITY_SCORE(text) AS q, FINGERPRINT(text) AS fp;
+        f = FILTER t BY lang == 'en' AND q >= 0.5;
+        g = GROUP f BY fp;
+        keep = FOREACH g GENERATE group AS fp, MIN(f.doc_id) AS keep_id,
+                         COUNT(f) AS n_dups;
+    """)
+    return rels["keep"].df.select(
+        "fp", F.col("keep_id").cast("long").alias("keep_id"), F.col("n_dups").cast("long").alias("n_dups")
+    )
+
+
 def q87_dedup_groups(spark: SparkSession, sf: str) -> DataFrame:
     """Near-dup GROUPS: the q41 minhash-LSH pair stream transitively
     closed into connected components (operators/graph.py large-star/
@@ -1409,6 +1431,7 @@ _CHANGED_R3 = {
     "q90_pii_redaction",  # new in r3
     "q91_dedup_survivors",  # new in r3
     "q92_gapfill",  # new in r3
+    "q93_latin_corpus_pipeline",  # new in r3
 }
 
 
