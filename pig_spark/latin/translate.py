@@ -55,6 +55,16 @@ LOADER_FORMAT = {
 AGG_FUNCS = {"count", "count_star", "sum", "avg", "min", "max"}
 
 
+def _suggest(name: str, candidates: list[str]) -> str:
+    """' — did you mean X?' fragment for unknown-name errors."""
+    import difflib
+
+    close = difflib.get_close_matches(name, candidates, n=2, cutoff=0.6)
+    if not close and name.upper() != name:
+        close = difflib.get_close_matches(name.upper(), candidates, n=2, cutoff=0.6)
+    return f" — did you mean {' or '.join(repr(c) for c in close)}?" if close else ""
+
+
 @dataclass
 class GroupedInfo:
     key_exprs: list[tuple[str, Column]]  # output key name → child expr
@@ -1300,14 +1310,17 @@ class PigTranslator:
             rest = name.split("::", 1)[1]
             if rest in cols or "::" in rest:
                 return self._resolve(rest, rel)
-            raise NameError(f"pig latin: unknown field {name!r} (columns: {cols})")
+            raise NameError(
+                f"pig latin: unknown field {name!r}{_suggest(name, cols)} (columns: {cols})"
+            )
         return F.expr(name)
 
     def _call(self, e: G.Call, rel: Relation) -> Column:
         fname = self.defines.get(e.func, e.func)  # DEFINE alias → func
         fn = getattr(PF, fname, None) or getattr(PF, fname.upper(), None)
         if fn is None:
-            raise NameError(f"pig latin: unknown function {fname!r}")
+            known = [n for n in dir(PF) if not n.startswith("_")]
+            raise NameError(f"pig latin: unknown function {fname!r}{_suggest(fname, known)}")
         bag_agg = self._bag_agg(fname, e, rel)
         if bag_agg is not None:
             return bag_agg
