@@ -150,6 +150,25 @@ def _gen(rng, sf_dir):
             + final
         )
         return "\n".join(lines), sql
+    if shape < 0.44:
+        # r3: COGROUP + bag aggregates (array-function lowering):
+        # union of keys from both inputs, 0-count for empty bags,
+        # NULL max over an empty bag — vs SQL FULL OUTER of group-bys
+        lines[2] = f"p = FOREACH f GENERATE l_orderkey, {pl};"
+        sql_p = f"SELECT l_orderkey, {ps} FROM lineitem WHERE {fs}"
+        lines.insert(1, f"o = LOAD '{sf_dir}/orders.parquet' USING ParquetLoader();")
+        lines.append("cg = COGROUP p BY l_orderkey, o BY o_orderkey;")
+        lines.append(
+            "out = FOREACH cg GENERATE group AS k, COUNT(p) AS np, COUNT(o) AS no, MAX(o.o_totalprice) AS mx;"
+        )
+        sql = (
+            f"WITH p AS ({sql_p}), "
+            f"a AS (SELECT l_orderkey AS k, COUNT(*) AS np FROM p GROUP BY 1), "
+            f"b AS (SELECT o_orderkey AS k, COUNT(*) AS no, MAX(o_totalprice) AS mx FROM orders GROUP BY 1) "
+            f"SELECT COALESCE(a.k, b.k) AS k, COALESCE(np, 0) AS np, COALESCE(no, 0) AS no, mx "
+            f"FROM a FULL OUTER JOIN b ON a.k = b.k"
+        )
+        return "\n".join(lines), sql
     if shape < 0.62:
         keys = rng.sample([c for c in cols if c != "cents"], rng.randint(1, 2))
         aggs_l, aggs_s = ["COUNT(p) AS n"], ["COUNT(*) AS n"]
