@@ -50,3 +50,10 @@ BPE_TOKEN_COUNT = text.bpe_token_count
 FINGERPRINT = text.fingerprint
 ROLLING_FINGERPRINT = text.rolling_hash_fingerprint
 REDACT = text.redact
+
+# Pig-named aliases for DataFrame-level equivalents (BuildBloom/Bloom
+# is a two-UDF protocol in Pig; Spark-first it is one relational op —
+# build side scanned once, bitset broadcast, probe side filtered):
+PluckTuple = bags.pluck_tuple
+from .bloom import bloom_filter as Bloom  # noqa: E402,F401  (probe+build → filtered probe)
+from .bloom import bloom_tag as BuildBloom  # noqa: E402,F401  (adds membership column)
