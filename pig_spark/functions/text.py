@@ -64,18 +64,29 @@ def lang_scores(col: Column) -> dict[str, Column]:
     return {lang: _stopword_hits(toks, lang) for lang in LANG_ORDER}
 
 
-def lang_id(col: Column) -> Column:
-    """Heuristic language ID: argmax of per-language stopword hits,
-    ties broken by LANG_ORDER; 'und' when nothing matches."""
-    scores = lang_scores(col)
+def lang_id_from_tokens(toks: Column) -> Column:
+    """lang_id over a PRE-STAGED token array column — stage the
+    tokenizer as a projection when combining with other token
+    consumers (quality, repetition) so it runs once per row."""
     best = F.lit("und")
     best_score = F.lit(0)
     for lang in reversed(LANG_ORDER):
-        s = scores[lang]
+        s = _stopword_hits(toks, lang)
         cond = (s > F.lit(0)) & (s >= best_score)
         best = F.when(cond, F.lit(lang)).otherwise(best)
         best_score = F.when(cond, s).otherwise(best_score)
     return best
+
+
+def lang_id(col: Column) -> Column:
+    """Heuristic language ID: argmax of per-language stopword hits,
+    ties broken by LANG_ORDER; 'und' when nothing matches."""
+    return lang_id_from_tokens(tokenize_ws(col))
+
+
+def quality_score_from_tokens(toks: Column) -> Column:
+    """quality_score over a PRE-STAGED token array column."""
+    return _quality_from_tokens(toks)
 
 
 def quality_score(col: Column) -> Column:
@@ -85,7 +96,10 @@ def quality_score(col: Column) -> Column:
     + 0.3 * length factor  min(n_tokens/50, 1)
     + 0.3 * word-shape factor  1 - min(|avg_len - 5| / 5, 1)
     """
-    toks = tokenize_ws(col)
+    return _quality_from_tokens(tokenize_ws(col))
+
+
+def _quality_from_tokens(toks: Column) -> Column:
     n = F.size(toks).cast("double")
     sw = _stopword_hits(toks, "en").cast("double")
     sw_ratio = F.when(n > 0, sw / n).otherwise(F.lit(0.0))

@@ -944,11 +944,12 @@ def q76_corpus_clean(spark: SparkSession, sf: str) -> DataFrame:
     from .functions import dedup, text
 
     d = _t(spark, sf, "documents").df
-    scored = d.select(
+    toked = d.select("doc_id", "text", text.tokenize_ws(F.col("text")).alias("__toks"))
+    scored = toked.select(  # tokenizer staged once for both consumers
         "doc_id",
         "text",
-        text.lang_id(F.col("text")).alias("lang"),
-        text.quality_score(F.col("text")).alias("q"),
+        text.lang_id_from_tokens(F.col("__toks")).alias("lang"),
+        text.quality_score_from_tokens(F.col("__toks")).alias("q"),
     )
     base = scored.filter((F.col("lang") == "en") & (F.col("q") >= 0.5))
     w = Window.partitionBy(F.md5(F.col("text"))).orderBy("doc_id")
