@@ -56,6 +56,8 @@ HEADLINE = [
     "q90_pii_redaction",  # r3: chained-regex PII scrub, map-only
     "q92_gapfill",  # r3: rollup densification, grid-sized not event-sized
     "q93_latin_corpus_pipeline",  # r3: cleaning pipeline in pure Pig Latin
+    "q94_doc_chunks",  # r3: context-window sharding, map-only fan-out
+    "q97_top_ngrams",  # r3: corpus bigram profile, partial-agg + topk window
 ]
 
 

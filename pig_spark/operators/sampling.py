@@ -50,3 +50,58 @@ def stratified_sample(
         .filter(F.col("__rank") <= k)
         .drop("__rank")
     )
+
+
+def mixture_sample(
+    df: DataFrame,
+    stratum: str,
+    key: str | Column,
+    alpha: float = 0.5,
+    target_frac: float = 0.2,
+    salt: str = "",
+) -> DataFrame:
+    """Temperature-weighted mixture sampling — the standard recipe for
+    balancing a multilingual / multi-source training corpus (the
+    ``p_l ∝ (n_l/N)^alpha`` re-weighting of mBERT/XLM-R/mT5 data
+    mixing, alpha < 1 flattens head strata and boosts the tail).
+
+    Per-stratum accept rate ``r_l = min(1, T * w_l / n_l)`` with
+    ``w_l = (n_l/N)^alpha / Σ (n_m/N)^alpha`` and ``T = target_frac *
+    N`` the total sample budget; a row survives iff the md5 fraction
+    of its ``key`` (uniform in [0,1), deterministic) is below its
+    stratum's rate. Strata whose boosted quota exceeds their size are
+    taken whole (rate capped at 1 — this operator never duplicates
+    rows; pair with an explicit upsample if epochs > 1 are wanted).
+
+    Scale shape: ONE tiny aggregate (|strata| rows) broadcast-joined
+    back to the corpus, then a map-only codegen filter. The corpus
+    itself is never shuffled — at 100 TB the only wide op is the
+    per-stratum count, which partial-aggregates map-side.
+    """
+    if not 0 < target_frac <= 1:
+        raise ValueError(f"target_frac must be in (0,1], got {target_frac}")
+    key_col = F.col(key) if isinstance(key, str) else key
+    counts = df.groupBy(stratum).agg(F.count(F.lit(1)).alias("__n"))
+    # Totals via a global window over the tiny per-stratum aggregate
+    # (|strata| rows — one partition, no self-join lineage ambiguity).
+    # w_l uses (n_l/N)^alpha; dividing by N^alpha cancels in the
+    # normalization, so weights are computed on raw counts.
+    everything = Window.partitionBy()
+    n_total = F.sum("__n").over(everything)
+    w_raw = F.pow(F.col("__n").cast("double"), F.lit(alpha))
+    wsum = F.sum(w_raw).over(everything)
+    rates = counts.select(
+        stratum,
+        F.least(
+            F.lit(1.0),
+            F.lit(target_frac) * n_total * (w_raw / wsum) / F.col("__n"),
+        ).alias("__rate"),
+    )
+    frac = md5_32(F.concat(key_col.cast("string"), F.lit(salt))).cast("double") / F.lit(
+        float(1 << 32)
+    )
+    return (
+        df.join(F.broadcast(rates), stratum)
+        .filter(frac < F.col("__rate"))
+        .drop("__rate")
+    )

@@ -418,6 +418,46 @@ def oracle_sql() -> dict[str, str]:
                        CAST(s.n_grams AS BIGINT) AS n_grams,
                        round(CAST(COALESCE(h.n_shared, 0) AS DOUBLE) / greatest(s.n_grams, 1), 6) AS ratio
                 FROM sizes s LEFT JOIN hits h USING (doc_id)) z""",
+        "q94_doc_chunks": """
+            WITH w AS (SELECT doc_id, string_split(text, ' ') AS words FROM documents),
+            k AS (SELECT doc_id, words,
+                         unnest(generate_series(0,
+                             greatest(CAST(ceil((len(words) - 16) / 12.0) AS BIGINT), 0))) AS chunk_id
+                  FROM w)
+            SELECT doc_id, CAST(chunk_id AS BIGINT) AS chunk_id,
+                   CAST(len(list_slice(words, chunk_id*12+1, chunk_id*12+16)) AS BIGINT) AS n_tokens,
+                   md5(array_to_string(list_slice(words, chunk_id*12+1, chunk_id*12+16), ' ')) AS chunk_md5
+            FROM k""",
+        "q95_mixture_sample": f"""
+            WITH c AS (SELECT lang, COUNT(*) AS n FROM documents GROUP BY lang),
+            t AS (SELECT SUM(n) AS tot_n, SUM(pow(CAST(n AS DOUBLE), 0.5)) AS wsum FROM c),
+            r AS (SELECT lang,
+                         least(1.0, 0.2 * tot_n * (pow(CAST(n AS DOUBLE), 0.5) / wsum) / n) AS rate
+                  FROM c, t)
+            SELECT d.lang, CAST(COUNT(*) AS BIGINT) AS n_kept,
+                   CAST(SUM(d.doc_id) AS BIGINT) AS id_checksum
+            FROM documents d JOIN r ON d.lang = r.lang
+            WHERE CAST({_h32("CAST(d.doc_id AS VARCHAR)")} AS DOUBLE) / 4294967296.0 < r.rate
+            GROUP BY d.lang""",
+        "q96_split_assign": f"""
+            WITH s AS (SELECT lang, doc_id,
+                              CASE WHEN f < 0.90 THEN 'train'
+                                   WHEN f < 0.95 THEN 'val'
+                                   ELSE 'test' END AS split
+                       FROM (SELECT lang, doc_id,
+                                    CAST({_h32("CAST(doc_id AS VARCHAR)")} AS DOUBLE) / 4294967296.0 AS f
+                             FROM documents) z)
+            SELECT lang, split, CAST(COUNT(*) AS BIGINT) AS n_docs,
+                   CAST(SUM(doc_id) AS BIGINT) AS id_checksum
+            FROM s GROUP BY lang, split""",
+        "q97_top_ngrams": f"""
+            WITH t AS (SELECT lang, {_toks('lower(text)')} AS toks FROM documents),
+            g AS (SELECT lang, u.x AS gram FROM t, unnest({_rep_grams(2)}) AS u(x)),
+            c AS (SELECT lang, gram, COUNT(*) AS n FROM g GROUP BY lang, gram),
+            r AS (SELECT lang, gram, CAST(n AS BIGINT) AS n,
+                         row_number() OVER (PARTITION BY lang ORDER BY n DESC, gram ASC) AS rank
+                  FROM c)
+            SELECT lang, CAST(rank AS BIGINT) AS rank, gram, n FROM r WHERE rank <= 5""",
         "q90_pii_redaction": f"""
             WITH s AS (
                 SELECT doc_id,

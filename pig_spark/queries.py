@@ -1190,6 +1190,83 @@ def q93_latin_corpus_pipeline(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q94_doc_chunks(spark: SparkSession, sf: str) -> DataFrame:
+    """Context-window sharding (operators/chunking.py): each document
+    split into 16-token windows advancing by 12 (4-token overlap) —
+    the pretraining chunker. Map-only codegen: split → explode of a
+    tiny offset sequence → slice; the token array is staged once per
+    row, NO shuffle at any scale. Output pins window count, per-chunk
+    token counts, and md5 of each chunk's text."""
+    from .operators.chunking import chunk_documents
+
+    d = _t(spark, sf, "documents").df
+    chunks = chunk_documents(d, "text", "doc_id", chunk=16, stride=12)
+    return chunks.select(
+        "doc_id", "chunk_id", "n_tokens", F.md5(F.col("chunk_text")).alias("chunk_md5")
+    )
+
+
+def q95_mixture_sample(spark: SparkSession, sf: str) -> DataFrame:
+    """Temperature-weighted mixture sampling (operators/sampling.py
+    mixture_sample): per-language accept rates ∝ (share)^0.5 flatten
+    the head and boost tail languages, rows survive by deterministic
+    md5 fraction — the mBERT/XLM-R corpus-balancing recipe as ONE tiny
+    broadcast-joined rate table + a map-only filter (the corpus is
+    never shuffled). Deterministic → exactly reproducible in SQL."""
+    from .operators.sampling import mixture_sample
+
+    d = _t(spark, sf, "documents").df
+    kept = mixture_sample(d, "lang", "doc_id", alpha=0.5, target_frac=0.2)
+    return kept.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("long").alias("n_kept"),
+        F.sum("doc_id").cast("long").alias("id_checksum"),
+    )
+
+
+def q96_split_assign(spark: SparkSession, sf: str) -> DataFrame:
+    """Deterministic train/val/test assignment: md5 fraction of doc_id
+    buckets each document 90/5/5 — stable across reruns and engines
+    (no RANDOM()), the property a 100 TB pipeline needs so that
+    re-sharding never migrates a document across splits. Map-only
+    codegen; the verification aggregate is one partial-agg groupBy."""
+    d = _t(spark, sf, "documents").df
+    frac = dedup.md5_32(F.col("doc_id").cast("string")).cast("double") / F.lit(float(1 << 32))
+    split = (
+        F.when(frac < 0.90, F.lit("train"))
+        .when(frac < 0.95, F.lit("val"))
+        .otherwise(F.lit("test"))
+    )
+    return (
+        d.select("lang", split.alias("split"), "doc_id")
+        .groupBy("lang", "split")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("doc_id").cast("long").alias("id_checksum"),
+        )
+    )
+
+
+def q97_top_ngrams(spark: SparkSession, sf: str) -> DataFrame:
+    """Corpus n-gram statistics: top-5 bigrams per language by
+    frequency (count desc, gram asc tiebreak) — the vocabulary /
+    contamination-audit profile. Explode staged bigrams → counted
+    groupBy (map-side partial agg shrinks the gram stream before the
+    ONE shuffle) → per-lang top-k window over the tiny (lang, gram)
+    aggregate."""
+    from pyspark.sql import Window
+
+    d = _t(spark, sf, "documents").df
+    toked = d.select("lang", text.tokenize_ws(F.lower(F.col("text"))).alias("__toks"))
+    grams = toked.select("lang", F.explode(text._grams(F.col("__toks"), 2)).alias("gram"))
+    counts = grams.groupBy("lang", "gram").agg(F.count(F.lit(1)).cast("long").alias("n"))
+    w = Window.partitionBy("lang").orderBy(F.desc("n"), F.asc("gram"))
+    return (
+        counts.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= 5)
+        .select("lang", "rank", "gram", "n")
+    )
+
+
 def q87_dedup_groups(spark: SparkSession, sf: str) -> DataFrame:
     """Near-dup GROUPS: the q41 minhash-LSH pair stream transitively
     closed into connected components (operators/graph.py large-star/
@@ -1433,6 +1510,10 @@ _CHANGED_R3 = {
     "q91_dedup_survivors",  # new in r3
     "q92_gapfill",  # new in r3
     "q93_latin_corpus_pipeline",  # new in r3
+    "q94_doc_chunks",  # new in r3
+    "q95_mixture_sample",  # new in r3
+    "q96_split_assign",  # new in r3
+    "q97_top_ngrams",  # new in r3
 }
 
 

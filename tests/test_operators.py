@@ -575,3 +575,62 @@ def test_gapfill_locf_and_zero(spark):
     assert got[("a", "2024-01-01 02:00:00")] == (0, 10.0, True)  # locf across 2 gaps
     assert got[("a", "2024-01-01 03:00:00")] == (2, 7.0, False)
     assert got[("b", "2024-01-01 05:00:00")] == (1, 1.0, False)
+
+
+def test_chunk_documents_windows(spark):
+    """operators/chunking: every token position is covered, neighbor
+    chunks overlap by chunk-stride, short docs yield exactly one
+    chunk, and no chunk is a strict suffix of its predecessor."""
+    from pyspark.sql import functions as F
+
+    from pig_spark.operators.chunking import chunk_documents
+
+    rows = [
+        (1, " ".join(f"w{i}" for i in range(40))),  # 40 toks: starts 0,12,24 (24+16=40)
+        (2, " ".join(f"w{i}" for i in range(5))),   # shorter than chunk -> 1 chunk
+        (3, "solo"),                                 # 1 token
+        (4, " ".join(f"w{i}" for i in range(17))),  # 17 toks: starts 0,12 (last len 5)
+    ]
+    df = spark.createDataFrame(rows, "doc_id: long, text: string")
+    out = chunk_documents(df, "text", "doc_id", chunk=16, stride=12)
+    got = {(r["doc_id"], r["chunk_id"]): (r["n_tokens"], r["chunk_text"]) for r in out.collect()}
+    assert {k[0] for k in got} == {1, 2, 3, 4}
+    assert sum(1 for k in got if k[0] == 1) == 3
+    assert got[(1, 0)][1].split(" ") == [f"w{i}" for i in range(16)]
+    assert got[(1, 2)][1].split(" ") == [f"w{i}" for i in range(24, 40)]
+    assert got[(2, 0)] == (5, " ".join(f"w{i}" for i in range(5)))
+    assert got[(3, 0)] == (1, "solo")
+    assert sum(1 for k in got if k[0] == 4) == 2 and got[(4, 1)][0] == 5
+    # coverage: every token index of doc 1 appears in some chunk
+    covered = set()
+    for (d, c), (n, _) in got.items():
+        if d == 1:
+            covered.update(range(c * 12, c * 12 + n))
+    assert covered == set(range(40))
+
+
+def test_mixture_sample_rates(spark, sf_dir):
+    """operators/sampling.mixture_sample: deterministic, no duplicate
+    rows, per-stratum keep counts track the alpha-flattened quota
+    (small strata keep a larger fraction than big ones), and total
+    lands near target_frac * N."""
+    from pyspark.sql import functions as F
+
+    from pig_spark.operators.sampling import mixture_sample
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    kept = mixture_sample(d, "lang", "doc_id", alpha=0.5, target_frac=0.2)
+    ids1 = sorted(r["doc_id"] for r in kept.select("doc_id").collect())
+    assert len(ids1) == len(set(ids1))  # never duplicates rows
+    ids2 = sorted(r["doc_id"] for r in mixture_sample(d, "lang", "doc_id", alpha=0.5, target_frac=0.2).select("doc_id").collect())
+    assert ids1 == ids2  # retry-stable
+    full = {r["lang"]: r["n"] for r in d.groupBy("lang").agg(F.count(F.lit(1)).alias("n")).collect()}
+    got = {r["lang"]: r["n"] for r in kept.groupBy("lang").agg(F.count(F.lit(1)).alias("n")).collect()}
+    N = sum(full.values())
+    assert 0.15 * N < len(ids1) < 0.25 * N  # binomial noise around 0.2N
+    # alpha<1 flattens: the smallest stratum keeps a strictly larger
+    # fraction than the largest one
+    big = max(full, key=full.get)
+    small = min(full, key=full.get)
+    if full[big] > 2 * full[small]:
+        assert got[small] / full[small] > got[big] / full[big]
