@@ -58,6 +58,7 @@ HEADLINE = [
     "q93_latin_corpus_pipeline",  # r3: cleaning pipeline in pure Pig Latin
     "q94_doc_chunks",  # r3: context-window sharding, map-only fan-out
     "q97_top_ngrams",  # r3: corpus bigram profile, partial-agg + topk window
+    "q98_latin_window_over",  # r3: Latin Over/Stitch -> one native window
 ]
 
 

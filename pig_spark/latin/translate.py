@@ -20,6 +20,7 @@ from __future__ import annotations
 from dataclasses import dataclass
 
 from pyspark.sql import Column, SparkSession
+from pyspark.sql import Window as SparkWindow
 from pyspark.sql import functions as F
 
 from .. import functions as PF
@@ -584,6 +585,8 @@ class PigTranslator:
                 base.limited = True
                 base.limit_n = int(st.cond)
             pipes[st.alias] = base
+        if any(self._has_over_call(item.expr) for item in op.items):
+            return self._foreach_nested_over(op, g, pipes)
         limited_names = {n for n, p in pipes.items() if p.limited}
         if limited_names and any(
             self._pipe_heads(item.expr) & limited_names
@@ -821,6 +824,244 @@ class PigTranslator:
             else:
                 selects.extend(F.col(c) for c in others)
         return Relation(kdf.select(*selects))
+
+    def _has_over_call(self, e) -> bool:
+        """True when the expression contains a Stitch/Over call — the
+        piggybank window idiom handled by _foreach_nested_over."""
+        if isinstance(e, G.Call):
+            if e.func.lower() in ("stitch", "over"):
+                return True
+            return any(self._has_over_call(a) for a in e.args)
+        if isinstance(e, G.Bin):
+            return self._has_over_call(e.left) or self._has_over_call(e.right)
+        if isinstance(e, G.Cast):
+            return self._has_over_call(e.operand)
+        return False
+
+    # Over.java:112-119 frame constants: -1 = unbounded, 0 = current
+    # row, k>0 = k rows away from current (before for start, after for
+    # end); defaults (-1, 0) = unbounded preceding .. current row.
+    _OVER_RANKING = {
+        "row_number", "rank", "dense_rank", "percent_rank", "cume_dist",
+    }
+    _OVER_SUM_CAST = {
+        "int": "long", "long": "long", "float": "double", "double": "double",
+        "bytearray": "double", "bigdecimal": "decimal(38,18)",
+    }
+    _OVER_MINMAX_CAST = {
+        "int": "int", "long": "long", "float": "float", "double": "double",
+        "chararray": "string", "bytearray": "string", "bigdecimal": "decimal(38,18)",
+    }
+
+    def _foreach_nested_over(self, op: G.Foreach, g: GroupedInfo, pipes: dict[str, "_Pipe"]) -> Relation:
+        """{ s = ORDER B BY d; GENERATE FLATTEN(Stitch(s, Over(s.f,
+        'sum(double)'), ...)) } — the piggybank window surface
+        (Over.java:74-140: row_number/rank/dense_rank/ntile/
+        percent_rank/cume_dist/lead/lag/first_value/last_value and
+        windowed count/sum/avg/min/max with rows frames; Stitch.java
+        zips results back onto the ordered tuples).
+
+        Pig evaluates the function over each group's ordered bag;
+        the Spark-first lowering is the exact native construct:
+        ``Window.partitionBy(group keys).orderBy(pipe order)`` with
+        Over's (window_start, window_end) mapped to ``rowsBetween`` —
+        one shuffle, whole-stage-codegen window evaluation, no bags.
+        Output rows = the pipe's tuples + one column per Over call
+        (named ``result`` / ``result_i`` after Over.java's default
+        returnName, renameable with FLATTEN ... AS (...))."""
+        flat_items = [it for it in op.items if self._has_over_call(it.expr)]
+        if len(flat_items) != 1:
+            raise NotImplementedError("exactly one Stitch/Over expression per GENERATE is supported")
+        item = flat_items[0]
+        e = item.expr
+        if not item.flatten:
+            raise NotImplementedError(
+                "Over/Stitch must be FLATTENed (bag-valued results are not materialized); "
+                "write GENERATE FLATTEN(Stitch(s, Over(...)))"
+            )
+        for it in op.items:
+            if it is item:
+                continue
+            if not (isinstance(it.expr, G.Col) and (it.expr.name == "group" or it.expr.name.startswith("group."))):
+                raise NotImplementedError("Stitch/Over cannot mix with other GENERATE expressions")
+
+        # resolve the ordered pipe + the Over calls
+        if isinstance(e, G.Call) and e.func.lower() == "stitch":
+            if not (e.args and isinstance(e.args[0], G.Col)):
+                raise SyntaxError("Stitch takes the ordered pipe as its first argument")
+            pipe_ref = e.args[0].name
+            overs = e.args[1:]
+            stitched = True
+        elif isinstance(e, G.Call) and e.func.lower() == "over":
+            pipe_ref = e.args[0].name.split(".", 1)[0] if isinstance(e.args[0], G.Col) else None
+            if pipe_ref is None:
+                raise SyntaxError("Over takes pipe[.column] as its first argument")
+            overs = [e]
+            stitched = False
+        else:
+            raise NotImplementedError("Stitch/Over must be the whole FLATTEN expression")
+        for oc in overs:
+            if not (isinstance(oc, G.Call) and oc.func.lower() == "over"):
+                raise SyntaxError("Stitch arguments after the pipe must be Over(...) calls")
+
+        pipe = self._resolve_pipe(pipe_ref.split(".", 1)[0], g, pipes)
+        if pipe.distinct or pipe.limited:
+            raise NotImplementedError("Over works on an ORDERed pipe (no nested DISTINCT/LIMIT)")
+        if not (pipe.ordered and pipe.order_keys):
+            raise SyntaxError(
+                "Over requires the bag ordered first (Over.java contract): add s = ORDER x BY ...;"
+            )
+
+        child = g.child
+        df = child.df
+        if pipe.cond is not None:
+            df = df.filter(self._expr(pipe.cond, child))
+        order_cols = []
+        for ok in pipe.order_keys:
+            cname, a = ok if isinstance(ok, tuple) else (ok, True)
+            if cname.startswith(g.child_alias + "."):
+                cname = cname.split(".", 1)[1]
+            order_cols.append(F.col(cname).asc() if a else F.col(cname).desc())
+        w = SparkWindow.partitionBy(*[c for _, c in g.key_exprs]).orderBy(*order_cols)
+
+        over_cols = [self._over_column(oc, g, w) for oc in overs]
+        names = (
+            ["result"] if len(over_cols) == 1 else [f"result_{i}" for i in range(len(over_cols))]
+        )
+        base_cols = list(df.columns) if stitched else []
+        if isinstance(item.alias, list):
+            if len(item.alias) != len(base_cols) + len(over_cols):
+                raise SyntaxError(
+                    f"FLATTEN AS schema has {len(item.alias)} fields; Stitch emits "
+                    f"{len(base_cols) + len(over_cols)} ({len(base_cols)} tuple + {len(over_cols)} Over)"
+                )
+
+            def typed(c: Column, n: str, t: str | None) -> Column:
+                return (c.cast(PIG_TO_SPARK_TYPE[t]) if t else c).alias(n)
+
+            flat_sel = [
+                typed(F.col(c), n, t) for c, (n, t) in zip(base_cols, item.alias)
+            ] + [
+                typed(c, n, t) for c, (n, t) in zip(over_cols, item.alias[len(base_cols):])
+            ]
+        elif isinstance(item.alias, str):
+            raise SyntaxError("FLATTEN(Stitch(...)) AS needs a parenthesized schema, not one name")
+        else:
+            flat_sel = [F.col(c) for c in base_cols] + [
+                c.alias(n) for c, n in zip(over_cols, names)
+            ]
+        # GENERATE order: group refs before/after the FLATTEN keep
+        # their position (keys are in the pipe's tuples too — Stitch
+        # emits the full ordered tuple — but Pig lets both appear)
+        selects: list[Column] = []
+        for it in op.items:
+            if it is item:
+                selects.extend(flat_sel)
+            elif isinstance(it.expr, G.Col) and it.expr.name == "group":
+                if len(g.key_exprs) == 1:
+                    selects.append(g.key_exprs[0][1].alias(it.alias or "group"))
+                else:
+                    selects.extend(c.alias(n) for n, c in g.key_exprs)
+            else:  # group.key
+                kname = it.expr.name.split(".", 1)[1]
+                expr = dict(g.key_exprs).get(kname)
+                if expr is None:
+                    raise NameError(f"unknown group key {kname!r}")
+                selects.append(expr.alias(it.alias or kname))
+        return Relation(df.select(*selects))
+
+    def _over_column(self, oc: G.Call, g: GroupedInfo, w) -> Column:
+        """One Over(...) call → a Spark window Column over ``w``."""
+        if not oc.args or len(oc.args) < 2:
+            raise SyntaxError("Over(pipe[.col], 'function'[, window_start, window_end[, args]])")
+        ref = oc.args[0]
+        if not isinstance(ref, G.Col):
+            raise SyntaxError("Over's first argument must be pipe[.column]")
+        _, _, colname = ref.name.partition(".")
+        col = F.col(colname) if colname else None
+        spec_node = oc.args[1]
+        if not isinstance(spec_node, G.Str):
+            raise SyntaxError("Over's second argument must be the function name string")
+        spec = spec_node.value.lower()
+        fn, _, typ = spec.partition("(")
+        typ = typ.rstrip(")")
+        def as_int(a) -> int | None:
+            if isinstance(a, G.Num):
+                try:
+                    return int(a.value)
+                except ValueError:
+                    return None
+            if isinstance(a, G.Un) and a.op == "neg":
+                inner = as_int(a.operand)
+                return -inner if inner is not None else None
+            return None
+
+        nums: list[int] = []
+        extras: list[object] = []
+        for a in oc.args[2:]:
+            iv = as_int(a)
+            if iv is not None and not extras:
+                nums.append(iv)
+            else:
+                extras.append(a.value if isinstance(a, (G.Num, G.Str, G.Bool)) else a)
+        # nums[0:2] = rows frame when both present; a single trailing
+        # number for lead/lag/ntile is that function's own argument
+        if len(nums) >= 2:
+            frame = (nums[0], nums[1])
+            extras = nums[2:] + extras
+        elif len(nums) == 1 and fn in ("lead", "lag", "ntile"):
+            frame = (-1, 0)
+            extras = nums + extras
+        elif len(nums) == 1:
+            frame = (nums[0], 0)
+        else:
+            frame = (-1, 0)
+
+        def lo(v: int):
+            return SparkWindow.unboundedPreceding if v == -1 else (SparkWindow.currentRow if v == 0 else -v)
+
+        def hi(v: int):
+            return SparkWindow.unboundedFollowing if v == -1 else (SparkWindow.currentRow if v == 0 else v)
+
+        framed = w.rowsBetween(lo(frame[0]), hi(frame[1]))
+        if fn in self._OVER_RANKING:
+            # ranking functions take Pig's ordered-field-number arg —
+            # redundant here (order comes from the ORDER pipe); frames
+            # are meaningless for them in SQL and rejected by Spark
+            return getattr(F, fn)().over(w)
+        if fn == "ntile":
+            if not extras:
+                raise SyntaxError("Over(..., 'ntile') needs the bucket count argument")
+            return F.ntile(int(extras[0])).over(w)
+        if fn in ("lead", "lag"):
+            if col is None:
+                raise SyntaxError(f"Over(..., '{fn}') needs pipe.column")
+            offset = int(extras[0]) if extras else 1
+            default = extras[1] if len(extras) > 1 else None
+            return getattr(F, fn)(col, offset, default).over(w)
+        if fn == "first_value":
+            return F.first(col if col is not None else F.lit(1)).over(framed)
+        if fn == "last_value":
+            return F.last(col if col is not None else F.lit(1)).over(framed)
+        if fn == "count":
+            # builtin.COUNT semantics: non-null first field of each tuple
+            return (F.count(col) if col is not None else F.count(F.lit(1))).over(framed).cast("long")
+        if fn in ("sum", "avg", "min", "max"):
+            if col is None:
+                raise SyntaxError(f"Over(..., '{fn}(type)') needs pipe.column")
+            if fn == "sum":
+                cast_t = self._OVER_SUM_CAST.get(typ or "double", "double")
+                return F.sum(col.cast(cast_t)).over(framed)
+            if fn == "avg":
+                cast_t = "decimal(38,18)" if typ == "bigdecimal" else "double"
+                return F.avg(col.cast(cast_t)).over(framed)
+            cast_t = self._OVER_MINMAX_CAST.get(typ) if typ else None
+            c = col.cast(cast_t) if cast_t else col
+            return (F.min(c) if fn == "min" else F.max(c)).over(framed)
+        raise NameError(
+            f"Over: unknown function {spec!r} (Over.java supports count/sum/avg/min/max/"
+            f"row_number/rank/dense_rank/ntile/percent_rank/cume_dist/lead/lag/first_value/last_value)"
+        )
 
     def _foreach_nested_topk(self, op: G.Foreach, g: GroupedInfo, pipes: dict[str, "_Pipe"], limited_names: set) -> Relation:
         """{ s = ORDER x BY f [DESC]; l = LIMIT s k; GENERATE ... } — the

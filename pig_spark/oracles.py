@@ -458,6 +458,19 @@ def oracle_sql() -> dict[str, str]:
                          row_number() OVER (PARTITION BY lang ORDER BY n DESC, gram ASC) AS rank
                   FROM c)
             SELECT lang, CAST(rank AS BIGINT) AS rank, gram, n FROM r WHERE rank <= 5""",
+        "q98_latin_window_over": """
+            WITH p AS (SELECT o_custkey, o_orderkey, o_orderdate,
+                              CAST(floor(o_totalprice) AS BIGINT) AS cents
+                       FROM orders)
+            SELECT o_custkey, o_orderkey, o_orderdate, cents,
+                   CAST(SUM(cents) OVER cum AS BIGINT) AS run_total,
+                   CAST(row_number() OVER w AS BIGINT) AS rn,
+                   CAST(lag(cents) OVER w AS BIGINT) AS prev_cents,
+                   CAST(MAX(cents) OVER (PARTITION BY o_custkey) AS BIGINT) AS max_cents
+            FROM p
+            WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey),
+                   cum AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)""",
         "q90_pii_redaction": f"""
             WITH s AS (
                 SELECT doc_id,

@@ -1267,6 +1267,34 @@ def q97_top_ngrams(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q98_latin_window_over(spark: SparkSession, sf: str) -> DataFrame:
+    """Piggybank Over/Stitch window surface reachable from Pig Latin
+    (Over.java:74-140, Stitch.java): running sum, row_number, lag and
+    a whole-partition max over each customer's date-ordered orders —
+    `{ s = ORDER p BY ...; GENERATE FLATTEN(Stitch(s, Over(...)...)) }`
+    lowered to ONE native Spark window (partitionBy custkey, orderBy
+    date+key, rowsBetween from Over's -1/0/k frame codes) — no bags,
+    one shuffle, codegen window evaluation."""
+    from .latin import run
+
+    rels = run(spark, f"""
+        o = LOAD '{sf}/orders.parquet' USING ParquetLoader();
+        p = FOREACH o GENERATE o_custkey, o_orderkey, o_orderdate, (long)o_totalprice AS cents;
+        g = GROUP p BY o_custkey;
+        c = FOREACH g {{
+            s = ORDER p BY o_orderdate, o_orderkey;
+            GENERATE FLATTEN(Stitch(s,
+                Over(s.cents, 'sum(long)'),
+                Over(s.o_orderkey, 'row_number'),
+                Over(s.cents, 'lag'),
+                Over(s.cents, 'max(long)', -1, -1)))
+              AS (o_custkey, o_orderkey, o_orderdate, cents,
+                  run_total:long, rn:long, prev_cents:long, max_cents:long);
+        }}
+    """)
+    return rels["c"].df
+
+
 def q87_dedup_groups(spark: SparkSession, sf: str) -> DataFrame:
     """Near-dup GROUPS: the q41 minhash-LSH pair stream transitively
     closed into connected components (operators/graph.py large-star/
@@ -1514,6 +1542,7 @@ _CHANGED_R3 = {
     "q95_mixture_sample",  # new in r3
     "q96_split_assign",  # new in r3
     "q97_top_ngrams",  # new in r3
+    "q98_latin_window_over",  # new in r3
 }
 
 

@@ -1083,3 +1083,90 @@ def test_latin_cogroup_bag_aggregates(spark, sf_dir):
     opt = df._jdf.queryExecution().optimizedPlan().toString()
     assert "aggregate(" in opt or "size(" in opt
     assert "Aggregate [group" not in opt
+
+
+def test_latin_over_stitch_windows(spark, sf_dir):
+    """r3: piggybank Over/Stitch surface in nested FOREACH
+    (Over.java:74-140) — running sum, row_number, lag, whole-partition
+    max lowered to ONE native Spark window; matches the DataFrame
+    window twin exactly."""
+    from pyspark.sql import Window
+
+    rels = run(spark, f"""
+        o = LOAD '{sf_dir}/orders.parquet' USING ParquetLoader();
+        g = GROUP o BY o_custkey;
+        c = FOREACH g {{
+            s = ORDER o BY o_orderdate, o_orderkey;
+            GENERATE FLATTEN(Stitch(s,
+                Over(s.o_totalprice, 'sum(double)'),
+                Over(s.o_orderkey, 'row_number'),
+                Over(s.o_totalprice, 'lead', -1, -1, 1, 0.0),
+                Over(s.o_totalprice, 'min(double)', -1, -1)));
+        }}
+    """)
+    df = rels["c"].df
+    assert df.columns[-4:] == ["result_0", "result_1", "result_2", "result_3"]
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    twin = o.select(
+        "o_orderkey",
+        F.sum("o_totalprice").over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)).alias("r0"),
+        F.row_number().over(w).alias("r1"),
+        F.lead("o_totalprice", 1, 0.0).over(w).alias("r2"),
+        F.min("o_totalprice").over(w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)).alias("r3"),
+    )
+    got = {r["o_orderkey"]: (r["result_0"], r["result_1"], r["result_2"], r["result_3"]) for r in df.collect()}
+    want = {r["o_orderkey"]: (r["r0"], r["r1"], r["r2"], r["r3"]) for r in twin.collect()}
+    assert got == want
+    # ONE exchange: the four windows share partitioning+ordering
+    # (AQE toString prints Final + Initial sections — count the final)
+    plan = df._jdf.queryExecution().executedPlan().toString().split("== Initial Plan ==")[0]
+    assert plan.count("Exchange hashpartitioning") == 1
+
+
+def test_latin_over_rank_and_frames(spark, sf_dir):
+    """Over rank/dense_rank/ntile/percent_rank + moving-window frames
+    (k-row offsets) against DataFrame twins; GENERATE group, FLATTEN
+    keeps the key column position."""
+    from pyspark.sql import Window
+
+    rels = run(spark, f"""
+        n = LOAD '{sf_dir}/nation.parquet' USING ParquetLoader();
+        g = GROUP n BY n_regionkey;
+        c = FOREACH g {{
+            s = ORDER n BY n_nationkey;
+            GENERATE group AS rk2, FLATTEN(Stitch(s,
+                Over(s.n_name, 'rank', -1, -1, 1),
+                Over(s.n_nationkey, 'ntile', 2),
+                Over(s.n_nationkey, 'sum(long)', 1, 1)))
+              AS (nk, nn, rk, rnk, nt, moving);
+        }}
+    """)
+    df = rels["c"].df
+    assert df.columns == ["rk2", "nk", "nn", "rk", "rnk", "nt", "moving"]
+    n = spark.read.parquet(f"{sf_dir}/nation.parquet")
+    w = Window.partitionBy("n_regionkey").orderBy("n_nationkey")
+    twin = n.select(
+        "n_nationkey",
+        F.rank().over(w).alias("rnk"),
+        F.ntile(2).over(w).alias("nt"),
+        F.sum(F.col("n_nationkey").cast("long")).over(w.rowsBetween(-1, 1)).alias("moving"),
+    )
+    got = {r["nk"]: (r["rnk"], r["nt"], r["moving"]) for r in df.collect()}
+    want = {r["n_nationkey"]: (r["rnk"], r["nt"], r["moving"]) for r in twin.collect()}
+    assert got == want
+    assert df.filter(F.col("rk2") != F.col("rk")).count() == 0
+
+
+def test_latin_over_errors(spark, sf_dir):
+    """Over contract errors: unordered pipe, unknown function, bad AS
+    arity — each raises with an actionable message."""
+    import pytest
+
+    base = f"n = LOAD '{sf_dir}/nation.parquet' USING ParquetLoader(); g = GROUP n BY n_regionkey;"
+    with pytest.raises(SyntaxError, match="ordered"):
+        run(spark, base + "c = FOREACH g { f = FILTER n BY n_nationkey >= 0; GENERATE FLATTEN(Stitch(f, Over(f.n_nationkey, 'sum(long)'))); }")
+    with pytest.raises(NameError, match="unknown function"):
+        run(spark, base + "c = FOREACH g { s = ORDER n BY n_nationkey; GENERATE FLATTEN(Stitch(s, Over(s.n_nationkey, 'median'))); }")
+    with pytest.raises(SyntaxError, match="AS schema"):
+        run(spark, base + "c = FOREACH g { s = ORDER n BY n_nationkey; GENERATE FLATTEN(Stitch(s, Over(s.n_nationkey, 'sum(long)'))) AS (a, b); }")
