@@ -11,10 +11,11 @@ partial aggregation (Pig's combiner).
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
-from . import bags, datetime, dedup, math, similarity, string, text
+from . import bags, datetime, dedup, math, piggybank, similarity, string, text
 from .bags import *  # noqa: F401,F403
 from .datetime import *  # noqa: F401,F403
 from .math import *  # noqa: F401,F403
+from .piggybank import *  # noqa: F401,F403
 from .string import *  # noqa: F401,F403
 
 # --- aggregates (builtin/COUNT.java, SUM.java, AVG.java, MIN/MAX, COR, COV)

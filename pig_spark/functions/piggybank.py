@@ -1,0 +1,359 @@
+"""Piggybank evaluation functions (contrib/piggybank/.../evaluation/)
+not already covered by the core builtin modules: the math extras
+(ATAN2..toRadians — piggybank/evaluation/math/), string extras
+(Reverse, Stuff, REPLACE_MULTI, HashFNV, LookupInFiles —
+evaluation/string/), ISO datetime convert/diff/truncate families
+(evaluation/datetime/), decode.{Decode,Bin}, the type-check filters
+(IsInt.java etc.), the extremal-tuple aggregates, and XPath.
+
+Everything here is a pure Column expression (whole-stage codegen, no
+Python on the executor path) — including HashFNV, whose FNV-1 fold
+runs as an ``aggregate`` over the string's UTF-8 bytes in JVM land.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# ----------------------------------------------------------------------
+# math (piggybank/evaluation/math/*.java — Java Math semantics)
+# ----------------------------------------------------------------------
+
+ATAN2 = F.atan2  # ATAN2.java
+HYPOT = F.hypot  # HYPOT.java
+EXPM1 = F.expm1  # EXPM1.java
+LOG1P = F.log1p  # LOG1P.java
+RINT = F.rint  # RINT.java (round half to even, like Math.rint)
+SIGNUM = F.signum  # SIGNUM.java / DoubleSignum.java
+toDegrees = F.degrees  # toDegrees.java
+toRadians = F.radians  # toRadians.java
+
+
+def IEEEremainder(x: Column, y: Column) -> Column:
+    """IEEEremainder.java — Math.IEEEremainder: x - y*rint(x/y)."""
+    return x - y * F.rint(x / y)
+
+
+def SCALB(x: Column, n: Column | int) -> Column:
+    """SCALB.java — Math.scalb: x * 2**n (exact for in-range n)."""
+    n_col = F.lit(n) if isinstance(n, int) else n
+    return x * F.pow(F.lit(2.0), n_col.cast("double"))
+
+
+def copySign(x: Column, y: Column) -> Column:
+    """copySign.java — magnitude of x with the sign of y.
+
+    Codegen approximation of Math.copySign: the sign is read through
+    ``signum`` so the IEEE -0.0/NaN-sign corners collapse to +
+    (bit-level sign transfer needs raw double bits, unavailable in
+    Column algebra)."""
+    return F.when(F.signum(y) < 0, -F.abs(x)).otherwise(F.abs(x))
+
+
+def getExponent(x: Column) -> Column:
+    """getExponent.java — Math.getExponent: unbiased base-2 exponent.
+
+    Exact for normal doubles (floor(log2|x|)); subnormals/0/inf return
+    the log-derived value rather than Double.MIN_EXPONENT-1 sentinels."""
+    return F.floor(F.log(2.0, F.abs(x))).cast("int")
+
+
+def ULP(x: Column) -> Column:
+    """ULP.java — Math.ulp: 2**(getExponent(x) - 52) for normal doubles."""
+    return F.pow(F.lit(2.0), (F.floor(F.log(2.0, F.abs(x))) - F.lit(52)).cast("double"))
+
+
+def NEXTUP(x: Column) -> Column:
+    """NEXTUP.java — next double toward +inf: x + ulp(x) (normal range)."""
+    return x + ULP(x)
+
+
+def nextAfter(x: Column, direction: Column) -> Column:
+    """nextAfter.java — next double from x toward direction (normal
+    range; exact-boundary corners approximate, as for NEXTUP)."""
+    return (
+        F.when(direction > x, x + ULP(x))
+        .when(direction < x, x - ULP(x))
+        .otherwise(direction)
+    )
+
+
+# ----------------------------------------------------------------------
+# string (piggybank/evaluation/string/)
+# ----------------------------------------------------------------------
+
+Reverse = F.reverse  # Reverse.java
+LENGTH = F.length  # LENGTH.java
+
+
+def Stuff(col: Column, start: Column | int, length: Column | int, replacement: Column | str) -> Column:
+    """Stuff.java — splice ``replacement`` over ``length`` chars of
+    ``col`` starting at 0-based ``start``. Out-of-range start (which
+    Stuff.java turns into a job-killing IOException) yields null here
+    (Pig's warn-and-null convention for bad scalar input)."""
+    s = F.lit(start) if isinstance(start, int) else start
+    n = F.lit(length) if isinstance(length, int) else length
+    rep = F.lit(replacement) if isinstance(replacement, str) else replacement
+    head = col.substr(F.lit(1), s)
+    tail = col.substr(s + n + 1, F.length(col))
+    spliced = F.concat(head, rep, tail)
+    return F.when((s >= 0) & (s < F.length(col)) & (n >= 0), spliced)
+
+
+def REPLACE_MULTI(col: Column, replacements: dict[str, str]) -> Column:
+    """REPLACE_MULTI.java — apply a set of literal search→replace
+    pairs. Single-char pairs collapse to one ``translate`` (true
+    single-pass); multi-char pairs chain literal replaces in dict
+    order, so a later pair can see an earlier pair's output (the Java
+    UDF walks the map in iteration order the same way)."""
+    singles = {k: v for k, v in replacements.items() if len(k) == 1 and len(v) <= 1}
+    multis = {k: v for k, v in replacements.items() if k not in singles}
+    out = col
+    if singles:
+        out = F.translate(out, "".join(singles), "".join(singles[k] for k in singles))
+    for k, v in multis.items():
+        out = F.replace(out, F.lit(k), F.lit(v))
+    return out
+
+
+#: FNV-1 32-bit constants from HashFNV.java (custom init, standard prime)
+_FNV1_32_INIT = 33554467
+_FNV_32_PRIME = 0x01000193
+_MOD32 = 1 << 32
+
+
+def _utf8_bytes(col: Column) -> Column:
+    """UTF-8 byte values (0..255) of a string as array<int>, computed
+    in codegen: per-character code points via ``ascii`` then manual
+    UTF-8 encoding arithmetic (BMP range — 1/2/3-byte forms)."""
+    chars = F.filter(F.split(col, ""), lambda c: c != "")
+    cps = F.transform(chars, lambda c: F.ascii(c))
+
+    def shr(cp: Column, k: int) -> Column:  # cp >> k for non-negative cp
+        return F.floor(cp / F.lit(1 << k)).cast("int")
+
+    return F.flatten(
+        F.transform(
+            cps,
+            lambda cp: F.when(cp < 0x80, F.array(cp))
+            .when(
+                cp < 0x800,
+                F.array(
+                    F.lit(0xC0).bitwiseOR(shr(cp, 6)),
+                    F.lit(0x80).bitwiseOR(cp.bitwiseAND(F.lit(0x3F))),
+                ),
+            )
+            .otherwise(
+                F.array(
+                    F.lit(0xE0).bitwiseOR(shr(cp, 12).bitwiseAND(F.lit(0x0F))),
+                    F.lit(0x80).bitwiseOR(shr(cp, 6).bitwiseAND(F.lit(0x3F))),
+                    F.lit(0x80).bitwiseOR(cp.bitwiseAND(F.lit(0x3F))),
+                )
+            ),
+        )
+    )
+
+
+def HashFNV(col: Column) -> Column:
+    """HashFNV.java — FNV-1 32-bit over the string's UTF-8 bytes with
+    Pig's custom init (33554467), returned as the sign-extended int in
+    a long, exactly like the Java UDF (int overflow wraps mod 2^32;
+    each byte is XORed sign-extended). Pure codegen: ``aggregate``
+    folds the byte array JVM-side — no Python, no shuffle."""
+    bytes_arr = _utf8_bytes(col)
+    folded = F.aggregate(
+        bytes_arr,
+        F.lit(_FNV1_32_INIT).cast("long"),
+        lambda acc, b: (
+            (acc * F.lit(_FNV_32_PRIME)) % F.lit(_MOD32)
+        ).bitwiseXOR(
+            F.when(b >= 0x80, F.lit(0xFFFFFF00).bitwiseOR(b)).otherwise(b.cast("long"))
+        )
+        % F.lit(_MOD32),
+    )
+    return F.when(folded >= F.lit(1 << 31), folded - F.lit(_MOD32)).otherwise(folded)
+
+
+def LookupInFiles(col: Column, *paths: str) -> Column:
+    """LookupInFiles.java — 1 when the value appears (as a full line)
+    in any of the given files, else 0. The files are Pig distributed-
+    cache lookup lists — small by contract — so they are read once
+    driver-side and inlined as a literal IN set (broadcast by the
+    plan), exactly the Java UDF's per-task in-memory map."""
+    keys: set[str] = set()
+    for p in paths:
+        with open(p, encoding="utf-8") as fh:
+            keys.update(line.rstrip("\n") for line in fh)
+    return F.when(col.cast("string").isin(*sorted(keys)), 1).otherwise(0)
+
+
+# ----------------------------------------------------------------------
+# datetime convert / diff / truncate (piggybank/evaluation/datetime/)
+# ----------------------------------------------------------------------
+
+
+def DiffDate(date1: Column, date2: Column) -> Column:
+    """DiffDate.java — whole days between two 'yyyyMMdd' strings
+    ((date1 - date2) / 86400000, truncated toward zero)."""
+    d1 = F.to_date(date1, "yyyyMMdd")
+    d2 = F.to_date(date2, "yyyyMMdd")
+    return F.datediff(d1, d2).cast("int")
+
+
+def ISOToUnix(col: Column) -> Column:
+    """convert/ISOToUnix.java — ISO datetime string → epoch millis."""
+    return F.floor(F.unix_micros(F.to_timestamp(col)) / 1000).cast("long")
+
+
+def UnixToISO(col: Column) -> Column:
+    """convert/UnixToISO.java — epoch millis → ISO-8601 string (UTC)."""
+    ts = F.timestamp_millis(col.cast("long"))
+    return F.date_format(ts, "yyyy-MM-dd'T'HH:mm:ss.SSSXXX")
+
+
+def CustomFormatToISO(col: Column, fmt: str) -> Column:
+    """convert/CustomFormatToISO.java — parse with a custom pattern,
+    emit ISO-8601."""
+    return F.date_format(F.to_timestamp(col, fmt), "yyyy-MM-dd'T'HH:mm:ss.SSSXXX")
+
+
+def _iso_between(unit: str):
+    def between(end: Column, start: Column) -> Column:
+        e, s = F.to_timestamp(end), F.to_timestamp(start)
+        if unit == "years":
+            return (F.floor(F.months_between(e, s) / 12)).cast("long")
+        if unit == "months":
+            return F.floor(F.months_between(e, s)).cast("long")
+        secs = F.unix_timestamp(e) - F.unix_timestamp(s)
+        div = {"days": 86400, "hours": 3600, "minutes": 60, "seconds": 1}[unit]
+        return (secs / div).cast("long")
+
+    return between
+
+
+ISOYearsBetween = _iso_between("years")  # diff/ISOYearsBetween.java
+ISOMonthsBetween = _iso_between("months")
+ISODaysBetween = _iso_between("days")
+ISOHoursBetween = _iso_between("hours")
+ISOMinutesBetween = _iso_between("minutes")
+ISOSecondsBetween = _iso_between("seconds")
+
+
+def _iso_trunc(unit: str, out_fmt: str = "yyyy-MM-dd'T'HH:mm:ss.SSSXXX"):
+    def trunc(col: Column) -> Column:
+        return F.date_format(F.date_trunc(unit, F.to_timestamp(col)), out_fmt)
+
+    return trunc
+
+
+ISOToYear = _iso_trunc("year")  # truncate/ISOToYear.java
+ISOToMonth = _iso_trunc("month")
+ISOToWeek = _iso_trunc("week")
+ISOToDay = _iso_trunc("day")
+ISOToHour = _iso_trunc("hour")
+ISOToMinute = _iso_trunc("minute")
+ISOToSecond = _iso_trunc("second")
+
+
+# ----------------------------------------------------------------------
+# decode (piggybank/evaluation/decode/)
+# ----------------------------------------------------------------------
+
+
+def Decode(col: Column, *args) -> Column:
+    """decode/Decode.java — Decode(x, k1, v1, ..., default): first v_i
+    whose k_i equals x, else the default; null x → null."""
+    if len(args) < 3 or len(args) % 2 == 0:
+        raise ValueError("Decode(x, key1, val1, ..., default) needs matched pairs + default")
+    pairs, default = args[:-1], args[-1]
+    out = F.lit(default)
+    for i in range(len(pairs) - 2, -1, -2):
+        out = F.when(col == F.lit(pairs[i]), F.lit(pairs[i + 1])).otherwise(out)
+    return F.when(col.isNull(), F.lit(None)).otherwise(out)
+
+
+def Bin(col: Column, *args) -> Column:
+    """decode/Bin.java — Bin(x, label1, bound1, ..., labelN): label_i
+    for the first bound with x <= bound_i; the last label catches
+    everything above all bounds; null x → null."""
+    if len(args) < 2 or len(args) % 2 == 0:
+        raise ValueError("Bin(x, label1, bound1, ..., default_label) needs label/bound pairs + default")
+    out = F.lit(args[-1])
+    for i in range(len(args) - 3, -1, -2):
+        out = F.when(col <= F.lit(args[i + 1]), F.lit(args[i])).otherwise(out)
+    return F.when(col.isNull(), F.lit(None)).otherwise(out)
+
+
+# ----------------------------------------------------------------------
+# type-check filters (evaluation/Is*.java) + extremal tuples
+# ----------------------------------------------------------------------
+
+_INT_RE = r"^[+-]?\d+$"
+_FLOAT_RE = r"^[+-]?(\d+\.?\d*|\.\d+)([eE][+-]?\d+)?[fF]?$"
+
+
+def IsInt(col: Column) -> Column:
+    """IsInt.java — parseable as a 32-bit int (digits + range check)."""
+    return col.rlike(_INT_RE) & col.try_cast("int").isNotNull()
+
+
+def IsLong(col: Column) -> Column:
+    """IsLong.java — parseable as a 64-bit long (trailing l/L allowed)."""
+    stripped = F.regexp_replace(col, "[lL]$", "")
+    return stripped.rlike(_INT_RE) & stripped.try_cast("long").isNotNull()
+
+
+def IsFloat(col: Column) -> Column:
+    """IsFloat.java — parseable as float (Java Float.parseFloat shape)."""
+    return col.rlike(_FLOAT_RE) & col.try_cast("float").isNotNull()
+
+
+def IsDouble(col: Column) -> Column:
+    """IsDouble.java — parseable as double."""
+    return col.rlike(_FLOAT_RE) & col.try_cast("double").isNotNull()
+
+
+def IsNumeric(col: Column) -> Column:
+    """IsNumeric.java — IsInt OR IsLong OR IsFloat OR IsDouble."""
+    return IsInt(col) | IsLong(col) | IsFloat(col) | IsDouble(col)
+
+
+def ExtremalTupleByField(bag: Column, field: str, how: str = "max") -> Column:
+    """ExtremalTupleByNthField.java — the tuple of a bag (array of
+    structs) whose ``field`` is extremal. Pig's constructor takes the
+    1-based field *index*; Column algebra has no positional struct
+    access, so this takes the field *name* (the Latin front-end
+    resolves ``$n`` positions to names from the schema). Codegen
+    ``aggregate`` fold — linear, no explode."""
+    if how not in ("max", "min"):
+        raise ValueError(f"how must be 'max' or 'min', got {how!r}")
+    gt = (lambda a, b: a > b) if how == "max" else (lambda a, b: a < b)
+    return F.aggregate(
+        bag,
+        F.element_at(bag, 1),
+        lambda acc, x: F.when(gt(x[field], acc[field]), x).otherwise(acc),
+    )
+
+
+def MaxTupleBy1stField(bag: Column, field: str) -> Column:
+    """MaxTupleBy1stField.java — ExtremalTupleByField over the first
+    field (caller names it; see ExtremalTupleByField)."""
+    return ExtremalTupleByField(bag, field, "max")
+
+
+# ----------------------------------------------------------------------
+# xml (evaluation/xml/XPath.java, XPathAll.java)
+# ----------------------------------------------------------------------
+
+
+def XPath(col: Column, path: str) -> Column:
+    """xml/XPath.java — first string value matching the XPath
+    expression (Spark-native ``xpath_string``)."""
+    return F.xpath_string(col, F.lit(path))
+
+
+def XPathAll(col: Column, path: str) -> Column:
+    """xml/XPathAll.java — every match, as a bag of strings
+    (Spark-native ``xpath``)."""
+    return F.xpath(col, F.lit(path))

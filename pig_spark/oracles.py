@@ -471,6 +471,28 @@ def oracle_sql() -> dict[str, str]:
             WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey),
                    cum AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
                            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)""",
+        "q99_piggybank_funcs": """
+            SELECT p_partkey,
+                   CASE WHEN length(p_name) > 2 THEN
+                        substr(p_name, 1, 2) || '***' || substr(p_name, 6)
+                   END AS stuffed,
+                   CASE WHEN p_retailprice <= 950.0 THEN 'cheap'
+                        WHEN p_retailprice <= 1500.0 THEN 'mid'
+                        ELSE 'expensive' END AS price_bin,
+                   CASE p_brand WHEN 'Brand#11' THEN 'first'
+                                WHEN 'Brand#55' THEN 'last'
+                                ELSE 'mid' END AS brand_dec,
+                   round(atan2(p_retailprice, CAST(p_size AS DOUBLE)), 6) AS a2,
+                   round(sqrt(CAST(p_size AS DOUBLE)*p_size + 9.0), 6) AS hy,
+                   CAST(p_size AS DOUBLE) * 4.0 AS sc,
+                   CAST(floor(log2(abs(p_retailprice))) AS INT) AS gexp,
+                   reverse(p_name) AS rev,
+                   CAST(length(p_name) AS INT) AS len,
+                   (regexp_extract(p_brand, '#(\\d+)$', 1) SIMILAR TO '[+-]?[0-9]+'
+                    AND TRY_CAST(regexp_extract(p_brand, '#(\\d+)$', 1) AS INT) IS NOT NULL) AS brand_is_int,
+                   FALSE AS type_is_num,
+                   replace(replace(p_brand, '#', '-'), 'Brand', 'B') AS rm
+            FROM part""",
         "q90_pii_redaction": f"""
             WITH s AS (
                 SELECT doc_id,

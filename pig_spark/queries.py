@@ -1295,6 +1295,33 @@ def q98_latin_window_over(spark: SparkSession, sf: str) -> DataFrame:
     return rels["c"].df
 
 
+def q99_piggybank_funcs(spark: SparkSession, sf: str) -> DataFrame:
+    """Piggybank evaluation extras (functions/piggybank.py): Stuff
+    splice, Decode/Bin CASE families, math extras (ATAN2/HYPOT/SCALB/
+    getExponent — Java Math semantics), Reverse/LENGTH, IsInt/IsNumeric
+    validators, REPLACE_MULTI — all whole-stage-codegen Columns,
+    map-only. Floats follow the round-6 oracle policy."""
+    from .functions import piggybank as PB
+
+    p = _t(spark, sf, "part").df
+    brand_digits = PF.REGEX_EXTRACT(F.col("p_brand"), r"#(\d+)$", 1)
+    return p.select(
+        "p_partkey",
+        PB.Stuff(F.col("p_name"), 2, 3, "***").alias("stuffed"),
+        PB.Bin(F.col("p_retailprice"), "cheap", 950.0, "mid", 1500.0, "expensive").alias("price_bin"),
+        PB.Decode(F.col("p_brand"), "Brand#11", "first", "Brand#55", "last", "mid").alias("brand_dec"),
+        F.round(PB.ATAN2(F.col("p_retailprice"), F.col("p_size").cast("double")), 6).alias("a2"),
+        F.round(PB.HYPOT(F.col("p_size").cast("double"), F.lit(3.0)), 6).alias("hy"),
+        PB.SCALB(F.col("p_size").cast("double"), 2).alias("sc"),
+        PB.getExponent(F.col("p_retailprice")).cast("int").alias("gexp"),
+        PB.Reverse(F.col("p_name")).alias("rev"),
+        PB.LENGTH(F.col("p_name")).cast("int").alias("len"),
+        PB.IsInt(brand_digits).alias("brand_is_int"),
+        PB.IsNumeric(F.col("p_type")).alias("type_is_num"),
+        PB.REPLACE_MULTI(F.col("p_brand"), {"#": "-", "Brand": "B"}).alias("rm"),
+    )
+
+
 def q87_dedup_groups(spark: SparkSession, sf: str) -> DataFrame:
     """Near-dup GROUPS: the q41 minhash-LSH pair stream transitively
     closed into connected components (operators/graph.py large-star/
@@ -1543,6 +1570,7 @@ _CHANGED_R3 = {
     "q96_split_assign",  # new in r3
     "q97_top_ngrams",  # new in r3
     "q98_latin_window_over",  # new in r3
+    "q99_piggybank_funcs",  # new in r3
 }
 
 

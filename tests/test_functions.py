@@ -409,3 +409,79 @@ def test_kmeans_refine_improves_objective(spark, sf_dir):
 
     o0, o1 = objective(boot), objective(refined)
     assert o1 >= o0 - 1e-9  # Lloyd never decreases the objective
+
+
+def test_piggybank_surface(spark, tmp_path):
+    """functions/piggybank: Stuff splice + null corners, Decode/Bin
+    branch order, ISO datetime convert/diff/truncate, IEEEremainder,
+    validators, LookupInFiles membership, ExtremalTupleByField argmax,
+    XPath — each against hand-computed expectations."""
+    import math
+
+    from pig_spark.functions import piggybank as PB
+
+    lookup = tmp_path / "keys.txt"
+    lookup.write_text("apple\nberry\n")
+    df = spark.createDataFrame(
+        [("apple", "2024-03-05T10:20:30.000Z", "2024-03-07T11:00:00.000Z", 7.25, "42"),
+         ("cherry", "2024-01-01T00:00:00.000Z", "2025-01-01T00:00:00.000Z", -3.0, "x1")],
+        "s: string, t1: string, t2: string, x: double, num: string")
+    out = df.select(
+        PB.Stuff(F.col("s"), 0, 2, "zz").alias("st"),
+        PB.Stuff(F.col("s"), 99, 2, "zz").alias("st_bad"),
+        PB.Decode(F.col("s"), "apple", "A", "cherry", "C", "?").alias("dec"),
+        PB.Bin(F.col("x"), "lo", 0.0, "hi").alias("bin"),
+        PB.ISOYearsBetween(F.col("t2"), F.col("t1")).alias("yb"),
+        PB.ISODaysBetween(F.col("t2"), F.col("t1")).alias("db"),
+        PB.ISOToMonth(F.col("t1")).alias("mon"),
+        PB.UnixToISO(PB.ISOToUnix(F.col("t1"))).alias("rt"),
+        PB.CustomFormatToISO(F.lit("05/03/2024"), "dd/MM/yyyy").alias("cf"),
+        PB.IEEEremainder(F.col("x"), F.lit(2.0)).alias("ieee"),
+        PB.IsInt(F.col("num")).alias("is_int"),
+        PB.IsNumeric(F.col("num")).alias("is_num"),
+        PB.LookupInFiles(F.col("s"), str(lookup)).alias("lk"),
+        PB.copySign(F.lit(5.0), F.col("x")).alias("cs"),
+        PB.NEXTUP(F.lit(1.0)).alias("nup"),
+        PB.XPath(F.lit("<a><b>v1</b><b>v2</b></a>"), "a/b[1]").alias("xp"),
+        PB.XPathAll(F.lit("<a><b>v1</b><b>v2</b></a>"), "a/b/text()").alias("xpa"),
+    )
+    r1, r2 = out.collect()
+    assert r1["st"] == "zzple" and r2["st"] == "zzerry"
+    assert r1["st_bad"] is None
+    assert (r1["dec"], r2["dec"]) == ("A", "C")
+    assert (r1["bin"], r2["bin"]) == ("hi", "lo")
+    assert (r1["yb"], r2["yb"]) == (0, 1)
+    assert (r1["db"], r2["db"]) == (2, 366)  # 2024 is a leap year
+    assert r1["mon"] == "2024-03-01T00:00:00.000Z"
+    assert r1["rt"] == "2024-03-05T10:20:30.000Z"
+    assert r1["cf"] == "2024-03-05T00:00:00.000Z"
+    assert r1["ieee"] == math.remainder(7.25, 2.0) and r2["ieee"] == math.remainder(-3.0, 2.0)
+    assert (r1["is_int"], r2["is_int"]) == (True, False)
+    assert (r1["is_num"], r2["is_num"]) == (True, False)
+    assert (r1["lk"], r2["lk"]) == (1, 0)
+    assert (r1["cs"], r2["cs"]) == (5.0, -5.0)
+    assert r1["nup"] == math.nextafter(1.0, math.inf)
+    assert r1["xp"] == "v1" and r1["xpa"] == ["v1", "v2"]
+
+
+def test_piggybank_extremal_tuple(spark):
+    """ExtremalTupleByField: argmax/argmin tuple over a bag column via
+    one codegen aggregate — ties keep the first (fold order)."""
+    from pig_spark.functions import piggybank as PB
+
+    df = spark.createDataFrame([(1,)], "g: int").select(
+        F.array(
+            F.struct(F.lit("a").alias("k"), F.lit(3).alias("v")),
+            F.struct(F.lit("b").alias("k"), F.lit(9).alias("v")),
+            F.struct(F.lit("c").alias("k"), F.lit(9).alias("v")),
+            F.struct(F.lit("d").alias("k"), F.lit(1).alias("v")),
+        ).alias("bag")
+    )
+    r = df.select(
+        PB.ExtremalTupleByField(F.col("bag"), "v", "max").alias("mx"),
+        PB.ExtremalTupleByField(F.col("bag"), "v", "min").alias("mn"),
+        PB.MaxTupleBy1stField(F.col("bag"), "k").alias("m1"),
+    ).first()
+    assert r["mx"]["k"] == "b" and r["mx"]["v"] == 9  # first of the tie
+    assert r["mn"]["k"] == "d"
+    assert r["m1"]["k"] == "d"  # max string key

@@ -80,3 +80,28 @@ def test_round_java_model(spark, xs):
     got = [r.o for r in df.select(ROUND(F.col("x")).alias("o")).collect()]
     for x, g in zip(xs, got):
         assert g == math.floor(x + 0.5), (x, g)
+
+
+@settings(max_examples=10, deadline=None)
+@given(st.lists(st.text(max_size=20), min_size=1, max_size=8))
+def test_hashfnv_java_model(spark, strings):
+    """piggybank HashFNV == the Java FNV-1 32-bit fold (custom init
+    33554467, signed-byte XOR, int wraparound, sign-extended result) —
+    over arbitrary unicode (BMP) strings, UTF-8 encoded."""
+    from pig_spark.functions.piggybank import HashFNV
+
+    strings = [s for s in strings if all(ord(ch) < 0x10000 for ch in s)]
+    if not strings:
+        return
+
+    def ref(s):
+        h = 33554467
+        for b in s.encode("utf-8"):
+            h = (h * 0x01000193) % (1 << 32)
+            h ^= b if b < 0x80 else (0xFFFFFF00 | b)
+            h %= 1 << 32
+        return h - (1 << 32) if h >= (1 << 31) else h
+
+    got = _eval(spark, strings, HashFNV, "long")
+    for s, g in zip(strings, got):
+        assert g == ref(s), (s, g, ref(s))
