@@ -150,7 +150,39 @@ def _gen(rng, sf_dir):
             + final
         )
         return "\n".join(lines), sql
-    if shape < 0.44:
+    if shape < 0.40:
+        # r3: Over/Stitch windows in a nested block (piggybank Over.java
+        # lowering) — running/framed sum + row_number + lag vs the SQL
+        # window twin; unique (cents, orderkey, linenumber) order makes
+        # every window value exact
+        lines[2] = f"p = FOREACH f GENERATE l_orderkey, l_linenumber, {pl};"
+        sql_p = f"SELECT l_orderkey, l_linenumber, {ps} FROM lineitem WHERE {fs}"
+        key = rng.choice(STR)
+        d = "DESC" if rng.random() < 0.5 else "ASC"
+        frame_l, frame_sql = rng.choice(
+            [
+                ("", "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW"),
+                (", -1, -1", "ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING"),
+                (", 1, 1", "ROWS BETWEEN 1 PRECEDING AND 1 FOLLOWING"),
+                (", 0, -1", "ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING"),
+            ]
+        )
+        lines.append(f"g = GROUP p BY {key};")
+        lines.append(
+            "out = FOREACH g { s = ORDER p BY cents " + d
+            + ", l_orderkey ASC, l_linenumber ASC; GENERATE FLATTEN(Stitch(s, "
+            + f"Over(s.cents, 'sum(long)'{frame_l}), Over(s.l_orderkey, 'row_number'), Over(s.cents, 'lag'))); }};"
+        )
+        w = f"PARTITION BY {key} ORDER BY cents {d}, l_orderkey ASC, l_linenumber ASC"
+        sql = (
+            f"WITH p AS ({sql_p}) SELECT p.*, "
+            f"SUM(cents) OVER ({w} {frame_sql}) AS result_0, "
+            f"row_number() OVER ({w}) AS result_1, "
+            f"lag(cents) OVER ({w}) AS result_2 "
+            f"FROM p"
+        )
+        return "\n".join(lines), sql
+    if shape < 0.47:
         # r3: COGROUP + bag aggregates (array-function lowering):
         # union of keys from both inputs, 0-count for empty bags,
         # NULL max over an empty bag — vs SQL FULL OUTER of group-bys
@@ -169,7 +201,7 @@ def _gen(rng, sf_dir):
             f"FROM a FULL OUTER JOIN b ON a.k = b.k"
         )
         return "\n".join(lines), sql
-    if shape < 0.62:
+    if shape < 0.64:
         keys = rng.sample([c for c in cols if c != "cents"], rng.randint(1, 2))
         aggs_l, aggs_s = ["COUNT(p) AS n"], ["COUNT(*) AS n"]
         if rng.random() < 0.7:
