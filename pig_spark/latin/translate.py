@@ -328,12 +328,16 @@ class PigTranslator:
         args = [a for a in args if not a.strip().lower().startswith("-")]
         if fmt in ("csv", "pigstorage") and args:
             opts["sep"] = args[0]
+        if fmt in ("myregexloader", "regexloader") and args:
+            # MyRegExLoader('regex') — the pattern is the loader arg
+            opts["pattern"] = args[0]
         rel = Relation.load(self.spark, op.path, fmt, **opts)
         if op.schema:
             # with -tagFile the filename is $0 and the user's AS clause
             # includes it (Pig semantics) — positional cast covers both
             ddl = ", ".join(f"{f.name} {PIG_TO_SPARK_TYPE.get(f.type or 'bytearray', 'string')}" for f in op.schema)
-            if fmt in ("csv", "pigstorage", "text"):
+            if fmt in ("csv", "pigstorage", "text", "myregexloader", "regexloader",
+                       "commonlogloader", "combinedlogloader"):
                 # gradual typing: strings → declared types, null on garbage
                 rel = Relation(cast_as(rel.df, ddl))
             else:

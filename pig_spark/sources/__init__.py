@@ -176,6 +176,61 @@ _ALIASES = {
     "csvexcelstorage": "csv",  # piggybank CSVExcelStorage (quote/escape opts)
 }
 
+# ---------------------------------------------------------------------------
+# RegExLoader family (piggybank/storage/RegExLoader.java + apachelog/):
+# text lines matched against a regex; each capture group becomes a field,
+# non-matching lines are skipped (RegExLoader.getNext loops past them).
+# Patterns below are verbatim from CommonLogLoader.java:38 /
+# CombinedLogLoader.java:39 (Java regex — compatible with RE2/Spark here).
+# ---------------------------------------------------------------------------
+
+COMMON_LOG_PATTERN = (
+    r"^(\S+)\s+(\S+)\s+(\S+)\s+.(\S+\s+\S+).\s+.(\S+)\s+(\S+)\s+(\S+.\S+).\s+(\S+)\s+(\S+)$"
+)
+COMMON_LOG_FIELDS = (
+    "remote_addr", "remote_logname", "remote_user", "time",
+    "method", "uri", "protocol", "status", "bytes",
+)
+COMBINED_LOG_PATTERN = (
+    r"^(\S+)\s+(\S+)\s+(\S+)\s+.(\S+\s+\S+).\s+\"(\S+)\s+(.+?)\s+(HTTP[^\"]+)\"\s+"
+    r"(\S+)\s+(\S+)\s+\"([^\"]*)\"\s+\"(.*)\"$"
+)
+COMBINED_LOG_FIELDS = COMMON_LOG_FIELDS + ("referer", "user_agent")
+
+_REGEX_LOADERS = {
+    "commonlogloader": (COMMON_LOG_PATTERN, COMMON_LOG_FIELDS),
+    "combinedlogloader": (COMBINED_LOG_PATTERN, COMBINED_LOG_FIELDS),
+    "myregexloader": None,  # pattern supplied by the caller
+    "regexloader": None,
+}
+
+
+def load_regex(
+    spark: SparkSession,
+    path: str,
+    pattern: str,
+    names: tuple[str, ...] | list[str] | None = None,
+) -> DataFrame:
+    """RegExLoader.java: one row per matching line, one string column
+    per capture group (``f0..fN`` unless ``names`` given); lines that
+    don't match are dropped, like the Java loader's skip-loop. All
+    codegen (`rlike` + `regexp_extract`) — the filter and extractions
+    run inside the text scan's stage, no Python, no shuffle."""
+    import re as _re
+
+    from pyspark.sql import functions as F
+
+    n_groups = _re.compile(pattern).groups
+    if n_groups == 0:
+        raise ValueError("RegExLoader pattern must have at least one capture group")
+    cols = list(names) if names else [f"f{i}" for i in range(n_groups)]
+    if len(cols) != n_groups:
+        raise ValueError(f"{len(cols)} names for {n_groups} capture groups")
+    df = load(spark, path, "text")
+    return df.filter(F.col("value").rlike(pattern)).select(
+        *[F.regexp_extract("value", pattern, i + 1).alias(c) for i, c in enumerate(cols)]
+    )
+
 
 def _norm_format(fmt: str) -> str:
     f = _ALIASES.get(fmt.lower(), fmt.lower())
@@ -256,6 +311,16 @@ def load(
     ``.pig_schema`` JSON written beside the data (JsonMetadata.java),
     restoring names and types over schemaless text.
     """
+    lf = format.lower()
+    if lf in _REGEX_LOADERS:
+        preset = _REGEX_LOADERS[lf]
+        pattern = options.pop("pattern", None) or (preset[0] if preset else None)
+        if pattern is None:
+            raise ValueError(f"{format} needs a regex pattern argument (MyRegExLoader('...'))")
+        names = options.pop("names", None) or (preset[1] if preset else None)
+        if schema is not None and isinstance(schema, str):
+            names = [p.strip().split()[0].split(":")[0] for p in schema.split(",")]
+        return load_regex(spark, path, pattern, names)
     fmt = _norm_format(format)
     ensure_pig_session_semantics(spark)
     if schema_sidecar and schema is None:

@@ -224,3 +224,46 @@ def test_dbstorage_append_and_types(spark, tmp_path):
     # NUMERIC affinity coerces the decimal text to a number (JDBC
     # setBigDecimal → NUMERIC column behaves the same way)
     assert rows[0] == (1, 1.5, "2024-01-02 03:04:05", "[1, 2]", 1)
+
+
+def test_regex_log_loaders(spark, tmp_path):
+    """RegExLoader family (RegExLoader.java, apachelog/*.java): common
+    and combined Apache log lines parse into fields, non-matching lines
+    are skipped, MyRegExLoader takes a custom pattern, and the whole
+    path is codegen (no Python UDFs in the plan)."""
+    from pyspark.sql import functions as F
+
+    from pig_spark.sources import load
+    from pig_spark.latin import run
+
+    common = tmp_path / "access.log"
+    common.write_text(
+        '81.19.151.110 - - [04/Oct/2008:13:28:23 -0600] "GET / HTTP/1.0" 200 156\n'
+        "garbage line that does not match\n"
+        '10.0.0.7 - frank [05/Oct/2008:01:02:03 -0600] "POST /submit HTTP/1.1" 404 99\n'
+    )
+    df = load(spark, str(common), "CommonLogLoader")
+    rows = {r["remote_addr"]: r for r in df.collect()}
+    assert set(rows) == {"81.19.151.110", "10.0.0.7"}  # bad line skipped
+    assert rows["81.19.151.110"]["method"] == "GET"
+    assert rows["10.0.0.7"]["uri"] == "/submit" and rows["10.0.0.7"]["status"] == "404"
+
+    combined = tmp_path / "combined.log"
+    combined.write_text(
+        '1.2.3.4 - - [30/Sep/2008:15:07:53 -0400] "GET / HTTP/1.1" 200 3190 "-" "Mozilla/5.0 (Mac)"\n'
+    )
+    dfc = load(spark, str(combined), "CombinedLogLoader")
+    r = dfc.first()
+    assert r["user_agent"] == "Mozilla/5.0 (Mac)" and r["referer"] == "-"
+
+    # MyRegExLoader through the Latin front-end, AS schema casts types
+    rels = run(
+        spark,
+        f"lg = LOAD '{common}' USING MyRegExLoader('^(\\S+) \\S+ \\S+ .+ (\\d+) (\\d+)$') "
+        "AS (ip:chararray, status:int, size:int);\n"
+        "big = FILTER lg BY size > 100;",
+    )
+    got = rels["big"].df.collect()
+    assert len(got) == 1 and got[0]["ip"] == "81.19.151.110" and got[0]["size"] == 156
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BatchEvalPython" not in plan and "PythonUDF" not in plan
