@@ -331,6 +331,92 @@ def simhash(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     return staged.select(F.col(id_col), sig.alias("simhash"))
 
 
+def signature_index(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """The STORED dedup index of a continuously-ingesting corpus:
+    one row per (doc, band) with the banded bucket hash AND the full
+    minhash signature — ``(id, signature, band, bh)``. Write it
+    partitioned by ``band`` (``store(..., partition_by=['band'])``) so
+    an incremental batch's band join prunes to matching partitions.
+    Building it is the same no-shuffle signature projection as
+    :func:`minhash_signatures`."""
+    rows = MINHASH_K // MINHASH_BANDS
+    sigs = minhash_signatures(df, text_col, id_col)
+    return sigs.select(
+        F.col(id_col),
+        "signature",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.md5(
+                            F.array_join(
+                                F.transform(
+                                    F.slice("signature", b * rows + 1, rows),
+                                    lambda v: v.cast("string"),
+                                ),
+                                ",",
+                            )
+                        ).alias("bh"),
+                    )
+                    for b in range(MINHASH_BANDS)
+                ]
+            )
+        ).alias("bb"),
+    ).select(id_col, "signature", "bb.band", "bb.bh")
+
+
+def incremental_minhash_pairs(
+    new_df: DataFrame,
+    text_col: str,
+    id_col: str,
+    index_df: DataFrame,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Incremental near-dup detection: match a NEW batch against the
+    stored :func:`signature_index` (which already contains the new
+    batch's own rows if self-matches within the batch are wanted)
+    WITHOUT rescanning the corpus.
+
+    Returns ``(new_id, match_id, est_jaccard)`` — every corpus doc
+    sharing an LSH band bucket with a new doc, scored by minhash
+    signature agreement (the fraction of equal signature positions —
+    an unbiased Jaccard estimate), ``est_jaccard >= threshold``.
+
+    100 TB shape: the only full-size table is the index, which is
+    pre-partitioned by band on disk; the new batch's band rows are
+    tiny and broadcast into the index join (daily batch << corpus).
+    Corpus text is never re-read, old×old pairs never form, and
+    verification needs no shingles — signatures alone score the match
+    (re-verify survivors exactly against just the matched docs if
+    byte-grade precision is needed)."""
+    new_idx = signature_index(new_df, text_col, id_col)
+    new_bands = new_idx.select(
+        F.col(id_col).alias("new_id"), F.col("signature").alias("sig_new"), "band", "bh"
+    )
+    corpus = index_df.select(
+        F.col(id_col).alias("match_id"), F.col("signature").alias("sig_old"), "band", "bh"
+    )
+    cand = (
+        F.broadcast(new_bands)
+        .join(corpus, ["band", "bh"])
+        .filter(F.col("new_id") != F.col("match_id"))
+        .select("new_id", "match_id", "sig_new", "sig_old")
+        .dropDuplicates(["new_id", "match_id"])
+    )
+    agree = F.aggregate(
+        F.zip_with("sig_new", "sig_old", lambda a, b: (a == b).cast("int")),
+        F.lit(0),
+        lambda acc, x: acc + x,
+    )
+    est = F.round(agree.cast("double") / F.lit(float(MINHASH_K)), 6)
+    return (
+        cand.withColumn("est_jaccard", est)
+        .filter(F.col("est_jaccard") >= threshold)
+        .select("new_id", "match_id", "est_jaccard")
+    )
+
+
 def contamination_check(
     train: DataFrame,
     bench: DataFrame,

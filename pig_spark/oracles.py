@@ -493,6 +493,20 @@ def oracle_sql() -> dict[str, str]:
                    FALSE AS type_is_num,
                    replace(replace(p_brand, '#', '-'), 'Brand', 'B') AS rm
             FROM part""",
+        "q100_incremental_dedup": f"""
+            WITH {minhash_ctes},
+            nb AS (SELECT doc_id, band, bh FROM bands WHERE doc_id % 10 = 0),
+            cd AS (SELECT nb.doc_id AS new_id, b2.doc_id AS match_id
+                   FROM nb JOIN bands b2 ON nb.band = b2.band AND nb.bh = b2.bh
+                   WHERE nb.doc_id <> b2.doc_id
+                   GROUP BY 1, 2)
+            SELECT new_id, match_id,
+                   round(({" + ".join(f"CAST(l.mh{i} = r.mh{i} AS INT)" for i in range(dedup.MINHASH_K))})
+                         / {float(dedup.MINHASH_K)}, 6) AS est_jaccard
+            FROM cd JOIN sigs l ON cd.new_id = l.doc_id
+                    JOIN sigs r ON cd.match_id = r.doc_id
+            WHERE round(({" + ".join(f"CAST(l.mh{i} = r.mh{i} AS INT)" for i in range(dedup.MINHASH_K))})
+                        / {float(dedup.MINHASH_K)}, 6) >= 0.5""",
         "q90_pii_redaction": f"""
             WITH s AS (
                 SELECT doc_id,

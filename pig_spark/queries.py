@@ -1322,6 +1322,20 @@ def q99_piggybank_funcs(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q100_incremental_dedup(spark: SparkSession, sf: str) -> DataFrame:
+    """Incremental dedup (dedup.signature_index +
+    incremental_minhash_pairs): the daily-ingest pattern — a stored
+    banded minhash index over the corpus, a new batch (doc_id % 10 ==
+    0) matched against it by band-bucket join + signature-agreement
+    score, WITHOUT re-reading corpus text. New-side band rows
+    broadcast; old×old pairs never form; the index would be
+    band-partitioned parquet at scale."""
+    d = _t(spark, sf, "documents").df
+    index = dedup.signature_index(d, "text", "doc_id")
+    new_batch = d.filter(F.col("doc_id") % 10 == 0)
+    return dedup.incremental_minhash_pairs(new_batch, "text", "doc_id", index, threshold=0.5)
+
+
 def q87_dedup_groups(spark: SparkSession, sf: str) -> DataFrame:
     """Near-dup GROUPS: the q41 minhash-LSH pair stream transitively
     closed into connected components (operators/graph.py large-star/
@@ -1571,6 +1585,7 @@ _CHANGED_R3 = {
     "q97_top_ngrams",  # new in r3
     "q98_latin_window_over",  # new in r3
     "q99_piggybank_funcs",  # new in r3
+    "q100_incremental_dedup",  # new in r3
 }
 
 

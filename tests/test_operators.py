@@ -634,3 +634,42 @@ def test_mixture_sample_rates(spark, sf_dir):
     small = min(full, key=full.get)
     if full[big] > 2 * full[small]:
         assert got[small] / full[small] > got[big] / full[big]
+
+
+def test_incremental_dedup_index_roundtrip(spark, sf_dir, tmp_path):
+    """dedup.signature_index round-trips through band-partitioned
+    parquet; incremental_minhash_pairs against the reloaded index
+    finds every near-dup pair of the new batch that the full
+    minhash_lsh_pairs run finds (signature agreement >= 0.5 at
+    threshold 0.4 — banding candidates are identical by construction),
+    and never emits old-old pairs or self-matches."""
+    from pyspark.sql import functions as F
+
+    from pig_spark.functions import dedup
+    from pig_spark.sources import store
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    idx_path = str(tmp_path / "sig_index")
+    store(dedup.signature_index(d, "text", "doc_id"), idx_path, "parquet", partition_by=["band"])
+    index = spark.read.parquet(idx_path)
+    assert set(index.columns) == {"doc_id", "signature", "band", "bh"}
+
+    new = d.filter(F.col("doc_id") % 10 == 0)
+    inc = dedup.incremental_minhash_pairs(new, "text", "doc_id", index, threshold=0.5)
+    rows = inc.collect()
+    new_ids = {r["doc_id"] for r in new.select("doc_id").collect()}
+    assert all(r["new_id"] in new_ids for r in rows)
+    assert all(r["new_id"] != r["match_id"] for r in rows)
+
+    # completeness vs the batch pipeline: every full-run pair that
+    # touches a new doc appears (in some direction) in the incremental
+    # result — banding is shared, so candidates can only be equal
+    full = dedup.minhash_lsh_pairs(d, "text", "doc_id", threshold=0.4).collect()
+    want = {
+        (a, b)
+        for r in full
+        for a, b in ((r["id_a"], r["id_b"]), (r["id_b"], r["id_a"]))
+        if a in new_ids and r["jaccard"] >= 0.8  # high-sim: sig agreement surely >= 0.5
+    }
+    got = {(r["new_id"], r["match_id"]) for r in rows}
+    assert want <= got, want - got
