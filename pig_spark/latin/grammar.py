@@ -163,6 +163,17 @@ class Simple:
 
 
 @dataclass
+class Register:
+    """REGISTER 'script.py' USING jython AS ns (QueryParser.g:355 +
+    scripting engines): path + optional engine/namespace. A bare
+    REGISTER jar stays a recorded no-op (code is Python-native)."""
+
+    path: str
+    engine: str | None = None
+    namespace: str | None = None
+
+
+@dataclass
 class Limit:
     rel: str
     n: "Expr"
@@ -453,11 +464,23 @@ class Parser:
         Spark confs; DEFINE installs a UDF alias."""
         kw = self.next().text
         if kw == "register":
-            parts = []
-            while not (self.peek().kind == "op" and self.peek().text == ";"):
-                parts.append(self.next().text)
+            if self.peek().kind == "str":
+                path = self._string()
+            else:
+                parts = []
+                while not (
+                    (self.peek().kind == "op" and self.peek().text == ";")
+                    or (self.peek().kind == "kw" and self.peek().text == "using")
+                ):
+                    parts.append(self.next().text)
+                path = "".join(parts)
+            engine = namespace = None
+            if self.accept("kw", "using"):
+                engine = self._ident()
+                if self.accept("kw", "as"):
+                    namespace = self._ident()
             self.expect("op", ";")
-            return Simple("register", "".join(parts))
+            return Register(path, engine, namespace)
         if kw == "set":
             key = self.next().text
             value = self.next().text
@@ -968,7 +991,23 @@ class Parser:
                     name = self.next().text
                 else:
                     name = self._ident()
-                if isinstance(e, Col):
+                if (
+                    isinstance(e, Col)
+                    and "." not in e.name
+                    and self.peek().kind == "op"
+                    and self.peek().text == "("
+                ):
+                    # namespace call ns.func(args) — scripting UDFs
+                    # (REGISTER 'x.py' USING jython AS ns)
+                    self.next()
+                    args: list[object] = []
+                    if not (self.peek().kind == "op" and self.peek().text == ")"):
+                        args.append(self.expr())
+                        while self.accept("op", ","):
+                            args.append(self.expr())
+                    self.expect("op", ")")
+                    e = Call(e.name + "." + name, args)
+                elif isinstance(e, Col):
                     e = Col(e.name + "." + name)
                 else:
                     raise SyntaxError("pig latin: dotted access only on columns")

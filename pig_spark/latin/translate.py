@@ -56,6 +56,44 @@ LOADER_FORMAT = {
 AGG_FUNCS = {"count", "count_star", "sum", "avg", "min", "max"}
 
 
+def _load_script_udfs(path: str) -> dict:
+    """Execute a Pig scripting-UDF file (REGISTER ... USING jython AS
+    ns — scripting/jython/JythonScriptEngine.java, streaming/python/
+    PythonScriptEngine.java) and wrap its public functions as Spark
+    UDFs. Pig's ``@outputSchema('name:type')`` decorator works
+    verbatim: the declared type becomes the UDF's return type
+    (un-annotated functions default to chararray, like Pig's
+    bytearray-as-default). Scripting UDFs are arbitrary row-at-a-time
+    Python — the sanctioned slow path, same class as STREAM THROUGH;
+    prefer the builtin Column library for anything hot."""
+
+    def outputSchema(schema_str: str):
+        def deco(fn):
+            fn._pig_output_schema = schema_str
+            return fn
+
+        return deco
+
+    glb: dict = {"outputSchema": outputSchema}
+    with open(path, encoding="utf-8") as fh:
+        code = fh.read()
+    exec(compile(code, path, "exec"), glb)  # noqa: S102 — user-registered script, like Pig
+    out: dict = {}
+    for name, obj in glb.items():
+        if name.startswith("_") or not callable(obj) or name == "outputSchema":
+            continue
+        schema = getattr(obj, "_pig_output_schema", None)
+        ptype = schema.rsplit(":", 1)[-1].strip().lower() if schema else "chararray"
+        if any(ch in ptype for ch in "(){}"):
+            raise NotImplementedError(
+                f"scripting UDF {name!r}: complex output schema {schema!r} not supported "
+                "(return scalars; build tuples/bags with the builtin TOTUPLE/TOBAG)"
+            )
+        spark_t = PIG_TO_SPARK_TYPE.get(ptype, "string")
+        out[name] = F.udf(obj, spark_t)
+    return out
+
+
 def _suggest(name: str, candidates: list[str]) -> str:
     """' — did you mean X?' fragment for unknown-name errors."""
     import difflib
@@ -111,6 +149,7 @@ class PigTranslator:
         self.stores: list[str] = []  # paths written by STORE
         self.params = params or {}
         self.registered: list[str] = []
+        self.script_udfs: dict[str, dict] = {}  # REGISTER ... AS ns → {fn: udf}
         self.defines: dict[str, str] = {}
         # STOREs are deferred to end-of-script (Pig batch semantics:
         # PigServer executes the whole plan at the last STORE) so the
@@ -231,6 +270,14 @@ class PigTranslator:
                 self.aliases[alias] = RelInfo(rel)
         elif isinstance(stmt, G.Simple) and stmt.op == "register":
             self.registered.append(stmt.rel)  # recorded no-op: code is Python-native
+        elif isinstance(stmt, G.Register):
+            self.registered.append(stmt.path)
+            if stmt.namespace:
+                # REGISTER 'udfs.py' USING jython AS ns — scripting UDFs
+                # (PythonScriptEngine/JythonScriptEngine): exec the file
+                # with Pig's @outputSchema decorator in scope, expose
+                # every public callable as ns.func(...)
+                self.script_udfs[stmt.namespace] = _load_script_udfs(stmt.path)
         elif isinstance(stmt, G.SetStmt):
             # SET default_parallel n ≅ PARALLEL clause → shuffle partitions
             key = {"default_parallel": "spark.sql.shuffle.partitions"}.get(stmt.key, stmt.key)
@@ -1562,6 +1609,19 @@ class PigTranslator:
 
     def _call(self, e: G.Call, rel: Relation) -> Column:
         fname = self.defines.get(e.func, e.func)  # DEFINE alias → func
+        if "." in fname:
+            ns, _, leaf = fname.partition(".")
+            funcs = self.script_udfs.get(ns)
+            if funcs is None:
+                raise NameError(
+                    f"pig latin: unknown UDF namespace {ns!r} — REGISTER 'file.py' USING jython AS {ns};"
+                )
+            udf_col = funcs.get(leaf)
+            if udf_col is None:
+                raise NameError(
+                    f"pig latin: no function {leaf!r} in namespace {ns!r}{_suggest(leaf, sorted(funcs))}"
+                )
+            return udf_col(*[self._expr(a, rel) for a in e.args])
         fn = getattr(PF, fname, None) or getattr(PF, fname.upper(), None)
         if fn is None:
             known = [n for n in dir(PF) if not n.startswith("_")]

@@ -1170,3 +1170,53 @@ def test_latin_over_errors(spark, sf_dir):
         run(spark, base + "c = FOREACH g { s = ORDER n BY n_nationkey; GENERATE FLATTEN(Stitch(s, Over(s.n_nationkey, 'median'))); }")
     with pytest.raises(SyntaxError, match="AS schema"):
         run(spark, base + "c = FOREACH g { s = ORDER n BY n_nationkey; GENERATE FLATTEN(Stitch(s, Over(s.n_nationkey, 'sum(long)'))) AS (a, b); }")
+
+
+def test_latin_scripting_udfs(spark, sf_dir, tmp_path):
+    """REGISTER 'file.py' USING jython AS ns (§2.7 scripting UDFs —
+    JythonScriptEngine / PythonScriptEngine): Pig's @outputSchema
+    decorator works verbatim, the declared type becomes the UDF return
+    type (filterable as int), un-annotated functions default to
+    chararray, and namespace errors carry did-you-mean suggestions."""
+    import pytest
+
+    udfs = tmp_path / "myudfs.py"
+    udfs.write_text(
+        '@outputSchema("rev:chararray")\n'
+        "def reverse(s):\n"
+        "    return s[::-1] if s is not None else None\n\n"
+        '@outputSchema("n:long")\n'
+        "def double_key(k):\n"
+        "    return k * 2\n\n"
+        "def plain(s):\n"
+        "    return (s or '') + '!'\n"
+    )
+    rels = run(spark, f"""
+        REGISTER '{udfs}' USING jython AS myfuncs;
+        n = LOAD '{sf_dir}/nation.parquet' USING ParquetLoader();
+        t = FOREACH n GENERATE n_nationkey, myfuncs.reverse(n_name) AS rev,
+                      myfuncs.double_key(n_nationkey) AS dk, myfuncs.plain(n_name) AS pl;
+        f = FILTER t BY dk >= 40;
+    """)
+    rows = {r["n_nationkey"]: r for r in rels["f"].df.collect()}
+    assert all(k * 2 >= 40 for k in rows)
+    k = min(rows)
+    assert rows[k]["rev"] == f"NATION_{k}"[::-1]
+    assert rows[k]["pl"] == f"NATION_{k}!"
+    assert dict(rels["f"].df.dtypes)["dk"] == "bigint"  # typed via @outputSchema
+
+    with pytest.raises(NameError, match="unknown UDF namespace"):
+        run(spark, f"n = LOAD '{sf_dir}/nation.parquet' USING ParquetLoader(); "
+                   "t = FOREACH n GENERATE nope.f(n_name);")
+    with pytest.raises(NameError, match="did you mean"):
+        run(spark, f"""
+            REGISTER '{udfs}' USING jython AS m;
+            n = LOAD '{sf_dir}/nation.parquet' USING ParquetLoader();
+            t = FOREACH n GENERATE m.reverze(n_name);
+        """)
+    bad = tmp_path / "bad.py"
+    bad.write_text('@outputSchema("t:(a:int,b:int)")\ndef f(x):\n    return (x, x)\n')
+    with pytest.raises(NotImplementedError, match="complex output schema"):
+        run(spark, f"REGISTER '{bad}' USING jython AS b; "
+                   f"n = LOAD '{sf_dir}/nation.parquet' USING ParquetLoader(); "
+                   "t = FOREACH n GENERATE b.f(n_nationkey);")
