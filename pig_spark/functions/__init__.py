@@ -52,6 +52,49 @@ FINGERPRINT = text.fingerprint
 ROLLING_FINGERPRINT = text.rolling_hash_fingerprint
 REDACT = text.redact
 
+
+def CHUNKS(col: Column, chunk: int = 16, stride: int = 12) -> Column:
+    """Bag form of operators.chunking.chunk_documents for the Pig
+    FLATTEN idiom: `FOREACH d GENERATE doc_id, FLATTEN(CHUNKS(text))
+    AS (chunk_id, n_tokens, chunk_text);` — one struct per token
+    window (same offsets/last-window rule as the operator), computed
+    in codegen on the staged split array. FLATTEN explodes it into the
+    per-chunk rows a chunking pipeline stores."""
+    from pyspark.sql import functions as _F
+
+    words = _F.split(col, " ")
+    n = _F.size(words)
+    k_max = _F.greatest(_F.ceil((n - _F.lit(chunk)) / _F.lit(float(stride))), _F.lit(0)).cast("int")
+
+    def _one(k: Column) -> Column:
+        piece = _F.slice(words, k * stride + 1, chunk)
+        return _F.struct(
+            k.cast("long").alias("chunk_id"),
+            _F.size(piece).cast("long").alias("n_tokens"),
+            _F.array_join(piece, " ").alias("chunk_text"),
+        )
+
+    return _F.transform(_F.sequence(_F.lit(0), k_max), _one)
+
+
+def NGRAMS(col: Column, n: int = 2) -> Column:
+    """Bag of non-distinct word n-grams of lower(text) — the Latin
+    handle on text._grams (`FLATTEN(NGRAMS(text, 2)) AS gram` feeds a
+    GROUP for corpus profiles like q97)."""
+    if isinstance(n, Column):
+        raise TypeError("NGRAMS needs a literal n")
+    return text._grams(text.tokenize_ws(F.lower(col)), int(n))
+
+
+def SHINGLES(col: Column, n: int = 3) -> Column:
+    """Bag of DISTINCT word n-gram shingles (dedup.word_shingles) —
+    the dedup building block, Latin-callable."""
+    from . import dedup as _dedup
+
+    if isinstance(n, Column):
+        raise TypeError("SHINGLES needs a literal n")
+    return _dedup.word_shingles(col, int(n))
+
 # Pig-named aliases for DataFrame-level equivalents (BuildBloom/Bloom
 # is a two-UDF protocol in Pig; Spark-first it is one relational op —
 # build side scanned once, bitset broadcast, probe side filtered):

@@ -174,6 +174,7 @@ _ALIASES = {
     "orcstorage": "orc",
     "xmlloader": "xml",  # piggybank XMLLoader → Spark 4 built-in xml source
     "csvexcelstorage": "csv",  # piggybank CSVExcelStorage (quote/escape opts)
+    "csvloader": "csv",  # piggybank CSVLoader (quoted CSV, Excel dialect)
 }
 
 # ---------------------------------------------------------------------------
@@ -329,6 +330,10 @@ def load(
     if schema is not None:
         reader = reader.schema(schema)
     if fmt == "csv":
+        if format.lower() in ("csvloader", "csvexcelstorage"):
+            # CSV dialects default to comma (CSVLoader.java wraps
+            # CSVExcelStorage with ',' — PigStorage's default is tab)
+            options.setdefault("sep", ",")
         options.setdefault("sep", sep)
         options.setdefault("header", False)
         if format.lower() in ("pigstorage", "pig_storage"):

@@ -1220,3 +1220,25 @@ def test_latin_scripting_udfs(spark, sf_dir, tmp_path):
         run(spark, f"REGISTER '{bad}' USING jython AS b; "
                    f"n = LOAD '{sf_dir}/nation.parquet' USING ParquetLoader(); "
                    "t = FOREACH n GENERATE b.f(n_nationkey);")
+
+
+def test_latin_pipeline_bag_functions(spark, sf_dir):
+    """CHUNKS/NGRAMS/SHINGLES as Latin bag functions: the FLATTEN
+    idiom yields exactly the chunking operator's rows, and n-gram bags
+    feed GROUP pipelines (the q97 shape in pure Pig Latin)."""
+    from pig_spark.operators.chunking import chunk_documents
+
+    rels = run(spark, f"""
+        d = LOAD '{sf_dir}/documents.parquet' USING ParquetLoader();
+        c = FOREACH d GENERATE doc_id, FLATTEN(CHUNKS(text, 16, 12)) AS (chunk_id, n_tokens, chunk_text);
+        g = FOREACH d GENERATE FLATTEN(NGRAMS(text, 2)) AS gram;
+        gg = GROUP g BY gram;
+        top = FOREACH gg GENERATE group AS gram, COUNT(g) AS n;
+        s = FOREACH d GENERATE doc_id, SIZE(SHINGLES(text, 3)) AS n_sh;
+    """)
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    want = chunk_documents(d, "text", "doc_id", chunk=16, stride=12)
+    got = rels["c"].df.select("doc_id", "chunk_id", "n_tokens", "chunk_text")
+    assert got.exceptAll(want).count() == 0 and want.exceptAll(got).count() == 0
+    assert rels["top"].df.filter(F.col("n") <= 0).count() == 0
+    assert rels["s"].df.filter(F.col("n_sh") <= 0).count() == 0
