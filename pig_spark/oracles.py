@@ -507,6 +507,18 @@ def oracle_sql() -> dict[str, str]:
                     JOIN sigs r ON cd.match_id = r.doc_id
             WHERE round(({" + ".join(f"CAST(l.mh{i} = r.mh{i} AS INT)" for i in range(dedup.MINHASH_K))})
                         / {float(dedup.MINHASH_K)}, 6) >= 0.5""",
+        "q101_latin_chunk_pipeline": """
+            WITH w AS (SELECT doc_id, string_split(text, ' ') AS words FROM documents),
+            k AS (SELECT doc_id, words,
+                         unnest(generate_series(0,
+                             greatest(CAST(ceil((len(words) - 16) / 12.0) AS BIGINT), 0))) AS chunk_id
+                  FROM w),
+            c AS (SELECT doc_id,
+                         len(list_slice(words, chunk_id*12+1, chunk_id*12+16)) AS n_tokens
+                  FROM k)
+            SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_chunks,
+                   CAST(SUM(n_tokens) AS BIGINT) AS total_tokens
+            FROM c WHERE n_tokens >= 8 GROUP BY doc_id""",
         "q90_pii_redaction": f"""
             WITH s AS (
                 SELECT doc_id,

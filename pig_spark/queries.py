@@ -1336,6 +1336,29 @@ def q100_incremental_dedup(spark: SparkSession, sf: str) -> DataFrame:
     return dedup.incremental_minhash_pairs(new_batch, "text", "doc_id", index, threshold=0.5)
 
 
+def q101_latin_chunk_pipeline(spark: SparkSession, sf: str) -> DataFrame:
+    """Context-window sharding in PURE Pig Latin: FLATTEN(CHUNKS(...))
+    fans each document into 16-token windows (bag form of
+    operators/chunking), a FILTER drops runt chunks, and the per-doc
+    rollup counts surviving windows — the chunker a reference user
+    would write as a script. Same map-only fan-out plan as q94 plus
+    one partial-agg groupBy."""
+    from .latin import run
+
+    rels = run(spark, f"""
+        d = LOAD '{sf}/documents.parquet' USING ParquetLoader();
+        c = FOREACH d GENERATE doc_id, FLATTEN(CHUNKS(text, 16, 12)) AS (chunk_id, n_tokens, chunk_text);
+        f = FILTER c BY n_tokens >= 8;
+        g = GROUP f BY doc_id;
+        out = FOREACH g GENERATE group AS doc_id, COUNT(f) AS n_chunks, SUM(f.n_tokens) AS total_tokens;
+    """)
+    return rels["out"].df.select(
+        "doc_id",
+        F.col("n_chunks").cast("long").alias("n_chunks"),
+        F.col("total_tokens").cast("long").alias("total_tokens"),
+    )
+
+
 def q87_dedup_groups(spark: SparkSession, sf: str) -> DataFrame:
     """Near-dup GROUPS: the q41 minhash-LSH pair stream transitively
     closed into connected components (operators/graph.py large-star/
@@ -1586,6 +1609,7 @@ _CHANGED_R3 = {
     "q98_latin_window_over",  # new in r3
     "q99_piggybank_funcs",  # new in r3
     "q100_incremental_dedup",  # new in r3
+    "q101_latin_chunk_pipeline",  # new in r3
 }
 
 
