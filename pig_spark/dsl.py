@@ -216,6 +216,17 @@ class Relation:
         """
         left = self.df
         right = other.df
+        if strategy == "auto":
+            # size + skew probe → 'replicated'/'skewed'/'hash'
+            # (operators.skew.advise_join_strategy; one bounded sample
+            # job on the larger side — plan-authoring-time cost)
+            from pig_spark.operators.skew import advise_join_strategy
+
+            if isinstance(on, Column):
+                strategy = None  # theta join: no equi-strategy applies
+            else:
+                strategy = advise_join_strategy(left, right, on)["strategy"]
+                strategy = {"hash": None, "skewed": None}.get(strategy, strategy)
         if strategy == "bloom":
             from pig_spark.functions.bloom import bloom_filter
 

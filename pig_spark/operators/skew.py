@@ -62,3 +62,60 @@ def skew_metrics(df: DataFrame, key: str, top: int = 10) -> DataFrame:
         .orderBy(F.col("count").desc())
         .limit(top)
     )
+
+
+def plan_size_bytes(df: DataFrame) -> int:
+    """Catalyst's size estimate for a DataFrame's optimized plan
+    (file-relation sizes propagated through the operators) — the same
+    statistic AQE and the broadcast-threshold rule consult."""
+    return int(df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes())
+
+
+def advise_join_strategy(
+    left: DataFrame,
+    right: DataFrame,
+    on: str | list[str],
+    broadcast_bytes: int = 10 << 20,
+    skew_ratio: float = 8.0,
+    sample_frac: float = 0.05,
+) -> dict:
+    """Pick the join strategy the way Pig users had to by hand
+    (pig.join docs: "use 'replicated' when one input is tiny, 'skewed'
+    when a key dominates"): plan-statistics size check first (no job),
+    then ONE bounded sampling job probing key skew on the larger side.
+
+    Returns {'strategy': 'replicated'|'skewed'|'hash', 'build_side',
+    'reason', 'left_bytes', 'right_bytes'}. 'skewed' means: rely on
+    AQE's runtime skew split, or operators.skew.salted_join when the
+    plan must be static. The probe costs one sample+agg over
+    ``sample_frac`` of the big side — call at plan-authoring time, not
+    per-query in a hot loop.
+    """
+    ls, rs = plan_size_bytes(left), plan_size_bytes(right)
+    out = {"left_bytes": ls, "right_bytes": rs, "build_side": "right" if rs <= ls else "left"}
+    if min(ls, rs) <= broadcast_bytes:
+        out["strategy"] = "replicated"
+        out["reason"] = (
+            f"{out['build_side']} side estimates {min(ls, rs)} B <= "
+            f"broadcast threshold {broadcast_bytes} B"
+        )
+        return out
+    keys = [on] if isinstance(on, str) else list(on)
+    big = left if ls >= rs else right
+    stats = (
+        big.sample(fraction=sample_frac, seed=7)
+        .groupBy(*[F.col(k) for k in keys])
+        .agg(F.count(F.lit(1)).alias("__n"))
+        .agg(F.max("__n").alias("mx"), F.avg("__n").alias("av"))
+        .first()
+    )
+    if stats and stats["mx"] and stats["av"] and stats["mx"] / stats["av"] >= skew_ratio:
+        out["strategy"] = "skewed"
+        out["reason"] = (
+            f"sampled hottest key carries {stats['mx']} of ~{stats['av']:.1f} avg rows "
+            f"(ratio >= {skew_ratio}): AQE skew split / salted_join"
+        )
+        return out
+    out["strategy"] = "hash"
+    out["reason"] = "both sides large, keys balanced: shuffle hash/sort-merge"
+    return out

@@ -673,3 +673,40 @@ def test_incremental_dedup_index_roundtrip(spark, sf_dir, tmp_path):
     }
     got = {(r["new_id"], r["match_id"]) for r in rows}
     assert want <= got, want - got
+
+
+def test_advise_join_strategy(spark, sf_dir):
+    """operators/skew.advise_join_strategy: tiny dim → replicated,
+    boosted hot key → skewed, balanced large sides → hash; and
+    Relation.join(strategy='auto') broadcasts the small side
+    (plan-asserted)."""
+    from pyspark.sql import functions as F
+
+    from pig_spark.dsl import Relation
+    from pig_spark.operators.skew import advise_join_strategy
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    nation = spark.read.parquet(f"{sf_dir}/nation.parquet")
+    adv = advise_join_strategy(li, nation, "l_orderkey")
+    assert adv["strategy"] == "replicated" and adv["build_side"] == "right"
+
+    # zipf-ish: one hot key carries ~half the rows
+    e = spark.read.parquet(f"{sf_dir}/events.parquet").select("event_id", "user_id")
+    hot = e.limit(1).select(F.lit(0).alias("event_id"), F.lit(424242).alias("user_id"))
+    boosted = e.unionByName(
+        hot.withColumn("__x", F.explode(F.sequence(F.lit(1), F.lit(e.count())))).drop("__x")
+    )
+    adv2 = advise_join_strategy(
+        boosted, boosted.select("user_id").distinct(), "user_id",
+        broadcast_bytes=1, sample_frac=0.5,
+    )
+    assert adv2["strategy"] == "skewed", adv2
+
+    adv3 = advise_join_strategy(li, li, "l_orderkey", broadcast_bytes=1, sample_frac=0.2)
+    assert adv3["strategy"] == "hash", adv3
+
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    dim = nation.withColumnRenamed("n_nationkey", "c_nationkey")
+    j = Relation(cust).join(Relation(dim), on="c_nationkey", strategy="auto")
+    plan = j.df._jdf.queryExecution().executedPlan().toString().split("== Initial Plan ==")[0]
+    assert "BroadcastHashJoin" in plan
