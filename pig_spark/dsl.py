@@ -219,14 +219,17 @@ class Relation:
         if strategy == "auto":
             # size + skew probe → 'replicated'/'skewed'/'hash'
             # (operators.skew.advise_join_strategy; one bounded sample
-            # job on the larger side — plan-authoring-time cost)
+            # job on the larger side — plan-authoring-time cost). For a
+            # Column condition (theta join) only the size check runs.
             from pig_spark.operators.skew import advise_join_strategy
 
-            if isinstance(on, Column):
-                strategy = None  # theta join: no equi-strategy applies
-            else:
-                strategy = advise_join_strategy(left, right, on)["strategy"]
-                strategy = {"hash": None, "skewed": None}.get(strategy, strategy)
+            adv = advise_join_strategy(left, right, on)
+            if adv["strategy"] == "replicated":
+                if adv["build_side"] == "left":
+                    left = F.broadcast(left)
+                else:
+                    right = F.broadcast(right)
+            strategy = None  # skewed/hash → AQE handles at runtime
         if strategy == "bloom":
             from pig_spark.functions.bloom import bloom_filter
 
@@ -253,7 +256,7 @@ class Relation:
             right = right.hint("shuffle_hash")
         if isinstance(on, str):
             on = [on]
-        return Relation(self.df.join(right, on=on, how=how))
+        return Relation(left.join(right, on=on, how=how))
 
     def semi_join(self, other: "Relation", on: str | Sequence[str] | Column) -> "Relation":
         """Pig idiom COGROUP + IsEmpty-filter (builtin/IsEmpty.java) → left_semi."""

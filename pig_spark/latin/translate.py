@@ -1455,6 +1455,11 @@ class PigTranslator:
             strategy = "replicated"
         elif op.strategy in ("merge", "merge-sparse"):
             strategy = "merge"
+        elif op.strategy == "auto":
+            # size-statistics broadcast decision (advise_join_strategy);
+            # the join condition is a Column here, so the skew probe is
+            # skipped — skew falls to AQE either way
+            strategy = "auto"
         # qualify columns alias::col (Pig join output naming)
         sides = []
         for rel_alias, keys in zip(op.rels, op.keys):

@@ -74,7 +74,7 @@ def plan_size_bytes(df: DataFrame) -> int:
 def advise_join_strategy(
     left: DataFrame,
     right: DataFrame,
-    on: str | list[str],
+    on: "str | list[str] | Column",
     broadcast_bytes: int = 10 << 20,
     skew_ratio: float = 8.0,
     sample_frac: float = 0.05,
@@ -100,11 +100,16 @@ def advise_join_strategy(
             f"broadcast threshold {broadcast_bytes} B"
         )
         return out
+    if isinstance(on, Column):
+        # theta condition: no named keys to probe — size check only
+        out["strategy"] = "hash"
+        out["reason"] = "non-equi condition, both sides over broadcast threshold"
+        return out
     keys = [on] if isinstance(on, str) else list(on)
     big = left if ls >= rs else right
     stats = (
         big.sample(fraction=sample_frac, seed=7)
-        .groupBy(*[F.col(k) for k in keys])
+        .groupBy(*[F.col(k) if isinstance(k, str) else k for k in keys])
         .agg(F.count(F.lit(1)).alias("__n"))
         .agg(F.max("__n").alias("mx"), F.avg("__n").alias("av"))
         .first()

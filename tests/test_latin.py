@@ -1242,3 +1242,16 @@ def test_latin_pipeline_bag_functions(spark, sf_dir):
     assert got.exceptAll(want).count() == 0 and want.exceptAll(got).count() == 0
     assert rels["top"].df.filter(F.col("n") <= 0).count() == 0
     assert rels["s"].df.filter(F.col("n_sh") <= 0).count() == 0
+
+
+def test_latin_join_auto_strategy(spark, sf_dir):
+    """JOIN ... USING 'auto': the advisor's size check broadcasts the
+    small side from Pig Latin too."""
+    rels = run(spark, f"""
+        c = LOAD '{sf_dir}/customer.parquet' USING ParquetLoader();
+        n = LOAD '{sf_dir}/nation.parquet' USING ParquetLoader();
+        j = JOIN c BY c_nationkey, n BY n_nationkey USING 'auto';
+    """)
+    plan = rels["j"].df._jdf.queryExecution().executedPlan().toString().split("== Initial Plan ==")[0]
+    assert "BroadcastHashJoin" in plan
+    assert rels["j"].df.count() == spark.read.parquet(f"{sf_dir}/customer.parquet").count()
