@@ -233,3 +233,50 @@ def rollup_stream(
         F.window(F.col(ts_col), window), *(keys or [])
     )
     return grouped.agg(*parsed)
+
+
+def incremental_dedup_stream(
+    doc_stream: DataFrame,
+    index_df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Streaming twin of ``dedup.incremental_minhash_pairs``: documents
+    arriving on a stream are minhash-signed (pure Column ops — legal in
+    streaming), band-bucketed, and joined against the STATIC stored
+    signature index (``dedup.signature_index`` parquet) — a
+    stream-static equi-join, so no streaming state beyond the running
+    batch. Emits ``(new_id, match_id, est_jaccard)`` rows as documents
+    arrive; at scale the index side is the band-partitioned table and
+    each micro-batch's band rows are the small probe.
+
+    The index is read at query start (static side); rewrite/refresh it
+    with the batch job on whatever cadence ingestion requires."""
+    from pyspark.sql import functions as F
+
+    from ..functions import dedup as _dedup
+
+    new_idx = _dedup.signature_index(doc_stream, text_col, id_col)
+    new_bands = new_idx.select(
+        F.col(id_col).alias("new_id"), F.col("signature").alias("sig_new"), "band", "bh"
+    )
+    corpus = index_df.select(
+        F.col(id_col).alias("match_id"), F.col("signature").alias("sig_old"), "band", "bh"
+    )
+    cand = (
+        new_bands.join(corpus, ["band", "bh"])
+        .filter(F.col("new_id") != F.col("match_id"))
+        .dropDuplicates(["new_id", "match_id"])
+    )
+    agree = F.aggregate(
+        F.zip_with("sig_new", "sig_old", lambda a, b: (a == b).cast("int")),
+        F.lit(0),
+        lambda acc, x: acc + x,
+    )
+    est = F.round(agree.cast("double") / F.lit(float(_dedup.MINHASH_K)), 6)
+    return (
+        cand.withColumn("est_jaccard", est)
+        .filter(F.col("est_jaccard") >= threshold)
+        .select("new_id", "match_id", "est_jaccard")
+    )

@@ -366,3 +366,44 @@ def test_rollup_stream_rejects_non_mergeable(spark):
     df = spark.readStream.format("rate").load()
     with _pytest.raises(ValueError, match="mergeable"):
         rollup_stream(df, "timestamp", "1 minute", aggs={"a": "avg(value)"})
+
+
+def test_incremental_dedup_stream_matches_batch(spark, sf_dir, tmp_path):
+    """Stream-static incremental dedup: documents streamed from parquet
+    against a stored signature index give exactly the batch
+    incremental_minhash_pairs result."""
+    from pig_spark.functions import dedup
+    from pig_spark.sources import store
+    from pig_spark.streaming import incremental_dedup_stream
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    idx_path = str(tmp_path / "sig_index")
+    store(dedup.signature_index(d, "text", "doc_id"), idx_path, "parquet", partition_by=["band"])
+    index = spark.read.parquet(idx_path)
+
+    new_dir = str(tmp_path / "incoming")
+    new_batch = d.filter(F.col("doc_id") % 10 == 0)
+    new_batch.write.parquet(new_dir)
+    src = spark.readStream.schema(new_batch.schema).parquet(new_dir)
+
+    out = incremental_dedup_stream(src, index, threshold=0.5)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("inc_dedup")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        q.awaitTermination(120)
+    finally:
+        q.stop()
+    got = {
+        (r["new_id"], r["match_id"], r["est_jaccard"])
+        for r in spark.sql("SELECT * FROM inc_dedup").collect()
+    }
+    want = {
+        (r["new_id"], r["match_id"], r["est_jaccard"])
+        for r in dedup.incremental_minhash_pairs(new_batch, "text", "doc_id", index, 0.5).collect()
+    }
+    assert got == want and len(want) > 0
