@@ -165,3 +165,49 @@ def test_contamination_broadcasts_eval_side(spark, sf_dir):
         .toString()
     )
     assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan
+
+
+def test_chunking_is_map_only(spark, sf_dir):
+    """q94: context-window sharding must not shuffle — split → explode
+    → slice runs entirely inside the scan's stage at any scale."""
+    from pig_spark.queries import q94_doc_chunks
+
+    plan = q94_doc_chunks(spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
+    final = plan.split("== Initial Plan ==")[0]
+    assert "Exchange" not in final, final
+
+
+def test_latin_over_single_exchange(spark, sf_dir):
+    """q98: all four Over windows share one partitioning+ordering —
+    exactly ONE hash exchange in the final plan."""
+    from pig_spark.queries import q98_latin_window_over
+
+    plan = q98_latin_window_over(spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
+    final = plan.split("== Initial Plan ==")[0]
+    assert final.count("Exchange hashpartitioning") == 1, final
+
+
+def test_incremental_dedup_broadcasts_new_side(spark, sf_dir):
+    """q100: the new batch's band rows broadcast into the index join —
+    the corpus-sized side must never shuffle for a daily batch."""
+    from pig_spark.queries import q100_incremental_dedup
+
+    plan = q100_incremental_dedup(spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
+    final = plan.split("== Initial Plan ==")[0]
+    assert "BroadcastHashJoin" in final or "BroadcastExchange" in final, final
+    assert "CartesianProduct" not in final
+
+
+def test_mixture_sample_corpus_never_shuffles(spark, sf_dir):
+    """operators.sampling.mixture_sample: the kept-rows side of the
+    plan is scan → broadcast-join → filter; the only exchanges belong
+    to the tiny per-stratum rate aggregate."""
+    from pig_spark.operators.sampling import mixture_sample
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    kept = mixture_sample(d, "lang", "doc_id")
+    final = kept._jdf.queryExecution().executedPlan().toString().split("== Initial Plan ==")[0]
+    assert "BroadcastHashJoin" in final, final
+    # rate-table aggregation may exchange its |strata| rows; the
+    # document scan itself must feed the broadcast join directly
+    assert "SortMergeJoin" not in final and "ShuffledHashJoin" not in final
