@@ -220,13 +220,50 @@ def _gen(rng, sf_dir):
             lines.append(f"out = FOREACH h GENERATE {gen_keys}, {', '.join(aggs_l and [a.split(' AS ')[1] for a in aggs_l])};")
         key_sql = ", ".join(keys)
         sql = f"SELECT {key_sql}, {', '.join(aggs_s)} FROM ({sql_base}) GROUP BY {key_sql}"
-    elif shape < 0.8:
+    elif shape < 0.72:
+        # r3: scripting UDFs (REGISTER ... USING jython AS ns) applied
+        # to the projection — typed @outputSchema returns vs SQL twins
+        k = rng.randint(1, 99)
+        c = rng.randint(100, 5000)
+        lines.insert(0, f"REGISTER '{_udf_file()}' USING jython AS fz;")
+        lines.append(
+            f"out = FOREACH p GENERATE l_returnflag, fz.addk(cents, {k}) AS ck, "
+            f"fz.tag(cents, {c}) AS tg;"
+        )
+        sql = (
+            f"SELECT l_returnflag, cents + {k} AS ck, "
+            f"CASE WHEN cents > {c} THEN 'hi' ELSE 'lo' END AS tg FROM ({sql_base})"
+        )
+    elif shape < 0.86:
         lines.append("out = DISTINCT p;")
         sql = f"SELECT DISTINCT * FROM ({sql_base})"
     else:
         lines.append("out = FOREACH p GENERATE *;")
         sql = f"SELECT * FROM ({sql_base})"
     return "\n".join(lines), sql
+
+
+_UDF_FILE = None
+
+
+def _udf_file() -> str:
+    """One shared scripting-UDF file per test session."""
+    global _UDF_FILE
+    if _UDF_FILE is None:
+        import tempfile
+
+        fd, path = tempfile.mkstemp(suffix=".py", prefix="fuzz_udfs_")
+        with open(fd, "w") as fh:
+            fh.write(
+                '@outputSchema("ck:long")\n'
+                "def addk(x, k):\n"
+                "    return None if x is None else x + k\n\n"
+                '@outputSchema("tg:chararray")\n'
+                "def tag(x, c):\n"
+                "    return 'hi' if (x or 0) > c else 'lo'\n"
+            )
+        _UDF_FILE = path
+    return _UDF_FILE
 
 
 def _norm(v):

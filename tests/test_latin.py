@@ -1255,3 +1255,17 @@ def test_latin_join_auto_strategy(spark, sf_dir):
     plan = rels["j"].df._jdf.queryExecution().executedPlan().toString().split("== Initial Plan ==")[0]
     assert "BroadcastHashJoin" in plan
     assert rels["j"].df.count() == spark.read.parquet(f"{sf_dir}/customer.parquet").count()
+
+
+def test_latin_over_group_all(spark, sf_dir):
+    """Over with GROUP ALL: one global bag — the window partitions by
+    nothing (Pig evaluates the whole relation as one ordered bag)."""
+    rels = run(spark, f"""
+        n = LOAD '{sf_dir}/nation.parquet' USING ParquetLoader();
+        g = GROUP n ALL;
+        c = FOREACH g {{ s = ORDER n BY n_nationkey; GENERATE FLATTEN(Stitch(s, Over(s.n_nationkey, 'row_number'))); }}
+    """)
+    rows = rels["c"].df.collect()
+    assert sorted(r["result"] for r in rows) == list(range(1, len(rows) + 1))
+    got = {r["n_nationkey"]: r["result"] for r in rows}
+    assert got[0] == 1 and got[max(got)] == len(rows)

@@ -105,3 +105,32 @@ def test_hashfnv_java_model(spark, strings):
     got = _eval(spark, strings, HashFNV, "long")
     for s, g in zip(strings, got):
         assert g == ref(s), (s, g, ref(s))
+
+
+@settings(max_examples=10, deadline=None)
+@given(st.lists(st.integers(0, 1_700_000_000), min_size=1, max_size=6))
+def test_iso_datetime_model(spark, epochs):
+    """piggybank ISO convert/diff/truncate vs a Python datetime model:
+    UnixToISO∘ISOToUnix round-trips epoch millis; ISODaysBetween and
+    ISOToDay agree with datetime arithmetic (UTC)."""
+    import datetime as dt
+
+    from pyspark.sql import functions as F
+
+    from pig_spark.functions import piggybank as PB
+
+    rows = [(e * 1000,) for e in epochs]
+    df = spark.createDataFrame(rows, "ms: long")
+    iso = PB.UnixToISO(F.col("ms"))
+    out = df.select(
+        "ms",
+        PB.ISOToUnix(iso).alias("rt"),
+        PB.ISOToDay(iso).alias("day"),
+        PB.ISODaysBetween(iso, PB.UnixToISO(F.lit(0))).alias("db"),
+    ).collect()
+    for r in out:
+        assert r["rt"] == r["ms"]
+        d = dt.datetime.fromtimestamp(r["ms"] / 1000, dt.timezone.utc)
+        midnight = d.replace(hour=0, minute=0, second=0, microsecond=0)
+        assert r["day"].startswith(midnight.strftime("%Y-%m-%dT00:00:00")), (r, midnight)
+        assert r["db"] == int(r["ms"] // 1000) // 86400
