@@ -57,24 +57,12 @@ def CHUNKS(col: Column, chunk: int = 16, stride: int = 12) -> Column:
     """Bag form of operators.chunking.chunk_documents for the Pig
     FLATTEN idiom: `FOREACH d GENERATE doc_id, FLATTEN(CHUNKS(text))
     AS (chunk_id, n_tokens, chunk_text);` — one struct per token
-    window (same offsets/last-window rule as the operator), computed
-    in codegen on the staged split array. FLATTEN explodes it into the
-    per-chunk rows a chunking pipeline stores."""
-    from pyspark.sql import functions as _F
+    window (chunk_structs is the single source of the window rule).
+    FLATTEN explodes it into the per-chunk rows a chunking pipeline
+    stores."""
+    from ..operators.chunking import chunk_structs
 
-    words = _F.split(col, " ")
-    n = _F.size(words)
-    k_max = _F.greatest(_F.ceil((n - _F.lit(chunk)) / _F.lit(float(stride))), _F.lit(0)).cast("int")
-
-    def _one(k: Column) -> Column:
-        piece = _F.slice(words, k * stride + 1, chunk)
-        return _F.struct(
-            k.cast("long").alias("chunk_id"),
-            _F.size(piece).cast("long").alias("n_tokens"),
-            _F.array_join(piece, " ").alias("chunk_text"),
-        )
-
-    return _F.transform(_F.sequence(_F.lit(0), k_max), _one)
+    return chunk_structs(F.split(col, " "), chunk, stride)
 
 
 def NGRAMS(col: Column, n: int = 2) -> Column:

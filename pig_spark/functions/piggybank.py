@@ -144,9 +144,20 @@ def _utf8_bytes(col: Column) -> Column:
                     F.lit(0x80).bitwiseOR(cp.bitwiseAND(F.lit(0x3F))),
                 ),
             )
-            .otherwise(
+            .when(
+                cp < 0x10000,
                 F.array(
                     F.lit(0xE0).bitwiseOR(shr(cp, 12).bitwiseAND(F.lit(0x0F))),
+                    F.lit(0x80).bitwiseOR(shr(cp, 6).bitwiseAND(F.lit(0x3F))),
+                    F.lit(0x80).bitwiseOR(cp.bitwiseAND(F.lit(0x3F))),
+                ),
+            )
+            .otherwise(
+                # astral plane: 4-byte form (Java encodes the code
+                # point's surrogate pair to the same 4 UTF-8 bytes)
+                F.array(
+                    F.lit(0xF0).bitwiseOR(shr(cp, 18).bitwiseAND(F.lit(0x07))),
+                    F.lit(0x80).bitwiseOR(shr(cp, 12).bitwiseAND(F.lit(0x3F))),
                     F.lit(0x80).bitwiseOR(shr(cp, 6).bitwiseAND(F.lit(0x3F))),
                     F.lit(0x80).bitwiseOR(cp.bitwiseAND(F.lit(0x3F))),
                 )

@@ -31,6 +31,31 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 
+def chunk_structs(words: Column, chunk: int = 16, stride: int = 12) -> Column:
+    """``array<struct<chunk_id, n_tokens, chunk_text>>`` of the token
+    windows of a PRE-SPLIT word array — the single source of the
+    offset/last-window rule, shared by :func:`chunk_documents` (which
+    stages the split once per row) and the Latin bag function
+    ``CHUNKS`` (which passes ``split(text)`` directly — fine for
+    one-shot projections; stage the array for pipelines, per the
+    no-CSE-in-lambdas rule)."""
+    if stride <= 0 or chunk <= 0:
+        raise ValueError(f"chunk and stride must be positive, got {chunk}/{stride}")
+    n = F.size(words)
+    # smallest k with k*stride >= n - chunk  (>= 0)
+    k_max = F.greatest(F.ceil((n - F.lit(chunk)) / F.lit(float(stride))), F.lit(0)).cast("int")
+
+    def _one(k: Column) -> Column:
+        piece = F.slice(words, k * stride + 1, chunk)
+        return F.struct(
+            k.cast("long").alias("chunk_id"),
+            F.size(piece).cast("long").alias("n_tokens"),
+            F.array_join(piece, " ").alias("chunk_text"),
+        )
+
+    return F.transform(F.sequence(F.lit(0), k_max), _one)
+
+
 def chunk_documents(
     df: DataFrame,
     text_col: str | Column = "text",
@@ -45,28 +70,9 @@ def chunk_documents(
 
     Returns one row per (document, chunk): ``(id_col, chunk_id,
     n_tokens, chunk_text?)``. ``chunk_id`` is the 0-based window
-    index; offsets are ``chunk_id * stride``.
-    """
-    if stride <= 0 or chunk <= 0:
-        raise ValueError(f"chunk and stride must be positive, got {chunk}/{stride}")
+    index; offsets are ``chunk_id * stride``. The token array is
+    staged once per row before :func:`chunk_structs` windows it."""
     text = F.col(text_col) if isinstance(text_col, str) else text_col
-    words = F.split(text, " ")
-    n = F.size(words)
-    # smallest k with k*stride >= n - chunk  (>= 0)
-    k_max = F.greatest(F.ceil((n - F.lit(chunk)) / F.lit(float(stride))), F.lit(0)).cast("int")
-    staged = df.select(F.col(id_col), words.alias("__w"), k_max.alias("__kmax"))
-    exploded = staged.select(
-        id_col,
-        "__w",
-        F.explode(F.sequence(F.lit(0), F.col("__kmax"))).alias("chunk_id"),
-    )
-    start = F.col("chunk_id") * stride
-    piece = F.slice(F.col("__w"), start + 1, chunk)
-    cols = [
-        F.col(id_col),
-        F.col("chunk_id").cast("long").alias("chunk_id"),
-        F.size(piece).cast("long").alias("n_tokens"),
-    ]
-    if out_text:
-        cols.append(F.array_join(piece, " ").alias("chunk_text"))
-    return exploded.select(*cols)
+    staged = df.select(F.col(id_col), F.split(text, " ").alias("__w"))
+    out = staged.select(id_col, F.inline(chunk_structs(F.col("__w"), chunk, stride)))
+    return out if out_text else out.drop("chunk_text")

@@ -90,7 +90,9 @@ def test_hashfnv_java_model(spark, strings):
     over arbitrary unicode (BMP) strings, UTF-8 encoded."""
     from pig_spark.functions.piggybank import HashFNV
 
-    strings = [s for s in strings if all(ord(ch) < 0x10000 for ch in s)]
+    # surrogate halves can't UTF-8-encode; anything else (incl. astral
+    # 4-byte code points) must hash identically to Java
+    strings = [s for s in strings if all(not 0xD800 <= ord(ch) <= 0xDFFF for ch in s)]
     if not strings:
         return
 
