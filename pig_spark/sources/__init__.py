@@ -228,8 +228,20 @@ def load_regex(
     if len(cols) != n_groups:
         raise ValueError(f"{len(cols)} names for {n_groups} capture groups")
     df = load(spark, path, "text")
-    return df.filter(F.col("value").rlike(pattern)).select(
-        *[F.regexp_extract("value", pattern, i + 1).alias(c) for i, c in enumerate(cols)]
+    # THREE regex passes per line instead of n_groups+1 (log formats
+    # carry 9-11 groups): filter, take the FIRST match's text
+    # (regexp_substr = Matcher.find semantics, like RegExLoader.java),
+    # then rewrite that exact span into a US-delimited group string and
+    # split. regexp_replace on the isolated match text replaces its
+    # whole span, so surrounding text and later matches never leak in.
+    sep = "\x1f"
+    rewrite = sep.join(f"${i + 1}" for i in range(n_groups))
+    first = F.regexp_substr("value", F.lit(pattern))
+    parts = F.split(F.regexp_replace(first, pattern, rewrite), sep, -1)
+    return (
+        df.filter(F.col("value").rlike(pattern))
+        .select(parts.alias("__g"))
+        .select(*[F.get(F.col("__g"), i).alias(c) for i, c in enumerate(cols)])
     )
 
 

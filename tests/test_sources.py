@@ -267,3 +267,15 @@ def test_regex_log_loaders(spark, tmp_path):
     assert len(got) == 1 and got[0]["ip"] == "81.19.151.110" and got[0]["size"] == 156
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "BatchEvalPython" not in plan and "PythonUDF" not in plan
+
+
+def test_regex_loader_first_match_semantics(spark, tmp_path):
+    """RegExLoader.java uses Matcher.find(): an unanchored pattern
+    takes the FIRST match per line only (later matches and surrounding
+    text never leak into the fields)."""
+    p = tmp_path / "t.log"
+    p.write_text("junk key=a1 val=9 key=b2 val=8 trailing\nno match here\nkey=zz val=7\n")
+    from pig_spark.sources import load_regex
+
+    df = load_regex(spark, str(p), r"key=(\w+) val=(\d)", names=["k", "v"])
+    assert sorted(tuple(r) for r in df.collect()) == [("a1", "9"), ("zz", "7")]
