@@ -89,3 +89,42 @@ def bloom_tag(
     return probe.crossJoin(F.broadcast(bloom)).withColumn(
         flag, might_contain(F.col("positions"), pk)
     ).drop("positions")
+
+
+def _positions_sized(key: Column, m: int, k: int) -> list[Column]:
+    """k deterministic slot positions in an m-slot filter."""
+    s = key.cast("string")
+    return [(md5_32(F.concat(s, F.lit(f"#{i}"))) % m).cast("int") for i in range(k)]
+
+
+def build_bloom_packed(df: DataFrame, key: str | Column, m: int = 1 << 22, k: int = 4) -> DataFrame:
+    """Sized bloom filter packed into 64-bit words — the ≥2^20-slot
+    form the module docstring promises (the sparse set-bit list stops
+    paying once fill passes a few percent). One row
+    ``[words: map<int,bigint>]``: word index → OR of set bits, built
+    with map-side partial ``bit_or`` aggregation; broadcasting it costs
+    ~m/8 bytes at full fill and less when sparse. Pair with
+    :func:`might_contain_packed` using the SAME m and k."""
+    key_col = F.col(key) if isinstance(key, str) else key
+    pos = F.explode(F.array(*_positions_sized(key_col, m, k))).alias("__p")
+    words = df.select(pos).select(
+        F.expr("CAST(__p / 64 AS INT)").alias("__w"),
+        F.expr("shiftleft(CAST(1 AS BIGINT), CAST(__p % 64 AS INT))").alias("__b"),
+    )
+    return (
+        words.groupBy("__w")
+        .agg(F.bit_or("__b").alias("__bits"))
+        .agg(F.map_from_entries(F.collect_list(F.struct("__w", "__bits"))).alias("words"))
+    )
+
+
+def might_contain_packed(words: Column, key: Column, m: int = 1 << 22, k: int = 4) -> Column:
+    """Membership probe against :func:`build_bloom_packed`'s word map:
+    k ``getbit`` probes in codegen, no false negatives."""
+    out = None
+    for p in _positions_sized(key, m, k):
+        w = (p / F.lit(64)).cast("int")
+        r = (p % F.lit(64)).cast("int")
+        bit = F.getbit(F.coalesce(F.element_at(words, w), F.lit(0)), r) == 1
+        out = bit if out is None else (out & bit)
+    return out

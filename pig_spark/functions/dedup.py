@@ -469,3 +469,59 @@ def contamination_check(
         ratio.alias("ratio"),
         (ratio >= threshold).alias("contaminated"),
     )
+
+
+def contamination_check_bloom(
+    train: DataFrame,
+    bench: DataFrame,
+    text_col: str,
+    id_col: str,
+    n: int = SHINGLE_N,
+    threshold: float = 0.1,
+    bloom_m: int = 1 << 22,
+    bloom_k: int = 4,
+) -> DataFrame:
+    """:func:`contamination_check` for eval sets too large to broadcast
+    exactly (the fallback SCALE.md promises): a packed bloom of the
+    bench gram hashes broadcasts instead of the exact set (~m/8 bytes
+    regardless of gram count), the train gram stream is prefiltered
+    map-side, and only the tiny surviving stream takes a shuffle join
+    against the bench hashes for EXACT verification — output is
+    identical to the exact path (false positives are re-checked, no
+    false negatives exist).
+
+    Size ``bloom_m`` ≈ 10-15 bits per distinct bench gram for a ~1% FP
+    rate; survivors ≈ true hits + FP·|train grams|.
+    """
+    from .bloom import build_bloom_packed, might_contain_packed
+
+    tr = shingle_stage(train, text_col, id_col, n)
+    tr_grams = tr.select(id_col, F.explode("__sh").alias("__g")).select(
+        id_col, md5_60(F.col("__g")).alias("__gh")
+    )
+    bench_grams = (
+        bench.select(F.explode(word_shingles(F.col(text_col), n)).alias("__g"))
+        .select(md5_60(F.col("__g")).alias("__gh"))
+        .distinct()
+    )
+    bloom = build_bloom_packed(bench_grams, "__gh", bloom_m, bloom_k)
+    survivors = (
+        tr_grams.join(F.broadcast(bloom))
+        .filter(might_contain_packed(F.col("words"), F.col("__gh"), bloom_m, bloom_k))
+        .drop("words")
+    )
+    shared = (
+        survivors.join(bench_grams, "__gh", "left_semi")
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+    )
+    totals = tr_grams.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_grams"))
+    joined = totals.join(shared, id_col, "left").fillna(0, ["n_shared"])
+    ratio = F.round(F.col("n_shared") / F.greatest(F.col("n_grams"), F.lit(1)), 6)
+    return joined.select(
+        F.col(id_col),
+        F.col("n_shared").cast("long").alias("n_shared"),
+        F.col("n_grams").cast("long").alias("n_grams"),
+        ratio.alias("ratio"),
+        (ratio >= threshold).alias("contaminated"),
+    )

@@ -418,6 +418,19 @@ def oracle_sql() -> dict[str, str]:
                        CAST(s.n_grams AS BIGINT) AS n_grams,
                        round(CAST(COALESCE(h.n_shared, 0) AS DOUBLE) / greatest(s.n_grams, 1), 6) AS ratio
                 FROM sizes s LEFT JOIN hits h USING (doc_id)) z""",
+        "q102_contamination_bloom": f"""
+            WITH bench AS (SELECT doc_id, {_shingles('text')} AS sh FROM documents WHERE doc_id % 97 = 0),
+            bg AS (SELECT DISTINCT {_h60('u.g')} AS gh FROM bench, unnest(bench.sh) AS u(g)),
+            train AS (SELECT doc_id, {_shingles('text')} AS sh FROM documents WHERE doc_id % 97 <> 0),
+            sizes AS (SELECT doc_id, len(sh) AS n_grams FROM train),
+            tg AS (SELECT doc_id, {_h60('u.g')} AS gh FROM train, unnest(train.sh) AS u(g)),
+            hits AS (SELECT doc_id, COUNT(*) AS n_shared FROM tg WHERE gh IN (SELECT gh FROM bg) GROUP BY doc_id)
+            SELECT doc_id, n_shared, n_grams, ratio, ratio >= 0.05 AS contaminated FROM (
+                SELECT s.doc_id,
+                       CAST(COALESCE(h.n_shared, 0) AS BIGINT) AS n_shared,
+                       CAST(s.n_grams AS BIGINT) AS n_grams,
+                       round(CAST(COALESCE(h.n_shared, 0) AS DOUBLE) / greatest(s.n_grams, 1), 6) AS ratio
+                FROM sizes s LEFT JOIN hits h USING (doc_id)) z""",
         "q94_doc_chunks": """
             WITH w AS (SELECT doc_id, string_split(text, ' ') AS words FROM documents),
             k AS (SELECT doc_id, words,

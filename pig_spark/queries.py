@@ -1359,6 +1359,21 @@ def q101_latin_chunk_pipeline(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q102_contamination_bloom(spark: SparkSession, sf: str) -> DataFrame:
+    """q88's decontamination with the LARGE-eval-set path
+    (dedup.contamination_check_bloom): a packed bloom of the bench
+    gram hashes broadcasts instead of the exact set, the train gram
+    stream is prefiltered map-side, and only survivors shuffle for
+    exact verification — output identical to q88's exact path (same
+    oracle)."""
+    d = _t(spark, sf, "documents").df
+    bench = d.filter(F.col("doc_id") % 97 == 0)
+    train = d.filter(F.col("doc_id") % 97 != 0)
+    return dedup.contamination_check_bloom(
+        train, bench, "text", "doc_id", threshold=0.05, bloom_m=1 << 18
+    )
+
+
 def q87_dedup_groups(spark: SparkSession, sf: str) -> DataFrame:
     """Near-dup GROUPS: the q41 minhash-LSH pair stream transitively
     closed into connected components (operators/graph.py large-star/
@@ -1610,6 +1625,7 @@ _CHANGED_R3 = {
     "q99_piggybank_funcs",  # new in r3
     "q100_incremental_dedup",  # new in r3
     "q101_latin_chunk_pipeline",  # new in r3
+    "q102_contamination_bloom",  # new in r3
 }
 
 

@@ -710,3 +710,22 @@ def test_advise_join_strategy(spark, sf_dir):
     j = Relation(cust).join(Relation(dim), on="c_nationkey", strategy="auto")
     plan = j.df._jdf.queryExecution().executedPlan().toString().split("== Initial Plan ==")[0]
     assert "BroadcastHashJoin" in plan
+
+
+def test_contamination_bloom_equals_exact(spark, sf_dir):
+    """contamination_check_bloom == contamination_check exactly (bloom
+    false positives are re-verified), and the plan broadcasts only the
+    one-row packed filter — never the full gram-hash set."""
+    from pyspark.sql import functions as F
+
+    from pig_spark.functions import dedup
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    bench = d.filter(F.col("doc_id") % 97 == 0)
+    train = d.filter(F.col("doc_id") % 97 != 0)
+    exact = dedup.contamination_check(train, bench, "text", "doc_id", threshold=0.05)
+    bloomed = dedup.contamination_check_bloom(
+        train, bench, "text", "doc_id", threshold=0.05, bloom_m=1 << 16
+    )
+    assert exact.exceptAll(bloomed).count() == 0
+    assert bloomed.exceptAll(exact).count() == 0
