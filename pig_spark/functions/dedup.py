@@ -397,9 +397,19 @@ def incremental_minhash_pairs(
     corpus = index_df.select(
         F.col(id_col).alias("match_id"), F.col("signature").alias("sig_old"), "band", "bh"
     )
+    # daily batches broadcast (batch << corpus); a backfill-sized batch
+    # must NOT be forced onto the driver — fall back to the plain
+    # equi-join and let AQE pick the build side from runtime sizes
+    from ..operators.skew import plan_size_bytes
+
+    probe = new_bands
+    try:
+        if plan_size_bytes(new_df) <= 256 << 20:
+            probe = F.broadcast(new_bands)
+    except Exception:  # statistics unavailable (e.g. streaming plans)
+        pass
     cand = (
-        F.broadcast(new_bands)
-        .join(corpus, ["band", "bh"])
+        probe.join(corpus, ["band", "bh"])
         .filter(F.col("new_id") != F.col("match_id"))
         .select("new_id", "match_id", "sig_new", "sig_old")
         .dropDuplicates(["new_id", "match_id"])
