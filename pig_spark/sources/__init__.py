@@ -206,6 +206,70 @@ _REGEX_LOADERS = {
 }
 
 
+#: AllLoader.java's file.extension.loaders mapping, Spark-side: which
+#: engine format reads each file suffix in a mixed-format directory.
+ALL_LOADER_EXTENSIONS = {
+    ".parquet": "parquet",
+    ".orc": "orc",
+    ".avro": "avro",
+    ".json": "json",
+    ".jsonl": "json",
+    ".xml": "xml",
+    ".csv": "csv",
+    ".tsv": "csv",
+    ".txt": "text",
+    ".log": "text",
+}
+
+
+def load_all(
+    spark: SparkSession,
+    path: str,
+    extensions: dict[str, str] | None = None,
+    **options,
+) -> DataFrame:
+    """AllLoader (piggybank storage/AllLoader.java): point at a folder
+    of MIXED formats and pick the loader per file by extension (the
+    ``file.extension.loaders`` property, here :data:`ALL_LOADER_
+    EXTENSIONS` or the ``extensions`` override). Each present format
+    loads with a ``pathGlobFilter`` (one listing per format, pruned at
+    the source), every field is normalized to string (AllLoader's
+    bytearray-everything contract — cast at use sites, Pig gradual
+    typing), and the union is by column NAME with null-fill for
+    columns a format lacks. Gz/Bz2 text is transparent (Spark codecs),
+    matching the Java loader's compressed-text handling."""
+    import os
+
+    ext_map = extensions or ALL_LOADER_EXTENSIONS
+    present: dict[str, str] = {}
+    for root, _dirs, files in os.walk(path):
+        for f in files:
+            base = f[:-3] if f.endswith(".gz") else (f[:-4] if f.endswith(".bz2") else f)
+            ext = os.path.splitext(base)[1].lower()
+            if ext in ext_map:
+                present.setdefault(ext, ext_map[ext])
+    if not present:
+        raise ValueError(
+            f"AllLoader: no files under {path!r} match known extensions {sorted(ext_map)}"
+        )
+    parts = []
+    for ext, fmt in sorted(present.items()):
+        kwargs = dict(options)
+        if fmt == "csv" and ext == ".tsv":
+            kwargs["sep"] = "\t"
+        df = load(
+            spark, path, fmt,
+            pathGlobFilter=f"*{ext}*",  # covers .ext, .ext.gz, .ext.bz2
+            recursiveFileLookup=True,
+            **kwargs,
+        )
+        parts.append(df.select(*[df[c].cast("string").alias(c) for c in df.columns]))
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p, allowMissingColumns=True)
+    return out
+
+
 def load_regex(
     spark: SparkSession,
     path: str,
@@ -325,6 +389,8 @@ def load(
     restoring names and types over schemaless text.
     """
     lf = format.lower()
+    if lf == "allloader":
+        return load_all(spark, path, **options)
     if lf in _REGEX_LOADERS:
         preset = _REGEX_LOADERS[lf]
         pattern = options.pop("pattern", None) or (preset[0] if preset else None)

@@ -279,3 +279,25 @@ def test_regex_loader_first_match_semantics(spark, tmp_path):
 
     df = load_regex(spark, str(p), r"key=(\w+) val=(\d)", names=["k", "v"])
     assert sorted(tuple(r) for r in df.collect()) == [("a1", "9"), ("zz", "7")]
+
+
+def test_all_loader_mixed_formats(spark, tmp_path):
+    """AllLoader (piggybank AllLoader.java): a folder mixing CSV, JSON
+    and parquet loads per-extension, fields normalized to string
+    (bytearray-everything), union by name with null-fill."""
+    from pig_spark.sources import load, load_all
+
+    (tmp_path / "a.csv").write_text("1\tx\n2\ty\n")
+    (tmp_path / "b.json").write_text('{"_c0": "3", "_c1": "z", "extra": 9}\n')
+    spark.createDataFrame([(4, "w")], "_c0 int, _c1 string").write.parquet(str(tmp_path / "c.parquet"))
+
+    df = load_all(spark, str(tmp_path))
+    rows = sorted((r["_c0"], r["_c1"]) for r in df.collect())
+    assert rows == [("1", "x"), ("2", "y"), ("3", "z"), ("4", "w")]
+    assert all(t == "string" for _, t in df.dtypes)
+    extra = {r["_c0"]: r["extra"] for r in df.collect()}
+    assert extra["3"] == "9" and extra["1"] is None  # null-fill by name
+
+    # reachable via the USING alias too
+    df2 = load(spark, str(tmp_path), "AllLoader")
+    assert df2.count() == 4
