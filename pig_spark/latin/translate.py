@@ -83,15 +83,41 @@ def _load_script_udfs(path: str) -> dict:
         if name.startswith("_") or not callable(obj) or name == "outputSchema":
             continue
         schema = getattr(obj, "_pig_output_schema", None)
-        ptype = schema.rsplit(":", 1)[-1].strip().lower() if schema else "chararray"
-        if any(ch in ptype for ch in "(){}"):
-            raise NotImplementedError(
-                f"scripting UDF {name!r}: complex output schema {schema!r} not supported "
-                "(return scalars; build tuples/bags with the builtin TOTUPLE/TOBAG)"
-            )
-        spark_t = PIG_TO_SPARK_TYPE.get(ptype, "string")
-        out[name] = F.udf(obj, spark_t)
+        out[name] = F.udf(obj, _pig_schema_to_spark_ddl(schema) if schema else "string")
     return out
+
+
+def _pig_schema_to_spark_ddl(schema: str) -> str:
+    """@outputSchema string → Spark DDL type. Scalars
+    ('word:chararray'), tuples ('t:(a:int,b:chararray)' → struct) and
+    bags ('b:{(a:int)}' → array<struct>) — the shapes Pig scripting
+    UDFs declare (schema syntax per QueryParser.g field_def; a bag
+    result + FLATTEN is Pig's UDTF idiom and works the same here)."""
+    body = schema.strip()
+    # strip the outer field name (everything before the first ':' that
+    # precedes any bracket)
+    head, sep, rest = body.partition(":")
+    if sep and not any(ch in head for ch in "({"):
+        body = rest.strip()
+    if body.startswith("{"):
+        inner = body.strip("{}").strip()
+        return f"array<{_tuple_ddl(inner)}>"
+    if body.startswith("("):
+        return _tuple_ddl(body)
+    return PIG_TO_SPARK_TYPE.get(body.strip().lower(), "string")
+
+
+def _tuple_ddl(t: str) -> str:
+    t = t.strip()
+    if not (t.startswith("(") and t.endswith(")")):
+        raise SyntaxError(f"scripting UDF schema: expected a (tuple) form, got {t!r}")
+    fields = []
+    for part in t[1:-1].split(","):
+        fname, _, ftype = part.strip().partition(":")
+        if not fname:
+            raise SyntaxError(f"scripting UDF schema: unnamed field in {t!r}")
+        fields.append(f"{fname.strip()}:{PIG_TO_SPARK_TYPE.get(ftype.strip().lower(), 'string')}")
+    return "struct<" + ",".join(fields) + ">"
 
 
 def _suggest(name: str, candidates: list[str]) -> str:
@@ -1739,5 +1765,7 @@ def _default_name(e, i: int) -> str:
     if isinstance(e, G.Col):
         return e.name.split(".")[-1].split("::")[-1]
     if isinstance(e, G.Call):
-        return e.func.lower()
+        # namespace UDF calls: the dot would read as struct access in
+        # later projections — keep the leaf name only
+        return e.func.lower().split(".")[-1]
     return f"c{i}"

@@ -1214,12 +1214,29 @@ def test_latin_scripting_udfs(spark, sf_dir, tmp_path):
             n = LOAD '{sf_dir}/nation.parquet' USING ParquetLoader();
             t = FOREACH n GENERATE m.reverze(n_name);
         """)
-    bad = tmp_path / "bad.py"
-    bad.write_text('@outputSchema("t:(a:int,b:int)")\ndef f(x):\n    return (x, x)\n')
-    with pytest.raises(NotImplementedError, match="complex output schema"):
-        run(spark, f"REGISTER '{bad}' USING jython AS b; "
-                   f"n = LOAD '{sf_dir}/nation.parquet' USING ParquetLoader(); "
-                   "t = FOREACH n GENERATE b.f(n_nationkey);")
+    # tuple + bag output schemas: the Pig UDTF idiom (bag + FLATTEN)
+    cx = tmp_path / "cx.py"
+    cx.write_text(
+        '@outputSchema("t:(w:chararray, n:int)")\n'
+        "def first_word(s):\n"
+        "    ws = (s or '').split('_')\n"
+        "    return (ws[0] if ws else None, len(ws))\n\n"
+        '@outputSchema("b:{(tok:chararray, pos:int)}")\n'
+        "def parts(s):\n"
+        "    return [(w, i) for i, w in enumerate((s or '').split('_'))]\n"
+    )
+    rels2 = run(spark, f"""
+        REGISTER '{cx}' USING jython AS u;
+        n = LOAD '{sf_dir}/nation.parquet' USING ParquetLoader();
+        t = FOREACH n GENERATE n_nationkey, FLATTEN(u.first_word(n_name)) AS (w, cnt);
+        p = FOREACH n GENERATE n_nationkey, FLATTEN(u.parts(n_name));
+        q = FILTER p BY pos == 1;
+    """)
+    trow = {r["n_nationkey"]: (r["w"], r["cnt"]) for r in rels2["t"].df.collect()}
+    assert trow[0] == ("NATION", 2)
+    qrow = {r["n_nationkey"]: r["tok"] for r in rels2["q"].df.collect()}
+    assert qrow[7] == "7"  # second token of NATION_7
+    assert dict(rels2["q"].df.dtypes)["pos"] == "int"
 
 
 def test_latin_pipeline_bag_functions(spark, sf_dir):
