@@ -4,8 +4,9 @@ entry(spark): flagship query smoke check at sf0.001.
 queries(): every implemented operator from SURVEY.md §2 (+ training-
 data pipeline ops) as (spark, sf_dir) -> DataFrame callables.
 oracle_sql(): matching DuckDB SQL for the hash-compare correctness
-gate (keys omitted → rows-only check: q78_sketch_uniques — HLL
-estimates are impl-defined, error bound pinned in tests instead).
+gate — EVERY registered query has an oracle entry (q78's HLL estimate
+is gated through a deterministic boundedness twin: per-scope
+within_bound booleans the oracle predicts all-true).
 """
 
 from __future__ import annotations
