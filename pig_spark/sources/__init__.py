@@ -538,3 +538,55 @@ def store_sequence_file(df: DataFrame, path: str) -> None:
 def load_tables(spark: SparkSession, sf_dir: str, *names: str) -> dict[str, DataFrame]:
     """Convenience: load driver test tables from a scale-factor dir."""
     return {n: load(spark, f"{sf_dir}/{n}.parquet", "parquet") for n in names}
+
+
+def compact(
+    spark: SparkSession,
+    path: str,
+    target_file_mb: int = 256,
+    format: str = "parquet",
+    sort_within_by: Sequence[str] | None = None,
+) -> int:
+    """Compact a small-files directory into ~``target_file_mb`` output
+    files — the maintenance pass every long-running ingestion needs
+    (streaming sinks and fine-grained partitions leave thousands of
+    KB-sized files whose open/footer cost dominates 100 TB scans).
+
+    Sizing reads ONLY the file listing (no data pass): output file
+    count = ceil(on-disk bytes / target). The rewrite is one job —
+    coalesce when shrinking (no shuffle) — staged into a sibling
+    directory and atomically swapped in, so readers never see a
+    half-written state. ``sort_within_by`` optionally sorts rows
+    within each output file (repartition+sort — one shuffle) to
+    restore clustering/min-max pruning after compaction.
+
+    Returns the number of files written."""
+    import math
+    import os
+    import shutil
+
+    total = 0
+    n_src = 0
+    for root, _dirs, files in os.walk(path):
+        for f in files:
+            if f.startswith(("_", ".")):
+                continue
+            total += os.path.getsize(os.path.join(root, f))
+            n_src += 1
+    if n_src == 0:
+        raise ValueError(f"compact: no data files under {path!r}")
+    n_out = max(1, math.ceil(total / (target_file_mb << 20)))
+
+    df = load(spark, path, format)
+    if sort_within_by:
+        out = df.repartition(n_out).sortWithinPartitions(*sort_within_by)
+    else:
+        out = df.coalesce(n_out) if n_out < n_src else df.repartition(n_out)
+    staging = path.rstrip("/") + "._compact_tmp"
+    store(out, staging, format, mode="overwrite")
+    backup = path.rstrip("/") + "._compact_old"
+    shutil.rmtree(backup, ignore_errors=True)
+    os.rename(path, backup)
+    os.rename(staging, path)
+    shutil.rmtree(backup)
+    return n_out

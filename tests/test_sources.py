@@ -301,3 +301,31 @@ def test_all_loader_mixed_formats(spark, tmp_path):
     # reachable via the USING alias too
     df2 = load(spark, str(tmp_path), "AllLoader")
     assert df2.count() == 4
+
+
+def test_compact_small_files(spark, tmp_path):
+    """sources.compact: a many-small-files directory rewrites to the
+    byte-sized file count, values preserved, optional within-file sort
+    restores clustering; readers see old-or-new, never half-written."""
+    import glob
+
+    from pig_spark.sources import compact, load
+
+    path = str(tmp_path / "frag")
+    spark.range(0, 10000).repartition(64).write.parquet(path)
+    n_before = len(glob.glob(f"{path}/*.parquet"))
+    assert n_before >= 32
+
+    n_out = compact(spark, path, target_file_mb=1, sort_within_by=["id"])
+    n_after = len(glob.glob(f"{path}/*.parquet"))
+    assert n_after == n_out < n_before
+
+    back = load(spark, path)
+    assert back.count() == 10000
+    assert back.agg({"id": "sum"}).first()[0] == sum(range(10000))
+    # per-file clustering after sort_within_by: each file's ids sorted
+    import pyarrow.parquet as pq
+
+    for f in glob.glob(f"{path}/*.parquet"):
+        ids = pq.read_table(f, columns=["id"]).column("id").to_pylist()
+        assert ids == sorted(ids)
