@@ -303,3 +303,60 @@ def test_bigdata_order_parallel(spark, sf_dir):
     """)
     rows = [(r["c_nationkey"], float(r["c_acctbal"])) for r in rels["b"].df.collect()]
     assert rows == sorted(rows, key=lambda t: (t[0], -t[1]))
+
+
+def test_streaming_conf_define_stream_group(spark, sf_dir):
+    """streaming.conf 'StreamingPerformance'/'DefineCommand' shape:
+    DEFINE an external command, STREAM a projection through it with an
+    AS schema, then GROUP the streamed output — the two-stage pipeline
+    the reference's streaming suite drives (POStream + downstream MR
+    job; here rdd.pipe + one aggregation)."""
+    from pig_spark.latin import run
+
+    rels = run(spark, f"""
+        DEFINE upper_cmd `tr a-z A-Z`;
+        c = LOAD '{sf_dir}/customer.parquet' USING ParquetLoader();
+        p = FOREACH c GENERATE c_mktsegment;
+        u = STREAM p THROUGH upper_cmd AS (seg:chararray);
+        g = GROUP u BY seg;
+        out = FOREACH g GENERATE group AS seg, COUNT(u) AS n;
+    """)
+    got = {r["seg"]: r["n"] for r in rels["out"].df.collect()}
+    want = {
+        r["c_mktsegment"].upper(): r["n"]
+        for r in spark.read.parquet(f"{sf_dir}/customer.parquet")
+        .groupBy("c_mktsegment")
+        .count()
+        .withColumnRenamed("count", "n")
+        .collect()
+    }
+    assert got == want and all(s == s.upper() for s in got)
+
+
+def test_turing_jython_conf_embed_with_udfs(spark, sf_dir, tmp_path):
+    """turing_jython.conf shape: Python control flow (embed.Pig
+    compile/bind/run) driving a script that REGISTERs a scripting-UDF
+    file — iteration picks a threshold until the filtered count
+    converges, exactly the reference's Jython-embedding pattern."""
+    from pig_spark.embed import Pig
+
+    udfs = tmp_path / "tj.py"
+    udfs.write_text(
+        '@outputSchema("n:long")\n'
+        "def weight(nk, rk):\n"
+        "    return nk * 10 + rk\n"
+    )
+    script = Pig.compile(f"""
+        n = LOAD '{sf_dir}/nation.parquet' USING ParquetLoader();
+        REGISTER '{udfs}' USING jython AS tj;
+        w = FOREACH n GENERATE n_nationkey, tj.weight(n_nationkey, n_regionkey) AS wt;
+        big = FILTER w BY wt >= $cut;
+    """)
+    cut, kept = 0, None
+    for _ in range(6):  # converge on the cut keeping <= 10 rows
+        res = script.bind({"cut": str(cut)}).run_single(spark)
+        kept = res.result("big").df.count()
+        if kept <= 10:
+            break
+        cut += 50
+    assert kept is not None and kept <= 10 and cut > 0
