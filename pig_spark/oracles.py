@@ -532,6 +532,21 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_chunks,
                    CAST(SUM(n_tokens) AS BIGINT) AS total_tokens
             FROM c WHERE n_tokens >= 8 GROUP BY doc_id""",
+        "q103_log_parse": """
+            WITH l AS (
+                SELECT event_id,
+                       '10.0.' || CAST(user_id % 256 AS VARCHAR) || '.' || CAST(user_id % 7 AS VARCHAR)
+                       || ' - frank [01/Jan/2024:00:00:00 +0000] "' || upper(event_type)
+                       || ' /e/' || CAST(event_id AS VARCHAR) || ' HTTP/1.1" '
+                       || CAST(200 + event_id % 3 AS VARCHAR) || ' ' || CAST(CAST(floor(value * 10) AS BIGINT) AS VARCHAR) AS line
+                FROM events)
+            SELECT event_id,
+                   regexp_extract(line, '^(\S+)\s+(\S+)\s+(\S+)\s+.(\S+\s+\S+).\s+.(\S+)\s+(\S+)\s+(\S+.\S+).\s+(\S+)\s+(\S+)$', 1) AS remote_addr,
+                   regexp_extract(line, '^(\S+)\s+(\S+)\s+(\S+)\s+.(\S+\s+\S+).\s+.(\S+)\s+(\S+)\s+(\S+.\S+).\s+(\S+)\s+(\S+)$', 5) AS method,
+                   regexp_extract(line, '^(\S+)\s+(\S+)\s+(\S+)\s+.(\S+\s+\S+).\s+.(\S+)\s+(\S+)\s+(\S+.\S+).\s+(\S+)\s+(\S+)$', 6) AS uri,
+                   CAST(regexp_extract(line, '^(\S+)\s+(\S+)\s+(\S+)\s+.(\S+\s+\S+).\s+.(\S+)\s+(\S+)\s+(\S+.\S+).\s+(\S+)\s+(\S+)$', 8) AS INT) AS status,
+                   CAST(regexp_extract(line, '^(\S+)\s+(\S+)\s+(\S+)\s+.(\S+\s+\S+).\s+.(\S+)\s+(\S+)\s+(\S+.\S+).\s+(\S+)\s+(\S+)$', 9) AS BIGINT) AS bytes
+            FROM l""",
         "q90_pii_redaction": f"""
             WITH s AS (
                 SELECT doc_id,

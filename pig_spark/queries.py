@@ -1374,6 +1374,35 @@ def q102_contamination_bloom(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q103_log_parse(spark: SparkSession, sf: str) -> DataFrame:
+    """Apache-log analysis — THE original Pig use case — through the
+    RegExLoader machinery (sources.regex_groups: first-match
+    Matcher.find semantics, 3 regex passes per line regardless of
+    group count): common-log lines synthesized from events are parsed
+    back into typed fields. Map-only codegen; the oracle parses the
+    identical lines with the identical pattern."""
+    from .sources import COMMON_LOG_PATTERN, regex_groups
+
+    e = _t(spark, sf, "events").df
+    line = F.concat(
+        F.lit("10.0."), (F.col("user_id") % 256).cast("string"),
+        F.lit("."), (F.col("user_id") % 7).cast("string"),
+        F.lit(" - frank [01/Jan/2024:00:00:00 +0000] \""),
+        F.upper(F.col("event_type")), F.lit(" /e/"), F.col("event_id").cast("string"),
+        F.lit(" HTTP/1.1\" "), (F.lit(200) + F.col("event_id") % 3).cast("string"),
+        F.lit(" "), F.floor(F.col("value") * 10).cast("string"),
+    )
+    parsed = e.select("event_id", regex_groups(line, COMMON_LOG_PATTERN, 9).alias("__g"))
+    return parsed.select(
+        "event_id",
+        F.get("__g", 0).alias("remote_addr"),
+        F.get("__g", 4).alias("method"),
+        F.get("__g", 5).alias("uri"),
+        F.get("__g", 7).try_cast("int").alias("status"),
+        F.get("__g", 8).try_cast("long").alias("bytes"),
+    )
+
+
 def q87_dedup_groups(spark: SparkSession, sf: str) -> DataFrame:
     """Near-dup GROUPS: the q41 minhash-LSH pair stream transitively
     closed into connected components (operators/graph.py large-star/
@@ -1626,6 +1655,7 @@ _CHANGED_R3 = {
     "q100_incremental_dedup",  # new in r3
     "q101_latin_chunk_pipeline",  # new in r3
     "q102_contamination_bloom",  # new in r3
+    "q103_log_parse",  # new in r3
 }
 
 

@@ -292,21 +292,30 @@ def load_regex(
     if len(cols) != n_groups:
         raise ValueError(f"{len(cols)} names for {n_groups} capture groups")
     df = load(spark, path, "text")
-    # THREE regex passes per line instead of n_groups+1 (log formats
-    # carry 9-11 groups): filter, take the FIRST match's text
-    # (regexp_substr = Matcher.find semantics, like RegExLoader.java),
-    # then rewrite that exact span into a US-delimited group string and
-    # split. regexp_replace on the isolated match text replaces its
-    # whole span, so surrounding text and later matches never leak in.
-    sep = "\x1f"
-    rewrite = sep.join(f"${i + 1}" for i in range(n_groups))
-    first = F.regexp_substr("value", F.lit(pattern))
-    parts = F.split(F.regexp_replace(first, pattern, rewrite), sep, -1)
+    parts = regex_groups(F.col("value"), pattern, n_groups)
     return (
         df.filter(F.col("value").rlike(pattern))
         .select(parts.alias("__g"))
         .select(*[F.get(F.col("__g"), i).alias(c) for i, c in enumerate(cols)])
     )
+
+
+def regex_groups(col, pattern: str, n_groups: int):
+    """First-match capture groups of a line as ``array<string>`` —
+    the regex-parse core shared by :func:`load_regex` and ad-hoc
+    parsing. THREE regex passes instead of n_groups+1 (log formats
+    carry 9-11 groups): take the FIRST match's text (``regexp_substr``
+    = Matcher.find semantics, like RegExLoader.java), rewrite that
+    exact span into a US-delimited group string, split. regexp_replace
+    on the isolated match text replaces its whole span, so surrounding
+    text and later matches never leak in. Callers filter with
+    ``col.rlike(pattern)`` first (the third pass)."""
+    from pyspark.sql import functions as F
+
+    sep = "\x1f"
+    rewrite = sep.join(f"${i + 1}" for i in range(n_groups))
+    first = F.regexp_substr(col, F.lit(pattern))
+    return F.split(F.regexp_replace(first, pattern, rewrite), sep, -1)
 
 
 def _norm_format(fmt: str) -> str:
