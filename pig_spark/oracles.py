@@ -547,6 +547,13 @@ def oracle_sql() -> dict[str, str]:
                    CAST(regexp_extract(line, '^(\S+)\s+(\S+)\s+(\S+)\s+.(\S+\s+\S+).\s+.(\S+)\s+(\S+)\s+(\S+.\S+).\s+(\S+)\s+(\S+)$', 8) AS INT) AS status,
                    CAST(regexp_extract(line, '^(\S+)\s+(\S+)\s+(\S+)\s+.(\S+\s+\S+).\s+.(\S+)\s+(\S+)\s+(\S+.\S+).\s+(\S+)\s+(\S+)$', 9) AS BIGINT) AS bytes
             FROM l""",
+        "q104_cohort_retention": """
+            WITH acts AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events),
+            coh AS (SELECT user_id, MIN(day) AS cohort_day FROM acts GROUP BY user_id)
+            SELECT c.cohort_day, CAST(a.day - c.cohort_day AS BIGINT) AS offset_days,
+                   CAST(COUNT(DISTINCT a.user_id) AS BIGINT) AS n_users
+            FROM acts a JOIN coh c USING (user_id)
+            GROUP BY c.cohort_day, offset_days""",
         "q90_pii_redaction": f"""
             WITH s AS (
                 SELECT doc_id,

@@ -1403,6 +1403,29 @@ def q103_log_parse(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q104_cohort_retention(spark: SparkSession, sf: str) -> DataFrame:
+    """Cohort retention matrix: users bucketed by first-activity day,
+    counted per (cohort_day, offset_days) of later activity — the
+    classic event-analytics rollup (Pig idiom: GROUP + MIN join-back +
+    DISTINCT + GROUP). Two shuffles total: the per-user min aggregate
+    (broadcast back — users table << events) and the final pair
+    aggregate over distinct (user, day) rows."""
+    e = _t(spark, sf, "events")
+    day = F.to_date(PF.event_ts(e.df)).alias("day")
+    acts = e.df.select("user_id", day).distinct()
+    cohort = acts.groupBy("user_id").agg(F.min("day").alias("cohort_day"))
+    return (
+        acts.join(F.broadcast(cohort), "user_id")
+        .select(
+            "cohort_day",
+            F.datediff(F.col("day"), F.col("cohort_day")).cast("long").alias("offset_days"),
+            "user_id",
+        )
+        .groupBy("cohort_day", "offset_days")
+        .agg(F.countDistinct("user_id").cast("long").alias("n_users"))
+    )
+
+
 def q87_dedup_groups(spark: SparkSession, sf: str) -> DataFrame:
     """Near-dup GROUPS: the q41 minhash-LSH pair stream transitively
     closed into connected components (operators/graph.py large-star/
@@ -1656,6 +1679,7 @@ _CHANGED_R3 = {
     "q101_latin_chunk_pipeline",  # new in r3
     "q102_contamination_bloom",  # new in r3
     "q103_log_parse",  # new in r3
+    "q104_cohort_retention",  # new in r3
 }
 
 
