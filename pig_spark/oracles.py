@@ -554,6 +554,22 @@ def oracle_sql() -> dict[str, str]:
                    CAST(COUNT(DISTINCT a.user_id) AS BIGINT) AS n_users
             FROM acts a JOIN coh c USING (user_id)
             GROUP BY c.cohort_day, offset_days""",
+        "q105_volume_anomaly": """
+            WITH daily AS (
+                SELECT event_type, CAST(ts AS DATE) AS day, CAST(COUNT(*) AS BIGINT) AS n
+                FROM events GROUP BY 1, 2),
+            scored AS (
+                SELECT event_type, day, n,
+                       AVG(n) OVER w AS m,
+                       stddev_samp(n) OVER w AS s,
+                       COUNT(n) OVER w AS k
+                FROM daily
+                WINDOW w AS (PARTITION BY event_type ORDER BY day
+                             ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING))
+            SELECT event_type, day, n,
+                   CASE WHEN k >= 3 AND s > 0 THEN round((n - m) / s, 6) END AS z,
+                   COALESCE(abs(CASE WHEN k >= 3 AND s > 0 THEN round((n - m) / s, 6) END) >= 3.0, FALSE) AS anomalous
+            FROM scored""",
         "q90_pii_redaction": f"""
             WITH s AS (
                 SELECT doc_id,

@@ -1426,6 +1426,36 @@ def q104_cohort_retention(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q105_volume_anomaly(spark: SparkSession, sf: str) -> DataFrame:
+    """Ingestion-health monitoring: per event-type daily volumes scored
+    against the trailing 7-day window (z-score of count vs mean/std of
+    the preceding days) — the drift alarm a continuously-fed training
+    pipeline runs on its event stream. One partial-agg groupBy to the
+    tiny (type, day) table, then ordered windows over it; days with
+    fewer than 3 trailing points abstain (z null, not anomalous)."""
+    from pyspark.sql import Window
+
+    e = _t(spark, sf, "events")
+    day = F.to_date(PF.event_ts(e.df)).alias("day")
+    daily = (
+        e.df.select("event_type", day)
+        .groupBy("event_type", "day")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )
+    w = Window.partitionBy("event_type").orderBy("day").rowsBetween(-7, -1)
+    mean = F.avg("n").over(w)
+    std = F.stddev_samp("n").over(w)
+    npts = F.count("n").over(w)
+    z = F.when((npts >= 3) & (std > 0), F.round((F.col("n") - mean) / std, 6))
+    return daily.select(
+        "event_type",
+        "day",
+        "n",
+        z.alias("z"),
+        F.coalesce(F.abs(z) >= 3.0, F.lit(False)).alias("anomalous"),
+    )
+
+
 def q87_dedup_groups(spark: SparkSession, sf: str) -> DataFrame:
     """Near-dup GROUPS: the q41 minhash-LSH pair stream transitively
     closed into connected components (operators/graph.py large-star/
@@ -1680,6 +1710,7 @@ _CHANGED_R3 = {
     "q102_contamination_bloom",  # new in r3
     "q103_log_parse",  # new in r3
     "q104_cohort_retention",  # new in r3
+    "q105_volume_anomaly",  # new in r3
 }
 
 
