@@ -28,6 +28,8 @@ shuffle on the key; window is whole-stage-codegen'd. (Streaming twin:
 
 from __future__ import annotations
 
+from collections.abc import Sequence
+
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -192,3 +194,33 @@ def gapfill(
     for c in zero_cols or []:
         out = out.withColumn(c, F.coalesce(F.col(c), F.lit(0)))
     return out
+
+
+def volume_anomaly(
+    df: DataFrame,
+    keys: Sequence[str],
+    day_col: str,
+    n_col: str = "n",
+    trailing: int = 7,
+    min_points: int = 3,
+    z_threshold: float = 3.0,
+) -> DataFrame:
+    """Trailing-window z-score over a (keys, day, count) rollup — the
+    ingestion-drift alarm a continuously-fed pipeline runs per source/
+    type. Adds ``z`` (rounded 6, null when fewer than ``min_points``
+    trailing days or zero variance) and ``anomalous``. The input is
+    the already-tiny daily rollup, so the ordered window costs one
+    exchange over days×keys rows — day-count-bounded, not
+    event-bounded."""
+    w = (
+        Window.partitionBy(*[F.col(k) for k in keys])
+        .orderBy(day_col)
+        .rowsBetween(-trailing, -1)
+    )
+    mean = F.avg(n_col).over(w)
+    std = F.stddev_samp(n_col).over(w)
+    npts = F.count(n_col).over(w)
+    z = F.when((npts >= min_points) & (std > 0), F.round((F.col(n_col) - mean) / std, 6))
+    return df.withColumn("z", z).withColumn(
+        "anomalous", F.coalesce(F.abs(F.col("z")) >= z_threshold, F.lit(False))
+    )

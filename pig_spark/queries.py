@@ -1433,7 +1433,7 @@ def q105_volume_anomaly(spark: SparkSession, sf: str) -> DataFrame:
     pipeline runs on its event stream. One partial-agg groupBy to the
     tiny (type, day) table, then ordered windows over it; days with
     fewer than 3 trailing points abstain (z null, not anomalous)."""
-    from pyspark.sql import Window
+    from .operators.temporal import volume_anomaly
 
     e = _t(spark, sf, "events")
     day = F.to_date(PF.event_ts(e.df)).alias("day")
@@ -1442,17 +1442,8 @@ def q105_volume_anomaly(spark: SparkSession, sf: str) -> DataFrame:
         .groupBy("event_type", "day")
         .agg(F.count(F.lit(1)).cast("long").alias("n"))
     )
-    w = Window.partitionBy("event_type").orderBy("day").rowsBetween(-7, -1)
-    mean = F.avg("n").over(w)
-    std = F.stddev_samp("n").over(w)
-    npts = F.count("n").over(w)
-    z = F.when((npts >= 3) & (std > 0), F.round((F.col("n") - mean) / std, 6))
-    return daily.select(
-        "event_type",
-        "day",
-        "n",
-        z.alias("z"),
-        F.coalesce(F.abs(z) >= 3.0, F.lit(False)).alias("anomalous"),
+    return volume_anomaly(daily, ["event_type"], "day").select(
+        "event_type", "day", "n", "z", "anomalous"
     )
 
 

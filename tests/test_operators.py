@@ -729,3 +729,23 @@ def test_contamination_bloom_equals_exact(spark, sf_dir):
     )
     assert exact.exceptAll(bloomed).count() == 0
     assert bloomed.exceptAll(exact).count() == 0
+
+
+def test_volume_anomaly_flags_spike(spark):
+    """operators.temporal.volume_anomaly: a 10x spike after a stable
+    week is flagged; warm-up days (insufficient trailing points) and
+    zero-variance windows abstain rather than alarm."""
+    rows = [("a", f"2024-01-{d:02d}", 100 + (d % 2)) for d in range(1, 9)]
+    rows.append(("a", "2024-01-09", 1000))           # spike
+    rows += [("b", f"2024-01-{d:02d}", 50) for d in range(1, 6)]  # zero variance
+    df = (
+        spark.createDataFrame(rows, "event_type: string, day: string, n: long")
+        .withColumn("day", F.col("day").cast("date"))
+    )
+    from pig_spark.operators.temporal import volume_anomaly
+
+    out = {(r["event_type"], str(r["day"])): (r["z"], r["anomalous"]) for r in volume_anomaly(df, ["event_type"], "day").collect()}
+    assert out[("a", "2024-01-09")][1] is True
+    assert out[("a", "2024-01-01")] == (None, False)  # warm-up
+    assert out[("a", "2024-01-02")] == (None, False)
+    assert all(not v[1] for k, v in out.items() if k[0] == "b")  # zero variance abstains
