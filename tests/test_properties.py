@@ -136,3 +136,37 @@ def test_iso_datetime_model(spark, epochs):
         midnight = d.replace(hour=0, minute=0, second=0, microsecond=0)
         assert r["day"].startswith(midnight.strftime("%Y-%m-%dT00:00:00")), (r, midnight)
         assert r["db"] == int(r["ms"] // 1000) // 86400
+
+
+@settings(max_examples=10, deadline=None)
+@given(
+    st.lists(st.floats(min_value=-100, max_value=100, allow_nan=False), min_size=1, max_size=6),
+    st.lists(st.floats(min_value=-50, max_value=50, allow_nan=False), min_size=1, max_size=3, unique=True),
+)
+def test_bin_decode_model(spark, xs, bounds):
+    """piggybank Bin/Decode vs a Python model of the Java exec loops:
+    Bin returns the first label whose bound >= x (last label = catch-
+    all); Decode matches keys in order with the trailing default."""
+    from pig_spark.functions.piggybank import Bin, Decode
+
+    bounds = sorted(bounds)
+    args: list = []
+    for i, b in enumerate(bounds):
+        args += [f"L{i}", b]
+    args.append("Lz")
+
+    def bin_ref(x):
+        for i, b in enumerate(bounds):
+            if x <= b:
+                return f"L{i}"
+        return "Lz"
+
+    df = spark.createDataFrame([(x,) for x in xs], "x: double")
+    got = [r["o"] for r in df.select(Bin(F.col("x"), *args).alias("o")).collect()]
+    assert got == [bin_ref(x) for x in xs]
+
+    keys = [f"k{int(abs(x)) % 3}" for x in xs]
+    dfk = spark.createDataFrame([(k,) for k in keys], "k: string")
+    gd = [r["o"] for r in dfk.select(Decode(F.col("k"), "k0", "zero", "k1", "one", "?").alias("o")).collect()]
+    want = [{"k0": "zero", "k1": "one"}.get(k, "?") for k in keys]
+    assert gd == want
