@@ -570,6 +570,20 @@ def oracle_sql() -> dict[str, str]:
                    CASE WHEN k >= 3 AND s > 0 THEN round((n - m) / s, 6) END AS z,
                    COALESCE(abs(CASE WHEN k >= 3 AND s > 0 THEN round((n - m) / s, 6) END) >= 3.0, FALSE) AS anomalous
             FROM scored""",
+        "q106_cms_frequencies": f"""
+            WITH ex AS (SELECT user_id, CAST(COUNT(*) AS BIGINT) AS exact FROM events GROUP BY user_id),
+            top AS (SELECT user_id, exact FROM ex ORDER BY exact DESC, user_id ASC LIMIT 25),
+            rb AS (SELECT {_h32("CAST(user_id AS VARCHAR) || '#' || CAST(u.d AS VARCHAR)")} % 512 AS bucket, u.d
+                   FROM events, unnest([0,1,2,3]) AS u(d)),
+            sk AS (SELECT d, bucket, CAST(COUNT(*) AS BIGINT) AS cnt FROM rb GROUP BY d, bucket),
+            probes AS (SELECT t.user_id, u.d,
+                              {_h32("CAST(t.user_id AS VARCHAR) || '#' || CAST(u.d AS VARCHAR)")} % 512 AS bucket
+                       FROM top t, unnest([0,1,2,3]) AS u(d)),
+            est AS (SELECT p.user_id, CAST(MIN(COALESCE(sk.cnt, 0)) AS BIGINT) AS est
+                    FROM probes p LEFT JOIN sk ON p.d = sk.d AND p.bucket = sk.bucket
+                    GROUP BY p.user_id)
+            SELECT t.user_id, t.exact, e.est, e.est >= t.exact AS never_under
+            FROM top t JOIN est e USING (user_id)""",
         "q90_pii_redaction": f"""
             WITH s AS (
                 SELECT doc_id,

@@ -1447,6 +1447,25 @@ def q105_volume_anomaly(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q106_cms_frequencies(spark: SparkSession, sf: str) -> DataFrame:
+    """Count-min sketch (functions/cms.py): per-user event frequencies
+    estimated from a depth×width sketch — the mergeable-frequency leg
+    of the sketch triad (HLL uniques q78, histogram quantiles q84).
+    Deterministic md5 bucketing makes the whole sketch SQL-mirrorable,
+    so the gate hash-matches estimates AND the never-undercount flag
+    against exact counts, for the 25 heaviest users."""
+    from .functions.cms import cms_build, cms_estimate
+
+    e = _t(spark, sf, "events").df
+    sketch = cms_build(e, "user_id")
+    exact = e.groupBy("user_id").agg(F.count(F.lit(1)).cast("long").alias("exact"))
+    top = exact.orderBy(F.desc("exact"), F.asc("user_id")).limit(25)
+    est = cms_estimate(sketch, top.select("user_id"), "user_id")
+    return top.join(est, "user_id").select(
+        "user_id", "exact", "est", (F.col("est") >= F.col("exact")).alias("never_under")
+    )
+
+
 def q87_dedup_groups(spark: SparkSession, sf: str) -> DataFrame:
     """Near-dup GROUPS: the q41 minhash-LSH pair stream transitively
     closed into connected components (operators/graph.py large-star/
@@ -1702,6 +1721,7 @@ _CHANGED_R3 = {
     "q103_log_parse",  # new in r3
     "q104_cohort_retention",  # new in r3
     "q105_volume_anomaly",  # new in r3
+    "q106_cms_frequencies",  # new in r3
 }
 
 

@@ -749,3 +749,31 @@ def test_volume_anomaly_flags_spike(spark):
     assert out[("a", "2024-01-01")] == (None, False)  # warm-up
     assert out[("a", "2024-01-02")] == (None, False)
     assert all(not v[1] for k, v in out.items() if k[0] == "b")  # zero variance abstains
+
+
+def test_cms_merge_and_bounds(spark, sf_dir):
+    """functions/cms: sketches merge by SUM over (row,bucket) — two
+    half-corpus sketches merged equal the whole-corpus sketch — and
+    estimates never undercount with bounded overcount."""
+    from pyspark.sql import functions as F
+
+    from pig_spark.functions.cms import cms_build, cms_estimate
+
+    e = spark.read.parquet(f"{sf_dir}/events.parquet")
+    whole = cms_build(e, "user_id")
+    a = cms_build(e.filter(F.col("event_id") % 2 == 0), "user_id")
+    b = cms_build(e.filter(F.col("event_id") % 2 == 1), "user_id")
+    merged = (
+        a.unionByName(b)
+        .groupBy("row", "bucket")
+        .agg(F.sum("cnt").cast("long").alias("cnt"))
+    )
+    assert merged.exceptAll(whole).count() == 0 and whole.exceptAll(merged).count() == 0
+
+    exact = e.groupBy("user_id").agg(F.count(F.lit(1)).cast("long").alias("exact"))
+    est = cms_estimate(whole, exact.select("user_id"), "user_id")
+    j = exact.join(est, "user_id")
+    assert j.filter(F.col("est") < F.col("exact")).count() == 0  # never undercounts
+    n_total = e.count()
+    # CMS bound: overcount <= ~e/width * N (loose factor for the tail)
+    assert j.filter(F.col("est") - F.col("exact") > 3.0 * n_total / 512).count() == 0
