@@ -59,6 +59,7 @@ HEADLINE = [
     "q94_doc_chunks",  # r3: context-window sharding, map-only fan-out
     "q97_top_ngrams",  # r3: corpus bigram profile, partial-agg + topk window
     "q98_latin_window_over",  # r3: Latin Over/Stitch -> one native window
+    "q100_incremental_dedup",  # r3: new batch vs stored signature index
 ]
 
 
