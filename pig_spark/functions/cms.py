@@ -65,8 +65,11 @@ def cms_estimate(
 ) -> DataFrame:
     """Frequency estimate per candidate key: min over the depth rows
     of that key's bucket count (missing bucket = 0). The sketch side
-    broadcasts (≤ depth×width rows); candidates keep their columns
-    plus ``est``. Estimates never undercount the true frequency."""
+    broadcasts (≤ depth×width rows); the result is the candidates
+    DataFrame with every column kept plus ``est`` (duplicate candidate
+    rows each keep their row — the per-key estimate joins back on the
+    key; a null key gets a null est, as null never equi-joins).
+    Estimates never undercount the true frequency."""
     probes = candidates.select(
         key,
         F.explode(
@@ -84,4 +87,5 @@ def cms_estimate(
         ).alias("rb"),
     ).select(key, "rb.row", "rb.bucket")
     joined = probes.join(F.broadcast(sketch), ["row", "bucket"], "left").fillna(0, ["cnt"])
-    return joined.groupBy(key).agg(F.min("cnt").cast("long").alias("est"))
+    ests = joined.groupBy(key).agg(F.min("cnt").cast("long").alias("est"))
+    return candidates.join(ests, key, "left")

@@ -45,6 +45,8 @@ family is the training-data-pipeline extension surface.
 
 from __future__ import annotations
 
+from collections.abc import Sequence
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.storagelevel import StorageLevel
@@ -103,14 +105,18 @@ def word_shingles(col: Column, n: int = SHINGLE_N) -> Column:
     )
 
 
-def shingle_stage(df: DataFrame, text_col: str, id_col: str, n: int = SHINGLE_N) -> DataFrame:
+def shingle_stage(
+    df: DataFrame, text_col: str, id_col: str, n: int = SHINGLE_N, keep: Sequence[str] = ()
+) -> DataFrame:
     """(id, __sh: array<string>) with tokenization materialized first.
 
     Two chained projections (Catalyst keeps them in one codegen stage,
     but the lambda bodies only reference the bound `__t` column, so the
-    regex tokenizer runs exactly once per row)."""
+    regex tokenizer runs exactly once per row). ``keep`` names extra
+    passthrough columns (e.g. an event-time column a streaming caller
+    must preserve for its watermark)."""
     toks = tokenize_ws(F.lower(F.col(text_col)))
-    staged = df.select(F.col(id_col), toks.alias("__t"))
+    staged = df.select(F.col(id_col), *keep, toks.alias("__t"))
     n_sh = F.greatest(F.size("__t") - F.lit(n - 1), F.lit(1))
     sh = F.array_distinct(
         F.transform(
@@ -118,7 +124,7 @@ def shingle_stage(df: DataFrame, text_col: str, id_col: str, n: int = SHINGLE_N)
             lambda i: F.array_join(F.slice(F.col("__t"), i, n), " "),
         )
     )
-    return staged.select(F.col(id_col), sh.alias("__sh"))
+    return staged.select(F.col(id_col), *keep, sh.alias("__sh"))
 
 
 # ---------------------------------------------------------------------
@@ -146,20 +152,24 @@ def exact_dedup(df: DataFrame, content_col: str, id_col: str) -> DataFrame:
 # ---------------------------------------------------------------------
 
 
-def minhash_signatures(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+def minhash_signatures(
+    df: DataFrame, text_col: str, id_col: str, keep: Sequence[str] = ()
+) -> DataFrame:
     """id → array<long> of MINHASH_K min-hash values over word shingles.
 
     Stays columnar: no explode, no shuffle for the signature stage. The
     K permuted mins scan the materialized `__h` hashed-shingle array
     (column ref inside the lambdas — hashing runs once)."""
-    staged = _hashed_stage(shingle_stage(df, text_col, id_col), id_col)
-    return staged.select(F.col(id_col), _sig_expr().alias("signature"))
+    staged = _hashed_stage(shingle_stage(df, text_col, id_col, keep=keep), id_col, keep=keep)
+    return staged.select(F.col(id_col), *keep, _sig_expr().alias("signature"))
 
 
-def _hashed_stage(shingled: DataFrame, id_col: str) -> DataFrame:
+def _hashed_stage(shingled: DataFrame, id_col: str, keep: Sequence[str] = ()) -> DataFrame:
     """(id, __sh, __h): keep string shingles (verification) alongside
     their 32-bit hashes (signatures)."""
-    return shingled.select(F.col(id_col), F.col("__sh"), F.transform("__sh", md5_32).alias("__h"))
+    return shingled.select(
+        F.col(id_col), *keep, F.col("__sh"), F.transform("__sh", md5_32).alias("__h")
+    )
 
 
 def _sig_expr() -> Column:
@@ -331,7 +341,9 @@ def simhash(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     return staged.select(F.col(id_col), sig.alias("simhash"))
 
 
-def signature_index(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+def signature_index(
+    df: DataFrame, text_col: str, id_col: str, keep: Sequence[str] = ()
+) -> DataFrame:
     """The STORED dedup index of a continuously-ingesting corpus:
     one row per (doc, band) with the banded bucket hash AND the full
     minhash signature — ``(id, signature, band, bh)``. Write it
@@ -340,9 +352,10 @@ def signature_index(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     Building it is the same no-shuffle signature projection as
     :func:`minhash_signatures`."""
     rows = MINHASH_K // MINHASH_BANDS
-    sigs = minhash_signatures(df, text_col, id_col)
+    sigs = minhash_signatures(df, text_col, id_col, keep=keep)
     return sigs.select(
         F.col(id_col),
+        *keep,
         "signature",
         F.explode(
             F.array(
@@ -363,7 +376,7 @@ def signature_index(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
                 ]
             )
         ).alias("bb"),
-    ).select(id_col, "signature", "bb.band", "bb.bh")
+    ).select(id_col, *keep, "signature", "bb.band", "bb.bh")
 
 
 def incremental_minhash_pairs(

@@ -1081,14 +1081,16 @@ class PigTranslator:
                 nums.append(iv)
             else:
                 extras.append(a.value if isinstance(a, (G.Num, G.Str, G.Bool)) else a)
-        # nums[0:2] = rows frame when both present; a single trailing
-        # number for lead/lag/ntile is that function's own argument
+        # Over.java:310-356 is strictly positional: args[2] is ALWAYS
+        # window_start (default -1 = unbounded preceding), args[3]
+        # window_end (default 0 = current row), args[4+] the function-
+        # specific arguments — even for lead/lag/ntile. A lone number
+        # is therefore window_start for every function; ntile's bucket
+        # count requires the full -1,-1,k form, and lead/lag offsets
+        # the full -1,-1,offset[,default] form.
         if len(nums) >= 2:
             frame = (nums[0], nums[1])
             extras = nums[2:] + extras
-        elif len(nums) == 1 and fn in ("lead", "lag", "ntile"):
-            frame = (-1, 0)
-            extras = nums + extras
         elif len(nums) == 1:
             frame = (nums[0], 0)
         else:
@@ -1108,7 +1110,12 @@ class PigTranslator:
             return getattr(F, fn)().over(w)
         if fn == "ntile":
             if not extras:
-                raise SyntaxError("Over(..., 'ntile') needs the bucket count argument")
+                raise SyntaxError(
+                    "Over(..., 'ntile') needs the bucket count as the function-"
+                    "specific argument AFTER window_start/window_end, e.g. "
+                    "Over(p, 'ntile', -1, -1, 4) (Over.java:310-356 — a lone "
+                    "number is window_start, not the bucket count)"
+                )
             return F.ntile(int(extras[0])).over(w)
         if fn in ("lead", "lag"):
             if col is None:

@@ -581,16 +581,48 @@ def q36_window_over(spark: SparkSession, sf: str) -> DataFrame:
 
 
 def q37_ntile_stats(spark: SparkSession, sf: str) -> DataFrame:
-    """Over.java ntile/percent_rank/cume_dist."""
-    from pyspark.sql import Window
+    """Over.java ntile/percent_rank/cume_dist — DISTRIBUTED.
+
+    A bare ``Window.orderBy`` would drag the whole table into ONE task
+    (Spark warns "No Partition Defined for Window"); instead we reuse
+    the two-pass POCounter/PORank machinery (operators/rank.py) for the
+    global row number and derive the stats arithmetically, exactly as
+    Over.java:74-140 defines them over a row ordering:
+
+      percent_rank = (rn-1)/(n-1)      cume_dist = rn/n
+      ntile(k)     = SQL NTILE: first n%k buckets get ceil(n/k) rows,
+                     the rest floor(n/k)  (Over.java delegates to the
+                     same ROW_NUMBER-based bucketing)
+
+    The sort key (c_acctbal, c_custkey) is unique, so rank == row
+    number and the rank/row_number distinction is moot. n arrives as a
+    broadcast 1-row scalar — no data-sized single-partition stage
+    anywhere (plan-pinned in test_scale_plans.py)."""
+    from .operators.rank import rank as pig_rank
 
     c = _t(spark, sf, "customer").df
-    w = Window.orderBy(F.col("c_acctbal").asc(), F.col("c_custkey").asc())
-    return c.select(
-        "c_custkey",
-        F.ntile(4).over(w).alias("quartile"),
-        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
-        F.round(F.cume_dist().over(w), 6).alias("cdist"),
+    ranked = pig_rank(
+        c.select("c_custkey", "c_acctbal"),
+        by=[F.col("c_acctbal"), F.col("c_custkey")],
+        name="__rn",
+    )
+    n_df = c.agg(F.count(F.lit(1)).alias("__n"))
+    rn, n, k = F.col("__rn"), F.col("__n"), F.lit(4)
+    q, r = F.floor(n / k), n % k
+    big = (q + 1) * r  # rows covered by the ceil-sized buckets
+    quartile = (
+        F.when(rn <= big, F.floor((rn - 1) / (q + 1)))
+        .otherwise(r + F.floor((rn - 1 - big) / F.greatest(q, F.lit(1))))
+        + 1
+    )
+    return (
+        ranked.join(F.broadcast(n_df), how="cross")
+        .select(
+            "c_custkey",
+            quartile.cast("int").alias("quartile"),
+            F.round((rn - 1) / (n - 1), 6).alias("pct_rank"),
+            F.round(rn / n, 6).alias("cdist"),
+        )
     )
 
 

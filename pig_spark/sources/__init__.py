@@ -257,9 +257,12 @@ def load_all(
         kwargs = dict(options)
         if fmt == "csv" and ext == ".tsv":
             kwargs["sep"] = "\t"
+        # exact suffix alternation: '*.json*' would also sweep .jsonl
+        # files (double-loading their rows) and backup-suffixed files
+        # like x.csv.bak — match only .ext and its compressed twins
         df = load(
             spark, path, fmt,
-            pathGlobFilter=f"*{ext}*",  # covers .ext, .ext.gz, .ext.bz2
+            pathGlobFilter=f"*{{{ext},{ext}.gz,{ext}.bz2}}",
             recursiveFileLookup=True,
             **kwargs,
         )
@@ -564,10 +567,27 @@ def compact(
     Sizing reads ONLY the file listing (no data pass): output file
     count = ceil(on-disk bytes / target). The rewrite is one job —
     coalesce when shrinking (no shuffle) — staged into a sibling
-    directory and atomically swapped in, so readers never see a
-    half-written state. ``sort_within_by`` optionally sorts rows
-    within each output file (repartition+sort — one shuffle) to
-    restore clustering/min-max pruning after compaction.
+    directory, row-count-verified against the source, then swapped
+    in. ``sort_within_by`` optionally sorts rows within each output
+    file (repartition+sort — one shuffle) to restore clustering/
+    min-max pruning after compaction.
+
+    Hive-partitioned directories (``key=value`` subdirs — e.g. the
+    band-partitioned dedup signature index) are detected from the
+    listing and rewritten WITH ``partitionBy`` on the same keys, one
+    file per leaf partition, preserving the layout and partition
+    pruning. A single leaf larger than ``target_file_mb`` stays one
+    file (splitting it needs per-leaf salting; run compact per
+    partition subtree if that matters).
+
+    Crash safety: the staged rewrite is verified (source row count ==
+    staged row count) BEFORE anything is deleted; a failure leaves the
+    original untouched. The swap itself is TWO renames, not one atomic
+    op — a crash exactly between them leaves no ``path`` but a
+    complete ``path._compact_old`` to rename back by hand; a failure
+    of the second rename is auto-rolled-back. Readers concurrent with
+    the swap may transiently see the directory missing — on a real
+    deployment, prefer a catalog/metastore location flip.
 
     Returns the number of files written."""
     import math
@@ -576,26 +596,59 @@ def compact(
 
     total = 0
     n_src = 0
+    leaf_dirs: set[str] = set()
+    part_keys: list[str] = []
     for root, _dirs, files in os.walk(path):
-        for f in files:
-            if f.startswith(("_", ".")):
-                continue
+        datafiles = [f for f in files if not f.startswith(("_", "."))]
+        if not datafiles:
+            continue
+        rel = os.path.relpath(root, path)
+        keys = [seg.split("=", 1)[0] for seg in rel.split(os.sep) if "=" in seg]
+        if keys:
+            if part_keys and keys != part_keys:
+                raise ValueError(
+                    f"compact: inconsistent partition layout under {path!r}: "
+                    f"{keys} vs {part_keys}"
+                )
+            part_keys = keys
+            leaf_dirs.add(rel)
+        for f in datafiles:
             total += os.path.getsize(os.path.join(root, f))
             n_src += 1
     if n_src == 0:
         raise ValueError(f"compact: no data files under {path!r}")
-    n_out = max(1, math.ceil(total / (target_file_mb << 20)))
 
     df = load(spark, path, format)
-    if sort_within_by:
-        out = df.repartition(n_out).sortWithinPartitions(*sort_within_by)
+    n_rows = df.count()
+    if part_keys:
+        # one file per leaf partition; partition discovery put the
+        # key columns back in df, partitionBy writes them back out
+        n_out = len(leaf_dirs)
+        out = df.repartition(*part_keys)
+        if sort_within_by:
+            out = out.sortWithinPartitions(*sort_within_by)
     else:
-        out = df.coalesce(n_out) if n_out < n_src else df.repartition(n_out)
+        n_out = max(1, math.ceil(total / (target_file_mb << 20)))
+        if sort_within_by:
+            out = df.repartition(n_out).sortWithinPartitions(*sort_within_by)
+        else:
+            out = df.coalesce(n_out) if n_out < n_src else df.repartition(n_out)
     staging = path.rstrip("/") + "._compact_tmp"
-    store(out, staging, format, mode="overwrite")
+    store(out, staging, format, mode="overwrite", partition_by=part_keys or None)
+    n_staged = load(spark, staging, format).count()
+    if n_staged != n_rows:
+        shutil.rmtree(staging, ignore_errors=True)
+        raise RuntimeError(
+            f"compact: staged rewrite has {n_staged} rows, source has {n_rows}; "
+            f"original left untouched at {path!r}"
+        )
     backup = path.rstrip("/") + "._compact_old"
     shutil.rmtree(backup, ignore_errors=True)
     os.rename(path, backup)
-    os.rename(staging, path)
+    try:
+        os.rename(staging, path)
+    except BaseException:
+        os.rename(backup, path)  # roll the original back in
+        raise
     shutil.rmtree(backup)
     return n_out

@@ -241,15 +241,28 @@ def incremental_dedup_stream(
     text_col: str = "text",
     id_col: str = "doc_id",
     threshold: float = 0.5,
+    ts_col: str = "arrived",
+    watermark: str = "10 minutes",
 ) -> DataFrame:
     """Streaming twin of ``dedup.incremental_minhash_pairs``: documents
     arriving on a stream are minhash-signed (pure Column ops — legal in
     streaming), band-bucketed, and joined against the STATIC stored
     signature index (``dedup.signature_index`` parquet) — a
-    stream-static equi-join, so no streaming state beyond the running
-    batch. Emits ``(new_id, match_id, est_jaccard)`` rows as documents
-    arrive; at scale the index side is the band-partitioned table and
-    each micro-batch's band rows are the small probe.
+    stream-static equi-join. Emits ``(new_id, match_id, est_jaccard)``
+    rows as documents arrive; at scale the index side is the
+    band-partitioned table and each micro-batch's band rows are the
+    small probe.
+
+    A pair that matches in several LSH bands would emit several times;
+    collapsing that requires dedup state, which on an unbounded stream
+    must be watermark-bounded: ``ts_col`` (the document's event/arrival
+    time — add ``current_timestamp()`` at ingest if the feed has none)
+    drives ``dropDuplicatesWithinWatermark``, so pair state lives only
+    inside the ``watermark`` horizon (state ∝ arrival rate × delay,
+    never stream history — same contract as :func:`dedup_stream`). A
+    document's band rows share its single timestamp, so same-batch
+    band multiplicity always collapses; the horizon only matters if
+    the SAME document id is re-fed later than the delay.
 
     The index is read at query start (static side); rewrite/refresh it
     with the batch job on whatever cadence ingestion requires."""
@@ -257,17 +270,25 @@ def incremental_dedup_stream(
 
     from ..functions import dedup as _dedup
 
-    new_idx = _dedup.signature_index(doc_stream, text_col, id_col)
+    if ts_col not in doc_stream.columns:
+        raise ValueError(
+            f"incremental_dedup_stream: ts_col {ts_col!r} not in stream columns "
+            f"{doc_stream.columns} — dedup state on an unbounded stream must be "
+            "watermark-bounded; add an event/arrival timestamp "
+            "(e.g. withColumn('arrived', current_timestamp()))"
+        )
+    new_idx = _dedup.signature_index(doc_stream, text_col, id_col, keep=(ts_col,))
     new_bands = new_idx.select(
-        F.col(id_col).alias("new_id"), F.col("signature").alias("sig_new"), "band", "bh"
+        F.col(id_col).alias("new_id"), F.col(ts_col), F.col("signature").alias("sig_new"), "band", "bh"
     )
     corpus = index_df.select(
         F.col(id_col).alias("match_id"), F.col("signature").alias("sig_old"), "band", "bh"
     )
     cand = (
-        new_bands.join(corpus, ["band", "bh"])
+        new_bands.withWatermark(ts_col, watermark)
+        .join(corpus, ["band", "bh"])
         .filter(F.col("new_id") != F.col("match_id"))
-        .dropDuplicates(["new_id", "match_id"])
+        .dropDuplicatesWithinWatermark(["new_id", "match_id"])
     )
     agree = F.aggregate(
         F.zip_with("sig_new", "sig_old", lambda a, b: (a == b).cast("int")),

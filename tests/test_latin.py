@@ -1137,7 +1137,7 @@ def test_latin_over_rank_and_frames(spark, sf_dir):
             s = ORDER n BY n_nationkey;
             GENERATE group AS rk2, FLATTEN(Stitch(s,
                 Over(s.n_name, 'rank', -1, -1, 1),
-                Over(s.n_nationkey, 'ntile', 2),
+                Over(s.n_nationkey, 'ntile', -1, -1, 2),
                 Over(s.n_nationkey, 'sum(long)', 1, 1)))
               AS (nk, nn, rk, rnk, nt, moving);
         }}
@@ -1156,6 +1156,30 @@ def test_latin_over_rank_and_frames(spark, sf_dir):
     want = {r["n_nationkey"]: (r["rnk"], r["nt"], r["moving"]) for r in twin.collect()}
     assert got == want
     assert df.filter(F.col("rk2") != F.col("rk")).count() == 0
+
+
+def test_latin_over_lone_number_is_window_start(spark, sf_dir):
+    """Over.java:310-356 is strictly positional — a lone number after
+    the function name is window_start for EVERY function: Over(p,
+    'sum(long)', 2) sums rows -2..current, and Over(p, 'ntile', 2) is
+    a missing-bucket-count error (2 is a window bound), not ntile(2)."""
+    import pytest
+
+    base = f"n = LOAD '{sf_dir}/nation.parquet' USING ParquetLoader(); g = GROUP n BY n_regionkey;"
+    rels = run(spark, base + (
+        "c = FOREACH g { s = ORDER n BY n_nationkey; GENERATE FLATTEN(Stitch(s, "
+        "Over(s.n_nationkey, 'sum(long)', 2))) AS (nk, nn, rk, mv); }"
+    ))
+    from pyspark.sql import Window
+
+    n = spark.read.parquet(f"{sf_dir}/nation.parquet")
+    w = Window.partitionBy("n_regionkey").orderBy("n_nationkey").rowsBetween(-2, 0)
+    twin = n.select("n_nationkey", F.sum(F.col("n_nationkey").cast("long")).over(w).alias("mv"))
+    got = {r["nk"]: r["mv"] for r in rels["c"].df.collect()}
+    want = {r["n_nationkey"]: r["mv"] for r in twin.collect()}
+    assert got == want
+    with pytest.raises(SyntaxError, match="window_start"):
+        run(spark, base + "c = FOREACH g { s = ORDER n BY n_nationkey; GENERATE FLATTEN(Stitch(s, Over(s.n_nationkey, 'ntile', 2))); }")
 
 
 def test_latin_over_errors(spark, sf_dir):

@@ -303,6 +303,22 @@ def test_all_loader_mixed_formats(spark, tmp_path):
     assert df2.count() == 4
 
 
+def test_all_loader_exact_suffix_match(spark, tmp_path):
+    """The per-format pathGlobFilter matches exact suffixes only: a
+    folder holding both .json and .jsonl must load each file ONCE (a
+    '*.json*' glob would sweep the .jsonl file into the .json pass
+    too), and backup-suffixed files (x.csv.bak) are ignored."""
+    from pig_spark.sources import load_all
+
+    (tmp_path / "a.json").write_text('{"_c0": "1"}\n')
+    (tmp_path / "b.jsonl").write_text('{"_c0": "2"}\n{"_c0": "3"}\n')
+    (tmp_path / "c.csv").write_text("4\n")
+    (tmp_path / "c.csv.bak").write_text("99\n")
+
+    df = load_all(spark, str(tmp_path))
+    assert sorted(r["_c0"] for r in df.collect()) == ["1", "2", "3", "4"]
+
+
 def test_compact_small_files(spark, tmp_path):
     """sources.compact: a many-small-files directory rewrites to the
     byte-sized file count, values preserved, optional within-file sort
@@ -329,3 +345,26 @@ def test_compact_small_files(spark, tmp_path):
     for f in glob.glob(f"{path}/*.parquet"):
         ids = pq.read_table(f, columns=["id"]).column("id").to_pylist()
         assert ids == sorted(ids)
+
+
+def test_compact_preserves_partition_layout(spark, tmp_path):
+    """compact on a Hive-partitioned dir (the band-partitioned
+    signature-index shape) keeps the key=value layout — one file per
+    leaf partition, partition pruning still works after the rewrite."""
+    import glob
+
+    from pig_spark.sources import compact, load
+
+    path = str(tmp_path / "part")
+    df = spark.range(0, 4000).withColumn("band", (F.col("id") % 4).cast("int"))
+    df.repartition(16).write.partitionBy("band").parquet(path)
+    assert len(glob.glob(f"{path}/band=*/*.parquet")) > 4
+
+    n_out = compact(spark, path, target_file_mb=64)
+    assert n_out == 4
+    files = glob.glob(f"{path}/band=*/*.parquet")
+    assert len(files) == 4  # one file per leaf, layout preserved
+    back = load(spark, path)
+    assert back.count() == 4000
+    assert set(back.columns) == {"id", "band"}
+    assert back.filter(F.col("band") == 2).count() == 1000

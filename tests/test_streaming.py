@@ -383,8 +383,9 @@ def test_incremental_dedup_stream_matches_batch(spark, sf_dir, tmp_path):
 
     new_dir = str(tmp_path / "incoming")
     new_batch = d.filter(F.col("doc_id") % 10 == 0)
-    new_batch.write.parquet(new_dir)
-    src = spark.readStream.schema(new_batch.schema).parquet(new_dir)
+    staged = new_batch.withColumn("arrived", F.current_timestamp())
+    staged.write.parquet(new_dir)
+    src = spark.readStream.schema(staged.schema).parquet(new_dir)
 
     out = incremental_dedup_stream(src, index, threshold=0.5)
     q = (
@@ -407,3 +408,16 @@ def test_incremental_dedup_stream_matches_batch(spark, sf_dir, tmp_path):
         for r in dedup.incremental_minhash_pairs(new_batch, "text", "doc_id", index, 0.5).collect()
     }
     assert got == want and len(want) > 0
+
+
+def test_incremental_dedup_stream_requires_timestamp(spark, sf_dir):
+    """Unbounded pair-dedup state must be watermark-bounded: a stream
+    with no event/arrival time column is rejected up front."""
+    import pytest as _pytest
+
+    from pig_spark.streaming import incremental_dedup_stream
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    src = spark.readStream.schema(d.schema).parquet(f"{sf_dir}/documents.parquet")
+    with _pytest.raises(ValueError, match="watermark-bounded"):
+        incremental_dedup_stream(src, d.limit(0), threshold=0.5)
