@@ -333,12 +333,14 @@ class Relation:
     # ------------------------------------------------------------------
     # external transforms / scalars
     # ------------------------------------------------------------------
-    def stream_through(self, cmd: str, schema: str | T.StructType) -> "Relation":
+    def stream_through(self, cmd: str, schema: str | T.StructType, **kwargs) -> "Relation":
         """STREAM rel THROUGH 'cmd' AS schema (QueryParser.g:487,
-        POStream.java:43-127)."""
+        POStream.java:43-127). ``ship=``, ``serialize=``,
+        ``deserialize=`` forward to operators.stream.stream_through
+        (the PigStreamingBase custom-serde hooks)."""
         from .operators.stream import stream_through as _stream
 
-        return Relation(_stream(self.df, cmd, schema))
+        return Relation(_stream(self.df, cmd, schema, **kwargs))
 
     def with_scalar(self, name: str, other: "Relation", expr: str | Column) -> "Relation":
         """Scalar projection rel.field (ScalarVisitor.java): attach

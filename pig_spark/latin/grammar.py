@@ -504,10 +504,17 @@ class Parser:
                     t = self.next()
                     if t.kind == "op" and t.text == "(":
                         depth += 1
+                        items.append(("tok", "("))
                     elif t.kind == "op" and t.text == ")":
                         depth -= 1
+                        if depth:
+                            items.append(("tok", ")"))
                     elif t.kind == "str":
-                        items.append(t.text[1:-1])
+                        items.append(("str", t.text[1:-1]))
+                    else:
+                        # keep identifiers/ops so INPUT(stdin USING
+                        # PigStreaming(',')) retains its serde spec
+                        items.append(("tok", t.text))
                 extras.append((kind, items))
             self.expect("op", ";")
             return Define(alias, cmd, ["__exec__", extras])
@@ -716,8 +723,48 @@ class Parser:
                 inner.append(False)
             if not self.accept("op", ","):
                 break
-        # ignore PARTITION BY / USING clauses (optimizer hints) — AQE handles
-        return Group(rels, keys, cogroup=cogroup, inner=inner if any(inner) else None)
+        # GROUP ... USING 'collected'|'merge' (QueryParser.g:429-437):
+        # map-side grouping strategies in MR. Grouping SEMANTICS are
+        # identical; record the hint and let Catalyst/AQE pick the
+        # physical plan. Unknown strategies are an error, like Pig.
+        using = None
+        if self.accept("kw", "using"):
+            using = self._string()
+            if using not in ("collected", "merge"):
+                raise SyntaxError(
+                    f"pig latin: GROUP USING {using!r} — only 'collected'/'merge' exist"
+                )
+        self._partition_clause("GROUP" if not cogroup else "COGROUP")
+        grp = Group(rels, keys, cogroup=cogroup, inner=inner if any(inner) else None)
+        grp.using_hint = using  # type: ignore[attr-defined]
+        return grp
+
+    def _partition_clause(self, ctx: str) -> None:
+        """Optional ``PARTITION BY <java Partitioner class>``
+        (QueryParser.g:429-437). A custom Java Partitioner cannot be
+        loaded by this engine; it only steers physical key placement —
+        results are identical under Spark's hash/AQE partitioning — so
+        the clause WARNS (never silently ignored, per the unknown-
+        storer policy) and execution proceeds."""
+        t = self.peek()
+        if not (t.kind in ("id", "kw") and t.text.lower() == "partition"):
+            return
+        self.next()
+        self.expect("kw", "by")
+        parts: list[str] = []
+        while (self.peek().kind in ("id", "kw")) or (
+            self.peek().kind == "op" and self.peek().text == "."
+        ):
+            parts.append(self.next().text)
+        import warnings
+
+        warnings.warn(
+            f"{ctx} PARTITION BY {''.join(parts)!r}: custom Java Partitioners "
+            "cannot run on this engine; Spark hash/AQE partitioning applies. "
+            "Results are identical — only physical key placement differs. "
+            "For skewed keys use JOIN ... USING 'skewed' or AQE skew handling.",
+            stacklevel=4,
+        )
 
     def _op_cogroup(self):
         return self._op_group(cogroup=True)
@@ -750,6 +797,7 @@ class Parser:
         strategy = None
         if self.accept("kw", "using"):
             strategy = self._string()
+        self._partition_clause("JOIN")
         return Join(rels, keys, how, strategy)
 
     def _op_order(self):

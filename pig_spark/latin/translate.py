@@ -312,7 +312,10 @@ class PigTranslator:
             except Exception:
                 pass  # unknown/static confs are advisory in Pig too
         elif isinstance(stmt, G.Define):
-            self.defines[stmt.alias] = stmt.func
+            if stmt.args and stmt.args[0] == "__exec__":
+                self.defines[stmt.alias] = self._parse_exec_define(stmt)
+            else:
+                self.defines[stmt.alias] = stmt.func
         elif isinstance(stmt, G.AssertStmt):
             rel = self._rel(stmt.rel)
             self.aliases[stmt.rel] = RelInfo(rel.assert_by(self._expr(stmt.cond, rel), stmt.msg or ""))
@@ -323,6 +326,69 @@ class PigTranslator:
         if alias not in self.aliases:
             raise NameError(f"pig latin: unknown alias {alias!r}")
         return self.aliases[alias].rel
+
+    def _parse_exec_define(self, stmt: "G.Define") -> dict:
+        """DEFINE alias `cmd` [SHIP/CACHE(...)] [INPUT(stdin USING
+        serde) OUTPUT(stdout USING serde)] (QueryParser.g command
+        clause, PigStreamingBase.java, impl/streaming/PigStreaming.java).
+
+        INPUT's serde SERIALIZES tuples onto the command's stdin;
+        OUTPUT's serde DESERIALIZES its stdout lines. PigStreaming
+        ['<delim>'] — the only serde shipped with Pig — maps to the
+        delimiter-parameterized built-in contract (tab default keeps
+        the codegen serialize path). Any other class name raises with
+        guidance: arbitrary Java PigStreamingBase classes cannot load
+        here; Python callables go through
+        ``Relation.stream_through(serialize=..., deserialize=...)``."""
+        extras = stmt.args[1] if len(stmt.args) > 1 else []
+        spec: dict = {"cmd": stmt.func, "ship": [], "serialize": None, "deserialize": None}
+
+        def parse_serde(items: list, side: str):
+            toks = [(k, v) for k, v in items]
+            idx = next(
+                (i for i, (k, v) in enumerate(toks) if k == "tok" and v.lower() == "using"),
+                None,
+            )
+            if idx is None:
+                return None  # INPUT(stdin) — default serde
+            cls_parts: list[str] = []
+            args: list[str] = []
+            in_args = False
+            for k, v in toks[idx + 1:]:
+                if k == "tok" and v == "(":
+                    in_args = True
+                elif k == "tok" and v == ")":
+                    in_args = False
+                elif k == "str" and in_args:
+                    args.append(v)
+                elif k == "tok" and not in_args:
+                    cls_parts.append(v)
+            cls = "".join(cls_parts)
+            base = cls.rsplit(".", 1)[-1]
+            if base != "PigStreaming":
+                raise NameError(
+                    f"DEFINE {stmt.alias}: stream serde {cls!r} is a Java "
+                    "PigStreamingBase class this engine cannot load; use "
+                    "PigStreaming('<delim>') or pass Python callables via "
+                    "Relation.stream_through(serialize=..., deserialize=...)"
+                )
+            delim = args[0] if args else "\t"
+            if delim == "\t":
+                return None  # default contract — keep the codegen path
+            if side == "input":
+                return lambda row, d=delim: d.join(
+                    "" if v is None else str(v) for v in row
+                )
+            return lambda line, d=delim: line.split(d)
+
+        for kind, items in extras:
+            if kind in ("ship", "cache"):
+                spec["ship"].extend(v for k, v in items if k == "str")
+            elif kind == "input":
+                spec["serialize"] = parse_serde(items, "input")
+            elif kind == "output":
+                spec["deserialize"] = parse_serde(items, "output")
+        return spec
 
     # ------------------------------------------------------------------
     def _op(self, op, out_alias: str) -> RelInfo:
@@ -368,12 +434,18 @@ class PigTranslator:
         if isinstance(op, G.Stream):
             rel = self._rel(op.rel)
             cmd = op.cmd
+            ddl = ", ".join(f"{f.name} {PIG_TO_SPARK_TYPE.get(f.type or 'bytearray', 'string')}" for f in op.schema)
             if cmd.startswith("\x00alias:"):
                 name = cmd[len("\x00alias:"):]
                 if name not in self.defines:
                     raise NameError(f"STREAM THROUGH {name}: no such DEFINE")
-                cmd = self.defines[name]
-            ddl = ", ".join(f"{f.name} {PIG_TO_SPARK_TYPE.get(f.type or 'bytearray', 'string')}" for f in op.schema)
+                spec = self.defines[name]
+                if isinstance(spec, dict):
+                    return RelInfo(rel.stream_through(
+                        spec["cmd"], ddl, ship=spec["ship"] or None,
+                        serialize=spec["serialize"], deserialize=spec["deserialize"],
+                    ))
+                cmd = spec
             return RelInfo(rel.stream_through(cmd, ddl))
         raise NotImplementedError(f"operator {type(op).__name__}")
 
@@ -947,21 +1019,109 @@ class PigTranslator:
         (named ``result`` / ``result_i`` after Over.java's default
         returnName, renameable with FLATTEN ... AS (...))."""
         flat_items = [it for it in op.items if self._has_over_call(it.expr)]
-        if len(flat_items) != 1:
-            raise NotImplementedError("exactly one Stitch/Over expression per GENERATE is supported")
+        for it in op.items:
+            if any(it is f for f in flat_items):
+                continue
+            if not (isinstance(it.expr, G.Col) and (it.expr.name == "group" or it.expr.name.startswith("group."))):
+                raise NotImplementedError("Stitch/Over cannot mix with other GENERATE expressions")
+        if len(flat_items) > 1:
+            return self._foreach_multi_over(op, g, pipes, flat_items)
         item = flat_items[0]
+        flat_sel, df = self._stitch_frame(item, g, pipes)
+        # GENERATE order: group refs before/after the FLATTEN keep
+        # their position (keys are in the pipe's tuples too — Stitch
+        # emits the full ordered tuple — but Pig lets both appear)
+        selects: list[Column] = []
+        for it in op.items:
+            if it is item:
+                selects.extend(flat_sel)
+            elif isinstance(it.expr, G.Col) and it.expr.name == "group":
+                if len(g.key_exprs) == 1:
+                    selects.append(g.key_exprs[0][1].alias(it.alias or "group"))
+                else:
+                    selects.extend(c.alias(n) for n, c in g.key_exprs)
+            else:  # group.key
+                kname = it.expr.name.split(".", 1)[1]
+                expr = dict(g.key_exprs).get(kname)
+                if expr is None:
+                    raise NameError(f"unknown group key {kname!r}")
+                selects.append(expr.alias(it.alias or kname))
+        return Relation(df.select(*selects))
+
+    def _foreach_multi_over(
+        self, op: G.Foreach, g: GroupedInfo, pipes: dict[str, "_Pipe"], flat_items: list
+    ) -> Relation:
+        """Several FLATTENed Stitch/Over bags in one GENERATE. Pig's
+        FLATTEN contract for multiple bags is their per-group CROSS
+        PRODUCT (LogicalPlanBuilder flatten semantics — flattening two
+        bags in one GENERATE crosses their tuples), so each Stitch
+        builds its own windowed frame over the same group-key
+        partitioning and the cross product lowers to a null-safe
+        equi-JOIN on the group keys — co-partitioned with the window
+        exchanges, never a global cartesian, and row counts stay the
+        honest n_i×n_j per group. Callers wanting parallel COLUMNS
+        (one row per tuple) should put all Over calls in ONE Stitch.
+        Each item must carry an AS (...) schema so the joined frames'
+        column names are unique."""
+        gk_names = [f"__gk{k}" for k in range(len(g.key_exprs))]
+        frames: list[DataFrame] = []
+        seen: set[str] = set()
+        for item in flat_items:
+            if not isinstance(item.alias, list):
+                raise SyntaxError(
+                    "multiple FLATTEN(Stitch/Over) expressions in one GENERATE need "
+                    "AS (...) schemas to disambiguate their column names"
+                )
+            names = [n for n, _ in item.alias]
+            dup = seen.intersection(names)
+            if dup:
+                raise SyntaxError(
+                    f"duplicate column names across Stitch AS schemas: {sorted(dup)}"
+                )
+            seen.update(names)
+            flat_sel, df = self._stitch_frame(item, g, pipes)
+            gk = [c.alias(nm) for nm, (_, c) in zip(gk_names, g.key_exprs)]
+            frames.append(df.select(*flat_sel, *gk))
+        out = frames[0]
+        for f in frames[1:]:
+            renames = {nm: f"{nm}_r" for nm in gk_names}
+            for a, b in renames.items():
+                f = f.withColumnRenamed(a, b)
+            cond = [out[a].eqNullSafe(f[b]) for a, b in renames.items()]
+            out = out.join(f, on=cond).drop(*renames.values())
+        selects: list[Column] = []
+        for it in op.items:
+            if any(it is fi for fi in flat_items):
+                selects.extend(F.col(n) for n, _ in it.alias)
+            elif isinstance(it.expr, G.Col) and it.expr.name == "group":
+                if len(g.key_exprs) == 1:
+                    selects.append(F.col(gk_names[0]).alias(it.alias or "group"))
+                else:
+                    selects.extend(
+                        F.col(nm).alias(n) for nm, (n, _) in zip(gk_names, g.key_exprs)
+                    )
+            else:  # group.key
+                kname = it.expr.name.split(".", 1)[1]
+                key_names = [n for n, _ in g.key_exprs]
+                if kname not in key_names:
+                    raise NameError(f"unknown group key {kname!r}")
+                selects.append(
+                    F.col(gk_names[key_names.index(kname)]).alias(it.alias or kname)
+                )
+        return Relation(out.select(*selects))
+
+    def _stitch_frame(
+        self, item, g: GroupedInfo, pipes: dict[str, "_Pipe"]
+    ) -> tuple[list[Column], DataFrame]:
+        """One FLATTEN(Stitch/Over) item → (select columns, source df):
+        the windowed projection of its ordered pipe (tuple columns when
+        stitched, plus one column per Over call, AS-schema applied)."""
         e = item.expr
         if not item.flatten:
             raise NotImplementedError(
                 "Over/Stitch must be FLATTENed (bag-valued results are not materialized); "
                 "write GENERATE FLATTEN(Stitch(s, Over(...)))"
             )
-        for it in op.items:
-            if it is item:
-                continue
-            if not (isinstance(it.expr, G.Col) and (it.expr.name == "group" or it.expr.name.startswith("group."))):
-                raise NotImplementedError("Stitch/Over cannot mix with other GENERATE expressions")
-
         # resolve the ordered pipe + the Over calls
         if isinstance(e, G.Call) and e.func.lower() == "stitch":
             if not (e.args and isinstance(e.args[0], G.Col)):
@@ -1027,25 +1187,7 @@ class PigTranslator:
             flat_sel = [F.col(c) for c in base_cols] + [
                 c.alias(n) for c, n in zip(over_cols, names)
             ]
-        # GENERATE order: group refs before/after the FLATTEN keep
-        # their position (keys are in the pipe's tuples too — Stitch
-        # emits the full ordered tuple — but Pig lets both appear)
-        selects: list[Column] = []
-        for it in op.items:
-            if it is item:
-                selects.extend(flat_sel)
-            elif isinstance(it.expr, G.Col) and it.expr.name == "group":
-                if len(g.key_exprs) == 1:
-                    selects.append(g.key_exprs[0][1].alias(it.alias or "group"))
-                else:
-                    selects.extend(c.alias(n) for n, c in g.key_exprs)
-            else:  # group.key
-                kname = it.expr.name.split(".", 1)[1]
-                expr = dict(g.key_exprs).get(kname)
-                if expr is None:
-                    raise NameError(f"unknown group key {kname!r}")
-                selects.append(expr.alias(it.alias or kname))
-        return Relation(df.select(*selects))
+        return flat_sel, df
 
     def _over_column(self, oc: G.Call, g: GroupedInfo, w) -> Column:
         """One Over(...) call → a Spark window Column over ``w``."""
@@ -1174,11 +1316,6 @@ class PigTranslator:
             """Top-k candidate frame for one LIMIT pipe: returns
             (frame, its non-key columns)."""
             pipe = pipes[lname]
-            if not (pipe.ordered and pipe.order_keys):
-                raise NotImplementedError(
-                    "LIMIT inside FOREACH {} needs a preceding ORDER (top-k); "
-                    "an unordered nested LIMIT selects arbitrary rows"
-                )
             df = child.df
             if pipe.cond is not None:
                 df = df.filter(self._expr(pipe.cond, child))
@@ -1192,12 +1329,25 @@ class PigTranslator:
                 others = cols
             order_names: list[str] = []
             asc: list[bool] = []
-            for ok in pipe.order_keys:
-                cname, a = ok if isinstance(ok, tuple) else (ok, True)
-                if cname.startswith(g.child_alias + "."):
-                    cname = cname.split(".", 1)[1]
-                order_names.append(cname)
-                asc.append(a)
+            if pipe.ordered and pipe.order_keys:
+                for ok in pipe.order_keys:
+                    cname, a = ok if isinstance(ok, tuple) else (ok, True)
+                    if cname.startswith(g.child_alias + "."):
+                        cname = cname.split(".", 1)[1]
+                    order_names.append(cname)
+                    asc.append(a)
+            else:
+                # Pig allows LIMIT without ORDER inside FOREACH {}
+                # (QueryParser.g:921-971): the contract is "ANY n rows
+                # of the bag". An arbitrary pick isn't reproducible
+                # across retries/stragglers, so we pin a deterministic
+                # stand-in: the pipe's columns ascending (nulls first).
+                # Any output satisfying "any n rows" is legal Pig;
+                # ours is additionally stable. Documented divergence:
+                # Pig's choice is arbitrary, ours is the first n of
+                # this order.
+                order_names = list(others)
+                asc = [True] * len(others)
             return topk_per_group(kdf, key_names, order_names, pipe.limit_n, ascending=asc), others
 
         # classify GENERATE items
@@ -1647,6 +1797,10 @@ class PigTranslator:
 
     def _call(self, e: G.Call, rel: Relation) -> Column:
         fname = self.defines.get(e.func, e.func)  # DEFINE alias → func
+        if not isinstance(fname, str):  # exec-command DEFINE used as a UDF
+            raise NameError(
+                f"{e.func!r} is DEFINEd as a stream command; it can only follow STREAM ... THROUGH"
+            )
         if "." in fname:
             ns, _, leaf = fname.partition(".")
             funcs = self.script_udfs.get(ns)

@@ -15,34 +15,59 @@ first if the command benefits from more/fewer parallel instances
 
 from __future__ import annotations
 
+from collections.abc import Callable, Sequence
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 
 def stream_through(
-    df: DataFrame, cmd: str, schema: str | T.StructType, ship: list[str] | None = None
+    df: DataFrame,
+    cmd: str,
+    schema: str | T.StructType,
+    ship: list[str] | None = None,
+    serialize: Callable[[tuple], str] | None = None,
+    deserialize: Callable[[str], Sequence[str | None]] | None = None,
 ) -> DataFrame:
     """``ship`` ≅ DEFINE ... SHIP('file') — distribute scripts/binaries
     via ``SparkContext.addFile``. On YARN/K8s, spark.files localize
     into the task working directory, so ``cmd`` invokes them as
     ``./name`` — exactly Pig's ship-to-task-cwd contract. (local mode
     keeps them under SparkFiles.getRootDirectory(); resolve with
-    ``pyspark.SparkFiles.get(name)``.)"""
+    ``pyspark.SparkFiles.get(name)``.)
+
+    ``serialize``/``deserialize`` are the PigStreamingBase hooks
+    (PigStreamingBase.java — DEFINE ... INPUT(stdin USING serde)
+    OUTPUT(stdout USING serde)): ``serialize(row_tuple) -> line`` fed
+    to the command's stdin; ``deserialize(line) -> field strings``
+    parsed from its stdout, each field then cast by the declared
+    schema with Pig's cast-to-null (garbage never throws). Defaults =
+    PigStreaming.java's tab-delimited contract, which stays in
+    codegen on the serialize side; custom hooks run in the pipe's
+    per-partition Python stage, which the pipe already occupies — no
+    extra plan hop either way."""
     if isinstance(schema, str):
         schema = T.StructType.fromDDL(schema)
     spark = df.sparkSession
     for path in ship or []:
         spark.sparkContext.addFile(path)
 
-    # serialize: tab-delimited text, null → empty field (PigStreaming.java)
-    serialized = df.select(
-        F.concat_ws("\t", *[F.coalesce(F.col(c).cast("string"), F.lit("")) for c in df.columns])
-    )
+    if serialize is None:
+        # tab-delimited text, null → empty field (PigStreaming.java) —
+        # pure Column ops, concat stays JVM-side
+        serialized = df.select(
+            F.concat_ws("\t", *[F.coalesce(F.col(c).cast("string"), F.lit("")) for c in df.columns])
+        ).rdd.map(lambda r: r[0])
+    else:
+        ser = serialize
+        serialized = df.rdd.map(lambda row: ser(tuple(row)))
     # checkCode: non-zero exit of the external command fails the job,
     # as Pig's ExecutableManager does (POStream error contract).
-    piped = serialized.rdd.map(lambda r: r[0]).pipe(cmd, checkCode=True)
-    split_rows = piped.map(lambda line: line.split("\t"))
+    piped = serialized.pipe(cmd, checkCode=True)
+    deser = deserialize if deserialize is not None else (lambda line: line.split("\t"))
+    n_fields = len(schema.fields)
+    split_rows = piped.map(lambda line: (list(deser(line)) + [None] * n_fields)[:n_fields])
     str_schema = T.StructType([T.StructField(f.name, T.StringType(), True) for f in schema.fields])
     raw = spark.createDataFrame(split_rows, schema=str_schema)
     # Pig LoadCaster semantics: cast each field, null on failure

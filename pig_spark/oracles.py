@@ -584,6 +584,24 @@ def oracle_sql() -> dict[str, str]:
                     GROUP BY p.user_id)
             SELECT t.user_id, t.exact, e.est, e.est >= t.exact AS never_under
             FROM top t JOIN est e USING (user_id)""",
+        "q107_latin_multi_stitch": """
+            WITH s1 AS (SELECT n_regionkey, n_nationkey AS nk1,
+                               CAST(row_number() OVER (PARTITION BY n_regionkey
+                                    ORDER BY n_nationkey) AS BIGINT) AS rn1
+                        FROM nation),
+                 s2 AS (SELECT n_regionkey, n_name AS nm2,
+                               CAST(rank() OVER (PARTITION BY n_regionkey
+                                    ORDER BY n_name DESC) AS BIGINT) AS rnk2
+                        FROM nation)
+            SELECT s1.n_regionkey AS rk, nk1, rn1, nm2, rnk2
+            FROM s1 JOIN s2 USING (n_regionkey)""",
+        "q108_latin_unordered_limit": """
+            WITH r AS (SELECT s_nationkey, s_name,
+                              row_number() OVER (PARTITION BY s_nationkey
+                                   ORDER BY s_suppkey ASC NULLS FIRST,
+                                            s_name ASC NULLS FIRST) AS rn
+                       FROM supplier)
+            SELECT s_nationkey AS nk, s_name AS pick FROM r WHERE rn <= 2""",
         "q90_pii_redaction": f"""
             WITH s AS (
                 SELECT doc_id,

@@ -1695,6 +1695,57 @@ def q81_latin_bigdata_chain(spark: SparkSession, sf: str) -> DataFrame:
     return rels["i"].df
 
 
+def q107_latin_multi_stitch(spark: SparkSession, sf: str) -> DataFrame:
+    """TWO FLATTEN(Stitch(Over)) expressions in one GENERATE — Pig's
+    FLATTEN contract for multiple bags is their per-group CROSS
+    PRODUCT. Each Stitch windows over its own ORDER of the group's bag
+    (row_number by nationkey; rank by name DESC) and the cross product
+    lowers to a null-safe equi-join on the group key — co-partitioned
+    with the window exchanges, never a global cartesian
+    (translate.py _foreach_multi_over; closes the r3 verdict's nested
+    corner #2)."""
+    from .latin import run
+
+    rels = run(spark, f"""
+        n = LOAD '{sf}/nation.parquet' USING ParquetLoader();
+        p = FOREACH n GENERATE n_regionkey, n_nationkey, n_name;
+        g = GROUP p BY n_regionkey;
+        c = FOREACH g {{
+            s = ORDER p BY n_nationkey;
+            t = ORDER p BY n_name DESC;
+            GENERATE group AS rk,
+                FLATTEN(Stitch(s, Over(s.n_nationkey, 'row_number')))
+                  AS (rka, nk1, nma, rn1:long),
+                FLATTEN(Stitch(t, Over(t.n_name, 'rank', -1, -1, 1)))
+                  AS (rkb, nkb, nm2, rnk2:long);
+        }}
+        d = FOREACH c GENERATE rk, nk1, rn1, nm2, rnk2;
+    """)
+    return rels["d"].df
+
+
+def q108_latin_unordered_limit(spark: SparkSession, sf: str) -> DataFrame:
+    """Nested LIMIT with NO preceding ORDER (QueryParser.g:921-971 —
+    Pig's contract is "any n rows of the bag"). Arbitrary picks aren't
+    retry-reproducible, so the lowering pins a deterministic stand-in:
+    the first n rows of the pipe's columns ascending (nulls first) via
+    the same one-shuffle topk_per_group window — a legal "any n rows"
+    that is additionally stable (documented divergence from Pig's
+    arbitrary choice; closes the r3 verdict's nested corner #3)."""
+    from .latin import run
+
+    rels = run(spark, f"""
+        s0 = LOAD '{sf}/supplier.parquet' USING ParquetLoader();
+        p = FOREACH s0 GENERATE s_nationkey, s_suppkey, s_name;
+        g = GROUP p BY s_nationkey;
+        c = FOREACH g {{
+            l = LIMIT p 2;
+            GENERATE group AS nk, FLATTEN(l.s_name) AS pick;
+        }}
+    """)
+    return rels["c"].df
+
+
 from .pigmix import PIGMIX_QUERIES  # noqa: E402  (avoids circular import)
 
 _ALL: dict[str, Callable[[SparkSession, str], DataFrame]] = {

@@ -241,22 +241,27 @@ def test_nested_foreach_filter_and_order(spark, sf_dir):
 
 
 def test_nested_foreach_limit_now_lowered(spark, sf_dir):
-    """r1 rejected nested LIMIT outright; r2 lowers ORDER+LIMIT to
-    topk_per_group (see test_latin_nested_limit_*). Unordered LIMIT
-    still raises — arbitrary-row selection is nondeterministic."""
-    import pytest
-
+    """r1 rejected nested LIMIT outright; r2 lowered ORDER+LIMIT to
+    topk_per_group; r4 also lowers UNORDERED nested LIMIT (Pig: "any n
+    rows", QueryParser.g:921-971) with a deterministic stand-in order,
+    so COUNT over the pipe is min(group size, n)."""
     from pig_spark.latin import run
 
-    with pytest.raises(NotImplementedError, match="ORDER"):
-        run(spark, f"""
-            A = LOAD '{sf_dir}/events.parquet' USING ParquetLoader();
-            C = GROUP A BY user_id;
-            D = FOREACH C {{
-                x = LIMIT A 3;
-                GENERATE group, COUNT(x) AS n;
-            }}
-        """)
+    rels = run(spark, f"""
+        A = LOAD '{sf_dir}/events.parquet' USING ParquetLoader();
+        C = GROUP A BY user_id;
+        D = FOREACH C {{
+            x = LIMIT A 3;
+            GENERATE group, COUNT(x) AS n;
+        }}
+    """)
+    e = spark.read.parquet(f"{sf_dir}/events.parquet")
+    want = {
+        r["user_id"]: min(r["count"], 3)
+        for r in e.groupBy("user_id").count().collect()
+    }
+    got = {r["group"]: r["n"] for r in rels["D"].df.collect()}
+    assert got == want
 
 
 def test_preamble_register_define_set(spark, sf_dir):
@@ -620,20 +625,24 @@ def test_latin_nested_limit_mixed_aggregates(spark, sf_dir):
     assert got.exceptAll(want).count() == 0 and want.exceptAll(got).count() == 0
 
 
-def test_latin_nested_limit_without_order_raises(spark, sf_dir):
-    import pytest
-
+def test_latin_nested_limit_without_order_is_deterministic(spark, sf_dir):
+    """Unordered nested LIMIT (Pig contract: ANY n rows) lowers to a
+    deterministic stand-in — the pipe's columns ascending — so reruns
+    and retries produce identical output."""
     from pig_spark.latin import run
 
-    with pytest.raises(NotImplementedError, match="ORDER"):
-        run(spark, f"""
-            o = LOAD '{sf_dir}/orders.parquet' USING ParquetLoader();
-            g = GROUP o BY o_custkey;
-            t = FOREACH g {{
-                l = LIMIT o 2;
-                GENERATE group, COUNT(l) AS n;
-            }}
-        """)
+    script = f"""
+        o = LOAD '{sf_dir}/orders.parquet' USING ParquetLoader();
+        p = FOREACH o GENERATE o_custkey, o_orderkey;
+        g = GROUP p BY o_custkey;
+        t = FOREACH g {{
+            l = LIMIT p 2;
+            GENERATE group, FLATTEN(l.o_orderkey) AS ok;
+        }}
+    """
+    a = sorted(map(tuple, run(spark, script)["t"].df.collect()))
+    b = sorted(map(tuple, run(spark, script)["t"].df.collect()))
+    assert a == b and len(a) > 0
 
 
 def test_latin_sum_of_single_field_bag(spark, sf_dir):
@@ -1310,3 +1319,79 @@ def test_latin_over_group_all(spark, sf_dir):
     assert sorted(r["result"] for r in rows) == list(range(1, len(rows) + 1))
     got = {r["n_nationkey"]: r["result"] for r in rows}
     assert got[0] == 1 and got[max(got)] == len(rows)
+
+
+def test_latin_group_partition_by_warns(spark, sf_dir):
+    """PARTITION BY <java Partitioner class> (QueryParser.g:429-437)
+    warns — never silently ignored — and runs with identical results;
+    GROUP USING 'collected'/'merge' parses as a recorded hint and
+    unknown strategies raise."""
+    import warnings
+
+    import pytest
+
+    base = f"n = LOAD '{sf_dir}/nation.parquet' USING ParquetLoader();"
+    with pytest.warns(UserWarning, match="Partitioner"):
+        rels = run(spark, base + (
+            "g = GROUP n BY n_regionkey PARTITION BY org.apache.pig.test.utils.SimpleCustomPartitioner;"
+            "c = FOREACH g GENERATE group AS rk, COUNT(n) AS cnt;"
+        ))
+    with warnings.catch_warnings():
+        warnings.simplefilter("error")
+        plain = run(spark, base + (
+            "g = GROUP n BY n_regionkey USING 'collected';"
+            "c = FOREACH g GENERATE group AS rk, COUNT(n) AS cnt;"
+        ))
+    assert sorted(map(tuple, rels["c"].df.collect())) == sorted(map(tuple, plain["c"].df.collect()))
+    with pytest.warns(UserWarning, match="Partitioner"):
+        run(spark, base + (
+            "m = LOAD '{0}/region.parquet' USING ParquetLoader();"
+            "j = JOIN n BY n_regionkey, m BY r_regionkey PARTITION BY com.example.P;"
+        ).format("{}".format(f"{sf_dir}")))
+    with pytest.raises(SyntaxError, match="collected"):
+        run(spark, base + "g = GROUP n BY n_regionkey USING 'mystery';")
+
+
+def test_define_stream_custom_serde(spark, sf_dir):
+    """PigStreamingBase custom serde surface: Latin DEFINE ... INPUT(
+    stdin USING PigStreaming(',')) OUTPUT(stdout USING PigStreaming(','))
+    pipes comma-delimited through `cat`; unknown serde classes raise
+    with guidance."""
+    import pytest
+
+    rels = run(spark, f"""
+        DEFINE pass_csv `cat` INPUT(stdin USING PigStreaming(',')) OUTPUT(stdout USING PigStreaming(','));
+        a = LOAD '{sf_dir}/nation.parquet' USING ParquetLoader();
+        b = FOREACH a GENERATE n_nationkey, n_name;
+        s = STREAM b THROUGH pass_csv AS (nk:int, name:chararray);
+    """)
+    got = sorted(map(tuple, rels["s"].df.collect()))
+    want = sorted(
+        (r["n_nationkey"], r["n_name"])
+        for r in spark.read.parquet(f"{sf_dir}/nation.parquet").collect()
+    )
+    assert got == want
+    with pytest.raises(NameError, match="PigStreamingBase"):
+        run(spark, "DEFINE x `cat` INPUT(stdin USING com.example.MySerde('x'));")
+
+
+def test_stream_through_python_serde_roundtrip(spark, sf_dir):
+    """DSL-level PigStreamingBase hooks: JSON-lines serialize into
+    `cat`, JSON deserialize back — field strings cast by the declared
+    schema (Pig cast-to-null contract)."""
+    import json
+
+    from pig_spark import Relation
+
+    r = Relation.load(spark, f"{sf_dir}/region.parquet")
+    out = r.stream_through(
+        "cat",
+        "r_regionkey int, r_name string",
+        serialize=lambda row: json.dumps({"k": row[0], "n": row[1]}),
+        deserialize=lambda line: (
+            lambda d: [str(d["k"]), d["n"]]
+        )(json.loads(line)),
+    )
+    got = sorted(map(tuple, out.df.collect()))
+    want = sorted((x["r_regionkey"], x["r_name"]) for x in r.df.collect())
+    assert got == want
