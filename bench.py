@@ -60,6 +60,7 @@ HEADLINE = [
     "q97_top_ngrams",  # r3: corpus bigram profile, partial-agg + topk window
     "q98_latin_window_over",  # r3: Latin Over/Stitch -> one native window
     "q100_incremental_dedup",  # r3: new batch vs stored signature index
+    "q109_incremental_dedup_verified",  # r4: + exact re-verify, semi-join pruned
 ]
 
 
@@ -105,6 +106,56 @@ def _skew_bench(spark, sf_dir: str, timings: dict) -> None:
         shutil.rmtree(tmp, ignore_errors=True)
 
 
+def _scale_bench(spark, sf_dir: str, results: dict) -> None:
+    """Second scale factor (VERDICT r3 #6): the LSH/CC/contamination
+    headliners re-timed on a 5× documents corpus synthesized from the
+    bench SF — each copy's text is vowel-rotated so cross-copy docs are
+    NOT near-dups: the corpus grows 5×, the near-dup pair DENSITY
+    stays, exactly how a real corpus scales (naive replication would
+    quadratically inflate every LSH bucket instead). Sub-~linear
+    wall-clock growth here is the in-practice evidence for the
+    band-bucket/log-round/broadcast designs. Skip with
+    SPARK_GRAFT_SCALE_BENCH=0."""
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from pig_spark.queries import QUERIES
+
+    copies = 5
+    rot = ["aeiou", "eioua", "iouae", "ouaei", "uaeio"]
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "text")
+    parts = [
+        d.select(
+            (F.col("doc_id") * copies + i).alias("doc_id"),
+            F.translate(F.col("text"), "aeiou", rot[i]).alias("text"),
+        )
+        for i in range(copies)
+    ]
+    big = parts[0]
+    for p in parts[1:]:
+        big = big.unionByName(p)
+    tmp = tempfile.mkdtemp(prefix="pig_spark_sflarge_")
+    try:
+        big.write.mode("overwrite").parquet(f"{tmp}/documents.parquet")
+        spark.read.parquet(f"{tmp}/documents.parquet").write.format("noop").mode("overwrite").save()
+        large: dict[str, float] = {}
+        for name in (
+            "q41_minhash_pairs",
+            "q42_ngram_jaccard",
+            "q87_dedup_groups",
+            "q88_contamination",
+            "q100_incremental_dedup",
+        ):
+            t0 = time.time()
+            QUERIES[name](spark, tmp).write.format("noop").mode("overwrite").save()
+            large[name] = round(time.time() - t0, 3)
+        results["sf_large"] = {"scale_multiple": copies, "queries": large}
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
 def main():
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
@@ -133,17 +184,16 @@ def main():
     _skew_bench(spark, sf_dir, timings)
 
     total = round(sum(timings.values()), 3)
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-            }
-        )
-    )
+    results = {
+        "metric": "headline_queries_total",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+    }
+    if os.environ.get("SPARK_GRAFT_SCALE_BENCH", "1") != "0":
+        _scale_bench(spark, sf_dir, results)
+    print(json.dumps(results))
 
 
 if __name__ == "__main__":

@@ -385,6 +385,8 @@ def incremental_minhash_pairs(
     id_col: str,
     index_df: DataFrame,
     threshold: float = 0.5,
+    verify_with: DataFrame | None = None,
+    verify_threshold: float | None = None,
 ) -> DataFrame:
     """Incremental near-dup detection: match a NEW batch against the
     stored :func:`signature_index` (which already contains the new
@@ -400,9 +402,10 @@ def incremental_minhash_pairs(
     pre-partitioned by band on disk; the new batch's band rows are
     tiny and broadcast into the index join (daily batch << corpus).
     Corpus text is never re-read, old×old pairs never form, and
-    verification needs no shingles — signatures alone score the match
-    (re-verify survivors exactly against just the matched docs if
-    byte-grade precision is needed)."""
+    verification needs no shingles — signatures alone score the match.
+    Pass ``verify_with=<corpus text df>`` to add the exact re-verify
+    stage: survivors' docs ONLY are re-read (semi-join pruned) and
+    scored by exact shingle Jaccard against ``verify_threshold``."""
     new_idx = signature_index(new_df, text_col, id_col)
     new_bands = new_idx.select(
         F.col(id_col).alias("new_id"), F.col("signature").alias("sig_new"), "band", "bh"
@@ -433,10 +436,36 @@ def incremental_minhash_pairs(
         lambda acc, x: acc + x,
     )
     est = F.round(agree.cast("double") / F.lit(float(MINHASH_K)), 6)
-    return (
+    out = (
         cand.withColumn("est_jaccard", est)
         .filter(F.col("est_jaccard") >= threshold)
         .select("new_id", "match_id", "est_jaccard")
+    )
+    if verify_with is None:
+        return out
+    # Optional exact re-verify (the byte-grade precision pass the
+    # estimate-only mode documents): shingle ONLY the matched docs —
+    # semi-joins prune both text scans to the survivor ids, so the
+    # corpus read is survivors-sized, never corpus-sized — and keep
+    # pairs whose EXACT Jaccard clears verify_threshold (defaults to
+    # ``threshold``). Emits (new_id, match_id, est_jaccard, jaccard).
+    vt = threshold if verify_threshold is None else verify_threshold
+    new_ids = out.select(F.col("new_id").alias(id_col)).distinct()
+    match_ids = out.select(F.col("match_id").alias(id_col)).distinct()
+    new_sh = shingle_stage(
+        new_df.join(new_ids, id_col, "left_semi"), text_col, id_col
+    ).select(F.col(id_col).alias("new_id"), F.col("__sh").alias("sh_new"))
+    old_sh = shingle_stage(
+        verify_with.join(match_ids, id_col, "left_semi"), text_col, id_col
+    ).select(F.col(id_col).alias("match_id"), F.col("__sh").alias("sh_old"))
+    inter = F.size(F.array_intersect("sh_new", "sh_old"))
+    union = F.size("sh_new") + F.size("sh_old") - inter
+    return (
+        out.join(new_sh, "new_id")
+        .join(old_sh, "match_id")
+        .withColumn("jaccard", F.round(inter.cast("double") / union, 6))
+        .filter(F.col("jaccard") >= vt)
+        .select("new_id", "match_id", "est_jaccard", "jaccard")
     )
 
 

@@ -918,13 +918,15 @@ class PigTranslator:
         flat_items = [it for it in op.items if it.flatten and (self._pipe_heads(it.expr) & set(pipes))]
         if len(flat_items) != 1:
             raise NotImplementedError("exactly one FLATTEN(<inner pipe>) per nested GENERATE is supported")
+        # aggregates alongside the FLATTEN (Pig bag×scalar cross
+        # product — each flattened row carries the group's aggregate
+        # values): computed in one grouped frame and joined back on
+        # the group keys, same scheme as the LIMIT-pipe path
         agg_like = [
-            it for it in op.items
-            if it not in flat_items
+            (i, it) for i, it in enumerate(op.items)
+            if not any(it is f for f in flat_items)
             and not (isinstance(it.expr, G.Col) and (it.expr.name == "group" or it.expr.name.startswith("group.")))
         ]
-        if agg_like:
-            raise NotImplementedError("FLATTEN of an inner pipe cannot mix with aggregates in one GENERATE")
         item = flat_items[0]
         if not isinstance(item.expr, G.Col):
             raise NotImplementedError("FLATTEN of an inner pipe takes the pipe or pipe.column")
@@ -944,6 +946,18 @@ class PigTranslator:
             cols = [pipe.col] if pipe.col is not None else others
             kdf = kdf.select(*[F.col(n) for n in key_names], *[F.col(c) for c in cols]).dropDuplicates()
             others = cols
+        agg_names: dict[int, str] = {}
+        if agg_like:
+            aggs = []
+            for i, it in agg_like:
+                name = it.alias or _default_name(it.expr, i)
+                agg_names[i] = name
+                aggs.append(self._nested_agg(it.expr, g, pipes).alias(name))
+            aggf = (
+                child.df.groupBy(*[c.alias(n) for n, c in g.key_exprs]) if key_names else child.df.groupBy()
+            ).agg(*aggs)
+            kdf = kdf.join(aggf, key_names, "left") if key_names else kdf.crossJoin(aggf)
+
         if pipe.ordered and pipe.order_keys:
             order_cols = []
             for ok in pipe.order_keys:
@@ -959,7 +973,7 @@ class PigTranslator:
                 kdf = kdf.sortWithinPartitions(*order_cols)
 
         selects: list[Column] = []
-        for it in op.items:
+        for i, it in enumerate(op.items):
             if isinstance(it.expr, G.Col) and it.expr.name == "group":
                 if len(g.key_exprs) == 1:
                     selects.append(F.col(g.key_exprs[0][0]).alias(it.alias or "group"))
@@ -968,6 +982,8 @@ class PigTranslator:
             elif isinstance(it.expr, G.Col) and it.expr.name.startswith("group."):
                 kname = it.expr.name.split(".", 1)[1]
                 selects.append(F.col(kname).alias(it.alias or kname))
+            elif i in agg_names:
+                selects.append(F.col(agg_names[i]))
             elif pipe.col is not None:
                 selects.append(F.col(pipe.col).alias(it.alias or pipe.col.split("::")[-1]))
             else:
@@ -1391,8 +1407,10 @@ class PigTranslator:
             else:
                 other_aggs.append((name, e))
                 layout.append(("col", name))
-        if flat_items and (topk_aggs or other_aggs):
-            raise NotImplementedError("FLATTEN of a LIMIT pipe cannot mix with aggregates in one GENERATE")
+        if len(flat_items) > 1:
+            raise NotImplementedError(
+                "cross product of two FLATTENed LIMIT pipes in one GENERATE is not supported"
+            )
         if len({ln for _, ln, _ in topk_aggs} | {next(iter(self._pipe_heads(it.expr) & limited_names)) for it in flat_items}) == 0:
             raise NotImplementedError("LIMIT pipe defined but never consumed in GENERATE")
 
@@ -1403,24 +1421,6 @@ class PigTranslator:
             if len(g.key_exprs) == 1 and not item.flatten:
                 return [F.col(g.key_exprs[0][0]).alias(item.alias or "group")]
             return [F.col(n) for n, _ in g.key_exprs]
-
-        if flat_items:
-            lname = next(iter(self._pipe_heads(flat_items[0].expr) & limited_names))
-            topk, others = build_topk(lname)
-            # row output: group keys + the limited pipe's tuple/column
-            selects: list[Column] = []
-            for kind, payload in layout:
-                if kind == "group":
-                    selects.extend(group_selects(payload))
-                else:
-                    item = payload
-                    ref = item.expr.name if isinstance(item.expr, G.Col) else None
-                    _, _, rest = (ref or "").partition(".")
-                    if rest:
-                        selects.append(F.col(rest).alias(item.alias or rest))
-                    else:
-                        selects.extend(F.col(c) for c in others)
-            return Relation(topk.select(*selects))
 
         # one aggregate frame per consumed LIMIT pipe, in first-use order
         parts: list = []
@@ -1447,29 +1447,67 @@ class PigTranslator:
                     *[self._nested_agg(e, g, pipes).alias(n) for n, e in other_aggs]
                 )
             )
-        out = parts[0]
-        for p in parts[1:]:
-            if not key_names:
-                # GROUP ALL: single-row aggregates — 1×1 crossJoin
-                out = out.crossJoin(p)
-            else:
-                # full_outer, not inner: a group whose rows are all
-                # removed by a pipe's nested FILTER is absent from that
-                # pipe's topk frame, but Pig still emits it — null SUM,
-                # 0 COUNT over the empty bag (POForEach on empty DataBag)
-                out = out.join(p, key_names, "full_outer")
-        if len(parts) > 1 and key_names:
-            for n in count_cols:
-                out = out.withColumn(n, F.coalesce(F.col(n), F.lit(0).cast("long")))
-        for name, rewritten in combos:
-            out = out.withColumn(name, self._expr(rewritten, Relation(out)))
+        agg_out = None
+        if parts:
+            out = parts[0]
+            for p in parts[1:]:
+                if not key_names:
+                    # GROUP ALL: single-row aggregates — 1×1 crossJoin
+                    out = out.crossJoin(p)
+                else:
+                    # full_outer, not inner: a group whose rows are all
+                    # removed by a pipe's nested FILTER is absent from that
+                    # pipe's topk frame, but Pig still emits it — null SUM,
+                    # 0 COUNT over the empty bag (POForEach on empty DataBag)
+                    out = out.join(p, key_names, "full_outer")
+            if len(parts) > 1 and key_names:
+                for n in count_cols:
+                    out = out.withColumn(n, F.coalesce(F.col(n), F.lit(0).cast("long")))
+            for name, rewritten in combos:
+                out = out.withColumn(name, self._expr(rewritten, Relation(out)))
+            agg_out = out
+
+        if flat_items:
+            # FLATTEN(l[...]) [+ aggregates]: Pig's bag×scalar cross
+            # product — every flattened survivor row carries the
+            # group's aggregate values. The aggregate frame joins back
+            # on the group keys (left from the flattened side: FLATTEN
+            # of an empty bag drops the record, so the topk frame
+            # decides which groups appear; a COUNT whose own pipe was
+            # emptied coalesces to 0, Pig's empty-bag count).
+            item = flat_items[0]
+            lname = next(iter(self._pipe_heads(item.expr) & limited_names))
+            topk, others = build_topk(lname)
+            frame = topk
+            if agg_out is not None:
+                frame = (
+                    topk.join(agg_out, key_names, "left") if key_names else topk.crossJoin(agg_out)
+                )
+                for n in count_cols:
+                    frame = frame.withColumn(n, F.coalesce(F.col(n), F.lit(0).cast("long")))
+            # row output: group keys + the limited pipe's tuple/column
+            selects: list[Column] = []
+            for kind, payload in layout:
+                if kind == "group":
+                    selects.extend(group_selects(payload))
+                elif kind == "flatten":
+                    ref = payload.expr.name if isinstance(payload.expr, G.Col) else None
+                    _, _, rest = (ref or "").partition(".")
+                    if rest:
+                        selects.append(F.col(rest).alias(payload.alias or rest))
+                    else:
+                        selects.extend(F.col(c) for c in others)
+                else:  # "col" / "combo" — stitched aggregate column
+                    selects.append(F.col(payload))
+            return Relation(frame.select(*selects))
+
         selects = []
         for kind, payload in layout:
             if kind == "group":
                 selects.extend(group_selects(payload))
             else:
                 selects.append(F.col(payload))
-        return Relation(out.select(*selects))
+        return Relation(agg_out.select(*selects))
 
     def _topk_agg(self, e, topk, lname: str, g: GroupedInfo) -> Column:
         """Aggregate expression over the top-k survivors (references to

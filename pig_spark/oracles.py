@@ -584,6 +584,38 @@ def oracle_sql() -> dict[str, str]:
                     GROUP BY p.user_id)
             SELECT t.user_id, t.exact, e.est, e.est >= t.exact AS never_under
             FROM top t JOIN est e USING (user_id)""",
+        "q109_incremental_dedup_verified": f"""
+            WITH {minhash_ctes},
+            nb AS (SELECT doc_id, band, bh FROM bands WHERE doc_id % 10 = 0),
+            cd AS (SELECT nb.doc_id AS new_id, b2.doc_id AS match_id
+                   FROM nb JOIN bands b2 ON nb.band = b2.band AND nb.bh = b2.bh
+                   WHERE nb.doc_id <> b2.doc_id
+                   GROUP BY 1, 2),
+            est AS (SELECT new_id, match_id,
+                       round(({" + ".join(f"CAST(l.mh{i} = r.mh{i} AS INT)" for i in range(dedup.MINHASH_K))})
+                             / {float(dedup.MINHASH_K)}, 6) AS est_jaccard
+                    FROM cd JOIN sigs l ON cd.new_id = l.doc_id
+                            JOIN sigs r ON cd.match_id = r.doc_id),
+            sur AS (SELECT * FROM est WHERE est_jaccard >= 0.5),
+            ver AS (SELECT s.new_id, s.match_id, s.est_jaccard,
+                       round(CAST(len(list_filter(a.sh, x -> list_contains(b.sh, x))) AS DOUBLE)
+                             / (len(a.sh) + len(b.sh) - len(list_filter(a.sh, x -> list_contains(b.sh, x)))), 6) AS jaccard
+                    FROM sur s JOIN docs a ON s.new_id = a.doc_id
+                               JOIN docs b ON s.match_id = b.doc_id)
+            SELECT new_id, match_id, est_jaccard, jaccard FROM ver WHERE jaccard >= 0.4""",
+        "q110_latin_flatten_with_aggs": """
+            WITH p AS (SELECT o_custkey, o_orderkey,
+                              CAST(floor(o_totalprice) AS BIGINT) AS cents
+                       FROM orders),
+                 a AS (SELECT o_custkey, CAST(COUNT(*) AS BIGINT) AS n_all,
+                              MAX(cents) AS mx
+                       FROM p GROUP BY o_custkey),
+                 t AS (SELECT o_custkey, o_orderkey,
+                              row_number() OVER (PARTITION BY o_custkey
+                                   ORDER BY cents DESC, o_orderkey) AS rn
+                       FROM p)
+            SELECT t.o_custkey AS ck, a.n_all, t.o_orderkey AS top_ok, a.mx
+            FROM t JOIN a USING (o_custkey) WHERE t.rn <= 2""",
         "q107_latin_multi_stitch": """
             WITH s1 AS (SELECT n_regionkey, n_nationkey AS nk1,
                                CAST(row_number() OVER (PARTITION BY n_regionkey

@@ -485,3 +485,48 @@ def test_piggybank_extremal_tuple(spark):
     assert r["mx"]["k"] == "b" and r["mx"]["v"] == 9  # first of the tie
     assert r["mn"]["k"] == "d"
     assert r["m1"]["k"] == "d"  # max string key
+
+
+def test_event_ts_adapts_to_both_parquet_layouts(spark, tmp_path):
+    """The r3 testdata regen flipped events.ts from TIMESTAMP(NANOS)
+    (read as raw long under nanosAsLong) to TIMESTAMP(MICROS, ntz) and
+    cost an environment A/B to diagnose. Pin the adapter: the same
+    rows written in BOTH physical layouts produce identical
+    event_ts/event_ts_us query output through sources.load."""
+    import datetime
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from pig_spark.functions import event_ts, event_ts_us
+    from pig_spark.sources import load
+
+    base = datetime.datetime(2024, 3, 1, 10, 30, 0)
+    rows = [base + datetime.timedelta(minutes=37 * i, seconds=i) for i in range(200)]
+    uids = [i % 7 for i in range(200)]
+
+    p_us = str(tmp_path / "micros.parquet")
+    p_ns = str(tmp_path / "nanos.parquet")
+    pq.write_table(
+        pa.table({"user_id": uids, "ts": pa.array(rows, pa.timestamp("us"))}), p_us
+    )
+    pq.write_table(
+        pa.table({"user_id": uids, "ts": pa.array(rows, pa.timestamp("ns"))}),
+        p_ns,
+        store_schema=False,  # plain TIMESTAMP(NANOS) parquet, no arrow hints
+    )
+
+    outs = []
+    for path in (p_us, p_ns):
+        df = load(spark, path, "parquet")
+        out = (
+            df.select(
+                "user_id",
+                event_ts(df).alias("t"),
+                event_ts_us(df).alias("us"),
+            )
+            .groupBy("user_id", F.date_trunc("hour", "t").alias("h"))
+            .agg(F.count(F.lit(1)).alias("n"), F.min("us").alias("first_us"))
+        )
+        outs.append(sorted(map(tuple, out.collect())))
+    assert outs[0] == outs[1] and len(outs[0]) > 10

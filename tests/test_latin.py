@@ -1395,3 +1395,28 @@ def test_stream_through_python_serde_roundtrip(spark, sf_dir):
     got = sorted(map(tuple, out.df.collect()))
     want = sorted((x["r_regionkey"], x["r_name"]) for x in r.df.collect())
     assert got == want
+
+
+def test_latin_sorted_flatten_with_aggs(spark, sf_dir):
+    """FLATTEN of an ORDERed (non-LIMIT) pipe mixed with aggregates in
+    one GENERATE: Pig's bag×scalar cross product — every flattened row
+    carries the group's aggregate values (r4; the LIMIT-pipe twin is
+    gate query q110)."""
+    rels = run(spark, f"""
+        n = LOAD '{sf_dir}/nation.parquet' USING ParquetLoader();
+        g = GROUP n BY n_regionkey;
+        c = FOREACH g {{
+            s = ORDER n BY n_nationkey DESC;
+            GENERATE group AS rk, COUNT(n) AS cnt, FLATTEN(s.n_name) AS nm, MIN(n.n_nationkey) AS mn;
+        }}
+    """)
+    ndf = spark.read.parquet(f"{sf_dir}/nation.parquet")
+    agg = ndf.groupBy("n_regionkey").agg(
+        F.count(F.lit(1)).alias("cnt"), F.min("n_nationkey").alias("mn")
+    )
+    twin = ndf.join(agg, "n_regionkey")
+    got = sorted((r["rk"], r["cnt"], r["nm"], r["mn"]) for r in rels["c"].df.collect())
+    want = sorted(
+        (r["n_regionkey"], r["cnt"], r["n_name"], r["mn"]) for r in twin.collect()
+    )
+    assert got == want and len(got) > 0
