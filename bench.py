@@ -136,10 +136,17 @@ def _scale_bench(spark, sf_dir: str, results: dict) -> None:
     big = parts[0]
     for p in parts[1:]:
         big = big.unionByName(p)
+    tmp1 = tempfile.mkdtemp(prefix="pig_spark_sfbase_")
     tmp = tempfile.mkdtemp(prefix="pig_spark_sflarge_")
     try:
+        # 1× control written in the SAME minimal (doc_id, text) shape —
+        # the headline `queries` timings read the full-column table, so
+        # the honest scaling ratio is queries_5x / queries_1x here
+        d.write.mode("overwrite").parquet(f"{tmp1}/documents.parquet")
         big.write.mode("overwrite").parquet(f"{tmp}/documents.parquet")
-        spark.read.parquet(f"{tmp}/documents.parquet").write.format("noop").mode("overwrite").save()
+        for t in (tmp1, tmp):
+            spark.read.parquet(f"{t}/documents.parquet").write.format("noop").mode("overwrite").save()
+        base: dict[str, float] = {}
         large: dict[str, float] = {}
         for name in (
             "q41_minhash_pairs",
@@ -149,10 +156,18 @@ def _scale_bench(spark, sf_dir: str, results: dict) -> None:
             "q100_incremental_dedup",
         ):
             t0 = time.time()
+            QUERIES[name](spark, tmp1).write.format("noop").mode("overwrite").save()
+            base[name] = round(time.time() - t0, 3)
+            t0 = time.time()
             QUERIES[name](spark, tmp).write.format("noop").mode("overwrite").save()
             large[name] = round(time.time() - t0, 3)
-        results["sf_large"] = {"scale_multiple": copies, "queries": large}
+        results["sf_large"] = {
+            "scale_multiple": copies,
+            "queries_1x": base,
+            "queries_5x": large,
+        }
     finally:
+        shutil.rmtree(tmp1, ignore_errors=True)
         shutil.rmtree(tmp, ignore_errors=True)
 
 
