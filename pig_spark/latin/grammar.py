@@ -751,10 +751,11 @@ class Parser:
             return
         self.next()
         self.expect("kw", "by")
-        parts: list[str] = []
-        while (self.peek().kind in ("id", "kw")) or (
-            self.peek().kind == "op" and self.peek().text == "."
-        ):
+        # dotted Java class name: ident ('.' ident)* — consume exactly
+        # that shape so a trailing PARALLEL n clause isn't swallowed
+        parts: list[str] = [self.next().text]
+        while self.peek().kind == "op" and self.peek().text == ".":
+            parts.append(self.next().text)
             parts.append(self.next().text)
         import warnings
 

@@ -615,12 +615,15 @@ def q37_ntile_stats(spark: SparkSession, sf: str) -> DataFrame:
         .otherwise(r + F.floor((rn - 1 - big) / F.greatest(q, F.lit(1))))
         + 1
     )
+    # n=1 edge: SQL defines percent_rank of a single row as 0, where
+    # (rn-1)/(n-1) would be 0/0
+    pct = F.when(n == 1, F.lit(0.0)).otherwise(F.round((rn - 1) / (n - 1), 6))
     return (
         ranked.join(F.broadcast(n_df), how="cross")
         .select(
             "c_custkey",
             quartile.cast("int").alias("quartile"),
-            F.round((rn - 1) / (n - 1), 6).alias("pct_rank"),
+            pct.alias("pct_rank"),
             F.round(rn / n, 6).alias("cdist"),
         )
     )

@@ -79,7 +79,7 @@ def _proj_items(rng):
     return ", ".join(items_l), ", ".join(items_s), cols
 
 
-def _gen(rng, sf_dir):
+def _gen(rng, sf_dir, shape=None):
     fl, fs = _filter_clause(rng)
     pl, ps, cols = _proj_items(rng)
     lines = [
@@ -88,8 +88,9 @@ def _gen(rng, sf_dir):
         f"p = FOREACH f GENERATE {pl};",
     ]
     sql_base = f"SELECT {ps} FROM lineitem WHERE {fs}"
-    shape = rng.random()
-    if shape < 0.18:
+    if shape is None:
+        shape = rng.random()
+    if shape < 0.15:
         # JOIN tail: carry the key through the projection, join orders,
         # aggregate per status (join + qualified-name resolution fuzz)
         lines[2] = f"p = FOREACH f GENERATE l_orderkey, {pl};"
@@ -104,7 +105,7 @@ def _gen(rng, sf_dir):
             f"GROUP BY o_orderstatus"
         )
         return "\n".join(lines), sql
-    if shape < 0.36:
+    if shape < 0.32:
         # nested ORDER+LIMIT tail (topk lowering fuzz): unique tiebreak
         # makes the top-k set — and MIN/MAX/COUNT over it — exact
         k = rng.randint(1, 4)
@@ -115,7 +116,7 @@ def _gen(rng, sf_dir):
         d = "DESC" if desc else "ASC"
         lines.append(f"g = GROUP p BY {key};")
         roll = rng.random()
-        if roll < 0.3:
+        if roll < 0.25:
             # r3: one expression COMBINING a pipe aggregate with a
             # full-bag aggregate (leaf decomposition + stitch)
             gen = "GENERATE group AS k, COUNT(l) AS n, MAX(l.cents) AS mx, MAX(l.cents) - COUNT(p) AS dx;"
@@ -124,16 +125,26 @@ def _gen(rng, sf_dir):
                 f"MAX(cents) FILTER (WHERE rn <= {k}) AS mx, "
                 f"MAX(cents) FILTER (WHERE rn <= {k}) - COUNT(*) AS dx FROM r GROUP BY k"
             )
-        elif roll < 0.6:
+        elif roll < 0.5:
             # r3: aggregate over a scalar EXPRESSION of the survivors
             gen = "GENERATE group AS k, COUNT(l) AS n, MAX(l.cents) AS mx, SUM(l.cents * 2 + 1) AS sx;"
             final = (
                 f"SELECT k, COUNT(*) AS n, MAX(cents) AS mx, SUM(cents * 2 + 1) AS sx "
                 f"FROM r WHERE rn <= {k} GROUP BY k"
             )
-        else:
+        elif roll < 0.72:
             gen = "GENERATE group AS k, COUNT(l) AS n, MAX(l.cents) AS mx;"
             final = f"SELECT k, COUNT(*) AS n, MAX(cents) AS mx FROM r WHERE rn <= {k} GROUP BY k"
+        else:
+            # r4: FLATTEN of the survivors MIXED with aggregates (Pig
+            # bag×scalar cross product — q110's shape): every top-k
+            # row carries the group's full-bag count
+            gen = "GENERATE group AS k, COUNT(p) AS n, FLATTEN(l.cents) AS c;"
+            final = (
+                f"SELECT r.k, a.n, r.cents AS c FROM r "
+                f"JOIN (SELECT k, COUNT(*) AS n FROM r GROUP BY k) a ON r.k = a.k "
+                f"WHERE r.rn <= {k}"
+            )
         lines.append(
             "out = FOREACH g { s = ORDER p BY cents "
             + d
@@ -150,13 +161,40 @@ def _gen(rng, sf_dir):
             + final
         )
         return "\n".join(lines), sql
-    if shape < 0.40:
+    if shape < 0.42:
+        lines[2] = f"p = FOREACH f GENERATE l_orderkey, l_linenumber, {pl};"
+        sql_p = f"SELECT l_orderkey, l_linenumber, {ps} FROM lineitem WHERE {fs}"
+        if shape < 0.37:
+            # r4: TWO Stitch bags in one GENERATE — Pig FLATTEN cross
+            # product per group (q107's shape). Grouped by l_orderkey
+            # so groups stay ≤7 rows and n² is small; SQL twin is the
+            # join of two windowed CTEs on the group key.
+            ncols = 2 + len(cols)
+            a = [f"a{i}" for i in range(ncols)] + ["rs1"]
+            b = [f"b{i}" for i in range(ncols)] + ["rn2"]
+            lines.append("g = GROUP p BY l_orderkey;")
+            lines.append(
+                "out = FOREACH g { s = ORDER p BY cents ASC, l_linenumber ASC; "
+                "t = ORDER p BY cents DESC, l_linenumber DESC; "
+                "GENERATE FLATTEN(Stitch(s, Over(s.cents, 'sum(long)'))) AS (" + ", ".join(a) + "), "
+                "FLATTEN(Stitch(t, Over(t.l_linenumber, 'row_number'))) AS (" + ", ".join(b) + "); };"
+            )
+            src = ["l_orderkey", "l_linenumber"] + list(cols)
+            sel1 = ", ".join(f"{c} AS {n}" for c, n in zip(src, a))
+            sel2 = ", ".join(f"{c} AS {n}" for c, n in zip(src, b))
+            sql = (
+                f"WITH p AS ({sql_p}), "
+                f"s1 AS (SELECT {sel1}, SUM(cents) OVER (PARTITION BY l_orderkey "
+                f"ORDER BY cents ASC, l_linenumber ASC ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS rs1 FROM p), "
+                f"s2 AS (SELECT {sel2}, CAST(row_number() OVER (PARTITION BY l_orderkey "
+                f"ORDER BY cents DESC, l_linenumber DESC) AS BIGINT) AS rn2 FROM p) "
+                f"SELECT {', '.join(a + b)} FROM s1 JOIN s2 ON s1.a0 = s2.b0"
+            )
+            return "\n".join(lines), sql
         # r3: Over/Stitch windows in a nested block (piggybank Over.java
         # lowering) — running/framed sum + row_number + lag vs the SQL
         # window twin; unique (cents, orderkey, linenumber) order makes
         # every window value exact
-        lines[2] = f"p = FOREACH f GENERATE l_orderkey, l_linenumber, {pl};"
-        sql_p = f"SELECT l_orderkey, l_linenumber, {ps} FROM lineitem WHERE {fs}"
         key = rng.choice(STR)
         d = "DESC" if rng.random() < 0.5 else "ASC"
         frame_l, frame_sql = rng.choice(
@@ -302,7 +340,11 @@ def test_latin_fuzz_differential(spark, sf_dir, duck, ansi_start):
 def _fuzz_loop(spark, sf_dir, duck, rng, failures, ansi_start):
     for i in range(N_SCRIPTS):
         spark.conf.set("spark.sql.ansi.enabled", str(ansi_start).lower())
-        script, sql = _gen(rng, sf_dir)
+        # stratified shape draw: case i lands in slice [i/N, (i+1)/N),
+        # so EVERY generator branch fires every run — a pure-random
+        # draw can miss a 4%-wide slice for dozens of seeds
+        shape = (i + rng.random()) / N_SCRIPTS
+        script, sql = _gen(rng, sf_dir, shape=shape)
         try:
             got_rows = run(spark, script)["out"].df
             cols = got_rows.columns
