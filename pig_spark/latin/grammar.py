@@ -1087,8 +1087,28 @@ class Parser:
         if t.kind == "op" and t.text == "(":
             self.next()
             e = self.expr()
+            if self.peek().kind == "op" and self.peek().text == ",":
+                # tuple literal (e1, e2, ...) (QueryParser.g
+                # tuple_initializer) — lowered to TOTUPLE
+                items = [e]
+                while self.accept("op", ","):
+                    items.append(self.expr())
+                self.expect("op", ")")
+                return Call("TOTUPLE", items)
             self.expect("op", ")")
             return e
+        if t.kind == "op" and t.text == "{":
+            # bag literal {(1),(2)} / {(1,'a'),(2,'b')} (QueryParser.g
+            # bag_initializer) — lowered to TOBAG (scalars become
+            # single-field tuples, tuple items stay tuples)
+            self.next()
+            items: list[object] = []
+            if not (self.peek().kind == "op" and self.peek().text == "}"):
+                items.append(self.expr())
+                while self.accept("op", ","):
+                    items.append(self.expr())
+            self.expect("op", "}")
+            return Call("TOBAG", items)
         if t.kind == "op" and t.text == "[":
             # map literal ['k'#v, ...] (QueryParser.g map_initializer) —
             # lowered to the TOMAP builtin (alternating key/value args)

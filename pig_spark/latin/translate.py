@@ -608,7 +608,10 @@ class PigTranslator:
             else:
                 name = item.alias or _default_name(item.expr, i)
                 if item.flatten:
-                    flatten_aliases.append((name, None))
+                    # an explicit single-name AS names the (single)
+                    # flattened field — FLATTEN({(1),(2)}) AS v yields
+                    # column v, not the tuple's inner field name
+                    flatten_aliases.append((name, [(name, None)] if item.alias else None))
             cols.append(c.alias(name))
         out = Relation(rel.df.select(*cols))
         for name, schema in flatten_aliases:
@@ -1852,6 +1855,13 @@ class PigTranslator:
                     f"pig latin: no function {leaf!r} in namespace {ns!r}{_suggest(leaf, sorted(funcs))}"
                 )
             return udf_col(*[self._expr(a, rel) for a in e.args])
+        if fname.upper() == "TOBAG" and any(
+            isinstance(a, G.Call) and a.func.upper() == "TOTUPLE" for a in e.args
+        ):
+            # bag-of-TUPLES literal {(1,'a'),(2,'b')}: TOBAG.java
+            # inserts tuple arguments as-is — only scalars get wrapped
+            # into single-field tuples
+            return F.array(*[self._expr(a, rel) for a in e.args])
         fn = getattr(PF, fname, None) or getattr(PF, fname.upper(), None)
         if fn is None:
             known = [n for n in dir(PF) if not n.startswith("_")]

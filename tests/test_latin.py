@@ -1420,3 +1420,28 @@ def test_latin_sorted_flatten_with_aggs(spark, sf_dir):
         (r["n_regionkey"], r["cnt"], r["n_name"], r["mn"]) for r in twin.collect()
     )
     assert got == want and len(got) > 0
+
+
+def test_latin_bag_tuple_literals(spark, sf_dir):
+    """Bag / tuple literal initializers (QueryParser.g bag_initializer
+    / tuple_initializer): {(1),(2)} → bag of single-field tuples,
+    {(1,'a'),(2,'b')} → bag of tuples (inserted as-is, TOBAG.java),
+    (e1, e2, ...) → tuple; FLATTEN/SIZE compose; IN-lists and
+    parenthesized ternaries are unaffected."""
+    base = f"n = LOAD '{sf_dir}/nation.parquet' USING ParquetLoader();"
+
+    rels = run(spark, base + "b = FOREACH n GENERATE FLATTEN({(10),(20)}) AS v, n_nationkey;")
+    df = rels["b"].df
+    assert df.count() == 2 * spark.read.parquet(f"{sf_dir}/nation.parquet").count()
+    assert set(r["v"] for r in df.collect()) == {10, 20}
+
+    rels = run(spark, base + "b = FOREACH n GENERATE {(1,'a'),(2,'b')} AS bg;")
+    t = rels["b"].df.schema["bg"].dataType.simpleString()
+    assert t.startswith("array<struct<") and "string" in t
+
+    rels = run(spark, base + "b = FOREACH n GENERATE (n_nationkey, n_name) AS tp; c = FOREACH b GENERATE tp.$1 AS nm;")
+    names = {r["nm"] for r in rels["c"].df.collect()}
+    assert "NATION_0" in names
+
+    rels = run(spark, base + "b = FILTER n BY n_regionkey IN (1, 2);")
+    assert rels["b"].df.count() == 10
