@@ -635,7 +635,15 @@ class Parser:
                 n = self.next()
                 nested.append(NestedStmt(alias, "limit", src, int(n.text)))
             else:
-                nested.append(NestedStmt(alias, "project", self._dotted()))
+                # projection (x = B.col) OR a scalar expression alias
+                # (x = f(col) * 2 — QueryParser.g nested_command
+                # 'alias = expression'); expr() returns a bare Col for
+                # the projection form
+                e = self.expr()
+                if isinstance(e, Col):
+                    nested.append(NestedStmt(alias, "project", e.name))
+                else:
+                    nested.append(NestedStmt(alias, "expr", "", e))
             self.expect("op", ";")
         self.expect("kw", "generate")
         items = [self._gen_item()]

@@ -18,6 +18,7 @@ back to the literal bag-form relation.
 from __future__ import annotations
 
 from dataclasses import dataclass
+from dataclasses import replace as G_replace
 
 from pyspark.sql import Column, SparkSession
 from pyspark.sql import Window as SparkWindow
@@ -118,6 +119,20 @@ def _tuple_ddl(t: str) -> str:
             raise SyntaxError(f"scripting UDF schema: unnamed field in {t!r}")
         fields.append(f"{fname.strip()}:{PIG_TO_SPARK_TYPE.get(ftype.strip().lower(), 'string')}")
     return "struct<" + ",".join(fields) + ">"
+
+
+def _group_key(kname: str, key_exprs) -> str:
+    """Resolve a ``group.<ref>`` deref to a key column name —
+    positional ``group.$N`` (QueryParser.g col_ref: tuple deref
+    applies to the implicit 'group' tuple) or by field name."""
+    if kname.startswith("$"):
+        idx = int(kname[1:])
+        if idx >= len(key_exprs):
+            raise NameError(
+                f"pig latin: group.${idx} — the group key has only {len(key_exprs)} fields"
+            )
+        return key_exprs[idx][0]
+    return kname
 
 
 def _suggest(name: str, candidates: list[str]) -> str:
@@ -410,9 +425,9 @@ class PigTranslator:
         if isinstance(op, G.Simple) and op.op == "distinct":
             return RelInfo(self._rel(op.rel).distinct())
         if isinstance(op, G.Limit):
-            return RelInfo(self._rel(op.rel).limit(int(_const(op.n))))
+            return RelInfo(self._rel(op.rel).limit(int(self._scalar_value(op.n))))
         if isinstance(op, G.Sample):
-            return RelInfo(self._rel(op.rel).sample(float(_const(op.p))))
+            return RelInfo(self._rel(op.rel).sample(float(self._scalar_value(op.p))))
         if isinstance(op, G.Union):
             rels = [self._rel(r) for r in op.rels]
             return RelInfo(rels[0].union(*rels[1:], onschema=op.onschema))
@@ -584,7 +599,18 @@ class PigTranslator:
         if info is None:
             raise NameError(f"pig latin: unknown alias {op.rel!r}")
         if op.nested:
-            return RelInfo(self._foreach_nested(op, info))
+            if info.grouped is None and all(st.kind == "expr" for st in op.nested):
+                # nested block of PURE expression aliases over a flat
+                # relation (x = expr; GENERATE x — QueryParser.g
+                # nested_command): each alias is a derived column; no
+                # bags involved, falls through to the flat path
+                rel0 = info.rel
+                for st in op.nested:
+                    rel0 = Relation(rel0.df.withColumn(st.alias, self._expr(st.cond, rel0)))
+                info = RelInfo(rel0)
+                op = G.Foreach(op.rel, op.items, nested=None)
+            else:
+                return RelInfo(self._foreach_nested(op, info))
         if info.grouped is not None and self._all_algebraic(op.items, info.grouped):
             return RelInfo(self._foreach_agg(op, info.grouped))
         rel = info.rel
@@ -683,7 +709,7 @@ class PigTranslator:
                     )
                 continue
             if isinstance(e, G.Col) and e.name.startswith("group."):
-                kname = e.name.split(".", 1)[1]
+                kname = _group_key(e.name.split(".", 1)[1], g.key_exprs)
                 selects.append(F.col(kname).alias(item.alias or kname))
                 continue
             aggs.append(self._agg_expr(e, g).alias(name))
@@ -723,6 +749,20 @@ class PigTranslator:
             raise SyntaxError("nested FOREACH { ... } requires FOREACH over a GROUP/COGROUP alias")
         pipes: dict[str, _Pipe] = {}
         for st in op.nested:
+            if st.kind == "expr":
+                # nested expression alias (QueryParser.g nested_command
+                # 'alias = expression'): a derived per-tuple value of
+                # the child — materialized as a pre-shuffle column, so
+                # downstream aggregates/pipes treat it as a plain
+                # column pipe (the projection runs in the scan stage,
+                # never in a reducer bag). Note: the derived column
+                # joins the child's tuple, so whole-tuple pipes in the
+                # same block see it too.
+                g = G_replace(g, child=Relation(
+                    g.child.df.withColumn(st.alias, self._expr(st.cond, g.child))
+                ))
+                pipes[st.alias] = _Pipe(col=st.alias)
+                continue
             base = self._resolve_pipe(st.source, g, pipes)
             if st.kind == "project":
                 pass  # _resolve_pipe already applied the column
@@ -983,7 +1023,7 @@ class PigTranslator:
                 else:
                     selects.extend(F.col(n) for n, _ in g.key_exprs)
             elif isinstance(it.expr, G.Col) and it.expr.name.startswith("group."):
-                kname = it.expr.name.split(".", 1)[1]
+                kname = _group_key(it.expr.name.split(".", 1)[1], g.key_exprs)
                 selects.append(F.col(kname).alias(it.alias or kname))
             elif i in agg_names:
                 selects.append(F.col(agg_names[i]))
@@ -1060,7 +1100,7 @@ class PigTranslator:
                 else:
                     selects.extend(c.alias(n) for n, c in g.key_exprs)
             else:  # group.key
-                kname = it.expr.name.split(".", 1)[1]
+                kname = _group_key(it.expr.name.split(".", 1)[1], g.key_exprs)
                 expr = dict(g.key_exprs).get(kname)
                 if expr is None:
                     raise NameError(f"unknown group key {kname!r}")
@@ -1120,7 +1160,7 @@ class PigTranslator:
                         F.col(nm).alias(n) for nm, (n, _) in zip(gk_names, g.key_exprs)
                     )
             else:  # group.key
-                kname = it.expr.name.split(".", 1)[1]
+                kname = _group_key(it.expr.name.split(".", 1)[1], g.key_exprs)
                 key_names = [n for n, _ in g.key_exprs]
                 if kname not in key_names:
                     raise NameError(f"unknown group key {kname!r}")
@@ -1419,7 +1459,7 @@ class PigTranslator:
 
         def group_selects(item) -> list[Column]:
             if isinstance(item.expr, G.Col) and item.expr.name.startswith("group."):
-                kname = item.expr.name.split(".", 1)[1]
+                kname = _group_key(item.expr.name.split(".", 1)[1], g.key_exprs)
                 return [F.col(kname).alias(item.alias or kname)]
             if len(g.key_exprs) == 1 and not item.flatten:
                 return [F.col(g.key_exprs[0][0]).alias(item.alias or "group")]
@@ -1557,6 +1597,37 @@ class PigTranslator:
                 raise SyntaxError(f"{fn.upper()} over a whole-tuple pipe needs a column (e.g. {lname}.field)")
             return {"count": F.count, "count_star": F.count, "sum": F.sum, "avg": F.avg, "min": F.min, "max": F.max}[fn](val)
         raise NotImplementedError(f"unsupported expression over LIMIT pipe: {e}")
+
+    def _scalar_value(self, e):
+        """LIMIT/SAMPLE argument: a constant expression, optionally
+        referencing single-row relation scalars (``LIMIT r c.total /
+        100`` — ScalarVisitor.java / QueryParser.g:975 scalar
+        projection). The scalar relation is materialized at plan time
+        (1 row — Pig's runtime contract, enforced here too) and folded
+        into the constant."""
+        try:
+            return _const(e)
+        except ValueError:
+            pass
+        if isinstance(e, G.Col) and "." in e.name:
+            head, _, rest = e.name.partition(".")
+            info = self.aliases.get(head)
+            if info is not None:
+                rows = info.rel.df.limit(2).collect()
+                if len(rows) != 1:
+                    raise ValueError(
+                        f"pig latin: scalar reference {e.name!r} requires exactly one row "
+                        f"(got {'multiple' if len(rows) > 1 else 'none'}) — ScalarVisitor contract"
+                    )
+                return rows[0][rest]
+        if isinstance(e, G.Bin):
+            import operator as _o
+
+            ops = {"+": _o.add, "-": _o.sub, "*": _o.mul, "/": _o.truediv, "%": _o.mod}
+            return ops[e.op](self._scalar_value(e.left), self._scalar_value(e.right))
+        if isinstance(e, G.Cast):
+            return self._scalar_value(e.operand)
+        raise ValueError("pig latin: LIMIT/SAMPLE takes a constant or single-row scalar expression")
 
     def _resolve_pipe(self, source: str, g: GroupedInfo, pipes: dict[str, "_Pipe"]) -> "_Pipe":
         head, _, rest = source.partition(".")

@@ -1445,3 +1445,63 @@ def test_latin_bag_tuple_literals(spark, sf_dir):
 
     rels = run(spark, base + "b = FILTER n BY n_regionkey IN (1, 2);")
     assert rels["b"].df.count() == 10
+
+
+def test_latin_nested_expression_alias(spark, sf_dir):
+    """Nested expression aliases (QueryParser.g nested_command
+    'alias = expression'): derived per-tuple columns usable by
+    aggregates, FLATTEN, and flat FOREACH blocks."""
+    base = f"n = LOAD '{sf_dir}/nation.parquet' USING ParquetLoader();"
+    rels = run(spark, base + (
+        "g = GROUP n BY n_regionkey; "
+        "b = FOREACH g { x = n_nationkey * 2; GENERATE group AS rk, SUM(x) AS sx, COUNT(n) AS c; }"
+    ))
+    ndf = spark.read.parquet(f"{sf_dir}/nation.parquet")
+    want = {
+        r["n_regionkey"]: (r["sx"], r["c"])
+        for r in ndf.groupBy("n_regionkey")
+        .agg((F.sum(F.col("n_nationkey") * 2)).alias("sx"), F.count(F.lit(1)).alias("c"))
+        .collect()
+    }
+    got = {r["rk"]: (r["sx"], r["c"]) for r in rels["b"].df.collect()}
+    assert got == want
+
+    rels = run(spark, base + "b = FOREACH n { x = n_nationkey * 2; y = CONCAT(n_name, '!'); GENERATE x AS d, y; }")
+    assert rels["b"].df.columns == ["d", "y"]
+    assert {r["d"] for r in rels["b"].df.collect()} == {2 * k for k in range(25)}
+
+
+def test_latin_scalar_limit_sample(spark, sf_dir):
+    """LIMIT/SAMPLE by a scalar expression over a single-row relation
+    (ScalarVisitor.java contract: exactly one row, folded at plan
+    time); multi-row scalar refs raise."""
+    import pytest
+
+    base = f"n = LOAD '{sf_dir}/nation.parquet' USING ParquetLoader();"
+    rels = run(spark, base + (
+        "t = GROUP n ALL; c = FOREACH t GENERATE COUNT(n) AS total; "
+        "l = LIMIT n c.total / 5;"
+    ))
+    assert rels["l"].df.count() == 5
+    with pytest.raises(ValueError, match="exactly one row"):
+        run(spark, base + "l = LIMIT n n.n_nationkey / 5;")
+
+
+def test_latin_group_positional_deref(spark, sf_dir):
+    """group.$N positional deref of the implicit group tuple
+    (QueryParser.g col_ref) — works with expression keys where the
+    tuple has no user-facing field names."""
+    base = f"n = LOAD '{sf_dir}/nation.parquet' USING ParquetLoader();"
+    rels = run(spark, base + (
+        "g = GROUP n BY (n_regionkey, n_nationkey % 2); "
+        "b = FOREACH g GENERATE group.$0 AS rk, group.$1 AS par, COUNT(n) AS c;"
+    ))
+    ndf = spark.read.parquet(f"{sf_dir}/nation.parquet")
+    want = {
+        (r["n_regionkey"], r["p"]): r["c"]
+        for r in ndf.groupBy("n_regionkey", (F.col("n_nationkey") % 2).alias("p"))
+        .agg(F.count(F.lit(1)).alias("c"))
+        .collect()
+    }
+    got = {(r["rk"], r["par"]): r["c"] for r in rels["b"].df.collect()}
+    assert got == want
