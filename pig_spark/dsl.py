@@ -142,7 +142,10 @@ class Relation:
                 if out_names != list(fields):
                     df = df.toDF(*others, *out_names)
             else:
-                raise TypeError(f"FLATTEN target {name} has non-nested type {dtype}")
+                # Pig: FLATTEN of a non-bag/non-tuple field is a no-op
+                # (LogicalPlanBuilder flatten of a scalar) — e.g.
+                # FLATTEN(group) over a single-key GROUP
+                pass
             rel = Relation(df)
         return rel
 

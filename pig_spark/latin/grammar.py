@@ -960,11 +960,18 @@ class Parser:
             return Un("not", self._not())
         return self._cmp()
 
+    _WORD_CMP = {"eq": "==", "neq": "!=", "lt": "<", "lte": "<=", "gt": ">", "gte": ">="}
+
     def _cmp(self):
         left = self._add()
         t = self.peek()
         if t.kind == "op" and t.text in ("==", "!=", "<", "<=", ">", ">="):
             op = self.next().text
+            return Bin(op, left, self._add())
+        if t.kind == "id" and t.text.lower() in self._WORD_CMP:
+            # legacy word comparison operators (QueryParser.g rel_op:
+            # eq/neq/lt/lte/gt/gte — the tutorial scripts use them)
+            op = self._WORD_CMP[self.next().text.lower()]
             return Bin(op, left, self._add())
         if t.kind == "kw" and t.text == "is":
             self.next()

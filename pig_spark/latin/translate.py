@@ -121,6 +121,29 @@ def _tuple_ddl(t: str) -> str:
     return "struct<" + ",".join(fields) + ">"
 
 
+def _sub_positional(e, sub: dict[str, str]):
+    """Rewrite ``$0`` / ``$1`` column heads per ``sub`` throughout an
+    expression tree (GROUP-output positional refs → group / bag)."""
+    if isinstance(e, G.Col):
+        head, dot, rest = e.name.partition(".")
+        if head in sub:
+            return G.Col(sub[head] + dot + rest)
+        return e
+    if isinstance(e, G.Bin):
+        return G.Bin(e.op, _sub_positional(e.left, sub), _sub_positional(e.right, sub))
+    if isinstance(e, G.Cast):
+        return G.Cast(e.type, _sub_positional(e.operand, sub))
+    if isinstance(e, G.Call):
+        return G.Call(e.func, [_sub_positional(a, sub) for a in e.args])
+    if isinstance(e, G.BinCond):
+        return G.BinCond(
+            _sub_positional(e.cond, sub),
+            _sub_positional(e.then, sub),
+            _sub_positional(e.otherwise, sub),
+        )
+    return e
+
+
 def _group_key(kname: str, key_exprs) -> str:
     """Resolve a ``group.<ref>`` deref to a key column name —
     positional ``group.$N`` (QueryParser.g col_ref: tuple deref
@@ -598,6 +621,21 @@ class PigTranslator:
         info = self.aliases.get(op.rel)
         if info is None:
             raise NameError(f"pig latin: unknown alias {op.rel!r}")
+        if info.grouped is not None:
+            # positional refs over a GROUP result (LogicalSchema:
+            # field 0 = the group key tuple, field 1 = the bag named
+            # after the child): $0 ≡ group, $1 ≡ <child alias> — the
+            # reference tutorial's FOREACH ... GENERATE FLATTEN($0),
+            # COUNT($1) shape
+            sub = {"$0": "group", "$1": info.grouped.child_alias}
+            op = G.Foreach(
+                op.rel,
+                [
+                    G.GenItem(_sub_positional(it.expr, sub), it.alias, it.flatten)
+                    for it in op.items
+                ],
+                nested=op.nested,
+            )
         if op.nested:
             if info.grouped is None and all(st.kind == "expr" for st in op.nested):
                 # nested block of PURE expression aliases over a flat
@@ -1896,6 +1934,23 @@ class PigTranslator:
         if len(suffix) > 1:
             raise ValueError(f"pig latin: ambiguous field {name!r}: {suffix}")
         if "::" in name:
+            # full qualifier-chain match: Pig's LogicalSchema names can
+            # carry MORE history than ours (hourA::group::ngram when our
+            # flatten stored hourA::ngram) — a column whose ::-chain is
+            # an order-preserving subsequence of the requested chain,
+            # sharing the leaf, is the same field
+            segs = name.split("::")
+
+            def _subseq(short: list[str]) -> bool:
+                it = iter(segs)
+                return all(s in it for s in short)
+
+            chain = [
+                c for c in cols
+                if c.split("::")[-1] == segs[-1] and _subseq(c.split("::"))
+            ]
+            if len(chain) == 1:
+                return rel.df[chain[0]]
             # qualified alias::field where flatten kept the bare name
             # (no collision) — Pig resolves either form (LogicalSchema
             # disambiguation); strip qualifiers left-to-right
