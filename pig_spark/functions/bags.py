@@ -43,8 +43,9 @@ def BagToTuple(bag: Column) -> Column:
 
 
 def SIZE(col: Column) -> Column:
-    """SIZE.java family — element count; Pig returns long."""
-    return F.size(col).cast("long")
+    """SIZE.java family — element count; Pig returns long and NULL for
+    null input (F.size alone yields -1 under the legacy conf)."""
+    return F.when(col.isNull(), F.lit(None)).otherwise(F.size(col)).cast("long")
 
 
 BagSize = SIZE

@@ -436,6 +436,13 @@ class Parser:
             return self._top_level_op()
         if t.kind == "kw" and t.text in ("register", "define", "set"):
             return self._preamble_stmt()
+        if t.kind == "id" and t.text.lower() == "exec":
+            # Grunt `exec;` — force-execute queued statements
+            # (GruntParser). STORE is already eager here, so the
+            # execution boundary is a recorded no-op.
+            self.next()
+            self.accept("op", ";")  # Grunt allows a bare `exec` line
+            return SetStmt("__exec_boundary__", "")
         alias = self._ident()
         self.expect("op", "=")
         # realias `a = b;` (QueryParser.g:364 statement-level form):
@@ -482,8 +489,13 @@ class Parser:
             self.expect("op", ";")
             return Register(path, engine, namespace)
         if kw == "set":
+            # dotted conf keys (SET mapreduce.input.fileinputformat.
+            # split.maxsize '300') and quoted or bare values
             key = self.next().text
-            value = self.next().text
+            while self.accept("op", "."):
+                key += "." + self.next().text
+            t = self.next()
+            value = t.text[1:-1] if t.kind == "str" else t.text
             self.expect("op", ";")
             return SetStmt(key, value)
         # define
@@ -565,6 +577,12 @@ class Parser:
 
     def _op_clause(self):
         t = self.peek()
+        if t.kind == "id" and t.text.lower() in ("native", "mapreduce"):
+            raise NotImplementedError(
+                "pig latin: NATIVE/MAPREDUCE jar execution is unsupported by design "
+                "(SURVEY §2.2#26 — a Spark engine cannot host Hadoop job jars); run "
+                "the Java job externally and LOAD its output path instead"
+            )
         if t.kind != "kw":
             raise SyntaxError(f"pig latin: expected operator keyword, got {t.text!r} at offset {t.pos}")
         kw = self.next().text
@@ -611,27 +629,34 @@ class Parser:
                 nested.append(NestedStmt(alias, "distinct", self._dotted()))
             elif t.kind == "kw" and t.text == "filter":
                 self.next()
-                src = self._dotted()
+                src = self._nested_ref()
                 self.expect("kw", "by")
                 nested.append(NestedStmt(alias, "filter", src, self.expr()))
             elif t.kind == "kw" and t.text == "order":
                 self.next()
-                src = self._dotted()
+                src = self._nested_ref()
                 self.expect("kw", "by")
-                # per-column [ASC|DESC], as in QueryParser.g order_by_clause
+                # per-column [ASC|DESC], as in QueryParser.g
+                # order_by_clause; '*' = every column, $N positional
                 cols = []
                 while True:
-                    cname = self._dotted()
+                    if self.peek().kind == "op" and self.peek().text == "*":
+                        self.next()
+                        cname = "*"
+                    else:
+                        cname = self._nested_ref()
                     asc = True
                     if self.peek().kind == "kw" and self.peek().text in ("asc", "desc"):
                         asc = self.next().text == "asc"
                     cols.append((cname, asc))
                     if not self.accept("op", ","):
                         break
+                if self.accept("kw", "using"):
+                    self._comparator_clause("nested ORDER")
                 nested.append(NestedStmt(alias, "order", src, cols))
             elif t.kind == "kw" and t.text == "limit":
                 self.next()
-                src = self._dotted()
+                src = self._nested_ref()
                 n = self.next()
                 nested.append(NestedStmt(alias, "limit", src, int(n.text)))
             else:
@@ -658,6 +683,32 @@ class Parser:
         while self.accept("op", "."):
             name += "." + self._ident()
         return name
+
+    def _nested_ref(self) -> str:
+        """Inner-block relation/column ref: dotted name OR positional
+        ``$N`` ($1 after GROUP = the bag, QueryParser.g col_ref)."""
+        if self.peek().kind == "dollar":
+            return self.next().text
+        return self._dotted()
+
+    def _comparator_clause(self, ctx: str) -> None:
+        """``USING <java ComparisonFunc class>`` after ORDER keys —
+        deprecated in Pig since 0.9; comparator callbacks cannot run
+        here. Warn (sort falls back to natural key order); comparators
+        expressible as key functions should sort BY that expression."""
+        parts = [self._ident()]
+        while self.peek().kind == "op" and self.peek().text == ".":
+            self.next()
+            parts.append(self._ident())
+        import warnings
+
+        warnings.warn(
+            f"{ctx} USING {'.'.join(parts)!r}: Java ComparisonFunc classes cannot "
+            "run on this engine (deprecated in Pig since 0.9); sorting by the "
+            "key's natural order instead. Express the comparator as a computed "
+            "sort-key expression (ORDER ... BY <expr>) for custom orders.",
+            stacklevel=3,
+        )
 
     def _gen_item(self) -> GenItem:
         flatten = False
@@ -812,7 +863,10 @@ class Parser:
     def _op_order(self):
         rel = self._ident()
         self.expect("kw", "by")
-        return Order(rel, self._sort_keys())
+        keys = self._sort_keys()
+        if self.accept("kw", "using"):
+            self._comparator_clause("ORDER")
+        return Order(rel, keys)
 
     def _sort_keys(self) -> list[tuple[object, bool]]:
         keys = []
@@ -899,7 +953,7 @@ class Parser:
         return t.text[1:-1].replace("\\'", "'")
 
     def _func_spec(self) -> tuple[str, list[str]]:
-        name = self._ident()
+        name = self._dotted()  # USING org.apache.pig.piggybank.storage.X
         args: list[str] = []
         if self.accept("op", "("):
             while self.peek().kind == "str":
@@ -925,13 +979,70 @@ class Parser:
         return Field(name, ftype)
 
     def _type_name(self) -> str:
+        """Scalar or complex type. Complex forms (QueryParser.g
+        type/type_cast: map ``[]``/``[type]``, tuple ``(...)``, bag
+        ``{...}``, with or without the keyword) canonicalize to a
+        pig-syntax string the translator lowers to Spark DDL."""
+        t = self.peek()
+        if t.kind == "op" and t.text == "[":
+            return self._map_type()
+        if t.kind == "op" and t.text == "(":
+            return self._tuple_type()
+        if t.kind == "op" and t.text == "{":
+            return self._bag_type()
         t = self.next()
         name = t.text.lower()
         if name not in PIG_TYPES:
             raise SyntaxError(f"pig latin: unknown type {t.text!r}")
-        if name == "map" and self.accept("op", "["):
-            self.expect("op", "]")
+        if name == "map":
+            if self.peek().kind == "op" and self.peek().text == "[":
+                return self._map_type()
+            return "map[]"
+        if name == "tuple":
+            if self.peek().kind == "op" and self.peek().text == "(":
+                return self._tuple_type()
+            return "tuple()"
+        if name == "bag":
+            if self.peek().kind == "op" and self.peek().text == "{":
+                return self._bag_type()
+            return "bag{}"
         return name
+
+    def _map_type(self) -> str:
+        self.expect("op", "[")
+        inner = ""
+        if not (self.peek().kind == "op" and self.peek().text == "]"):
+            inner = self._type_name()
+        self.expect("op", "]")
+        return f"map[{inner}]"
+
+    def _tuple_type(self) -> str:
+        self.expect("op", "(")
+        parts: list[str] = []
+        if not (self.peek().kind == "op" and self.peek().text == ")"):
+            while True:
+                fname = self._ident()
+                if self.accept("op", ":"):
+                    parts.append(f"{fname}:{self._type_name()}")
+                else:
+                    parts.append(fname)
+                if not self.accept("op", ","):
+                    break
+        self.expect("op", ")")
+        return "tuple(" + ",".join(parts) + ")"
+
+    def _bag_type(self) -> str:
+        self.expect("op", "{")
+        inner = ""
+        if not (self.peek().kind == "op" and self.peek().text == "}"):
+            if self.peek().kind == "op" and self.peek().text == "(":
+                inner = self._tuple_type()
+            else:
+                tname = self._ident()
+                self.expect("op", ":")
+                inner = f"{tname}:{self._type_name()}"
+        self.expect("op", "}")
+        return "bag{" + inner + "}"
 
     # -- expression ladder: bincond > or > and > not > cmp > add > mul > unary > postfix > primary
     def expr(self):
@@ -1057,12 +1168,14 @@ class Parser:
                     name = self._ident()
                 if (
                     isinstance(e, Col)
-                    and "." not in e.name
                     and self.peek().kind == "op"
                     and self.peek().text == "("
                 ):
                     # namespace call ns.func(args) — scripting UDFs
-                    # (REGISTER 'x.py' USING jython AS ns)
+                    # (REGISTER 'x.py' USING jython AS ns) — or a
+                    # fully-qualified class call like
+                    # org.apache.pig.piggybank.evaluation.string.UPPER(x)
+                    # (resolved by the translator)
                     self.next()
                     args: list[object] = []
                     if not (self.peek().kind == "op" and self.peek().text == ")"):

@@ -17,7 +17,8 @@ import os
 import re
 
 _DEFINE_RE = re.compile(
-    r"define\s+(\w+)\s*\(([^)]*)\)\s+returns\s+(\w+)\s*\{", re.IGNORECASE
+    r"define\s+(\w+)\s*\(([^)]*)\)\s+returns\s+((?:\w+\s*,\s*)*\w+)\s*\{",
+    re.IGNORECASE,
 )
 # not line-anchored: IMPORT may share a line with other statements
 # (QueryParser.g import_clause is a plain statement)
@@ -26,10 +27,10 @@ _MAX_DEPTH = 16
 
 
 class Macro:
-    def __init__(self, name: str, params: list[str], ret: str, body: str):
+    def __init__(self, name: str, params: list[str], ret: list[str], body: str):
         self.name = name
         self.params = params
-        self.ret = ret
+        self.ret = ret  # one or more return aliases; ['void'] = none
         self.body = body
 
 
@@ -56,7 +57,7 @@ def _extract_macros(src: str) -> tuple[str, dict[str, Macro]]:
             return out, macros
         name = m.group(1)
         params = [p.strip() for p in m.group(2).split(",") if p.strip()]
-        ret = m.group(3)
+        ret = [r.strip() for r in m.group(3).split(",") if r.strip()]
         end = _find_block_end(out, m.end() - 1)
         body = out[m.end(): end - 1]
         macros[name.lower()] = Macro(name, params, ret, body)
@@ -90,23 +91,57 @@ def _expand_once(src: str, macros: dict[str, Macro], counter: list[int]) -> tupl
         if macro is None:
             return m.group(0)
         args = [a.strip() for a in argstr.split(",") if a.strip()] if argstr.strip() else []
+        # quoted string arguments drop their surrounding quotes on
+        # expansion (PigMacro — bodies conventionally re-quote: the
+        # canonical `$a = load '$in';` idiom)
+        args = [a[1:-1] if len(a) >= 2 and a[0] == a[-1] == "'" else a for a in args]
         if len(args) != len(macro.params):
             raise SyntaxError(
                 f"macro {macro.name}: expected {len(macro.params)} args, got {len(args)}"
+            )
+        lhs_names = [x.strip() for x in lhs.split(",")] if lhs else []
+        if macro.ret == ["void"]:
+            if lhs_names:
+                raise SyntaxError(f"macro {macro.name} returns void; no alias to assign")
+        elif len(lhs_names) != len(macro.ret):
+            raise SyntaxError(
+                f"macro {macro.name}: returns {len(macro.ret)} aliases, "
+                f"invocation assigns {len(lhs_names)}"
             )
         changed = True
         counter[0] += 1
         body = _mask_inner_aliases(macro.body, macro, counter[0])
         for p, a in zip(macro.params, args):
             body = body.replace(f"${p}", a)
-        body = body.replace(f"${macro.ret}", lhs)
+        for r, out_name in zip(macro.ret, lhs_names):
+            body = body.replace(f"${r}", out_name)
         return body
 
     # invocations may share a line with other statements (after an
     # inlined IMPORT, for instance) — anchor on start-of-line OR ';'
-    pattern = re.compile(r"(?m)(?:^|(?<=;))\s*(\w+)\s*=\s*(\w+)\s*\(([^;]*)\)\s*;")
+    pattern = re.compile(
+        r"(?m)(?:^|(?<=;))\s*(\w+(?:\s*,\s*\w+)*)\s*=\s*(\w+)\s*\(([^;]*)\)\s*;"
+    )
     out = pattern.sub(repl, src)
+    # void-macro invocation: bare  name(args);
+    def repl_void(m: re.Match) -> str:
+        macro = macros.get(m.group(1).lower())
+        if macro is None or macro.ret != ["void"]:
+            return m.group(0)
+        return repl(_FakeMatch(("", m.group(1), m.group(2), m.group(0))))
+
+    out = re.sub(r"(?m)(?:^|(?<=;))\s*(\w+)\s*\(([^;]*)\)\s*;", repl_void, out)
     return out, changed
+
+
+class _FakeMatch:
+    """Adapter so the assignment repl() serves void invocations too."""
+
+    def __init__(self, groups):
+        self._g = groups
+
+    def group(self, i):
+        return self._g[0] if i == 1 else self._g[i - 1] if i else self._g[3]
 
 
 def expand(src: str, base_dir: str = ".") -> str:

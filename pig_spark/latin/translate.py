@@ -42,6 +42,111 @@ PIG_TO_SPARK_TYPE = {
     "bigdecimal": "decimal(38,18)",
 }
 
+def _split_top(s: str) -> list[str]:
+    """Split on top-level commas (nesting-aware)."""
+    out, depth, cur = [], 0, []
+    for ch in s:
+        if ch in "([{":
+            depth += 1
+        elif ch in ")]}":
+            depth -= 1
+        if ch == "," and depth == 0:
+            out.append("".join(cur))
+            cur = []
+        else:
+            cur.append(ch)
+    if cur or out:
+        out.append("".join(cur))
+    return [p.strip() for p in out if p.strip()]
+
+
+def _tuple_fields(ptype: str) -> list[tuple[str, str]]:
+    """'tuple(a:int,b)' / '(a:int,b)' → [(name, pig_type), ...]."""
+    body = ptype[ptype.index("(") + 1 : ptype.rindex(")")]
+    fields = []
+    for i, part in enumerate(_split_top(body)):
+        name, sep, ftype = part.partition(":")
+        fields.append((name.strip() if sep else (name.strip() or f"t{i}"), ftype.strip() if sep else "bytearray"))
+    return fields
+
+
+def pig_field_ddl(ptype: str | None) -> str:
+    """Pig type (scalar or canonical complex string from the grammar)
+    → Spark DDL type. map[] values default chararray→string (Pig's
+    bytearray-in-maps reads as text here), bag{} → array<struct>."""
+    t = (ptype or "bytearray").strip()
+    lt = t.lower()
+    if lt in PIG_TO_SPARK_TYPE:
+        return PIG_TO_SPARK_TYPE[lt]
+    if lt.startswith("map["):
+        inner = t[4:-1].strip()
+        return f"map<string,{pig_field_ddl(inner) if inner else 'string'}>"
+    if lt.startswith("tuple(") or lt.startswith("("):
+        fields = _tuple_fields(t)
+        return "struct<" + ",".join(f"{n}:{pig_field_ddl(ft)}" for n, ft in fields) + ">"
+    if lt.startswith("bag{") or lt.startswith("{"):
+        inner = t[t.index("{") + 1 : t.rindex("}")].strip()
+        if inner and ":" in inner.split("(")[0] and not inner.startswith("("):
+            inner = inner.split(":", 1)[1].strip()  # drop the tuple alias
+        return f"array<{pig_field_ddl(inner) if inner else 'struct<t:string>'}>"
+    return "string"
+
+
+def utf8_cast(col: Column, ptype: str | None) -> Column:
+    """Utf8StorageConverter.java: one TEXT field → its declared type,
+    including Pig's textual complex forms — ``[k#v,...]`` maps,
+    ``(a,b)`` tuples, ``{(a,b),(c,d)}`` bags (scalar elements, the
+    shapes PigStorage writes). Garbage → null, never an error. All
+    Column ops (str_to_map / split / regexp_extract_all) — codegen,
+    no Python."""
+    t = (ptype or "bytearray").strip()
+    lt = t.lower()
+    if lt in PIG_TO_SPARK_TYPE:
+        return col.try_cast(PIG_TO_SPARK_TYPE[lt])
+    if lt.startswith("map["):
+        inner = t[4:-1].strip()
+        body = F.regexp_replace(F.regexp_replace(col, r"^\[", ""), r"\]$", "")
+        m = F.str_to_map(body, F.lit(","), F.lit("#"))
+        if inner and inner.lower() in PIG_TO_SPARK_TYPE and inner.lower() != "chararray":
+            m = F.map_from_arrays(
+                F.map_keys(m),
+                F.transform(F.map_values(m), lambda v: v.try_cast(PIG_TO_SPARK_TYPE[inner.lower()])),
+            )
+        return F.when(col.rlike(r"^\[.*\]$"), m)
+    if lt.startswith("tuple(") or lt.startswith("("):
+        fields = _tuple_fields(t)
+        body = F.regexp_replace(F.regexp_replace(col, r"^\(", ""), r"\)$", "")
+        parts = F.split(body, ",")
+        return F.when(
+            col.rlike(r"^\(.*\)$"),
+            F.struct(
+                *[
+                    utf8_cast(F.get(parts, i), ft).alias(n)
+                    for i, (n, ft) in enumerate(fields)
+                ]
+            ),
+        )
+    if lt.startswith("bag{") or lt.startswith("{"):
+        inner = t[t.index("{") + 1 : t.rindex("}")].strip()
+        if inner and ":" in inner.split("(")[0] and not inner.startswith("("):
+            inner = inner.split(":", 1)[1].strip()
+        fields = _tuple_fields(inner) if inner else [("t", "bytearray")]
+        tuples = F.regexp_extract_all(col, F.lit(r"\(([^()]*)\)"), 1)
+        return F.when(
+            col.rlike(r"^\{.*\}$"),
+            F.transform(
+                tuples,
+                lambda s: F.struct(
+                    *[
+                        utf8_cast(F.get(F.split(s, ","), i), ft).alias(n)
+                        for i, (n, ft) in enumerate(fields)
+                    ]
+                ),
+            ),
+        )
+    return col.try_cast("string")
+
+
 LOADER_FORMAT = {
     None: "pigstorage",
     "pigstorage": "pigstorage",
@@ -280,7 +385,10 @@ class PigTranslator:
         elif isinstance(stmt, G.Realias):
             self.aliases[stmt.alias] = self.aliases[stmt.src]
         elif isinstance(stmt, G.Store):
-            storer = (stmt.storer or "pigstorage").lower()
+            # fully-qualified class storers resolve by leaf name
+            # (org.apache.pig.piggybank.storage.CSVExcelStorage →
+            # CSVExcelStorage), as Pig resolves registered classes
+            storer = (stmt.storer or "pigstorage").rsplit(".", 1)[-1].lower()
             args = list(stmt.storer_args or [])
             if storer == "dbstorage":
                 # DBStorage(driver, url[, table]) — builtin/DBStorage.java
@@ -472,7 +580,7 @@ class PigTranslator:
         if isinstance(op, G.Stream):
             rel = self._rel(op.rel)
             cmd = op.cmd
-            ddl = ", ".join(f"{f.name} {PIG_TO_SPARK_TYPE.get(f.type or 'bytearray', 'string')}" for f in op.schema)
+            ddl = ", ".join(f"{f.name} {pig_field_ddl(f.type)}" for f in op.schema)
             if cmd.startswith("\x00alias:"):
                 name = cmd[len("\x00alias:"):]
                 if name not in self.defines:
@@ -496,7 +604,7 @@ class PigTranslator:
             for _, p, _ in self._pending_stores
         ):
             self._flush_stores()
-        loader = (op.loader or "pigstorage").lower()
+        loader = (op.loader or "pigstorage").rsplit(".", 1)[-1].lower()
         fmt = LOADER_FORMAT.get(loader, loader)
         opts = {}
         # PigStorage args: first non-flag = delimiter; '-tagFile' flag
@@ -518,11 +626,22 @@ class PigTranslator:
         if op.schema:
             # with -tagFile the filename is $0 and the user's AS clause
             # includes it (Pig semantics) — positional cast covers both
-            ddl = ", ".join(f"{f.name} {PIG_TO_SPARK_TYPE.get(f.type or 'bytearray', 'string')}" for f in op.schema)
             if fmt in ("csv", "pigstorage", "text", "myregexloader", "regexloader",
                        "commonlogloader", "combinedlogloader"):
-                # gradual typing: strings → declared types, null on garbage
-                rel = Relation(cast_as(rel.df, ddl))
+                # gradual typing: strings → declared types, null on
+                # garbage; complex types parse Pig's textual forms
+                # ([k#v], (a,b), {(a,b),...} — Utf8StorageConverter)
+                df = rel.df
+                if len(op.schema) > len(df.columns):
+                    raise ValueError("declared schema wider than relation")
+                rel = Relation(
+                    df.select(
+                        *[
+                            utf8_cast(df[df.columns[i]], f.type).alias(f.name)
+                            for i, f in enumerate(op.schema)
+                        ]
+                    )
+                )
             else:
                 rel = Relation(rel.df.toDF(*[f.name for f in op.schema]))
         return rel
@@ -810,7 +929,20 @@ class PigTranslator:
                 base.cond = st.cond if base.cond is None else G.Bin("and", base.cond, st.cond)
             elif st.kind == "order":
                 base.ordered = True
-                base.order_keys = st.cond
+                # normalize positional ($N → N-th child column) and
+                # star (* → every child column) order keys up front so
+                # every downstream consumer sees plain names
+                child_cols = g.child.df.columns
+                norm: list[tuple[str, bool]] = []
+                for ok in st.cond:
+                    cname, a = ok if isinstance(ok, tuple) else (ok, True)
+                    if cname == "*":
+                        norm.extend((c, a) for c in child_cols)
+                    elif cname.startswith("$"):
+                        norm.append((child_cols[int(cname[1:])], a))
+                    else:
+                        norm.append((cname, a))
+                base.order_keys = norm
             elif st.kind == "limit":
                 base.limited = True
                 base.limit_n = int(st.cond)
@@ -1676,7 +1808,8 @@ class PigTranslator:
                     raise SyntaxError(f"nested ref {source!r}: {head!r} is already a column pipe")
                 p.col = rest
             return p
-        if head == g.child_alias:
+        if head == g.child_alias or head == "$1":
+            # $1 after GROUP = the bag field (LogicalSchema positional)
             return _Pipe(col=rest or None)
         raise NameError(f"nested FOREACH: unknown inner source {source!r}")
 
@@ -1971,6 +2104,20 @@ class PigTranslator:
         if "." in fname:
             ns, _, leaf = fname.partition(".")
             funcs = self.script_udfs.get(ns)
+            if funcs is None and fname.count(".") >= 2:
+                # fully-qualified Java class call (org.apache.pig.
+                # builtin.X / piggybank evaluation classes): resolve
+                # the LEAF against the builtin/piggybank registry —
+                # Pig scripts habitually call piggybank by class path
+                java_leaf = fname.rsplit(".", 1)[-1]
+                fn = getattr(PF, java_leaf, None) or getattr(PF, java_leaf.upper(), None)
+                if fn is not None:
+                    return fn(*[self._expr(a, rel) for a in e.args])
+                raise NameError(
+                    f"pig latin: {fname!r} is a Java UDF class — this engine cannot load "
+                    f"JVM classes; no builtin named {java_leaf!r} matches. Port it as a "
+                    "scripting UDF (REGISTER 'x.py' USING jython AS ns) or use a builtin."
+                )
             if funcs is None:
                 raise NameError(
                     f"pig latin: unknown UDF namespace {ns!r} — REGISTER 'file.py' USING jython AS {ns};"

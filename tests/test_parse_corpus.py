@@ -1,0 +1,77 @@
+"""Grammar coverage over the reference's ENTIRE e2e corpus.
+
+Every Pig snippet in the reference e2e suites (test/e2e/pig/tests/
+*.conf — the queries real Pig users' regression suite runs) must
+PARSE through macros.expand + %default preprocessing + grammar.parse.
+This is a parse gate, not an execution gate (snippets reference
+:INPATH:-style harness placeholders and Java test UDF jars), but it
+catches grammar regressions against ~465 real-world scripts at once.
+
+Current floor: 440 of ~465 (95%); NATIVE/MAPREDUCE snippets raise
+NotImplementedError by design (SURVEY §2.2#26) and count as
+documented-unsupported, not failures. The residual hard tail
+(~16) is: jruby scripting UDFs, nested-FOREACH-inside-nested-block
+pipes, and harness-level $-placeholders the perl driver substitutes.
+"""
+
+import re
+import warnings
+
+import pytest
+
+from pig_spark.latin import grammar
+from pig_spark.latin.macros import expand as expand_macros
+
+_CONF_DIR = "/root/reference/test/e2e/pig/tests"
+_CONFS = (
+    "nightly.conf", "join.conf", "bigdata.conf", "multiquery.conf",
+    "macro.conf", "streaming.conf", "streaming_local.conf",
+    "utf8.conf", "orc.conf", "grunt.conf",
+)
+_FLOOR = 440
+
+
+def _preprocess(src: str) -> str:
+    params = {}
+    out = []
+    for line in src.splitlines():
+        m = re.match(r"\s*%(declare|default)\s+(\w+)\s+(.+?)\s*;?\s*$", line)
+        if m:
+            params[m.group(2)] = m.group(3).strip("'\"")
+            continue
+        out.append(line)
+    src = "\n".join(out)
+    for name, value in params.items():
+        src = re.sub(r"\$" + re.escape(name) + r"\b", lambda _m: str(value), src)
+    return src
+
+
+def test_reference_e2e_corpus_parses():
+    import os
+
+    if not os.path.isdir(_CONF_DIR):
+        pytest.skip("reference e2e corpus not available")
+    total = ok = notimpl = 0
+    failures: list[str] = []
+    with warnings.catch_warnings():
+        warnings.simplefilter("ignore")
+        for conf in _CONFS:
+            path = os.path.join(_CONF_DIR, conf)
+            if not os.path.exists(path):
+                continue
+            with open(path, errors="replace") as fh:
+                src = fh.read()
+            for s in re.findall(r"'pig' => q\\(.*?)\\,", src, re.DOTALL):
+                total += 1
+                try:
+                    grammar.parse(_preprocess(expand_macros(s)))
+                    ok += 1
+                except NotImplementedError:
+                    notimpl += 1  # NATIVE/MAPREDUCE — documented
+                except Exception as e:
+                    failures.append(f"{conf}: {str(e)[:80]}")
+    assert total > 400, f"corpus extraction broke: only {total} snippets found"
+    assert ok >= _FLOOR, (
+        f"parse coverage regressed: {ok}/{total} (floor {_FLOOR}); "
+        + "; ".join(failures[:10])
+    )
