@@ -659,6 +659,17 @@ class Parser:
                 src = self._nested_ref()
                 n = self.next()
                 nested.append(NestedStmt(alias, "limit", src, int(n.text)))
+            elif t.kind == "kw" and t.text == "foreach":
+                # inner FOREACH (Pig >= 0.10 nested_foreach:
+                # QueryParser.g nested_op): per-tuple projection of an
+                # inner bag — C1 = foreach A generate UPPER(name), age+1;
+                self.next()
+                src = self._nested_ref()
+                self.expect("kw", "generate")
+                items = [self._gen_item()]
+                while self.accept("op", ","):
+                    items.append(self._gen_item())
+                nested.append(NestedStmt(alias, "nforeach", src, items))
             else:
                 # projection (x = B.col) OR a scalar expression alias
                 # (x = f(col) * 2 — QueryParser.g nested_command

@@ -302,11 +302,14 @@ class _Pipe:
     limited: bool = False
     order_keys: object = None  # list[(col, asc)] from nested ORDER
     limit_n: int | None = None
+    # inner-FOREACH projection: output field name → materialized
+    # (mangled) child column; the pipe's tuple is exactly these fields
+    proj: dict[str, str] | None = None
 
     def copy(self) -> "_Pipe":
         return _Pipe(
             self.col, self.distinct, self.cond, self.ordered, self.limited,
-            self.order_keys, self.limit_n,
+            self.order_keys, self.limit_n, self.proj,
         )
 
 
@@ -920,6 +923,31 @@ class PigTranslator:
                 ))
                 pipes[st.alias] = _Pipe(col=st.alias)
                 continue
+            if st.kind == "nforeach":
+                # inner FOREACH (nested_op since Pig 0.10): a per-tuple
+                # projection of the source pipe. The projection
+                # commutes with grouping, so each generated item
+                # materializes as a pre-shuffle derived column (mangled
+                # name); the pipe's tuple becomes exactly those fields
+                # via the proj mapping — still no reducer bags.
+                base = self._resolve_pipe(st.source, g, pipes)
+                ch = g.child
+                proj: dict[str, str] = {}
+                for i, item in enumerate(st.cond):
+                    if item.flatten:
+                        raise NotImplementedError(
+                            "FLATTEN inside an inner FOREACH is not supported; "
+                            "FLATTEN the pipe in the outer GENERATE instead"
+                        )
+                    name = item.alias or _default_name(item.expr, i)
+                    mangled = f"__nf_{st.alias}_{name}"
+                    ch = Relation(ch.df.withColumn(mangled, self._expr(item.expr, ch)))
+                    proj[name] = mangled
+                g = G_replace(g, child=ch)
+                base.proj = proj
+                base.col = None
+                pipes[st.alias] = base
+                continue
             base = self._resolve_pipe(st.source, g, pipes)
             if st.kind == "project":
                 pass  # _resolve_pipe already applied the column
@@ -929,10 +957,12 @@ class PigTranslator:
                 base.cond = st.cond if base.cond is None else G.Bin("and", base.cond, st.cond)
             elif st.kind == "order":
                 base.ordered = True
-                # normalize positional ($N → N-th child column) and
-                # star (* → every child column) order keys up front so
-                # every downstream consumer sees plain names
-                child_cols = g.child.df.columns
+                # normalize positional ($N → N-th column), star (* →
+                # every column) and inner-FOREACH projection names up
+                # front so every downstream consumer sees real columns
+                child_cols = (
+                    list(base.proj.values()) if base.proj else g.child.df.columns
+                )
                 norm: list[tuple[str, bool]] = []
                 for ok in st.cond:
                     cname, a = ok if isinstance(ok, tuple) else (ok, True)
@@ -940,6 +970,8 @@ class PigTranslator:
                         norm.extend((c, a) for c in child_cols)
                     elif cname.startswith("$"):
                         norm.append((child_cols[int(cname[1:])], a))
+                    elif base.proj and cname in base.proj:
+                        norm.append((base.proj[cname], a))
                     else:
                         norm.append((cname, a))
                 base.order_keys = norm
@@ -1150,7 +1182,13 @@ class PigTranslator:
         if pipe.cond is not None:
             df = df.filter(self._expr(pipe.cond, child))
         key_names = [n for n, _ in g.key_exprs]
-        others = [c for c in df.columns if c not in key_names]
+        # inner-FOREACH pipes: the tuple is the projection's fields
+        # (mangled pre-shuffle columns, renamed back on output)
+        rename = {v: k for k, v in pipe.proj.items()} if pipe.proj else {}
+        others = (
+            list(pipe.proj.values()) if pipe.proj
+            else [c for c in df.columns if c not in key_names]
+        )
         kdf = df.select(*[c.alias(n) for n, c in g.key_exprs], *[df[c] for c in others])
         if pipe.distinct:
             # { d = DISTINCT B[.col]; GENERATE group, FLATTEN(d) } —
@@ -1198,9 +1236,10 @@ class PigTranslator:
             elif i in agg_names:
                 selects.append(F.col(agg_names[i]))
             elif pipe.col is not None:
-                selects.append(F.col(pipe.col).alias(it.alias or pipe.col.split("::")[-1]))
+                out = rename.get(pipe.col, pipe.col)
+                selects.append(F.col(pipe.col).alias(it.alias or out.split("::")[-1]))
             else:
-                selects.extend(F.col(c) for c in others)
+                selects.extend(F.col(c).alias(rename.get(c, c)) for c in others)
         return Relation(kdf.select(*selects))
 
     def _has_over_call(self, e) -> bool:
@@ -1548,7 +1587,10 @@ class PigTranslator:
             df = child.df
             if pipe.cond is not None:
                 df = df.filter(self._expr(pipe.cond, child))
-            others = [c for c in df.columns if c not in key_names]
+            others = (
+                list(pipe.proj.values()) if pipe.proj
+                else [c for c in df.columns if c not in key_names]
+            )
             kdf = df.select(*[c.alias(n) for n, c in g.key_exprs], *[df[c] for c in others])
             if pipe.distinct:
                 # DISTINCT before ORDER/LIMIT: dedupe the pipe's
@@ -1691,6 +1733,8 @@ class PigTranslator:
             item = flat_items[0]
             lname = next(iter(self._pipe_heads(item.expr) & limited_names))
             topk, others = build_topk(lname)
+            fproj = pipes[lname].proj or {}
+            frename = {v: k for k, v in fproj.items()}
             frame = topk
             if agg_out is not None:
                 frame = (
@@ -1707,9 +1751,10 @@ class PigTranslator:
                     ref = payload.expr.name if isinstance(payload.expr, G.Col) else None
                     _, _, rest = (ref or "").partition(".")
                     if rest:
-                        selects.append(F.col(rest).alias(payload.alias or rest))
+                        cname = fproj.get(rest, rest)
+                        selects.append(F.col(cname).alias(payload.alias or rest))
                     else:
-                        selects.extend(F.col(c) for c in others)
+                        selects.extend(F.col(c).alias(frename.get(c, c)) for c in others)
                 else:  # "col" / "combo" — stitched aggregate column
                     selects.append(F.col(payload))
             return Relation(frame.select(*selects))
@@ -1806,7 +1851,15 @@ class PigTranslator:
             if rest:
                 if p.col is not None:
                     raise SyntaxError(f"nested ref {source!r}: {head!r} is already a column pipe")
-                p.col = rest
+                if p.proj is not None:
+                    if rest not in p.proj:
+                        raise NameError(
+                            f"nested FOREACH {head!r} has no field {rest!r} "
+                            f"(fields: {sorted(p.proj)})"
+                        )
+                    p.col = p.proj[rest]
+                else:
+                    p.col = rest
             return p
         if head == g.child_alias or head == "$1":
             # $1 after GROUP = the bag field (LogicalSchema positional)

@@ -1505,3 +1505,58 @@ def test_latin_group_positional_deref(spark, sf_dir):
     }
     got = {(r["rk"], r["par"]): r["c"] for r in rels["b"].df.collect()}
     assert got == want
+
+
+def test_latin_inner_foreach(spark, sf_dir):
+    """Inner FOREACH inside a nested block (Pig >= 0.10 nested_op):
+    per-tuple projection of the bag, consumable by FLATTEN, aggregates
+    and ORDER+LIMIT — lowered to pre-shuffle derived columns, no
+    reducer bags."""
+    from pyspark.sql import Window
+
+    base = f"A = LOAD '{sf_dir}/nation.parquet' USING ParquetLoader();"
+    ndf = spark.read.parquet(f"{sf_dir}/nation.parquet")
+
+    rels = run(spark, base + """
+        B = GROUP A BY n_regionkey;
+        C = FOREACH B {
+            C1 = FOREACH A GENERATE UPPER(n_name) AS un, n_nationkey + 1 AS nk1;
+            GENERATE group AS rk, FLATTEN(C1);
+        }
+    """)
+    got = sorted(map(tuple, rels["C"].df.collect()))
+    want = sorted(
+        (r["n_regionkey"], r["n_name"].upper(), r["n_nationkey"] + 1) for r in ndf.collect()
+    )
+    assert rels["C"].df.columns == ["rk", "un", "nk1"] and got == want
+
+    rels = run(spark, base + """
+        B = GROUP A BY n_regionkey;
+        C = FOREACH B {
+            C1 = FOREACH A GENERATE n_nationkey * 2 AS d;
+            GENERATE group AS rk, SUM(C1.d) AS s, COUNT(C1) AS c;
+        }
+    """)
+    got = {r["rk"]: (r["s"], r["c"]) for r in rels["C"].df.collect()}
+    want = {
+        r["n_regionkey"]: (r["s"], r["c"])
+        for r in ndf.groupBy("n_regionkey")
+        .agg(F.sum(F.col("n_nationkey") * 2).alias("s"), F.count(F.lit(1)).alias("c"))
+        .collect()
+    }
+    assert got == want
+
+    rels = run(spark, base + """
+        B = GROUP A BY n_regionkey;
+        C = FOREACH B {
+            C1 = FOREACH A GENERATE n_nationkey AS k, UPPER(n_name) AS un;
+            C2 = ORDER C1 BY k DESC;
+            C3 = LIMIT C2 2;
+            GENERATE group AS rk, FLATTEN(C3.un) AS topname;
+        }
+    """)
+    w = Window.partitionBy("n_regionkey").orderBy(F.desc("n_nationkey"))
+    twin = ndf.withColumn("rn", F.row_number().over(w)).filter("rn <= 2")
+    got = sorted(map(tuple, rels["C"].df.collect()))
+    want = sorted((r["n_regionkey"], r["n_name"].upper()) for r in twin.collect())
+    assert got == want and len(got) == 10

@@ -7,11 +7,11 @@ This is a parse gate, not an execution gate (snippets reference
 :INPATH:-style harness placeholders and Java test UDF jars), but it
 catches grammar regressions against ~465 real-world scripts at once.
 
-Current floor: 440 of ~465 (95%); NATIVE/MAPREDUCE snippets raise
+Current floor: 445 of ~465 (96%); NATIVE/MAPREDUCE snippets raise
 NotImplementedError by design (SURVEY §2.2#26) and count as
 documented-unsupported, not failures. The residual hard tail
-(~16) is: jruby scripting UDFs, nested-FOREACH-inside-nested-block
-pipes, and harness-level $-placeholders the perl driver substitutes.
+(~14) is: jruby scripting UDFs, column-valued map initializers,
+pipes (now supported) and harness-level $-placeholders the perl driver substitutes.
 """
 
 import re
@@ -28,7 +28,7 @@ _CONFS = (
     "macro.conf", "streaming.conf", "streaming_local.conf",
     "utf8.conf", "orc.conf", "grunt.conf",
 )
-_FLOOR = 440
+_FLOOR = 445
 
 
 def _preprocess(src: str) -> str:
