@@ -37,7 +37,14 @@ PIG_TO_SPARK_TYPE = {
     "chararray": "string",
     "boolean": "boolean",
     "datetime": "timestamp",
-    "bytearray": "binary",
+    # bytearray from text loaders IS utf8 text; backing it with string
+    # (same convention as sources' schema sidecar) gives Pig's
+    # coerce-on-use gradual typing for free: `age < 50` or AVG(age)
+    # over an untyped field leans on Spark's legacy string→numeric
+    # coercion, and explicit casts go through try_cast (null on
+    # garbage) — a binary backing made every such use an analysis
+    # error instead (POCast.java / Utf8StorageConverter.java)
+    "bytearray": "string",
     "biginteger": "decimal(38,0)",
     "bigdecimal": "decimal(38,18)",
 }
@@ -106,7 +113,11 @@ def utf8_cast(col: Column, ptype: str | None) -> Column:
     if lt.startswith("map["):
         inner = t[4:-1].strip()
         body = F.regexp_replace(F.regexp_replace(col, r"^\[", ""), r"\]$", "")
-        m = F.str_to_map(body, F.lit(","), F.lit("#"))
+        # map_filter drops the {""→null} artifact str_to_map produces
+        # for an empty body ("[]" → empty map)
+        m = F.map_filter(
+            F.str_to_map(body, F.lit(","), F.lit("#")), lambda k, _v: F.length(k) > 0
+        )
         if inner and inner.lower() in PIG_TO_SPARK_TYPE and inner.lower() != "chararray":
             m = F.map_from_arrays(
                 F.map_keys(m),
@@ -157,6 +168,11 @@ LOADER_FORMAT = {
     "orcstorage": "orc",
     "parquetloader": "parquet",
     "parquetstorer": "parquet",
+    # piggybank IndexedStorage(delim, index-cols): the data file is
+    # plain delimited text; the .index sidecar is random-access
+    # metadata with no Spark analogue (columnar min/max pruning and
+    # bucketing cover that role — sources.store(bucket_by=, sort_by=))
+    "indexedstorage": "pigstorage",
 }
 
 AGG_FUNCS = {"count", "count_star", "sum", "avg", "min", "max"}
@@ -416,6 +432,12 @@ class PigTranslator:
                 from ..sources import store as _sstore
 
                 store_fn = lambda d, p=stmt.path, f=fmt, s=sep, o=opts: _sstore(d, p, format=f, sep=s, **o)  # noqa: E731
+            elif storer == "binstorage":
+                raise NameError(
+                    "BinStorage is Pig's internal binary interchange format — "
+                    "unsupported by design (COVERAGE.md §2.5); store parquet "
+                    "(ParquetStorer) for typed intermediate data instead"
+                )
             else:
                 raise NameError(
                     f"unknown storer {stmt.storer!r} — one of "
@@ -454,6 +476,11 @@ class PigTranslator:
                 # every public callable as ns.func(...)
                 self.script_udfs[stmt.namespace] = _load_script_udfs(stmt.path)
         elif isinstance(stmt, G.SetStmt):
+            if stmt.key == "__exec_boundary__":
+                # Grunt `exec`: run everything queued so far — later
+                # LOADs may read paths the pending STOREs write
+                self._flush_stores()
+                return
             # SET default_parallel n ≅ PARALLEL clause → shuffle partitions
             key = {"default_parallel": "spark.sql.shuffle.partitions"}.get(stmt.key, stmt.key)
             try:
@@ -567,8 +594,22 @@ class PigTranslator:
             return RelInfo(rels[0].union(*rels[1:], onschema=op.onschema))
         if isinstance(op, G.Cross):
             rels = [self._rel(r) for r in op.rels]
-            out = rels[0]
-            for r in rels[1:]:
+            # Pig qualifies CROSS output fields with their input alias
+            # (LogicalSchema: c::age, d::age) — prefix colliding names
+            # so c::age / d::age resolve and bare refs stay unambiguous
+            from collections import Counter
+
+            counts = Counter(c for r in rels for c in r.df.columns)
+            pref = []
+            for alias, r in zip(op.rels, rels):
+                df = r.df
+                sel = [
+                    df[c].alias(f"{alias}::{c}") if counts[c] > 1 else df[c]
+                    for c in df.columns
+                ]
+                pref.append(Relation(df.select(*sel)))
+            out = pref[0]
+            for r in pref[1:]:
                 out = out.cross(r)
             return RelInfo(out)
         if isinstance(op, G.CubeStmt):
@@ -635,12 +676,17 @@ class PigTranslator:
                 # garbage; complex types parse Pig's textual forms
                 # ([k#v], (a,b), {(a,b),...} — Utf8StorageConverter)
                 df = rel.df
-                if len(op.schema) > len(df.columns):
-                    raise ValueError("declared schema wider than relation")
+                # Pig pads a schema declared WIDER than the data with
+                # nulls (LoadTypeCastInserter: missing trailing fields
+                # read as null, never an error)
                 rel = Relation(
                     df.select(
                         *[
-                            utf8_cast(df[df.columns[i]], f.type).alias(f.name)
+                            (
+                                utf8_cast(df[df.columns[i]], f.type)
+                                if i < len(df.columns)
+                                else F.lit(None).cast(pig_field_ddl(f.type))
+                            ).alias(f.name)
                             for i, f in enumerate(op.schema)
                         ]
                     )
@@ -734,7 +780,14 @@ class PigTranslator:
         named = []
         for k in keys:
             col = self._expr(k, rel)
-            name = k.name.split(".")[-1].replace("::", "_") if isinstance(k, G.Col) else f"k{len(named)}"
+            if isinstance(k, G.Col):
+                name = k.name.split(".")[-1].replace("::", "_")
+                if name.startswith("$"):
+                    # positional key ($0) → the real column name, so
+                    # name-based consumers (COGROUP) resolve it
+                    name = rel.df.columns[int(name[1:])]
+            else:
+                name = f"k{len(named)}"
             named.append((name, col))
         return named
 
@@ -857,7 +910,11 @@ class PigTranslator:
             e = item.expr
             name = item.alias or _default_name(e, i)
             if isinstance(e, G.Col) and e.name == "group":
-                if len(g.key_exprs) == 1 and not item.flatten:
+                if len(g.key_exprs) == 1:
+                    # FLATTEN(group) of a single key is Pig's no-op
+                    # flatten of a scalar: the field stays named
+                    # 'group' (LogicalSchema), so a downstream
+                    # `generate group` keeps resolving
                     selects.append(F.col(g.key_exprs[0][0]).alias(item.alias or "group"))
                 elif item.flatten:
                     selects.extend(F.col(n) for n, _ in g.key_exprs)
@@ -1000,7 +1057,11 @@ class PigTranslator:
             e = item.expr
             name = item.alias or _default_name(e, i)
             if isinstance(e, G.Col) and e.name == "group":
-                if len(g.key_exprs) == 1 and not item.flatten:
+                if len(g.key_exprs) == 1:
+                    # FLATTEN(group) of a single key is Pig's no-op
+                    # flatten of a scalar: the field stays named
+                    # 'group' (LogicalSchema), so a downstream
+                    # `generate group` keeps resolving
                     selects.append(F.col(g.key_exprs[0][0]).alias(item.alias or "group"))
                 elif item.flatten:
                     selects.extend(F.col(n) for n, _ in g.key_exprs)
@@ -2027,6 +2088,27 @@ class PigTranslator:
         if isinstance(e, G.Null):
             return F.lit(None)
         if isinstance(e, G.Col):
+            head, _, scalar_field = e.name.partition(".")
+            if (
+                scalar_field
+                and head in self.aliases
+                and head not in rel.df.columns
+                and not any(c == head or c.startswith(head + "::") for c in rel.df.columns)
+            ):
+                # scalar projection other_rel.field (ScalarVisitor.java
+                # / ReadScalars.java): the referenced relation must
+                # have exactly ONE row — Pig materializes it as its own
+                # job and reads the value; we fold it at plan time
+                # (same O(1) driver contract, runtime >1-row error
+                # becomes a plan-time error)
+                rows = self.aliases[head].rel.df.limit(2).collect()
+                if len(rows) != 1:
+                    raise ValueError(
+                        f"pig latin: scalar reference {e.name!r} requires exactly one "
+                        f"row (got {'multiple' if len(rows) > 1 else 'none'}) — "
+                        "ScalarVisitor contract"
+                    )
+                return F.lit(rows[0][scalar_field])
             return self._resolve(e.name, rel)
         if isinstance(e, G.Bin):
             if e.op == "and":

@@ -481,6 +481,8 @@ def store(
         store_db(df, url=path, mode=mode, **options)
         return
     fmt = _norm_format(format)
+    if fmt == "csv":
+        df = _complex_to_pig_text(df)
     writer = df.write.mode(mode)
     if fmt == "csv":
         options.setdefault("sep", sep)
@@ -502,6 +504,63 @@ def store(
     writer.format(fmt).save(path)
     if schema_sidecar:
         write_schema_sidecar(df, path)
+
+
+def _pig_text_col(col: "Column", dtype) -> "Column":
+    """Render one value in Pig's delimited-text form (Tuple.
+    toDelimitedString / PigStorage write side): maps ``[k#v,...]``,
+    tuples ``(a,b)``, bags ``{(a,b),...}``; null scalars write empty.
+    Pure Column ops — the rendering runs in the writer's stage."""
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    if isinstance(dtype, T.MapType):
+        entries = F.transform(
+            F.map_entries(col),
+            lambda e: F.concat(
+                e["key"].cast("string"),
+                F.lit("#"),
+                F.coalesce(_pig_text_col(e["value"], dtype.valueType), F.lit("")),
+            ),
+        )
+        return F.when(col.isNotNull(), F.concat(F.lit("["), F.array_join(entries, ","), F.lit("]")))
+    if isinstance(dtype, T.StructType):
+        parts = [
+            F.coalesce(_pig_text_col(col.getField(f.name), f.dataType), F.lit(""))
+            for f in dtype.fields
+        ]
+        return F.when(col.isNotNull(), F.concat(F.lit("("), F.concat_ws(",", *parts), F.lit(")")))
+    if isinstance(dtype, T.ArrayType):
+        if isinstance(dtype.elementType, T.StructType):
+            elems = F.transform(col, lambda x: _pig_text_col(x, dtype.elementType))
+        else:  # bag of scalars: each element is a 1-field tuple
+            elems = F.transform(
+                col,
+                lambda x: F.concat(F.lit("("), F.coalesce(x.cast("string"), F.lit("")), F.lit(")")),
+            )
+        return F.when(col.isNotNull(), F.concat(F.lit("{"), F.array_join(elems, ","), F.lit("}")))
+    return col.cast("string")
+
+
+def _complex_to_pig_text(df: DataFrame) -> DataFrame:
+    """Delimited-text stores can't hold nested types natively; render
+    map/struct/array columns in Pig's textual forms instead of failing
+    (the forms `utf8_cast` parses back on LOAD — a lossless text
+    round-trip for the shapes PigStorage supports)."""
+    from pyspark.sql import types as T
+
+    if not any(
+        isinstance(f.dataType, (T.MapType, T.StructType, T.ArrayType)) for f in df.schema.fields
+    ):
+        return df
+    return df.select(
+        *[
+            _pig_text_col(df[f.name], f.dataType).alias(f.name)
+            if isinstance(f.dataType, (T.MapType, T.StructType, T.ArrayType))
+            else df[f.name]
+            for f in df.schema.fields
+        ]
+    )
 
 
 def load_fixed_width(
