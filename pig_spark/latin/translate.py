@@ -616,11 +616,14 @@ class PigTranslator:
             return self._cube_stmt(op)
         if isinstance(op, G.Rank):
             rel = self._rel(op.rel)
+            # Pig names the prepended column rank_<input alias>
+            # (LORank.java getSchema)
+            rname = f"rank_{op.rel}"
             if not op.keys:
-                return RelInfo(rel.rank(name="rank"))
+                return RelInfo(rel.rank(name=rname))
             cols = [self._expr(e, rel) for e, _ in op.keys]
             asc = [a for _, a in op.keys]
-            return RelInfo(rel.rank(*cols, ascending=asc, dense=op.dense, name="rank"))
+            return RelInfo(rel.rank(*cols, ascending=asc, dense=op.dense, name=rname))
         if isinstance(op, G.Stream):
             rel = self._rel(op.rel)
             cmd = op.cmd
@@ -2108,6 +2111,8 @@ class PigTranslator:
                         f"row (got {'multiple' if len(rows) > 1 else 'none'}) — "
                         "ScalarVisitor contract"
                     )
+                if scalar_field.startswith("$"):  # positional scalar deref
+                    return F.lit(rows[0][int(scalar_field[1:])])
                 return F.lit(rows[0][scalar_field])
             return self._resolve(e.name, rel)
         if isinstance(e, G.Bin):

@@ -134,7 +134,8 @@ def test_rank(spark, tsv_students):
         s = LOAD '{tsv_students}' AS (name:chararray, age:int, gpa:double);
         r = RANK s BY gpa DESC;
     """)
-    got = {row["name"]: row["rank"] for row in rels["r"].df.collect()}
+    # Pig names the prepended column rank_<input alias> (LORank.java)
+    got = {row["name"]: row["rank_s"] for row in rels["r"].df.collect()}
     assert got["carol"] == 1 and got["alice"] == 2
 
 
