@@ -909,9 +909,16 @@ class PigTranslator:
         key_cols = [c.alias(n) for n, c in g.key_exprs]
         aggs: list[Column] = []
         selects: list[Column] = []
+        seen_names: set[str] = set()
         for i, item in enumerate(op.items):
             e = item.expr
             name = item.alias or _default_name(e, i)
+            if name in seen_names:
+                # un-aliased aggregates of the same function collide
+                # (SUM(a.age), SUM(a.gpa) both default to 'sum'); Pig
+                # leaves them nameless/positional — disambiguate
+                name = f"{name}_{i}"
+            seen_names.add(name)
             if isinstance(e, G.Col) and e.name == "group":
                 if len(g.key_exprs) == 1:
                     # FLATTEN(group) of a single key is Pig's no-op
@@ -1149,6 +1156,13 @@ class PigTranslator:
             return F.array_min(nn)
         if lfn == "max":
             return F.array_max(nn)
+        if isinstance(velem, (T.StringType, T.BinaryType)):
+            # SUM/AVG over an untyped (bytearray) bag field: Pig casts
+            # to double (no implicit coercion inside HOF lambdas)
+            nn = F.filter(
+                F.transform(nn, lambda x: x.try_cast("double")), lambda x: x.isNotNull()
+            )
+            velem = T.DoubleType()
         zero = F.lit(0).cast(velem.simpleString())
         total = F.aggregate(nn, zero, lambda acc, x: acc + x)
         if lfn == "sum":
