@@ -779,6 +779,94 @@ class PigTranslator:
         )
         return RelInfo(Relation(bag), grouped=info)
 
+    def _bag_pipe_expr(self, st, rel: Relation) -> Column:
+        """One nested statement over a FLAT relation → a derived
+        Column. ``expr`` aliases evaluate directly; pipe kinds
+        (filter/order/limit/distinct) apply to a BAG COLUMN (array of
+        structs — what COGROUP/GROUP rows carry) as higher-order array
+        functions: map-only, no shuffle, the bag never explodes."""
+        from pyspark.sql import types as T
+
+        if st.kind == "expr":
+            return self._expr(st.cond, rel)
+        src = st.source.split(".", 1)[0]
+        if src.startswith("$"):
+            src = rel.df.columns[int(src[1:])]
+        if src not in rel.df.columns or not isinstance(
+            rel.df.schema[src].dataType, T.ArrayType
+        ):
+            raise SyntaxError(
+                f"nested FOREACH over a flat relation: {st.source!r} must be a bag "
+                "column (or GROUP the relation first)"
+            )
+        arr = rel.df[src]
+        elem = rel.df.schema[src].dataType.elementType
+        fields = elem.names if isinstance(elem, T.StructType) else []
+
+        def elem_expr(e, t) -> Column:
+            if isinstance(e, G.Col):
+                name = e.name.split(".")[-1]
+                if name.startswith("$") and fields:
+                    name = fields[int(name[1:])]
+                return t[name] if fields else t
+            if isinstance(e, G.Num):
+                v = e.value.lower()
+                return F.lit(float(v.rstrip("f")) if "." in v or "e" in v else int(v.rstrip("l")))
+            if isinstance(e, G.Str):
+                return F.lit(e.value)
+            if isinstance(e, G.Bin):
+                return _binop(e.op, elem_expr(e.left, t), elem_expr(e.right, t))
+            if isinstance(e, G.Un) and e.op == "not":
+                return ~elem_expr(e.operand, t)
+            if isinstance(e, G.IsNull):
+                c = elem_expr(e.operand, t)
+                return c.isNotNull() if e.negated else c.isNull()
+            raise NotImplementedError(
+                f"unsupported expression {type(e).__name__} inside a bag-column pipe"
+            )
+
+        if st.kind == "filter":
+            return F.filter(arr, lambda t: elem_expr(st.cond, t))
+        if st.kind == "distinct":
+            return F.array_distinct(arr)
+        if st.kind == "limit":
+            return F.slice(arr, 1, int(st.cond))
+        if st.kind == "order":
+            keys = [k if isinstance(k, tuple) else (k, True) for k in st.cond]
+
+            def comparator(left, right):
+                result = F.lit(0)
+                for cname, asc in reversed(keys):
+                    if cname == "*":
+                        continue
+                    nm = cname.split(".")[-1]
+                    if nm.startswith("$") and fields:
+                        nm = fields[int(nm[1:])]
+                    lv = left[nm] if fields else left
+                    rv = right[nm] if fields else right
+                    c = (
+                        F.when(lv.isNull() & rv.isNull(), 0)
+                        .when(lv.isNull(), -1)
+                        .when(rv.isNull(), 1)
+                        .when(lv < rv, -1)
+                        .when(lv > rv, 1)
+                        .otherwise(0)
+                    )
+                    if not asc:
+                        c = -c
+                    result = F.when(c != 0, c).otherwise(result)
+                return result
+
+            return F.array_sort(arr, comparator)
+        if st.kind == "project":
+            rest = st.source.partition(".")[2]
+            if rest and fields:
+                return F.transform(arr, lambda t: t[rest.split(".")[-1]])
+            return arr
+        raise NotImplementedError(
+            f"nested {st.kind!r} over a flat relation's bag column is not supported"
+        )
+
     def _key_names(self, keys, rel: Relation) -> list[tuple[str, Column]]:
         named = []
         for k in keys:
@@ -815,14 +903,20 @@ class PigTranslator:
                 nested=op.nested,
             )
         if op.nested:
-            if info.grouped is None and all(st.kind == "expr" for st in op.nested):
-                # nested block of PURE expression aliases over a flat
-                # relation (x = expr; GENERATE x — QueryParser.g
-                # nested_command): each alias is a derived column; no
-                # bags involved, falls through to the flat path
+            if info.grouped is None:
+                # nested block over a FLAT relation: expression aliases
+                # (x = expr) and pipes over BAG COLUMNS (the arrays a
+                # COGROUP / union-of-groups row carries) — each lowers
+                # to a derived column via array higher-order functions
+                # (order → array_sort with a comparator, filter →
+                # F.filter, limit → slice, distinct → array_distinct),
+                # then the plain flat path consumes them (FLATTEN =
+                # explode, COUNT/SUM = the array-aggregate lowering)
                 rel0 = info.rel
                 for st in op.nested:
-                    rel0 = Relation(rel0.df.withColumn(st.alias, self._expr(st.cond, rel0)))
+                    rel0 = Relation(
+                        rel0.df.withColumn(st.alias, self._bag_pipe_expr(st, rel0))
+                    )
                 info = RelInfo(rel0)
                 op = G.Foreach(op.rel, op.items, nested=None)
             else:

@@ -1561,3 +1561,37 @@ def test_latin_inner_foreach(spark, sf_dir):
     got = sorted(map(tuple, rels["C"].df.collect()))
     want = sorted((r["n_regionkey"], r["n_name"].upper()) for r in twin.collect())
     assert got == want and len(got) == 10
+
+
+def test_latin_bag_column_nested_block(spark, sf_dir, tmp_path):
+    """Nested block over a FLAT relation's BAG COLUMN (the
+    union-of-groups / cogroup-output shape from the reference e2e
+    suite): order/limit/filter lower to array higher-order functions
+    — map-only, the bag never explodes until FLATTEN."""
+    p = tmp_path / "s.txt"
+    p.write_text("".join(f"n{i % 3}\t{20 + i % 10}\t{(i % 40) / 10:.1f}\n" for i in range(30)))
+    rels = run(spark, f"""
+        a = load '{p}' as (name, age:int, gpa:float);
+        c = group a by name;
+        e2 = foreach c generate $0 as name, $1 as groupbag;
+        f = foreach e2 {{
+            g = order groupbag by age desc;
+            h = limit g 2;
+            k = filter groupbag by age > 25;
+            GENERATE name, COUNT(h) AS n_top, FLATTEN(h.age) AS top_age, COUNT(k) AS n_gt25;
+        }}
+    """)
+    df = rels["f"].df
+    rows = sorted((r["name"], r["n_top"], r["top_age"], r["n_gt25"]) for r in df.collect())
+    import collections
+
+    by_name = collections.defaultdict(list)
+    for i in range(30):
+        by_name[f"n{i % 3}"].append(20 + i % 10)
+    want = []
+    for nm, ages in by_name.items():
+        top2 = sorted(ages, reverse=True)[:2]
+        n_gt = sum(1 for a in ages if a > 25)
+        for a in top2:
+            want.append((nm, 2, a, n_gt))
+    assert rows == sorted(want)
