@@ -105,3 +105,29 @@ def mixture_sample(
         .filter(frac < F.col("__rate"))
         .drop("__rate")
     )
+
+
+def cap_per_key(
+    df: DataFrame,
+    key: str | Column,
+    n: int,
+    order_by: Sequence[Column],
+) -> DataFrame:
+    """Per-key row caps — the corpus-curation op that stops one domain
+    (or author, or feed) dominating a crawl slice: keep at most ``n``
+    rows per key, chosen by ``order_by`` (pass a total order — e.g.
+    quality desc then doc id — so reruns and retries keep the SAME
+    rows; an arbitrary pick wouldn't be reproducible).
+
+    Scale shape: ONE hash shuffle on the key + a partitioned window
+    row_number ≤ n in whole-stage codegen — identical to the top-k
+    machinery, no bags, no skew beyond what AQE already handles (a
+    mega-domain's rows all hash to one partition, but only n of them
+    survive the operator)."""
+    kcol = F.col(key) if isinstance(key, str) else key
+    w = Window.partitionBy(kcol).orderBy(*order_by)
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= n)
+        .drop("__rn")
+    )

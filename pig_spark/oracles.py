@@ -584,6 +584,16 @@ def oracle_sql() -> dict[str, str]:
                     GROUP BY p.user_id)
             SELECT t.user_id, t.exact, e.est, e.est >= t.exact AS never_under
             FROM top t JOIN est e USING (user_id)""",
+        "q111_domain_caps": """
+            WITH u AS (SELECT doc_id,
+                              'site' || CAST(doc_id % 37 AS VARCHAR) || '.example.com' AS domain,
+                              CAST(len(regexp_split_to_array(text, '\\s+')) AS BIGINT) AS n_tokens
+                       FROM documents),
+                 r AS (SELECT domain, doc_id, n_tokens,
+                              row_number() OVER (PARTITION BY domain
+                                   ORDER BY n_tokens DESC, doc_id ASC) AS rn
+                       FROM u)
+            SELECT domain, doc_id, n_tokens FROM r WHERE rn <= 3""",
         "q109_incremental_dedup_verified": f"""
             WITH {minhash_ctes},
             nb AS (SELECT doc_id, band, bh FROM bands WHERE doc_id % 10 = 0),

@@ -1698,6 +1698,35 @@ def q81_latin_bigdata_chain(spark: SparkSession, sf: str) -> DataFrame:
     return rels["i"].df
 
 
+def q111_domain_caps(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-domain caps (operators/sampling.cap_per_key): each doc gets
+    a deterministic synthetic URL (the corpus carries none), the
+    domain is regexp-extracted, and at most 3 docs per domain survive
+    — highest token count first, doc_id tiebreak, so the kept set is
+    retry-stable. The standard crawl-curation guard against one
+    domain dominating a slice: one shuffle, one codegen window."""
+    from .operators.sampling import cap_per_key
+
+    d = _t(spark, sf, "documents").df
+    with_url = d.select(
+        "doc_id",
+        F.concat(
+            F.lit("https://site"),
+            (F.col("doc_id") % 37).cast("string"),
+            F.lit(".example.com/page/"),
+            F.col("doc_id").cast("string"),
+        ).alias("url"),
+        F.size(F.split(F.col("text"), r"\s+")).cast("long").alias("n_tokens"),
+    )
+    domains = with_url.withColumn(
+        "domain", F.regexp_extract("url", r"^https?://([^/]+)/", 1)
+    )
+    kept = cap_per_key(
+        domains, "domain", 3, [F.col("n_tokens").desc(), F.col("doc_id").asc()]
+    )
+    return kept.select("domain", "doc_id", "n_tokens")
+
+
 def q109_incremental_dedup_verified(spark: SparkSession, sf: str) -> DataFrame:
     """q100's incremental dedup plus the exact re-verify stage
     (verify_with): signature-agreement survivors re-scored by EXACT
@@ -1810,7 +1839,8 @@ _ALL.update(PIGMIX_QUERIES)
 # r3/r4-verified block.
 _NEW_OR_CHANGED_R4 = {
     "q107_latin_multi_stitch",
-    "q110_latin_flatten_with_aggs",  # new: FLATTEN + aggregates mix  # new: multi-Stitch per-group cross product
+    "q110_latin_flatten_with_aggs",  # new: FLATTEN + aggregates mix
+    "q111_domain_caps",  # new: per-domain crawl caps (one window)  # new: multi-Stitch per-group cross product
     "q108_latin_unordered_limit",  # new: unordered nested LIMIT stand-in
     "q109_incremental_dedup_verified",  # new: exact re-verify stage
     "q106_cms_frequencies",  # cms_estimate now joins est back on candidates
