@@ -84,12 +84,11 @@ def _mask_inner_aliases(body: str, macro: Macro, counter: int) -> str:
 def _expand_once(src: str, macros: dict[str, Macro], counter: list[int]) -> tuple[str, bool]:
     changed = False
 
-    def repl(m: re.Match) -> str:
+    def expand_call(whole: str, lhs: str, name: str, argstr: str) -> str:
         nonlocal changed
-        lhs, name, argstr = m.group(1), m.group(2), m.group(3)
         macro = macros.get(name.lower())
         if macro is None:
-            return m.group(0)
+            return whole
         args = [a.strip() for a in argstr.split(",") if a.strip()] if argstr.strip() else []
         # quoted string arguments drop their surrounding quotes on
         # expansion (PigMacro — bodies conventionally re-quote: the
@@ -122,26 +121,17 @@ def _expand_once(src: str, macros: dict[str, Macro], counter: list[int]) -> tupl
     pattern = re.compile(
         r"(?m)(?:^|(?<=;))\s*(\w+(?:\s*,\s*\w+)*)\s*=\s*(\w+)\s*\(([^;]*)\)\s*;"
     )
-    out = pattern.sub(repl, src)
-    # void-macro invocation: bare  name(args);
+    out = pattern.sub(lambda m: expand_call(m.group(0), m.group(1), m.group(2), m.group(3)), src)
+
     def repl_void(m: re.Match) -> str:
+        # bare `name(args);` — only valid for RETURNS void macros
         macro = macros.get(m.group(1).lower())
         if macro is None or macro.ret != ["void"]:
             return m.group(0)
-        return repl(_FakeMatch(("", m.group(1), m.group(2), m.group(0))))
+        return expand_call(m.group(0), "", m.group(1), m.group(2))
 
     out = re.sub(r"(?m)(?:^|(?<=;))\s*(\w+)\s*\(([^;]*)\)\s*;", repl_void, out)
     return out, changed
-
-
-class _FakeMatch:
-    """Adapter so the assignment repl() serves void invocations too."""
-
-    def __init__(self, groups):
-        self._g = groups
-
-    def group(self, i):
-        return self._g[0] if i == 1 else self._g[i - 1] if i else self._g[3]
 
 
 def expand(src: str, base_dir: str = ".") -> str:
