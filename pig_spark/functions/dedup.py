@@ -452,11 +452,20 @@ def incremental_minhash_pairs(
     vt = threshold if verify_threshold is None else verify_threshold
     new_ids = out.select(F.col("new_id").alias(id_col)).distinct()
     match_ids = out.select(F.col("match_id").alias(id_col)).distinct()
+    # match_ids can include NEW docs (the index usually carries the new
+    # batch's own rows, so new×new pairs are legitimate survivors) —
+    # union the batch text in so an old-corpus verify_with never
+    # silently drops those pairs at the inner join
+    match_src = (
+        verify_with.select(id_col, text_col)
+        .unionByName(new_df.select(id_col, text_col))
+        .dropDuplicates([id_col])
+    )
     new_sh = shingle_stage(
         new_df.join(new_ids, id_col, "left_semi"), text_col, id_col
     ).select(F.col(id_col).alias("new_id"), F.col("__sh").alias("sh_new"))
     old_sh = shingle_stage(
-        verify_with.join(match_ids, id_col, "left_semi"), text_col, id_col
+        match_src.join(match_ids, id_col, "left_semi"), text_col, id_col
     ).select(F.col(id_col).alias("match_id"), F.col("__sh").alias("sh_old"))
     inter = F.size(F.array_intersect("sh_new", "sh_old"))
     union = F.size("sh_new") + F.size("sh_old") - inter

@@ -265,6 +265,20 @@ def _sub_positional(e, sub: dict[str, str]):
     return e
 
 
+def _orderable(dtype) -> bool:
+    """True when a column of this type can appear in an ORDER BY
+    (maps — and anything containing one — cannot)."""
+    from pyspark.sql import types as T
+
+    if isinstance(dtype, T.MapType):
+        return False
+    if isinstance(dtype, T.ArrayType):
+        return _orderable(dtype.elementType)
+    if isinstance(dtype, T.StructType):
+        return all(_orderable(f.dataType) for f in dtype.fields)
+    return True
+
+
 def _group_key(kname: str, key_exprs) -> str:
     """Resolve a ``group.<ref>`` deref to a key column name —
     positional ``group.$N`` (QueryParser.g col_ref: tuple deref
@@ -294,6 +308,10 @@ class GroupedInfo:
     key_exprs: list[tuple[str, Column]]  # output key name → child expr
     child: Relation
     child_alias: str
+    # columns ADDED to the child by nested expression aliases / inner
+    # FOREACH projections — excluded from whole-tuple pipe outputs
+    # (FLATTEN(l) must emit the original tuple)
+    derived: tuple[str, ...] = ()
     # CUBE/ROLLUP statements carry explicit grouping sets (lists of key
     # names); None = plain GROUP BY. Lowered to df.groupingSets so
     # partial aggregation stays below the Expand node (LOCube.java
@@ -511,13 +529,17 @@ class PigTranslator:
         INPUT's serde SERIALIZES tuples onto the command's stdin;
         OUTPUT's serde DESERIALIZES its stdout lines. PigStreaming
         ['<delim>'] — the only serde shipped with Pig — maps to the
-        delimiter-parameterized built-in contract (tab default keeps
-        the codegen serialize path). Any other class name raises with
+        delimiter-parameterized built-in contract (Column ops for ANY
+        delimiter, so value formatting is Spark's cast-to-string
+        regardless of delimiter). Any other class name raises with
         guidance: arbitrary Java PigStreamingBase classes cannot load
         here; Python callables go through
         ``Relation.stream_through(serialize=..., deserialize=...)``."""
         extras = stmt.args[1] if len(stmt.args) > 1 else []
-        spec: dict = {"cmd": stmt.func, "ship": [], "serialize": None, "deserialize": None}
+        spec: dict = {
+            "cmd": stmt.func, "ship": [], "serialize": None, "deserialize": None,
+            "in_sep": "\t", "out_sep": "\t",
+        }
 
         def parse_serde(items: list, side: str):
             toks = [(k, v) for k, v in items]
@@ -548,22 +570,19 @@ class PigTranslator:
                     "PigStreaming('<delim>') or pass Python callables via "
                     "Relation.stream_through(serialize=..., deserialize=...)"
                 )
-            delim = args[0] if args else "\t"
-            if delim == "\t":
-                return None  # default contract — keep the codegen path
-            if side == "input":
-                return lambda row, d=delim: d.join(
-                    "" if v is None else str(v) for v in row
-                )
-            return lambda line, d=delim: line.split(d)
+            return args[0] if args else "\t"
 
         for kind, items in extras:
             if kind in ("ship", "cache"):
                 spec["ship"].extend(v for k, v in items if k == "str")
             elif kind == "input":
-                spec["serialize"] = parse_serde(items, "input")
+                d = parse_serde(items, "input")
+                if d is not None:
+                    spec["in_sep"] = d
             elif kind == "output":
-                spec["deserialize"] = parse_serde(items, "output")
+                d = parse_serde(items, "output")
+                if d is not None:
+                    spec["out_sep"] = d
         return spec
 
     # ------------------------------------------------------------------
@@ -627,19 +646,31 @@ class PigTranslator:
         if isinstance(op, G.Stream):
             rel = self._rel(op.rel)
             cmd = op.cmd
-            ddl = ", ".join(f"{f.name} {pig_field_ddl(f.type)}" for f in op.schema)
+            # the command's stdout is Pig TEXT: land every declared
+            # field as a string, then utf8_cast applies the declared
+            # type — scalars try_cast (null on garbage), complex types
+            # parse their textual forms ([k#v], (a,b), {(a,b)})
+            str_ddl = ", ".join(f"{f.name} string" for f in op.schema)
+
+            def typed(rel2: Relation) -> RelInfo:
+                df = rel2.df
+                return RelInfo(Relation(df.select(
+                    *[utf8_cast(df[f.name], f.type).alias(f.name) for f in op.schema]
+                )))
+
             if cmd.startswith("\x00alias:"):
                 name = cmd[len("\x00alias:"):]
                 if name not in self.defines:
                     raise NameError(f"STREAM THROUGH {name}: no such DEFINE")
                 spec = self.defines[name]
                 if isinstance(spec, dict):
-                    return RelInfo(rel.stream_through(
-                        spec["cmd"], ddl, ship=spec["ship"] or None,
+                    return typed(rel.stream_through(
+                        spec["cmd"], str_ddl, ship=spec["ship"] or None,
                         serialize=spec["serialize"], deserialize=spec["deserialize"],
+                        in_sep=spec["in_sep"], out_sep=spec["out_sep"],
                     ))
                 cmd = spec
-            return RelInfo(rel.stream_through(cmd, ddl))
+            return typed(rel.stream_through(cmd, str_ddl))
         raise NotImplementedError(f"operator {type(op).__name__}")
 
     # ------------------------------------------------------------------
@@ -833,6 +864,12 @@ class PigTranslator:
             return F.slice(arr, 1, int(st.cond))
         if st.kind == "order":
             keys = [k if isinstance(k, tuple) else (k, True) for k in st.cond]
+            # '*' expands to every element field, like the grouped path
+            keys = [
+                kk
+                for cname, asc in keys
+                for kk in ([(f, asc) for f in fields] if cname == "*" else [(cname, asc)])
+            ]
 
             def comparator(left, right):
                 result = F.lit(0)
@@ -1076,12 +1113,15 @@ class PigTranslator:
                 # the child — materialized as a pre-shuffle column, so
                 # downstream aggregates/pipes treat it as a plain
                 # column pipe (the projection runs in the scan stage,
-                # never in a reducer bag). Note: the derived column
-                # joins the child's tuple, so whole-tuple pipes in the
-                # same block see it too.
-                g = G_replace(g, child=Relation(
-                    g.child.df.withColumn(st.alias, self._expr(st.cond, g.child))
-                ))
+                # never in a reducer bag); recorded in g.derived so
+                # whole-tuple pipes keep emitting the ORIGINAL tuple.
+                g = G_replace(
+                    g,
+                    child=Relation(
+                        g.child.df.withColumn(st.alias, self._expr(st.cond, g.child))
+                    ),
+                    derived=g.derived + (st.alias,),
+                )
                 pipes[st.alias] = _Pipe(col=st.alias)
                 continue
             if st.kind == "nforeach":
@@ -1104,7 +1144,7 @@ class PigTranslator:
                     mangled = f"__nf_{st.alias}_{name}"
                     ch = Relation(ch.df.withColumn(mangled, self._expr(item.expr, ch)))
                     proj[name] = mangled
-                g = G_replace(g, child=ch)
+                g = G_replace(g, child=ch, derived=g.derived + tuple(proj.values()))
                 base.proj = proj
                 base.col = None
                 pipes[st.alias] = base
@@ -1157,9 +1197,13 @@ class PigTranslator:
         key_cols = [c.alias(n) for n, c in g.key_exprs]
         aggs: list[Column] = []
         selects: list[Column] = []
+        seen_names: set[str] = set()
         for i, item in enumerate(op.items):
             e = item.expr
             name = item.alias or _default_name(e, i)
+            if name in seen_names:  # un-aliased collisions → positional suffix
+                name = f"{name}_{i}"
+            seen_names.add(name)
             if isinstance(e, G.Col) and e.name == "group":
                 if len(g.key_exprs) == 1:
                     # FLATTEN(group) of a single key is Pig's no-op
@@ -1359,7 +1403,7 @@ class PigTranslator:
         rename = {v: k for k, v in pipe.proj.items()} if pipe.proj else {}
         others = (
             list(pipe.proj.values()) if pipe.proj
-            else [c for c in df.columns if c not in key_names]
+            else [c for c in df.columns if c not in key_names and c not in g.derived]
         )
         kdf = df.select(*[c.alias(n) for n, c in g.key_exprs], *[df[c] for c in others])
         if pipe.distinct:
@@ -1752,16 +1796,22 @@ class PigTranslator:
         child = g.child
         key_names = [n for n, _ in g.key_exprs]
 
+        _topk_cache: dict[str, tuple] = {}
+
         def build_topk(lname: str):
             """Top-k candidate frame for one LIMIT pipe: returns
-            (frame, its non-key columns)."""
+            (frame, its non-key columns) — memoized so a pipe consumed
+            by BOTH aggregates and a FLATTEN builds its window-over-
+            shuffle subtree once."""
+            if lname in _topk_cache:
+                return _topk_cache[lname]
             pipe = pipes[lname]
             df = child.df
             if pipe.cond is not None:
                 df = df.filter(self._expr(pipe.cond, child))
             others = (
                 list(pipe.proj.values()) if pipe.proj
-                else [c for c in df.columns if c not in key_names]
+                else [c for c in df.columns if c not in key_names and c not in g.derived]
             )
             kdf = df.select(*[c.alias(n) for n, c in g.key_exprs], *[df[c] for c in others])
             if pipe.distinct:
@@ -1784,14 +1834,20 @@ class PigTranslator:
                 # (QueryParser.g:921-971): the contract is "ANY n rows
                 # of the bag". An arbitrary pick isn't reproducible
                 # across retries/stragglers, so we pin a deterministic
-                # stand-in: the pipe's columns ascending (nulls first).
-                # Any output satisfying "any n rows" is legal Pig;
-                # ours is additionally stable. Documented divergence:
+                # stand-in: the pipe's ORDERABLE columns ascending
+                # (nulls first; map-typed columns can't sort and any
+                # n rows is legal anyway). Documented divergence:
                 # Pig's choice is arbitrary, ours is the first n of
                 # this order.
-                order_names = list(others)
-                asc = [True] * len(others)
-            return topk_per_group(kdf, key_names, order_names, pipe.limit_n, ascending=asc), others
+                order_names = [c for c in others if _orderable(kdf.schema[c].dataType)]
+                if not order_names:  # all-map tuple: any stable column works
+                    order_names = key_names[:1] or [others[0]]
+                asc = [True] * len(order_names)
+            _topk_cache[lname] = (
+                topk_per_group(kdf, key_names, order_names, pipe.limit_n, ascending=asc),
+                others,
+            )
+            return _topk_cache[lname]
 
         # classify GENERATE items
         flat_items = []
@@ -1799,9 +1855,13 @@ class PigTranslator:
         other_aggs: list[tuple[str, object]] = []
         combos: list[tuple[str, object]] = []  # (name, rewritten scalar over agg leaves)
         layout: list[tuple[str, object]] = []  # (kind, payload) in output order
+        seen_names: set[str] = set()
         for i, item in enumerate(op.items):
             e = item.expr
             name = item.alias or _default_name(e, i)
+            if name in seen_names:  # un-aliased collisions → positional suffix
+                name = f"{name}_{i}"
+            seen_names.add(name)
             if isinstance(e, G.Col) and (e.name == "group" or e.name.startswith("group.")):
                 layout.append(("group", item))
                 continue
@@ -2006,7 +2066,7 @@ class PigTranslator:
                         f"pig latin: scalar reference {e.name!r} requires exactly one row "
                         f"(got {'multiple' if len(rows) > 1 else 'none'}) — ScalarVisitor contract"
                     )
-                return rows[0][rest]
+                return rows[0][int(rest[1:])] if rest.startswith("$") else rows[0][rest]
         if isinstance(e, G.Bin):
             import operator as _o
 

@@ -29,6 +29,8 @@ def stream_through(
     ship: list[str] | None = None,
     serialize: Callable[[tuple], str] | None = None,
     deserialize: Callable[[str], Sequence[str | None]] | None = None,
+    in_sep: str = "\t",
+    out_sep: str = "\t",
 ) -> DataFrame:
     """``ship`` ≅ DEFINE ... SHIP('file') — distribute scripts/binaries
     via ``SparkContext.addFile``. On YARN/K8s, spark.files localize
@@ -54,10 +56,11 @@ def stream_through(
         spark.sparkContext.addFile(path)
 
     if serialize is None:
-        # tab-delimited text, null → empty field (PigStreaming.java) —
-        # pure Column ops, concat stays JVM-side
+        # delimited text, null → empty field (PigStreaming.java with
+        # its delimiter argument) — pure Column ops, the cast-to-string
+        # formatting is Spark's regardless of delimiter
         serialized = df.select(
-            F.concat_ws("\t", *[F.coalesce(F.col(c).cast("string"), F.lit("")) for c in df.columns])
+            F.concat_ws(in_sep, *[F.coalesce(F.col(c).cast("string"), F.lit("")) for c in df.columns])
         ).rdd.map(lambda r: r[0])
     else:
         ser = serialize
@@ -65,7 +68,7 @@ def stream_through(
     # checkCode: non-zero exit of the external command fails the job,
     # as Pig's ExecutableManager does (POStream error contract).
     piped = serialized.pipe(cmd, checkCode=True)
-    deser = deserialize if deserialize is not None else (lambda line: line.split("\t"))
+    deser = deserialize if deserialize is not None else (lambda line, d=out_sep: line.split(d))
     n_fields = len(schema.fields)
     split_rows = piped.map(lambda line: (list(deser(line)) + [None] * n_fields)[:n_fields])
     str_schema = T.StructType([T.StructField(f.name, T.StringType(), True) for f in schema.fields])
