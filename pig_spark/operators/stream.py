@@ -57,10 +57,15 @@ def stream_through(
 
     if serialize is None:
         # delimited text, null → empty field (PigStreaming.java with
-        # its delimiter argument) — pure Column ops, the cast-to-string
-        # formatting is Spark's regardless of delimiter
-        serialized = df.select(
-            F.concat_ws(in_sep, *[F.coalesce(F.col(c).cast("string"), F.lit("")) for c in df.columns])
+        # its delimiter argument) — pure Column ops; complex columns
+        # render in Pig's text forms ([k#v], (a,b), {(a,b)}) so the
+        # command sees what PigStorage would write (and utf8_cast can
+        # parse the declared types back from its stdout)
+        from ..sources import _complex_to_pig_text
+
+        dfs = _complex_to_pig_text(df)
+        serialized = dfs.select(
+            F.concat_ws(in_sep, *[F.coalesce(F.col(c).cast("string"), F.lit("")) for c in dfs.columns])
         ).rdd.map(lambda r: r[0])
     else:
         ser = serialize

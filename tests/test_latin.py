@@ -1595,3 +1595,54 @@ def test_latin_bag_column_nested_block(spark, sf_dir, tmp_path):
         for a in top2:
             want.append((nm, 2, a, n_gt))
     assert rows == sorted(want)
+
+
+def test_latin_review_fix_pins(spark, sf_dir, tmp_path):
+    """Pins for the r4 self-review fixes: STREAM with complex AS types
+    parses Pig text forms; derived nested-block columns never leak
+    into whole-tuple FLATTEN output; colliding un-aliased aggregate
+    names disambiguate in nested blocks; comma-delimited PigStreaming
+    serializes with Spark's cast-to-string (booleans lowercase)."""
+    p = tmp_path / "s.txt"
+    p.write_text("".join(f"n{i % 3}\t{20 + i % 7}\t{(i % 40) / 10:.1f}\n" for i in range(21)))
+
+    rels = run(spark, f"""
+        a = LOAD '{p}' AS (name:chararray, age:int, gpa:double);
+        b = FOREACH a GENERATE name, TOMAP('age', age) AS m;
+        s = STREAM b THROUGH `cat` AS (name:chararray, m:map[int]);
+    """)
+    assert rels["s"].df.schema["m"].dataType.simpleString() == "map<string,int>"
+    assert rels["s"].df.filter("m['age'] >= 20").count() == 21
+
+    rels = run(spark, f"""
+        a = LOAD '{p}' AS (name:chararray, age:int, gpa:double);
+        g = GROUP a BY name;
+        c = FOREACH g {{
+            pf = FOREACH a GENERATE age * 2 AS d2;
+            s = ORDER a BY age;
+            l = LIMIT s 2;
+            GENERATE group AS nm, SUM(pf.d2) AS sd, FLATTEN(l);
+        }}
+    """)
+    assert rels["c"].df.columns == ["nm", "sd", "age", "gpa"]  # no __nf_* leak
+
+    rels = run(spark, f"""
+        a = LOAD '{p}' AS (name:chararray, age:int, gpa:double);
+        g = GROUP a BY name;
+        c = FOREACH g {{
+            f1 = FILTER a BY age > 22;
+            f2 = FILTER a BY gpa > 1.0;
+            GENERATE group, COUNT(f1), COUNT(f2);
+        }}
+    """)
+    assert len(set(rels["c"].df.columns)) == 3  # no duplicate names
+
+    rels = run(spark, f"""
+        DEFINE pv `cat` INPUT(stdin USING PigStreaming(',')) OUTPUT(stdout USING PigStreaming(','));
+        a = LOAD '{p}' AS (name:chararray, age:int, gpa:double);
+        b = FOREACH a GENERATE name, (age > 22 ? true : false) AS flag;
+        s = STREAM b THROUGH pv AS (name:chararray, flag:boolean);
+    """)
+    got = {(r["name"], r["flag"]) for r in rels["s"].df.collect()}
+    want = {(f"n{i % 3}", (20 + i % 7) > 22) for i in range(21)}
+    assert got == want
