@@ -456,10 +456,14 @@ def incremental_minhash_pairs(
     # batch's own rows, so new×new pairs are legitimate survivors) —
     # union the batch text in so an old-corpus verify_with never
     # silently drops those pairs at the inner join
-    match_src = (
-        verify_with.select(id_col, text_col)
-        .unionByName(new_df.select(id_col, text_col))
-        .dropDuplicates([id_col])
+    # the NEW batch's text wins deterministically when an id exists in
+    # both sources (a re-ingested doc whose text changed) — an
+    # arbitrary dropDuplicates pick would make borderline pairs flip
+    # across runs
+    match_src = new_df.select(id_col, text_col).unionByName(
+        verify_with.select(id_col, text_col).join(
+            new_df.select(id_col), id_col, "left_anti"
+        )
     )
     new_sh = shingle_stage(
         new_df.join(new_ids, id_col, "left_semi"), text_col, id_col

@@ -536,12 +536,9 @@ class PigTranslator:
         here; Python callables go through
         ``Relation.stream_through(serialize=..., deserialize=...)``."""
         extras = stmt.args[1] if len(stmt.args) > 1 else []
-        spec: dict = {
-            "cmd": stmt.func, "ship": [], "serialize": None, "deserialize": None,
-            "in_sep": "\t", "out_sep": "\t",
-        }
+        spec: dict = {"cmd": stmt.func, "ship": [], "in_sep": "\t", "out_sep": "\t"}
 
-        def parse_serde(items: list, side: str):
+        def parse_serde(items: list):
             toks = [(k, v) for k, v in items]
             idx = next(
                 (i for i, (k, v) in enumerate(toks) if k == "tok" and v.lower() == "using"),
@@ -576,11 +573,11 @@ class PigTranslator:
             if kind in ("ship", "cache"):
                 spec["ship"].extend(v for k, v in items if k == "str")
             elif kind == "input":
-                d = parse_serde(items, "input")
+                d = parse_serde(items)
                 if d is not None:
                     spec["in_sep"] = d
             elif kind == "output":
-                d = parse_serde(items, "output")
+                d = parse_serde(items)
                 if d is not None:
                     spec["out_sep"] = d
         return spec
@@ -666,7 +663,6 @@ class PigTranslator:
                 if isinstance(spec, dict):
                     return typed(rel.stream_through(
                         spec["cmd"], str_ddl, ship=spec["ship"] or None,
-                        serialize=spec["serialize"], deserialize=spec["deserialize"],
                         in_sep=spec["in_sep"], out_sep=spec["out_sep"],
                     ))
                 cmd = spec
@@ -864,23 +860,27 @@ class PigTranslator:
             return F.slice(arr, 1, int(st.cond))
         if st.kind == "order":
             keys = [k if isinstance(k, tuple) else (k, True) for k in st.cond]
-            # '*' expands to every element field, like the grouped path
+            # '*' expands to every element field; for scalar-element
+            # bags it means the element itself
             keys = [
                 kk
                 for cname, asc in keys
-                for kk in ([(f, asc) for f in fields] if cname == "*" else [(cname, asc)])
+                for kk in (
+                    [(f, asc) for f in fields] if cname == "*" and fields else [(cname, asc)]
+                )
             ]
 
             def comparator(left, right):
                 result = F.lit(0)
                 for cname, asc in reversed(keys):
-                    if cname == "*":
-                        continue
-                    nm = cname.split(".")[-1]
-                    if nm.startswith("$") and fields:
-                        nm = fields[int(nm[1:])]
-                    lv = left[nm] if fields else left
-                    rv = right[nm] if fields else right
+                    if cname == "*" and not fields:
+                        lv, rv = left, right
+                    else:
+                        nm = cname.split(".")[-1]
+                        if nm.startswith("$") and fields:
+                            nm = fields[int(nm[1:])]
+                        lv = left[nm] if fields else left
+                        rv = right[nm] if fields else right
                     c = (
                         F.when(lv.isNull() & rv.isNull(), 0)
                         .when(lv.isNull(), -1)
@@ -1162,7 +1162,9 @@ class PigTranslator:
                 # every column) and inner-FOREACH projection names up
                 # front so every downstream consumer sees real columns
                 child_cols = (
-                    list(base.proj.values()) if base.proj else g.child.df.columns
+                    list(base.proj.values())
+                    if base.proj
+                    else [c for c in g.child.df.columns if c not in g.derived]
                 )
                 norm: list[tuple[str, bool]] = []
                 for ok in st.cond:
@@ -1416,8 +1418,12 @@ class PigTranslator:
         agg_names: dict[int, str] = {}
         if agg_like:
             aggs = []
+            seen: set[str] = set()
             for i, it in agg_like:
                 name = it.alias or _default_name(it.expr, i)
+                if name in seen:  # un-aliased collisions → positional suffix
+                    name = f"{name}_{i}"
+                seen.add(name)
                 agg_names[i] = name
                 aggs.append(self._nested_agg(it.expr, g, pipes).alias(name))
             aggf = (
@@ -1649,7 +1655,9 @@ class PigTranslator:
         names = (
             ["result"] if len(over_cols) == 1 else [f"result_{i}" for i in range(len(over_cols))]
         )
-        base_cols = list(df.columns) if stitched else []
+        base_cols = (
+            [c for c in df.columns if c not in g.derived] if stitched else []
+        )
         if isinstance(item.alias, list):
             if len(item.alias) != len(base_cols) + len(over_cols):
                 raise SyntaxError(
@@ -1840,8 +1848,18 @@ class PigTranslator:
                 # Pig's choice is arbitrary, ours is the first n of
                 # this order.
                 order_names = [c for c in others if _orderable(kdf.schema[c].dataType)]
-                if not order_names:  # all-map tuple: any stable column works
-                    order_names = key_names[:1] or [others[0]]
+                if not order_names:
+                    # all-map tuple: fall back to a group key (constant
+                    # within the window — the pick is then arbitrary,
+                    # which 'any n rows' permits, just not retry-stable)
+                    order_names = [
+                        k for k in key_names if _orderable(kdf.schema[k].dataType)
+                    ][:1]
+                if not order_names:
+                    raise NotImplementedError(
+                        "unordered nested LIMIT over a tuple of only map-typed "
+                        "fields has no orderable column; add an ORDER clause"
+                    )
                 asc = [True] * len(order_names)
             _topk_cache[lname] = (
                 topk_per_group(kdf, key_names, order_names, pipe.limit_n, ascending=asc),
