@@ -173,6 +173,13 @@ LOADER_FORMAT = {
     # metadata with no Spark analogue (columnar min/max pruning and
     # bucketing cover that role — sources.store(bucket_by=, sort_by=))
     "indexedstorage": "pigstorage",
+    # BinStorage is Pig's INTERNAL typed intermediate — its contract
+    # is "readable by the same Pig version that wrote it" (docs warn
+    # against external use). The same-engine contract here is parquet:
+    # full type fidelity for store-then-load within/between scripts.
+    # Byte-level interop with Java Pig's BinStorage files is out of
+    # scope (COVERAGE.md §2.5), exactly as version-interop is in Pig.
+    "binstorage": "parquet",
 }
 
 AGG_FUNCS = {"count", "count_star", "sum", "avg", "min", "max"}
@@ -450,12 +457,6 @@ class PigTranslator:
                 from ..sources import store as _sstore
 
                 store_fn = lambda d, p=stmt.path, f=fmt, s=sep, o=opts: _sstore(d, p, format=f, sep=s, **o)  # noqa: E731
-            elif storer == "binstorage":
-                raise NameError(
-                    "BinStorage is Pig's internal binary interchange format — "
-                    "unsupported by design (COVERAGE.md §2.5); store parquet "
-                    "(ParquetStorer) for typed intermediate data instead"
-                )
             else:
                 raise NameError(
                     f"unknown storer {stmt.storer!r} — one of "

@@ -1646,3 +1646,23 @@ def test_latin_review_fix_pins(spark, sf_dir, tmp_path):
     got = {(r["name"], r["flag"]) for r in rels["s"].df.collect()}
     want = {(f"n{i % 3}", (20 + i % 7) > 22) for i in range(21)}
     assert got == want
+
+
+def test_latin_binstorage_typed_intermediate(spark, tmp_path):
+    """BinStorage — Pig's internal typed intermediate whose contract
+    is 'readable by the writer's own version' — maps to parquet here:
+    full type fidelity (int stays int, maps stay maps) for the
+    store-then-exec-then-load idiom the reference e2e suite uses."""
+    p = tmp_path / "s.txt"
+    p.write_text("".join(f"n{i % 3}\t{20 + i % 7}\n" for i in range(21)))
+    rels = run(spark, f"""
+        a = LOAD '{p}' AS (name:chararray, age:int);
+        b = FOREACH a GENERATE name, age * 2 AS d2, TOMAP('k', age) AS m;
+        STORE b INTO '{tmp_path}/mid' USING BinStorage();
+        exec;
+        c = LOAD '{tmp_path}/mid' USING BinStorage();
+        f = FILTER c BY d2 > 45;
+    """)
+    df = rels["f"].df
+    assert dict(df.dtypes)["d2"] == "int" and dict(df.dtypes)["m"] == "map<string,int>"
+    assert df.count() == sum(1 for i in range(21) if (20 + i % 7) * 2 > 45)
