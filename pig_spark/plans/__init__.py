@@ -41,6 +41,47 @@ def executed_plan_string(df: DataFrame) -> str:
     return df._jdf.queryExecution().executedPlan().toString()  # noqa: SLF001
 
 
+# order columns whose domain is bounded by the partition count — the
+# two-pass rank machinery's per-partition totals tables (operators/
+# rank.py). An unpartitioned window over these sorts ≤ #partitions
+# rows; over anything else it sorts the DATA in one task.
+_BOUNDED_ORDER_COLS = {"__pid", "__rpid"}
+
+
+def unpartitioned_windows(plan: str, allow_order_cols: set[str] = _BOUNDED_ORDER_COLS) -> list[str]:
+    """Window specs in an optimizedPlan string that have NO partition
+    columns and order by something outside ``allow_order_cols`` — the
+    single-partition-sort scale-killer shape (every row through one
+    task). Catalyst prints ``windowspecdefinition(part..., ord ASC/
+    DESC..., frame)``; no partition cols ⇔ the first argument carries
+    a sort direction."""
+    out: list[str] = []
+    for m in re.finditer(r"windowspecdefinition\(", plan):
+        start = m.end()
+        depth, i = 1, start
+        while i < len(plan) and depth:
+            if plan[i] == "(":
+                depth += 1
+            elif plan[i] == ")":
+                depth -= 1
+            i += 1
+        args = plan[start : i - 1]
+        # first top-level argument
+        d, j = 0, 0
+        while j < len(args) and (d or args[j] != ","):
+            if args[j] in "([":
+                d += 1
+            elif args[j] in ")]":
+                d -= 1
+            j += 1
+        first = args[:j].strip()
+        if " ASC" in first or " DESC" in first:  # unpartitioned
+            col = re.split(r"[ #]", first)[0]
+            if col not in allow_order_cols:
+                out.append(f"windowspecdefinition({args[:80]}...")
+    return out
+
+
 def read_schema_width(df: DataFrame) -> int:
     """Number of columns actually read from the scan (column pruning
     check: a 2-column projection must not read 16)."""

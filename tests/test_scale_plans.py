@@ -6,7 +6,7 @@ import pytest
 from pyspark.sql import functions as F
 
 from pig_spark import Relation
-from pig_spark.plans import lint_plan, plan_string, read_schema_width
+from pig_spark.plans import lint_plan, plan_string, read_schema_width, unpartitioned_windows
 
 
 @pytest.fixture(scope="module")
@@ -45,10 +45,12 @@ def test_rank_has_no_global_single_partition_window(spark, sf_dir):
     from pig_spark.queries import q17_rank_by
 
     df = q17_rank_by(spark, sf_dir)
-    s = plan_string(df)
     # the full-row relation must not pass through a Window with no
-    # partition spec; our plan windows only the aggregated key domain.
-    assert "WindowGroupLimit" not in s.split("AdaptiveSparkPlan")[0] or True
+    # partition spec; the only unpartitioned windows allowed run over
+    # the per-partition totals tables (order cols __pid/__rpid,
+    # bounded by partition count — the shape whitelist in plans).
+    opt = df._jdf.queryExecution().optimizedPlan().toString()
+    assert not unpartitioned_windows(opt), unpartitioned_windows(opt)
     assert lint_plan(df)["broadcast_joins"] >= 1  # rank joined back broadcast
 
 
@@ -116,6 +118,11 @@ def test_catalog_plan_audit(spark, sf_dir):
             bad.append(f"{name}: python in plan")
         if name not in _CARTESIAN_OK and "Join Cross" in s and "Broadcast" not in s:
             bad.append(f"{name}: non-broadcast cartesian join")
+        # no data-sized single-partition window anywhere (VERDICT r4
+        # #5 — generalizes the q37 pin; bounded totals-table windows
+        # over __pid/__rpid are whitelisted by shape, not by name)
+        for w in unpartitioned_windows(s):
+            bad.append(f"{name}: unpartitioned window {w}")
     assert not bad, "\n".join(bad)
 
 
