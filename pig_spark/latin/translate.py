@@ -509,6 +509,12 @@ class PigTranslator:
         elif isinstance(stmt, G.Define):
             if stmt.args and stmt.args[0] == "__exec__":
                 self.defines[stmt.alias] = self._parse_exec_define(stmt)
+            elif stmt.func.rsplit(".", 1)[-1] in ("HiveUDF", "HiveUDTF", "HiveUDAF") and stmt.args:
+                # org.apache.pig.builtin.HiveUDF family (HiveUDF.java:
+                # wraps a Hive function by name). Spark's own function
+                # registry IS Hive-compatible — resolve by name at call
+                # time (F.call_function), staying JVM-side.
+                self.defines[stmt.alias] = ("__hive__", stmt.func.rsplit(".", 1)[-1], str(stmt.args[0]))
             else:
                 self.defines[stmt.alias] = stmt.func
         elif isinstance(stmt, G.AssertStmt):
@@ -589,7 +595,7 @@ class PigTranslator:
             return RelInfo(self._load(op))
         if isinstance(op, G.Filter):
             rel = self._rel(op.rel)
-            return RelInfo(rel.filter(self._expr(op.cond, rel)))
+            return RelInfo(rel.filter(self._bool_expr(op.cond, rel)))
         if isinstance(op, G.Foreach):
             return self._foreach(op)
         if isinstance(op, G.Group):
@@ -849,6 +855,16 @@ class PigTranslator:
             if isinstance(e, G.IsNull):
                 c = elem_expr(e.operand, t)
                 return c.isNotNull() if e.negated else c.isNull()
+            if isinstance(e, G.Bool):
+                return F.lit(e.value)
+            if isinstance(e, G.BinCond):
+                return F.when(elem_expr(e.cond, t), elem_expr(e.then, t)).otherwise(
+                    elem_expr(e.otherwise, t)
+                )
+            if isinstance(e, G.Cast):
+                return elem_expr(e.operand, t).try_cast(PIG_TO_SPARK_TYPE.get(e.type, e.type))
+            if isinstance(e, G.Matches):
+                return PF.MATCHES(elem_expr(e.operand, t), e.pattern)
             raise NotImplementedError(
                 f"unsupported expression {type(e).__name__} inside a bag-column pipe"
             )
@@ -981,6 +997,15 @@ class PigTranslator:
                 flatten_aliases.append((name, item.alias))
             else:
                 name = item.alias or _default_name(item.expr, i)
+                if (
+                    item.alias is None
+                    and isinstance(item.expr, G.Col)
+                    and item.expr.name.startswith("$")
+                ):
+                    # generate $N keeps the SOURCE field's name
+                    # (LogicalSchema: positional projection preserves
+                    # the input schema's field name)
+                    name = rel.df.columns[int(item.expr.name[1:])]
                 if item.flatten:
                     # an explicit single-name AS names the (single)
                     # flattened field — FLATTEN({(1),(2)}) AS v yields
@@ -1894,6 +1919,15 @@ class PigTranslator:
                 # whole expression is one aggregate over one pipe
                 topk_aggs.append((name, next(iter(heads)), e))
                 layout.append(("col", name))
+            elif (
+                heads
+                and isinstance(e, G.Col)
+                and e.name.partition(".")[0] in limited_names
+            ):
+                # GENERATE <limit-pipe> — the survivors as a BAG column
+                # (bag of top-k tuples); collected from the topk frame
+                topk_aggs.append((name, e.name.partition(".")[0], e))
+                layout.append(("col", name))
             elif heads:
                 # r3: expression COMBINING aggregates — possibly over
                 # several LIMIT pipes and/or the full bag, e.g.
@@ -1940,7 +1974,7 @@ class PigTranslator:
             topk, _ = build_topk(ln)
             parts.append(
                 topk.groupBy(*[F.col(n) for n in key_names]).agg(
-                    *[self._topk_agg(e, topk, ln, g).alias(n) for n, e in aggs_for]
+                    *[self._topk_agg(e, topk, ln, g, pipes).alias(n) for n, e in aggs_for]
                 )
             )
             count_cols.extend(
@@ -2018,15 +2052,53 @@ class PigTranslator:
                 selects.append(F.col(payload))
         return Relation(agg_out.select(*selects))
 
-    def _topk_agg(self, e, topk, lname: str, g: GroupedInfo) -> Column:
+    def _topk_agg(self, e, topk, lname: str, g: GroupedInfo, pipes: dict[str, "_Pipe"] | None = None) -> Column:
         """Aggregate expression over the top-k survivors (references to
         the LIMIT pipe resolve against the topk DataFrame's columns)."""
+        if isinstance(e, G.Col) and e.name.partition(".")[0] == lname:
+            # GENERATE <limit-pipe>[.field] — the survivors as a BAG
+            # (bag of top-k tuples, ordered by the pipe's ORDER keys);
+            # ≤ limit_n elements, so the collected state is bounded
+            rest = e.name.partition(".")[2] or None
+            pipe = pipes[lname] if pipes else _Pipe()
+            rename = {v: k for k, v in pipe.proj.items()} if pipe.proj else {}
+            keyset = {n for n, _ in g.key_exprs}
+            if rest:
+                src = pipe.proj.get(rest, rest) if pipe.proj else rest
+                cols = [(rest.split("::")[-1], topk[src])]
+            elif pipe.proj or pipe.col or pipe.distinct:
+                cols = [
+                    (rename.get(c, c).split("::")[-1], topk[c])
+                    for c in topk.columns
+                    if c not in keyset
+                ]
+            else:
+                # whole-tuple pipe: bag elements follow the CHILD's
+                # column order (LogicalSchema keeps the inner bag's
+                # tuple layout), key columns included
+                child_cols = [c for c in g.child.df.columns if c in topk.columns]
+                extra = [c for c in topk.columns if c not in child_cols]
+                cols = [(c.split("::")[-1], topk[c]) for c in child_cols + extra]
+            bag = F.collect_list(F.struct(*[c.alias(n) for n, c in cols]))
+            if pipe.ordered and pipe.order_keys:
+                field_names = [n for n, _ in cols]
+                order = []
+                for ok in pipe.order_keys:
+                    cname, a = ok if isinstance(ok, tuple) else (ok, True)
+                    if cname.startswith(g.child_alias + "."):
+                        cname = cname.split(".", 1)[1]
+                    fld = rename.get(cname, cname).split("::")[-1]
+                    if fld in field_names:
+                        order.append((fld, a))
+                if order:
+                    bag = _bag_sort(bag, order)
+            return bag
         if isinstance(e, G.Bin):
-            return _binop(e.op, self._topk_agg(e.left, topk, lname, g), self._topk_agg(e.right, topk, lname, g))
+            return _binop(e.op, self._topk_agg(e.left, topk, lname, g, pipes), self._topk_agg(e.right, topk, lname, g, pipes))
         if isinstance(e, (G.Num, G.Str)):
             return self._expr(e, g.child)
         if isinstance(e, G.Cast):
-            return self._topk_agg(e.operand, topk, lname, g).cast(PIG_TO_SPARK_TYPE[e.type])
+            return self._topk_agg(e.operand, topk, lname, g, pipes).cast(PIG_TO_SPARK_TYPE[e.type])
         if isinstance(e, G.Call) and e.func.lower() in AGG_FUNCS:
             fn = e.func.lower()
             if not e.args:
@@ -2117,7 +2189,57 @@ class PigTranslator:
             return _Pipe(col=rest or None)
         raise NameError(f"nested FOREACH: unknown inner source {source!r}")
 
+    def _pipe_bag(self, lname: str, rest: str | None, g: GroupedInfo, pipes: dict[str, "_Pipe"]) -> Column:
+        """GENERATE <pipe> — the pipe itself as a BAG column (Pig emits
+        the inner relation as a bag of tuples; POForEach inner-plan
+        output). Lowered to collect_list of the pipe's tuple struct
+        (FILTER → when(cond), DISTINCT → array_distinct, ORDER →
+        array_sort with a null-first comparator matching Pig's null
+        ordering). Scale note: the bag is the WHOLE group in executor
+        memory — exactly Pig's reducer-bag footprint for the same
+        statement; prefer FLATTEN/aggregate forms for giant groups."""
+        pipe = pipes[lname]
+        child = g.child
+        df = child.df
+        cond = self._expr(pipe.cond, child) if pipe.cond is not None else None
+        rename = {v: k for k, v in pipe.proj.items()} if pipe.proj else {}
+        if rest:
+            src = pipe.proj.get(rest, rest) if pipe.proj else rest
+            cols = [(rest.split("::")[-1], self._expr(G.Col(src), child))]
+        elif pipe.col is not None:
+            cols = [(pipe.col.split("::")[-1], self._expr(G.Col(pipe.col), child))]
+        elif pipe.proj:
+            cols = [(out, F.col(m)) for out, m in pipe.proj.items()]
+        else:
+            # whole-tuple pipe: the bag element is the FULL child tuple
+            # (LogicalSchema: the inner bag carries every field,
+            # including the group key's source columns)
+            cols = [(c, df[c]) for c in df.columns if c not in g.derived]
+        el = F.struct(*[c.alias(n) for n, c in cols])
+        if cond is not None:
+            el = F.when(cond, el)  # collect_list skips nulls
+        bag = F.collect_list(el)
+        if pipe.distinct:
+            bag = F.array_distinct(bag)
+        if pipe.ordered and pipe.order_keys:
+            field_names = [n for n, _ in cols]
+            order = []
+            for ok in pipe.order_keys:
+                cname, a = ok if isinstance(ok, tuple) else (ok, True)
+                if cname.startswith(g.child_alias + "."):
+                    cname = cname.split(".", 1)[1]
+                fld = rename.get(cname, cname).split("::")[-1]
+                if fld in field_names:
+                    order.append((fld, a))
+            if order:
+                bag = _bag_sort(bag, order)
+        return bag
+
     def _nested_agg(self, e, g: GroupedInfo, pipes: dict[str, "_Pipe"]) -> Column:
+        if isinstance(e, G.Col) and not (e.name == "group" or e.name.startswith("group.")):
+            head, _, rest = e.name.partition(".")
+            if head in pipes:
+                return self._pipe_bag(head, rest or None, g, pipes)
         if isinstance(e, G.Bin):
             return _binop(e.op, self._nested_agg(e.left, g, pipes), self._nested_agg(e.right, g, pipes))
         if isinstance(e, (G.Num, G.Str)):
@@ -2265,6 +2387,57 @@ class PigTranslator:
     # ------------------------------------------------------------------
     # expressions
     # ------------------------------------------------------------------
+    def _hive_call(self, kind: str, hname: str, e: G.Call, rel: Relation) -> Column:
+        """DEFINE f HiveUDF('name') (builtin/HiveUDF.java — Pig wraps
+        Hive functions via the Hive bridge). Spark's SQL function
+        registry is Hive-compatible, so the call lowers to
+        F.call_function(name, args) — built-in, codegen, no bridge.
+        HiveUDTF output is a BAG of 1-field tuples (one per emitted
+        row); 'explode' over an array is the supported shape —
+        FLATTEN then restores Pig's row-per-element semantics.
+        HiveUDAF needs Hive's merge-side bridge state (foldable
+        percentile args etc.) — not mappable; raises."""
+        args = [self._expr(a, rel) for a in e.args]
+        if kind == "HiveUDF":
+            return F.call_function(hname, *args)
+        if kind == "HiveUDTF":
+            if hname.lower() == "explode" and len(args) == 1:
+                return F.transform(args[0], lambda x: F.struct(x.alias("x")))
+            raise NotImplementedError(
+                f"HiveUDTF({hname!r}): only 'explode' over a bag maps to a "
+                "Spark-side bag; other UDTFs need the Hive bridge"
+            )
+        raise NotImplementedError(
+            f"HiveUDAF({hname!r}) needs Hive's partial-aggregation bridge "
+            "(GenericUDAFEvaluator modes); use the builtin aggregate or a "
+            "pandas agg_func UDF instead"
+        )
+
+    def _bool_expr(self, e, rel: Relation) -> Column:
+        """A FILTER condition. An untyped (string-backed bytearray)
+        operand in boolean position gets Pig's implicit
+        bytearray→boolean cast (POCast.java / FILTER BY boolcol),
+        null/garbage → null → row dropped. Recurses through not/and/or
+        so the coercion lands on the leaves BEFORE the boolean op —
+        probing after NOT(stringcol) would already be an analysis
+        error."""
+        from pyspark.sql import types as T
+
+        if isinstance(e, G.Un) and e.op == "not":
+            return ~self._bool_expr(e.operand, rel)
+        if isinstance(e, G.Bin) and e.op in ("and", "or"):
+            lc, rc = self._bool_expr(e.left, rel), self._bool_expr(e.right, rel)
+            return (lc & rc) if e.op == "and" else (lc | rc)
+        c = self._expr(e, rel)
+        if isinstance(e, (G.Col, G.Call)):
+            try:
+                dtype = rel.df.select(c.alias("__b")).schema[0].dataType
+            except Exception:
+                return c
+            if isinstance(dtype, T.StringType):
+                return c.try_cast("boolean")
+        return c
+
     def _expr(self, e, rel: Relation) -> Column:
         if isinstance(e, G.Num):
             t = e.value.lower()
@@ -2370,7 +2543,13 @@ class PigTranslator:
     def _resolve(self, name: str, rel: Relation) -> Column:
         cols = rel.df.columns
         if name.startswith("$"):
-            return rel.df[cols[int(name[1:])]]
+            idx = int(name[1:])
+            if idx >= len(cols) and all(c.startswith("_c") for c in cols):
+                # schemaless load (PigStorage() with no AS): rows may
+                # have ANY arity, so $N beyond the sampled width is a
+                # null field, not an error (Pig's untyped-tuple access)
+                return F.lit(None)
+            return rel.df[cols[idx]]
         if name in cols:
             return rel.df[name]
         # alias::col written with dots or ::; also bare suffix match
@@ -2424,6 +2603,8 @@ class PigTranslator:
 
     def _call(self, e: G.Call, rel: Relation) -> Column:
         fname = self.defines.get(e.func, e.func)  # DEFINE alias → func
+        if isinstance(fname, tuple) and fname[0] == "__hive__":
+            return self._hive_call(fname[1], fname[2], e, rel)
         if not isinstance(fname, str):  # exec-command DEFINE used as a UDF
             raise NameError(
                 f"{e.func!r} is DEFINEd as a stream command; it can only follow STREAM ... THROUGH"
@@ -2469,23 +2650,32 @@ class PigTranslator:
         bag_agg = self._bag_agg(fname, e, rel)
         if bag_agg is not None:
             return bag_agg
-        if fname.upper() in ("SIZE", "ARITY") and len(e.args) == 1 and isinstance(e.args[0], G.Col):
+        if fname.upper() in ("SIZE", "ARITY"):
             # SIZE is type-polymorphic in Pig (StringSize/TupleSize/
             # BagSize/MapSize dispatched by the frontend) — resolve the
             # argument's Spark type here, where the schema is known
             from pyspark.sql import types as T
 
-            cname = e.args[0].name
-            if cname in rel.df.columns:
-                c = self._expr(e.args[0], rel)
-                dtype = rel.df.schema[cname].dataType
-                if isinstance(dtype, T.StringType):
-                    return F.length(c).cast("long")
-                if isinstance(dtype, (T.ArrayType, T.MapType)):
-                    return F.size(c).cast("long")
-                if isinstance(dtype, T.StructType):
-                    return F.lit(len(dtype.fields)).cast("long")
-                return F.lit(1).cast("long")  # scalar SIZE = 1 (SIZE.java)
+            if len(e.args) > 1:
+                # ARITY(a, b, c): the args form an implicit tuple —
+                # its SIZE is the field count (TupleSize.java)
+                return F.lit(len(e.args)).cast("long")
+            c = self._expr(e.args[0], rel)
+            if isinstance(e.args[0], G.Col) and e.args[0].name in rel.df.columns:
+                dtype = rel.df.schema[e.args[0].name].dataType
+            else:  # Cast/Call/arith arg: probe the expression's type
+                dtype = rel.df.select(c.alias("__sz")).schema[0].dataType
+            if isinstance(dtype, T.StringType):
+                return F.length(c).cast("long")
+            if isinstance(dtype, T.BinaryType):
+                return F.octet_length(c).cast("long")
+            if isinstance(dtype, (T.ArrayType, T.MapType)):
+                return F.size(c).cast("long")
+            if isinstance(dtype, T.StructType):
+                return F.lit(len(dtype.fields)).cast("long")
+            # numeric/bool/datetime scalar: SIZE = 1 (SIZE.java:52),
+            # null-propagating like the Java impl
+            return F.when(c.isNotNull(), F.lit(1).cast("long"))
         if (
             fname.upper() == "TOP"
             and len(e.args) >= 3
@@ -2534,6 +2724,29 @@ def _range_span(rel: Relation, rp) -> list[str]:
     if lo > hi:
         raise SyntaxError(f"pig latin: range projection {rp.start}..{rp.end} is reversed")
     return names[lo : hi + 1]
+
+
+def _bag_sort(bag: Column, order: list[tuple[str, bool]]) -> Column:
+    """Sort a bag (array<struct>) by struct fields with Pig's null
+    ordering (null smallest: first under asc, last under desc) —
+    array_sort with a lexicographic comparator, pure codegen."""
+
+    def cmp(x: Column, y: Column) -> Column:
+        out = F.lit(0)
+        for fld, asc in reversed(order):
+            xa, ya = x[fld], y[fld]
+            lt, gt = (F.lit(-1), F.lit(1)) if asc else (F.lit(1), F.lit(-1))
+            out = (
+                F.when(xa.isNull() & ya.isNull(), out)
+                .when(xa.isNull(), lt)
+                .when(ya.isNull(), gt)
+                .when(xa < ya, lt)
+                .when(xa > ya, gt)
+                .otherwise(out)
+            )
+        return out
+
+    return F.array_sort(bag, cmp)
 
 
 def _binop(op: str, a: Column, b: Column) -> Column:

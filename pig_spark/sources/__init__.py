@@ -379,6 +379,28 @@ def ensure_pig_session_semantics(spark: SparkSession) -> None:
     spark._pig_semantics_set = True  # noqa: SLF001 — once per session
 
 
+def _pig_paths(path: str) -> list[str]:
+    """LOAD 'p1,p2' — Pig accepts a comma-separated path list, each
+    element a Hadoop glob (QueryParser.g LOAD; LoadFunc relative-path
+    contract). Split on TOP-LEVEL commas only (a comma inside ``{}``
+    belongs to the brace glob) and map Pig's ``[!...]`` set negation
+    to Hadoop's ``[^...]``."""
+    out: list[str] = []
+    depth, cur = 0, []
+    for ch in path:
+        if ch == "{":
+            depth += 1
+        elif ch == "}":
+            depth -= 1
+        if ch == "," and depth == 0:
+            out.append("".join(cur))
+            cur = []
+        else:
+            cur.append(ch)
+    out.append("".join(cur))
+    return [p.strip().replace("[!", "[^") for p in out if p.strip()]
+
+
 def load(
     spark: SparkSession,
     path: str,
@@ -444,7 +466,8 @@ def load(
         # the very read it enabled).
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     reader = reader.options(**{k: str(v) for k, v in options.items()})
-    df = reader.format(fmt).load(path)
+    paths = _pig_paths(path)
+    df = reader.format(fmt).load(paths if len(paths) > 1 else paths[0])
     if tag_file:
         from pyspark.sql import functions as F
 

@@ -27,7 +27,7 @@ from pig_spark.latin import run
 
 _CONF_DIR = "/root/reference/test/e2e/pig/tests"
 _CONFS = ("nightly.conf", "join.conf", "multiquery.conf", "macro.conf")
-_FLOOR = 320
+_FLOOR = 340
 
 _SKIP_MARKERS = (
     ":scripthomepath:", "testudf.jar", ":mapredjars:", "jruby",
