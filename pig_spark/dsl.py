@@ -304,9 +304,43 @@ class Relation:
         Bag union, no dedup. ONSCHEMA merges by name with null-fill
         (UnionOnSchemaSetter.java) → unionByName(allowMissingColumns).
         """
-        df = self.df
+        def _dequalify(d):
+            # ONSCHEMA matches by ALIAS, treating a::name ≡ name when
+            # the leaf is unambiguous within its input (Schema.merge
+            # alias matching) — strip qualifiers so unionByName lines
+            # the fields up the way Pig's schema merge does
+            if not onschema or not any("::" in c for c in d.columns):
+                return d
+            leaves = [c.split("::")[-1] for c in d.columns]
+            new = [
+                leaf if "::" in c and leaves.count(leaf) == 1 else c
+                for c, leaf in zip(d.columns, leaves)
+            ]
+            return d.toDF(*new)
+
+        df = _dequalify(self.df)
         for o in others:
-            df = df.unionByName(o.df, allowMissingColumns=True) if onschema else df.union(o.df)
+            if onschema:
+                df = df.unionByName(_dequalify(o.df), allowMissingColumns=True)
+                continue
+            od = o.df
+            if len(od.columns) != len(df.columns):
+                # arity mismatch: Pig's UNION schema becomes null and
+                # tuples keep their own arity (LOUnion mergeSchema →
+                # null). A DataFrame needs one width, so the narrower
+                # side pads with nulls — documented divergence: a
+                # store of the padded rows writes trailing empty
+                # fields where Pig writes short tuples.
+                w = max(len(od.columns), len(df.columns))
+
+                def pad(d, w=w):
+                    ext = [
+                        F.lit(None).alias(f"__u{j}") for j in range(w - len(d.columns))
+                    ]
+                    return d.select("*", *ext) if ext else d
+
+                df, od = pad(df), pad(od)
+            df = df.union(od)
         return Relation(df)
 
     def intersect(self, other: "Relation") -> "Relation":

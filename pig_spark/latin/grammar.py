@@ -496,7 +496,11 @@ class Parser:
                 key += "." + self.next().text
             t = self.next()
             value = t.text[1:-1] if t.kind == "str" else t.text
-            self.expect("op", ";")
+            # the terminating ';' is optional in practice (GruntParser
+            # accepts a bare `set default_parallel 2` line; the e2e
+            # corpus uses it) — SET consumes exactly one value token,
+            # so there's no ambiguity
+            self.accept("op", ";")
             return SetStmt(key, value)
         # define
         alias = self._ident()
@@ -608,7 +612,16 @@ class Parser:
         return Filter(rel, self.expr())
 
     def _op_foreach(self):
-        rel = self._ident()
+        if self.peek().kind == "op" and self.peek().text == "(":
+            # inline relational clause (QueryParser.g:364 nested_op_clause):
+            # FOREACH (GROUP a ALL) GENERATE ... — the parenthesized op
+            # rides in Foreach.rel as an AST node; the translator
+            # evaluates it as an anonymous relation
+            self.next()
+            rel = self._op_clause()
+            self.expect("op", ")")
+        else:
+            rel = self._ident()
         if self.accept("op", "{"):
             return self._foreach_block(rel)
         self.expect("kw", "generate")
@@ -670,6 +683,15 @@ class Parser:
                 while self.accept("op", ","):
                     items.append(self._gen_item())
                 nested.append(NestedStmt(alias, "nforeach", src, items))
+            elif t.kind == "kw" and t.text == "cross":
+                # nested CROSS (Pig >= 0.10 nested_cross:
+                # QueryParser.g nested_op): per-group cross product of
+                # two or more inner bags — C1 = cross A, B;
+                self.next()
+                srcs = [self._nested_ref()]
+                while self.accept("op", ","):
+                    srcs.append(self._nested_ref())
+                nested.append(NestedStmt(alias, "cross", srcs[0], srcs[1:]))
             else:
                 # projection (x = B.col) OR a scalar expression alias
                 # (x = f(col) * 2 — QueryParser.g nested_command
@@ -1175,6 +1197,11 @@ class Parser:
                     continue
                 if self.peek().kind == "dollar":
                     name = self.next().text
+                elif self.peek().kind == "kw":
+                    # keywords are legal AFTER a dot (ns.cube(x) jruby
+                    # UDFs, field names like t.order) — no ambiguity:
+                    # the dot position never starts a clause
+                    name = self.next().text
                 else:
                     name = self._ident()
                 if (
@@ -1254,15 +1281,23 @@ class Parser:
             self.next()
             args: list[object] = []
             if not (self.peek().kind == "op" and self.peek().text == "]"):
-                while True:
-                    # keys are quoted chararrays (parsed directly — the
-                    # postfix pass would otherwise read key#value as a
-                    # map lookup)
-                    args.append(Str(self._string()))
-                    self.expect("op", "#")
+                if self.peek().kind == "str":
+                    while True:
+                        # ['k'#v, ...]: quoted chararray keys (parsed
+                        # directly — the postfix pass would otherwise
+                        # read key#value as a map lookup)
+                        args.append(Str(self._string()))
+                        self.expect("op", "#")
+                        args.append(self.expr())
+                        if not self.accept("op", ","):
+                            break
+                else:
+                    # [k1, v1, k2, v2, ...]: column-valued TOMAP sugar
+                    # (QueryParser.g map initializer — alternating
+                    # key/value expressions, = TOMAP(k1, v1, ...))
                     args.append(self.expr())
-                    if not self.accept("op", ","):
-                        break
+                    while self.accept("op", ","):
+                        args.append(self.expr())
             self.expect("op", "]")
             return Call("TOMAP", args)
         if t.kind == "kw" and t.text in ("group", "cube", "rollup"):

@@ -415,7 +415,17 @@ class PigTranslator:
             m = _re.match(r"\s*%(declare|default)\s+(\w+)\s+(.+?)\s*;?\s*$", line)
             if m:
                 kind, name, value = m.groups()
-                value = value.strip("'\"")
+                if value.startswith("`") and value.rstrip().endswith("`"):
+                    # backtick command substitution (PreprocessorContext
+                    # .java processShellCmd: run the command, the value
+                    # is its stdout, trailing newline stripped)
+                    import subprocess
+
+                    value = subprocess.run(
+                        value.strip().strip("`"), shell=True, capture_output=True, text=True, check=True
+                    ).stdout.rstrip("\n")
+                else:
+                    value = value.strip("'\"")
                 if kind == "declare" or name not in self.params:
                     self.params[name] = value
                 continue
@@ -729,7 +739,27 @@ class PigTranslator:
                     )
                 )
             else:
-                rel = Relation(rel.df.toDF(*[f.name for f in op.schema]))
+                # typed containers (parquet/orc/avro/BinStorage): the
+                # AS clause renames positionally. A declared COMPLEX
+                # type additionally renames/casts the NESTED fields —
+                # BinStorage.java stores tuples positionally, so
+                # `AS (t2:tuple(a,b,c))` over stored (col1,col2,col3)
+                # rebinds the inner names (try_cast over struct/array
+                # is positional in Spark, exactly Pig's rebinding)
+                df = rel.df
+                outs = []
+                for i, f in enumerate(op.schema):
+                    if i >= len(df.columns):
+                        outs.append(
+                            F.lit(None).cast(pig_field_ddl(f.type) if f.type else "string").alias(f.name)
+                        )
+                        continue
+                    c = df[df.columns[i]]
+                    t = (f.type or "").strip().lower()
+                    if t.startswith(("tuple", "(", "bag", "{", "map")):
+                        c = c.try_cast(pig_field_ddl(f.type))
+                    outs.append(c.alias(f.name))
+                rel = Relation(df.select(*outs))
         return rel
 
     # ------------------------------------------------------------------
@@ -823,18 +853,61 @@ class PigTranslator:
 
         if st.kind == "expr":
             return self._expr(st.cond, rel)
-        src = st.source.split(".", 1)[0]
-        if src.startswith("$"):
-            src = rel.df.columns[int(src[1:])]
-        if src not in rel.df.columns or not isinstance(
-            rel.df.schema[src].dataType, T.ArrayType
-        ):
-            raise SyntaxError(
-                f"nested FOREACH over a flat relation: {st.source!r} must be a bag "
-                "column (or GROUP the relation first)"
-            )
-        arr = rel.df[src]
-        elem = rel.df.schema[src].dataType.elementType
+
+        def bag_col(ref: str) -> tuple[str, Column, object]:
+            nm = ref.split(".", 1)[0]
+            if nm.startswith("$"):
+                nm = rel.df.columns[int(nm[1:])]
+            if nm not in rel.df.columns or not isinstance(
+                rel.df.schema[nm].dataType, T.ArrayType
+            ):
+                raise SyntaxError(
+                    f"nested FOREACH over a flat relation: {ref!r} must be a bag "
+                    "column (or GROUP the relation first)"
+                )
+            return nm, rel.df[nm], rel.df.schema[nm].dataType.elementType
+
+        if st.kind == "cross":
+            # nested CROSS (QueryParser.g nested_op, Pig >= 0.10): the
+            # per-row cross product of two+ bag columns — a COGROUP
+            # row's bags crossed within the group. flatten(transform×
+            # transform): element = concatenated tuple, fields
+            # qualified <operand>::<field> (Pig's cross naming).
+            # Map-only; the bags already live in the row.
+            def fields_of(elem) -> list[str]:
+                return list(elem.names) if isinstance(elem, T.StructType) else []
+
+            acc_name, acc_col, acc_elem = bag_col(st.source)
+            acc_fields = [
+                (f, f if "::" in f else f"{acc_name}::{f}") for f in fields_of(acc_elem)
+            ]
+            for ref in st.cond:
+                b_name, b_col, b_elem = bag_col(ref)
+                b_fields = [
+                    (f, f if "::" in f else f"{b_name}::{f}") for f in fields_of(b_elem)
+                ]
+                af, bf = list(acc_fields), list(b_fields)
+
+                def make(x, y, af=af, bf=bf):
+                    return F.struct(
+                        *[x[sf].alias(qf) for sf, qf in af],
+                        *[y[sf].alias(qf) for sf, qf in bf],
+                    )
+
+                def mk_outer(bc, mk):
+                    # pyspark reads the HOF callback's own arity, so
+                    # the callbacks must be strictly single-parameter —
+                    # close over bc/mk via this factory, not defaults
+                    def outer(x):
+                        return F.transform(bc, lambda y: mk(x, y))
+
+                    return outer
+
+                acc_col = F.flatten(F.transform(acc_col, mk_outer(b_col, make)))
+                acc_fields = [(qf, qf) for _, qf in af] + [(qf, qf) for _, qf in bf]
+            return acc_col
+
+        src, arr, elem = bag_col(st.source)
         fields = elem.names if isinstance(elem, T.StructType) else []
 
         def elem_expr(e, t) -> Column:
@@ -842,6 +915,15 @@ class PigTranslator:
                 name = e.name.split(".")[-1]
                 if name.startswith("$") and fields:
                     name = fields[int(name[1:])]
+                elif fields and name not in fields:
+                    # qualified cross-product fields (a::name): an
+                    # unqualified ref resolves by unique suffix, as
+                    # LogicalSchema disambiguation does
+                    hit = [f for f in fields if f.split("::")[-1] == name]
+                    if len(hit) == 1:
+                        name = hit[0]
+                    elif len(hit) > 1:
+                        raise ValueError(f"pig latin: ambiguous field {name!r}: {hit}")
                 return t[name] if fields else t
             if isinstance(e, G.Num):
                 v = e.value.lower()
@@ -865,10 +947,33 @@ class PigTranslator:
                 return elem_expr(e.operand, t).try_cast(PIG_TO_SPARK_TYPE.get(e.type, e.type))
             if isinstance(e, G.Matches):
                 return PF.MATCHES(elem_expr(e.operand, t), e.pattern)
+            if isinstance(e, G.Call):
+                # scalar builtin over element fields (CONCAT, UPPER…);
+                # aggregates don't belong inside a per-element lambda
+                if e.func.lower() in AGG_FUNCS:
+                    raise NotImplementedError(
+                        f"aggregate {e.func.upper()} inside a bag-column pipe; "
+                        "aggregate in the outer GENERATE instead"
+                    )
+                fn = getattr(PF, e.func, None) or getattr(PF, e.func.upper(), None)
+                if fn is None:
+                    raise NameError(f"pig latin: unknown function {e.func!r}")
+                return fn(*[elem_expr(a, t) for a in e.args])
             raise NotImplementedError(
                 f"unsupported expression {type(e).__name__} inside a bag-column pipe"
             )
 
+        if st.kind == "nforeach":
+            # inner FOREACH over a bag column: per-element projection —
+            # transform(bag, t -> struct(items)) stays map-only
+            def project(t):
+                out = []
+                for i, item in enumerate(st.cond):
+                    nm = item.alias or _default_name(item.expr, i)
+                    out.append(elem_expr(item.expr, t).alias(nm))
+                return F.struct(*out)
+
+            return F.transform(arr, project)
         if st.kind == "filter":
             return F.filter(arr, lambda t: elem_expr(st.cond, t))
         if st.kind == "distinct":
@@ -938,7 +1043,12 @@ class PigTranslator:
 
     # ------------------------------------------------------------------
     def _foreach(self, op: G.Foreach) -> RelInfo:
-        info = self.aliases.get(op.rel)
+        if not isinstance(op.rel, str):
+            # inline relational clause: FOREACH (GROUP a ALL) GENERATE
+            # — evaluate the parenthesized op as an anonymous relation
+            info = self._op(op.rel, "__inline__")
+        else:
+            info = self.aliases.get(op.rel)
         if info is None:
             raise NameError(f"pig latin: unknown alias {op.rel!r}")
         if info.grouped is not None:
@@ -980,6 +1090,7 @@ class PigTranslator:
         rel = info.rel
         cols: list[Column] = []
         flatten_aliases: list[str] = []
+        seen_flat_names: set[str] = set()
         for i, item in enumerate(op.items):
             if isinstance(item.expr, G.Star):
                 cols.extend(rel.df[c] for c in rel.df.columns)
@@ -1006,6 +1117,11 @@ class PigTranslator:
                     # (LogicalSchema: positional projection preserves
                     # the input schema's field name)
                     name = rel.df.columns[int(item.expr.name[1:])]
+                if name in seen_flat_names and item.alias is None and isinstance(item.expr, G.Col):
+                    # un-aliased collision (c::group, d::group): keep
+                    # the qualified source name, as LogicalSchema does
+                    name = item.expr.name
+                seen_flat_names.add(name)
                 if item.flatten:
                     # an explicit single-name AS names the (single)
                     # flattened field — FLATTEN({(1),(2)}) AS v yields
@@ -1175,6 +1291,11 @@ class PigTranslator:
                 base.col = None
                 pipes[st.alias] = base
                 continue
+            if st.kind == "cross":
+                raise NotImplementedError(
+                    "nested CROSS over a single-input GROUP is not supported; "
+                    "COGROUP the inputs and cross the sibling bags"
+                )
             base = self._resolve_pipe(st.source, g, pipes)
             if st.kind == "project":
                 pass  # _resolve_pipe already applied the column
@@ -2357,6 +2478,26 @@ class PigTranslator:
         for rel_alias, keys in zip(op.rels, op.keys):
             rel = self._rel(rel_alias)
             qdf = rel.df.select(*[rel.df[c].alias(f"{rel_alias}::{c}") for c in rel.df.columns])
+            ginfo = self.aliases.get(rel_alias)
+            if (
+                ginfo is not None
+                and ginfo.grouped is not None
+                and len(ginfo.grouped.key_exprs) > 1
+                and "group" not in rel.df.columns
+                and all(n in rel.df.columns for n, _ in ginfo.grouped.key_exprs)
+            ):
+                # tuple-key grouped side: Pig's field 0 is the 'group'
+                # TUPLE (LogicalSchema), which our bag-form lays out as
+                # flattened key columns — synthesize the struct so
+                # `join c by $0` keys on the whole tuple and
+                # `c::group` resolves downstream
+                kn = [n for n, _ in ginfo.grouped.key_exprs]
+                qdf = qdf.select(
+                    F.struct(*[qdf[f"{rel_alias}::{k}"].alias(k) for k in kn]).alias(
+                        f"{rel_alias}::group"
+                    ),
+                    "*",
+                )
             qrel = Relation(qdf)
             key_cols = [self._expr(k, qrel) for k in keys]
             sides.append((qrel, key_cols))
@@ -2643,6 +2784,31 @@ class PigTranslator:
             # inserts tuple arguments as-is — only scalars get wrapped
             # into single-field tuples
             return F.array(*[self._expr(a, rel) for a in e.args])
+        if fname.upper() == "TOBAG" and e.args:
+            # TOBAG over TUPLE-typed columns: tuples insert as-is
+            # (TOBAG.java — only scalars get wrapped); Spark arrays
+            # need ONE element type, so later tuples' fields rename
+            # positionally to the first tuple's names
+            from pyspark.sql import types as T
+
+            arg_cols = [self._expr(a, rel) for a in e.args]
+            try:
+                probe = rel.df.select(*[c.alias(f"__tb{i}") for i, c in enumerate(arg_cols)]).schema
+                types = [f.dataType for f in probe.fields]
+            except Exception:
+                types = []
+            if (
+                types
+                and all(isinstance(t, T.StructType) for t in types)
+                and all(len(t.fields) == len(types[0].fields) for t in types)
+            ):
+                names = types[0].names
+                return F.array(
+                    *[
+                        F.struct(*[c[t.names[i]].alias(names[i]) for i in range(len(names))])
+                        for c, t in zip(arg_cols, types)
+                    ]
+                )
         fn = getattr(PF, fname, None) or getattr(PF, fname.upper(), None)
         if fn is None:
             known = [n for n in dir(PF) if not n.startswith("_")]

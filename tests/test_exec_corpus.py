@@ -27,12 +27,13 @@ from pig_spark.latin import run
 
 _CONF_DIR = "/root/reference/test/e2e/pig/tests"
 _CONFS = ("nightly.conf", "join.conf", "multiquery.conf", "macro.conf")
-_FLOOR = 340
+_FLOOR = 352
 
 _SKIP_MARKERS = (
     ":scripthomepath:", "testudf.jar", ":mapredjars:", "jruby",
     "hadoopversion", ":hcat", "hbase", ":inpath2:", "cache(",
     "$condition", "$filter_op", "$map_op",  # perl-harness parameters
+    "$fname", "$setting",  # perl-harness parameters (values supplied by the driver)
 )
 
 

@@ -7,11 +7,11 @@ This is a parse gate, not an execution gate (snippets reference
 :INPATH:-style harness placeholders and Java test UDF jars), but it
 catches grammar regressions against ~465 real-world scripts at once.
 
-Current floor: 445 of ~465 (96%); NATIVE/MAPREDUCE snippets raise
+Current floor: 455 of 465 (98%); NATIVE/MAPREDUCE snippets raise
 NotImplementedError by design (SURVEY §2.2#26) and count as
-documented-unsupported, not failures. The residual hard tail
-(~14) is: jruby scripting UDFs, column-valued map initializers,
-pipes (now supported) and harness-level $-placeholders the perl driver substitutes.
+documented-unsupported, not failures. The residual hard tail (2):
+a harness-substituted bare `$setting` statement line and one
+utf8.conf snippet that is an embedded JYTHON driver script, not Pig.
 """
 
 import re
@@ -28,7 +28,7 @@ _CONFS = (
     "macro.conf", "streaming.conf", "streaming_local.conf",
     "utf8.conf", "orc.conf", "grunt.conf",
 )
-_FLOOR = 445
+_FLOOR = 455
 
 
 def _preprocess(src: str) -> str:
@@ -37,7 +37,11 @@ def _preprocess(src: str) -> str:
     for line in src.splitlines():
         m = re.match(r"\s*%(declare|default)\s+(\w+)\s+(.+?)\s*;?\s*$", line)
         if m:
-            params[m.group(2)] = m.group(3).strip("'\"")
+            v = m.group(3)
+            # backtick command substitution: the engine executes it
+            # (translate._preprocess); the parse gate just needs a
+            # placeholder token standing in for the stdout
+            params[m.group(2)] = "cmdout" if v.startswith("`") else v.strip("'\"")
             continue
         out.append(line)
     src = "\n".join(out)
