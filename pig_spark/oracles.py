@@ -644,6 +644,21 @@ def oracle_sql() -> dict[str, str]:
                                             s_name ASC NULLS FIRST) AS rn
                        FROM supplier)
             SELECT s_nationkey AS nk, s_name AS pick FROM r WHERE rn <= 2""",
+        "q112_latin_bag_pipe": """
+            WITH r AS (SELECT c_nationkey, c_custkey, c_acctbal,
+                              row_number() OVER (PARTITION BY c_nationkey
+                                   ORDER BY c_acctbal DESC, c_custkey) AS rn
+                       FROM customer)
+            SELECT c_nationkey, c_custkey, c_acctbal FROM r WHERE rn = 1""",
+        "q113_latin_nested_cross": """
+            SELECT n_name AS nname, r_name AS rname
+            FROM nation JOIN region ON n_regionkey = r_regionkey""",
+        "q114_latin_inline_group": """
+            SELECT CAST(COUNT(l_quantity) AS BIGINT) AS n_rows,
+                   CAST(SUM(l_quantity) AS DOUBLE) AS sum_qty
+            FROM lineitem""",
+        "q115_latin_hive_udf": """
+            SELECT c_custkey, upper(c_name) AS uname FROM customer""",
         "q90_pii_redaction": f"""
             WITH s AS (
                 SELECT doc_id,

@@ -1818,6 +1818,85 @@ def q108_latin_unordered_limit(spark: SparkSession, sf: str) -> DataFrame:
     return rels["c"].df
 
 
+def q112_latin_bag_pipe(spark: SparkSession, sf: str) -> DataFrame:
+    """GENERATE <limit-pipe> — the pipe ITSELF as a bag column (Pig
+    emits the inner relation as a bag of tuples; POForEach inner-plan
+    output), flattened by a downstream FOREACH. The survivors come
+    from the same one-shuffle topk_per_group window; the bag is ≤
+    limit_n elements, collected and comparator-sorted post-window
+    (translate._topk_agg bag branch — closes VERDICT r4 'What's
+    missing' #2's most-hit shape, nightly.conf's
+    `l = limit s 1; generate l;` idiom)."""
+    from .latin import run
+
+    rels = run(spark, f"""
+        c0 = LOAD '{sf}/customer.parquet' USING ParquetLoader();
+        p = FOREACH c0 GENERATE c_nationkey, c_custkey, c_acctbal;
+        g = GROUP p BY c_nationkey;
+        b = FOREACH g {{
+            s = ORDER p BY c_acctbal DESC, c_custkey;
+            l = LIMIT s 1;
+            GENERATE l AS best;
+        }};
+        out = FOREACH b GENERATE FLATTEN(best);
+    """)
+    return rels["out"].df
+
+
+def q113_latin_nested_cross(spark: SparkSession, sf: str) -> DataFrame:
+    """Nested CROSS of two COGROUP bags (QueryParser.g nested_op,
+    Pig >= 0.10): per-group cross product, flattened. Lowered as a
+    map-only flatten(transform×transform) over the cogroup row's two
+    bag columns — the bags are already co-located, so no join and no
+    extra shuffle beyond the cogroup's own; equivalent to (and
+    oracle-checked against) the inner equi-join."""
+    from .latin import run
+
+    rels = run(spark, f"""
+        n0 = LOAD '{sf}/nation.parquet' USING ParquetLoader();
+        r0 = LOAD '{sf}/region.parquet' USING ParquetLoader();
+        nn = FOREACH n0 GENERATE n_regionkey, n_name;
+        rr = FOREACH r0 GENERATE r_regionkey, r_name;
+        cg = COGROUP nn BY n_regionkey, rr BY r_regionkey;
+        d = FOREACH cg {{
+            x = CROSS nn, rr;
+            GENERATE FLATTEN(x);
+        }};
+        out = FOREACH d GENERATE n_name AS nname, r_name AS rname;
+    """)
+    return rels["out"].df
+
+
+def q114_latin_inline_group(spark: SparkSession, sf: str) -> DataFrame:
+    """Inline relational clause: FOREACH (GROUP p ALL) GENERATE ... —
+    QueryParser.g:364 nested_op_clause, the idiom every Pig aggregate
+    one-liner uses. The parenthesized GROUP evaluates as an anonymous
+    relation; the algebraic GENERATE lowers to the usual
+    groupBy().agg() (no bag materializes)."""
+    from .latin import run
+
+    rels = run(spark, f"""
+        li = LOAD '{sf}/lineitem.parquet' USING ParquetLoader();
+        p = FOREACH li GENERATE l_quantity;
+        out = FOREACH (GROUP p ALL) GENERATE COUNT(p) AS n_rows, SUM(p.l_quantity) AS sum_qty;
+    """)
+    return rels["out"].df
+
+
+def q115_latin_hive_udf(spark: SparkSession, sf: str) -> DataFrame:
+    """DEFINE f HiveUDF('name') (builtin/HiveUDF.java) — Pig's Hive
+    bridge, re-expressed as Spark's own Hive-compatible function
+    registry (F.call_function): JVM-side, codegen, no bridge jar."""
+    from .latin import run
+
+    rels = run(spark, f"""
+        define hupper HiveUDF('upper');
+        c0 = LOAD '{sf}/customer.parquet' USING ParquetLoader();
+        out = FOREACH c0 GENERATE c_custkey, hupper(c_name) AS uname;
+    """)
+    return rels["out"].df
+
+
 from .pigmix import PIGMIX_QUERIES  # noqa: E402  (avoids circular import)
 
 _ALL: dict[str, Callable[[SparkSession, str], DataFrame]] = {
@@ -1829,26 +1908,28 @@ _ALL.update(PIGMIX_QUERIES)
 
 # The driver's correctness gate checks the FIRST 50 entries in dict
 # order. Order by verification need, not by name (rebuilt each round;
-# VERDICT r3 "Next round" #1): (0) new-in-r4 queries + queries whose
+# VERDICT r4 "Next round" #1): (0) new-in-r5 queries + queries whose
 # Spark side changed this round — the changes must earn a green driver
-# row; (1) the 36 queries whose newest driver evidence is ROUND 1
-# (they predate the r3 session-semantics rework and events-schema
-# adaptation — the judge wants the gate to re-confirm them); (2) the
-# 35 whose newest evidence is round 2 (the ~10 remaining window slots
-# start rotating them in; the rest are round 5's backlog); (3) the
-# r3/r4-verified block.
-_NEW_OR_CHANGED_R4 = {
-    "q107_latin_multi_stitch",
-    "q110_latin_flatten_with_aggs",  # new: FLATTEN + aggregates mix
-    "q111_domain_caps",  # new: per-domain crawl caps (one window)  # new: multi-Stitch per-group cross product
-    "q108_latin_unordered_limit",  # new: unordered nested LIMIT stand-in
-    "q109_incremental_dedup_verified",  # new: exact re-verify stage
-    "q106_cms_frequencies",  # cms_estimate now joins est back on candidates
-    # q37/q52 changed too (distributed ntile; stream serde/null-pad) —
-    # already in the r1-stale tier right below
+# row; (1) the 27-query r2-stale backlog (the part of r4's _STALE_R2
+# that did not fit r4's 50-row window — re-greening them completes a
+# fully driver-current board: every catalog query's newest evidence
+# ≥ r3); (2) the r3-evidence block (oldest remaining — the ~15 spare
+# slots rotate them toward r5 freshness); (3) the 50 queries r4's
+# window just re-verified.
+_NEW_OR_CHANGED_R5 = {
+    "q112_latin_bag_pipe",       # new: GENERATE <limit-pipe> as a bag
+    "q113_latin_nested_cross",   # new: nested CROSS of COGROUP bags
+    "q114_latin_inline_group",   # new: inline FOREACH (GROUP p ALL)
+    "q115_latin_hive_udf",       # new: HiveUDF via Spark registry
+    "q52_stream_upper",          # stream stdout casts → try_cast/utf8_cast
+    "q13_union_onschema",        # union ONSCHEMA alias dequalification
+    "q14_union_positional",      # positional union arity padding
 }
-_STALE_R1 = {
-    "q11_anti_join", "q12_cross", "q13_union_onschema", "q14_union_positional",
+# r4's gate window (minus any re-listed above): freshest evidence, last
+_FRESH_R4 = {
+    "q106_cms_frequencies", "q107_latin_multi_stitch", "q108_latin_unordered_limit",
+    "q109_incremental_dedup_verified", "q110_latin_flatten_with_aggs", "q111_domain_caps",
+    "q11_anti_join", "q12_cross",
     "q15_cogroup", "q16_group_flatten", "q17_rank_by", "q18_rank_dense",
     "q20_cube", "q21_rollup", "q22_split", "q23_nested_topk", "q24_scalar",
     "q25_case_in", "q26_regex_match", "q27_string_funcs", "q28_math_funcs",
@@ -1856,31 +1937,33 @@ _STALE_R1 = {
     "q34_assert", "q35_intersect_except", "q36_window_over", "q37_ntile_stats",
     "q40_dedup_exact", "q41_minhash_pairs", "q42_ngram_jaccard", "q43_simhash",
     "q44_cosine_topk", "q46_ann_lsh", "q47_lang_id", "q48_quality_score",
-    "q49_fingerprint", "q50_token_stats", "q51_join_qualified", "q52_stream_upper",
-}
-_STALE_R2 = {
+    "q49_fingerprint", "q50_token_stats", "q51_join_qualified",
     "pm01_map_flatten_bincond", "pm02_replicated_join", "pm03_join_group_sum",
     "pm04_nested_distinct_count", "pm05_cogroup_anti", "pm09_order_single",
-    "pm10_order_mixed", "pm11_distinct_union", "pm12_split_multistore",
-    "pm13_left_outer_join", "pm14_merge_join", "pm16_nested_order_sum",
-    "q19_rank_global", "q32_sample", "q45_cosine_pairs", "q53_bag_ops",
-    "q54_map_ops", "q56_theta_join", "q59_nested_distinct", "q60_nested_filter",
-    "q61_median", "q62_corr_cov", "q63_decimal_types", "q64_bloom_filter",
-    "q68_ann_ivf", "q69_range_join", "q70_latin_script", "q71_latin_join_script",
-    "q72_latin_nested_block", "q73_latin_macro", "q74_latin_cube",
-    "q76_corpus_clean", "q79_latin_nested_limit", "q80_skewed_join",
-    "q81_latin_bigdata_chain",
+    "pm10_order_mixed", "pm11_distinct_union",
+}
+# newest driver evidence = round 2 (r4's backlog — queries.py:1830 r4
+# comment block); all 27 fit this window alongside tier 0
+_STALE_R2 = {
+    "pm12_split_multistore", "pm13_left_outer_join", "pm14_merge_join",
+    "pm16_nested_order_sum", "q19_rank_global", "q32_sample", "q45_cosine_pairs",
+    "q53_bag_ops", "q54_map_ops", "q56_theta_join", "q59_nested_distinct",
+    "q60_nested_filter", "q61_median", "q62_corr_cov", "q63_decimal_types",
+    "q64_bloom_filter", "q68_ann_ivf", "q69_range_join", "q70_latin_script",
+    "q71_latin_join_script", "q72_latin_nested_block", "q73_latin_macro",
+    "q74_latin_cube", "q76_corpus_clean", "q79_latin_nested_limit",
+    "q80_skewed_join", "q81_latin_bigdata_chain",
 }
 
 
 def _order_key(name: str) -> tuple[int, str]:
-    if name in _NEW_OR_CHANGED_R4:
+    if name in _NEW_OR_CHANGED_R5:
         return (0, name)
-    if name in _STALE_R1:
-        return (1, name)
     if name in _STALE_R2:
-        return (2, name)
-    return (3, name)
+        return (1, name)
+    if name in _FRESH_R4:
+        return (3, name)
+    return (2, name)  # r3-evidence block fills the spare slots
 
 
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
