@@ -490,10 +490,17 @@ class Parser:
             return Register(path, engine, namespace)
         if kw == "set":
             # dotted conf keys (SET mapreduce.input.fileinputformat.
-            # split.maxsize '300') and quoted or bare values
+            # split.maxsize '300'), hyphenated segments
+            # (pig.error-handling.enabled) and quoted or bare values
             key = self.next().text
-            while self.accept("op", "."):
-                key += "." + self.next().text
+            while (self.peek().kind == "op" and self.peek().text in (".", "-")) or (
+                self.peek().kind == "num" and self.peek().text.startswith("-")
+            ):
+                t = self.next()
+                if t.kind == "num":  # lexed '-handling' style? keep digits
+                    key += t.text
+                else:
+                    key += t.text + self.next().text
             t = self.next()
             value = t.text[1:-1] if t.kind == "str" else t.text
             # the terminating ';' is optional in practice (GruntParser

@@ -466,6 +466,22 @@ class PigTranslator:
                 sep = args[0] if args else "\t"
                 from ..sources import store as _sstore
 
+                # SET pig.error-handling.enabled true → tolerant store
+                # (ErrorHandling.java; thresholds per PigConfiguration:
+                # pig.error-handling.min.error.records /
+                # pig.error-handling.error.threshold)
+                conf = self.spark.conf
+                # only delimited-text storers participate — mirrors
+                # Pig, where a StoreFunc opts in by implementing the
+                # ErrorHandling interface; others store normally
+                if fmt in ("csv", "pigstorage") and conf.get("pig.error-handling.enabled", "false") == "true":
+                    opts["on_error"] = "skip"
+                    opts["min_error_records"] = int(
+                        conf.get("pig.error-handling.min.error.records", "0")
+                    )
+                    opts["max_error_frac"] = float(
+                        conf.get("pig.error-handling.error.threshold", "0.0")
+                    )
                 store_fn = lambda d, p=stmt.path, f=fmt, s=sep, o=opts: _sstore(d, p, format=f, sep=s, **o)  # noqa: E731
             else:
                 raise NameError(

@@ -477,6 +477,12 @@ def load(
     return df
 
 
+# last error-tolerant store's counters (Pig surfaces these as MR/Tez
+# counters via PigStatusReporter; here they're inspectable post-run
+# and mirrored into warnings) — {"path", "bad", "total"}
+LAST_STORE_ERRORS: dict = {}
+
+
 def store(
     df: DataFrame,
     path: str,
@@ -487,6 +493,10 @@ def store(
     bucket_by: tuple[int, Sequence[str]] | None = None,
     sort_by: Sequence[str] | None = None,
     schema_sidecar: bool = False,
+    on_error: str = "fail",
+    max_error_frac: float = 0.0,
+    min_error_records: int = 0,
+    bad_when: "Column | None" = None,
     **options,
 ) -> None:
     """STORE rel INTO 'path' USING <storer>.
@@ -497,7 +507,22 @@ def store(
     ``schema_sidecar`` ≅ PigStorage('-schema'): also write a
     ``.pig_schema`` JSON beside the output so a later schemaless LOAD
     recovers names and types (JsonMetadata.java).
-    """
+
+    ``on_error='skip'`` is Pig's StoreFunc error-tolerance surface
+    (pig.error-handling.enabled — ErrorHandling.java,
+    CounterBasedErrorHandler.java): bad records skip instead of
+    failing the store, up to a budget. ``bad_when`` is the bad-record
+    predicate; for delimited-text sinks it defaults to "a field embeds
+    the delimiter or a newline" (the row would corrupt the file — the
+    dirty-corpus class the Pig handler exists for); other sinks
+    require an explicit predicate. Budget check mirrors
+    CounterBasedErrorHandler.exceedsThreshold: tolerate errors while
+    ``bad <= min_error_records`` OR ``bad/total <= max_error_frac``;
+    over budget the output rolls back and the store raises — same
+    committed-output contract as Pig's mid-job kill, and the
+    bad/total counters come from Spark's Observation API, collected
+    DURING the write (one scan, the Spark-native analogue of the MR
+    counters CounterBasedErrorHandler reads)."""
     if format.lower() == "dbstorage":
         from pig_spark.sources.db import store_db
 
@@ -506,6 +531,33 @@ def store(
     fmt = _norm_format(format)
     if fmt == "csv":
         df = _complex_to_pig_text(df)
+    obs = None
+    if on_error == "skip":
+        from pyspark.sql import Observation
+        from pyspark.sql import functions as F
+
+        if bad_when is None:
+            if fmt != "csv":
+                raise ValueError(
+                    "store(on_error='skip') needs bad_when=<Column predicate> "
+                    "for non-text sinks (text sinks default to "
+                    "delimiter/newline corruption)"
+                )
+            for f in df.schema.fields:
+                if f.dataType.simpleString() == "string":
+                    c = F.col(f.name).contains(sep) | F.col(f.name).contains("\n")
+                    bad_when = c if bad_when is None else (bad_when | c)
+            if bad_when is None:
+                bad_when = F.lit(False)
+        obs = Observation("pig_error_handler")
+        flagged = df.withColumn("__bad", F.coalesce(bad_when, F.lit(False))).observe(
+            obs,
+            F.sum(F.col("__bad").cast("long")).alias("bad"),
+            F.count(F.lit(1)).alias("total"),
+        )
+        df = flagged.filter(~F.col("__bad")).drop("__bad")
+    elif on_error != "fail":
+        raise ValueError(f"store(on_error={on_error!r}): use 'fail' or 'skip'")
     writer = df.write.mode(mode)
     if fmt == "csv":
         options.setdefault("sep", sep)
@@ -523,10 +575,50 @@ def store(
         if sort_by:
             writer = writer.sortBy(*sort_by)
         writer.format(fmt).saveAsTable(path)
+        if obs is not None:
+            _check_error_budget(df.sparkSession, obs, path, max_error_frac, min_error_records, table=True)
         return
     writer.format(fmt).save(path)
+    if obs is not None:
+        _check_error_budget(df.sparkSession, obs, path, max_error_frac, min_error_records)
     if schema_sidecar:
         write_schema_sidecar(df, path)
+
+
+def _check_error_budget(spark, obs, path: str, max_error_frac: float, min_error_records: int, table: bool = False) -> None:
+    """CounterBasedErrorHandler.exceedsThreshold re-expressed over the
+    write's Observation metrics: within budget → record counters and
+    warn (Pig logs skipped-record counters); over budget → roll the
+    committed output back and raise (Pig kills the job — either way no
+    usable over-budget output remains)."""
+    import shutil
+    import warnings
+
+    m = obs.get
+    bad = int(m["bad"] or 0)
+    total = int(m["total"] or 0) + 0  # total counts pre-filter rows
+    LAST_STORE_ERRORS.clear()
+    LAST_STORE_ERRORS.update({"path": path, "bad": bad, "total": total})
+    if bad == 0:
+        return
+    within = bad <= min_error_records or (total > 0 and bad / total <= max_error_frac)
+    if within:
+        warnings.warn(
+            f"store({path!r}): skipped {bad}/{total} bad records "
+            f"(on_error='skip', budget min={min_error_records} frac={max_error_frac})",
+            stacklevel=3,
+        )
+        return
+    if table:
+        spark.sql(f"DROP TABLE IF EXISTS {path}")
+    else:
+        shutil.rmtree(path, ignore_errors=True)
+    raise ValueError(
+        f"store({path!r}): {bad}/{total} bad records exceeds the error budget "
+        f"(min_error_records={min_error_records}, max_error_frac={max_error_frac}) — "
+        "output rolled back (pig.error-handling threshold contract, "
+        "CounterBasedErrorHandler.java)"
+    )
 
 
 def _pig_text_col(col: "Column", dtype) -> "Column":

@@ -368,3 +368,87 @@ def test_compact_preserves_partition_layout(spark, tmp_path):
     assert back.count() == 4000
     assert set(back.columns) == {"id", "band"}
     assert back.filter(F.col("band") == 2).count() == 1000
+
+
+def test_store_error_tolerance_under_budget(spark, tmp_path):
+    """on_error='skip' (pig.error-handling.enabled — ErrorHandling.java
+    / CounterBasedErrorHandler.java): bad records under the budget are
+    skipped, the store commits N-k rows, and the skip counters are
+    inspectable (Pig's PigStatusReporter counters)."""
+    import warnings
+
+    from pig_spark import sources
+    from pig_spark.sources import load, store
+
+    path = str(tmp_path / "tolerant")
+    # 100 rows; 3 poisoned with an embedded tab (would corrupt the file)
+    df = spark.range(0, 100).select(
+        F.col("id"),
+        F.when(F.col("id") % 37 == 1, F.lit("bad\tvalue")).otherwise(F.concat(F.lit("v"), F.col("id"))).alias("s"),
+    )
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        store(df, path, format="pigstorage", on_error="skip", max_error_frac=0.05)
+    assert any("skipped 3/100" in str(x.message) for x in w)
+    assert sources.LAST_STORE_ERRORS == {"path": path, "bad": 3, "total": 100}
+    back = load(spark, path, format="pigstorage", schema="id long, s string")
+    assert back.count() == 97
+    assert back.filter(F.col("s").contains("\t")).count() == 0
+
+
+def test_store_error_tolerance_over_budget_rolls_back(spark, tmp_path):
+    """Over the threshold the store raises AND the output rolls back —
+    Pig's kill-the-job contract: no committed over-budget output."""
+    import os
+
+    import pytest as _pytest
+
+    from pig_spark.sources import store
+
+    path = str(tmp_path / "overbudget")
+    df = spark.range(0, 100).select(
+        F.col("id"),
+        F.when(F.col("id") % 10 == 1, F.lit("bad\tvalue")).otherwise(F.lit("ok")).alias("s"),
+    )
+    with _pytest.raises(ValueError, match="exceeds the error budget"):
+        store(df, path, format="pigstorage", on_error="skip", max_error_frac=0.05)
+    assert not os.path.exists(path)  # rolled back
+
+
+def test_store_error_tolerance_min_records_floor(spark, tmp_path):
+    """min_error_records tolerates an absolute count regardless of the
+    fraction (CounterBasedErrorHandler: errors <= min → never fail)."""
+    from pig_spark.sources import load, store
+
+    path = str(tmp_path / "minrec")
+    df = spark.range(0, 10).select(
+        F.col("id"),
+        F.when(F.col("id") < 4, F.lit("x\ty")).otherwise(F.lit("ok")).alias("s"),
+    )
+    # 4/10 = 40% > frac 0, but min_error_records=5 absorbs them
+    store(df, path, format="pigstorage", on_error="skip", max_error_frac=0.0, min_error_records=5)
+    assert load(spark, path, format="pigstorage", schema="id long, s string").count() == 6
+
+
+def test_store_error_tolerance_latin_set(spark, tmp_path):
+    """SET pig.error-handling.enabled true routes the Latin STORE
+    through the tolerant path with the PigConfiguration thresholds."""
+    from pig_spark.latin import run
+
+    src = str(tmp_path / "src.tsv")
+    with open(src, "w") as f:
+        for i in range(50):
+            f.write(f"{i}\tok{i}\n")
+    out = str(tmp_path / "latin_out")
+    try:
+        run(spark, f"""
+            SET pig.error-handling.enabled true
+            SET pig.error-handling.error.threshold 0.1
+            a = LOAD '{src}' AS (id:int, s:chararray);
+            b = FOREACH a GENERATE id, (id % 17 == 1 ? CONCAT(s, '\t!') : s) AS s;
+            STORE b INTO '{out}' USING PigStorage();
+        """)
+    finally:
+        spark.conf.set("pig.error-handling.enabled", "false")
+    got = spark.read.csv(out, sep="\t", schema="id int, s string")
+    assert got.count() == 47  # 3 poisoned rows skipped under the 10% budget
