@@ -166,9 +166,121 @@ def _scale_bench(spark, sf_dir: str, results: dict) -> None:
             "queries_1x": base,
             "queries_5x": large,
         }
+        # 25× rung (VERDICT r4 #8 — two multiples make a curve, three
+        # make an argument): each copy's text runs through a DISTINCT
+        # alphabet rotation (copy 0 = identity), so within-copy
+        # near-dup pairs survive exactly and cross-copy shingle sets
+        # are disjoint — 25× rows at 1× pair density, how a real
+        # corpus grows. LSH/CC/contamination only (the family whose
+        # scaling is under test).
+        alpha = "abcdefghijklmnopqrstuvwxyz"
+        c25 = 25
+        parts25 = [
+            d.select(
+                (F.col("doc_id") * c25 + i).alias("doc_id"),
+                F.translate(F.col("text"), alpha, alpha[i % 26:] + alpha[: i % 26]).alias("text"),
+            )
+            for i in range(c25)
+        ]
+        big25 = parts25[0]
+        for p in parts25[1:]:
+            big25 = big25.unionByName(p)
+        tmp25 = tempfile.mkdtemp(prefix="pig_spark_sf25_")
+        try:
+            big25.write.mode("overwrite").parquet(f"{tmp25}/documents.parquet")
+            spark.read.parquet(f"{tmp25}/documents.parquet").write.format("noop").mode("overwrite").save()
+            q25: dict[str, float] = {}
+            for name in ("q41_minhash_pairs", "q87_dedup_groups", "q88_contamination"):
+                t0 = time.time()
+                QUERIES[name](spark, tmp25).write.format("noop").mode("overwrite").save()
+                q25[name] = round(time.time() - t0, 3)
+            results["sf_large"]["queries_25x"] = q25
+            results["sf_large"]["scale_multiple_2"] = c25
+        finally:
+            shutil.rmtree(tmp25, ignore_errors=True)
     finally:
         shutil.rmtree(tmp1, ignore_errors=True)
         shutil.rmtree(tmp, ignore_errors=True)
+
+
+# markers for the previous-round control A/B: one per major plan
+# family (agg, rank window, LSH dedup, banded cosine, staged corpus
+# clean, broadcast contamination)
+_CONTROL_MARKERS = [
+    "q01_group_agg",
+    "q17_rank_by",
+    "q41_minhash_pairs",
+    "q45_cosine_pairs",
+    "q76_corpus_clean",
+    "q88_contamination",
+]
+
+
+def _control_bench(spark, sf_dir: str, results: dict) -> None:
+    """Noise attribution (VERDICT r4 #7): re-run the marker queries on
+    the PREVIOUS round's code — a detached git worktree of the last
+    `round N:` driver commit — in the SAME process and Spark session,
+    interleaved with this round's timings. The ratio
+    queries[m]/control.queries[m] separates code-attributable change
+    from the box's documented ±40% multi-tenant noise: identical
+    session, identical JVM state, minutes apart. Module swap: the
+    worktree's pig_spark shadows the live one only inside this
+    function (sys.modules snapshot/restore). Skip with
+    SPARK_GRAFT_CONTROL=0."""
+    import re
+    import shutil
+    import subprocess
+    import tempfile
+
+    repo = os.path.dirname(os.path.abspath(__file__))
+    wt = None
+    try:
+        log = subprocess.run(
+            ["git", "-C", repo, "log", "--format=%H %s"],
+            capture_output=True, text=True, check=True,
+        ).stdout
+        ref = next(
+            (ln.split()[0] for ln in log.splitlines() if re.search(r"\bround \d+:", ln)),
+            None,
+        )
+        if ref is None:
+            return
+        wt = tempfile.mkdtemp(prefix="pig_spark_ctrl_")
+        subprocess.run(
+            ["git", "-C", repo, "worktree", "add", "--detach", "--force", wt, ref],
+            check=True, capture_output=True,
+        )
+    except Exception:
+        if wt:
+            shutil.rmtree(wt, ignore_errors=True)
+        return
+    saved = {k: v for k, v in sys.modules.items() if k == "pig_spark" or k.startswith("pig_spark.")}
+    try:
+        import importlib
+
+        for k in list(saved):
+            del sys.modules[k]
+        sys.path.insert(0, wt)
+        qmod = importlib.import_module("pig_spark.queries")
+        ctrl: dict[str, float] = {}
+        for name in _CONTROL_MARKERS:
+            fn = qmod.QUERIES.get(name)
+            if fn is None:
+                continue
+            t0 = time.time()
+            fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+            ctrl[name] = round(time.time() - t0, 3)
+        results["control"] = {"ref": ref[:12], "queries": ctrl}
+    except Exception as e:  # noqa: BLE001 — control is advisory, never fails the bench
+        results["control"] = {"ref": ref[:12], "error": str(e)[:200]}
+    finally:
+        if wt in sys.path:
+            sys.path.remove(wt)
+        for k in [k for k in sys.modules if k == "pig_spark" or k.startswith("pig_spark.")]:
+            del sys.modules[k]
+        sys.modules.update(saved)
+        subprocess.run(["git", "-C", repo, "worktree", "remove", "--force", wt], capture_output=True)
+        shutil.rmtree(wt, ignore_errors=True)
 
 
 def main():
@@ -206,6 +318,8 @@ def main():
         "queries": timings,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
     }
+    if os.environ.get("SPARK_GRAFT_CONTROL", "1") != "0":
+        _control_bench(spark, sf_dir, results)
     if os.environ.get("SPARK_GRAFT_SCALE_BENCH", "1") != "0":
         _scale_bench(spark, sf_dir, results)
     print(json.dumps(results))
