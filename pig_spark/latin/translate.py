@@ -1347,6 +1347,11 @@ class PigTranslator:
             pipes[st.alias] = base
         if any(self._has_over_call(item.expr) for item in op.items):
             return self._foreach_nested_over(op, g, pipes)
+        n_flat_pipes = sum(
+            1 for it in op.items if it.flatten and (self._pipe_heads(it.expr) & set(pipes))
+        )
+        if n_flat_pipes > 1:
+            return self._foreach_nested_multiflatten(op, g, pipes)
         limited_names = {n for n, p in pipes.items() if p.limited}
         if limited_names and any(
             self._pipe_heads(item.expr) & limited_names
@@ -2370,7 +2375,90 @@ class PigTranslator:
                     order.append((fld, a))
             if order:
                 bag = _bag_sort(bag, order)
+        if pipe.limited and pipe.limit_n is not None:
+            # LIMIT inside the bag form: first n of the sorted bag
+            # (unordered = Pig's "any n rows", here collection order)
+            bag = F.slice(bag, 1, pipe.limit_n)
         return bag
+
+    def _foreach_nested_multiflatten(self, op: G.Foreach, g: GroupedInfo, pipes: dict[str, "_Pipe"]) -> Relation:
+        """TWO+ FLATTEN(<pipe>) in one nested GENERATE — Pig's
+        per-group CROSS PRODUCT of the bags (POForEach cross of inner
+        plan outputs; the limit_desc × limit_asc idiom in
+        nightly.conf). Each pipe materializes as an ordered (and
+        LIMIT-sliced) bag column in ONE grouped frame, then the bags
+        explode sequentially — explode × explode IS the per-row cross
+        product, and FLATTEN of an empty bag drops the group, matching
+        Pig. Closes the r4 'exactly one FLATTEN per nested GENERATE'
+        corner. Scale: the collected bags are the same reducer-bag
+        footprint Pig uses for this statement; LIMIT pipes slice to
+        ≤ n elements before the explode."""
+        key_cols = [c.alias(n) for n, c in g.key_exprs]
+        aggs: list[Column] = []
+        layout: list[tuple[str, object]] = []
+        seen: set[str] = set()
+        for i, item in enumerate(op.items):
+            e = item.expr
+            if isinstance(e, G.Col) and (e.name == "group" or e.name.startswith("group.")):
+                layout.append(("group", item))
+                continue
+            name = item.alias if isinstance(item.alias, str) else _default_name(e, i)
+            if name in seen:
+                name = f"{name}_{i}"
+            seen.add(name)
+            if item.flatten and (self._pipe_heads(e) & set(pipes)):
+                if not isinstance(e, G.Col):
+                    raise NotImplementedError("FLATTEN of an inner pipe takes the pipe or pipe.column")
+                head, _, rest = e.name.partition(".")
+                bag_name = f"__mfb{i}"
+                aggs.append(self._pipe_bag(head, rest or None, g, pipes).alias(bag_name))
+                layout.append(("bag", (bag_name, head, item)))
+            else:
+                aggs.append(self._nested_agg(e, g, pipes).alias(name))
+                layout.append(("col", name))
+        grouped = g.child.df.groupBy(*key_cols) if key_cols else g.child.df.groupBy()
+        out = Relation(grouped.agg(*aggs))
+        selects: list[Column] = []
+        for kind, payload in layout:
+            if kind == "group":
+                item = payload
+                if isinstance(item.expr, G.Col) and item.expr.name.startswith("group."):
+                    kname = _group_key(item.expr.name.split(".", 1)[1], g.key_exprs)
+                    selects.append(F.col(kname).alias(item.alias or kname))
+                elif len(g.key_exprs) == 1:
+                    selects.append(F.col(g.key_exprs[0][0]).alias(item.alias or "group"))
+                else:
+                    selects.extend(F.col(n) for n, _ in g.key_exprs)
+            elif kind == "col":
+                selects.append(F.col(payload))
+        # explode the bags one by one (cross product), splatting each
+        # element struct's fields qualified <pipe>::<field> on collision
+        flat_cols: list[Column] = []
+        df = out.df
+        for j, (kind, payload) in enumerate(x for x in layout if x[0] == "bag"):
+            bag_name, head, item = payload
+            df = df.withColumn(bag_name, F.explode(df[bag_name]))
+            elem = df.schema[bag_name].dataType
+            fields = list(elem.names)
+            if isinstance(item.alias, list):
+                if len(item.alias) != len(fields):
+                    raise ValueError(
+                        f"pig latin: FLATTEN AS schema has {len(item.alias)} fields, got {len(fields)}"
+                    )
+                for fld, (new_name, ftype) in zip(fields, item.alias):
+                    c = df[bag_name][fld]
+                    if ftype is not None:
+                        c = c.try_cast(PIG_TO_SPARK_TYPE.get(ftype, ftype))
+                    flat_cols.append(c.alias(new_name))
+            elif isinstance(item.alias, str) and len(fields) == 1:
+                # FLATTEN(pipe.col) AS name — single flattened field
+                flat_cols.append(df[bag_name][fields[0]].alias(item.alias))
+            else:
+                for fld in fields:
+                    out_name = fld if fld not in seen else f"{head}::{fld}"
+                    seen.add(out_name)
+                    flat_cols.append(df[bag_name][fld].alias(out_name))
+        return Relation(df.select(*selects, *flat_cols))
 
     def _nested_agg(self, e, g: GroupedInfo, pipes: dict[str, "_Pipe"]) -> Column:
         if isinstance(e, G.Col) and not (e.name == "group" or e.name.startswith("group.")):

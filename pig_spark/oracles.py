@@ -659,6 +659,20 @@ def oracle_sql() -> dict[str, str]:
             FROM lineitem""",
         "q115_latin_hive_udf": """
             SELECT c_custkey, upper(c_name) AS uname FROM customer""",
+        "q116_latin_multi_flatten": """
+            WITH hi AS (SELECT s_nationkey, s_name, s_acctbal,
+                               row_number() OVER (PARTITION BY s_nationkey
+                                    ORDER BY s_acctbal DESC, s_suppkey) AS rn
+                        FROM supplier),
+                 lo AS (SELECT s_nationkey, s_name, s_acctbal,
+                               row_number() OVER (PARTITION BY s_nationkey
+                                    ORDER BY s_acctbal ASC, s_suppkey) AS rn
+                        FROM supplier)
+            SELECT hi.s_nationkey AS nk, hi.s_name AS top_name,
+                   hi.s_acctbal AS top_bal, lo.s_name AS low_name,
+                   lo.s_acctbal AS low_bal
+            FROM hi JOIN lo ON hi.s_nationkey = lo.s_nationkey
+            WHERE hi.rn = 1 AND lo.rn = 1""",
         "q90_pii_redaction": f"""
             WITH s AS (
                 SELECT doc_id,

@@ -1897,6 +1897,32 @@ def q115_latin_hive_udf(spark: SparkSession, sf: str) -> DataFrame:
     return rels["out"].df
 
 
+def q116_latin_multi_flatten(spark: SparkSession, sf: str) -> DataFrame:
+    """TWO FLATTEN(<limit-pipe>) in one nested GENERATE — Pig's
+    per-group cross product of the bags (the nightly.conf
+    limit_desc × limit_asc idiom; closes the r4 'exactly one FLATTEN
+    per nested GENERATE' corner). Each pipe collects as an ordered,
+    LIMIT-sliced bag in ONE grouped frame; sequential explode is the
+    cross product — one shuffle total, bags ≤ limit_n elements."""
+    from .latin import run
+
+    rels = run(spark, f"""
+        s0 = LOAD '{sf}/supplier.parquet' USING ParquetLoader();
+        p = FOREACH s0 GENERATE s_nationkey, s_suppkey, s_name, s_acctbal;
+        g = GROUP p BY s_nationkey;
+        b = FOREACH g {{
+            hi = ORDER p BY s_acctbal DESC, s_suppkey;
+            lh = LIMIT hi 1;
+            lo = ORDER p BY s_acctbal ASC, s_suppkey;
+            ll = LIMIT lo 1;
+            GENERATE group AS nk, FLATTEN(lh), FLATTEN(ll);
+        }};
+        out = FOREACH b GENERATE nk, lh::s_name AS top_name, lh::s_acctbal AS top_bal,
+                                 ll::s_name AS low_name, ll::s_acctbal AS low_bal;
+    """)
+    return rels["out"].df
+
+
 from .pigmix import PIGMIX_QUERIES  # noqa: E402  (avoids circular import)
 
 _ALL: dict[str, Callable[[SparkSession, str], DataFrame]] = {
@@ -1921,6 +1947,7 @@ _NEW_OR_CHANGED_R5 = {
     "q113_latin_nested_cross",   # new: nested CROSS of COGROUP bags
     "q114_latin_inline_group",   # new: inline FOREACH (GROUP p ALL)
     "q115_latin_hive_udf",       # new: HiveUDF via Spark registry
+    "q116_latin_multi_flatten",  # new: multi-FLATTEN bag cross product
     "q52_stream_upper",          # stream stdout casts → try_cast/utf8_cast
     "q13_union_onschema",        # union ONSCHEMA alias dequalification
     "q14_union_positional",      # positional union arity padding

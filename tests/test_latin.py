@@ -1666,3 +1666,42 @@ def test_latin_binstorage_typed_intermediate(spark, tmp_path):
     df = rels["f"].df
     assert dict(df.dtypes)["d2"] == "int" and dict(df.dtypes)["m"] == "map<string,int>"
     assert df.count() == sum(1 for i in range(21) if (20 + i % 7) * 2 > 45)
+
+
+def test_nested_multi_flatten_cross_product(spark, tmp_path):
+    """TWO FLATTEN(<limit-pipe>) in one nested GENERATE = per-group
+    cross product of the bags (nightly.conf limit_desc × limit_asc
+    idiom; r4 corner). Qualified refs (lh::age) resolve; first bag's
+    fields keep bare names, colliding later bags qualify."""
+    src = str(tmp_path / "s.tsv")
+    with open(src, "w") as f:
+        f.write("alice\t20\t3.5\nalice\t25\t2.5\nbob\t30\t3.0\nbob\t22\t3.9\nbob\t24\t2.0\n")
+    from pig_spark.latin import run
+
+    rels = run(spark, f"""
+        a = LOAD '{src}' AS (name:chararray, age:int, gpa:double);
+        g = GROUP a BY name;
+        b = FOREACH g {{
+            od = ORDER a BY age DESC;  ld = LIMIT od 1;
+            oa = ORDER a BY age ASC;   la = LIMIT oa 1;
+            GENERATE group, FLATTEN(ld), FLATTEN(la);
+        }};
+        c = FOREACH b GENERATE group, ld::age AS oldest, la::age AS youngest;
+    """)
+    got = {(r["group"], r["oldest"], r["youngest"]) for r in rels["c"].df.collect()}
+    assert got == {("alice", 25, 20), ("bob", 30, 22)}
+    # 3-bag cross product with an aggregate alongside
+    rels2 = run(spark, f"""
+        a = LOAD '{src}' AS (name:chararray, age:int, gpa:double);
+        g = GROUP a BY name;
+        b = FOREACH g {{
+            x = ORDER a BY age;   lx = LIMIT x 2;
+            y = ORDER a BY gpa;   ly = LIMIT y 1;
+            GENERATE group, COUNT(a) AS n, FLATTEN(lx.age) AS xa, FLATTEN(ly.gpa) AS yg;
+        }};
+    """)
+    rows = rels2["b"].df.collect()
+    # bob: 2 (lx) × 1 (ly) = 2 rows, each carrying n=3
+    bob = [r for r in rows if r["group"] == "bob"]
+    assert len(bob) == 2 and all(r["n"] == 3 for r in bob)
+    assert sorted(r["xa"] for r in bob) == [22, 24] and {r["yg"] for r in bob} == {2.0}
