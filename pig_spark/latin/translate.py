@@ -1569,13 +1569,19 @@ class PigTranslator:
             df = df.filter(self._expr(pipe.cond, child))
         key_names = [n for n, _ in g.key_exprs]
         # inner-FOREACH pipes: the tuple is the projection's fields
-        # (mangled pre-shuffle columns, renamed back on output)
+        # (mangled pre-shuffle columns, renamed back on output).
+        # Whole-tuple pipes carry the FULL child tuple — key source
+        # columns included (LogicalSchema: the inner bag keeps every
+        # field; r5 fix of the key-column omission divergence)
         rename = {v: k for k, v in pipe.proj.items()} if pipe.proj else {}
         others = (
             list(pipe.proj.values()) if pipe.proj
-            else [c for c in df.columns if c not in key_names and c not in g.derived]
+            else [c for c in df.columns if c not in g.derived]
         )
-        kdf = df.select(*[c.alias(n) for n, c in g.key_exprs], *[df[c] for c in others])
+        kdf = df.select(
+            *[c.alias(n) for n, c in g.key_exprs if n not in others],
+            *[df[c] for c in others],
+        )
         if pipe.distinct:
             # { d = DISTINCT B[.col]; GENERATE group, FLATTEN(d) } —
             # per-group distinct rows of the pipe's projection: one
@@ -1985,11 +1991,16 @@ class PigTranslator:
             df = child.df
             if pipe.cond is not None:
                 df = df.filter(self._expr(pipe.cond, child))
+            # whole-tuple pipes carry the FULL child tuple, key source
+            # columns included (LogicalSchema; r5 divergence fix)
             others = (
                 list(pipe.proj.values()) if pipe.proj
-                else [c for c in df.columns if c not in key_names and c not in g.derived]
+                else [c for c in df.columns if c not in g.derived]
             )
-            kdf = df.select(*[c.alias(n) for n, c in g.key_exprs], *[df[c] for c in others])
+            kdf = df.select(
+                *[c.alias(n) for n, c in g.key_exprs if n not in others],
+                *[df[c] for c in others],
+            )
             if pipe.distinct:
                 # DISTINCT before ORDER/LIMIT: dedupe the pipe's
                 # projection per group ahead of the window rank
@@ -2266,12 +2277,17 @@ class PigTranslator:
                 val: Column = topk[rest]
             elif fn in ("count", "count_star"):
                 # COUNT(bag) counts non-null first fields (COUNT.java:40).
-                # The bag tuple is the pipe's projection — after a
-                # DISTINCT pipe narrowed it, the first field is the
-                # first non-key column of the topk frame, not the
-                # child's first column.
+                # Whole-tuple pipes follow the CHILD's column order
+                # (key columns included since the r5 divergence fix);
+                # DISTINCT/proj-narrowed pipes fall back to the first
+                # non-key frame column.
                 keyset = {n for n, _ in g.key_exprs}
-                first = next((c for c in topk.columns if c not in keyset), topk.columns[0])
+                cand = [c for c in g.child.df.columns if c in topk.columns and c not in g.derived]
+                first = (
+                    cand[0]
+                    if cand
+                    else next((c for c in topk.columns if c not in keyset), topk.columns[0])
+                )
                 val = topk[first] if fn == "count" else F.lit(1)
             else:
                 raise SyntaxError(f"{fn.upper()} over a whole-tuple pipe needs a column (e.g. {lname}.field)")

@@ -1624,7 +1624,9 @@ def test_latin_review_fix_pins(spark, sf_dir, tmp_path):
             GENERATE group AS nm, SUM(pf.d2) AS sd, FLATTEN(l);
         }}
     """)
-    assert rels["c"].df.columns == ["nm", "sd", "age", "gpa"]  # no __nf_* leak
+    # no __nf_* leak; whole-tuple FLATTEN carries the FULL child tuple
+    # including the key source column (LogicalSchema — r5 fix)
+    assert rels["c"].df.columns == ["nm", "sd", "name", "age", "gpa"]
 
     rels = run(spark, f"""
         a = LOAD '{p}' AS (name:chararray, age:int, gpa:double);
