@@ -346,11 +346,15 @@ class _Pipe:
     # inner-FOREACH projection: output field name → materialized
     # (mangled) child column; the pipe's tuple is exactly these fields
     proj: dict[str, str] | None = None
+    # inner-FOREACH with FLATTEN: the pipe's tuples are the ELEMENTS of
+    # this per-row array column (multiplicity lives inside the array —
+    # the child row count is untouched, so sibling pipes stay correct)
+    arr: str | None = None
 
     def copy(self) -> "_Pipe":
         return _Pipe(
             self.col, self.distinct, self.cond, self.ordered, self.limited,
-            self.order_keys, self.limit_n, self.proj,
+            self.order_keys, self.limit_n, self.proj, self.arr,
         )
 
 
@@ -1291,13 +1295,24 @@ class PigTranslator:
                 # via the proj mapping — still no reducer bags.
                 base = self._resolve_pipe(st.source, g, pipes)
                 ch = g.child
+                if any(item.flatten for item in st.cond):
+                    # FLATTEN inside the inner FOREACH (QueryParser.g
+                    # nested_foreach — r4 residual corner): per-tuple
+                    # expansion of an array field. The pipe's tuples
+                    # become the ELEMENTS of a per-row array column
+                    # (transform over the bag — multiplicity lives
+                    # INSIDE the array, so the child row count and
+                    # every sibling pipe stay untouched); a nested
+                    # FILTER on the source pipe nulls the row's array
+                    # (collect/size/sum all skip nulls). Consumers:
+                    # aggregates (_arr_pipe_agg two-level partials),
+                    # GENERATE <pipe> (bag = flatten ∘ collect_list),
+                    # FLATTEN in GENERATE (multiflatten explode).
+                    g, pipe = self._nforeach_flatten_pipe(st, base, g)
+                    pipes[st.alias] = pipe
+                    continue
                 proj: dict[str, str] = {}
                 for i, item in enumerate(st.cond):
-                    if item.flatten:
-                        raise NotImplementedError(
-                            "FLATTEN inside an inner FOREACH is not supported; "
-                            "FLATTEN the pipe in the outer GENERATE instead"
-                        )
                     name = item.alias or _default_name(item.expr, i)
                     mangled = f"__nf_{st.alias}_{name}"
                     ch = Relation(ch.df.withColumn(mangled, self._expr(item.expr, ch)))
@@ -1313,6 +1328,11 @@ class PigTranslator:
                     "COGROUP the inputs and cross the sibling bags"
                 )
             base = self._resolve_pipe(st.source, g, pipes)
+            if base.arr and st.kind in ("distinct", "filter", "order", "limit", "project"):
+                raise NotImplementedError(
+                    f"nested {st.kind.upper()} chained onto a FLATTENed inner-FOREACH "
+                    "pipe; apply it before the FLATTEN or in the outer GENERATE"
+                )
             if st.kind == "project":
                 pass  # _resolve_pipe already applied the column
             elif st.kind == "distinct":
@@ -1350,7 +1370,12 @@ class PigTranslator:
         n_flat_pipes = sum(
             1 for it in op.items if it.flatten and (self._pipe_heads(it.expr) & set(pipes))
         )
-        if n_flat_pipes > 1:
+        arr_flat = any(
+            it.flatten
+            and any(h in pipes and pipes[h].arr for h in self._pipe_heads(it.expr))
+            for it in op.items
+        )
+        if n_flat_pipes > 1 or arr_flat:
             return self._foreach_nested_multiflatten(op, g, pipes)
         limited_names = {n for n, p in pipes.items() if p.limited}
         if limited_names and any(
@@ -2347,6 +2372,87 @@ class PigTranslator:
             return _Pipe(col=rest or None)
         raise NameError(f"nested FOREACH: unknown inner source {source!r}")
 
+    def _nforeach_flatten_pipe(self, st, base: "_Pipe", g: GroupedInfo) -> tuple[GroupedInfo, "_Pipe"]:
+        """Build the array-pipe for an inner FOREACH containing
+        FLATTEN: one FLATTEN item over an array-typed expression, plus
+        any per-row scalar items (replicated per element — Pig's
+        flatten × scalar cross within the tuple)."""
+        from pyspark.sql import types as T
+
+        flat_items = [(i, it) for i, it in enumerate(st.cond) if it.flatten]
+        if len(flat_items) != 1:
+            raise NotImplementedError("exactly one FLATTEN per inner FOREACH is supported")
+        if base.distinct or base.ordered or base.limited or base.proj or base.arr:
+            raise NotImplementedError(
+                "FLATTEN inside an inner FOREACH over an already-transformed pipe; "
+                "restructure as FOREACH first, then the pipe ops"
+            )
+        fi, fitem = flat_items[0]
+        ch = g.child
+        arr_expr = self._expr(fitem.expr, ch)
+        dtype = ch.df.select(arr_expr.alias("__nfa")).schema[0].dataType
+        if not isinstance(dtype, T.ArrayType):
+            raise NotImplementedError(
+                "FLATTEN inside an inner FOREACH needs a bag-typed expression "
+                f"(got {dtype.simpleString()})"
+            )
+        elem = dtype.elementType
+        scalars = [
+            (it.alias or _default_name(it.expr, i), self._expr(it.expr, ch))
+            for i, it in enumerate(st.cond)
+            if not it.flatten
+        ]
+
+        def make(el):
+            if isinstance(elem, T.StructType):
+                cols = [el[f].alias(f) for f in elem.names]
+            else:
+                cols = [el.alias(fitem.alias or _default_name(fitem.expr, fi))]
+            return F.struct(*cols, *[c.alias(n) for n, c in scalars])
+
+        build = F.transform(arr_expr, make)
+        if base.cond is not None:
+            build = F.when(self._expr(base.cond, ch), build)
+        mangled = f"__nfa_{st.alias}"
+        g = G_replace(
+            g,
+            child=Relation(ch.df.withColumn(mangled, build)),
+            derived=g.derived + (mangled,),
+        )
+        return g, _Pipe(arr=mangled)
+
+    def _arr_pipe_agg(self, fn: str, arg: "G.Col", pipe: "_Pipe", g: GroupedInfo) -> Column:
+        """Aggregate over an array-pipe: per-ROW partials via array
+        functions (size/aggregate — codegen, the bag never explodes),
+        then the cross-row aggregate. COUNT skips null first fields
+        (COUNT.java:40); SUM/AVG over untyped fields coerce to double
+        like _bag_agg."""
+        from pyspark.sql import types as T
+
+        arr = g.child.df[pipe.arr]
+        elem = g.child.df.schema[pipe.arr].dataType.elementType
+        rest = arg.name.partition(".")[2]
+        fld = rest or elem.names[0]
+        vals = F.transform(arr, lambda t: t[fld])
+        velem = elem[fld].dataType
+        nn = F.filter(vals, lambda x: x.isNotNull())
+        if fn == "count_star":
+            return F.coalesce(F.sum(F.size(arr)), F.lit(0)).cast("long")
+        if fn == "count":
+            return F.coalesce(F.sum(F.size(nn)), F.lit(0)).cast("long")
+        if fn == "min":
+            return F.min(F.array_min(nn))
+        if fn == "max":
+            return F.max(F.array_max(nn))
+        if isinstance(velem, (T.StringType, T.BinaryType)):
+            nn = F.filter(F.transform(nn, lambda x: x.try_cast("double")), lambda x: x.isNotNull())
+            velem = T.DoubleType()
+        zero = F.lit(0).cast(velem.simpleString())
+        row_sum = F.when(F.size(nn) > 0, F.aggregate(nn, zero, lambda a, x: a + x))
+        if fn == "sum":
+            return F.sum(row_sum)
+        return F.sum(row_sum).cast("double") / F.sum(F.size(nn))
+
     def _pipe_bag(self, lname: str, rest: str | None, g: GroupedInfo, pipes: dict[str, "_Pipe"]) -> Column:
         """GENERATE <pipe> — the pipe itself as a BAG column (Pig emits
         the inner relation as a bag of tuples; POForEach inner-plan
@@ -2359,6 +2465,14 @@ class PigTranslator:
         pipe = pipes[lname]
         child = g.child
         df = child.df
+        if pipe.arr:
+            # array-pipe: the per-row arrays concatenate into the
+            # group's bag (collect_list skips FILTER-nulled rows)
+            arr = df[pipe.arr]
+            if rest:
+                leaf = rest.split("::")[-1]
+                arr = F.transform(arr, lambda t: F.struct(t[leaf].alias(leaf)))
+            return F.flatten(F.collect_list(arr))
         cond = self._expr(pipe.cond, child) if pipe.cond is not None else None
         rename = {v: k for k, v in pipe.proj.items()} if pipe.proj else {}
         if rest:
@@ -2497,6 +2611,8 @@ class PigTranslator:
         head = arg.name.split(".", 1)[0]
         if head not in pipes and head != g.child_alias:
             return self._agg_expr(e, g)
+        if head in pipes and pipes[head].arr:
+            return self._arr_pipe_agg(fn, arg, pipes[head], g)
         pipe = self._resolve_pipe(arg.name, g, pipes)
         if pipe.limited:
             raise NotImplementedError(

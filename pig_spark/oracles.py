@@ -659,6 +659,11 @@ def oracle_sql() -> dict[str, str]:
             FROM lineitem""",
         "q115_latin_hive_udf": """
             SELECT c_custkey, upper(c_name) AS uname FROM customer""",
+        "q117_latin_inner_flatten": """
+            SELECT lang,
+                   CAST(SUM(len(list_filter(string_split_regex(trim(text), '\\s+'),
+                                            x -> x <> ''))) AS BIGINT) AS n_tokens
+            FROM documents GROUP BY lang""",
         "q116_latin_multi_flatten": """
             WITH hi AS (SELECT s_nationkey, s_name, s_acctbal,
                                row_number() OVER (PARTITION BY s_nationkey

@@ -1923,6 +1923,27 @@ def q116_latin_multi_flatten(spark: SparkSession, sf: str) -> DataFrame:
     return rels["out"].df
 
 
+def q117_latin_inner_flatten(spark: SparkSession, sf: str) -> DataFrame:
+    """FLATTEN inside an inner FOREACH (QueryParser.g nested_foreach —
+    the last r4 nested-block corner): the pipe's tuples become the
+    ELEMENTS of a per-row array column (transform over the bag), so
+    multiplicity lives inside the array and sibling pipes/aggregates
+    stay row-aligned; COUNT over the pipe aggregates per-row size
+    partials (map-side combine, the bag never explodes)."""
+    from .latin import run
+
+    rels = run(spark, f"""
+        d0 = LOAD '{sf}/documents.parquet' USING ParquetLoader();
+        t = FOREACH d0 GENERATE lang, TOKENIZE(text) AS words;
+        g = GROUP t BY lang;
+        out = FOREACH g {{
+            w = FOREACH t GENERATE FLATTEN(words) AS word;
+            GENERATE group AS lang, COUNT(w) AS n_tokens;
+        }};
+    """)
+    return rels["out"].df
+
+
 from .pigmix import PIGMIX_QUERIES  # noqa: E402  (avoids circular import)
 
 _ALL: dict[str, Callable[[SparkSession, str], DataFrame]] = {
@@ -1948,6 +1969,7 @@ _NEW_OR_CHANGED_R5 = {
     "q114_latin_inline_group",   # new: inline FOREACH (GROUP p ALL)
     "q115_latin_hive_udf",       # new: HiveUDF via Spark registry
     "q116_latin_multi_flatten",  # new: multi-FLATTEN bag cross product
+    "q117_latin_inner_flatten",  # new: FLATTEN inside inner FOREACH
     "q52_stream_upper",          # stream stdout casts → try_cast/utf8_cast
     "q13_union_onschema",        # union ONSCHEMA alias dequalification
     "q14_union_positional",      # positional union arity padding

@@ -1707,3 +1707,35 @@ def test_nested_multi_flatten_cross_product(spark, tmp_path):
     bob = [r for r in rows if r["group"] == "bob"]
     assert len(bob) == 2 and all(r["n"] == 3 for r in bob)
     assert sorted(r["xa"] for r in bob) == [22, 24] and {r["yg"] for r in bob} == {2.0}
+
+
+def test_inner_foreach_flatten_pipe(spark, tmp_path):
+    """FLATTEN inside an inner FOREACH (the last r4 nested-block
+    corner): aggregates over the exploded pipe, FLATTEN in GENERATE
+    with a per-row scalar sibling replicated per element, and the
+    bare-bag form — all from the per-row array-pipe lowering."""
+    src = str(tmp_path / "c.tsv")
+    with open(src, "w") as f:
+        f.write(
+            "[k#alice]\t(alice,20,3.5)\t{(x,1,0.5),(y,2,1.5)}\n"
+            "[k#bob]\t(bob,30,2.5)\t{(z,3,2.5)}\n"
+            "[k#alice]\t(al,21,3.0)\t{(w,4,3.5),(v,5,4.5),(u,6,5.5)}\n"
+        )
+    from pig_spark.latin import run
+
+    rels = run(spark, f"""
+        a = LOAD '{src}' AS (m:map[], t:(name:chararray, age:int, gpa:double), b:{{t:(s:chararray, n:int, v:double)}});
+        g = GROUP a BY m#'k';
+        c = FOREACH g {{
+            C1 = FOREACH a GENERATE FLATTEN(b);
+            GENERATE group, COUNT(C1) AS n_el, SUM(C1.v) AS sv, MAX(C1.n) AS mx, AVG(C1.v) AS av;
+        }};
+        d2 = FOREACH g {{
+            C1 = FOREACH a GENERATE FLATTEN(b), t.name AS who;
+            GENERATE group, FLATTEN(C1);
+        }};
+    """)
+    agg = {r["group"]: (r["n_el"], r["sv"], r["mx"], r["av"]) for r in rels["c"].df.collect()}
+    assert agg["alice"] == (5, 15.5, 6, 3.1) and agg["bob"] == (1, 2.5, 3, 2.5)
+    flat = {(r["group"], r["s"], r["who"]) for r in rels["d2"].df.collect()}
+    assert ("alice", "x", "alice") in flat and ("alice", "u", "al") in flat and len(flat) == 6
