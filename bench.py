@@ -290,7 +290,14 @@ def main():
     from pig_spark.queries import QUERIES
     from pig_spark.session import get_spark
 
-    spark = get_spark("pig_spark_bench")
+    # size the single local JVM for the bench workload: Spark's 1g
+    # default heap OOMs on the 25× sf_large corpus build (driver and
+    # executors share one JVM in local mode — this is the knob that
+    # sizes BOTH). Must be set before the first session of the process.
+    spark = get_spark(
+        "pig_spark_bench",
+        extra_conf={"spark.driver.memory": os.environ.get("SPARK_GRAFT_DRIVER_MEM", "20g")},
+    )
     spark.sparkContext.setLogLevel("ERROR")
 
     # warm-up: JVM, codegen, parquet footer caches — touch every table

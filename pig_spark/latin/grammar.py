@@ -493,16 +493,20 @@ class Parser:
             # split.maxsize '300'), hyphenated segments
             # (pig.error-handling.enabled) and quoted or bare values
             key = self.next().text
-            while (self.peek().kind == "op" and self.peek().text in (".", "-")) or (
-                self.peek().kind == "num" and self.peek().text.startswith("-")
+            # join '.'/'-'-separated key segments ONLY when the next
+            # token is another identifier — `set default_parallel -1`
+            # must keep -1 as the VALUE, not fold it into the key
+            while (
+                self.peek().kind == "op"
+                and self.peek().text in (".", "-")
+                and self.peek(1).kind in ("id", "kw")
             ):
-                t = self.next()
-                if t.kind == "num":  # lexed '-handling' style? keep digits
-                    key += t.text
-                else:
-                    key += t.text + self.next().text
+                key += self.next().text + self.next().text
             t = self.next()
-            value = t.text[1:-1] if t.kind == "str" else t.text
+            if t.kind == "op" and t.text == "-" and self.peek().kind == "num":
+                value = "-" + self.next().text  # negative value (-1)
+            else:
+                value = t.text[1:-1] if t.kind == "str" else t.text
             # the terminating ';' is optional in practice (GruntParser
             # accepts a bare `set default_parallel 2` line; the e2e
             # corpus uses it) — SET consumes exactly one value token,
@@ -787,7 +791,15 @@ class Parser:
             if len(fields) == 1:
                 alias, ftype = fields[0]
                 if ftype is not None:
-                    e = Cast(ftype, e)
+                    if flatten:
+                        # FLATTEN(x) AS (f:type): the type belongs to
+                        # the FLATTENED field, not the bag — keep the
+                        # schema form so the cast happens post-flatten
+                        # (a pre-flatten Cast turned the bag into a
+                        # string; r5 review finding #3)
+                        alias = fields
+                    else:
+                        e = Cast(ftype, e)
             else:
                 alias = fields  # list[(name, type|None)] — FLATTEN schema
         return GenItem(e, alias, flatten)

@@ -110,6 +110,10 @@ def utf8_cast(col: Column, ptype: str | None) -> Column:
     lt = t.lower()
     if lt in PIG_TO_SPARK_TYPE:
         return col.try_cast(PIG_TO_SPARK_TYPE[lt])
+    if lt.startswith("decimal(") or lt == "date":
+        # raw Spark scalar DDL riding through a complex Pig type
+        # string (stream._pig_type_ddl keeps nested precisions)
+        return col.try_cast(lt)
     if lt.startswith("map["):
         inner = t[4:-1].strip()
         body = F.regexp_replace(F.regexp_replace(col, r"^\[", ""), r"\]$", "")
@@ -543,7 +547,16 @@ class PigTranslator:
                 # org.apache.pig.builtin.HiveUDF family (HiveUDF.java:
                 # wraps a Hive function by name). Spark's own function
                 # registry IS Hive-compatible — resolve by name at call
-                # time (F.call_function), staying JVM-side.
+                # time (F.call_function), staying JVM-side. The
+                # optional SECOND ctor arg is Hive-side constructor
+                # parameters — no Spark equivalent, refuse rather than
+                # silently resolve a differently-configured function.
+                if len(stmt.args) > 1:
+                    raise NotImplementedError(
+                        f"DEFINE {stmt.alias} {stmt.func}(...): constructor "
+                        "parameters beyond the function name need the Hive "
+                        "bridge; inline the parameters into the call instead"
+                    )
                 self.defines[stmt.alias] = ("__hive__", stmt.func.rsplit(".", 1)[-1], str(stmt.args[0]))
             else:
                 self.defines[stmt.alias] = stmt.func
@@ -1132,10 +1145,13 @@ class PigTranslator:
                     item.alias is None
                     and isinstance(item.expr, G.Col)
                     and item.expr.name.startswith("$")
+                    and int(item.expr.name[1:]) < len(rel.df.columns)
                 ):
                     # generate $N keeps the SOURCE field's name
                     # (LogicalSchema: positional projection preserves
-                    # the input schema's field name)
+                    # the input schema's field name); $N beyond a
+                    # schemaless load's width keeps the default name
+                    # and resolves to null in _resolve
                     name = rel.df.columns[int(item.expr.name[1:])]
                 if name in seen_flat_names and item.alias is None and isinstance(item.expr, G.Col):
                     # un-aliased collision (c::group, d::group): keep
@@ -1205,7 +1221,7 @@ class PigTranslator:
         seen_names: set[str] = set()
         for i, item in enumerate(op.items):
             e = item.expr
-            name = item.alias or _default_name(e, i)
+            name = item.alias if isinstance(item.alias, str) else _default_name(e, i)
             if name in seen_names:
                 # un-aliased aggregates of the same function collide
                 # (SUM(a.age), SUM(a.gpa) both default to 'sum'); Pig
@@ -1395,7 +1411,7 @@ class PigTranslator:
         seen_names: set[str] = set()
         for i, item in enumerate(op.items):
             e = item.expr
-            name = item.alias or _default_name(e, i)
+            name = item.alias if isinstance(item.alias, str) else _default_name(e, i)
             if name in seen_names:  # un-aliased collisions → positional suffix
                 name = f"{name}_{i}"
             seen_names.add(name)
@@ -1619,7 +1635,7 @@ class PigTranslator:
             aggs = []
             seen: set[str] = set()
             for i, it in agg_like:
-                name = it.alias or _default_name(it.expr, i)
+                name = it.alias if isinstance(it.alias, str) else _default_name(it.expr, i)
                 if name in seen:  # un-aliased collisions → positional suffix
                     name = f"{name}_{i}"
                 seen.add(name)
@@ -1658,7 +1674,11 @@ class PigTranslator:
                 selects.append(F.col(agg_names[i]))
             elif pipe.col is not None:
                 out = rename.get(pipe.col, pipe.col)
-                selects.append(F.col(pipe.col).alias(it.alias or out.split("::")[-1]))
+                aname, atype = _single_alias(it.alias)
+                c = F.col(pipe.col)
+                if atype is not None:
+                    c = c.try_cast(PIG_TO_SPARK_TYPE.get(atype, atype))
+                selects.append(c.alias(aname or out.split("::")[-1]))
             else:
                 selects.extend(F.col(c).alias(rename.get(c, c)) for c in others)
         return Relation(kdf.select(*selects))
@@ -2080,7 +2100,7 @@ class PigTranslator:
         seen_names: set[str] = set()
         for i, item in enumerate(op.items):
             e = item.expr
-            name = item.alias or _default_name(e, i)
+            name = item.alias if isinstance(item.alias, str) else _default_name(e, i)
             if name in seen_names:  # un-aliased collisions → positional suffix
                 name = f"{name}_{i}"
             seen_names.add(name)
@@ -2215,7 +2235,11 @@ class PigTranslator:
                     _, _, rest = (ref or "").partition(".")
                     if rest:
                         cname = fproj.get(rest, rest)
-                        selects.append(F.col(cname).alias(payload.alias or rest))
+                        aname, atype = _single_alias(payload.alias)
+                        c = F.col(cname)
+                        if atype is not None:
+                            c = c.try_cast(PIG_TO_SPARK_TYPE.get(atype, atype))
+                        selects.append(c.alias(aname or rest))
                     else:
                         selects.extend(F.col(c).alias(frename.get(c, c)) for c in others)
                 else:  # "col" / "combo" — stitched aggregate column
@@ -2407,7 +2431,10 @@ class PigTranslator:
             if isinstance(elem, T.StructType):
                 cols = [el[f].alias(f) for f in elem.names]
             else:
-                cols = [el.alias(fitem.alias or _default_name(fitem.expr, fi))]
+                aname, atype = _single_alias(fitem.alias)
+                if atype is not None:
+                    el = el.try_cast(PIG_TO_SPARK_TYPE.get(atype, atype))
+                cols = [el.alias(aname or _default_name(fitem.expr, fi))]
             return F.struct(*cols, *[c.alias(n) for n, c in scalars])
 
         build = F.transform(arr_expr, make)
@@ -2487,15 +2514,29 @@ class PigTranslator:
             # (LogicalSchema: the inner bag carries every field,
             # including the group key's source columns)
             cols = [(c, df[c]) for c in df.columns if c not in g.derived]
-        el = F.struct(*[c.alias(n) for n, c in cols])
-        if cond is not None:
-            el = F.when(cond, el)  # collect_list skips nulls
-        bag = F.collect_list(el)
-        if pipe.distinct:
-            bag = F.array_distinct(bag)
-        if pipe.ordered and pipe.order_keys:
-            field_names = [n for n, _ in cols]
-            order = []
+        # ORDER keys resolved up front: a key OUTSIDE the projected
+        # fields (ORDER by acctbal, project custkey) rides along as a
+        # HIDDEN struct field so the sort — and any LIMIT slice — sees
+        # it, then strips after (dropping the order silently returned
+        # arbitrary LIMIT survivors; r5 review finding #1)
+        field_names = [n for n, _ in cols]
+        order: list[tuple[str, bool]] = []
+        hidden: list[tuple[str, Column]] = []
+        if pipe.ordered and pipe.order_keys and not pipe.distinct:
+            for idx, ok in enumerate(pipe.order_keys):
+                cname, a = ok if isinstance(ok, tuple) else (ok, True)
+                if cname.startswith(g.child_alias + "."):
+                    cname = cname.split(".", 1)[1]
+                fld = rename.get(cname, cname).split("::")[-1]
+                if fld in field_names:
+                    order.append((fld, a))
+                else:
+                    hname = f"__ok{idx}"
+                    hidden.append((hname, self._expr(G.Col(cname), child)))
+                    order.append((hname, a))
+        elif pipe.ordered and pipe.order_keys:
+            # DISTINCT + ORDER: valid Pig orders by the distinct
+            # projection's own fields — no hidden keys possible
             for ok in pipe.order_keys:
                 cname, a = ok if isinstance(ok, tuple) else (ok, True)
                 if cname.startswith(g.child_alias + "."):
@@ -2503,12 +2544,22 @@ class PigTranslator:
                 fld = rename.get(cname, cname).split("::")[-1]
                 if fld in field_names:
                     order.append((fld, a))
-            if order:
-                bag = _bag_sort(bag, order)
+        el = F.struct(*[c.alias(n) for n, c in cols], *[c.alias(n) for n, c in hidden])
+        if cond is not None:
+            el = F.when(cond, el)  # collect_list skips nulls
+        bag = F.collect_list(el)
+        if pipe.distinct:
+            bag = F.array_distinct(bag)
+        if order:
+            bag = _bag_sort(bag, order)
         if pipe.limited and pipe.limit_n is not None:
             # LIMIT inside the bag form: first n of the sorted bag
             # (unordered = Pig's "any n rows", here collection order)
             bag = F.slice(bag, 1, pipe.limit_n)
+        if hidden:
+            bag = F.transform(
+                bag, lambda t: F.struct(*[t[n].alias(n) for n in field_names])
+            )
         return bag
 
     def _foreach_nested_multiflatten(self, op: G.Foreach, g: GroupedInfo, pipes: dict[str, "_Pipe"]) -> Relation:
@@ -2557,6 +2608,10 @@ class PigTranslator:
                     selects.append(F.col(kname).alias(item.alias or kname))
                 elif len(g.key_exprs) == 1:
                     selects.append(F.col(g.key_exprs[0][0]).alias(item.alias or "group"))
+                elif not g.key_exprs:
+                    # GROUP ALL: Pig's group value is the literal
+                    # 'all' (LOCogroup GROUP ALL semantics)
+                    selects.append(F.lit("all").alias(item.alias or "group"))
                 else:
                     selects.extend(F.col(n) for n, _ in g.key_exprs)
             elif kind == "col":
@@ -3126,6 +3181,16 @@ def _range_span(rel: Relation, rp) -> list[str]:
     if lo > hi:
         raise SyntaxError(f"pig latin: range projection {rp.start}..{rp.end} is reversed")
     return names[lo : hi + 1]
+
+
+def _single_alias(alias) -> tuple[str | None, str | None]:
+    """(name, pig_type) for a single-field AS schema ([('f','int')]);
+    (alias, None) for a bare-name or absent alias."""
+    if isinstance(alias, list) and len(alias) == 1:
+        return alias[0]
+    if isinstance(alias, str) or alias is None:
+        return alias, None
+    return None, None  # multi-field schema — caller splats positionally
 
 
 def _bag_sort(bag: Column, order: list[tuple[str, bool]]) -> Column:

@@ -37,7 +37,10 @@ _SPARK_TO_PIG_SCALAR = {
 
 
 def _pig_type_ddl(dt: T.DataType) -> str:
-    """Spark DataType → the Pig type string utf8_cast understands."""
+    """Spark DataType → the Pig type string utf8_cast understands.
+    Decimal/date pass through as Spark DDL (utf8_cast try_casts any
+    castable scalar name) so nested precisions survive instead of
+    degrading to chararray."""
     if isinstance(dt, T.MapType):
         return f"map[{_pig_type_ddl(dt.valueType)}]"
     if isinstance(dt, T.StructType):
@@ -46,6 +49,8 @@ def _pig_type_ddl(dt: T.DataType) -> str:
         el = dt.elementType
         inner = _pig_type_ddl(el) if isinstance(el, T.StructType) else f"(v:{_pig_type_ddl(el)})"
         return "{" + inner + "}"
+    if isinstance(dt, (T.DecimalType, T.DateType)):
+        return dt.simpleString()
     return _SPARK_TO_PIG_SCALAR.get(dt.simpleString(), "chararray")
 
 

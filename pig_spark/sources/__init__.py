@@ -576,27 +576,30 @@ def store(
             writer = writer.sortBy(*sort_by)
         writer.format(fmt).saveAsTable(path)
         if obs is not None:
-            _check_error_budget(df.sparkSession, obs, path, max_error_frac, min_error_records, table=True)
+            _check_error_budget(df.sparkSession, obs, path, max_error_frac, min_error_records, table=True, appended=(mode == "append"))
         return
     writer.format(fmt).save(path)
     if obs is not None:
-        _check_error_budget(df.sparkSession, obs, path, max_error_frac, min_error_records)
+        _check_error_budget(df.sparkSession, obs, path, max_error_frac, min_error_records, appended=(mode == "append"))
     if schema_sidecar:
         write_schema_sidecar(df, path)
 
 
-def _check_error_budget(spark, obs, path: str, max_error_frac: float, min_error_records: int, table: bool = False) -> None:
+def _check_error_budget(spark, obs, path: str, max_error_frac: float, min_error_records: int, table: bool = False, appended: bool = False) -> None:
     """CounterBasedErrorHandler.exceedsThreshold re-expressed over the
     write's Observation metrics: within budget → record counters and
     warn (Pig logs skipped-record counters); over budget → roll the
     committed output back and raise (Pig kills the job — either way no
-    usable over-budget output remains)."""
+    usable over-budget output remains). Appended-to paths are never
+    deleted (pre-existing data); the raise says whether rollback
+    happened."""
+    import os
     import shutil
     import warnings
 
     m = obs.get
     bad = int(m["bad"] or 0)
-    total = int(m["total"] or 0) + 0  # total counts pre-filter rows
+    total = int(m["total"] or 0)  # total counts pre-filter rows
     LAST_STORE_ERRORS.clear()
     LAST_STORE_ERRORS.update({"path": path, "bad": bad, "total": total})
     if bad == 0:
@@ -609,15 +612,35 @@ def _check_error_budget(spark, obs, path: str, max_error_frac: float, min_error_
             stacklevel=3,
         )
         return
+    rolled = False
     if table:
         spark.sql(f"DROP TABLE IF EXISTS {path}")
+        rolled = True
+    elif appended:
+        # an append mixed this write's files with pre-existing data —
+        # deleting the path would destroy committed history, so the
+        # over-budget output stays and the error says so
+        rolled = False
     else:
-        shutil.rmtree(path, ignore_errors=True)
+        # Hadoop FS delete handles EVERY scheme the write could reach
+        # (file://, hdfs://, s3a://) — shutil only covers local paths
+        try:
+            jvm = spark._jvm  # noqa: SLF001
+            jpath = jvm.org.apache.hadoop.fs.Path(path)
+            fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())  # noqa: SLF001
+            rolled = bool(fs.delete(jpath, True))
+        except Exception:  # noqa: BLE001 — local fallback
+            shutil.rmtree(path, ignore_errors=True)
+            rolled = not os.path.exists(path)
     raise ValueError(
         f"store({path!r}): {bad}/{total} bad records exceeds the error budget "
-        f"(min_error_records={min_error_records}, max_error_frac={max_error_frac}) — "
-        "output rolled back (pig.error-handling threshold contract, "
-        "CounterBasedErrorHandler.java)"
+        f"(min_error_records={min_error_records}, max_error_frac={max_error_frac}); "
+        + (
+            "output rolled back"
+            if rolled
+            else "output NOT rolled back (append mode or delete failed) — clean up before retrying"
+        )
+        + " (pig.error-handling threshold contract, CounterBasedErrorHandler.java)"
     )
 
 

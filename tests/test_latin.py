@@ -1739,3 +1739,69 @@ def test_inner_foreach_flatten_pipe(spark, tmp_path):
     assert agg["alice"] == (5, 15.5, 6, 3.1) and agg["bob"] == (1, 2.5, 3, 2.5)
     flat = {(r["group"], r["s"], r["who"]) for r in rels["d2"].df.collect()}
     assert ("alice", "x", "alice") in flat and ("alice", "u", "al") in flat and len(flat) == 6
+
+
+def test_r5_review_fix_pins(spark, tmp_path):
+    """Pins for the r5 /code-review findings (each was a confirmed
+    silent-wrong-result or crash):
+    1. _pipe_bag: ORDER key outside the projected fields rides as a
+       hidden sort field — LIMIT slices the SORTED bag.
+    2. un-aliased $N beyond a schemaless load's width → null column,
+       not IndexError.
+    3. FLATTEN(x) AS (f:type) casts the FLATTENED field, not the bag.
+    4. SET key -1 keeps -1 as the value (not folded into the key).
+    5. multiflatten over GROUP ALL emits Pig's literal 'all' group.
+    """
+    from pig_spark.latin import grammar, run
+
+    src = str(tmp_path / "s.tsv")
+    with open(src, "w") as f:
+        f.write("alice\t20\t3.5\nalice\t25\t2.5\nbob\t30\t3.0\nbob\t22\t3.9\n")
+
+    # 1: project custkey-like field, order by a DIFFERENT field
+    rels = run(spark, f"""
+        a = LOAD '{src}' AS (name:chararray, age:int, gpa:double);
+        g = GROUP a BY name;
+        b = FOREACH g {{
+            hi = ORDER a BY gpa DESC; lh = LIMIT hi 1;
+            lo = ORDER a BY gpa ASC;  ll = LIMIT lo 1;
+            GENERATE group, FLATTEN(lh.age) AS hi_age, FLATTEN(ll.age) AS lo_age;
+        }};
+    """)
+    got = {(r["group"], r["hi_age"], r["lo_age"]) for r in rels["b"].df.collect()}
+    assert got == {("alice", 20, 25), ("bob", 22, 30)}  # by gpa, NOT by age
+
+    # 2: schemaless $N overflow in un-aliased position
+    rels2 = run(spark, f"""
+        a = LOAD '{src}' USING PigStorage();
+        b = FOREACH a GENERATE $0, $7;
+    """)
+    assert [r[1] for r in rels2["b"].df.limit(2).collect()] == [None, None]
+
+    # 3: typed single-field AS on FLATTEN casts post-flatten
+    rels3 = run(spark, f"""
+        a = LOAD '{src}' AS (name:chararray, age:int, gpa:double);
+        t = FOREACH a GENERATE name, TOKENIZE(name) AS w;
+        b = FOREACH t GENERATE FLATTEN(w) AS (tok:chararray);
+    """)
+    assert rels3["b"].df.columns == ["tok"]
+    assert rels3["b"].df.count() == 4
+
+    # 4: SET with a negative value
+    s = grammar.parse("set default_parallel -1;\nx = load 'p';")
+    st = s.statements[0]
+    assert st.key == "default_parallel" and st.value == "-1"
+
+    # 5: GROUP ALL multiflatten keeps the 'all' group literal
+    rels5 = run(spark, f"""
+        a = LOAD '{src}' AS (name:chararray, age:int, gpa:double);
+        g = GROUP a ALL;
+        b = FOREACH g {{
+            hi = ORDER a BY age DESC; lh = LIMIT hi 1;
+            lo = ORDER a BY age ASC;  ll = LIMIT lo 1;
+            GENERATE group, FLATTEN(lh.name) AS oldest, FLATTEN(ll.name) AS youngest;
+        }};
+    """)
+    r5 = rels5["b"].df.collect()
+    assert len(r5) == 1 and r5[0]["group"] == "all"
+    assert (r5[0]["oldest"], r5[0]["youngest"]) == ("bob", "alice")
