@@ -254,6 +254,8 @@ def _control_bench(spark, sf_dir: str, results: dict) -> None:
         if wt:
             shutil.rmtree(wt, ignore_errors=True)
         return
+    from pig_spark.queries import QUERIES as _CURRENT_QUERIES
+
     saved = {k: v for k, v in sys.modules.items() if k == "pig_spark" or k.startswith("pig_spark.")}
     try:
         import importlib
@@ -263,14 +265,24 @@ def _control_bench(spark, sf_dir: str, results: dict) -> None:
         sys.path.insert(0, wt)
         qmod = importlib.import_module("pig_spark.queries")
         ctrl: dict[str, float] = {}
+        cur_adj: dict[str, float] = {}
         for name in _CONTROL_MARKERS:
             fn = qmod.QUERIES.get(name)
-            if fn is None:
+            xfn = _CURRENT_QUERIES.get(name)
+            if fn is None or xfn is None:
                 continue
+            # de-bias: the headline loop already warmed the CURRENT
+            # query; warm the control once untimed, then time control
+            # and current back-to-back — adjacent in time, equal
+            # JVM/OS-cache warmth, so the ratio is code-attributable
+            fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
             t0 = time.time()
             fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
             ctrl[name] = round(time.time() - t0, 3)
-        results["control"] = {"ref": ref[:12], "queries": ctrl}
+            t0 = time.time()
+            xfn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+            cur_adj[name] = round(time.time() - t0, 3)
+        results["control"] = {"ref": ref[:12], "queries": ctrl, "current_adjacent": cur_adj}
     except Exception as e:  # noqa: BLE001 — control is advisory, never fails the bench
         results["control"] = {"ref": ref[:12], "error": str(e)[:200]}
     finally:

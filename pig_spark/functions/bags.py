@@ -28,8 +28,17 @@ def TOTUPLE(*cols: Column) -> Column:
 
 
 def TOMAP(*cols: Column) -> Column:
-    """TOMAP.java — alternating key, value args (literal keys coerce)."""
-    return F.create_map(*[_c(c) for c in cols])
+    """TOMAP.java — alternating key, value args (literal keys coerce).
+    Null-keyed entries DROP: Pig's HashMap-backed map tolerates one
+    null key, Spark maps cannot — dropping the entry is the closest
+    semantics (the alternative is a per-row crash on dirty data)."""
+    entries = F.array(
+        *[
+            F.struct(_c(k).alias("key"), _c(v).alias("value"))
+            for k, v in zip(cols[0::2], cols[1::2])
+        ]
+    )
+    return F.map_from_entries(F.filter(entries, lambda e: e["key"].isNotNull()))
 
 
 def BagToString(bag: Column, delimiter: str = "_") -> Column:

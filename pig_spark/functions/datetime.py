@@ -33,9 +33,17 @@ def GetWeekYear(col: Column) -> Column:
     return F.year(F.date_add(d, F.lit(3) - F.weekday(d)))
 
 
-def ToDate(col: Column, fmt: str | None = None) -> Column:
-    """ToDate.java — chararray/long → datetime."""
-    return F.to_timestamp(col, fmt) if fmt else F.to_timestamp(col)
+def ToDate(col: Column, fmt: str | None = None, tz: str | None = None) -> Column:
+    """ToDate.java (+ ToDate3ARGS.java) — chararray/long → datetime;
+    the optional third arg is the timezone the text is IN (the result
+    is the instant of that wall-clock time in that zone — sessions run
+    UTC, so to_utc_timestamp gives exactly the DateTimeZone shift)."""
+    if isinstance(col, str):  # literal date text, not a column ref
+        col = F.lit(col)
+    ts = F.to_timestamp(col, fmt) if fmt else F.to_timestamp(col)
+    if tz is not None:
+        ts = F.to_utc_timestamp(ts, tz)
+    return ts
 
 
 def ToUnixTime(col: Column) -> Column:

@@ -26,14 +26,18 @@ import pytest
 from pig_spark.latin import run
 
 _CONF_DIR = "/root/reference/test/e2e/pig/tests"
-_CONFS = ("nightly.conf", "join.conf", "multiquery.conf", "macro.conf")
-_FLOOR = 352
+_CONFS = (
+    "nightly.conf", "join.conf", "multiquery.conf", "macro.conf",
+    "bigdata.conf", "utf8.conf", "orc.conf",  # r5: +21 snippets
+)
+_FLOOR = 372
 
 _SKIP_MARKERS = (
     ":scripthomepath:", "testudf.jar", ":mapredjars:", "jruby",
     "hadoopversion", ":hcat", "hbase", ":inpath2:", "cache(",
     "$condition", "$filter_op", "$map_op",  # perl-harness parameters
     "$fname", "$setting",  # perl-harness parameters (values supplied by the driver)
+    "#!/usr/bin",  # embedded jython DRIVER script, not Pig (utf8.conf)
 )
 
 
@@ -128,6 +132,22 @@ def fixture_dir(tmp_path_factory):
     os.makedirs(f"{d}/glob/star", exist_ok=True)
     _w(f"{d}/glob/star/1good", student[:50])
     _w(f"{d}/glob/star/2good", student[50:100])
+    # utf8.conf inputs: CJK names AND CJK directory names (the
+    # reference exercises non-ASCII paths end-to-end)
+    cjk = ["张伟", "李娜", "王芳", "刘洋", "陈静"]
+    os.makedirs(f"{d}/utf8Data/学生", exist_ok=True)
+    _w(
+        f"{d}/utf8Data/学生/utf8Student",
+        [f"{rng.choice(cjk)}\t{rng.randint(18, 77)}\t{rng.uniform(0, 4):.2f}" for _ in range(300)],
+    )
+    os.makedirs(f"{d}/utf8Data/选民", exist_ok=True)
+    _w(
+        f"{d}/utf8Data/选民/utf8Voter",
+        [
+            f"{rng.choice(cjk)}\t{rng.randint(18, 77)}\t民主\t{rng.uniform(0, 1000):.2f}"
+            for _ in range(300)
+        ],
+    )
     return d
 
 
