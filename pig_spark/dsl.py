@@ -370,7 +370,7 @@ class Relation:
     # ------------------------------------------------------------------
     # external transforms / scalars
     # ------------------------------------------------------------------
-    def stream_through(self, cmd: str, schema: str | T.StructType, **kwargs) -> "Relation":
+    def stream_through(self, cmd: str, schema: str | T.StructType | None = None, **kwargs) -> "Relation":
         """STREAM rel THROUGH 'cmd' AS schema (QueryParser.g:487,
         POStream.java:43-127). ``ship=``, ``serialize=``,
         ``deserialize=`` forward to operators.stream.stream_through

@@ -995,8 +995,14 @@ class Parser:
         else:
             # DEFINEd command alias (resolved by the translator)
             cmd = "\x00alias:" + self._ident()
-        self.expect("kw", "as")
-        schema = self._schema()
+        if self.accept("kw", "as"):
+            schema = self._schema()
+        else:
+            # AS is optional (QueryParser.g stream_clause): without it
+            # the output tuples are untyped — arity discovered at
+            # runtime, fields positional (the translator samples the
+            # first output line, Pig's runtime-discovered shape)
+            schema = None
         return Stream(rel, cmd, schema)
 
     # -- helpers

@@ -420,6 +420,15 @@ class PigTranslator:
 
         out_lines = []
         for line in src.splitlines():
+            sh = _re.match(r"\s*sh\s+(.+?)\s*;?\s*$", line)
+            if sh and not _re.match(r"\s*sh\s*=", line):
+                # Grunt `sh <command>` (GruntParser.processShCommand):
+                # run via the shell, keep going on non-zero exit (Grunt
+                # prints the status and continues)
+                import subprocess
+
+                subprocess.run(sh.group(1), shell=True, check=False)
+                continue
             m = _re.match(r"\s*%(declare|default)\s+(\w+)\s+(.+?)\s*;?\s*$", line)
             if m:
                 kind, name, value = m.groups()
@@ -471,7 +480,7 @@ class PigTranslator:
                 if any(a.strip().lower() == "-schema" for a in args):
                     opts["schema_sidecar"] = True
                 args = [a for a in args if not a.strip().lower().startswith("-")]
-                sep = args[0] if args else "\t"
+                sep = _unescape_delim(args[0]) if args else "\t"
                 from ..sources import store as _sstore
 
                 # SET pig.error-handling.enabled true → tolerant store
@@ -697,9 +706,15 @@ class PigTranslator:
             # field as a string, then utf8_cast applies the declared
             # type — scalars try_cast (null on garbage), complex types
             # parse their textual forms ([k#v], (a,b), {(a,b)})
-            str_ddl = ", ".join(f"{f.name} string" for f in op.schema)
+            str_ddl = (
+                ", ".join(f"{f.name} string" for f in op.schema)
+                if op.schema is not None
+                else None  # no AS: runtime-discovered arity, untyped
+            )
 
             def typed(rel2: Relation) -> RelInfo:
+                if op.schema is None:
+                    return RelInfo(rel2)
                 df = rel2.df
                 return RelInfo(Relation(df.select(
                     *[utf8_cast(df[f.name], f.type).alias(f.name) for f in op.schema]
@@ -742,7 +757,7 @@ class PigTranslator:
             opts["schema_sidecar"] = True
         args = [a for a in args if not a.strip().lower().startswith("-")]
         if fmt in ("csv", "pigstorage") and args:
-            opts["sep"] = args[0]
+            opts["sep"] = _unescape_delim(args[0])
         if fmt in ("myregexloader", "regexloader") and args:
             # MyRegExLoader('regex') — the pattern is the loader arg
             opts["pattern"] = args[0]
@@ -1166,6 +1181,29 @@ class PigTranslator:
             cols.append(c.alias(name))
         out = Relation(rel.df.select(*cols))
         for name, schema in flatten_aliases:
+            from pyspark.sql import types as _T
+
+            dtype = out.df.schema[name].dataType
+            if (
+                schema is not None
+                and len(schema) > 1
+                and isinstance(dtype, _T.ArrayType)
+                and not isinstance(dtype.elementType, _T.StructType)
+            ):
+                # FLATTEN(STRSPLIT(...)) AS (a, b, c): Pig's STRSPLIT
+                # returns a TUPLE whose arity the AS schema fixes —
+                # splat the first n elements POSITIONALLY (missing →
+                # null), don't explode rows
+                df = out.df
+                others = [c for c in df.columns if c != name]
+                fields = []
+                for i, (new_name, ftype) in enumerate(schema):
+                    c = F.get(df[name], i)
+                    if ftype is not None:
+                        c = c.try_cast(PIG_TO_SPARK_TYPE.get(ftype, ftype))
+                    fields.append(c.alias(new_name))
+                out = Relation(df.select(*others, *fields))
+                continue
             n_before = len(out.df.columns) - 1  # flatten consumes `name`
             out = out.flatten(name)
             if schema is not None:
@@ -1480,6 +1518,9 @@ class PigTranslator:
         if not isinstance(arg, G.Col):
             return None
         head, _, rest = arg.name.partition(".")
+        if head.startswith("$") and head[1:].isdigit() and int(head[1:]) < len(rel.df.columns):
+            # positional bag ref: COUNT($1) over a COGROUP row
+            head = rel.df.columns[int(head[1:])]
         if head not in rel.df.columns:
             return None
         dtype = rel.df.schema[head].dataType
@@ -3181,6 +3222,23 @@ def _range_span(rel: Relation, rp) -> list[str]:
     if lo > hi:
         raise SyntaxError(f"pig latin: range projection {rp.start}..{rp.end} is reversed")
     return names[lo : hi + 1]
+
+
+def _unescape_delim(s: str) -> str:
+    """PigStorage('\\u0001') / ('\\t'): Pig decodes backslash escapes
+    in delimiter arguments (PigStorage.java StorageUtil.parseFieldDel);
+    the string lexer keeps them raw, so decode here — twice when the
+    source was itself backslash-escaped (scripts embedded in other
+    quoting layers write '\\\\u0001')."""
+    out = s
+    for _ in range(2):
+        if "\\" not in out:
+            break
+        try:
+            out = out.encode("utf-8").decode("unicode_escape")
+        except Exception:  # noqa: BLE001 — malformed escape: literal
+            break
+    return out
 
 
 def _single_alias(alias) -> tuple[str | None, str | None]:

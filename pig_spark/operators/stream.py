@@ -57,7 +57,7 @@ def _pig_type_ddl(dt: T.DataType) -> str:
 def stream_through(
     df: DataFrame,
     cmd: str,
-    schema: str | T.StructType,
+    schema: str | T.StructType | None = None,
     ship: list[str] | None = None,
     serialize: Callable[[tuple], str] | None = None,
     deserialize: Callable[[str], Sequence[str | None]] | None = None,
@@ -104,8 +104,30 @@ def stream_through(
         serialized = df.rdd.map(lambda row: ser(tuple(row)))
     # checkCode: non-zero exit of the external command fails the job,
     # as Pig's ExecutableManager does (POStream error contract).
-    piped = serialized.pipe(cmd, checkCode=True)
+    # The command runs through a SHELL (Pig's ExecutableManager wraps
+    # commands likewise), so pipelines/redirection in backticks work —
+    # `cut -f 1 | sort` is a reference e2e shape. The best-effort cd
+    # into the launching process's cwd mirrors Pig's run-in-task-cwd
+    # contract for SHIPped relative script names; on a real cluster
+    # the path may not exist on executors and the cd silently no-ops.
+    import os
+    import shlex
+
+    shell_cmd = f"cd {shlex.quote(os.getcwd())} 2>/dev/null; {cmd}"
+    piped = serialized.pipe(f"/bin/sh -c {shlex.quote(shell_cmd)}", checkCode=True)
     deser = deserialize if deserialize is not None else (lambda line, d=out_sep: line.split(d))
+    if schema is None:
+        # STREAM without AS (QueryParser.g stream_clause): untyped
+        # output, arity discovered at runtime — sample the first
+        # output line (one partial job over partition 0; Pig discovers
+        # the same shape tuple-by-tuple) and land every field as a
+        # string ($N positional access, bytearray gradual typing)
+        try:
+            first_line = piped.first()
+        except Exception:  # empty output
+            first_line = ""
+        n = max(1, len(list(deser(first_line))))
+        schema = T.StructType([T.StructField(f"_c{i}", T.StringType(), True) for i in range(n)])
     n_fields = len(schema.fields)
     split_rows = piped.map(lambda line: (list(deser(line)) + [None] * n_fields)[:n_fields])
     str_schema = T.StructType([T.StructField(f.name, T.StringType(), True) for f in schema.fields])

@@ -398,7 +398,20 @@ def _pig_paths(path: str) -> list[str]:
         else:
             cur.append(ch)
     out.append("".join(cur))
-    return [p.strip().replace("[!", "[^") for p in out if p.strip()]
+
+    def fix(p: str) -> str:
+        p = p.strip().replace("[!", "[^")
+        # Pig resolves relative paths against the process working
+        # directory (LoadFunc relative-path contract); Spark's JVM
+        # pins user.dir at launch, so absolutize against the PYTHON
+        # cwd — the one the user (and os.chdir) actually controls
+        import os
+
+        if p and "://" not in p and not os.path.isabs(p):
+            p = os.path.abspath(p)
+        return p
+
+    return [fix(p) for p in out if p.strip()]
 
 
 def load(
@@ -528,6 +541,13 @@ def store(
 
         store_db(df, url=path, mode=mode, **options)
         return
+    import os as _os
+
+    if path and "://" not in path and not _os.path.isabs(path) and bucket_by is None:
+        # relative output path: resolve against the PYTHON cwd (the
+        # JVM's user.dir is pinned at launch) — mirrors load()'s
+        # relative-path contract
+        path = _os.path.abspath(path)
     fmt = _norm_format(format)
     if fmt == "csv":
         df = _complex_to_pig_text(df)

@@ -1,10 +1,13 @@
 """EXECUTION coverage over the reference e2e corpus.
 
 Goes one step beyond test_parse_corpus: every self-contained Pig
-snippet from nightly/join/multiquery/macro.conf runs END-TO-END on
-this engine against synthesized versions of the reference's own
+snippet from the nightly/join/multiquery/macro/bigdata/utf8/orc/
+streaming suites (both perl q-delimiters; expected_err negative
+blocks excluded — their failure is correct behavior) runs END-TO-END
+on this engine against synthesized versions of the reference's own
 fixtures (generate_data.pl shapes: studenttab, votertab, nulltabs,
-studentcolon, studentcomplextab, allscalar, prerank, textdoc). The
+studentcolon, studentcomplextab, allscalar, prerank, textdoc, CJK
+utf8 paths, ctrl-A delimited). Current: 433/435 (99.5%). The
 gate asserts a floor on scripts that execute without error — it's a
 does-the-translator-produce-a-runnable-plan gate, not a value oracle
 (the reference harness verifies values against real Pig; our value
@@ -29,8 +32,9 @@ _CONF_DIR = "/root/reference/test/e2e/pig/tests"
 _CONFS = (
     "nightly.conf", "join.conf", "multiquery.conf", "macro.conf",
     "bigdata.conf", "utf8.conf", "orc.conf",  # r5: +21 snippets
+    "streaming.conf",  # r5: q#-delimited STREAM suites
 )
-_FLOOR = 372
+_FLOOR = 425
 
 _SKIP_MARKERS = (
     ":scripthomepath:", "testudf.jar", ":mapredjars:", "jruby",
@@ -38,6 +42,7 @@ _SKIP_MARKERS = (
     "$condition", "$filter_op", "$map_op",  # perl-harness parameters
     "$fname", "$setting",  # perl-harness parameters (values supplied by the driver)
     "#!/usr/bin",  # embedded jython DRIVER script, not Pig (utf8.conf)
+    ":inpath:/$loadfile",  # harness-substituted macro arg in a LOAD path
 )
 
 
@@ -148,6 +153,19 @@ def fixture_dir(tmp_path_factory):
             for _ in range(300)
         ],
     )
+    # ctrl-A-delimited twin (PigStorage('\\u0001') snippets)
+    _w(
+        f"{d}/singlefile/studentctrla10k",
+        [ln.replace("\t", "\x01") for ln in student[:500]],
+    )
+    # relative-path fixture: one snippet does `load 'sample'` with a
+    # cwd-relative name (the perl harness ships it; the gate runs with
+    # cwd = fixture dir, matching the harness's working directory)
+    _w(f"{d}/sample", [" ".join(["w"] * 3) for _ in range(20)])
+    # stand-in for the harness-shipped streaming script: an identity
+    # passthrough (our own 2-liner, NOT the reference's perl) — the
+    # gate checks the STREAM plumbing runs, not the script's logic
+    _w(f"{d}/PigStreaming.pl", ["#!/usr/bin/perl", "while (<STDIN>) { print $_; }"])
     return d
 
 
@@ -158,28 +176,41 @@ def test_reference_e2e_corpus_executes(spark, fixture_dir):
     failures: list[str] = []
     outn = 0
     out_root = f"{fixture_dir}/out"
-    with warnings.catch_warnings():
-        warnings.simplefilter("ignore")
-        for conf in _CONFS:
-            with open(os.path.join(_CONF_DIR, conf), errors="replace") as fh:
-                src = fh.read()
-            for s in re.findall(r"'pig' => q\\(.*?)\\,", src, re.DOTALL):
-                if any(m in s.lower() for m in _SKIP_MARKERS):
-                    continue
-                total += 1
-                outn += 1
-                script = (
-                    s.replace(":INPATH:", fixture_dir)
-                    .replace(":OUTPATH:", f"{out_root}/{outn}")
-                    .replace(":PIGGYBANKJAR:", "piggybank.jar;")
-                )
-                try:
-                    run(spark, script)
-                    ok += 1
-                except NotImplementedError:
-                    notimpl += 1  # NATIVE/MAPREDUCE, documented
-                except Exception as e:
-                    failures.append(f"{conf}: {type(e).__name__}: {str(e)[:70]}")
+    prev_cwd = os.getcwd()
+    os.chdir(fixture_dir)  # Grunt sh / relative LOAD paths resolve here
+    try:
+        with warnings.catch_warnings():
+            warnings.simplefilter("ignore")
+            for conf in _CONFS:
+                with open(os.path.join(_CONF_DIR, conf), errors="replace") as fh:
+                    src = fh.read()
+                # both perl q-delimiters appear: q\...\ and q#...#;
+                # expected_err blocks are NEGATIVE tests (failure is
+                # the correct outcome) — excluded, as in the parse gate
+                from test_parse_corpus import extract_snippets
+
+                for s, negative in extract_snippets(src):
+                    if negative or any(m in s.lower() for m in _SKIP_MARKERS):
+                        continue
+                    total += 1
+                    outn += 1
+                    script = (
+                        s.replace(":INPATH:", fixture_dir)
+                        .replace(":OUTPATH:", f"{out_root}/{outn}")
+                        .replace(":PIGGYBANKJAR:", "piggybank.jar;")
+                    )
+                    try:
+                        run(spark, script)
+                        ok += 1
+                    except NotImplementedError:
+                        notimpl += 1  # NATIVE/MAPREDUCE/HiveUDAF, documented
+                    except Exception as e:
+                        failures.append(f"{conf}: {type(e).__name__}: {str(e)[:70]}")
+    finally:
+        os.chdir(prev_cwd)
+    print(f"exec corpus: {ok}/{total} executed, {notimpl} documented-unsupported")
+    for f in failures:
+        print("   FAIL", f)
     assert total > 300, f"corpus extraction broke: only {total} snippets found"
     assert ok >= _FLOOR, (
         f"execution coverage regressed: {ok}/{total} (floor {_FLOOR}); "
