@@ -1232,6 +1232,11 @@ class PigTranslator:
         return True
 
     def _is_agg_expr(self, e, g: GroupedInfo | None = None) -> bool:
+        if self._hive_udaf(e) is not None:
+            # DEFINE f HiveUDAF('name'): an aggregate call in Pig
+            # (HiveUDAF.java extends AlgebraicEvalFunc) — keep the
+            # GENERATE algebraic so it lowers to a grouped agg
+            return True
         if isinstance(e, G.Call) and e.func.lower() in AGG_FUNCS:
             return True
         if (
@@ -2740,8 +2745,102 @@ class PigTranslator:
         mapping = {"count": F.count, "count_star": F.count, "sum": F.sum, "avg": F.avg, "min": F.min, "max": F.max}
         return mapping[fn](val)
 
+    def _hive_udaf(self, e) -> str | None:
+        """Hive function name if ``e`` is a call to a DEFINEd
+        HiveUDAF alias (builtin/HiveUDAF.java), else None. Checked
+        BEFORE the builtin AGG_FUNCS table so a define shadowing a
+        builtin name (``define avg HiveUDAF('percentile')``) resolves
+        to the Hive function, matching Pig's alias precedence."""
+        if not isinstance(e, G.Call):
+            return None
+        spec = self.defines.get(e.func)
+        if isinstance(spec, tuple) and len(spec) == 3 and spec[0] == "__hive__" and spec[1] == "HiveUDAF":
+            return spec[2]
+        return None
+
+    # Hive UDAFs whose trailing arguments must be compile-time
+    # constants (Hive's GenericUDAFPercentile* reject non-constant
+    # fractions); Spark's matching aggregates require them foldable
+    _HIVE_CONST_TAIL = {"percentile", "percentile_approx", "approx_percentile"}
+
+    def _hive_agg(self, hname: str, e: G.Call, g: GroupedInfo) -> Column:
+        """Lower a HiveUDAF call over a grouped relation to the
+        Spark aggregate of the same name (Spark's FunctionRegistry
+        implements the Hive builtin aggregate surface — avg,
+        percentile, collect_set, histogram_numeric, …), staying
+        JVM-side with map-side partial aggregation instead of Pig's
+        GenericUDAFEvaluator PARTIAL1/FINAL bridge modes.
+
+        Pig feeds a UDAF one bag argument, possibly of n-field tuples
+        (``percentile(B.(age, perc))``, nightly.conf HiveUDF #5) —
+        each tuple field becomes one positional Spark argument.
+        Trailing args of the percentile family must be constants
+        (Hive rejects non-constant fractions) so they are folded to
+        literals: from the optimized plan when Catalyst can constant-
+        fold them, else via a distinct-check scan that raises on
+        non-constant input exactly like Hive does."""
+        child = g.child
+
+        def resolve(a) -> list[Column]:
+            if isinstance(a, G.MultiCol):
+                base = a.rel
+                if base != g.child_alias and base not in child.df.columns:
+                    raise SyntaxError(f"{hname}: unknown bag {base!r} in UDAF argument")
+                return [self._expr(G.Col(c), child) for c in a.cols]
+            if isinstance(a, G.Col):
+                name = a.name
+                if name == g.child_alias:
+                    if len(child.df.columns) != 1:
+                        raise SyntaxError(
+                            f"HiveUDAF {hname}({name}) needs a single-field bag; "
+                            f"project the field first ({name}.field)"
+                        )
+                    return [child.df[child.df.columns[0]]]
+                if name.startswith(g.child_alias + "."):
+                    return [self._expr(G.Col(name.split(".", 1)[1]), child)]
+            return [self._expr(a, child)]
+
+        cols: list[Column] = []
+        for a in e.args:
+            cols.extend(resolve(a))
+        if hname.lower() in self._HIVE_CONST_TAIL and len(cols) > 1:
+            cols = [cols[0]] + [self._fold_constant(c, child, hname) for c in cols[1:]]
+        return F.call_function(hname, *cols)
+
+    def _fold_constant(self, c: Column, child: Relation, ctx: str) -> Column:
+        """Fold a column the callee requires to be a constant into a
+        literal. Fast path: Catalyst's optimized plan of a 1-column
+        projection — a constant column folds to a Literal node with
+        zero data scanned. Fallback (plan introspection unavailable):
+        a 2-row distinct probe that raises on genuinely non-constant
+        input — the same contract violation Hive reports."""
+        try:
+            jplan = child.df.select(c.alias("__v"))._jdf.queryExecution().optimizedPlan()
+            exprs = jplan.expressions()
+            if exprs.size() == 1:
+                je = exprs.apply(0)
+                while je.getClass().getSimpleName() == "Alias":
+                    je = je.child()
+                if je.getClass().getSimpleName() == "Literal":
+                    v = je.eval(None)
+                    if v is not None and not isinstance(v, (int, float, bool, str)):
+                        v = v.toString()  # UTF8String / Decimal → str
+                    return F.lit(v)
+        except Exception:
+            pass
+        rows = child.df.select(c.alias("__v")).distinct().limit(2).collect()
+        if len(rows) > 1:
+            raise ValueError(
+                f"{ctx}: argument must be constant across all rows "
+                f"(Hive constant-argument contract); found ≥2 values"
+            )
+        return F.lit(rows[0][0] if rows else None)
+
     def _agg_expr(self, e, g: GroupedInfo) -> Column:
         child = g.child
+        hname = self._hive_udaf(e)
+        if hname is not None:
+            return self._hive_agg(hname, e, g)
         if isinstance(e, G.Call):
             fn = e.func.lower()
             if (
@@ -2868,8 +2967,9 @@ class PigTranslator:
         HiveUDTF output is a BAG of 1-field tuples (one per emitted
         row); 'explode' over an array is the supported shape —
         FLATTEN then restores Pig's row-per-element semantics.
-        HiveUDAF needs Hive's merge-side bridge state (foldable
-        percentile args etc.) — not mappable; raises."""
+        HiveUDAF lowers to the same-named Spark aggregate in grouped
+        FOREACH (_hive_agg); in a per-row position it is a semantic
+        error in Pig too — raises with the pointer."""
         args = [self._expr(a, rel) for a in e.args]
         if kind == "HiveUDF":
             return F.call_function(hname, *args)
@@ -2880,10 +2980,10 @@ class PigTranslator:
                 f"HiveUDTF({hname!r}): only 'explode' over a bag maps to a "
                 "Spark-side bag; other UDTFs need the Hive bridge"
             )
-        raise NotImplementedError(
-            f"HiveUDAF({hname!r}) needs Hive's partial-aggregation bridge "
-            "(GenericUDAFEvaluator modes); use the builtin aggregate or a "
-            "pandas agg_func UDF instead"
+        raise SyntaxError(
+            f"HiveUDAF({hname!r}) is an aggregate — call it in a FOREACH "
+            "over a GROUP/COGROUP alias (it lowers to the Spark aggregate "
+            "of the same name)"
         )
 
     def _bool_expr(self, e, rel: Relation) -> Column:

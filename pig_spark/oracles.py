@@ -659,6 +659,11 @@ def oracle_sql() -> dict[str, str]:
             FROM lineitem""",
         "q115_latin_hive_udf": """
             SELECT c_custkey, upper(c_name) AS uname FROM customer""",
+        "q118_latin_hive_udaf": """
+            SELECT o_orderpriority AS priority,
+                   AVG(o_custkey) AS avg_cust,
+                   quantile_cont(o_custkey, 0.5) AS med_cust
+            FROM orders GROUP BY o_orderpriority""",
         "q117_latin_inner_flatten": """
             SELECT lang,
                    CAST(SUM(len(list_filter(string_split_regex(trim(text), '\\s+'),

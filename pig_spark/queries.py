@@ -1944,6 +1944,30 @@ def q117_latin_inner_flatten(spark: SparkSession, sf: str) -> DataFrame:
     return rels["out"].df
 
 
+def q118_latin_hive_udaf(spark: SparkSession, sf: str) -> DataFrame:
+    """DEFINE f HiveUDAF('name') (builtin/HiveUDAF.java; nightly.conf
+    HiveUDF #4/#5) — the Hive aggregate lowers to the SAME-NAMED Spark
+    aggregate (Spark's registry implements the Hive builtin aggregate
+    surface) with map-side partial aggregation instead of Pig's
+    GenericUDAFEvaluator PARTIAL1/FINAL bridge. Exercises both corpus
+    shapes: avg over a bag column and percentile over a 2-field bag
+    projection whose fraction column folds to a literal via the
+    optimized plan (Hive's constant-argument contract, zero scan)."""
+    from .latin import run
+
+    rels = run(spark, f"""
+        define havg HiveUDAF('avg');
+        define pctl HiveUDAF('percentile');
+        o0 = LOAD '{sf}/orders.parquet' USING ParquetLoader();
+        p = FOREACH o0 GENERATE o_orderpriority, o_custkey, 0.5 AS frac;
+        g = GROUP p BY o_orderpriority;
+        out = FOREACH g GENERATE group AS priority,
+                                 havg(p.o_custkey) AS avg_cust,
+                                 pctl(p.(o_custkey, frac)) AS med_cust;
+    """)
+    return rels["out"].df
+
+
 from .pigmix import PIGMIX_QUERIES  # noqa: E402  (avoids circular import)
 
 _ALL: dict[str, Callable[[SparkSession, str], DataFrame]] = {
@@ -1970,6 +1994,7 @@ _NEW_OR_CHANGED_R5 = {
     "q115_latin_hive_udf",       # new: HiveUDF via Spark registry
     "q116_latin_multi_flatten",  # new: multi-FLATTEN bag cross product
     "q117_latin_inner_flatten",  # new: FLATTEN inside inner FOREACH
+    "q118_latin_hive_udaf",      # new: HiveUDAF → Spark aggregate
     "q52_stream_upper",          # stream stdout casts → try_cast/utf8_cast
     "q13_union_onschema",        # union ONSCHEMA alias dequalification
     "q14_union_positional",      # positional union arity padding
