@@ -190,10 +190,24 @@ def _scale_bench(spark, sf_dir: str, results: dict) -> None:
             big25.write.mode("overwrite").parquet(f"{tmp25}/documents.parquet")
             spark.read.parquet(f"{tmp25}/documents.parquet").write.format("noop").mode("overwrite").save()
             q25: dict[str, float] = {}
-            for name in ("q41_minhash_pairs", "q87_dedup_groups", "q88_contamination"):
+            # all five LSH/CC headliners (VERDICT r5 #7); q41 runs
+            # TWICE adjacent — its r5 25× readings swung 3.7–5.5×
+            # run-to-run, and an intra-session repeat separates
+            # bucket-skew (both readings high) from box noise (one
+            # high, one low)
+            for name in (
+                "q41_minhash_pairs",
+                "q42_ngram_jaccard",
+                "q87_dedup_groups",
+                "q88_contamination",
+                "q100_incremental_dedup",
+            ):
                 t0 = time.time()
                 QUERIES[name](spark, tmp25).write.format("noop").mode("overwrite").save()
                 q25[name] = round(time.time() - t0, 3)
+            t0 = time.time()
+            QUERIES["q41_minhash_pairs"](spark, tmp25).write.format("noop").mode("overwrite").save()
+            q25["q41_minhash_pairs_repeat"] = round(time.time() - t0, 3)
             results["sf_large"]["queries_25x"] = q25
             results["sf_large"]["scale_multiple_2"] = c25
         finally:
@@ -201,6 +215,61 @@ def _scale_bench(spark, sf_dir: str, results: dict) -> None:
     finally:
         shutil.rmtree(tmp1, ignore_errors=True)
         shutil.rmtree(tmp, ignore_errors=True)
+
+
+def _pigmix_scale_bench(spark, sf_dir: str, results: dict) -> None:
+    """PigMix sf1-shape smoke (VERDICT r5 #8): pm01–pm17 re-timed on a
+    10× synthetic rung over the bench SF — events/customer/supplier
+    replicate with per-copy KEY REMAPPING (key → key*10 + copy on both
+    fact and dim sides), so join fan-out and per-key group sizes stay
+    CONSTANT while row counts grow 10× — how a real log grows (more
+    users, same per-user activity). A 1× control in the same tmp
+    parquet shape makes the ratio cache-comparable. Gives the PigMix
+    transliteration its own scaling point beyond the LSH family.
+    Skip with SPARK_GRAFT_PIGMIX_SF1=0."""
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from pig_spark.pigmix import PIGMIX_QUERIES
+
+    copies = 10
+    keyed = {"events": "user_id", "customer": "c_custkey", "supplier": "s_suppkey"}
+    tmp1 = tempfile.mkdtemp(prefix="pig_spark_pm1_")
+    tmp10 = tempfile.mkdtemp(prefix="pig_spark_pm10_")
+    try:
+        for t, key in keyed.items():
+            d = spark.read.parquet(f"{sf_dir}/{t}.parquet")
+            remap1 = d.withColumn(key, F.col(key) * copies)
+            remap1.write.mode("overwrite").parquet(f"{tmp1}/{t}.parquet")
+            big = None
+            for i in range(copies):
+                p = d.withColumn(key, F.col(key) * copies + F.lit(i))
+                if t == "events":
+                    p = p.withColumn("event_id", F.col("event_id") * copies + F.lit(i))
+                big = p if big is None else big.unionByName(p)
+            big.write.mode("overwrite").parquet(f"{tmp10}/{t}.parquet")
+        for t in keyed:
+            for d in (tmp1, tmp10):
+                spark.read.parquet(f"{d}/{t}.parquet").write.format("noop").mode("overwrite").save()
+        base: dict[str, float] = {}
+        large: dict[str, float] = {}
+        for name in sorted(PIGMIX_QUERIES):
+            t0 = time.time()
+            PIGMIX_QUERIES[name](spark, tmp1).write.format("noop").mode("overwrite").save()
+            base[name] = round(time.time() - t0, 3)
+            t0 = time.time()
+            PIGMIX_QUERIES[name](spark, tmp10).write.format("noop").mode("overwrite").save()
+            large[name] = round(time.time() - t0, 3)
+        results["pigmix_sf1"] = {
+            "scale_multiple": copies,
+            "queries_1x": base,
+            "queries_10x": large,
+        }
+    finally:
+        shutil.rmtree(tmp1, ignore_errors=True)
+        shutil.rmtree(tmp10, ignore_errors=True)
 
 
 # markers for the previous-round control A/B: one per major plan
@@ -239,10 +308,21 @@ def _control_bench(spark, sf_dir: str, results: dict) -> None:
             ["git", "-C", repo, "log", "--format=%H %s"],
             capture_output=True, text=True, check=True,
         ).stdout
-        ref = next(
-            (ln.split()[0] for ln in log.splitlines() if re.search(r"\bround \d+:", ln)),
-            None,
-        )
+        head = subprocess.run(
+            ["git", "-C", repo, "rev-parse", "HEAD"],
+            capture_output=True, text=True, check=True,
+        ).stdout.strip()
+        # VERDICT r5 #1: when the driver runs bench right after its own
+        # `round N:` snapshot commit, that commit IS HEAD — comparing
+        # against it times the same code twice. Take the first round
+        # commit that is NOT HEAD so the control is genuinely the
+        # previous round's code, and record its subject for audit.
+        ref, subject = None, None
+        for ln in log.splitlines():
+            sha, _, subj = ln.partition(" ")
+            if sha != head and re.search(r"\bround \d+:", subj):
+                ref, subject = sha, subj
+                break
         if ref is None:
             return
         wt = tempfile.mkdtemp(prefix="pig_spark_ctrl_")
@@ -282,9 +362,14 @@ def _control_bench(spark, sf_dir: str, results: dict) -> None:
             t0 = time.time()
             xfn(spark, sf_dir).write.format("noop").mode("overwrite").save()
             cur_adj[name] = round(time.time() - t0, 3)
-        results["control"] = {"ref": ref[:12], "queries": ctrl, "current_adjacent": cur_adj}
+        results["control"] = {
+            "ref": ref[:12],
+            "subject": subject,
+            "queries": ctrl,
+            "current_adjacent": cur_adj,
+        }
     except Exception as e:  # noqa: BLE001 — control is advisory, never fails the bench
-        results["control"] = {"ref": ref[:12], "error": str(e)[:200]}
+        results["control"] = {"ref": ref[:12], "subject": subject, "error": str(e)[:200]}
     finally:
         if wt in sys.path:
             sys.path.remove(wt)
@@ -341,6 +426,8 @@ def main():
         _control_bench(spark, sf_dir, results)
     if os.environ.get("SPARK_GRAFT_SCALE_BENCH", "1") != "0":
         _scale_bench(spark, sf_dir, results)
+    if os.environ.get("SPARK_GRAFT_PIGMIX_SF1", "1") != "0":
+        _pigmix_scale_bench(spark, sf_dir, results)
     print(json.dumps(results))
 
 

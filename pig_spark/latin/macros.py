@@ -58,6 +58,21 @@ def _extract_macros(src: str) -> tuple[str, dict[str, Macro]]:
         name = m.group(1)
         params = [p.strip() for p in m.group(2).split(",") if p.strip()]
         ret = [r.strip() for r in m.group(3).split(",") if r.strip()]
+        if len(set(p.lower() for p in params)) != len(params):
+            # PigMacro rejects duplicated parameter names (reference
+            # macro.conf negative 'Duplicated parameter')
+            dup = next(p for i, p in enumerate(params) if p.lower() in
+                       [q.lower() for q in params[:i]])
+            raise SyntaxError(f"pig latin: duplicated macro parameter name: {dup}")
+        from .. import functions as _PF
+
+        if callable(getattr(_PF, name.upper(), None)):
+            # Pig rejects macro names that shadow builtin functions
+            # (QueryParserDriver macro validation; macro.conf negative
+            # 'macro name cannot be a built-in function')
+            raise SyntaxError(
+                f"pig latin: macro name {name!r} conflicts with a built-in function"
+            )
         end = _find_block_end(out, m.end() - 1)
         body = out[m.end(): end - 1]
         macros[name.lower()] = Macro(name, params, ret, body)

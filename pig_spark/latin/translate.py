@@ -362,6 +362,60 @@ class _Pipe:
         )
 
 
+@dataclass
+class _SortedCollect:
+    """Internal topk-frame aggregate: collect one LIMIT pipe's column
+    as an array in the pipe's bag iteration order (declared ORDER keys
+    or the pinned stand-in) — the bounded (≤ limit_n) bag arguments of
+    the multi-bag aggregates COR/COV (builtin/COR.java computeAll walks
+    both bags with paired iterators, so positional order matters)."""
+
+    col: str
+    order: list | None = None  # [(frame col, asc)] — set once the frame is built
+
+
+def _pairwise_stats(fn: str, argrefs: list[str]) -> Column:
+    """COR/COV over collected bag-value arrays (builtin/COR.java:66-101
+    exec + computeAll; COV.java:60-95): for each argument pair i<j emit
+    (var_i, var_j, stat) — Pig's output bag — with the running sums of
+    computeAll's dual-iterator walk computed via array aggregates over
+    the zipped arrays, pure codegen. Pig returns null for the whole
+    bag when a pair's iterators misalign (computeAll throws, exec
+    catches); here that is a size mismatch → null result."""
+    eq = F.lit(True)
+    for r in argrefs[1:]:
+        eq = eq & (F.size(F.col(argrefs[0])) == F.size(F.col(r)))
+    pairs = []
+    for i in range(len(argrefs)):
+        for j in range(i + 1, len(argrefs)):
+            a = F.transform(F.col(argrefs[i]), lambda x: x.cast("double"))
+            b = F.transform(F.col(argrefs[j]), lambda x: x.cast("double"))
+            n = F.size(F.col(argrefs[i])).cast("double")
+            sx = F.aggregate(a, F.lit(0.0), lambda acc, x: acc + x)
+            sy = F.aggregate(b, F.lit(0.0), lambda acc, x: acc + x)
+            sxx = F.aggregate(a, F.lit(0.0), lambda acc, x: acc + x * x)
+            syy = F.aggregate(b, F.lit(0.0), lambda acc, x: acc + x * x)
+            sxy = F.aggregate(
+                F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, v: acc + v
+            )
+            if fn == "cor":
+                # (n·Σxy − Σx·Σy) / √((n·Σx² − (Σx)²)(n·Σy² − (Σy)²))
+                stat = (n * sxy - sx * sy) / F.sqrt(
+                    (n * sxx - sx * sx) * (n * syy - sy * sy)
+                )
+            else:
+                # COV.java: (n·Σxy − Σx·Σy) / n²  (population covariance)
+                stat = (n * sxy - sx * sy) / (n * n)
+            pairs.append(
+                F.struct(
+                    F.lit(f"var{i}").alias("var_x"),
+                    F.lit(f"var{j}").alias("var_y"),
+                    stat.alias(fn),
+                )
+            )
+    return F.when(eq, F.array(*pairs))
+
+
 class PigTranslator:
     def __init__(self, spark: SparkSession, params: dict[str, str] | None = None):
         self.spark = spark
@@ -428,6 +482,35 @@ class PigTranslator:
                 import subprocess
 
                 subprocess.run(sh.group(1), shell=True, check=False)
+                continue
+            fsm = _re.match(r"\s*fs\s+-(\w+)\s*(.*?)\s*;?\s*$", line)
+            if fsm:
+                # Grunt `fs -<cmd> args` inside a script (GruntParser.
+                # processFsCommand → hadoop FsShell): local-filesystem
+                # equivalents for the mutating commands; pure-listing
+                # commands (-ls/-cat/-du/-test) are informational in
+                # Grunt and have no plan effect
+                import os as _os
+                import shutil as _sh
+
+                cmd, argstr = fsm.groups()
+                fargs = argstr.split()
+                if cmd in ("rm", "rmr") and fargs:
+                    for a in fargs:
+                        if _os.path.isdir(a):
+                            _sh.rmtree(a, ignore_errors=True)
+                        elif _os.path.exists(a):
+                            _os.remove(a)
+                elif cmd == "mkdir":
+                    for a in fargs:
+                        _os.makedirs(a, exist_ok=True)
+                elif cmd == "mv" and len(fargs) == 2:
+                    _os.replace(fargs[0], fargs[1])
+                elif cmd in ("cp", "copyfromlocal", "copytolocal") and len(fargs) == 2:
+                    if _os.path.isdir(fargs[0]):
+                        _sh.copytree(fargs[0], fargs[1], dirs_exist_ok=True)
+                    else:
+                        _sh.copy(fargs[0], fargs[1])
                 continue
             m = _re.match(r"\s*%(declare|default)\s+(\w+)\s+(.+?)\s*;?\s*$", line)
             if m:
@@ -504,6 +587,18 @@ class PigTranslator:
                 raise NameError(
                     f"unknown storer {stmt.storer!r} — one of "
                     f"{sorted(k for k in LOADER_FORMAT if k)} or DBStorage"
+                )
+            import os as _os
+
+            if storer != "dbstorage" and _os.path.exists(stmt.path):
+                # Pig refuses to clobber an existing output location
+                # (InputOutputFileValidator ERROR 6000, negative.conf
+                # 'store into existing file'); remove it first (fs -rmr)
+                # or store elsewhere — the DSL .store(mode=...) keeps
+                # Spark's explicit-mode semantics for programmatic use
+                raise ValueError(
+                    f"pig latin: output location {stmt.path!r} already exists "
+                    "(ERROR 6000 Output Location Validation Failed)"
                 )
             self._pending_stores.append((self._rel(stmt.rel), stmt.path, store_fn))
             self.stores.append(stmt.path)
@@ -1242,6 +1337,20 @@ class PigTranslator:
         if (
             g is not None
             and isinstance(e, G.Call)
+            and e.func.lower() in ("cor", "cov")
+            and len(e.args) >= 2
+            and all(
+                isinstance(a, G.Col) and a.name.startswith(g.child_alias + ".")
+                for a in e.args
+            )
+        ):
+            # COR/COV over same-bag projections (builtin/COR.java,
+            # COV.java — Algebraic): aggregate, keep the GENERATE
+            # algebraic so it lowers to native corr/covar_pop
+            return True
+        if (
+            g is not None
+            and isinstance(e, G.Call)
             and e.func.lower() in ("size", "arity")
             and len(e.args) == 1
             and isinstance(e.args[0], G.Col)
@@ -1261,6 +1370,7 @@ class PigTranslator:
         key_cols = [c.alias(n) for n, c in g.key_exprs]
         aggs: list[Column] = []
         selects: list[Column] = []
+        flat_aggs: list[tuple[int, str, G.GenItem]] = []  # FLATTEN(<aggregate>)
         seen_names: set[str] = set()
         for i, item in enumerate(op.items):
             e = item.expr
@@ -1272,7 +1382,11 @@ class PigTranslator:
                 name = f"{name}_{i}"
             seen_names.add(name)
             if isinstance(e, G.Col) and e.name == "group":
-                if len(g.key_exprs) == 1:
+                if not g.key_exprs:
+                    # GROUP ALL: Pig's group value is the literal
+                    # 'all' (LOCogroup GROUP ALL semantics)
+                    selects.append(F.lit("all").alias(item.alias or "group"))
+                elif len(g.key_exprs) == 1:
                     # FLATTEN(group) of a single key is Pig's no-op
                     # flatten of a scalar: the field stays named
                     # 'group' (LogicalSchema), so a downstream
@@ -1293,6 +1407,8 @@ class PigTranslator:
                 continue
             aggs.append(self._agg_expr(e, g).alias(name))
             selects.append(F.col(name))
+            if item.flatten:
+                flat_aggs.append((len(selects) - 1, name, item))
         if g.sets is not None:
             names = [n for n, _ in g.key_exprs]
             grouped = child.df.groupingSets(
@@ -1303,6 +1419,35 @@ class PigTranslator:
         else:
             grouped = child.df.groupBy()
         out = grouped.agg(*aggs) if aggs else grouped.agg(F.count(F.lit(1)).alias("__n")).drop("__n")
+        if flat_aggs:
+            # FLATTEN(<bag-valued aggregate>) — e.g. FLATTEN(COR(A.x,
+            # A.y)) in the reference corpus: explode the result bag
+            # post-agg (POForEach flatten of UDF output; an empty/null
+            # bag drops the record) and splat tuple elements' fields,
+            # honoring an AS (name[:type], ...) list. Splices run in
+            # reverse select order so recorded positions stay valid.
+            from pyspark.sql import types as T
+
+            for idx, nm, it in reversed(flat_aggs):
+                dt = out.schema[nm].dataType
+                if isinstance(dt, T.ArrayType):
+                    out = out.withColumn(nm, F.explode(F.col(nm)))
+                    dt = out.schema[nm].dataType
+                if not isinstance(dt, T.StructType):
+                    continue  # FLATTEN of a scalar aggregate: Pig no-op
+                if isinstance(it.alias, list):
+                    if len(it.alias) != len(dt.names):
+                        raise ValueError(
+                            f"pig latin: FLATTEN AS schema has {len(it.alias)} "
+                            f"fields, got {len(dt.names)}"
+                        )
+                    repl = [
+                        (out[nm][f].try_cast(PIG_TO_SPARK_TYPE.get(t2, t2)) if t2 else out[nm][f]).alias(n2)
+                        for f, (n2, t2) in zip(dt.names, it.alias)
+                    ]
+                else:
+                    repl = [out[nm][f].alias(f) for f in dt.names]
+                selects[idx:idx + 1] = repl
         return Relation(out.select(*selects))
 
     # -- nested FOREACH { ... } blocks ---------------------------------
@@ -1388,10 +1533,53 @@ class PigTranslator:
                 )
             base = self._resolve_pipe(st.source, g, pipes)
             if base.arr and st.kind in ("distinct", "filter", "order", "limit", "project"):
-                raise NotImplementedError(
-                    f"nested {st.kind.upper()} chained onto a FLATTENed inner-FOREACH "
-                    "pipe; apply it before the FLATTEN or in the outer GENERATE"
-                )
+                # pipe ops chained onto a FLATTENed inner-FOREACH pipe
+                # (QueryParser.g:921-971 residual corner, closed r6).
+                # FILTER is exact per element (rewrites the per-row
+                # array in place — no shuffle); DISTINCT/ORDER/LIMIT
+                # are group-level bag ops recorded as flags and applied
+                # when the bag assembles at the consumer (_pipe_bag /
+                # _nested_agg) — Pig's own reducer-bag footprint.
+                if st.kind == "filter":
+                    ch = g.child
+                    enames = list(ch.df.schema[base.arr].dataType.elementType.names)
+                    mangled = f"__nfa_{st.alias}"
+                    filtered = F.filter(
+                        ch.df[base.arr],
+                        lambda el: self._elem_expr(st.cond, el, enames),
+                    )
+                    g = G_replace(
+                        g,
+                        child=Relation(ch.df.withColumn(mangled, filtered)),
+                        derived=g.derived + (mangled,),
+                    )
+                    base.arr = mangled
+                elif st.kind == "distinct":
+                    base.distinct = True
+                elif st.kind == "order":
+                    enames = list(g.child.df.schema[base.arr].dataType.elementType.names)
+                    norm = []
+                    for ok in st.cond:
+                        cname, a = ok if isinstance(ok, tuple) else (ok, True)
+                        if cname == "*":
+                            norm.extend((c, a) for c in enames)
+                        elif cname.startswith("$"):
+                            norm.append((enames[int(cname[1:])], a))
+                        elif cname in enames:
+                            norm.append((cname, a))
+                        else:
+                            raise NameError(
+                                f"nested ORDER over FLATTENed pipe: no field {cname!r} "
+                                f"(fields: {enames})"
+                            )
+                    base.ordered = True
+                    base.order_keys = norm
+                elif st.kind == "limit":
+                    base.limited = True
+                    base.limit_n = int(st.cond)
+                # "project" (x = p.col): _resolve_pipe already set base.col
+                pipes[st.alias] = base
+                continue
             if st.kind == "project":
                 pass  # _resolve_pipe already applied the column
             elif st.kind == "distinct":
@@ -1436,7 +1624,9 @@ class PigTranslator:
         )
         if n_flat_pipes > 1 or arr_flat:
             return self._foreach_nested_multiflatten(op, g, pipes)
-        limited_names = {n for n, p in pipes.items() if p.limited}
+        # arr pipes handle their own LIMIT at bag-assembly time
+        # (_pipe_bag slice) — keep them out of the row-level topk path
+        limited_names = {n for n, p in pipes.items() if p.limited and not p.arr}
         if limited_names and any(
             self._pipe_heads(item.expr) & limited_names
             for item in op.items
@@ -1459,7 +1649,11 @@ class PigTranslator:
                 name = f"{name}_{i}"
             seen_names.add(name)
             if isinstance(e, G.Col) and e.name == "group":
-                if len(g.key_exprs) == 1:
+                if not g.key_exprs:
+                    # GROUP ALL: Pig's group value is the literal
+                    # 'all' (LOCogroup GROUP ALL semantics)
+                    selects.append(F.lit("all").alias(item.alias or "group"))
+                elif len(g.key_exprs) == 1:
                     # FLATTEN(group) of a single key is Pig's no-op
                     # flatten of a scalar: the field stays named
                     # 'group' (LogicalSchema), so a downstream
@@ -1531,8 +1725,16 @@ class PigTranslator:
         dtype = rel.df.schema[head].dataType
         if not isinstance(dtype, T.ArrayType):
             return None
-        arr = F.col(head)
-        elem = dtype.elementType
+        return self._agg_over_bag(lfn, F.col(head), dtype.elementType, rest or None)
+
+    @staticmethod
+    def _agg_over_bag(lfn: str, arr: Column, elem, rest: str | None) -> Column:
+        """count/sum/avg/min/max over an ASSEMBLED bag (array) column —
+        array functions only, no extra shuffle (POForEach over DataBag
+        ≅ higher-order functions over arrays; COUNT skips null first
+        fields per COUNT.java:40)."""
+        from pyspark.sql import types as T
+
         if lfn == "count_star":
             return F.size(arr).cast("long")
         if rest:
@@ -1574,7 +1776,15 @@ class PigTranslator:
         if isinstance(e, G.Call) and e.func.lower() in AGG_FUNCS:
             lheads = self._pipe_heads(e) & limited_names
             if len(lheads) > 1:
-                raise NotImplementedError("one aggregate call cannot span two LIMIT pipes")
+                # COUNT/SUM/AVG/MIN/MAX take ONE bag; an argument mixing
+                # two pipes is bag arithmetic, which Pig's type checker
+                # rejects too (TypeCheckingExpVisitor). The multi-bag
+                # aggregates (COR/COV) are handled upstream.
+                raise SyntaxError(
+                    f"{e.func.upper()} argument mixes two nested pipes "
+                    f"({', '.join(sorted(lheads))}); single-bag aggregates take one "
+                    "pipe — use COR/COV for two-bag statistics"
+                )
             gen = f"__agg{combo_idx}_{len(leaves)}"
             leaves.append((gen, next(iter(lheads)) if lheads else None, e))
             return G.Col(gen)
@@ -2134,6 +2344,7 @@ class PigTranslator:
             _topk_cache[lname] = (
                 topk_per_group(kdf, key_names, order_names, pipe.limit_n, ascending=asc),
                 others,
+                list(zip(order_names, asc)),  # bag iteration order (declared or pinned)
             )
             return _topk_cache[lname]
 
@@ -2142,6 +2353,7 @@ class PigTranslator:
         topk_aggs: list[tuple[str, str, object]] = []  # (name, pipe, expr)
         other_aggs: list[tuple[str, object]] = []
         combos: list[tuple[str, object]] = []  # (name, rewritten scalar over agg leaves)
+        multi_exprs: list[tuple[str, list[str], str]] = []  # (name, collected refs, cor|cov)
         layout: list[tuple[str, object]] = []  # (kind, payload) in output order
         seen_names: set[str] = set()
         for i, item in enumerate(op.items):
@@ -2171,6 +2383,37 @@ class PigTranslator:
                 # GENERATE <limit-pipe> — the survivors as a BAG column
                 # (bag of top-k tuples); collected from the topk frame
                 topk_aggs.append((name, e.name.partition(".")[0], e))
+                layout.append(("col", name))
+            elif (
+                heads
+                and isinstance(e, G.Call)
+                and e.func.lower() in ("cor", "cov")
+                and len(e.args) >= 2
+                and all(
+                    isinstance(a, G.Col) and a.name.partition(".")[0] in limited_names
+                    for a in e.args
+                )
+            ):
+                # ONE aggregate call spanning two+ LIMIT pipes
+                # (builtin/COR.java:66-101, COV.java — the multi-bag
+                # aggregates; QueryParser.g:921-971 residual corner,
+                # closed r6): each bag argument collects as an ORDERED
+                # bounded array (≤ limit_n) inside its pipe's top-k
+                # frame, and the pairwise stats zip the stitched arrays
+                # positionally — exactly computeAll's dual-iterator
+                # walk over the two bags.
+                argrefs: list[str] = []
+                for ai, a in enumerate(e.args):
+                    ln, _, c = a.name.partition(".")
+                    if not c:
+                        raise SyntaxError(
+                            f"{e.func.upper()} over a whole-tuple pipe needs a "
+                            f"column (e.g. {ln}.field)"
+                        )
+                    gen = f"__mp{len(multi_exprs)}_{ai}"
+                    topk_aggs.append((gen, ln, _SortedCollect(c)))
+                    argrefs.append(gen)
+                multi_exprs.append((name, argrefs, e.func.lower()))
                 layout.append(("col", name))
             elif heads:
                 # r3: expression COMBINING aggregates — possibly over
@@ -2215,7 +2458,10 @@ class PigTranslator:
                 seen_pipes.append(ln)
         for ln in seen_pipes:
             aggs_for = [(n, e) for n, pl, e in topk_aggs if pl == ln]
-            topk, _ = build_topk(ln)
+            topk, _, bag_order = build_topk(ln)
+            for _, e in aggs_for:  # sorted collects pair in bag order
+                if isinstance(e, _SortedCollect):
+                    e.order = bag_order
             parts.append(
                 topk.groupBy(*[F.col(n) for n in key_names]).agg(
                     *[self._topk_agg(e, topk, ln, g, pipes).alias(n) for n, e in aggs_for]
@@ -2249,6 +2495,8 @@ class PigTranslator:
                     out = out.withColumn(n, F.coalesce(F.col(n), F.lit(0).cast("long")))
             for name, rewritten in combos:
                 out = out.withColumn(name, self._expr(rewritten, Relation(out)))
+            for name, argrefs, fnname in multi_exprs:
+                out = out.withColumn(name, _pairwise_stats(fnname, argrefs))
             agg_out = out
 
         if flat_items:
@@ -2261,7 +2509,7 @@ class PigTranslator:
             # emptied coalesces to 0, Pig's empty-bag count).
             item = flat_items[0]
             lname = next(iter(self._pipe_heads(item.expr) & limited_names))
-            topk, others = build_topk(lname)
+            topk, others, _ = build_topk(lname)
             fproj = pipes[lname].proj or {}
             frename = {v: k for k, v in fproj.items()}
             frame = topk
@@ -2303,6 +2551,24 @@ class PigTranslator:
     def _topk_agg(self, e, topk, lname: str, g: GroupedInfo, pipes: dict[str, "_Pipe"] | None = None) -> Column:
         """Aggregate expression over the top-k survivors (references to
         the LIMIT pipe resolve against the topk DataFrame's columns)."""
+        if isinstance(e, _SortedCollect):
+            # bag-value array for a multi-bag aggregate (COR/COV):
+            # collect (order keys, value), sort in bag iteration order,
+            # strip to the values — bounded by limit_n, pure codegen
+            pipe = pipes[lname] if pipes else _Pipe()
+            src = pipe.proj.get(e.col, e.col) if pipe.proj else e.col
+            if src not in topk.columns:
+                raise NameError(f"nested pipe {lname!r} has no field {e.col!r}")
+            ocols = [(c, a) for c, a in (e.order or []) if c in topk.columns]
+            bag = F.collect_list(
+                F.struct(
+                    *[topk[c].alias(f"__o{i}") for i, (c, _) in enumerate(ocols)],
+                    topk[src].alias("__v"),
+                )
+            )
+            if ocols:
+                bag = _bag_sort(bag, [(f"__o{i}", a) for i, (_, a) in enumerate(ocols)])
+            return F.transform(bag, lambda t: t["__v"])
         if isinstance(e, G.Col) and e.name.partition(".")[0] == lname:
             # GENERATE <limit-pipe>[.field] — the survivors as a BAG
             # (bag of top-k tuples, ordered by the pipe's ORDER keys);
@@ -2540,12 +2806,40 @@ class PigTranslator:
         df = child.df
         if pipe.arr:
             # array-pipe: the per-row arrays concatenate into the
-            # group's bag (collect_list skips FILTER-nulled rows)
-            arr = df[pipe.arr]
+            # group's bag (collect_list skips FILTER-nulled rows).
+            # Chained DISTINCT/ORDER/LIMIT (QueryParser.g:921-971
+            # residual corner, closed r6) run on the CONCATENATED
+            # group bag in Pig's stage order: pipe-level projection
+            # first (d = DISTINCT p.x), then dedupe/sort/slice, then
+            # the consumption-time projection — pure array ops over
+            # ONE collect, the same reducer-bag footprint Pig uses.
+            bag = F.flatten(F.collect_list(df[pipe.arr]))
+            if pipe.col is not None:
+                pleaf = pipe.col.split("::")[-1]
+                bag = F.transform(bag, lambda t: F.struct(t[pleaf].alias(pleaf)))
+            if pipe.distinct:
+                bag = F.array_distinct(bag)
+            if pipe.ordered and pipe.order_keys:
+                bag = _bag_sort(bag, pipe.order_keys)
+            elif pipe.limited:
+                # LIMIT without ORDER = Pig's "any n rows"; pin a
+                # deterministic slice order (orderable fields asc)
+                from pyspark.sql import types as T
+
+                elem = df.schema[pipe.arr].dataType.elementType
+                names = [pipe.col.split("::")[-1]] if pipe.col is not None else elem.names
+                pin = [
+                    (n, True) for n in names
+                    if _orderable(elem[n].dataType if isinstance(elem, T.StructType) else elem)
+                ]
+                if pin:
+                    bag = _bag_sort(bag, pin)
+            if pipe.limited and pipe.limit_n is not None:
+                bag = F.slice(bag, 1, pipe.limit_n)
             if rest:
                 leaf = rest.split("::")[-1]
-                arr = F.transform(arr, lambda t: F.struct(t[leaf].alias(leaf)))
-            return F.flatten(F.collect_list(arr))
+                bag = F.transform(bag, lambda t: F.struct(t[leaf].alias(leaf)))
+            return bag
         cond = self._expr(pipe.cond, child) if pipe.cond is not None else None
         rename = {v: k for k, v in pipe.proj.items()} if pipe.proj else {}
         if rest:
@@ -2713,7 +3007,22 @@ class PigTranslator:
         if head not in pipes and head != g.child_alias:
             return self._agg_expr(e, g)
         if head in pipes and pipes[head].arr:
-            return self._arr_pipe_agg(fn, arg, pipes[head], g)
+            p = pipes[head]
+            if p.distinct or p.limited:
+                # chained DISTINCT/LIMIT change the bag's multiset, so
+                # the per-row-partials shortcut is wrong; aggregate
+                # over the assembled group bag instead (the same
+                # reducer-bag footprint Pig uses for these statements)
+                from pyspark.sql import types as T
+
+                rest = arg.name.partition(".")[2]
+                elem = g.child.df.schema[p.arr].dataType.elementType
+                if p.col is not None:
+                    pleaf = p.col.split("::")[-1]
+                    elem = T.StructType([elem[pleaf]])
+                bag = self._pipe_bag(head, None, g, pipes)
+                return self._agg_over_bag(fn, bag, elem, rest or None)
+            return self._arr_pipe_agg(fn, arg, p, g)
         pipe = self._resolve_pipe(arg.name, g, pipes)
         if pipe.limited:
             raise NotImplementedError(
@@ -2780,12 +3089,44 @@ class PigTranslator:
         fold them, else via a distinct-check scan that raises on
         non-constant input exactly like Hive does."""
         child = g.child
+        if "." in hname or not self.spark.catalog.functionExists(hname):
+            # scope decision (COVERAGE.md §2.4, r6): only the Hive
+            # BUILTIN aggregate surface (Spark's Hive-compatible
+            # registry) resolves; arbitrary custom-jar
+            # GenericUDAFEvaluator classes (HiveUDAF.java
+            # PARTIAL1/FINAL bridge) are version-interop, out of
+            # scope like MAPREDUCE/HBase
+            raise NotImplementedError(
+                f"HiveUDAF({hname!r}): only Hive BUILTIN aggregates resolve "
+                "(Spark's Hive-compatible registry); custom-jar evaluator "
+                "classes are out of scope — re-express with builtin "
+                "aggregates or a pandas agg_func UDF"
+            )
 
         def resolve(a) -> list[Column]:
             if isinstance(a, G.MultiCol):
                 base = a.rel
-                if base != g.child_alias and base not in child.df.columns:
-                    raise SyntaxError(f"{hname}: unknown bag {base!r} in UDAF argument")
+                if base != g.child_alias:
+                    # base is a COLUMN of the child (r5 review finding:
+                    # falling through projected same-named top-level
+                    # columns instead): resolve tuple fields through
+                    # the struct; bag columns need a row-per-element
+                    # shape first
+                    from pyspark.sql import types as T
+
+                    if base not in child.df.columns:
+                        raise SyntaxError(f"{hname}: unknown bag {base!r} in UDAF argument")
+                    dt = child.df.schema[base].dataType
+                    if isinstance(dt, T.StructType):
+                        names = dt.fieldNames()
+                        return [
+                            child.df[base][names[int(c[1:])] if c.startswith("$") else c]
+                            for c in a.cols
+                        ]
+                    raise NotImplementedError(
+                        f"HiveUDAF {hname} over the nested bag column {base!r}; "
+                        "FLATTEN the bag into rows first, then GROUP and call the UDAF"
+                    )
                 return [self._expr(G.Col(c), child) for c in a.cols]
             if isinstance(a, G.Col):
                 name = a.name
@@ -2811,9 +3152,15 @@ class PigTranslator:
         """Fold a column the callee requires to be a constant into a
         literal. Fast path: Catalyst's optimized plan of a 1-column
         projection — a constant column folds to a Literal node with
-        zero data scanned. Fallback (plan introspection unavailable):
-        a 2-row distinct probe that raises on genuinely non-constant
-        input — the same contract violation Hive reports."""
+        zero data scanned; primitive/UTF8String/Decimal literal values
+        convert natively, other internal literal encodings (dates,
+        timestamps eval to raw ints) fall through to the probe.
+        Fallback (plan introspection unavailable or non-primitive
+        literal): a 2-row distinct probe — note this runs an EAGER
+        Spark job at translation time — that raises on genuinely
+        non-constant input (the same contract violation Hive reports)
+        and on an empty relation (the fraction would otherwise surface
+        later as an opaque 'percentage must not be null' error)."""
         try:
             jplan = child.df.select(c.alias("__v"))._jdf.queryExecution().optimizedPlan()
             exprs = jplan.expressions()
@@ -2823,9 +3170,14 @@ class PigTranslator:
                     je = je.child()
                 if je.getClass().getSimpleName() == "Literal":
                     v = je.eval(None)
-                    if v is not None and not isinstance(v, (int, float, bool, str)):
-                        v = v.toString()  # UTF8String / Decimal → str
-                    return F.lit(v)
+                    if v is None or isinstance(v, (int, float, bool, str)):
+                        return F.lit(v)
+                    cls = v.getClass().getSimpleName() if hasattr(v, "getClass") else ""
+                    if cls == "UTF8String":
+                        return F.lit(v.toString())
+                    if cls == "Decimal":  # e.g. a 0.5 fraction typed decimal
+                        return F.lit(float(v.toJavaBigDecimal().doubleValue()))
+                    # other internal encodings: let the probe handle it
         except Exception:
             pass
         rows = child.df.select(c.alias("__v")).distinct().limit(2).collect()
@@ -2834,13 +3186,53 @@ class PigTranslator:
                 f"{ctx}: argument must be constant across all rows "
                 f"(Hive constant-argument contract); found ≥2 values"
             )
-        return F.lit(rows[0][0] if rows else None)
+        if not rows:
+            raise ValueError(
+                f"{ctx}: constant argument cannot be derived from an EMPTY "
+                "relation (the aggregate's fraction/parameter would be null)"
+            )
+        return F.lit(rows[0][0])
 
     def _agg_expr(self, e, g: GroupedInfo) -> Column:
         child = g.child
         hname = self._hive_udaf(e)
         if hname is not None:
             return self._hive_agg(hname, e, g)
+        if (
+            isinstance(e, G.Call)
+            and e.func.lower() in ("cor", "cov")
+            and len(e.args) >= 2
+            and all(
+                isinstance(a, G.Col) and a.name.startswith(g.child_alias + ".")
+                for a in e.args
+            )
+        ):
+            # COR/COV over same-bag projections (builtin/COR.java exec:
+            # bag of (var_i, var_j, stat) per pair i<j). Positional
+            # pairing of same-bag projections IS row pairing, so the
+            # stats lower to native corr/covar_pop — COV.java's
+            # (n·Σxy − ΣxΣy)/n² is exactly covar_pop; COR.java's
+            # formula is Pearson r ≡ Spark corr. Map-side partials,
+            # no bag ever materializes.
+            cols = [
+                self._expr(G.Col(a.name.split(".", 1)[1]), child) for a in e.args
+            ]
+            fn = e.func.lower()
+            pairs = []
+            for i in range(len(cols)):
+                for j in range(i + 1, len(cols)):
+                    stat = (
+                        F.corr(cols[i], cols[j]) if fn == "cor"
+                        else F.covar_pop(cols[i], cols[j])
+                    )
+                    pairs.append(
+                        F.struct(
+                            F.lit(f"var{i}").alias("var_x"),
+                            F.lit(f"var{j}").alias("var_y"),
+                            stat.alias(fn),
+                        )
+                    )
+            return F.array(*pairs)
         if isinstance(e, G.Call):
             fn = e.func.lower()
             if (
@@ -2981,9 +3373,11 @@ class PigTranslator:
                 "Spark-side bag; other UDTFs need the Hive bridge"
             )
         raise SyntaxError(
-            f"HiveUDAF({hname!r}) is an aggregate — call it in a FOREACH "
-            "over a GROUP/COGROUP alias (it lowers to the Spark aggregate "
-            "of the same name)"
+            f"HiveUDAF({hname!r}) is an aggregate — call it in a FOREACH over a "
+            "plain GROUP alias whose GENERATE holds only aggregate calls and "
+            "group keys (it lowers to the Spark aggregate of the same name); "
+            "for COGROUP bags or GENERATEs mixing per-row expressions, aggregate "
+            "in a separate FOREACH first"
         )
 
     def _bool_expr(self, e, rel: Relation) -> Column:
@@ -3010,6 +3404,64 @@ class PigTranslator:
             if isinstance(dtype, T.StringType):
                 return c.try_cast("boolean")
         return c
+
+    def _elem_expr(self, e, el: Column, names: list[str]) -> Column:
+        """Expression over ONE bag element (array-HOF lambda variable
+        ``el``) — the _expr subset a nested FILTER chained onto a
+        FLATTENed inner-FOREACH pipe can reference: element fields,
+        positional $N, literals, comparisons, matches, bincond, casts.
+        No relation context exists inside a lambda, so scalar/UDF
+        references raise with guidance."""
+        if isinstance(e, G.Num):
+            t = e.value.lower()
+            return F.lit(float(t.rstrip("f")) if "." in t or "e" in t else int(t.rstrip("l")))
+        if isinstance(e, G.Str):
+            return F.lit(e.value)
+        if isinstance(e, G.Bool):
+            return F.lit(e.value)
+        if isinstance(e, G.Null):
+            return F.lit(None)
+        if isinstance(e, G.Col):
+            nm = e.name.split(".")[-1]
+            if nm.startswith("$"):
+                return el[names[int(nm[1:])]]
+            leaf = nm.split("::")[-1]
+            if leaf in names:
+                return el[leaf]
+            raise NameError(
+                f"nested FILTER over FLATTENed pipe: no field {nm!r} (fields: {names})"
+            )
+        if isinstance(e, G.Bin):
+            if e.op == "and":
+                return self._elem_expr(e.left, el, names) & self._elem_expr(e.right, el, names)
+            if e.op == "or":
+                return self._elem_expr(e.left, el, names) | self._elem_expr(e.right, el, names)
+            return _binop(
+                e.op, self._elem_expr(e.left, el, names), self._elem_expr(e.right, el, names)
+            )
+        if isinstance(e, G.Un):
+            c = self._elem_expr(e.operand, el, names)
+            return ~c if e.op == "not" else -c
+        if isinstance(e, G.IsNull):
+            c = self._elem_expr(e.operand, el, names)
+            return c.isNotNull() if e.negated else c.isNull()
+        if isinstance(e, G.Matches):
+            return PF.MATCHES(self._elem_expr(e.operand, el, names), e.pattern)
+        if isinstance(e, G.InList):
+            return self._elem_expr(e.operand, el, names).isin(*[_const(o) for o in e.options])
+        if isinstance(e, G.BinCond):
+            return F.when(
+                self._elem_expr(e.cond, el, names), self._elem_expr(e.then, el, names)
+            ).otherwise(self._elem_expr(e.otherwise, el, names))
+        if isinstance(e, G.Cast):
+            return self._elem_expr(e.operand, el, names).try_cast(
+                PIG_TO_SPARK_TYPE.get(e.type, e.type)
+            )
+        raise NotImplementedError(
+            "nested FILTER chained onto a FLATTENed pipe supports field/literal/"
+            f"comparison expressions (got {type(e).__name__}); move the FILTER "
+            "before the inner FOREACH for the full expression surface"
+        )
 
     def _expr(self, e, rel: Relation) -> Column:
         if isinstance(e, G.Num):
@@ -3209,38 +3661,70 @@ class PigTranslator:
                     f"pig latin: no function {leaf!r} in namespace {ns!r}{_suggest(leaf, sorted(funcs))}"
                 )
             return udf_col(*[self._expr(a, rel) for a in e.args])
-        if fname.upper() == "TOBAG" and any(
-            isinstance(a, G.Call) and a.func.upper() == "TOTUPLE" for a in e.args
-        ):
-            # bag-of-TUPLES literal {(1,'a'),(2,'b')}: TOBAG.java
-            # inserts tuple arguments as-is — only scalars get wrapped
-            # into single-field tuples
-            return F.array(*[self._expr(a, rel) for a in e.args])
+        if fname.upper() == "TOTUPLE" and e.args:
+            # TOTUPLE.java: fields inherit the argument names; repeated
+            # columns (TOTUPLE($0,$0,$0)) and expressions get POSITIONAL
+            # names so later field access / storage isn't ambiguous.
+            # Untyped null constants become chararray nulls (bytearray).
+            cols = []
+            used: set[str] = set()
+            for i, a in enumerate(e.args):
+                c = self._expr(a, rel)
+                if isinstance(a, G.Null):
+                    c = c.cast("string")
+                nm = _default_name(a, i)
+                if not nm or nm.startswith("$") or not nm.replace("_", "a").isalnum():
+                    nm = f"col{i}"
+                if nm in used:
+                    nm = f"{nm}_{i}"
+                used.add(nm)
+                cols.append(c.alias(nm))
+            return F.struct(*cols)
         if fname.upper() == "TOBAG" and e.args:
-            # TOBAG over TUPLE-typed columns: tuples insert as-is
-            # (TOBAG.java — only scalars get wrapped); Spark arrays
-            # need ONE element type, so later tuples' fields rename
-            # positionally to the first tuple's names
+            # TOBAG.java: tuple arguments insert as-is, scalars wrap
+            # into single-field tuples. Spark arrays need ONE element
+            # type, so tuple schemas unify positionally — names from
+            # the widest tuple, numeric widening, chararray fallback
+            # (Pig's merged-or-bytearray output schema), null-padding
+            # for shorter tuples; scalar bags unify the same way.
             from pyspark.sql import types as T
 
             arg_cols = [self._expr(a, rel) for a in e.args]
+            for i, a in enumerate(e.args):
+                if isinstance(a, G.Null):
+                    arg_cols[i] = arg_cols[i].cast("string")
             try:
                 probe = rel.df.select(*[c.alias(f"__tb{i}") for i, c in enumerate(arg_cols)]).schema
                 types = [f.dataType for f in probe.fields]
             except Exception:
                 types = []
-            if (
-                types
-                and all(isinstance(t, T.StructType) for t in types)
-                and all(len(t.fields) == len(types[0].fields) for t in types)
-            ):
-                names = types[0].names
-                return F.array(
-                    *[
-                        F.struct(*[c[t.names[i]].alias(names[i]) for i in range(len(names))])
-                        for c, t in zip(arg_cols, types)
+            if types and all(isinstance(t, T.StructType) for t in types):
+                arity = max(len(t.fields) for t in types)
+                base = next(t for t in types if len(t.fields) == arity)
+                names = list(base.names)
+                targets = [
+                    _common_type([
+                        t[t.names[i]].dataType if i < len(t.fields) else None
+                        for t in types
+                    ]).simpleString()
+                    for i in range(arity)
+                ]
+                elems = []
+                for c, t in zip(arg_cols, types):
+                    fields = [
+                        (c[t.names[i]] if i < len(t.fields) else F.lit(None))
+                        .cast(targets[i])
+                        .alias(names[i])
+                        for i in range(arity)
                     ]
+                    elems.append(F.struct(*fields))
+                return F.array(*elems)
+            if types and not any(isinstance(t, T.StructType) for t in types):
+                target = _common_type(types).simpleString()
+                return F.array(
+                    *[F.struct(c.cast(target).alias("t")) for c in arg_cols]
                 )
+            return F.array(*arg_cols)  # schema probe unavailable / mixed
         fn = getattr(PF, fname, None) or getattr(PF, fname.upper(), None)
         if fn is None:
             known = [n for n in dir(PF) if not n.startswith("_")]
@@ -3349,6 +3833,33 @@ def _single_alias(alias) -> tuple[str | None, str | None]:
     if isinstance(alias, str) or alias is None:
         return alias, None
     return None, None  # multi-field schema — caller splats positionally
+
+
+def _common_type(ts):
+    """Widest common Spark type for TOBAG element unification
+    (TOBAG.java output schema: mergeable field types merge, otherwise
+    the field degrades to bytearray ≅ chararray here): identical →
+    itself, all-numeric → the widest, else string. Nulls/voids defer
+    to the other elements."""
+    from pyspark.sql import types as T
+
+    nn = [t for t in ts if t is not None and not isinstance(t, T.NullType)]
+    if not nn:
+        return T.StringType()
+    if all(t.simpleString() == nn[0].simpleString() for t in nn):
+        return nn[0]
+    order = [T.ByteType, T.ShortType, T.IntegerType, T.LongType, T.FloatType, T.DoubleType]
+
+    def rank(t):
+        for i, cls in enumerate(order):
+            if isinstance(t, cls):
+                return i
+        return None
+
+    ranks = [rank(t) for t in nn]
+    if all(r is not None for r in ranks):
+        return order[max(ranks)]()
+    return T.StringType()
 
 
 def _bag_sort(bag: Column, order: list[tuple[str, bool]]) -> Column:

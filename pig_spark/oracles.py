@@ -659,6 +659,42 @@ def oracle_sql() -> dict[str, str]:
             FROM lineitem""",
         "q115_latin_hive_udf": """
             SELECT c_custkey, upper(c_name) AS uname FROM customer""",
+        "q119_latin_cor_two_pipes": """
+            WITH a AS (SELECT o_orderpriority AS p, o_totalprice AS v, o_custkey AS c,
+                              row_number() OVER (PARTITION BY o_orderpriority
+                                   ORDER BY o_orderkey ASC) AS rn
+                       FROM orders),
+                 b AS (SELECT o_orderpriority AS p, o_totalprice AS v,
+                              row_number() OVER (PARTITION BY o_orderpriority
+                                   ORDER BY o_orderkey DESC) AS rn
+                       FROM orders),
+                 j AS (SELECT a.p, a.v AS x, b.v AS y, a.c
+                       FROM a JOIN b ON a.p = b.p AND a.rn = b.rn
+                       WHERE a.rn <= 20)
+            SELECT p AS prio, 'var0' AS cx, 'var1' AS cy,
+                   round(corr(x, y), 6) AS r,
+                   'var0' AS vx, 'var1' AS vy,
+                   round(covar_pop(x, c), 4) AS cv
+            FROM j GROUP BY p""",
+        "q120_latin_arr_pipe_ops": """
+            WITH tok AS (SELECT lang, u.x AS word
+                         FROM (SELECT lang,
+                                      string_split_regex(trim(text), '\\s+') AS toks
+                               FROM documents) t, unnest(t.toks) AS u(x)
+                         WHERE u.x <> ''),
+                 f AS (SELECT lang, word FROM tok
+                       WHERE word <> 'the' AND word <> 'a'),
+                 agg AS (SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_filtered,
+                                CAST(COUNT(DISTINCT word) AS BIGINT) AS n_distinct
+                         FROM f GROUP BY lang),
+                 d AS (SELECT DISTINCT lang, word FROM f),
+                 r AS (SELECT lang, word,
+                              row_number() OVER (PARTITION BY lang
+                                   ORDER BY word DESC) AS rn
+                       FROM d)
+            SELECT agg.lang, agg.n_filtered, agg.n_distinct, r.word AS w
+            FROM agg JOIN r ON agg.lang = r.lang
+            WHERE r.rn <= 5""",
         "q118_latin_hive_udaf": """
             SELECT o_orderpriority AS priority,
                    AVG(o_custkey) AS avg_cust,

@@ -1968,6 +1968,65 @@ def q118_latin_hive_udaf(spark: SparkSession, sf: str) -> DataFrame:
     return rels["out"].df
 
 
+def q119_latin_cor_two_pipes(spark: SparkSession, sf: str) -> DataFrame:
+    """ONE aggregate call spanning two LIMIT pipes (QueryParser.g:
+    921-971 residual corner, closed r6): the multi-bag aggregates
+    COR/COV (builtin/COR.java:66-101, COV.java) over nested top-k
+    pipes. Each bag argument collects as an ORDERED bounded array
+    (≤ limit_n) inside its pipe's top-k frame — one window over one
+    shuffle per pipe, frames stitched with a full_outer equi-join on
+    the group key — and the pairwise stats zip the arrays positionally,
+    exactly computeAll's dual-iterator walk. COV additionally exercises
+    the same-pipe two-argument form."""
+    from .latin import run
+
+    rels = run(spark, f"""
+        o0 = LOAD '{sf}/orders.parquet' USING ParquetLoader();
+        g = GROUP o0 BY o_orderpriority;
+        out = FOREACH g {{
+            s1 = ORDER o0 BY o_orderkey;      l1 = LIMIT s1 20;
+            s2 = ORDER o0 BY o_orderkey DESC; l2 = LIMIT s2 20;
+            GENERATE group AS prio,
+                     COR(l1.o_totalprice, l2.o_totalprice) AS corbag,
+                     COV(l1.o_totalprice, l1.o_custkey) AS covbag;
+        }};
+        flat = FOREACH out GENERATE prio,
+                   FLATTEN(corbag) AS (cx:chararray, cy:chararray, r:double),
+                   FLATTEN(covbag) AS (vx:chararray, vy:chararray, cv:double);
+        fin = FOREACH flat GENERATE prio, cx, cy, ROUND_TO(r, 6) AS r,
+                                    vx, vy, ROUND_TO(cv, 4) AS cv;
+    """)
+    return rels["fin"].df
+
+
+def q120_latin_arr_pipe_ops(spark: SparkSession, sf: str) -> DataFrame:
+    """Pipe ops chained onto a FLATTENed inner-FOREACH pipe (the other
+    QueryParser.g:921-971 residual corner, closed r6): FILTER runs
+    per-element inside the per-row array (pure codegen, no shuffle);
+    DISTINCT/ORDER/LIMIT dedupe, sort and slice the CONCATENATED group
+    bag at assembly time (_pipe_bag) — the same reducer-bag footprint
+    Pig uses for these statements. Consumers exercised: aggregate over
+    the filtered pipe (per-row partials), aggregate over the DISTINCT
+    pipe (group-bag path), and FLATTEN of the ordered+limited pipe."""
+    from .latin import run
+
+    rels = run(spark, f"""
+        d0 = LOAD '{sf}/documents.parquet' USING ParquetLoader();
+        t = FOREACH d0 GENERATE lang, TOKENIZE(text) AS words;
+        g = GROUP t BY lang;
+        out = FOREACH g {{
+            w = FOREACH t GENERATE FLATTEN(words) AS word;
+            f = FILTER w BY word != 'the' AND word != 'a';
+            d = DISTINCT f;
+            o = ORDER d BY word DESC;
+            l = LIMIT o 5;
+            GENERATE group AS lang, COUNT(f) AS n_filtered,
+                     COUNT(d) AS n_distinct, FLATTEN(l.word) AS w;
+        }};
+    """)
+    return rels["out"].df
+
+
 from .pigmix import PIGMIX_QUERIES  # noqa: E402  (avoids circular import)
 
 _ALL: dict[str, Callable[[SparkSession, str], DataFrame]] = {
@@ -1979,27 +2038,44 @@ _ALL.update(PIGMIX_QUERIES)
 
 # The driver's correctness gate checks the FIRST 50 entries in dict
 # order. Order by verification need, not by name (rebuilt each round;
-# VERDICT r4 "Next round" #1): (0) new-in-r5 queries + queries whose
-# Spark side changed this round — the changes must earn a green driver
-# row; (1) the 27-query r2-stale backlog (the part of r4's _STALE_R2
-# that did not fit r4's 50-row window — re-greening them completes a
-# fully driver-current board: every catalog query's newest evidence
-# ≥ r3); (2) the r3-evidence block (oldest remaining — the ~15 spare
-# slots rotate them toward r5 freshness); (3) the 50 queries r4's
-# window just re-verified.
-_NEW_OR_CHANGED_R5 = {
-    "q112_latin_bag_pipe",       # new: GENERATE <limit-pipe> as a bag
-    "q113_latin_nested_cross",   # new: nested CROSS of COGROUP bags
-    "q114_latin_inline_group",   # new: inline FOREACH (GROUP p ALL)
-    "q115_latin_hive_udf",       # new: HiveUDF via Spark registry
-    "q116_latin_multi_flatten",  # new: multi-FLATTEN bag cross product
-    "q117_latin_inner_flatten",  # new: FLATTEN inside inner FOREACH
-    "q118_latin_hive_udaf",      # new: HiveUDAF → Spark aggregate
-    "q52_stream_upper",          # stream stdout casts → try_cast/utf8_cast
-    "q13_union_onschema",        # union ONSCHEMA alias dequalification
-    "q14_union_positional",      # positional union arity padding
+# VERDICT r5 "Next round" #2): (0) new-in-r6 queries + queries whose
+# Spark lowering changed this round (nested-block corner closures,
+# TOBAG/TOTUPLE unification, GROUP-ALL 'all' literal, _fold_constant
+# hardening) — the changes must earn a green driver row; (1) the
+# 36-query r3-evidence block — the oldest remaining evidence; after
+# this window every catalog query's newest driver evidence is ≥ r4;
+# (2) the r4-evidence block takes the spare slots; (3) the 50 queries
+# r5's window just re-verified.
+_NEW_OR_CHANGED_R6 = {
+    "q119_latin_cor_two_pipes",  # new: COR/COV spanning two LIMIT pipes
+    "q120_latin_arr_pipe_ops",   # new: ops chained onto FLATTENed pipe
+    "q112_latin_bag_pipe",       # _pipe_bag arr-branch rework
+    "q113_latin_nested_cross",   # nested-agg/pipe-bag shared paths
+    "q114_latin_inline_group",   # GROUP ALL 'all' literal change
+    "q116_latin_multi_flatten",  # multiflatten consumes _pipe_bag
+    "q117_latin_inner_flatten",  # arr-pipe consumer routing change
+    "q118_latin_hive_udaf",      # _hive_agg resolve/_fold_constant fixes
+    "q53_bag_ops",               # TOBAG/TOTUPLE unification
+    "q59_nested_distinct",       # nested-block statement-loop edits
+    "q60_nested_filter",         # nested-block statement-loop edits
+    "q79_latin_nested_limit",    # topk path touched (_SortedCollect)
 }
-# r4's gate window (minus any re-listed above): freshest evidence, last
+# newest driver evidence = round 3 (VERDICT r5 #2's list) — tier 1
+_STALE_R3 = {
+    "q09_join_multiway", "q10_semi_join", "q31_json_map", "q55_strsplit",
+    "q57_cast_gradual", "q58_events_hourly", "q65_sessionize",
+    "q66_asof_attribution", "q67_multimodal_meta", "q75_funnel",
+    "q77_hypertable_rollup", "q78_sketch_uniques", "q82_latin_two_limit_pipes",
+    "q83_latin_distinct_limit", "q84_quantile_rollup", "q85_stratified_sample",
+    "q86_token_packing", "q87_dedup_groups", "q88_contamination",
+    "q89_repetition", "q90_pii_redaction", "q91_dedup_survivors", "q92_gapfill",
+    "q93_latin_corpus_pipeline", "q94_doc_chunks", "q95_mixture_sample",
+    "q96_split_assign", "q97_top_ngrams", "q98_latin_window_over",
+    "q99_piggybank_funcs", "q100_incremental_dedup", "q101_latin_chunk_pipeline",
+    "q102_contamination_bloom", "q103_log_parse", "q104_cohort_retention",
+    "q105_volume_anomaly",
+}
+# newest driver evidence = round 4 — tier 2 (spare slots rotate these)
 _FRESH_R4 = {
     "q106_cms_frequencies", "q107_latin_multi_stitch", "q108_latin_unordered_limit",
     "q109_incremental_dedup_verified", "q110_latin_flatten_with_aggs", "q111_domain_caps",
@@ -2016,28 +2092,16 @@ _FRESH_R4 = {
     "pm04_nested_distinct_count", "pm05_cogroup_anti", "pm09_order_single",
     "pm10_order_mixed", "pm11_distinct_union",
 }
-# newest driver evidence = round 2 (r4's backlog — queries.py:1830 r4
-# comment block); all 27 fit this window alongside tier 0
-_STALE_R2 = {
-    "pm12_split_multistore", "pm13_left_outer_join", "pm14_merge_join",
-    "pm16_nested_order_sum", "q19_rank_global", "q32_sample", "q45_cosine_pairs",
-    "q53_bag_ops", "q54_map_ops", "q56_theta_join", "q59_nested_distinct",
-    "q60_nested_filter", "q61_median", "q62_corr_cov", "q63_decimal_types",
-    "q64_bloom_filter", "q68_ann_ivf", "q69_range_join", "q70_latin_script",
-    "q71_latin_join_script", "q72_latin_nested_block", "q73_latin_macro",
-    "q74_latin_cube", "q76_corpus_clean", "q79_latin_nested_limit",
-    "q80_skewed_join", "q81_latin_bigdata_chain",
-}
 
 
 def _order_key(name: str) -> tuple[int, str]:
-    if name in _NEW_OR_CHANGED_R5:
+    if name in _NEW_OR_CHANGED_R6:
         return (0, name)
-    if name in _STALE_R2:
+    if name in _STALE_R3:
         return (1, name)
     if name in _FRESH_R4:
-        return (3, name)
-    return (2, name)  # r3-evidence block fills the spare slots
+        return (2, name)
+    return (3, name)  # r5-fresh evidence — verified last round, go last
 
 
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {

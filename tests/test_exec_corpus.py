@@ -7,7 +7,7 @@ blocks excluded — their failure is correct behavior) runs END-TO-END
 on this engine against synthesized versions of the reference's own
 fixtures (generate_data.pl shapes: studenttab, votertab, nulltabs,
 studentcolon, studentcomplextab, allscalar, prerank, textdoc, CJK
-utf8 paths, ctrl-A delimited). Current: 433/435 (99.5%). The
+utf8 paths, ctrl-A delimited). Current: 451/452 (99.8%; r6 adds the q?-delimited TOTUPLE/TOBAG suites). The
 gate asserts a floor on scripts that execute without error — it's a
 does-the-translator-produce-a-runnable-plan gate, not a value oracle
 (the reference harness verifies values against real Pig; our value
@@ -34,7 +34,7 @@ _CONFS = (
     "bigdata.conf", "utf8.conf", "orc.conf",  # r5: +21 snippets
     "streaming.conf",  # r5: q#-delimited STREAM suites
 )
-_FLOOR = 425
+_FLOOR = 448
 
 _SKIP_MARKERS = (
     ":scripthomepath:", "testudf.jar", ":mapredjars:", "jruby",
@@ -158,6 +158,25 @@ def fixture_dir(tmp_path_factory):
         f"{d}/singlefile/studentctrla10k",
         [ln.replace("\t", "\x01") for ln in student[:500]],
     )
+    # existing-output fixture for the negative 'store into existing
+    # location' test (ERROR 6000)
+    _w(f"{d}/singlefile/fileexists", ["occupied"])
+    # types/numbers.txt: colon-delimited numeric table for the
+    # TOTUPLE/TOBAG q?-delimited suites (r6): 8 int/long/float/double
+    # fields per the suites' AS clause
+    os.makedirs(f"{d}/types", exist_ok=True)
+    _w(
+        f"{d}/types/numbers.txt",
+        [
+            ":".join([
+                str(rng.randint(0, 1000)), str(i), str(rng.randint(0, 5)),
+                str(rng.randint(0, 100)), str(rng.randint(0, 10**6)),
+                str(rng.randint(0, 10**12)), f"{rng.uniform(0, 100):.2f}",
+                f"{rng.uniform(0, 1000):.4f}",
+            ])
+            for i in range(500)
+        ],
+    )
     # relative-path fixture: one snippet does `load 'sample'` with a
     # cwd-relative name (the perl harness ships it; the gate runs with
     # cwd = fixture dir, matching the harness's working directory)
@@ -215,4 +234,99 @@ def test_reference_e2e_corpus_executes(spark, fixture_dir):
     assert ok >= _FLOOR, (
         f"execution coverage regressed: {ok}/{total} (floor {_FLOOR}); "
         + "; ".join(failures[:8])
+    )
+
+
+# negative.conf is ENTIRELY expected_err blocks; macro.conf and
+# nightly.conf carry a few more (bad macro arity, duplicate aliases,
+# scalar >1-row …). The reference harness asserts these FAIL.
+_NEG_CONFS = _CONFS + ("negative.conf",)
+_NEG_FLOOR = 33
+
+# negative snippets that do NOT raise here, each a deliberate leniency
+# (this engine supports a shape old Pig rejected) — documented
+# divergences, not missed validations:
+_NEG_ALLOW_SILENT: tuple[str, ...] = (
+    # nested inner-FOREACH + FLATTEN of the pipe: supported here
+    # (q117/q120 lowering); the conf predates Pig 0.10 nested_op
+    "bb = foreach ba generate gpa",
+    # nested CROSS of COGROUP bags: supported here (q113 lowering)
+    "e = cross a,b",
+    # bare realias `b = a;`: the reference grammar ITSELF accepts this
+    # (QueryParser.g:364 realias_clause); the negative entry is marked
+    # 'ignore' and predates the grammar rule
+    "b = a;",
+    # stream.skippath validation is MR ship-file machinery — the
+    # stream runs fine without shipping here (operators/stream.py)
+    "stream.skippath",
+    # expected 'ERROR 1108 Duplicate schema alias' — but the POSITIVE
+    # TOTUPLE suite in the same conf stores the identical
+    # duplicate-alias shape (T3 = TOTUPLE($0,$0,$0)) successfully
+    # ('different error message for different version' block); we
+    # dedupe tuple field names positionally, satisfying the positive
+    # block — the two reference expectations are mutually exclusive
+    "TOTUPLE((int) $0",
+)
+
+
+def test_reference_e2e_corpus_negative(spark, fixture_dir):
+    """expected_err corpus snippets are NEGATIVE tests (reference
+    test/e2e/pig/tests/negative.conf + the expected_err blocks of the
+    other suites; VERDICT r5 #3): real Pig REJECTS each of these
+    scripts, so this engine raising is the correct outcome and a
+    silent success means we accept a script Pig errors on. Asserts a
+    floor on raising snippets and that every silent success is on the
+    documented-leniency allowlist."""
+    if not os.path.isdir(_CONF_DIR):
+        pytest.skip("reference e2e corpus not available")
+    from test_parse_corpus import extract_snippets
+
+    total = raised = 0
+    silent: list[str] = []
+    outn = 9000
+    out_root = f"{fixture_dir}/out"
+    prev_cwd = os.getcwd()
+    os.chdir(fixture_dir)
+    try:
+        with warnings.catch_warnings():
+            warnings.simplefilter("ignore")
+            for conf in _NEG_CONFS:
+                path = os.path.join(_CONF_DIR, conf)
+                if not os.path.exists(path):
+                    continue
+                with open(path, errors="replace") as fh:
+                    src = fh.read()
+                for s, negative in extract_snippets(src):
+                    if not negative or any(m in s.lower() for m in _SKIP_MARKERS):
+                        continue
+                    total += 1
+                    outn += 1
+                    script = (
+                        s.replace(":INPATH:", fixture_dir)
+                        .replace(":OUTPATH:", f"{out_root}/{outn}")
+                        .replace(":PIGGYBANKJAR:", "piggybank.jar;")
+                    )
+                    try:
+                        rels = run(spark, script)
+                        # force lazy plans: an expected RUNTIME error
+                        # (cast contract, scalar >1 row) only surfaces
+                        # on materialization
+                        for info in rels.values():
+                            info.df.limit(5).collect()
+                    except Exception:
+                        raised += 1
+                    else:
+                        head = " ".join(script.split())[:90]
+                        if not any(a in script for a in _NEG_ALLOW_SILENT):
+                            silent.append(f"{conf}: {head}")
+    finally:
+        os.chdir(prev_cwd)
+    print(f"negative corpus: {raised}/{total} raise as expected, {len(silent)} silent")
+    for f in silent:
+        print("   SILENT", f)
+    assert total >= 35, f"negative extraction broke: only {total} snippets found"
+    assert raised >= _NEG_FLOOR, f"asserted-negative count regressed: {raised}/{total}"
+    assert not silent, (
+        f"{len(silent)} negative snippets executed silently (Pig rejects these): "
+        + "; ".join(silent[:6])
     )

@@ -1805,3 +1805,126 @@ def test_r5_review_fix_pins(spark, tmp_path):
     r5 = rels5["b"].df.collect()
     assert len(r5) == 1 and r5[0]["group"] == "all"
     assert (r5[0]["oldest"], r5[0]["youngest"]) == ("bob", "alice")
+
+
+def test_r6_nested_block_corners(spark, tmp_path):
+    """The two r5-residual nested-block corners (QueryParser.g:921-971),
+    closed in r6:
+    1. ONE aggregate call spanning two LIMIT pipes — the multi-bag
+       aggregates COR/COV (builtin/COR.java, COV.java) pair the bags
+       positionally in each pipe's ORDER; mismatched bag sizes → null
+       (COR.java exec catches the iterator misalignment and returns
+       null); single-bag aggregates spanning two pipes stay a
+       SyntaxError (bag arithmetic — Pig's type checker rejects it).
+    2. Pipe ops chained onto a FLATTENed inner-FOREACH pipe: FILTER
+       per element, DISTINCT/ORDER/LIMIT on the assembled group bag.
+    """
+    import pytest
+
+    from pig_spark.latin import run
+
+    src = str(tmp_path / "c.tsv")
+    with open(src, "w") as f:
+        f.write("k1\t1\t1.0\nk1\t2\t2.0\nk1\t3\t3.0\nk2\t1\t5.0\nk2\t2\t4.0\nk2\t3\t9.0\n")
+
+    # 1a: COR over opposite orders = -1 exactly; COV over the same pipe
+    rels = run(spark, f"""
+        a = LOAD '{src}' AS (k:chararray, seq:int, x:double);
+        g = GROUP a BY k;
+        b = FOREACH g {{
+            s1 = ORDER a BY seq;      l1 = LIMIT s1 3;
+            s2 = ORDER a BY seq DESC; l2 = LIMIT s2 3;
+            GENERATE group AS k, COR(l1.seq, l2.seq) AS c,
+                     COV(l1.seq, l1.seq) AS v;
+        }};
+        fb = FOREACH b GENERATE k, FLATTEN(c) AS (cx, cy, r), FLATTEN(v) AS (vx, vy, cv);
+    """)
+    got = {r["k"]: (r["cx"], r["cy"], r["r"], r["cv"]) for r in rels["fb"].df.collect()}
+    # seq asc vs desc: perfect negative correlation; cov_pop(seq,seq) = 2/3
+    for k in ("k1", "k2"):
+        cx, cy, r, cv = got[k]
+        assert (cx, cy) == ("var0", "var1")
+        assert abs(r - (-1.0)) < 1e-12
+        assert abs(cv - 2.0 / 3.0) < 1e-12
+
+    # 1b: mismatched bag sizes → null bag (COR.java null-on-error)
+    rels1b = run(spark, f"""
+        a = LOAD '{src}' AS (k:chararray, seq:int, x:double);
+        g = GROUP a BY k;
+        b = FOREACH g {{
+            s1 = ORDER a BY seq; l1 = LIMIT s1 3;
+            s2 = ORDER a BY seq; l2 = LIMIT s2 2;
+            GENERATE group AS k, COR(l1.x, l2.x) AS c;
+        }};
+    """)
+    assert all(r["c"] is None for r in rels1b["b"].df.collect())
+
+    # 1c: single-bag aggregate mixing two pipes is a SyntaxError
+    with pytest.raises(SyntaxError, match="mixes two nested pipes"):
+        run(spark, f"""
+            a = LOAD '{src}' AS (k:chararray, seq:int, x:double);
+            g = GROUP a BY k;
+            b = FOREACH g {{
+                s1 = ORDER a BY seq; l1 = LIMIT s1 3;
+                s2 = ORDER a BY seq; l2 = LIMIT s2 2;
+                GENERATE group, SUM(l1.x + l2.x) AS s;
+            }};
+            DUMP b;
+        """)
+
+    # 2: chained FILTER/DISTINCT/ORDER/LIMIT on a FLATTENed inner pipe
+    src2 = str(tmp_path / "d.tsv")
+    with open(src2, "w") as f:
+        f.write("g1\tx y x z\ng1\ty w\ng2\tq q q\n")
+    rels2 = run(spark, f"""
+        a = LOAD '{src2}' AS (k:chararray, text:chararray);
+        t = FOREACH a GENERATE k, TOKENIZE(text) AS words;
+        g = GROUP t BY k;
+        b = FOREACH g {{
+            w = FOREACH t GENERATE FLATTEN(words) AS word;
+            f = FILTER w BY word != 'w';
+            d = DISTINCT f;
+            o = ORDER d BY word DESC;
+            l = LIMIT o 2;
+            GENERATE group AS k, COUNT(f) AS nf, COUNT(d) AS nd,
+                     l AS bag, FLATTEN(l.word) AS top;
+        }};
+    """)
+    rows = rels2["b"].df.collect()
+    byk = {}
+    for r in rows:
+        byk.setdefault(r["k"], []).append(r)
+    # g1 words: x y x z y w → filtered (no w): x y x z y (nf=5), distinct {x,y,z} (nd=3),
+    # desc order z,y,x → top-2 = z,y
+    assert {(r["nf"], r["nd"]) for r in byk["g1"]} == {(5, 3)}
+    assert sorted(r["top"] for r in byk["g1"]) == ["y", "z"]
+    assert [t["word"] for t in byk["g1"][0]["bag"]] == ["z", "y"]
+    # g2: q q q → nf=3, nd=1, top = [q]
+    assert len(byk["g2"]) == 1 and (byk["g2"][0]["nf"], byk["g2"][0]["nd"]) == (3, 1)
+    assert byk["g2"][0]["top"] == "q"
+
+
+def test_hive_udaf_custom_jar_out_of_scope(spark, tmp_path):
+    """Scope decision (COVERAGE.md §2.4, r6): HiveUDAF lowers to the
+    SAME-NAMED Spark aggregate — the Hive builtin aggregate surface.
+    An arbitrary custom-jar GenericUDAFEvaluator class (reference
+    builtin/HiveUDAF.java PARTIAL1/FINAL bridge) is out of scope, like
+    MAPREDUCE/HBase version-interop; the call must raise with
+    guidance, never silently compute something else."""
+    import pytest
+
+    from pig_spark.latin import run
+
+    src = str(tmp_path / "s.tsv")
+    with open(src, "w") as f:
+        f.write("a\t1\nb\t2\n")
+    with pytest.raises(Exception) as ei:
+        run(spark, f"""
+            define myagg HiveUDAF('com.example.custom.MyUDAF');
+            a = LOAD '{src}' AS (k:chararray, v:int);
+            g = GROUP a BY k;
+            out = FOREACH g GENERATE group, myagg(a.v);
+            DUMP out;
+        """)
+    msg = str(ei.value).lower()
+    assert "myudaf" in msg or "com.example" in msg or "hiveudaf" in msg

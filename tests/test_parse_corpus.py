@@ -7,14 +7,15 @@ This is a parse gate, not an execution gate (snippets reference
 :INPATH:-style harness placeholders and Java test UDF jars), but it
 catches grammar regressions against ~465 real-world scripts at once.
 
-Current floor: 470 of 481 (98%; both perl q-delimiters — q\...\
-AND q#...# — are extracted, and blocks declaring ``expected_err``
-are negative tests whose failure is correct behavior, so they are
-excluded). NATIVE/MAPREDUCE snippets raise NotImplementedError by
-design (SURVEY §2.2#26) and count as documented-unsupported, not
-failures. The residual hard tail (2): a harness-substituted bare
-`$setting` statement line and one utf8.conf snippet that is an
-embedded JYTHON driver script, not Pig.
+Current floor: 498 of 505 (99%; all THREE perl q-delimiters —
+q\...\, q#...# and r6's q?...? TOTUPLE/TOBAG suites — are extracted,
+and blocks declaring a non-commented ``expected_err`` are negative
+tests whose failure is correct behavior, so they are excluded).
+NATIVE/MAPREDUCE snippets raise NotImplementedError by design
+(SURVEY §2.2#26) and count as documented-unsupported, not failures.
+The residual hard tail (2): a harness-substituted bare `$setting`
+statement line and one utf8.conf snippet that is an embedded JYTHON
+driver script, not Pig.
 """
 
 import re
@@ -31,7 +32,7 @@ _CONFS = (
     "macro.conf", "streaming.conf", "streaming_local.conf",
     "utf8.conf", "orc.conf", "grunt.conf",
 )
-_FLOOR = 470
+_FLOOR = 498
 
 
 def _preprocess(src: str) -> str:
@@ -40,6 +41,8 @@ def _preprocess(src: str) -> str:
     for line in src.splitlines():
         if re.match(r"\s*sh\s+\S", line) and not re.match(r"\s*sh\s*=", line):
             continue  # Grunt `sh <cmd>` is a preprocessor-level line
+        if re.match(r"\s*fs\s+-\w", line):
+            continue  # Grunt `fs -<cmd>` — engine handles it pre-parse too
         m = re.match(r"\s*%(declare|default)\s+(\w+)\s+(.+?)\s*;?\s*$", line)
         if m:
             v = m.group(3)
@@ -55,19 +58,29 @@ def _preprocess(src: str) -> str:
     return src
 
 
-_PIG_RE = re.compile(r"'pig' => q([\\#])(.*?)\1,", re.DOTALL)
+# all three perl quote delimiters the harness uses: q\...\, q#...#,
+# q?...? (the TOTUPLE/TOBAG suites); the closing delimiter may be
+# followed by whitespace before the next perl hash token (`,` `}` `]`)
+_PIG_RE = re.compile(r"'pig' => q([\\#?])(.*?)\1(?=\s*[,}\]])", re.DOTALL)
 
 
 def extract_snippets(src: str) -> list[tuple[str, bool]]:
     """(script, negative) pairs from a .conf — ``negative`` marks a
     block that declares ``expected_err``: the reference EXPECTS those
     scripts to fail (bad macro arity, unknown operators), so an engine
-    error there is correct behavior, not a coverage miss."""
+    error there is correct behavior, not a coverage miss. Commented-out
+    directives (# 'expected_err_regex' …) do NOT count (r6 fix: they
+    marked two positive nightly tests negative)."""
     out = []
     ms = list(_PIG_RE.finditer(src))
     for i, m in enumerate(ms):
         end = ms[i + 1].start() if i + 1 < len(ms) else min(len(src), m.end() + 2000)
-        out.append((m.group(2), "expected_err" in src[m.end():end]))
+        window = src[m.end():end]
+        negative = any(
+            "expected_err" in ln and not ln.lstrip().startswith("#")
+            for ln in window.splitlines()
+        )
+        out.append((m.group(2), negative))
     return out
 
 
@@ -97,7 +110,7 @@ def test_reference_e2e_corpus_parses():
                     notimpl += 1  # NATIVE/MAPREDUCE — documented
                 except Exception as e:
                     failures.append(f"{conf}: {str(e)[:80]}")
-    assert total > 400, f"corpus extraction broke: only {total} snippets found"
+    assert total > 450, f"corpus extraction broke: only {total} snippets found"
     assert ok >= _FLOOR, (
         f"parse coverage regressed: {ok}/{total} (floor {_FLOOR}); "
         + "; ".join(failures[:10])

@@ -233,3 +233,26 @@ def test_mixture_sample_corpus_never_shuffles(spark, sf_dir):
     # rate-table aggregation may exchange its |strata| rows; the
     # document scan itself must feed the broadcast join directly
     assert "SortMergeJoin" not in final and "ShuffledHashJoin" not in final
+
+
+def test_r6_nested_corner_plans(spark, sf_dir):
+    """q119/q120 (the r6 nested-block corner closures) keep the
+    scale-safe shapes: q119's per-pipe top-k frames stitch with
+    equi-joins — never a cartesian — and the COR/COV bag arguments are
+    collect_lists BOUNDED by limit_n inside each frame; q120's whole
+    nested block (FILTER + DISTINCT + ORDER + LIMIT + aggregates +
+    FLATTEN) collapses to ONE grouped aggregate — one shuffle on the
+    group key, array ops and explode after, no joins at all."""
+    import re
+
+    from pig_spark.queries import q119_latin_cor_two_pipes, q120_latin_arr_pipe_ops
+
+    s = q119_latin_cor_two_pipes(spark, sf_dir)._jdf.queryExecution().optimizedPlan().toString()
+    assert "Join Cross" not in s, s
+    assert "collect_list" in s  # the bounded sorted-collect in the topk frame
+    assert not unpartitioned_windows(s), unpartitioned_windows(s)
+
+    s2 = q120_latin_arr_pipe_ops(spark, sf_dir)._jdf.queryExecution().optimizedPlan().toString()
+    assert "Join" not in s2, s2
+    assert "PythonUDF" not in s2
+    assert len(re.findall(r"(?m)^[\s+:-]*Aggregate", s2)) == 1, s2
