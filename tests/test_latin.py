@@ -1928,3 +1928,44 @@ def test_hive_udaf_custom_jar_out_of_scope(spark, tmp_path):
         """)
     msg = str(ei.value).lower()
     assert "myudaf" in msg or "com.example" in msg or "hiveudaf" in msg
+
+
+def test_cmdline_conf_shapes(spark, tmp_path):
+    """Shapes the cmdline.conf suite added in r6:
+    1. nested DESCRIBE (describe C::D) prints the inner pipe's schema;
+    2. positional bag projection in a nested pipe (D = distinct A.$1);
+    3. the empty-bag-default COGROUP full-outer idiom —
+       (bag{tuple(...)}){(null,...)} cast literal, with bincond
+       branches reconciled positionally (Pig's branch unification)."""
+    from pig_spark.latin import run
+
+    src = str(tmp_path / "s.tsv")
+    with open(src, "w") as f:
+        f.write("a\t20\t3.5\nb\t30\t2.5\nb\t31\t2.6\n")
+    vd = str(tmp_path / "voter_data")
+    with open(vd, "w") as f:
+        f.write("a\t20\tdem\t10.5\nc\t40\trep\t5.0\n")
+
+    rels = run(spark, f"""
+        A = load '{src}' as (name, age, gpa);
+        B = group A by name;
+        C = foreach B {{ D = distinct A.$1; generate COUNT(D) AS n, group;}}
+        describe C::D;
+    """)
+    got = {r["group"]: r["n"] for r in rels["C"].df.collect()}
+    assert got == {"a": 1, "b": 2}  # distinct ages per name
+
+    rels2 = run(spark, f"""
+        A = LOAD '{src}' AS (name: chararray, age: int, gpa: float);
+        B = LOAD '{vd}' AS (name: chararray, age: int, registration: chararray, contributions: float);
+        C = COGROUP A BY name, B BY name;
+        D = FOREACH C GENERATE group,
+            flatten((not IsEmpty(A) ? A : (bag{{tuple(chararray, int, float)}}){{(null, null, null)}})),
+            flatten((not IsEmpty(B) ? B : (bag{{tuple(chararray, int, chararray, float)}}){{(null, null, null, null)}}));
+    """)
+    rows = {(r["group"], r["age"], r["registration"]) for r in rels2["D"].df.collect()}
+    # full-outer shape: 'b' has no voter row (null right side), 'c' no
+    # student row (null left side)
+    assert ("a", 20, "dem") in rows
+    assert ("b", 30, None) in rows and ("b", 31, None) in rows
+    assert ("c", None, "rep") in rows
