@@ -2825,7 +2825,26 @@ class PigTranslator:
 
         def make(el):
             if isinstance(elem, T.StructType):
-                cols = [el[f].alias(f) for f in elem.names]
+                if isinstance(fitem.alias, list):
+                    if len(fitem.alias) != len(elem.names):
+                        raise ValueError(
+                            f"pig latin: FLATTEN AS schema has {len(fitem.alias)} "
+                            f"fields, got {len(elem.names)}"
+                        )
+                    cols = []
+                    for f, (n2, t2) in zip(elem.names, fitem.alias):
+                        c = el[f]
+                        if t2 is not None:
+                            c = c.try_cast(PIG_TO_SPARK_TYPE.get(t2, t2))
+                        cols.append(c.alias(n2))
+                elif isinstance(fitem.alias, str) and len(elem.names) == 1:
+                    # FLATTEN(<bag of 1-field tuples>) AS name — the AS
+                    # renames the single flattened field (LogicalSchema;
+                    # r6 fuzzer find: the rename was dropped for
+                    # struct-element bags, breaking downstream refs)
+                    cols = [el[elem.names[0]].alias(fitem.alias)]
+                else:
+                    cols = [el[f].alias(f) for f in elem.names]
             else:
                 aname, atype = _single_alias(fitem.alias)
                 if atype is not None:

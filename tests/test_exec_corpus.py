@@ -2,8 +2,9 @@
 
 Goes one step beyond test_parse_corpus: every self-contained Pig
 snippet from the nightly/join/multiquery/macro/bigdata/utf8/orc/
-streaming suites (both perl q-delimiters; expected_err negative
-blocks excluded — their failure is correct behavior) runs END-TO-END
+streaming/cmdline suites (all three perl q-delimiters; expected_err
+negative blocks run separately as ASSERTED negative tests) runs
+END-TO-END
 on this engine against synthesized versions of the reference's own
 fixtures (generate_data.pl shapes: studenttab, votertab, nulltabs,
 studentcolon, studentcomplextab, allscalar, prerank, textdoc, CJK

@@ -272,9 +272,72 @@ def _gen(rng, sf_dir, shape=None):
             f"SELECT l_returnflag, cents + {k} AS ck, "
             f"CASE WHEN cents > {c} THEN 'hi' ELSE 'lo' END AS tg FROM ({sql_base})"
         )
-    elif shape < 0.86:
+    elif shape < 0.80:
         lines.append("out = DISTINCT p;")
         sql = f"SELECT DISTINCT * FROM ({sql_base})"
+    elif shape < 0.88:
+        # r6: pipe ops chained onto a FLATTENed inner-FOREACH pipe
+        # (q120's corner): per-element FILTER, group-bag DISTINCT,
+        # ORDER+LIMIT slice, with aggregate + FLATTEN consumers
+        k = rng.randint(1, 3)
+        ban = rng.choice(FLAGS["l_returnflag"])
+        lines[2] = f"p = FOREACH f GENERATE l_orderkey, {pl};"
+        sql_p = f"SELECT l_orderkey, {ps} FROM lineitem WHERE {fs}"
+        lines.append("g = GROUP p BY l_orderkey;")
+        lines.append(
+            "out = FOREACH g { "
+            "w = FOREACH p GENERATE FLATTEN(TOBAG(l_returnflag, l_linestatus)) AS v; "
+            f"fw = FILTER w BY v != '{ban}'; "
+            "d = DISTINCT fw; "
+            "o2 = ORDER d BY v DESC; "
+            f"l = LIMIT o2 {k}; "
+            "GENERATE group AS kk, COUNT(fw) AS nf, COUNT(d) AS nd, FLATTEN(l.v) AS tv; };"
+        )
+        sql = (
+            f"WITH p AS ({sql_p}), "
+            "w AS (SELECT l_orderkey AS kk, u.v FROM "
+            "(SELECT l_orderkey, [l_returnflag, l_linestatus] AS arr FROM p) t, "
+            "unnest(t.arr) AS u(v)), "
+            f"fw AS (SELECT kk, v FROM w WHERE v <> '{ban}'), "
+            "agg AS (SELECT kk, CAST(COUNT(*) AS BIGINT) AS nf, "
+            "CAST(COUNT(DISTINCT v) AS BIGINT) AS nd FROM fw GROUP BY kk), "
+            "r AS (SELECT kk, v, row_number() OVER (PARTITION BY kk ORDER BY v DESC) AS rn "
+            "FROM (SELECT DISTINCT kk, v FROM fw) d) "
+            f"SELECT agg.kk, nf, nd, r.v AS tv FROM agg JOIN r ON agg.kk = r.kk "
+            f"WHERE r.rn <= {k}"
+        )
+    elif shape < 0.96:
+        # r6: ONE aggregate call spanning two LIMIT pipes (q119's
+        # corner) — COV, not COR: its (n·Σxy−ΣxΣy)/n² is finite for
+        # every bag (COR's variance denominator can hit 0/0 on
+        # constant slices), and over small-int l_quantity both engines
+        # are exact to well past 6 decimals
+        k = rng.randint(2, 4)
+        key = rng.choice(STR)
+        lines[2] = f"p = FOREACH f GENERATE l_orderkey, l_linenumber, l_quantity, {pl};"
+        sql_p = f"SELECT l_orderkey, l_linenumber, l_quantity, {ps} FROM lineitem WHERE {fs}"
+        lines.append(f"g = GROUP p BY {key};")
+        lines.append(
+            "c0 = FOREACH g { "
+            "s1 = ORDER p BY cents ASC, l_orderkey ASC, l_linenumber ASC; "
+            f"l1 = LIMIT s1 {k}; "
+            "s2 = ORDER p BY cents DESC, l_orderkey DESC, l_linenumber DESC; "
+            f"l2 = LIMIT s2 {k}; "
+            "GENERATE group AS kk, COV(l1.l_quantity, l2.l_quantity) AS cb, COUNT(l1) AS n; };"
+        )
+        lines.append("c1 = FOREACH c0 GENERATE kk, n, FLATTEN(cb) AS (vx, vy, cv);")
+        lines.append("out = FOREACH c1 GENERATE kk, n, vx, vy, ROUND_TO(cv, 6) AS cv;")
+        sql = (
+            f"WITH p AS ({sql_p}), "
+            f"a AS (SELECT {key} AS kk, l_quantity AS x, row_number() OVER "
+            f"(PARTITION BY {key} ORDER BY cents ASC, l_orderkey ASC, l_linenumber ASC) AS rn FROM p), "
+            f"b AS (SELECT {key} AS kk, l_quantity AS y, row_number() OVER "
+            f"(PARTITION BY {key} ORDER BY cents DESC, l_orderkey DESC, l_linenumber DESC) AS rn FROM p), "
+            f"j AS (SELECT a.kk, a.x, b.y FROM a JOIN b ON a.kk = b.kk AND a.rn = b.rn "
+            f"WHERE a.rn <= {k}) "
+            f"SELECT kk, CAST(COUNT(*) AS BIGINT) AS n, 'var0' AS vx, 'var1' AS vy, "
+            f"round(covar_pop(x, y), 6) AS cv FROM j GROUP BY kk"
+        )
     else:
         lines.append("out = FOREACH p GENERATE *;")
         sql = f"SELECT * FROM ({sql_base})"
