@@ -81,6 +81,15 @@ class Relation:
         """DUMP rel (GruntParser.java:768) — driver-side materialize."""
         return self.df.limit(n).collect() if n is not None else self.df.collect()
 
+    def iterator(self) -> "_RowIterator":
+        """PigServer.openIterator parity (PigServer.java:111-117 —
+        "retrieves results using openIterator()"): a Java-style
+        hasNext/next iterator of tuples with positional ``get(i)``.
+        Streams one partition at a time (toLocalIterator), never the
+        whole relation into driver memory — the sanctioned driver-side
+        read path, same class as DUMP."""
+        return _RowIterator(self.df.toLocalIterator())
+
     # ------------------------------------------------------------------
     # row-level operators
     # ------------------------------------------------------------------
@@ -477,3 +486,53 @@ class GroupedRelation:
         cols = columns or [c for c in df.columns if c not in key_names]
         bag = F.collect_list(F.struct(*[df[c] for c in cols])).alias(bag_name)
         return Relation(self._grouped().agg(bag))
+
+
+class _JTuple:
+    """Pig Tuple facade over a Row (data/Tuple.java: get(int),
+    getAll(), size()) — what openIterator hands to control scripts."""
+
+    def __init__(self, row):
+        self._row = row
+
+    def get(self, i: int):
+        return self._row[i]
+
+    def getAll(self):  # noqa: N802
+        return list(self._row)
+
+    def size(self) -> int:
+        return len(self._row)
+
+    def __repr__(self) -> str:
+        return "(" + ",".join(str(v) for v in self._row) + ")"
+
+
+class _RowIterator:
+    """Java-style iterator over rows (hasNext/next — the shape
+    reference jython control scripts drive; also a Python iterable)."""
+
+    def __init__(self, it):
+        self._it = it
+        self._peeked = None
+        self._done = False
+
+    def hasNext(self) -> bool:  # noqa: N802
+        if self._peeked is not None:
+            return True
+        try:
+            self._peeked = next(self._it)
+            return True
+        except StopIteration:
+            self._done = True
+            return False
+
+    def next(self) -> _JTuple:
+        if self._peeked is not None:
+            row, self._peeked = self._peeked, None
+            return _JTuple(row)
+        return _JTuple(next(self._it))
+
+    def __iter__(self):
+        while self.hasNext():
+            yield self.next()

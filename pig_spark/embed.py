@@ -63,6 +63,20 @@ class ScriptStats:
     def aliases(self) -> list[str]:
         return sorted(self._aliases)
 
+    # Java-style aliases (scripting/BoundScript.java camelCase surface
+    # — lets reference jython control scripts run verbatim, r6)
+    def isSuccessful(self) -> bool:  # noqa: N802
+        return self.is_successful()
+
+    def getNumberRecords(self, alias: str) -> int:  # noqa: N802
+        return self.get_number_records(alias)
+
+    def getOutputLocations(self) -> list[str]:  # noqa: N802
+        return self.get_output_locations()
+
+    def getAllErrorMessages(self) -> list[str]:  # noqa: N802
+        return [str(self._error)] if self._error is not None else []
+
 
 class BoundScript:
     """≅ org.apache.pig.scripting.BoundScript."""
@@ -77,11 +91,14 @@ class BoundScript:
             raise ValueError(f"run_single with {len(self._param_sets)} bound param sets; use run()")
         return self._run_one(spark, self._param_sets[0])
 
-    def run(self, spark: SparkSession) -> list[ScriptStats]:
+    def run(self, spark: SparkSession | None = None) -> list[ScriptStats]:
         """Run every bound parameter set (BoundScript.run — the reference
         launches these as parallel jobs; here each is an independent
         lazy plan on the shared SparkSession, so the driver loop is
-        sequential but all cluster work stays distributed)."""
+        sequential but all cluster work stays distributed). ``spark``
+        defaults to the ambient session (jython control scripts call
+        ``Q.run()`` bare)."""
+        spark = spark or _ambient_spark()
         return [self._run_one(spark, p) for p in self._param_sets]
 
     def _run_one(self, spark: SparkSession, params: dict[str, Any]) -> ScriptStats:
@@ -91,6 +108,58 @@ class BoundScript:
         except Exception as e:  # PigStats.isSuccessful() == False path
             return ScriptStats({}, [], error=e)
         return ScriptStats(rels, tr.stores)
+
+    # ---- Java-style surface (scripting/BoundScript.java camelCase;
+    # reference jython control scripts call these verbatim, r6). The
+    # no-arg forms use the shared session like the jython runtime's
+    # ambient PigContext.
+    def runSingle(self, spark: SparkSession | None = None) -> ScriptStats:  # noqa: N802
+        return self.run_single(spark or _ambient_spark())
+
+    def _translate_first(self, spark: SparkSession | None):
+        spark = spark or _ambient_spark()
+        tr = PigTranslator(spark, params={k: str(v) for k, v in self._param_sets[0].items()})
+        rels = tr.run(self._script)
+        return tr, rels
+
+    def describe(self, alias: str, spark: SparkSession | None = None) -> str:  # noqa: A003
+        """BoundScript.describe(alias): the alias's schema string; an
+        unknown alias raises (reference negative test contract)."""
+        tr, rels = self._translate_first(spark)
+        if alias not in rels:
+            raise NameError(f"pig latin: unknown alias {alias!r}")
+        out = f"{alias}: {rels[alias].describe()}"
+        print(out)
+        return out
+
+    def explain(self, spark: SparkSession | None = None) -> None:
+        """BoundScript.explain() — NO alias argument: the reference
+        jython binding rejects one ("TypeError: explain(): expected 0
+        args; got 1", turing_jython negative suite)."""
+        if spark is not None and not isinstance(spark, SparkSession):
+            raise TypeError("explain(): expected 0 args; got 1")
+        _tr, rels = self._translate_first(spark)
+        for a in sorted(rels)[-1:]:
+            rels[a].explain()
+
+    def illustrate(self, spark: SparkSession | None = None) -> None:
+        """BoundScript.illustrate() — NO alias argument (same reference
+        contract as explain)."""
+        if spark is not None and not isinstance(spark, SparkSession):
+            raise TypeError("illustrate(): expected 0 args; got 1")
+        _tr, rels = self._translate_first(spark)
+        for a in sorted(rels)[-1:]:
+            rels[a].illustrate()
+
+
+def _ambient_spark() -> SparkSession:
+    """The active (or default) session — what the jython runtime's
+    ambient PigContext provides when control scripts call runSingle()
+    with no argument."""
+    from .session import get_spark
+
+    active = SparkSession.getActiveSession()
+    return active if active is not None else get_spark("pig_embed")
 
 
 class Pig:
@@ -111,6 +180,64 @@ class Pig:
     def compile_from_file(path: str, name: str | None = None) -> "Pig":
         with open(path) as fh:
             return Pig(fh.read(), name)
+
+    # Java-style surface (scripting/Pig.java camelCase — reference
+    # jython control scripts call these verbatim, r6)
+    compileFromFile = compile_from_file  # noqa: N815
+
+    @staticmethod
+    def fs(cmd: str) -> int:
+        """Pig.fs("-mkdir p" / "-rmr p" / "-copyFromLocal a b" /
+        "-ls p") — hadoop FsShell command string, local-filesystem
+        equivalents here (same mapping as `fs -<cmd>` script
+        statements). Returns 0 on success like FsShell.run."""
+        import os
+        import shutil
+
+        parts = cmd.split()
+        if not parts:
+            return 0
+        op = parts[0].lstrip("-").lower()
+        args = parts[1:]
+        if op in ("rm", "rmr") and args:
+            for a in args:
+                if os.path.isdir(a):
+                    shutil.rmtree(a, ignore_errors=True)
+                elif os.path.exists(a):
+                    os.remove(a)
+        elif op == "mkdir":
+            for a in args:
+                os.makedirs(a, exist_ok=True)
+        elif op == "mv" and len(args) == 2:
+            os.replace(args[0], args[1])
+        elif op in ("cp", "copyfromlocal", "copytolocal") and len(args) == 2:
+            if os.path.isdir(args[0]):
+                shutil.copytree(args[0], args[1], dirs_exist_ok=True)
+            else:
+                shutil.copy(args[0], args[1])
+        elif op == "ls" and args:
+            for a in args:
+                if not os.path.exists(a):
+                    raise FileNotFoundError(f"fs -ls: {a!r} does not exist")
+                names = sorted(os.listdir(a)) if os.path.isdir(a) else [a]
+                for n in names:
+                    print(n)
+        elif op == "cat" and args:
+            for a in args:
+                with open(a, errors="replace") as fh:
+                    print(fh.read(), end="")
+        return 0
+
+    @staticmethod
+    def registerJar(path: str) -> None:  # noqa: N802
+        """Pig.registerJar — recorded no-op (REGISTER jar parity:
+        Java UDF jars cannot load here; scripting UDFs are the
+        supported path)."""
+
+    @staticmethod
+    def registerUDF(path: str, namespace: str = "") -> None:  # noqa: N802
+        """Pig.registerUDF — scripting-UDF files register at
+        script level (REGISTER 'x.py' USING jython AS ns)."""
 
     def bind(self, params: dict[str, Any] | list[dict[str, Any]] | None = None) -> BoundScript:
         """Bind one parameter dict (→ run_single) or a list of dicts

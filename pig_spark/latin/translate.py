@@ -1786,7 +1786,17 @@ class PigTranslator:
         dtype = rel.df.schema[head].dataType
         if not isinstance(dtype, T.ArrayType):
             return None
-        return self._agg_over_bag(lfn, F.col(head), dtype.elementType, rest or None)
+        elem = dtype.elementType
+        if rest and isinstance(elem, T.StructType) and rest not in elem.names:
+            # qualifier-chain history: Pig's LogicalSchema keeps the
+            # full d::field name even where our flatten dropped the
+            # prefix for a non-colliding field — match by leaf when
+            # unique (same contract as _resolve's :: handling)
+            leaf = rest.split("::")[-1]
+            cand = [n for n in elem.names if n.split("::")[-1] == leaf]
+            if len(cand) == 1:
+                rest = cand[0]
+        return self._agg_over_bag(lfn, F.col(head), elem, rest or None)
 
     @staticmethod
     def _agg_over_bag(lfn: str, arr: Column, elem, rest: str | None) -> Column:

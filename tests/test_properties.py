@@ -194,3 +194,63 @@ def test_regex_groups_python_model(spark, lines):
             assert got.get(s) == m.groups(), (s, got.get(s), m.groups())
         else:
             assert s not in got or True  # duplicates: only matched lines appear
+
+
+_SCALARS = ["int", "long", "float", "double", "chararray", "boolean", "bytearray"]
+
+
+@given(
+    types=st.lists(st.sampled_from(_SCALARS), min_size=1, max_size=5),
+    bag=st.booleans(),
+)
+@settings(max_examples=60, deadline=None)
+def test_pig_cast_ddl_roundtrips_to_valid_spark_ddl(spark, types, bag):
+    """pig_cast_ddl (r6 — complex-type CASTS) must emit a string Spark's
+    DDL parser accepts for every combination of scalar types nested in
+    tuple()/bag{} — a malformed DDL would surface as an opaque
+    try_cast analysis error mid-script."""
+    from pyspark.sql.types import _parse_datatype_string
+
+    from pig_spark.latin.translate import pig_cast_ddl
+
+    inner = "tuple(" + ", ".join(types) + ")"
+    t = "bag{" + inner + "}" if bag else inner
+    ddl = pig_cast_ddl(t)
+    parsed = _parse_datatype_string(ddl)  # raises on malformed DDL
+    s = parsed.simpleString()
+    assert (s.startswith("array<struct<") if bag else s.startswith("struct<"))
+    assert s.count(",") >= len(types) - 1
+
+
+@given(picks=st.lists(st.sampled_from(_SCALARS + ["null"]), min_size=1, max_size=6))
+@settings(max_examples=80, deadline=None)
+def test_common_type_is_total_and_widening(picks):
+    """_common_type (r6 — TOBAG element unification): always returns a
+    concrete Spark type; identical inputs return themselves; numeric
+    mixes widen (never narrow); anything else degrades to string —
+    TOBAG.java's merged-or-bytearray output schema."""
+    from pyspark.sql import types as T
+
+    from pig_spark.latin.translate import _common_type
+
+    m = {
+        "int": T.IntegerType(), "long": T.LongType(), "float": T.FloatType(),
+        "double": T.DoubleType(), "chararray": T.StringType(),
+        "boolean": T.BooleanType(), "bytearray": T.BinaryType(),
+        "null": None,
+    }
+    ts = [m[p] for p in picks]
+    out = _common_type(ts)
+    assert out is not None and not isinstance(out, T.NullType)
+    nn = [t for t in ts if t is not None]
+    if not nn:
+        assert isinstance(out, T.StringType)
+        return
+    if all(t.simpleString() == nn[0].simpleString() for t in nn):
+        assert out.simpleString() == nn[0].simpleString()
+        return
+    rank = {"tinyint": 0, "smallint": 1, "int": 2, "bigint": 3, "float": 4, "double": 5}
+    if all(t.simpleString() in rank for t in nn):
+        assert rank[out.simpleString()] == max(rank[t.simpleString()] for t in nn)
+    else:
+        assert isinstance(out, T.StringType)
