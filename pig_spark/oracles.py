@@ -659,6 +659,23 @@ def oracle_sql() -> dict[str, str]:
             FROM lineitem""",
         "q115_latin_hive_udf": """
             SELECT c_custkey, upper(c_name) AS uname FROM customer""",
+        "q121_unigram_lm_score": """
+            WITH toks AS (SELECT doc_id,
+                                 list_filter(string_split_regex(lower(trim(text)), '\\s+'),
+                                             x -> x <> '') AS tk
+                          FROM documents),
+                 flat AS (SELECT doc_id, u.t FROM toks, unnest(toks.tk) AS u(t)),
+                 cnt AS (SELECT t, COUNT(*) AS c FROM flat GROUP BY t),
+                 tot AS (SELECT SUM(c) AS n FROM cnt),
+                 vocab AS (SELECT t, ln(c / tot.n) AS lp FROM cnt, tot
+                           ORDER BY c DESC, t ASC LIMIT 4096),
+                 scored AS (SELECT f.doc_id,
+                                   COALESCE(v.lp, ln(0.000000001)) AS lp
+                            FROM flat f LEFT JOIN vocab v ON f.t = v.t)
+            SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+                   round(AVG(lp), 6) AS avg_logp,
+                   AVG(lp) > -8.7654321 AS keep
+            FROM scored GROUP BY doc_id""",
         "q119_latin_cor_two_pipes": """
             WITH a AS (SELECT o_orderpriority AS p, o_totalprice AS v, o_custkey AS c,
                               row_number() OVER (PARTITION BY o_orderpriority

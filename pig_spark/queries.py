@@ -2027,6 +2027,61 @@ def q120_latin_arr_pipe_ops(spark: SparkSession, sf: str) -> DataFrame:
     return rels["out"].df
 
 
+def q121_unigram_lm_score(spark: SparkSession, sf: str) -> DataFrame:
+    """Statistical-LM quality filtering (the CCNet/KenLM perplexity
+    stage of training-data pipelines): build a unigram log-probability
+    table from the corpus itself and score each document by mean token
+    log-prob, OOV tokens floored at ln(1e-9).
+
+    Spark-first 100 TB design: the vocabulary is ONE map-side-partial
+    aggregate over tokens followed by a DISTRIBUTED top-V
+    (orderBy+limit → TakeOrderedAndProject, no single-partition
+    window); it folds to a ONE-ROW map column (map_from_entries over
+    ≤4096 entries, ~100 KB) broadcast-cross-joined to the documents —
+    scoring is then PURE per-row array codegen (transform + aggregate
+    over the doc's own token array): no explode, no per-token join,
+    and no doc_id shuffle anywhere. The only shuffle in the whole
+    query is the vocabulary count."""
+    from pyspark.sql import functions as F
+
+    V, OOV, THRESH = 4096, 1e-9, -8.7654321
+    d = spark.read.parquet(f"{sf}/documents.parquet").select("doc_id", "text")
+    toks = F.filter(F.split(F.lower(F.trim(F.col("text"))), r"\s+"), lambda x: x != "")
+    td = d.select("doc_id", toks.alias("tk"))
+    flat = td.select(F.explode("tk").alias("t"))
+    cnt = flat.groupBy("t").agg(F.count(F.lit(1)).alias("c"))
+    total = cnt.agg(F.sum("c").alias("n"))
+    vocab = (
+        cnt.orderBy(F.desc("c"), F.asc("t"))
+        .limit(V)
+        .crossJoin(F.broadcast(total))
+        .select("t", F.log(F.col("c") / F.col("n")).alias("lp"))
+    )
+    lm = vocab.agg(
+        F.map_from_entries(F.collect_list(F.struct("t", "lp"))).alias("__lm")
+    )
+    floor = F.log(F.lit(OOV))
+    scored = td.crossJoin(F.broadcast(lm)).select(
+        "doc_id",
+        F.size("tk").cast("long").alias("n_tokens"),
+        F.aggregate(
+            F.transform(
+                F.col("tk"),
+                lambda t: F.coalesce(F.try_element_at(F.col("__lm"), t), floor),
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        ).alias("__sum"),
+    )
+    avg = F.when(F.col("n_tokens") > 0, F.col("__sum") / F.col("n_tokens"))
+    return scored.select(
+        "doc_id",
+        "n_tokens",
+        F.round(avg, 6).alias("avg_logp"),
+        (avg > F.lit(THRESH)).alias("keep"),
+    )
+
+
 from .pigmix import PIGMIX_QUERIES  # noqa: E402  (avoids circular import)
 
 _ALL: dict[str, Callable[[SparkSession, str], DataFrame]] = {
@@ -2049,6 +2104,7 @@ _ALL.update(PIGMIX_QUERIES)
 _NEW_OR_CHANGED_R6 = {
     "q119_latin_cor_two_pipes",  # new: COR/COV spanning two LIMIT pipes
     "q120_latin_arr_pipe_ops",   # new: ops chained onto FLATTENed pipe
+    "q121_unigram_lm_score",     # new: unigram-LM quality filter
     "q112_latin_bag_pipe",       # _pipe_bag arr-branch rework
     "q113_latin_nested_cross",   # nested-agg/pipe-bag shared paths
     "q114_latin_inline_group",   # GROUP ALL 'all' literal change

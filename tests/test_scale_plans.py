@@ -104,6 +104,11 @@ _CARTESIAN_OK = {
     # rank ⨯ broadcast 1-row count scalar (ntile/pct_rank/cume_dist
     # arithmetic) — same hint-prints-lowercase shape as q78
     "q37_ntile_stats",
+    # two 1-row broadcast sides: the total-token-count scalar and the
+    # folded ≤4096-entry LM map column (both explicit F.broadcast,
+    # physical BroadcastNestedLoopJoin; dedicated pin asserts the
+    # broadcast + no-Window shape below)
+    "q121_unigram_lm_score",
 }
 
 
@@ -256,3 +261,22 @@ def test_r6_nested_corner_plans(spark, sf_dir):
     assert "Join" not in s2, s2
     assert "PythonUDF" not in s2
     assert len(re.findall(r"(?m)^[\s+:-]*Aggregate", s2)) == 1, s2
+
+
+def test_unigram_lm_plan(spark, sf_dir):
+    """q121 (unigram-LM quality filter): the vocabulary top-V is a
+    DISTRIBUTED TakeOrderedAndProject (no single-partition window);
+    both cross joins are 1-row BROADCAST sides (total-count scalar,
+    folded LM map); scoring is per-row array codegen — no explode-join
+    and no doc_id shuffle anywhere in the physical plan."""
+    from pig_spark.queries import q121_unigram_lm_score
+
+    df = q121_unigram_lm_score(spark, sf_dir)
+    phys = df._jdf.queryExecution().executedPlan().toString()
+    opt = df._jdf.queryExecution().optimizedPlan().toString()
+    assert "TakeOrderedAndProject" in phys, phys
+    assert phys.count("BroadcastNestedLoopJoin") == 2, phys
+    assert not unpartitioned_windows(opt), unpartitioned_windows(opt)
+    # the only exchanges feed the vocabulary count + top-V and the
+    # broadcasts — none hash-partition on doc_id
+    assert "hashpartitioning(doc_id" not in phys, phys
