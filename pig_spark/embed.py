@@ -117,8 +117,15 @@ class BoundScript:
         return self.run_single(spark or _ambient_spark())
 
     def _translate_first(self, spark: SparkSession | None):
+        """Translate without running the sinks: the reference's
+        describe/explain/illustrate inspect the plan only — STORE
+        targets are never written (BoundScript.java)."""
         spark = spark or _ambient_spark()
-        tr = PigTranslator(spark, params={k: str(v) for k, v in self._param_sets[0].items()})
+        tr = PigTranslator(
+            spark,
+            params={k: str(v) for k, v in self._param_sets[0].items()},
+            execute_stores=False,
+        )
         rels = tr.run(self._script)
         return tr, rels
 
@@ -241,8 +248,32 @@ class Pig:
 
     def bind(self, params: dict[str, Any] | list[dict[str, Any]] | None = None) -> BoundScript:
         """Bind one parameter dict (→ run_single) or a list of dicts
-        (→ run, one stats per set). bind() with no args binds {}."""
+        (→ run, one stats per set).
+
+        bind() with NO arguments binds from the host-language caller's
+        variables, exactly like the reference (Pig.java:269 →
+        ScriptEngine.getParamsFromVariables): every ``$name`` token in
+        the script that names a variable in the calling scope is bound
+        to that variable's value. Tokens with no matching variable are
+        left for the run-time undefined-parameter check."""
         if params is None:
-            params = {}
+            params = self._params_from_caller_vars()
         sets = params if isinstance(params, list) else [params]
         return BoundScript(self._script, [dict(p) for p in sets])
+
+    def _params_from_caller_vars(self) -> dict[str, Any]:
+        import re
+        import sys
+
+        wanted = set(re.findall(r"(?<!\\)\$([A-Za-z_]\w*)", self._script))
+        if not wanted:
+            return {}
+        # first frame outside this module = the control script that
+        # called bind() (jython locals in the reference)
+        frame = sys._getframe(1)
+        while frame is not None and frame.f_globals.get("__name__") == __name__:
+            frame = frame.f_back
+        if frame is None:
+            return {}
+        scope: dict[str, Any] = {**frame.f_globals, **frame.f_locals}
+        return {n: scope[n] for n in wanted if n in scope}

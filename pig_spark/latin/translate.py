@@ -463,7 +463,12 @@ def _pairwise_stats(fn: str, argrefs: list[str]) -> Column:
 
 
 class PigTranslator:
-    def __init__(self, spark: SparkSession, params: dict[str, str] | None = None):
+    def __init__(
+        self,
+        spark: SparkSession,
+        params: dict[str, str] | None = None,
+        execute_stores: bool = True,
+    ):
         self.spark = spark
         self.aliases: dict[str, RelInfo] = {}
         self.outputs: dict[str, object] = {}
@@ -480,6 +485,9 @@ class PigTranslator:
         # PigServer executes the whole plan at the last STORE) so the
         # MultiQuery planner can cache subplans shared between sinks
         self._pending_stores: list[tuple[Relation, str, str, str, dict]] = []
+        # False for describe/explain/illustrate: the reference's
+        # BoundScript plan-inspection methods never run the sinks
+        self.execute_stores = execute_stores
 
     # ------------------------------------------------------------------
     def run(self, src: str) -> dict[str, Relation]:
@@ -494,6 +502,14 @@ class PigTranslator:
         for name, value in self.params.items():
             sval = str(value)
             src = _re.sub(r"\$" + _re.escape(name) + r"\b", lambda _m: sval, src)
+        # any named $param still present is undefined — fail like the
+        # reference preprocessor (PreprocessorContext.substitute:
+        # "Undefined parameter : <name>") instead of parsing '$out'
+        # as a literal path and silently writing a '$out' directory.
+        # \$digit positional refs and \\$-escapes are not parameters.
+        leftover = _re.search(r"(?<!\\)\$([A-Za-z_]\w*)", src)
+        if leftover:
+            raise ValueError(f"Undefined parameter : {leftover.group(1)}")
         script = G.parse(src)
         for stmt in script.statements:
             self._stmt(stmt)
@@ -504,7 +520,8 @@ class PigTranslator:
         """Execute pending STOREs through the MultiQuery planner —
         subplans shared by several sinks are detected automatically and
         cached once (MultiQueryOptimizer.java equivalent)."""
-        if not self._pending_stores:
+        if not self._pending_stores or not self.execute_stores:
+            self._pending_stores = []
             return
         from ..operators.multisink import multi_store
 

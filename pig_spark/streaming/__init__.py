@@ -6,8 +6,12 @@ is therefore *additive* capability, not parity: the same Relation
 operators applied to unbounded sources, with event-time windows and
 watermarks for late data.
 
-Round-1 scope: thin wrappers proving the DSL composes with readStream;
-stateful custom operators (applyInPandasWithState) are a later round.
+Surface: windowed/session aggregates with watermarks, stream-static
+enrich, watermark-bounded stream dedup, stream-stream interval join,
+mergeable-sketch rollups, incremental signature dedup, and a CUSTOM
+stateful operator (``stateful_funnel`` via applyInPandasWithState,
+O(k) state per key) — each with a batch-parity test in
+test_streaming.py.
 """
 
 from __future__ import annotations

@@ -141,3 +141,48 @@ def test_pigunit_params(spark):
     t = PigTest(spark, "out = FILTER data BY a > $cut;", args=["cut=5"])
     t.mock_alias("data", [(1,), (6,)], "a:int")
     t.assert_output("out", ["(6)"])
+
+
+def test_bind_no_args_harvests_caller_variables(spark):
+    """Pig.java:269 bind() — no-arg bind resolves $params from the
+    host-language caller's variables (getParamsFromVariables)."""
+    q = 40  # noqa: F841 — harvested by bind() via the caller frame
+    globals()["_embed_in_dir"] = SF_DIR
+    try:
+        script = SCRIPT.replace("$in", "$_embed_in_dir")
+        stats = Pig.compile(script).bind().run_single(spark)
+        assert stats.is_successful(), stats.error
+        assert stats.result("c").df.collect()[0].n > 0
+    finally:
+        del globals()["_embed_in_dir"]
+
+
+def test_undefined_parameter_raises(spark):
+    """An unbound $param must fail like the reference preprocessor
+    ("Undefined parameter : out"), never parse as a literal '$out'
+    path — the silent-store-to-'$out1' bug this pins against."""
+    stats = (
+        Pig.compile("a = LOAD '$in/nation.parquet' USING ParquetLoader(); STORE a INTO '$out';")
+        .bind({"in": SF_DIR})
+        .run_single(spark)
+    )
+    assert not stats.is_successful()
+    assert "Undefined parameter : out" in str(stats.error)
+
+
+def test_explain_describe_never_write_stores(spark, tmp_path):
+    """BoundScript.describe/explain/illustrate inspect the plan only —
+    the reference never executes STORE targets for them."""
+    out = tmp_path / "sink"
+    script = (
+        f"a = LOAD '{SF_DIR}/nation.parquet' USING ParquetLoader();\n"
+        f"STORE a INTO '{out}' USING PigStorage();\n"
+    )
+    b = Pig.compile(script).bind()
+    b.describe("a")
+    b.explain()
+    b.illustrate()
+    assert not out.exists()
+    # runSingle DOES write it
+    stats = b.runSingle(spark)
+    assert stats.is_successful() and out.exists()
