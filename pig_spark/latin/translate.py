@@ -400,11 +400,18 @@ class _Pipe:
     # this per-row array column (multiplicity lives inside the array —
     # the child row count is untouched, so sibling pipes stay correct)
     arr: str | None = None
+    # ops chained AFTER a LIMIT, in statement order: the flags above
+    # apply in canonical filter→distinct→order→limit order, so a
+    # later op that must see the SLICED bag (f = FILTER l BY ...)
+    # records here and consumers (_pipe_bag) replay it sequentially
+    # after the slice — Pig's dataflow order, not the flag order
+    post_ops: list | None = None
 
     def copy(self) -> "_Pipe":
         return _Pipe(
             self.col, self.distinct, self.cond, self.ordered, self.limited,
             self.order_keys, self.limit_n, self.proj, self.arr,
+            list(self.post_ops) if self.post_ops else None,
         )
 
 
@@ -1613,6 +1620,44 @@ class PigTranslator:
                 # are group-level bag ops recorded as flags and applied
                 # when the bag assembles at the consumer (_pipe_bag /
                 # _nested_agg) — Pig's own reducer-bag footprint.
+                # STATEMENT order is the dataflow order: once a LIMIT
+                # is recorded, later ops must see the sliced bag, so
+                # they append to post_ops instead of the flags (which
+                # consumers apply in canonical order before the slice).
+                if base.limited or base.post_ops:
+                    if base.post_ops is None:
+                        base.post_ops = []
+                    if st.kind == "filter":
+                        base.post_ops.append(("filter", st.cond))
+                    elif st.kind == "distinct":
+                        base.post_ops.append(("distinct", None))
+                    elif st.kind == "order":
+                        enames = list(g.child.df.schema[base.arr].dataType.elementType.names)
+                        norm = []
+                        for ok in st.cond:
+                            cname, a = ok if isinstance(ok, tuple) else (ok, True)
+                            if cname == "*":
+                                norm.extend((c, a) for c in enames)
+                            elif cname.startswith("$"):
+                                norm.append((enames[int(cname[1:])], a))
+                            else:
+                                norm.append((cname, a))
+                        base.post_ops.append(("order", norm))
+                    elif st.kind == "limit":
+                        base.post_ops.append(("limit", int(st.cond)))
+                    pipes[st.alias] = base
+                    continue
+                if st.kind == "distinct" and base.ordered:
+                    # d = DISTINCT o after an ORDER: Pig's nested
+                    # DISTINCT is POSortedDistinct — it re-sorts by the
+                    # FULL tuple (natural order), discarding the prior
+                    # ORDER's keys
+                    elem = g.child.df.schema[base.arr].dataType.elementType
+                    names = [base.col.split("::")[-1]] if base.col is not None else list(elem.names)
+                    base.distinct = True
+                    base.order_keys = [(n, True) for n in names]
+                    pipes[st.alias] = base
+                    continue
                 if st.kind == "filter":
                     ch = g.child
                     enames = list(ch.df.schema[base.arr].dataType.elementType.names)
@@ -1653,9 +1698,56 @@ class PigTranslator:
                 # "project" (x = p.col): _resolve_pipe already set base.col
                 pipes[st.alias] = base
                 continue
+            if st.kind != "project" and (base.limited or base.post_ops):
+                # op chained after a LIMIT pipe: statement order is the
+                # dataflow order — record for sequential replay on the
+                # sliced bag (_pipe_bag), mirroring the arr-pipe path
+                if base.post_ops is None:
+                    base.post_ops = []
+                if st.kind == "filter":
+                    base.post_ops.append(("filter", st.cond))
+                elif st.kind == "distinct":
+                    base.post_ops.append(("distinct", None))
+                elif st.kind == "limit":
+                    base.post_ops.append(("limit", int(st.cond)))
+                elif st.kind == "order":
+                    child_cols = (
+                        list(base.proj)
+                        if base.proj
+                        else [c for c in g.child.df.columns if c not in g.derived]
+                    )
+                    norm = []
+                    for ok in st.cond:
+                        cname, a = ok if isinstance(ok, tuple) else (ok, True)
+                        if cname == "*":
+                            norm.extend((c, a) for c in child_cols)
+                        elif cname.startswith("$"):
+                            norm.append((child_cols[int(cname[1:])], a))
+                        else:
+                            norm.append((cname.split("::")[-1], a))
+                    base.post_ops.append(("order", norm))
+                pipes[st.alias] = base
+                continue
             if st.kind == "project":
                 pass  # _resolve_pipe already applied the column
             elif st.kind == "distinct":
+                if base.ordered:
+                    # Pig's nested DISTINCT (POSortedDistinct) re-sorts
+                    # by the full tuple, discarding the prior ORDER
+                    # (mangled child-column names, like ORDER's own
+                    # normalization — consumers rename to output fields)
+                    base.order_keys = [
+                        (n, True)
+                        for n in (
+                            list(base.proj.values())
+                            if base.proj
+                            else (
+                                [base.col]
+                                if base.col is not None
+                                else [c for c in g.child.df.columns if c not in g.derived]
+                            )
+                        )
+                    ]
                 base.distinct = True
             elif st.kind == "filter":
                 base.cond = st.cond if base.cond is None else G.Bin("and", base.cond, st.cond)
@@ -1700,11 +1792,18 @@ class PigTranslator:
             and any(h in pipes and pipes[h].arr for h in self._pipe_heads(it.expr))
             for it in op.items
         )
-        if n_flat_pipes > 1 or arr_flat:
+        post_flat = any(
+            it.flatten
+            and any(h in pipes and pipes[h].post_ops for h in self._pipe_heads(it.expr))
+            for it in op.items
+        )
+        if n_flat_pipes > 1 or arr_flat or post_flat:
             return self._foreach_nested_multiflatten(op, g, pipes)
         # arr pipes handle their own LIMIT at bag-assembly time
-        # (_pipe_bag slice) — keep them out of the row-level topk path
-        limited_names = {n for n, p in pipes.items() if p.limited and not p.arr}
+        # (_pipe_bag slice) — keep them out of the row-level topk path;
+        # post_ops pipes assemble as bags too (the window path can't
+        # replay ops that must see the sliced bag)
+        limited_names = {n for n, p in pipes.items() if p.limited and not p.arr and not p.post_ops}
         if limited_names and any(
             self._pipe_heads(item.expr) & limited_names
             for item in op.items
@@ -2023,6 +2122,21 @@ class PigTranslator:
                 if atype is not None:
                     c = c.try_cast(PIG_TO_SPARK_TYPE.get(atype, atype))
                 selects.append(c.alias(aname or out.split("::")[-1]))
+            elif isinstance(it.alias, list):
+                # FLATTEN(pipe) AS (a[:t], ...) — positional splat
+                # rename (+ casts), arity-checked
+                if len(it.alias) != len(others):
+                    raise ValueError(
+                        f"pig latin: FLATTEN AS schema has {len(it.alias)} "
+                        f"fields, got {len(others)}"
+                    )
+                for c, (new_name, ftype) in zip(others, it.alias):
+                    col = F.col(c)
+                    if ftype is not None:
+                        col = col.try_cast(PIG_TO_SPARK_TYPE.get(ftype, ftype))
+                    selects.append(col.alias(new_name))
+            elif isinstance(it.alias, str) and len(others) == 1:
+                selects.append(F.col(others[0]).alias(it.alias))
             else:
                 selects.extend(F.col(c).alias(rename.get(c, c)) for c in others)
         return Relation(kdf.select(*selects))
@@ -2622,6 +2736,23 @@ class PigTranslator:
                         if atype is not None:
                             c = c.try_cast(PIG_TO_SPARK_TYPE.get(atype, atype))
                         selects.append(c.alias(aname or rest))
+                    elif isinstance(payload.alias, list):
+                        # FLATTEN(l) AS (a[:t], ...) — positional splat
+                        # rename (+ casts), arity-checked like the
+                        # multiflatten path
+                        if len(payload.alias) != len(others):
+                            raise ValueError(
+                                f"pig latin: FLATTEN AS schema has "
+                                f"{len(payload.alias)} fields, got {len(others)}"
+                            )
+                        for c, (new_name, ftype) in zip(others, payload.alias):
+                            col = F.col(c)
+                            if ftype is not None:
+                                col = col.try_cast(PIG_TO_SPARK_TYPE.get(ftype, ftype))
+                            selects.append(col.alias(new_name))
+                    elif isinstance(payload.alias, str) and len(others) == 1:
+                        # FLATTEN(l) AS name — single flattened field
+                        selects.append(F.col(others[0]).alias(payload.alias))
                     else:
                         selects.extend(F.col(c).alias(frename.get(c, c)) for c in others)
                 else:  # "col" / "combo" — stitched aggregate column
@@ -2922,6 +3053,33 @@ class PigTranslator:
             return F.sum(row_sum)
         return F.sum(row_sum).cast("double") / F.sum(F.size(nn))
 
+    def _apply_post_ops(self, bag: Column, post_ops: list, enames: list[str]) -> Column:
+        """Replay ops chained after a LIMIT on the already-sliced bag,
+        in statement order (Pig's dataflow order): each is a pure
+        array op over the collected bag — same footprint as the flags."""
+        def _pred(cond):
+            # closure factory, NOT a default arg: pyspark counts lambda
+            # params, and a `c=cond` default would make it the 2-arg
+            # (element, index) form with the index bound into c
+            return lambda el: self._elem_expr(cond, el, enames)
+
+        for kind, payload in post_ops:
+            if kind == "filter":
+                bag = F.filter(bag, _pred(payload))
+            elif kind == "distinct":
+                bag = F.array_distinct(bag)
+            elif kind == "order":
+                for cname, _a in payload:
+                    if cname not in enames:
+                        raise NameError(
+                            f"nested ORDER after LIMIT: no field {cname!r} "
+                            f"(fields: {enames})"
+                        )
+                bag = _bag_sort(bag, payload)
+            elif kind == "limit":
+                bag = F.slice(bag, 1, payload)
+        return bag
+
     def _pipe_bag(self, lname: str, rest: str | None, g: GroupedInfo, pipes: dict[str, "_Pipe"]) -> Column:
         """GENERATE <pipe> — the pipe itself as a BAG column (Pig emits
         the inner relation as a bag of tuples; POForEach inner-plan
@@ -2966,6 +3124,10 @@ class PigTranslator:
                     bag = _bag_sort(bag, pin)
             if pipe.limited and pipe.limit_n is not None:
                 bag = F.slice(bag, 1, pipe.limit_n)
+            if pipe.post_ops:
+                elem = df.schema[pipe.arr].dataType.elementType
+                enames = [pipe.col.split("::")[-1]] if pipe.col is not None else list(elem.names)
+                bag = self._apply_post_ops(bag, pipe.post_ops, enames)
             if rest:
                 leaf = rest.split("::")[-1]
                 bag = F.transform(bag, lambda t: F.struct(t[leaf].alias(leaf)))
@@ -3030,6 +3192,8 @@ class PigTranslator:
             bag = F.transform(
                 bag, lambda t: F.struct(*[t[n].alias(n) for n in field_names])
             )
+        if pipe.post_ops:
+            bag = self._apply_post_ops(bag, pipe.post_ops, field_names)
         return bag
 
     def _foreach_nested_multiflatten(self, op: G.Foreach, g: GroupedInfo, pipes: dict[str, "_Pipe"]) -> Relation:
@@ -3154,6 +3318,22 @@ class PigTranslator:
                 return self._agg_over_bag(fn, bag, elem, rest or None)
             return self._arr_pipe_agg(fn, arg, p, g)
         pipe = self._resolve_pipe(arg.name, g, pipes)
+        if pipe.limited and pipe.post_ops:
+            # ops chained after the LIMIT (d = DISTINCT l; COUNT(d)):
+            # aggregate over the assembled bag — slice first, then the
+            # replayed post-ops, exactly Pig's dataflow order and its
+            # reducer-bag footprint (the topk window path can't replay
+            # ops that must see the sliced bag)
+            hd, _, rst = arg.name.partition(".")
+            bag = self._pipe_bag(hd, None, g, pipes)
+            elem = (
+                g.child.df.limit(0)
+                .groupBy()
+                .agg(bag.alias("__pb"))
+                .schema["__pb"]
+                .dataType.elementType
+            )
+            return self._agg_over_bag(fn, bag, elem, rst or None)
         if pipe.limited:
             raise NotImplementedError(
                 "LIMIT inside FOREACH {} is not algebraic; use "

@@ -1969,3 +1969,77 @@ def test_cmdline_conf_shapes(spark, tmp_path):
     assert ("a", 20, "dem") in rows
     assert ("b", 30, None) in rows and ("b", 31, None) in rows
     assert ("c", None, "rep") in rows
+
+
+def test_nested_pipe_ops_follow_statement_order(spark, tmp_path):
+    """Ops chained AFTER a nested LIMIT see the SLICED bag — statement
+    order is the dataflow order (r6 review finding: flags applied in
+    canonical filter→distinct→order→limit order silently reordered
+    the script). Pig: ORDER DESC → [b,b,a]; LIMIT 2 → [b,b];
+    DISTINCT → 1; FILTER v=='a' → 0."""
+    src = str(tmp_path / "t.tsv")
+    with open(src, "w") as f:
+        f.write("1\tb\n1\tb\n1\ta\n")
+    base = f"""
+        a = LOAD '{src}' AS (k:int, v:chararray);
+        g = GROUP a BY k;
+    """
+    rels = run(spark, base + """
+        r = FOREACH g { o = ORDER a BY v DESC; l = LIMIT o 2; d = DISTINCT l;
+                        GENERATE group, COUNT(d) AS n; };
+    """)
+    assert rels["r"].df.collect()[0].n == 1
+    rels = run(spark, base + """
+        r = FOREACH g { o = ORDER a BY v DESC; l = LIMIT o 2; f = FILTER l BY v == 'a';
+                        GENERATE group, COUNT(f) AS n; };
+    """)
+    assert rels["r"].df.collect()[0].n == 0
+    # LIMIT after LIMIT: slices nest (5 then 2 = 2)
+    rels = run(spark, base + """
+        r = FOREACH g { o = ORDER a BY v DESC; l5 = LIMIT o 5; l2 = LIMIT l5 2;
+                        GENERATE group, COUNT(l2) AS n; };
+    """)
+    assert rels["r"].df.collect()[0].n == 2
+    # post-LIMIT ops on the bag form and under FLATTEN
+    rels = run(spark, base + """
+        r = FOREACH g { p = FOREACH a GENERATE v; o = ORDER p BY v DESC; l = LIMIT o 2;
+                        d = DISTINCT l; GENERATE group, FLATTEN(d) AS w; };
+    """)
+    assert [r.w for r in rels["r"].df.collect()] == ["b"]
+
+
+def test_nested_pipe_ops_statement_order_arr_pipe(spark, tmp_path):
+    """Same dataflow-order contract for ops chained onto a FLATTENed
+    inner-FOREACH (array) pipe."""
+    src = str(tmp_path / "t.tsv")
+    with open(src, "w") as f:
+        f.write("1\tb b a\n")
+    rels = run(spark, f"""
+        a = LOAD '{src}' AS (k:int, txt:chararray);
+        g = GROUP a BY k;
+        r = FOREACH g {{
+            i = FOREACH a GENERATE FLATTEN(TOKENIZE(txt)) AS w;
+            o = ORDER i BY w DESC;
+            l = LIMIT o 2;
+            d = DISTINCT l;
+            GENERATE group, COUNT(d) AS n;
+        }};
+    """)
+    assert rels["r"].df.collect()[0].n == 1  # [b,b,a]→desc→[b,b]→distinct→[b]
+
+
+def test_nested_distinct_after_order_sorts_naturally(spark, tmp_path):
+    """Pig's nested DISTINCT is POSortedDistinct: it re-sorts by the
+    FULL tuple, so DISTINCT after ORDER ... DESC yields the naturally
+    ASC-sorted distinct bag (the prior ORDER's keys are discarded)."""
+    src = str(tmp_path / "t.tsv")
+    with open(src, "w") as f:
+        f.write("1\tb\n1\tb\n1\ta\n")
+    rels = run(spark, f"""
+        a = LOAD '{src}' AS (k:int, v:chararray);
+        g = GROUP a BY k;
+        r = FOREACH g {{ p = FOREACH a GENERATE v; o = ORDER p BY v DESC;
+                         d = DISTINCT o; l = LIMIT d 1;
+                         GENERATE group, FLATTEN(l) AS w; }};
+    """)
+    assert [r.w for r in rels["r"].df.collect()] == ["a"]
