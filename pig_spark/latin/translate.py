@@ -664,7 +664,7 @@ class PigTranslator:
                 )
             import os as _os
 
-            if storer != "dbstorage" and _os.path.exists(stmt.path):
+            if storer != "dbstorage" and self.execute_stores and _os.path.exists(stmt.path):
                 # Pig refuses to clobber an existing output location
                 # (InputOutputFileValidator ERROR 6000, negative.conf
                 # 'store into existing file'); remove it first (fs -rmr)
@@ -677,6 +677,10 @@ class PigTranslator:
             self._pending_stores.append((self._rel(stmt.rel), stmt.path, store_fn))
             self.stores.append(stmt.path)
         elif isinstance(stmt, G.Simple) and stmt.op == "dump":
+            if not self.execute_stores:
+                # plan-inspection translation (BoundScript.describe/
+                # explain/illustrate): never run jobs for DUMPs
+                return
             from ..render import render_row
 
             rows = self._rel(stmt.rel).df.collect()

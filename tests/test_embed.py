@@ -186,3 +186,25 @@ def test_explain_describe_never_write_stores(spark, tmp_path):
     # runSingle DOES write it
     stats = b.runSingle(spark)
     assert stats.is_successful() and out.exists()
+
+
+def test_plan_inspection_skips_exists_check_and_dump(spark, tmp_path, capsys):
+    """Plan inspection must also skip STORE's ERROR-6000 existing-
+    output validation (the sink it refuses to clobber will not be
+    written anyway) and never run jobs for DUMP statements — the
+    reference validates/executes those only at run time
+    (InputOutputFileValidator runs in the launch pipeline)."""
+    out = tmp_path / "sink"
+    out.mkdir()  # pre-existing output location
+    script = (
+        f"a = LOAD '{SF_DIR}/nation.parquet' USING ParquetLoader();\n"
+        f"DUMP a;\n"
+        f"STORE a INTO '{out}' USING PigStorage();\n"
+    )
+    b = Pig.compile(script).bind()
+    b.describe("a")  # must not raise ERROR 6000, must not print rows
+    assert "(0," not in capsys.readouterr().out
+    # run DOES hit the validation
+    stats = b.runSingle(spark)
+    assert not stats.is_successful()
+    assert "6000" in str(stats.error)
