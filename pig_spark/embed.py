@@ -197,43 +197,11 @@ class Pig:
         """Pig.fs("-mkdir p" / "-rmr p" / "-copyFromLocal a b" /
         "-ls p") — hadoop FsShell command string, local-filesystem
         equivalents here (same mapping as `fs -<cmd>` script
-        statements). Returns 0 on success like FsShell.run."""
-        import os
-        import shutil
+        statements). Returns FsShell.run's code: 0 on success, -1 on
+        error (scripting/Pig.java:57-72)."""
+        from .fsshell import fs_shell
 
-        parts = cmd.split()
-        if not parts:
-            return 0
-        op = parts[0].lstrip("-").lower()
-        args = parts[1:]
-        if op in ("rm", "rmr") and args:
-            for a in args:
-                if os.path.isdir(a):
-                    shutil.rmtree(a, ignore_errors=True)
-                elif os.path.exists(a):
-                    os.remove(a)
-        elif op == "mkdir":
-            for a in args:
-                os.makedirs(a, exist_ok=True)
-        elif op == "mv" and len(args) == 2:
-            os.replace(args[0], args[1])
-        elif op in ("cp", "copyfromlocal", "copytolocal") and len(args) == 2:
-            if os.path.isdir(args[0]):
-                shutil.copytree(args[0], args[1], dirs_exist_ok=True)
-            else:
-                shutil.copy(args[0], args[1])
-        elif op == "ls" and args:
-            for a in args:
-                if not os.path.exists(a):
-                    raise FileNotFoundError(f"fs -ls: {a!r} does not exist")
-                names = sorted(os.listdir(a)) if os.path.isdir(a) else [a]
-                for n in names:
-                    print(n)
-        elif op == "cat" and args:
-            for a in args:
-                with open(a, errors="replace") as fh:
-                    print(fh.read(), end="")
-        return 0
+        return fs_shell(cmd)
 
     @staticmethod
     def registerJar(path: str) -> None:  # noqa: N802

@@ -157,8 +157,15 @@ class Grunt:
     def _utility(self, line: str) -> str | None:
         parts = line.split()
         cmd, args = parts[0].lower(), parts[1:]
-        if cmd == "fs" and args:  # fs -ls path  →  ls path
-            cmd, args = args[0].lstrip("-").lower(), args[1:]
+        if cmd == "fs" and args:
+            # fs -<cmd> args → shared FsShell equivalents, anchored at
+            # the shell's cwd; errors print and the shell keeps going
+            # (GruntParser.processFsCommand → FsShell.run)
+            from .fsshell import fs_shell
+
+            with redirect_stdout(self.out):
+                fs_shell(" ".join(args), cwd=self.cwd)
+            return None
         try:
             return self._dispatch(cmd, args)
         except Exception as exc:

@@ -82,21 +82,11 @@ def _utility_cmd(line: str) -> bool:
         return False
     cmd, rest = words[0].lower(), words[1] if len(words) > 1 else ""
     if cmd == "fs":
-        # `fs -ls path`, `fs -rm path` ... local filesystem flavors
-        args = shlex.split(rest)
-        op = args[0].lstrip("-") if args else "ls"
-        paths = args[1:] or ["."]
-        if op == "ls":
-            for p in paths:
-                for name in sorted(os.listdir(p)):
-                    print(name)
-        elif op in ("rm", "rmr"):
-            import shutil
+        # `fs -<cmd> args` — shared FsShell local equivalents
+        # (errors print and the shell keeps going, like Grunt)
+        from ..fsshell import fs_shell
 
-            for p in paths:
-                shutil.rmtree(p) if os.path.isdir(p) else os.remove(p)
-        else:
-            print(f"fs -{op}: unsupported")
+        fs_shell(rest)
         return True
     if cmd == "sh":
         subprocess.run(rest, shell=True)

@@ -552,39 +552,24 @@ class PigTranslator:
             if sh and not _re.match(r"\s*sh\s*=", line):
                 # Grunt `sh <command>` (GruntParser.processShCommand):
                 # run via the shell, keep going on non-zero exit (Grunt
-                # prints the status and continues)
-                import subprocess
+                # prints the status and continues). Skipped entirely
+                # during plan inspection — the reference executes sh
+                # only `if (mExplain == null)` (GruntParser.java:1203)
+                if self.execute_stores:
+                    import subprocess
 
-                subprocess.run(sh.group(1), shell=True, check=False)
+                    subprocess.run(sh.group(1), shell=True, check=False)
                 continue
-            fsm = _re.match(r"\s*fs\s+-(\w+)\s*(.*?)\s*;?\s*$", line)
-            if fsm:
+            fsm = _re.match(r"\s*fs\s+(-?\w+\s*.*?)\s*;?\s*$", line)
+            if fsm and not _re.match(r"\s*fs\s*=", line):
                 # Grunt `fs -<cmd> args` inside a script (GruntParser.
-                # processFsCommand → hadoop FsShell): local-filesystem
-                # equivalents for the mutating commands; pure-listing
-                # commands (-ls/-cat/-du/-test) are informational in
-                # Grunt and have no plan effect
-                import os as _os
-                import shutil as _sh
+                # processFsCommand → hadoop FsShell): shared local-FS
+                # equivalents, continue on non-zero like Grunt. Same
+                # explain-mode skip (GruntParser.java:1174)
+                if self.execute_stores:
+                    from ..fsshell import fs_shell
 
-                cmd, argstr = fsm.groups()
-                fargs = argstr.split()
-                if cmd in ("rm", "rmr") and fargs:
-                    for a in fargs:
-                        if _os.path.isdir(a):
-                            _sh.rmtree(a, ignore_errors=True)
-                        elif _os.path.exists(a):
-                            _os.remove(a)
-                elif cmd == "mkdir":
-                    for a in fargs:
-                        _os.makedirs(a, exist_ok=True)
-                elif cmd == "mv" and len(fargs) == 2:
-                    _os.replace(fargs[0], fargs[1])
-                elif cmd in ("cp", "copyfromlocal", "copytolocal") and len(fargs) == 2:
-                    if _os.path.isdir(fargs[0]):
-                        _sh.copytree(fargs[0], fargs[1], dirs_exist_ok=True)
-                    else:
-                        _sh.copy(fargs[0], fargs[1])
+                    fs_shell(fsm.group(1))
                 continue
             m = _re.match(r"\s*%(declare|default)\s+(\w+)\s+(.+?)\s*;?\s*$", line)
             if m:
