@@ -85,8 +85,10 @@ def pig_field_ddl(ptype: str | None) -> str:
     lt = t.lower()
     if lt in PIG_TO_SPARK_TYPE:
         return PIG_TO_SPARK_TYPE[lt]
-    if lt.startswith("map["):
-        inner = t[4:-1].strip()
+    if lt.startswith("map[") or lt.startswith("["):
+        # 'map[int]' and the bare 'm:[]' spelling (QueryParser.g
+        # map_type — both are legal schema syntax)
+        inner = t[t.index("[") + 1 : t.rindex("]")].strip()
         return f"map<string,{pig_field_ddl(inner) if inner else 'string'}>"
     if lt.startswith("tuple(") or lt.startswith("("):
         fields = _tuple_fields(t)
@@ -235,68 +237,255 @@ LOADER_FORMAT = {
 AGG_FUNCS = {"count", "count_star", "sum", "avg", "min", "max"}
 
 
-def _load_script_udfs(path: str) -> dict:
+class _JavaStub:
+    """Stand-in for a java class referenced at module level by a
+    jython scripting-UDF file (``Path('foo')``, PIG-1824): accepts any
+    construction/call/attribute and returns itself."""
+
+    def __init__(self, *_a, **_k):
+        pass
+
+    def __call__(self, *_a, **_k):
+        return self
+
+    def __getattr__(self, _name):
+        return self
+
+
+class _JavaImportStub:
+    """Import-machinery shim for jython scripts' java imports
+    (``from org.apache.hadoop.fs import Path``): fabricates permissive
+    package modules under the org/java/javax roots so module-level
+    java references don't kill the script — the UDF bodies themselves
+    are plain Python. Installed only around scripting-UDF exec."""
+
+    _ROOTS = ("org", "java", "javax")
+
+    def find_spec(self, fullname, path=None, target=None):
+        if fullname.split(".", 1)[0] not in self._ROOTS:
+            return None
+        import importlib.machinery
+
+        return importlib.machinery.ModuleSpec(fullname, self, is_package=True)
+
+    def create_module(self, spec):
+        import types
+
+        mod = types.ModuleType(spec.name)
+        mod.__path__ = []  # package, so submodule imports recurse here
+        mod.__all__ = []  # star imports add nothing; see _JythonGlobals
+        mod.__getattr__ = lambda name: _JavaStub()
+        return mod
+
+    def exec_module(self, module):
+        pass
+
+
+class _JythonGlobals(dict):
+    """exec-globals for a script that does a java STAR import
+    (``from org.apache... import *``): star imports can't enumerate a
+    fabricated package, so unknown CamelCase names resolve to a
+    _JavaStub at use — jython itself resolves java classes lazily the
+    same way. Lowercase names still raise NameError normally."""
+
+    def __missing__(self, name):
+        if name[:1].isupper():
+            return _JavaStub()
+        raise KeyError(name)
+
+
+# jython is Python 2: the dict-iterator idioms reference scripts use
+# rewrite textually to their Python-3 spellings before compile
+_PY2_REWRITES = ((".iteritems()", ".items()"), (".iterkeys()", ".keys()"), (".itervalues()", ".values()"))
+
+
+def _deco_outputSchema(schema_str: str):  # noqa: N802 — Pig decorator name
+    def deco(fn):
+        fn._pig_output_schema = schema_str
+        return fn
+
+    return deco
+
+
+def _deco_outputSchemaFunction(name: str):  # noqa: N802
+    def deco(fn):
+        fn._pig_schema_fn_ref = name
+        return fn
+
+    return deco
+
+
+def _deco_schemaFunction(name: str):  # noqa: N802
+    def deco(fn):
+        fn._pig_schema_fn_name = name
+        return fn
+
+    return deco
+
+
+# singletons, so a pig_util stub created by one REGISTER is still
+# recognized (by identity) when a later REGISTER imports from it
+_PIG_DECORATORS = {
+    "outputSchema": _deco_outputSchema,
+    "outputSchemaFunction": _deco_outputSchemaFunction,
+    "schemaFunction": _deco_schemaFunction,
+}
+
+_SPARK_TO_PIG_TYPE = {v: k for k, v in reversed(PIG_TO_SPARK_TYPE.items())}
+
+
+def _pig_text_value(v):
+    """Render a Python value in Pig's textual forms — bag {(..),(..)},
+    tuple (..), map [k#v] — the shape a bytearray cast of a complex
+    jython result produces (JythonUtils.pythonToPig → TextDataParser
+    round-trip)."""
+    if v is None or isinstance(v, str):
+        return v
+    if isinstance(v, list):
+        return "{" + ",".join(
+            _pig_text_value(x) if isinstance(x, tuple) else f"({_pig_text_value(x)})"
+            for x in v
+        ) + "}"
+    if isinstance(v, tuple):
+        return "(" + ",".join(str(_pig_text_value(x)) for x in v) + ")"
+    if isinstance(v, dict):
+        return "[" + ",".join(f"{k}#{_pig_text_value(x)}" for k, x in v.items()) + "]"
+    return str(v)
+
+
+def _stringify_result(fn):
+    def wrapped(*a, **k):
+        return _pig_text_value(fn(*a, **k))
+
+    return wrapped
+
+
+class _ScriptUDF:
+    """One scripting-UDF function with its declared Pig return type.
+    ``@outputSchemaFunction`` UDFs (JythonFunction.java outputSchema
+    delegation) defer typing to call time: the named schema function
+    maps the INPUT's Pig type to the output type, so the translator
+    passes the relation for input-type resolution."""
+
+    def __init__(self, fn, ddl: str | None, schema_fn=None):
+        self.fn, self.ddl, self.schema_fn = fn, ddl, schema_fn
+
+    def __call__(self, *cols, _rel=None):
+        ddl = self.ddl
+        if ddl is None and self.schema_fn is not None and _rel is not None and cols:
+            spark_t = _rel.df.select(cols[0]).schema[0].dataType.simpleString()
+            pig_in = _SPARK_TO_PIG_TYPE.get(spark_t, spark_t)
+            try:
+                out = self.schema_fn(pig_in)
+            except Exception:
+                out = pig_in
+            ddl = pig_field_ddl(str(out))
+        fn = self.fn
+        if (ddl or "string") == "string":
+            # bytearray/chararray-typed result: coerce complex Python
+            # values through Pig's text forms ({(..)}, (..), [k#v]) —
+            # JythonUtils.pythonToPig + bytearray cast semantics for
+            # un-annotated functions returning lists/tuples/dicts
+            fn = _stringify_result(self.fn)
+        return F.udf(fn, ddl or "string")(*cols)
+
+
+def _load_script_udfs(path: str, engine: str = "jython") -> dict:
     """Execute a Pig scripting-UDF file (REGISTER ... USING jython AS
-    ns — scripting/jython/JythonScriptEngine.java, streaming/python/
-    PythonScriptEngine.java) and wrap its public functions as Spark
-    UDFs. Pig's ``@outputSchema('name:type')`` decorator works
-    verbatim: the declared type becomes the UDF's return type
+    ns — scripting/jython/JythonScriptEngine.java; USING
+    streaming_python — python/PythonScriptEngine.java: that engine IS
+    CPython, exactly what runs here) and wrap its public functions as
+    Spark UDFs. Pig's decorator surface works verbatim:
+    ``@outputSchema('name:type')`` declares the return type
     (un-annotated functions default to chararray, like Pig's
-    bytearray-as-default). Scripting UDFs are arbitrary row-at-a-time
-    Python — the sanctioned slow path, same class as STREAM THROUGH;
-    prefer the builtin Column library for anything hot."""
+    bytearray-as-default); ``@outputSchemaFunction`` +
+    ``@schemaFunction`` delegate typing to a function of the input
+    schema; ``from pig_util import outputSchema`` (the
+    streaming_python idiom) resolves against an injected stub; java
+    imports in jython files resolve to permissive stubs (PIG-1824
+    module-level references). The script's own directory joins
+    sys.path during exec so sibling helper modules import
+    (JythonScriptEngine adds the script dir to jython's path).
+    Scripting UDFs are arbitrary row-at-a-time Python — the sanctioned
+    slow path, same class as STREAM THROUGH; prefer the builtin Column
+    library for anything hot."""
+    import os as _os
+    import re as _re
+    import sys as _sys
+    import types as _types
 
-    def outputSchema(schema_str: str):
-        def deco(fn):
-            fn._pig_output_schema = schema_str
-            return fn
-
-        return deco
-
-    glb: dict = {"outputSchema": outputSchema}
+    decorators = _PIG_DECORATORS
     with open(path, encoding="utf-8") as fh:
         code = fh.read()
-    exec(compile(code, path, "exec"), glb)  # noqa: S102 — user-registered script, like Pig
+    for old, new in _PY2_REWRITES:
+        code = code.replace(old, new)
+    glb: dict = (
+        _JythonGlobals()
+        if _re.search(r"from\s+(?:org|java|javax)[\w.]*\s+import\s+\*", code)
+        else {}
+    )
+    glb.update(decorators)
+    finder = _JavaImportStub()
+    script_dir = _os.path.dirname(_os.path.abspath(path))
+    if "pig_util" not in _sys.modules:
+        pig_util = _types.ModuleType("pig_util")
+        for dname, deco in decorators.items():
+            setattr(pig_util, dname, deco)
+        _sys.modules["pig_util"] = pig_util
+    _sys.meta_path.insert(0, finder)
+    _sys.path.insert(0, script_dir)
+    try:
+        exec(compile(code, path, "exec"), glb)  # noqa: S102 — user-registered script, like Pig
+    finally:
+        _sys.meta_path.remove(finder)
+        if script_dir in _sys.path:
+            _sys.path.remove(script_dir)
+    # sibling helper modules the script imported (JythonScriptEngine
+    # puts the script dir on the interpreter path) exist only on the
+    # driver — ship them INSIDE the pickled UDF, or the executor's
+    # unpickle dies with ModuleNotFoundError
+    try:
+        from pyspark import cloudpickle as _cp
+
+        for mod in list(_sys.modules.values()):
+            mf = getattr(mod, "__file__", None)
+            if mf and _os.path.dirname(_os.path.abspath(mf)) == script_dir:
+                _cp.register_pickle_by_value(mod)
+    except Exception:
+        pass
+    schema_fns = {
+        getattr(obj, "_pig_schema_fn_name"): obj
+        for obj in glb.values()
+        if callable(obj) and getattr(obj, "_pig_schema_fn_name", None)
+    }
+    deco_ids = {id(d) for d in decorators.values()}
     out: dict = {}
     for name, obj in glb.items():
-        if name.startswith("_") or not callable(obj) or name == "outputSchema":
+        if name.startswith("_") or not callable(obj) or isinstance(obj, (type, _JavaStub)):
             continue
+        if id(obj) in deco_ids:
+            continue
+        if getattr(obj, "_pig_schema_fn_name", None):
+            continue  # schema functions aren't UDFs themselves
         schema = getattr(obj, "_pig_output_schema", None)
-        out[name] = F.udf(obj, _pig_schema_to_spark_ddl(schema) if schema else "string")
+        ref = getattr(obj, "_pig_schema_fn_ref", None)
+        out[name] = _ScriptUDF(
+            obj,
+            _script_udf_ddl(schema) if schema else (None if ref else "string"),
+            schema_fns.get(ref) if ref else None,
+        )
     return out
 
 
-def _pig_schema_to_spark_ddl(schema: str) -> str:
-    """@outputSchema string → Spark DDL type. Scalars
-    ('word:chararray'), tuples ('t:(a:int,b:chararray)' → struct) and
-    bags ('b:{(a:int)}' → array<struct>) — the shapes Pig scripting
-    UDFs declare (schema syntax per QueryParser.g field_def; a bag
-    result + FLATTEN is Pig's UDTF idiom and works the same here)."""
+def _script_udf_ddl(schema: str) -> str:
+    """@outputSchema string → Spark DDL type: strip the outer field
+    name, then the shared Pig-type mapper handles scalars, tuples
+    (both ``(...)`` and ``tuple(...)`` spellings), bags and maps."""
     body = schema.strip()
-    # strip the outer field name (everything before the first ':' that
-    # precedes any bracket)
     head, sep, rest = body.partition(":")
-    if sep and not any(ch in head for ch in "({"):
+    if sep and not any(ch in head for ch in "({["):
         body = rest.strip()
-    if body.startswith("{"):
-        inner = body.strip("{}").strip()
-        return f"array<{_tuple_ddl(inner)}>"
-    if body.startswith("("):
-        return _tuple_ddl(body)
-    return PIG_TO_SPARK_TYPE.get(body.strip().lower(), "string")
-
-
-def _tuple_ddl(t: str) -> str:
-    t = t.strip()
-    if not (t.startswith("(") and t.endswith(")")):
-        raise SyntaxError(f"scripting UDF schema: expected a (tuple) form, got {t!r}")
-    fields = []
-    for part in t[1:-1].split(","):
-        fname, _, ftype = part.strip().partition(":")
-        if not fname:
-            raise SyntaxError(f"scripting UDF schema: unnamed field in {t!r}")
-        fields.append(f"{fname.strip()}:{PIG_TO_SPARK_TYPE.get(ftype.strip().lower(), 'string')}")
-    return "struct<" + ",".join(fields) + ">"
+    return pig_field_ddl(body)
 
 
 def _sub_positional(e, sub: dict[str, str]):
@@ -487,6 +676,7 @@ class PigTranslator:
         self.params = params or {}
         self.registered: list[str] = []
         self.script_udfs: dict[str, dict] = {}  # REGISTER ... AS ns → {fn: udf}
+        self._job_ship: list[str] = []  # union of DEFINE SHIP files (job-scoped)
         self.defines: dict[str, str] = {}
         # STOREs are deferred to end-of-script (Pig batch semantics:
         # PigServer executes the whole plan at the last STORE) so the
@@ -513,8 +703,11 @@ class PigTranslator:
         # reference preprocessor (PreprocessorContext.substitute:
         # "Undefined parameter : <name>") instead of parsing '$out'
         # as a literal path and silently writing a '$out' directory.
-        # \$digit positional refs and \\$-escapes are not parameters.
-        leftover = _re.search(r"(?<!\\)\$([A-Za-z_]\w*)", src)
+        # \$digit positional refs and \\$-escapes are not parameters,
+        # and neither is bare `$_` (perl idiom inside backtick stream
+        # commands): Pig's parameter IDENTIFIER must contain a letter
+        # (PigFileParser.jj:265 `(<SPECIALCHAR>)*<LETTER>...`)
+        leftover = _re.search(r"(?<!\\)\$(_*[A-Za-z]\w*)", src)
         if leftover:
             raise ValueError(f"Undefined parameter : {leftover.group(1)}")
         script = G.parse(src)
@@ -694,12 +887,28 @@ class PigTranslator:
             self.registered.append(stmt.rel)  # recorded no-op: code is Python-native
         elif isinstance(stmt, G.Register):
             self.registered.append(stmt.path)
-            if stmt.namespace:
-                # REGISTER 'udfs.py' USING jython AS ns — scripting UDFs
-                # (PythonScriptEngine/JythonScriptEngine): exec the file
-                # with Pig's @outputSchema decorator in scope, expose
-                # every public callable as ns.func(...)
-                self.script_udfs[stmt.namespace] = _load_script_udfs(stmt.path)
+            engine = (stmt.engine or "").lower()
+            if engine in ("jruby", "javascript", "groovy"):
+                # scripting engines whose runtime isn't Python: can't
+                # execute the UDF file. Parse-and-refuse with guidance
+                # (same scope class as MAPREDUCE/HBase)
+                raise NotImplementedError(
+                    f"REGISTER ... USING {engine}: only Python scripting "
+                    "engines run here (jython/streaming_python execute as "
+                    "native CPython); port the UDF file to Python"
+                )
+            if stmt.namespace or engine:
+                # REGISTER 'udfs.py' USING jython [AS ns] — scripting
+                # UDFs (JythonScriptEngine/PythonScriptEngine): exec the
+                # file with Pig's decorator surface in scope, expose
+                # every public callable as ns.func(...) — or, with no
+                # AS clause, as bare top-level names (Pig registers
+                # them unqualified)
+                funcs = _load_script_udfs(stmt.path, engine or "jython")
+                if stmt.namespace:
+                    self.script_udfs[stmt.namespace] = funcs
+                else:
+                    self.script_udfs.setdefault("", {}).update(funcs)
         elif isinstance(stmt, G.SetStmt):
             if stmt.key == "__exec_boundary__":
                 # Grunt `exec`: run everything queued so far — later
@@ -758,7 +967,10 @@ class PigTranslator:
         here; Python callables go through
         ``Relation.stream_through(serialize=..., deserialize=...)``."""
         extras = stmt.args[1] if len(stmt.args) > 1 else []
-        spec: dict = {"cmd": stmt.func, "ship": [], "in_sep": "\t", "out_sep": "\t"}
+        spec: dict = {
+            "cmd": stmt.func, "ship": [], "in_sep": "\t", "out_sep": "\t",
+            "in_file": None, "out_file": None,
+        }
 
         def parse_serde(items: list):
             toks = [(k, v) for k, v in items]
@@ -766,8 +978,16 @@ class PigTranslator:
                 (i for i, (k, v) in enumerate(toks) if k == "tok" and v.lower() == "using"),
                 None,
             )
+            # INPUT('foo' ...) / OUTPUT('foo' ...): a quoted token
+            # before USING names a FILE the command reads/writes in
+            # its task cwd instead of stdin/stdout (QueryParser.g
+            # stream_cmd input/output clauses, POStream file channels)
+            target = next(
+                (v for k, v in (toks if idx is None else toks[:idx]) if k == "str"),
+                None,
+            )
             if idx is None:
-                return None  # INPUT(stdin) — default serde
+                return target, None  # INPUT(stdin) — default serde
             cls_parts: list[str] = []
             args: list[str] = []
             in_args = False
@@ -789,20 +1009,54 @@ class PigTranslator:
                     "PigStreaming('<delim>') or pass Python callables via "
                     "Relation.stream_through(serialize=..., deserialize=...)"
                 )
-            return args[0] if args else "\t"
+            return target, (args[0] if args else "\t")
 
         for kind, items in extras:
             if kind in ("ship", "cache"):
                 spec["ship"].extend(v for k, v in items if k == "str")
-            elif kind == "input":
-                d = parse_serde(items)
+            elif kind in ("input", "output"):
+                target, d = parse_serde(items)
+                side = "in" if kind == "input" else "out"
+                if target is not None:
+                    spec[f"{side}_file"] = target
                 if d is not None:
-                    spec["in_sep"] = d
-            elif kind == "output":
-                d = parse_serde(items)
-                if d is not None:
-                    spec["out_sep"] = d
+                    spec[f"{side}_sep"] = d
+            # stderr('dir' [limit n]) is a task-log routing directive —
+            # no dataflow effect (GruntParser handles it as logging)
+        # SHIP is job-scoped in Pig (JobControlCompiler distributes
+        # every shipped file to every task's cwd), so an inline
+        # `stream X through \`perl script.pl\`` can rely on files
+        # shipped by a DEFINE elsewhere in the same script
+        self._job_ship.extend(p for p in spec["ship"] if p not in self._job_ship)
+        self._autoship(spec["cmd"])
         return spec
+
+    def _autoship(self, cmd: str) -> None:
+        """Auto-ship (StreamingCommandUtils.checkAutoShipSpecs): for
+        `perl x.pl` / `python x.py` the candidate is the first
+        non-option non-quoted argument, otherwise the command word
+        itself; absolute paths are never auto-shipped, and a candidate
+        the client environment can't find is silently skipped (the
+        reference's which(1) miss). Found candidates resolve against
+        the submitting process's cwd and join the job's ship list."""
+        import os as _os
+        import shlex as _shlex
+
+        try:
+            toks = _shlex.split(cmd)
+        except ValueError:
+            return
+        if not toks:
+            return
+        cand = None
+        if toks[0].lower() in ("perl", "python"):
+            cand = next((a for a in toks[1:] if not a.startswith("-")), None)
+        else:
+            cand = toks[0]
+        if cand and not _os.path.isabs(cand) and _os.path.isfile(cand):
+            p = _os.path.abspath(cand)
+            if p not in self._job_ship:
+                self._job_ship.append(p)
 
     # ------------------------------------------------------------------
     def _op(self, op, out_alias: str) -> RelInfo:
@@ -891,11 +1145,13 @@ class PigTranslator:
                 spec = self.defines[name]
                 if isinstance(spec, dict):
                     return typed(rel.stream_through(
-                        spec["cmd"], str_ddl, ship=spec["ship"] or None,
+                        spec["cmd"], str_ddl, ship=self._job_ship or None,
                         in_sep=spec["in_sep"], out_sep=spec["out_sep"],
+                        in_file=spec["in_file"], out_file=spec["out_file"],
                     ))
                 cmd = spec
-            return typed(rel.stream_through(cmd, str_ddl))
+            self._autoship(cmd)  # inline `stream X through \`perl x.pl\``
+            return typed(rel.stream_through(cmd, str_ddl, ship=self._job_ship or None))
         raise NotImplementedError(f"operator {type(op).__name__}")
 
     # ------------------------------------------------------------------
@@ -1334,8 +1590,11 @@ class PigTranslator:
                     name = rel.df.columns[int(item.expr.name[1:])]
                 if name in seen_flat_names and item.alias is None and isinstance(item.expr, G.Col):
                     # un-aliased collision (c::group, d::group): keep
-                    # the qualified source name, as LogicalSchema does
-                    name = item.expr.name
+                    # the qualified source name, as LogicalSchema does.
+                    # Dotted sources (mt.$0 vs mb.$0 — both leaf $0)
+                    # qualify with :: — a literal dot in a column name
+                    # would read as struct access downstream
+                    name = item.expr.name.replace(".", "::")
                 seen_flat_names.add(name)
                 if item.flatten:
                     # an explicit single-name AS names the (single)
@@ -3924,14 +4183,23 @@ class PigTranslator:
             q = f"{head}::{rest}"
             if q in cols:
                 return rel.df[q]
-            if head in cols:  # struct field access
+            if head in cols:  # struct/bag field access
                 if rest.startswith("$"):
-                    # positional deref g.$0 — tuple fields by index
+                    # positional deref — tuple fields by index (t.$0),
+                    # and bag-element projection by index (b.$0 over
+                    # array<struct>: field 0 of every element, Pig's
+                    # positional bag projection)
                     from pyspark.sql import types as T
 
                     dtype = rel.df.schema[head].dataType
                     if isinstance(dtype, T.StructType):
                         return rel.df[head].getField(dtype.names[int(rest[1:])])
+                    if isinstance(dtype, T.ArrayType) and isinstance(
+                        dtype.elementType, T.StructType
+                    ):
+                        return rel.df[head].getField(
+                            dtype.elementType.names[int(rest[1:])]
+                        )
                 return rel.df[head].getField(rest)
         suffix = [c for c in cols if c.endswith("::" + name)]
         if len(suffix) == 1:
@@ -4001,7 +4269,7 @@ class PigTranslator:
                 raise NameError(
                     f"pig latin: no function {leaf!r} in namespace {ns!r}{_suggest(leaf, sorted(funcs))}"
                 )
-            return udf_col(*[self._expr(a, rel) for a in e.args])
+            return udf_col(*[self._expr(a, rel) for a in e.args], _rel=rel)
         if fname.upper() == "TOTUPLE" and e.args:
             # TOTUPLE.java: fields inherit the argument names; repeated
             # columns (TOTUPLE($0,$0,$0)) and expressions get POSITIONAL
@@ -4066,6 +4334,12 @@ class PigTranslator:
                     *[F.struct(c.cast(target).alias("t")) for c in arg_cols]
                 )
             return F.array(*arg_cols)  # schema probe unavailable / mixed
+        anon = self.script_udfs.get("")
+        if anon is not None and fname in anon:
+            # bare-name scripting UDF (REGISTER ... USING <engine>;
+            # with no AS clause) — exact-case match, so lowercase
+            # script functions never shadow the UPPERCASE builtins
+            return anon[fname](*[self._expr(a, rel) for a in e.args], _rel=rel)
         fn = getattr(PF, fname, None) or getattr(PF, fname.upper(), None)
         if fn is None:
             known = [n for n in dir(PF) if not n.startswith("_")]

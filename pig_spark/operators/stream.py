@@ -15,6 +15,8 @@ first if the command benefits from more/fewer parallel instances
 
 from __future__ import annotations
 
+import os
+import shlex
 from collections.abc import Callable, Sequence
 
 from pyspark.sql import DataFrame
@@ -54,6 +56,77 @@ def _pig_type_ddl(dt: T.DataType) -> str:
     return _SPARK_TO_PIG_SCALAR.get(dt.simpleString(), "chararray")
 
 
+def _resolve_cmd(cmd: str, task_cwd: str) -> str:
+    """Mirror ExecutableManager's script invocation tolerance: when the
+    command's first token is a script file (absolute, or relative to
+    the task cwd) that is NOT executable but carries a shebang, run it
+    through its interpreter — the reference tree ships e.g. Split.pl
+    invoked bare, relying on an exec bit a checkout may not preserve."""
+    head, _, rest = cmd.strip().partition(" ")
+    cand = head if os.path.isabs(head) else os.path.join(task_cwd, head)
+    if os.path.isfile(cand) and not os.access(cand, os.X_OK):
+        try:
+            with open(cand, "rb") as fh:
+                first = fh.readline()
+        except OSError:
+            return cmd
+        if first.startswith(b"#!"):
+            interp = first[2:].decode(errors="replace").strip().split()
+            if interp and interp[0].endswith("/env"):
+                interp = interp[1:]
+            if interp:
+                return " ".join([*interp, shlex.quote(cand), rest]).strip()
+    return cmd
+
+
+def _file_channel_runner(cmd: str, ship_paths: list[str], in_file: str | None, out_file: str | None):
+    """Per-partition executor for STREAM commands with INPUT('file') /
+    OUTPUT('file') channels: stage shipped files into a private task
+    cwd, materialize the partition's lines as the named input file (or
+    feed stdin), run the command, then read the named output file (or
+    its stdout). Non-zero exit fails the task (POStream contract)."""
+
+    def run_partition(lines):
+        import os
+        import shutil
+        import subprocess
+        import tempfile
+
+        wd = tempfile.mkdtemp(prefix="pig_stream_task_")
+        try:
+            for p in ship_paths:
+                shutil.copy(p, wd)
+                os.chmod(os.path.join(wd, os.path.basename(p)), 0o755)
+            data = "".join(ln + "\n" for ln in lines)
+            stdin_data = None
+            if in_file is not None:
+                with open(os.path.join(wd, in_file), "w") as fh:
+                    fh.write(data)
+            else:
+                stdin_data = data
+            env = dict(os.environ)
+            env["PATH"] = f".:{env.get('PATH', '')}"  # shipped bare names
+            res = subprocess.run(
+                _resolve_cmd(cmd, wd), shell=True, cwd=wd,
+                input=stdin_data, capture_output=True, text=True, env=env,
+            )
+            if res.returncode != 0:
+                raise RuntimeError(
+                    f"STREAM command {cmd!r} exited {res.returncode}: "
+                    f"{res.stderr[-500:]}"
+                )
+            if out_file is not None:
+                out_p = os.path.join(wd, out_file)
+                txt = open(out_p).read() if os.path.exists(out_p) else ""
+            else:
+                txt = res.stdout
+            return [ln for ln in txt.split("\n") if ln != ""]
+        finally:
+            shutil.rmtree(wd, ignore_errors=True)
+
+    return run_partition
+
+
 def stream_through(
     df: DataFrame,
     cmd: str,
@@ -63,6 +136,8 @@ def stream_through(
     deserialize: Callable[[str], Sequence[str | None]] | None = None,
     in_sep: str = "\t",
     out_sep: str = "\t",
+    in_file: str | None = None,
+    out_file: str | None = None,
 ) -> DataFrame:
     """``ship`` ≅ DEFINE ... SHIP('file') — distribute scripts/binaries
     via ``SparkContext.addFile``. On YARN/K8s, spark.files localize
@@ -84,8 +159,14 @@ def stream_through(
     if isinstance(schema, str):
         schema = T.StructType.fromDDL(schema)
     spark = df.sparkSession
-    for path in ship or []:
-        spark.sparkContext.addFile(path)
+    # NOTE: deliberately NOT sc.addFile — Spark registers added files
+    # by BASENAME for the context's whole lifetime, so two scripts
+    # shipping same-named files from different directories (a common
+    # reference-corpus shape) poison every later task with "exists and
+    # does not match contents". Shipping is done by staging the files
+    # into a per-stream task cwd below; on a real cluster, submit the
+    # scripts via spark.files/--files once, globally.
+    ship_paths = [os.path.abspath(p) for p in ship or []]
 
     if serialize is None:
         # delimited text, null → empty field (PigStreaming.java with
@@ -102,19 +183,48 @@ def stream_through(
     else:
         ser = serialize
         serialized = df.rdd.map(lambda row: ser(tuple(row)))
-    # checkCode: non-zero exit of the external command fails the job,
-    # as Pig's ExecutableManager does (POStream error contract).
     # The command runs through a SHELL (Pig's ExecutableManager wraps
     # commands likewise), so pipelines/redirection in backticks work —
-    # `cut -f 1 | sort` is a reference e2e shape. The best-effort cd
-    # into the launching process's cwd mirrors Pig's run-in-task-cwd
-    # contract for SHIPped relative script names; on a real cluster
-    # the path may not exist on executors and the cd silently no-ops.
-    import os
-    import shlex
+    # `cut -f 1 | sort` is a reference e2e shape.
+    #
+    # Task cwd contract: Pig localizes every SHIPped file into the
+    # task's working directory and runs the command there, so
+    # `perl script.pl` resolves by relative name. With ship files we
+    # reproduce that exactly: stage them into a scratch dir and cd
+    # there (driver-built; local mode shares the FS — on a cluster
+    # addFile localizes the same names, per the docstring). Without
+    # ship, cd to the launching process's cwd (relative scripts that
+    # simply sit next to the user's session).
+    if ship_paths:
+        import shutil
+        import tempfile
 
-    shell_cmd = f"cd {shlex.quote(os.getcwd())} 2>/dev/null; {cmd}"
-    piped = serialized.pipe(f"/bin/sh -c {shlex.quote(shell_cmd)}", checkCode=True)
+        task_cwd = tempfile.mkdtemp(prefix="pig_stream_cwd_")
+        for p in ship_paths:
+            shutil.copy(p, task_cwd)
+            os.chmod(os.path.join(task_cwd, os.path.basename(p)), 0o755)
+    else:
+        task_cwd = os.getcwd()
+
+    if in_file is not None or out_file is not None:
+        # INPUT('file') / OUTPUT('file') channels (POStream file
+        # channels): the command reads its input from / writes its
+        # output to a NAMED FILE in the task cwd rather than
+        # stdin/stdout. rdd.pipe only speaks stdio, so this path runs
+        # the command per partition with a private staging cwd —
+        # same per-task process model, one extra Python hop.
+        piped = serialized.mapPartitions(
+            _file_channel_runner(cmd, ship_paths, in_file, out_file)
+        )
+    else:
+        # checkCode: non-zero exit of the external command fails the
+        # job, as Pig's ExecutableManager does (POStream contract).
+        # Task cwd joins PATH so shipped scripts resolve by bare name.
+        shell_cmd = (
+            f"cd {shlex.quote(task_cwd)} 2>/dev/null; "
+            f'PATH=".:$PATH"; {_resolve_cmd(cmd, task_cwd)}'
+        )
+        piped = serialized.pipe(f"/bin/sh -c {shlex.quote(shell_cmd)}", checkCode=True)
     deser = deserialize if deserialize is not None else (lambda line, d=out_sep: line.split(d))
     if schema is None:
         # STREAM without AS (QueryParser.g stream_clause): untyped
@@ -124,8 +234,11 @@ def stream_through(
         # string ($N positional access, bytearray gradual typing)
         try:
             first_line = piped.first()
-        except Exception:  # empty output
+        except ValueError:  # genuinely empty output ("RDD is empty")
             first_line = ""
+        # anything else (Py4JJavaError: non-zero exit, missing
+        # command) propagates — a failing command must fail the job
+        # (POStream contract), not read as an empty stream
         n = max(1, len(list(deser(first_line))))
         schema = T.StructType([T.StructField(f"_c{i}", T.StringType(), True) for i in range(n)])
     n_fields = len(schema.fields)

@@ -2043,3 +2043,107 @@ def test_nested_distinct_after_order_sorts_naturally(spark, tmp_path):
                          GENERATE group, FLATTEN(l) AS w; }};
     """)
     assert [r.w for r in rels["r"].df.collect()] == ["a"]
+
+
+def test_scripting_udf_decorator_surface(spark, tmp_path):
+    """The full Pig scripting-UDF decorator surface (r6): pig_util
+    import, outputSchemaFunction + schemaFunction (type follows the
+    input), bare REGISTER without AS (top-level names), and complex
+    Python results coercing to Pig text under a chararray type."""
+    udf = tmp_path / "udfs.py"
+    udf.write_text(
+        "from pig_util import outputSchema\n"
+        "@outputSchemaFunction('ss')\n"
+        "def ident(x):\n"
+        "    return x\n"
+        "@schemaFunction('ss')\n"
+        "def ss(inp):\n"
+        "    return inp\n"
+        "def listy(x):\n"
+        "    return [x, x]\n"
+        "@outputSchema('n:int')\n"
+        "def plusone(x):\n"
+        "    return x + 1\n"
+    )
+    src = str(tmp_path / "in.tsv")
+    with open(src, "w") as f:
+        f.write("7\n")
+    rels = run(spark, f"""
+        REGISTER '{udf}' USING jython AS f;
+        a = LOAD '{src}' AS (x:int);
+        b = FOREACH a GENERATE f.ident(x) AS ix, f.listy(x) AS lx, f.plusone(x) AS px;
+    """)
+    row = rels["b"].df.collect()[0]
+    sch = {f.name: f.dataType.simpleString() for f in rels["b"].df.schema.fields}
+    assert row.ix == 7 and sch["ix"] == "int"  # identity schema fn keeps int
+    assert row.lx == "{(7),(7)}"  # Pig bag text form for a list result
+    assert row.px == 8 and sch["px"] == "int"
+    # bare REGISTER (no AS): top-level names, exact-case, builtins win
+    rels2 = run(spark, f"""
+        REGISTER '{udf}' USING streaming_python;
+        a = LOAD '{src}' AS (x:int);
+        b = FOREACH a GENERATE plusone(x) AS px, SIZE(TOBAG(x)) AS n;
+    """)
+    r2 = rels2["b"].df.collect()[0]
+    assert r2.px == 8 and r2.n == 1
+
+
+def test_scripting_udf_jruby_raises(spark, tmp_path):
+    """Non-Python scripting engines refuse with guidance (scope
+    decision, same class as MAPREDUCE)."""
+    rb = tmp_path / "u.rb"
+    rb.write_text("def square(x); x*x; end\n")
+    import pytest as _pytest
+
+    with _pytest.raises(NotImplementedError, match="jruby"):
+        run(spark, f"REGISTER '{rb}' USING jruby AS f; ")
+
+
+def test_stream_autoship_and_file_channels(spark, tmp_path):
+    """Auto-ship (StreamingCommandUtils.checkAutoShipSpecs: `perl x.pl`
+    ships x.pl from the client cwd) and INPUT('file')/OUTPUT('file')
+    channels (POStream file channels — the command reads/writes named
+    files in its task cwd)."""
+    import os
+
+    script = tmp_path / "echoer.pl"
+    script.write_text(
+        "open(my $in, '<', 'infile') or die;\n"
+        "open(my $out, '>', 'outfile') or die;\n"
+        "while (<$in>) { print $out uc($_); }\n"
+        "close($out);\n"
+    )
+    src = str(tmp_path / "in.tsv")
+    with open(src, "w") as f:
+        f.write("ab\ncd\n")
+    prev = os.getcwd()
+    os.chdir(tmp_path)
+    try:
+        rels = run(spark, f"""
+            DEFINE CMD `perl echoer.pl` input('infile') output('outfile');
+            a = LOAD '{src}' AS (s:chararray);
+            b = STREAM a THROUGH CMD AS (s:chararray);
+        """)
+        vals = sorted(r.s for r in rels["b"].df.collect())
+    finally:
+        os.chdir(prev)
+    assert vals == ["AB", "CD"]
+
+
+def test_dollar_underscore_is_not_a_parameter(spark, tmp_path):
+    """`$_` inside a backtick stream command is perl, not a Pig
+    parameter — Pig's parameter IDENTIFIER requires a letter
+    (PigFileParser.jj:265); `$name` stays an undefined-param error."""
+    src = str(tmp_path / "in.tsv")
+    with open(src, "w") as f:
+        f.write("x\ny\n")
+    rels = run(spark, f"""
+        DEFINE CMD `perl -ne 'print $_;'`;
+        a = LOAD '{src}' AS (s:chararray);
+        b = STREAM a THROUGH CMD AS (s:chararray);
+    """)
+    assert rels["b"].df.count() == 2
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="Undefined parameter : _missing"):
+        run(spark, f"a = LOAD '{src}' AS (s:chararray); b = FILTER a BY s == '$_missing';")

@@ -257,23 +257,19 @@ def test_range_join_left_outer(spark):
 
 
 def test_stream_through_ship(spark, tmp_path):
-    """DEFINE ... SHIP: shipped script is distributed via addFile and
-    runnable by the piped command (SparkFiles path in local mode;
-    ./name in cluster deploy — same contract as Pig's task-cwd ship)."""
-    import os
-    import stat
-
-    from pyspark import SparkFiles
-
+    """DEFINE ... SHIP: shipped files are staged into a task cwd and
+    the command runs THERE, so it resolves them by bare relative name
+    — exactly Pig's ship-to-task-cwd contract (JobControlCompiler).
+    Deliberately NOT sc.addFile: its per-basename context-lifetime
+    registry poisons later jobs shipping same-named files."""
     script = tmp_path / "upper_b.sh"
     script.write_text("#!/bin/sh\nsed 's/b/B/g'\n")
-    script.chmod(script.stat().st_mode | stat.S_IEXEC)
 
     df = spark.createDataFrame([Row(a=1, b="abc")])
-    out = stream_through(df, str(script), "a int, b string", ship=[str(script)])
+    # invoked by BARE NAME (no path, no exec bit on the source):
+    # staging chmods the copy and puts the task cwd on PATH
+    out = stream_through(df, "upper_b.sh", "a int, b string", ship=[str(script)])
     assert [(r["a"], r["b"]) for r in out.collect()] == [(1, "aBc")]
-    shipped = SparkFiles.get("upper_b.sh")
-    assert os.path.exists(shipped)
 
 
 def test_cogroup_inner_modifier(spark):
