@@ -659,6 +659,17 @@ def oracle_sql() -> dict[str, str]:
             FROM lineitem""",
         "q115_latin_hive_udf": """
             SELECT c_custkey, upper(c_name) AS uname FROM customer""",
+        "q122_latin_scripting_udf": """
+            WITH b AS (SELECT doc_id,
+                              CASE WHEN text IS NULL OR trim(text) = '' THEN 0
+                                   ELSE CAST(length(string_split_regex(trim(text), '[ \\t\\n]+')) AS BIGINT)
+                              END AS n_tok,
+                              CASE WHEN text IS NULL OR trim(text) = '' THEN NULL
+                                   ELSE lower(string_split_regex(trim(text), '[ \\t\\n]+')[1])
+                              END AS w1,
+                              doc_id * doc_id AS sq_id
+                       FROM documents)
+            SELECT doc_id, n_tok, w1, sq_id FROM b WHERE n_tok > 3""",
         "q121_unigram_lm_score": """
             WITH toks AS (SELECT doc_id,
                                  list_filter(string_split_regex(lower(trim(text)), '\\s+'),

@@ -2082,6 +2082,54 @@ def q121_unigram_lm_score(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q122_latin_scripting_udf(spark: SparkSession, sf: str) -> DataFrame:
+    """Scripting-UDF engine end-to-end (r6: the full decorator surface
+    the reference's shipped UDF files use — JythonScriptEngine.java /
+    PythonScriptEngine.java): a REGISTERed Python file whose functions
+    declare types via @outputSchema, delegate typing to a
+    @schemaFunction (output type follows the INPUT's type, resolved at
+    call time), and return a complex value coerced through Pig's text
+    forms under a chararray type. Scripting UDFs are the sanctioned
+    row-at-a-time slow path (same class as STREAM THROUGH); the
+    tokenizer here uses an explicit [ \\t\\n]+ split so the DuckDB
+    oracle can mirror the semantics exactly."""
+    import os
+    import tempfile
+
+    from .latin import run
+
+    udf_dir = tempfile.mkdtemp(prefix="pig_spark_sudf_")
+    with open(os.path.join(udf_dir, "udfs.py"), "w") as fh:
+        fh.write(
+            "import re\n"
+            "from pig_util import outputSchema\n"
+            "@outputSchema('n_tok:long')\n"
+            "def toklen(text):\n"
+            "    if text is None or text.strip() == '':\n"
+            "        return 0\n"
+            "    return len(re.split('[ \\t\\n]+', text.strip()))\n"
+            "@outputSchema('w1:chararray')\n"
+            "def firstword(text):\n"
+            "    if text is None or text.strip() == '':\n"
+            "        return None\n"
+            "    return re.split('[ \\t\\n]+', text.strip())[0].lower()\n"
+            "@outputSchemaFunction('idschema')\n"
+            "def sq(x):\n"
+            "    return None if x is None else x * x\n"
+            "@schemaFunction('idschema')\n"
+            "def idschema(inp):\n"
+            "    return inp\n"
+        )
+    rels = run(spark, f"""
+        REGISTER '{udf_dir}/udfs.py' USING jython AS f;
+        d = LOAD '{sf}/documents.parquet' USING ParquetLoader();
+        b = FOREACH d GENERATE doc_id, f.toklen(text) AS n_tok,
+                               f.firstword(text) AS w1, f.sq(doc_id) AS sq_id;
+        out = FILTER b BY n_tok > 3;
+    """)
+    return rels["out"].df
+
+
 from .pigmix import PIGMIX_QUERIES  # noqa: E402  (avoids circular import)
 
 _ALL: dict[str, Callable[[SparkSession, str], DataFrame]] = {
@@ -2105,6 +2153,8 @@ _NEW_OR_CHANGED_R6 = {
     "q119_latin_cor_two_pipes",  # new: COR/COV spanning two LIMIT pipes
     "q120_latin_arr_pipe_ops",   # new: ops chained onto FLATTENed pipe
     "q121_unigram_lm_score",     # new: unigram-LM quality filter
+    "q122_latin_scripting_udf",  # new: scripting-UDF decorator surface
+    "q52_stream_upper",          # stream staging/exit-code rework (r6)
     "q112_latin_bag_pipe",       # _pipe_bag arr-branch rework
     "q113_latin_nested_cross",   # nested-agg/pipe-bag shared paths
     "q114_latin_inline_group",   # GROUP ALL 'all' literal change

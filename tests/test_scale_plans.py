@@ -88,7 +88,14 @@ def test_wholestage_codegen(lineitem):
 # ----------------------------------------------------------------------
 
 # rdd.pipe is the STREAM contract — the one deliberate RDD/Python hop
-_PYTHON_OK = {"q52_stream_upper", "q67_multimodal_meta"}  # stream pipe; codec boundary
+_PYTHON_OK = {
+    "q52_stream_upper",  # stream pipe
+    "q67_multimodal_meta",  # codec boundary
+    # scripting UDFs ARE the sanctioned row-at-a-time slow path (same
+    # class as STREAM THROUGH — arbitrary user Python, REGISTER ...
+    # USING jython); q122 exists to oracle-gate that engine
+    "q122_latin_scripting_udf",
+}
 # explicit CROSS / 1-row scalar broadcast are the only sanctioned
 # cartesian shapes; everything else must be an equi/broadcast join
 _CARTESIAN_OK = {
