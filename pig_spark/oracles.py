@@ -800,6 +800,28 @@ def oracle_sql() -> dict[str, str]:
                        round(list_dot_product(a.v, b.v) / (a.n * b.n), 6) AS cos_sim
                 FROM k a JOIN k b ON a.band = b.band AND a.bucket = b.bucket AND a.vec_id < b.vec_id)
             SELECT id_a, id_b, cos_sim FROM cand WHERE cos_sim >= 0.3""",
+        "q123_semantic_dedup": f"""
+            WITH RECURSIVE vs AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+                               sqrt(list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[]))) AS n
+                        FROM embeddings),
+            k AS ({pair_bands_sql}),
+            cand AS (
+                SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b,
+                       round(list_dot_product(a.v, b.v) / (a.n * b.n), 6) AS cos_sim
+                FROM k a JOIN k b ON a.band = b.band AND a.bucket = b.bucket AND a.vec_id < b.vec_id),
+            pairs AS (SELECT id_a, id_b FROM cand WHERE cos_sim >= 0.3),
+            ed AS (SELECT id_a AS a, id_b AS b FROM pairs
+                   UNION SELECT id_b, id_a FROM pairs),
+            nd AS (SELECT DISTINCT a AS node FROM ed),
+            reach(node, lbl) AS (
+                SELECT node, node FROM nd
+                UNION
+                SELECT ed.b, r.lbl FROM reach r JOIN ed ON ed.a = r.node WHERE r.lbl < ed.b),
+            cc AS (SELECT node, MIN(lbl) AS comp FROM reach GROUP BY node)
+            SELECT e.vec_id,
+                   COALESCE(cc.comp, e.vec_id) AS group_id,
+                   e.vec_id = COALESCE(cc.comp, e.vec_id) AS keep
+            FROM embeddings e LEFT JOIN cc ON e.vec_id = cc.node""",
         "q68_ann_ivf": f"""
             WITH cents AS (
                 SELECT vec_id AS cid, CAST(embedding AS DOUBLE[]) AS cv

@@ -2130,6 +2130,37 @@ def q122_latin_scripting_udf(spark: SparkSession, sf: str) -> DataFrame:
     return rels["out"].df
 
 
+def q123_semantic_dedup(spark: SparkSession, sf: str) -> DataFrame:
+    """SemDeDup-style SEMANTIC deduplication over the embedding space
+    (the embedding-cosine near-dup family member the text-hash dedups
+    can't cover: paraphrases hash differently but embed nearby):
+    banded hyperplane-LSH candidate pairs + exact cosine verify
+    (similarity.cosine_lsh_pairs — equi-join on (band,bucket), no
+    cartesian), transitively closed with large-star/small-star
+    connected components (operators/graph.py, O(log n) rounds), and
+    the deterministic min-id survivor rule per component. Output: one
+    row per vector with its semantic group and keep/drop flag.
+
+    100 TB design: candidate generation is LSH-bucketed (never
+    all-pairs), CC shuffles only edges (log rounds, checksummed
+    convergence), and the final survivors join is a LEFT join of ids
+    against the (small) component map — broadcastable whenever the
+    near-dup fraction is low, which at 100 TB it is."""
+    from .operators.graph import connected_components
+
+    e = _t(spark, sf, "embeddings").df
+    pairs = similarity.cosine_lsh_pairs(e, threshold=0.3)
+    edges = pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
+    cc = connected_components(edges, "src", "dst")
+    out = e.select("vec_id").join(cc, F.col("vec_id") == F.col("node"), "left")
+    group = F.coalesce(F.col("component"), F.col("vec_id"))
+    return out.select(
+        "vec_id",
+        group.alias("group_id"),
+        (F.col("vec_id") == group).alias("keep"),
+    )
+
+
 from .pigmix import PIGMIX_QUERIES  # noqa: E402  (avoids circular import)
 
 _ALL: dict[str, Callable[[SparkSession, str], DataFrame]] = {
@@ -2154,6 +2185,7 @@ _NEW_OR_CHANGED_R6 = {
     "q120_latin_arr_pipe_ops",   # new: ops chained onto FLATTENed pipe
     "q121_unigram_lm_score",     # new: unigram-LM quality filter
     "q122_latin_scripting_udf",  # new: scripting-UDF decorator surface
+    "q123_semantic_dedup",       # new: embedding-cosine near-dup dedup
     "q52_stream_upper",          # stream staging/exit-code rework (r6)
     "q112_latin_bag_pipe",       # _pipe_bag arr-branch rework
     "q113_latin_nested_cross",   # nested-agg/pipe-bag shared paths
