@@ -159,3 +159,46 @@ def test_reference_jython_corpus(spark, jy_fixtures):
     assert pos_ok >= _POS_FLOOR, f"jython coverage regressed: {pos_ok}/{pos_total}; " + "; ".join(failures[:5])
     assert neg_raised >= _NEG_FLOOR, f"negatives regressed: {neg_raised}/{neg_total}"
     assert not silent, f"negative scripts ran silently: {silent[:3]}"
+
+
+def test_utf8_embedded_driver_script(spark, jy_fixtures):
+    """utf8.conf ships ONE snippet that is not Pig Latin but an
+    embedded jython DRIVER (shebang + `from org.apache.pig.scripting
+    import Pig`): it writes a CJK-pathed .pig file and runs it via
+    compileFromFile().bind().runSingle(). The parse gate documents it
+    as non-Pig; HERE it executes for real through the embed facade —
+    CJK directory names, CJK script content, and the camelCase
+    surface end-to-end."""
+    conf = "/root/reference/test/e2e/pig/tests/utf8.conf"
+    if not os.path.exists(conf):
+        pytest.skip("reference e2e corpus not available")
+    with open(conf, errors="replace") as fh:
+        src = fh.read()
+    drivers = [s for s, _neg in extract(src) if s.strip().startswith("#!")]
+    assert drivers, "utf8.conf embedded driver disappeared from the corpus"
+    # the driver filters the reference's utf8Student fixture
+    os.makedirs(f"{jy_fixtures}/utf8Data/学生", exist_ok=True)
+    with open(f"{jy_fixtures}/utf8Data/学生/utf8Student", "w") as f:
+        for i, nm in enumerate(["佛", "张伟", "李娜", "佛", "王芳"]):
+            f.write(f"{nm}\t{20 + i}\t{2.5 + i / 10:.2f}\n")
+    monkey: dict = {}
+    _install_shims(monkey)
+    try:
+        for i, s in enumerate(drivers):
+            script = py2to3(
+                s.replace(":INPATH:", jy_fixtures)
+                .replace(":OUTPATH:", f"{jy_fixtures}/out/utf8driver{i}")
+                .replace(":TMP:", f"{jy_fixtures}/tmp")
+            )
+            glb = {"__name__": f"utf8_driver_{i}"}
+            exec(compile(script, f"<utf8 driver {i}>", "exec"), glb)
+        # the driver's own success check ran (it raises on failure);
+        # confirm the filtered store really landed the two 佛 rows
+        out0 = f"{jy_fixtures}/out/utf8driver0"
+        rows = open(
+            [os.path.join(out0, p) for p in os.listdir(out0) if not p.startswith(("_", "."))][0],
+            encoding="utf-8",
+        ).read().strip().splitlines()
+        assert len(rows) == 2 and all(r.startswith("佛\t") for r in rows)
+    finally:
+        _restore_shims(monkey)

@@ -7,7 +7,7 @@ This is a parse gate, not an execution gate (snippets reference
 :INPATH:-style harness placeholders and Java test UDF jars), but it
 catches grammar regressions against ~465 real-world scripts at once.
 
-Current floor: 600 of 608 (99%; all THREE perl q-delimiters —
+Current floor: 604 of 608 (99%; all THREE perl q-delimiters —
 q\...\, q#...# and r6's q?...? TOTUPLE/TOBAG suites — are extracted
 across eleven confs including r6's cmdline.conf,
 and blocks declaring a non-commented ``expected_err`` are negative
@@ -17,9 +17,11 @@ placeholder substitutes to the reference's own macros/streaming/udfs
 directories, so IMPORTed macro files resolve for real.
 NATIVE/MAPREDUCE snippets raise NotImplementedError by design
 (SURVEY §2.2#26) and count as documented-unsupported, not failures.
-The residual hard tail (2): a harness-substituted bare `$setting`
-statement line and one utf8.conf snippet that is an embedded JYTHON
-driver script, not Pig.
+Harness 'pig_params' are honored as -p/-m substitutions (late r6 —
+this closed the bare `$setting` statement residual). The residual
+hard tail (1): the utf8.conf snippet that is an embedded JYTHON
+driver script, not Pig — it EXECUTES for real in
+test_jython_corpus.py::test_utf8_embedded_driver_script.
 """
 
 import re
@@ -44,7 +46,7 @@ _CONFS = (
     "macro.conf", "streaming.conf", "streaming_local.conf",
     "utf8.conf", "orc.conf", "grunt.conf", "cmdline.conf",
 )
-_FLOOR = 600
+_FLOOR = 604
 
 
 def all_commented(s: str) -> bool:
