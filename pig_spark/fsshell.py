@@ -28,15 +28,19 @@ def _resolve(path: str, cwd: str | None) -> str:
     return os.path.join(cwd, path) if cwd else path
 
 
-def fs_shell(cmd: str, cwd: str | None = None) -> int:
-    """Run one FsShell-style command string (``"-mkdir p"``,
+def fs_shell(cmd: str | list[str], cwd: str | None = None) -> int:
+    """Run one FsShell-style command (``"-mkdir p"``,
     ``"rmr out dir2"``, ``"-copyFromLocal a b"``, ``"-ls p"``).
 
+    A string splits on whitespace — exactly ``Pig.fs``'s
+    ``cmd.split("\\s+")`` (Pig.java:64), which does NOT honor shell
+    quoting; callers that already tokenized (the Grunt shell, the
+    latin CLI with shlex rules) pass a list instead.
     ``cwd`` anchors relative paths (the Grunt shell tracks its own
     ``cd`` state); defaults to the process working directory.
     Returns 0 on success, -1 on error (``FsShell.run`` contract).
     """
-    parts = (cmd or "").split()
+    parts = list(cmd) if isinstance(cmd, list) else (cmd or "").split()
     if not parts:
         return -1  # Pig.fs(null) → -1 (Pig.java:61)
     op = parts[0].lstrip("-").lower()

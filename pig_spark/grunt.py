@@ -160,11 +160,14 @@ class Grunt:
         if cmd == "fs" and args:
             # fs -<cmd> args → shared FsShell equivalents, anchored at
             # the shell's cwd; errors print and the shell keeps going
-            # (GruntParser.processFsCommand → FsShell.run)
+            # (GruntParser.processFsCommand → FsShell.run). stderr is
+            # captured too — the Grunt consumer reads ONE out stream
+            from contextlib import redirect_stderr
+
             from .fsshell import fs_shell
 
-            with redirect_stdout(self.out):
-                fs_shell(" ".join(args), cwd=self.cwd)
+            with redirect_stdout(self.out), redirect_stderr(self.out):
+                fs_shell(args, cwd=self.cwd)
             return None
         try:
             return self._dispatch(cmd, args)

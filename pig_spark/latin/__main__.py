@@ -83,10 +83,11 @@ def _utility_cmd(line: str) -> bool:
     cmd, rest = words[0].lower(), words[1] if len(words) > 1 else ""
     if cmd == "fs":
         # `fs -<cmd> args` — shared FsShell local equivalents
-        # (errors print and the shell keeps going, like Grunt)
+        # (errors print and the shell keeps going, like Grunt);
+        # shlex rules so quoted paths with spaces stay one arg
         from ..fsshell import fs_shell
 
-        fs_shell(rest)
+        fs_shell(shlex.split(rest))
         return True
     if cmd == "sh":
         subprocess.run(rest, shell=True)

@@ -338,18 +338,22 @@ def _pig_text_value(v):
     """Render a Python value in Pig's textual forms — bag {(..),(..)},
     tuple (..), map [k#v] — the shape a bytearray cast of a complex
     jython result produces (JythonUtils.pythonToPig → TextDataParser
-    round-trip)."""
+    round-trip). A null INSIDE a container writes as an empty field
+    ('(7,)' not '(7,None)'), Pig's text form for null."""
+
+    def fld(x):
+        return "" if x is None else str(_pig_text_value(x))
+
     if v is None or isinstance(v, str):
         return v
     if isinstance(v, list):
         return "{" + ",".join(
-            _pig_text_value(x) if isinstance(x, tuple) else f"({_pig_text_value(x)})"
-            for x in v
+            fld(x) if isinstance(x, tuple) else f"({fld(x)})" for x in v
         ) + "}"
     if isinstance(v, tuple):
-        return "(" + ",".join(str(_pig_text_value(x)) for x in v) + ")"
+        return "(" + ",".join(fld(x) for x in v) + ")"
     if isinstance(v, dict):
-        return "[" + ",".join(f"{k}#{_pig_text_value(x)}" for k, x in v.items()) + "]"
+        return "[" + ",".join(f"{k}#{fld(x)}" for k, x in v.items()) + "]"
     return str(v)
 
 
@@ -419,25 +423,32 @@ def _load_script_udfs(path: str, engine: str = "jython") -> dict:
         code = fh.read()
     for old, new in _PY2_REWRITES:
         code = code.replace(old, new)
+    # java-class references are a JYTHON capability (the interpreter
+    # runs on the JVM); streaming_python is plain CPython in the
+    # reference too, so its files get no java stubs — an org.* import
+    # there fails exactly as it would under Pig
+    jython = engine.lower() not in ("streaming_python", "cpython")
     glb: dict = (
         _JythonGlobals()
-        if _re.search(r"from\s+(?:org|java|javax)[\w.]*\s+import\s+\*", code)
+        if jython and _re.search(r"from\s+(?:org|java|javax)[\w.]*\s+import\s+\*", code)
         else {}
     )
     glb.update(decorators)
-    finder = _JavaImportStub()
+    finder = _JavaImportStub() if jython else None
     script_dir = _os.path.dirname(_os.path.abspath(path))
     if "pig_util" not in _sys.modules:
         pig_util = _types.ModuleType("pig_util")
         for dname, deco in decorators.items():
             setattr(pig_util, dname, deco)
         _sys.modules["pig_util"] = pig_util
-    _sys.meta_path.insert(0, finder)
+    if finder is not None:
+        _sys.meta_path.insert(0, finder)
     _sys.path.insert(0, script_dir)
     try:
         exec(compile(code, path, "exec"), glb)  # noqa: S102 — user-registered script, like Pig
     finally:
-        _sys.meta_path.remove(finder)
+        if finder is not None:
+            _sys.meta_path.remove(finder)
         if script_dir in _sys.path:
             _sys.path.remove(script_dir)
     # sibling helper modules the script imported (JythonScriptEngine
@@ -736,11 +747,23 @@ class PigTranslator:
         """Parameter preprocessor (tools/parameters in the reference):
         %declare NAME value (always set) and %default NAME value (set
         unless passed via params). Lines are consumed, values join the
-        $NAME substitution map."""
+        $NAME substitution map. Lines this pass EXECUTES (sh / fs) get
+        the accumulated parameters substituted FIRST — the reference
+        preprocessor rewrites the whole file before Grunt runs any of
+        it, so `fs -rmr $out` must see the bound value, not '$out'."""
         import re as _re
+
+        def _sub_params(text: str) -> str:
+            for name, value in self.params.items():
+                text = _re.sub(r"\$" + _re.escape(name) + r"\b", lambda _m, v=str(value): v, text)
+            return text
 
         out_lines = []
         for line in src.splitlines():
+            if "$" in line:
+                # top-to-bottom: a $ref sees every param bound so far
+                # (callers' params + earlier %declare/%default lines)
+                line = _sub_params(line)
             sh = _re.match(r"\s*sh\s+(.+?)\s*;?\s*$", line)
             if sh and not _re.match(r"\s*sh\s*=", line):
                 # Grunt `sh <command>` (GruntParser.processShCommand):
@@ -1026,10 +1049,40 @@ class PigTranslator:
         # SHIP is job-scoped in Pig (JobControlCompiler distributes
         # every shipped file to every task's cwd), so an inline
         # `stream X through \`perl script.pl\`` can rely on files
-        # shipped by a DEFINE elsewhere in the same script
-        self._job_ship.extend(p for p in spec["ship"] if p not in self._job_ship)
+        # shipped by a DEFINE elsewhere in the same script.
+        # Auto-ship candidates register FIRST, explicit SHIP paths
+        # after (LogicalPlanBuilder.buildCommand: checkAutoShipSpecs
+        # runs before addPathToShip) — on a basename collision the
+        # EXPLICIT file is staged last and wins
         self._autoship(spec["cmd"])
+        for p in spec["ship"]:
+            self._add_job_ship(p)
         return spec
+
+    def _add_job_ship(self, path: str) -> None:
+        """Register a file for the job's task-cwd staging. Two
+        DIFFERENT files sharing a basename cannot both land in one
+        task cwd — Pig's DistributedCache rejects conflicting
+        resources; identical copies (the autoship-found cwd copy of an
+        explicitly shipped script) dedupe to the later registration."""
+        import filecmp
+        import os as _os
+
+        path = _os.path.abspath(path)
+        if path in self._job_ship:
+            return
+        base = _os.path.basename(path)
+        for prev in list(self._job_ship):
+            if _os.path.basename(prev) == base:
+                if _os.path.isfile(prev) and _os.path.isfile(path) and filecmp.cmp(prev, path, shallow=False):
+                    self._job_ship.remove(prev)  # identical: later wins
+                    break
+                raise ValueError(
+                    f"pig latin: SHIP conflict — two different files named "
+                    f"{base!r} ({prev} vs {path}) cannot both land in the "
+                    "task working directory (DistributedCache contract)"
+                )
+        self._job_ship.append(path)
 
     def _autoship(self, cmd: str) -> None:
         """Auto-ship (StreamingCommandUtils.checkAutoShipSpecs): for
@@ -1054,9 +1107,7 @@ class PigTranslator:
         else:
             cand = toks[0]
         if cand and not _os.path.isabs(cand) and _os.path.isfile(cand):
-            p = _os.path.abspath(cand)
-            if p not in self._job_ship:
-                self._job_ship.append(p)
+            self._add_job_ship(cand)
 
     # ------------------------------------------------------------------
     def _op(self, op, out_alias: str) -> RelInfo:

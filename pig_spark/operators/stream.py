@@ -120,7 +120,13 @@ def _file_channel_runner(cmd: str, ship_paths: list[str], in_file: str | None, o
                 txt = open(out_p).read() if os.path.exists(out_p) else ""
             else:
                 txt = res.stdout
-            return [ln for ln in txt.split("\n") if ln != ""]
+            # drop only the final newline's empty element — interior
+            # empty lines are real rows (an empty chararray field),
+            # same as the stdio pipe path preserves them
+            lines = txt.split("\n")
+            if lines and lines[-1] == "":
+                lines.pop()
+            return lines
         finally:
             shutil.rmtree(wd, ignore_errors=True)
 

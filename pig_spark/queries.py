@@ -2101,18 +2101,20 @@ def q122_latin_scripting_udf(spark: SparkSession, sf: str) -> DataFrame:
     udf_dir = tempfile.mkdtemp(prefix="pig_spark_sudf_")
     with open(os.path.join(udf_dir, "udfs.py"), "w") as fh:
         fh.write(
+            # .strip(' ') not .strip(): DuckDB's trim() removes SPACES
+            # only, and the oracle must mirror the UDF exactly
             "import re\n"
             "from pig_util import outputSchema\n"
             "@outputSchema('n_tok:long')\n"
             "def toklen(text):\n"
-            "    if text is None or text.strip() == '':\n"
+            "    if text is None or text.strip(' ') == '':\n"
             "        return 0\n"
-            "    return len(re.split('[ \\t\\n]+', text.strip()))\n"
+            "    return len(re.split('[ \\t\\n]+', text.strip(' ')))\n"
             "@outputSchema('w1:chararray')\n"
             "def firstword(text):\n"
-            "    if text is None or text.strip() == '':\n"
+            "    if text is None or text.strip(' ') == '':\n"
             "        return None\n"
-            "    return re.split('[ \\t\\n]+', text.strip())[0].lower()\n"
+            "    return re.split('[ \\t\\n]+', text.strip(' '))[0].lower()\n"
             "@outputSchemaFunction('idschema')\n"
             "def sq(x):\n"
             "    return None if x is None else x * x\n"

@@ -2147,3 +2147,78 @@ def test_dollar_underscore_is_not_a_parameter(spark, tmp_path):
 
     with _pytest.raises(ValueError, match="Undefined parameter : _missing"):
         run(spark, f"a = LOAD '{src}' AS (s:chararray); b = FILTER a BY s == '$_missing';")
+
+
+def test_preprocessor_substitutes_params_in_fs_lines(spark, tmp_path):
+    """fs/sh preprocessor lines see bound $params (the reference
+    substitutes parameters over the whole file BEFORE Grunt executes
+    anything) — `fs -rmr $out` must clear the real directory so the
+    STORE that follows doesn't die with ERROR 6000."""
+    from pig_spark.latin import run as lrun
+
+    out = tmp_path / "sink"
+    out.mkdir()
+    src = str(tmp_path / "in.tsv")
+    with open(src, "w") as f:
+        f.write("a\n")
+    lrun(spark, f"""
+        fs -rmr $out;
+        a = LOAD '{src}' AS (s:chararray);
+        STORE a INTO '$out';
+    """, params={"out": str(out)})
+    assert (out / "_SUCCESS").exists() or any(out.iterdir())
+
+
+def test_ship_basename_conflict_raises(spark, tmp_path):
+    """Two DIFFERENT files sharing a basename cannot both ship into
+    one task cwd (DistributedCache contract); identical copies dedupe
+    (the autoship-found cwd copy of an explicitly shipped script)."""
+    import pytest as _pytest
+
+    a = tmp_path / "d1" / "f.pl"
+    b = tmp_path / "d2" / "f.pl"
+    a.parent.mkdir()
+    b.parent.mkdir()
+    a.write_text("while (<STDIN>) { print $_; }\n")
+    b.write_text("print \"other\\n\";\n")
+    src = str(tmp_path / "in.tsv")
+    with open(src, "w") as f:
+        f.write("x\n")
+    with _pytest.raises(ValueError, match="SHIP conflict"):
+        run(spark, f"""
+            DEFINE C1 `perl f.pl` ship('{a}');
+            DEFINE C2 `perl f.pl` ship('{b}');
+            r = LOAD '{src}' AS (s:chararray);
+        """)
+    # identical content dedupes instead of raising
+    b.write_text(a.read_text())
+    rels = run(spark, f"""
+        DEFINE C1 `perl f.pl` ship('{a}');
+        DEFINE C2 `perl f.pl` ship('{b}');
+        r = LOAD '{src}' AS (s:chararray);
+        o = STREAM r THROUGH C2 AS (s:chararray);
+    """)
+    assert rels["o"].df.collect()[0].s == "x"
+
+
+def test_script_udf_null_fields_render_empty(spark, tmp_path):
+    """A null INSIDE a complex scripting-UDF result writes as an empty
+    field in the Pig text form ('(7,)' not '(7,None)') — JythonUtils
+    pythonToPig + bytearray-cast semantics."""
+    udf = tmp_path / "u.py"
+    udf.write_text(
+        "def pair(x):\n"
+        "    return (x, None)\n"
+        "def bagnull(x):\n"
+        "    return [(x, None)]\n"
+    )
+    src = str(tmp_path / "in.tsv")
+    with open(src, "w") as f:
+        f.write("7\n")
+    rels = run(spark, f"""
+        REGISTER '{udf}' USING jython AS f;
+        a = LOAD '{src}' AS (x:int);
+        b = FOREACH a GENERATE f.pair(x) AS p, f.bagnull(x) AS bg;
+    """)
+    row = rels["b"].df.collect()[0]
+    assert row.p == "(7,)" and row.bg == "{(7,)}"
