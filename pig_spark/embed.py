@@ -145,17 +145,29 @@ class BoundScript:
         args; got 1", turing_jython negative suite)."""
         if spark is not None and not isinstance(spark, SparkSession):
             raise TypeError("explain(): expected 0 args; got 1")
-        _tr, rels = self._translate_first(spark)
-        for a in sorted(rels)[-1:]:
+        tr, rels = self._translate_first(spark)
+        for a in self._terminal_aliases(tr, rels):
             rels[a].explain()
+
+    @staticmethod
+    def _terminal_aliases(tr, rels) -> list[str]:
+        """The script's terminal relations: its STORE/DUMP targets in
+        script order (deduped), else the LAST-defined alias — the
+        reference explains the bound plan rooted at the sinks, never
+        an alphabetically-arbitrary alias."""
+        sinks = [a for i, a in enumerate(tr.sink_aliases)
+                 if a in rels and a not in tr.sink_aliases[:i]]
+        if sinks:
+            return sinks
+        return list(rels)[-1:]  # insertion order = statement order
 
     def illustrate(self, spark: SparkSession | None = None) -> None:
         """BoundScript.illustrate() — NO alias argument (same reference
         contract as explain)."""
         if spark is not None and not isinstance(spark, SparkSession):
             raise TypeError("illustrate(): expected 0 args; got 1")
-        _tr, rels = self._translate_first(spark)
-        for a in sorted(rels)[-1:]:
+        tr, rels = self._translate_first(spark)
+        for a in self._terminal_aliases(tr, rels):
             rels[a].illustrate()
 
 

@@ -21,6 +21,7 @@ from pyspark.sql import functions as F
 # ----------------------------------------------------------------------
 
 ATAN2 = F.atan2  # ATAN2.java
+POW = F.pow  # POW.java (Math.pow — double result)
 HYPOT = F.hypot  # HYPOT.java
 EXPM1 = F.expm1  # EXPM1.java
 LOG1P = F.log1p  # LOG1P.java

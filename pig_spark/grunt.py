@@ -155,7 +155,17 @@ class Grunt:
             self._print(f"ERROR: {type(exc).__name__}: {exc}")
 
     def _utility(self, line: str) -> str | None:
-        parts = line.split()
+        # shlex, not str.split: the reference GruntParser honors shell
+        # quoting, so `fs -rm "a b.txt"` is ONE path argument (Pig.fs
+        # keeps the plain whitespace split — it mirrors cmd.split("\\s+"))
+        import shlex
+
+        try:
+            parts = shlex.split(line)
+        except ValueError:  # unbalanced quote — fall back to raw split
+            parts = line.split()
+        if not parts:
+            return None
         cmd, args = parts[0].lower(), parts[1:]
         if cmd == "fs" and args:
             # fs -<cmd> args → shared FsShell equivalents, anchored at

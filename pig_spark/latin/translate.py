@@ -391,7 +391,37 @@ class _ScriptUDF:
             # JythonUtils.pythonToPig + bytearray cast semantics for
             # un-annotated functions returning lists/tuples/dicts
             fn = _stringify_result(self.fn)
+        # Arrow-optimized Python UDF (SPARK-40307) for scalar-in/
+        # scalar-out signatures: identical row-at-a-time call semantics
+        # (each value arrives as a plain Python object, None stays
+        # None) but Arrow batch transport instead of pickled rows —
+        # the plan node becomes ArrowEvalPython. This is the hot path
+        # a reference user actually drives with data volume (per-row
+        # cleanup UDFs over every document). Bag/tuple/map signatures
+        # keep classic row mode: complex values cross the Arrow
+        # boundary as dicts/lists rather than Rows, which would change
+        # what the script function sees.
+        use_arrow = _scalar_ddl(ddl or "string")
+        if use_arrow and _rel is not None and cols:
+            try:
+                in_types = _rel.df.select(*cols).schema.fields
+                use_arrow = all(_scalar_ddl(f.dataType.simpleString()) for f in in_types)
+            except Exception:
+                use_arrow = False
+        if use_arrow:
+            try:
+                return F.udf(fn, ddl or "string", useArrow=True)(*cols)
+            except TypeError:  # pyspark without the useArrow kwarg
+                pass
         return F.udf(fn, ddl or "string")(*cols)
+
+
+def _scalar_ddl(ddl: str) -> bool:
+    """True when a Spark DDL type string is a plain scalar (no
+    array/map/struct nesting) — the signatures eligible for the
+    Arrow-optimized UDF path."""
+    d = ddl.lower()
+    return "<" not in d and not any(t in d for t in ("array", "map", "struct"))
 
 
 def _load_script_udfs(path: str, engine: str = "jython") -> dict:
@@ -436,7 +466,13 @@ def _load_script_udfs(path: str, engine: str = "jython") -> dict:
     glb.update(decorators)
     finder = _JavaImportStub() if jython else None
     script_dir = _os.path.dirname(_os.path.abspath(path))
-    if "pig_util" not in _sys.modules:
+    # the pig_util stub lives in sys.modules only for the duration of
+    # the exec (save/restore, like the meta_path finder) so it never
+    # shadows a real user-installed pig_util package for the rest of
+    # the process; decorator identity across REGISTERs still holds
+    # because the decorators themselves are module singletons
+    saved_pig_util = _sys.modules.get("pig_util")
+    if saved_pig_util is None:
         pig_util = _types.ModuleType("pig_util")
         for dname, deco in decorators.items():
             setattr(pig_util, dname, deco)
@@ -451,6 +487,10 @@ def _load_script_udfs(path: str, engine: str = "jython") -> dict:
             _sys.meta_path.remove(finder)
         if script_dir in _sys.path:
             _sys.path.remove(script_dir)
+        if saved_pig_util is None:
+            _sys.modules.pop("pig_util", None)
+        else:
+            _sys.modules["pig_util"] = saved_pig_util
     # sibling helper modules the script imported (JythonScriptEngine
     # puts the script dir on the interpreter path) exist only on the
     # driver — ship them INSIDE the pickled UDF, or the executor's
@@ -684,6 +724,7 @@ class PigTranslator:
         # nested block translates
         self.nested_schemas: dict[str, str] = {}
         self.stores: list[str] = []  # paths written by STORE
+        self.sink_aliases: list[str] = []  # STORE/DUMP target aliases, script order
         self.params = params or {}
         self.registered: list[str] = []
         self.script_udfs: dict[str, dict] = {}  # REGISTER ... AS ns → {fn: udf}
@@ -717,8 +758,18 @@ class PigTranslator:
         # \$digit positional refs and \\$-escapes are not parameters,
         # and neither is bare `$_` (perl idiom inside backtick stream
         # commands): Pig's parameter IDENTIFIER must contain a letter
-        # (PigFileParser.jj:265 `(<SPECIALCHAR>)*<LETTER>...`)
-        leftover = _re.search(r"(?<!\\)\$(_*[A-Za-z]\w*)", src)
+        # (PigFileParser.jj:265 `(<SPECIALCHAR>)*<LETTER>...`).
+        # Comments don't participate (the reference preprocessor passes
+        # them through; the lexer drops them at parse time), so search
+        # comment-stripped text — but keep string/backtick literals,
+        # where $params DO substitute and an undefined one must raise.
+        searchable = _re.sub(
+            r"('(?:\\.|[^'\\])*')|(`[^`]*`)|--[^\n]*|/\*.*?\*/",
+            lambda m: m.group(1) or m.group(2) or " ",
+            src,
+            flags=_re.S,
+        )
+        leftover = _re.search(r"(?<!\\)\$(_*[A-Za-z]\w*)", searchable)
         if leftover:
             raise ValueError(f"Undefined parameter : {leftover.group(1)}")
         script = G.parse(src)
@@ -877,7 +928,9 @@ class PigTranslator:
                 )
             self._pending_stores.append((self._rel(stmt.rel), stmt.path, store_fn))
             self.stores.append(stmt.path)
+            self.sink_aliases.append(stmt.rel)
         elif isinstance(stmt, G.Simple) and stmt.op == "dump":
+            self.sink_aliases.append(stmt.rel)
             if not self.execute_stores:
                 # plan-inspection translation (BoundScript.describe/
                 # explain/illustrate): never run jobs for DUMPs

@@ -202,10 +202,15 @@ def stream_through(
     # ship, cd to the launching process's cwd (relative scripts that
     # simply sit next to the user's session).
     if ship_paths:
+        import atexit
         import shutil
         import tempfile
 
         task_cwd = tempfile.mkdtemp(prefix="pig_stream_cwd_")
+        # the staging dir must outlive this call (the lazily-evaluated
+        # RDD pipe reads it at action time), so clean up at process
+        # exit — mirroring _file_channel_runner's per-partition rmtree
+        atexit.register(shutil.rmtree, task_cwd, ignore_errors=True)
         for p in ship_paths:
             shutil.copy(p, task_cwd)
             os.chmod(os.path.join(task_cwd, os.path.basename(p)), 0o755)

@@ -702,7 +702,12 @@ def oracle_sql() -> dict[str, str]:
             SELECT p AS prio, 'var0' AS cx, 'var1' AS cy,
                    round(corr(x, y), 6) AS r,
                    'var0' AS vx, 'var1' AS vy,
-                   round(covar_pop(x, c), 4) AS cv
+                   -- scale-invariant significant-digit rounding (the
+                   -- 4-decimal form flaked at 1.2e7 magnitude, r6)
+                   CASE WHEN covar_pop(x, c) = 0 THEN 0.0
+                        ELSE round(covar_pop(x, c)
+                                   / pow(10, floor(log10(abs(covar_pop(x, c))))), 6)
+                   END AS cv
             FROM j GROUP BY p""",
         "q120_latin_arr_pipe_ops": """
             WITH tok AS (SELECT lang, u.x AS word
@@ -1097,7 +1102,7 @@ def oracle_sql() -> dict[str, str]:
             FROM s0 JOIN s1 USING (user_id) JOIN s2 USING (user_id)""",
         "q74_latin_cube": """
             SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n,
-                   CAST(SUM(CAST(o_totalprice AS DECIMAL(38,18))) AS DOUBLE) AS total
+                   round(CAST(SUM(CAST(o_totalprice AS DECIMAL(38,18))) AS DOUBLE), 2) AS total
             FROM orders GROUP BY CUBE(o_orderstatus, o_orderpriority)""",
         "q71_latin_join_script": """
             SELECT c_mktsegment AS seg, COUNT(*) AS n, MAX(o_totalprice) AS max_price

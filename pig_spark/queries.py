@@ -1576,11 +1576,15 @@ def q74_latin_cube(spark: SparkSession, sf: str) -> DataFrame:
         out = FOREACH c GENERATE FLATTEN(group), COUNT(cube) AS n,
                        SUM(cube.price) AS total;
     """)
+    # round(2) after the double cast: the sum of 2-decimal prices IS a
+    # 2-decimal value, but DuckDB's DECIMAL(38,18)→DOUBLE cast lands a
+    # couple of ULPs off (int128/10^18 in float arithmetic) — rounding
+    # both sides to the value's true scale makes the comparison exact
     return rels["out"].df.select(
         "o_orderstatus",
         "o_orderpriority",
         "n",
-        F.col("total").cast("double").alias("total"),
+        F.round(F.col("total").cast("double"), 2).alias("total"),
     )
 
 
@@ -1977,7 +1981,16 @@ def q119_latin_cor_two_pipes(spark: SparkSession, sf: str) -> DataFrame:
     shuffle per pipe, frames stitched with a full_outer equi-join on
     the group key — and the pairwise stats zip the arrays positionally,
     exactly computeAll's dual-iterator walk. COV additionally exercises
-    the same-pipe two-argument form."""
+    the same-pipe two-argument form.
+
+    The emitted stats are rounded to SIGNIFICANT digits, not decimal
+    places (r6 driver red row: covar_pop at ~1.2e7 magnitude rounded
+    to 4 decimals = 11 significant digits, within FP summation-order
+    noise of the oracle, and the two sides landed on opposite sides of
+    a rounding boundary). The mantissa form cv/10^floor(log10(|cv|))
+    rounded to 6 decimals = 7 significant digits is scale-invariant;
+    corr is bounded in [-1,1] so plain 6-decimal rounding is already
+    significant-digit rounding."""
     from .latin import run
 
     rels = run(spark, f"""
@@ -1993,8 +2006,9 @@ def q119_latin_cor_two_pipes(spark: SparkSession, sf: str) -> DataFrame:
         flat = FOREACH out GENERATE prio,
                    FLATTEN(corbag) AS (cx:chararray, cy:chararray, r:double),
                    FLATTEN(covbag) AS (vx:chararray, vy:chararray, cv:double);
-        fin = FOREACH flat GENERATE prio, cx, cy, ROUND_TO(r, 6) AS r,
-                                    vx, vy, ROUND_TO(cv, 4) AS cv;
+        fin = FOREACH flat GENERATE prio, cx, cy, ROUND_TO(r, 6) AS r, vx, vy,
+                   (cv == 0.0 ? 0.0
+                    : ROUND_TO(cv / POW(10.0, FLOOR(LOG10(ABS(cv)))), 6)) AS cv;
     """)
     return rels["fin"].df
 

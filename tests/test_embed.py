@@ -208,3 +208,27 @@ def test_plan_inspection_skips_exists_check_and_dump(spark, tmp_path, capsys):
     stats = b.runSingle(spark)
     assert not stats.is_successful()
     assert "6000" in str(stats.error)
+
+
+def test_explain_targets_terminal_sink_not_alphabetical(spark, capsys):
+    """BoundScript.explain()/illustrate() explain the plan rooted at
+    the script's STORE/DUMP sink (or, sink-less, the LAST-defined
+    alias) — never an alphabetically-arbitrary alias. With aliases
+    'z' (load) and 'a' (the result), the old sorted()[-1:] picked the
+    LOAD 'z'; the reference explains the bound plan (ADVICE r6)."""
+    script = (
+        f"z = LOAD '{SF_DIR}/nation.parquet' USING ParquetLoader();\n"
+        "a = GROUP z BY n_regionkey;\n"
+        "b = FOREACH a GENERATE group, COUNT(z) AS n;\n"
+        "DUMP b;\n"
+    )
+    b = Pig.compile(script).bind()
+    b.explain()
+    plan = capsys.readouterr().out
+    # the DUMPed relation's plan contains the aggregate, not just scan
+    assert "count" in plan.lower()
+    # sink-less script: last-defined alias, again the aggregate
+    b2 = Pig.compile(script.rsplit("DUMP", 1)[0]).bind()
+    b2.explain()
+    plan2 = capsys.readouterr().out
+    assert "count" in plan2.lower()

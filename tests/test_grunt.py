@@ -128,3 +128,16 @@ quit
 """
     _shell(spark, script)
     assert spark.read.parquet(str(dest)).count() == 5
+
+
+def test_fs_quoted_path_with_spaces(spark, tmp_path):
+    """Grunt fs tokenizes with shlex (GruntParser honors quoting), so
+    `fs -rm "a b.txt"` is ONE path argument (ADVICE r6)."""
+    target = tmp_path / "a b.txt"
+    target.write_text("x\n")
+    script = f"""
+fs -rm "{target}"
+quit
+"""
+    _shell(spark, script)
+    assert not target.exists()

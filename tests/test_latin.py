@@ -2149,6 +2149,28 @@ def test_dollar_underscore_is_not_a_parameter(spark, tmp_path):
         run(spark, f"a = LOAD '{src}' AS (s:chararray); b = FILTER a BY s == '$_missing';")
 
 
+def test_dollar_in_comment_is_not_a_parameter(spark, tmp_path):
+    """A `$name` inside a `--` or `/* */` comment is not a parameter
+    reference — the reference preprocessor passes comments through
+    unsubstituted and the lexer drops them (grammar.py:26); only a
+    `$name` in executable text (including string literals, where Pig
+    DOES substitute) raises 'Undefined parameter'."""
+    import pytest as _pytest
+
+    src = str(tmp_path / "in.tsv")
+    with open(src, "w") as f:
+        f.write("a\n")
+    rels = run(spark, f"""
+        -- writes to $outdir once $flag is set
+        a = LOAD '{src}' AS (s:chararray);  /* see $ticket */
+        b = FILTER a BY s == 'a';
+    """)
+    assert rels["b"].df.count() == 1
+    # undefined $param inside a string literal still raises
+    with _pytest.raises(ValueError, match="Undefined parameter : outdir"):
+        run(spark, f"a = LOAD '{src}' AS (s:chararray); STORE a INTO '$outdir';")
+
+
 def test_preprocessor_substitutes_params_in_fs_lines(spark, tmp_path):
     """fs/sh preprocessor lines see bound $params (the reference
     substitutes parameters over the whole file BEFORE Grunt executes

@@ -23,7 +23,14 @@ def normalize(val):
     if isinstance(val, float):
         if math.isnan(val):
             return "nan"
-        return f"{val:.9g}"
+        # FULL precision (shortest round-trip repr), not %.9g: the
+        # driver's value hash is exact, and %.9g gave only 2 decimal
+        # places at 1e7 magnitude — strictly MORE lenient than the
+        # driver, which is how the q119 red row shipped in r6. The
+        # local gate must be at least as strict as the driver's hash;
+        # queries are responsible for rounding their own floats to a
+        # scale-invariant number of significant digits on BOTH sides.
+        return repr(val)
     if hasattr(val, "isoformat"):
         return val.isoformat().replace("T", " ")[:26]
     if isinstance(val, bool):
