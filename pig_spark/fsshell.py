@@ -82,6 +82,12 @@ def fs_shell(cmd: str | list[str], cwd: str | None = None) -> int:
         if op in ("cp", "copyfromlocal", "copytolocal", "put", "get"):
             if len(args) != 2:
                 return fail("expects <src> <dst>")
+            # HDFS FileSystem.create() makes missing parent dirs by
+            # default, so `fs -cp src /a/b/c` succeeds with /a/b absent
+            # — grunt.conf's cp/copyFromLocal tests rely on this
+            parent = os.path.dirname(args[1])
+            if parent:
+                os.makedirs(parent, exist_ok=True)
             if os.path.isdir(args[0]):
                 shutil.copytree(args[0], args[1], dirs_exist_ok=True)
             else:

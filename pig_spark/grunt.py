@@ -10,7 +10,8 @@ executed) plus immediate utility commands.  Parity notes:
   execute on demand, STORE executes when entered (interactive mode
   runs each batch as it completes — ``GruntParser.processPig``).
 * Utility commands: ``help``, ``history``, ``quit``/``exit``,
-  ``ls``/``cat``/``pwd``/``cd``/``mkdir``/``rm`` (and the ``fs -cmd``
+  ``ls``/``cat``/``pwd``/``cd``/``mkdir``/``rm``/``rmf``/``cp``/
+  ``mv``/``copyToLocal``/``copyFromLocal`` (and the ``fs -cmd``
   spellings), ``sh <cmd>`` (``GruntParser.processShCommand``),
   ``exec <script>`` (fresh scope) vs ``run <script>`` (current scope —
   ``processScript`` semantics), ``set``/``aliases``/``clear``/``kill``.
@@ -52,6 +53,7 @@ quit / exit                 leave the shell"""
 _UTILITY = {
     "quit", "exit", "help", "history", "aliases", "clear", "kill",
     "ls", "cat", "pwd", "cd", "mkdir", "rm", "fs", "sh", "exec", "run",
+    "rmf", "cp", "mv", "copytolocal", "copyfromlocal",
 }
 
 
@@ -222,6 +224,27 @@ class Grunt:
 
             target = os.path.join(self.cwd, args[0])
             shutil.rmtree(target) if os.path.isdir(target) else os.remove(target)
+        elif cmd == "rmf":
+            # GruntParser.processRemove(force=true): recursive delete,
+            # silent when the target doesn't exist
+            import shutil
+
+            for a in args:
+                target = os.path.join(self.cwd, a)
+                if os.path.isdir(target):
+                    shutil.rmtree(target, ignore_errors=True)
+                elif os.path.exists(target):
+                    os.remove(target)
+        elif cmd in ("cp", "mv", "copytolocal", "copyfromlocal"):
+            # GruntParser.processCopy/processMove/processCopyToLocal/
+            # processCopyFromLocal — same FsShell-backed semantics as
+            # the `fs -<cmd>` spellings, relative to the shell's cwd
+            from contextlib import redirect_stderr
+
+            from .fsshell import fs_shell
+
+            with redirect_stdout(self.out), redirect_stderr(self.out):
+                fs_shell([cmd, *args], cwd=self.cwd)
         elif cmd == "sh":
             res = subprocess.run(
                 " ".join(args), shell=True, capture_output=True, text=True, cwd=self.cwd

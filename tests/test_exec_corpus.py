@@ -21,9 +21,13 @@ gates are the 136 DuckDB-oracle queries and the differential fuzz
 batteries).
 
 Skipped (environmental, not engine gaps): snippets needing Java test
-UDF jars or HCatalog/HBase. Non-Python scripting engines (jruby/
-javascript/groovy) and NATIVE/MAPREDUCE raise NotImplementedError and
-count as documented-unsupported.
+UDF jars or HCatalog/HBase. Documented-unsupported is now a CLOSED
+LIST (r7, _NOTIMPL_KINDS): each NotImplementedError must match a
+recorded COVERAGE.md scope decision (non-Python scripting engines,
+NATIVE/MAPREDUCE, custom-jar HiveUDAF, Hive ctor params) — anything
+else raising NotImplementedError fails the gate. r7 also adds
+grunt.conf (15 Grunt-shell snippets through the Grunt REPL itself:
+14 positive + 1 asserted negative, floor 14).
 """
 
 import os
@@ -237,10 +241,23 @@ def fixture_dir(tmp_path_factory):
     return d
 
 
+# documented-unsupported classes: each key names a COVERAGE.md scope-
+# decision row; the value is a distinctive substring of its raise
+# message. An exec-corpus NotImplementedError whose message matches
+# NONE of these is an engine bug and fails the gate (VERDICT r6 #4).
+_NOTIMPL_KINDS = {
+    "non-python-scripting-engine": "only Python scripting",  # §2.7 jruby/js/groovy
+    "native-mapreduce": "NATIVE/MAPREDUCE jar execution",  # §2.2#26
+    "hive-udaf-custom-jar": "custom-jar evaluator",  # §2.4 HiveUDAF row
+    "hive-define-ctor-params": "need the Hive bridge",  # §2.4 HiveUDF ctor args
+}
+
+
 def test_reference_e2e_corpus_executes(spark, fixture_dir):
     if not os.path.isdir(_CONF_DIR):
         pytest.skip("reference e2e corpus not available")
     total = ok = notimpl = 0
+    notimpl_kinds: dict[str, int] = {}
     failures: list[str] = []
     outn = 0
     out_root = f"{fixture_dir}/out"
@@ -273,16 +290,29 @@ def test_reference_e2e_corpus_executes(spark, fixture_dir):
                     try:
                         run(spark, script, params=params or None)
                         ok += 1
-                    except NotImplementedError:
-                        # NATIVE/MAPREDUCE/HiveUDAF custom jars, and
-                        # non-Python scripting engines (jruby/js/
-                        # groovy) — documented scope decisions
-                        notimpl += 1
+                    except NotImplementedError as e:
+                        # documented scope decisions ONLY — each raise
+                        # message maps to a COVERAGE.md row; anything
+                        # else raising NotImplementedError is a bug,
+                        # not a scope decision, and fails the gate
+                        msg = str(e)
+                        kind = next(
+                            (k for k in _NOTIMPL_KINDS if _NOTIMPL_KINDS[k] in msg),
+                            None,
+                        )
+                        if kind is None:
+                            failures.append(f"{conf}: undocumented notimpl: {msg[:70]}")
+                        else:
+                            notimpl += 1
+                            notimpl_kinds[kind] = notimpl_kinds.get(kind, 0) + 1
                     except Exception as e:
                         failures.append(f"{conf}: {type(e).__name__}: {str(e)[:70]}")
     finally:
         os.chdir(prev_cwd)
-    print(f"exec corpus: {ok}/{total} executed, {notimpl} documented-unsupported")
+    print(
+        f"exec corpus: {ok}/{total} executed, {notimpl} documented-unsupported "
+        f"{notimpl_kinds}"
+    )
     for f in failures:
         print("   FAIL", f)
     assert total > 300, f"corpus extraction broke: only {total} snippets found"
@@ -290,6 +320,10 @@ def test_reference_e2e_corpus_executes(spark, fixture_dir):
         f"execution coverage regressed: {ok}/{total} (floor {_FLOOR}); "
         + "; ".join(failures[:8])
     )
+    # the nightly.conf Scripting_* jruby suites are the scripting-
+    # engine scope decision made visible (VERDICT r6 #4): they must
+    # appear as documented-unsupported, not vanish into a skip list
+    assert notimpl_kinds.get("non-python-scripting-engine", 0) >= 10, notimpl_kinds
 
 
 # negative.conf is ENTIRELY expected_err blocks; macro.conf and
@@ -407,3 +441,77 @@ def test_reference_e2e_corpus_negative(spark, fixture_dir):
         f"{len(silent)} negative snippets executed silently (Pig rejects these): "
         + "; ".join(silent[:6])
     )
+
+
+# ----------------------------------------------------------------------
+# grunt.conf: the Grunt-shell suite (VERDICT r6 #7). Its snippets use
+# double-quoted 'pig' => "..." blocks (not the perl q-delimiters), and
+# each line is an IMMEDIATE Grunt utility command (ls/cat/cd/cp/mv/
+# copyToLocal/rmf/sh/fs) rather than deferred Pig Latin — so they run
+# through the Grunt shell itself, the surface GruntParser.java drives.
+# ----------------------------------------------------------------------
+
+_GRUNT_RE = re.compile(r"'pig' => \"((?:[^\"\\]|\\.)*)\"", re.DOTALL)
+_GRUNT_FLOOR = 14  # 15 snippets: 14 positive + 1 expected_err (cat nonexist)
+
+
+def test_grunt_conf_corpus_executes(spark, fixture_dir, tmp_path):
+    path = os.path.join(_CONF_DIR, "grunt.conf")
+    if not os.path.exists(path):
+        pytest.skip("reference grunt.conf not available")
+    import io
+
+    from pig_spark.grunt import Grunt
+
+    with open(path, errors="replace") as fh:
+        src = fh.read()
+    ms = list(_GRUNT_RE.finditer(src))
+    total = ok = neg_total = neg_ok = 0
+    failures: list[str] = []
+    harness_dir = os.path.join(_CONF_DIR, "..", "..", "harness")
+    for i, m in enumerate(ms):
+        end = ms[i + 1].start() if i + 1 < len(ms) else min(len(src), m.end() + 800)
+        window = src[m.end():end]
+        negative = any(
+            "expected_err" in ln and not ln.lstrip().startswith("#")
+            for ln in window.splitlines()
+        )
+        out_dir = tmp_path / f"grunt_out_{i}"
+        out_dir.mkdir()
+        tmp_dir = tmp_path / f"grunt_tmp_{i}"
+        tmp_dir.mkdir()
+        script = (
+            m.group(1)
+            .replace(":INPATH:", fixture_dir)
+            .replace(":OUTPATH:", f"{out_dir}/o")
+            .replace(":TMP:", str(tmp_dir))
+            .replace(":PIGHARNESS:", harness_dir)
+        )
+        # each conf line is one Grunt statement; strip the perl-hash
+        # indentation the harness leaves inside the quoted block
+        script = "\n".join(ln.strip() for ln in script.splitlines() if ln.strip())
+        buf = io.StringIO()
+        g = Grunt(spark, inp=io.StringIO(script + "\nquit\n"), out=buf)
+        try:
+            g.loop()
+            got_error = "ERROR" in buf.getvalue() or "No such file" in buf.getvalue()
+        except Exception as e:  # noqa: BLE001 — the shell must never die
+            failures.append(f"grunt #{i}: shell died: {type(e).__name__}: {str(e)[:60]}")
+            continue
+        if negative:
+            neg_total += 1
+            if got_error:
+                neg_ok += 1
+            else:
+                failures.append(f"grunt #{i}: negative snippet succeeded silently")
+        else:
+            total += 1
+            if got_error:
+                failures.append(f"grunt #{i}: {buf.getvalue()[:100]!r}")
+            else:
+                ok += 1
+    print(f"grunt corpus: {ok}/{total} positive ok, {neg_ok}/{neg_total} negative raised")
+    assert ok >= _GRUNT_FLOOR, (
+        f"grunt corpus regressed: {ok}/{total} (floor {_GRUNT_FLOOR}); " + "; ".join(failures[:6])
+    )
+    assert neg_ok == neg_total == 1, failures

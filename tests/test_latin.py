@@ -2088,15 +2088,22 @@ def test_scripting_udf_decorator_surface(spark, tmp_path):
     assert r2.px == 8 and r2.n == 1
 
 
-def test_scripting_udf_jruby_raises(spark, tmp_path):
-    """Non-Python scripting engines refuse with guidance (scope
-    decision, same class as MAPREDUCE)."""
-    rb = tmp_path / "u.rb"
-    rb.write_text("def square(x); x*x; end\n")
+def test_scripting_udf_non_python_engines_raise(spark, tmp_path):
+    """Non-Python scripting engines refuse with guidance — a RECORDED
+    scope decision (COVERAGE.md §2.7), same class as MAPREDUCE and the
+    custom-jar HiveUDAF bridge: the reference's JrubyScriptEngine.java,
+    js/JsScriptEngine.java and groovy/GroovyScriptEngine.java each
+    embed a non-Python runtime on the JVM, which this engine cannot
+    host. One pinned negative test PER engine; the nightly.conf
+    Scripting_* jruby suites count as documented-unsupported in the
+    exec corpus accounting (test_exec_corpus)."""
     import pytest as _pytest
 
-    with _pytest.raises(NotImplementedError, match="jruby"):
-        run(spark, f"REGISTER '{rb}' USING jruby AS f; ")
+    for ext, engine in (("rb", "jruby"), ("js", "javascript"), ("groovy", "groovy")):
+        f = tmp_path / f"u.{ext}"
+        f.write_text("function or def, never executed\n")
+        with _pytest.raises(NotImplementedError, match=engine):
+            run(spark, f"REGISTER '{f}' USING {engine} AS f; ")
 
 
 def test_stream_autoship_and_file_channels(spark, tmp_path):
