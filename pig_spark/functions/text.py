@@ -251,3 +251,60 @@ def redact(col: Column, kinds: list[str] | None = None) -> Column:
         if kinds is None or name in kinds:
             out = F.regexp_replace(out, pat, token)
     return out
+
+
+# ----------------------------------------------------------------------
+# hashed linear classifier (fastText-style quality scoring) — r7
+# ----------------------------------------------------------------------
+
+# feature-hash table size (power of two: bucket weights are exact
+# multiples of 2^-12, so per-row weight sums are exactly representable
+# doubles and the DuckDB oracle compares EXACTLY, no rounding policy)
+HASH_DIM = 4096
+# Knuth multiplicative constant — scrambles bucket → pseudo-weight
+HASH_MIX = 2654435761
+
+
+def _feature_bucket(f: Column) -> Column:
+    """Feature → hash bucket: first 15 md5 hex digits as a 60-bit int
+    (the engine-wide gram-hash idiom, functions/dedup.md5_60) mod
+    HASH_DIM. Both engines compute this bit-identically."""
+    return F.conv(F.substring(F.md5(f), 1, 15), 16, 10).cast("bigint") % HASH_DIM
+
+
+def hashed_features(tokens: Column) -> Column:
+    """fastText's feature set: the unigrams plus the sliding word
+    bigrams, in document order (Joulin et al. 2016, 'Bag of Tricks for
+    Efficient Text Classification')."""
+    return F.concat(tokens, _grams(tokens, 2))
+
+
+def hashed_score_from_features(feats: Column) -> Column:
+    """Mean hashed-bucket weight over a PRE-STAGED feature array
+    column (stage ``hashed_features`` as its own projection first —
+    the module rule: lambda bodies re-evaluate per reference with no
+    CSE, and CollapseProject keeps a staged non-cheap producer staged
+    when the consumer references it more than once)."""
+    w = lambda f: (  # noqa: E731
+        ((_feature_bucket(f) * HASH_MIX) % HASH_DIM) / F.lit(float(HASH_DIM)) - 0.5
+    )
+    total = F.aggregate(feats, F.lit(0.0), lambda acc, f: acc + w(f))
+    n = F.size(feats)
+    return F.when(n > 0, total / n)
+
+
+def hashed_linear_score(tokens: Column) -> Column:
+    """Linear text classifier over hashed n-gram features — the
+    fastText architecture used as the quality/toxicity filter stage of
+    training-data pipelines (e.g. GPT-3/PaLM quality classifiers):
+    score = mean over features of weight[hash(feature)].
+
+    The weight table here is a deterministic stand-in (weight[b] =
+    ((b * HASH_MIX) mod D)/D - 0.5 — in production it would be a
+    trained broadcast array; the Spark-side plumbing is identical:
+    per-feature hash → bucket → weight lookup → in-row mean). The
+    entire operator is per-row JVM expression evaluation: tokenize,
+    gram, hash, score — ZERO shuffles and no Python, so it is
+    map-only at any corpus size.
+    """
+    return hashed_score_from_features(hashed_features(tokens))

@@ -687,6 +687,51 @@ def oracle_sql() -> dict[str, str]:
                    round(AVG(lp), 6) AS avg_logp,
                    AVG(lp) > -8.7654321 AS keep
             FROM scored GROUP BY doc_id""",
+        "q124_tfidf_top_terms": """
+            WITH d AS (SELECT doc_id,
+                              list_filter(string_split_regex(lower(trim(text)), '\\s+'),
+                                          x -> x <> '') AS tk
+                       FROM documents),
+                 n AS (SELECT COUNT(*) AS n_docs FROM d),
+                 df AS (SELECT t, CAST(COUNT(*) AS BIGINT) AS df
+                        FROM (SELECT unnest(list_distinct(tk)) AS t FROM d)
+                        GROUP BY t),
+                 vocab AS (SELECT t, df FROM df ORDER BY df DESC, t ASC LIMIT 4096),
+                 scored AS (SELECT d.doc_id, v.t AS term,
+                                   round((CAST(len(list_filter(d.tk, x -> x = v.t)) AS DOUBLE)
+                                          / len(d.tk))
+                                         * ln((n.n_docs + 1.0) / (v.df + 1.0)), 6) AS score
+                            FROM d CROSS JOIN n
+                            JOIN vocab v ON list_contains(d.tk, v.t)),
+                 ranked AS (SELECT doc_id, term, score,
+                                   row_number() OVER (PARTITION BY doc_id
+                                        ORDER BY score DESC, term ASC) AS rn
+                            FROM scored)
+            SELECT doc_id, CAST(rn AS BIGINT) AS rank, term, score
+            FROM ranked WHERE rn <= 3""",
+        "q125_hashed_quality_classifier": """
+            WITH d AS (SELECT doc_id,
+                              list_filter(string_split_regex(trim(text), '\\s+'),
+                                          x -> x <> '') AS tk
+                       FROM documents),
+                 f AS (SELECT doc_id, len(tk) AS n_tokens,
+                              list_concat(tk,
+                                  CASE WHEN len(tk) >= 2
+                                       THEN list_transform(generate_series(1, len(tk) - 1),
+                                                           i -> tk[i] || ' ' || tk[i + 1])
+                                       ELSE CAST([] AS VARCHAR[]) END) AS feats
+                       FROM d),
+                 s AS (SELECT doc_id, n_tokens,
+                              CASE WHEN len(feats) > 0 THEN
+                                list_sum(list_transform(feats, x ->
+                                  (((CAST(('0x' || substr(md5(x), 1, 15)) AS BIGINT) % 4096)
+                                    * 2654435761) % 4096) / 4096.0 - 0.5))
+                                / len(feats)
+                              END AS score
+                       FROM f)
+            SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+                   score, score > 0 AS keep
+            FROM s""",
         "q119_latin_cor_two_pipes": """
             WITH a AS (SELECT o_orderpriority AS p, o_totalprice AS v, o_custkey AS c,
                               row_number() OVER (PARTITION BY o_orderpriority

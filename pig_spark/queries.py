@@ -2177,6 +2177,117 @@ def q123_semantic_dedup(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q124_tfidf_top_terms(spark: SparkSession, sf: str) -> DataFrame:
+    """TF-IDF top-k characteristic terms per document — the classic
+    corpus-statistics op behind keyword extraction / topic filtering
+    stages of training-data pipelines.
+
+    Spark-first 100 TB design (the q121 broadcast-statistics pattern):
+    document frequency is ONE map-side-partial aggregate over per-doc
+    DISTINCT tokens; the vocabulary is a DISTRIBUTED top-V
+    (orderBy+limit → TakeOrderedAndProject, V=4096, df desc/term asc
+    tiebreak) folded to a ONE-ROW broadcast map (~100 KB). Scoring and
+    per-doc top-k are then PURE per-row array codegen: in-row term
+    counts (no explode), tf·idf via the broadcast map, array_sort on
+    (rounded -score, term) and slice(k) — no doc_id shuffle anywhere;
+    the only shuffle in the whole query feeds the df count. Scores
+    round to 6 decimals on BOTH sides (bounded magnitude: tf ≤ 1,
+    idf ≤ ln N) and the rounded score is ALSO the ranking key, so
+    cross-engine ordering is deterministic."""
+    from pyspark.sql import functions as F
+
+    V, K = 4096, 3
+    d = spark.read.parquet(f"{sf}/documents.parquet").select("doc_id", "text")
+    toks = F.filter(F.split(F.lower(F.trim(F.col("text"))), r"\s+"), lambda x: x != "")
+    td = d.select("doc_id", toks.alias("tk"))
+    n_docs = td.agg(F.count(F.lit(1)).alias("n_docs"))
+    df_tbl = (
+        td.select(F.explode(F.array_distinct("tk")).alias("t"))
+        .groupBy("t")
+        .agg(F.count(F.lit(1)).alias("df"))
+    )
+    vocab = df_tbl.orderBy(F.desc("df"), F.asc("t")).limit(V)
+    idf_map = vocab.crossJoin(F.broadcast(n_docs)).agg(
+        F.map_from_entries(
+            F.collect_list(
+                F.struct(
+                    "t",
+                    F.log((F.col("n_docs") + F.lit(1.0)) / (F.col("df") + F.lit(1.0))).alias("idf"),
+                )
+            )
+        ).alias("__idf")
+    )
+    scored = td.crossJoin(F.broadcast(idf_map)).select(
+        "doc_id",
+        F.slice(
+            F.array_sort(
+                F.filter(
+                    F.transform(
+                        F.array_distinct("tk"),
+                        lambda t: F.struct(
+                            F.round(
+                                -(
+                                    F.size(F.filter(F.col("tk"), lambda x: x == t))
+                                    / F.size(F.col("tk"))
+                                )
+                                * F.try_element_at(F.col("__idf"), t),
+                                6,
+                            ).alias("neg_score"),
+                            t.alias("term"),
+                        ),
+                    ),
+                    lambda s: s["neg_score"].isNotNull(),
+                )
+            ),
+            1,
+            K,
+        ).alias("top"),
+    )
+    ex = scored.select("doc_id", F.posexplode("top").alias("pos", "s"))
+    return ex.select(
+        "doc_id",
+        (F.col("pos") + 1).cast("long").alias("rank"),
+        F.col("s.term").alias("term"),
+        (-F.col("s.neg_score")).alias("score"),
+    )
+
+
+def q125_hashed_quality_classifier(spark: SparkSession, sf: str) -> DataFrame:
+    """fastText-style hashed linear quality classifier
+    (functions/text.hashed_linear_score): unigram+bigram features →
+    md5 hash bucket → weight lookup → in-row mean; keep = score > 0.
+    The weight table is a deterministic stand-in for a trained
+    broadcast array — the Spark plumbing (per-feature hash, bucket,
+    in-row reduction) is the production shape.
+
+    100 TB design: the WHOLE operator is per-row whole-stage codegen —
+    zero shuffles, zero Python, map-only (plan-pinned: no Exchange).
+    HASH_DIM is a power of two, so every weight is an exact multiple
+    of 2^-12 and per-row sums are exactly representable: the DuckDB
+    oracle compares EXACTLY with no rounding policy."""
+    from pyspark.sql import functions as F
+
+    from .functions import text as T
+
+    d = spark.read.parquet(f"{sf}/documents.parquet").select("doc_id", "text")
+    td = d.select("doc_id", T.tokenize_ws(F.col("text")).alias("tk"))
+    # staged projections (the text-module rule): feats and score are
+    # each referenced more than once downstream, so CollapseProject
+    # keeps them materialized once per row instead of re-inlining the
+    # md5/aggregate lambda at every reference
+    staged = td.select(
+        "doc_id",
+        F.size("tk").cast("long").alias("n_tokens"),
+        T.hashed_features(F.col("tk")).alias("feats"),
+    )
+    scored = staged.select(
+        "doc_id", "n_tokens", T.hashed_score_from_features(F.col("feats")).alias("score")
+    )
+    return scored.select(
+        "doc_id", "n_tokens", "score", (F.col("score") > 0).alias("keep")
+    )
+
+
 from .pigmix import PIGMIX_QUERIES  # noqa: E402  (avoids circular import)
 
 _ALL: dict[str, Callable[[SparkSession, str], DataFrame]] = {

@@ -530,3 +530,27 @@ def test_event_ts_adapts_to_both_parquet_layouts(spark, tmp_path):
         )
         outs.append(sorted(map(tuple, out.collect())))
     assert outs[0] == outs[1] and len(outs[0]) > 10
+
+
+def test_hashed_linear_classifier_edges(spark):
+    """hashed_features / hashed_linear_score edge shapes: empty doc →
+    null score; single token → unigram-only features (no bigrams);
+    weights are exact multiples of 2^-12 (power-of-two HASH_DIM), so
+    the score is an exactly-representable double."""
+    from pyspark.sql import functions as F
+
+    from pig_spark.functions import text as T
+
+    df = spark.createDataFrame(
+        [("",), ("hello",), ("hello world",)], ["text"]
+    ).select(T.tokenize_ws(F.col("text")).alias("tk"))
+    rows = df.select(
+        F.size(T.hashed_features(F.col("tk"))).alias("n_feats"),
+        T.hashed_linear_score(F.col("tk")).alias("score"),
+    ).collect()
+    assert rows[0].n_feats == 0 and rows[0].score is None
+    assert rows[1].n_feats == 1  # one unigram, no bigram
+    assert rows[2].n_feats == 3  # two unigrams + one bigram
+    # exactness: score * HASH_DIM * n_feats is an integer
+    s = rows[2].score
+    assert s is not None and abs((s * T.HASH_DIM * 3) - round(s * T.HASH_DIM * 3)) == 0.0

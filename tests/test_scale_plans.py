@@ -116,6 +116,9 @@ _CARTESIAN_OK = {
     # physical BroadcastNestedLoopJoin; dedicated pin asserts the
     # broadcast + no-Window shape below)
     "q121_unigram_lm_score",
+    # same shape: 1-row doc-count scalar + folded ≤4096-entry idf map,
+    # both explicit F.broadcast (dedicated pin: test_tfidf_plan)
+    "q124_tfidf_top_terms",
 }
 
 
@@ -302,3 +305,41 @@ def test_scripting_udf_arrow_plan(spark, sf_dir):
     phys = df._jdf.queryExecution().executedPlan().toString()
     assert "ArrowEvalPython" in phys, phys
     assert "BatchEvalPython" not in phys, phys
+
+
+def test_tfidf_plan(spark, sf_dir):
+    """q124 (TF-IDF top-terms) keeps the q121 broadcast-statistics
+    shape: document frequency + top-V vocabulary are the ONLY
+    shuffles (distributed TakeOrderedAndProject, no single-partition
+    window); the idf map folds to a 1-row broadcast; scoring and the
+    per-doc top-k are per-row array codegen — no doc_id
+    hash-partitioning anywhere."""
+    from pig_spark.queries import q124_tfidf_top_terms
+
+    df = q124_tfidf_top_terms(spark, sf_dir)
+    phys = df._jdf.queryExecution().executedPlan().toString()
+    opt = df._jdf.queryExecution().optimizedPlan().toString()
+    assert "TakeOrderedAndProject" in phys, phys
+    assert "hashpartitioning(doc_id" not in phys, phys
+    assert "PythonUDF" not in opt
+    assert not unpartitioned_windows(opt), unpartitioned_windows(opt)
+
+
+def test_hashed_classifier_plan_map_only(spark, sf_dir):
+    """q125 (hashed linear quality classifier) is MAP-ONLY: the whole
+    operator — tokenize, bigrams, md5 bucket, weight sum — is per-row
+    whole-stage codegen with ZERO exchanges and zero Python. This is
+    the strongest scale shape an operator can have; pin it."""
+    from pig_spark.queries import q125_hashed_quality_classifier
+
+    df = q125_hashed_quality_classifier(spark, sf_dir)
+    phys = df._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in phys, phys
+    assert "PythonUDF" not in phys and "EvalPython" not in phys, phys
+    # column pruning reaches the scan (doc_id + text only)
+    assert "ReadSchema: struct<doc_id:bigint,text:string>" in phys, phys
+    # staged projections: the feature array materializes ONCE per row —
+    # the md5 hash appears in exactly one projection expression, not
+    # re-inlined at every downstream reference (CollapseProject keeps
+    # multiply-referenced non-cheap producers staged)
+    assert phys.count("md5(") == 1, phys.count("md5(")
