@@ -61,6 +61,9 @@ HEADLINE = [
     "q98_latin_window_over",  # r3: Latin Over/Stitch -> one native window
     "q100_incremental_dedup",  # r3: new batch vs stored signature index
     "q109_incremental_dedup_verified",  # r4: + exact re-verify, semi-join pruned
+    "q121_unigram_lm_score",  # r6: broadcast LM map, per-row scoring
+    "q124_tfidf_top_terms",  # r7: broadcast idf map, per-row topk
+    "q125_hashed_quality_classifier",  # r7: map-only hashed linear model
 ]
 
 
@@ -450,12 +453,16 @@ def _audit_summary(results: dict) -> dict:
     round's timings vs the previous full artifact, scale-rung ratios."""
     import math
 
+    # per-SF prev artifact: a local sf0.01 iteration must not replace
+    # the sf0.1 baseline the driver's geo-mean compares against
     repo = os.path.dirname(os.path.abspath(__file__))
-    prev_path = os.path.join(repo, "tools", "bench_prev_full.json")
+    prev_path = os.path.join(repo, "tools", f"bench_prev_full_sf{results['sf']}.json")
     prev = None
     try:
         with open(prev_path) as fh:
             prev = json.load(fh)
+        if prev.get("sf") != results.get("sf"):
+            prev = None
     except Exception:
         pass
     try:

@@ -2299,48 +2299,33 @@ _ALL.update(PIGMIX_QUERIES)
 
 # The driver's correctness gate checks the FIRST 50 entries in dict
 # order. Order by verification need, not by name (rebuilt each round;
-# VERDICT r5 "Next round" #2): (0) new-in-r6 queries + queries whose
-# Spark lowering changed this round (nested-block corner closures,
-# TOBAG/TOTUPLE unification, GROUP-ALL 'all' literal, _fold_constant
-# hardening) — the changes must earn a green driver row; (1) the
-# 36-query r3-evidence block — the oldest remaining evidence; after
-# this window every catalog query's newest driver evidence is ≥ r4;
-# (2) the r4-evidence block takes the spare slots; (3) the 50 queries
-# r5's window just re-verified.
-_NEW_OR_CHANGED_R6 = {
-    "q119_latin_cor_two_pipes",  # new: COR/COV spanning two LIMIT pipes
-    "q120_latin_arr_pipe_ops",   # new: ops chained onto FLATTENed pipe
-    "q121_unigram_lm_score",     # new: unigram-LM quality filter
-    "q122_latin_scripting_udf",  # new: scripting-UDF decorator surface
-    "q123_semantic_dedup",       # new: embedding-cosine near-dup dedup
-    "q52_stream_upper",          # stream staging/exit-code rework (r6)
-    "q112_latin_bag_pipe",       # _pipe_bag arr-branch rework
-    "q113_latin_nested_cross",   # nested-agg/pipe-bag shared paths
-    "q114_latin_inline_group",   # GROUP ALL 'all' literal change
-    "q116_latin_multi_flatten",  # multiflatten consumes _pipe_bag
-    "q117_latin_inner_flatten",  # arr-pipe consumer routing change
-    "q118_latin_hive_udaf",      # _hive_agg resolve/_fold_constant fixes
-    "q53_bag_ops",               # TOBAG/TOTUPLE unification
-    "q59_nested_distinct",       # nested-block statement-loop edits
-    "q60_nested_filter",         # nested-block statement-loop edits
-    "q79_latin_nested_limit",    # topk path touched (_SortedCollect)
+# the window arithmetic is EXACT — VERDICT r6 #3):
+#   tier 0 (5): new-in-r7 queries + queries whose lowering or output
+#     changed this round and must re-earn a green driver row —
+#     q119/q74 (significant-digit rounding), q122 (ArrowEvalPython
+#     scripting-UDF path), q124/q125 (new operators);
+#   tier 1 (2): q98/q99 — the two r3-evidence stragglers that fell
+#     off r6's window (52 candidates for 50 slots);
+#   tier 2 (43 of 47): the r4-evidence block, alphabetical; the 4
+#     alphabetically-last entries (q48_quality_score, q49_fingerprint,
+#     q50_token_stats, q51_join_qualified) stay at r4 evidence and
+#     LEAD tier 2 next round;
+#   tier 3: everything r5/r6-verified.
+# 5 + 2 + 43 = 50. After this window, every catalog query's newest
+# driver evidence is ≥ r4, and the oldest block is the four-query r4
+# tail above.
+_NEW_OR_CHANGED_R7 = {
+    "q119_latin_cor_two_pipes",        # changed: scale-invariant COR/COV rounding
+    "q74_latin_cube",                  # changed: 2-decimal total rounding
+    "q122_latin_scripting_udf",        # changed: Arrow-optimized UDF path
+    "q124_tfidf_top_terms",            # new: TF-IDF top-k terms
+    "q125_hashed_quality_classifier",  # new: hashed linear classifier
 }
-# newest driver evidence = round 3 (VERDICT r5 #2's list) — tier 1
-_STALE_R3 = {
-    "q09_join_multiway", "q10_semi_join", "q31_json_map", "q55_strsplit",
-    "q57_cast_gradual", "q58_events_hourly", "q65_sessionize",
-    "q66_asof_attribution", "q67_multimodal_meta", "q75_funnel",
-    "q77_hypertable_rollup", "q78_sketch_uniques", "q82_latin_two_limit_pipes",
-    "q83_latin_distinct_limit", "q84_quantile_rollup", "q85_stratified_sample",
-    "q86_token_packing", "q87_dedup_groups", "q88_contamination",
-    "q89_repetition", "q90_pii_redaction", "q91_dedup_survivors", "q92_gapfill",
-    "q93_latin_corpus_pipeline", "q94_doc_chunks", "q95_mixture_sample",
-    "q96_split_assign", "q97_top_ngrams", "q98_latin_window_over",
-    "q99_piggybank_funcs", "q100_incremental_dedup", "q101_latin_chunk_pipeline",
-    "q102_contamination_bloom", "q103_log_parse", "q104_cohort_retention",
-    "q105_volume_anomaly",
-}
-# newest driver evidence = round 4 — tier 2 (spare slots rotate these)
+# newest driver evidence = round 3: the two stragglers r6's window
+# arithmetic squeezed out (VERDICT r6 #4) — tier 1, never again
+_STALE_R3 = {"q98_latin_window_over", "q99_piggybank_funcs"}
+# newest driver evidence = round 4 — tier 2 (alphabetical; the window
+# takes the first 43, the 4-entry tail leads this tier next round)
 _FRESH_R4 = {
     "q106_cms_frequencies", "q107_latin_multi_stitch", "q108_latin_unordered_limit",
     "q109_incremental_dedup_verified", "q110_latin_flatten_with_aggs", "q111_domain_caps",
@@ -2360,13 +2345,13 @@ _FRESH_R4 = {
 
 
 def _order_key(name: str) -> tuple[int, str]:
-    if name in _NEW_OR_CHANGED_R6:
+    if name in _NEW_OR_CHANGED_R7:
         return (0, name)
     if name in _STALE_R3:
         return (1, name)
     if name in _FRESH_R4:
         return (2, name)
-    return (3, name)  # r5-fresh evidence — verified last round, go last
+    return (3, name)  # r5/r6-fresh evidence — verified recently, go last
 
 
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
