@@ -2251,3 +2251,44 @@ def test_script_udf_null_fields_render_empty(spark, tmp_path):
     """)
     row = rels["b"].df.collect()[0]
     assert row.p == "(7,)" and row.bg == "{(7,)}"
+
+
+def test_scripting_udf_arrow_row_parity(spark, tmp_path, monkeypatch):
+    """The Arrow-optimized UDF lowering (scalar signatures →
+    ArrowEvalPython, r7) must be SEMANTICALLY INVISIBLE: the same
+    scripting-UDF script over nulls, ints, floats and strings returns
+    identical rows with the Arrow path forced OFF (classic pickled row
+    mode). This is the differential gate for the useArrow switch."""
+    from pig_spark.latin import translate as TR
+
+    udf = tmp_path / "udfs.py"
+    udf.write_text(
+        "@outputSchema('n:int')\n"
+        "def plusone(x):\n"
+        "    return None if x is None else x + 1\n"
+        "@outputSchema('s:chararray')\n"
+        "def shout(s):\n"
+        "    return None if s is None else s.upper() + '!'\n"
+        "@outputSchema('d:double')\n"
+        "def halve(x):\n"
+        "    return None if x is None else x / 2.0\n"
+        "def untyped(s):\n"  # chararray default + Pig-text coercion
+        "    return None if s is None else (s, s)\n"
+    )
+    src = str(tmp_path / "in.tsv")
+    with open(src, "w") as f:
+        f.write("1\tab\t3.5\n\tzz\t\n4\tcd\t0.25\n")  # null x and d in row 2
+    script = f"""
+        REGISTER '{udf}' USING jython AS f;
+        a = LOAD '{src}' AS (x:int, s:chararray, d:double);
+        b = FOREACH a GENERATE f.plusone(x) AS px, f.shout(s) AS us,
+                               f.halve(d) AS hd, f.untyped(s) AS ts;
+    """
+    key = lambda r: tuple((v is None, v) for v in r)  # noqa: E731 — null-safe sort
+    arrow_rows = sorted(map(tuple, run(spark, script)["b"].df.collect()), key=key)
+    monkeypatch.setattr(TR, "_scalar_ddl", lambda _ddl: False)  # force row mode
+    row_rows = sorted(map(tuple, run(spark, script)["b"].df.collect()), key=key)
+    assert arrow_rows == row_rows
+    assert arrow_rows[0] == (2, "AB!", 1.75, "(ab,ab)")
+    # nulls pass through the Arrow boundary as None, exactly like row mode
+    assert (None, "ZZ!", None, "(zz,zz)") in arrow_rows

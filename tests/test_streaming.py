@@ -421,3 +421,41 @@ def test_incremental_dedup_stream_requires_timestamp(spark, sf_dir):
     src = spark.readStream.schema(d.schema).parquet(f"{sf_dir}/documents.parquet")
     with _pytest.raises(ValueError, match="watermark-bounded"):
         incremental_dedup_stream(src, d.limit(0), threshold=0.5)
+
+
+def test_hashed_classifier_stream_matches_batch(spark, sf_dir, tmp_path):
+    """The hashed linear quality classifier (functions/text, r7) is a
+    stateless per-row Column expression, so it applies UNCHANGED to a
+    readStream: scoring a documents file-stream with availableNow
+    produces exactly the batch scores. This is the streaming shape of
+    a quality-filter stage: score-at-ingest, no state, no watermark."""
+    from pyspark.sql import functions as F
+
+    from pig_spark.functions import text as T
+
+    batch_df = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    src = (
+        spark.readStream.schema(batch_df.schema)
+        .option("pathGlobFilter", "documents.parquet")
+        .parquet(sf_dir)
+    )
+
+    def score(df):
+        tk = T.tokenize_ws(F.col("text"))
+        return df.select("doc_id", T.hashed_linear_score(tk).alias("score"))
+
+    q = (
+        score(src)
+        .writeStream.format("memory")
+        .queryName("hls_stream")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        q.awaitTermination(120)
+    finally:
+        q.stop()
+    got = {r.doc_id: r.score for r in spark.sql("SELECT * FROM hls_stream").collect()}
+    exp = {r.doc_id: r.score for r in score(batch_df).collect()}
+    assert got == exp and len(got) > 0  # exact doubles — 2^-12 weights
