@@ -121,3 +121,47 @@ def pluck_tuple(df: DataFrame, prefix: str) -> DataFrame:
     """PluckTuple.java — project columns matching a prefix (used after
     joins to grab one side's `alias::` columns)."""
     return df.select(*[c for c in df.columns if c.startswith(prefix)])
+
+
+def CubeDimensions(*cols: Column, all_marker: str | None = None) -> Column:
+    """CubeDimensions.java — the pre-CUBE row-multiplication UDF, also
+    public API for direct `FLATTEN(CubeDimensions(a, b, ...))` use:
+    a bag of the 2^n dimension combinations, unspecified dimensions
+    replaced by the all-marker (null by default; CubeDimensions.java:
+    44 allows an arbitrary string). Input NULLs become the literal
+    'unknown' first (CubeDimensions.java:91-97 — null is reserved for
+    the rollup marker). Pure per-row array construction, no shuffle —
+    the CUBE statement itself lowers to native grouping sets instead
+    (operators/cube.py), so this stays a compatibility surface."""
+    vals = [
+        F.when(_c(c).isNull(), F.lit("unknown")).otherwise(_c(c).cast("string"))
+        for c in cols
+    ]
+    marker = F.lit(all_marker).cast("string")
+    n = len(vals)
+    elems = []
+    for mask in range(1 << n):
+        fields = [
+            ((marker if (mask >> i) & 1 else vals[i])).alias(f"dim{i}")
+            for i in range(n)
+        ]
+        elems.append(F.struct(*fields))
+    return F.array(*elems)
+
+
+def RollupDimensions(*cols: Column, all_marker: str | None = None) -> Column:
+    """RollupDimensions.java — bag of the n+1 hierarchical prefixes:
+    the full tuple, then dimensions nulled right-to-left
+    (RollupDimensions.java:70-73). No 'unknown' coercion here — only
+    CUBE reserves null."""
+    vals = [_c(c).cast("string") for c in cols]
+    marker = F.lit(all_marker).cast("string")
+    n = len(vals)
+    elems = []
+    for keep in range(n, -1, -1):
+        fields = [
+            ((vals[i] if i < keep else marker)).alias(f"dim{i}")
+            for i in range(n)
+        ]
+        elems.append(F.struct(*fields))
+    return F.array(*elems)

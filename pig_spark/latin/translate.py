@@ -416,6 +416,17 @@ class _ScriptUDF:
         return F.udf(fn, ddl or "string")(*cols)
 
 
+# builtin/Invoker.java user-facing wrappers → Spark return types
+# (InvokeForInt.java .. InvokeForString.java)
+_INVOKER_RETURNS = {
+    "InvokeForInt": "int",
+    "InvokeForLong": "bigint",
+    "InvokeForFloat": "float",
+    "InvokeForDouble": "double",
+    "InvokeForString": "string",
+}
+
+
 def _scalar_ddl(ddl: str) -> bool:
     """True when a Spark DDL type string is a plain scalar (no
     array/map/struct nesting) — the signatures eligible for the
@@ -1015,6 +1026,33 @@ class PigTranslator:
                         "bridge; inline the parameters into the call instead"
                     )
                 self.defines[stmt.alias] = ("__hive__", stmt.func.rsplit(".", 1)[-1], str(stmt.args[0]))
+            elif stmt.func.rsplit(".", 1)[-1] in _INVOKER_RETURNS and stmt.args:
+                # builtin/Invoker.java family (InvokeForInt/Long/Float/
+                # Double/String): reflection-invoke a STATIC Java method
+                # — Spark's java_method expression is the exact JVM-side
+                # equivalent (reflection per row, no Python). Ctor:
+                # (fullName, paramSpecs?, isStatic?="true"); paramSpecs
+                # are space-separated Pig types the args cast to (that
+                # cast is also what selects the Java overload).
+                leaf = stmt.func.rsplit(".", 1)[-1]
+                full = str(stmt.args[0])
+                params = str(stmt.args[1]).strip() if len(stmt.args) > 1 else ""
+                is_static = (
+                    str(stmt.args[2]).lower() in ("true", "static")
+                    if len(stmt.args) > 2
+                    else True
+                )
+                if not is_static:
+                    raise NotImplementedError(
+                        f"DEFINE {stmt.alias} {leaf}('{full}', ..., 'false'): "
+                        "instance-method invocation needs per-row JVM object "
+                        "construction (Invoker.java non-static path); only "
+                        "STATIC methods are supported — use the static "
+                        "equivalent or a scripting UDF"
+                    )
+                self.defines[stmt.alias] = (
+                    "__invoke__", _INVOKER_RETURNS[leaf], full, params,
+                )
             else:
                 self.defines[stmt.alias] = stmt.func
         elif isinstance(stmt, G.AssertStmt):
@@ -4343,6 +4381,18 @@ class PigTranslator:
         fname = self.defines.get(e.func, e.func)  # DEFINE alias → func
         if isinstance(fname, tuple) and fname[0] == "__hive__":
             return self._hive_call(fname[1], fname[2], e, rel)
+        if isinstance(fname, tuple) and fname[0] == "__invoke__":
+            # Invoker.java static-method reflection → java_method
+            # (JVM-side reflection per row; the result crosses back as
+            # a string — Java's shortest-roundtrip toString — and casts
+            # to the InvokeForX return type losslessly)
+            _, ret, full, params = fname
+            cls, _, method = full.rpartition(".")
+            args = [self._expr(a, rel) for a in e.args]
+            ptypes = params.split() if params else []
+            for i, pt in enumerate(ptypes[: len(args)]):
+                args[i] = args[i].cast(pig_field_ddl(pt))
+            return F.java_method(F.lit(cls), F.lit(method), *args).cast(ret)
         if not isinstance(fname, str):  # exec-command DEFINE used as a UDF
             raise NameError(
                 f"{e.func!r} is DEFINEd as a stream command; it can only follow STREAM ... THROUGH"

@@ -2292,3 +2292,57 @@ def test_scripting_udf_arrow_row_parity(spark, tmp_path, monkeypatch):
     assert arrow_rows[0] == (2, "AB!", 1.75, "(ab,ab)")
     # nulls pass through the Arrow boundary as None, exactly like row mode
     assert (None, "ZZ!", None, "(zz,zz)") in arrow_rows
+
+
+def test_invoker_static_java_methods(spark, tmp_path):
+    """DEFINE alias InvokeForDouble('java.lang.Math.sqrt', 'double')
+    — the builtin/Invoker.java family (InvokeForInt/Long/Float/Double/
+    String, static methods): reflection-invoke a Java static method
+    per row. Spark's java_method expression IS that semantic, JVM-side
+    (no Python); the declared paramSpec types drive the arg casts that
+    select the Java overload. Non-static invocation (Invoker.java's
+    instance path) raises with guidance."""
+    import pytest as _pytest
+
+    src = str(tmp_path / "in.tsv")
+    with open(src, "w") as f:
+        f.write("4\t2.0\n9\t0.5\n")
+    rels = run(spark, f"""
+        DEFINE Sqrt InvokeForDouble('java.lang.Math.sqrt', 'double');
+        DEFINE Pow  InvokeForDouble('java.lang.Math.pow', 'double double');
+        DEFINE Hex  InvokeForString('java.lang.Integer.toHexString', 'int');
+        DEFINE MaxI InvokeForInt('java.lang.Math.max', 'int int');
+        a = LOAD '{src}' AS (x:int, d:double);
+        b = FOREACH a GENERATE Sqrt(x) AS sq, Pow(x, d) AS pw,
+                               Hex(x + 6) AS hx, MaxI(x, 7) AS mx;
+    """)
+    rows = sorted(map(tuple, rels["b"].df.collect()))
+    assert rows == [(2.0, 16.0, "a", 7), (3.0, 3.0, "f", 9)]
+    sch = {f.name: f.dataType.simpleString() for f in rels["b"].df.schema.fields}
+    assert sch == {"sq": "double", "pw": "double", "hx": "string", "mx": "int"}
+    with _pytest.raises(NotImplementedError, match="STATIC"):
+        run(spark, "DEFINE Up InvokeForString('java.lang.String.toUpperCase', '', 'false');")
+
+
+def test_cube_rollup_dimensions_udfs(spark, tmp_path):
+    """Direct FLATTEN(CubeDimensions(...)) / RollupDimensions(...) —
+    the public pre-CUBE row-multiplication UDFs (CubeDimensions.java,
+    RollupDimensions.java): 2^n combinations with null as the
+    all-marker and input NULLs coerced to 'unknown' (cube only);
+    rollup emits the n+1 right-to-left prefixes with no coercion."""
+    src = str(tmp_path / "in.tsv")
+    with open(src, "w") as f:
+        f.write("x\t1\ny\t\n")  # second row: null v
+    rels = run(spark, f"""
+        a = LOAD '{src}' AS (k:chararray, v:int);
+        b = FOREACH a GENERATE FLATTEN(CubeDimensions(k, v)) AS (dk, dv);
+        c = FOREACH a GENERATE FLATTEN(RollupDimensions(k, v)) AS (rk, rv);
+    """)
+    cube = sorted(map(tuple, rels["b"].df.collect()), key=str)
+    assert len(cube) == 8  # 2 rows x 2^2
+    assert ("y", "unknown") in cube and ("x", "1") in cube
+    assert (None, None) in cube
+    roll = sorted(map(tuple, rels["c"].df.collect()), key=str)
+    assert len(roll) == 6  # 2 rows x (n+1)
+    assert ("x", "1") in roll and ("x", None) in roll and (None, None) in roll
+    assert ("y", "unknown") not in roll  # rollup keeps nulls uncoerced
