@@ -687,6 +687,30 @@ def oracle_sql() -> dict[str, str]:
                    round(AVG(lp), 6) AS avg_logp,
                    AVG(lp) > -8.7654321 AS keep
             FROM scored GROUP BY doc_id""",
+        "q126_dsir_importance": """
+            WITH toks AS (SELECT doc_id, lang,
+                                 list_filter(string_split_regex(lower(trim(text)), '\\s+'),
+                                             x -> x <> '') AS tk
+                          FROM documents),
+                 flat AS (SELECT doc_id, lang, u.t FROM toks, unnest(toks.tk) AS u(t)),
+                 scnt AS (SELECT t, COUNT(*) AS c FROM flat GROUP BY t),
+                 stot AS (SELECT SUM(c) AS n FROM scnt),
+                 svocab AS (SELECT t, ln(c / stot.n) AS lp FROM scnt, stot
+                            ORDER BY c DESC, t ASC LIMIT 4096),
+                 tcnt AS (SELECT t, COUNT(*) AS c FROM flat WHERE lang = 'en' GROUP BY t),
+                 ttot AS (SELECT SUM(c) AS n FROM tcnt),
+                 tvocab AS (SELECT t, ln(c / ttot.n) AS lp FROM tcnt, ttot
+                            ORDER BY c DESC, t ASC LIMIT 4096),
+                 scored AS (SELECT f.doc_id,
+                                   COALESCE(tv.lp, ln(0.000000001))
+                                   - COALESCE(sv.lp, ln(0.000000001)) AS lr
+                            FROM flat f
+                            LEFT JOIN tvocab tv ON f.t = tv.t
+                            LEFT JOIN svocab sv ON f.t = sv.t)
+            SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+                   round(AVG(lr), 6) AS avg_log_ratio,
+                   round(AVG(lr), 6) > 0 AS keep
+            FROM scored GROUP BY doc_id""",
         "q124_tfidf_top_terms": """
             WITH d AS (SELECT doc_id,
                               list_filter(string_split_regex(lower(trim(text)), '\\s+'),

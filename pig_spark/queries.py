@@ -2288,6 +2288,78 @@ def q125_hashed_quality_classifier(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q126_dsir_importance(spark: SparkSession, sf: str) -> DataFrame:
+    """DSIR-style importance weighting (Xie et al. 2023, 'Data
+    Selection for Language Models via Importance Resampling'): score
+    every document by the mean per-token log-likelihood RATIO between
+    a TARGET-domain unigram LM (here: the lang='en' slice) and the
+    SOURCE LM (the whole corpus); documents whose text looks more
+    target-like than source-like get positive weights and are kept.
+    This is the domain-matching resampling stage of training-data
+    pipelines, composed from the engine's broadcast-LM pattern.
+
+    100 TB design: TWO vocabulary aggregates (the only shuffles —
+    target slice + full corpus, each a map-side-partial count +
+    distributed top-V), each folded to a ONE-ROW broadcast map; the
+    per-doc score is per-row array codegen over the doc's own token
+    array (one transform computing lp_target - lp_source per token,
+    OOV floored at ln(1e-9) on whichever side misses). No doc_id
+    shuffle anywhere."""
+    from pyspark.sql import functions as F
+
+    V, OOV = 4096, 1e-9
+    d = spark.read.parquet(f"{sf}/documents.parquet").select("doc_id", "lang", "text")
+    toks = F.filter(F.split(F.lower(F.trim(F.col("text"))), r"\s+"), lambda x: x != "")
+    td = d.select("doc_id", "lang", toks.alias("tk"))
+
+    def lm_map(tdf, name):
+        flat = tdf.select(F.explode("tk").alias("t"))
+        cnt = flat.groupBy("t").agg(F.count(F.lit(1)).alias("c"))
+        total = cnt.agg(F.sum("c").alias("n"))
+        vocab = (
+            cnt.orderBy(F.desc("c"), F.asc("t"))
+            .limit(V)
+            .crossJoin(F.broadcast(total))
+            .select("t", F.log(F.col("c") / F.col("n")).alias("lp"))
+        )
+        return vocab.agg(
+            F.map_from_entries(F.collect_list(F.struct("t", "lp"))).alias(name)
+        )
+
+    tgt = lm_map(td.filter(F.col("lang") == "en"), "__tgt")
+    src = lm_map(td, "__src")
+    floor = F.log(F.lit(OOV))
+    scored = (
+        td.crossJoin(F.broadcast(tgt))
+        .crossJoin(F.broadcast(src))
+        .select(
+            "doc_id",
+            F.size("tk").cast("long").alias("n_tokens"),
+            F.aggregate(
+                F.transform(
+                    F.col("tk"),
+                    lambda t: F.coalesce(F.try_element_at(F.col("__tgt"), t), floor)
+                    - F.coalesce(F.try_element_at(F.col("__src"), t), floor),
+                ),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            ).alias("__sum"),
+        )
+    )
+    # keep decides on the ROUNDED ratio so a near-zero value within
+    # cross-engine ln() 1-ULP noise can't flip the boolean between
+    # the Spark result and the oracle
+    ratio = F.round(
+        F.when(F.col("n_tokens") > 0, F.col("__sum") / F.col("n_tokens")), 6
+    )
+    return scored.select(
+        "doc_id",
+        "n_tokens",
+        ratio.alias("avg_log_ratio"),
+        (ratio > 0).alias("keep"),
+    )
+
+
 from .pigmix import PIGMIX_QUERIES  # noqa: E402  (avoids circular import)
 
 _ALL: dict[str, Callable[[SparkSession, str], DataFrame]] = {
@@ -2300,19 +2372,19 @@ _ALL.update(PIGMIX_QUERIES)
 # The driver's correctness gate checks the FIRST 50 entries in dict
 # order. Order by verification need, not by name (rebuilt each round;
 # the window arithmetic is EXACT — VERDICT r6 #3):
-#   tier 0 (5): new-in-r7 queries + queries whose lowering or output
+#   tier 0 (6): new-in-r7 queries + queries whose lowering or output
 #     changed this round and must re-earn a green driver row —
 #     q119/q74 (significant-digit rounding), q122 (ArrowEvalPython
-#     scripting-UDF path), q124/q125 (new operators);
+#     scripting-UDF path), q124/q125/q126 (new operators);
 #   tier 1 (2): q98/q99 — the two r3-evidence stragglers that fell
 #     off r6's window (52 candidates for 50 slots);
-#   tier 2 (43 of 47): the r4-evidence block, alphabetical; the 4
-#     alphabetically-last entries (q48_quality_score, q49_fingerprint,
-#     q50_token_stats, q51_join_qualified) stay at r4 evidence and
-#     LEAD tier 2 next round;
+#   tier 2 (42 of 47): the r4-evidence block, alphabetical; the 5
+#     alphabetically-last entries (q47_lang_id, q48_quality_score,
+#     q49_fingerprint, q50_token_stats, q51_join_qualified) stay at r4
+#     evidence and LEAD tier 2 next round;
 #   tier 3: everything r5/r6-verified.
-# 5 + 2 + 43 = 50. After this window, every catalog query's newest
-# driver evidence is ≥ r4, and the oldest block is the four-query r4
+# 6 + 2 + 42 = 50. After this window, every catalog query's newest
+# driver evidence is ≥ r4, and the oldest block is the five-query r4
 # tail above.
 _NEW_OR_CHANGED_R7 = {
     "q119_latin_cor_two_pipes",        # changed: scale-invariant COR/COV rounding
@@ -2320,6 +2392,7 @@ _NEW_OR_CHANGED_R7 = {
     "q122_latin_scripting_udf",        # changed: Arrow-optimized UDF path
     "q124_tfidf_top_terms",            # new: TF-IDF top-k terms
     "q125_hashed_quality_classifier",  # new: hashed linear classifier
+    "q126_dsir_importance",            # new: DSIR importance weighting
 }
 # newest driver evidence = round 3: the two stragglers r6's window
 # arithmetic squeezed out (VERDICT r6 #4) — tier 1, never again

@@ -119,6 +119,9 @@ _CARTESIAN_OK = {
     # same shape: 1-row doc-count scalar + folded ≤4096-entry idf map,
     # both explicit F.broadcast (dedicated pin: test_tfidf_plan)
     "q124_tfidf_top_terms",
+    # same shape again: two folded 1-row LM maps + their count scalars,
+    # all explicit F.broadcast (dedicated pin: test_dsir_plan)
+    "q126_dsir_importance",
 }
 
 
@@ -343,3 +346,19 @@ def test_hashed_classifier_plan_map_only(spark, sf_dir):
     # re-inlined at every downstream reference (CollapseProject keeps
     # multiply-referenced non-cheap producers staged)
     assert phys.count("md5(") == 1, phys.count("md5(")
+
+
+def test_dsir_plan(spark, sf_dir):
+    """q126 (DSIR importance weighting): TWO vocabulary counts are the
+    only shuffles; both LMs fold to 1-row broadcasts; the per-doc
+    log-ratio is per-row array codegen — no doc_id hash-partitioning,
+    no single-partition window, no Python."""
+    from pig_spark.queries import q126_dsir_importance
+
+    df = q126_dsir_importance(spark, sf_dir)
+    phys = df._jdf.queryExecution().executedPlan().toString()
+    opt = df._jdf.queryExecution().optimizedPlan().toString()
+    assert phys.count("TakeOrderedAndProject") == 2, phys.count("TakeOrderedAndProject")
+    assert "hashpartitioning(doc_id" not in phys, phys
+    assert "PythonUDF" not in opt
+    assert not unpartitioned_windows(opt), unpartitioned_windows(opt)
