@@ -193,11 +193,13 @@ def _scale_bench(spark, sf_dir: str, results: dict) -> None:
             big25.write.mode("overwrite").parquet(f"{tmp25}/documents.parquet")
             spark.read.parquet(f"{tmp25}/documents.parquet").write.format("noop").mode("overwrite").save()
             q25: dict[str, float] = {}
-            # all five LSH/CC headliners (VERDICT r5 #7); q41 runs
-            # TWICE adjacent — its r5 25× readings swung 3.7–5.5×
-            # run-to-run, and an intra-session repeat separates
-            # bucket-skew (both readings high) from box noise (one
-            # high, one low)
+            # EVERY 25× headliner runs TWICE adjacent (generalizes r5
+            # #7 / r6 #8 from q41/q42 to the whole rung): the box's
+            # multi-tenant transient routinely inflates a first
+            # reading 3–8× (r7 observed q41 at 21.1 s then 2.6 s on
+            # identical data seconds later), so the repeat is the
+            # scaling signal and first-vs-repeat is the noise control
+            # — both readings are recorded.
             for name in (
                 "q41_minhash_pairs",
                 "q42_ngram_jaccard",
@@ -208,14 +210,9 @@ def _scale_bench(spark, sf_dir: str, results: dict) -> None:
                 t0 = time.time()
                 QUERIES[name](spark, tmp25).write.format("noop").mode("overwrite").save()
                 q25[name] = round(time.time() - t0, 3)
-            t0 = time.time()
-            QUERIES["q41_minhash_pairs"](spark, tmp25).write.format("noop").mode("overwrite").save()
-            q25["q41_minhash_pairs_repeat"] = round(time.time() - t0, 3)
-            # q42 adjacent repeat too (VERDICT r6 #8): its 25× reading
-            # was the one scaling point without a noise control
-            t0 = time.time()
-            QUERIES["q42_ngram_jaccard"](spark, tmp25).write.format("noop").mode("overwrite").save()
-            q25["q42_ngram_jaccard_repeat"] = round(time.time() - t0, 3)
+                t0 = time.time()
+                QUERIES[name](spark, tmp25).write.format("noop").mode("overwrite").save()
+                q25[f"{name}_repeat"] = round(time.time() - t0, 3)
             results["sf_large"]["queries_25x"] = q25
             results["sf_large"]["scale_multiple_2"] = c25
         finally:
@@ -503,10 +500,13 @@ def _audit_summary(results: dict) -> dict:
             summary["geomean_n"] = len(logs)
     sl = results.get("sf_large") or {}
     if sl.get("queries_1x") and sl.get("queries_25x"):
+        # the adjacent REPEAT is the scaling signal (the first 25×
+        # reading carries the box's warm-up transient)
+        q25 = sl["queries_25x"]
         summary["scale_25x_over_1x"] = {
-            m.split("_")[0]: round(sl["queries_25x"][m] / sl["queries_1x"][m], 1)
+            m.split("_")[0]: round(q25.get(f"{m}_repeat", q25[m]) / sl["queries_1x"][m], 1)
             for m in sl["queries_1x"]
-            if m in sl["queries_25x"] and sl["queries_1x"][m] > 0
+            if m in q25 and sl["queries_1x"][m] > 0
         }
     pm = results.get("pigmix_sf1") or {}
     if pm.get("queries_1x") and pm.get("queries_10x"):
