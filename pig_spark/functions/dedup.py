@@ -508,13 +508,19 @@ def contamination_check(
     # ONE corpus pass: every doc has ≥1 shingle (word_shingles clamps),
     # so n_grams = exploded-gram count and the broadcast LEFT join lets
     # a single groupBy produce both totals and hit counts — no second
-    # scan/tokenization, no join-back for zero-overlap docs
+    # scan/tokenization, no join-back for zero-overlap docs.
+    # xxhash64, not md5 (r7): the gram hash never surfaces in the
+    # output — only overlap COUNTS do, which any collision-free hash
+    # reproduces — so the hot path takes the codegen-cheap 64-bit hash
+    # (the crypto digest costs ~10× per gram and its cost scales with
+    # corpus size); md5_60 stays the contract only where hash VALUES
+    # persist or cross to the oracle (incremental index, bloom).
     tr_grams = tr.select(id_col, F.explode("__sh").alias("__g")).select(
-        id_col, md5_60(F.col("__g")).alias("__gh")
+        id_col, F.xxhash64(F.col("__g")).alias("__gh")
     )
     bench_grams = (
         bench.select(F.explode(word_shingles(F.col(text_col), n)).alias("__g"))
-        .select(md5_60(F.col("__g")).alias("__gh"))
+        .select(F.xxhash64(F.col("__g")).alias("__gh"))
         .distinct()
         .withColumn("__hit", F.lit(1))
     )

@@ -17,7 +17,7 @@ harness 'pig_params' honored as -p/-m substitutions). The
 gate asserts a floor on scripts that execute without error — it's a
 does-the-translator-produce-a-runnable-plan gate, not a value oracle
 (the reference harness verifies values against real Pig; our value
-gates are the 136 DuckDB-oracle queries and the differential fuzz
+gates are the 141 DuckDB-oracle queries and the differential fuzz
 batteries).
 
 Skipped (environmental, not engine gaps): snippets needing Java test
