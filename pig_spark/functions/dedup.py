@@ -272,10 +272,14 @@ def ngram_jaccard_pairs(
     """
     docs = shingle_stage(df, text_col, id_col, n).persist(StorageLevel.MEMORY_AND_DISK)
     sizes = docs.select(id_col, F.size("__sh").alias("__n"))
-    # explode BEFORE hashing: md5 inside a transform lambda would build
-    # a throwaway hashed array per row (2.3× slower measured at sf0.1)
+    # explode BEFORE hashing: a hash inside a transform lambda would
+    # build a throwaway hashed array per row (2.3× slower measured at
+    # sf0.1). xxhash64, not md5 (r7): the gram hash is only a grouping
+    # key — the output (pairs + Jaccard counts) is identical under any
+    # collision-free hash, so the hot path takes the codegen-cheap
+    # 64-bit hash rather than the crypto digest.
     posting = docs.select(F.col(id_col), F.explode("__sh").alias("__s")).select(
-        F.col(id_col), md5_60(F.col("__s")).alias("g")
+        F.col(id_col), F.xxhash64(F.col("__s")).alias("g")
     )
     if max_doc_freq is not None:
         hot = posting.groupBy("g").count().filter(F.col("count") > max_doc_freq).select("g")

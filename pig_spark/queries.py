@@ -2372,20 +2372,20 @@ _ALL.update(PIGMIX_QUERIES)
 # The driver's correctness gate checks the FIRST 50 entries in dict
 # order. Order by verification need, not by name (rebuilt each round;
 # the window arithmetic is EXACT — VERDICT r6 #3):
-#   tier 0 (7): new-in-r7 queries + queries whose lowering or output
+#   tier 0 (8): new-in-r7 queries + queries whose lowering or output
 #     changed this round and must re-earn a green driver row —
 #     q119/q74 (significant-digit rounding), q122 (ArrowEvalPython
-#     scripting-UDF path), q124/q125/q126 (new operators), q88
-#     (xxhash64 gram hashing on the contamination hot path);
+#     scripting-UDF path), q124/q125/q126 (new operators), q88/q42
+#     (xxhash64 gram hashing on the contamination/posting hot paths);
 #   tier 1 (2): q98/q99 — the two r3-evidence stragglers that fell
 #     off r6's window (52 candidates for 50 slots);
-#   tier 2 (41 of 47): the r4-evidence block, alphabetical; the 6
+#   tier 2 (40 of 46): the r4-evidence block, alphabetical; the 6
 #     alphabetically-last entries (q46_ann_lsh, q47_lang_id,
 #     q48_quality_score, q49_fingerprint, q50_token_stats,
 #     q51_join_qualified) stay at r4 evidence and LEAD tier 2 next
 #     round;
 #   tier 3: everything r5/r6-verified.
-# 7 + 2 + 41 = 50. After this window, every catalog query's newest
+# 8 + 2 + 40 = 50. After this window, every catalog query's newest
 # driver evidence is ≥ r4, and the oldest block is the six-query r4
 # tail above.
 _NEW_OR_CHANGED_R7 = {
@@ -2396,6 +2396,7 @@ _NEW_OR_CHANGED_R7 = {
     "q125_hashed_quality_classifier",  # new: hashed linear classifier
     "q126_dsir_importance",            # new: DSIR importance weighting
     "q88_contamination",               # changed: xxhash64 gram hashing
+    "q42_ngram_jaccard",               # changed: xxhash64 posting keys
 }
 # newest driver evidence = round 3: the two stragglers r6's window
 # arithmetic squeezed out (VERDICT r6 #4) — tier 1, never again
