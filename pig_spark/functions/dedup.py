@@ -571,12 +571,15 @@ def contamination_check_bloom(
     from .bloom import build_bloom_packed, might_contain_packed
 
     tr = shingle_stage(train, text_col, id_col, n)
+    # xxhash64 like the exact path (r7): bloom false positives are
+    # exactly re-verified below, so the output is identical under any
+    # collision-free hash — the bloom's bit positions just move
     tr_grams = tr.select(id_col, F.explode("__sh").alias("__g")).select(
-        id_col, md5_60(F.col("__g")).alias("__gh")
+        id_col, F.xxhash64(F.col("__g")).alias("__gh")
     )
     bench_grams = (
         bench.select(F.explode(word_shingles(F.col(text_col), n)).alias("__g"))
-        .select(md5_60(F.col("__g")).alias("__gh"))
+        .select(F.xxhash64(F.col("__g")).alias("__gh"))
         .distinct()
     )
     bloom = build_bloom_packed(bench_grams, "__gh", bloom_m, bloom_k)
