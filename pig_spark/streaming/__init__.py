@@ -8,10 +8,11 @@ watermarks for late data.
 
 Surface: windowed/session aggregates with watermarks, stream-static
 enrich, watermark-bounded stream dedup, stream-stream interval join,
-mergeable-sketch rollups, incremental signature dedup, and a CUSTOM
-stateful operator (``stateful_funnel`` via applyInPandasWithState,
-O(k) state per key) — each with a batch-parity test in
-test_streaming.py.
+mergeable-sketch rollups, incremental signature dedup, stateless
+score-at-ingest decontamination (``contamination_stream``), and a
+CUSTOM stateful operator (``stateful_funnel`` via
+applyInPandasWithState, O(k) state per key) — each with a
+batch-parity test in test_streaming.py.
 """
 
 from __future__ import annotations
@@ -304,4 +305,55 @@ def incremental_dedup_stream(
         cand.withColumn("est_jaccard", est)
         .filter(F.col("est_jaccard") >= threshold)
         .select("new_id", "match_id", "est_jaccard")
+    )
+
+
+def contamination_stream(
+    doc_stream: DataFrame,
+    bench_df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    threshold: float = 0.1,
+) -> DataFrame:
+    """Streaming twin of ``dedup.contamination_check``: score documents
+    against a STATIC evaluation corpus AS THEY ARRIVE (the
+    decontaminate-at-ingest stage of a training-data pipeline).
+
+    Stateless by construction — the strongest streaming shape: the
+    bench side folds to a ONE-ROW sorted array of gram hashes (the
+    same ~MB-scale broadcast budget as the batch path's bloom/set),
+    joined to the stream on a constant key, and the per-document
+    overlap is a per-row ``array_intersect`` between the doc's own
+    distinct-gram array and that static array. No explode, no
+    streaming aggregation, no watermark, ZERO state — each micro-batch
+    is a pure map, so the operator runs at ingest rate forever.
+
+    Emits ``(id, n_shared, n_grams, ratio, contaminated)`` — identical
+    to the batch operator (batch-parity test in test_streaming.py)."""
+    from ..functions.dedup import word_shingles
+
+    gh = lambda c: F.xxhash64(c)  # noqa: E731 — hash-agnostic counts, like the batch path (r7)
+    bench_arr = (
+        bench_df.select(F.explode(word_shingles(F.col(text_col), n)).alias("__g"))
+        .select(gh(F.col("__g")).alias("__gh"))
+        .distinct()
+        .agg(F.array_sort(F.collect_list("__gh")).alias("__bench"))
+        .withColumn("__k", F.lit(1))
+    )
+    docs = doc_stream.select(
+        F.col(id_col),
+        F.transform(word_shingles(F.col(text_col), n), gh).alias("__gr"),
+        F.lit(1).alias("__k"),
+    )
+    joined = docs.join(F.broadcast(bench_arr), "__k").drop("__k")
+    n_grams = F.size("__gr")
+    n_shared = F.size(F.array_intersect("__gr", "__bench"))
+    ratio = F.round(n_shared / F.greatest(n_grams, F.lit(1)), 6)
+    return joined.select(
+        F.col(id_col),
+        n_shared.cast("long").alias("n_shared"),
+        n_grams.cast("long").alias("n_grams"),
+        ratio.alias("ratio"),
+        (ratio >= F.lit(threshold)).alias("contaminated"),
     )

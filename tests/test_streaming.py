@@ -459,3 +459,41 @@ def test_hashed_classifier_stream_matches_batch(spark, sf_dir, tmp_path):
     got = {r.doc_id: r.score for r in spark.sql("SELECT * FROM hls_stream").collect()}
     exp = {r.doc_id: r.score for r in score(batch_df).collect()}
     assert got == exp and len(got) > 0  # exact doubles — 2^-12 weights
+
+
+def test_contamination_stream_matches_batch(spark, sf_dir):
+    """Streaming decontamination (contamination_stream) over an
+    availableNow file stream equals the batch contamination_check
+    exactly: the static bench side folds to one sorted gram-hash
+    array, the stream side is a stateless per-row array_intersect —
+    no aggregation, no watermark, zero state."""
+    from pyspark.sql import functions as F
+
+    from pig_spark.functions.dedup import contamination_check
+    from pig_spark.streaming import contamination_stream
+
+    batch_df = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    bench = batch_df.filter(F.col("doc_id") % 97 == 0)
+    train_batch = batch_df.filter(F.col("doc_id") % 97 != 0)
+    src = (
+        spark.readStream.schema(batch_df.schema)
+        .option("pathGlobFilter", "documents.parquet")
+        .parquet(sf_dir)
+        .filter(F.col("doc_id") % 97 != 0)
+    )
+    q = (
+        contamination_stream(src, bench, "text", "doc_id", threshold=0.05)
+        .writeStream.format("memory")
+        .queryName("contam_stream")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        q.awaitTermination(120)
+    finally:
+        q.stop()
+    got = sorted(map(tuple, spark.sql("SELECT * FROM contam_stream").collect()))
+    exp = sorted(map(tuple, contamination_check(
+        train_batch, bench, "text", "doc_id", threshold=0.05).collect()))
+    assert got == exp and len(got) > 0
