@@ -50,6 +50,16 @@ def main(argv: list[str] | None = None) -> int:
     ap.add_argument("-c", "-check", dest="check", action="store_true", help="syntax check only")
     ap.add_argument("-r", "-dryrun", dest="dryrun", action="store_true", help="print preprocessed script, don't run")
     ap.add_argument("-x", "-exectype", dest="exectype", help="accepted for compatibility; engine is always Spark")
+    ap.add_argument("-P", "-propertyFile", dest="prop_files", action="append", default=[], metavar="FILE",
+                    help="java-properties file; each key=value SETs a conf (bin/pig -P)")
+    ap.add_argument("-M", "-no_multiquery", dest="no_multiquery", action="store_true",
+                    help="disable the multiquery shared-subplan cache (bin/pig -M)")
+    ap.add_argument("-F", "-stop_on_failure", dest="stop_on_failure", action="store_true",
+                    help="abort remaining STOREs on the first failure (bin/pig -F; "
+                    "default continues independent sinks and reports at the end)")
+    ap.add_argument("-t", "-optimizer_off", dest="rules_off", action="append", default=[], metavar="RULE",
+                    help="accepted for compatibility; Catalyst rule sets differ from Pig's")
+    ap.add_argument("-l", "-logfile", dest="logfile", help="accepted for compatibility")
     ap.add_argument("-version", action="store_true", dest="version", help="print version and exit")
     args = ap.parse_args(argv)
 
@@ -94,6 +104,30 @@ def main(argv: list[str] | None = None) -> int:
     from .session import get_spark
 
     spark = get_spark("pig_spark_cli")
+    # -P: java-properties files, each key=value SETs a conf (the same
+    # surface a script-level SET statement reaches); -M / -F map to
+    # the execution confs the translator honors
+    for pf in args.prop_files:
+        with open(pf, encoding="utf-8") as fh:
+            for line in fh:
+                line = line.strip()
+                if not line or line.startswith(("#", "!")) or "=" not in line:
+                    continue
+                k, _, v = line.partition("=")
+                try:
+                    spark.conf.set(k.strip(), v.strip())
+                except Exception:
+                    pass  # unknown/static confs are advisory, like SET
+    if args.no_multiquery:
+        spark.conf.set("pig.opt.multiquery", "false")
+    if args.stop_on_failure:
+        spark.conf.set("pig.stop.on.failure", "true")
+    if args.rules_off:
+        print(
+            f"warning: -t {' '.join(args.rules_off)} accepted for compatibility; "
+            "this engine optimizes with Catalyst, whose rule set differs from Pig's",
+            file=sys.stderr,
+        )
     run(spark, src, params=params)
     return 0
 

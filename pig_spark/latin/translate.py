@@ -800,7 +800,14 @@ class PigTranslator:
 
         sinks = [(rel.df, store_fn) for rel, _path, store_fn in self._pending_stores]
         self._pending_stores = []
-        multi_store(sinks)
+        # bin/pig semantics: -M disables the multiquery cache
+        # (pig.opt.multiquery=false), and the batch default runs every
+        # independent sink even after one fails — -F / stop.on.failure
+        # aborts on the first failure instead (Main.java -F handling)
+        conf = self.spark.conf
+        shared = [] if conf.get("pig.opt.multiquery", "true") == "false" else None
+        stop = conf.get("pig.stop.on.failure", "false") == "true"
+        multi_store(sinks, shared=shared, stop_on_failure=stop)
 
     def relation(self, alias: str) -> Relation:
         return self.aliases[alias].rel

@@ -100,21 +100,38 @@ def find_shared_subplans(dfs: Sequence[DataFrame]) -> list[DataFrame]:
 def multi_store(
     sinks: Sequence[tuple[DataFrame, Callable[[DataFrame], None]]],
     shared: Sequence[DataFrame] | None = None,
+    stop_on_failure: bool = True,
 ) -> None:
     """Execute several writes with shared upstream work cached once.
 
     sinks: (df, write_fn) pairs, e.g. ``(df, lambda d: d.write.parquet(p))``.
     shared: optional explicit override; by default the shared subplans
     are detected automatically from the sink plans (Pig's
-    MultiQueryOptimizer equivalent).
+    MultiQueryOptimizer equivalent). Pass ``shared=[]`` to disable the
+    cache (bin/pig -M no_multiquery).
+    stop_on_failure: True raises on the first failing sink (the DSL
+    default); False matches Pig's batch default (bin/pig without -F):
+    every independent sink still executes, then ONE RuntimeError
+    reports all failures.
     """
     if shared is None:
         shared = find_shared_subplans([df for df, _ in sinks])
     for s in shared:
         s.persist(StorageLevel.MEMORY_AND_DISK)
+    failures: list[str] = []
     try:
         for df, write in sinks:
-            write(df)
+            try:
+                write(df)
+            except Exception as e:
+                if stop_on_failure:
+                    raise
+                failures.append(f"{type(e).__name__}: {e}")
     finally:
         for s in shared:
             s.unpersist()
+    if failures:
+        raise RuntimeError(
+            f"{len(failures)} of {len(sinks)} stores failed "
+            f"(remaining sinks executed, Pig batch semantics): " + "; ".join(failures)
+        )

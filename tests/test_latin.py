@@ -2346,3 +2346,51 @@ def test_cube_rollup_dimensions_udfs(spark, tmp_path):
     assert len(roll) == 6  # 2 rows x (n+1)
     assert ("x", "1") in roll and ("x", None) in roll and (None, None) in roll
     assert ("y", "unknown") not in roll  # rollup keeps nulls uncoerced
+
+
+def test_multi_store_failure_semantics(spark, tmp_path):
+    """bin/pig batch semantics (Main.java -F): by default every
+    independent STORE executes even after one fails, then ONE error
+    reports the failures; SET pig.stop.on.failure true aborts on the
+    first failing sink. SET pig.opt.multiquery false disables the
+    shared-subplan cache (-M) without changing results."""
+    import pytest as _pytest
+
+    src = str(tmp_path / "in.tsv")
+    with open(src, "w") as f:
+        f.write("a\t1\nb\t2\n")
+    ok1, ok2 = tmp_path / "ok1", tmp_path / "ok2"
+    # a storer that fails at WRITE time: DBStorage at an unwritable url
+    script = f"""
+        a = LOAD '{src}' AS (k:chararray, v:int);
+        STORE a INTO '/proc/x/y/nope' USING PigStorage();
+        STORE a INTO '{ok1}' USING PigStorage();
+    """
+    with _pytest.raises(RuntimeError, match="1 of 2 stores failed"):
+        run(spark, script)
+    assert ok1.exists()  # the independent sink still executed
+    # -F (stop on failure): the later sink never runs
+    spark.conf.set("pig.stop.on.failure", "true")
+    try:
+        with _pytest.raises(Exception) as ei:
+            run(spark, f"""
+                a = LOAD '{src}' AS (k:chararray, v:int);
+                STORE a INTO '/proc/x/y/nope' USING PigStorage();
+                STORE a INTO '{ok2}' USING PigStorage();
+            """)
+        assert "stores failed" not in str(ei.value)  # first error, raw
+        assert not ok2.exists()
+    finally:
+        spark.conf.unset("pig.stop.on.failure")
+    # -M (no multiquery): same results, cache disabled
+    spark.conf.set("pig.opt.multiquery", "false")
+    try:
+        out = tmp_path / "m_out"
+        run(spark, f"""
+            a = LOAD '{src}' AS (k:chararray, v:int);
+            b = FILTER a BY v > 0;
+            STORE b INTO '{out}' USING PigStorage();
+        """)
+        assert out.exists()
+    finally:
+        spark.conf.unset("pig.opt.multiquery")
