@@ -167,12 +167,12 @@ def _utf8_bytes(col: Column) -> Column:
     )
 
 
-def HashFNV(col: Column) -> Column:
-    """HashFNV.java — FNV-1 32-bit over the string's UTF-8 bytes with
-    Pig's custom init (33554467), returned as the sign-extended int in
-    a long, exactly like the Java UDF (int overflow wraps mod 2^32;
-    each byte is XORed sign-extended). Pure codegen: ``aggregate``
-    folds the byte array JVM-side — no Python, no shuffle."""
+def _hashfnv32_raw(col: Column) -> Column:
+    """HashFNV.hashFnv32 — the raw FNV-1 32-bit fold over the string's
+    UTF-8 bytes with Pig's custom init (33554467), as the SIGN-EXTENDED
+    int in a long (int overflow wraps mod 2^32; each byte is XORed
+    sign-extended). Pure codegen: ``aggregate`` folds the byte array
+    JVM-side — no Python, no shuffle."""
     bytes_arr = _utf8_bytes(col)
     folded = F.aggregate(
         bytes_arr,
@@ -185,6 +185,30 @@ def HashFNV(col: Column) -> Column:
         % F.lit(_MOD32),
     )
     return F.when(folded >= F.lit(1 << 31), folded - F.lit(_MOD32)).otherwise(folded)
+
+
+def HashFNV(col: Column, mod: Column | int | None = None) -> Column:
+    """HashFNV.java's USER-VISIBLE surface: the base class dispatches
+    by arity to HashFNV1/HashFNV2, both of which negate a negative
+    fold (`if (v < 0) v = -v` — HashFNV1.java:41, HashFNV2.java:46)
+    and the 2-arg form additionally takes the result mod its second
+    parameter when positive. r7 fix: the previous implementation
+    returned the raw sign-extended fold, which real Pig never exposes."""
+    v = F.abs(_hashfnv32_raw(col))
+    if mod is None:
+        return v
+    m = F.lit(mod) if isinstance(mod, int) else mod
+    return F.when(m > 0, v % m).otherwise(v)
+
+
+def HashFNV1(col: Column) -> Column:
+    """HashFNV1.java — the 1-arg dispatch target of HashFNV."""
+    return HashFNV(col)
+
+
+def HashFNV2(col: Column, mod: Column | int) -> Column:
+    """HashFNV2.java — the 2-arg (string, mod) dispatch target."""
+    return HashFNV(col, mod)
 
 
 def LookupInFiles(col: Column, *paths: str) -> Column:
@@ -369,3 +393,39 @@ def XPathAll(col: Column, path: str) -> Column:
     """xml/XPathAll.java — every match, as a bag of strings
     (Spark-native ``xpath``)."""
     return F.xpath(col, F.lit(path))
+
+
+# ----------------------------------------------------------------------
+# deprecated piggybank string spellings (string/Split.java,
+# RegexExtract.java, RegexExtractAll.java, RegexMatch.java) — thin
+# aliases real Pig ships for back-compat; scripts still use them
+# ----------------------------------------------------------------------
+
+
+def Split(col: Column, *args) -> Column:
+    """string/Split.java — `public class Split extends STRSPLIT {}`."""
+    from .string import STRSPLIT
+
+    return STRSPLIT(col, *args)
+
+
+def RegexExtract(col: Column, pattern: str, group: int) -> Column:
+    """string/RegexExtract.java — deprecated REGEX_EXTRACT alias."""
+    from .string import REGEX_EXTRACT
+
+    return REGEX_EXTRACT(col, pattern, group)
+
+
+def RegexExtractAll(col: Column, pattern: str) -> Column:
+    """string/RegexExtractAll.java — deprecated REGEX_EXTRACT_ALL alias."""
+    from .string import REGEX_EXTRACT_ALL
+
+    return REGEX_EXTRACT_ALL(col, pattern)
+
+
+def RegexMatch(col: Column, pattern: str) -> Column:
+    """string/RegexMatch.java — INT 1 when the string contains the
+    regex, 0 otherwise, null in → null out (unlike boolean MATCHES,
+    which anchors the whole string)."""
+    hit = F.regexp_like(col, F.lit(pattern))
+    return F.when(col.isNull(), F.lit(None).cast("int")).otherwise(hit.cast("int"))

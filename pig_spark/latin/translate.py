@@ -4414,6 +4414,17 @@ class PigTranslator:
                 # Pig scripts habitually call piggybank by class path
                 java_leaf = fname.rsplit(".", 1)[-1]
                 fn = getattr(PF, java_leaf, None) or getattr(PF, java_leaf.upper(), None)
+                if fn is None:
+                    # case-insensitive fallback: the lexer lowercases
+                    # leaves that collide with statement keywords
+                    # (…piggybank.evaluation.string.Split arrives as
+                    # 'split'), but class-path resolution is by name
+                    match = next(
+                        (n for n in dir(PF) if not n.startswith("_") and n.lower() == java_leaf.lower()),
+                        None,
+                    )
+                    if match is not None:
+                        fn = getattr(PF, match)
                 if fn is not None:
                     return fn(*[self._expr(a, rel) for a in e.args])
                 raise NameError(

