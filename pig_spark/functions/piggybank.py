@@ -3,8 +3,9 @@ not already covered by the core builtin modules: the math extras
 (ATAN2..toRadians — piggybank/evaluation/math/), string extras
 (Reverse, Stuff, REPLACE_MULTI, HashFNV, LookupInFiles —
 evaluation/string/), ISO datetime convert/diff/truncate families
-(evaluation/datetime/), decode.{Decode,Bin}, the type-check filters
-(IsInt.java etc.), the extremal-tuple aggregates, and XPath.
+(evaluation/datetime/), decode.{Decode,Bin,BinCond}, the type-check
+filters (IsInt.java etc.), the extremal-tuple aggregates, XPath,
+util.SearchQuery, and the apachelogparser Host/Date extractors (r7).
 
 Everything here is a pure Column expression (whole-stage codegen, no
 Python on the executor path) — including HashFNV, whose FNV-1 fold
@@ -429,3 +430,57 @@ def RegexMatch(col: Column, pattern: str) -> Column:
     which anchors the whole string)."""
     hit = F.regexp_like(col, F.lit(pattern))
     return F.when(col.isNull(), F.lit(None).cast("int")).otherwise(hit.cast("int"))
+
+
+def BinCond(*args: Column) -> Column:
+    """decode/BinCond.java — ``BinCond(cond1, val1, cond2, val2, ...,
+    default)``: the first true condition's value, else the default
+    (a CASE WHEN chain, pure codegen). Java returns null when the
+    FIRST condition is null; later-condition nulls follow SQL CASE
+    (skip to the next arm) rather than Java's job-killing NPE."""
+    if len(args) < 3 or len(args) % 2 != 1:
+        raise ValueError(
+            "BinCond : UDF requires atleast one condition, mapping string & a default string."
+        )
+    *pairs, default = args
+    expr = None
+    for i in range(0, len(pairs), 2):
+        expr = (F.when if expr is None else expr.when)(pairs[i], pairs[i + 1])
+    first = pairs[0]
+    return F.when(first.isNull(), F.lit(None).cast("string")).otherwise(
+        expr.otherwise(default)
+    )
+
+
+def SearchQuery(col: Column) -> Column:
+    """util/SearchQuery.java — extract the search-term string from a
+    referrer URL: lowercase+trim, pull the q= / p= / as_q= / as_p=
+    parameter (the IDENTICAL Java lookbehind regex — Spark regexes run
+    on the JVM), URL-decode, strip punctuation, collapse whitespace,
+    cap at 80 chars. Pure codegen, map-only."""
+    url = F.lower(F.trim(col))
+    q = F.regexp_extract(url, r"(?<=([\&\?](as_)?[pq]=)).*?(\z|(?=[\&\"]))", 0)
+    decoded = F.url_decode(q)
+    cleaned = F.regexp_replace(F.regexp_replace(decoded, r"[\p{Punct}]+", ""), r"[\s]+", " ")
+    out = F.substring(F.trim(cleaned), 1, 80)
+    # matcher.find() failing leaves query null; empty/null URL returns as-is
+    return F.when(col.isNull() | (F.trim(col) == ""), url).when(q == "", F.lit(None).cast("string")).otherwise(out)
+
+
+def HostExtractor(col: Column) -> Column:
+    """util/apachelogparser/HostExtractor.java — the lowercased host
+    of a URL; null in / unparseable → null (parse_url is JVM-side)."""
+    return F.lower(F.parse_url(col, F.lit("HOST")))
+
+
+def DateExtractor(
+    col: Column,
+    out_fmt: str = "yyyy-MM-dd",
+    in_fmt: str = "dd/MMM/yyyy:HH:mm:ss Z",
+) -> Column:
+    """util/apachelogparser/DateExtractor.java — reformat an apache
+    common-log timestamp ("dd/MMM/yyyy:HH:mm:ss Z" by default) to
+    ``out_fmt`` in GMT (the Java UDF's default zone); unparseable →
+    null (SimpleDateFormat.parse failure path)."""
+    ts = F.to_timestamp(col, in_fmt)
+    return F.date_format(F.from_utc_timestamp(F.to_utc_timestamp(ts, "UTC"), "GMT"), out_fmt)

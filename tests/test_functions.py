@@ -554,3 +554,31 @@ def test_hashed_linear_classifier_edges(spark):
     # exactness: score * HASH_DIM * n_feats is an integer
     s = rows[2].score
     assert s is not None and abs((s * T.HASH_DIM * 3) - round(s * T.HASH_DIM * 3)) == 0.0
+
+
+def test_piggybank_decode_util_family(spark):
+    """decode/BinCond.java, util/SearchQuery.java, and the
+    apachelogparser Host/Date extractors — r7 additions closing the
+    piggybank evaluation tree."""
+    from pyspark.sql import functions as F
+
+    import pig_spark.functions as PF
+
+    df = spark.createDataFrame(
+        [
+            ("http://www.google.com/search?q=Hello+World%21&hl=en",
+             "http://Sub.Example.COM/x", "20/Sep/2008:23:53:04 -0600", 5),
+            ("http://example.com/nope", "bad url", "not a date", 15),
+        ],
+        ["ref", "url", "logdate", "v"],
+    )
+    out = df.select(
+        PF.SearchQuery(F.col("ref")).alias("q"),
+        PF.HostExtractor(F.col("url")).alias("h"),
+        PF.DateExtractor(F.col("logdate")).alias("d"),
+        PF.BinCond(F.col("v") > 10, F.lit("big"), F.col("v") > 3, F.lit("mid"), F.lit("small")).alias("b"),
+    ).collect()
+    assert out[0].q == "hello world" and out[1].q is None
+    assert out[0].h == "sub.example.com" and out[1].h is None
+    assert out[0].d == "2008-09-21" and out[1].d is None
+    assert out[0].b == "mid" and out[1].b == "big"
