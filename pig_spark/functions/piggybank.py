@@ -484,3 +484,63 @@ def DateExtractor(
     null (SimpleDateFormat.parse failure path)."""
     ts = F.to_timestamp(col, in_fmt)
     return F.date_format(F.from_utc_timestamp(F.to_utc_timestamp(ts, "UTC"), "GMT"), out_fmt)
+
+
+#: representative engine-domain table for SearchEngineExtractor —
+#: the Java UDF ships a ~200-row static map
+#: (util/apachelogparser/SearchEngineExtractor.java); this port keeps
+#: the LOOKUP MECHANICS identical (host suffix-match against the
+#: table) over the majors and stays user-extensible: pass your own
+#: dict to cover a fleet's full referrer population.
+SEARCH_ENGINES: dict[str, str] = {
+    "google.com": "Google",
+    "blogsearch.google.com": "Google Blogsearch",
+    "images.google.com": "Google Images",
+    "news.google.com": "Google News",
+    "search.yahoo.com": "Yahoo!",
+    "images.search.yahoo.com": "Yahoo! Images",
+    "bing.com": "Bing",
+    "search.msn.com": "MSN Search",
+    "search.live.com": "Live Search",
+    "ask.com": "Ask dot com",
+    "search.aol.com": "AOL Search",
+    "duckduckgo.com": "DuckDuckGo",
+    "baidu.com": "Baidu",
+    "yandex.ru": "Yandex",
+    "naver.com": "Naver",
+    "search.naver.com": "Naver",
+    "altavista.com": "Altavista",
+    "alltheweb.com": "AllTheWeb",
+    "lycos.com": "Lycos",
+    "excite.com": "Excite",
+    "cuil.com": "Cuil",
+    "technorati.com": "Technorati",
+}
+
+
+def SearchEngineExtractor(
+    col: Column, engines: dict[str, str] | None = None
+) -> Column:
+    """util/apachelogparser/SearchEngineExtractor.java — map a referrer
+    URL's host to a search-engine display name by longest-suffix match
+    against the engine table (so images.google.com beats google.com
+    when both are present); unknown hosts → null. One chained CASE
+    over a literal table — pure codegen, map-only."""
+    table = engines if engines is not None else SEARCH_ENGINES
+    host = F.lower(F.parse_url(col, F.lit("HOST")))
+    expr = None
+    # longest domain first = most-specific match wins
+    for domain in sorted(table, key=len, reverse=True):
+        cond = (host == domain) | host.endswith("." + domain)
+        expr = (F.when if expr is None else expr.when)(cond, F.lit(table[domain]))
+    return expr.otherwise(F.lit(None).cast("string"))
+
+
+def SearchTermExtractor(col: Column) -> Column:
+    """util/apachelogparser/SearchTermExtractor.java — the search terms
+    from a recognized engine's referrer URL. The Java UDF keys the
+    query-param name per engine; the majors all use q= or p=, which is
+    exactly :func:`SearchQuery`'s extraction — reused here, gated on
+    the host being a known engine."""
+    known = SearchEngineExtractor(col).isNotNull()
+    return F.when(known, SearchQuery(col))

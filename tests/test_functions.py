@@ -582,3 +582,28 @@ def test_piggybank_decode_util_family(spark):
     assert out[0].h == "sub.example.com" and out[1].h is None
     assert out[0].d == "2008-09-21" and out[1].d is None
     assert out[0].b == "mid" and out[1].b == "big"
+
+
+def test_search_engine_extractors(spark):
+    """apachelogparser SearchEngineExtractor/SearchTermExtractor:
+    longest-suffix host match against the engine table, terms via the
+    q=/p= extraction, unknown hosts null."""
+    from pyspark.sql import functions as F
+
+    import pig_spark.functions as PF
+
+    df = spark.createDataFrame(
+        [
+            ("http://www.google.com/search?q=pig+spark",),
+            ("http://blogsearch.google.com/?q=x",),
+            ("http://search.yahoo.com/search?p=ducks",),
+            ("http://unknown.example.org/?q=zzz",),
+        ],
+        ["ref"],
+    )
+    rows = df.select(
+        PF.SearchEngineExtractor(F.col("ref")).alias("e"),
+        PF.SearchTermExtractor(F.col("ref")).alias("t"),
+    ).collect()
+    assert [r.e for r in rows] == ["Google", "Google Blogsearch", "Yahoo!", None]
+    assert rows[0].t == "pig spark" and rows[2].t == "ducks" and rows[3].t is None
