@@ -8,7 +8,8 @@ watermarks for late data.
 
 Surface: windowed/session aggregates with watermarks, stream-static
 enrich, watermark-bounded stream dedup, stream-stream interval join,
-mergeable-sketch rollups, incremental signature dedup, stateless
+mergeable-sketch rollups (count/sum/min/max AND histogram-bin
+partials for continuous quantiles), incremental signature dedup, stateless
 score-at-ingest decontamination (``contamination_stream``), and a
 CUSTOM stateful operator (``stateful_funnel`` via
 applyInPandasWithState, O(k) state per key) — each with a
@@ -357,3 +358,29 @@ def contamination_stream(
         ratio.alias("ratio"),
         (ratio >= F.lit(threshold)).alias("contaminated"),
     )
+
+
+def histogram_rollup_stream(
+    df: DataFrame,
+    ts_col: str,
+    window: str,
+    value: str,
+    width: float = 1.0,
+    keys: list[str] | None = None,
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """Streaming histogram partials — the quantile leg of the
+    continuous aggregate that ``rollup_stream``'s count/sum/min/max
+    cannot carry (quantiles aren't additive, histogram COUNTS are,
+    functions/quantile.py): one append-mode row per (window, keys,
+    bin) with its count, emitted once when the watermark closes the
+    window. Downstream, any coarser grain re-aggregates with SUM(n)
+    and ``quantiles_from_histogram`` reads the compact partials —
+    continuous p95s at event-stream scale without re-reading raw
+    events. State is |open windows| × |keys| × |bins| rows, bounded
+    by the watermark horizon."""
+    bin_col = F.floor(F.col(value) / F.lit(float(width))).alias("bin")
+    grouped = df.withWatermark(ts_col, watermark).groupBy(
+        F.window(F.col(ts_col), window), *(keys or []), bin_col
+    )
+    return grouped.agg(F.count(F.lit(1)).alias("n"))

@@ -497,3 +497,61 @@ def test_contamination_stream_matches_batch(spark, sf_dir):
     exp = sorted(map(tuple, contamination_check(
         train_batch, bench, "text", "doc_id", threshold=0.05).collect()))
     assert got == exp and len(got) > 0
+
+
+def test_histogram_rollup_stream_quantiles_match_batch(spark, sf_dir):
+    """Streaming histogram partials (histogram_rollup_stream) feed
+    quantiles_from_histogram to the same per-group estimates the batch
+    histogram pipeline produces: the emitted (window, bin, n) rows are
+    ADDITIVE, so the downstream quantile never reads raw events."""
+    from pyspark.sql import functions as F
+
+    from pig_spark.functions import event_ts
+    from pig_spark.functions.quantile import histogram_rollup, quantiles_from_histogram
+    from pig_spark.streaming import histogram_rollup_stream
+
+    batch_df = spark.read.parquet(f"{sf_dir}/events.parquet")
+    src = (
+        spark.readStream.schema(batch_df.schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+
+    def prep(df):
+        return df.withColumn("event_ts", event_ts(df)).withColumn(
+            "v", (F.col("user_id") % 500).cast("double")
+        )
+
+    q = (
+        histogram_rollup_stream(prep(src), "event_ts", "1 day", "v", width=10.0)
+        .writeStream.format("memory")
+        .queryName("hist_stream")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        q.awaitTermination(120)
+    finally:
+        q.stop()
+    emitted = spark.sql("SELECT CAST(window.start AS STRING) AS day, bin, n FROM hist_stream")
+    # downstream re-aggregation: SUM(n) merges partials, then quantiles
+    merged = emitted.groupBy("day", "bin").agg(F.sum("n").alias("n"))
+    got = {
+        r.day: (r.p50, r.p95)
+        for r in quantiles_from_histogram(merged, "day", {"p50": 0.5, "p95": 0.95}, width=10.0).collect()
+    }
+    hb = histogram_rollup(
+        prep(batch_df).withColumn("day", F.date_format(F.window("event_ts", "1 day").start.cast("timestamp"), "yyyy-MM-dd HH:mm:ss")),
+        "day", "v", width=10.0,
+    )
+    exp = {
+        r.day: (r.p50, r.p95)
+        for r in quantiles_from_histogram(hb, "day", {"p50": 0.5, "p95": 0.95}, width=10.0).collect()
+    }
+    # append mode emits a window when the WATERMARK passes its end —
+    # the trailing open window stays buffered at end-of-stream (the
+    # standard contract), so parity covers every closed window
+    closed = set(exp) - {max(exp)}
+    assert set(got) == closed and len(got) > 0
+    assert all(got[d] == exp[d] for d in got)
