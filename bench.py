@@ -64,6 +64,7 @@ HEADLINE = [
     "q121_unigram_lm_score",  # r6: broadcast LM map, per-row scoring
     "q124_tfidf_top_terms",  # r7: broadcast idf map, per-row topk
     "q125_hashed_quality_classifier",  # r7: map-only hashed linear model
+    "q126_dsir_importance",  # r7: two broadcast LMs, per-row log-ratio
 ]
 
 

@@ -2312,39 +2312,48 @@ def q126_dsir_importance(spark: SparkSession, sf: str) -> DataFrame:
     toks = F.filter(F.split(F.lower(F.trim(F.col("text"))), r"\s+"), lambda x: x != "")
     td = d.select("doc_id", "lang", toks.alias("tk"))
 
-    def lm_map(tdf, name):
+    def lm_vocab(tdf, name):
         flat = tdf.select(F.explode("tk").alias("t"))
         cnt = flat.groupBy("t").agg(F.count(F.lit(1)).alias("c"))
         total = cnt.agg(F.sum("c").alias("n"))
-        vocab = (
+        return (
             cnt.orderBy(F.desc("c"), F.asc("t"))
             .limit(V)
             .crossJoin(F.broadcast(total))
-            .select("t", F.log(F.col("c") / F.col("n")).alias("lp"))
-        )
-        return vocab.agg(
-            F.map_from_entries(F.collect_list(F.struct("t", "lp"))).alias(name)
+            .select("t", F.log(F.col("c") / F.col("n")).alias(name))
         )
 
-    tgt = lm_map(td.filter(F.col("lang") == "en"), "__tgt")
-    src = lm_map(td, "__src")
     floor = F.log(F.lit(OOV))
-    scored = (
-        td.crossJoin(F.broadcast(tgt))
-        .crossJoin(F.broadcast(src))
-        .select(
-            "doc_id",
-            F.size("tk").cast("long").alias("n_tokens"),
-            F.aggregate(
-                F.transform(
-                    F.col("tk"),
-                    lambda t: F.coalesce(F.try_element_at(F.col("__tgt"), t), floor)
-                    - F.coalesce(F.try_element_at(F.col("__src"), t), floor),
-                ),
-                F.lit(0.0),
-                lambda acc, x: acc + x,
-            ).alias("__sum"),
-        )
+    # the two ≤V-row vocabularies fold into ONE broadcast map of
+    # struct(lp_tgt, lp_src) — scoring then probes the map ONCE per
+    # token instead of twice (the probe is the per-row hot loop; the
+    # extra tiny vocab join costs nothing at build time)
+    both = lm_vocab(td.filter(F.col("lang") == "en"), "lp_tgt").join(
+        lm_vocab(td, "lp_src"), "t", "full_outer"
+    )
+    lm = both.agg(
+        F.map_from_entries(
+            F.collect_list(
+                F.struct(
+                    "t",
+                    F.struct(
+                        F.coalesce("lp_tgt", floor).alias("lp_tgt"),
+                        F.coalesce("lp_src", floor).alias("lp_src"),
+                    ).alias("lp"),
+                )
+            )
+        ).alias("__lm")
+    )
+    probed = F.transform(F.col("tk"), lambda t: F.try_element_at(F.col("__lm"), t))
+    scored = td.crossJoin(F.broadcast(lm)).select(
+        "doc_id",
+        F.size("tk").cast("long").alias("n_tokens"),
+        F.aggregate(
+            probed,  # ONE map probe per token; the diff reads the struct
+            F.lit(0.0),
+            lambda acc, s: acc
+            + (F.coalesce(s["lp_tgt"], floor) - F.coalesce(s["lp_src"], floor)),
+        ).alias("__sum"),
     )
     # keep decides on the ROUNDED ratio so a near-zero value within
     # cross-engine ln() 1-ULP noise can't flip the boolean between
