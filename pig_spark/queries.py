@@ -2217,23 +2217,43 @@ def q124_tfidf_top_terms(spark: SparkSession, sf: str) -> DataFrame:
             )
         ).alias("__idf")
     )
-    scored = td.crossJoin(F.broadcast(idf_map)).select(
+    # per-row term counts in O(n log n): sorted run starts → gap
+    # counts, EACH STAGED as its own projection (text module rule —
+    # lambdas re-evaluate referenced expressions per element, so the
+    # sorted array and the starts must be column attributes, not
+    # inline expressions). A per-distinct-term filter() rescan would
+    # be O(distinct × n) per row and die on long documents.
+    from .functions.text import counts_from_starts, run_starts
+
+    s1 = td.crossJoin(F.broadcast(idf_map)).select(
+        "doc_id",
+        F.size("tk").alias("__n"),
+        F.array_sort("tk").alias("__st"),
+        "__idf",
+    )
+    s2 = s1.select(
+        "doc_id", "__n", run_starts(F.col("__st")).alias("__starts"), "__idf"
+    )
+    staged = s2.select(
+        "doc_id",
+        "__n",
+        counts_from_starts(F.col("__starts"), F.col("__n")).alias("__tc"),
+        "__idf",
+    )
+    scored = staged.select(
         "doc_id",
         F.slice(
             F.array_sort(
                 F.filter(
                     F.transform(
-                        F.array_distinct("tk"),
-                        lambda t: F.struct(
+                        F.col("__tc"),
+                        lambda r: F.struct(
                             F.round(
-                                -(
-                                    F.size(F.filter(F.col("tk"), lambda x: x == t))
-                                    / F.size(F.col("tk"))
-                                )
-                                * F.try_element_at(F.col("__idf"), t),
+                                -(r["cnt"] / F.col("__n"))
+                                * F.try_element_at(F.col("__idf"), r["term"]),
                                 6,
                             ).alias("neg_score"),
-                            t.alias("term"),
+                            r["term"].alias("term"),
                         ),
                     ),
                     lambda s: s["neg_score"].isNotNull(),

@@ -607,3 +607,27 @@ def test_search_engine_extractors(spark):
     ).collect()
     assert [r.e for r in rows] == ["Google", "Google Blogsearch", "Yahoo!", None]
     assert rows[0].t == "pig spark" and rows[2].t == "ducks" and rows[3].t is None
+
+
+def test_term_counts_run_length(spark):
+    """text.term_counts / run_starts+counts_from_starts: per-row term
+    frequencies via positional run-length over the sorted array —
+    O(n log n), no per-distinct rescans, no accumulator appends."""
+    from pyspark.sql import functions as F
+
+    from pig_spark.functions.text import counts_from_starts, run_starts, term_counts, tokenize_ws
+
+    df = spark.createDataFrame([("b a c a b a",), ("",), ("solo",)], ["t"])
+    got = df.select(term_counts(tokenize_ws(F.col("t"))).alias("c")).collect()
+    assert [[(r.term, r.cnt) for r in row.c] for row in got] == [
+        [("a", 3), ("b", 2), ("c", 1)], [], [("solo", 1)],
+    ]
+    # the staged pieces produce the identical result
+    s1 = df.select(tokenize_ws(F.col("t")).alias("tk")).select(
+        F.size("tk").alias("n"), F.array_sort("tk").alias("st")
+    )
+    s2 = s1.select("n", run_starts(F.col("st")).alias("starts"))
+    got2 = s2.select(counts_from_starts(F.col("starts"), F.col("n")).alias("c")).collect()
+    assert [[(r.term, r.cnt) for r in row.c] for row in got2] == [
+        [("a", 3), ("b", 2), ("c", 1)], [], [("solo", 1)],
+    ]
