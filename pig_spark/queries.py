@@ -2222,24 +2222,22 @@ def q124_tfidf_top_terms(spark: SparkSession, sf: str) -> DataFrame:
     # lambdas re-evaluate referenced expressions per element, so the
     # sorted array and the starts must be column attributes, not
     # inline expressions). A per-distinct-term filter() rescan would
-    # be O(distinct × n) per row and die on long documents.
+    # be O(distinct × n) per row and die on long documents. The idf
+    # map joins AFTER the staging chain: a ~100 KB map column carried
+    # through non-collapsed projections is COPIED per row per stage
+    # (measured 2 s → 300 s at sf0.1 when the join came first).
     from .functions.text import counts_from_starts, run_starts
 
-    s1 = td.crossJoin(F.broadcast(idf_map)).select(
-        "doc_id",
-        F.size("tk").alias("__n"),
-        F.array_sort("tk").alias("__st"),
-        "__idf",
+    s1 = td.select(
+        "doc_id", F.size("tk").alias("__n"), F.array_sort("tk").alias("__st")
     )
-    s2 = s1.select(
-        "doc_id", "__n", run_starts(F.col("__st")).alias("__starts"), "__idf"
-    )
-    staged = s2.select(
+    s2 = s1.select("doc_id", "__n", run_starts(F.col("__st")).alias("__starts"))
+    s3 = s2.select(
         "doc_id",
         "__n",
         counts_from_starts(F.col("__starts"), F.col("__n")).alias("__tc"),
-        "__idf",
     )
+    staged = s3.crossJoin(F.broadcast(idf_map))
     scored = staged.select(
         "doc_id",
         F.slice(
