@@ -687,6 +687,43 @@ def oracle_sql() -> dict[str, str]:
                    round(AVG(lp), 6) AS avg_logp,
                    AVG(lp) > -8.7654321 AS keep
             FROM scored GROUP BY doc_id""",
+        "q127_referrer_analysis": """
+            WITH u AS (
+                SELECT doc_id,
+                       'http://' ||
+                       CASE CAST(doc_id % 5 AS INT)
+                            WHEN 0 THEN 'www.google.com'
+                            WHEN 1 THEN 'search.yahoo.com'
+                            WHEN 2 THEN 'bing.com'
+                            WHEN 3 THEN 'duckduckgo.com'
+                            ELSE 'unknown.example.org' END ||
+                       '/search?q=' || lang || CAST(doc_id % 10 AS VARCHAR) ||
+                       '&hl=en' AS url
+                FROM documents),
+            e AS (
+                SELECT doc_id,
+                       lower(regexp_extract(url, '^[a-z]+://([^/]+)', 1)) AS host,
+                       -- the engine table's longest-suffix match, folded to a
+                       -- CASE over this query's controlled domain set
+                       CASE
+                           WHEN lower(url) LIKE 'http://www.google.com/%' THEN 'Google'
+                           WHEN lower(url) LIKE 'http://search.yahoo.com/%' THEN 'Yahoo!'
+                           WHEN lower(url) LIKE 'http://bing.com/%' THEN 'Bing'
+                           WHEN lower(url) LIKE 'http://duckduckgo.com/%' THEN 'DuckDuckGo'
+                       END AS engine,
+                       -- SearchQuery without the Java lookbehind (RE2):
+                       -- same first-match group; terms are plain alnum so
+                       -- decode/punct-strip/trim are identity
+                       regexp_extract(lower(trim(url)),
+                                      '[&?](?:as_)?[pq]=(.*?)(?:$|[&"])', 1) AS q
+                FROM u),
+            t AS (SELECT doc_id, host, engine,
+                         CASE WHEN engine IS NOT NULL THEN substr(q, 1, 80) END AS term
+                  FROM e)
+            SELECT engine, COUNT(*) AS n_docs,
+                   CAST(COUNT(DISTINCT host) AS BIGINT) AS n_hosts,
+                   CAST(COUNT(DISTINCT term) AS BIGINT) AS n_terms
+            FROM t GROUP BY engine""",
         "q126_dsir_importance": """
             WITH toks AS (SELECT doc_id, lang,
                                  list_filter(string_split_regex(lower(trim(text)), '\\s+'),

@@ -2387,6 +2387,55 @@ def q126_dsir_importance(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q127_referrer_analysis(spark: SparkSession, sf: str) -> DataFrame:
+    """Referrer-log analysis with the piggybank apachelogparser/util
+    family (SearchEngineExtractor, HostExtractor, SearchTermExtractor,
+    SearchQuery — all r7): per-engine traffic rollup. Deterministic
+    referrer URLs are synthesized per document (the q90 PII-injection
+    pattern — the corpus carries none), with plain-alnum query terms
+    so the URL-decode step is identity on both engines.
+
+    Map-only until the tiny per-engine aggregate: host parse, engine
+    suffix-match (a literal CASE chain) and term regex all run in the
+    scan's projection — no UDF, no shuffle except the ≤5-row group."""
+    from pyspark.sql import functions as F
+
+    from .functions.piggybank import (
+        HostExtractor,
+        SearchEngineExtractor,
+        SearchTermExtractor,
+    )
+
+    d = spark.read.parquet(f"{sf}/documents.parquet").select("doc_id", "lang")
+    domains = F.array(
+        F.lit("www.google.com"),
+        F.lit("search.yahoo.com"),
+        F.lit("bing.com"),
+        F.lit("duckduckgo.com"),
+        F.lit("unknown.example.org"),
+    )
+    url = F.concat(
+        F.lit("http://"),
+        F.element_at(domains, (F.col("doc_id") % 5 + 1).cast("int")),
+        F.lit("/search?q="),
+        F.col("lang"),
+        (F.col("doc_id") % 10).cast("string"),
+        F.lit("&hl=en"),
+    )
+    staged = d.select("doc_id", url.alias("__url"))
+    enriched = staged.select(
+        "doc_id",
+        SearchEngineExtractor(F.col("__url")).alias("engine"),
+        HostExtractor(F.col("__url")).alias("host"),
+        SearchTermExtractor(F.col("__url")).alias("term"),
+    )
+    return enriched.groupBy("engine").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.countDistinct("host").cast("long").alias("n_hosts"),
+        F.countDistinct("term").cast("long").alias("n_terms"),
+    )
+
+
 from .pigmix import PIGMIX_QUERIES  # noqa: E402  (avoids circular import)
 
 _ALL: dict[str, Callable[[SparkSession, str], DataFrame]] = {
@@ -2399,21 +2448,21 @@ _ALL.update(PIGMIX_QUERIES)
 # The driver's correctness gate checks the FIRST 50 entries in dict
 # order. Order by verification need, not by name (rebuilt each round;
 # the window arithmetic is EXACT — VERDICT r6 #3):
-#   tier 0 (8): new-in-r7 queries + queries whose lowering or output
+#   tier 0 (9): new-in-r7 queries + queries whose lowering or output
 #     changed this round and must re-earn a green driver row —
 #     q119/q74 (significant-digit rounding), q122 (ArrowEvalPython
-#     scripting-UDF path), q124/q125/q126 (new operators), q88/q42
+#     scripting-UDF path), q124/q125/q126/q127 (new operators), q88/q42
 #     (xxhash64 gram hashing on the contamination/posting hot paths);
 #   tier 1 (2): q98/q99 — the two r3-evidence stragglers that fell
 #     off r6's window (52 candidates for 50 slots);
-#   tier 2 (40 of 46): the r4-evidence block, alphabetical; the 6
-#     alphabetically-last entries (q46_ann_lsh, q47_lang_id,
-#     q48_quality_score, q49_fingerprint, q50_token_stats,
-#     q51_join_qualified) stay at r4 evidence and LEAD tier 2 next
-#     round;
+#   tier 2 (39 of 46): the r4-evidence block, alphabetical; the 7
+#     alphabetically-last entries (q44_cosine_topk, q46_ann_lsh,
+#     q47_lang_id, q48_quality_score, q49_fingerprint,
+#     q50_token_stats, q51_join_qualified) stay at r4 evidence and
+#     LEAD tier 2 next round;
 #   tier 3: everything r5/r6-verified.
-# 8 + 2 + 40 = 50. After this window, every catalog query's newest
-# driver evidence is ≥ r4, and the oldest block is the six-query r4
+# 9 + 2 + 39 = 50. After this window, every catalog query's newest
+# driver evidence is ≥ r4, and the oldest block is the seven-query r4
 # tail above.
 _NEW_OR_CHANGED_R7 = {
     "q119_latin_cor_two_pipes",        # changed: scale-invariant COR/COV rounding
@@ -2424,6 +2473,7 @@ _NEW_OR_CHANGED_R7 = {
     "q126_dsir_importance",            # new: DSIR importance weighting
     "q88_contamination",               # changed: xxhash64 gram hashing
     "q42_ngram_jaccard",               # changed: xxhash64 posting keys
+    "q127_referrer_analysis",          # new: piggybank referrer rollup
 }
 # newest driver evidence = round 3: the two stragglers r6's window
 # arithmetic squeezed out (VERDICT r6 #4) — tier 1, never again
