@@ -17,6 +17,7 @@ existing session says otherwise).
 from __future__ import annotations
 
 import argparse
+import os
 import sys
 
 
@@ -60,6 +61,11 @@ def main(argv: list[str] | None = None) -> int:
     ap.add_argument("-t", "-optimizer_off", dest="rules_off", action="append", default=[], metavar="RULE",
                     help="accepted for compatibility; Catalyst rule sets differ from Pig's")
     ap.add_argument("-l", "-logfile", dest="logfile", help="accepted for compatibility")
+    ap.add_argument("-4", "-log4jconf", dest="log4jconf", help="accepted for compatibility")
+    ap.add_argument("-b", "-brief", dest="brief", action="store_true", help="accepted for compatibility")
+    ap.add_argument("-d", "-debug", dest="debug", help="log level (DEBUG/INFO/WARN/ERROR)")
+    ap.add_argument("-w", "-warning", dest="warning", action="store_true",
+                    help="accepted for compatibility (warning aggregation)")
     ap.add_argument("-version", action="store_true", dest="version", help="print version and exit")
     args = ap.parse_args(argv)
 
@@ -104,10 +110,18 @@ def main(argv: list[str] | None = None) -> int:
     from .session import get_spark
 
     spark = get_spark("pig_spark_cli")
+    if args.debug:
+        spark.sparkContext.setLogLevel(args.debug.upper())
+    # ./pig.properties auto-loads when present (bin/pig reads
+    # conf/pig.properties; the cwd is this engine's conf anchor),
+    # then -P files override it, key by key
+    prop_files = list(args.prop_files)
+    if os.path.isfile("pig.properties"):
+        prop_files.insert(0, "pig.properties")
     # -P: java-properties files, each key=value SETs a conf (the same
     # surface a script-level SET statement reaches); -M / -F map to
     # the execution confs the translator honors
-    for pf in args.prop_files:
+    for pf in prop_files:
         with open(pf, encoding="utf-8") as fh:
             for line in fh:
                 line = line.strip()

@@ -317,7 +317,10 @@ def run_starts(sorted_tokens: Column) -> Column:
     staged column attribute). STAGE the sorted array as its own
     projection first — the module rule: a lambda body re-evaluates
     per element, so an inline array_sort here would re-sort the whole
-    array once per element (O(n² log n), measured catastrophic)."""
+    array once per element (O(n² log n), measured catastrophic).
+    Token arrays must be null-free (tokenize_ws output is): a null
+    element would sort last and fold its run into the predecessor's
+    gap count."""
     return F.filter(
         F.transform(
             sorted_tokens, lambda x, i: F.struct(x.alias("term"), (i + 1).alias("pos"))

@@ -275,6 +275,12 @@ class Grunt:
                 self.t.params.update(params)
                 self._pig(src)
         elif cmd == "set":
+            if not args:
+                # bare `set` lists the session's properties
+                # (GruntParser.processSet with no arguments)
+                for k, v in sorted(self.t.spark.sparkContext.getConf().getAll()):
+                    self._print(f"{k}={v}")
+                return None
             if len(args) < 2:
                 raise ValueError("set: usage `set <key> <value>`")
             self._pig(f"SET {args[0]} '{args[1]}';")

@@ -141,3 +141,10 @@ quit
 """
     _shell(spark, script)
     assert not target.exists()
+
+
+def test_bare_set_lists_properties(spark):
+    """`set` with no arguments lists the session properties
+    (GruntParser.processSet no-arg form)."""
+    _, out = _shell(spark, "set\nquit\n")
+    assert "spark.app.name=" in out or "spark.master=" in out
