@@ -53,7 +53,7 @@ quit / exit                 leave the shell"""
 _UTILITY = {
     "quit", "exit", "help", "history", "aliases", "clear", "kill",
     "ls", "cat", "pwd", "cd", "mkdir", "rm", "fs", "sh", "exec", "run",
-    "rmf", "cp", "mv", "copytolocal", "copyfromlocal",
+    "rmf", "cp", "mv", "copytolocal", "copyfromlocal", "set",
 }
 
 
