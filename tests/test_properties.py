@@ -257,3 +257,51 @@ def test_common_type_is_total_and_widening(picks):
         assert rank[out.simpleString()] == max(rank[t.simpleString()] for t in nn)
     else:
         assert isinstance(out, T.StringType)
+
+
+@settings(max_examples=10, deadline=None)
+@given(st.lists(st.text(alphabet="abcde ", max_size=40), min_size=1, max_size=6))
+def test_term_counts_python_model(spark, texts):
+    """text.term_counts == collections.Counter over whitespace tokens,
+    for arbitrary small alphabets (run-length boundaries, repeated
+    runs, empty docs)."""
+    from collections import Counter
+
+    from pyspark.sql import functions as F
+
+    from pig_spark.functions.text import term_counts, tokenize_ws
+
+    df = spark.createDataFrame([(t,) for t in texts], ["t"])
+    got = df.select(term_counts(tokenize_ws(F.col("t"))).alias("c")).collect()
+    for text, row in zip(texts, got):
+        expect = Counter(text.split())
+        assert {r.term: r.cnt for r in row.c} == dict(expect), (text, row.c)
+
+
+@settings(max_examples=10, deadline=None)
+@given(st.lists(st.text(alphabet="xyz1 ", max_size=30), min_size=1, max_size=6))
+def test_hashed_linear_score_python_model(spark, texts):
+    """text.hashed_linear_score == the exact Python model (md5 bucket,
+    Knuth mix, 2^-12 weights, unigram+bigram features, in-order mean)
+    — EXACT double equality, the power-of-two-table claim."""
+    import hashlib
+
+    from pyspark.sql import functions as F
+
+    from pig_spark.functions import text as T
+
+    def model(s):
+        toks = s.split()
+        feats = toks + [f"{a} {b}" for a, b in zip(toks, toks[1:])]
+        if not feats:
+            return None
+        total = 0.0
+        for f_ in feats:
+            b = int(hashlib.md5(f_.encode()).hexdigest()[:15], 16) % T.HASH_DIM
+            total += ((b * T.HASH_MIX) % T.HASH_DIM) / float(T.HASH_DIM) - 0.5
+        return total / len(feats)
+
+    df = spark.createDataFrame([(t,) for t in texts], ["t"])
+    got = df.select(T.hashed_linear_score(T.tokenize_ws(F.col("t"))).alias("s")).collect()
+    for text, row in zip(texts, got):
+        assert row.s == model(text), (text, row.s, model(text))
