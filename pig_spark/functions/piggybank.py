@@ -463,8 +463,17 @@ def SearchQuery(col: Column) -> Column:
     decoded = F.url_decode(q)
     cleaned = F.regexp_replace(F.regexp_replace(decoded, r"[\p{Punct}]+", ""), r"[\s]+", " ")
     out = F.substring(F.trim(cleaned), 1, 80)
-    # matcher.find() failing leaves query null; empty/null URL returns as-is
-    return F.when(col.isNull() | (F.trim(col) == ""), url).when(q == "", F.lit(None).cast("string")).otherwise(out)
+    # matcher.find() failing leaves query null; empty/null URL returns
+    # as-is. regexp_extract returns '' for BOTH no-match and an
+    # empty-but-present parameter ('?q=&x=1') — the Java matcher.find()
+    # succeeds on the latter and returns the processed empty string, so
+    # distinguish the cases by probing for the parameter marker itself
+    has_param = url.rlike(r"[&?](as_)?[pq]=")
+    return (
+        F.when(col.isNull() | (F.trim(col) == ""), url)
+        .when(~has_param, F.lit(None).cast("string"))
+        .otherwise(out)
+    )
 
 
 def HostExtractor(col: Column) -> Column:
@@ -481,9 +490,16 @@ def DateExtractor(
     """util/apachelogparser/DateExtractor.java — reformat an apache
     common-log timestamp ("dd/MMM/yyyy:HH:mm:ss Z" by default) to
     ``out_fmt`` in GMT (the Java UDF's default zone); unparseable →
-    null (SimpleDateFormat.parse failure path)."""
+    null (SimpleDateFormat.parse failure path).
+
+    date_format renders in spark.sql.session.timeZone, so shift the
+    instant by -offset(session tz) first: the session rendering of the
+    shifted value IS the GMT wall time, in ANY session timezone (not
+    just the UTC this package's session.py pins)."""
     ts = F.to_timestamp(col, in_fmt)
-    return F.date_format(F.from_utc_timestamp(F.to_utc_timestamp(ts, "UTC"), "GMT"), out_fmt)
+    return F.date_format(
+        F.to_utc_timestamp(ts, F.expr("current_timezone()")), out_fmt
+    )
 
 
 #: representative engine-domain table for SearchEngineExtractor —
@@ -521,19 +537,19 @@ SEARCH_ENGINES: dict[str, str] = {
 def SearchEngineExtractor(
     col: Column, engines: dict[str, str] | None = None
 ) -> Column:
-    """util/apachelogparser/SearchEngineExtractor.java — map a referrer
-    URL's host to a search-engine display name by longest-suffix match
-    against the engine table (so images.google.com beats google.com
-    when both are present); unknown hosts → null. One chained CASE
-    over a literal table — pure codegen, map-only."""
+    """util/apachelogparser/SearchEngineExtractor.java:410-412 — map a
+    referrer URL's host to a search-engine display name the way the
+    Java UDF does: lowercase the host, strip ONE leading "www.", then
+    an EXACT map lookup (so maps.google.com → null, exactly like real
+    Pig — NOT a suffix match); unknown hosts → null. One literal map
+    probed by the normalized host — pure codegen, map-only."""
     table = engines if engines is not None else SEARCH_ENGINES
     host = F.lower(F.parse_url(col, F.lit("HOST")))
-    expr = None
-    # longest domain first = most-specific match wins
-    for domain in sorted(table, key=len, reverse=True):
-        cond = (host == domain) | host.endswith("." + domain)
-        expr = (F.when if expr is None else expr.when)(cond, F.lit(table[domain]))
-    return expr.otherwise(F.lit(None).cast("string"))
+    stripped = F.regexp_replace(host, r"^www\.", "")
+    lookup = F.create_map(
+        *[F.lit(x) for domain, name in table.items() for x in (domain, name)]
+    )
+    return lookup[stripped]
 
 
 def SearchTermExtractor(col: Column) -> Column:

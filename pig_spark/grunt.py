@@ -169,6 +169,20 @@ class Grunt:
         if not parts:
             return None
         cmd, args = parts[0].lower(), parts[1:]
+        if cmd == "sh":
+            # GruntParser.processShCommand hands the RAW remainder of
+            # the line to the shell — quoting and spacing must survive
+            # (shlex-stripping then rejoining would turn
+            # `sh grep "foo bar" f` into `grep foo bar f`)
+            raw = line.split(None, 1)[1] if len(line.split(None, 1)) > 1 else ""
+            res = subprocess.run(
+                raw, shell=True, capture_output=True, text=True, cwd=self.cwd
+            )
+            if res.stdout:
+                self.out.write(res.stdout)
+            if res.stderr:
+                self.out.write(res.stderr)
+            return None
         if cmd == "fs" and args:
             # fs -<cmd> args → shared FsShell equivalents, anchored at
             # the shell's cwd; errors print and the shell keeps going
@@ -245,14 +259,6 @@ class Grunt:
 
             with redirect_stdout(self.out), redirect_stderr(self.out):
                 fs_shell([cmd, *args], cwd=self.cwd)
-        elif cmd == "sh":
-            res = subprocess.run(
-                " ".join(args), shell=True, capture_output=True, text=True, cwd=self.cwd
-            )
-            if res.stdout:
-                self.out.write(res.stdout)
-            if res.stderr:
-                self.out.write(res.stderr)
         elif cmd in ("exec", "run"):
             path, params = None, {}
             it = iter(args)
@@ -277,8 +283,13 @@ class Grunt:
         elif cmd == "set":
             if not args:
                 # bare `set` lists the session's properties
-                # (GruntParser.processSet with no arguments)
-                for k, v in sorted(self.t.spark.sparkContext.getConf().getAll()):
+                # (GruntParser.processSet with no arguments). Runtime
+                # SET statements land in SQLConf (spark.conf.set), not
+                # the static SparkConf snapshot — merge both so
+                # `set x y` followed by `set` shows x
+                props = dict(self.t.spark.sparkContext.getConf().getAll())
+                props.update(self.t.spark.conf.getAll)
+                for k, v in sorted(props.items()):
                     self._print(f"{k}={v}")
                 return None
             if len(args) < 2:

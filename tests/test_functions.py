@@ -586,8 +586,10 @@ def test_piggybank_decode_util_family(spark):
 
 def test_search_engine_extractors(spark):
     """apachelogparser SearchEngineExtractor/SearchTermExtractor:
-    longest-suffix host match against the engine table, terms via the
-    q=/p= extraction, unknown hosts null."""
+    the Java UDF's EXACT lookup after stripping one leading 'www.'
+    (SearchEngineExtractor.java:410-412) — a suffix like
+    maps.google.com does NOT match google.com; terms via the q=/p=
+    extraction, unknown hosts null."""
     from pyspark.sql import functions as F
 
     import pig_spark.functions as PF
@@ -598,6 +600,8 @@ def test_search_engine_extractors(spark):
             ("http://blogsearch.google.com/?q=x",),
             ("http://search.yahoo.com/search?p=ducks",),
             ("http://unknown.example.org/?q=zzz",),
+            ("http://maps.google.com/?q=suffix+no+match",),
+            ("http://GOOGLE.com/search?q=case",),
         ],
         ["ref"],
     )
@@ -605,8 +609,40 @@ def test_search_engine_extractors(spark):
         PF.SearchEngineExtractor(F.col("ref")).alias("e"),
         PF.SearchTermExtractor(F.col("ref")).alias("t"),
     ).collect()
-    assert [r.e for r in rows] == ["Google", "Google Blogsearch", "Yahoo!", None]
+    assert [r.e for r in rows] == [
+        "Google", "Google Blogsearch", "Yahoo!", None, None, "Google",
+    ]
     assert rows[0].t == "pig spark" and rows[2].t == "ducks" and rows[3].t is None
+    assert rows[4].t is None  # unrecognized engine gates the term
+
+
+def test_search_query_empty_param_and_gmt_date(spark):
+    """Two reference-parity edges (r8 ADVICE): an empty-but-present
+    query parameter ('?q=&x=1') is a successful matcher.find() in the
+    Java UDF — processed empty string, NOT null; and DateExtractor
+    renders in GMT regardless of spark.sql.session.timeZone."""
+    from pyspark.sql import functions as F
+
+    import pig_spark.functions as PF
+
+    df = spark.createDataFrame(
+        [("http://google.com/search?q=&x=1", "20/Sep/2008:23:53:04 -0600")],
+        ["ref", "logdate"],
+    )
+    row = df.select(
+        PF.SearchQuery(F.col("ref")).alias("q"),
+        PF.DateExtractor(F.col("logdate")).alias("d"),
+    ).collect()[0]
+    assert row.q == ""  # present-but-empty param: '' not null
+    assert row.d == "2008-09-21"
+    # GMT rendering must survive a non-UTC session timezone
+    prev = spark.conf.get("spark.sql.session.timeZone")
+    try:
+        spark.conf.set("spark.sql.session.timeZone", "America/Chicago")
+        row = df.select(PF.DateExtractor(F.col("logdate")).alias("d")).collect()[0]
+        assert row.d == "2008-09-21"  # 23:53 -0600 = 05:53 GMT next day
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", prev)
 
 
 def test_term_counts_run_length(spark):
