@@ -352,9 +352,24 @@ def counts_from_starts(starts: Column, n: Column) -> Column:
 
 def term_counts(tokens: Column) -> Column:
     """Per-row term frequencies in O(n log n): convenience composition
-    of :func:`run_starts` + :func:`counts_from_starts` for SHORT token
-    arrays. For corpus-scale documents, stage each piece as its own
-    projection (see q124) — inlined, the lambda-re-evaluation rule
-    makes the sorted array and starts recompute per element."""
-    st = F.array_sort(tokens)
-    return counts_from_starts(run_starts(st), F.size(st))
+    of :func:`run_starts` + :func:`counts_from_starts`, safe at ANY
+    token-array length. Both intermediates — the sorted array and the
+    run-start structs — are bound through the 1-element-array lambda
+    trick (see :func:`rolling_hash_fingerprint`): each is computed
+    once per row and referenced inside the downstream lambdas as an
+    O(1) lambda-variable lookup, so the lambda-re-evaluation rule
+    (no CSE across lambda bodies) cannot degrade this to the
+    O(n² log n) inline composition would be. Staging the pieces as
+    explicit projections (q124's form) remains equivalent."""
+
+    def _counts(st: Column) -> Column:
+        staged_starts = F.array(run_starts(st))  # bind starts once
+        return F.element_at(
+            F.transform(
+                staged_starts, lambda starts: counts_from_starts(starts, F.size(st))
+            ),
+            1,
+        )
+
+    staged_sorted = F.array(F.array_sort(tokens))  # bind sorted array once
+    return F.element_at(F.transform(staged_sorted, _counts), 1)

@@ -667,3 +667,54 @@ def test_term_counts_run_length(spark):
     assert [[(r.term, r.cnt) for r in row.c] for row in got2] == [
         [("a", 3), ("b", 2), ("c", 1)], [], [("solo", 1)],
     ]
+
+
+def test_term_counts_convenience_not_quadratic(spark):
+    """The r8 de-footgun: the convenience ``term_counts`` binds its
+    sorted-array and run-starts intermediates through the
+    1-element-array lambda trick, so on LONG token arrays (200 docs ×
+    20k tokens) it must run within ~2× of the explicitly staged form —
+    the old inline composition was O(n² log n) and measured
+    catastrophic (minutes) at this shape."""
+    import time
+
+    from pyspark.sql import functions as F
+
+    from pig_spark.functions.text import counts_from_starts, run_starts, term_counts
+
+    # 200 rows × 20k tokens drawn from 100 distinct terms, no Python
+    # row materialization: build the arrays JVM-side
+    base = spark.range(200).select(
+        F.transform(
+            F.sequence(F.lit(1), F.lit(20000)),
+            lambda i: F.concat(F.lit("t"), ((i * 7919 + F.col("id")) % 100).cast("string")),
+        ).alias("tk")
+    ).localCheckpoint()  # isolate generation cost from the measured plans
+
+    def run_convenience():
+        return base.select(
+            F.aggregate(term_counts(F.col("tk")), F.lit(0), lambda a, s: a + s["cnt"]).alias("n")
+        ).agg(F.sum("n")).collect()[0][0]
+
+    def run_staged():
+        s1 = base.select(F.size("tk").alias("n"), F.array_sort("tk").alias("st"))
+        s2 = s1.select("n", run_starts(F.col("st")).alias("starts"))
+        return s2.select(
+            F.aggregate(
+                counts_from_starts(F.col("starts"), F.col("n")),
+                F.lit(0),
+                lambda a, s: a + s["cnt"],
+            ).alias("n")
+        ).agg(F.sum("n")).collect()[0][0]
+
+    run_staged()  # warm codegen once
+    t0 = time.monotonic()
+    staged_total = run_staged()
+    staged_s = time.monotonic() - t0
+    t0 = time.monotonic()
+    conv_total = run_convenience()
+    conv_s = time.monotonic() - t0
+    assert conv_total == staged_total == 200 * 20000
+    # generous 3x bound (2x target + CI noise headroom); the quadratic
+    # form fails this by orders of magnitude
+    assert conv_s < max(3 * staged_s, 5.0), (conv_s, staged_s)
