@@ -293,6 +293,27 @@ def hashed_score_from_features(feats: Column) -> Column:
     return F.when(n > 0, total / n)
 
 
+def hashed_score_from_weights(feats: Column, weights: Column) -> Column:
+    """Mean TRAINED-weight score over a PRE-STAGED feature array: each
+    feature hashes to a bucket and probes ``weights`` (an
+    ``array<double>`` of length HASH_DIM) by index — the production
+    shape for a fastText-style classifier whose trained weight vector
+    ships with the job. Pass the weights as a literal array
+    (``F.lit([...])``) or a 1-row folded column; a literal is a
+    codegen constant, so the whole operator stays map-only with zero
+    exchanges and zero Python. If ``weights`` is a NON-literal
+    expression, stage it as its own projection first (the module's
+    lambda-re-evaluation rule)."""
+    total = F.aggregate(
+        feats,
+        F.lit(0.0),
+        lambda acc, f: acc
+        + F.element_at(weights, (_feature_bucket(f) + 1).cast("int")),
+    )
+    n = F.size(feats)
+    return F.when(n > 0, total / n)
+
+
 def hashed_linear_score(tokens: Column) -> Column:
     """Linear text classifier over hashed n-gram features — the
     fastText architecture used as the quality/toxicity filter stage of

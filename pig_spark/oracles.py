@@ -770,6 +770,61 @@ def oracle_sql() -> dict[str, str]:
                             FROM scored)
             SELECT doc_id, CAST(rn AS BIGINT) AS rank, term, score
             FROM ranked WHERE rn <= 3""",
+        "q128_classifier_broadcast_weights": """
+            WITH d AS (SELECT doc_id,
+                              list_filter(string_split_regex(trim(text), '\\s+'),
+                                          x -> x <> '') AS tk
+                       FROM documents),
+                 f AS (SELECT doc_id, len(tk) AS n_tokens,
+                              list_concat(tk,
+                                  CASE WHEN len(tk) >= 2
+                                       THEN list_transform(generate_series(1, len(tk) - 1),
+                                                           i -> tk[i] || ' ' || tk[i + 1])
+                                       ELSE CAST([] AS VARCHAR[]) END) AS feats
+                       FROM d),
+                 -- weight table: w[b] = ((b*2654435761 + 12345) % 4096)/4096 - 0.5
+                 -- (queries._classifier_weights), probed by md5 bucket
+                 s AS (SELECT doc_id, n_tokens,
+                              CASE WHEN len(feats) > 0 THEN
+                                list_sum(list_transform(feats, x ->
+                                  (((CAST(('0x' || substr(md5(x), 1, 15)) AS BIGINT) % 4096)
+                                    * 2654435761 + 12345) % 4096) / 4096.0 - 0.5))
+                                / len(feats)
+                              END AS score
+                       FROM f)
+            SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+                   score, score > 0 AS keep
+            FROM s""",
+        "q129_paragraph_dedup": """
+            WITH toks AS (SELECT doc_id,
+                                 list_filter(string_split_regex(trim(text), '\\s+'),
+                                             x -> x <> '') AS tk
+                          FROM documents),
+                 chunks AS (SELECT doc_id,
+                                   list_transform(range(0, CAST(ceil(len(tk) / 25.0) AS INT)),
+                                                  i -> array_to_string(tk[i*25+1 : i*25+25], ' ')) AS cs
+                            FROM toks),
+                 withbp AS (SELECT doc_id,
+                                   (CASE WHEN doc_id % 2 = 0
+                                         THEN ['subscribe to our newsletter for the latest updates']
+                                         ELSE CAST([] AS VARCHAR[]) END)
+                                   || cs ||
+                                   (CASE WHEN doc_id % 5 = 0
+                                         THEN ['all rights reserved unauthorized reproduction prohibited']
+                                         ELSE CAST([] AS VARCHAR[]) END) AS ps
+                            FROM chunks),
+                 p AS (SELECT doc_id, len(ps) AS n_paras,
+                              unnest(ps) AS para,
+                              generate_subscripts(ps, 1) - 1 AS pos
+                       FROM withbp),
+                 kept AS (SELECT doc_id, n_paras, pos, para,
+                                 row_number() OVER (PARTITION BY md5(para)
+                                      ORDER BY doc_id, pos) AS rn
+                          FROM p)
+            SELECT doc_id, CAST(any_value(n_paras) AS BIGINT) AS n_paras,
+                   COUNT(*) AS n_kept,
+                   string_agg(para, ' | ' ORDER BY pos) AS clean_text
+            FROM kept WHERE rn = 1 GROUP BY doc_id""",
         "q125_hashed_quality_classifier": """
             WITH d AS (SELECT doc_id,
                               list_filter(string_split_regex(trim(text), '\\s+'),

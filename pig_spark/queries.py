@@ -2436,6 +2436,130 @@ def q127_referrer_analysis(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def _classifier_weights() -> list[float]:
+    """Deterministic stand-in for a TRAINED weight vector: 4096 exact
+    multiples of 2^-12 (so per-row double sums compare exactly against
+    the DuckDB oracle with no rounding policy). Unlike q125's
+    arithmetic weight function, these are materialized as DATA and
+    probed by bucket index — the trained-model production shape."""
+    from .functions.text import HASH_DIM, HASH_MIX
+
+    return [
+        ((b * HASH_MIX + 12345) % HASH_DIM) / float(HASH_DIM) - 0.5
+        for b in range(HASH_DIM)
+    ]
+
+
+def q128_classifier_broadcast_weights(spark: SparkSession, sf: str) -> DataFrame:
+    """q125's hashed linear classifier with a GENUINE weight table:
+    the trained weight vector rides along as a 4096-element
+    array<double> literal probed by bucket index
+    (functions/text.hashed_score_from_weights) — exactly how a
+    fastText-style quality model's parameters ship to executors (a
+    literal array is what a broadcast of a small model folds to under
+    whole-stage codegen; swap ``F.lit(w)`` for a broadcast-joined
+    1-row column and the probe code is unchanged).
+
+    100 TB design: same map-only shape as q125 — zero exchanges, zero
+    Python, the weight table is a codegen constant resident once per
+    executor (plan-pinned). Weights are exact multiples of 2^-12, so
+    the oracle compares exact doubles."""
+    from pyspark.sql import functions as F
+
+    from .functions import text as T
+
+    weights = F.lit(_classifier_weights())
+    d = spark.read.parquet(f"{sf}/documents.parquet").select("doc_id", "text")
+    td = d.select("doc_id", T.tokenize_ws(F.col("text")).alias("tk"))
+    staged = td.select(
+        "doc_id",
+        F.size("tk").cast("long").alias("n_tokens"),
+        T.hashed_features(F.col("tk")).alias("feats"),
+    )
+    scored = staged.select(
+        "doc_id",
+        "n_tokens",
+        T.hashed_score_from_weights(F.col("feats"), weights).alias("score"),
+    )
+    return scored.select(
+        "doc_id", "n_tokens", "score", (F.col("score") > 0).alias("keep")
+    )
+
+
+#: paragraph-dedup synthesis constants (mirrored in oracles.py q129)
+_PARA_TOKENS = 25
+_PARA_BOILER_HEAD = "subscribe to our newsletter for the latest updates"
+_PARA_BOILER_TAIL = "all rights reserved unauthorized reproduction prohibited"
+
+
+def q129_paragraph_dedup(spark: SparkSession, sf: str) -> DataFrame:
+    """Paragraph-level exact deduplication — the Gopher/C4
+    preprocessing stage document-level dedup can't express: repeated
+    boilerplate paragraphs are dropped corpus-wide, keeping only the
+    FIRST occurrence by (doc_id, pos), and each document is rebuilt
+    from its surviving paragraphs in order. The corpus text carries no
+    paragraph breaks, so paragraphs are synthesized deterministically
+    (the q127/q90 injection pattern): 25-token blocks, plus a shared
+    boilerplate header on even doc_ids and a shared footer on
+    doc_id % 5 == 0 — real cross-document duplication at ~50% corpus
+    incidence. A document whose every paragraph lost the
+    first-occurrence race disappears entirely (it was all
+    boilerplate). Reference pattern: builtin/TOKENIZE.java chunking +
+    the engine's exact-dedup machinery (functions/dedup.py).
+
+    100 TB design: exactly TWO exchanges, both irreducible — (1) the
+    16-byte md5 paragraph key for the first-occurrence window (key
+    cardinality ≈ distinct paragraphs, no skew: even the shared
+    boilerplate key carries only (doc_id,pos) pairs, ~8 bytes/row
+    after the scan projection), (2) the doc_id regroup to rebuild
+    documents. Paragraph synthesis, hashing and the rebuild transform
+    are all whole-stage codegen; no Python anywhere (plan-pinned)."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    from .functions.text import tokenize_ws
+
+    d = spark.read.parquet(f"{sf}/documents.parquet").select("doc_id", "text")
+    tk = d.select("doc_id", tokenize_ws(F.col("text")).alias("tk"))
+    # 25-token blocks; sequence(0, n-1) counts DOWN when n = 0 (the
+    # _grams clamp rule), so empty docs short-circuit to an empty array
+    n_chunks = F.ceil(F.size("tk") / F.lit(_PARA_TOKENS)).cast("int")
+    chunks = F.when(n_chunks > 0, F.transform(
+        F.sequence(F.lit(0), n_chunks - 1),
+        lambda i: F.array_join(
+            F.slice(F.col("tk"), i * _PARA_TOKENS + 1, _PARA_TOKENS), " "
+        ),
+    )).otherwise(F.array().cast("array<string>"))
+    head = F.when(
+        F.col("doc_id") % 2 == 0, F.array(F.lit(_PARA_BOILER_HEAD))
+    ).otherwise(F.array().cast("array<string>"))
+    tail = F.when(
+        F.col("doc_id") % 5 == 0, F.array(F.lit(_PARA_BOILER_TAIL))
+    ).otherwise(F.array().cast("array<string>"))
+    paras = tk.select(
+        "doc_id", F.concat(head, chunks, tail).alias("ps")
+    ).select(
+        "doc_id",
+        F.size("ps").cast("long").alias("n_paras"),
+        F.posexplode("ps").alias("pos", "para"),
+    )
+    # first occurrence corpus-wide per paragraph hash wins
+    w = Window.partitionBy(F.md5("para")).orderBy("doc_id", "pos")
+    kept = paras.withColumn("rn", F.row_number().over(w)).where(F.col("rn") == 1)
+    rebuilt = kept.groupBy("doc_id").agg(
+        F.first("n_paras").alias("n_paras"),
+        F.count(F.lit(1)).alias("n_kept"),
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "para"))),
+                lambda s: s["para"],
+            ),
+            " | ",
+        ).alias("clean_text"),
+    )
+    return rebuilt.select("doc_id", "n_paras", "n_kept", "clean_text")
+
+
 from .pigmix import PIGMIX_QUERIES  # noqa: E402  (avoids circular import)
 
 _ALL: dict[str, Callable[[SparkSession, str], DataFrame]] = {
@@ -2448,64 +2572,60 @@ _ALL.update(PIGMIX_QUERIES)
 # The driver's correctness gate checks the FIRST 50 entries in dict
 # order. Order by verification need, not by name (rebuilt each round;
 # the window arithmetic is EXACT — VERDICT r6 #3):
-#   tier 0 (9): new-in-r7 queries + queries whose lowering or output
-#     changed this round and must re-earn a green driver row —
-#     q119/q74 (significant-digit rounding), q122 (ArrowEvalPython
-#     scripting-UDF path), q124/q125/q126/q127 (new operators), q88/q42
-#     (xxhash64 gram hashing on the contamination/posting hot paths);
-#   tier 1 (2): q98/q99 — the two r3-evidence stragglers that fell
-#     off r6's window (52 candidates for 50 slots);
-#   tier 2 (39 of 46): the r4-evidence block, alphabetical; the 7
-#     alphabetically-last entries (q44_cosine_topk, q46_ann_lsh,
-#     q47_lang_id, q48_quality_score, q49_fingerprint,
-#     q50_token_stats, q51_join_qualified) stay at r4 evidence and
-#     LEAD tier 2 next round;
-#   tier 3: everything r5/r6-verified.
-# 9 + 2 + 39 = 50. After this window, every catalog query's newest
-# driver evidence is ≥ r4, and the oldest block is the seven-query r4
-# tail above.
-_NEW_OR_CHANGED_R7 = {
-    "q119_latin_cor_two_pipes",        # changed: scale-invariant COR/COV rounding
-    "q74_latin_cube",                  # changed: 2-decimal total rounding
-    "q122_latin_scripting_udf",        # changed: Arrow-optimized UDF path
-    "q124_tfidf_top_terms",            # new: TF-IDF top-k terms
-    "q125_hashed_quality_classifier",  # new: hashed linear classifier
-    "q126_dsir_importance",            # new: DSIR importance weighting
-    "q88_contamination",               # changed: xxhash64 gram hashing
-    "q42_ngram_jaccard",               # changed: xxhash64 posting keys
-    "q127_referrer_analysis",          # new: piggybank referrer rollup
+#   tier 0 (3): new-in-r8 queries + queries whose lowering changed
+#     this round and must re-earn a green driver row — q128 (broadcast
+#     weight classifier, new), q129 (paragraph dedup, new), q127
+#     (SearchEngineExtractor moved to the reference's exact-match
+#     lookup and SearchQuery's empty-param semantics changed);
+#   tier 1 (7): the r4-evidence tail r7's window committed to lead
+#     this round (VERDICT r7 missing #1 / next #2) — q44_cosine_topk,
+#     q46_ann_lsh, q47_lang_id, q48_quality_score, q49_fingerprint,
+#     q50_token_stats, q51_join_qualified;
+#   tier 2 (38): the ENTIRE r5-evidence block, alphabetical — after
+#     this window no catalog query's newest driver evidence predates
+#     r6;
+#   tier 3 (2): the two alphabetically-first r6-evidence queries
+#     (q09_join_multiway, q100_incremental_dedup) fill the window;
+#   tier 4: everything r6/r7-verified.
+# 3 + 7 + 38 + 2 = 50.
+_NEW_OR_CHANGED_R8 = {
+    "q128_classifier_broadcast_weights",  # new: trained-weight-array classifier
+    "q129_paragraph_dedup",               # new: paragraph-level exact dedup
+    "q127_referrer_analysis",             # changed: exact-match engine lookup
 }
-# newest driver evidence = round 3: the two stragglers r6's window
-# arithmetic squeezed out (VERDICT r6 #4) — tier 1, never again
-_STALE_R3 = {"q98_latin_window_over", "q99_piggybank_funcs"}
-# newest driver evidence = round 4 — tier 2 (alphabetical; the window
-# takes the first 43, the 4-entry tail leads this tier next round)
-_FRESH_R4 = {
-    "q106_cms_frequencies", "q107_latin_multi_stitch", "q108_latin_unordered_limit",
-    "q109_incremental_dedup_verified", "q110_latin_flatten_with_aggs", "q111_domain_caps",
-    "q11_anti_join", "q12_cross",
-    "q15_cogroup", "q16_group_flatten", "q17_rank_by", "q18_rank_dense",
-    "q20_cube", "q21_rollup", "q22_split", "q23_nested_topk", "q24_scalar",
-    "q25_case_in", "q26_regex_match", "q27_string_funcs", "q28_math_funcs",
-    "q29_datetime_funcs", "q30_group_null_keys", "q33_tokenize_wordcount",
-    "q34_assert", "q35_intersect_except", "q36_window_over", "q37_ntile_stats",
-    "q40_dedup_exact", "q41_minhash_pairs", "q42_ngram_jaccard", "q43_simhash",
+# the seven-query r4 tail — committed in r7 to lead this window
+_STALE_R4_TAIL = {
     "q44_cosine_topk", "q46_ann_lsh", "q47_lang_id", "q48_quality_score",
     "q49_fingerprint", "q50_token_stats", "q51_join_qualified",
-    "pm01_map_flatten_bincond", "pm02_replicated_join", "pm03_join_group_sum",
-    "pm04_nested_distinct_count", "pm05_cogroup_anti", "pm09_order_single",
-    "pm10_order_mixed", "pm11_distinct_union",
 }
+# newest driver evidence = round 5 — the whole block fits this window
+_FRESH_R5 = {
+    "pm06_multikey_group", "pm07_nested_filter_counts", "pm08_group_all",
+    "pm12_split_multistore", "pm13_left_outer_join", "pm14_merge_join",
+    "pm15_multi_distinct", "pm16_nested_order_sum", "pm17_wide_group_key",
+    "q01_group_agg", "q02_filter_project", "q03_order_limit", "q04_distinct",
+    "q05_join_inner", "q06_join_left", "q07_join_full", "q08_join_replicated",
+    "q115_latin_hive_udf", "q13_union_onschema", "q14_union_positional",
+    "q19_rank_global", "q32_sample", "q45_cosine_pairs", "q54_map_ops",
+    "q56_theta_join", "q61_median", "q62_corr_cov", "q63_decimal_types",
+    "q64_bloom_filter", "q68_ann_ivf", "q69_range_join", "q70_latin_script",
+    "q71_latin_join_script", "q72_latin_nested_block", "q73_latin_macro",
+    "q76_corpus_clean", "q80_skewed_join", "q81_latin_bigdata_chain",
+}
+# window filler: oldest r6 evidence, alphabetical-first two
+_R6_FILLER = {"q09_join_multiway", "q100_incremental_dedup"}
 
 
 def _order_key(name: str) -> tuple[int, str]:
-    if name in _NEW_OR_CHANGED_R7:
+    if name in _NEW_OR_CHANGED_R8:
         return (0, name)
-    if name in _STALE_R3:
+    if name in _STALE_R4_TAIL:
         return (1, name)
-    if name in _FRESH_R4:
+    if name in _FRESH_R5:
         return (2, name)
-    return (3, name)  # r5/r6-fresh evidence — verified recently, go last
+    if name in _R6_FILLER:
+        return (3, name)
+    return (4, name)  # r6/r7-fresh evidence — verified recently, go last
 
 
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {

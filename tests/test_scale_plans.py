@@ -348,6 +348,40 @@ def test_hashed_classifier_plan_map_only(spark, sf_dir):
     assert phys.count("md5(") == 1, phys.count("md5(")
 
 
+def test_broadcast_weight_classifier_plan_map_only(spark, sf_dir):
+    """q128 (classifier with a GENUINE trained-weight array): the
+    4096-double weight table is a codegen constant probed by bucket
+    index — the plan must keep q125's map-only shape exactly: zero
+    exchanges, zero Python, pruned scan, single-md5 CSE."""
+    from pig_spark.queries import q128_classifier_broadcast_weights
+
+    df = q128_classifier_broadcast_weights(spark, sf_dir)
+    phys = df._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in phys, phys
+    assert "PythonUDF" not in phys and "EvalPython" not in phys, phys
+    assert "ReadSchema: struct<doc_id:bigint,text:string>" in phys, phys
+    assert phys.count("md5(") == 1, phys.count("md5(")
+    # the weight lookup is an element_at probe into the literal array,
+    # not re-derived bucket arithmetic
+    assert "element_at" in phys, phys
+
+
+def test_paragraph_dedup_plan_two_exchanges(spark, sf_dir):
+    """q129 (paragraph-level exact dedup): exactly TWO exchanges, both
+    irreducible — the md5 paragraph-key hash partitioning for the
+    first-occurrence window and the doc_id regroup for the rebuild.
+    Paragraph synthesis/hash/rebuild are whole-stage codegen — no
+    Python, no broadcast, no extra shuffle."""
+    from pig_spark.queries import q129_paragraph_dedup
+
+    df = q129_paragraph_dedup(spark, sf_dir)
+    phys = df._jdf.queryExecution().executedPlan().toString()
+    assert phys.count("Exchange hashpartitioning") == 2, phys
+    assert "PythonUDF" not in phys and "EvalPython" not in phys, phys
+    assert "hashpartitioning(_w0" in phys or "hashpartitioning(md5" in phys, phys
+    assert "hashpartitioning(doc_id" in phys, phys
+
+
 def test_dsir_plan(spark, sf_dir):
     """q126 (DSIR importance weighting): TWO vocabulary counts are the
     only shuffles; both LMs fold to 1-row broadcasts; the per-doc
