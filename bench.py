@@ -129,11 +129,14 @@ def _scale_bench(spark, sf_dir: str, results: dict) -> None:
 
     copies = 5
     rot = ["aeiou", "eioua", "iouae", "ouaei", "uaeio"]
-    d = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "text")
+    # lang rides along untouched: the LM-family rung (q124/q125/q126,
+    # VERDICT r7 #7) needs it; the LSH headliners prune it at the scan
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "text", "lang")
     parts = [
         d.select(
             (F.col("doc_id") * copies + i).alias("doc_id"),
             F.translate(F.col("text"), "aeiou", rot[i]).alias("text"),
+            "lang",
         )
         for i in range(copies)
     ]
@@ -150,15 +153,23 @@ def _scale_bench(spark, sf_dir: str, results: dict) -> None:
         big.write.mode("overwrite").parquet(f"{tmp}/documents.parquet")
         for t in (tmp1, tmp):
             spark.read.parquet(f"{t}/documents.parquet").write.format("noop").mode("overwrite").save()
-        base: dict[str, float] = {}
-        large: dict[str, float] = {}
-        for name in (
+        # the LSH/CC/contamination family (whose sub-linear scaling is
+        # THE 100 TB claim) + the broadcast-statistics LM family
+        # (q124/q125/q126 — VERDICT r7 #7: their "no doc shuffle at any
+        # size" claim deserves the same rung evidence)
+        scale_rung = (
             "q41_minhash_pairs",
             "q42_ngram_jaccard",
             "q87_dedup_groups",
             "q88_contamination",
             "q100_incremental_dedup",
-        ):
+            "q124_tfidf_top_terms",
+            "q125_hashed_quality_classifier",
+            "q126_dsir_importance",
+        )
+        base: dict[str, float] = {}
+        large: dict[str, float] = {}
+        for name in scale_rung:
             t0 = time.time()
             QUERIES[name](spark, tmp1).write.format("noop").mode("overwrite").save()
             base[name] = round(time.time() - t0, 3)
@@ -183,6 +194,7 @@ def _scale_bench(spark, sf_dir: str, results: dict) -> None:
             d.select(
                 (F.col("doc_id") * c25 + i).alias("doc_id"),
                 F.translate(F.col("text"), alpha, alpha[i % 26:] + alpha[: i % 26]).alias("text"),
+                "lang",
             )
             for i in range(c25)
         ]
@@ -201,13 +213,7 @@ def _scale_bench(spark, sf_dir: str, results: dict) -> None:
             # identical data seconds later), so the repeat is the
             # scaling signal and first-vs-repeat is the noise control
             # — both readings are recorded.
-            for name in (
-                "q41_minhash_pairs",
-                "q42_ngram_jaccard",
-                "q87_dedup_groups",
-                "q88_contamination",
-                "q100_incremental_dedup",
-            ):
+            for name in scale_rung:
                 t0 = time.time()
                 QUERIES[name](spark, tmp25).write.format("noop").mode("overwrite").save()
                 q25[name] = round(time.time() - t0, 3)
@@ -279,8 +285,13 @@ def _pigmix_scale_bench(spark, sf_dir: str, results: dict) -> None:
 
 
 # markers for the previous-round control A/B: one per major plan
-# family (agg, rank window, LSH dedup, banded cosine, staged corpus
-# clean, broadcast contamination)
+# family (VERDICT r7 #5 widened the panel from 6 to 12 so each family
+# has its own noise-controlled code-attribution signal): agg, rank
+# window, LSH dedup, banded cosine, staged corpus clean, broadcast
+# contamination, connected-components grouping, ANN IVF, Latin nested
+# ORDER+LIMIT, native window (Latin Over), broadcast-LM statistics,
+# broadcast-idf TF-IDF. Markers absent from the control round's
+# catalog are skipped automatically (the loop guards on .get).
 _CONTROL_MARKERS = [
     "q01_group_agg",
     "q17_rank_by",
@@ -288,6 +299,12 @@ _CONTROL_MARKERS = [
     "q45_cosine_pairs",
     "q76_corpus_clean",
     "q88_contamination",
+    "q87_dedup_groups",
+    "q68_ann_ivf",
+    "q79_latin_nested_limit",
+    "q98_latin_window_over",
+    "q121_unigram_lm_score",
+    "q124_tfidf_top_terms",
 ]
 
 
@@ -412,11 +429,24 @@ def main():
 
     from pig_spark.pigmix import PIGMIX_QUERIES
 
-    timings: dict[str, float] = {}
-    for name in HEADLINE + sorted(PIGMIX_QUERIES):
-        t0 = time.time()
-        QUERIES[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
-        timings[name] = round(time.time() - t0, 3)
+    # median-of-N headline (VERDICT r7 #5: round grading hinges on a
+    # ±13% box — medians over round-robin passes absorb the
+    # multi-tenant transient; round-robin, not back-to-back, so one
+    # noisy window can't poison all of a query's samples)
+    n_runs = int(os.environ.get("SPARK_GRAFT_HEADLINE_RUNS", "3"))
+    names = HEADLINE + sorted(PIGMIX_QUERIES)
+    samples: dict[str, list[float]] = {name: [] for name in names}
+    for _ in range(n_runs):
+        for name in names:
+            t0 = time.time()
+            QUERIES[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
+            samples[name].append(round(time.time() - t0, 3))
+
+    import statistics
+
+    timings: dict[str, float] = {
+        name: round(statistics.median(s), 3) for name, s in samples.items()
+    }
 
     _skew_bench(spark, sf_dir, timings)
 
@@ -426,6 +456,8 @@ def main():
         "value": total,
         "unit": "sec",
         "queries": timings,
+        "headline_runs": n_runs,
+        "queries_all_runs": samples,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
     }
     if os.environ.get("SPARK_GRAFT_CONTROL", "1") != "0":
@@ -445,10 +477,31 @@ def main():
     print(json.dumps(_audit_summary(results)))
 
 
+def _artifact_identity(repo: str) -> dict:
+    """Identity stamp for a full-results artifact: the HEAD commit the
+    bench ran on + wall-clock save time — so a later reader (or next
+    round's geo-mean) can say WHICH code produced the reference
+    numbers (VERDICT r7 wrong #1: the rolling prev file was overwritten
+    in place, making the published geomean unreproducible)."""
+    import subprocess
+    from datetime import datetime, timezone
+
+    ident = {"saved_at": datetime.now(timezone.utc).strftime("%Y-%m-%dT%H:%M:%SZ")}
+    try:
+        ident["commit"] = subprocess.run(
+            ["git", "-C", repo, "rev-parse", "--short=12", "HEAD"],
+            capture_output=True, text=True, check=True,
+        ).stdout.strip()
+    except Exception:
+        ident["commit"] = "unknown"
+    return ident
+
+
 def _audit_summary(results: dict) -> dict:
     """≤ ~1900 chars: total, per-query headline timings (2dp), control
     ref+subject+per-marker current/control ratios, geo-mean of this
-    round's timings vs the previous full artifact, scale-rung ratios."""
+    round's timings vs the previous full artifact (NAMED by commit),
+    scale-rung first+repeat ratios."""
     import math
 
     # per-SF prev artifact: a local sf0.01 iteration must not replace
@@ -463,9 +516,23 @@ def _audit_summary(results: dict) -> dict:
             prev = None
     except Exception:
         pass
+    results["artifact_id"] = _artifact_identity(repo)
     try:
         with open(prev_path, "w") as fh:
             json.dump(results, fh)
+        # per-commit snapshot alongside the rolling file: the rolling
+        # file serves next run's geo-mean; the snapshot preserves THIS
+        # run for post-hoc audit (never overwritten — one file per
+        # commit+sf, later runs on the same commit keep the first)
+        snap_dir = os.path.join(repo, "tools", "bench_snapshots")
+        os.makedirs(snap_dir, exist_ok=True)
+        snap = os.path.join(
+            snap_dir,
+            f"bench_full_sf{results['sf']}_{results['artifact_id']['commit']}.json",
+        )
+        if not os.path.exists(snap):
+            with open(snap, "w") as fh:
+                json.dump(results, fh)
     except Exception:
         pass
 
@@ -499,13 +566,23 @@ def _audit_summary(results: dict) -> dict:
         if logs:
             summary["geomean_vs_prev"] = round(math.exp(sum(logs) / len(logs)), 3)
             summary["geomean_n"] = len(logs)
+            # name the reference artifact (VERDICT r7 #1): without
+            # this, the geomean silently compares against whichever
+            # run last wrote the rolling file
+            summary["geomean_ref"] = prev.get("artifact_id", {"commit": "pre-r8"})
     sl = results.get("sf_large") or {}
     if sl.get("queries_1x") and sl.get("queries_25x"):
-        # the adjacent REPEAT is the scaling signal (the first 25×
-        # reading carries the box's warm-up transient)
+        # BOTH readings per headliner (VERDICT r7 #2): [first, repeat]
+        # 25×/1× ratios — the repeat is the scaling signal, the first
+        # carries the box's warm-up transient; publishing both lets an
+        # auditor tell q41-at-18×-cold from q41-at-2.6×-warm without
+        # the (truncation-prone) raw sf_large block
         q25 = sl["queries_25x"]
         summary["scale_25x_over_1x"] = {
-            m.split("_")[0]: round(q25.get(f"{m}_repeat", q25[m]) / sl["queries_1x"][m], 1)
+            m.split("_")[0]: [
+                round(q25[m] / sl["queries_1x"][m], 1),
+                round(q25.get(f"{m}_repeat", q25[m]) / sl["queries_1x"][m], 1),
+            ]
             for m in sl["queries_1x"]
             if m in q25 and sl["queries_1x"][m] > 0
         }
