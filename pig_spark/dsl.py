@@ -417,8 +417,13 @@ class Relation:
     # diagnostics
     # ------------------------------------------------------------------
     def describe(self) -> str:
-        """DESCRIBE rel (GruntParser.java:296) — schema string."""
-        return self.df.schema.simpleString()
+        """DESCRIBE rel (GruntParser.java:296) — the schema in Pig's
+        Schema.toString format: ``{name: type,...}`` with Pig type
+        names (chararray/long/bag/tuple/map), r8 — was Spark
+        ``struct<...>`` DDL before."""
+        from .render import pig_schema_str
+
+        return pig_schema_str(self.df.schema)
 
     def explain(self, mode: str = "formatted") -> None:
         """EXPLAIN rel (GruntParser.java:330) — Catalyst plan."""

@@ -2289,7 +2289,21 @@ class PigTranslator:
             return None
         arg = e.args[0]
         if not isinstance(arg, G.Col):
-            return None
+            if isinstance(arg, (G.Num, G.Str, G.Bool)):
+                return None
+            # bag-valued EXPRESSION: COUNT(TOKENIZE(text)) in a plain
+            # FOREACH is Pig's per-tuple bag count (COUNT.java applied
+            # to the evaluated bag), not a grouped aggregate — probe
+            # the expression's type (the SIZE dispatch pattern) and
+            # lower to array functions when it is a bag
+            try:
+                c = self._expr(arg, rel)
+                dtype = rel.df.select(c.alias("__bag")).schema[0].dataType
+            except Exception:
+                return None
+            if not isinstance(dtype, T.ArrayType):
+                return None
+            return self._agg_over_bag(lfn, c, dtype.elementType, None)
         head, _, rest = arg.name.partition(".")
         if head.startswith("$") and head[1:].isdigit() and int(head[1:]) < len(rel.df.columns):
             # positional bag ref: COUNT($1) over a COGROUP row

@@ -70,6 +70,52 @@ def pig_repr(v) -> str:
     return str(v)
 
 
+#: Spark scalar simpleString → Pig type name (Schema.toString
+#: vocabulary — org/apache/pig/data/DataType.findTypeName)
+_SPARK_TO_PIG_TYPE = {
+    "string": "chararray",
+    "binary": "bytearray",
+    "int": "int",
+    "smallint": "int",
+    "tinyint": "int",
+    "bigint": "long",
+    "float": "float",
+    "double": "double",
+    "boolean": "boolean",
+    "timestamp": "datetime",
+    "timestamp_ntz": "datetime",
+    "date": "datetime",
+    "decimal(38,0)": "biginteger",
+}
+
+
+def pig_type_name(dt) -> str:
+    """Spark DataType → Pig schema-type string: struct → ``(f: t,..)``,
+    array → bag ``{f: t,..}`` (inner tuple anonymous, as Pig prints
+    it), map → ``map[t]``, decimals → biginteger/bigdecimal."""
+    from pyspark.sql import types as T
+
+    if isinstance(dt, T.StructType):
+        return "(" + ",".join(f"{f.name}: {pig_type_name(f.dataType)}" for f in dt.fields) + ")"
+    if isinstance(dt, T.ArrayType):
+        el = dt.elementType
+        if isinstance(el, T.StructType):
+            return "{" + ",".join(f"{f.name}: {pig_type_name(f.dataType)}" for f in el.fields) + "}"
+        return "{(" + pig_type_name(el) + ")}"
+    if isinstance(dt, T.MapType):
+        return f"map[{pig_type_name(dt.valueType)}]"
+    if isinstance(dt, T.DecimalType):
+        return _SPARK_TO_PIG_TYPE.get(dt.simpleString(), "bigdecimal")
+    return _SPARK_TO_PIG_TYPE.get(dt.simpleString(), dt.simpleString())
+
+
+def pig_schema_str(schema) -> str:
+    """A relation's schema in DESCRIBE's format (GruntParser.java:296 →
+    Schema.toString): ``{name: type,name: type}`` — e.g.
+    ``{group: chararray,A: {name: chararray,age: int}}``."""
+    return "{" + ",".join(f"{f.name}: {pig_type_name(f.dataType)}" for f in schema.fields) + "}"
+
+
 def render_row(row: Row) -> str:
     """One output tuple: ``(f1,f2,...)``."""
     return "(" + ",".join(pig_repr(f) for f in row) + ")"

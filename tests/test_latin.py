@@ -464,6 +464,70 @@ def test_realias(spark, sf_dir):
     assert rels["b"].df.columns == rels["a"].df.columns
 
 
+def test_grunt_describe_llm_families(spark):
+    """grunt.conf-style DESCRIBE sweep over the r7 LLM-pipeline query
+    families (VERDICT r7 stretch #8): four snippets — TF-IDF-shaped
+    group/count, classifier-shaped scoring FOREACH, DSIR-shaped
+    two-corpus join, and the apachelogparser referrer rollup — each
+    DESCRIBEd through the Grunt REPL. Pins both the interactive
+    surface and DESCRIBE's Pig-native schema format (r8:
+    ``alias: {name: type,...}``, Schema.toString — not Spark DDL)."""
+    import io
+
+    from pig_spark.grunt import Grunt
+
+    sf = "/root/testdata/sf0.001"
+    snippets = {
+        # tf-idf family: tokenize → group → per-(doc,term) counts
+        "tf: {doc_id: long,term: chararray,tf: long}": f"""
+            d = LOAD '{sf}/documents.parquet' USING ParquetLoader();
+            toks = FOREACH d GENERATE doc_id, FLATTEN(TOKENIZE(text)) AS term;
+            g = GROUP toks BY (doc_id, term);
+            tf = FOREACH g GENERATE FLATTEN(group) AS (doc_id, term), COUNT(toks) AS tf;
+            DESCRIBE tf;
+        """,
+        # classifier family: per-doc score + keep decision
+        "scored: {doc_id: long,n_tokens: long,score: double,keep: boolean}": f"""
+            d = LOAD '{sf}/documents.parquet' USING ParquetLoader();
+            scored = FOREACH d GENERATE doc_id,
+                COUNT(TOKENIZE(text)) AS n_tokens,
+                (double)SIZE(text) / 100.0 AS score,
+                ((double)SIZE(text) / 100.0 > 2.0 ? true : false) AS keep;
+            DESCRIBE scored;
+        """,
+        # DSIR family: target-slice vs full-corpus term stats joined
+        "ratio: {term: chararray,n_target: long,n_all: long}": f"""
+            d = LOAD '{sf}/documents.parquet' USING ParquetLoader();
+            toks = FOREACH d GENERATE lang, FLATTEN(TOKENIZE(text)) AS term;
+            tgt = FILTER toks BY lang == 'en';
+            ga = GROUP toks BY term;
+            gt = GROUP tgt BY term;
+            ca = FOREACH ga GENERATE group AS term, COUNT(toks) AS n_all;
+            ct = FOREACH gt GENERATE group AS term, COUNT(tgt) AS n_target;
+            j = JOIN ct BY term, ca BY term;
+            ratio = FOREACH j GENERATE ct::term AS term, n_target, n_all;
+            DESCRIBE ratio;
+        """,
+        # referrer family: apachelogparser extractors by class path
+        "eng: {engine: chararray,n_docs: long}": f"""
+            d = LOAD '{sf}/documents.parquet' USING ParquetLoader();
+            u = FOREACH d GENERATE doc_id,
+                org.apache.pig.piggybank.evaluation.util.apachelogparser.SearchEngineExtractor(
+                    CONCAT('http://google.com/search?q=', lang)) AS engine;
+            ge = GROUP u BY engine;
+            eng = FOREACH ge GENERATE group AS engine, COUNT(u) AS n_docs;
+            DESCRIBE eng;
+        """,
+    }
+    for expected, script in snippets.items():
+        buf = io.StringIO()
+        g = Grunt(spark, inp=io.StringIO(script + "\nquit\n"), out=buf)
+        g.loop()
+        out = buf.getvalue()
+        assert expected in out, (expected, out[:500])
+        assert "ERROR" not in out, out[:500]
+
+
 def test_grunt_utility_cmds(tmp_path, capsys):
     """Grunt fs/sh/cat/pwd utility commands (GruntParser.java)."""
     from pig_spark.latin.__main__ import _utility_cmd
