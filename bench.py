@@ -65,6 +65,9 @@ HEADLINE = [
     "q124_tfidf_top_terms",  # r7: broadcast idf map, per-row topk
     "q125_hashed_quality_classifier",  # r7: map-only hashed linear model
     "q126_dsir_importance",  # r7: two broadcast LMs, per-row log-ratio
+    "q128_classifier_broadcast_weights",  # r8: trained-weight-array probe
+    "q129_paragraph_dedup",  # r8: md5 para-key window + doc rebuild
+    "q130_bigram_lm_perplexity",  # r8: bigram LM w/ backoff, 2 shuffles
 ]
 
 

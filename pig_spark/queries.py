@@ -2560,6 +2560,118 @@ def q129_paragraph_dedup(spark: SparkSession, sf: str) -> DataFrame:
     return rebuilt.select("doc_id", "n_paras", "n_kept", "clean_text")
 
 
+def q130_bigram_lm_perplexity(spark: SparkSession, sf: str) -> DataFrame:
+    """Bigram LM quality scoring with interpolated unigram backoff —
+    the CCNet/KenLM perplexity filter one order up from q121: each
+    adjacent token pair (w1,w2) scores
+    ln(0.7·P(w2|w1) + 0.3·P(w2)), with P(w2|w1) from the top-B bigram
+    table (count(w1 w2)/count(w1)), P(w2) from the top-V unigram
+    table, and an OOV floor of 1e-9; documents are kept on mean pair
+    log-prob. Self-trained on the corpus (the q121/q126 pattern).
+
+    100 TB design: TWO token-sized shuffles total — the unigram count
+    and the bigram count (top-V/top-B are distributed TakeOrdered; the
+    bigram-conditional join probes the 8192-row top-B table as the
+    BROADCAST side against the unigram counts). The unigram count has
+    THREE consumers (top-V, total, conditional denominators) and Spark
+    reuses no exchange across them, so it is localCheckpointed ONCE —
+    a statistics-sized table (distinct tokens), the q87 lineage-cut
+    idiom; without it the plan re-scanned documents 5×. Both LM tables
+    fold into ONE 1-row broadcast (two map columns, ≤12k entries)
+    cross-joined once; per-doc scoring is pure per-row array codegen
+    over the STAGED gram array (tk staged first, so element_at inside
+    the gram lambda is an O(1) attribute probe — the module rule). No
+    doc_id shuffle anywhere."""
+    from pyspark.sql import functions as F
+
+    V, B, OOV, LAMBDA, THRESH = 4096, 8192, 1e-9, 0.7, -3.5
+    d = spark.read.parquet(f"{sf}/documents.parquet").select("doc_id", "text")
+    toks = F.filter(F.split(F.lower(F.trim(F.col("text"))), r"\s+"), lambda x: x != "")
+    td = d.select("doc_id", toks.alias("tk"))
+
+    # unigram table: ONE aggregate, materialized once for its three
+    # consumers (top-V, total, P(w2|w1) denominators)
+    flat = td.select(F.explode("tk").alias("t"))
+    cnt = flat.groupBy("t").agg(F.count(F.lit(1)).alias("c")).localCheckpoint()
+    total = cnt.agg(F.sum("c").alias("n"))
+    uvocab = (
+        cnt.orderBy(F.desc("c"), F.asc("t"))
+        .limit(V)
+        .crossJoin(F.broadcast(total))
+        .select("t", F.log(F.col("c") / F.col("n")).alias("lp"))
+    )
+
+    # gram array: struct<g: 'w1 w2', w2> per adjacent pair — staged
+    # AFTER td so the lambda probes tk as a column attribute
+    grams = F.transform(
+        F.sequence(F.lit(1), F.greatest(F.size("tk") - 1, F.lit(1))),
+        lambda i: F.struct(
+            F.concat_ws(" ", F.slice(F.col("tk"), i, 2)).alias("g"),
+            # try_: the <2-token branch never takes this arm, but ANSI
+            # sessions must not even be able to see an index error
+            F.try_element_at(F.col("tk"), (i + 1).cast("int")).alias("w2"),
+        ),
+    )
+    gd = td.select(
+        "doc_id",
+        F.size("tk").cast("long").alias("n_tokens"),
+        F.when(F.size("tk") >= 2, grams)
+        .otherwise(F.array().cast("array<struct<g:string,w2:string>>"))
+        .alias("gs"),
+    )
+
+    # bigram table: second aggregate + top-B; the conditional P(w2|w1)
+    # denominator joins the 8k-row top-B as the BROADCAST build side
+    # against the unigram counts (one probe pass, no extra shuffle)
+    bcnt = gd.select(F.explode("gs").alias("s")).groupBy(F.col("s.g").alias("g")).agg(
+        F.count(F.lit(1)).alias("c2")
+    )
+    btop = bcnt.orderBy(F.desc("c2"), F.asc("g")).limit(B).select(
+        "g", "c2", F.split("g", " ")[0].alias("w1")
+    )
+    bvocab = cnt.join(F.broadcast(btop), cnt.t == btop.w1).select(
+        "g", F.log(F.col("c2") / F.col("c")).alias("lp")
+    )
+
+    # fold BOTH tables into one 1-row broadcast (the q126 fold)
+    lm = uvocab.agg(
+        F.map_from_entries(F.collect_list(F.struct("t", "lp"))).alias("__ulm")
+    ).crossJoin(
+        F.broadcast(
+            bvocab.agg(
+                F.map_from_entries(F.collect_list(F.struct("g", "lp"))).alias("__blm")
+            )
+        )
+    )
+
+    scored = gd.crossJoin(F.broadcast(lm)).select(
+        "doc_id",
+        "n_tokens",
+        F.size("gs").cast("long").alias("n_bigrams"),
+        F.aggregate(
+            F.transform(
+                F.col("gs"),
+                lambda s: F.log(
+                    F.lit(LAMBDA)
+                    * F.coalesce(F.exp(F.try_element_at(F.col("__blm"), s["g"])), F.lit(0.0))
+                    + F.lit(1.0 - LAMBDA)
+                    * F.coalesce(F.exp(F.try_element_at(F.col("__ulm"), s["w2"])), F.lit(OOV))
+                ),
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        ).alias("__sum"),
+    )
+    avg = F.when(F.col("n_bigrams") > 0, F.col("__sum") / F.col("n_bigrams"))
+    return scored.select(
+        "doc_id",
+        "n_tokens",
+        "n_bigrams",
+        F.round(avg, 6).alias("avg_logp"),
+        (avg > F.lit(THRESH)).alias("keep"),
+    )
+
+
 from .pigmix import PIGMIX_QUERIES  # noqa: E402  (avoids circular import)
 
 _ALL: dict[str, Callable[[SparkSession, str], DataFrame]] = {
@@ -2572,11 +2684,12 @@ _ALL.update(PIGMIX_QUERIES)
 # The driver's correctness gate checks the FIRST 50 entries in dict
 # order. Order by verification need, not by name (rebuilt each round;
 # the window arithmetic is EXACT — VERDICT r6 #3):
-#   tier 0 (3): new-in-r8 queries + queries whose lowering changed
+#   tier 0 (4): new-in-r8 queries + queries whose lowering changed
 #     this round and must re-earn a green driver row — q128 (broadcast
-#     weight classifier, new), q129 (paragraph dedup, new), q127
-#     (SearchEngineExtractor moved to the reference's exact-match
-#     lookup and SearchQuery's empty-param semantics changed);
+#     weight classifier, new), q129 (paragraph dedup, new), q130
+#     (bigram LM with backoff, new), q127 (SearchEngineExtractor moved
+#     to the reference's exact-match lookup and SearchQuery's
+#     empty-param semantics changed);
 #   tier 1 (7): the r4-evidence tail r7's window committed to lead
 #     this round (VERDICT r7 missing #1 / next #2) — q44_cosine_topk,
 #     q46_ann_lsh, q47_lang_id, q48_quality_score, q49_fingerprint,
@@ -2584,13 +2697,14 @@ _ALL.update(PIGMIX_QUERIES)
 #   tier 2 (38): the ENTIRE r5-evidence block, alphabetical — after
 #     this window no catalog query's newest driver evidence predates
 #     r6;
-#   tier 3 (2): the two alphabetically-first r6-evidence queries
-#     (q09_join_multiway, q100_incremental_dedup) fill the window;
+#   tier 3 (1): the alphabetically-first r6-evidence query
+#     (q09_join_multiway) fills the window;
 #   tier 4: everything r6/r7-verified.
-# 3 + 7 + 38 + 2 = 50.
+# 4 + 7 + 38 + 1 = 50.
 _NEW_OR_CHANGED_R8 = {
     "q128_classifier_broadcast_weights",  # new: trained-weight-array classifier
     "q129_paragraph_dedup",               # new: paragraph-level exact dedup
+    "q130_bigram_lm_perplexity",          # new: bigram LM w/ unigram backoff
     "q127_referrer_analysis",             # changed: exact-match engine lookup
 }
 # the seven-query r4 tail — committed in r7 to lead this window
@@ -2612,8 +2726,8 @@ _FRESH_R5 = {
     "q71_latin_join_script", "q72_latin_nested_block", "q73_latin_macro",
     "q76_corpus_clean", "q80_skewed_join", "q81_latin_bigdata_chain",
 }
-# window filler: oldest r6 evidence, alphabetical-first two
-_R6_FILLER = {"q09_join_multiway", "q100_incremental_dedup"}
+# window filler: oldest r6 evidence, alphabetical-first
+_R6_FILLER = {"q09_join_multiway"}
 
 
 def _order_key(name: str) -> tuple[int, str]:

@@ -122,6 +122,10 @@ _CARTESIAN_OK = {
     # same shape again: two folded 1-row LM maps + their count scalars,
     # all explicit F.broadcast (dedicated pin: test_dsir_plan)
     "q126_dsir_importance",
+    # same shape: 1-row unigram+bigram LM fold, total scalar — every
+    # cross has an explicit broadcast hint (dedicated pin:
+    # test_bigram_lm_plan asserts 1 exchange / 2 scans / no Python)
+    "q130_bigram_lm_perplexity",
 }
 
 
@@ -380,6 +384,25 @@ def test_paragraph_dedup_plan_two_exchanges(spark, sf_dir):
     assert "PythonUDF" not in phys and "EvalPython" not in phys, phys
     assert "hashpartitioning(_w0" in phys or "hashpartitioning(md5" in phys, phys
     assert "hashpartitioning(doc_id" in phys, phys
+
+
+def test_bigram_lm_plan(spark, sf_dir):
+    """q130 (bigram LM with backoff): the final plan carries exactly
+    ONE token-sized hash exchange (the bigram count — the unigram
+    count ran once into a localCheckpoint) and two documents scans
+    (bigram count + scoring); top-V/top-B are distributed TakeOrdered;
+    no doc_id partitioning, no Python."""
+    from pig_spark.queries import q130_bigram_lm_perplexity
+
+    df = q130_bigram_lm_perplexity(spark, sf_dir)
+    phys = df._jdf.queryExecution().executedPlan().toString()
+    opt = df._jdf.queryExecution().optimizedPlan().toString()
+    assert phys.count("Exchange hashpartitioning") == 1, phys
+    assert phys.count("Scan parquet") == 2, phys
+    assert phys.count("TakeOrderedAndProject") == 2, phys
+    assert "hashpartitioning(doc_id" not in phys, phys
+    assert "PythonUDF" not in opt
+    assert not unpartitioned_windows(opt), unpartitioned_windows(opt)
 
 
 def test_dsir_plan(spark, sf_dir):
