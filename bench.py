@@ -68,6 +68,7 @@ HEADLINE = [
     "q128_classifier_broadcast_weights",  # r8: trained-weight-array probe
     "q129_paragraph_dedup",  # r8: md5 para-key window + doc rebuild
     "q130_bigram_lm_perplexity",  # r8: bigram LM w/ backoff, 2 shuffles
+    "q131_url_canonical_dedup",  # r8: codegen canonicalize + 1 shuffle
 ]
 
 

@@ -394,3 +394,47 @@ def term_counts(tokens: Column) -> Column:
 
     staged_sorted = F.array(F.array_sort(tokens))  # bind sorted array once
     return F.element_at(F.transform(staged_sorted, _counts), 1)
+
+
+# ----------------------------------------------------------------------
+# URL canonicalization (crawl dedup / frequency analysis) — r8
+# ----------------------------------------------------------------------
+
+#: query parameters stripped by canonical_url (tracking noise that
+#: multiplies surface forms of the same page in crawl data)
+TRACKING_PARAM_RE = r"^(utm_[^=]*|fbclid|gclid|msclkid|ref)="
+
+
+def canonical_url(col: Column) -> Column:
+    """Canonical form of a URL for crawl-level dedup (the
+    C4/CommonCrawl preprocessing rule set): lowercase scheme+host,
+    strip one leading ``www.``, drop default ports (:80/:443), drop
+    the fragment, strip trailing path slashes (root stays ``/``),
+    remove tracking query params (utm_*, fbclid, gclid, msclkid, ref)
+    and SORT the survivors so param order can't split a page.
+
+    Pure per-row codegen — regex/split/filter/sort/join, no UDF, no
+    lookaround (portable to RE2 oracles). NULL/empty pass through."""
+    u = F.trim(col)
+    nofrag = F.regexp_replace(u, r"#.*$", "")
+    head = F.regexp_extract(nofrag, r"^([A-Za-z][A-Za-z0-9+.\-]*://[^/?#]*)", 1)
+    rest = nofrag.substr(F.length(head) + 1, F.length(nofrag))
+    h = F.lower(head)
+    h = F.regexp_replace(h, r":(443|80)$", "")
+    h = F.regexp_replace(h, r"^(https?://)www\.", r"$1")
+    path = F.regexp_extract(rest, r"^([^?]*)", 1)
+    query = F.regexp_extract(rest, r"^[^?]*\?(.*)$", 1)
+    cpath = F.regexp_replace(path, r"/+$", "")
+    cpath = F.when(cpath == "", F.lit("/")).otherwise(cpath)
+    params = F.filter(
+        F.split(query, "&"),
+        lambda p: (p != "") & ~p.rlike(TRACKING_PARAM_RE),
+    )
+    cquery = F.array_join(F.array_sort(params), "&")
+    out = F.concat(
+        h,
+        cpath,
+        F.when(cquery == "", F.lit("")).otherwise(F.concat(F.lit("?"), cquery)),
+    )
+    # unparseable (no scheme://host) or empty input: pass through
+    return F.when(col.isNull() | (head == ""), u).otherwise(out)

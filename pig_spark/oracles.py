@@ -860,6 +860,49 @@ def oracle_sql() -> dict[str, str]:
                    round(a.al, 6) AS avg_logp,
                    a.al > -3.5 AS keep
             FROM gd g LEFT JOIN agg a ON g.doc_id = a.doc_id""",
+        "q131_url_canonical_dedup": """
+            WITH u AS (SELECT doc_id,
+                              CASE CAST(doc_id % 4 AS INT)
+                                   WHEN 0 THEN 'https://example.com/page/' || (doc_id // 4)
+                                           || '?id=' || (doc_id // 4)
+                                   WHEN 1 THEN 'HTTPS://WWW.EXAMPLE.COM:443/page/' || (doc_id // 4)
+                                           || '?id=' || (doc_id // 4) || '#frag'
+                                   WHEN 2 THEN 'https://example.com/page/' || (doc_id // 4)
+                                           || '/?utm_source=x&id=' || (doc_id // 4)
+                                   ELSE 'https://example.com/page/' || (doc_id // 4)
+                                        || '?id=' || (doc_id // 4) || '&utm_campaign=y&fbclid=z'
+                              END AS url
+                       FROM documents),
+                 parts AS (SELECT doc_id,
+                                  regexp_replace(trim(url), '#.*$', '') AS nofrag
+                           FROM u),
+                 split1 AS (SELECT doc_id, nofrag,
+                                   regexp_extract(nofrag,
+                                       '^([A-Za-z][A-Za-z0-9+.\\-]*://[^/?#]*)', 1) AS head
+                            FROM parts),
+                 split2 AS (SELECT doc_id,
+                                   regexp_replace(
+                                       regexp_replace(lower(head), ':(443|80)$', ''),
+                                       '^(https?://)www\\.', '\\1') AS h,
+                                   substr(nofrag, length(head) + 1) AS rest
+                            FROM split1),
+                 split3 AS (SELECT doc_id, h,
+                                   regexp_extract(rest, '^([^?]*)', 1) AS path,
+                                   regexp_extract(rest, '^[^?]*\\?(.*)$', 1) AS query
+                            FROM split2),
+                 canon AS (SELECT doc_id,
+                                  h ||
+                                  (CASE WHEN regexp_replace(path, '/+$', '') = '' THEN '/'
+                                        ELSE regexp_replace(path, '/+$', '') END) ||
+                                  (CASE WHEN cq = '' THEN '' ELSE '?' || cq END) AS curl
+                           FROM (SELECT doc_id, h, path,
+                                        array_to_string(list_sort(list_filter(
+                                            string_split(query, '&'),
+                                            p -> p <> '' AND NOT regexp_matches(p,
+                                                '^(utm_[^=]*|fbclid|gclid|msclkid|ref)='))), '&') AS cq
+                                 FROM split3) t)
+            SELECT curl, COUNT(*) AS n_dups, MIN(doc_id) AS keep_doc_id
+            FROM canon GROUP BY curl""",
         "q125_hashed_quality_classifier": """
             WITH d AS (SELECT doc_id,
                               list_filter(string_split_regex(trim(text), '\\s+'),

@@ -2672,6 +2672,53 @@ def q130_bigram_lm_perplexity(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q131_url_canonical_dedup(spark: SparkSession, sf: str) -> DataFrame:
+    """Crawl-level URL deduplication by canonical form
+    (functions/text.canonical_url — the C4/CommonCrawl rule set:
+    lowercase scheme+host, strip www./default ports/fragments/trailing
+    slashes, drop tracking params, sort the rest): surface-form
+    variants of the same page collapse to one canonical key; the
+    keeper is the lowest doc_id. URLs are synthesized deterministically
+    (the q127 pattern — the corpus carries none): every 4 docs share a
+    page, each presented in a different messy surface form (uppercase
+    scheme+host+:443+fragment, trailing-slash+utm_, appended
+    fbclid/utm_ params).
+
+    100 TB design: canonicalization is pure per-row codegen in the
+    scan projection (regex + split/filter/sort/join, no UDF, no
+    lookaround); the ONLY shuffle is the groupBy on the canonical
+    string key — cardinality ≈ distinct pages, no skew (each key
+    carries only its surface variants). Plan-pinned."""
+    from pyspark.sql import functions as F
+
+    from .functions.text import canonical_url
+
+    d = spark.read.parquet(f"{sf}/documents.parquet").select("doc_id")
+    page = F.floor(F.col("doc_id") / 4).cast("long")
+    variant = (F.col("doc_id") % 4).cast("int")
+    p = page.cast("string")
+    url = (
+        F.when(variant == 0, F.concat(F.lit("https://example.com/page/"), p, F.lit("?id="), p))
+        .when(
+            variant == 1,
+            F.concat(F.lit("HTTPS://WWW.EXAMPLE.COM:443/page/"), p, F.lit("?id="), p, F.lit("#frag")),
+        )
+        .when(
+            variant == 2,
+            F.concat(F.lit("https://example.com/page/"), p, F.lit("/?utm_source=x&id="), p),
+        )
+        .otherwise(
+            F.concat(F.lit("https://example.com/page/"), p, F.lit("?id="), p, F.lit("&utm_campaign=y&fbclid=z")),
+        )
+    )
+    staged = d.select("doc_id", url.alias("__url"))
+    canon = staged.select("doc_id", canonical_url(F.col("__url")).alias("curl"))
+    return canon.groupBy("curl").agg(
+        F.count(F.lit(1)).alias("n_dups"),
+        F.min("doc_id").alias("keep_doc_id"),
+    )
+
+
 from .pigmix import PIGMIX_QUERIES  # noqa: E402  (avoids circular import)
 
 _ALL: dict[str, Callable[[SparkSession, str], DataFrame]] = {
@@ -2684,10 +2731,11 @@ _ALL.update(PIGMIX_QUERIES)
 # The driver's correctness gate checks the FIRST 50 entries in dict
 # order. Order by verification need, not by name (rebuilt each round;
 # the window arithmetic is EXACT — VERDICT r6 #3):
-#   tier 0 (4): new-in-r8 queries + queries whose lowering changed
+#   tier 0 (5): new-in-r8 queries + queries whose lowering changed
 #     this round and must re-earn a green driver row — q128 (broadcast
 #     weight classifier, new), q129 (paragraph dedup, new), q130
-#     (bigram LM with backoff, new), q127 (SearchEngineExtractor moved
+#     (bigram LM with backoff, new), q131 (canonical-URL dedup, new),
+#     q127 (SearchEngineExtractor moved
 #     to the reference's exact-match lookup and SearchQuery's
 #     empty-param semantics changed);
 #   tier 1 (7): the r4-evidence tail r7's window committed to lead
@@ -2697,14 +2745,13 @@ _ALL.update(PIGMIX_QUERIES)
 #   tier 2 (38): the ENTIRE r5-evidence block, alphabetical — after
 #     this window no catalog query's newest driver evidence predates
 #     r6;
-#   tier 3 (1): the alphabetically-first r6-evidence query
-#     (q09_join_multiway) fills the window;
-#   tier 4: everything r6/r7-verified.
-# 4 + 7 + 38 + 1 = 50.
+#   tier 3: everything r6/r7-verified.
+# 5 + 7 + 38 = 50.
 _NEW_OR_CHANGED_R8 = {
     "q128_classifier_broadcast_weights",  # new: trained-weight-array classifier
     "q129_paragraph_dedup",               # new: paragraph-level exact dedup
     "q130_bigram_lm_perplexity",          # new: bigram LM w/ unigram backoff
+    "q131_url_canonical_dedup",           # new: canonical-URL crawl dedup
     "q127_referrer_analysis",             # changed: exact-match engine lookup
 }
 # the seven-query r4 tail — committed in r7 to lead this window
@@ -2726,10 +2773,6 @@ _FRESH_R5 = {
     "q71_latin_join_script", "q72_latin_nested_block", "q73_latin_macro",
     "q76_corpus_clean", "q80_skewed_join", "q81_latin_bigdata_chain",
 }
-# window filler: oldest r6 evidence, alphabetical-first
-_R6_FILLER = {"q09_join_multiway"}
-
-
 def _order_key(name: str) -> tuple[int, str]:
     if name in _NEW_OR_CHANGED_R8:
         return (0, name)
@@ -2737,9 +2780,7 @@ def _order_key(name: str) -> tuple[int, str]:
         return (1, name)
     if name in _FRESH_R5:
         return (2, name)
-    if name in _R6_FILLER:
-        return (3, name)
-    return (4, name)  # r6/r7-fresh evidence — verified recently, go last
+    return (3, name)  # r6/r7-fresh evidence — verified recently, go last
 
 
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {

@@ -669,6 +669,33 @@ def test_term_counts_run_length(spark):
     ]
 
 
+def test_canonical_url(spark):
+    """text.canonical_url: the C4/CommonCrawl canonicalization rule
+    set — case, www., default ports, fragments, trailing slashes,
+    tracking params, and param order all collapse; distinct pages,
+    non-default ports and real params survive; junk passes through."""
+    from pyspark.sql import functions as F
+
+    from pig_spark.functions.text import canonical_url
+
+    cases = [
+        ("https://example.com/page/7?id=7", "https://example.com/page/7?id=7"),
+        ("HTTPS://WWW.EXAMPLE.COM:443/page/7?id=7#frag", "https://example.com/page/7?id=7"),
+        ("https://example.com/page/7/?utm_source=x&id=7", "https://example.com/page/7?id=7"),
+        ("https://example.com/page/7?id=7&utm_campaign=y&fbclid=z", "https://example.com/page/7?id=7"),
+        ("http://example.com:80/", "http://example.com/"),
+        ("http://example.com", "http://example.com/"),
+        ("http://example.com/a?b=2&a=1", "http://example.com/a?a=1&b=2"),  # sorted
+        ("http://example.com:8080/x", "http://example.com:8080/x"),  # non-default port kept
+        ("http://sub.example.com/x", "http://sub.example.com/x"),  # subdomain ≠ www
+        ("not a url", "not a url"),  # unparseable passes through
+        (None, None),
+    ]
+    df = spark.createDataFrame([(u,) for u, _ in cases], ["u"])
+    got = [r.c for r in df.select(canonical_url(F.col("u")).alias("c")).collect()]
+    assert got == [e for _, e in cases], list(zip(got, [e for _, e in cases]))
+
+
 def test_term_counts_convenience_not_quadratic(spark):
     """The r8 de-footgun: the convenience ``term_counts`` binds its
     sorted-array and run-starts intermediates through the

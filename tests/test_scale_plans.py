@@ -386,6 +386,19 @@ def test_paragraph_dedup_plan_two_exchanges(spark, sf_dir):
     assert "hashpartitioning(doc_id" in phys, phys
 
 
+def test_url_canonical_dedup_plan(spark, sf_dir):
+    """q131 (canonical-URL dedup): canonicalization is per-row codegen
+    in the scan projection; the ONLY exchange is the groupBy on the
+    canonical key. No Python, no window, no broadcast needed."""
+    from pig_spark.queries import q131_url_canonical_dedup
+
+    df = q131_url_canonical_dedup(spark, sf_dir)
+    phys = df._jdf.queryExecution().executedPlan().toString()
+    assert phys.count("Exchange hashpartitioning") == 1, phys
+    assert "PythonUDF" not in phys and "EvalPython" not in phys, phys
+    assert "ReadSchema: struct<doc_id:bigint>" in phys, phys
+
+
 def test_bigram_lm_plan(spark, sf_dir):
     """q130 (bigram LM with backoff): the final plan carries exactly
     ONE token-sized hash exchange (the bigram count — the unigram
