@@ -90,9 +90,12 @@ _SPARK_TO_PIG_TYPE = {
 
 
 def pig_type_name(dt) -> str:
-    """Spark DataType → Pig schema-type string: struct → ``(f: t,..)``,
-    array → bag ``{f: t,..}`` (inner tuple anonymous, as Pig prints
-    it), map → ``map[t]``, decimals → biginteger/bigdecimal."""
+    """Spark DataType → Pig schema-type string
+    (Schema.stringifySchema): struct → tuple ``(f: t,..)``, array →
+    bag ``{(f: t,..)}`` (a bag's inner schema is one anonymous TUPLE
+    field, so the parens print — `B: {group: bytearray,A: {(name:
+    bytearray,...)}}`), map → ``map[t]``, decimals →
+    biginteger/bigdecimal."""
     from pyspark.sql import types as T
 
     if isinstance(dt, T.StructType):
@@ -100,7 +103,7 @@ def pig_type_name(dt) -> str:
     if isinstance(dt, T.ArrayType):
         el = dt.elementType
         if isinstance(el, T.StructType):
-            return "{" + ",".join(f"{f.name}: {pig_type_name(f.dataType)}" for f in el.fields) + "}"
+            return "{" + pig_type_name(el) + "}"
         return "{(" + pig_type_name(el) + ")}"
     if isinstance(dt, T.MapType):
         return f"map[{pig_type_name(dt.valueType)}]"
