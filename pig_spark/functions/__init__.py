@@ -51,6 +51,9 @@ BPE_TOKEN_COUNT = text.bpe_token_count
 FINGERPRINT = text.fingerprint
 ROLLING_FINGERPRINT = text.rolling_hash_fingerprint
 REDACT = text.redact
+CANONICAL_URL = text.canonical_url  # r8: crawl-dedup URL normalization
+QUALITY_CLASSIFY = text.hashed_linear_score  # r8: fastText-style score
+TERM_COUNTS = text.term_counts  # r8: per-row term-frequency bag
 
 
 def CHUNKS(col: Column, chunk: int = 16, stride: int = 12) -> Column:

@@ -528,6 +528,26 @@ def test_grunt_describe_llm_families(spark):
         assert "ERROR" not in out, out[:500]
 
 
+def test_latin_r8_text_functions(spark):
+    """The r8 text additions are Latin-callable through the PF
+    registry: CANONICAL_URL (crawl dedup), QUALITY_CLASSIFY (hashed
+    linear score over a token bag), TERM_COUNTS (term-frequency
+    bag)."""
+    from pig_spark.latin import run
+
+    rels = run(spark, """
+        d = LOAD '/root/testdata/sf0.001/documents.parquet' USING ParquetLoader();
+        s = FOREACH d GENERATE doc_id,
+            CANONICAL_URL(CONCAT('HTTPS://WWW.EX.COM:443/a/?utm_source=x&q=', lang)) AS cu,
+            QUALITY_CLASSIFY(TOKENIZE(text)) AS score,
+            SIZE(TERM_COUNTS(TOKENIZE(text))) AS n_terms;
+    """)
+    rows = rels["s"].df.limit(5).collect()
+    assert all(r.cu.startswith("https://ex.com/a?q=") for r in rows)
+    assert all(r.score is not None for r in rows)
+    assert all(r.n_terms > 0 for r in rows)
+
+
 def test_grunt_utility_cmds(tmp_path, capsys):
     """Grunt fs/sh/cat/pwd utility commands (GruntParser.java)."""
     from pig_spark.latin.__main__ import _utility_cmd
