@@ -69,6 +69,7 @@ HEADLINE = [
     "q129_paragraph_dedup",  # r8: md5 para-key window + doc rebuild
     "q130_bigram_lm_perplexity",  # r8: bigram LM w/ backoff, 2 shuffles
     "q131_url_canonical_dedup",  # r8: codegen canonicalize + 1 shuffle
+    "q132_paragraph_near_dup",  # r8: exact-then-fuzzy paragraph dedup
 ]
 
 

@@ -161,9 +161,10 @@ def oracle_sql() -> dict[str, str]:
     pair_bands_sql = "\nUNION ALL\n".join(pair_band_selects)
 
     # shared minhash-LSH pair pipeline (q41 result set; q87 closes it
-    # transitively into components with a recursive min-label CTE)
-    minhash_ctes = f"""docs AS (SELECT doc_id, {_shingles('text')} AS sh FROM documents),
-            hashed AS (SELECT doc_id, sh, list_transform(sh, s -> {_h32('s')}) AS h FROM docs),
+    # transitively into components with a recursive min-label CTE).
+    # minhash_tail runs over ANY upstream `docs(doc_id, sh)` CTE —
+    # q132 reuses it over distinct PARAGRAPHS instead of documents.
+    minhash_tail = f"""hashed AS (SELECT doc_id, sh, list_transform(sh, s -> {_h32('s')}) AS h FROM docs),
             sigs AS (SELECT doc_id, {_minhash_sig_select()} FROM hashed),
             bands AS ({_band_rows()}),
             cands AS (
@@ -175,6 +176,20 @@ def oracle_sql() -> dict[str, str]:
                        round(CAST(len(list_filter(a.sh, x -> list_contains(b.sh, x))) AS DOUBLE)
                              / (len(a.sh) + len(b.sh) - len(list_filter(a.sh, x -> list_contains(b.sh, x)))), 6) AS jaccard
                 FROM cands c JOIN docs a ON c.id_a = a.doc_id JOIN docs b ON c.id_b = b.doc_id)"""
+    minhash_ctes = (
+        f"docs AS (SELECT doc_id, {_shingles('text')} AS sh FROM documents),\n            "
+        + minhash_tail
+    )
+    # min-label transitive closure over the verified pair stream
+    # (shared by q87/q91/q132)
+    cc_ctes = """pairs2 AS (SELECT id_a, id_b FROM verified WHERE jaccard >= 0.4),
+            ed AS (SELECT id_a AS a, id_b AS b FROM pairs2
+                   UNION SELECT id_b, id_a FROM pairs2),
+            nd AS (SELECT DISTINCT a AS node FROM ed),
+            reach(node, lbl) AS (
+                SELECT node, node FROM nd
+                UNION
+                SELECT ed.b, r.lbl FROM reach r JOIN ed ON ed.a = r.node WHERE r.lbl < ed.b)"""
 
     quality = f"""
         WITH t AS (SELECT doc_id, {_toks('text')} AS toks FROM documents),
@@ -860,6 +875,36 @@ def oracle_sql() -> dict[str, str]:
                    round(a.al, 6) AS avg_logp,
                    a.al > -3.5 AS keep
             FROM gd g LEFT JOIN agg a ON g.doc_id = a.doc_id""",
+        "q132_paragraph_near_dup": f"""
+            WITH RECURSIVE
+                 toks AS (SELECT doc_id,
+                                 list_filter(string_split_regex(trim(text), '\\s+'),
+                                             x -> x <> '') AS tk
+                          FROM documents),
+                 chunks AS (SELECT doc_id,
+                                   list_transform(range(0, CAST(ceil(len(tk) / 25.0) AS INT)),
+                                                  i -> array_to_string(tk[i*25+1 : i*25+25], ' ')) AS cs
+                            FROM toks),
+                 withbp AS (SELECT doc_id,
+                                   (CASE WHEN doc_id % 2 = 0
+                                         THEN ['subscribe to our newsletter for the latest updates edition '
+                                               || (doc_id % 7)]
+                                         ELSE CAST([] AS VARCHAR[]) END)
+                                   || cs ||
+                                   (CASE WHEN doc_id % 5 = 0
+                                         THEN ['all rights reserved unauthorized reproduction prohibited version '
+                                               || (doc_id % 3)]
+                                         ELSE CAST([] AS VARCHAR[]) END) AS ps
+                            FROM chunks),
+                 p AS (SELECT doc_id * 1024 + generate_subscripts(ps, 1) - 1 AS pid,
+                              unnest(ps) AS para
+                       FROM withbp),
+                 firstp AS (SELECT MIN(pid) AS doc_id, MIN(para) AS para
+                            FROM p GROUP BY md5(para)),
+                 docs AS (SELECT doc_id, {_shingles('para')} AS sh FROM firstp),
+                 {minhash_tail},
+                 {cc_ctes}
+            SELECT node AS pid, MIN(lbl) AS group_id FROM reach GROUP BY node""",
         "q131_url_canonical_dedup": """
             WITH u AS (SELECT doc_id,
                               CASE CAST(doc_id % 4 AS INT)

@@ -2492,6 +2492,35 @@ _PARA_BOILER_HEAD = "subscribe to our newsletter for the latest updates"
 _PARA_BOILER_TAIL = "all rights reserved unauthorized reproduction prohibited"
 
 
+def _synth_paragraphs(spark: SparkSession, sf: str, head, tail):
+    """Shared paragraph synthesis for q129/q132 (the corpus carries no
+    paragraph breaks): 25-token blocks plus the caller's injected
+    boilerplate head/tail array Columns. Returns (doc_id, n_paras,
+    pos, para) rows — map-only explode."""
+    from pyspark.sql import functions as F
+
+    from .functions.text import tokenize_ws
+
+    d = spark.read.parquet(f"{sf}/documents.parquet").select("doc_id", "text")
+    tk = d.select("doc_id", tokenize_ws(F.col("text")).alias("tk"))
+    # 25-token blocks; sequence(0, n-1) counts DOWN when n = 0 (the
+    # _grams clamp rule), so empty docs short-circuit to an empty array
+    n_chunks = F.ceil(F.size("tk") / F.lit(_PARA_TOKENS)).cast("int")
+    chunks = F.when(n_chunks > 0, F.transform(
+        F.sequence(F.lit(0), n_chunks - 1),
+        lambda i: F.array_join(
+            F.slice(F.col("tk"), i * _PARA_TOKENS + 1, _PARA_TOKENS), " "
+        ),
+    )).otherwise(F.array().cast("array<string>"))
+    return tk.select(
+        "doc_id", F.concat(head, chunks, tail).alias("ps")
+    ).select(
+        "doc_id",
+        F.size("ps").cast("long").alias("n_paras"),
+        F.posexplode("ps").alias("pos", "para"),
+    )
+
+
 def q129_paragraph_dedup(spark: SparkSession, sf: str) -> DataFrame:
     """Paragraph-level exact deduplication — the Gopher/C4
     preprocessing stage document-level dedup can't express: repeated
@@ -2517,32 +2546,13 @@ def q129_paragraph_dedup(spark: SparkSession, sf: str) -> DataFrame:
     from pyspark.sql import functions as F
     from pyspark.sql.window import Window
 
-    from .functions.text import tokenize_ws
-
-    d = spark.read.parquet(f"{sf}/documents.parquet").select("doc_id", "text")
-    tk = d.select("doc_id", tokenize_ws(F.col("text")).alias("tk"))
-    # 25-token blocks; sequence(0, n-1) counts DOWN when n = 0 (the
-    # _grams clamp rule), so empty docs short-circuit to an empty array
-    n_chunks = F.ceil(F.size("tk") / F.lit(_PARA_TOKENS)).cast("int")
-    chunks = F.when(n_chunks > 0, F.transform(
-        F.sequence(F.lit(0), n_chunks - 1),
-        lambda i: F.array_join(
-            F.slice(F.col("tk"), i * _PARA_TOKENS + 1, _PARA_TOKENS), " "
-        ),
-    )).otherwise(F.array().cast("array<string>"))
     head = F.when(
         F.col("doc_id") % 2 == 0, F.array(F.lit(_PARA_BOILER_HEAD))
     ).otherwise(F.array().cast("array<string>"))
     tail = F.when(
         F.col("doc_id") % 5 == 0, F.array(F.lit(_PARA_BOILER_TAIL))
     ).otherwise(F.array().cast("array<string>"))
-    paras = tk.select(
-        "doc_id", F.concat(head, chunks, tail).alias("ps")
-    ).select(
-        "doc_id",
-        F.size("ps").cast("long").alias("n_paras"),
-        F.posexplode("ps").alias("pos", "para"),
-    )
+    paras = _synth_paragraphs(spark, sf, head, tail)
     # first occurrence corpus-wide per paragraph hash wins
     w = Window.partitionBy(F.md5("para")).orderBy("doc_id", "pos")
     kept = paras.withColumn("rn", F.row_number().over(w)).where(F.col("rn") == 1)
@@ -2672,6 +2682,55 @@ def q130_bigram_lm_perplexity(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+#: q132 near-dup boilerplate bases (mirrored in oracles.py)
+_ND_HEAD = "subscribe to our newsletter for the latest updates edition"
+_ND_TAIL = "all rights reserved unauthorized reproduction prohibited version"
+
+
+def q132_paragraph_near_dup(spark: SparkSession, sf: str) -> DataFrame:
+    """Paragraph-level NEAR-duplicate grouping — the fuzzy-boilerplate
+    stage after q129's exact pass: exact-dedup paragraphs first (md5
+    groupBy, first occurrence wins — the industrial order: exact then
+    fuzzy), then minhash-LSH pairs + connected components over the
+    DISTINCT paragraphs, so template variants that differ in a token
+    or two ("...edition 3" vs "...edition 5") collapse into one group.
+    Synthesis: q129's 25-token blocks, but the injected head/tail
+    boilerplate carries a per-doc variant suffix (doc_id%7 / doc_id%3)
+    — cross-variant shingle Jaccard ≈ 0.6, above the 0.4 gate.
+    pid = doc_id*1024 + pos keeps paragraph identity reversible.
+
+    100 TB design: the exact pass bounds the fuzzy input to DISTINCT
+    paragraphs (the m² candidate expansion inside an LSH bucket of
+    identical texts never happens — they collapsed already); then the
+    q41/q87 machinery verbatim: band-bucket candidates (no self-join),
+    exact-Jaccard verify, log-round large-star/small-star CC. Output
+    is (pid, group_id) for every paragraph in a near-dup component."""
+    from pyspark.sql import functions as F
+
+    from .operators.graph import connected_components
+
+    k = F.col("doc_id")
+    head = F.when(
+        k % 2 == 0,
+        F.array(F.concat(F.lit(_ND_HEAD + " "), (k % 7).cast("string"))),
+    ).otherwise(F.array().cast("array<string>"))
+    tail = F.when(
+        k % 5 == 0,
+        F.array(F.concat(F.lit(_ND_TAIL + " "), (k % 3).cast("string"))),
+    ).otherwise(F.array().cast("array<string>"))
+    paras = _synth_paragraphs(spark, sf, head, tail).select(
+        (F.col("doc_id") * 1024 + F.col("pos")).alias("pid"), "para"
+    )
+    firstp = paras.groupBy(F.md5("para").alias("__h")).agg(
+        F.min("pid").alias("pid"), F.min("para").alias("para")
+    )
+    pairs = dedup.minhash_lsh_pairs(firstp, "para", "pid", threshold=0.4)
+    edges = pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
+    return connected_components(edges, "src", "dst").select(
+        F.col("node").alias("pid"), F.col("component").alias("group_id")
+    )
+
+
 def q131_url_canonical_dedup(spark: SparkSession, sf: str) -> DataFrame:
     """Crawl-level URL deduplication by canonical form
     (functions/text.canonical_url — the C4/CommonCrawl rule set:
@@ -2731,10 +2790,11 @@ _ALL.update(PIGMIX_QUERIES)
 # The driver's correctness gate checks the FIRST 50 entries in dict
 # order. Order by verification need, not by name (rebuilt each round;
 # the window arithmetic is EXACT — VERDICT r6 #3):
-#   tier 0 (5): new-in-r8 queries + queries whose lowering changed
+#   tier 0 (6): new-in-r8 queries + queries whose lowering changed
 #     this round and must re-earn a green driver row — q128 (broadcast
 #     weight classifier, new), q129 (paragraph dedup, new), q130
 #     (bigram LM with backoff, new), q131 (canonical-URL dedup, new),
+#     q132 (paragraph near-dup grouping, new),
 #     q127 (SearchEngineExtractor moved
 #     to the reference's exact-match lookup and SearchQuery's
 #     empty-param semantics changed);
@@ -2742,16 +2802,17 @@ _ALL.update(PIGMIX_QUERIES)
 #     this round (VERDICT r7 missing #1 / next #2) — q44_cosine_topk,
 #     q46_ann_lsh, q47_lang_id, q48_quality_score, q49_fingerprint,
 #     q50_token_stats, q51_join_qualified;
-#   tier 2 (38): the ENTIRE r5-evidence block, alphabetical — after
-#     this window no catalog query's newest driver evidence predates
-#     r6;
+#   tier 2 (37 of 38): the r5-evidence block, alphabetical; the
+#     single alphabetically-last entry (q81_latin_bigdata_chain)
+#     stays at r5 evidence and LEADS tier 2 next round;
 #   tier 3: everything r6/r7-verified.
-# 5 + 7 + 38 = 50.
+# 6 + 7 + 37 = 50.
 _NEW_OR_CHANGED_R8 = {
     "q128_classifier_broadcast_weights",  # new: trained-weight-array classifier
     "q129_paragraph_dedup",               # new: paragraph-level exact dedup
     "q130_bigram_lm_perplexity",          # new: bigram LM w/ unigram backoff
     "q131_url_canonical_dedup",           # new: canonical-URL crawl dedup
+    "q132_paragraph_near_dup",            # new: paragraph near-dup grouping
     "q127_referrer_analysis",             # changed: exact-match engine lookup
 }
 # the seven-query r4 tail — committed in r7 to lead this window
