@@ -70,6 +70,7 @@ HEADLINE = [
     "q130_bigram_lm_perplexity",  # r8: bigram LM w/ backoff, 2 shuffles
     "q131_url_canonical_dedup",  # r8: codegen canonicalize + 1 shuffle
     "q132_paragraph_near_dup",  # r8: exact-then-fuzzy paragraph dedup
+    "q133_multimodal_pipeline",  # r8: resize/frames/features codec chain
 ]
 
 

@@ -905,6 +905,39 @@ def oracle_sql() -> dict[str, str]:
                  {minhash_tail},
                  {cc_ctes}
             SELECT node AS pid, MIN(lbl) AS group_id FROM reach GROUP BY node""",
+        "q133_multimodal_pipeline": """
+            WITH b AS (SELECT doc_id, n_chars, text,
+                              CASE CAST(doc_id % 3 AS INT)
+                                   WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
+                                   ELSE 'video' END AS modality,
+                              CAST(doc_id % 640 + 16 AS INT) AS w,
+                              CAST((doc_id * 7) % 480 + 16 AS INT) AS h,
+                              CAST(n_chars * 10 AS INT) AS dur
+                       FROM documents),
+                 img AS (SELECT doc_id,
+                                CAST(floor(w * least(1.0, 256.0 / greatest(w, h, 1))) AS INT) AS new_w,
+                                CAST(floor(h * least(1.0, 256.0 / greatest(w, h, 1))) AS INT) AS new_h
+                         FROM b WHERE modality = 'image'),
+                 vid AS (SELECT doc_id,
+                                CAST(ceil(greatest(dur, 1) / 1000.0) AS BIGINT) AS n_frames
+                         FROM b WHERE modality = 'video'),
+                 fe AS (SELECT doc_id,
+                               list_transform(range(0, 16), j ->
+                                   len(list_filter(range(1, least(length(text), 64) + 1),
+                                       i -> ord(substr(text, CAST(i AS INT), 1)) % 16 = CAST(j AS INT)))) AS hist,
+                               greatest(least(length(text), 64), 1) AS tot
+                        FROM b),
+                 fx AS (SELECT doc_id,
+                               CAST(list_position(hist, list_max(hist)) - 1 AS INT) AS top_bucket,
+                               -- widen the float32 back to double BEFORE round:
+                               -- DuckDB's round(REAL) stays REAL and re-widens
+                               -- with garbage digits past the 7th
+                               round(CAST(CAST(CAST(list_max(hist) AS DOUBLE) / tot AS REAL) AS DOUBLE), 6) AS top_frac
+                        FROM fe)
+            SELECT b.doc_id, b.modality, img.new_w, img.new_h, vid.n_frames,
+                   fx.top_bucket, fx.top_frac
+            FROM b JOIN fx USING (doc_id)
+                   LEFT JOIN img USING (doc_id) LEFT JOIN vid USING (doc_id)""",
         "q131_url_canonical_dedup": """
             WITH u AS (SELECT doc_id,
                               CASE CAST(doc_id % 4 AS INT)

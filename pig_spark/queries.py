@@ -2778,6 +2778,59 @@ def q131_url_canonical_dedup(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q133_multimodal_pipeline(spark: SparkSession, sf: str) -> DataFrame:
+    """The FULL multimodal chain under the oracle gate (q67 covers
+    only the metadata round-trip): synthesize binary payloads →
+    modality split → image RESIZE (decode → aspect-preserving header
+    transform → re-encode → re-decode), video FRAME SAMPLING (one row
+    in → N frame rows out, every 1000 ms), and byte-histogram FEATURE
+    extraction for every payload — each an Arrow-batched mapInPandas
+    at the codec boundary, exactly where a real PIL/ffmpeg codec slots
+    in. The oracle predicts every output from (doc_id, n_chars, text)
+    arithmetic: resized dims, frame counts, and the argmax feature
+    bucket/fraction (fractions compared after an explicit float32
+    widen on both engines, so the ArrayType(FloatType) storage is
+    bit-reproducible).
+
+    100 TB design: Python appears ONLY at the codec boundary
+    (mapInPandas, Arrow batches, payloads never leave executors); the
+    joins reassembling the per-modality outputs are id-equi-joins.
+    One row per document."""
+    from .functions import multimodal as MM
+
+    d = _t(spark, sf, "documents").df
+    media = MM.media_from_documents(d)
+    imgs = MM.extract_metadata(
+        MM.resize_images(media.where(F.col("modality") == "image"), 256)
+    ).select(
+        "id",
+        F.col("meta.width").alias("new_w"),
+        F.col("meta.height").alias("new_h"),
+    )
+    vids = (
+        MM.sample_frames(media.where(F.col("modality") == "video"), 1000)
+        .groupBy("id")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_frames"))
+    )
+    feats = MM.extract_features(media)
+    top_idx = F.array_position(F.col("features"), F.array_max("features"))
+    fx = feats.select(
+        "id",
+        (top_idx - 1).cast("int").alias("top_bucket"),
+        F.round(F.array_max("features").cast("double"), 6).alias("top_frac"),
+    )
+    base = media.select("id", "modality")
+    return (
+        base.join(fx, "id")
+        .join(imgs, "id", "left")
+        .join(vids, "id", "left")
+        .select(
+            F.col("id").alias("doc_id"),
+            "modality", "new_w", "new_h", "n_frames", "top_bucket", "top_frac",
+        )
+    )
+
+
 from .pigmix import PIGMIX_QUERIES  # noqa: E402  (avoids circular import)
 
 _ALL: dict[str, Callable[[SparkSession, str], DataFrame]] = {
@@ -2790,11 +2843,12 @@ _ALL.update(PIGMIX_QUERIES)
 # The driver's correctness gate checks the FIRST 50 entries in dict
 # order. Order by verification need, not by name (rebuilt each round;
 # the window arithmetic is EXACT — VERDICT r6 #3):
-#   tier 0 (6): new-in-r8 queries + queries whose lowering changed
+#   tier 0 (7): new-in-r8 queries + queries whose lowering changed
 #     this round and must re-earn a green driver row — q128 (broadcast
 #     weight classifier, new), q129 (paragraph dedup, new), q130
 #     (bigram LM with backoff, new), q131 (canonical-URL dedup, new),
-#     q132 (paragraph near-dup grouping, new),
+#     q132 (paragraph near-dup grouping, new), q133 (multimodal
+#     resize/frames/features chain, new),
 #     q127 (SearchEngineExtractor moved
 #     to the reference's exact-match lookup and SearchQuery's
 #     empty-param semantics changed);
@@ -2802,17 +2856,19 @@ _ALL.update(PIGMIX_QUERIES)
 #     this round (VERDICT r7 missing #1 / next #2) — q44_cosine_topk,
 #     q46_ann_lsh, q47_lang_id, q48_quality_score, q49_fingerprint,
 #     q50_token_stats, q51_join_qualified;
-#   tier 2 (37 of 38): the r5-evidence block, alphabetical; the
-#     single alphabetically-last entry (q81_latin_bigdata_chain)
-#     stays at r5 evidence and LEADS tier 2 next round;
+#   tier 2 (36 of 38): the r5-evidence block, alphabetical; the two
+#     alphabetically-last entries (q80_skewed_join,
+#     q81_latin_bigdata_chain) stay at r5 evidence and LEAD tier 2
+#     next round;
 #   tier 3: everything r6/r7-verified.
-# 6 + 7 + 37 = 50.
+# 7 + 7 + 36 = 50.
 _NEW_OR_CHANGED_R8 = {
     "q128_classifier_broadcast_weights",  # new: trained-weight-array classifier
     "q129_paragraph_dedup",               # new: paragraph-level exact dedup
     "q130_bigram_lm_perplexity",          # new: bigram LM w/ unigram backoff
     "q131_url_canonical_dedup",           # new: canonical-URL crawl dedup
     "q132_paragraph_near_dup",            # new: paragraph near-dup grouping
+    "q133_multimodal_pipeline",           # new: full multimodal chain gate
     "q127_referrer_analysis",             # changed: exact-match engine lookup
 }
 # the seven-query r4 tail — committed in r7 to lead this window

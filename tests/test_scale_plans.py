@@ -91,6 +91,7 @@ def test_wholestage_codegen(lineitem):
 _PYTHON_OK = {
     "q52_stream_upper",  # stream pipe
     "q67_multimodal_meta",  # codec boundary
+    "q133_multimodal_pipeline",  # codec boundary (resize/frames/features)
     # scripting UDFs ARE the sanctioned row-at-a-time slow path (same
     # class as STREAM THROUGH — arbitrary user Python, REGISTER ...
     # USING jython); q122 exists to oracle-gate that engine
