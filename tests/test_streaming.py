@@ -230,6 +230,59 @@ def test_dedup_stream_matches_batch(spark, sf_dir):
     assert got == exp > 0
 
 
+def test_canonical_url_dedup_stream_matches_batch(spark, sf_dir, tmp_path):
+    """Crawl-ingest URL dedup as a stream: canonical_url (stateless
+    per-row codegen, applies to a readStream unchanged) feeding
+    dedup_stream on the canonical key — the streaming twin of q131.
+    The four messy surface forms of each page collapse to ONE stream
+    row, matching the batch distinct-canonical count."""
+    from pyspark.sql import functions as F
+
+    from pig_spark.functions.text import canonical_url
+    from pig_spark.streaming import dedup_stream
+
+    batch_df = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    src = (
+        spark.readStream.schema(batch_df.schema)
+        .option("pathGlobFilter", "documents.parquet")
+        .parquet(sf_dir)
+    )
+
+    def prep(df):
+        p = F.floor(F.col("doc_id") / 4).cast("long").cast("string")
+        url = (
+            F.when(F.col("doc_id") % 4 == 0, F.concat(F.lit("https://example.com/p/"), p))
+            .when(F.col("doc_id") % 4 == 1, F.concat(F.lit("HTTPS://WWW.EXAMPLE.COM:443/p/"), p, F.lit("#f")))
+            .when(F.col("doc_id") % 4 == 2, F.concat(F.lit("https://example.com/p/"), p, F.lit("/?utm_source=x")))
+            .otherwise(F.concat(F.lit("https://example.com/p/"), p, F.lit("?fbclid=z")))
+        )
+        return df.select(
+            "doc_id",
+            canonical_url(url).alias("curl"),
+            F.timestamp_seconds(F.lit(0) + F.col("doc_id")).alias("ts"),
+        )
+
+    q = (
+        dedup_stream(prep(src), ["curl"], "ts", watermark="365 days")
+        .groupBy()
+        .count()
+        .writeStream.format("memory")
+        .queryName("curl_dedup")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        q.awaitTermination(120)
+    finally:
+        q.stop()
+    got = spark.sql("SELECT * FROM curl_dedup").collect()[0]["count"]
+    exp = prep(batch_df).select("curl").distinct().count()
+    assert got == exp > 0
+    # and the canonicalization actually collapsed the 4 variants/page
+    assert exp == batch_df.select(F.floor(F.col("doc_id") / 4)).distinct().count()
+
+
 def test_enrich_stream_static_matches_batch(spark, sf_dir):
     """Stream-static broadcast enrichment equals the batch join."""
     from pig_spark.streaming import enrich
