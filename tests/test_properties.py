@@ -305,3 +305,52 @@ def test_hashed_linear_score_python_model(spark, texts):
     got = df.select(T.hashed_linear_score(T.tokenize_ws(F.col("t"))).alias("s")).collect()
     for text, row in zip(texts, got):
         assert row.s == model(text), (text, row.s, model(text))
+
+
+# URL-component strategies for the canonical_url battery: scheme/host
+# case noise, optional www./default ports, path with trailing-slash
+# noise, shuffled query params with tracking contaminants, fragments
+_scheme = st.sampled_from(["http", "HTTP", "https", "HTTPS", "hTtPs"])
+_host = st.builds(
+    lambda www, base, port: f"{'WWW.' if www else ''}{base}{port}",
+    st.booleans(),
+    st.sampled_from(["Example.COM", "sub.Example.org", "EX.net"]),
+    st.sampled_from(["", ":80", ":443", ":8080"]),
+)
+_path = st.builds(
+    lambda segs, slashes: "/" + "/".join(segs) + "/" * slashes if segs else "/" * slashes,
+    st.lists(st.sampled_from(["a", "B", "p7", "x_y"]), max_size=3),
+    st.integers(0, 2),
+)
+_param = st.sampled_from(
+    ["id=7", "q=spark", "a=1", "b=2", "utm_source=x", "utm_campaign=y", "fbclid=z", "gclid=g", "ref=r"]
+)
+_frag = st.sampled_from(["", "#frag", "#x/y?z"])
+
+
+@settings(max_examples=20, deadline=None)
+@given(_scheme, _host, _path, st.lists(_param, max_size=5, unique=True), _frag)
+def test_canonical_url_idempotent_and_invariant(spark, scheme, host, path, params, frag):
+    """canonical_url properties over randomized URL surface noise:
+    (1) IDEMPOTENT — canonical_url(canonical_url(u)) == canonical_url(u)
+        (a canonical form re-canonicalizes to itself);
+    (2) PARAM-ORDER INVARIANT — any permutation of the query params
+        canonicalizes identically;
+    (3) tracking params and fragments never survive."""
+    from pig_spark.functions.text import canonical_url
+
+    q1 = "?" + "&".join(params) if params else ""
+    q2 = "?" + "&".join(reversed(params)) if params else ""
+    u1 = f"{scheme}://{host}{path}{q1}{frag}"
+    u2 = f"{scheme}://{host}{path}{q2}{frag}"
+    df = spark.createDataFrame([(u1, u2)], "a string, b string")
+    row = df.select(
+        canonical_url(F.col("a")).alias("ca"),
+        canonical_url(F.col("b")).alias("cb"),
+        canonical_url(canonical_url(F.col("a"))).alias("caa"),
+    ).collect()[0]
+    assert row.ca == row.caa, (u1, row.ca, row.caa)  # idempotent
+    assert row.ca == row.cb, (u1, u2, row.ca, row.cb)  # order-invariant
+    assert "#" not in row.ca
+    for bad in ("utm_", "fbclid=", "gclid=", "ref="):
+        assert bad not in row.ca
