@@ -71,6 +71,7 @@ HEADLINE = [
     "q131_url_canonical_dedup",  # r8: codegen canonicalize + 1 shuffle
     "q132_paragraph_near_dup",  # r8: exact-then-fuzzy paragraph dedup
     "q133_multimodal_pipeline",  # r8: resize/frames/features codec chain
+    "q134_char_contamination",  # r8: char-gram broadcast decontamination
 ]
 
 

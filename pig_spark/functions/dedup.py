@@ -546,6 +546,78 @@ def contamination_check(
     )
 
 
+CHAR_SHINGLE_N = 20
+
+
+def _char_shingles_staged(t: Column, n: int = CHAR_SHINGLE_N) -> Column:
+    """Distinct character n-gram shingles over a PRE-STAGED lowered
+    text column (the module staging rule: `t` must be a column
+    attribute, not an inline lower() — lambda bodies re-evaluate per
+    element). Texts shorter than n clamp to ONE whole-string shingle
+    (the word_shingles clamp)."""
+    n_sh = F.greatest(F.length(t) - F.lit(n - 1), F.lit(1))
+    return F.array_distinct(
+        F.transform(F.sequence(F.lit(1), n_sh), lambda i: t.substr(i.cast("int"), F.lit(n)))
+    )
+
+
+def char_shingles(col: Column, n: int = CHAR_SHINGLE_N) -> Column:
+    """One-shot char n-gram shingles of lower(text): the lowered text
+    is bound through the 1-element-array trick so lower() runs once
+    per row even though the shingle lambda references it per element."""
+    staged = F.array(F.lower(col))
+    return F.element_at(
+        F.transform(staged, lambda t: _char_shingles_staged(t, n)), 1
+    )
+
+
+def char_contamination_check(
+    train: DataFrame,
+    bench: DataFrame,
+    text_col: str,
+    id_col: str,
+    n: int = CHAR_SHINGLE_N,
+    threshold: float = 0.1,
+) -> DataFrame:
+    """Character-level benchmark contamination — the decontamination
+    granularity for CODE and short text, where token grams are too
+    coarse (whitespace, punctuation and identifier boundaries carry
+    the signal; cf. the char-n-gram decontamination used for code
+    corpora). Same distributed shape as the word-gram
+    :func:`contamination_check`: the eval side's distinct char-gram
+    hashes broadcast, ONE train scan, ONE doc-id groupBy; only 64-bit
+    xxhash64 values ever shuffle (counts are hash-agnostic — the
+    oracle compares raw-string overlap and gets identical counts)."""
+    staged = train.select(id_col, F.lower(F.col(text_col)).alias("__t"))
+    tr = staged.select(id_col, _char_shingles_staged(F.col("__t"), n).alias("__sh"))
+    tr_grams = tr.select(id_col, F.explode("__sh").alias("__g")).select(
+        id_col, F.xxhash64(F.col("__g")).alias("__gh")
+    )
+    bstaged = bench.select(F.lower(F.col(text_col)).alias("__t"))
+    bench_grams = (
+        bstaged.select(F.explode(_char_shingles_staged(F.col("__t"), n)).alias("__g"))
+        .select(F.xxhash64(F.col("__g")).alias("__gh"))
+        .distinct()
+        .withColumn("__hit", F.lit(1))
+    )
+    counts = (
+        tr_grams.join(F.broadcast(bench_grams), "__gh", "left")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            F.count("__hit").alias("n_shared"),
+        )
+    )
+    ratio = F.round(F.col("n_shared") / F.greatest(F.col("n_grams"), F.lit(1)), 6)
+    return counts.select(
+        F.col(id_col),
+        F.col("n_shared").cast("long").alias("n_shared"),
+        F.col("n_grams").cast("long").alias("n_grams"),
+        ratio.alias("ratio"),
+        (ratio >= threshold).alias("contaminated"),
+    )
+
+
 def contamination_check_bloom(
     train: DataFrame,
     bench: DataFrame,

@@ -938,6 +938,26 @@ def oracle_sql() -> dict[str, str]:
                    fx.top_bucket, fx.top_frac
             FROM b JOIN fx USING (doc_id)
                    LEFT JOIN img USING (doc_id) LEFT JOIN vid USING (doc_id)""",
+        "q134_char_contamination": """
+            WITH lowdocs AS (SELECT doc_id, lower(text) AS t FROM documents),
+                 sh AS (SELECT doc_id,
+                               list_distinct(list_transform(
+                                   range(1, greatest(length(t) - 19, 1) + 1),
+                                   i -> substr(t, CAST(i AS INT), 20))) AS g
+                        FROM lowdocs),
+                 bg AS (SELECT DISTINCT u.x AS g
+                        FROM (SELECT g FROM sh WHERE doc_id % 97 = 0) b, unnest(b.g) AS u(x)),
+                 train AS (SELECT doc_id, g FROM sh WHERE doc_id % 97 <> 0),
+                 sizes AS (SELECT doc_id, len(g) AS n_grams FROM train),
+                 tg AS (SELECT doc_id, u.x AS g FROM train, unnest(train.g) AS u(x)),
+                 hits AS (SELECT doc_id, COUNT(*) AS n_shared FROM tg
+                          WHERE g IN (SELECT g FROM bg) GROUP BY doc_id)
+            SELECT s.doc_id,
+                   CAST(COALESCE(h.n_shared, 0) AS BIGINT) AS n_shared,
+                   CAST(s.n_grams AS BIGINT) AS n_grams,
+                   round(CAST(COALESCE(h.n_shared, 0) AS DOUBLE) / greatest(s.n_grams, 1), 6) AS ratio,
+                   round(CAST(COALESCE(h.n_shared, 0) AS DOUBLE) / greatest(s.n_grams, 1), 6) >= 0.02 AS contaminated
+            FROM sizes s LEFT JOIN hits h USING (doc_id)""",
         "q131_url_canonical_dedup": """
             WITH u AS (SELECT doc_id,
                               CASE CAST(doc_id % 4 AS INT)

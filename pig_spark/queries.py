@@ -2831,6 +2831,26 @@ def q133_multimodal_pipeline(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q134_char_contamination(spark: SparkSession, sf: str) -> DataFrame:
+    """Character-level decontamination (dedup.char_contamination_check
+    — char 20-grams instead of word 3-grams): the granularity used for
+    CODE corpora and short text, where tokenizer-level grams miss
+    whitespace/punctuation-boundary overlap. Same eval/train split as
+    q88 (doc_id % 97), so the two granularities are directly
+    comparable in the catalog.
+
+    100 TB design: identical to q88's — the small eval side's distinct
+    char-gram hashes broadcast, ONE train scan, ONE doc-id groupBy;
+    only 64-bit hashes shuffle. The lowered text is STAGED before the
+    shingle lambda (the staging rule) so lower() runs once per row."""
+    d = _t(spark, sf, "documents").df
+    bench = d.where(F.col("doc_id") % 97 == 0)
+    train = d.where(F.col("doc_id") % 97 != 0)
+    return dedup.char_contamination_check(
+        train, bench, "text", "doc_id", n=20, threshold=0.02
+    )
+
+
 from .pigmix import PIGMIX_QUERIES  # noqa: E402  (avoids circular import)
 
 _ALL: dict[str, Callable[[SparkSession, str], DataFrame]] = {
@@ -2843,12 +2863,13 @@ _ALL.update(PIGMIX_QUERIES)
 # The driver's correctness gate checks the FIRST 50 entries in dict
 # order. Order by verification need, not by name (rebuilt each round;
 # the window arithmetic is EXACT — VERDICT r6 #3):
-#   tier 0 (7): new-in-r8 queries + queries whose lowering changed
+#   tier 0 (8): new-in-r8 queries + queries whose lowering changed
 #     this round and must re-earn a green driver row — q128 (broadcast
 #     weight classifier, new), q129 (paragraph dedup, new), q130
 #     (bigram LM with backoff, new), q131 (canonical-URL dedup, new),
 #     q132 (paragraph near-dup grouping, new), q133 (multimodal
-#     resize/frames/features chain, new),
+#     resize/frames/features chain, new), q134 (char-level
+#     contamination, new),
 #     q127 (SearchEngineExtractor moved
 #     to the reference's exact-match lookup and SearchQuery's
 #     empty-param semantics changed);
@@ -2856,12 +2877,12 @@ _ALL.update(PIGMIX_QUERIES)
 #     this round (VERDICT r7 missing #1 / next #2) — q44_cosine_topk,
 #     q46_ann_lsh, q47_lang_id, q48_quality_score, q49_fingerprint,
 #     q50_token_stats, q51_join_qualified;
-#   tier 2 (36 of 38): the r5-evidence block, alphabetical; the two
-#     alphabetically-last entries (q80_skewed_join,
-#     q81_latin_bigdata_chain) stay at r5 evidence and LEAD tier 2
-#     next round;
+#   tier 2 (35 of 38): the r5-evidence block, alphabetical; the
+#     three alphabetically-last entries (q76_corpus_clean,
+#     q80_skewed_join, q81_latin_bigdata_chain) stay at r5 evidence
+#     and LEAD tier 2 next round;
 #   tier 3: everything r6/r7-verified.
-# 7 + 7 + 36 = 50.
+# 8 + 7 + 35 = 50.
 _NEW_OR_CHANGED_R8 = {
     "q128_classifier_broadcast_weights",  # new: trained-weight-array classifier
     "q129_paragraph_dedup",               # new: paragraph-level exact dedup
@@ -2869,6 +2890,7 @@ _NEW_OR_CHANGED_R8 = {
     "q131_url_canonical_dedup",           # new: canonical-URL crawl dedup
     "q132_paragraph_near_dup",            # new: paragraph near-dup grouping
     "q133_multimodal_pipeline",           # new: full multimodal chain gate
+    "q134_char_contamination",            # new: char-gram decontamination
     "q127_referrer_analysis",             # changed: exact-match engine lookup
 }
 # the seven-query r4 tail — committed in r7 to lead this window
