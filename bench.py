@@ -72,6 +72,7 @@ HEADLINE = [
     "q132_paragraph_near_dup",  # r8: exact-then-fuzzy paragraph dedup
     "q133_multimodal_pipeline",  # r8: resize/frames/features codec chain
     "q134_char_contamination",  # r8: char-gram broadcast decontamination
+    "q135_corpus_zipf_profile",  # r8: one-shuffle corpus profile report
 ]
 
 

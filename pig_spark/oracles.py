@@ -958,6 +958,30 @@ def oracle_sql() -> dict[str, str]:
                    round(CAST(COALESCE(h.n_shared, 0) AS DOUBLE) / greatest(s.n_grams, 1), 6) AS ratio,
                    round(CAST(COALESCE(h.n_shared, 0) AS DOUBLE) / greatest(s.n_grams, 1), 6) >= 0.02 AS contaminated
             FROM sizes s LEFT JOIN hits h USING (doc_id)""",
+        "q135_corpus_zipf_profile": """
+            WITH flat AS (SELECT u.t FROM
+                              (SELECT list_filter(string_split_regex(lower(trim(text)), '\\s+'),
+                                                  x -> x <> '') AS tk FROM documents) d,
+                              unnest(d.tk) AS u(t)),
+                 cnt AS (SELECT t, COUNT(*) AS c FROM flat GROUP BY t),
+                 scal AS (SELECT CAST(SUM(c) AS BIGINT) AS n_tokens,
+                                 CAST(COUNT(*) AS BIGINT) AS n_types,
+                                 CAST(SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_hapax
+                          FROM cnt),
+                 top AS (SELECT c, row_number() OVER (ORDER BY c DESC, t ASC) AS rnk
+                         FROM cnt ORDER BY c DESC, t ASC LIMIT 1000),
+                 reg AS (SELECT CAST(COUNT(*) AS DOUBLE) AS k,
+                                SUM(ln(rnk)) AS sx, SUM(ln(c)) AS sy,
+                                SUM(ln(rnk) * ln(c)) AS sxy,
+                                SUM(ln(rnk) * ln(rnk)) AS sxx,
+                                CAST(SUM(CASE WHEN rnk <= 100 THEN c ELSE 0 END) AS BIGINT) AS top100_tokens
+                         FROM top)
+            SELECT s.n_tokens, s.n_types,
+                   round(CAST(s.n_types AS DOUBLE) / s.n_tokens, 6) AS ttr,
+                   round(CAST(s.n_hapax AS DOUBLE) / s.n_types, 6) AS hapax_frac,
+                   round(CAST(r.top100_tokens AS DOUBLE) / s.n_tokens, 6) AS top100_share,
+                   round((r.k * r.sxy - r.sx * r.sy) / (r.k * r.sxx - r.sx * r.sx), 6) AS zipf_slope
+            FROM scal s, reg r""",
         "q131_url_canonical_dedup": """
             WITH u AS (SELECT doc_id,
                               CASE CAST(doc_id % 4 AS INT)

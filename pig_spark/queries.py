@@ -2851,6 +2851,74 @@ def q134_char_contamination(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q135_corpus_zipf_profile(spark: SparkSession, sf: str) -> DataFrame:
+    """Corpus-statistics profile — the sanity report a training-data
+    pipeline runs before committing a crawl: total/type token counts,
+    type-token ratio, hapax fraction (vocabulary health), top-100
+    term share (boilerplate/domination signal), and the Zipf slope
+    (OLS of ln(freq) on ln(rank) over the top 1000 terms; natural
+    corpora sit near -1 — a flat or cliffed slope flags synthetic or
+    template-heavy data).
+
+    100 TB design: the term count is the ONLY data-sized shuffle; the
+    top-1000 is a distributed TakeOrdered folded into ONE row, where
+    the regression runs as in-row array codegen in RANK ORDER (no
+    single-partition window); the scalar aggregates ride the same cnt
+    table. Output: one row."""
+    from pyspark.sql import functions as F
+
+    from .functions.text import tokenize_ws
+
+    TOPK, SHARE_K = 1000, 100
+    d = spark.read.parquet(f"{sf}/documents.parquet").select("text")
+    flat = d.select(F.explode(tokenize_ws(F.lower(F.trim(F.col("text"))))).alias("t"))
+    cnt = flat.groupBy("t").agg(F.count(F.lit(1)).alias("c"))
+    scal = cnt.agg(
+        F.sum("c").cast("long").alias("n_tokens"),
+        F.count(F.lit(1)).cast("long").alias("n_types"),
+        F.sum(F.when(F.col("c") == 1, 1).otherwise(0)).cast("long").alias("n_hapax"),
+    )
+    # top-K folded to ONE row, re-sorted in-row to rank order
+    # ((-c, t) ascending ≡ c desc, t asc — deterministic tie-break)
+    top = (
+        cnt.orderBy(F.desc("c"), F.asc("t"))
+        .limit(TOPK)
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct((-F.col("c")).alias("nc"), F.col("t").alias("t")))
+            ).alias("arr")
+        )
+    )
+    arr = F.col("arr")
+    n = F.size(arr).cast("double")
+    lnr = lambda i: F.log((i + 1).cast("double"))  # noqa: E731 — ln(rank)
+    lnc = lambda s: F.log((-s["nc"]).cast("double"))  # noqa: E731 — ln(freq)
+    folded = top.select(
+        n.alias("k"),
+        F.aggregate(F.transform(arr, lambda s, i: lnr(i)), F.lit(0.0), lambda a, x: a + x).alias("sx"),
+        F.aggregate(F.transform(arr, lambda s, i: lnc(s)), F.lit(0.0), lambda a, x: a + x).alias("sy"),
+        F.aggregate(F.transform(arr, lambda s, i: lnr(i) * lnc(s)), F.lit(0.0), lambda a, x: a + x).alias("sxy"),
+        F.aggregate(F.transform(arr, lambda s, i: lnr(i) * lnr(i)), F.lit(0.0), lambda a, x: a + x).alias("sxx"),
+        F.aggregate(
+            F.slice(arr, 1, SHARE_K), F.lit(0).cast("long"), lambda a, s: a - s["nc"]
+        ).cast("long").alias("top100_tokens"),
+    )
+    slope = (F.col("k") * F.col("sxy") - F.col("sx") * F.col("sy")) / (
+        F.col("k") * F.col("sxx") - F.col("sx") * F.col("sx")
+    )
+    return (
+        scal.crossJoin(F.broadcast(folded))
+        .select(
+            "n_tokens",
+            "n_types",
+            F.round(F.col("n_types") / F.col("n_tokens"), 6).alias("ttr"),
+            F.round(F.col("n_hapax") / F.col("n_types"), 6).alias("hapax_frac"),
+            F.round(F.col("top100_tokens") / F.col("n_tokens"), 6).alias("top100_share"),
+            F.round(slope, 6).alias("zipf_slope"),
+        )
+    )
+
+
 from .pigmix import PIGMIX_QUERIES  # noqa: E402  (avoids circular import)
 
 _ALL: dict[str, Callable[[SparkSession, str], DataFrame]] = {
@@ -2863,13 +2931,13 @@ _ALL.update(PIGMIX_QUERIES)
 # The driver's correctness gate checks the FIRST 50 entries in dict
 # order. Order by verification need, not by name (rebuilt each round;
 # the window arithmetic is EXACT — VERDICT r6 #3):
-#   tier 0 (8): new-in-r8 queries + queries whose lowering changed
+#   tier 0 (9): new-in-r8 queries + queries whose lowering changed
 #     this round and must re-earn a green driver row — q128 (broadcast
 #     weight classifier, new), q129 (paragraph dedup, new), q130
 #     (bigram LM with backoff, new), q131 (canonical-URL dedup, new),
 #     q132 (paragraph near-dup grouping, new), q133 (multimodal
 #     resize/frames/features chain, new), q134 (char-level
-#     contamination, new),
+#     contamination, new), q135 (corpus Zipf/TTR profile, new),
 #     q127 (SearchEngineExtractor moved
 #     to the reference's exact-match lookup and SearchQuery's
 #     empty-param semantics changed);
@@ -2877,12 +2945,12 @@ _ALL.update(PIGMIX_QUERIES)
 #     this round (VERDICT r7 missing #1 / next #2) — q44_cosine_topk,
 #     q46_ann_lsh, q47_lang_id, q48_quality_score, q49_fingerprint,
 #     q50_token_stats, q51_join_qualified;
-#   tier 2 (35 of 38): the r5-evidence block, alphabetical; the
-#     three alphabetically-last entries (q76_corpus_clean,
-#     q80_skewed_join, q81_latin_bigdata_chain) stay at r5 evidence
-#     and LEAD tier 2 next round;
+#   tier 2 (34 of 38): the r5-evidence block, alphabetical; the
+#     four alphabetically-last entries (q73_latin_macro,
+#     q76_corpus_clean, q80_skewed_join, q81_latin_bigdata_chain)
+#     stay at r5 evidence and LEAD tier 2 next round;
 #   tier 3: everything r6/r7-verified.
-# 8 + 7 + 35 = 50.
+# 9 + 7 + 34 = 50.
 _NEW_OR_CHANGED_R8 = {
     "q128_classifier_broadcast_weights",  # new: trained-weight-array classifier
     "q129_paragraph_dedup",               # new: paragraph-level exact dedup
@@ -2891,6 +2959,7 @@ _NEW_OR_CHANGED_R8 = {
     "q132_paragraph_near_dup",            # new: paragraph near-dup grouping
     "q133_multimodal_pipeline",           # new: full multimodal chain gate
     "q134_char_contamination",            # new: char-gram decontamination
+    "q135_corpus_zipf_profile",           # new: Zipf/TTR corpus profile
     "q127_referrer_analysis",             # changed: exact-match engine lookup
 }
 # the seven-query r4 tail — committed in r7 to lead this window

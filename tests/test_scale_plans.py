@@ -127,6 +127,9 @@ _CARTESIAN_OK = {
     # cross has an explicit broadcast hint (dedicated pin:
     # test_bigram_lm_plan asserts 1 exchange / 2 scans / no Python)
     "q130_bigram_lm_perplexity",
+    # 1-row scalar aggregates × 1-row folded top-K regression row,
+    # explicit broadcast hint (prints lowercase, same as q78)
+    "q135_corpus_zipf_profile",
 }
 
 
