@@ -93,16 +93,16 @@ def md5_60(col: Column) -> Column:
 
 def word_shingles(col: Column, n: int = SHINGLE_N) -> Column:
     """Distinct word n-gram shingles of a text column, as a single
-    Column expression.
+    Column expression (the zip_with-chain gram builder — r8: ~5×
+    faster than the per-element-slice form on the gram hot paths).
 
     Prefer :func:`shingle_stage` in pipelines — this form re-runs the
-    tokenizer per shingle when evaluated (see module docstring); it
-    exists for one-shot projections where the input is short."""
+    tokenizer per shifted slice when evaluated (n slices, bounded);
+    it exists for one-shot projections where the input is short."""
+    from .text import sliding_grams
+
     toks = tokenize_ws(F.lower(col))
-    n_sh = F.greatest(F.size(toks) - F.lit(n - 1), F.lit(1))
-    return F.array_distinct(
-        F.transform(F.sequence(F.lit(1), n_sh), lambda i: F.array_join(F.slice(toks, i, n), " "))
-    )
+    return F.array_distinct(sliding_grams(toks, n, clamp_to_one=True))
 
 
 def shingle_stage(
@@ -115,15 +115,11 @@ def shingle_stage(
     regex tokenizer runs exactly once per row). ``keep`` names extra
     passthrough columns (e.g. an event-time column a streaming caller
     must preserve for its watermark)."""
+    from .text import sliding_grams
+
     toks = tokenize_ws(F.lower(F.col(text_col)))
     staged = df.select(F.col(id_col), *keep, toks.alias("__t"))
-    n_sh = F.greatest(F.size("__t") - F.lit(n - 1), F.lit(1))
-    sh = F.array_distinct(
-        F.transform(
-            F.sequence(F.lit(1), n_sh),
-            lambda i: F.array_join(F.slice(F.col("__t"), i, n), " "),
-        )
-    )
+    sh = F.array_distinct(sliding_grams(F.col("__t"), n, clamp_to_one=True))
     return staged.select(F.col(id_col), *keep, sh.alias("__sh"))
 
 

@@ -133,10 +133,12 @@ def rolling_hash_fingerprint(col: Column, window: int = 4) -> Column:
     """
 
     def _fp(toks: Column) -> Column:
-        n_sh = F.greatest(F.size(toks) - F.lit(window - 1), F.lit(1))
+        # zip_with-chain grams (r8 — the per-element slice form was
+        # the slow shape), same clamp: short doc → one whole-text
+        # shingle, empty doc → md5("")
         shingles = F.transform(
-            F.sequence(F.lit(1), n_sh),
-            lambda i: F.conv(F.substring(F.md5(F.array_join(F.slice(toks, i, window), " ")), 1, 8), 16, 10).cast("long"),
+            sliding_grams(toks, window, clamp_to_one=True),
+            lambda g: F.conv(F.substring(F.md5(g), 1, 8), 16, 10).cast("long"),
         )
         return F.array_min(shingles)
 
@@ -150,18 +152,37 @@ REP_DUP_2GRAM_MAX = 0.20
 REP_TOP_2GRAM_MAX = 0.08
 
 
+def sliding_grams(tokens: Column, n: int, clamp_to_one: bool = False) -> Column:
+    """Sliding word n-grams via a zip_with CHAIN over shifted slices —
+    the LINEAR shape: n slices + (n-1) zip_withs per ROW. The old
+    ``sequence(1, n_g)`` + per-element ``slice`` form allocates a
+    fresh sub-array per gram and measured ~5× slower on the sf0.1
+    bigram hot path (9.2 s → 0.9 s for the same 265k-pair count;
+    SCALE.md r8). ``concat_ws`` skips the nulls ``zip_with`` pads
+    when a shifted slice runs short, so tail-clamp output is
+    IDENTICAL to the old form (diff-tested n=2..4 corpus-wide).
+
+    ``clamp_to_one`` reproduces the dedup-shingle ≥1 clamp: docs
+    shorter than n tokens yield ONE whole-text shingle, and an EMPTY
+    doc yields ``[""]`` (what array_join over an empty slice gave)."""
+    floor = 1 if clamp_to_one else 0
+    n_g = F.greatest(F.size(tokens) - F.lit(n - 1), F.lit(floor))
+    out = F.slice(tokens, 1, n_g)
+    for k in range(2, n + 1):
+        out = F.zip_with(
+            out, F.slice(tokens, k, n_g), lambda a, b: F.concat_ws(" ", a, b)
+        )
+    if clamp_to_one:
+        out = F.when(F.size(tokens) == 0, F.array(F.lit(""))).otherwise(out)
+    return out
+
+
 def _grams(tokens: Column, n: int) -> Column:
     """Non-distinct sliding word n-grams (repetition needs multiplicity,
     unlike dedup's distinct shingles); empty array when the doc has
-    fewer than n tokens. The sequence stop is clamped to ≥1 because
-    Spark's sequence(1, 0) counts DOWN (negative default step), which
-    would feed slice() a zero start."""
-    n_g = F.size(tokens) - F.lit(n - 1)
-    grams = F.transform(
-        F.sequence(F.lit(1), F.greatest(n_g, F.lit(1))),
-        lambda i: F.array_join(F.slice(tokens, i, n), " "),
-    )
-    return F.when(n_g >= 1, grams).otherwise(F.array().cast("array<string>"))
+    fewer than n tokens. Lowers to the zip_with chain
+    (:func:`sliding_grams`)."""
+    return sliding_grams(tokens, n)
 
 
 def dup_frac_from_grams(g: Column) -> Column:
@@ -438,3 +459,43 @@ def canonical_url(col: Column) -> Column:
     )
     # unparseable (no scheme://host) or empty input: pass through
     return F.when(col.isNull() | (head == ""), u).otherwise(out)
+
+
+# ----------------------------------------------------------------------
+# bucketed broadcast maps (r8) — O(V/B) probes instead of O(V)
+# ----------------------------------------------------------------------
+
+#: bucket count for fold_bucketed_map/bucketed_probe (two-level maps)
+LM_PROBE_BUCKETS = 256
+
+
+def fold_bucketed_map(df, key_col: str, val_col: str, alias: str,
+                      n_buckets: int = LM_PROBE_BUCKETS):
+    """Fold a (key, val) statistics table into ONE row holding a
+    TWO-LEVEL map: ``map<int, map<key,val>>`` keyed by
+    ``pmod(xxhash64(key), n_buckets)``.
+
+    Why: Spark's map access (GetMapValue) is a LINEAR scan over the
+    entries — a flat 12k-entry broadcast map probed per gram cost
+    q130's scoring stage 10.3 s at sf0.1. Bucketing cuts each probe
+    to ~V/B string comparisons after one cheap int lookup
+    (measured: scoring 10.3 s → ~1 s). Probe with
+    :func:`bucketed_probe` using the SAME n_buckets."""
+    bucket = F.pmod(F.xxhash64(F.col(key_col)), F.lit(n_buckets)).cast("int")
+    inner = df.groupBy(bucket.alias("__b")).agg(
+        F.map_from_entries(
+            F.collect_list(F.struct(F.col(key_col), F.col(val_col)))
+        ).alias("__m")
+    )
+    return inner.agg(
+        F.map_from_entries(F.collect_list(F.struct("__b", "__m"))).alias(alias)
+    )
+
+
+def bucketed_probe(outer: Column, key: Column,
+                   n_buckets: int = LM_PROBE_BUCKETS) -> Column:
+    """Lookup into a :func:`fold_bucketed_map` column: int bucket hop,
+    then the small inner map; missing key/bucket → null (the same
+    contract as try_element_at on a flat map)."""
+    b = F.pmod(F.xxhash64(key), F.lit(n_buckets)).cast("int")
+    return F.try_element_at(F.try_element_at(outer, b), key)

@@ -2611,23 +2611,20 @@ def q130_bigram_lm_perplexity(spark: SparkSession, sf: str) -> DataFrame:
         .select("t", F.log(F.col("c") / F.col("n")).alias("lp"))
     )
 
-    # gram array: struct<g: 'w1 w2', w2> per adjacent pair — staged
-    # AFTER td so the lambda probes tk as a column attribute
-    grams = F.transform(
-        F.sequence(F.lit(1), F.greatest(F.size("tk") - 1, F.lit(1))),
-        lambda i: F.struct(
-            F.concat_ws(" ", F.slice(F.col("tk"), i, 2)).alias("g"),
-            # try_: the <2-token branch never takes this arm, but ANSI
-            # sessions must not even be able to see an index error
-            F.try_element_at(F.col("tk"), (i + 1).cast("int")).alias("w2"),
-        ),
+    # gram array: struct<g: 'w1 w2', w2> per adjacent pair via the
+    # zip_with chain over two shifted slices (sliding_grams' shape —
+    # the per-element sequence+slice form measured ~10× slower on
+    # this exact hot path, 15.2 s → ~2 s query wall at sf0.1)
+    n_g = F.greatest(F.size("tk") - 1, F.lit(0))
+    grams = F.zip_with(
+        F.slice(F.col("tk"), 1, n_g),
+        F.slice(F.col("tk"), 2, n_g),
+        lambda a, b: F.struct(F.concat_ws(" ", a, b).alias("g"), b.alias("w2")),
     )
     gd = td.select(
         "doc_id",
         F.size("tk").cast("long").alias("n_tokens"),
-        F.when(F.size("tk") >= 2, grams)
-        .otherwise(F.array().cast("array<struct<g:string,w2:string>>"))
-        .alias("gs"),
+        grams.alias("gs"),
     )
 
     # bigram table: second aggregate + top-B; the conditional P(w2|w1)
@@ -2643,15 +2640,15 @@ def q130_bigram_lm_perplexity(spark: SparkSession, sf: str) -> DataFrame:
         "g", F.log(F.col("c2") / F.col("c")).alias("lp")
     )
 
-    # fold BOTH tables into one 1-row broadcast (the q126 fold)
-    lm = uvocab.agg(
-        F.map_from_entries(F.collect_list(F.struct("t", "lp"))).alias("__ulm")
-    ).crossJoin(
-        F.broadcast(
-            bvocab.agg(
-                F.map_from_entries(F.collect_list(F.struct("g", "lp"))).alias("__blm")
-            )
-        )
+    # fold BOTH tables into one 1-row broadcast — BUCKETED two-level
+    # maps (text.fold_bucketed_map): Spark's GetMapValue is a LINEAR
+    # scan of the entries, so flat 12k-entry maps probed per gram cost
+    # this query's scoring stage 10.3 s at sf0.1; O(V/256) bucketed
+    # probes take it to ~1 s (SCALE.md r8)
+    from .functions.text import bucketed_probe, fold_bucketed_map
+
+    lm = fold_bucketed_map(uvocab, "t", "lp", "__ulm").crossJoin(
+        F.broadcast(fold_bucketed_map(bvocab, "g", "lp", "__blm"))
     )
 
     scored = gd.crossJoin(F.broadcast(lm)).select(
@@ -2663,9 +2660,9 @@ def q130_bigram_lm_perplexity(spark: SparkSession, sf: str) -> DataFrame:
                 F.col("gs"),
                 lambda s: F.log(
                     F.lit(LAMBDA)
-                    * F.coalesce(F.exp(F.try_element_at(F.col("__blm"), s["g"])), F.lit(0.0))
+                    * F.coalesce(F.exp(bucketed_probe(F.col("__blm"), s["g"])), F.lit(0.0))
                     + F.lit(1.0 - LAMBDA)
-                    * F.coalesce(F.exp(F.try_element_at(F.col("__ulm"), s["w2"])), F.lit(OOV))
+                    * F.coalesce(F.exp(bucketed_probe(F.col("__ulm"), s["w2"])), F.lit(OOV))
                 ),
             ),
             F.lit(0.0),

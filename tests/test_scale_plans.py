@@ -404,20 +404,24 @@ def test_url_canonical_dedup_plan(spark, sf_dir):
 
 
 def test_bigram_lm_plan(spark, sf_dir):
-    """q130 (bigram LM with backoff): the final plan carries exactly
-    ONE token-sized hash exchange (the bigram count — the unigram
-    count ran once into a localCheckpoint) and two documents scans
-    (bigram count + scoring); top-V/top-B are distributed TakeOrdered;
-    no doc_id partitioning, no Python."""
+    """q130 (bigram LM with backoff): exactly ONE token-sized hash
+    exchange (the bigram count — the unigram count ran once into a
+    localCheckpoint) plus one vocabulary-sized bucket groupBy for the
+    two-level probe maps (fold_bucketed_map — ≤12k rows, never
+    data-sized); two documents scans (bigram count + scoring);
+    top-V/top-B are distributed TakeOrdered; no doc_id partitioning,
+    no Python."""
     from pig_spark.queries import q130_bigram_lm_perplexity
 
     df = q130_bigram_lm_perplexity(spark, sf_dir)
     phys = df._jdf.queryExecution().executedPlan().toString()
     opt = df._jdf.queryExecution().optimizedPlan().toString()
-    assert phys.count("Exchange hashpartitioning") == 1, phys
+    assert phys.count("Exchange hashpartitioning") == 2, phys
     assert phys.count("Scan parquet") == 2, phys
     assert phys.count("TakeOrderedAndProject") == 2, phys
     assert "hashpartitioning(doc_id" not in phys, phys
+    # both remaining exchanges key on grouping expressions (the bigram
+    # gram string / the pmod bucket), never on doc identity
     assert "PythonUDF" not in opt
     assert not unpartitioned_windows(opt), unpartitioned_windows(opt)
 
