@@ -481,10 +481,11 @@ def fold_bucketed_map(df, key_col: str, val_col: str, alias: str,
     to ~V/B string comparisons after one cheap int lookup
     (measured: scoring 10.3 s → ~1 s). Probe with
     :func:`bucketed_probe` using the SAME n_buckets."""
+    val = F.col(val_col) if isinstance(val_col, str) else val_col
     bucket = F.pmod(F.xxhash64(F.col(key_col)), F.lit(n_buckets)).cast("int")
     inner = df.groupBy(bucket.alias("__b")).agg(
         F.map_from_entries(
-            F.collect_list(F.struct(F.col(key_col), F.col(val_col)))
+            F.collect_list(F.struct(F.col(key_col), val.alias("__v")))
         ).alias("__m")
     )
     return inner.agg(

@@ -2071,9 +2071,11 @@ def q121_unigram_lm_score(spark: SparkSession, sf: str) -> DataFrame:
         .crossJoin(F.broadcast(total))
         .select("t", F.log(F.col("c") / F.col("n")).alias("lp"))
     )
-    lm = vocab.agg(
-        F.map_from_entries(F.collect_list(F.struct("t", "lp"))).alias("__lm")
-    )
+    # bucketed two-level map (r8): GetMapValue scans linearly, so a
+    # flat top-V map probed per token is O(tokens × V) — see SCALE.md
+    from .functions.text import bucketed_probe, fold_bucketed_map
+
+    lm = fold_bucketed_map(vocab, "t", "lp", "__lm")
     floor = F.log(F.lit(OOV))
     scored = td.crossJoin(F.broadcast(lm)).select(
         "doc_id",
@@ -2081,7 +2083,7 @@ def q121_unigram_lm_score(spark: SparkSession, sf: str) -> DataFrame:
         F.aggregate(
             F.transform(
                 F.col("tk"),
-                lambda t: F.coalesce(F.try_element_at(F.col("__lm"), t), floor),
+                lambda t: F.coalesce(bucketed_probe(F.col("__lm"), t), floor),
             ),
             F.lit(0.0),
             lambda acc, x: acc + x,
@@ -2206,16 +2208,16 @@ def q124_tfidf_top_terms(spark: SparkSession, sf: str) -> DataFrame:
         .groupBy("t")
         .agg(F.count(F.lit(1)).alias("df"))
     )
+    from .functions.text import bucketed_probe, fold_bucketed_map
+
     vocab = df_tbl.orderBy(F.desc("df"), F.asc("t")).limit(V)
-    idf_map = vocab.crossJoin(F.broadcast(n_docs)).agg(
-        F.map_from_entries(
-            F.collect_list(
-                F.struct(
-                    "t",
-                    F.log((F.col("n_docs") + F.lit(1.0)) / (F.col("df") + F.lit(1.0))).alias("idf"),
-                )
-            )
-        ).alias("__idf")
+    # bucketed two-level map (r8): linear GetMapValue scans made flat
+    # top-V maps the per-token hot cost — see SCALE.md
+    idf_map = fold_bucketed_map(
+        vocab.crossJoin(F.broadcast(n_docs)),
+        "t",
+        F.log((F.col("n_docs") + F.lit(1.0)) / (F.col("df") + F.lit(1.0))),
+        "__idf",
     )
     # per-row term counts in O(n log n): sorted run starts → gap
     # counts, EACH STAGED as its own projection (text module rule —
@@ -2248,7 +2250,7 @@ def q124_tfidf_top_terms(spark: SparkSession, sf: str) -> DataFrame:
                         lambda r: F.struct(
                             F.round(
                                 -(r["cnt"] / F.col("__n"))
-                                * F.try_element_at(F.col("__idf"), r["term"]),
+                                * bucketed_probe(F.col("__idf"), r["term"]),
                                 6,
                             ).alias("neg_score"),
                             r["term"].alias("term"),
@@ -2349,20 +2351,19 @@ def q126_dsir_importance(spark: SparkSession, sf: str) -> DataFrame:
     both = lm_vocab(td.filter(F.col("lang") == "en"), "lp_tgt").join(
         lm_vocab(td, "lp_src"), "t", "full_outer"
     )
-    lm = both.agg(
-        F.map_from_entries(
-            F.collect_list(
-                F.struct(
-                    "t",
-                    F.struct(
-                        F.coalesce("lp_tgt", floor).alias("lp_tgt"),
-                        F.coalesce("lp_src", floor).alias("lp_src"),
-                    ).alias("lp"),
-                )
-            )
-        ).alias("__lm")
+    # bucketed two-level map (r8): linear GetMapValue scans — SCALE.md
+    from .functions.text import bucketed_probe, fold_bucketed_map
+
+    lm = fold_bucketed_map(
+        both,
+        "t",
+        F.struct(
+            F.coalesce("lp_tgt", floor).alias("lp_tgt"),
+            F.coalesce("lp_src", floor).alias("lp_src"),
+        ),
+        "__lm",
     )
-    probed = F.transform(F.col("tk"), lambda t: F.try_element_at(F.col("__lm"), t))
+    probed = F.transform(F.col("tk"), lambda t: bucketed_probe(F.col("__lm"), t))
     scored = td.crossJoin(F.broadcast(lm)).select(
         "doc_id",
         F.size("tk").cast("long").alias("n_tokens"),
