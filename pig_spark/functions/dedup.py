@@ -515,12 +515,19 @@ def contamination_check(
     # (the crypto digest costs ~10× per gram and its cost scales with
     # corpus size); md5_60 stays the contract only where hash VALUES
     # persist or cross to the oracle (incremental index, bloom).
-    tr_grams = tr.select(id_col, F.explode("__sh").alias("__g")).select(
-        id_col, F.xxhash64(F.col("__g")).alias("__gh")
-    )
+    # hash IN-ROW, explode LONGS (r8): exploding 20-odd-char gram
+    # strings then hashing row-at-a-time measured ~17% slower than
+    # hashing inside the staged array and exploding 8-byte longs
+    tr_grams = tr.select(
+        id_col, F.transform("__sh", lambda g: F.xxhash64(g)).alias("__gha")
+    ).select(id_col, F.explode("__gha").alias("__gh"))
     bench_grams = (
-        bench.select(F.explode(word_shingles(F.col(text_col), n)).alias("__g"))
-        .select(F.xxhash64(F.col("__g")).alias("__gh"))
+        bench.select(
+            F.transform(
+                word_shingles(F.col(text_col), n), lambda g: F.xxhash64(g)
+            ).alias("__gha")
+        )
+        .select(F.explode("__gha").alias("__gh"))
         .distinct()
         .withColumn("__hit", F.lit(1))
     )
@@ -586,13 +593,18 @@ def char_contamination_check(
     oracle compares raw-string overlap and gets identical counts)."""
     staged = train.select(id_col, F.lower(F.col(text_col)).alias("__t"))
     tr = staged.select(id_col, _char_shingles_staged(F.col("__t"), n).alias("__sh"))
-    tr_grams = tr.select(id_col, F.explode("__sh").alias("__g")).select(
-        id_col, F.xxhash64(F.col("__g")).alias("__gh")
-    )
+    # hash IN-ROW, explode LONGS (r8, same as contamination_check)
+    tr_grams = tr.select(
+        id_col, F.transform("__sh", lambda g: F.xxhash64(g)).alias("__gha")
+    ).select(id_col, F.explode("__gha").alias("__gh"))
     bstaged = bench.select(F.lower(F.col(text_col)).alias("__t"))
     bench_grams = (
-        bstaged.select(F.explode(_char_shingles_staged(F.col("__t"), n)).alias("__g"))
-        .select(F.xxhash64(F.col("__g")).alias("__gh"))
+        bstaged.select(
+            F.transform(
+                _char_shingles_staged(F.col("__t"), n), lambda g: F.xxhash64(g)
+            ).alias("__gha")
+        )
+        .select(F.explode("__gha").alias("__gh"))
         .distinct()
         .withColumn("__hit", F.lit(1))
     )
