@@ -354,3 +354,38 @@ def test_canonical_url_idempotent_and_invariant(spark, scheme, host, path, param
     assert "#" not in row.ca
     for bad in ("utm_", "fbclid=", "gclid=", "ref="):
         assert bad not in row.ca
+
+
+@settings(max_examples=10, deadline=None)
+@given(
+    st.dictionaries(
+        st.text(alphabet=st.sampled_from(list("abcdefg xyz09")), min_size=1, max_size=8),
+        st.floats(min_value=-10, max_value=10, allow_nan=False, width=32),
+        min_size=1,
+        max_size=40,
+    ),
+    st.lists(st.text(alphabet=st.sampled_from(list("abcdefg xyz09")), min_size=1, max_size=8), max_size=10),
+)
+def test_bucketed_map_probe_roundtrip(spark, table, probes):
+    """fold_bucketed_map/bucketed_probe (the r8 two-level broadcast
+    map behind q121/q124/q126/q130): probing the folded map returns
+    the table's value for EVERY present key and null for absent keys —
+    i.e. bucketing is invisible to the consumer, exactly
+    try_element_at on a flat map."""
+    from pig_spark.functions.text import bucketed_probe, fold_bucketed_map
+
+    tdf = spark.createDataFrame(list(table.items()), "k string, v double")
+    folded = fold_bucketed_map(tdf, "k", "v", "__m")
+    keys = list(table) + [p for p in probes if p not in table]
+    kdf = spark.createDataFrame([(k,) for k in keys], "k string")
+    got = {
+        r.k: r.o
+        for r in kdf.crossJoin(F.broadcast(folded))
+        .select("k", bucketed_probe(F.col("__m"), F.col("k")).alias("o"))
+        .collect()
+    }
+    for k in keys:
+        if k in table:
+            assert got[k] == table[k], (k, got[k], table[k])
+        else:
+            assert got[k] is None, (k, got[k])
