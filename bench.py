@@ -368,6 +368,19 @@ def _control_bench(spark, sf_dir: str, results: dict) -> None:
     from pig_spark.queries import QUERIES as _CURRENT_QUERIES
 
     saved = {k: v for k, v in sys.modules.items() if k == "pig_spark" or k.startswith("pig_spark.")}
+
+    def _swap(mods: dict) -> None:
+        # module-set swap: BOTH timing legs must run under their OWN
+        # module set — r8 bug: the worktree set stayed active while the
+        # CURRENT query ran, so current queries with function-level
+        # imports (`from .functions.text import ...` inside the body)
+        # resolved against the CONTROL round's modules — silently
+        # timing control code as "current_adjacent" when names matched,
+        # crashing the whole control when they didn't (sliding_grams)
+        for k in [k for k in sys.modules if k == "pig_spark" or k.startswith("pig_spark.")]:
+            del sys.modules[k]
+        sys.modules.update(mods)
+
     try:
         import importlib
 
@@ -375,6 +388,11 @@ def _control_bench(spark, sf_dir: str, results: dict) -> None:
             del sys.modules[k]
         sys.path.insert(0, wt)
         qmod = importlib.import_module("pig_spark.queries")
+        wt_mods = {k: v for k, v in sys.modules.items() if k == "pig_spark" or k.startswith("pig_spark.")}
+        # the worktree path must be gone before the current set runs —
+        # lazy imports inside current query bodies must resolve to the
+        # repo, not the worktree
+        sys.path.remove(wt)
         ctrl: dict[str, float] = {}
         cur_adj: dict[str, float] = {}
         for name in _CONTROL_MARKERS:
@@ -385,11 +403,15 @@ def _control_bench(spark, sf_dir: str, results: dict) -> None:
             # de-bias: the headline loop already warmed the CURRENT
             # query; warm the control once untimed, then time control
             # and current back-to-back — adjacent in time, equal
-            # JVM/OS-cache warmth, so the ratio is code-attributable
+            # JVM/OS-cache warmth, so the ratio is code-attributable.
+            # Each leg runs under ITS OWN sys.modules set (swap is a
+            # dict update — microseconds).
+            _swap(wt_mods)
             fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
             t0 = time.time()
             fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
             ctrl[name] = round(time.time() - t0, 3)
+            _swap(saved)
             t0 = time.time()
             xfn(spark, sf_dir).write.format("noop").mode("overwrite").save()
             cur_adj[name] = round(time.time() - t0, 3)
