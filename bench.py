@@ -174,6 +174,8 @@ def _scale_bench(spark, sf_dir: str, results: dict) -> None:
             "q124_tfidf_top_terms",
             "q125_hashed_quality_classifier",
             "q126_dsir_importance",
+            "q130_bigram_lm_perplexity",
+            "q134_char_contamination",
         )
         base: dict[str, float] = {}
         large: dict[str, float] = {}
