@@ -441,7 +441,10 @@ def canonical_url(col: Column) -> Column:
     head = F.regexp_extract(nofrag, r"^([A-Za-z][A-Za-z0-9+.\-]*://[^/?#]*)", 1)
     rest = nofrag.substr(F.length(head) + 1, F.length(nofrag))
     h = F.lower(head)
-    h = F.regexp_replace(h, r":(443|80)$", "")
+    # default ports are SCHEME-MATCHED: :80 is only a default for
+    # http, :443 only for https — https://x:80 stays as written
+    h = F.regexp_replace(h, r"^(http://[^:/]+):80$", r"$1")
+    h = F.regexp_replace(h, r"^(https://[^:/]+):443$", r"$1")
     h = F.regexp_replace(h, r"^(https?://)www\.", r"$1")
     path = F.regexp_extract(rest, r"^([^?]*)", 1)
     query = F.regexp_extract(rest, r"^[^?]*\?(.*)$", 1)

@@ -1003,8 +1003,13 @@ def oracle_sql() -> dict[str, str]:
                                        '^([A-Za-z][A-Za-z0-9+.\\-]*://[^/?#]*)', 1) AS head
                             FROM parts),
                  split2 AS (SELECT doc_id,
+                                   -- scheme-matched default ports (r8):
+                                   -- :80 only for http, :443 only for https
                                    regexp_replace(
-                                       regexp_replace(lower(head), ':(443|80)$', ''),
+                                       regexp_replace(
+                                           regexp_replace(lower(head),
+                                               '^(http://[^:/]+):80$', '\\1'),
+                                           '^(https://[^:/]+):443$', '\\1'),
                                        '^(https?://)www\\.', '\\1') AS h,
                                    substr(nofrag, length(head) + 1) AS rest
                             FROM split1),

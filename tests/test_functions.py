@@ -687,6 +687,8 @@ def test_canonical_url(spark):
         ("http://example.com", "http://example.com/"),
         ("http://example.com/a?b=2&a=1", "http://example.com/a?a=1&b=2"),  # sorted
         ("http://example.com:8080/x", "http://example.com:8080/x"),  # non-default port kept
+        ("https://example.com:80/x", "https://example.com:80/x"),  # :80 NOT default for https
+        ("http://example.com:443/x", "http://example.com:443/x"),  # :443 NOT default for http
         ("http://sub.example.com/x", "http://sub.example.com/x"),  # subdomain ≠ www
         ("not a url", "not a url"),  # unparseable passes through
         (None, None),
