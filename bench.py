@@ -73,6 +73,7 @@ HEADLINE = [
     "q133_multimodal_pipeline",  # r8: resize/frames/features codec chain
     "q134_char_contamination",  # r8: char-gram broadcast decontamination
     "q135_corpus_zipf_profile",  # r8: one-shuffle corpus profile report
+    "q136_corpus_clean_v2",  # r8: composed para-dedup+classify+decontam
 ]
 
 

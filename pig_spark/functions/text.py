@@ -165,6 +165,8 @@ def sliding_grams(tokens: Column, n: int, clamp_to_one: bool = False) -> Column:
     ``clamp_to_one`` reproduces the dedup-shingle ≥1 clamp: docs
     shorter than n tokens yield ONE whole-text shingle, and an EMPTY
     doc yields ``[""]`` (what array_join over an empty slice gave)."""
+    if n < 1:
+        raise ValueError(f"sliding_grams: n must be >= 1, got {n}")
     floor = 1 if clamp_to_one else 0
     n_g = F.greatest(F.size(tokens) - F.lit(n - 1), F.lit(floor))
     out = F.slice(tokens, 1, n_g)

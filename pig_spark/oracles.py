@@ -982,6 +982,81 @@ def oracle_sql() -> dict[str, str]:
                    round(CAST(r.top100_tokens AS DOUBLE) / s.n_tokens, 6) AS top100_share,
                    round((r.k * r.sxy - r.sx * r.sy) / (r.k * r.sxx - r.sx * r.sx), 6) AS zipf_slope
             FROM scal s, reg r""",
+        "q136_corpus_clean_v2": """
+            WITH toks AS (SELECT doc_id,
+                                 list_filter(string_split_regex(trim(text), '\\s+'),
+                                             x -> x <> '') AS tk
+                          FROM documents),
+                 chunks AS (SELECT doc_id,
+                                   list_transform(range(0, CAST(ceil(len(tk) / 25.0) AS INT)),
+                                                  i -> array_to_string(tk[i*25+1 : i*25+25], ' ')) AS cs
+                            FROM toks),
+                 withbp AS (SELECT doc_id,
+                                   (CASE WHEN doc_id % 2 = 0
+                                         THEN ['subscribe to our newsletter for the latest updates']
+                                         ELSE CAST([] AS VARCHAR[]) END)
+                                   || cs ||
+                                   (CASE WHEN doc_id % 5 = 0
+                                         THEN ['all rights reserved unauthorized reproduction prohibited']
+                                         ELSE CAST([] AS VARCHAR[]) END) AS ps
+                            FROM chunks),
+                 p AS (SELECT doc_id, len(ps) AS n_paras,
+                              unnest(ps) AS para,
+                              generate_subscripts(ps, 1) - 1 AS pos
+                       FROM withbp),
+                 keptp AS (SELECT doc_id, n_paras, pos, para,
+                                  row_number() OVER (PARTITION BY md5(para)
+                                       ORDER BY doc_id, pos) AS rn
+                           FROM p),
+                 rebuilt AS (SELECT doc_id, CAST(any_value(n_paras) AS BIGINT) AS n_paras,
+                                    COUNT(*) AS n_kept,
+                                    string_agg(para, ' | ' ORDER BY pos) AS clean_text
+                             FROM keptp WHERE rn = 1 GROUP BY doc_id),
+                 ctk AS (SELECT doc_id, n_paras, n_kept, clean_text,
+                                list_filter(string_split_regex(trim(clean_text), '\\s+'),
+                                            x -> x <> '') AS tk
+                         FROM rebuilt),
+                 feats AS (SELECT doc_id, n_paras, n_kept, len(tk) AS n_tokens,
+                                  list_concat(tk,
+                                      CASE WHEN len(tk) >= 2
+                                           THEN list_transform(generate_series(1, len(tk) - 1),
+                                                               i -> tk[i] || ' ' || tk[i + 1])
+                                           ELSE CAST([] AS VARCHAR[]) END) AS fs
+                           FROM ctk),
+                 sc AS (SELECT doc_id, n_paras, n_kept, CAST(n_tokens AS BIGINT) AS n_tokens,
+                               CASE WHEN len(fs) > 0 THEN
+                                 list_sum(list_transform(fs, x ->
+                                   (((CAST(('0x' || substr(md5(x), 1, 15)) AS BIGINT) % 4096)
+                                     * 2654435761) % 4096) / 4096.0 - 0.5))
+                                 / len(fs)
+                               END AS score
+                        FROM feats),
+                 lowt AS (SELECT doc_id, lower(clean_text) AS t FROM rebuilt
+                          WHERE doc_id % 97 <> 0),
+                 tsh AS (SELECT doc_id,
+                                list_distinct(list_transform(
+                                    range(1, greatest(length(t) - 19, 1) + 1),
+                                    i -> substr(t, CAST(i AS INT), 20))) AS g
+                         FROM lowt),
+                 bg AS (SELECT DISTINCT u.x AS g
+                        FROM (SELECT list_distinct(list_transform(
+                                  range(1, greatest(length(lower(text)) - 19, 1) + 1),
+                                  i -> substr(lower(text), CAST(i AS INT), 20))) AS g
+                              FROM documents WHERE doc_id % 97 = 0) b,
+                             unnest(b.g) AS u(x)),
+                 sizes AS (SELECT doc_id, len(g) AS n_grams FROM tsh),
+                 tg AS (SELECT doc_id, u.x AS g FROM tsh, unnest(tsh.g) AS u(x)),
+                 hits AS (SELECT doc_id, COUNT(*) AS n_shared FROM tg
+                          WHERE g IN (SELECT g FROM bg) GROUP BY doc_id),
+                 contam AS (SELECT s.doc_id,
+                                   CAST(COALESCE(h.n_shared, 0) AS BIGINT) AS n_shared,
+                                   round(CAST(COALESCE(h.n_shared, 0) AS DOUBLE)
+                                         / greatest(s.n_grams, 1), 6) >= 0.02 AS contaminated
+                            FROM sizes s LEFT JOIN hits h USING (doc_id))
+            SELECT sc.doc_id, sc.n_paras, sc.n_kept, sc.n_tokens, sc.score,
+                   c.n_shared, c.contaminated,
+                   (sc.score > 0) AND NOT COALESCE(c.contaminated, TRUE) AS keep
+            FROM sc LEFT JOIN contam c USING (doc_id)""",
         "q131_url_canonical_dedup": """
             WITH u AS (SELECT doc_id,
                               CASE CAST(doc_id % 4 AS INT)

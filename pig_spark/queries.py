@@ -2917,6 +2917,85 @@ def q135_corpus_zipf_profile(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q136_corpus_clean_v2(spark: SparkSession, sf: str) -> DataFrame:
+    """The r8 cleaning ops COMPOSED into one pipeline (q76's pattern,
+    one generation newer): paragraph-level exact dedup (q129) rebuilds
+    each document minus corpus-wide boilerplate, then the rebuilt text
+    flows through the hashed linear quality classifier (q125) and
+    char-20-gram decontamination against the held-out eval split
+    (q134's doc_id%97, bench = ORIGINAL eval docs); final
+    keep = score > 0 AND NOT contaminated. Every stage is
+    EXACT-arithmetic (2^-12 classifier weights, rational overlap
+    ratios), so the full-pipeline DuckDB oracle hash-matches with no
+    rounding policy anywhere — the strongest composition gate in the
+    catalog.
+
+    100 TB design: the stages keep their individual shapes — two
+    dedup exchanges (16-byte para key + doc rebuild), map-only
+    classifier, broadcast decontamination with ONE scan of the
+    rebuilt corpus and one doc-id groupBy; no stage materializes to
+    disk between steps (one lazy plan end-to-end)."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    from .functions import text as T
+    from .functions.dedup import char_contamination_check
+
+    head = F.when(
+        F.col("doc_id") % 2 == 0, F.array(F.lit(_PARA_BOILER_HEAD))
+    ).otherwise(F.array().cast("array<string>"))
+    tail = F.when(
+        F.col("doc_id") % 5 == 0, F.array(F.lit(_PARA_BOILER_TAIL))
+    ).otherwise(F.array().cast("array<string>"))
+    paras = _synth_paragraphs(spark, sf, head, tail)
+    w = Window.partitionBy(F.md5("para")).orderBy("doc_id", "pos")
+    kept = paras.withColumn("rn", F.row_number().over(w)).where(F.col("rn") == 1)
+    rebuilt = kept.groupBy("doc_id").agg(
+        F.first("n_paras").alias("n_paras"),
+        F.count(F.lit(1)).alias("n_kept"),
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "para"))),
+                lambda s: s["para"],
+            ),
+            " | ",
+        ).alias("clean_text"),
+    )
+    # classifier over the REBUILT text (q125 staging discipline)
+    td = rebuilt.select(
+        "doc_id", "n_paras", "n_kept", "clean_text",
+        T.tokenize_ws(F.col("clean_text")).alias("tk"),
+    )
+    staged = td.select(
+        "doc_id", "n_paras", "n_kept", "clean_text",
+        F.size("tk").cast("long").alias("n_tokens"),
+        T.hashed_features(F.col("tk")).alias("feats"),
+    )
+    scored = staged.select(
+        "doc_id", "n_paras", "n_kept", "clean_text", "n_tokens",
+        T.hashed_score_from_features(F.col("feats")).alias("score"),
+    ).drop("clean_text")
+    # decontaminate the REBUILT train docs against the ORIGINAL eval
+    # split (eval text never went through the rebuild — it is the
+    # held-out benchmark, not pipeline data)
+    orig = spark.read.parquet(f"{sf}/documents.parquet").select("doc_id", "text")
+    bench = orig.where(F.col("doc_id") % 97 == 0)
+    train = td.where(F.col("doc_id") % 97 != 0).select(
+        "doc_id", F.col("clean_text").alias("text")
+    )
+    contam = char_contamination_check(
+        train, bench, "text", "doc_id", n=20, threshold=0.02
+    ).select("doc_id", "n_shared", "contaminated")
+    out = scored.join(contam, "doc_id", "left")
+    return out.select(
+        "doc_id", "n_paras", "n_kept", "n_tokens", "score",
+        "n_shared", "contaminated",
+        # eval-split docs (contaminated IS NULL) are not train data —
+        # they are excluded, not kept
+        ((F.col("score") > 0) & ~F.coalesce(F.col("contaminated"), F.lit(True))).alias("keep"),
+    )
+
+
 from .pigmix import PIGMIX_QUERIES  # noqa: E402  (avoids circular import)
 
 _ALL: dict[str, Callable[[SparkSession, str], DataFrame]] = {
@@ -2929,13 +3008,14 @@ _ALL.update(PIGMIX_QUERIES)
 # The driver's correctness gate checks the FIRST 50 entries in dict
 # order. Order by verification need, not by name (rebuilt each round;
 # the window arithmetic is EXACT — VERDICT r6 #3):
-#   tier 0 (9): new-in-r8 queries + queries whose lowering changed
+#   tier 0 (10): new-in-r8 queries + queries whose lowering changed
 #     this round and must re-earn a green driver row — q128 (broadcast
 #     weight classifier, new), q129 (paragraph dedup, new), q130
 #     (bigram LM with backoff, new), q131 (canonical-URL dedup, new),
 #     q132 (paragraph near-dup grouping, new), q133 (multimodal
 #     resize/frames/features chain, new), q134 (char-level
 #     contamination, new), q135 (corpus Zipf/TTR profile, new),
+#     q136 (composed clean-corpus v2 pipeline, new),
 #     q127 (SearchEngineExtractor moved
 #     to the reference's exact-match lookup and SearchQuery's
 #     empty-param semantics changed);
@@ -2943,12 +3023,13 @@ _ALL.update(PIGMIX_QUERIES)
 #     this round (VERDICT r7 missing #1 / next #2) — q44_cosine_topk,
 #     q46_ann_lsh, q47_lang_id, q48_quality_score, q49_fingerprint,
 #     q50_token_stats, q51_join_qualified;
-#   tier 2 (34 of 38): the r5-evidence block, alphabetical; the
-#     four alphabetically-last entries (q73_latin_macro,
-#     q76_corpus_clean, q80_skewed_join, q81_latin_bigdata_chain)
-#     stay at r5 evidence and LEAD tier 2 next round;
+#   tier 2 (33 of 38): the r5-evidence block, alphabetical; the
+#     five alphabetically-last entries (q72_latin_nested_block,
+#     q73_latin_macro, q76_corpus_clean, q80_skewed_join,
+#     q81_latin_bigdata_chain) stay at r5 evidence and LEAD tier 2
+#     next round;
 #   tier 3: everything r6/r7-verified.
-# 9 + 7 + 34 = 50.
+# 10 + 7 + 33 = 50.
 _NEW_OR_CHANGED_R8 = {
     "q128_classifier_broadcast_weights",  # new: trained-weight-array classifier
     "q129_paragraph_dedup",               # new: paragraph-level exact dedup
@@ -2958,6 +3039,7 @@ _NEW_OR_CHANGED_R8 = {
     "q133_multimodal_pipeline",           # new: full multimodal chain gate
     "q134_char_contamination",            # new: char-gram decontamination
     "q135_corpus_zipf_profile",           # new: Zipf/TTR corpus profile
+    "q136_corpus_clean_v2",               # new: composed r8 cleaning pipeline
     "q127_referrer_analysis",             # changed: exact-match engine lookup
 }
 # the seven-query r4 tail — committed in r7 to lead this window
