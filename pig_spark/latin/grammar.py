@@ -29,7 +29,7 @@ _TOKEN_RE = re.compile(
   | (?P<exec>`[^`]*`)
   | (?P<dollar>\$\w+)
   | (?P<id>[A-Za-z_][A-Za-z0-9_]*(::[A-Za-z_][A-Za-z0-9_]*)*)
-  | (?P<op>==|!=|<=|>=|\.\.|[-+*/%()<>,;.#?:{}\[\]=])
+  | (?P<op>==|!=|<=|>=|\.\.|[-+*/%()<>,;.#?:{}\[\]=@])
     """,
     re.VERBOSE | re.DOTALL,
 )
@@ -76,6 +76,19 @@ def tokenize(src: str) -> list[Tok]:
 # ----------------------------------------------------------------------
 # AST
 # ----------------------------------------------------------------------
+
+
+@dataclass
+class ExplainStmt:
+    """EXPLAIN with the GruntParser.processExplain surface:
+    [-script 'f.pig'] [-param k=v ...] [-out target] [-dot|-xml]
+    [-brief] [alias | @]; bare explain = the last-defined alias."""
+    rel: str | None  # alias, "@" (last relation), or None (last alias)
+    script: str | None = None
+    out: str | None = None
+    fmt: str = "text"  # text | dot | xml
+    brief: bool = False
+    params: dict | None = None
 
 
 @dataclass
@@ -560,7 +573,39 @@ class Parser:
                 storer, args = self._func_spec()
             self.expect("op", ";")
             return Store(rel, path, storer, args)
-        if kw in ("dump", "describe", "explain", "illustrate"):
+        if kw == "explain":
+            script = out = None
+            fmt, brief = "text", False
+            params: dict = {}
+            while self.accept("op", "-"):
+                flag = self._ident().lower()
+                if flag == "script":
+                    script = self._path_like()
+                elif flag == "out":
+                    out = self._path_like()
+                elif flag == "param":
+                    k = self._ident()
+                    self.expect("op", "=")
+                    params[k] = self._path_like()
+                elif flag == "dot":
+                    fmt = "dot"
+                elif flag == "xml":
+                    fmt = "xml"
+                elif flag == "brief":
+                    brief = True
+                else:
+                    raise SyntaxError(
+                        f"pig latin: explain: unknown option -{flag} "
+                        "(supported: -script, -out, -param, -dot, -xml, -brief)"
+                    )
+            rel = None
+            if self.accept("op", "@"):
+                rel = "@"
+            elif self.peek().kind == "id":
+                rel = self._ident()
+            self.expect("op", ";")
+            return ExplainStmt(rel, script, out, fmt, brief, params or None)
+        if kw in ("dump", "describe", "illustrate"):
             rel = self._ident()
             self.expect("op", ";")
             return Simple(kw, rel)
@@ -1011,6 +1056,28 @@ class Parser:
     def _string(self) -> str:
         t = self.expect("str")
         return t.text[1:-1].replace("\\'", "'")
+
+    def _path_like(self) -> str:
+        """A path/value operand for explain options: either a quoted
+        string, or a run of CONTIGUOUS tokens (no intervening
+        whitespace) up to the next gap or ';' — how GruntParser reads
+        unquoted filenames like `explain -script foo.pig`."""
+        if self.peek().kind == "str":
+            return self._string()
+        parts: list[str] = []
+        prev_end: int | None = None
+        while True:
+            t = self.peek()
+            if t.kind == "eof" or (t.kind == "op" and t.text == ";"):
+                break
+            if prev_end is not None and t.pos != prev_end:
+                break
+            parts.append(t.text)
+            prev_end = t.pos + len(t.text)
+            self.i += 1
+        if not parts:
+            raise SyntaxError("pig latin: explain option expects a value")
+        return "".join(parts)
 
     def _func_spec(self) -> tuple[str, list[str]]:
         name = self._dotted()  # USING org.apache.pig.piggybank.storage.X

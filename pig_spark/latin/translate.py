@@ -968,6 +968,8 @@ class PigTranslator:
                 print(f"{stmt.rel}: {self._rel(stmt.rel).describe()}")
         elif isinstance(stmt, G.Simple) and stmt.op == "explain":
             self._rel(stmt.rel).explain()
+        elif isinstance(stmt, G.ExplainStmt):
+            self._explain_stmt(stmt)
         elif isinstance(stmt, G.Simple) and stmt.op == "illustrate":
             self._rel(stmt.rel).illustrate()
         elif isinstance(stmt, G.SplitStmt):
@@ -1067,6 +1069,71 @@ class PigTranslator:
             self.aliases[stmt.rel] = RelInfo(rel.assert_by(self._expr(stmt.cond, rel), stmt.msg or ""))
         else:
             raise NotImplementedError(f"statement {type(stmt).__name__}")
+
+    def _explain_stmt(self, stmt) -> None:
+        """EXPLAIN with GruntParser.processExplain's surface
+        (GruntParser.java:330): [-script f] [-param k=v] [-out target]
+        [-dot|-xml] [-brief] [alias|@]. Bare explain = the last-defined
+        alias (getLastAlias); '@' = the last relation. -dot/-xml render
+        the CATALYST optimized plan (the artifact that matters on this
+        engine) via plans.plan_dot/plan_xml; -out writes files
+        (logical_plan-<n>.<fmt> inside a directory target, reference
+        naming); -brief = Spark's 'simple' mode instead of 'formatted'."""
+        import io
+        import os as _os
+        from contextlib import redirect_stdout
+
+        targets: list[tuple[str, Relation]] = []
+        if stmt.script is not None:
+            from . import translator as _translator
+
+            fresh = _translator(self.spark, params=dict(stmt.params or {}))
+            fresh.execute_stores = False
+            with open(stmt.script, encoding="utf-8") as fh:
+                rels = fresh.run(fh.read())
+            sinks = [a for i, a in enumerate(fresh.sink_aliases)
+                     if a in rels and a not in fresh.sink_aliases[:i]]
+            if not sinks and rels:
+                sinks = [list(rels)[-1]]
+            targets = [(a, rels[a]) for a in sinks]
+        else:
+            alias = stmt.rel
+            if alias in (None, "@"):
+                if not self.aliases:
+                    raise SyntaxError(
+                        "'explain' statement must be on an alias or on a script."
+                    )
+                alias = list(self.aliases)[-1]
+            targets = [(alias, self._rel(alias))]
+
+        def _render(rel: Relation) -> str:
+            if stmt.fmt == "dot":
+                from ..plans import plan_dot
+
+                return plan_dot(rel.df)
+            if stmt.fmt == "xml":
+                from ..plans import plan_xml
+
+                return plan_xml(rel.df)
+            buf = io.StringIO()
+            with redirect_stdout(buf):
+                rel.explain("simple" if stmt.brief else "formatted")
+            return buf.getvalue()
+
+        for i, (alias, rel) in enumerate(targets):
+            text = _render(rel)
+            if stmt.out is None:
+                print(f"# {alias}")
+                print(text)
+            elif _os.path.isdir(stmt.out):
+                ext = {"text": "txt"}.get(stmt.fmt, stmt.fmt)
+                suffix = "" if len(targets) == 1 else f"_{i + 1}"
+                with open(_os.path.join(stmt.out, f"logical_plan{suffix}.{ext}"), "w") as fh:
+                    fh.write(text)
+            else:
+                mode = "w" if i == 0 else "a"
+                with open(stmt.out, mode) as fh:
+                    fh.write(f"# {alias}\n{text}\n")
 
     def _rel(self, alias: str) -> Relation:
         if alias not in self.aliases:

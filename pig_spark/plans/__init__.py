@@ -90,3 +90,77 @@ def read_schema_width(df: DataFrame) -> int:
     if not m:
         return -1
     return len([c for c in m.group(1).split(",") if c])
+
+
+# ----------------------------------------------------------------------
+# plan rendering for EXPLAIN -dot / -xml (r8) — GruntParser's
+# processExplain format options, reinterpreted Spark-first: the graph
+# is the CATALYST OPTIMIZED PLAN (the artifact that matters on this
+# engine), rendered from the plan tree's indentation structure
+# (3 chars per level, ":-"/"+-" child markers).
+# ----------------------------------------------------------------------
+
+import re as _re
+
+
+def _plan_tree(plan: str) -> list[tuple[int, str]]:
+    """(depth, label) per operator line of a Catalyst plan toString;
+    codegen stage markers (*(n)) are stripped from labels."""
+    nodes: list[tuple[int, str]] = []
+    for ln in plan.splitlines():
+        if not ln.strip():
+            continue
+        m = _re.search(r"[:+]- ", ln)
+        if m is None:
+            if nodes:  # continuation/detail line, not an operator
+                continue
+            depth, label = 0, ln.strip()
+        else:
+            depth = m.start() // 3 + 1
+            label = ln[m.end():].strip()
+        label = _re.sub(r"^\*\(\d+\) ", "", label)
+        nodes.append((depth, label))
+    return nodes
+
+
+def plan_dot(df: DataFrame, max_label: int = 96) -> str:
+    """Graphviz DOT of the optimized plan (EXPLAIN -dot)."""
+    nodes = _plan_tree(df._jdf.queryExecution().optimizedPlan().toString())
+    out = ["digraph plan {", "  node [shape=box];"]
+    stack: list[tuple[int, int]] = []  # (depth, node id)
+    for i, (depth, label) in enumerate(nodes):
+        short = label if len(label) <= max_label else label[: max_label - 1] + "…"
+        short = short.replace("\\", "\\\\").replace('"', '\\"')
+        out.append(f'  n{i} [label="{short}"];')
+        while stack and stack[-1][0] >= depth:
+            stack.pop()
+        if stack:
+            out.append(f"  n{stack[-1][1]} -> n{i};")
+        stack.append((depth, i))
+    out.append("}")
+    return "\n".join(out)
+
+
+def plan_xml(df: DataFrame, max_label: int = 160) -> str:
+    """Nested XML of the optimized plan (EXPLAIN -xml)."""
+    from xml.sax.saxutils import escape, quoteattr
+
+    nodes = _plan_tree(df._jdf.queryExecution().optimizedPlan().toString())
+    out = ['<?xml version="1.0"?>', "<plan>"]
+    stack: list[int] = []
+    for depth, label in nodes:
+        while stack and stack[-1] >= depth:
+            stack.pop()
+            out.append("  " * (len(stack) + 1) + "</node>")
+        op = label.split(" ", 1)[0].split("[", 1)[0]
+        detail = label if len(label) <= max_label else label[: max_label - 1] + "…"
+        out.append(
+            "  " * (depth + 1)
+            + f"<node op={quoteattr(op)} detail={quoteattr(escape(detail))}>"
+        )
+        stack.append(depth)
+    while stack:
+        stack.pop()
+        out.append("  " * (len(stack) + 1) + "</node>")
+    out.append("</plan>")
+    return "\n".join(out)

@@ -548,6 +548,51 @@ def test_latin_r8_text_functions(spark):
     assert all(r.n_terms > 0 for r in rows)
 
 
+def test_explain_full_surface(spark, tmp_path, capsys):
+    """EXPLAIN with GruntParser.processExplain's option surface (r8):
+    bare explain = last alias, '@' = last relation, -brief = simple
+    mode, -dot/-xml render the Catalyst optimized plan, -out writes
+    files (reference logical_plan-* naming inside a directory),
+    -script explains a script's sinks WITHOUT executing stores."""
+    import os
+
+    from pig_spark.latin import run
+
+    sf = "/root/testdata/sf0.001"
+    run(spark, f"""
+        a = LOAD '{sf}/region.parquet' USING ParquetLoader();
+        b = FILTER a BY r_regionkey > 1;
+        explain -brief;
+        explain @;
+        explain -dot b;
+    """)
+    out = capsys.readouterr().out
+    assert "== Physical Plan ==" in out
+    assert "digraph plan {" in out and "->" in out
+    d = tmp_path / "plans"
+    d.mkdir()
+    run(spark, f"""
+        a = LOAD '{sf}/region.parquet' USING ParquetLoader();
+        explain -xml -out {d} a;
+        explain -out '{d}/p.txt' a;
+    """)
+    assert (d / "logical_plan.xml").read_text().startswith('<?xml version="1.0"?>')
+    assert "Physical Plan" in (d / "p.txt").read_text()
+    s = tmp_path / "s.pig"
+    s.write_text(
+        f"x = LOAD '{sf}/nation.parquet' USING ParquetLoader();\n"
+        f"STORE x INTO '{tmp_path}/never_written' USING ParquetStorer();\n"
+    )
+    run(spark, f"explain -script '{s}';")
+    assert "Physical Plan" in capsys.readouterr().out
+    assert not os.path.exists(f"{tmp_path}/never_written")  # stores skipped
+    # bare explain with no aliases = the reference's error message
+    import pytest as _pytest
+
+    with _pytest.raises(Exception, match="must be on an alias or on a script"):
+        run(spark, "explain;")
+
+
 def test_grunt_utility_cmds(tmp_path, capsys):
     """Grunt fs/sh/cat/pwd utility commands (GruntParser.java)."""
     from pig_spark.latin.__main__ import _utility_cmd
