@@ -606,7 +606,14 @@ class Parser:
             self.expect("op", ";")
             return ExplainStmt(rel, script, out, fmt, brief, params or None)
         if kw in ("dump", "describe", "illustrate"):
-            rel = self._ident()
+            # bare `describe;` / `describe @;` — last alias / last
+            # relation (GruntParser.processDescribe:296)
+            if kw == "describe" and self.accept("op", "@"):
+                rel = "@"
+            elif kw == "describe" and self.peek().kind == "op" and self.peek().text == ";":
+                rel = None
+            else:
+                rel = self._ident()
             self.expect("op", ";")
             return Simple(kw, rel)
         if kw == "assert":

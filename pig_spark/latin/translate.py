@@ -960,6 +960,15 @@ class PigTranslator:
             for r in rows[:100]:
                 print(render_row(r))
         elif isinstance(stmt, G.Simple) and stmt.op == "describe":
+            if stmt.rel in (None, "@"):
+                # bare describe / describe @ — last-defined alias
+                # (processDescribe's getLastAlias path + its error)
+                if not self.aliases:
+                    raise NameError(
+                        "No previously defined alias found. Please define an "
+                        "alias and use 'describe' operator."
+                    )
+                stmt = G.Simple("describe", list(self.aliases)[-1])
             if stmt.rel in self.nested_schemas:
                 # describe <alias>::<inner> — the nested block's inner
                 # relation schema (Pig DESCRIBE nested alias support)
