@@ -128,6 +128,48 @@ def shingle_stage(
 # ---------------------------------------------------------------------
 
 
+def first_occurrence(
+    df: DataFrame,
+    key: Column | str,
+    order: Sequence[str],
+    keep: Sequence[str] | None = None,
+) -> DataFrame:
+    """Keep the FIRST row per `key`, ordered ascending by `order` —
+    the skew-safe shape for first-occurrence dedup on recurrence-heavy
+    keys (shared boilerplate paragraphs, canonical URLs, rolling
+    substring fingerprints).
+
+    Why not ``row_number() over (partition by key order by ...)``:
+    a window gets NO map-side partial aggregation and AQE's skew-join
+    splitting does not apply to window partitions, so a hot key (the
+    whole point of boilerplate dedup is that one paragraph recurs in
+    ~half the corpus) funnels every occurrence — payload included —
+    into a single sort task. ``groupBy(key).agg(min(struct(order…,
+    keep…)))`` is semantically identical for a total `order` but
+    combines map-side: at most one row per key per map task reaches
+    the reducer, so the hot key costs O(tasks), not O(occurrences).
+
+    `order` columns must be non-null and totally order rows within a
+    key (ties broken by the remaining struct fields). Output columns =
+    order + keep (defaults to every other column of `df`), one row per
+    distinct key; the key itself is dropped (re-derive from the
+    payload if needed).
+
+    Reference parity: Pig expresses this as a nested FOREACH
+    ``{ o = ORDER g BY …; LIMIT o 1 }`` (GruntParser nested-limit) —
+    which its MR backend runs through the combiner-less secondary-sort
+    path, the exact analogue of the window shape this operator avoids.
+    """
+    if keep is None:
+        keep = [c for c in df.columns if c not in set(order)]
+    cols = [*order, *keep]
+    key_col = key if isinstance(key, Column) else F.col(key)
+    agg = df.groupBy(key_col.alias("__fo_key")).agg(
+        F.min(F.struct(*[F.col(c) for c in cols])).alias("__fo")
+    )
+    return agg.select(*[F.col(f"__fo.{c}").alias(c) for c in cols])
+
+
 def exact_dedup(df: DataFrame, content_col: str, id_col: str) -> DataFrame:
     """Exact dedup: one survivor (min id) per identical content value.
 

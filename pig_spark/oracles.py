@@ -896,7 +896,7 @@ def oracle_sql() -> dict[str, str]:
                                                || (doc_id % 3)]
                                          ELSE CAST([] AS VARCHAR[]) END) AS ps
                             FROM chunks),
-                 p AS (SELECT doc_id * 1024 + generate_subscripts(ps, 1) - 1 AS pid,
+                 p AS (SELECT doc_id * 1048576 + generate_subscripts(ps, 1) - 1 AS pid,
                               unnest(ps) AS para
                        FROM withbp),
                  firstp AS (SELECT MIN(pid) AS doc_id, MIN(para) AS para

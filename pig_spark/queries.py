@@ -974,8 +974,6 @@ def q76_corpus_clean(spark: SparkSession, sf: str) -> DataFrame:
     survivor) → MinHash-LSH near-dup removal (drop the higher id of
     each verified pair). Every stage is the already-oracle-checked
     operator; this query checks their COMPOSITION under one plan."""
-    from pyspark.sql import Window
-
     from .functions import dedup, text
 
     d = _t(spark, sf, "documents").df
@@ -987,8 +985,9 @@ def q76_corpus_clean(spark: SparkSession, sf: str) -> DataFrame:
         text.quality_score_from_tokens(F.col("__toks")).alias("q"),
     )
     base = scored.filter((F.col("lang") == "en") & (F.col("q") >= 0.5))
-    w = Window.partitionBy(F.md5(F.col("text"))).orderBy("doc_id")
-    uniq = base.withColumn("__rn", F.row_number().over(w)).filter(F.col("__rn") == 1).drop("__rn")
+    # skew-safe first-occurrence aggregate, not a row_number window
+    # (map-side combinable — a hot duplicated text can't straggle)
+    uniq = dedup.first_occurrence(base, F.md5(F.col("text")), ["doc_id"])
     pairs = dedup.minhash_lsh_pairs(uniq, "text", "doc_id", threshold=0.4)
     drop = pairs.select(F.col("id_b").alias("doc_id")).distinct()
     return uniq.join(drop, "doc_id", "left_anti").select("doc_id", "q")
@@ -2538,14 +2537,18 @@ def q129_paragraph_dedup(spark: SparkSession, sf: str) -> DataFrame:
     the engine's exact-dedup machinery (functions/dedup.py).
 
     100 TB design: exactly TWO exchanges, both irreducible — (1) the
-    16-byte md5 paragraph key for the first-occurrence window (key
-    cardinality ≈ distinct paragraphs, no skew: even the shared
-    boilerplate key carries only (doc_id,pos) pairs, ~8 bytes/row
-    after the scan projection), (2) the doc_id regroup to rebuild
-    documents. Paragraph synthesis, hashing and the rebuild transform
-    are all whole-stage codegen; no Python anywhere (plan-pinned)."""
+    16-byte md5 paragraph key for the first-occurrence AGGREGATE
+    (dedup.first_occurrence: groupBy + min(struct) — map-side partial
+    aggregation combines the deliberately-hot boilerplate key to ≤1
+    row per map task before the shuffle; a row_number window here
+    would funnel ~50% of the corpus' paragraph rows, text included,
+    into ONE unsplittable window partition — VERDICT r8 #1), (2) the
+    doc_id regroup to rebuild documents. Paragraph synthesis, hashing
+    and the rebuild transform are all whole-stage codegen; no Python,
+    no Window anywhere (plan-pinned)."""
     from pyspark.sql import functions as F
-    from pyspark.sql.window import Window
+
+    from .functions.dedup import first_occurrence
 
     head = F.when(
         F.col("doc_id") % 2 == 0, F.array(F.lit(_PARA_BOILER_HEAD))
@@ -2555,8 +2558,7 @@ def q129_paragraph_dedup(spark: SparkSession, sf: str) -> DataFrame:
     ).otherwise(F.array().cast("array<string>"))
     paras = _synth_paragraphs(spark, sf, head, tail)
     # first occurrence corpus-wide per paragraph hash wins
-    w = Window.partitionBy(F.md5("para")).orderBy("doc_id", "pos")
-    kept = paras.withColumn("rn", F.row_number().over(w)).where(F.col("rn") == 1)
+    kept = first_occurrence(paras, F.md5("para"), ["doc_id", "pos"])
     rebuilt = kept.groupBy("doc_id").agg(
         F.first("n_paras").alias("n_paras"),
         F.count(F.lit(1)).alias("n_kept"),
@@ -2695,7 +2697,11 @@ def q132_paragraph_near_dup(spark: SparkSession, sf: str) -> DataFrame:
     Synthesis: q129's 25-token blocks, but the injected head/tail
     boilerplate carries a per-doc variant suffix (doc_id%7 / doc_id%3)
     — cross-variant shingle Jaccard ≈ 0.6, above the 0.4 gate.
-    pid = doc_id*1024 + pos keeps paragraph identity reversible.
+    pid = doc_id*2^20 + pos keeps paragraph identity reversible for
+    any document up to ~1M paragraphs (≈26M tokens at 25-token
+    blocks) while doc_id stays below 2^43 — both bounds are asserted
+    nowhere because violating them needs a single 100 GB document;
+    documented here as the packing contract.
 
     100 TB design: the exact pass bounds the fuzzy input to DISTINCT
     paragraphs (the m² candidate expansion inside an LSH bucket of
@@ -2717,11 +2723,9 @@ def q132_paragraph_near_dup(spark: SparkSession, sf: str) -> DataFrame:
         F.array(F.concat(F.lit(_ND_TAIL + " "), (k % 3).cast("string"))),
     ).otherwise(F.array().cast("array<string>"))
     paras = _synth_paragraphs(spark, sf, head, tail).select(
-        (F.col("doc_id") * 1024 + F.col("pos")).alias("pid"), "para"
+        (F.col("doc_id") * (1 << 20) + F.col("pos")).alias("pid"), "para"
     )
-    firstp = paras.groupBy(F.md5("para").alias("__h")).agg(
-        F.min("pid").alias("pid"), F.min("para").alias("para")
-    )
+    firstp = dedup.first_occurrence(paras, F.md5("para"), ["pid"])
     pairs = dedup.minhash_lsh_pairs(firstp, "para", "pid", threshold=0.4)
     edges = pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
     return connected_components(edges, "src", "dst").select(
@@ -2936,10 +2940,9 @@ def q136_corpus_clean_v2(spark: SparkSession, sf: str) -> DataFrame:
     rebuilt corpus and one doc-id groupBy; no stage materializes to
     disk between steps (one lazy plan end-to-end)."""
     from pyspark.sql import functions as F
-    from pyspark.sql.window import Window
 
     from .functions import text as T
-    from .functions.dedup import char_contamination_check
+    from .functions.dedup import char_contamination_check, first_occurrence
 
     head = F.when(
         F.col("doc_id") % 2 == 0, F.array(F.lit(_PARA_BOILER_HEAD))
@@ -2948,8 +2951,7 @@ def q136_corpus_clean_v2(spark: SparkSession, sf: str) -> DataFrame:
         F.col("doc_id") % 5 == 0, F.array(F.lit(_PARA_BOILER_TAIL))
     ).otherwise(F.array().cast("array<string>"))
     paras = _synth_paragraphs(spark, sf, head, tail)
-    w = Window.partitionBy(F.md5("para")).orderBy("doc_id", "pos")
-    kept = paras.withColumn("rn", F.row_number().over(w)).where(F.col("rn") == 1)
+    kept = first_occurrence(paras, F.md5("para"), ["doc_id", "pos"])
     rebuilt = kept.groupBy("doc_id").agg(
         F.first("n_paras").alias("n_paras"),
         F.count(F.lit(1)).alias("n_kept"),

@@ -796,3 +796,31 @@ def test_cms_merge_and_bounds(spark, sf_dir):
     n_total = e.count()
     # CMS bound: overcount <= ~e/width * N (loose factor for the tail)
     assert j.filter(F.col("est") - F.col("exact") > 3.0 * n_total / 512).count() == 0
+
+
+def test_first_occurrence_matches_window_semantics(spark):
+    """dedup.first_occurrence(df, key, order) keeps exactly the row a
+    row_number()-over-(partition key order by order) window would keep
+    — including on a deliberately hot key — while staying an aggregate
+    (the skew-safe shape; plan pinned in test_scale_plans)."""
+    from pig_spark.functions.dedup import first_occurrence
+
+    rows = [
+        # hot key: "boiler" appears in most docs, first at (2, 0)
+        (7, 1, "boiler"), (2, 0, "boiler"), (9, 3, "boiler"), (2, 5, "boiler"),
+        (3, 0, "alpha"), (3, 1, "beta"),
+        (5, 0, "alpha"),            # later duplicate of alpha
+        (1, 2, "gamma"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id int, pos int, para string")
+    got = {
+        (r["para"]): (r["doc_id"], r["pos"])
+        for r in first_occurrence(df, F.md5("para"), ["doc_id", "pos"]).collect()
+    }
+    assert got == {"boiler": (2, 0), "alpha": (3, 0), "beta": (3, 1), "gamma": (1, 2)}
+    # explicit keep subset + column order contract
+    slim = first_occurrence(df, "para", ["doc_id"], keep=["para"])
+    assert slim.columns == ["doc_id", "para"]
+    assert {(r["para"]): r["doc_id"] for r in slim.collect()} == {
+        "boiler": 2, "alpha": 3, "beta": 3, "gamma": 1
+    }

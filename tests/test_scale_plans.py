@@ -377,17 +377,48 @@ def test_broadcast_weight_classifier_plan_map_only(spark, sf_dir):
 def test_paragraph_dedup_plan_two_exchanges(spark, sf_dir):
     """q129 (paragraph-level exact dedup): exactly TWO exchanges, both
     irreducible — the md5 paragraph-key hash partitioning for the
-    first-occurrence window and the doc_id regroup for the rebuild.
-    Paragraph synthesis/hash/rebuild are whole-stage codegen — no
-    Python, no broadcast, no extra shuffle."""
+    first-occurrence AGGREGATE and the doc_id regroup for the rebuild.
+    The first-occurrence stage must be a partial-aggregated groupBy
+    (min(struct) combines the hot boilerplate key map-side), NEVER a
+    row_number window: a window partition gets no map-side combine and
+    AQE cannot split it, so the ~50%-incidence boilerplate key would
+    funnel half the corpus' paragraph rows into one task (VERDICT r8
+    #1). Paragraph synthesis/hash/rebuild are whole-stage codegen — no
+    Python, no Window, no broadcast, no extra shuffle."""
     from pig_spark.queries import q129_paragraph_dedup
 
     df = q129_paragraph_dedup(spark, sf_dir)
     phys = df._jdf.queryExecution().executedPlan().toString()
     assert phys.count("Exchange hashpartitioning") == 2, phys
     assert "PythonUDF" not in phys and "EvalPython" not in phys, phys
-    assert "hashpartitioning(_w0" in phys or "hashpartitioning(md5" in phys, phys
+    assert "Window" not in phys, phys
+    # Catalyst extracts the md5 key expr into _groupingexpression
+    assert (
+        "hashpartitioning(__fo_key" in phys
+        or "hashpartitioning(_groupingexpression" in phys
+    ), phys
     assert "hashpartitioning(doc_id" in phys, phys
+    # partial (map-side) min(struct) before the key exchange
+    assert "partial_min" in phys, phys
+
+
+def test_first_occurrence_is_partial_aggregate(spark, sf_dir):
+    """dedup.first_occurrence: the named operator itself is pinned —
+    one exchange on the key, partial aggregation present, no Window
+    node, output = order + keep columns with original names."""
+    from pyspark.sql import functions as F
+
+    from pig_spark.functions.dedup import first_occurrence
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "n_chars", "text"
+    )
+    fo = first_occurrence(d, F.md5("text"), ["doc_id"])
+    assert fo.columns == ["doc_id", "n_chars", "text"]
+    phys = fo._jdf.queryExecution().executedPlan().toString()
+    assert "Window" not in phys, phys
+    assert phys.count("Exchange hashpartitioning") == 1, phys
+    assert "partial_min" in phys, phys
 
 
 def test_url_canonical_dedup_plan(spark, sf_dir):
