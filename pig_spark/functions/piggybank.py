@@ -467,10 +467,13 @@ def SearchQuery(col: Column) -> Column:
     # as-is. regexp_extract returns '' for BOTH no-match and an
     # empty-but-present parameter ('?q=&x=1') — the Java matcher.find()
     # succeeds on the latter and returns the processed empty string, so
-    # distinguish the cases by probing for the parameter marker itself
+    # distinguish the cases by probing for the parameter marker itself.
+    # The short-circuit matches Java's isEmpty() EXACTLY: only null/''
+    # pass through — a whitespace-only URL is NOT empty, so it falls
+    # into the matcher, finds no parameter, and returns null.
     has_param = url.rlike(r"[&?](as_)?[pq]=")
     return (
-        F.when(col.isNull() | (F.trim(col) == ""), url)
+        F.when(col.isNull() | (col == ""), url)
         .when(~has_param, F.lit(None).cast("string"))
         .otherwise(out)
     )
@@ -505,9 +508,11 @@ def DateExtractor(
 #: representative engine-domain table for SearchEngineExtractor —
 #: the Java UDF ships a ~200-row static map
 #: (util/apachelogparser/SearchEngineExtractor.java); this port keeps
-#: the LOOKUP MECHANICS identical (host suffix-match against the
-#: table) over the majors and stays user-extensible: pass your own
-#: dict to cover a fleet's full referrer population.
+#: the LOOKUP MECHANICS identical (EXACT key match after lowercasing
+#: and stripping one leading "www." — subdomains like maps.google.com
+#: do NOT match, add them as their own rows) over the majors and stays
+#: user-extensible: pass your own dict to cover a fleet's full
+#: referrer population.
 SEARCH_ENGINES: dict[str, str] = {
     "google.com": "Google",
     "blogsearch.google.com": "Google Blogsearch",

@@ -960,6 +960,12 @@ class PigTranslator:
             for r in rows[:100]:
                 print(render_row(r))
         elif isinstance(stmt, G.Simple) and stmt.op == "describe":
+            if not self.execute_stores:
+                # plan-inspection translation (explain -script /
+                # BoundScript.describe): GruntParser.processExplain
+                # only COMPILES the script — in-script describe/
+                # explain/illustrate/DUMP print and run nothing
+                return
             if stmt.rel in (None, "@"):
                 # bare describe / describe @ — last-defined alias
                 # (processDescribe's getLastAlias path + its error)
@@ -976,10 +982,16 @@ class PigTranslator:
             else:
                 print(f"{stmt.rel}: {self._rel(stmt.rel).describe()}")
         elif isinstance(stmt, G.Simple) and stmt.op == "explain":
+            if not self.execute_stores:
+                return  # plan-inspection translation — see describe
             self._rel(stmt.rel).explain()
         elif isinstance(stmt, G.ExplainStmt):
+            if not self.execute_stores:
+                return  # plan-inspection translation — see describe
             self._explain_stmt(stmt)
         elif isinstance(stmt, G.Simple) and stmt.op == "illustrate":
+            if not self.execute_stores:
+                return  # plan-inspection translation — see describe
             self._rel(stmt.rel).illustrate()
         elif isinstance(stmt, G.SplitStmt):
             parent = self._rel(stmt.rel)

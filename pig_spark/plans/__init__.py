@@ -156,7 +156,7 @@ def plan_xml(df: DataFrame, max_label: int = 160) -> str:
         detail = label if len(label) <= max_label else label[: max_label - 1] + "…"
         out.append(
             "  " * (depth + 1)
-            + f"<node op={quoteattr(op)} detail={quoteattr(escape(detail))}>"
+            + f"<node op={quoteattr(op)} detail={quoteattr(detail)}>"
         )
         stack.append(depth)
     while stack:

@@ -586,6 +586,18 @@ def test_explain_full_surface(spark, tmp_path, capsys):
     run(spark, f"explain -script '{s}';")
     assert "Physical Plan" in capsys.readouterr().out
     assert not os.path.exists(f"{tmp_path}/never_written")  # stores skipped
+    # processExplain only COMPILES the script: in-script DUMP/describe/
+    # illustrate must neither run jobs nor print their own output
+    s2 = tmp_path / "s2.pig"
+    s2.write_text(
+        f"x = LOAD '{sf}/nation.parquet' USING ParquetLoader();\n"
+        "DUMP x;\ndescribe x;\nillustrate x;\n"
+    )
+    run(spark, f"explain -script '{s2}' -brief;")
+    out2 = capsys.readouterr().out
+    assert "Physical Plan" in out2
+    assert "NATION_" not in out2          # no DUMP/illustrate rows
+    assert "n_nationkey: int" not in out2  # no describe schema line
     # bare explain with no aliases = the reference's error message
     import pytest as _pytest
 
