@@ -2437,11 +2437,13 @@ def q127_referrer_analysis(spark: SparkSession, sf: str) -> DataFrame:
 
 
 def _classifier_weights() -> list[float]:
-    """Deterministic stand-in for a TRAINED weight vector: 4096 exact
-    multiples of 2^-12 (so per-row double sums compare exactly against
-    the DuckDB oracle with no rounding policy). Unlike q125's
-    arithmetic weight function, these are materialized as DATA and
-    probed by bucket index — the trained-model production shape."""
+    """The TRAINING formula behind fixtures/classifier_weights.json:
+    4096 exact multiples of 2^-12 (so per-row double sums compare
+    exactly against the DuckDB oracle with no rounding policy). q128
+    does NOT call this — it loads the checked-in fixture file (the
+    load-a-trained-model path); this generator remains so tests can
+    assert fixture integrity and the oracle stays an independent
+    recomputation of the expected weights."""
     from .functions.text import HASH_DIM, HASH_MIX
 
     return [
@@ -2450,10 +2452,30 @@ def _classifier_weights() -> list[float]:
     ]
 
 
+def _load_classifier_weights() -> list[float]:
+    """Load the trained weight vector from the checked-in JSON fixture
+    (driver-side model load — the standard shape: parameters are read
+    once on the driver and ship to executors as a codegen literal /
+    broadcast; the values are exact 2^-12 multiples so JSON round-trips
+    them bit-for-bit)."""
+    import json
+    import os
+
+    path = os.path.join(os.path.dirname(__file__), "fixtures", "classifier_weights.json")
+    with open(path, encoding="utf-8") as fh:
+        model = json.load(fh)
+    w = model["weights"]
+    if len(w) != model["dim"]:
+        raise ValueError(f"classifier fixture corrupt: dim {model['dim']} != {len(w)}")
+    return w
+
+
 def q128_classifier_broadcast_weights(spark: SparkSession, sf: str) -> DataFrame:
-    """q125's hashed linear classifier with a GENUINE weight table:
-    the trained weight vector rides along as a 4096-element
-    array<double> literal probed by bucket index
+    """q125's hashed linear classifier with a GENUINE trained-model
+    artifact: the 4096-element weight vector is LOADED from the
+    checked-in fixture file (fixtures/classifier_weights.json — the
+    load-a-trained-model path, not a formula inlined in the query) and
+    rides along as an array<double> literal probed by bucket index
     (functions/text.hashed_score_from_weights) — exactly how a
     fastText-style quality model's parameters ship to executors (a
     literal array is what a broadcast of a small model folds to under
@@ -2463,12 +2485,14 @@ def q128_classifier_broadcast_weights(spark: SparkSession, sf: str) -> DataFrame
     100 TB design: same map-only shape as q125 — zero exchanges, zero
     Python, the weight table is a codegen constant resident once per
     executor (plan-pinned). Weights are exact multiples of 2^-12, so
-    the oracle compares exact doubles."""
+    the oracle (which recomputes them from the training formula —
+    an independent check of the fixture's content) compares exact
+    doubles."""
     from pyspark.sql import functions as F
 
     from .functions import text as T
 
-    weights = F.lit(_classifier_weights())
+    weights = F.lit(_load_classifier_weights())
     d = spark.read.parquet(f"{sf}/documents.parquet").select("doc_id", "text")
     td = d.select("doc_id", T.tokenize_ws(F.col("text")).alias("tk"))
     staged = td.select(

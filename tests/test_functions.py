@@ -747,3 +747,17 @@ def test_term_counts_convenience_not_quadratic(spark):
     # generous 3x bound (2x target + CI noise headroom); the quadratic
     # form fails this by orders of magnitude
     assert conv_s < max(3 * staged_s, 5.0), (conv_s, staged_s)
+
+
+def test_classifier_weight_fixture_integrity():
+    """fixtures/classifier_weights.json is the materialized trained
+    model q128 loads at plan time: its content must match the training
+    formula exactly (each weight an exact multiple of 2^-12, so JSON
+    round-trips bit-for-bit and the DuckDB oracle — which recomputes
+    the formula — stays an independent check of the fixture)."""
+    from pig_spark.queries import _classifier_weights, _load_classifier_weights
+
+    loaded = _load_classifier_weights()
+    assert loaded == _classifier_weights()
+    assert len(loaded) == 4096
+    assert all(x * 4096 == int(x * 4096) for x in loaded)
