@@ -66,7 +66,7 @@ HEADLINE = [
     "q125_hashed_quality_classifier",  # r7: map-only hashed linear model
     "q126_dsir_importance",  # r7: two broadcast LMs, per-row log-ratio
     "q128_classifier_broadcast_weights",  # r8: trained-weight-array probe
-    "q129_paragraph_dedup",  # r8: md5 para-key window + doc rebuild
+    "q129_paragraph_dedup",  # r8: md5 para-key first-occ agg + doc rebuild
     "q130_bigram_lm_perplexity",  # r8: bigram LM w/ backoff, 2 shuffles
     "q131_url_canonical_dedup",  # r8: codegen canonicalize + 1 shuffle
     "q132_paragraph_near_dup",  # r8: exact-then-fuzzy paragraph dedup
@@ -74,6 +74,7 @@ HEADLINE = [
     "q134_char_contamination",  # r8: char-gram broadcast decontamination
     "q135_corpus_zipf_profile",  # r8: one-shuffle corpus profile report
     "q136_corpus_clean_v2",  # r8: composed para-dedup+classify+decontam
+    "q137_exact_substring_dedup",  # r9: rolling-window ExactSubstr dedup
 ]
 
 
@@ -238,6 +239,89 @@ def _scale_bench(spark, sf_dir: str, results: dict) -> None:
     finally:
         shutil.rmtree(tmp1, ignore_errors=True)
         shutil.rmtree(tmp, ignore_errors=True)
+
+
+def _xlarge_bench(spark, sf_dir: str, results: dict) -> None:
+    """Standing 100× rung (VERDICT r8 #3 — the r8 ad-hoc probe,
+    promoted into the repeatable per-round artifact): the bench-SF
+    documents table replicated through 100 DISTINCT composed character
+    maps (26 alphabet rotations × 4 vowel permutations, first 100 —
+    each composite is a bijection on [a-z], so cross-copy shingle sets
+    stay disjoint and near-dup pair DENSITY stays constant: 100× the
+    rows, the honest way a corpus grows). Five flagships spanning the
+    plan families whose scaling IS the 100 TB claim — banded LSH
+    (q41), log-round CC (q87), map-only classifier (q125),
+    broadcast-statistics LM (q130), broadcast char-gram decontam
+    (q134) — each timed once at 1× (same minimal table shape) and
+    TWICE adjacent at 100× ([first, repeat] — the repeat is the
+    scaling signal, the first carries the box's warm-up transient).
+    Skip with SPARK_GRAFT_XLARGE_BENCH=0."""
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from pig_spark.queries import QUERIES
+
+    copies = 100
+    alpha = "abcdefghijklmnopqrstuvwxyz"
+    vowels = "aeiou"
+    vperms = ["aeiou", "eioua", "iouae", "ouaei"]
+    targets = []
+    for r in range(26):
+        rot = alpha[r:] + alpha[:r]
+        for vp in vperms:
+            targets.append(
+                "".join(vp[vowels.index(c)] if c in vowels else c for c in rot)
+            )
+    targets = targets[:copies]
+
+    flagships = (
+        "q41_minhash_pairs",
+        "q87_dedup_groups",
+        "q125_hashed_quality_classifier",
+        "q130_bigram_lm_perplexity",
+        "q134_char_contamination",
+    )
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "text", "lang")
+    parts = [
+        d.select(
+            (F.col("doc_id") * copies + i).alias("doc_id"),
+            F.translate(F.col("text"), alpha, targets[i]).alias("text"),
+            "lang",
+        )
+        for i in range(copies)
+    ]
+    big = parts[0]
+    for p in parts[1:]:
+        big = big.unionByName(p)
+    tmp1 = tempfile.mkdtemp(prefix="pig_spark_x1_")
+    tmp100 = tempfile.mkdtemp(prefix="pig_spark_x100_")
+    try:
+        d.write.mode("overwrite").parquet(f"{tmp1}/documents.parquet")
+        big.repartition(32).write.mode("overwrite").parquet(f"{tmp100}/documents.parquet")
+        for t in (tmp1, tmp100):
+            spark.read.parquet(f"{t}/documents.parquet").write.format("noop").mode("overwrite").save()
+        base: dict[str, float] = {}
+        q100: dict[str, float] = {}
+        for name in flagships:
+            t0 = time.time()
+            QUERIES[name](spark, tmp1).write.format("noop").mode("overwrite").save()
+            base[name] = round(time.time() - t0, 3)
+            t0 = time.time()
+            QUERIES[name](spark, tmp100).write.format("noop").mode("overwrite").save()
+            q100[name] = round(time.time() - t0, 3)
+            t0 = time.time()
+            QUERIES[name](spark, tmp100).write.format("noop").mode("overwrite").save()
+            q100[f"{name}_repeat"] = round(time.time() - t0, 3)
+        results["sf_xlarge"] = {
+            "scale_multiple": copies,
+            "queries_1x": base,
+            "queries_100x": q100,
+        }
+    finally:
+        shutil.rmtree(tmp1, ignore_errors=True)
+        shutil.rmtree(tmp100, ignore_errors=True)
 
 
 def _pigmix_scale_bench(spark, sf_dir: str, results: dict) -> None:
@@ -497,6 +581,8 @@ def main():
         _control_bench(spark, sf_dir, results)
     if os.environ.get("SPARK_GRAFT_SCALE_BENCH", "1") != "0":
         _scale_bench(spark, sf_dir, results)
+    if os.environ.get("SPARK_GRAFT_XLARGE_BENCH", "1") != "0":
+        _xlarge_bench(spark, sf_dir, results)
     if os.environ.get("SPARK_GRAFT_PIGMIX_SF1", "1") != "0":
         _pigmix_scale_bench(spark, sf_dir, results)
     print(json.dumps(results))
@@ -618,6 +704,17 @@ def _audit_summary(results: dict) -> dict:
             ]
             for m in sl["queries_1x"]
             if m in q25 and sl["queries_1x"][m] > 0
+        }
+    xl = results.get("sf_xlarge") or {}
+    if xl.get("queries_1x") and xl.get("queries_100x"):
+        qx = xl["queries_100x"]
+        summary["scale_100x_over_1x"] = {
+            m.split("_")[0]: [
+                round(qx[m] / xl["queries_1x"][m], 1),
+                round(qx.get(f"{m}_repeat", qx[m]) / xl["queries_1x"][m], 1),
+            ]
+            for m in xl["queries_1x"]
+            if m in qx and xl["queries_1x"][m] > 0
         }
     pm = results.get("pigmix_sf1") or {}
     if pm.get("queries_1x") and pm.get("queries_10x"):

@@ -134,6 +134,21 @@ def _simhash_expr() -> str:
     return " + ".join(bits)
 
 
+def _q137_boiler() -> str:
+    """q137's injected boilerplate — imported from queries at call
+    time (lazy: queries imports nothing from this module, but keep the
+    module graph acyclic at import time)."""
+    from .queries import _SUBSTR_BOILER
+
+    return _SUBSTR_BOILER
+
+
+def _q137_w() -> int:
+    from .queries import _SUBSTR_W
+
+    return _SUBSTR_W
+
+
 def oracle_sql() -> dict[str, str]:
     rows = dedup.MINHASH_K // dedup.MINHASH_BANDS
     lang_scores, lang_case = _lang_case()
@@ -982,6 +997,46 @@ def oracle_sql() -> dict[str, str]:
                    round(CAST(r.top100_tokens AS DOUBLE) / s.n_tokens, 6) AS top100_share,
                    round((r.k * r.sxy - r.sx * r.sy) / (r.k * r.sxx - r.sx * r.sx), 6) AS zipf_slope
             FROM scal s, reg r""",
+        # q137: constants imported from queries (single source of
+        # truth); fkey packing doc_id*2^20+pos is oracle-internal
+        # (valid while pos < 2^20 — test docs are KBs) and mirrors
+        # first_occurrence's lexicographic (doc_id, pos) ordering
+        "q137_exact_substring_dedup": """
+            WITH d AS (SELECT doc_id,
+                              CASE WHEN doc_id % 3 = 0
+                                   THEN '{boiler} ' || text ELSE text END AS text
+                       FROM documents),
+                 toks AS (SELECT doc_id,
+                                 list_filter(string_split_regex(trim(text), '\\s+'),
+                                             x -> x <> '') AS tk
+                          FROM d),
+                 staged AS (SELECT doc_id, len(tk) AS n_tokens, tk FROM toks),
+                 wins AS (SELECT doc_id, CAST(i AS BIGINT) AS pos,
+                                 CAST(('0x' || substr(md5(array_to_string(
+                                     tk[CAST(i + 1 AS INT):CAST(i + {W} AS INT)], ' ')), 1, 15)) AS BIGINT) AS h
+                          FROM staged, UNNEST(range(0, greatest(len(tk) - {W} + 1, 0))) AS t(i)),
+                 firsts AS (SELECT h, MIN(doc_id * 1048576 + pos) AS fkey
+                            FROM wins GROUP BY h),
+                 dups AS (SELECT w.doc_id, w.pos
+                          FROM wins w JOIN firsts f ON w.h = f.h
+                          WHERE w.doc_id * 1048576 + w.pos <> f.fkey),
+                 cov AS (SELECT doc_id,
+                                COUNT(DISTINCT p) AS n_dup_tokens,
+                                COUNT(DISTINCT pos) AS n_dup_windows
+                         FROM (SELECT doc_id, pos, UNNEST(range(pos, pos + {W})) AS p
+                               FROM dups)
+                         GROUP BY doc_id),
+                 base AS (SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+                                 CAST(greatest(n_tokens - {W} + 1, 0) AS BIGINT) AS n_windows
+                          FROM staged)
+            SELECT b.doc_id, b.n_tokens, b.n_windows,
+                   COALESCE(c.n_dup_windows, 0) AS n_dup_windows,
+                   COALESCE(c.n_dup_tokens, 0) AS n_dup_tokens,
+                   round(1.0 * COALESCE(c.n_dup_tokens, 0) / greatest(b.n_tokens, 1), 6) AS dup_ratio,
+                   round(1.0 * COALESCE(c.n_dup_tokens, 0) / greatest(b.n_tokens, 1), 6) < 0.2 AS keep
+            FROM base b LEFT JOIN cov c USING (doc_id)""".format(
+            boiler=_q137_boiler(), W=_q137_w()
+        ),
         "q136_corpus_clean_v2": """
             WITH toks AS (SELECT doc_id,
                                  list_filter(string_split_regex(trim(text), '\\s+'),

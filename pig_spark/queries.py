@@ -3022,6 +3022,112 @@ def q136_corpus_clean_v2(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+#: exact-substring dedup constants (mirrored in oracles.py q137): the
+#: fingerprint window is 50 tokens (the Lee et al. "Deduplicating
+#: Training Data" ExactSubstr threshold); the injected boilerplate is
+#: a 62-token license block so every %3==0 doc shares 13 full windows
+_SUBSTR_W = 50
+_SUBSTR_BOILER = (
+    "this document is provided as is without warranty of any kind either "
+    "expressed or implied including but not limited to the implied "
+    "warranties of merchantability and fitness for a particular purpose "
+    "the entire risk as to the quality and performance of the document "
+    "is with you should the document prove defective you assume the cost "
+    "of all necessary servicing repair or correction"
+)
+
+
+def q137_exact_substring_dedup(spark: SparkSession, sf: str) -> DataFrame:
+    """Exact-substring deduplication at the suffix granularity — the
+    Lee et al. "Deduplicating Training Data" ExactSubstr stage, the one
+    dedup granularity between char-grams (q134) and paragraphs (q129):
+    any 50-token run that already occurred anywhere in the corpus
+    (earlier doc, or earlier position in the same doc) is duplicated
+    text. Approximated scalably with stride-1 fixed-length rolling
+    window fingerprints: every token position opens a 50-token window,
+    its md5-60 fingerprint is first-come-first-kept corpus-wide
+    (dedup.first_occurrence — the skew-safe aggregate), and each
+    LATER occurrence marks its 50-token span as duplicated. Output is
+    per-doc dedup accounting: window/token counts, the distinct token
+    positions covered by duplicated windows, and a keep flag at 20%
+    dup ratio. Duplication is injected deterministically (the
+    q129/q131 pattern): a 62-token license-boilerplate prefix on
+    doc_id % 3 == 0 — every such doc shares 13 full windows, and only
+    the first keeps them. Reference pattern: the engine's own
+    rolling_hash_fingerprint (functions/text.py) at the q129 rebuild
+    granularity.
+
+    100 TB design: window fingerprints are in-row codegen over the
+    STAGED token array (one slice + array_join + md5 per position —
+    O(W) per window; the zip_with chain that wins at n=2..4 loses
+    here: 49 chained concats re-copy the accumulated string, O(W²)
+    per position). The hot boilerplate fingerprint is combined
+    map-side by first_occurrence (aggregate, never a window); later
+    occurrences come from an equi-JOIN on the 8-byte fingerprint —
+    joins, unlike window partitions, AQE can skew-split. Coverage
+    counting explodes dup windows ×50 (dup-sized, not corpus-sized)
+    into a two-phase countDistinct per doc. The window subtree is
+    evaluated twice (aggregate + join probe) — two corpus scans,
+    following the r8 rule: never materialize corpus-sized
+    intermediates to save a scan."""
+    from pyspark.sql import functions as F
+
+    from .functions.dedup import first_occurrence, md5_60
+    from .functions.text import tokenize_ws
+
+    W = _SUBSTR_W
+    d = spark.read.parquet(f"{sf}/documents.parquet").select("doc_id", "text")
+    boiled = F.when(
+        F.col("doc_id") % 3 == 0, F.concat(F.lit(_SUBSTR_BOILER + " "), F.col("text"))
+    ).otherwise(F.col("text"))
+    td = d.select("doc_id", tokenize_ws(boiled).alias("tk"))
+    staged = td.select("doc_id", F.size("tk").cast("long").alias("n_tokens"), "tk")
+    n_g = (F.col("n_tokens") - F.lit(W - 1)).cast("int")
+    hashes = F.when(
+        n_g > 0,
+        F.transform(
+            F.sequence(F.lit(0), n_g - 1),
+            lambda i: md5_60(F.array_join(F.slice(F.col("tk"), i + 1, W), " ")),
+        ),
+    ).otherwise(F.array().cast("array<long>"))
+    wins = staged.select(
+        "doc_id", F.posexplode(hashes).alias("pos", "h")
+    ).select("doc_id", F.col("pos").cast("long").alias("pos"), "h")
+    firsts = first_occurrence(wins, F.col("h"), ["doc_id", "pos"], keep=["h"]).select(
+        F.col("h").alias("fh"), F.col("doc_id").alias("fdoc"), F.col("pos").alias("fpos")
+    )
+    dups = (
+        wins.join(firsts, wins["h"] == firsts["fh"])
+        .where((F.col("doc_id") != F.col("fdoc")) | (F.col("pos") != F.col("fpos")))
+        .select("doc_id", "pos")
+    )
+    cov = (
+        dups.select("doc_id", "pos", F.explode(F.sequence(F.col("pos"), F.col("pos") + (W - 1))).alias("p"))
+        .groupBy("doc_id")
+        .agg(
+            F.countDistinct("p").alias("n_dup_tokens"),
+            F.countDistinct("pos").alias("n_dup_windows"),
+        )
+    )
+    base = staged.select(
+        "doc_id", "n_tokens",
+        F.greatest(F.col("n_tokens") - F.lit(W - 1), F.lit(0)).alias("n_windows"),
+    )
+    joined = base.join(cov, "doc_id", "left")
+    ratio = F.round(
+        F.coalesce(F.col("n_dup_tokens"), F.lit(0)).cast("double")
+        / F.greatest(F.col("n_tokens"), F.lit(1)),
+        6,
+    )
+    return joined.select(
+        "doc_id", "n_tokens", "n_windows",
+        F.coalesce(F.col("n_dup_windows"), F.lit(0).cast("long")).alias("n_dup_windows"),
+        F.coalesce(F.col("n_dup_tokens"), F.lit(0).cast("long")).alias("n_dup_tokens"),
+        ratio.alias("dup_ratio"),
+        (ratio < 0.2).alias("keep"),
+    )
+
+
 from .pigmix import PIGMIX_QUERIES  # noqa: E402  (avoids circular import)
 
 _ALL: dict[str, Callable[[SparkSession, str], DataFrame]] = {
@@ -3034,67 +3140,68 @@ _ALL.update(PIGMIX_QUERIES)
 # The driver's correctness gate checks the FIRST 50 entries in dict
 # order. Order by verification need, not by name (rebuilt each round;
 # the window arithmetic is EXACT — VERDICT r6 #3):
-#   tier 0 (10): new-in-r8 queries + queries whose lowering changed
-#     this round and must re-earn a green driver row — q128 (broadcast
-#     weight classifier, new), q129 (paragraph dedup, new), q130
-#     (bigram LM with backoff, new), q131 (canonical-URL dedup, new),
-#     q132 (paragraph near-dup grouping, new), q133 (multimodal
-#     resize/frames/features chain, new), q134 (char-level
-#     contamination, new), q135 (corpus Zipf/TTR profile, new),
-#     q136 (composed clean-corpus v2 pipeline, new),
-#     q127 (SearchEngineExtractor moved
-#     to the reference's exact-match lookup and SearchQuery's
-#     empty-param semantics changed);
-#   tier 1 (7): the r4-evidence tail r7's window committed to lead
-#     this round (VERDICT r7 missing #1 / next #2) — q44_cosine_topk,
-#     q46_ann_lsh, q47_lang_id, q48_quality_score, q49_fingerprint,
-#     q50_token_stats, q51_join_qualified;
-#   tier 2 (33 of 38): the r5-evidence block, alphabetical; the
-#     five alphabetically-last entries (q72_latin_nested_block,
-#     q73_latin_macro, q76_corpus_clean, q80_skewed_join,
-#     q81_latin_bigdata_chain) stay at r5 evidence and LEAD tier 2
-#     next round;
-#   tier 3: everything r6/r7-verified.
-# 10 + 7 + 33 = 50.
-_NEW_OR_CHANGED_R8 = {
-    "q128_classifier_broadcast_weights",  # new: trained-weight-array classifier
-    "q129_paragraph_dedup",               # new: paragraph-level exact dedup
-    "q130_bigram_lm_perplexity",          # new: bigram LM w/ unigram backoff
-    "q131_url_canonical_dedup",           # new: canonical-URL crawl dedup
-    "q132_paragraph_near_dup",            # new: paragraph near-dup grouping
-    "q133_multimodal_pipeline",           # new: full multimodal chain gate
-    "q134_char_contamination",            # new: char-gram decontamination
-    "q135_corpus_zipf_profile",           # new: Zipf/TTR corpus profile
-    "q136_corpus_clean_v2",               # new: composed r8 cleaning pipeline
-    "q127_referrer_analysis",             # changed: exact-match engine lookup
+#   tier 0 (7): new-in-r9 queries + queries whose lowering changed
+#     this round and must re-earn a green driver row — q137 (exact-
+#     substring rolling-window dedup, new), q129/q136/q132/q76 (the
+#     first-occurrence stage moved from a row_number window to the
+#     skew-safe dedup.first_occurrence aggregate — VERDICT r8 #1;
+#     q132 also widened its pid packing to 2^20), q128 (weights now
+#     load from fixtures/classifier_weights.json), q99 (SearchQuery's
+#     empty-input short-circuit narrowed to null/'' — Java isEmpty
+#     parity);
+#   tier 1 (4): the rest of the r5-evidence tail (VERDICT r8 next #4)
+#     — q72_latin_nested_block, q73_latin_macro, q80_skewed_join,
+#     q81_latin_bigdata_chain (q76 already leads in tier 0);
+#   tier 2 (39 of 47): the r6-evidence block, alphabetical; the eight
+#     alphabetically-last entries (q90_pii_redaction,
+#     q91_dedup_survivors, q92_gapfill, q93_latin_corpus_pipeline,
+#     q94_doc_chunks, q95_mixture_sample, q96_split_assign,
+#     q97_top_ngrams) stay at r6 evidence and LEAD tier 2 next round;
+#   tier 3: everything r7/r8-verified.
+# 7 + 4 + 39 = 50.
+_NEW_OR_CHANGED_R9 = {
+    "q137_exact_substring_dedup",         # new: ExactSubstr-style dedup
+    "q129_paragraph_dedup",               # changed: first_occurrence aggregate
+    "q136_corpus_clean_v2",               # changed: first_occurrence aggregate
+    "q132_paragraph_near_dup",            # changed: first_occurrence + 2^20 pid
+    "q76_corpus_clean",                   # changed: first_occurrence aggregate
+    "q128_classifier_broadcast_weights",  # changed: weights from fixture file
+    "q99_piggybank_funcs",                # changed: SearchQuery isEmpty parity
 }
-# the seven-query r4 tail — committed in r7 to lead this window
-_STALE_R4_TAIL = {
-    "q44_cosine_topk", "q46_ann_lsh", "q47_lang_id", "q48_quality_score",
-    "q49_fingerprint", "q50_token_stats", "q51_join_qualified",
+# the four-query r5 tail — committed in r8's window notes to lead r9
+_STALE_R5_TAIL = {
+    "q72_latin_nested_block", "q73_latin_macro", "q80_skewed_join",
+    "q81_latin_bigdata_chain",
 }
-# newest driver evidence = round 5 — the whole block fits this window
-_FRESH_R5 = {
-    "pm06_multikey_group", "pm07_nested_filter_counts", "pm08_group_all",
-    "pm12_split_multistore", "pm13_left_outer_join", "pm14_merge_join",
-    "pm15_multi_distinct", "pm16_nested_order_sum", "pm17_wide_group_key",
-    "q01_group_agg", "q02_filter_project", "q03_order_limit", "q04_distinct",
-    "q05_join_inner", "q06_join_left", "q07_join_full", "q08_join_replicated",
-    "q115_latin_hive_udf", "q13_union_onschema", "q14_union_positional",
-    "q19_rank_global", "q32_sample", "q45_cosine_pairs", "q54_map_ops",
-    "q56_theta_join", "q61_median", "q62_corr_cov", "q63_decimal_types",
-    "q64_bloom_filter", "q68_ann_ivf", "q69_range_join", "q70_latin_script",
-    "q71_latin_join_script", "q72_latin_nested_block", "q73_latin_macro",
-    "q76_corpus_clean", "q80_skewed_join", "q81_latin_bigdata_chain",
+# newest driver evidence = round 6 — alphabetical; first 39 fit
+_FRESH_R6 = {
+    "q09_join_multiway", "q100_incremental_dedup",
+    "q101_latin_chunk_pipeline", "q102_contamination_bloom",
+    "q103_log_parse", "q104_cohort_retention", "q105_volume_anomaly",
+    "q10_semi_join", "q112_latin_bag_pipe", "q113_latin_nested_cross",
+    "q114_latin_inline_group", "q116_latin_multi_flatten",
+    "q117_latin_inner_flatten", "q118_latin_hive_udaf",
+    "q120_latin_arr_pipe_ops", "q121_unigram_lm_score",
+    "q123_semantic_dedup", "q31_json_map", "q52_stream_upper",
+    "q53_bag_ops", "q55_strsplit", "q57_cast_gradual",
+    "q58_events_hourly", "q59_nested_distinct", "q60_nested_filter",
+    "q65_sessionize", "q66_asof_attribution", "q67_multimodal_meta",
+    "q75_funnel", "q77_hypertable_rollup", "q78_sketch_uniques",
+    "q79_latin_nested_limit", "q82_latin_two_limit_pipes",
+    "q83_latin_distinct_limit", "q84_quantile_rollup",
+    "q85_stratified_sample", "q86_token_packing", "q87_dedup_groups",
+    "q89_repetition", "q90_pii_redaction", "q91_dedup_survivors",
+    "q92_gapfill", "q93_latin_corpus_pipeline", "q94_doc_chunks",
+    "q95_mixture_sample", "q96_split_assign", "q97_top_ngrams",
 }
 def _order_key(name: str) -> tuple[int, str]:
-    if name in _NEW_OR_CHANGED_R8:
+    if name in _NEW_OR_CHANGED_R9:
         return (0, name)
-    if name in _STALE_R4_TAIL:
+    if name in _STALE_R5_TAIL:
         return (1, name)
-    if name in _FRESH_R5:
+    if name in _FRESH_R6:
         return (2, name)
-    return (3, name)  # r6/r7-fresh evidence — verified recently, go last
+    return (3, name)  # r7/r8-fresh evidence — verified recently, go last
 
 
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {

@@ -471,3 +471,21 @@ def test_dsir_plan(spark, sf_dir):
     assert "hashpartitioning(doc_id" not in phys, phys
     assert "PythonUDF" not in opt
     assert not unpartitioned_windows(opt), unpartitioned_windows(opt)
+
+
+def test_exact_substring_dedup_plan(spark, sf_dir):
+    """q137 (ExactSubstr-style rolling-window dedup): the hot
+    boilerplate fingerprint is combined by a partial-aggregated
+    first_occurrence (no Window node anywhere — a window partition is
+    AQE-unsplittable); later occurrences come from an equi-join on the
+    8-byte fingerprint (skew-splittable); everything else is codegen.
+    No Python, no cartesian, bounded exchange count."""
+    from pig_spark.queries import q137_exact_substring_dedup
+
+    df = q137_exact_substring_dedup(spark, sf_dir)
+    phys = df._jdf.queryExecution().executedPlan().toString()
+    assert "Window" not in phys, phys
+    assert "partial_min" in phys, phys
+    assert "PythonUDF" not in phys and "EvalPython" not in phys, phys
+    assert "CartesianProduct" not in phys and "BroadcastNestedLoopJoin" not in phys, phys
+    assert phys.count("Exchange hashpartitioning") <= 6, phys
