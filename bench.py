@@ -10,6 +10,17 @@ jaccard, cosine top-k, text quality scoring.
 
 Queries run through a noop sink (full execution, no driver collect
 cost). One warm-up of the flagship query amortizes JVM/codegen start.
+
+Consumer caveats for the per-round artifacts (BENCH_r*.json):
+- control ratios BEFORE r8 are suspect for queries with
+  function-level imports — the A/B module swap leaked until r8's
+  d6cf685 fix; cite r8+ ratios only.
+- a single control reading outside [0.8, 1.25] is a re-measurement
+  trigger, not a conclusion (box noise is the documented ±13–40%
+  band): r8's q121=1.33/q68=1.29 re-measured at 0.79–1.21 over three
+  adjacent pairs (SCALE.md r9).
+- scale rungs publish [first, repeat]: read the repeat; the first
+  carries the multi-tenant warm-up transient.
 """
 
 from __future__ import annotations
