@@ -170,6 +170,33 @@ def first_occurrence(
     return agg.select(*[F.col(f"__fo.{c}").alias(c) for c in cols])
 
 
+def paragraph_index(
+    df: DataFrame, text_col: str, id_col: str, para_tokens: int = 25
+) -> DataFrame:
+    """Distinct-paragraph hash index for ingest-time paragraph dedup
+    (the q100/q109 stored-index pattern at paragraph granularity): one
+    row per distinct paragraph — ``(ph, first_id, first_pos)`` where
+    ``ph = md5(paragraph)`` and the id/pos are the corpus-wide first
+    occurrence (via :func:`first_occurrence`, so the build is
+    skew-safe). Store it partitioned however ingestion probes it; the
+    streaming twin (``streaming.paragraph_dedup_stream``) anti-joins
+    arriving paragraphs against ``ph``. Paragraphs are fixed
+    ``para_tokens``-token blocks (``text.token_blocks``) — swap in a
+    real paragraph splitter upstream when the corpus carries breaks."""
+    from .text import token_blocks, tokenize_ws
+
+    tk = df.select(F.col(id_col), tokenize_ws(F.col(text_col)).alias("__tk"))
+    ps = tk.select(
+        id_col, F.posexplode(token_blocks(F.col("__tk"), para_tokens)).alias("pos", "para")
+    )
+    first = first_occurrence(ps, F.md5("para"), [id_col, "pos"])
+    return first.select(
+        F.md5("para").alias("ph"),
+        F.col(id_col).alias("first_id"),
+        F.col("pos").alias("first_pos"),
+    )
+
+
 def exact_dedup(df: DataFrame, content_col: str, id_col: str) -> DataFrame:
     """Exact dedup: one survivor (min id) per identical content value.
 

@@ -47,6 +47,24 @@ def token_count(col: Column) -> Column:
     return F.size(tokenize_ws(col)).cast("long")
 
 
+def token_blocks(tokens: Column, n: int = 25) -> Column:
+    """Fixed-``n``-token paragraph blocks over a STAGED token array
+    (the q129 corpus-synthesis chunker, reusable): array of
+    space-joined n-token runs; the tail block may be short; an empty
+    array yields an empty array (``sequence`` counts DOWN when its
+    bounds invert, so the block count is guarded). ``tokens`` must be
+    a bound column attribute — the slice lambda probes it per block
+    (the module staging rule)."""
+    n_blocks = F.ceil(F.size(tokens) / F.lit(n)).cast("int")
+    return F.when(
+        n_blocks > 0,
+        F.transform(
+            F.sequence(F.lit(0), n_blocks - 1),
+            lambda i: F.array_join(F.slice(tokens, i * n + 1, n), " "),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+
 def bpe_token_count(col: Column) -> Column:
     """Approximate BPE token count via regex pieces (regexp_count is
     JVM-side; a real tokenizer would be a pandas UDF at the UDF

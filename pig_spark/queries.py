@@ -2525,17 +2525,11 @@ def _synth_paragraphs(spark: SparkSession, sf: str, head, tail):
 
     from .functions.text import tokenize_ws
 
+    from .functions.text import token_blocks
+
     d = spark.read.parquet(f"{sf}/documents.parquet").select("doc_id", "text")
     tk = d.select("doc_id", tokenize_ws(F.col("text")).alias("tk"))
-    # 25-token blocks; sequence(0, n-1) counts DOWN when n = 0 (the
-    # _grams clamp rule), so empty docs short-circuit to an empty array
-    n_chunks = F.ceil(F.size("tk") / F.lit(_PARA_TOKENS)).cast("int")
-    chunks = F.when(n_chunks > 0, F.transform(
-        F.sequence(F.lit(0), n_chunks - 1),
-        lambda i: F.array_join(
-            F.slice(F.col("tk"), i * _PARA_TOKENS + 1, _PARA_TOKENS), " "
-        ),
-    )).otherwise(F.array().cast("array<string>"))
+    chunks = token_blocks(F.col("tk"), _PARA_TOKENS)
     return tk.select(
         "doc_id", F.concat(head, chunks, tail).alias("ps")
     ).select(

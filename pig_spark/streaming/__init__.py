@@ -309,6 +309,83 @@ def incremental_dedup_stream(
     )
 
 
+def paragraph_dedup_stream(
+    doc_stream: DataFrame,
+    para_index_df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    ts_col: str = "arrived",
+    watermark: str = "10 minutes",
+    para_tokens: int = 25,
+) -> DataFrame:
+    """Streaming twin of q129: paragraph-level exact dedup AT INGEST —
+    arriving documents are split into paragraphs, every paragraph
+    whose hash already exists in the STORED corpus index
+    (``dedup.paragraph_index`` parquet) is dropped as known
+    boilerplate, and the document is rebuilt from its surviving
+    paragraphs in order. Emits the same shape as the batch query:
+    ``(doc_id, n_paras, n_kept, clean_text)``; a document whose every
+    paragraph is indexed vanishes (it was all boilerplate).
+
+    Contract (the q100/q109 incremental pattern): the stream dedups
+    against the INDEX — within-batch new×new duplication is the batch
+    job's business (rebuild the index on whatever cadence ingestion
+    requires; read at query start, static side). That keeps the only
+    state the rebuild aggregation itself, which is watermark-bounded:
+    all of a document's paragraph rows carry its single arrival
+    timestamp, so grouping on ``(id_col, ts_col)`` under the
+    ``watermark`` horizon emits each document exactly once in append
+    mode, and state lives ∝ arrival rate × delay, never stream
+    history.
+
+    100 TB design: paragraph split/hash are per-row codegen; the probe
+    is a stream-static LEFT ANTI equi-join on the 16-byte hash (each
+    micro-batch's paragraphs are the small probe side against the
+    band-of-disk index table); the rebuild is the stream-side
+    micro-batch aggregate. No Python anywhere."""
+    from pyspark.sql import functions as F
+
+    from ..functions.text import token_blocks, tokenize_ws
+
+    if ts_col not in doc_stream.columns:
+        raise ValueError(
+            f"paragraph_dedup_stream: ts_col {ts_col!r} not in stream columns "
+            f"{doc_stream.columns} — the per-document rebuild aggregation must be "
+            "watermark-bounded; add an event/arrival timestamp "
+            "(e.g. withColumn('arrived', current_timestamp()))"
+        )
+    tk = doc_stream.select(
+        id_col, ts_col, tokenize_ws(F.col(text_col)).alias("__tk")
+    )
+    paras = tk.select(
+        id_col,
+        ts_col,
+        F.size(F.col("__tk")).alias("__n_tk"),
+        F.posexplode(token_blocks(F.col("__tk"), para_tokens)).alias("pos", "para"),
+    ).withColumn("n_paras", F.ceil(F.col("__n_tk") / F.lit(para_tokens)).cast("long"))
+    kept = paras.join(
+        para_index_df.select(F.col("ph")),
+        F.md5(F.col("para")) == F.col("ph"),
+        "left_anti",
+    )
+    return (
+        kept.withWatermark(ts_col, watermark)
+        .groupBy(id_col, ts_col)
+        .agg(
+            F.first("n_paras").alias("n_paras"),
+            F.count(F.lit(1)).alias("n_kept"),
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "para"))),
+                    lambda s: s["para"],
+                ),
+                " | ",
+            ).alias("clean_text"),
+        )
+        .select(id_col, "n_paras", "n_kept", "clean_text")
+    )
+
+
 def contamination_stream(
     doc_stream: DataFrame,
     bench_df: DataFrame,

@@ -608,3 +608,98 @@ def test_histogram_rollup_stream_quantiles_match_batch(spark, sf_dir):
     closed = set(exp) - {max(exp)}
     assert set(got) == closed and len(got) > 0
     assert all(got[d] == exp[d] for d in got)
+
+
+def test_paragraph_dedup_stream_matches_batch(spark, sf_dir, tmp_path):
+    """Paragraph-level exact dedup at ingest (streaming twin of q129,
+    r9): arriving docs anti-joined against a STORED paragraph-hash
+    index rebuild to exactly the batch equivalent. Index = the corpus
+    half (doc_id %10 != 0) with a shared boilerplate prefix injected
+    on even ids; the streamed half carries the same boilerplate, so
+    known-paragraph drops are guaranteed, and the all-boilerplate
+    vanishing case is covered by a doc that is ONLY boilerplate."""
+    from pig_spark.functions import dedup
+    from pig_spark.functions.text import token_blocks, tokenize_ws
+    from pig_spark.sources import store
+    from pig_spark.streaming import paragraph_dedup_stream
+
+    boiler = " ".join(f"legal{i}" for i in range(25))  # exactly one block
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 2 == 0, F.concat(F.lit(boiler + " "), F.col("text"))
+        ).otherwise(F.col("text")).alias("text"),
+    )
+    corpus = d.filter(F.col("doc_id") % 10 != 0)
+    idx_path = str(tmp_path / "para_index")
+    store(dedup.paragraph_index(corpus, "text", "doc_id"), idx_path, "parquet")
+    index = spark.read.parquet(idx_path)
+
+    # streamed half + one doc that is PURE boilerplate (must vanish)
+    new_batch = d.filter(F.col("doc_id") % 10 == 0).unionByName(
+        spark.createDataFrame([(999_999, boiler)], "doc_id long, text string")
+    )
+    new_dir = str(tmp_path / "para_incoming")
+    staged = new_batch.withColumn("arrived", F.current_timestamp())
+    staged.write.parquet(new_dir)
+    src = spark.readStream.schema(staged.schema).parquet(new_dir)
+
+    out = paragraph_dedup_stream(src, index)
+    # update mode: a single availableNow batch cannot advance the
+    # watermark past its own groups, so append would hold every doc in
+    # state; update emits each rebuilt doc once per batch it changes —
+    # here exactly once (production append emits on watermark close)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("para_dedup")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        q.awaitTermination(120)
+    finally:
+        q.stop()
+    got = {
+        (r["doc_id"], r["n_paras"], r["n_kept"], r["clean_text"])
+        for r in spark.sql("SELECT * FROM para_dedup").collect()
+    }
+
+    # batch equivalent: same split/anti-join/rebuild, no streaming
+    tk = new_batch.select("doc_id", tokenize_ws(F.col("text")).alias("tk"))
+    paras = tk.select(
+        "doc_id",
+        F.ceil(F.size("tk") / F.lit(25)).cast("long").alias("n_paras"),
+        F.posexplode(token_blocks(F.col("tk"), 25)).alias("pos", "para"),
+    )
+    kept = paras.join(index.select("ph"), F.md5("para") == F.col("ph"), "left_anti")
+    want_df = kept.groupBy("doc_id").agg(
+        F.first("n_paras").alias("n_paras"),
+        F.count(F.lit(1)).alias("n_kept"),
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "para"))),
+                lambda s: s["para"],
+            ),
+            " | ",
+        ).alias("clean_text"),
+    )
+    want = {
+        (r["doc_id"], r["n_paras"], r["n_kept"], r["clean_text"])
+        for r in want_df.collect()
+    }
+    assert got == want and len(want) > 0
+    got_ids = {t[0] for t in got}
+    assert 999_999 not in got_ids  # pure-boilerplate doc vanished
+    # boilerplate actually dropped: even streamed docs lost >= 1 block
+    dropped = {t[0]: t[1] - t[2] for t in got}
+    assert any(v >= 1 for k, v in dropped.items() if k % 2 == 0)
+
+
+def test_paragraph_dedup_stream_requires_timestamp(spark, sf_dir):
+    from pig_spark.streaming import paragraph_dedup_stream
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    src = spark.readStream.schema(d.schema).parquet(f"{sf_dir}/documents.parquet")
+    with pytest.raises(ValueError, match="watermark-bounded"):
+        paragraph_dedup_stream(src, d.limit(0))
