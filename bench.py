@@ -86,6 +86,7 @@ HEADLINE = [
     "q135_corpus_zipf_profile",  # r8: one-shuffle corpus profile report
     "q136_corpus_clean_v2",  # r8: composed para-dedup+classify+decontam
     "q137_exact_substring_dedup",  # r9: rolling-window ExactSubstr dedup
+    "q138_exact_substring_removal",  # r9: dup-span removal + doc rebuild
 ]
 
 

@@ -134,6 +134,31 @@ def _simhash_expr() -> str:
     return " + ".join(bits)
 
 
+def _substr_ctes() -> str:
+    """Shared q137/q138 oracle prefix — mirrors queries._substr_dup_windows."""
+    return """
+            WITH d AS (SELECT doc_id,
+                              CASE WHEN doc_id % 3 = 0
+                                   THEN '{boiler} ' || text ELSE text END AS text
+                       FROM documents),
+                 toks AS (SELECT doc_id,
+                                 list_filter(string_split_regex(trim(text), '\\s+'),
+                                             x -> x <> '') AS tk
+                          FROM d),
+                 staged AS (SELECT doc_id, len(tk) AS n_tokens, tk FROM toks),
+                 wins AS (SELECT doc_id, CAST(i AS BIGINT) AS pos,
+                                 CAST(('0x' || substr(md5(array_to_string(
+                                     tk[CAST(i + 1 AS INT):CAST(i + {W} AS INT)], ' ')), 1, 15)) AS BIGINT) AS h
+                          FROM staged, UNNEST(range(0, greatest(len(tk) - {W} + 1, 0))) AS t(i)),
+                 firsts AS (SELECT h, MIN(doc_id * 1048576 + pos) AS fkey
+                            FROM wins GROUP BY h),
+                 dups AS (SELECT w.doc_id, w.pos
+                          FROM wins w JOIN firsts f ON w.h = f.h
+                          WHERE w.doc_id * 1048576 + w.pos <> f.fkey),""".format(
+        boiler=_q137_boiler(), W=_q137_w()
+    )
+
+
 def _q137_boiler() -> str:
     """q137's injected boilerplate — imported from queries at call
     time (lazy: queries imports nothing from this module, but keep the
@@ -997,29 +1022,11 @@ def oracle_sql() -> dict[str, str]:
                    round(CAST(r.top100_tokens AS DOUBLE) / s.n_tokens, 6) AS top100_share,
                    round((r.k * r.sxy - r.sx * r.sy) / (r.k * r.sxx - r.sx * r.sx), 6) AS zipf_slope
             FROM scal s, reg r""",
-        # q137: constants imported from queries (single source of
-        # truth); fkey packing doc_id*2^20+pos is oracle-internal
+        # q137/q138: constants imported from queries (single source
+        # of truth); fkey packing doc_id*2^20+pos is oracle-internal
         # (valid while pos < 2^20 — test docs are KBs) and mirrors
         # first_occurrence's lexicographic (doc_id, pos) ordering
-        "q137_exact_substring_dedup": """
-            WITH d AS (SELECT doc_id,
-                              CASE WHEN doc_id % 3 = 0
-                                   THEN '{boiler} ' || text ELSE text END AS text
-                       FROM documents),
-                 toks AS (SELECT doc_id,
-                                 list_filter(string_split_regex(trim(text), '\\s+'),
-                                             x -> x <> '') AS tk
-                          FROM d),
-                 staged AS (SELECT doc_id, len(tk) AS n_tokens, tk FROM toks),
-                 wins AS (SELECT doc_id, CAST(i AS BIGINT) AS pos,
-                                 CAST(('0x' || substr(md5(array_to_string(
-                                     tk[CAST(i + 1 AS INT):CAST(i + {W} AS INT)], ' ')), 1, 15)) AS BIGINT) AS h
-                          FROM staged, UNNEST(range(0, greatest(len(tk) - {W} + 1, 0))) AS t(i)),
-                 firsts AS (SELECT h, MIN(doc_id * 1048576 + pos) AS fkey
-                            FROM wins GROUP BY h),
-                 dups AS (SELECT w.doc_id, w.pos
-                          FROM wins w JOIN firsts f ON w.h = f.h
-                          WHERE w.doc_id * 1048576 + w.pos <> f.fkey),
+        "q137_exact_substring_dedup": _substr_ctes() + """
                  cov AS (SELECT doc_id,
                                 COUNT(DISTINCT p) AS n_dup_tokens,
                                 COUNT(DISTINCT pos) AS n_dup_windows
@@ -1034,9 +1041,22 @@ def oracle_sql() -> dict[str, str]:
                    COALESCE(c.n_dup_tokens, 0) AS n_dup_tokens,
                    round(1.0 * COALESCE(c.n_dup_tokens, 0) / greatest(b.n_tokens, 1), 6) AS dup_ratio,
                    round(1.0 * COALESCE(c.n_dup_tokens, 0) / greatest(b.n_tokens, 1), 6) < 0.2 AS keep
-            FROM base b LEFT JOIN cov c USING (doc_id)""".format(
-            boiler=_q137_boiler(), W=_q137_w()
-        ),
+            FROM base b LEFT JOIN cov c USING (doc_id)""".format(W=_q137_w()),
+        "q138_exact_substring_removal": _substr_ctes() + """
+                 covp AS (SELECT doc_id, UNNEST(range(pos, pos + {W})) AS p FROM dups),
+                 tokx AS (SELECT doc_id, CAST(i - 1 AS BIGINT) AS p, tk[CAST(i AS INT)] AS tok
+                          FROM staged, UNNEST(range(1, len(tk) + 1)) AS t(i)),
+                 kept AS (SELECT k.* FROM tokx k
+                          WHERE NOT EXISTS (SELECT 1 FROM covp c
+                                            WHERE c.doc_id = k.doc_id AND c.p = k.p)),
+                 reb AS (SELECT doc_id, COUNT(*) AS n_clean_tokens,
+                                string_agg(tok, ' ' ORDER BY p) AS clean_text
+                         FROM kept GROUP BY doc_id),
+                 base AS (SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens FROM staged)
+            SELECT b.doc_id, b.n_tokens,
+                   COALESCE(r.n_clean_tokens, 0) AS n_clean_tokens,
+                   COALESCE(r.clean_text, '') AS clean_text
+            FROM base b LEFT JOIN reb r USING (doc_id)""".format(W=_q137_w()),
         "q136_corpus_clean_v2": """
             WITH toks AS (SELECT doc_id,
                                  list_filter(string_split_regex(trim(text), '\\s+'),

@@ -824,3 +824,25 @@ def test_first_occurrence_matches_window_semantics(spark):
     assert {(r["para"]): r["doc_id"] for r in slim.collect()} == {
         "boiler": 2, "alpha": 3, "beta": 3, "gamma": 1
     }
+
+
+def test_exact_substring_removal_consistent_with_accounting(spark, sf_dir):
+    """q138's rebuilt docs agree with q137's ledger row for row:
+    n_clean_tokens = n_tokens - n_dup_tokens, and the rebuilt text's
+    token count equals n_clean_tokens (no separator artifacts)."""
+    from pig_spark.queries import q137_exact_substring_dedup, q138_exact_substring_removal
+
+    acc = q137_exact_substring_dedup(spark, sf_dir).select("doc_id", "n_tokens", "n_dup_tokens")
+    rem = q138_exact_substring_removal(spark, sf_dir)
+    j = acc.join(rem.withColumnRenamed("n_tokens", "n_tokens_r"), "doc_id")
+    bad = j.filter(
+        (F.col("n_tokens") != F.col("n_tokens_r"))
+        | (F.col("n_clean_tokens") != F.col("n_tokens") - F.col("n_dup_tokens"))
+        | (
+            F.size(F.filter(F.split(F.col("clean_text"), " "), lambda t: t != ""))
+            != F.col("n_clean_tokens")
+        )
+    )
+    assert bad.count() == 0
+    # removal actually happened somewhere
+    assert rem.filter(F.col("n_clean_tokens") < F.col("n_tokens")).count() > 0

@@ -489,3 +489,23 @@ def test_exact_substring_dedup_plan(spark, sf_dir):
     assert "PythonUDF" not in phys and "EvalPython" not in phys, phys
     assert "CartesianProduct" not in phys and "BroadcastNestedLoopJoin" not in phys, phys
     assert phys.count("Exchange hashpartitioning") <= 6, phys
+
+
+def test_exact_substring_removal_plan(spark, sf_dir):
+    """q138 (ExactSubstr removal): token-level removal must be
+    relational — explode + anti-join + rebuild — NEVER an in-row
+    membership filter (O(tokens × covered) in one task, quadratic on
+    the workload's own fully-duplicated docs). No Window, partial_min
+    first-occurrence, no Python, no cartesian, no higher-order filter
+    over a collected coverage set (no ArrayContains inside a
+    LambdaFunction)."""
+    from pig_spark.queries import q138_exact_substring_removal
+
+    df = q138_exact_substring_removal(spark, sf_dir)
+    phys = df._jdf.queryExecution().executedPlan().toString()
+    assert "Window" not in phys, phys
+    assert "partial_min" in phys, phys
+    assert "PythonUDF" not in phys and "EvalPython" not in phys, phys
+    assert "CartesianProduct" not in phys and "BroadcastNestedLoopJoin" not in phys, phys
+    assert "LeftAnti" in phys, phys
+    assert "array_contains" not in phys.lower(), phys
