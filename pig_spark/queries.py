@@ -2475,24 +2475,28 @@ def q128_classifier_broadcast_weights(spark: SparkSession, sf: str) -> DataFrame
     artifact: the 4096-element weight vector is LOADED from the
     checked-in fixture file (fixtures/classifier_weights.json — the
     load-a-trained-model path, not a formula inlined in the query) and
-    rides along as an array<double> literal probed by bucket index
-    (functions/text.hashed_score_from_weights) — exactly how a
-    fastText-style quality model's parameters ship to executors (a
-    literal array is what a broadcast of a small model folds to under
-    whole-stage codegen; swap ``F.lit(w)`` for a broadcast-joined
-    1-row column and the probe code is unchanged).
+    ships as a BROADCAST 1-row array<double> column probed by bucket
+    index (functions/text.hashed_score_from_weights) — exactly how a
+    fastText-style quality model's parameters reach executors.
 
-    100 TB design: same map-only shape as q125 — zero exchanges, zero
-    Python, the weight table is a codegen constant resident once per
-    executor (plan-pinned). Weights are exact multiples of 2^-12, so
-    the oracle (which recomputes them from the training formula —
-    an independent check of the fixture's content) compares exact
-    doubles."""
+    Why a broadcast row and not ``F.lit(weights)``: a 4096-element
+    array literal inlines ~60 KB of constants into the generated
+    code, and the janino compile of that method cost a FLAT ~3 s per
+    run (r9 measurement: 3.3 s → 1.3 s at sf0.01 with identical
+    output) — a literal is the right shape for small constant tables,
+    a broadcast row for model-sized ones. The join is a 1-row
+    BroadcastNestedLoopJoin consumed in ONE projection AFTER the
+    staging chain (the r7 fat-column rule), so the plan is still
+    effectively map-only: zero exchanges on the corpus, zero Python.
+
+    Weights are exact multiples of 2^-12, so the oracle (which
+    recomputes them from the training formula — an independent check
+    of the fixture's content) compares exact doubles."""
     from pyspark.sql import functions as F
 
     from .functions import text as T
 
-    weights = F.lit(_load_classifier_weights())
+    wdf = spark.createDataFrame([(_load_classifier_weights(),)], "w array<double>")
     d = spark.read.parquet(f"{sf}/documents.parquet").select("doc_id", "text")
     td = d.select("doc_id", T.tokenize_ws(F.col("text")).alias("tk"))
     staged = td.select(
@@ -2500,10 +2504,10 @@ def q128_classifier_broadcast_weights(spark: SparkSession, sf: str) -> DataFrame
         F.size("tk").cast("long").alias("n_tokens"),
         T.hashed_features(F.col("tk")).alias("feats"),
     )
-    scored = staged.select(
+    scored = staged.crossJoin(F.broadcast(wdf)).select(
         "doc_id",
         "n_tokens",
-        T.hashed_score_from_weights(F.col("feats"), weights).alias("score"),
+        T.hashed_score_from_weights(F.col("feats"), F.col("w")).alias("score"),
     )
     return scored.select(
         "doc_id", "n_tokens", "score", (F.col("score") > 0).alias("keep")

@@ -130,6 +130,10 @@ _CARTESIAN_OK = {
     # 1-row scalar aggregates × 1-row folded top-K regression row,
     # explicit broadcast hint (prints lowercase, same as q78)
     "q135_corpus_zipf_profile",
+    # 1-row broadcast trained-weight array (explicit F.broadcast;
+    # r9 — a 4096-double literal cost a flat ~3 s janino compile);
+    # dedicated pin: test_broadcast_weight_classifier_plan_map_only
+    "q128_classifier_broadcast_weights",
 }
 
 
@@ -358,19 +362,23 @@ def test_hashed_classifier_plan_map_only(spark, sf_dir):
 
 def test_broadcast_weight_classifier_plan_map_only(spark, sf_dir):
     """q128 (classifier with a GENUINE trained-weight array): the
-    4096-double weight table is a codegen constant probed by bucket
-    index — the plan must keep q125's map-only shape exactly: zero
-    exchanges, zero Python, pruned scan, single-md5 CSE."""
+    4096-double weight table ships as a broadcast 1-row column probed
+    by bucket index (a literal would inline ~60 KB into codegen and
+    cost a flat ~3 s janino compile — r9) — the plan must keep q125's
+    effectively-map-only shape: no exchange on the corpus, the only
+    join the 1-row weight broadcast, zero Python, pruned scan,
+    single-md5 CSE."""
     from pig_spark.queries import q128_classifier_broadcast_weights
 
     df = q128_classifier_broadcast_weights(spark, sf_dir)
     phys = df._jdf.queryExecution().executedPlan().toString()
-    assert "Exchange" not in phys, phys
+    assert "Exchange hashpartitioning" not in phys, phys
+    assert "BroadcastNestedLoopJoin" in phys, phys
     assert "PythonUDF" not in phys and "EvalPython" not in phys, phys
     assert "ReadSchema: struct<doc_id:bigint,text:string>" in phys, phys
     assert phys.count("md5(") == 1, phys.count("md5(")
-    # the weight lookup is an element_at probe into the literal array,
-    # not re-derived bucket arithmetic
+    # the weight lookup is an element_at probe into the broadcast
+    # array column, not re-derived bucket arithmetic
     assert "element_at" in phys, phys
 
 
