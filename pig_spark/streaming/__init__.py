@@ -9,10 +9,13 @@ watermarks for late data.
 Surface: windowed/session aggregates with watermarks, stream-static
 enrich, watermark-bounded stream dedup, stream-stream interval join,
 mergeable-sketch rollups (count/sum/min/max AND histogram-bin
-partials for continuous quantiles), incremental signature dedup, stateless
-score-at-ingest decontamination (``contamination_stream``), and a
-CUSTOM stateful operator (``stateful_funnel`` via
-applyInPandasWithState, O(k) state per key) — each with a
+partials for continuous quantiles), incremental signature dedup,
+paragraph-level dedup at ingest vs a stored index
+(``paragraph_dedup_stream``), stateless score-at-ingest
+decontamination (``contamination_stream``), the composed
+clean-at-ingest pipeline (``clean_ingest_stream`` — the streaming
+face of q136), and a CUSTOM stateful operator (``stateful_funnel``
+via applyInPandasWithState, O(k) state per key) — each with a
 batch-parity test in test_streaming.py.
 """
 
@@ -386,6 +389,87 @@ def paragraph_dedup_stream(
     )
 
 
+def _bench_gram_row(bench_df: DataFrame, text_col: str, n: int) -> DataFrame:
+    """Fold a static eval corpus to the ONE-ROW sorted gram-hash array
+    used by the stateless decontamination shape (shared by
+    contamination_stream and clean_ingest_stream)."""
+    from ..functions.dedup import word_shingles
+
+    return (
+        bench_df.select(F.explode(word_shingles(F.col(text_col), n)).alias("__g"))
+        .select(F.xxhash64(F.col("__g")).alias("__gh"))
+        .distinct()
+        .agg(F.array_sort(F.collect_list("__gh")).alias("__bench"))
+        .withColumn("__k", F.lit(1))
+    )
+
+
+def clean_ingest_stream(
+    doc_stream: DataFrame,
+    para_index_df: DataFrame,
+    bench_df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    ts_col: str = "arrived",
+    watermark: str = "10 minutes",
+    para_tokens: int = 25,
+    n: int = 3,
+    threshold: float = 0.1,
+) -> DataFrame:
+    """Composed clean-at-ingest pipeline — the streaming face of q136:
+    paragraph-level dedup against the stored corpus index
+    (:func:`paragraph_dedup_stream`), hashed quality scoring over the
+    REBUILT text, and decontamination against the static eval corpus,
+    all in ONE streaming query. Emits per surviving document
+    ``(doc_id, n_paras, n_kept, n_tokens, score, n_shared,
+    contaminated, keep)`` — keep = positive quality AND not
+    contaminated.
+
+    State budget: exactly ONE stateful operator (the watermark-bounded
+    per-doc rebuild inside paragraph_dedup_stream); scoring is per-row
+    codegen and decontamination is the stateless broadcast-intersect
+    shape, so everything after the rebuild runs at ingest rate with
+    zero added state. Canonical-URL dedup (q131's twin) composes
+    UPSTREAM of this operator when the feed carries URLs — kept
+    outside so the query has a single stateful op (Spark chains
+    multiple stateful operators in append mode only, which holds
+    results until the watermark closes; one-stateful-op pipelines can
+    also run in update mode for low-latency sinks)."""
+    from ..functions import text as T
+
+    rebuilt = paragraph_dedup_stream(
+        doc_stream, para_index_df, text_col, id_col, ts_col, watermark, para_tokens
+    )
+    td = rebuilt.select(
+        id_col, "n_paras", "n_kept", "clean_text",
+        T.tokenize_ws(F.col("clean_text")).alias("__tk"),
+    )
+    staged = td.select(
+        id_col, "n_paras", "n_kept", "clean_text",
+        F.size("__tk").cast("long").alias("n_tokens"),
+        T.hashed_features(F.col("__tk")).alias("__feats"),
+    )
+    scored = staged.select(
+        id_col, "n_paras", "n_kept", "clean_text", "n_tokens",
+        T.hashed_score_from_features(F.col("__feats")).alias("score"),
+    )
+    from ..functions.dedup import word_shingles
+
+    docs = scored.withColumn(
+        "__gr", F.transform(word_shingles(F.col("clean_text"), n), lambda g: F.xxhash64(g))
+    ).withColumn("__k", F.lit(1))
+    joined = docs.join(F.broadcast(_bench_gram_row(bench_df, text_col, n)), "__k")
+    n_shared = F.size(F.array_intersect("__gr", "__bench")).cast("long")
+    ratio = F.round(n_shared / F.greatest(F.size("__gr"), F.lit(1)), 6)
+    contaminated = ratio >= F.lit(threshold)
+    return joined.select(
+        id_col, "n_paras", "n_kept", "n_tokens", "score",
+        n_shared.alias("n_shared"),
+        contaminated.alias("contaminated"),
+        ((F.col("score") > 0) & ~contaminated).alias("keep"),
+    )
+
+
 def contamination_stream(
     doc_stream: DataFrame,
     bench_df: DataFrame,
@@ -411,17 +495,11 @@ def contamination_stream(
     to the batch operator (batch-parity test in test_streaming.py)."""
     from ..functions.dedup import word_shingles
 
-    gh = lambda c: F.xxhash64(c)  # noqa: E731 — hash-agnostic counts, like the batch path (r7)
-    bench_arr = (
-        bench_df.select(F.explode(word_shingles(F.col(text_col), n)).alias("__g"))
-        .select(gh(F.col("__g")).alias("__gh"))
-        .distinct()
-        .agg(F.array_sort(F.collect_list("__gh")).alias("__bench"))
-        .withColumn("__k", F.lit(1))
-    )
+    # xxhash64 grams: hash-agnostic counts, like the batch path (r7)
+    bench_arr = _bench_gram_row(bench_df, text_col, n)
     docs = doc_stream.select(
         F.col(id_col),
-        F.transform(word_shingles(F.col(text_col), n), gh).alias("__gr"),
+        F.transform(word_shingles(F.col(text_col), n), lambda g: F.xxhash64(g)).alias("__gr"),
         F.lit(1).alias("__k"),
     )
     joined = docs.join(F.broadcast(bench_arr), "__k").drop("__k")

@@ -703,3 +703,102 @@ def test_paragraph_dedup_stream_requires_timestamp(spark, sf_dir):
     src = spark.readStream.schema(d.schema).parquet(f"{sf_dir}/documents.parquet")
     with pytest.raises(ValueError, match="watermark-bounded"):
         paragraph_dedup_stream(src, d.limit(0))
+
+
+def test_clean_ingest_stream_matches_batch(spark, sf_dir, tmp_path):
+    """Composed clean-at-ingest (streaming q136 face): paragraph dedup
+    vs the stored index -> quality score over the REBUILT text ->
+    decontamination vs the static eval corpus, one streaming query,
+    equal to the same composition in batch."""
+    from pig_spark.functions import dedup
+    from pig_spark.functions import text as T
+    from pig_spark.functions.dedup import word_shingles
+    from pig_spark.functions.text import token_blocks, tokenize_ws
+    from pig_spark.sources import store
+    from pig_spark.streaming import clean_ingest_stream
+
+    boiler = " ".join(f"tos{i}" for i in range(25))
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 2 == 0, F.concat(F.lit(boiler + " "), F.col("text"))
+        ).otherwise(F.col("text")).alias("text"),
+    )
+    corpus = d.filter(F.col("doc_id") % 10 != 0)
+    bench = d.filter(F.col("doc_id") % 97 == 0)
+    idx_path = str(tmp_path / "ci_index")
+    store(dedup.paragraph_index(corpus, "text", "doc_id"), idx_path, "parquet")
+    index = spark.read.parquet(idx_path)
+
+    new_batch = d.filter(F.col("doc_id") % 10 == 0)
+    new_dir = str(tmp_path / "ci_incoming")
+    staged_in = new_batch.withColumn("arrived", F.current_timestamp())
+    staged_in.write.parquet(new_dir)
+    src = spark.readStream.schema(staged_in.schema).parquet(new_dir)
+
+    out = clean_ingest_stream(src, index, bench)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("clean_ingest")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        q.awaitTermination(120)
+    finally:
+        q.stop()
+    got = {tuple(r) for r in spark.sql("SELECT * FROM clean_ingest").collect()}
+
+    # batch composition of the same stages
+    tk = new_batch.select("doc_id", tokenize_ws(F.col("text")).alias("tk"))
+    paras = tk.select(
+        "doc_id",
+        F.ceil(F.size("tk") / F.lit(25)).cast("long").alias("n_paras"),
+        F.posexplode(token_blocks(F.col("tk"), 25)).alias("pos", "para"),
+    )
+    kept = paras.join(index.select("ph"), F.md5("para") == F.col("ph"), "left_anti")
+    rebuilt = kept.groupBy("doc_id").agg(
+        F.first("n_paras").alias("n_paras"),
+        F.count(F.lit(1)).alias("n_kept"),
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "para"))),
+                lambda s: s["para"],
+            ),
+            " | ",
+        ).alias("clean_text"),
+    )
+    td = rebuilt.select(
+        "doc_id", "n_paras", "n_kept", "clean_text",
+        tokenize_ws(F.col("clean_text")).alias("tk2"),
+    )
+    st = td.select(
+        "doc_id", "n_paras", "n_kept", "clean_text",
+        F.size("tk2").cast("long").alias("n_tokens"),
+        T.hashed_features(F.col("tk2")).alias("feats"),
+    )
+    sc = st.select(
+        "doc_id", "n_paras", "n_kept", "clean_text", "n_tokens",
+        T.hashed_score_from_features(F.col("feats")).alias("score"),
+    )
+    bench_arr = (
+        bench.select(F.explode(word_shingles(F.col("text"), 3)).alias("g"))
+        .select(F.xxhash64("g").alias("gh")).distinct()
+        .agg(F.array_sort(F.collect_list("gh")).alias("ba")).withColumn("k", F.lit(1))
+    )
+    docs = sc.withColumn(
+        "gr", F.transform(word_shingles(F.col("clean_text"), 3), lambda g: F.xxhash64(g))
+    ).withColumn("k", F.lit(1)).join(F.broadcast(bench_arr), "k")
+    n_shared = F.size(F.array_intersect("gr", "ba")).cast("long")
+    ratio = F.round(n_shared / F.greatest(F.size("gr"), F.lit(1)), 6)
+    contaminated = ratio >= F.lit(0.1)
+    want_df = docs.select(
+        "doc_id", "n_paras", "n_kept", "n_tokens", "score",
+        n_shared.alias("n_shared"), contaminated.alias("contaminated"),
+        ((F.col("score") > 0) & ~contaminated).alias("keep"),
+    )
+    want = {tuple(r) for r in want_df.collect()}
+    assert got == want and len(want) > 0
+    # the chain did real work: some paragraph got dropped somewhere
+    assert any(r[2] < r[1] for r in got)  # n_kept < n_paras
