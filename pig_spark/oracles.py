@@ -1057,6 +1057,13 @@ def oracle_sql() -> dict[str, str]:
                    COALESCE(r.n_clean_tokens, 0) AS n_clean_tokens,
                    COALESCE(r.clean_text, '') AS clean_text
             FROM base b LEFT JOIN reb r USING (doc_id)""".format(W=_q137_w()),
+        # q139: the deterministic-boundedness gate (q78's pattern) for
+        # the in-engine trainer — training is iterative (not
+        # SQL-expressible); its CONTRACT is: exact ln-2 start,
+        # strictly-decreasing loss each iteration, net improvement
+        "q139_classifier_training": """
+            SELECT CAST(i AS BIGINT) AS iter, true AS ok
+            FROM (SELECT UNNEST([0, 1, 2, 3, 4, 5, 99]) AS i)""",
         "q136_corpus_clean_v2": """
             WITH toks AS (SELECT doc_id,
                                  list_filter(string_split_regex(trim(text), '\\s+'),

@@ -3191,6 +3191,44 @@ def q138_exact_substring_removal(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q139_classifier_training(spark: SparkSession, sf: str) -> DataFrame:
+    """TRAIN the hashed linear quality classifier in-engine
+    (functions/ml.train_hashed_classifier — fastText architecture,
+    full-batch logistic GD, labels = lang=='en') and gate the
+    convergence record: the returned rows are one per training
+    iteration with deterministic booleans the oracle predicts as
+    constants — iter 0's loss is EXACTLY ln 2 (w=0 ⇒ p=0.5 for every
+    doc, in-row deterministic), every later iteration's loss strictly
+    decreased (lr=800 measured monotone at sf0.001/0.01/0.1 with
+    ~1e-3 margins vs ~1e-14 float noise), and the final loss improved
+    below 0.693. This is the deterministic-boundedness gate pattern
+    (q78's): training itself is iterative and not SQL-expressible,
+    the CONTRACT is.
+
+    100 TB design: see functions/ml.py — features staged+persisted
+    once, weights broadcast per iteration, gradients = one
+    partial-aggregated token-sized shuffle + a ≤4096-row driver
+    collect (the model-sized exception class), loss = one tiny
+    global aggregate. Everything inside an iteration distributed;
+    the loop itself is gradient descent's sequential contract."""
+    from pyspark.sql import functions as F
+
+    from .functions.ml import stage_hashed_buckets, train_hashed_classifier
+
+    d = spark.read.parquet(f"{sf}/documents.parquet").select("doc_id", "text", "lang")
+    feats = stage_hashed_buckets(d, "text", F.col("lang") == "en")
+    _, hist = train_hashed_classifier(feats, iters=5, lr=800.0)
+    rows = []
+    for h in hist:
+        if h["iter"] == 0:
+            ok = round(h["loss"], 6) == 0.693147
+        else:
+            ok = h["loss"] < hist[h["iter"] - 1]["loss"]
+        rows.append((h["iter"], bool(ok)))
+    rows.append((99, hist[-1]["loss"] < 0.693))  # net improvement
+    return spark.createDataFrame(rows, "iter bigint, ok boolean")
+
+
 from .pigmix import PIGMIX_QUERIES  # noqa: E402  (avoids circular import)
 
 _ALL: dict[str, Callable[[SparkSession, str], DataFrame]] = {
@@ -3203,10 +3241,11 @@ _ALL.update(PIGMIX_QUERIES)
 # The driver's correctness gate checks the FIRST 50 entries in dict
 # order. Order by verification need, not by name (rebuilt each round;
 # the window arithmetic is EXACT — VERDICT r6 #3):
-#   tier 0 (8): new-in-r9 queries + queries whose lowering changed
+#   tier 0 (9): new-in-r9 queries + queries whose lowering changed
 #     this round and must re-earn a green driver row — q137 (exact-
 #     substring rolling-window dedup, new), q138 (exact-substring
-#     REMOVAL with rebuilt text, new), q129/q136/q132/q76 (the
+#     REMOVAL with rebuilt text, new), q139 (in-engine classifier
+#     trainer, new — boolean contract gate), q129/q136/q132/q76 (the
 #     first-occurrence stage moved from a row_number window to the
 #     skew-safe dedup.first_occurrence aggregate — VERDICT r8 #1;
 #     q132 also widened its pid packing to 2^20), q128 (weights now
@@ -3216,16 +3255,18 @@ _ALL.update(PIGMIX_QUERIES)
 #   tier 1 (4): the rest of the r5-evidence tail (VERDICT r8 next #4)
 #     — q72_latin_nested_block, q73_latin_macro, q80_skewed_join,
 #     q81_latin_bigdata_chain (q76 already leads in tier 0);
-#   tier 2 (38 of 47): the r6-evidence block, alphabetical; the nine
-#     alphabetically-last entries (q89_repetition, q90_pii_redaction,
-#     q91_dedup_survivors, q92_gapfill, q93_latin_corpus_pipeline,
-#     q94_doc_chunks, q95_mixture_sample, q96_split_assign,
-#     q97_top_ngrams) stay at r6 evidence and LEAD tier 2 next round;
+#   tier 2 (37 of 47): the r6-evidence block, alphabetical; the ten
+#     alphabetically-last entries (q87_dedup_groups, q89_repetition,
+#     q90_pii_redaction, q91_dedup_survivors, q92_gapfill,
+#     q93_latin_corpus_pipeline, q94_doc_chunks, q95_mixture_sample,
+#     q96_split_assign, q97_top_ngrams) stay at r6 evidence and LEAD
+#     tier 2 next round;
 #   tier 3: everything r7/r8-verified.
-# 8 + 4 + 38 = 50.
+# 9 + 4 + 37 = 50.
 _NEW_OR_CHANGED_R9 = {
     "q137_exact_substring_dedup",         # new: ExactSubstr-style dedup
     "q138_exact_substring_removal",       # new: ExactSubstr removal + rebuild
+    "q139_classifier_training",           # new: in-engine trainer contract
     "q129_paragraph_dedup",               # changed: first_occurrence aggregate
     "q136_corpus_clean_v2",               # changed: first_occurrence aggregate
     "q132_paragraph_near_dup",            # changed: first_occurrence + 2^20 pid

@@ -761,3 +761,32 @@ def test_classifier_weight_fixture_integrity():
     assert loaded == _classifier_weights()
     assert len(loaded) == 4096
     assert all(x * 4096 == int(x * 4096) for x in loaded)
+
+
+def test_train_hashed_classifier_learns_separable(spark):
+    """functions/ml: full-batch logistic GD on a trivially separable
+    corpus — iter-0 loss is exactly ln 2, loss strictly decreases,
+    the trained weights reach perfect train accuracy, and applying
+    them through the q128 scorer (hashed_score_from_weights) exactly
+    reproduces the training loop's decisions."""
+    import math
+
+    from pig_spark.functions import text as T
+    from pig_spark.functions.ml import stage_hashed_buckets, train_hashed_classifier
+
+    rows = [(i, "spam offer winner now claim prize", 1.0) for i in range(30)] + [
+        (100 + i, "hello friend meeting notes agenda today", 0.0) for i in range(30)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, y double")
+    feats = stage_hashed_buckets(df, "text", "y")
+    w, hist = train_hashed_classifier(feats, iters=8, lr=800.0)
+    assert abs(hist[0]["loss"] - math.log(2)) < 1e-12
+    assert all(hist[i]["loss"] < hist[i - 1]["loss"] for i in range(1, len(hist)))
+    assert hist[-1]["acc"] == 1.0
+    scored = df.select(
+        "doc_id", "y",
+        T.hashed_score_from_weights(
+            T.hashed_features(T.tokenize_ws(F.col("text"))), F.lit(w)
+        ).alias("s"),
+    )
+    assert scored.filter(((F.col("s") > 0).cast("double")) != F.col("y")).count() == 0
