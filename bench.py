@@ -190,6 +190,7 @@ def _scale_bench(spark, sf_dir: str, results: dict) -> None:
             "q126_dsir_importance",
             "q130_bigram_lm_perplexity",
             "q134_char_contamination",
+            "q137_exact_substring_dedup",
         )
         base: dict[str, float] = {}
         large: dict[str, float] = {}
@@ -294,6 +295,7 @@ def _xlarge_bench(spark, sf_dir: str, results: dict) -> None:
         "q125_hashed_quality_classifier",
         "q130_bigram_lm_perplexity",
         "q134_char_contamination",
+        "q137_exact_substring_dedup",  # r9: the newest dedup family carries its own rung
     )
     d = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "text", "lang")
     parts = [
