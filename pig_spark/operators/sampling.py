@@ -107,6 +107,62 @@ def mixture_sample(
     )
 
 
+def quality_mixture_sample(
+    df: DataFrame,
+    stratum: str,
+    key: str | Column,
+    weight: Column,
+    alpha: float = 0.5,
+    target_frac: float = 0.2,
+    salt: str = "",
+) -> DataFrame:
+    """Quality-weighted temperature mixture sampling — the LLaMA-style
+    curation recipe on top of :func:`mixture_sample`: strata are
+    temperature-balanced (``p_l ∝ share^alpha``) AND each row's accept
+    rate is tilted by a deterministic per-row ``weight`` Column
+    (e.g. 1.5 for classifier-positive docs, 0.5 otherwise), so
+    high-quality documents are upsampled WITHIN each stratum's budget.
+
+    Weights are normalized by their per-stratum mean (computed in the
+    same tiny aggregate as the counts), so the expected kept fraction
+    stays ≈ ``target_frac`` regardless of the weight scale; the final
+    per-row rate is capped at 1 (never duplicates rows). A row
+    survives iff the md5 fraction of its ``key`` is below
+    ``min(1, stratum_rate · weight / mean_stratum_weight)`` —
+    deterministic, retry-stable, shard-stable.
+
+    Scale shape: identical to mixture_sample — ONE tiny per-stratum
+    aggregate (counts + mean weight) broadcast back, then a map-only
+    codegen filter; the corpus never shuffles. ``weight`` must be a
+    deterministic expression over the row (a classifier score
+    threshold, a length band…) — at 100 TB it evaluates twice (once
+    in the aggregate, once in the filter), both map-side."""
+    if not 0 < target_frac <= 1:
+        raise ValueError(f"target_frac must be in (0,1], got {target_frac}")
+    key_col = F.col(key) if isinstance(key, str) else key
+    wdf = df.withColumn("__w", weight)
+    counts = wdf.groupBy(stratum).agg(
+        F.count(F.lit(1)).alias("__n"), F.avg("__w").alias("__avg_w")
+    )
+    everything = Window.partitionBy()
+    n_total = F.sum("__n").over(everything)
+    w_raw = F.pow(F.col("__n").cast("double"), F.lit(alpha))
+    wsum = F.sum(w_raw).over(everything)
+    rates = counts.select(
+        stratum,
+        (F.lit(target_frac) * n_total * (w_raw / wsum) / F.col("__n")).alias("__rate"),
+        "__avg_w",
+    )
+    frac = md5_32(F.concat(key_col.cast("string"), F.lit(salt))).cast("double") / F.lit(
+        float(1 << 32)
+    )
+    return (
+        wdf.join(F.broadcast(rates), stratum)
+        .filter(frac < F.least(F.lit(1.0), F.col("__rate") * F.col("__w") / F.col("__avg_w")))
+        .drop("__rate", "__avg_w", "__w")
+    )
+
+
 def cap_per_key(
     df: DataFrame,
     key: str | Column,

@@ -507,6 +507,45 @@ def oracle_sql() -> dict[str, str]:
             FROM documents d JOIN r ON d.lang = r.lang
             WHERE CAST({_h32("CAST(d.doc_id AS VARCHAR)")} AS DOUBLE) / 4294967296.0 < r.rate
             GROUP BY d.lang""",
+        # q140: q125's scoring SQL + q95's rate machinery + per-lang
+        # mean-weight normalization — every accept decision replayed
+        # exactly (md5 fraction, exact 1.5/0.5 weights, IEEE rates)
+        "q140_quality_mixture": f"""
+            WITH d AS (SELECT doc_id, lang,
+                              list_filter(string_split_regex(trim(text), '\\s+'),
+                                          x -> x <> '') AS tk
+                       FROM documents),
+                 f AS (SELECT doc_id, lang,
+                              list_concat(tk,
+                                  CASE WHEN len(tk) >= 2
+                                       THEN list_transform(generate_series(1, len(tk) - 1),
+                                                           i -> tk[i] || ' ' || tk[i + 1])
+                                       ELSE CAST([] AS VARCHAR[]) END) AS feats
+                       FROM d),
+                 s AS (SELECT doc_id, lang,
+                              CASE WHEN len(feats) > 0 THEN
+                                list_sum(list_transform(feats, x ->
+                                  (((CAST(('0x' || substr(md5(x), 1, 15)) AS BIGINT) % 4096)
+                                    * 2654435761) % 4096) / 4096.0 - 0.5))
+                                / len(feats)
+                              END AS score
+                       FROM f),
+                 w AS (SELECT doc_id, lang, score,
+                              CASE WHEN score > 0 THEN 1.5 ELSE 0.5 END AS wgt
+                       FROM s),
+                 c AS (SELECT lang, COUNT(*) AS n, AVG(wgt) AS avg_w FROM w GROUP BY lang),
+                 t AS (SELECT SUM(n) AS tot_n, SUM(pow(CAST(n AS DOUBLE), 0.5)) AS wsum FROM c),
+                 r AS (SELECT lang, 0.2 * tot_n * (pow(CAST(n AS DOUBLE), 0.5) / wsum) / n AS rate,
+                              avg_w
+                       FROM c, t),
+                 k AS (SELECT w.lang, w.doc_id, w.score
+                       FROM w JOIN r USING (lang)
+                       WHERE CAST({_h32("CAST(w.doc_id AS VARCHAR)")} AS DOUBLE) / 4294967296.0
+                             < least(1.0, r.rate * w.wgt / r.avg_w))
+            SELECT lang, score > 0 AS hi_quality,
+                   CAST(COUNT(*) AS BIGINT) AS n_kept,
+                   CAST(SUM(doc_id) AS BIGINT) AS id_checksum
+            FROM k GROUP BY lang, score > 0""",
         "q96_split_assign": f"""
             WITH s AS (SELECT lang, doc_id,
                               CASE WHEN f < 0.90 THEN 'train'

@@ -3229,6 +3229,47 @@ def q139_classifier_training(spark: SparkSession, sf: str) -> DataFrame:
     return spark.createDataFrame(rows, "iter bigint, ok boolean")
 
 
+def q140_quality_mixture(spark: SparkSession, sf: str) -> DataFrame:
+    """Quality-weighted temperature sampling
+    (operators/sampling.quality_mixture_sample) — the curation stage
+    that combines q95's mixture balancing with q125's quality
+    classifier: languages are temperature-balanced (alpha=0.5,
+    target 20%) and classifier-positive documents get a 1.5× accept
+    tilt vs 0.5× for negatives, normalized by the per-language mean
+    weight so the overall budget holds. Output: per (lang,
+    hi_quality) kept counts + id checksum — fully deterministic
+    (md5-fraction acceptance, exact 1.5/0.5 weights, in-row
+    deterministic scores), so the oracle replays every accept
+    decision bit-for-bit.
+
+    100 TB design: ONE tiny per-language aggregate (count + mean
+    weight) broadcast back; scoring and the accept filter are
+    map-only codegen; the corpus never shuffles (the q95 shape). The
+    weight expression evaluates twice (aggregate + filter), both
+    map-side — cheaper than materializing a corpus-sized scored
+    intermediate."""
+    from pyspark.sql import functions as F
+
+    from .functions import text as T
+    from .operators.sampling import quality_mixture_sample
+
+    d = spark.read.parquet(f"{sf}/documents.parquet").select("doc_id", "lang", "text")
+    staged = d.select(
+        "doc_id", "lang",
+        T.hashed_score_from_features(
+            T.hashed_features(T.tokenize_ws(F.col("text")))
+        ).alias("__score"),
+    )
+    weight = F.when(F.col("__score") > 0, F.lit(1.5)).otherwise(F.lit(0.5))
+    kept = quality_mixture_sample(
+        staged, "lang", "doc_id", weight, alpha=0.5, target_frac=0.2
+    )
+    return kept.groupBy("lang", (F.col("__score") > 0).alias("hi_quality")).agg(
+        F.count(F.lit(1)).alias("n_kept"),
+        F.sum("doc_id").alias("id_checksum"),
+    )
+
+
 from .pigmix import PIGMIX_QUERIES  # noqa: E402  (avoids circular import)
 
 _ALL: dict[str, Callable[[SparkSession, str], DataFrame]] = {
@@ -3241,11 +3282,12 @@ _ALL.update(PIGMIX_QUERIES)
 # The driver's correctness gate checks the FIRST 50 entries in dict
 # order. Order by verification need, not by name (rebuilt each round;
 # the window arithmetic is EXACT — VERDICT r6 #3):
-#   tier 0 (9): new-in-r9 queries + queries whose lowering changed
+#   tier 0 (10): new-in-r9 queries + queries whose lowering changed
 #     this round and must re-earn a green driver row — q137 (exact-
 #     substring rolling-window dedup, new), q138 (exact-substring
 #     REMOVAL with rebuilt text, new), q139 (in-engine classifier
-#     trainer, new — boolean contract gate), q129/q136/q132/q76 (the
+#     trainer, new — boolean contract gate), q140 (quality-weighted
+#     temperature sampling, new), q129/q136/q132/q76 (the
 #     first-occurrence stage moved from a row_number window to the
 #     skew-safe dedup.first_occurrence aggregate — VERDICT r8 #1;
 #     q132 also widened its pid packing to 2^20), q128 (weights now
@@ -3255,15 +3297,16 @@ _ALL.update(PIGMIX_QUERIES)
 #   tier 1 (4): the rest of the r5-evidence tail (VERDICT r8 next #4)
 #     — q72_latin_nested_block, q73_latin_macro, q80_skewed_join,
 #     q81_latin_bigdata_chain (q76 already leads in tier 0);
-#   tier 2 (37 of 47): the r6-evidence block, alphabetical; the ten
-#     alphabetically-last entries (q87_dedup_groups, q89_repetition,
-#     q90_pii_redaction, q91_dedup_survivors, q92_gapfill,
-#     q93_latin_corpus_pipeline, q94_doc_chunks, q95_mixture_sample,
-#     q96_split_assign, q97_top_ngrams) stay at r6 evidence and LEAD
-#     tier 2 next round;
+#   tier 2 (36 of 47): the r6-evidence block, alphabetical; the
+#     eleven alphabetically-last entries (q86_token_packing,
+#     q87_dedup_groups, q89_repetition, q90_pii_redaction,
+#     q91_dedup_survivors, q92_gapfill, q93_latin_corpus_pipeline,
+#     q94_doc_chunks, q95_mixture_sample, q96_split_assign,
+#     q97_top_ngrams) stay at r6 evidence and LEAD tier 2 next round;
 #   tier 3: everything r7/r8-verified.
-# 9 + 4 + 37 = 50.
+# 10 + 4 + 36 = 50.
 _NEW_OR_CHANGED_R9 = {
+    "q140_quality_mixture",               # new: quality-weighted sampling
     "q137_exact_substring_dedup",         # new: ExactSubstr-style dedup
     "q138_exact_substring_removal",       # new: ExactSubstr removal + rebuild
     "q139_classifier_training",           # new: in-engine trainer contract

@@ -846,3 +846,31 @@ def test_exact_substring_removal_consistent_with_accounting(spark, sf_dir):
     assert bad.count() == 0
     # removal actually happened somewhere
     assert rem.filter(F.col("n_clean_tokens") < F.col("n_tokens")).count() > 0
+
+
+def test_quality_mixture_sample_tilts_within_budget(spark, sf_dir):
+    """operators/sampling.quality_mixture_sample: deterministic,
+    never duplicates, budget ≈ target_frac despite the weight tilt
+    (per-stratum mean normalization), and within a stratum the
+    hi-weight class keeps a strictly larger fraction than the
+    low-weight class (the upsample-quality contract)."""
+    from pig_spark.operators.sampling import quality_mixture_sample
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "lang")
+    w = F.when(F.col("doc_id") % 2 == 0, F.lit(2.0)).otherwise(F.lit(0.5))
+    kept = quality_mixture_sample(d, "lang", "doc_id", w, alpha=0.5, target_frac=0.3)
+    ids1 = sorted(r["doc_id"] for r in kept.select("doc_id").collect())
+    assert len(ids1) == len(set(ids1))
+    ids2 = sorted(
+        r["doc_id"]
+        for r in quality_mixture_sample(d, "lang", "doc_id", w, alpha=0.5, target_frac=0.3)
+        .select("doc_id").collect()
+    )
+    assert ids1 == ids2  # retry-stable
+    n = d.count()
+    assert 0.2 * n < len(ids1) < 0.4 * n  # binomial noise around 0.3N
+    # tilt: evens (w=2.0) keep a larger fraction than odds (w=0.5)
+    ne, no = d.filter("doc_id % 2 = 0").count(), d.filter("doc_id % 2 = 1").count()
+    ke = sum(1 for i in ids1 if i % 2 == 0)
+    ko = len(ids1) - ke
+    assert ke / ne > ko / no
