@@ -11,7 +11,7 @@ partial aggregation (Pig's combiner).
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
-from . import bags, datetime, dedup, math, piggybank, similarity, string, text
+from . import bags, datetime, dedup, math, ml, piggybank, similarity, string, text
 from .bags import *  # noqa: F401,F403
 from .datetime import *  # noqa: F401,F403
 from .math import *  # noqa: F401,F403
