@@ -88,6 +88,7 @@ HEADLINE = [
     "q137_exact_substring_dedup",  # r9: rolling-window ExactSubstr dedup
     "q138_exact_substring_removal",  # r9: dup-span removal + doc rebuild
     "q140_quality_mixture",  # r9: quality-tilted temperature sampling
+    "q141_fuzzy_decontamination",  # r9: cross-corpus minhash leak check
     # q139 (trainer) deliberately not a headliner: it is a 12-job
     # iterative training run, not an ETL query — gated by the oracle,
     # timed nowhere

@@ -159,6 +159,12 @@ def _substr_ctes() -> str:
     )
 
 
+def _q141_suffix() -> str:
+    from .queries import _FUZZY_CLONE_SUFFIX
+
+    return _FUZZY_CLONE_SUFFIX
+
+
 def _q137_boiler() -> str:
     """q137's injected boilerplate — imported from queries at call
     time (lazy: queries imports nothing from this module, but keep the
@@ -614,6 +620,36 @@ def oracle_sql() -> dict[str, str]:
                     JOIN sigs r ON cd.match_id = r.doc_id
             WHERE round(({" + ".join(f"CAST(l.mh{i} = r.mh{i} AS INT)" for i in range(dedup.MINHASH_K))})
                         / {float(dedup.MINHASH_K)}, 6) >= 0.5""",
+        # q141: q100's signature machinery across two corpora — the
+        # synthesized corpus is (train ∪ eval-clones); eval side =
+        # original %97 ids, train side = everything else
+        "q141_fuzzy_decontamination": f"""
+            WITH corpus AS (SELECT doc_id, text FROM documents
+                            UNION ALL
+                            SELECT doc_id + 1000000 AS doc_id,
+                                   text || ' {{suffix}}' AS text
+                            FROM documents WHERE doc_id % 97 = 0),
+                 docs AS (SELECT doc_id, {_shingles('text')} AS sh FROM corpus),
+                 hashed AS (SELECT doc_id, sh, list_transform(sh, s -> {_h32('s')}) AS h FROM docs),
+                 sigs AS (SELECT doc_id, {_minhash_sig_select()} FROM hashed),
+                 bands AS ({_band_rows()}),
+                 eb AS (SELECT doc_id, band, bh FROM bands
+                        WHERE doc_id % 97 = 0 AND doc_id < 1000000),
+                 tb AS (SELECT doc_id, band, bh FROM bands
+                        WHERE NOT (doc_id % 97 = 0 AND doc_id < 1000000)),
+                 cd AS (SELECT tb.doc_id AS train_id, eb.doc_id AS eval_id
+                        FROM tb JOIN eb ON tb.band = eb.band AND tb.bh = eb.bh
+                        GROUP BY 1, 2),
+                 scored AS (
+                    SELECT train_id, eval_id,
+                           round(({" + ".join(f"CAST(l.mh{i} = r.mh{i} AS INT)" for i in range(dedup.MINHASH_K))})
+                                 / {float(dedup.MINHASH_K)}, 6) AS est
+                    FROM cd JOIN sigs l ON cd.train_id = l.doc_id
+                            JOIN sigs r ON cd.eval_id = r.doc_id)
+            SELECT train_id, CAST(COUNT(*) AS BIGINT) AS n_matches,
+                   MAX(est) AS max_est
+            FROM scored WHERE est >= 0.5
+            GROUP BY train_id""".format(suffix=_q141_suffix()),
         "q101_latin_chunk_pipeline": """
             WITH w AS (SELECT doc_id, string_split(text, ' ') AS words FROM documents),
             k AS (SELECT doc_id, words,

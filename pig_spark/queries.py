@@ -3270,6 +3270,49 @@ def q140_quality_mixture(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+#: q141's injected paraphrase suffix (mirrored in oracles.py)
+_FUZZY_CLONE_SUFFIX = "with minor edits and an appended provenance note"
+
+
+def q141_fuzzy_decontamination(spark: SparkSession, sf: str) -> DataFrame:
+    """FUZZY benchmark decontamination — the leakage mode exact-gram
+    checks (q88/q102/q134) cannot catch: train documents that are
+    PARAPHRASED near-duplicates of eval documents (reworded benchmark
+    items, quote-with-edits). MinHash across two corpora: the eval
+    split (doc_id % 97 == 0) builds the stored signature index
+    (dedup.signature_index — the q100 machinery with the roles
+    swapped), the train side probes it band-by-band, and matches are
+    scored by signature agreement ≥ 0.5. Leakage is injected
+    deterministically: every eval doc also appears in the train set
+    as a near-copy (new id + an appended provenance suffix — shingle
+    Jaccard stays high, exact grams shift), so the gate verifies the
+    paraphrase channel exact-gram decontamination misses. Output =
+    per contaminated train doc: match count + best agreement.
+
+    100 TB design: identical to q100's — the index is the only
+    corpus-sized table (band-partitioned on disk at scale), the
+    probe side's band rows broadcast when batch << corpus, old×old
+    pairs never form, no shingle re-read for scoring (signatures
+    carry the estimate)."""
+    from pyspark.sql import functions as F
+
+    from .functions import dedup
+
+    d = spark.read.parquet(f"{sf}/documents.parquet").select("doc_id", "text")
+    bench = d.where(F.col("doc_id") % 97 == 0)
+    clones = bench.select(
+        (F.col("doc_id") + 1_000_000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" " + _FUZZY_CLONE_SUFFIX)).alias("text"),
+    )
+    train = d.where(F.col("doc_id") % 97 != 0).unionByName(clones)
+    idx = dedup.signature_index(bench, "text", "doc_id")
+    pairs = dedup.incremental_minhash_pairs(train, "text", "doc_id", idx, threshold=0.5)
+    return pairs.groupBy(F.col("new_id").alias("train_id")).agg(
+        F.count(F.lit(1)).alias("n_matches"),
+        F.max("est_jaccard").alias("max_est"),
+    )
+
+
 from .pigmix import PIGMIX_QUERIES  # noqa: E402  (avoids circular import)
 
 _ALL: dict[str, Callable[[SparkSession, str], DataFrame]] = {
@@ -3282,12 +3325,13 @@ _ALL.update(PIGMIX_QUERIES)
 # The driver's correctness gate checks the FIRST 50 entries in dict
 # order. Order by verification need, not by name (rebuilt each round;
 # the window arithmetic is EXACT — VERDICT r6 #3):
-#   tier 0 (10): new-in-r9 queries + queries whose lowering changed
+#   tier 0 (11): new-in-r9 queries + queries whose lowering changed
 #     this round and must re-earn a green driver row — q137 (exact-
 #     substring rolling-window dedup, new), q138 (exact-substring
 #     REMOVAL with rebuilt text, new), q139 (in-engine classifier
 #     trainer, new — boolean contract gate), q140 (quality-weighted
-#     temperature sampling, new), q129/q136/q132/q76 (the
+#     temperature sampling, new), q141 (fuzzy decontamination, new),
+#     q129/q136/q132/q76 (the
 #     first-occurrence stage moved from a row_number window to the
 #     skew-safe dedup.first_occurrence aggregate — VERDICT r8 #1;
 #     q132 also widened its pid packing to 2^20), q128 (weights now
@@ -3297,16 +3341,18 @@ _ALL.update(PIGMIX_QUERIES)
 #   tier 1 (4): the rest of the r5-evidence tail (VERDICT r8 next #4)
 #     — q72_latin_nested_block, q73_latin_macro, q80_skewed_join,
 #     q81_latin_bigdata_chain (q76 already leads in tier 0);
-#   tier 2 (36 of 47): the r6-evidence block, alphabetical; the
-#     eleven alphabetically-last entries (q86_token_packing,
-#     q87_dedup_groups, q89_repetition, q90_pii_redaction,
-#     q91_dedup_survivors, q92_gapfill, q93_latin_corpus_pipeline,
-#     q94_doc_chunks, q95_mixture_sample, q96_split_assign,
-#     q97_top_ngrams) stay at r6 evidence and LEAD tier 2 next round;
+#   tier 2 (35 of 47): the r6-evidence block, alphabetical; the
+#     twelve alphabetically-last entries (q85_stratified_sample,
+#     q86_token_packing, q87_dedup_groups, q89_repetition,
+#     q90_pii_redaction, q91_dedup_survivors, q92_gapfill,
+#     q93_latin_corpus_pipeline, q94_doc_chunks, q95_mixture_sample,
+#     q96_split_assign, q97_top_ngrams) stay at r6 evidence and LEAD
+#     tier 2 next round;
 #   tier 3: everything r7/r8-verified.
-# 10 + 4 + 36 = 50.
+# 11 + 4 + 35 = 50.
 _NEW_OR_CHANGED_R9 = {
     "q140_quality_mixture",               # new: quality-weighted sampling
+    "q141_fuzzy_decontamination",         # new: cross-corpus minhash leak check
     "q137_exact_substring_dedup",         # new: ExactSubstr-style dedup
     "q138_exact_substring_removal",       # new: ExactSubstr removal + rebuild
     "q139_classifier_training",           # new: in-engine trainer contract
