@@ -40,13 +40,31 @@ def stratified_sample(
     """Keep exactly min(k, |stratum|) rows per stratum, chosen by
     md5-hash rank of ``key`` (deterministic; ``salt`` re-draws the
     sample without touching the data). Ties on equal hashes break on
-    the key itself, so the selected set is unique."""
+    the key itself, so the selected set is unique.
+
+    Skew-safe two-level selection (r9 — the first-occurrence window
+    rule applied to top-k): a stratum is a DATA-SIZED key (a corpus
+    with 3 languages puts a third of every scan in one window
+    partition, which AQE cannot split), so the per-stratum rank runs
+    in two stages — rank within (stratum, hash-subbucket) first
+    (64 splits of the hot stratum, each ≤ k survivors), then the
+    final rank over the ≤ 64·k survivors per stratum (bounded by
+    config, not data). Top-k of a union IS the top-k of per-bucket
+    top-ks, so the selected set is IDENTICAL to the single-window
+    formulation (differential-tested)."""
     key_col = F.col(key) if isinstance(key, str) else key
     key_str = key_col.cast("string")
     h = md5_32(F.concat(key_str, F.lit(salt)))
-    w = Window.partitionBy(*[F.col(s) for s in strata]).orderBy(h.asc(), key_str.asc())
+    subs = 64
+    w1 = Window.partitionBy(
+        *[F.col(s) for s in strata], F.pmod(h, F.lit(subs))
+    ).orderBy(h.asc(), key_str.asc())
+    stage1 = df.withColumn("__rank", F.row_number().over(w1)).filter(
+        F.col("__rank") <= k
+    )
+    w2 = Window.partitionBy(*[F.col(s) for s in strata]).orderBy(h.asc(), key_str.asc())
     return (
-        df.withColumn("__rank", F.row_number().over(w))
+        stage1.withColumn("__rank", F.row_number().over(w2))
         .filter(F.col("__rank") <= k)
         .drop("__rank")
     )

@@ -1157,10 +1157,13 @@ def q90_pii_redaction(spark: SparkSession, sf: str) -> DataFrame:
 def q91_dedup_survivors(spark: SparkSession, sf: str) -> DataFrame:
     """Survivor selection over near-dup groups: q87's components joined
     back to the corpus, keep-best = max n_chars (tie → min doc_id) per
-    group — one window over the group stream. Closes the dedup story:
-    pairs (q41) → groups (q87) → one canonical survivor + group size."""
-    from pyspark.sql import Window
-
+    group — ONE partial-aggregated groupBy (argmax = min(struct(
+    -n_chars, doc_id)) — the r9 first-occurrence rule: a dedup GROUP
+    is a recurrence-heavy key by construction, so a row_number window
+    over group_id would funnel a giant boilerplate cluster into one
+    unsplittable task; the aggregate combines it map-side). Closes the
+    dedup story: pairs (q41) → groups (q87) → one canonical survivor +
+    group size."""
     from .operators.graph import connected_components
 
     d = _t(spark, sf, "documents").df
@@ -1169,14 +1172,14 @@ def q91_dedup_survivors(spark: SparkSession, sf: str) -> DataFrame:
         pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
     ).select(F.col("node").alias("doc_id"), F.col("component").alias("group_id"))
     member = cc.join(d.select("doc_id", "n_chars"), "doc_id")
-    w = Window.partitionBy("group_id").orderBy(F.desc("n_chars"), F.asc("doc_id"))
-    ranked = member.withColumn("__rn", F.row_number().over(w))
+    best = F.min(F.struct((-F.col("n_chars")).alias("__negc"), F.col("doc_id")))
     return (
-        ranked.groupBy("group_id")
+        member.groupBy("group_id")
         .agg(
-            F.max(F.when(F.col("__rn") == 1, F.col("doc_id"))).alias("survivor_id"),
+            best.alias("__best"),
             F.count(F.lit(1)).cast("long").alias("n_docs"),
         )
+        .select("group_id", F.col("__best.doc_id").alias("survivor_id"), "n_docs")
     )
 
 

@@ -874,3 +874,24 @@ def test_quality_mixture_sample_tilts_within_budget(spark, sf_dir):
     ke = sum(1 for i in ids1 if i % 2 == 0)
     ko = len(ids1) - ke
     assert ke / ne > ko / no
+
+
+def test_stratified_sample_two_level_equals_single_window(spark, sf_dir):
+    """The r9 skew-safe two-level rank selects EXACTLY the set the
+    single-window formulation selects (top-k of a union = top-k of
+    per-bucket top-ks), for several k including k > bucket survivors."""
+    from pyspark.sql.window import Window
+
+    from pig_spark.functions.dedup import md5_32
+    from pig_spark.operators.sampling import stratified_sample
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "lang")
+    for k in (1, 7, 100):
+        got = sorted(r["doc_id"] for r in stratified_sample(d, ["lang"], k, "doc_id").collect())
+        h = md5_32(F.concat(F.col("doc_id").cast("string"), F.lit("")))
+        w = Window.partitionBy("lang").orderBy(h.asc(), F.col("doc_id").cast("string").asc())
+        want = sorted(
+            r["doc_id"]
+            for r in d.withColumn("__r", F.row_number().over(w)).filter(F.col("__r") <= k).collect()
+        )
+        assert got == want and len(got) > 0
