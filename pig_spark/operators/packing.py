@@ -9,11 +9,22 @@ token sum, and assign bucket = floor((cumsum - tokens) / B) — i.e. a
 document starts a new bucket when the PRIOR total crossed a budget
 boundary. Buckets hold ≥1 document, averages B tokens, and only the
 boundary-straddling document can push a bucket over B — the standard
-trade for a one-window distributed plan.
+trade for a distributed plan.
+
+The running sum itself is the POCounter/PORank two-pass scheme the
+engine's RANK already uses (operators/rank.py) — NOT a window
+partitioned by the shard key: a shard is a DATA-SIZED key (a corpus
+with a handful of sources puts each source's full token stream in ONE
+window partition, which AQE cannot split — the r9 first-occurrence
+rule applied to prefix sums). Instead: range-partition by
+(shard, order), within-partition prefix sums (window keys =
+(shard, partition id), bounded by partition size — a cluster-config
+knob, not data), and cross-partition offsets from a tiny
+per-(shard, partition) totals table. Output is IDENTICAL to the
+single-window formulation (differential-tested).
 
 Strict caps, when required, run per-shard afterwards (each bucket is
-tiny) — not here, where 100 TB of documents flow through ONE window
-over ONE shuffle on the shard key.
+tiny).
 """
 
 from __future__ import annotations
@@ -32,8 +43,41 @@ def pack_by_budget(
 ) -> DataFrame:
     """Assign a 0-based ``bucket`` so consecutive rows (by ``order``,
     within ``shard``) accumulate ~``budget`` tokens per bucket.
-    Deterministic given a unique order column."""
+    Deterministic given a unique order column; with ``order=None`` the
+    ordering is the incoming partition layout (arbitrary but valid —
+    no determinism promise, same as before).
+
+    Two-pass distributed prefix sum (see module docstring): with an
+    explicit ``order`` the input is range-partitioned on
+    (shard, order) so partition ids follow the sort order; the local
+    cumulative window partitions on (shard, __pid) — partition-sized,
+    never shard-sized — and the exclusive cross-partition offset comes
+    from a per-(shard, __pid) totals table (≤ shards × partitions
+    rows, broadcast back)."""
     tok = F.col(tokens) if isinstance(tokens, str) else tokens
-    w = Window.partitionBy(*( [shard] if shard else [] )).orderBy(order or F.monotonically_increasing_id())
-    cum = F.sum(tok).over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
-    return df.withColumn(bucket_col, F.floor((cum - tok) / F.lit(budget)).cast("long"))
+    shard_cols = [shard] if shard else []
+    if order is not None:
+        parts = df.repartitionByRange(*[F.col(c) for c in (*shard_cols, order)])
+        local_order = [F.col(order)]
+    else:
+        parts = df
+        local_order = [F.monotonically_increasing_id()]
+    parts = parts.withColumn("__pid", F.spark_partition_id())
+    w_local = Window.partitionBy(*shard_cols, "__pid").orderBy(*local_order).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    local = parts.withColumn("__cum_local", F.sum(tok).over(w_local))
+    totals = local.groupBy(*shard_cols, "__pid").agg(F.sum(tok).alias("__tot"))
+    # exclusive running offset over the TINY totals table (≤ shards ×
+    # shuffle-partition-count rows — config-bounded, not data-bounded)
+    w_off = Window.partitionBy(*shard_cols).orderBy("__pid").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    offsets = totals.withColumn(
+        "__off", F.coalesce(F.sum("__tot").over(w_off), F.lit(0))
+    ).select(*shard_cols, "__pid", "__off")
+    joined = local.join(F.broadcast(offsets), [*shard_cols, "__pid"])
+    cum = F.col("__off") + F.col("__cum_local")
+    return joined.withColumn(
+        bucket_col, F.floor((cum - tok) / F.lit(budget)).cast("long")
+    ).drop("__pid", "__cum_local", "__off")

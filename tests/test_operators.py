@@ -895,3 +895,33 @@ def test_stratified_sample_two_level_equals_single_window(spark, sf_dir):
             for r in d.withColumn("__r", F.row_number().over(w)).filter(F.col("__r") <= k).collect()
         )
         assert got == want and len(got) > 0
+
+
+def test_pack_by_budget_two_pass_equals_single_window(spark, sf_dir):
+    """The r9 two-pass distributed prefix sum assigns EXACTLY the
+    buckets the shard-partitioned single window assigned (same total
+    order → same cumulative sums → same floors), for sharded and
+    unsharded (global-order) calls."""
+    from pyspark.sql.window import Window
+
+    from pig_spark.functions import text
+    from pig_spark.operators.packing import pack_by_budget
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "source", text.token_count(F.col("text")).alias("toks")
+    )
+    for shard in ("source", None):
+        got = {
+            (r["doc_id"], r["bucket"])
+            for r in pack_by_budget(d, "toks", 2000, shard=shard, order="doc_id").collect()
+        }
+        w = Window.partitionBy(*([shard] if shard else [])).orderBy("doc_id").rowsBetween(
+            Window.unboundedPreceding, Window.currentRow
+        )
+        want = {
+            (r["doc_id"], r["bucket"])
+            for r in d.withColumn("__c", F.sum("toks").over(w))
+            .withColumn("bucket", F.floor((F.col("__c") - F.col("toks")) / F.lit(2000)).cast("long"))
+            .collect()
+        }
+        assert got == want and len(got) > 0
