@@ -37,17 +37,33 @@ def topk_per_group(
     ascending: bool | Sequence[bool] = False,
 ) -> DataFrame:
     """{ sorted = ORDER x BY c; lim = LIMIT sorted k; } and builtin TOP()
-    (builtin/TOP.java:72) → partitioned window row_number ≤ k.
+    (builtin/TOP.java:72) → two-level top-k.
 
-    Fully distributed: one shuffle on group keys; no global sort, no bag.
-    ``ascending`` may be per-column (ORDER ... BY a DESC, b ASC).
+    Fully distributed AND skew-safe (r9 — the window rule): a group
+    key can be data-sized (GROUP BY lang), and a window partition is
+    AQE-unsplittable, so rank within (keys, incoming-partition id)
+    first — each sub-partition is task-sized and yields ≤ k survivors
+    — then rank the ≤ k·partitions survivors per group (bounded by
+    cluster config, not data). Top-k of a union is the top-k of
+    per-bucket top-ks, so for a TOTAL order the selected set is
+    identical to the single-window form (differential-tested); order
+    ties are implementation-chosen in both forms, exactly like Pig's
+    TOP/nested LIMIT. ``ascending`` may be per-column
+    (ORDER ... BY a DESC, b ASC).
     """
     if isinstance(ascending, bool):
         ascending = [ascending] * len(order_by)
     order = [F.col(c).asc() if a else F.col(c).desc() for c, a in zip(order_by, ascending)]
-    w = Window.partitionBy(*group_keys).orderBy(*order)
+    sub = df.withColumn("__sb", F.spark_partition_id())
+    w1 = Window.partitionBy(*group_keys, "__sb").orderBy(*order)
+    stage1 = (
+        sub.withColumn("__rn", F.row_number().over(w1))
+        .filter(F.col("__rn") <= k)
+        .drop("__rn", "__sb")
+    )
+    w2 = Window.partitionBy(*group_keys).orderBy(*order)
     return (
-        df.withColumn("__rn", F.row_number().over(w))
+        stage1.withColumn("__rn", F.row_number().over(w2))
         .filter(F.col("__rn") <= k)
         .drop("__rn")
     )

@@ -3328,13 +3328,15 @@ _ALL.update(PIGMIX_QUERIES)
 # The driver's correctness gate checks the FIRST 50 entries in dict
 # order. Order by verification need, not by name (rebuilt each round;
 # the window arithmetic is EXACT — VERDICT r6 #3):
-#   tier 0 (14): new-in-r9 queries + queries whose lowering changed
+#   tier 0 (20): new-in-r9 queries + queries whose lowering changed
 #     this round and must re-earn a green driver row — q137 (exact-
 #     substring rolling-window dedup, new), q138 (exact-substring
 #     REMOVAL with rebuilt text, new), q139 (in-engine classifier
 #     trainer, new — boolean contract gate), q140 (quality-weighted
 #     temperature sampling, new), q141 (fuzzy decontamination, new),
-#     q91/q85/q86 (the window-skew sweep rewrote their lowering),
+#     q91/q85/q86 + the topk_per_group consumers
+#     q23/q82/q83/q108/q112 (the window-skew sweep rewrote their
+#     lowering),
 #     q129/q136/q132/q76 (the
 #     first-occurrence stage moved from a row_number window to the
 #     skew-safe dedup.first_occurrence aggregate — VERDICT r8 #1;
@@ -3345,18 +3347,24 @@ _ALL.update(PIGMIX_QUERIES)
 #   tier 1 (4): the rest of the r5-evidence tail (VERDICT r8 next #4)
 #     — q72_latin_nested_block, q73_latin_macro, q80_skewed_join,
 #     q81_latin_bigdata_chain (q76 already leads in tier 0);
-#   tier 2 (32 of 44 remaining): the r6-evidence block, alphabetical
-#     (q85/q86/q91 moved to tier 0); the twelve alphabetically-last
-#     entries stay at r6 evidence and LEAD tier 2 next round (printed
-#     by the validation snippet below; q82…q97 alphabetical tail);
+#   tier 2 (26 of 41 remaining): the r6-evidence block, alphabetical
+#     (q79/q82/q83/q85/q86/q91/q112 moved to tier 0); the fourteen
+#     alphabetically-last entries stay at r6 evidence and LEAD tier 2
+#     next round (q67/q75/q77/q78/q84/q87/q89/q90/q92–q97);
 #   tier 3: everything r7/r8-verified.
-# 14 + 4 + 32 = 50.
+# 20 + 4 + 26 = 50.
 _NEW_OR_CHANGED_R9 = {
     "q140_quality_mixture",               # new: quality-weighted sampling
     "q141_fuzzy_decontamination",         # new: cross-corpus minhash leak check
     "q91_dedup_survivors",                # changed: window -> min(struct) agg
     "q85_stratified_sample",              # changed: two-level skew-safe rank
     "q86_token_packing",                  # changed: two-pass prefix sum
+    "q23_nested_topk",                    # changed: two-level topk lowering
+    "q82_latin_two_limit_pipes",          # changed: two-level topk lowering
+    "q83_latin_distinct_limit",           # changed: two-level topk lowering
+    "q108_latin_unordered_limit",         # changed: two-level topk lowering
+    "q112_latin_bag_pipe",                # changed: two-level topk lowering
+    "q79_latin_nested_limit",             # changed: two-level topk lowering
     "q137_exact_substring_dedup",         # new: ExactSubstr-style dedup
     "q138_exact_substring_removal",       # new: ExactSubstr removal + rebuild
     "q139_classifier_training",           # new: in-engine trainer contract

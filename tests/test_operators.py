@@ -925,3 +925,22 @@ def test_pack_by_budget_two_pass_equals_single_window(spark, sf_dir):
             .collect()
         }
         assert got == want and len(got) > 0
+
+
+def test_topk_per_group_two_level_equals_single_window(spark, sf_dir):
+    """r9 two-level top-k = the single-window top-k for a total order,
+    across ks straddling the per-bucket survivor count."""
+    from pyspark.sql.window import Window
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "lang", "n_chars")
+    for k in (1, 5, 50):
+        got = sorted(
+            (r["lang"], r["doc_id"])
+            for r in topk_per_group(d, ["lang"], ["n_chars", "doc_id"], k, ascending=[False, True]).collect()
+        )
+        w = Window.partitionBy("lang").orderBy(F.col("n_chars").desc(), F.col("doc_id").asc())
+        want = sorted(
+            (r["lang"], r["doc_id"])
+            for r in d.withColumn("__r", F.row_number().over(w)).filter(F.col("__r") <= k).collect()
+        )
+        assert got == want and len(got) > 0
