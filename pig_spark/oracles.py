@@ -180,6 +180,43 @@ def _q137_w() -> int:
     return _SUBSTR_W
 
 
+def _bigram_lm_ctes() -> str:
+    """The bigram-LM scoring CTE chain shared by q130 (scores+keep)
+    and q142 (tercile partition) — mirrors queries.q130 exactly:
+    top-4096 unigram table, top-8192 bigram-conditional table,
+    interpolated 0.7/0.3 backoff, 1e-9 OOV floor."""
+    return """
+            toks AS (SELECT doc_id,
+                                 list_filter(string_split_regex(lower(trim(text)), '\\s+'),
+                                             x -> x <> '') AS tk
+                          FROM documents),
+                 flat AS (SELECT u.t FROM toks, unnest(toks.tk) AS u(t)),
+                 cnt AS (SELECT t, COUNT(*) AS c FROM flat GROUP BY t),
+                 tot AS (SELECT SUM(c) AS n FROM cnt),
+                 uvocab AS (SELECT t, ln(c / tot.n) AS lp FROM cnt, tot
+                            ORDER BY c DESC, t ASC LIMIT 4096),
+                 gd AS (SELECT doc_id, len(tk) AS n_tokens,
+                               CASE WHEN len(tk) >= 2
+                                    THEN list_transform(generate_series(1, len(tk) - 1),
+                                         i -> struct_pack(g := tk[i] || ' ' || tk[i+1],
+                                                          w2 := tk[i+1]))
+                                    ELSE CAST([] AS STRUCT(g VARCHAR, w2 VARCHAR)[]) END AS gs
+                        FROM toks),
+                 pairs AS (SELECT doc_id, u.s.g AS g, u.s.w2 AS w2
+                           FROM gd, unnest(gd.gs) AS u(s)),
+                 bcnt AS (SELECT g, COUNT(*) AS c2 FROM pairs GROUP BY g),
+                 btop AS (SELECT g, c2, string_split(g, ' ')[1] AS w1 FROM bcnt
+                          ORDER BY c2 DESC, g ASC LIMIT 8192),
+                 bvocab AS (SELECT b.g, ln(b.c2 / c.c) AS lp
+                            FROM btop b JOIN cnt c ON c.t = b.w1),
+                 ps AS (SELECT p.doc_id,
+                               ln(0.7 * COALESCE(exp(bv.lp), 0.0)
+                                  + 0.3 * COALESCE(exp(uv.lp), 0.000000001)) AS lp
+                        FROM pairs p LEFT JOIN bvocab bv ON p.g = bv.g
+                                     LEFT JOIN uvocab uv ON p.w2 = uv.t),
+                 agg AS (SELECT doc_id, AVG(lp) AS al FROM ps GROUP BY doc_id)"""
+
+
 def oracle_sql() -> dict[str, str]:
     rows = dedup.MINHASH_K // dedup.MINHASH_BANDS
     lang_scores, lang_case = _lang_case()
@@ -955,41 +992,28 @@ def oracle_sql() -> dict[str, str]:
                    COUNT(*) AS n_kept,
                    string_agg(para, ' | ' ORDER BY pos) AS clean_text
             FROM kept WHERE rn = 1 GROUP BY doc_id""",
-        "q130_bigram_lm_perplexity": """
-            WITH toks AS (SELECT doc_id,
-                                 list_filter(string_split_regex(lower(trim(text)), '\\s+'),
-                                             x -> x <> '') AS tk
-                          FROM documents),
-                 flat AS (SELECT u.t FROM toks, unnest(toks.tk) AS u(t)),
-                 cnt AS (SELECT t, COUNT(*) AS c FROM flat GROUP BY t),
-                 tot AS (SELECT SUM(c) AS n FROM cnt),
-                 uvocab AS (SELECT t, ln(c / tot.n) AS lp FROM cnt, tot
-                            ORDER BY c DESC, t ASC LIMIT 4096),
-                 gd AS (SELECT doc_id, len(tk) AS n_tokens,
-                               CASE WHEN len(tk) >= 2
-                                    THEN list_transform(generate_series(1, len(tk) - 1),
-                                         i -> struct_pack(g := tk[i] || ' ' || tk[i+1],
-                                                          w2 := tk[i+1]))
-                                    ELSE CAST([] AS STRUCT(g VARCHAR, w2 VARCHAR)[]) END AS gs
-                        FROM toks),
-                 pairs AS (SELECT doc_id, u.s.g AS g, u.s.w2 AS w2
-                           FROM gd, unnest(gd.gs) AS u(s)),
-                 bcnt AS (SELECT g, COUNT(*) AS c2 FROM pairs GROUP BY g),
-                 btop AS (SELECT g, c2, string_split(g, ' ')[1] AS w1 FROM bcnt
-                          ORDER BY c2 DESC, g ASC LIMIT 8192),
-                 bvocab AS (SELECT b.g, ln(b.c2 / c.c) AS lp
-                            FROM btop b JOIN cnt c ON c.t = b.w1),
-                 ps AS (SELECT p.doc_id,
-                               ln(0.7 * COALESCE(exp(bv.lp), 0.0)
-                                  + 0.3 * COALESCE(exp(uv.lp), 0.000000001)) AS lp
-                        FROM pairs p LEFT JOIN bvocab bv ON p.g = bv.g
-                                     LEFT JOIN uvocab uv ON p.w2 = uv.t),
-                 agg AS (SELECT doc_id, AVG(lp) AS al FROM ps GROUP BY doc_id)
+        "q130_bigram_lm_perplexity": "WITH " + _bigram_lm_ctes() + """
             SELECT g.doc_id, CAST(g.n_tokens AS BIGINT) AS n_tokens,
                    CAST(len(g.gs) AS BIGINT) AS n_bigrams,
                    round(a.al, 6) AS avg_logp,
                    a.al > -3.5 AS keep
             FROM gd g LEFT JOIN agg a ON g.doc_id = a.doc_id""",
+        "q142_perplexity_partition": "WITH " + _bigram_lm_ctes() + """,
+                 base AS (SELECT g.doc_id,
+                                 CAST(g.n_tokens AS BIGINT) AS n_tokens,
+                                 round(a.al, 6) AS avg_logp
+                          FROM gd g JOIN agg a ON g.doc_id = a.doc_id
+                          WHERE len(g.gs) > 0),
+                 r AS (SELECT doc_id, n_tokens, avg_logp,
+                              ROW_NUMBER() OVER (ORDER BY avg_logp DESC,
+                                                          doc_id ASC) AS rk,
+                              COUNT(*) OVER () AS n
+                       FROM base)
+            SELECT doc_id, n_tokens, avg_logp,
+                   CASE WHEN rk * 3 <= n THEN 'head'
+                        WHEN rk * 3 <= 2 * n THEN 'middle'
+                        ELSE 'tail' END AS bucket
+            FROM r""",
         "q132_paragraph_near_dup": f"""
             WITH RECURSIVE
                  toks AS (SELECT doc_id,

@@ -3316,6 +3316,58 @@ def q141_fuzzy_decontamination(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q142_perplexity_partition(spark: SparkSession, sf: str) -> DataFrame:
+    """CCNet-style perplexity PARTITION — the stage CCNet actually
+    ships downstream of the LM filter: rank every scored document by
+    its LM score and split the corpus into exact head/middle/tail
+    terciles (head = best third), so each quality band can get its
+    own sampling rate. Built directly on q130's bigram-LM scoring
+    (same tables, same interpolated backoff); documents with no
+    bigram (n_tokens < 2) carry no score and are excluded, as in
+    CCNet. Bucket boundaries are EXACT rank terciles (rk*3 <= n /
+    <= 2n), not approximate quantiles, with ties broken by the
+    6-decimal rounded score then doc_id — fully deterministic across
+    engines. Reference pattern: the engine's ORDER/RANK machinery
+    (operators/rank.py, PORank.java:47) over the q130 LM.
+
+    100 TB design: q130's two token-sized shuffles build the LM;
+    per-doc scores are then localCheckpointed ONCE (doc-count rows ×
+    ~40 bytes — the fan-out idiom, the table has two consumers:
+    rank + total count) and ranked with the POCounter/PORank
+    two-pass scheme (`operators/rank.rank`): key-domain aggregate,
+    range-partitioned per-partition windows, tiny offsets table —
+    NO global-order window (a bare `row_number over (order by
+    score)` is a single unsplittable partition, the r8/r9 skew
+    rule). The tercile split itself is a 1-row count broadcast +
+    map-only CASE."""
+    from pyspark.sql import functions as F
+
+    from .operators.rank import rank as _rank
+
+    scored = (
+        q130_bigram_lm_perplexity(spark, sf)
+        .where(F.col("n_bigrams") > 0)
+        .select("doc_id", "n_tokens", "avg_logp")
+        .localCheckpoint()
+    )
+    ranked = _rank(
+        scored,
+        by=[F.col("avg_logp"), F.col("doc_id")],
+        ascending=[False, True],
+        name="rk",
+    )
+    n = scored.agg(F.count(F.lit(1)).alias("__n"))
+    return ranked.crossJoin(F.broadcast(n)).select(
+        "doc_id",
+        "n_tokens",
+        "avg_logp",
+        F.when(F.col("rk") * 3 <= F.col("__n"), F.lit("head"))
+        .when(F.col("rk") * 3 <= 2 * F.col("__n"), F.lit("middle"))
+        .otherwise(F.lit("tail"))
+        .alias("bucket"),
+    )
+
+
 from .pigmix import PIGMIX_QUERIES  # noqa: E402  (avoids circular import)
 
 _ALL: dict[str, Callable[[SparkSession, str], DataFrame]] = {
@@ -3328,8 +3380,9 @@ _ALL.update(PIGMIX_QUERIES)
 # The driver's correctness gate checks the FIRST 50 entries in dict
 # order. Order by verification need, not by name (rebuilt each round;
 # the window arithmetic is EXACT — VERDICT r6 #3):
-#   tier 0 (20): new-in-r9 queries + queries whose lowering changed
-#     this round and must re-earn a green driver row — q137 (exact-
+#   tier 0 (21): new-in-r9 queries + queries whose lowering changed
+#     this round and must re-earn a green driver row — q142 (CCNet
+#     perplexity tercile partition, new), q137 (exact-
 #     substring rolling-window dedup, new), q138 (exact-substring
 #     REMOVAL with rebuilt text, new), q139 (in-engine classifier
 #     trainer, new — boolean contract gate), q140 (quality-weighted
@@ -3347,12 +3400,13 @@ _ALL.update(PIGMIX_QUERIES)
 #   tier 1 (4): the rest of the r5-evidence tail (VERDICT r8 next #4)
 #     — q72_latin_nested_block, q73_latin_macro, q80_skewed_join,
 #     q81_latin_bigdata_chain (q76 already leads in tier 0);
-#   tier 2 (26 of 41 remaining): the r6-evidence block, alphabetical
-#     (q79/q82/q83/q85/q86/q91/q112 moved to tier 0); the fourteen
+#   tier 2 (25 of 41 remaining): the r6-evidence block, alphabetical
+#     (q79/q82/q83/q85/q86/q91/q112 moved to tier 0); the fifteen
 #     alphabetically-last entries stay at r6 evidence and LEAD tier 2
-#     next round (q67/q75/q77/q78/q84/q87/q89/q90/q92–q97);
+#     next round (q67/q75/q77/q78/q84/q87/q89/q90/q92–q97 + the one
+#     displaced by q142);
 #   tier 3: everything r7/r8-verified.
-# 20 + 4 + 26 = 50.
+# 21 + 4 + 25 = 50.
 _NEW_OR_CHANGED_R9 = {
     "q140_quality_mixture",               # new: quality-weighted sampling
     "q141_fuzzy_decontamination",         # new: cross-corpus minhash leak check
@@ -3365,6 +3419,7 @@ _NEW_OR_CHANGED_R9 = {
     "q108_latin_unordered_limit",         # changed: two-level topk lowering
     "q112_latin_bag_pipe",                # changed: two-level topk lowering
     "q79_latin_nested_limit",             # changed: two-level topk lowering
+    "q142_perplexity_partition",          # new: CCNet tercile partition
     "q137_exact_substring_dedup",         # new: ExactSubstr-style dedup
     "q138_exact_substring_removal",       # new: ExactSubstr removal + rebuild
     "q139_classifier_training",           # new: in-engine trainer contract

@@ -134,6 +134,10 @@ _CARTESIAN_OK = {
     # r9 — a 4096-double literal cost a flat ~3 s janino compile);
     # dedicated pin: test_broadcast_weight_classifier_plan_map_only
     "q128_classifier_broadcast_weights",
+    # q130's LM crosses + the 1-row doc-count scalar for the tercile
+    # split, all explicit F.broadcast (prints lowercase, same as
+    # q78/q37; dedicated pin: test_perplexity_partition_plan)
+    "q142_perplexity_partition",
 }
 
 
@@ -517,3 +521,22 @@ def test_exact_substring_removal_plan(spark, sf_dir):
     assert "CartesianProduct" not in phys and "BroadcastNestedLoopJoin" not in phys, phys
     assert "LeftAnti" in phys, phys
     assert "array_contains" not in phys.lower(), phys
+
+
+def test_perplexity_partition_plan(spark, sf_dir):
+    """q142 (CCNet tercile partition): the corpus-sized scored table
+    must never pass through an unpartitioned Window — the tercile
+    rank comes from the POCounter/PORank two-pass scheme (key-domain
+    aggregate + range partition + bounded offset windows), and the
+    total-count tercile split is a 1-row broadcast, not a
+    count() window over all rows."""
+    from pig_spark.queries import q142_perplexity_partition
+
+    df = q142_perplexity_partition(spark, sf_dir)
+    opt = df._jdf.queryExecution().optimizedPlan().toString()
+    assert not unpartitioned_windows(opt), unpartitioned_windows(opt)
+    phys = df._jdf.queryExecution().executedPlan().toString()
+    assert "PythonUDF" not in phys and "EvalPython" not in phys, phys
+    assert "CartesianProduct" not in phys, phys
+    # the LM's score ordering never becomes a raw-relation window sort
+    assert "windowspecdefinition(avg_logp" not in opt, opt
