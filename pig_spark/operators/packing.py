@@ -81,3 +81,37 @@ def pack_by_budget(
     return joined.withColumn(
         bucket_col, F.floor((cum - tok) / F.lit(budget)).cast("long")
     ).drop("__pid", "__cum_local", "__off")
+
+
+def shard_assign(
+    df: DataFrame,
+    key: str | Column,
+    n_shards: int,
+    salt: str = "",
+    key_name: str = "shard_key",
+    shard_name: str = "shard",
+) -> DataFrame:
+    """Deterministic training-shard assignment (the export stage's
+    global shuffle): ``key_name`` = md5-60 of the row key + a version
+    salt — a pseudo-random but fully reproducible position — and
+    ``shard_name`` = that key mod ``n_shards``. No RNG, no
+    order-dependence: a retried task, a different cluster, or a
+    different engine produces the same shard for every row; bumping
+    ``salt`` re-deals the whole corpus (the sampling.py re-draw
+    idiom).
+
+    Map-only. The scale write path is
+    ``repartition(n, shard).sortWithinPartitions(shard, key)`` + a
+    partitioned store — one shuffle sized by the corpus, in-shard
+    order established during the shuffle sort, never a global
+    orderBy (`test_training_shard_store_order` drives it end-to-end
+    and checks per-file order)."""
+    from ..functions.dedup import md5_60
+
+    if n_shards <= 0:
+        raise ValueError(f"n_shards must be positive, got {n_shards}")
+    key_col = F.col(key) if isinstance(key, str) else key
+    k = md5_60(F.concat(key_col.cast("string"), F.lit(salt)))
+    return df.withColumn(key_name, k).withColumn(
+        shard_name, (F.col(key_name) % n_shards).cast("long")
+    )

@@ -1014,6 +1014,21 @@ def oracle_sql() -> dict[str, str]:
                         WHEN rk * 3 <= 2 * n THEN 'middle'
                         ELSE 'tail' END AS bucket
             FROM r""",
+        "q143_training_shards": f"""
+            WITH staged AS (
+                SELECT doc_id,
+                       CAST(n_chars AS BIGINT) AS n_chars,
+                       CAST(len({_toks('text')}) AS BIGINT) AS n_tokens,
+                       CAST(('0x' || substr(md5(doc_id || ':shard:v1'), 1, 15))
+                            AS BIGINT) AS k
+                FROM documents)
+            SELECT k % 16 AS shard,
+                   CAST(COUNT(*) AS BIGINT) AS n_docs,
+                   CAST(SUM(n_tokens) AS BIGINT) AS sum_tokens,
+                   CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+                   MIN(k) AS min_key, MAX(k) AS max_key,
+                   CAST(SUM(doc_id) AS BIGINT) AS id_checksum
+            FROM staged GROUP BY k % 16""",
         "q132_paragraph_near_dup": f"""
             WITH RECURSIVE
                  toks AS (SELECT doc_id,

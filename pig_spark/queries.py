@@ -3368,6 +3368,52 @@ def q142_perplexity_partition(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q143_training_shards(spark: SparkSession, sf: str) -> DataFrame:
+    """Deterministic global shuffle + shard manifest — the export
+    stage between curation and training: every document gets a
+    pseudo-random but REPRODUCIBLE position (md5-60 of doc_id +
+    version salt), shards are the key mod 16, and the output is the
+    per-shard manifest a trainer consumes (doc/token/char counts,
+    key range, id checksum). Re-running the export — on a retried
+    task, a different cluster, or a different engine — yields the
+    same shard for every document; there is no RNG and no
+    order-dependence anywhere. Reference pattern: the engine's
+    SPLIT/MultiStorage partitioned-store machinery; salt-versioned
+    like operators/sampling.py's re-draws.
+
+    100 TB design: ONE aggregate on a 16-value key — deliberately
+    hot keys are safe HERE because partial aggregation combines
+    map-side to ≤16 rows per task (the aggregate-not-window rule;
+    contrast q129's fix). The real shard WRITE at scale is
+    `repartition(N, shard).sortWithinPartitions(key)` + partitioned
+    store — one shuffle sized by N, in-shard order established
+    during the shuffle sort, never a global orderBy; that path is
+    exercised by the store test (`test_training_shard_store_order`)."""
+    from pyspark.sql import functions as F
+
+    from .functions.text import tokenize_ws
+    from .operators.packing import shard_assign
+
+    d = spark.read.parquet(f"{sf}/documents.parquet").select(
+        "doc_id", "n_chars", "text"
+    )
+    staged = shard_assign(d, "doc_id", 16, salt=":shard:v1", key_name="k").select(
+        "doc_id",
+        F.col("n_chars").cast("long").alias("n_chars"),
+        F.size(tokenize_ws(F.col("text"))).cast("long").alias("n_tokens"),
+        "k",
+        "shard",
+    )
+    return staged.groupBy("shard").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").alias("sum_tokens"),
+        F.sum("n_chars").alias("sum_chars"),
+        F.min("k").alias("min_key"),
+        F.max("k").alias("max_key"),
+        F.sum("doc_id").alias("id_checksum"),
+    )
+
+
 from .pigmix import PIGMIX_QUERIES  # noqa: E402  (avoids circular import)
 
 _ALL: dict[str, Callable[[SparkSession, str], DataFrame]] = {
@@ -3380,9 +3426,10 @@ _ALL.update(PIGMIX_QUERIES)
 # The driver's correctness gate checks the FIRST 50 entries in dict
 # order. Order by verification need, not by name (rebuilt each round;
 # the window arithmetic is EXACT — VERDICT r6 #3):
-#   tier 0 (21): new-in-r9 queries + queries whose lowering changed
+#   tier 0 (22): new-in-r9 queries + queries whose lowering changed
 #     this round and must re-earn a green driver row — q142 (CCNet
-#     perplexity tercile partition, new), q137 (exact-
+#     perplexity tercile partition, new), q143 (deterministic
+#     training-shard export, new), q137 (exact-
 #     substring rolling-window dedup, new), q138 (exact-substring
 #     REMOVAL with rebuilt text, new), q139 (in-engine classifier
 #     trainer, new — boolean contract gate), q140 (quality-weighted
@@ -3400,13 +3447,13 @@ _ALL.update(PIGMIX_QUERIES)
 #   tier 1 (4): the rest of the r5-evidence tail (VERDICT r8 next #4)
 #     — q72_latin_nested_block, q73_latin_macro, q80_skewed_join,
 #     q81_latin_bigdata_chain (q76 already leads in tier 0);
-#   tier 2 (25 of 41 remaining): the r6-evidence block, alphabetical
-#     (q79/q82/q83/q85/q86/q91/q112 moved to tier 0); the fifteen
+#   tier 2 (24 of 41 remaining): the r6-evidence block, alphabetical
+#     (q79/q82/q83/q85/q86/q91/q112 moved to tier 0); the sixteen
 #     alphabetically-last entries stay at r6 evidence and LEAD tier 2
-#     next round (q67/q75/q77/q78/q84/q87/q89/q90/q92–q97 + the one
-#     displaced by q142);
+#     next round (q67/q75/q77/q78/q84/q87/q89/q90/q92–q97 + the two
+#     displaced by q142/q143);
 #   tier 3: everything r7/r8-verified.
-# 21 + 4 + 25 = 50.
+# 22 + 4 + 24 = 50.
 _NEW_OR_CHANGED_R9 = {
     "q140_quality_mixture",               # new: quality-weighted sampling
     "q141_fuzzy_decontamination",         # new: cross-corpus minhash leak check
@@ -3420,6 +3467,7 @@ _NEW_OR_CHANGED_R9 = {
     "q112_latin_bag_pipe",                # changed: two-level topk lowering
     "q79_latin_nested_limit",             # changed: two-level topk lowering
     "q142_perplexity_partition",          # new: CCNet tercile partition
+    "q143_training_shards",               # new: deterministic shard export
     "q137_exact_substring_dedup",         # new: ExactSubstr-style dedup
     "q138_exact_substring_removal",       # new: ExactSubstr removal + rebuild
     "q139_classifier_training",           # new: in-engine trainer contract

@@ -944,3 +944,47 @@ def test_topk_per_group_two_level_equals_single_window(spark, sf_dir):
             for r in d.withColumn("__r", F.row_number().over(w)).filter(F.col("__r") <= k).collect()
         )
         assert got == want and len(got) > 0
+
+
+def test_training_shard_store_order(spark, sf_dir, tmp_path):
+    """q143's write path: shard_assign + repartition-by-shard +
+    sortWithinPartitions + partitioned store. Every output file must
+    be key-sorted, every row's shard must match key % N, and all N
+    shard directories must exist — in-shard order comes from the
+    shuffle sort, never a global orderBy."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    from pig_spark.operators.packing import shard_assign
+
+    N = 8
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id")
+    s = shard_assign(d, "doc_id", N, salt=":shard:v1")
+    out = str(tmp_path / "shards")
+    (
+        s.repartition(N, "shard")
+        .sortWithinPartitions("shard", "shard_key")
+        .write.partitionBy("shard")
+        .parquet(out)
+    )
+    seen = set()
+    for p in glob.glob(out + "/shard=*/*.parquet"):
+        cols = pq.read_table(p).to_pydict()
+        keys = cols["shard_key"]
+        assert keys == sorted(keys), p
+        shard = int(p.split("shard=")[1].split("/")[0])
+        seen.add(shard)
+        assert all(k % N == shard for k in keys), p
+    assert seen == set(range(N))
+    # determinism: a re-assignment is row-for-row identical
+    again = shard_assign(d, "doc_id", N, salt=":shard:v1")
+    assert s.exceptAll(again).count() == 0 and again.exceptAll(s).count() == 0
+    # a salt bump re-deals: at least one doc moves shard
+    moved = (
+        s.alias("a")
+        .join(shard_assign(d, "doc_id", N, salt=":shard:v2").alias("b"), "doc_id")
+        .filter("a.shard <> b.shard")
+        .count()
+    )
+    assert moved > 0
