@@ -125,3 +125,106 @@ def train_hashed_classifier(
         return w, history
     finally:
         feats.unpersist()
+
+
+def stage_word_types(df: DataFrame, text_col: str) -> DataFrame:
+    """(word, cnt, syms): the classic BPE training input — DISTINCT
+    lowercased whitespace words with occurrence counts, each word
+    split into its initial character symbols. ONE token-sized shuffle
+    (the word-count groupBy); everything after it is vocabulary-sized.
+    The returned table should be localCheckpointed by the caller
+    before the merge loop (each iteration rewrites ``syms``)."""
+    toks = tokenize_ws(F.lower(F.col(text_col)))
+    words = df.select(F.explode(toks).alias("w"))
+    return (
+        words.groupBy("w")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .select("w", "cnt", F.split("w", "").alias("syms"))
+    )
+
+
+def _merge_pair(syms, a: str, b: str):
+    """Apply one BPE merge to a symbol array in-row: greedy
+    left-to-right replacement of adjacent (a, b) with a+b — the
+    reference BPE semantics ('aaa' + merge (a,a) -> [aa, a]). A pure
+    codegen fold: accumulator = struct(out array, prev symbol);
+    emitting is deferred one element so the pair test sees (prev,
+    cur)."""
+    zero = F.struct(
+        F.array().cast("array<string>").alias("out"),
+        F.lit(None).cast("string").alias("prev"),
+    )
+    step = lambda acc, s: F.when(  # noqa: E731
+        (acc["prev"] == F.lit(a)) & (s == F.lit(b)),
+        F.struct(
+            F.concat(acc["out"], F.array(F.lit(a + b))).alias("out"),
+            F.lit(None).cast("string").alias("prev"),
+        ),
+    ).otherwise(
+        F.struct(
+            F.when(acc["prev"].isNull(), acc["out"])
+            .otherwise(F.concat(acc["out"], F.array(acc["prev"])))
+            .alias("out"),
+            s.alias("prev"),
+        )
+    )
+    finish = lambda acc: F.when(  # noqa: E731
+        acc["prev"].isNull(), acc["out"]
+    ).otherwise(F.concat(acc["out"], F.array(acc["prev"])))
+    return F.aggregate(syms, zero, step, finish)
+
+
+def train_bpe(types: DataFrame, merges: int) -> tuple[list[dict], DataFrame]:
+    """Learn ``merges`` BPE merge rules over a staged word-type table
+    (:func:`stage_word_types` output) — the tokenizer-training half of
+    the in-engine model lifecycle (q139 trains the classifier; this
+    trains the vocabulary). Returns ``(merge_table, final_types)``;
+    the merge table rows are ``{step, a, b, cnt}`` in learned order.
+
+    Distributed shape per iteration (100 TB design):
+
+    - pair counting: one explode of adjacent symbol pairs weighted by
+      the word-type count + a partial-aggregated groupBy — the input
+      is the word-TYPE table (vocabulary-sized: the corpus-sized
+      token stream was already collapsed by stage_word_types' single
+      shuffle), so every iteration's shuffle is statistics-sized;
+    - argmax: distributed TakeOrdered LIMIT 1 + a 1-row collect (the
+      scalar-projection exception class) with the deterministic
+      (cnt DESC, a ASC, b ASC) tie-break;
+    - merge application: pure in-row codegen fold (:func:`_merge_pair`
+      — no Python, no shuffle), then localCheckpoint to cut the
+      lineage so iteration k never replays iterations 1..k-1.
+
+    The selected counts are provably non-increasing (merging can only
+    remove occurrences of existing pairs, and every NEW pair involves
+    the just-created symbol, whose count is bounded by the merged
+    pair's), and no pair is ever selected twice — q144 gates both
+    invariants; the exact step-1 argmax is SQL-checkable from raw
+    text and gated against the DuckDB oracle."""
+    out: list[dict] = []
+    cur = types.localCheckpoint()
+    for step_no in range(1, merges + 1):
+        n_p = F.greatest(F.size("syms") - 1, F.lit(0))
+        pairs = cur.select(
+            F.explode(
+                F.zip_with(
+                    F.slice(F.col("syms"), 1, n_p),
+                    F.slice(F.col("syms"), 2, n_p),
+                    lambda x, y: F.struct(x.alias("a"), y.alias("b")),
+                )
+            ).alias("p"),
+            "cnt",
+        )
+        top = (
+            pairs.groupBy(F.col("p.a").alias("a"), F.col("p.b").alias("b"))
+            .agg(F.sum("cnt").alias("c"))
+            .orderBy(F.desc("c"), F.asc("a"), F.asc("b"))
+            .limit(1)
+            .collect()
+        )
+        if not top:
+            break
+        a, b, c = top[0]["a"], top[0]["b"], int(top[0]["c"])
+        out.append({"step": step_no, "a": a, "b": b, "cnt": c})
+        cur = cur.withColumn("syms", _merge_pair(F.col("syms"), a, b)).localCheckpoint()
+    return out, cur

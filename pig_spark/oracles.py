@@ -1014,6 +1014,25 @@ def oracle_sql() -> dict[str, str]:
                         WHEN rk * 3 <= 2 * n THEN 'middle'
                         ELSE 'tail' END AS bucket
             FROM r""",
+        "q144_bpe_train": f"""
+            WITH toks AS (SELECT {_toks('lower(text)')} AS tk FROM documents),
+                 words AS (SELECT u.t AS w FROM toks, unnest(toks.tk) AS u(t)),
+                 wt AS (SELECT w, COUNT(*) AS c FROM words GROUP BY w),
+                 idx AS (SELECT w, c,
+                                unnest(generate_series(1, length(w) - 1)) AS i
+                         FROM wt WHERE length(w) >= 2),
+                 p AS (SELECT substr(w, i, 1) AS a, substr(w, i + 1, 1) AS b, c
+                       FROM idx),
+                 pc AS (SELECT a, b, SUM(c) AS cnt FROM p GROUP BY a, b),
+                 s1 AS (SELECT a || ' ' || b AS pair, cnt FROM pc
+                        ORDER BY cnt DESC, a ASC, b ASC LIMIT 1)
+            SELECT CAST(1 AS BIGINT) AS step, pair,
+                   CAST(cnt AS BIGINT) AS cnt, true AS ok
+            FROM s1
+            UNION ALL
+            SELECT CAST(s AS BIGINT), CAST(NULL AS VARCHAR),
+                   CAST(NULL AS BIGINT), true
+            FROM (VALUES (2), (3), (4), (5), (6), (99)) t(s)""",
         "q143_training_shards": f"""
             WITH staged AS (
                 SELECT doc_id,

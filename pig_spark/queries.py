@@ -3414,6 +3414,52 @@ def q143_training_shards(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q144_bpe_train(spark: SparkSession, sf: str) -> DataFrame:
+    """In-engine BPE tokenizer training (Sennrich et al. 2016) — the
+    OTHER model the pipeline trains besides q139's classifier: learn
+    6 merge rules over the corpus's word types and gate the learned
+    sequence. Classic BPE structure: the corpus-sized token stream
+    collapses to the word-TYPE table in ONE shuffle
+    (ml.stage_word_types), then every iteration counts adjacent
+    symbol pairs weighted by type count (vocabulary-sized shuffle,
+    partial-aggregated), takes the (cnt DESC, a, b) argmax via
+    distributed TakeOrdered + a 1-row collect, and applies the merge
+    as a pure in-row codegen fold (ml._merge_pair, greedy
+    left-to-right — reference semantics, unit-tested against a
+    Python BPE).
+
+    Gate = the q139/q78 deterministic-contract pattern: step 1's
+    argmax pair + count are recomputed exactly by the oracle from
+    raw text (pair counting IS SQL-expressible; merge REPLAY is
+    not); steps 2..6 gate the provable invariants instead — counts
+    non-increasing (a merge only removes occurrences of old pairs,
+    and each new pair's count is bounded by the just-merged pair's),
+    every count positive, no pair selected twice (all occurrences of
+    a merged pair vanish at its step, and old symbols never become
+    newly adjacent). Unit test replays the full 6-merge table
+    bit-for-bit against a reference implementation."""
+    from .functions.ml import stage_word_types, train_bpe
+
+    d = spark.read.parquet(f"{sf}/documents.parquet").select("text")
+    merges, _ = train_bpe(stage_word_types(d, "text"), merges=6)
+    rows: list[tuple] = []
+    seen: set[tuple[str, str]] = set()
+    prev_cnt: int | None = None
+    for m in merges:
+        dup = (m["a"], m["b"]) in seen
+        seen.add((m["a"], m["b"]))
+        ok = m["cnt"] > 0 and not dup and (prev_cnt is None or m["cnt"] <= prev_cnt)
+        prev_cnt = m["cnt"]
+        if m["step"] == 1:
+            rows.append((1, f"{m['a']} {m['b']}", m["cnt"], bool(ok)))
+        else:
+            rows.append((m["step"], None, None, bool(ok)))
+    rows.append((99, None, None, len(merges) == 6))
+    return spark.createDataFrame(
+        rows, "step bigint, pair string, cnt bigint, ok boolean"
+    )
+
+
 from .pigmix import PIGMIX_QUERIES  # noqa: E402  (avoids circular import)
 
 _ALL: dict[str, Callable[[SparkSession, str], DataFrame]] = {
@@ -3426,10 +3472,11 @@ _ALL.update(PIGMIX_QUERIES)
 # The driver's correctness gate checks the FIRST 50 entries in dict
 # order. Order by verification need, not by name (rebuilt each round;
 # the window arithmetic is EXACT — VERDICT r6 #3):
-#   tier 0 (22): new-in-r9 queries + queries whose lowering changed
+#   tier 0 (23): new-in-r9 queries + queries whose lowering changed
 #     this round and must re-earn a green driver row — q142 (CCNet
 #     perplexity tercile partition, new), q143 (deterministic
-#     training-shard export, new), q137 (exact-
+#     training-shard export, new), q144 (in-engine BPE tokenizer
+#     trainer, new — contract gate), q137 (exact-
 #     substring rolling-window dedup, new), q138 (exact-substring
 #     REMOVAL with rebuilt text, new), q139 (in-engine classifier
 #     trainer, new — boolean contract gate), q140 (quality-weighted
@@ -3447,13 +3494,13 @@ _ALL.update(PIGMIX_QUERIES)
 #   tier 1 (4): the rest of the r5-evidence tail (VERDICT r8 next #4)
 #     — q72_latin_nested_block, q73_latin_macro, q80_skewed_join,
 #     q81_latin_bigdata_chain (q76 already leads in tier 0);
-#   tier 2 (24 of 41 remaining): the r6-evidence block, alphabetical
-#     (q79/q82/q83/q85/q86/q91/q112 moved to tier 0); the sixteen
+#   tier 2 (23 of 41 remaining): the r6-evidence block, alphabetical
+#     (q79/q82/q83/q85/q86/q91/q112 moved to tier 0); the seventeen
 #     alphabetically-last entries stay at r6 evidence and LEAD tier 2
-#     next round (q67/q75/q77/q78/q84/q87/q89/q90/q92–q97 + the two
-#     displaced by q142/q143);
+#     next round (q67/q75/q77/q78/q84/q87/q89/q90/q92–q97 + the
+#     three displaced by q142/q143/q144);
 #   tier 3: everything r7/r8-verified.
-# 22 + 4 + 24 = 50.
+# 23 + 4 + 23 = 50.
 _NEW_OR_CHANGED_R9 = {
     "q140_quality_mixture",               # new: quality-weighted sampling
     "q141_fuzzy_decontamination",         # new: cross-corpus minhash leak check
@@ -3468,6 +3515,7 @@ _NEW_OR_CHANGED_R9 = {
     "q79_latin_nested_limit",             # changed: two-level topk lowering
     "q142_perplexity_partition",          # new: CCNet tercile partition
     "q143_training_shards",               # new: deterministic shard export
+    "q144_bpe_train",                     # new: in-engine BPE tokenizer trainer
     "q137_exact_substring_dedup",         # new: ExactSubstr-style dedup
     "q138_exact_substring_removal",       # new: ExactSubstr removal + rebuild
     "q139_classifier_training",           # new: in-engine trainer contract

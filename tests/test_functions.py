@@ -790,3 +790,56 @@ def test_train_hashed_classifier_learns_separable(spark):
         ).alias("s"),
     )
     assert scored.filter(((F.col("s") > 0).cast("double")) != F.col("y")).count() == 0
+
+
+def _reference_bpe(word_counts: dict[str, int], merges: int) -> list[tuple[str, str, int]]:
+    """Plain-Python BPE (Sennrich et al. 2016 figure 1 semantics):
+    count adjacent symbol pairs weighted by word count, merge the
+    (count DESC, a, b) argmax greedily left-to-right, repeat."""
+    types = {w: list(w) for w in word_counts}
+    out = []
+    for _ in range(merges):
+        counts: dict[tuple[str, str], int] = {}
+        for w, syms in types.items():
+            for i in range(len(syms) - 1):
+                counts[(syms[i], syms[i + 1])] = counts.get((syms[i], syms[i + 1]), 0) + word_counts[w]
+        if not counts:
+            break
+        (a, b), c = min(counts.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1]))
+        out.append((a, b, c))
+        for w, syms in types.items():
+            merged, i = [], 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
+                    merged.append(a + b)
+                    i += 2
+                else:
+                    merged.append(syms[i])
+                    i += 1
+            types[w] = merged
+    return out
+
+
+def test_train_bpe_matches_reference(spark):
+    """train_bpe's full merge table is bit-identical to a plain-Python
+    BPE on a corpus engineered to exercise multi-char merges, repeated
+    letters, and tie-breaks."""
+    from pig_spark.functions.ml import stage_word_types, train_bpe
+
+    docs = [
+        "low low low low low lower lower newest newest newest",
+        "newest newest newest widest widest widest banana bananas",
+        "aaa aaab abab low lowest newest",
+    ]
+    df = spark.createDataFrame([(t,) for t in docs], "text string")
+    got, final_types = train_bpe(stage_word_types(df, "text"), merges=8)
+
+    wc: dict[str, int] = {}
+    for t in docs:
+        for w in t.lower().split():
+            wc[w] = wc.get(w, 0) + 1
+    want = _reference_bpe(wc, 8)
+    assert [(m["a"], m["b"], m["cnt"]) for m in got] == want
+    # the returned final symbol table segments every word losslessly
+    for r in final_types.collect():
+        assert "".join(r["syms"]) == r["w"]
