@@ -89,9 +89,11 @@ HEADLINE = [
     "q138_exact_substring_removal",  # r9: dup-span removal + doc rebuild
     "q140_quality_mixture",  # r9: quality-tilted temperature sampling
     "q141_fuzzy_decontamination",  # r9: cross-corpus minhash leak check
-    # q139 (trainer) deliberately not a headliner: it is a 12-job
-    # iterative training run, not an ETL query — gated by the oracle,
-    # timed nowhere
+    "q142_perplexity_partition",  # r9: LM score + two-pass tercile rank
+    "q143_training_shards",  # r9: deterministic shard deal + manifest
+    # q139 (classifier trainer) and q144 (BPE trainer) deliberately not
+    # headliners: they are multi-job iterative training runs, not ETL
+    # queries — gated by the oracle, timed nowhere
 ]
 
 
