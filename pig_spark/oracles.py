@@ -1033,6 +1033,27 @@ def oracle_sql() -> dict[str, str]:
             SELECT CAST(s AS BIGINT), CAST(NULL AS VARCHAR),
                    CAST(NULL AS BIGINT), true
             FROM (VALUES (2), (3), (4), (5), (6), (99)) t(s)""",
+        "q145_bpe_tokenize": f"""
+            WITH toks AS (SELECT doc_id, {_toks('lower(text)')} AS tk
+                          FROM documents),
+                 words AS (SELECT u.t AS w FROM toks, unnest(toks.tk) AS u(t)),
+                 wt AS (SELECT w, COUNT(*) AS c FROM words GROUP BY w),
+                 idx AS (SELECT w, c,
+                                unnest(generate_series(1, length(w) - 1)) AS i
+                         FROM wt WHERE length(w) >= 2),
+                 pc AS (SELECT substr(w, i, 1) AS a, substr(w, i + 1, 1) AS b,
+                               SUM(c) AS cnt
+                        FROM idx GROUP BY 1, 2),
+                 s1 AS (SELECT a || b AS m FROM pc
+                        ORDER BY cnt DESC, a ASC, b ASC LIMIT 1),
+                 dw AS (SELECT doc_id, u.t AS w FROM toks, unnest(toks.tk) AS u(t))
+            SELECT doc_id,
+                   CAST(COUNT(*) AS BIGINT) AS n_words,
+                   CAST(SUM(length(w)) AS BIGINT) AS n_chars,
+                   CAST(SUM(length(w) - (len(string_split(w, s1.m)) - 1))
+                        AS BIGINT) AS n_seg_m1,
+                   true AS ok
+            FROM dw, s1 GROUP BY doc_id""",
         "q143_training_shards": f"""
             WITH staged AS (
                 SELECT doc_id,

@@ -3460,6 +3460,58 @@ def q144_bpe_train(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q145_bpe_tokenize(spark: SparkSession, sf: str) -> DataFrame:
+    """BPE tokenization APPLY — the other half of q144's lifecycle
+    (train the merges, then tokenize the corpus with them), the way a
+    pipeline actually runs it at scale: segmentation is computed ONCE
+    per word TYPE (train_bpe's final symbol table is already that
+    dictionary) and applied to the corpus by an equi-join on the
+    word, never re-derived per token — at 100 TB the dictionary is
+    vocabulary-sized (AQE broadcasts it while it fits, sort-merge
+    beyond), the join is the only corpus-sized shuffle besides the
+    type build, and the per-doc rollup is one partial-aggregated
+    groupBy.
+
+    Gate (q144's pattern, one notch stronger): per doc, n_words and
+    n_chars are exact SQL; n_seg_m1 — the segment count after
+    applying ONLY the first learned merge — is ALSO exact SQL,
+    because merge 1 operates on single-char symbols, so its greedy
+    occurrence count equals DuckDB's non-overlapping string_split
+    count of the pair recomputed by the oracle's own step-1 argmax.
+    The full-6-merge segment count is gated by provable booleans:
+    segmentation lossless for every word, monotone (6 merges never
+    produce more segments than 1), and bounded below by n_words."""
+    from pyspark.sql import functions as F
+
+    from .functions.ml import _merge_pair, stage_word_types, train_bpe
+    from .functions.text import tokenize_ws
+
+    d = spark.read.parquet(f"{sf}/documents.parquet").select("doc_id", "text")
+    merges, final_types = train_bpe(stage_word_types(d, "text"), merges=6)
+    a1, b1 = merges[0]["a"], merges[0]["b"]
+    dictionary = final_types.select(
+        "w",
+        F.length("w").cast("long").alias("n_chars_w"),
+        F.size(_merge_pair(F.split("w", ""), a1, b1)).cast("long").alias("m1"),
+        F.size("syms").cast("long").alias("full"),
+        (F.concat_ws("", F.col("syms")) == F.col("w")).alias("lossless"),
+    )
+    toks = d.select(
+        "doc_id", F.explode(tokenize_ws(F.lower(F.col("text")))).alias("w")
+    )
+    j = toks.join(dictionary, "w")
+    return j.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_words"),
+        F.sum("n_chars_w").alias("n_chars"),
+        F.sum("m1").alias("n_seg_m1"),
+        (
+            F.bool_and("lossless")
+            & (F.sum("full") <= F.sum("m1"))
+            & (F.sum("full") >= F.count(F.lit(1)))
+        ).alias("ok"),
+    )
+
+
 from .pigmix import PIGMIX_QUERIES  # noqa: E402  (avoids circular import)
 
 _ALL: dict[str, Callable[[SparkSession, str], DataFrame]] = {
@@ -3472,11 +3524,12 @@ _ALL.update(PIGMIX_QUERIES)
 # The driver's correctness gate checks the FIRST 50 entries in dict
 # order. Order by verification need, not by name (rebuilt each round;
 # the window arithmetic is EXACT — VERDICT r6 #3):
-#   tier 0 (23): new-in-r9 queries + queries whose lowering changed
+#   tier 0 (24): new-in-r9 queries + queries whose lowering changed
 #     this round and must re-earn a green driver row — q142 (CCNet
 #     perplexity tercile partition, new), q143 (deterministic
 #     training-shard export, new), q144 (in-engine BPE tokenizer
-#     trainer, new — contract gate), q137 (exact-
+#     trainer, new — contract gate), q145 (BPE apply via the type
+#     dictionary, new), q137 (exact-
 #     substring rolling-window dedup, new), q138 (exact-substring
 #     REMOVAL with rebuilt text, new), q139 (in-engine classifier
 #     trainer, new — boolean contract gate), q140 (quality-weighted
@@ -3494,13 +3547,13 @@ _ALL.update(PIGMIX_QUERIES)
 #   tier 1 (4): the rest of the r5-evidence tail (VERDICT r8 next #4)
 #     — q72_latin_nested_block, q73_latin_macro, q80_skewed_join,
 #     q81_latin_bigdata_chain (q76 already leads in tier 0);
-#   tier 2 (23 of 41 remaining): the r6-evidence block, alphabetical
-#     (q79/q82/q83/q85/q86/q91/q112 moved to tier 0); the seventeen
+#   tier 2 (22 of 41 remaining): the r6-evidence block, alphabetical
+#     (q79/q82/q83/q85/q86/q91/q112 moved to tier 0); the eighteen
 #     alphabetically-last entries stay at r6 evidence and LEAD tier 2
 #     next round (q67/q75/q77/q78/q84/q87/q89/q90/q92–q97 + the
-#     three displaced by q142/q143/q144);
+#     four displaced by q142–q145);
 #   tier 3: everything r7/r8-verified.
-# 23 + 4 + 23 = 50.
+# 24 + 4 + 22 = 50.
 _NEW_OR_CHANGED_R9 = {
     "q140_quality_mixture",               # new: quality-weighted sampling
     "q141_fuzzy_decontamination",         # new: cross-corpus minhash leak check
@@ -3516,6 +3569,7 @@ _NEW_OR_CHANGED_R9 = {
     "q142_perplexity_partition",          # new: CCNet tercile partition
     "q143_training_shards",               # new: deterministic shard export
     "q144_bpe_train",                     # new: in-engine BPE tokenizer trainer
+    "q145_bpe_tokenize",                  # new: BPE apply via type dictionary
     "q137_exact_substring_dedup",         # new: ExactSubstr-style dedup
     "q138_exact_substring_removal",       # new: ExactSubstr removal + rebuild
     "q139_classifier_training",           # new: in-engine trainer contract
