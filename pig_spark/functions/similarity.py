@@ -297,3 +297,91 @@ def kmeans_refine(
         by_cell = {int(r["__cell"]): [float(x) for x in r["mean"]] for r in means}
         cur = [(cid, by_cell.get(cid, c)) for cid, c in cur]
     return cur
+
+
+def kmeans_assign_l2(
+    df: DataFrame,
+    centroids: list[tuple[int, list[float]]],
+    vec_col: str = "embedding",
+    out_col: str = "__cell",
+    dist_col: str | None = None,
+) -> DataFrame:
+    """Nearest-centroid assignment under squared L2 (Lloyd's E-step):
+    one map-only projection, nlist in-row distance folds per vector,
+    staged-score-array argmin (ivf_assign's anti-OOM trick) with the
+    first-match rule as the lowest-cid tie-break. Distances fold in
+    dimension order, so the argmin is reproducible cross-engine.
+    ``dist_col`` optionally keeps the min squared distance (the
+    inertia term) without re-deriving it."""
+    v = F.col(vec_col).cast("array<double>")
+    dists = []
+    for _, cvec in centroids:
+        dists.append(
+            F.aggregate(
+                F.zip_with(v, _vec_lit(cvec), lambda a, b: (a - b) * (a - b)),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            )
+        )
+    cids = F.array(*[F.lit(cid) for cid, _ in centroids])
+    staged = df.withColumn("__cdist", F.array(*dists))
+    cell = F.element_at(
+        cids, F.array_position("__cdist", F.array_min("__cdist")).cast("int")
+    )
+    staged = staged.withColumn(out_col, cell.cast("int"))
+    if dist_col is not None:
+        staged = staged.withColumn(dist_col, F.array_min("__cdist"))
+    return staged.drop("__cdist")
+
+
+def kmeans_refine(
+    df: DataFrame,
+    centroids: list[tuple[int, list[float]]],
+    iters: int = 4,
+    vec_col: str = "embedding",
+) -> tuple[list[tuple[int, list[float]]], list[dict]]:
+    """Distributed Lloyd's k-means refinement of the IVF coarse
+    centroids — the "production path" SCALE.md promised behind the
+    deterministic lowest-id bootstrap. Returns
+    ``(refined_centroids, history)`` with one history dict per
+    iteration: ``{iter, inertia}`` where inertia is the summed squared
+    L2 distance to the assigned centroid BEFORE that iteration's
+    M-step (so history[0] scores the bootstrap).
+
+    Per-iteration shape (100 TB design, the ml.py trainer's exception
+    class): the E-step is map-only in-row codegen (centroid literals
+    travel in the plan like q128's weight row); the M-step is ONE
+    partial-aggregated shuffle of posexploded dimensions — nlist×dim
+    rows (≤1024 here) collect to the driver, model-sized like the GD
+    gradient; inertia is one tiny global aggregate over the same
+    assignment. Empty cells keep their old centroid (the standard
+    Lloyd's fix, preserves the monotone-inertia proof). Iterations
+    are sequential by definition; everything inside one is
+    distributed. Lloyd's inertia is provably non-increasing — q146
+    gates it."""
+    cur = sorted((cid, list(map(float, v))) for cid, v in centroids)
+    dim = len(cur[0][1])
+    history: list[dict] = []
+    staged = df.select(F.col(vec_col).cast("array<double>").alias("v"))
+    for it in range(iters + 1):
+        assigned = kmeans_assign_l2(staged, cur, vec_col="v", dist_col="__d")
+        inertia = assigned.select(F.sum("__d").alias("i")).first()["i"]
+        history.append({"iter": it, "inertia": float(inertia)})
+        if it == iters:
+            break
+        sums = (
+            assigned.select("__cell", F.posexplode("v").alias("pos", "x"))
+            .groupBy("__cell", "pos")
+            .agg(F.sum("x").alias("s"), F.count(F.lit(1)).alias("n"))
+            .collect()  # model-sized: nlist × dim rows
+        )
+        acc: dict[int, list[float]] = {}
+        cnt: dict[int, int] = {}
+        for r in sums:
+            acc.setdefault(r["__cell"], [0.0] * dim)[r["pos"]] = float(r["s"])
+            cnt[r["__cell"]] = int(r["n"])
+        cur = [
+            (cid, [s / cnt[cid] for s in acc[cid]] if cid in cnt else old)
+            for cid, old in cur
+        ]
+    return cur, history

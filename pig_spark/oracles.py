@@ -1033,6 +1033,23 @@ def oracle_sql() -> dict[str, str]:
             SELECT CAST(s AS BIGINT), CAST(NULL AS VARCHAR),
                    CAST(NULL AS BIGINT), true
             FROM (VALUES (2), (3), (4), (5), (6), (99)) t(s)""",
+        "q146_kmeans_refine": f"""
+            WITH c AS (SELECT vec_id AS cid, embedding AS cv
+                       FROM embeddings WHERE vec_id < {similarity.IVF_NLIST}),
+                 d AS (SELECT e.vec_id, c.cid,
+                              list_sum(list_transform(
+                                  generate_series(1, {similarity.EMB_DIM}),
+                                  i -> (CAST(e.embedding[i] AS DOUBLE)
+                                        - CAST(c.cv[i] AS DOUBLE))
+                                       * (CAST(e.embedding[i] AS DOUBLE)
+                                          - CAST(c.cv[i] AS DOUBLE)))) AS d2
+                       FROM embeddings e, c),
+                 r AS (SELECT vec_id, cid,
+                              ROW_NUMBER() OVER (PARTITION BY vec_id
+                                                 ORDER BY d2 ASC, cid ASC) AS rn
+                       FROM d)
+            SELECT vec_id, CAST(cid AS BIGINT) AS cell0, true AS ok
+            FROM r WHERE rn = 1""",
         "q145_bpe_tokenize": f"""
             WITH toks AS (SELECT doc_id, {_toks('lower(text)')} AS tk
                           FROM documents),

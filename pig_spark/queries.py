@@ -3512,6 +3512,52 @@ def q145_bpe_tokenize(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q146_kmeans_refine(spark: SparkSession, sf: str) -> DataFrame:
+    """Distributed k-means refinement of the IVF coarse centroids —
+    the production path SCALE.md recorded behind the lowest-id
+    bootstrap (similarity.bootstrap_centroids) since r2, now
+    implemented: 4 Lloyd's iterations over the embeddings table
+    (similarity.kmeans_refine), E-step as map-only in-row codegen
+    (centroid literals in the plan, the q128 shape), M-step as one
+    partial-aggregated posexplode shuffle with a nlist×dim-row
+    (≤1024) driver collect — the ml.py trainer's model-sized
+    exception class.
+
+    Gate (the q144/q139 contract pattern): every vector's ITER-0
+    assignment is exact SQL — the bootstrap centroids are the nlist
+    lowest-id vectors, distances fold in dimension order on both
+    engines, ties break to the lowest cell id (array_position
+    first-match / ROW_NUMBER) — and the training contract rides a
+    boolean: Lloyd's inertia is provably non-increasing (each E-step
+    picks the nearest centroid, each M-step the cell mean; empty
+    cells keep their old centroid), so monotone + net-improved +
+    iteration count are gated on every row."""
+    from pyspark.sql import functions as F
+
+    from .functions.similarity import (
+        bootstrap_centroids,
+        kmeans_assign_l2,
+        kmeans_refine,
+    )
+
+    e = spark.read.parquet(f"{sf}/embeddings.parquet").select(
+        "vec_id", "embedding"
+    )
+    boot = bootstrap_centroids(e)
+    _, hist = kmeans_refine(e, boot, iters=4)
+    monotone = all(
+        hist[i + 1]["inertia"] <= hist[i]["inertia"] + 1e-9
+        for i in range(len(hist) - 1)
+    )
+    ok = bool(
+        monotone and hist[-1]["inertia"] <= hist[0]["inertia"] and len(hist) == 5
+    )
+    assigned0 = kmeans_assign_l2(e, boot, out_col="cell0")
+    return assigned0.select(
+        "vec_id", F.col("cell0").cast("long").alias("cell0"), F.lit(ok).alias("ok")
+    )
+
+
 from .pigmix import PIGMIX_QUERIES  # noqa: E402  (avoids circular import)
 
 _ALL: dict[str, Callable[[SparkSession, str], DataFrame]] = {
@@ -3524,12 +3570,13 @@ _ALL.update(PIGMIX_QUERIES)
 # The driver's correctness gate checks the FIRST 50 entries in dict
 # order. Order by verification need, not by name (rebuilt each round;
 # the window arithmetic is EXACT — VERDICT r6 #3):
-#   tier 0 (24): new-in-r9 queries + queries whose lowering changed
+#   tier 0 (25): new-in-r9 queries + queries whose lowering changed
 #     this round and must re-earn a green driver row — q142 (CCNet
 #     perplexity tercile partition, new), q143 (deterministic
 #     training-shard export, new), q144 (in-engine BPE tokenizer
 #     trainer, new — contract gate), q145 (BPE apply via the type
-#     dictionary, new), q137 (exact-
+#     dictionary, new), q146 (IVF centroid k-means refresh, new),
+#     q137 (exact-
 #     substring rolling-window dedup, new), q138 (exact-substring
 #     REMOVAL with rebuilt text, new), q139 (in-engine classifier
 #     trainer, new — boolean contract gate), q140 (quality-weighted
@@ -3547,13 +3594,13 @@ _ALL.update(PIGMIX_QUERIES)
 #   tier 1 (4): the rest of the r5-evidence tail (VERDICT r8 next #4)
 #     — q72_latin_nested_block, q73_latin_macro, q80_skewed_join,
 #     q81_latin_bigdata_chain (q76 already leads in tier 0);
-#   tier 2 (22 of 41 remaining): the r6-evidence block, alphabetical
-#     (q79/q82/q83/q85/q86/q91/q112 moved to tier 0); the eighteen
+#   tier 2 (21 of 41 remaining): the r6-evidence block, alphabetical
+#     (q79/q82/q83/q85/q86/q91/q112 moved to tier 0); the nineteen
 #     alphabetically-last entries stay at r6 evidence and LEAD tier 2
 #     next round (q67/q75/q77/q78/q84/q87/q89/q90/q92–q97 + the
-#     four displaced by q142–q145);
+#     five displaced by q142–q146);
 #   tier 3: everything r7/r8-verified.
-# 24 + 4 + 22 = 50.
+# 25 + 4 + 21 = 50.
 _NEW_OR_CHANGED_R9 = {
     "q140_quality_mixture",               # new: quality-weighted sampling
     "q141_fuzzy_decontamination",         # new: cross-corpus minhash leak check
@@ -3570,6 +3617,7 @@ _NEW_OR_CHANGED_R9 = {
     "q143_training_shards",               # new: deterministic shard export
     "q144_bpe_train",                     # new: in-engine BPE tokenizer trainer
     "q145_bpe_tokenize",                  # new: BPE apply via type dictionary
+    "q146_kmeans_refine",                 # new: IVF centroid k-means refresh
     "q137_exact_substring_dedup",         # new: ExactSubstr-style dedup
     "q138_exact_substring_removal",       # new: ExactSubstr removal + rebuild
     "q139_classifier_training",           # new: in-engine trainer contract
