@@ -843,3 +843,43 @@ def test_train_bpe_matches_reference(spark):
     # the returned final symbol table segments every word losslessly
     for r in final_types.collect():
         assert "".join(r["syms"]) == r["w"]
+
+
+def test_kmeans_refine_converges_on_separable_clusters(spark):
+    """Lloyd's refinement recovers planted cluster means: 3 tight
+    clusters far apart, bootstrap centroids = the 3 lowest-id vectors
+    (one per cluster by construction); after refinement each centroid
+    sits at its cluster's exact mean, inertia is monotone
+    non-increasing, and every vector is assigned to its own cluster's
+    centroid."""
+    from pig_spark.functions.similarity import (
+        kmeans_assign_l2,
+        kmeans_refine,
+    )
+
+    dim = 4
+    rows = []
+    vid = 0
+    centers = [[0.0] * dim, [100.0] * dim, [-100.0] * dim]
+    for c in range(3):
+        rows.append((vid, [float(x) for x in centers[c]]))  # the bootstrap seed
+        vid += 1
+    for c in range(3):
+        for j in range(1, 5):
+            rows.append((vid, [centers[c][k] + (j % 3) - 1.0 for k in range(dim)]))
+            vid += 1
+    df = spark.createDataFrame(rows, "vec_id bigint, embedding array<double>")
+    boot = [(i, centers[i]) for i in range(3)]
+    refined, hist = kmeans_refine(df, boot, iters=3)
+    inertias = [h["inertia"] for h in hist]
+    assert all(b <= a + 1e-9 for a, b in zip(inertias, inertias[1:]))
+    # exact cluster means recovered
+    for cid, vec in refined:
+        member_vecs = [r[1] for r in rows if abs(r[1][0] - centers[cid][0]) < 50]
+        want = [sum(v[k] for v in member_vecs) / len(member_vecs) for k in range(dim)]
+        assert all(abs(a - b) < 1e-9 for a, b in zip(vec, want))
+    # every vector lands in its own cluster
+    assigned = kmeans_assign_l2(df, refined, vec_col="embedding", out_col="cell")
+    for r in assigned.collect():
+        own = min(range(3), key=lambda c: abs(r["embedding"][0] - centers[c][0]))
+        assert r["cell"] == own

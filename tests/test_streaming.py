@@ -802,3 +802,49 @@ def test_clean_ingest_stream_matches_batch(spark, sf_dir, tmp_path):
     assert got == want and len(want) > 0
     # the chain did real work: some paragraph got dropped somewhere
     assert any(r[2] < r[1] for r in got)  # n_kept < n_paras
+
+
+def test_shard_assign_stream_matches_batch(spark, sf_dir):
+    """q143's shard deal at ingest: shard_assign is stateless per-row
+    codegen, so it applies to a readStream unchanged — every streamed
+    document lands in the same shard the batch deal gives it (the
+    determinism that makes incremental corpus builds shard-stable)."""
+    from pyspark.sql import functions as F
+
+    from pig_spark.operators.packing import shard_assign
+
+    batch_df = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id")
+    src = (
+        spark.readStream.schema(
+            spark.read.parquet(f"{sf_dir}/documents.parquet").schema
+        )
+        .option("pathGlobFilter", "documents.parquet")
+        .parquet(sf_dir)
+        .select("doc_id")
+    )
+    q = (
+        shard_assign(src, "doc_id", 8, salt=":shard:v1")
+        .groupBy("shard")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("doc_id").alias("chk"))
+        .writeStream.format("memory")
+        .queryName("shard_stream")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        q.awaitTermination(120)
+    finally:
+        q.stop()
+    got = sorted(
+        (r["shard"], r["n"], r["chk"])
+        for r in spark.sql("SELECT * FROM shard_stream").collect()
+    )
+    want = sorted(
+        (r["shard"], r["n"], r["chk"])
+        for r in shard_assign(batch_df, "doc_id", 8, salt=":shard:v1")
+        .groupBy("shard")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("doc_id").alias("chk"))
+        .collect()
+    )
+    assert got == want and len(got) == 8
