@@ -1033,6 +1033,71 @@ def oracle_sql() -> dict[str, str]:
             SELECT CAST(s AS BIGINT), CAST(NULL AS VARCHAR),
                    CAST(NULL AS BIGINT), true
             FROM (VALUES (2), (3), (4), (5), (6), (99)) t(s)""",
+        "q147_contamination_audit": f"""
+            WITH wbench AS (SELECT doc_id, {{sh}} AS sh FROM documents
+                            WHERE doc_id % 97 = 0),
+                 wbg AS (SELECT DISTINCT {{h60}} AS gh
+                         FROM wbench, unnest(wbench.sh) AS u(g)),
+                 wtrain AS (SELECT doc_id, {{sh}} AS sh FROM documents
+                            WHERE doc_id % 97 <> 0),
+                 wsizes AS (SELECT doc_id, len(sh) AS n_grams FROM wtrain),
+                 wtg AS (SELECT doc_id, {{h60}} AS gh
+                         FROM wtrain, unnest(wtrain.sh) AS u(g)),
+                 whits AS (SELECT doc_id, COUNT(*) AS n_shared FROM wtg
+                           WHERE gh IN (SELECT gh FROM wbg) GROUP BY doc_id),
+                 e AS (SELECT s.doc_id,
+                              round(CAST(COALESCE(h.n_shared, 0) AS DOUBLE)
+                                    / greatest(s.n_grams, 1), 6) >= 0.05 AS exact_hit
+                       FROM wsizes s LEFT JOIN whits h USING (doc_id)),
+                 lowdocs AS (SELECT doc_id, lower(text) AS t FROM documents),
+                 csh AS (SELECT doc_id,
+                                list_distinct(list_transform(
+                                    range(1, greatest(length(t) - 19, 1) + 1),
+                                    i -> substr(t, CAST(i AS INT), 20))) AS g
+                         FROM lowdocs),
+                 cbg AS (SELECT DISTINCT u.x AS g
+                         FROM (SELECT g FROM csh WHERE doc_id % 97 = 0) b,
+                              unnest(b.g) AS u(x)),
+                 ctrain AS (SELECT doc_id, g FROM csh WHERE doc_id % 97 <> 0),
+                 csizes AS (SELECT doc_id, len(g) AS n_grams FROM ctrain),
+                 ctg AS (SELECT doc_id, u.x AS g FROM ctrain, unnest(ctrain.g) AS u(x)),
+                 chits AS (SELECT doc_id, COUNT(*) AS n_shared FROM ctg
+                           WHERE g IN (SELECT g FROM cbg) GROUP BY doc_id),
+                 c AS (SELECT s.doc_id,
+                              round(CAST(COALESCE(h.n_shared, 0) AS DOUBLE)
+                                    / greatest(s.n_grams, 1), 6) >= 0.02 AS char_hit
+                       FROM csizes s LEFT JOIN chits h USING (doc_id)),
+                 docs AS (SELECT doc_id, {{sh}} AS sh FROM documents),
+                 hashed AS (SELECT doc_id, sh,
+                                   list_transform(sh, s -> {{h32}}) AS h FROM docs),
+                 sigs AS (SELECT doc_id, {{mh}} FROM hashed),
+                 bands AS ({{bands}}),
+                 eb AS (SELECT doc_id, band, bh FROM bands WHERE doc_id % 97 = 0),
+                 tb AS (SELECT doc_id, band, bh FROM bands WHERE doc_id % 97 <> 0),
+                 cd AS (SELECT tb.doc_id AS train_id, eb.doc_id AS eval_id
+                        FROM tb JOIN eb ON tb.band = eb.band AND tb.bh = eb.bh
+                        GROUP BY 1, 2),
+                 scored AS (
+                    SELECT train_id,
+                           ({{agree}}) / {{k}} AS est
+                    FROM cd JOIN sigs l ON cd.train_id = l.doc_id
+                            JOIN sigs r ON cd.eval_id = r.doc_id),
+                 f AS (SELECT DISTINCT train_id AS doc_id FROM scored
+                       WHERE est >= 0.5)
+            SELECT e.doc_id, e.exact_hit, c.char_hit,
+                   (f.doc_id IS NOT NULL) AS fuzzy_hit,
+                   e.exact_hit OR c.char_hit OR (f.doc_id IS NOT NULL) AS flagged
+            FROM e JOIN c USING (doc_id) LEFT JOIN f USING (doc_id)""".format(
+            sh=_shingles("text"),
+            h60=_h60("u.g"),
+            h32=_h32("s"),
+            mh=_minhash_sig_select(),
+            bands=_band_rows(),
+            agree=" + ".join(
+                f"CAST(l.mh{i} = r.mh{i} AS INT)" for i in range(dedup.MINHASH_K)
+            ),
+            k=float(dedup.MINHASH_K),
+        ),
         "q146_kmeans_refine": f"""
             WITH c AS (SELECT vec_id AS cid, embedding AS cv
                        FROM embeddings WHERE vec_id < {similarity.IVF_NLIST}),

@@ -3558,6 +3558,62 @@ def q146_kmeans_refine(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q147_contamination_audit(spark: SparkSession, sf: str) -> DataFrame:
+    """Multi-channel benchmark-contamination AUDIT — the report a
+    training run actually signs off on: every train document checked
+    through all three decontamination granularities the catalog
+    implements, in one plan — word 3-grams (q88's channel, ratio ≥
+    0.05), char 20-grams (q134's, ratio ≥ 0.02, catches the
+    whitespace/punctuation-boundary overlap code corpora leak
+    through), and fuzzy MinHash signature agreement ≥ 0.5 (q141's,
+    catches paraphrased items both exact channels miss). Output: one
+    row per train doc with a boolean per channel + the union flag —
+    the shape a release gate consumes.
+
+    100 TB design: each channel keeps its own proven shape — both
+    gram channels broadcast the SMALL eval side's distinct hashes and
+    scan the train corpus once (only 64-bit hashes shuffle); the
+    fuzzy channel is the band-partitioned signature index probed
+    band-by-band (eval×eval pairs never form). The final stitch is
+    two doc-id equi-joins of doc-count-sized, booleans-only tables —
+    narrow rows, AQE-splittable, and the per-channel corpus scans
+    share the cached parquet scan."""
+    from pyspark.sql import functions as F
+
+    from .functions import dedup
+
+    d = spark.read.parquet(f"{sf}/documents.parquet").select("doc_id", "text")
+    bench = d.where(F.col("doc_id") % 97 == 0)
+    train = d.where(F.col("doc_id") % 97 != 0)
+    exact = dedup.contamination_check(
+        train, bench, "text", "doc_id", threshold=0.05
+    ).select("doc_id", F.col("contaminated").alias("exact_hit"))
+    chars = dedup.char_contamination_check(
+        train, bench, "text", "doc_id", n=20, threshold=0.02
+    ).select("doc_id", F.col("contaminated").alias("char_hit"))
+    idx = dedup.signature_index(bench, "text", "doc_id")
+    fuzzy = (
+        dedup.incremental_minhash_pairs(train, "text", "doc_id", idx, threshold=0.5)
+        .select(F.col("new_id").alias("doc_id"))
+        .distinct()
+        .withColumn("fuzzy_hit", F.lit(True))
+    )
+    return (
+        exact.join(chars, "doc_id")
+        .join(fuzzy, "doc_id", "left")
+        .select(
+            "doc_id",
+            "exact_hit",
+            "char_hit",
+            F.coalesce(F.col("fuzzy_hit"), F.lit(False)).alias("fuzzy_hit"),
+        )
+        .withColumn(
+            "flagged",
+            F.col("exact_hit") | F.col("char_hit") | F.col("fuzzy_hit"),
+        )
+    )
+
+
 from .pigmix import PIGMIX_QUERIES  # noqa: E402  (avoids circular import)
 
 _ALL: dict[str, Callable[[SparkSession, str], DataFrame]] = {
@@ -3570,13 +3626,13 @@ _ALL.update(PIGMIX_QUERIES)
 # The driver's correctness gate checks the FIRST 50 entries in dict
 # order. Order by verification need, not by name (rebuilt each round;
 # the window arithmetic is EXACT — VERDICT r6 #3):
-#   tier 0 (25): new-in-r9 queries + queries whose lowering changed
+#   tier 0 (26): new-in-r9 queries + queries whose lowering changed
 #     this round and must re-earn a green driver row — q142 (CCNet
 #     perplexity tercile partition, new), q143 (deterministic
 #     training-shard export, new), q144 (in-engine BPE tokenizer
 #     trainer, new — contract gate), q145 (BPE apply via the type
 #     dictionary, new), q146 (IVF centroid k-means refresh, new),
-#     q137 (exact-
+#     q147 (3-channel contamination audit, new), q137 (exact-
 #     substring rolling-window dedup, new), q138 (exact-substring
 #     REMOVAL with rebuilt text, new), q139 (in-engine classifier
 #     trainer, new — boolean contract gate), q140 (quality-weighted
@@ -3594,13 +3650,13 @@ _ALL.update(PIGMIX_QUERIES)
 #   tier 1 (4): the rest of the r5-evidence tail (VERDICT r8 next #4)
 #     — q72_latin_nested_block, q73_latin_macro, q80_skewed_join,
 #     q81_latin_bigdata_chain (q76 already leads in tier 0);
-#   tier 2 (21 of 41 remaining): the r6-evidence block, alphabetical
-#     (q79/q82/q83/q85/q86/q91/q112 moved to tier 0); the nineteen
+#   tier 2 (20 of 41 remaining): the r6-evidence block, alphabetical
+#     (q79/q82/q83/q85/q86/q91/q112 moved to tier 0); the twenty
 #     alphabetically-last entries stay at r6 evidence and LEAD tier 2
 #     next round (q67/q75/q77/q78/q84/q87/q89/q90/q92–q97 + the
-#     five displaced by q142–q146);
+#     six displaced by q142–q147);
 #   tier 3: everything r7/r8-verified.
-# 25 + 4 + 21 = 50.
+# 26 + 4 + 20 = 50.
 _NEW_OR_CHANGED_R9 = {
     "q140_quality_mixture",               # new: quality-weighted sampling
     "q141_fuzzy_decontamination",         # new: cross-corpus minhash leak check
@@ -3618,6 +3674,7 @@ _NEW_OR_CHANGED_R9 = {
     "q144_bpe_train",                     # new: in-engine BPE tokenizer trainer
     "q145_bpe_tokenize",                  # new: BPE apply via type dictionary
     "q146_kmeans_refine",                 # new: IVF centroid k-means refresh
+    "q147_contamination_audit",           # new: 3-channel decontam audit
     "q137_exact_substring_dedup",         # new: ExactSubstr-style dedup
     "q138_exact_substring_removal",       # new: ExactSubstr removal + rebuild
     "q139_classifier_training",           # new: in-engine trainer contract
