@@ -334,15 +334,19 @@ def kmeans_assign_l2(
     return staged.drop("__cdist")
 
 
-def kmeans_refine(
+def kmeans_refine_l2(
     df: DataFrame,
     centroids: list[tuple[int, list[float]]],
     iters: int = 4,
     vec_col: str = "embedding",
 ) -> tuple[list[tuple[int, list[float]]], list[dict]]:
-    """Distributed Lloyd's k-means refinement of the IVF coarse
-    centroids — the "production path" SCALE.md promised behind the
-    deterministic lowest-id bootstrap. Returns
+    """Distributed Lloyd's k-means under squared L2 — the PROVABLE-
+    contract sibling of :func:`kmeans_refine` (which refines under the
+    IVF index's own max-cosine assignment): L2 Lloyd's inertia is
+    provably non-increasing, so q146 can gate training as a boolean
+    contract with an exact-SQL iter-0 assignment. Use kmeans_refine to
+    refresh a cosine-metric IVF index in place; use this when the
+    monotone convergence record itself is the deliverable. Returns
     ``(refined_centroids, history)`` with one history dict per
     iteration: ``{iter, inertia}`` where inertia is the summed squared
     L2 distance to the assigned centroid BEFORE that iteration's

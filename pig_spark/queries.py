@@ -3517,7 +3517,8 @@ def q146_kmeans_refine(spark: SparkSession, sf: str) -> DataFrame:
     the production path SCALE.md recorded behind the lowest-id
     bootstrap (similarity.bootstrap_centroids) since r2, now
     implemented: 4 Lloyd's iterations over the embeddings table
-    (similarity.kmeans_refine), E-step as map-only in-row codegen
+    (similarity.kmeans_refine_l2 — the provable-contract sibling of
+    the cosine-metric kmeans_refine), E-step as map-only in-row codegen
     (centroid literals in the plan, the q128 shape), M-step as one
     partial-aggregated posexplode shuffle with a nlist×dim-row
     (≤1024) driver collect — the ml.py trainer's model-sized
@@ -3537,14 +3538,14 @@ def q146_kmeans_refine(spark: SparkSession, sf: str) -> DataFrame:
     from .functions.similarity import (
         bootstrap_centroids,
         kmeans_assign_l2,
-        kmeans_refine,
+        kmeans_refine_l2,
     )
 
     e = spark.read.parquet(f"{sf}/embeddings.parquet").select(
         "vec_id", "embedding"
     )
     boot = bootstrap_centroids(e)
-    _, hist = kmeans_refine(e, boot, iters=4)
+    _, hist = kmeans_refine_l2(e, boot, iters=4)
     monotone = all(
         hist[i + 1]["inertia"] <= hist[i]["inertia"] + 1e-9
         for i in range(len(hist) - 1)

@@ -854,7 +854,7 @@ def test_kmeans_refine_converges_on_separable_clusters(spark):
     centroid."""
     from pig_spark.functions.similarity import (
         kmeans_assign_l2,
-        kmeans_refine,
+        kmeans_refine_l2,
     )
 
     dim = 4
@@ -870,7 +870,7 @@ def test_kmeans_refine_converges_on_separable_clusters(spark):
             vid += 1
     df = spark.createDataFrame(rows, "vec_id bigint, embedding array<double>")
     boot = [(i, centers[i]) for i in range(3)]
-    refined, hist = kmeans_refine(df, boot, iters=3)
+    refined, hist = kmeans_refine_l2(df, boot, iters=3)
     inertias = [h["inertia"] for h in hist]
     assert all(b <= a + 1e-9 for a, b in zip(inertias, inertias[1:]))
     # exact cluster means recovered
