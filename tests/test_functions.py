@@ -883,3 +883,43 @@ def test_kmeans_refine_converges_on_separable_clusters(spark):
     for r in assigned.collect():
         own = min(range(3), key=lambda c: abs(r["embedding"][0] - centers[c][0]))
         assert r["cell"] == own
+
+
+def test_merge_pair_random_battery(spark):
+    """_merge_pair (the BPE codegen fold) vs the plain-Python greedy
+    merge on 300 LCG-random words over a 3-letter alphabet (maximal
+    adjacency collisions), for three merge pairs including the
+    overlapping a==b case — ONE Spark job for the whole battery."""
+    from pyspark.sql import functions as F
+
+    from pig_spark.functions.ml import _merge_pair
+
+    def py_merge(word: str, a: str, b: str) -> list[str]:
+        syms, out, i = list(word), [], 0
+        while i < len(syms):
+            if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
+                out.append(a + b)
+                i += 2
+            else:
+                out.append(syms[i])
+                i += 1
+        return out
+
+    x = 12345
+    words = []
+    for _ in range(300):
+        x = (x * 6364136223846793005 + 1442695040888963407) % (1 << 63)
+        n = 1 + x % 12
+        w = "".join("abc"[(x >> (4 * j)) % 3] for j in range(n))
+        words.append(w)
+    df = spark.createDataFrame([(w,) for w in words], "w string")
+    got = df.select(
+        "w",
+        _merge_pair(F.split("w", ""), "a", "b").alias("ab"),
+        _merge_pair(F.split("w", ""), "a", "a").alias("aa"),
+        _merge_pair(F.split("w", ""), "c", "a").alias("ca"),
+    ).collect()
+    for r in got:
+        assert r["ab"] == py_merge(r["w"], "a", "b"), r["w"]
+        assert r["aa"] == py_merge(r["w"], "a", "a"), r["w"]
+        assert r["ca"] == py_merge(r["w"], "c", "a"), r["w"]
