@@ -888,7 +888,17 @@ class PigTranslator:
             # CSVExcelStorage), as Pig resolves registered classes
             storer = (stmt.storer or "pigstorage").rsplit(".", 1)[-1].lower()
             args = list(stmt.storer_args or [])
-            if storer == "dbstorage":
+            if storer == "hbasestorage":
+                # HBaseStorage(columnList[, options]) — cell-model
+                # facade store (putNext: field 0 = row key, scalars one
+                # cell each, maps one cell per entry); appends (puts
+                # are upserts), so no clobber check applies
+                from ..sources.hbase import store_hbase
+
+                if not args:
+                    raise ValueError("HBaseStorage needs a column list argument")
+                store_fn = lambda d, p=stmt.path, cl=args[0], o=(args[1] if len(args) > 1 else ""): store_hbase(d, p, cl, o)  # noqa: E731
+            elif storer == "dbstorage":
                 # DBStorage(driver, url[, table]) — builtin/DBStorage.java
                 # ctor order; the INTO target doubles as the table name
                 # when no explicit table arg is given, and as the url for
@@ -930,11 +940,11 @@ class PigTranslator:
             else:
                 raise NameError(
                     f"unknown storer {stmt.storer!r} — one of "
-                    f"{sorted(k for k in LOADER_FORMAT if k)} or DBStorage"
+                    f"{sorted(k for k in LOADER_FORMAT if k)}, DBStorage or HBaseStorage"
                 )
             import os as _os
 
-            if storer != "dbstorage" and self.execute_stores and _os.path.exists(stmt.path):
+            if storer not in ("dbstorage", "hbasestorage") and self.execute_stores and _os.path.exists(stmt.path):
                 # Pig refuses to clobber an existing output location
                 # (InputOutputFileValidator ERROR 6000, negative.conf
                 # 'store into existing file'); remove it first (fs -rmr)
@@ -1401,6 +1411,38 @@ class PigTranslator:
         ):
             self._flush_stores()
         loader = (op.loader or "pigstorage").rsplit(".", 1)[-1].lower()
+        if loader == "hbasestorage":
+            # HBaseStorage(columnList[, options]) — the client-less
+            # cell-model facade (sources/hbase.py; HBaseStorage.java:146).
+            # Values decode to strings (the bytearray→POCast flow), so
+            # the AS clause applies Pig gradual typing per field; map
+            # fields (cf:* / cf:prefix*) arrive as map<string,string>
+            # and rename positionally.
+            from ..sources.hbase import load_hbase
+
+            hargs = list(op.loader_args or [])
+            if not hargs:
+                raise ValueError("HBaseStorage needs a column list argument")
+            df = load_hbase(
+                self.spark, op.path, hargs[0], hargs[1] if len(hargs) > 1 else ""
+            )
+            if op.schema:
+                outs = []
+                for i, f in enumerate(op.schema):
+                    if i >= len(df.columns):
+                        outs.append(
+                            F.lit(None)
+                            .cast(pig_field_ddl(f.type) if f.type else "string")
+                            .alias(f.name)
+                        )
+                        continue
+                    c = df[df.columns[i]]
+                    if df.schema[df.columns[i]].dataType.simpleString().startswith("map"):
+                        outs.append(c.alias(f.name))
+                    else:
+                        outs.append(utf8_cast(c, f.type).alias(f.name))
+                df = df.select(*outs)
+            return Relation(df)
         fmt = LOADER_FORMAT.get(loader, loader)
         opts = {}
         # PigStorage args: first non-flag = delimiter; '-tagFile' flag

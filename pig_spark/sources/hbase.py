@@ -1,0 +1,354 @@
+"""HBaseStorage — Pig's HBase connector semantics over the HBase CELL
+MODEL, client-less.
+
+Reference: ``backend/hadoop/hbase/HBaseStorage.java:146`` (LoadFunc +
+StoreFuncInterface + LoadPushDown). This environment has no HBase
+cluster or client jar, so the IO layer is the cell model itself: a
+table is a parquet dataset of HBase cells ``(rowkey, cf, qual, value
+binary, ts)`` — exactly what a scan returns — and everything Pig's
+class actually implements on TOP of the client is reproduced and
+tested here:
+
+- the column-list grammar (HBaseStorage.java parseColumnList /
+  ColumnInfo:1227): ``cf:qual`` scalar fields, ``cf`` / ``cf:`` /
+  ``cf:*`` whole-family maps, ``cf:prefix*`` prefix maps; ``-delim``
+  (default ``,``) and ``-ignoreWhitespace`` (default true, so
+  space-separated lists work) exactly as the Java splits them;
+- scan options (initScan:436): ``-loadKey`` prepends the row key,
+  ``-gt/-gte/-lt/-lte`` row-key ranges (byte-lexicographic — equal to
+  string order for the UTF-8 keys Pig writes), ``-regex`` row-key
+  regex, ``-limit``, ``-minTimestamp``/``-maxTimestamp`` (max
+  exclusive, HBase setTimeRange) / ``-timestamp``;
+- casters (CASTER_PROPERTY:153): ``Utf8StorageConverter`` (default)
+  decodes values as UTF-8 text — downstream ``AS`` clauses apply
+  Pig's gradual typing, exactly the bytearray→POCast flow;
+  ``HBaseBinaryConverter`` decodes big-endian Bytes.toBytes() ints
+  and longs by cell width (8 → long, 4 → int, else UTF-8) and
+  encodes them back on store;
+- version semantics: a scan returns the LATEST cell per (row, cf,
+  qual) — reproduced with ``max_by(value, ts)``;
+- store (putNext): first field = row key; scalar fields write one
+  cell each, map fields write one cell per entry; ``-noWAL`` and
+  friends are accepted and recorded as no-ops (durability knobs of
+  the real client).
+
+On a real cluster, swap ``_resolve``'s parquet scan for the HBase
+connector DataSource; the column-list/caster/pushdown semantics above
+— the part Pig implements — are unchanged. Scale shape: the row-key
+range lands in the parquet scan as PushedFilters (the facade's
+equivalent of an HBase range scan — plan-pinned), and the pivot to
+one-row-per-key is ONE partial-aggregated groupBy on the row key (the
+region-server assembly step).
+
+``-limit`` note: the Java option is rows PER REGION; the facade
+applies a global limit (regions are a client-cluster concept) — the
+difference is documented here and in the test.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+CELL_SCHEMA = "rowkey string, cf string, qual string, value binary, ts bigint"
+
+HBASE_ROOT_CONF = "spark.pig_spark.hbase.root"
+
+
+@dataclass(frozen=True)
+class ColumnInfo:
+    """HBaseStorage.java ColumnInfo:1227 — one column-list item."""
+
+    original: str
+    family: str
+    qual: str | None  # set iff scalar (no '*')
+    prefix: str | None  # set iff 'cf:prefix*'
+
+    @property
+    def is_map(self) -> bool:
+        return self.qual is None
+
+
+def parse_column_list(
+    column_list: str, delim: str = ",", ignore_whitespace: bool = True
+) -> list[ColumnInfo]:
+    """parseColumnList:405 — split on the delimiter, then (by default)
+    additionally on whitespace; '' items drop."""
+    parts = column_list.split(delim)
+    if ignore_whitespace:
+        parts = [s for p in parts for s in p.split(" ")]
+    cols = []
+    for raw in (p.strip() for p in parts):
+        if not raw:
+            continue
+        cf, _, rest = raw.partition(":")
+        if rest and rest != "*":
+            if rest.endswith("*"):
+                cols.append(ColumnInfo(raw, cf, None, rest[:-1]))
+            else:
+                cols.append(ColumnInfo(raw, cf, rest, None))
+        else:
+            cols.append(ColumnInfo(raw, cf, None, None))
+    if not cols:
+        raise ValueError("HBaseStorage: empty column list")
+    return cols
+
+
+def _parse_options(opt_string: str) -> dict:
+    """The Commons-CLI option string ('-loadKey true -gt a ...')."""
+    toks = opt_string.split() if opt_string else []
+    known_flags = {"loadkey", "includetimestamp", "includetombstone", "nowal", "ignorewhitespace", "cacheblocks"}
+    known_vals = {"gt", "gte", "lt", "lte", "regex", "limit", "caster", "delim",
+                  "mintimestamp", "maxtimestamp", "timestamp", "caching",
+                  "maxresultspercolumnfamily"}
+    out: dict = {}
+    i = 0
+    while i < len(toks):
+        t = toks[i]
+        if not t.startswith("-"):
+            raise ValueError(f"HBaseStorage: unexpected option token {t!r}")
+        key = t.lstrip("-").lower()
+        if key in known_flags:
+            # flags take an OPTIONAL true/false arg (OptionBuilder
+            # hasOptionalArgs(1)), e.g. '-loadKey true'
+            if i + 1 < len(toks) and toks[i + 1].lower() in ("true", "false"):
+                out[key] = toks[i + 1].lower() == "true"
+                i += 2
+            else:
+                out[key] = True
+                i += 1
+        elif key in known_vals:
+            if i + 1 >= len(toks):
+                raise ValueError(f"HBaseStorage: option -{key} needs a value")
+            out[key] = toks[i + 1]
+            i += 2
+        else:
+            raise ValueError(f"HBaseStorage: unknown option -{key}")
+    return out
+
+
+def _resolve(spark: SparkSession, path: str) -> str:
+    """hbase://name resolves under the configured cell-store root; a
+    plain path is used directly (tests point straight at a dataset)."""
+    if path.startswith("hbase://"):
+        root = spark.conf.get(HBASE_ROOT_CONF, None)
+        if not root:
+            raise ValueError(
+                f"HBaseStorage: set {HBASE_ROOT_CONF} to the cell-store root "
+                "directory to resolve hbase:// table names (client-less "
+                "facade — see sources/hbase.py)"
+            )
+        return f"{root.rstrip('/')}/{path[len('hbase://'):]}"
+    return path
+
+
+def _utf8(value):
+    return F.decode(value, "UTF-8")
+
+
+def _binary_decode(value):
+    """HBaseBinaryConverter: big-endian Bytes.toBytes widths — 8 bytes
+    → long, 4 → int, anything else → UTF-8 text. Sign restored via
+    exact DECIMAL arithmetic (conv() reads hex as unsigned)."""
+    hexed = F.hex(value)
+    u64 = F.conv(hexed, 16, 10).cast("decimal(21,0)")
+    # 2^63 / 2^64 exceed the long literal range — ship them as strings
+    two63 = F.lit(str(1 << 63)).cast("decimal(21,0)")
+    two64 = F.lit(str(1 << 64)).cast("decimal(21,0)")
+    s64 = F.when(u64 >= two63, u64 - two64).otherwise(u64)
+    u32 = F.conv(hexed, 16, 10).cast("long")
+    s32 = F.when(u32 >= (1 << 31), u32 - (1 << 32)).otherwise(u32)
+    return (
+        F.when(F.length(value) == 8, s64.cast("long").cast("string"))
+        .when(F.length(value) == 4, s32.cast("string"))
+        .otherwise(_utf8(value))
+    )
+
+
+def _decoder(caster: str):
+    c = (caster or "Utf8StorageConverter").rsplit(".", 1)[-1].lower()
+    if c == "utf8storageconverter":
+        return _utf8
+    if c == "hbasebinaryconverter":
+        return _binary_decode
+    raise ValueError(f"HBaseStorage: unsupported caster {caster!r}")
+
+
+def load_hbase(
+    spark: SparkSession, path: str, column_list: str, options: str = ""
+) -> DataFrame:
+    """LOAD ... USING HBaseStorage(columnList, options) over a cell
+    dataset. Output columns: [rowkey if -loadKey] + one column per
+    column-list item in order — scalar items as string (caster-
+    decoded; AS clauses apply Pig gradual typing downstream), map
+    items as map<string,string> keyed by the qualifier."""
+    opts = _parse_options(options)
+    cols = parse_column_list(
+        column_list,
+        delim=opts.get("delim", ","),
+        ignore_whitespace=bool(opts.get("ignorewhitespace", True)),
+    )
+    decode = _decoder(opts.get("caster", "Utf8StorageConverter"))
+    cells = spark.read.schema(CELL_SCHEMA).parquet(_resolve(spark, path))
+
+    # scan options — all become scan-pushable predicates on the
+    # parquet read (the facade's HBase range scan)
+    key = F.col("rowkey")
+    if "gt" in opts:
+        cells = cells.where(key > opts["gt"])
+    if "gte" in opts:
+        cells = cells.where(key >= opts["gte"])
+    if "lt" in opts:
+        cells = cells.where(key < opts["lt"])
+    if "lte" in opts:
+        cells = cells.where(key <= opts["lte"])
+    if "regex" in opts:
+        cells = cells.where(key.rlike(opts["regex"]))
+    if "timestamp" in opts:
+        cells = cells.where(F.col("ts") == int(opts["timestamp"]))
+    else:
+        if "mintimestamp" in opts:
+            cells = cells.where(F.col("ts") >= int(opts["mintimestamp"]))
+        if "maxtimestamp" in opts:  # exclusive — HBase setTimeRange
+            cells = cells.where(F.col("ts") < int(opts["maxtimestamp"]))
+
+    # column pruning at the cell level: only requested families /
+    # qualifiers survive to the pivot (the addColumn/addFamily calls)
+    conds = []
+    for ci in cols:
+        base = F.col("cf") == ci.family
+        if ci.qual is not None:
+            conds.append(base & (F.col("qual") == ci.qual))
+        elif ci.prefix is not None:
+            conds.append(base & F.col("qual").startswith(ci.prefix))
+        else:
+            conds.append(base)
+    keep = conds[0]
+    for c in conds[1:]:
+        keep = keep | c
+    cells = cells.where(keep)
+
+    # latest version per cell (scan semantics), then ONE groupBy pivot
+    # to one row per key — partial-aggregated on the row key
+    latest = cells.groupBy("rowkey", "cf", "qual").agg(
+        F.max_by("value", "ts").alias("value")
+    )
+    aggs = []
+    for i, ci in enumerate(cols):
+        base = F.col("cf") == ci.family
+        if ci.qual is not None:
+            cond = base & (F.col("qual") == ci.qual)
+            aggs.append(
+                F.max(F.when(cond, decode(F.col("value")))).alias(f"c{i}")
+            )
+        else:
+            cond = base if ci.prefix is None else base & F.col("qual").startswith(ci.prefix)
+            entry = F.when(cond, F.struct(F.col("qual"), decode(F.col("value"))))
+            aggs.append(
+                F.map_from_entries(
+                    F.array_sort(F.filter(F.collect_list(entry), lambda e: e.isNotNull()))
+                ).alias(f"c{i}")
+            )
+    out = latest.groupBy("rowkey").agg(*aggs)
+    if "limit" in opts:
+        # Java: rows per REGION; facade: global (no regions client-side)
+        out = out.orderBy("rowkey").limit(int(opts["limit"]))
+    names = ([("rowkey", "rowkey")] if opts.get("loadkey") else []) + [
+        (f"c{i}", ci.original.replace(":", "_").replace("*", "").rstrip("_") or f"c{i}")
+        for i, ci in enumerate(cols)
+    ]
+    return out.select(*[F.col(src).alias(dst) for src, dst in names])
+
+
+def _encode(col, dtype, caster: str):
+    c = (caster or "Utf8StorageConverter").rsplit(".", 1)[-1].lower()
+    t = dtype.simpleString()
+    if c == "hbasebinaryconverter" and t in ("bigint", "long"):
+        return F.unhex(F.lpad(F.hex(col), 16, "0"))
+    if c == "hbasebinaryconverter" and t == "int":
+        return F.unhex(
+            F.lpad(F.hex(col.cast("bigint").bitwiseAND(F.lit(0xFFFFFFFF))), 8, "0")
+        )
+    return F.encode(col.cast("string"), "UTF-8")
+
+
+def store_hbase(
+    df: DataFrame, path: str, column_list: str, options: str = ""
+) -> None:
+    """STORE ... USING HBaseStorage(columnList, options): first field
+    = row key (putNext), then one field per column-list item — scalar
+    fields write one cell, map fields one cell per entry. Appends to
+    the cell dataset (HBase puts are upserts; the load side's
+    latest-version rule resolves rewrites)."""
+    opts = _parse_options(options)
+    cols = parse_column_list(
+        column_list,
+        delim=opts.get("delim", ","),
+        ignore_whitespace=bool(opts.get("ignorewhitespace", True)),
+    )
+    caster = opts.get("caster", "Utf8StorageConverter")
+    fields = df.columns
+    if len(fields) != len(cols) + 1:
+        raise ValueError(
+            f"HBaseStorage store: relation has {len(fields)} fields but the "
+            f"column list names {len(cols)} (+1 for the row key)"
+        )
+    ts = F.lit(0).cast("bigint")  # single-version facade default
+    pieces = []
+    keycol = F.col(fields[0]).cast("string").alias("rowkey")
+    for ci, fname in zip(cols, fields[1:]):
+        dtype = df.schema[fname].dataType
+        if ci.is_map:
+            if dtype.simpleString().startswith("map"):
+                exploded = df.select(
+                    keycol, F.explode_outer(F.col(fname)).alias("qual", "__v")
+                ).where(F.col("qual").isNotNull())
+                pieces.append(
+                    exploded.select(
+                        "rowkey",
+                        F.lit(ci.family).alias("cf"),
+                        "qual",
+                        _encode(F.col("__v"), exploded.schema["__v"].dataType, caster).alias("value"),
+                        ts.alias("ts"),
+                    )
+                )
+            else:
+                raise ValueError(
+                    f"HBaseStorage store: field {fname!r} feeds map column "
+                    f"{ci.original!r} but is not a map"
+                )
+        else:
+            pieces.append(
+                df.select(
+                    keycol,
+                    F.lit(ci.family).alias("cf"),
+                    F.lit(ci.qual).alias("qual"),
+                    _encode(F.col(fname), dtype, caster).alias("value"),
+                    ts.alias("ts"),
+                ).where(F.col("value").isNotNull())
+            )
+    cells = pieces[0]
+    for p in pieces[1:]:
+        cells = cells.unionByName(p)
+    cells.write.mode("append").parquet(_resolve(df.sparkSession, path))
+
+
+class HBaseStorage:
+    """The Pig-facing class: ``HBaseStorage(columnList[, options])``
+    with load/store methods — resolved by leaf name from Latin
+    ``USING org.apache.pig.backend.hadoop.hbase.HBaseStorage(...)``."""
+
+    def __init__(self, column_list: str, options: str = ""):
+        self.column_list = column_list
+        self.options = options
+        # validate eagerly — Pig's ctor throws on bad options too
+        _parse_options(options)
+        parse_column_list(column_list)
+
+    def load(self, spark: SparkSession, path: str) -> DataFrame:
+        return load_hbase(spark, path, self.column_list, self.options)
+
+    def store(self, df: DataFrame, path: str) -> None:
+        store_hbase(df, path, self.column_list, self.options)
