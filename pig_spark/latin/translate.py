@@ -898,6 +898,12 @@ class PigTranslator:
                 if not args:
                     raise ValueError("HBaseStorage needs a column list argument")
                 store_fn = lambda d, p=stmt.path, cl=args[0], o=(args[1] if len(args) > 1 else ""): store_hbase(d, p, cl, o)  # noqa: E731
+            elif storer == "accumulostorage":
+                from ..sources.accumulo import store_accumulo
+
+                if not args:
+                    raise ValueError("AccumuloStorage needs a columns argument")
+                store_fn = lambda d, p=stmt.path, cl=args[0], o=(args[1] if len(args) > 1 else ""): store_accumulo(d, p, cl, o)  # noqa: E731
             elif storer == "dbstorage":
                 # DBStorage(driver, url[, table]) — builtin/DBStorage.java
                 # ctor order; the INTO target doubles as the table name
@@ -940,11 +946,11 @@ class PigTranslator:
             else:
                 raise NameError(
                     f"unknown storer {stmt.storer!r} — one of "
-                    f"{sorted(k for k in LOADER_FORMAT if k)}, DBStorage or HBaseStorage"
+                    f"{sorted(k for k in LOADER_FORMAT if k)}, DBStorage, HBaseStorage or AccumuloStorage"
                 )
             import os as _os
 
-            if storer not in ("dbstorage", "hbasestorage") and self.execute_stores and _os.path.exists(stmt.path):
+            if storer not in ("dbstorage", "hbasestorage", "accumulostorage") and self.execute_stores and _os.path.exists(stmt.path):
                 # Pig refuses to clobber an existing output location
                 # (InputOutputFileValidator ERROR 6000, negative.conf
                 # 'store into existing file'); remove it first (fs -rmr)
@@ -1425,6 +1431,36 @@ class PigTranslator:
                 raise ValueError("HBaseStorage needs a column list argument")
             df = load_hbase(
                 self.spark, op.path, hargs[0], hargs[1] if len(hargs) > 1 else ""
+            )
+            if op.schema:
+                outs = []
+                for i, f in enumerate(op.schema):
+                    if i >= len(df.columns):
+                        outs.append(
+                            F.lit(None)
+                            .cast(pig_field_ddl(f.type) if f.type else "string")
+                            .alias(f.name)
+                        )
+                        continue
+                    c = df[df.columns[i]]
+                    if df.schema[df.columns[i]].dataType.simpleString().startswith("map"):
+                        outs.append(c.alias(f.name))
+                    else:
+                        outs.append(utf8_cast(c, f.type).alias(f.name))
+                df = df.select(*outs)
+            return Relation(df)
+        if loader == "accumulostorage":
+            # AccumuloStorage(columns[, options]) — the sibling facade
+            # (sources/accumulo.py; AccumuloStorage.java). Row key is
+            # always field 0; AS applies gradual typing to scalars.
+            from ..sources.accumulo import load_accumulo
+
+            aargs = list(op.loader_args or [])
+            df = load_accumulo(
+                self.spark,
+                op.path,
+                aargs[0] if aargs else "",
+                aargs[1] if len(aargs) > 1 else "",
             )
             if op.schema:
                 outs = []
