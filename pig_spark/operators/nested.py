@@ -37,33 +37,32 @@ def topk_per_group(
     ascending: bool | Sequence[bool] = False,
 ) -> DataFrame:
     """{ sorted = ORDER x BY c; lim = LIMIT sorted k; } and builtin TOP()
-    (builtin/TOP.java:72) → two-level top-k.
+    (builtin/TOP.java:72) → ``row_number() ≤ k`` over a per-group
+    window.
 
-    Fully distributed AND skew-safe (r9 — the window rule): a group
-    key can be data-sized (GROUP BY lang), and a window partition is
-    AQE-unsplittable, so rank within (keys, incoming-partition id)
-    first — each sub-partition is task-sized and yields ≤ k survivors
-    — then rank the ≤ k·partitions survivors per group (bounded by
-    cluster config, not data). Top-k of a union is the top-k of
-    per-bucket top-ks, so for a TOTAL order the selected set is
-    identical to the single-window form (differential-tested); order
-    ties are implementation-chosen in both forms, exactly like Pig's
+    Skew safety comes from CATALYST, not a hand-rolled two-level
+    scheme: a ``rank/row_number ≤ k`` filter over a window plans as
+    WindowGroupLimit with a PARTIAL phase before the exchange and a
+    FINAL phase after (Spark ≥ 3.5) — every map task forwards at most
+    k rows per group, so a data-sized hot group (GROUP BY lang)
+    reaches its window partition as ≤ k × map-tasks rows, bounded by
+    cluster config, not data. This is exactly the two-level top-k,
+    run natively in codegen with ONE exchange. (r9 postscript: the
+    round briefly shipped an explicit two-level rewrite here — two
+    full shuffles — and the bench's A/B control caught it at a
+    consistent ~1.4× on uniform data; the plan pin below asserts the
+    Partial phase instead, which is the actual skew evidence. Rule:
+    check what Catalyst already does before hand-scheduling around
+    it.) Ties are implementation-chosen, exactly like Pig's
     TOP/nested LIMIT. ``ascending`` may be per-column
     (ORDER ... BY a DESC, b ASC).
     """
     if isinstance(ascending, bool):
         ascending = [ascending] * len(order_by)
     order = [F.col(c).asc() if a else F.col(c).desc() for c, a in zip(order_by, ascending)]
-    sub = df.withColumn("__sb", F.spark_partition_id())
-    w1 = Window.partitionBy(*group_keys, "__sb").orderBy(*order)
-    stage1 = (
-        sub.withColumn("__rn", F.row_number().over(w1))
-        .filter(F.col("__rn") <= k)
-        .drop("__rn", "__sb")
-    )
-    w2 = Window.partitionBy(*group_keys).orderBy(*order)
+    w = Window.partitionBy(*group_keys).orderBy(*order)
     return (
-        stage1.withColumn("__rn", F.row_number().over(w2))
+        df.withColumn("__rn", F.row_number().over(w))
         .filter(F.col("__rn") <= k)
         .drop("__rn")
     )

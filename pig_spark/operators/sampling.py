@@ -42,29 +42,23 @@ def stratified_sample(
     sample without touching the data). Ties on equal hashes break on
     the key itself, so the selected set is unique.
 
-    Skew-safe two-level selection (r9 — the first-occurrence window
-    rule applied to top-k): a stratum is a DATA-SIZED key (a corpus
-    with 3 languages puts a third of every scan in one window
-    partition, which AQE cannot split), so the per-stratum rank runs
-    in two stages — rank within (stratum, hash-subbucket) first
-    (64 splits of the hot stratum, each ≤ k survivors), then the
-    final rank over the ≤ 64·k survivors per stratum (bounded by
-    config, not data). Top-k of a union IS the top-k of per-bucket
-    top-ks, so the selected set is IDENTICAL to the single-window
-    formulation (differential-tested)."""
+    Skew safety: a stratum is a DATA-SIZED key (a corpus with 3
+    languages puts a third of every scan in one window partition,
+    which AQE cannot split) — but a ``row_number ≤ k`` filter plans
+    as WindowGroupLimit with a PARTIAL phase before the exchange
+    (Spark ≥ 3.5, plan-pinned in test_scale_plans), so each map task
+    forwards at most k rows per stratum and the hot stratum's window
+    partition receives ≤ k × map-tasks rows — config-bounded, not
+    data-sized. (r9 postscript: an explicit two-level subbucket
+    rewrite shipped briefly — two shuffles — before the bench A/B
+    control showed the native partial group-limit already covers the
+    skew case with one; see topk_per_group.)"""
     key_col = F.col(key) if isinstance(key, str) else key
     key_str = key_col.cast("string")
     h = md5_32(F.concat(key_str, F.lit(salt)))
-    subs = 64
-    w1 = Window.partitionBy(
-        *[F.col(s) for s in strata], F.pmod(h, F.lit(subs))
-    ).orderBy(h.asc(), key_str.asc())
-    stage1 = df.withColumn("__rank", F.row_number().over(w1)).filter(
-        F.col("__rank") <= k
-    )
-    w2 = Window.partitionBy(*[F.col(s) for s in strata]).orderBy(h.asc(), key_str.asc())
+    w = Window.partitionBy(*[F.col(s) for s in strata]).orderBy(h.asc(), key_str.asc())
     return (
-        stage1.withColumn("__rank", F.row_number().over(w2))
+        df.withColumn("__rank", F.row_number().over(w))
         .filter(F.col("__rank") <= k)
         .drop("__rank")
     )

@@ -3662,14 +3662,14 @@ _NEW_OR_CHANGED_R9 = {
     "q140_quality_mixture",               # new: quality-weighted sampling
     "q141_fuzzy_decontamination",         # new: cross-corpus minhash leak check
     "q91_dedup_survivors",                # changed: window -> min(struct) agg
-    "q85_stratified_sample",              # changed: two-level skew-safe rank
+    "q85_stratified_sample",              # changed: WindowGroupLimit lowering
     "q86_token_packing",                  # changed: two-pass prefix sum
-    "q23_nested_topk",                    # changed: two-level topk lowering
-    "q82_latin_two_limit_pipes",          # changed: two-level topk lowering
-    "q83_latin_distinct_limit",           # changed: two-level topk lowering
-    "q108_latin_unordered_limit",         # changed: two-level topk lowering
-    "q112_latin_bag_pipe",                # changed: two-level topk lowering
-    "q79_latin_nested_limit",             # changed: two-level topk lowering
+    "q23_nested_topk",                    # changed: WindowGroupLimit lowering
+    "q82_latin_two_limit_pipes",          # changed: WindowGroupLimit lowering
+    "q83_latin_distinct_limit",           # changed: WindowGroupLimit lowering
+    "q108_latin_unordered_limit",         # changed: WindowGroupLimit lowering
+    "q112_latin_bag_pipe",                # changed: WindowGroupLimit lowering
+    "q79_latin_nested_limit",             # changed: WindowGroupLimit lowering
     "q142_perplexity_partition",          # new: CCNet tercile partition
     "q143_training_shards",               # new: deterministic shard export
     "q144_bpe_train",                     # new: in-engine BPE tokenizer trainer

@@ -877,9 +877,9 @@ def test_quality_mixture_sample_tilts_within_budget(spark, sf_dir):
 
 
 def test_stratified_sample_two_level_equals_single_window(spark, sf_dir):
-    """The r9 skew-safe two-level rank selects EXACTLY the set the
-    single-window formulation selects (top-k of a union = top-k of
-    per-bucket top-ks), for several k including k > bucket survivors."""
+    """stratified_sample selects EXACTLY the single-window row_number
+    set (regression anchor: the r9 two-level detour and the final
+    WindowGroupLimit form must both equal it), for several k."""
     from pyspark.sql.window import Window
 
     from pig_spark.functions.dedup import md5_32
@@ -928,8 +928,9 @@ def test_pack_by_budget_two_pass_equals_single_window(spark, sf_dir):
 
 
 def test_topk_per_group_two_level_equals_single_window(spark, sf_dir):
-    """r9 two-level top-k = the single-window top-k for a total order,
-    across ks straddling the per-bucket survivor count."""
+    """topk_per_group equals the inline single-window top-k for a
+    total order (regression anchor across lowering changes), across
+    several k."""
     from pyspark.sql.window import Window
 
     d = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "lang", "n_chars")
