@@ -1098,6 +1098,44 @@ def oracle_sql() -> dict[str, str]:
             ),
             k=float(dedup.MINHASH_K),
         ),
+        "q148_c4_rules": f"""
+            WITH tk AS (SELECT doc_id, {_toks('lower(text)')} AS tk
+                        FROM documents),
+                 blocks AS (SELECT doc_id,
+                                   list_transform(
+                                       range(0, CAST(ceil(len(tk) / 12.0) AS INT)),
+                                       i -> array_to_string(tk[i*12+1 : i*12+12], ' ')) AS bs
+                            FROM tk),
+                 ln AS (SELECT doc_id, g.i - 1 AS pos, bs[g.i] AS block
+                        FROM blocks, unnest(generate_series(1, len(bs))) AS g(i)),
+                 dec AS (SELECT doc_id, pos,
+                                CASE WHEN doc_id % 7 = 0 AND pos = 1
+                                     THEN 'please enable javascript to view this site.'
+                                     ELSE (CASE WHEN doc_id % 31 = 0 AND pos = 0
+                                                THEN 'lorem ipsum ' ELSE '' END)
+                                          || block
+                                          || (CASE WHEN doc_id % 37 = 0 AND pos = 2
+                                                   THEN ' {{' ELSE '' END)
+                                          || (CASE WHEN (doc_id + pos) % 3 <> 0
+                                                   THEN '.' ELSE '' END)
+                                END AS line
+                         FROM ln),
+                 fl AS (SELECT doc_id, pos, line,
+                               (regexp_matches(line, '[.!?"]$')
+                                AND len(string_split_regex(line, '\\s+')) >= 5
+                                AND NOT contains(line, 'javascript')) AS kept
+                        FROM dec)
+            SELECT doc_id,
+                   CAST(COUNT(*) AS BIGINT) AS n_lines,
+                   CAST(SUM(CASE WHEN kept THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+                   bool_or(contains(line, 'lorem ipsum')) AS has_lorem,
+                   bool_or(contains(line, '{{')) AS has_brace,
+                   md5(COALESCE(string_agg(CASE WHEN kept THEN line END,
+                                           chr(10) ORDER BY pos), '')) AS clean_md5,
+                   (SUM(CASE WHEN kept THEN 1 ELSE 0 END) >= 3
+                    AND NOT bool_or(contains(line, 'lorem ipsum'))
+                    AND NOT bool_or(contains(line, '{{'))) AS keep
+            FROM fl GROUP BY doc_id""",
         "q146_kmeans_refine": f"""
             WITH c AS (SELECT vec_id AS cid, embedding AS cv
                        FROM embeddings WHERE vec_id < {similarity.IVF_NLIST}),

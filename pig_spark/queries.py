@@ -3615,6 +3615,73 @@ def q147_contamination_audit(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q148_c4_rules(spark: SparkSession, sf: str) -> DataFrame:
+    """C4 rule-based cleaning (Raffel et al. 2020 §2.2) — the famous
+    LINE-level preprocessing stage the catalog lacked between q48's
+    composite quality score and q89's Gopher repetition stats: keep a
+    line only if it ends in terminal punctuation, has ≥ 5 words, and
+    carries no 'javascript' boilerplate; drop the whole page if fewer
+    than 3 lines survive, or it contains 'lorem ipsum' or a curly
+    brace (code). The corpus has no line breaks, so lines are
+    synthesized deterministically (the q129 chunker): 12-token
+    blocks, with every rule exercised by injection — ~2/3 of lines
+    get terminal punctuation ((doc_id+pos)%3), doc_id%7 docs carry a
+    'javascript' line, doc_id%31 a 'lorem ipsum' marker, doc_id%37 a
+    brace, and natural short tail blocks trip the min-words rule.
+    Output per page: line counts, the page-level flags, the keep
+    decision, and the md5 of the cleaned page.
+
+    100 TB design: map-only — line synthesis, per-line rules (with
+    the index-aware transform), and the page rebuild are one codegen
+    projection over the corpus scan; zero exchanges, zero Python
+    (plan-pinned test_c4_rules_plan_map_only)."""
+    from pyspark.sql import functions as F
+
+    from .functions.text import token_blocks, tokenize_ws
+
+    d = spark.read.parquet(f"{sf}/documents.parquet").select("doc_id", "text")
+    tk = d.select("doc_id", tokenize_ws(F.lower(F.col("text"))).alias("tk"))
+    blocks = token_blocks(F.col("tk"), 12)
+    did = F.col("doc_id")
+    lines = F.transform(
+        blocks,
+        lambda x, i: F.when(
+            (did % 7 == 0) & (i == 1),
+            F.lit("please enable javascript to view this site."),
+        ).otherwise(
+            F.concat(
+                F.when((did % 31 == 0) & (i == 0), F.lit("lorem ipsum ")).otherwise(
+                    F.lit("")
+                ),
+                x,
+                F.when((did % 37 == 0) & (i == 2), F.lit(" {")).otherwise(F.lit("")),
+                F.when((did + i) % 3 != 0, F.lit(".")).otherwise(F.lit("")),
+            )
+        ),
+    )
+    staged = tk.select("doc_id", lines.alias("ls"))
+    kept = F.filter(
+        F.col("ls"),
+        lambda ln: ln.rlike(r"[.!?\"]$")
+        & (F.size(F.split(ln, r"\s+")) >= 5)
+        & ~ln.contains("javascript"),
+    )
+    out = staged.select(
+        "doc_id",
+        F.size("ls").cast("long").alias("n_lines"),
+        F.size(kept).cast("long").alias("n_kept"),
+        F.exists(F.col("ls"), lambda ln: ln.contains("lorem ipsum")).alias(
+            "has_lorem"
+        ),
+        F.exists(F.col("ls"), lambda ln: ln.contains("{")).alias("has_brace"),
+        F.md5(F.concat_ws("\n", kept)).alias("clean_md5"),
+    )
+    return out.withColumn(
+        "keep",
+        (F.col("n_kept") >= 3) & ~F.col("has_lorem") & ~F.col("has_brace"),
+    )
+
+
 from .pigmix import PIGMIX_QUERIES  # noqa: E402  (avoids circular import)
 
 _ALL: dict[str, Callable[[SparkSession, str], DataFrame]] = {
@@ -3627,13 +3694,14 @@ _ALL.update(PIGMIX_QUERIES)
 # The driver's correctness gate checks the FIRST 50 entries in dict
 # order. Order by verification need, not by name (rebuilt each round;
 # the window arithmetic is EXACT — VERDICT r6 #3):
-#   tier 0 (26): new-in-r9 queries + queries whose lowering changed
+#   tier 0 (27): new-in-r9 queries + queries whose lowering changed
 #     this round and must re-earn a green driver row — q142 (CCNet
 #     perplexity tercile partition, new), q143 (deterministic
 #     training-shard export, new), q144 (in-engine BPE tokenizer
 #     trainer, new — contract gate), q145 (BPE apply via the type
 #     dictionary, new), q146 (IVF centroid k-means refresh, new),
-#     q147 (3-channel contamination audit, new), q137 (exact-
+#     q147 (3-channel contamination audit, new), q148 (C4
+#     line/page rule filter, new), q137 (exact-
 #     substring rolling-window dedup, new), q138 (exact-substring
 #     REMOVAL with rebuilt text, new), q139 (in-engine classifier
 #     trainer, new — boolean contract gate), q140 (quality-weighted
@@ -3651,13 +3719,13 @@ _ALL.update(PIGMIX_QUERIES)
 #   tier 1 (4): the rest of the r5-evidence tail (VERDICT r8 next #4)
 #     — q72_latin_nested_block, q73_latin_macro, q80_skewed_join,
 #     q81_latin_bigdata_chain (q76 already leads in tier 0);
-#   tier 2 (20 of 41 remaining): the r6-evidence block, alphabetical
-#     (q79/q82/q83/q85/q86/q91/q112 moved to tier 0); the twenty
+#   tier 2 (19 of 41 remaining): the r6-evidence block, alphabetical
+#     (q79/q82/q83/q85/q86/q91/q112 moved to tier 0); the twenty-two
 #     alphabetically-last entries stay at r6 evidence and LEAD tier 2
 #     next round (q67/q75/q77/q78/q84/q87/q89/q90/q92–q97 + the
-#     six displaced by q142–q147);
+#     seven displaced by q142–q148);
 #   tier 3: everything r7/r8-verified.
-# 26 + 4 + 20 = 50.
+# 27 + 4 + 19 = 50.
 _NEW_OR_CHANGED_R9 = {
     "q140_quality_mixture",               # new: quality-weighted sampling
     "q141_fuzzy_decontamination",         # new: cross-corpus minhash leak check
@@ -3676,6 +3744,7 @@ _NEW_OR_CHANGED_R9 = {
     "q145_bpe_tokenize",                  # new: BPE apply via type dictionary
     "q146_kmeans_refine",                 # new: IVF centroid k-means refresh
     "q147_contamination_audit",           # new: 3-channel decontam audit
+    "q148_c4_rules",                      # new: C4 line/page rule filter
     "q137_exact_substring_dedup",         # new: ExactSubstr-style dedup
     "q138_exact_substring_removal",       # new: ExactSubstr removal + rebuild
     "q139_classifier_training",           # new: in-engine trainer contract

@@ -563,3 +563,16 @@ def test_topk_windows_have_partial_group_limit(spark, sf_dir):
         assert "WindowGroupLimit" in p and "Partial" in p, p
         assert "Final" in p, p
         assert p.count("Exchange") == 1, p
+
+
+def test_c4_rules_plan_map_only(spark, sf_dir):
+    """q148 (C4 line rules): synthesis, per-line rules and the page
+    rebuild are ONE codegen projection — zero exchanges, no Python,
+    no Window."""
+    from pig_spark.queries import q148_c4_rules
+
+    df = q148_c4_rules(spark, sf_dir)
+    p = df._jdf.queryExecution().executedPlan().toString()
+    assert p.count("Exchange") == 0, p
+    assert "EvalPython" not in p and "PythonUDF" not in p, p
+    assert "Window" not in p, p
