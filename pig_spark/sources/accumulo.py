@@ -148,6 +148,15 @@ def load_accumulo(
         )
     )
     cells = spark.read.schema(CELL_SCHEMA).parquet(path)
+    if not cols:
+        # AccumuloStorage('') — no columns: the tuple is just the row
+        # key (getTuple iterates an empty column list)
+        out = cells
+        if "start" in opts:
+            out = out.where(F.col("rowkey") >= opts["start"])
+        if "end" in opts:
+            out = out.where(F.col("rowkey") <= opts["end"])
+        return out.select("rowkey").distinct()
     if "start" in opts:  # Accumulo Range(start, end): BOTH inclusive
         cells = cells.where(F.col("rowkey") >= opts["start"])
     if "end" in opts:
@@ -249,7 +258,7 @@ def store_accumulo(
                     qual.alias("qual"),
                     _encode(F.col("__v"), ex.schema["__v"].dataType, caster).alias("value"),
                     ts.alias("ts"),
-                )
+                ).where(F.col("value").isNotNull())  # a mutation never writes null
             )
     cells = pieces[0]
     for p in pieces[1:]:

@@ -312,7 +312,7 @@ def store_hbase(
                         "qual",
                         _encode(F.col("__v"), exploded.schema["__v"].dataType, caster).alias("value"),
                         ts.alias("ts"),
-                    )
+                    ).where(F.col("value").isNotNull())  # a put never writes null
                 )
             else:
                 raise ValueError(

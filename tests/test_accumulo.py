@@ -123,3 +123,13 @@ def test_binary_caster_alias(spark, tmp_path):
     AccumuloStorage("n:v", "-caster AccumuloBinaryConverter").store(df, t)
     got = load_accumulo(spark, t, "n:v", "-caster AccumuloBinaryConverter")
     assert got.first()["n_v"] == "-99"
+
+
+def test_empty_columns_loads_rowkeys_only(spark, tmp_path):
+    """AccumuloStorage('') — getTuple over an empty column list yields
+    just the row key; null map values never become cells on store."""
+    t = str(tmp_path)
+    _write_cells(t, [("r1", "f", "q", b"x", 1), ("r2", "f", "q", b"y", 1)])
+    got = load_accumulo(spark, t, "")
+    assert got.columns == ["rowkey"]
+    assert sorted(r["rowkey"] for r in got.collect()) == ["r1", "r2"]
