@@ -323,6 +323,14 @@ def regex_groups(col, pattern: str, n_groups: int):
 
 def _norm_format(fmt: str) -> str:
     f = _ALIASES.get(fmt.lower(), fmt.lower())
+    if f in ("hbase", "accumulo", "hbasestorage", "accumulostorage"):
+        # not generic formats — they need a column list; point at the
+        # cell-model facades (sources/hbase.py, sources/accumulo.py)
+        raise ValueError(
+            f"format {fmt!r} needs a column list — use "
+            "sources.hbase.load_hbase / sources.accumulo.load_accumulo "
+            "(or Latin LOAD ... USING HBaseStorage/AccumuloStorage)"
+        )
     if f not in _FORMATS:
         raise ValueError(f"unsupported format {fmt!r}; one of {sorted(_FORMATS | set(_ALIASES))}")
     return f
