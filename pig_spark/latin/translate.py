@@ -49,24 +49,6 @@ PIG_TO_SPARK_TYPE = {
     "bigdecimal": "decimal(38,18)",
 }
 
-def _split_top(s: str) -> list[str]:
-    """Split on top-level commas (nesting-aware)."""
-    out, depth, cur = [], 0, []
-    for ch in s:
-        if ch in "([{":
-            depth += 1
-        elif ch in ")]}":
-            depth -= 1
-        if ch == "," and depth == 0:
-            out.append("".join(cur))
-            cur = []
-        else:
-            cur.append(ch)
-    if cur or out:
-        out.append("".join(cur))
-    return [p.strip() for p in out if p.strip()]
-
-
 def _tuple_fields(ptype: str) -> list[tuple[str, str]]:
     """'tuple(a:int,b)' / '(a:int,b)' → [(name, pig_type), ...]."""
     body = ptype[ptype.index("(") + 1 : ptype.rindex(")")]
@@ -1430,7 +1412,13 @@ class PigTranslator:
             if not hargs:
                 raise ValueError("HBaseStorage needs a column list argument")
             df = load_hbase(
-                self.spark, op.path, hargs[0], hargs[1] if len(hargs) > 1 else ""
+                self.spark,
+                op.path,
+                hargs[0],
+                hargs[1] if len(hargs) > 1 else "",
+                # AS-clause types drive the binary caster's per-field
+                # decode (the Java HBaseBinaryConverter contract)
+                field_types=[f.type for f in op.schema] if op.schema else None,
             )
             if op.schema:
                 outs = []
@@ -1461,6 +1449,7 @@ class PigTranslator:
                 op.path,
                 aargs[0] if aargs else "",
                 aargs[1] if len(aargs) > 1 else "",
+                field_types=[f.type for f in op.schema] if op.schema else None,
             )
             if op.schema:
                 outs = []

@@ -43,7 +43,13 @@ from urllib.parse import parse_qs, urlparse
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from .hbase import CELL_SCHEMA, _decoder, _encode  # shared cell model
+from .hbase import (  # shared cell model
+    CELL_SCHEMA,
+    _decoder,
+    _encode,
+    _next_ts,
+    slashisize,
+)
 
 ACCUMULO_ROOT_CONF = "spark.pig_spark.accumulo.root"
 
@@ -129,12 +135,18 @@ def _resolve_uri(spark: SparkSession, location: str) -> tuple[str, dict]:
 
 
 def load_accumulo(
-    spark: SparkSession, location: str, columns: str = "", options: str = ""
+    spark: SparkSession,
+    location: str,
+    columns: str = "",
+    options: str = "",
+    field_types: list | None = None,
 ) -> DataFrame:
     """LOAD ... USING AccumuloStorage(columns, options): row key is
     always field 0; LITERAL columns as string (missing → '' — the
     EMPTY_DATA_BYTE_ARRAY rule), prefix columns as map<string,string>
-    keyed 'cf' / 'cf:cq'."""
+    keyed 'cf' / 'cf:cq'. ``field_types`` = AS-clause Pig types aligned
+    with the output (slot 0 = the row key) — the binary caster decodes
+    each LITERAL cell by its requested type (see hbase._binary_decode)."""
     opts = _parse_opts(options)
     path, uri_opts = _resolve_uri(spark, location)
     opts = {**uri_opts, **opts}
@@ -153,14 +165,14 @@ def load_accumulo(
         # key (getTuple iterates an empty column list)
         out = cells
         if "start" in opts:
-            out = out.where(F.col("rowkey") >= opts["start"])
+            out = out.where(F.col("rowkey") >= slashisize(opts["start"]))
         if "end" in opts:
-            out = out.where(F.col("rowkey") <= opts["end"])
+            out = out.where(F.col("rowkey") <= slashisize(opts["end"]))
         return out.select("rowkey").distinct()
     if "start" in opts:  # Accumulo Range(start, end): BOTH inclusive
-        cells = cells.where(F.col("rowkey") >= opts["start"])
+        cells = cells.where(F.col("rowkey") >= slashisize(opts["start"]))
     if "end" in opts:
-        cells = cells.where(F.col("rowkey") <= opts["end"])
+        cells = cells.where(F.col("rowkey") <= slashisize(opts["end"]))
 
     latest = cells.groupBy("rowkey", "cf", "qual").agg(
         F.max_by("value", "ts").alias("value")
@@ -169,14 +181,16 @@ def load_accumulo(
         F.col("qual") == "", F.col("cf")
     ).otherwise(F.concat(F.col("cf"), F.lit(":"), F.col("qual")))
     aggs = []
+    types = [
+        field_types[i + 1] if field_types and i + 1 < len(field_types) else None
+        for i in range(len(cols))
+    ]
+    # LITERALs aggregate RAW bytes and decode after the pivot (typed
+    # decodes may use JVM reflection — banned inside aggregates)
     for i, ci in enumerate(cols):
         if ci.kind == "literal":
             cond = (F.col("cf") == ci.family) & (F.col("qual") == (ci.qual or ""))
-            aggs.append(
-                F.coalesce(
-                    F.max(F.when(cond, decode(F.col("value")))), F.lit("")
-                ).alias(f"c{i}")
-            )
+            aggs.append(F.max(F.when(cond, F.col("value"))).alias(f"c{i}"))
         else:
             if ci.kind == "colfam_prefix":
                 cond = F.col("cf").startswith(ci.family)
@@ -191,14 +205,16 @@ def load_accumulo(
                 ).alias(f"c{i}")
             )
     out = latest.groupBy("rowkey").agg(*aggs)
-    names = ["rowkey"] + [
-        (ci.original.replace(":", "_").replace("*", "").rstrip("_") or f"c{i}")
-        for i, ci in enumerate(cols)
-    ]
-    return out.select(
-        F.col("rowkey").alias(names[0]),
-        *[F.col(f"c{i}").alias(n) for i, n in enumerate(names[1:])],
-    )
+    sel = [F.col("rowkey")]
+    for i, ci in enumerate(cols):
+        dst = ci.original.replace(":", "_").replace("*", "").rstrip("_") or f"c{i}"
+        c = F.col(f"c{i}")
+        if ci.kind == "literal":
+            # missing LITERAL reads as '' (EMPTY_DATA_BYTE_ARRAY)
+            sel.append(F.coalesce(decode(c, types[i]), F.lit("")).alias(dst))
+        else:
+            sel.append(c.alias(dst))
+    return out.select(*sel)
 
 
 def store_accumulo(
@@ -216,13 +232,21 @@ def store_accumulo(
         opts.get("caster", "UTF8StorageConverter").rsplit(".", 1)[-1].lower(),
         opts.get("caster", "UTF8StorageConverter"),
     )
+    if not cols:
+        # load supports AccumuloStorage('') (row keys only), but a
+        # store with no columns has nothing to mutate — fail clearly
+        raise ValueError(
+            "AccumuloStorage store needs at least one column (the load-side "
+            "AccumuloStorage('') row-key form has no store equivalent)"
+        )
     fields = df.columns
     if len(fields) != len(cols) + 1:
         raise ValueError(
             f"AccumuloStorage store: relation has {len(fields)} fields but "
             f"the column list names {len(cols)} (+1 for the row key)"
         )
-    ts = F.lit(0).cast("bigint")
+    # stamp one tick past the target's max ts — latest put wins on load
+    ts = F.lit(_next_ts(df.sparkSession, path)).cast("bigint")
     keycol = F.col(fields[0]).cast("string").alias("rowkey")
     pieces = []
     for ci, fname in zip(cols, fields[1:]):
@@ -276,8 +300,10 @@ class AccumuloStorage:
         _parse_opts(options)
         parse_accumulo_columns(columns)
 
-    def load(self, spark: SparkSession, location: str) -> DataFrame:
-        return load_accumulo(spark, location, self.columns, self.options)
+    def load(
+        self, spark: SparkSession, location: str, field_types: list | None = None
+    ) -> DataFrame:
+        return load_accumulo(spark, location, self.columns, self.options, field_types)
 
     def store(self, df: DataFrame, location: str) -> None:
         store_accumulo(df, location, self.columns, self.options)

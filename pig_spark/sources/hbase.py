@@ -22,9 +22,12 @@ tested here:
 - casters (CASTER_PROPERTY:153): ``Utf8StorageConverter`` (default)
   decodes values as UTF-8 text — downstream ``AS`` clauses apply
   Pig's gradual typing, exactly the bytearray→POCast flow;
-  ``HBaseBinaryConverter`` decodes big-endian Bytes.toBytes() ints
-  and longs by cell width (8 → long, 4 → int, else UTF-8) and
-  encodes them back on store;
+  ``HBaseBinaryConverter`` decodes big-endian Bytes.toBytes() values
+  by the REQUESTED Pig type from the AS clause (long/int/double/
+  float/boolean/chararray — the Java bytesToX contract; width
+  mismatch → null) and encodes them back on store; with no AS types
+  it falls back to a width heuristic (8 → long, 4 → int, else UTF-8
+  — see _binary_decode for the caveat);
 - version semantics: a scan returns the LATEST cell per (row, cf,
   qual) — reproduced with ``max_by(value, ts)``;
 - store (putNext): first field = row key; scalar fields write one
@@ -47,8 +50,10 @@ difference is documented here and in the test.
 
 from __future__ import annotations
 
+import re
 from dataclasses import dataclass
 
+from pyspark.errors import AnalysisException
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -144,46 +149,127 @@ def _resolve(spark: SparkSession, path: str) -> str:
     return path
 
 
+_SLASHISIZE = re.compile(r"\\x([0-9A-Fa-f]{2})")
+
+
+def slashisize(s: str) -> str:
+    r"""Utils.slashisize / Bytes.toBytesBinary — decode ``\xNN`` hex
+    escapes in row-key range values (e.g. ``\x00`` region boundaries),
+    so ``-lt row\x00`` compares as the NUL byte, not four literal
+    characters. Spark strings compare by UTF-8 binary order, so the
+    decoded form matches HBase's byte-lexicographic scan range for the
+    UTF-8 keys the facade writes. Keys containing SPACES still cannot
+    be expressed (the option string tokenizes on whitespace — divergence
+    documented alongside the per-region ``-limit`` note above)."""
+    return _SLASHISIZE.sub(lambda m: chr(int(m.group(1), 16)), s)
+
+
+def _next_ts(spark: SparkSession, path: str) -> int:
+    """Each store invocation stamps its cells one tick past the target
+    dataset's current max ts, so the load side's latest-version rule
+    (``max_by(value, ts)``) deterministically resolves rewrites — the
+    facade's stand-in for HBase stamping puts with the server clock
+    (real puts get currentTimeMillis). Cheap even on a large cell
+    store: ``max(ts)`` answers from parquet footer statistics."""
+    try:
+        row = spark.read.schema(CELL_SCHEMA).parquet(path).agg(F.max("ts")).first()
+        return (row[0] if row[0] is not None else 0) + 1
+    except AnalysisException:  # first store: the dataset doesn't exist yet
+        return 1
+
+
 def _utf8(value):
     return F.decode(value, "UTF-8")
 
 
-def _binary_decode(value):
-    """HBaseBinaryConverter: big-endian Bytes.toBytes widths — 8 bytes
-    → long, 4 → int, anything else → UTF-8 text. Sign restored via
-    exact DECIMAL arithmetic (conv() reads hex as unsigned)."""
-    hexed = F.hex(value)
-    u64 = F.conv(hexed, 16, 10).cast("decimal(21,0)")
+def _be_s64(value):
+    """8-byte big-endian signed long as a string column. Sign restored
+    via exact DECIMAL arithmetic (conv() reads hex as unsigned)."""
+    u64 = F.conv(F.hex(value), 16, 10).cast("decimal(21,0)")
     # 2^63 / 2^64 exceed the long literal range — ship them as strings
     two63 = F.lit(str(1 << 63)).cast("decimal(21,0)")
     two64 = F.lit(str(1 << 64)).cast("decimal(21,0)")
-    s64 = F.when(u64 >= two63, u64 - two64).otherwise(u64)
-    u32 = F.conv(hexed, 16, 10).cast("long")
-    s32 = F.when(u32 >= (1 << 31), u32 - (1 << 32)).otherwise(u32)
     return (
-        F.when(F.length(value) == 8, s64.cast("long").cast("string"))
-        .when(F.length(value) == 4, s32.cast("string"))
+        F.when(u64 >= two63, u64 - two64).otherwise(u64).cast("long").cast("string")
+    )
+
+
+def _be_s32(value):
+    u32 = F.conv(F.hex(value), 16, 10).cast("long")
+    return F.when(u32 >= (1 << 31), u32 - (1 << 32)).otherwise(u32).cast("string")
+
+
+def _binary_decode(value, ptype: str | None = None):
+    """HBaseBinaryConverter: the Java class decodes by the REQUESTED
+    Pig type from the AS schema (bytesToLong/bytesToInt/... each demand
+    the exact Bytes.toBytes width and throw otherwise — the facade
+    yields NULL on a width mismatch instead of failing the scan). When
+    no AS clause supplies a type (``ptype is None``) the facade falls
+    back to the width heuristic 8 → long, 4 → int, else UTF-8 — which
+    CORRUPTS string values whose UTF-8 encoding happens to be exactly
+    4 or 8 bytes (e.g. '2024' → '842019890'); give binary-caster loads
+    an AS clause to get the Java decode."""
+    t = (ptype or "").lower()
+    if t in ("long", "bigint"):
+        return F.when(F.length(value) == 8, _be_s64(value))
+    if t in ("int", "integer"):
+        return F.when(F.length(value) == 4, _be_s32(value))
+    if t == "double":  # Bytes.toDouble — IEEE bits via the JVM
+        bits = _be_s64(value).cast("long")
+        return F.when(
+            F.length(value) == 8,
+            F.reflect(
+                F.lit("java.lang.Double"), F.lit("longBitsToDouble"), bits
+            ).cast("double").cast("string"),
+        )
+    if t == "float":
+        bits = _be_s32(value).cast("int")
+        return F.when(
+            F.length(value) == 4,
+            F.reflect(
+                F.lit("java.lang.Float"), F.lit("intBitsToFloat"), bits
+            ).cast("float").cast("string"),
+        )
+    if t == "boolean":  # Bytes.toBoolean — single byte, 0 = false
+        return F.when(F.length(value) == 1, (F.hex(value) != "00").cast("string"))
+    if t in ("chararray", "bytearray", "string"):
+        return _utf8(value)
+    # no requested type: the documented width heuristic
+    return (
+        F.when(F.length(value) == 8, _be_s64(value))
+        .when(F.length(value) == 4, _be_s32(value))
         .otherwise(_utf8(value))
     )
 
 
 def _decoder(caster: str):
+    """Returns decode(value, ptype=None) -> string column."""
     c = (caster or "Utf8StorageConverter").rsplit(".", 1)[-1].lower()
     if c == "utf8storageconverter":
-        return _utf8
+        return lambda value, ptype=None: _utf8(value)
     if c == "hbasebinaryconverter":
         return _binary_decode
     raise ValueError(f"HBaseStorage: unsupported caster {caster!r}")
 
 
 def load_hbase(
-    spark: SparkSession, path: str, column_list: str, options: str = ""
+    spark: SparkSession,
+    path: str,
+    column_list: str,
+    options: str = "",
+    field_types: list | None = None,
 ) -> DataFrame:
     """LOAD ... USING HBaseStorage(columnList, options) over a cell
     dataset. Output columns: [rowkey if -loadKey] + one column per
     column-list item in order — scalar items as string (caster-
     decoded; AS clauses apply Pig gradual typing downstream), map
-    items as map<string,string> keyed by the qualifier."""
+    items as map<string,string> keyed by the qualifier.
+
+    ``field_types`` (optional) = the AS-clause Pig types aligned with
+    the OUTPUT columns (including the rowkey slot when -loadKey) — the
+    binary caster decodes each cell by its requested type, exactly the
+    Java HBaseBinaryConverter contract; without it the width heuristic
+    applies (see _binary_decode)."""
     opts = _parse_options(options)
     cols = parse_column_list(
         column_list,
@@ -191,19 +277,27 @@ def load_hbase(
         ignore_whitespace=bool(opts.get("ignorewhitespace", True)),
     )
     decode = _decoder(opts.get("caster", "Utf8StorageConverter"))
+    # per-output-column requested types → per column-list item (skip
+    # the rowkey slot when -loadKey occupies output position 0)
+    off = 1 if opts.get("loadkey") else 0
+    types = [
+        field_types[i + off] if field_types and i + off < len(field_types) else None
+        for i in range(len(cols))
+    ]
     cells = spark.read.schema(CELL_SCHEMA).parquet(_resolve(spark, path))
 
     # scan options — all become scan-pushable predicates on the
-    # parquet read (the facade's HBase range scan)
+    # parquet read (the facade's HBase range scan); range values decode
+    # \xNN escapes (Utils.slashisize / Bytes.toBytesBinary)
     key = F.col("rowkey")
     if "gt" in opts:
-        cells = cells.where(key > opts["gt"])
+        cells = cells.where(key > slashisize(opts["gt"]))
     if "gte" in opts:
-        cells = cells.where(key >= opts["gte"])
+        cells = cells.where(key >= slashisize(opts["gte"]))
     if "lt" in opts:
-        cells = cells.where(key < opts["lt"])
+        cells = cells.where(key < slashisize(opts["lt"]))
     if "lte" in opts:
-        cells = cells.where(key <= opts["lte"])
+        cells = cells.where(key <= slashisize(opts["lte"]))
     if "regex" in opts:
         cells = cells.where(key.rlike(opts["regex"]))
     if "timestamp" in opts:
@@ -235,14 +329,16 @@ def load_hbase(
     latest = cells.groupBy("rowkey", "cf", "qual").agg(
         F.max_by("value", "ts").alias("value")
     )
+    # scalar columns aggregate the RAW cell bytes (at most one per key
+    # after the version dedup) and decode AFTER the pivot — typed
+    # decodes may use JVM reflection, which the analyzer bans inside
+    # aggregate arguments; map columns decode inline (always untyped)
     aggs = []
     for i, ci in enumerate(cols):
         base = F.col("cf") == ci.family
         if ci.qual is not None:
             cond = base & (F.col("qual") == ci.qual)
-            aggs.append(
-                F.max(F.when(cond, decode(F.col("value")))).alias(f"c{i}")
-            )
+            aggs.append(F.max(F.when(cond, F.col("value"))).alias(f"c{i}"))
         else:
             cond = base if ci.prefix is None else base & F.col("qual").startswith(ci.prefix)
             entry = F.when(cond, F.struct(F.col("qual"), decode(F.col("value"))))
@@ -255,11 +351,12 @@ def load_hbase(
     if "limit" in opts:
         # Java: rows per REGION; facade: global (no regions client-side)
         out = out.orderBy("rowkey").limit(int(opts["limit"]))
-    names = ([("rowkey", "rowkey")] if opts.get("loadkey") else []) + [
-        (f"c{i}", ci.original.replace(":", "_").replace("*", "").rstrip("_") or f"c{i}")
-        for i, ci in enumerate(cols)
-    ]
-    return out.select(*[F.col(src).alias(dst) for src, dst in names])
+    sel = [F.col("rowkey")] if opts.get("loadkey") else []
+    for i, ci in enumerate(cols):
+        dst = ci.original.replace(":", "_").replace("*", "").rstrip("_") or f"c{i}"
+        c = F.col(f"c{i}")
+        sel.append((c if ci.is_map else decode(c, types[i])).alias(dst))
+    return out.select(*sel)
 
 
 def _encode(col, dtype, caster: str):
@@ -295,7 +392,10 @@ def store_hbase(
             f"HBaseStorage store: relation has {len(fields)} fields but the "
             f"column list names {len(cols)} (+1 for the row key)"
         )
-    ts = F.lit(0).cast("bigint")  # single-version facade default
+    target = _resolve(df.sparkSession, path)
+    # stamp this store one tick past the target's current max ts so the
+    # latest-version rule resolves re-puts (puts are upserts)
+    ts = F.lit(_next_ts(df.sparkSession, target)).cast("bigint")
     pieces = []
     keycol = F.col(fields[0]).cast("string").alias("rowkey")
     for ci, fname in zip(cols, fields[1:]):
@@ -332,7 +432,7 @@ def store_hbase(
     cells = pieces[0]
     for p in pieces[1:]:
         cells = cells.unionByName(p)
-    cells.write.mode("append").parquet(_resolve(df.sparkSession, path))
+    cells.write.mode("append").parquet(target)
 
 
 class HBaseStorage:
@@ -347,8 +447,10 @@ class HBaseStorage:
         _parse_options(options)
         parse_column_list(column_list)
 
-    def load(self, spark: SparkSession, path: str) -> DataFrame:
-        return load_hbase(spark, path, self.column_list, self.options)
+    def load(
+        self, spark: SparkSession, path: str, field_types: list | None = None
+    ) -> DataFrame:
+        return load_hbase(spark, path, self.column_list, self.options, field_types)
 
     def store(self, df: DataFrame, path: str) -> None:
         store_hbase(df, path, self.column_list, self.options)

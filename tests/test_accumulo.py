@@ -133,3 +133,46 @@ def test_empty_columns_loads_rowkeys_only(spark, tmp_path):
     got = load_accumulo(spark, t, "")
     assert got.columns == ["rowkey"]
     assert sorted(r["rowkey"] for r in got.collect()) == ["r1", "r2"]
+
+
+def test_store_upsert_later_put_wins(spark, tmp_path):
+    """Each store invocation stamps cells one tick past the target's
+    max ts, so a re-put resolves to the LATER value under the
+    latest-version rule (real Accumulo stamps mutation time)."""
+    t = str(tmp_path / "tbl")
+    store_accumulo(spark.createDataFrame([("r1", "old")], "k string, v string"), t, "f:v")
+    store_accumulo(spark.createDataFrame([("r1", "new")], "k string, v string"), t, "f:v")
+    got = load_accumulo(spark, t, "f:v")
+    assert got.count() == 1 and got.first()["f_v"] == "new"
+
+
+def test_store_empty_columns_is_a_clear_error(spark, tmp_path):
+    """STORE ... USING AccumuloStorage('') has nothing to mutate —
+    clear ValueError, not an IndexError (load-side '' is supported)."""
+    df = spark.createDataFrame([("r1",)], "k string")
+    with pytest.raises(ValueError, match="at least one column"):
+        store_accumulo(df, str(tmp_path / "t"), "")
+
+
+def test_binary_caster_typed_decode_via_latin(spark, tmp_path):
+    """AS-clause types thread into the binary caster's decode: a
+    4-byte string cell survives as chararray (the width heuristic
+    would corrupt it to an int)."""
+    from pig_spark.latin import run
+
+    root = str(tmp_path)
+    spark.conf.set("spark.pig_spark.accumulo.root", root)
+    import pathlib
+
+    pathlib.Path(root + "/t4").mkdir()
+    _write_cells(root + "/t4", [("r1", "n", "s", b"2024", 1)])
+    out = run(
+        spark,
+        """
+        a = LOAD 'accumulo://t4' USING
+            org.apache.pig.backend.hadoop.accumulo.AccumuloStorage(
+              'n:s', '-caster AccumuloBinaryConverter')
+            AS (k:chararray, s:chararray);
+        """,
+    )["a"].df.first()
+    assert out["s"] == "2024"

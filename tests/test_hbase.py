@@ -128,15 +128,17 @@ def test_store_roundtrip_and_prefix_map(spark, tmp_path):
     assert [r["rowkey"] for r in got] == ["r1", "r2"]
     assert got[0]["friends_bob"] == {"bob_x": "1"}  # carol pruned by prefix
     assert got[1]["info_name"] == "alan"
-    # upsert: re-store r1's name with a later write; facade ts=0 both
-    # times, max_by ties resolve deterministically only across ts — so
-    # write through the class API with the same layout and check the
-    # row count stays 2 (puts are upserts, not duplicate rows)
+    # upsert: re-store r1's name — each store invocation stamps its
+    # cells past the target's max ts, so the LATER put wins on load
+    # (the latest-version rule, like real HBase stamping put time)
     HBaseStorage("info:name friends:*").store(
         spark.createDataFrame([("r1", "ada2", {})], df.schema), t
     )
     again = load_hbase(spark, t, "info:name", "-loadKey true")
     assert again.count() == 2
+    assert (
+        again.where(F.col("rowkey") == "r1").first()["info_name"] == "ada2"
+    ), "later store must win under the latest-version rule"
     with pytest.raises(ValueError):
         store_hbase(df, t, "info:name")  # arity mismatch: 3 fields, 1+1 named
 
@@ -160,6 +162,61 @@ def test_binary_caster_roundtrip(spark, tmp_path):
         ("42", "-7", "txt"),
         (str(-(1 << 40)), "2147483647", "u"),
     ]
+
+
+def test_binary_caster_decodes_by_requested_type(spark, tmp_path):
+    """The Java HBaseBinaryConverter decodes by the AS-clause type, not
+    cell width: a 4-byte string like '2024' must survive as text when
+    the requested type is chararray (the width heuristic corrupted it
+    to an int); long/double/boolean decode per Bytes.toX; a width
+    mismatch yields null, not garbage."""
+    import struct
+
+    t = str(tmp_path)
+    _write_cells(
+        t,
+        [
+            ("r1", "n", "s", b"2024", 1),  # 4-byte UTF-8 string
+            ("r1", "n", "l", struct.pack(">q", -5), 1),
+            ("r1", "n", "d", struct.pack(">d", 1.5), 1),
+            ("r1", "n", "b", b"\x01", 1),
+            ("r2", "n", "l", b"xyz", 1),  # wrong width for a long
+        ],
+    )
+    got = load_hbase(
+        spark,
+        t,
+        "n:s n:l n:d n:b",
+        "-caster HBaseBinaryConverter -loadKey true",
+        field_types=["chararray", "chararray", "long", "double", "boolean"],
+    ).orderBy("rowkey").collect()
+    assert (got[0]["n_s"], got[0]["n_l"], got[0]["n_d"], got[0]["n_b"]) == (
+        "2024", "-5", "1.5", "true",
+    )
+    assert got[1]["n_l"] is None  # 3-byte cell cannot be a long
+    # without AS types the documented width heuristic applies
+    heur = load_hbase(
+        spark, t, "n:s", "-caster HBaseBinaryConverter -loadKey true"
+    ).orderBy("rowkey").first()
+    assert heur["n_s"] == str(struct.unpack(">i", b"2024")[0])
+
+
+def test_rowkey_range_slashisize_escapes(spark, tmp_path):
+    r"""-gt/-lt values decode \xNN escapes (Utils.slashisize /
+    Bytes.toBytesBinary) — the common HBase idiom for binary range
+    boundaries like 'prefix\x00'..'prefix\xFF'."""
+    t = str(tmp_path)
+    _write_cells(
+        t,
+        [
+            ("a", "f", "q", b"1", 1),
+            ("a\x00x", "f", "q", b"2", 1),
+            ("a\x7fz", "f", "q", b"3", 1),
+            ("b", "f", "q", b"4", 1),
+        ],
+    )
+    got = load_hbase(spark, t, "f:q", r"-gte a\x00 -lt a\x7f -loadKey true")
+    assert [r["rowkey"] for r in got.orderBy("rowkey").collect()] == ["a\x00x"]
 
 
 def test_latin_load_store_hbase(spark, tmp_path):
