@@ -91,10 +91,53 @@ HEADLINE = [
     "q141_fuzzy_decontamination",  # r9: cross-corpus minhash leak check
     "q142_perplexity_partition",  # r9: LM score + two-pass tercile rank
     "q143_training_shards",  # r9: deterministic shard deal + manifest
+    "q149_balanced_shards",  # r10: quota shards over the exact waterline
+    "q150_incremental_substring_dedup",  # r10: stored-index ExactSubstr probe
+    "q151_hcat_partitioned",  # r10: catalog store + pruned HCatLoader read
     # q139 (classifier trainer) and q144 (BPE trainer) deliberately not
     # headliners: they are multi-job iterative training runs, not ETL
     # queries — gated by the oracle, timed nowhere
 ]
+
+
+def _facade_store_bench(spark, sf_dir: str, timings: dict) -> None:
+    """Latin STORE/LOAD ... USING HBaseStorage end-to-end under the
+    bench loop (VERDICT r9 #10): keeps the putNext store layout, the
+    per-store ts stamping, and the facade's pivot scan on a perf row.
+    Tiny data (documents metadata — cells, not text), so the row
+    times the facade machinery, not IO volume."""
+    import shutil
+    import tempfile
+
+    from pig_spark.latin import run
+
+    root = tempfile.mkdtemp(prefix="pig_spark_hbase_")
+    prev = spark.conf.get("spark.pig_spark.hbase.root", None)
+    try:
+        spark.conf.set("spark.pig_spark.hbase.root", root)
+        t0 = time.time()
+        run(spark, f"""
+            d = LOAD '{sf_dir}/documents.parquet' USING ParquetLoader();
+            p = FOREACH d GENERATE doc_id, lang, source, n_chars;
+            STORE p INTO 'hbase://bench_docs' USING
+                org.apache.pig.backend.hadoop.hbase.HBaseStorage('m:lang m:source m:n_chars');
+        """)
+        timings["hbase_store_latin"] = round(time.time() - t0, 3)
+        t0 = time.time()
+        run(spark, """
+            a = LOAD 'hbase://bench_docs' USING
+                org.apache.pig.backend.hadoop.hbase.HBaseStorage('m:lang m:n_chars', '-loadKey true')
+                AS (k:chararray, lang:chararray, n:long);
+            g = GROUP a BY lang;
+            out = FOREACH g GENERATE group, COUNT(a), SUM(a.n);
+        """)["out"].df.write.format("noop").mode("overwrite").save()
+        timings["hbase_load_latin"] = round(time.time() - t0, 3)
+    finally:
+        if prev is None:
+            spark.conf.unset("spark.pig_spark.hbase.root")
+        else:
+            spark.conf.set("spark.pig_spark.hbase.root", prev)
+        shutil.rmtree(root, ignore_errors=True)
 
 
 def _skew_bench(spark, sf_dir: str, timings: dict) -> None:
@@ -587,6 +630,7 @@ def main():
     }
 
     _skew_bench(spark, sf_dir, timings)
+    _facade_store_bench(spark, sf_dir, timings)
 
     total = round(sum(timings.values()), 3)
     results = {

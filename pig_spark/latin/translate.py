@@ -810,11 +810,33 @@ class PigTranslator:
             return text
 
         out_lines = []
+        sql_buf: list[str] = []  # multi-line `sql <ddl> ... ;` statement
         for line in src.splitlines():
             if "$" in line:
                 # top-to-bottom: a $ref sees every param bound so far
                 # (callers' params + earlier %declare/%default lines)
                 line = _sub_params(line)
+            if sql_buf:
+                sql_buf.append(line)
+                if line.rstrip().endswith(";"):
+                    self._run_sql_command(" ".join(sql_buf))
+                    sql_buf = []
+                continue
+            sqlm = _re.match(r"\s*sql\s+(.*)$", line, _re.IGNORECASE)
+            if sqlm and not _re.match(r"\s*sql\s*=", line, _re.IGNORECASE):
+                # Grunt `sql <stmt>;` (GruntParser.processSQLCommand:
+                # 1267, pig.sql.type=hcat): DDL to the SQL engine —
+                # here Spark's own catalog (sources/hcatalog.py). The
+                # statement runs up to its terminating ';', possibly
+                # spanning lines, at preprocess time like sh/fs; same
+                # explain-mode skip (GruntParser.java:1327 ignores
+                # 'sql' under explain/check)
+                rest = sqlm.group(1)
+                if rest.rstrip().endswith(";"):
+                    self._run_sql_command(rest)
+                else:
+                    sql_buf = [rest]
+                continue
             sh = _re.match(r"\s*sh\s+(.+?)\s*;?\s*$", line)
             if sh and not _re.match(r"\s*sh\s*=", line):
                 # Grunt `sh <command>` (GruntParser.processShCommand):
@@ -856,7 +878,18 @@ class PigTranslator:
                     self.params[name] = value
                 continue
             out_lines.append(line)
+        if sql_buf:  # unterminated trailing sql statement — run as-is
+            self._run_sql_command(" ".join(sql_buf))
         return "\n".join(out_lines)
+
+    def _run_sql_command(self, stmt: str) -> None:
+        """Execute one Grunt ``sql`` statement (sources/hcatalog.py);
+        skipped during plan inspection like sh/fs (GruntParser.java:
+        1327 warns-and-ignores 'sql' under explain -script/-check)."""
+        if self.execute_stores:
+            from ..sources.hcatalog import run_sql
+
+            run_sql(self.spark, stmt)
 
     # ------------------------------------------------------------------
     def _stmt(self, stmt):
@@ -886,6 +919,13 @@ class PigTranslator:
                 if not args:
                     raise ValueError("AccumuloStorage needs a columns argument")
                 store_fn = lambda d, p=stmt.path, cl=args[0], o=(args[1] if len(args) > 1 else ""): store_accumulo(d, p, cl, o)  # noqa: E731
+            elif storer == "hcatstorer":
+                # HCatStorer([partitionSpec]) — catalog-native append
+                # into an existing table (sources/hcatalog.py; the INTO
+                # target is the table name, not a path)
+                from ..sources.hcatalog import store_hcat
+
+                store_fn = lambda d, t=stmt.path, ps=(args[0] if args else ""): store_hcat(d, t, ps)  # noqa: E731
             elif storer == "dbstorage":
                 # DBStorage(driver, url[, table]) — builtin/DBStorage.java
                 # ctor order; the INTO target doubles as the table name
@@ -928,11 +968,11 @@ class PigTranslator:
             else:
                 raise NameError(
                     f"unknown storer {stmt.storer!r} — one of "
-                    f"{sorted(k for k in LOADER_FORMAT if k)}, DBStorage, HBaseStorage or AccumuloStorage"
+                    f"{sorted(k for k in LOADER_FORMAT if k)}, DBStorage, HBaseStorage, AccumuloStorage or HCatStorer"
                 )
             import os as _os
 
-            if storer not in ("dbstorage", "hbasestorage", "accumulostorage") and self.execute_stores and _os.path.exists(stmt.path):
+            if storer not in ("dbstorage", "hbasestorage", "accumulostorage", "hcatstorer") and self.execute_stores and _os.path.exists(stmt.path):
                 # Pig refuses to clobber an existing output location
                 # (InputOutputFileValidator ERROR 6000, negative.conf
                 # 'store into existing file'); remove it first (fs -rmr)
@@ -1399,6 +1439,30 @@ class PigTranslator:
         ):
             self._flush_stores()
         loader = (op.loader or "pigstorage").rsplit(".", 1)[-1].lower()
+        if loader == "hcatloader":
+            # HCatLoader() — the LOAD target is a catalog table name;
+            # schema (incl. trailing partition columns) arrives TYPED
+            # from the catalog, so an AS clause only renames/casts
+            # (sources/hcatalog.py; hcat.conf)
+            from ..sources.hcatalog import load_hcat
+
+            df = load_hcat(self.spark, op.path)
+            if op.schema:
+                outs = []
+                for i, f in enumerate(op.schema):
+                    if i >= len(df.columns):
+                        outs.append(
+                            F.lit(None)
+                            .cast(pig_field_ddl(f.type) if f.type else "string")
+                            .alias(f.name)
+                        )
+                        continue
+                    c = df[df.columns[i]]
+                    outs.append(
+                        (c.try_cast(pig_field_ddl(f.type)) if f.type else c).alias(f.name)
+                    )
+                df = df.select(*outs)
+            return Relation(df)
         if loader == "hbasestorage":
             # HBaseStorage(columnList[, options]) — the client-less
             # cell-model facade (sources/hbase.py; HBaseStorage.java:146).

@@ -83,6 +83,68 @@ def pack_by_budget(
     ).drop("__pid", "__cum_local", "__off")
 
 
+def balanced_shards(
+    df: DataFrame,
+    tokens: str | Column,
+    n_shards: int,
+    order: str,
+    shard_name: str = "shard",
+) -> DataFrame:
+    """Token-SIZE-balanced deterministic shard assignment — the exact
+    greedy follow-up to :func:`shard_assign` (whose mod-N deal
+    balances row COUNTS, not byte/token totals). Two passes:
+
+    1. the manifest aggregate: one corpus scan → the total token count
+       (a 1-row broadcast), so shard i's quota boundary sits at
+       ``i * total / n_shards``;
+    2. deterministic range assignment: rows ordered by the
+       deterministic ``order`` key (md5-60 of the row key — the
+       shard_assign retry-stability contract: no RNG, no partition-
+       layout dependence) take the EXACT greedy waterline — the
+       running token prefix sum — and land in the shard whose quota
+       range contains their start:
+       ``shard = min(n-1, floor(cum_exclusive * n / total))``.
+
+    Every shard's token total lands within quota ± the largest single
+    document (property-tested) — the tight bound for any assignment
+    that keeps documents whole.
+
+    100 TB design: the prefix sum is the same two-pass
+    range-partition + partition-local window + tiny offsets table
+    :func:`pack_by_budget` uses — NO data-sized window partition and
+    no global orderBy; the manifest total is partial-aggregated. The
+    quota arithmetic stays exact: cum*n ≲ 2^53 for any realistic
+    corpus (2.5e13 tokens × 1024 shards), so the float floor is the
+    integer floor on both engines (the DuckDB oracle mirrors it)."""
+    if n_shards <= 0:
+        raise ValueError(f"n_shards must be positive, got {n_shards}")
+    tok = F.col(tokens) if isinstance(tokens, str) else tokens
+    parts = df.repartitionByRange(F.col(order)).withColumn(
+        "__pid", F.spark_partition_id()
+    )
+    w_local = Window.partitionBy("__pid").orderBy(order).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    local = parts.withColumn("__cum_local", F.sum(tok).over(w_local))
+    totals = local.groupBy("__pid").agg(F.sum(tok).alias("__tot"))
+    w_off = Window.orderBy("__pid").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = totals.withColumn(
+        "__off", F.coalesce(F.sum("__tot").over(w_off), F.lit(0))
+    )
+    grand = offsets.agg(F.sum("__tot").alias("__total"))
+    joined = local.join(
+        F.broadcast(offsets.select("__pid", "__off")), "__pid"
+    ).crossJoin(F.broadcast(grand))
+    cum_excl = F.col("__off") + F.col("__cum_local") - tok
+    return joined.withColumn(
+        shard_name,
+        F.least(
+            F.lit(n_shards - 1),
+            F.floor(cum_excl * n_shards / F.col("__total")),
+        ).cast("long"),
+    ).drop("__pid", "__cum_local", "__off", "__total")
+
+
 def shard_assign(
     df: DataFrame,
     key: str | Column,

@@ -1189,6 +1189,68 @@ def oracle_sql() -> dict[str, str]:
                    MIN(k) AS min_key, MAX(k) AS max_key,
                    CAST(SUM(doc_id) AS BIGINT) AS id_checksum
             FROM staged GROUP BY k % 16""",
+        "q149_balanced_shards": f"""
+            WITH staged AS (
+                SELECT doc_id,
+                       CAST(len({_toks('text')}) AS BIGINT) AS n_tokens,
+                       CAST(('0x' || substr(md5(doc_id || ':bshard:v1'), 1, 15))
+                            AS BIGINT) AS k
+                FROM documents),
+                 cum AS (SELECT doc_id, n_tokens, k,
+                                SUM(n_tokens) OVER (ORDER BY k
+                                    ROWS UNBOUNDED PRECEDING) - n_tokens AS c,
+                                SUM(n_tokens) OVER () AS total
+                         FROM staged),
+                 a AS (SELECT doc_id, n_tokens, k,
+                              LEAST(7, CAST(FLOOR(c * 8.0 / total) AS BIGINT)) AS shard
+                       FROM cum)
+            SELECT shard,
+                   CAST(COUNT(*) AS BIGINT) AS n_docs,
+                   CAST(SUM(n_tokens) AS BIGINT) AS sum_tokens,
+                   MIN(k) AS min_key, MAX(k) AS max_key,
+                   CAST(SUM(doc_id) AS BIGINT) AS id_checksum
+            FROM a GROUP BY shard""",
+        "q150_incremental_substring_dedup": _substr_ctes() + """
+                 oldidx AS (SELECT DISTINCT h FROM wins WHERE doc_id % 10 <> 0),
+                 nw AS (SELECT * FROM wins WHERE doc_id % 10 = 0),
+                 bfirst AS (SELECT h, MIN(doc_id * 1048576 + pos) AS fkey
+                            FROM nw GROUP BY h),
+                 marked AS (SELECT n.doc_id, n.pos,
+                                   (o.h IS NOT NULL) AS in_idx,
+                                   (n.doc_id * 1048576 + n.pos <> b.fkey) AS loses
+                            FROM nw n LEFT JOIN oldidx o ON n.h = o.h
+                                      JOIN bfirst b ON n.h = b.h),
+                 dups2 AS (SELECT * FROM marked WHERE in_idx OR loses),
+                 kinds AS (SELECT doc_id,
+                                  CAST(COUNT(*) FILTER (WHERE in_idx) AS BIGINT)
+                                      AS n_dup_vs_index,
+                                  CAST(COUNT(*) FILTER (WHERE NOT in_idx) AS BIGINT)
+                                      AS n_dup_in_batch
+                           FROM dups2 GROUP BY doc_id),
+                 cov AS (SELECT doc_id,
+                                COUNT(DISTINCT p) AS n_dup_tokens,
+                                COUNT(DISTINCT pos) AS n_dup_windows
+                         FROM (SELECT doc_id, pos, UNNEST(range(pos, pos + {W})) AS p
+                               FROM dups2)
+                         GROUP BY doc_id),
+                 base AS (SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+                                 CAST(greatest(n_tokens - {W} + 1, 0) AS BIGINT) AS n_windows
+                          FROM staged WHERE doc_id % 10 = 0)
+            SELECT b.doc_id, b.n_tokens, b.n_windows,
+                   COALESCE(k.n_dup_vs_index, 0) AS n_dup_vs_index,
+                   COALESCE(k.n_dup_in_batch, 0) AS n_dup_in_batch,
+                   COALESCE(c.n_dup_windows, 0) AS n_dup_windows,
+                   COALESCE(c.n_dup_tokens, 0) AS n_dup_tokens,
+                   round(1.0 * COALESCE(c.n_dup_tokens, 0) / greatest(b.n_tokens, 1), 6) AS dup_ratio,
+                   round(1.0 * COALESCE(c.n_dup_tokens, 0) / greatest(b.n_tokens, 1), 6) < 0.2 AS keep
+            FROM base b LEFT JOIN kinds k USING (doc_id)
+                        LEFT JOIN cov c USING (doc_id)""".format(W=_q137_w()),
+        "q151_hcat_partitioned": """
+            SELECT source,
+                   CAST(COUNT(*) AS BIGINT) AS n_docs,
+                   CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+                   CAST(MAX(doc_id) AS BIGINT) AS max_doc
+            FROM documents WHERE lang = 'en' GROUP BY source""",
         "q132_paragraph_near_dup": f"""
             WITH RECURSIVE
                  toks AS (SELECT doc_id,

@@ -989,3 +989,66 @@ def test_training_shard_store_order(spark, sf_dir, tmp_path):
         .count()
     )
     assert moved > 0
+
+
+def test_balanced_shards_quota_bound_and_retry_stability(spark):
+    """q149's operator contract (operators/packing.balanced_shards):
+    with documents kept whole, every shard's token total lands within
+    quota ± the largest single document (the tight bound for range
+    assignment over the exact waterline), and the assignment is
+    IDENTICAL across partition layouts — the shard_assign
+    retry-stability contract extended to size balancing."""
+    import random
+
+    from pig_spark.functions.dedup import md5_60
+    from pig_spark.operators.packing import balanced_shards
+
+    rng = random.Random(7)
+    rows = [(i, rng.choice([1, 5, 40, 400])) for i in range(400)]
+    df = spark.createDataFrame(rows, "id long, tok long")
+    keyed = df.withColumn("k", md5_60(F.col("id").cast("string")))
+    out = balanced_shards(keyed, "tok", 8, order="k")
+    per_shard = {r["shard"]: r["s"] for r in
+                 out.groupBy("shard").agg(F.sum("tok").alias("s")).collect()}
+    total = sum(t for _, t in rows)
+    quota, max_doc = total / 8, 400
+    assert sorted(per_shard) == list(range(8))
+    for s, tot in per_shard.items():
+        assert quota - max_doc <= tot <= quota + max_doc, (s, tot, quota)
+    assert sum(per_shard.values()) == total  # every doc exactly once
+    # retry stability: a different incoming layout yields the same map
+    again = balanced_shards(keyed.repartition(13), "tok", 8, order="k")
+    a = {r["id"]: r["shard"] for r in out.collect()}
+    b = {r["id"]: r["shard"] for r in again.collect()}
+    assert a == b
+
+
+def test_incremental_substring_consistent_with_whole_corpus(spark, sf_dir):
+    """q150 vs q137 consistency: a NEW-batch window marked duplicated
+    by the whole-corpus pass (q137) for a reason the incremental pass
+    can see (an old-corpus occurrence, or an earlier NEW occurrence)
+    must be marked by q150 too — per-doc dup-window counts for new
+    docs can only DIFFER where the first corpus occurrence lay in a
+    LATER-filtered part of the stream, which cannot happen here
+    because 'old' spans every doc_id % 10 != 0."""
+    from pig_spark.queries import (
+        q137_exact_substring_dedup,
+        q150_incremental_substring_dedup,
+    )
+
+    whole = {
+        r["doc_id"]: r["n_dup_windows"]
+        for r in q137_exact_substring_dedup(spark, sf_dir).collect()
+        if r["doc_id"] % 10 == 0
+    }
+    inc = {
+        r["doc_id"]: (r["n_dup_windows"], r["n_dup_vs_index"], r["n_dup_in_batch"])
+        for r in q150_incremental_substring_dedup(spark, sf_dir).collect()
+    }
+    assert set(whole) == set(inc)
+    for doc, n_whole in whole.items():
+        n_inc, vs_idx, in_batch = inc[doc]
+        # incremental can only mark MORE: corpus-first wins that sat in
+        # a new doc may lose to the index (any old occurrence counts)
+        assert n_inc >= n_whole, (doc, n_inc, n_whole)
+        assert vs_idx + in_batch >= n_inc  # kinds cover the windows

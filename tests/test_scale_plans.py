@@ -576,3 +576,49 @@ def test_c4_rules_plan_map_only(spark, sf_dir):
     assert p.count("Exchange") == 0, p
     assert "EvalPython" not in p and "PythonUDF" not in p, p
     assert "Window" not in p, p
+
+
+def test_balanced_shards_plan(spark, sf_dir):
+    """q149 (token-balanced shard export): NO data-sized window — the
+    prefix sum is the pack_by_budget two-pass scheme (local windows
+    partition by __pid; the only unpartitioned windows run over the
+    tiny per-partition totals table), the manifest total is a 1-row
+    broadcast, everything else codegen. No Python, no cartesian."""
+    from pig_spark.queries import q149_balanced_shards
+
+    df = q149_balanced_shards(spark, sf_dir)
+    opt = df._jdf.queryExecution().optimizedPlan().toString()
+    assert not unpartitioned_windows(opt), unpartitioned_windows(opt)
+    phys = df._jdf.queryExecution().executedPlan().toString()
+    assert "PythonUDF" not in phys and "EvalPython" not in phys, phys
+    assert "CartesianProduct" not in phys, phys
+
+
+def test_incremental_substring_dedup_plan(spark, sf_dir):
+    """q150 (incremental ExactSubstr): the stored-index probe is an
+    equi-join on the 8-byte fingerprint (AQE-skew-splittable, never a
+    cartesian), batch-internal firsts are the partial-aggregated
+    min(struct) — zero Window nodes; only the NEW batch is
+    fingerprinted (the old corpus contributes just its distinct-hash
+    index)."""
+    from pig_spark.queries import q150_incremental_substring_dedup
+
+    df = q150_incremental_substring_dedup(spark, sf_dir)
+    phys = df._jdf.queryExecution().executedPlan().toString()
+    assert "Window" not in phys, phys
+    assert "partial_min" in phys, phys
+    assert "PythonUDF" not in phys and "EvalPython" not in phys, phys
+    assert "CartesianProduct" not in phys and "BroadcastNestedLoopJoin" not in phys, phys
+
+
+def test_hcat_partition_pruning_plan(spark, sf_dir):
+    """q151 (HCatalog surface): the lang filter must prune at the
+    CATALOG layer — PartitionFilters on the scan (HCatLoader's
+    setPartitionFilter equivalent), not a post-scan filter over every
+    partition's files."""
+    from pig_spark.queries import q151_hcat_partitioned
+
+    df = q151_hcat_partitioned(spark, sf_dir)
+    phys = df._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [" in phys and "lang" in phys.split("PartitionFilters:")[1][:120], phys
+    assert "PythonUDF" not in phys and "EvalPython" not in phys, phys
