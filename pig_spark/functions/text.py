@@ -164,6 +164,26 @@ def rolling_hash_fingerprint(col: Column, window: int = 4) -> Column:
     return F.element_at(F.transform(staged, _fp), 1)
 
 
+def window_fingerprints(tokens: Column, w: int) -> Column:
+    """md5-60 fingerprint of every stride-1 ``w``-token window:
+    ``array<long>``, one entry per start position (empty when fewer
+    than ``w`` tokens). O(w) per position — slice + array_join + md5;
+    the zip_with chain that wins at n = 2..4 is O(w²) at this width
+    (SCALE.md expression rules). Shared by the ExactSubstr family
+    (q137/q138/q150 via ``queries._substr_wins``) and its streaming
+    twin (``streaming.substring_dedup_stream``)."""
+    from .dedup import md5_60
+
+    n_g = (F.size(tokens) - F.lit(w - 1)).cast("int")
+    return F.when(
+        n_g > 0,
+        F.transform(
+            F.sequence(F.lit(0), n_g - 1),
+            lambda i: md5_60(F.array_join(F.slice(tokens, i + 1, w), " ")),
+        ),
+    ).otherwise(F.array().cast("array<long>"))
+
+
 # repetition thresholds (Gopher-style corpus-quality rules; mirrored
 # in oracles.py q89)
 REP_DUP_2GRAM_MAX = 0.20

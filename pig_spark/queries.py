@@ -3058,19 +3058,10 @@ def _substr_wins(staged):
     fingerprints — in-row codegen, O(W) per position (q137 doc)."""
     from pyspark.sql import functions as F
 
-    from .functions.dedup import md5_60
+    from .functions.text import window_fingerprints
 
-    W = _SUBSTR_W
-    n_g = (F.col("n_tokens") - F.lit(W - 1)).cast("int")
-    hashes = F.when(
-        n_g > 0,
-        F.transform(
-            F.sequence(F.lit(0), n_g - 1),
-            lambda i: md5_60(F.array_join(F.slice(F.col("tk"), i + 1, W), " ")),
-        ),
-    ).otherwise(F.array().cast("array<long>"))
     return staged.select(
-        "doc_id", F.posexplode(hashes).alias("pos", "h")
+        "doc_id", F.posexplode(window_fingerprints(F.col("tk"), _SUBSTR_W)).alias("pos", "h")
     ).select("doc_id", F.col("pos").cast("long").alias("pos"), "h")
 
 

@@ -389,6 +389,103 @@ def paragraph_dedup_stream(
     )
 
 
+def substring_dedup_stream(
+    doc_stream: DataFrame,
+    fp_index_df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    ts_col: str = "arrived",
+    watermark: str = "10 minutes",
+    window: int = 50,
+) -> DataFrame:
+    """Streaming twin of q150: exact-substring dedup AT INGEST —
+    arriving documents fingerprint their stride-1 ``window``-token
+    windows (``text.window_fingerprints``) and probe the STORED
+    fingerprint index (q150's old-corpus index: distinct md5-60 window
+    hashes, column ``fh``) by stream-static join; the output is the
+    per-document dup accounting the batch family emits:
+    ``(doc_id, n_tokens, n_windows, n_dup_windows, n_dup_tokens,
+    dup_ratio, keep)``, once per document.
+
+    Contract (the q100/paragraph-twin pattern): the stream dedups
+    against the INDEX — within-batch new×new duplication is the batch
+    job's business (q150 handles it; rebuild the index on ingestion's
+    cadence). Keeps the only state the watermark-bounded per-doc
+    aggregate.
+
+    100 TB design: fingerprints are per-row codegen; the probe is a
+    stream-static LEFT equi-join on the 8-byte hash; coverage
+    (distinct duplicated token positions) is an IN-ROW interval union
+    over the document's OWN sorted dup starts — every window spans
+    exactly ``window`` tokens, so the union folds as
+    ``Σ min(window, next_start − start) + window`` — no distinct
+    aggregate in the stream (unsupported) and no second stateful op."""
+    from ..functions.text import tokenize_ws, window_fingerprints
+
+    if ts_col not in doc_stream.columns:
+        raise ValueError(
+            f"substring_dedup_stream: ts_col {ts_col!r} not in stream columns "
+            f"{doc_stream.columns} — the per-document aggregate must be "
+            "watermark-bounded; add an arrival timestamp"
+        )
+    W = window
+    tk = doc_stream.select(
+        id_col, ts_col, tokenize_ws(F.col(text_col)).alias("__tk")
+    )
+    staged = tk.select(
+        id_col,
+        ts_col,
+        F.size("__tk").cast("long").alias("__n_tk"),
+        F.posexplode_outer(window_fingerprints(F.col("__tk"), W)).alias("pos", "h"),
+    )
+    probed = staged.join(
+        fp_index_df.select(F.col("fh")), staged["h"] == F.col("fh"), "left"
+    )
+    agg = (
+        probed.withWatermark(ts_col, watermark)
+        .groupBy(id_col, ts_col)
+        .agg(
+            F.first("__n_tk").alias("n_tokens"),
+            F.sum(
+                F.when(F.col("fh").isNotNull(), 1).otherwise(0)
+            ).cast("long").alias("n_dup_windows"),
+            F.sort_array(
+                F.collect_set(F.when(F.col("fh").isNotNull(), F.col("pos")))
+            ).alias("__starts"),
+        )
+    )
+    starts = F.col("__starts")
+    n = F.size(starts)
+    # interval union over sorted fixed-width windows (guard n ≤ 1:
+    # sequence(1, 0) would generate DESCENDING [1, 0])
+    covered = (
+        F.when(n == 0, F.lit(0))
+        .when(n == 1, F.lit(W))
+        .otherwise(
+            F.aggregate(
+                F.sequence(F.lit(1), n - 1),
+                F.lit(0),
+                lambda acc, i: acc
+                + F.least(F.lit(W), F.element_at(starts, i + 1) - F.element_at(starts, i)),
+            )
+            + F.lit(W)
+        )
+        .cast("long")
+    )
+    ratio = F.round(
+        covered.cast("double") / F.greatest(F.col("n_tokens"), F.lit(1)), 6
+    )
+    return agg.select(
+        id_col,
+        "n_tokens",
+        F.greatest(F.col("n_tokens") - F.lit(W - 1), F.lit(0)).alias("n_windows"),
+        "n_dup_windows",
+        covered.alias("n_dup_tokens"),
+        ratio.alias("dup_ratio"),
+        (ratio < 0.2).alias("keep"),
+    )
+
+
 def _bench_gram_row(bench_df: DataFrame, text_col: str, n: int) -> DataFrame:
     """Fold a static eval corpus to the ONE-ROW sorted gram-hash array
     used by the stateless decontamination shape (shared by

@@ -148,3 +148,23 @@ def test_bare_set_lists_properties(spark):
     (GruntParser.processSet no-arg form)."""
     _, out = _shell(spark, "set\nquit\n")
     assert "spark.app.name=" in out or "spark.master=" in out
+
+
+def test_sql_command_in_repl(spark, sf_dir):
+    """GruntParser.processSQLCommand through the REPL: a multi-line
+    `sql create table ...;` statement accumulates to its ';', the DDL
+    lands in the catalog, and a following HCatLoader LOAD reads it."""
+    from pig_spark.sources.hcatalog import run_sql
+
+    run_sql(spark, "drop table if exists grunt_sql_t")
+    script = """
+sql drop table if exists grunt_sql_t;
+sql create table grunt_sql_t(name string,
+age int)
+stored as textfile;
+quit
+"""
+    _shell(spark, script)
+    assert spark.catalog.tableExists("grunt_sql_t")
+    assert [f.name for f in spark.table("grunt_sql_t").schema.fields] == ["name", "age"]
+    run_sql(spark, "drop table if exists grunt_sql_t")

@@ -848,3 +848,89 @@ def test_shard_assign_stream_matches_batch(spark, sf_dir):
         .collect()
     )
     assert got == want and len(got) == 8
+
+
+def test_substring_dedup_stream_matches_batch(spark, sf_dir, tmp_path):
+    """Exact-substring dedup at ingest (streaming twin of q150, r10):
+    arriving docs fingerprint their 50-token windows and probe the
+    STORED old-corpus fingerprint index; per-doc accounting rebuilds
+    to exactly the batch equivalent of the same index-only contract
+    (within-batch new×new dup is the batch job's business — q150)."""
+    from pig_spark.queries import _substr_staged, _substr_wins
+    from pig_spark.sources import store
+    from pig_spark.streaming import substring_dedup_stream
+
+    W = 50
+    staged_all = _substr_staged(spark, sf_dir)  # boilerplate injected
+    old_wins = _substr_wins(staged_all.where(F.col("doc_id") % 10 != 0))
+    idx_path = str(tmp_path / "fp_index")
+    store(old_wins.select(F.col("h").alias("fh")).distinct(), idx_path, "parquet")
+    index = spark.read.parquet(idx_path)
+
+    # stream the new half WITH the same boilerplate injection
+    boiler_docs = staged_all.where(F.col("doc_id") % 10 == 0).select(
+        "doc_id", F.array_join("tk", " ").alias("text")
+    )
+    new_dir = str(tmp_path / "substr_incoming")
+    staged = boiler_docs.withColumn("arrived", F.current_timestamp())
+    staged.write.parquet(new_dir)
+    src = spark.readStream.schema(staged.schema).parquet(new_dir)
+
+    out = substring_dedup_stream(src, index, window=W)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("substr_dedup")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        q.awaitTermination(180)
+    finally:
+        q.stop()
+    got = {
+        (r["doc_id"], r["n_tokens"], r["n_windows"], r["n_dup_windows"],
+         r["n_dup_tokens"], r["keep"])
+        for r in spark.sql("SELECT * FROM substr_dedup").collect()
+    }
+
+    # batch equivalent of the SAME index-only contract
+    new_staged = staged_all.where(F.col("doc_id") % 10 == 0)
+    new_wins = _substr_wins(new_staged)
+    dups = new_wins.join(index, new_wins["h"] == index["fh"]).select("doc_id", "pos")
+    cov = (
+        dups.select("doc_id", "pos",
+                    F.explode(F.sequence(F.col("pos"), F.col("pos") + (W - 1))).alias("p"))
+        .groupBy("doc_id")
+        .agg(F.countDistinct("p").alias("n_dup_tokens"),
+             F.countDistinct("pos").alias("n_dup_windows"))
+    )
+    base = new_staged.select(
+        "doc_id", "n_tokens",
+        F.greatest(F.col("n_tokens") - F.lit(W - 1), F.lit(0)).alias("n_windows"),
+    )
+    joined = base.join(cov, "doc_id", "left")
+    ratio = F.round(
+        F.coalesce(F.col("n_dup_tokens"), F.lit(0)).cast("double")
+        / F.greatest(F.col("n_tokens"), F.lit(1)), 6)
+    want = {
+        (r["doc_id"], r["n_tokens"], r["n_windows"], r["n_dup_windows"],
+         r["n_dup_tokens"], r["keep"])
+        for r in joined.select(
+            "doc_id", "n_tokens", "n_windows",
+            F.coalesce(F.col("n_dup_windows"), F.lit(0).cast("long")).alias("n_dup_windows"),
+            F.coalesce(F.col("n_dup_tokens"), F.lit(0).cast("long")).alias("n_dup_tokens"),
+            (ratio < 0.2).alias("keep"),
+        ).collect()
+    }
+    assert got == want and len(want) > 0
+    # boilerplate docs in the stream really got flagged vs the index
+    assert any(t[3] > 0 for t in got)
+
+
+def test_substring_dedup_stream_requires_timestamp(spark, sf_dir):
+    from pig_spark.streaming import substring_dedup_stream
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    with pytest.raises(ValueError, match="ts_col"):
+        substring_dedup_stream(d, d.limit(0))
