@@ -94,6 +94,8 @@ HEADLINE = [
     "q149_balanced_shards",  # r10: quota shards over the exact waterline
     "q150_incremental_substring_dedup",  # r10: stored-index ExactSubstr probe
     "q151_hcat_partitioned",  # r10: catalog store + pruned HCatLoader read
+    "q152_pq_ann",  # r10: PQ codes + ADC scan, one map-only projection
+    "q153_ivfpq_probe",  # r10: IVF-PQ composed probe (FAISS IVFPQ shape)
     # q139 (classifier trainer) and q144 (BPE trainer) deliberately not
     # headliners: they are multi-job iterative training runs, not ETL
     # queries — gated by the oracle, timed nowhere

@@ -389,3 +389,163 @@ def kmeans_refine_l2(
             for cid, old in cur
         ]
     return cur, history
+
+
+# ---------------------------------------------------------------------
+# product quantization (Jégou et al. 2011, "Product Quantization for
+# Nearest Neighbor Search") — PQ codes + asymmetric-distance scan
+# ---------------------------------------------------------------------
+PQ_M = 8   # subspaces (64-dim -> eight 8-dim subvectors)
+PQ_K = 16  # codewords per subspace (4-bit codes)
+
+
+def pq_codebooks(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    m: int = PQ_M,
+    k: int = PQ_K,
+) -> list[list[list[float]]]:
+    """Deterministic PQ codebooks — subspace slices of the ``k``
+    bootstrap vectors (lowest ids: the ``bootstrap_centroids`` pick,
+    no RNG, SQL-mirrorable). ``[subspace][codeword] -> dsub floats``.
+    A real deployment refines each subspace codebook with
+    ``kmeans_refine_l2`` over the subvectors — encode/ADC are
+    identical either way (the q146 pattern)."""
+    seeds = bootstrap_centroids(df, id_col, vec_col, nlist=k)
+    if len(seeds) < k:
+        raise ValueError(f"pq_codebooks: need {k} seed vectors, found {len(seeds)}")
+    d = len(seeds[0][1])
+    if d % m:
+        raise ValueError(f"pq_codebooks: dim {d} not divisible into {m} subspaces")
+    dsub = d // m
+    return [
+        [seeds[j][1][mm * dsub : (mm + 1) * dsub] for j in range(k)]
+        for mm in range(m)
+    ]
+
+
+def _sub_d2(sub: Column, codeword: Column) -> Column:
+    """L2² between a subvector column and a codeword array — an
+    explicit left-to-right fold so the DuckDB twin (sequential
+    list_sum) produces bit-identical doubles."""
+    return F.aggregate(
+        F.zip_with(sub, codeword, lambda a, b: (a - b) * (a - b)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def pq_encode(
+    df: DataFrame,
+    codebooks: list[list[list[float]]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    codes_col: str = "codes",
+    err_col: str = "recon_err",
+    keep: list[str] | None = None,
+) -> DataFrame:
+    """Map-only PQ encode: per subspace the nearest codeword's index
+    (argmin L2²; ties → lowest index via array_position first-match —
+    the ivf_assign idiom, no when()-chain), plus ``recon_err`` =
+    Σ min-distances (the quantization energy). A 256-byte fp32×64
+    vector becomes ``m`` bytes — the 32× scan-IO win the ADC probe
+    exploits. Codebooks ride as plan literals: m·k·dsub = 1024
+    doubles ≈ 8 KB, under the q128 literal-compile threshold.
+    Distances come from ONE ``transform`` over the nested codebook
+    literal per subspace — 8 lambda nodes total, not 128 unrolled
+    folds: the first (unrolled) shape cost a flat ~5 s of plan
+    compile for 500 rows of actual work (the q128 rule's
+    expression-COUNT sibling, SCALE.md r10 notes)."""
+    v = F.col(vec_col).cast("array<double>")
+    m, dsub = len(codebooks), len(codebooks[0][0])
+    codes, errs = [], []
+    for mm in range(m):
+        sub = F.slice(v, mm * dsub + 1, dsub)
+        cb = F.array(*[_vec_lit(cw) for cw in codebooks[mm]])
+        dists = F.transform(cb, lambda cw: _sub_d2(sub, cw))
+        codes.append((F.array_position(dists, F.array_min(dists)) - 1).cast("int"))
+        errs.append(F.array_min(dists))
+    err = errs[0]
+    for e in errs[1:]:
+        err = err + e
+    return df.select(
+        F.col(id_col),
+        *[F.col(c) for c in (keep or [])],
+        F.array(*codes).alias(codes_col),
+        err.alias(err_col),
+    )
+
+
+def pq_adc_distances(
+    enc: DataFrame,
+    query: list[float],
+    codebooks: list[list[list[float]]],
+    codes_col: str = "codes",
+    dist_col: str = "adc_dist",
+) -> DataFrame:
+    """Asymmetric-distance scan: the query builds its m×k lookup table
+    of subspace L2² distances DRIVER-side (model-sized, zero data
+    passes); each row's approximate distance is ``m`` LUT lookups over
+    its byte codes. The corpus scan reads CODES only — never the raw
+    vectors — so a 100 TB embedding store probes at ~3 TB of IO; store
+    codes partitioned by IVF cell (q68) and the probe also
+    partition-prunes."""
+    m, dsub = len(codebooks), len(codebooks[0][0])
+    dist = None
+    for mm in range(m):
+        qs = query[mm * dsub : (mm + 1) * dsub]
+        lut = [
+            sum((a - b) * (a - b) for a, b in zip(qs, cw))
+            for cw in codebooks[mm]
+        ]
+        term = F.element_at(
+            _vec_lit(lut), F.element_at(F.col(codes_col), mm + 1) + 1
+        )
+        dist = term if dist is None else dist + term
+    return enc.withColumn(dist_col, dist)
+
+
+def ivfpq_topk(
+    df: DataFrame,
+    query: list[float],
+    k: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    nprobe: int = IVF_NPROBE,
+) -> DataFrame:
+    """IVF-PQ probe — the FAISS-standard composition (Jégou et al.
+    §V): the coarse quantizer prunes the scan to ``nprobe`` cells
+    (the q68 machinery), PQ-ADC ranks the survivors from their CODES
+    (the q152 machinery). At scale the codes table is stored
+    partitioned by cell, so the probe reads nprobe/nlist of an
+    already-32×-smaller table — the two savings multiply. (Deployment
+    note: classic IVFPQ encodes RESIDUALS x − centroid per cell; the
+    fixture codebooks here encode raw vectors so the DuckDB twin
+    stays derivable from the data — probe/LUT/ranking machinery is
+    identical either way.)"""
+    qvec = [float(x) for x in query]
+    centroids = bootstrap_centroids(df, id_col, vec_col)
+
+    def _cos(a: list[float], b: list[float]) -> float:
+        na = sum(x * x for x in a) ** 0.5
+        nb = sum(x * x for x in b) ** 0.5
+        return sum(x * y for x, y in zip(a, b)) / (na * nb) if na and nb else 0.0
+
+    probe = sorted(centroids, key=lambda c: (-_cos(qvec, c[1]), c[0]))[:nprobe]
+    cells = [cid for cid, _ in probe]
+    cbs = pq_codebooks(df, id_col, vec_col)
+    cand = ivf_assign(df, centroids, id_col, vec_col).filter(
+        F.col("__cell").isin(*cells)
+    )
+    enc = pq_encode(cand, cbs, id_col, vec_col, keep=["__cell"])
+    adc = pq_adc_distances(enc, qvec, cbs)
+    return (
+        adc.select(
+            F.col(id_col),
+            F.col("__cell").alias("cell"),
+            F.round("adc_dist", 6).alias("adc_dist"),
+        )
+        .orderBy(F.col("adc_dist").asc(), F.col(id_col).asc())
+        .limit(k)
+    )

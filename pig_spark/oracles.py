@@ -180,6 +180,13 @@ def _q137_w() -> int:
     return _SUBSTR_W
 
 
+def _pq_query_sql() -> str:
+    """q152's fixed ADC query vector — the same LCG stream the Spark
+    side draws (similarity._lcg_floats(4242, 64)), inlined as a
+    DuckDB list literal."""
+    return _vec_sql(similarity._lcg_floats(4242, similarity.EMB_DIM))
+
+
 def _bigram_lm_ctes() -> str:
     """The bigram-LM scoring CTE chain shared by q130 (scores+keep)
     and q142 (tercile partition) — mirrors queries.q130 exactly:
@@ -1245,6 +1252,78 @@ def oracle_sql() -> dict[str, str]:
                    round(1.0 * COALESCE(c.n_dup_tokens, 0) / greatest(b.n_tokens, 1), 6) < 0.2 AS keep
             FROM base b LEFT JOIN kinds k USING (doc_id)
                         LEFT JOIN cov c USING (doc_id)""".format(W=_q137_w()),
+        "q152_pq_ann": f"""
+            WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+                       FROM embeddings),
+                 cb AS (SELECT vec_id AS j, CAST(embedding AS DOUBLE[]) AS cv
+                        FROM embeddings WHERE vec_id < 16),
+                 ms AS (SELECT unnest(range(0, 8)) AS m),
+                 sub AS (SELECT e.vec_id, ms.m, cb.j,
+                                list_sum(list_transform(range(1, 9), i ->
+                                    (e.v[ms.m * 8 + i] - cb.cv[ms.m * 8 + i])
+                                    * (e.v[ms.m * 8 + i] - cb.cv[ms.m * 8 + i]))) AS d2
+                         FROM e, ms, cb),
+                 best AS (SELECT vec_id, m, MIN(d2) AS mind
+                          FROM sub GROUP BY vec_id, m),
+                 code AS (SELECT s.vec_id, s.m, MIN(s.j) AS j, MIN(b.mind) AS mind
+                          FROM sub s JOIN best b
+                            ON s.vec_id = b.vec_id AND s.m = b.m AND s.d2 = b.mind
+                          GROUP BY s.vec_id, s.m),
+                 qlut AS (SELECT ms.m, cb.j,
+                                 list_sum(list_transform(range(1, 9), i ->
+                                     (q.qv[ms.m * 8 + i] - cb.cv[ms.m * 8 + i])
+                                     * (q.qv[ms.m * 8 + i] - cb.cv[ms.m * 8 + i]))) AS qd2
+                          FROM ms, cb, (SELECT {_pq_query_sql()} AS qv) q)
+            SELECT c.vec_id,
+                   list(CAST(c.j AS INT) ORDER BY c.m) AS codes,
+                   round(SUM(c.mind), 6) AS recon_err,
+                   round(SUM(l.qd2), 6) AS adc_dist
+            FROM code c JOIN qlut l ON c.m = l.m AND c.j = l.j
+            GROUP BY c.vec_id""",
+        "q153_ivfpq_probe": f"""
+            WITH cents AS (
+                SELECT vec_id AS cid, CAST(embedding AS DOUBLE[]) AS cv
+                FROM embeddings WHERE vec_id < {similarity.IVF_NLIST}),
+                 qprobe AS (
+                SELECT cid FROM cents
+                ORDER BY list_dot_product(cv, {qv}) / (sqrt(list_dot_product(cv, cv)) * {qnorm}) DESC, cid ASC
+                LIMIT {similarity.IVF_NPROBE}),
+                 ranked AS (
+                SELECT e.vec_id, c.cid,
+                       row_number() OVER (PARTITION BY e.vec_id ORDER BY
+                           list_dot_product(CAST(e.embedding AS DOUBLE[]), c.cv)
+                           / (sqrt(list_dot_product(CAST(e.embedding AS DOUBLE[]), CAST(e.embedding AS DOUBLE[])))
+                              * sqrt(list_dot_product(c.cv, c.cv))) DESC, c.cid ASC) AS rn
+                FROM embeddings e CROSS JOIN cents c),
+                 cand AS (
+                SELECT e.vec_id, CAST(e.embedding AS DOUBLE[]) AS v, a.cid AS cell
+                FROM embeddings e JOIN ranked a ON e.vec_id = a.vec_id AND a.rn = 1
+                WHERE a.cid IN (SELECT cid FROM qprobe)),
+                 cb AS (SELECT vec_id AS j, CAST(embedding AS DOUBLE[]) AS cv
+                        FROM embeddings WHERE vec_id < 16),
+                 ms AS (SELECT unnest(range(0, 8)) AS m),
+                 sub AS (SELECT c.vec_id, ms.m, cb.j,
+                                list_sum(list_transform(range(1, 9), i ->
+                                    (c.v[ms.m * 8 + i] - cb.cv[ms.m * 8 + i])
+                                    * (c.v[ms.m * 8 + i] - cb.cv[ms.m * 8 + i]))) AS d2
+                         FROM cand c, ms, cb),
+                 best AS (SELECT vec_id, m, MIN(d2) AS mind
+                          FROM sub GROUP BY vec_id, m),
+                 code AS (SELECT s.vec_id, s.m, MIN(s.j) AS j
+                          FROM sub s JOIN best b
+                            ON s.vec_id = b.vec_id AND s.m = b.m AND s.d2 = b.mind
+                          GROUP BY s.vec_id, s.m),
+                 qlut AS (SELECT ms.m, cb.j,
+                                 list_sum(list_transform(range(1, 9), i ->
+                                     (q.qv[ms.m * 8 + i] - cb.cv[ms.m * 8 + i])
+                                     * (q.qv[ms.m * 8 + i] - cb.cv[ms.m * 8 + i]))) AS qd2
+                          FROM ms, cb, (SELECT {qv} AS qv) q)
+            SELECT c.vec_id, MIN(cand.cell) AS cell,
+                   round(SUM(l.qd2), 6) AS adc_dist
+            FROM code c JOIN qlut l ON c.m = l.m AND c.j = l.j
+                        JOIN cand ON cand.vec_id = c.vec_id
+            GROUP BY c.vec_id
+            ORDER BY adc_dist ASC, c.vec_id ASC LIMIT 20""",
         "q151_hcat_partitioned": """
             SELECT source,
                    CAST(COUNT(*) AS BIGINT) AS n_docs,

@@ -3862,6 +3862,64 @@ def q151_hcat_partitioned(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q152_pq_ann(spark: SparkSession, sf: str) -> DataFrame:
+    """Product-quantization compression for the embedding family
+    (Jégou et al. 2011) — the scale path between brute-force cosine
+    (q44) and IVF cell pruning (q68): every fp32×64 vector encodes to
+    8 one-byte codes (argmin codeword per 8-dim subspace, deterministic
+    bootstrap codebooks — the q68 centroid pick sliced per subspace),
+    and a query scans CODES, not vectors, via the asymmetric-distance
+    LUT. Output per vector: the code word, the quantization energy
+    (recon_err) and the ADC distance to a fixed LCG query — both
+    rounded per the float policy.
+
+    100 TB design: codebooks are a 16-row model-sized driver collect;
+    encode is ONE map-only projection (no shuffle, no Python —
+    plan-pinned); the ADC probe reads 8 bytes/vector instead of 256
+    (32× scan IO), its LUT built driver-side with zero data passes;
+    at scale codes store partitioned by IVF cell so the probe also
+    partition-prunes. Subspace distances fold left-to-right so the
+    DuckDB twin's sequential list_sum reproduces bit-identical
+    argmins."""
+    from .functions.similarity import (
+        _lcg_floats,
+        pq_adc_distances,
+        pq_codebooks,
+        pq_encode,
+    )
+
+    e = spark.read.parquet(f"{sf}/embeddings.parquet").select("vec_id", "embedding")
+    cbs = pq_codebooks(e)
+    enc = pq_encode(e, cbs)
+    query = _lcg_floats(4242, 64)
+    adc = pq_adc_distances(enc, query, cbs)
+    return adc.select(
+        "vec_id",
+        "codes",
+        F.round("recon_err", 6).alias("recon_err"),
+        F.round("adc_dist", 6).alias("adc_dist"),
+    )
+
+
+def q153_ivfpq_probe(spark: SparkSession, sf: str) -> DataFrame:
+    """IVF-PQ top-k — the FAISS-standard ANN composition
+    (similarity.ivfpq_topk = q68's coarse-cell pruning × q152's
+    PQ-ADC ranking): the query scans only its 3 nearest cells'
+    vectors, ranked by LUT lookups over their 8-byte codes. Same
+    query vector as q68, so the two probes are directly comparable.
+
+    100 TB design: the two savings MULTIPLY — nprobe/nlist of the
+    corpus (cell partition pruning) × 32× smaller rows (codes, not
+    vectors); cell assignment and encode are the same map-only
+    projections pinned for q68/q152; the final top-k is a
+    TakeOrdered, never a global sort."""
+    from .functions import similarity
+
+    e = _t(spark, sf, "embeddings").df
+    query = [((i * 37) % 13 - 6) / 13.0 for i in range(similarity.EMB_DIM)]
+    return similarity.ivfpq_topk(e, query, k=20)
+
+
 from .pigmix import PIGMIX_QUERIES  # noqa: E402  (avoids circular import)
 
 _ALL: dict[str, Callable[[SparkSession, str], DataFrame]] = {
@@ -3876,27 +3934,30 @@ _ALL.update(PIGMIX_QUERIES)
 # the window arithmetic is EXACT — VERDICT r6 #3). Freshness after r9
 # (computed from CORRECTNESS_r0*.json latest-evidence per query):
 # r9:50, r8:46, r7:46, r6:21 — matching VERDICT r9's histogram.
-#   tier 0 (3): new-in-r10 queries — q149 (token-balanced shard
+#   tier 0 (5): new-in-r10 queries — q149 (token-balanced shard
 #     export), q150 (incremental exact-substring dedup), q151
-#     (HCatalog partitioned store/load surface). No existing query's
-#     lowering changed this round (the facade/structure fixes touch
-#     loaders and tests, not catalog query plans).
+#     (HCatalog partitioned store/load surface), q152 (product-
+#     quantization codes + ADC scan), q153 (IVF-PQ composed probe).
+#     No existing query's lowering changed this round (the facade/
+#     structure fixes touch loaders and tests, not query plans).
 #   tier 1 (21): the ENTIRE r6-evidence block — exactly the set
 #     COVERAGE.md's r9 window notes scheduled to lead r10
 #     (q55/q57/q58/q59/q60/q65/q66/q67/q75/q77/q78/q84/q87/q89/q90/
 #     q92–q97), alphabetical. Freshness floor moves r6 → r7.
-#   tier 2 (26): the r7-evidence block, alphabetical — pm01–pm05/
+#   tier 2 (24): the r7-evidence block, alphabetical — pm01–pm05/
 #     pm09–pm11, q106/q107/q109/q110/q111/q119/q11/q122/q124/q125/
-#     q126/q12/q15/q16/q17/q18/q20/q21. The alphabetical tail of the
-#     r7 block (q22/q24/q25/q26/q27/q28/q29/q30/q33/q34/q35/q36/q37/
-#     q40/q41/q42/q43/q74/q88/q98 — 20 queries) stays at r7 evidence
-#     and LEADS tier 1 next round.
+#     q126/q12/q15/q16/q17/q18. The alphabetical tail of the r7
+#     block (q20/q21/q22/q24/q25/q26/q27/q28/q29/q30/q33/q34/q35/
+#     q36/q37/q40/q41/q42/q43/q74/q88/q98 — 22 queries) stays at r7
+#     evidence and LEADS tier 1 next round.
 #   tier 3: everything r8/r9-verified.
-# 3 + 21 + 26 = 50.
+# 5 + 21 + 24 = 50.
 _NEW_R10 = {
     "q149_balanced_shards",               # new: exact greedy quota shards
     "q150_incremental_substring_dedup",   # new: stored-index ExactSubstr
     "q151_hcat_partitioned",              # new: HCatalog catalog surface
+    "q152_pq_ann",                        # new: PQ codes + ADC scan
+    "q153_ivfpq_probe",                   # new: IVF-PQ composed probe
 }
 # latest driver evidence = round 6 (the whole block fits this window)
 _STALE_R6 = {

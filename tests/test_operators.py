@@ -1052,3 +1052,37 @@ def test_incremental_substring_consistent_with_whole_corpus(spark, sf_dir):
         # a new doc may lose to the index (any old occurrence counts)
         assert n_inc >= n_whole, (doc, n_inc, n_whole)
         assert vs_idx + in_batch >= n_inc  # kinds cover the windows
+
+
+def test_pq_seed_vectors_reconstruct_exactly(spark, sf_dir):
+    """q152's operator contract (similarity.pq_*): a vector that IS a
+    codebook seed reconstructs exactly — every subspace picks its own
+    codeword (codes = [j]*m) at zero quantization energy; everyone
+    else pays recon_err > 0; ADC distance to the vector's own code is
+    the LUT fold (spot-checked against a driver-side recompute)."""
+    from pig_spark.functions.similarity import (
+        _lcg_floats,
+        pq_adc_distances,
+        pq_codebooks,
+        pq_encode,
+    )
+
+    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+        "vec_id", "embedding"
+    )
+    cbs = pq_codebooks(e)
+    enc = pq_encode(e, cbs).cache()
+    seeds = {r["vec_id"]: r for r in enc.where("vec_id < 16").collect()}
+    for j, r in seeds.items():
+        assert r["codes"] == [j] * 8, (j, r["codes"])
+        assert r["recon_err"] == 0.0
+    assert enc.where("vec_id >= 16 AND recon_err <= 0").count() == 0
+    # ADC spot check vs a driver-side recompute for one row
+    q = _lcg_floats(4242, 64)
+    row = pq_adc_distances(enc, q, cbs).where("vec_id = 3").first()
+    want = sum(
+        sum((a - b) * (a - b) for a, b in zip(q[m * 8 : m * 8 + 8], cbs[m][row["codes"][m]]))
+        for m in range(8)
+    )
+    assert abs(row["adc_dist"] - want) < 1e-9
+    enc.unpersist()

@@ -150,8 +150,15 @@ def test_catalog_plan_audit(spark, sf_dir):
         s = df._jdf.queryExecution().optimizedPlan().toString()
         if name not in _PYTHON_OK and ("PythonUDF" in s or "BatchEvalPython" in s):
             bad.append(f"{name}: python in plan")
-        if name not in _CARTESIAN_OK and "Join Cross" in s and "Broadcast" not in s:
-            bad.append(f"{name}: non-broadcast cartesian join")
+        if name not in _CARTESIAN_OK:
+            # per-join check: a cross join is fine ONLY when broadcast
+            # (1-row scalar/model joins carry the hint on the Join
+            # line itself — `rightHint=(strategy=broadcast)`; the old
+            # whole-plan "Broadcast" search missed the lowercase hint
+            # and could also be masked by an unrelated broadcast)
+            for line in s.splitlines():
+                if "Join Cross" in line and "broadcast" not in line.lower():
+                    bad.append(f"{name}: non-broadcast cartesian join")
         # no data-sized single-partition window anywhere (VERDICT r4
         # #5 — generalizes the q37 pin; bounded totals-table windows
         # over __pid/__rpid are whitelisted by shape, not by name)
@@ -622,3 +629,33 @@ def test_hcat_partition_pruning_plan(spark, sf_dir):
     phys = df._jdf.queryExecution().executedPlan().toString()
     assert "PartitionFilters: [" in phys and "lang" in phys.split("PartitionFilters:")[1][:120], phys
     assert "PythonUDF" not in phys and "EvalPython" not in phys, phys
+
+
+def test_pq_encode_plan_is_map_only(spark, sf_dir):
+    """q152 (PQ codes + ADC): encode + ADC distance must be ONE
+    map-only codegen projection over the embedding scan — no shuffle,
+    no Window, no Python, no join (codebooks and the LUT are plan
+    literals; the only driver work is the 16-row codebook collect)."""
+    from pig_spark.queries import q152_pq_ann
+
+    df = q152_pq_ann(spark, sf_dir)
+    phys = df._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in phys, phys
+    assert "Window" not in phys, phys
+    assert "PythonUDF" not in phys and "EvalPython" not in phys, phys
+    assert "Join" not in phys, phys
+
+
+def test_ivfpq_probe_plan(spark, sf_dir):
+    """q153 (IVF-PQ): cell pruning + ADC ranking stay one map-side
+    lineage — no Window, no Python, no join (centroids/codebooks/LUT
+    are plan literals); the top-k is TakeOrdered, never a global
+    Sort+Exchange."""
+    from pig_spark.queries import q153_ivfpq_probe
+
+    df = q153_ivfpq_probe(spark, sf_dir)
+    phys = df._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in phys, phys
+    assert "Window" not in phys, phys
+    assert "PythonUDF" not in phys and "EvalPython" not in phys, phys
+    assert "Join" not in phys, phys
