@@ -96,6 +96,7 @@ HEADLINE = [
     "q151_hcat_partitioned",  # r10: catalog store + pruned HCatLoader read
     "q152_pq_ann",  # r10: PQ codes + ADC scan, one map-only projection
     "q153_ivfpq_probe",  # r10: IVF-PQ composed probe (FAISS IVFPQ shape)
+    "q154_epoch_schedule",  # r10: quality-tier epoch-repetition manifest
     # q139 (classifier trainer) and q144 (BPE trainer) deliberately not
     # headliners: they are multi-job iterative training runs, not ETL
     # queries — gated by the oracle, timed nowhere

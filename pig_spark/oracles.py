@@ -1324,6 +1324,42 @@ def oracle_sql() -> dict[str, str]:
                         JOIN cand ON cand.vec_id = c.vec_id
             GROUP BY c.vec_id
             ORDER BY adc_dist ASC, c.vec_id ASC LIMIT 20""",
+        "q154_epoch_schedule": f"""
+            WITH t AS (SELECT doc_id, {_toks('text')} AS toks FROM documents),
+                 m AS (SELECT doc_id,
+                              CAST(len(toks) AS DOUBLE) AS n,
+                              CAST(len(list_filter(toks, x ->
+                                  list_contains({_sw_list('en')}, lower(x)))) AS DOUBLE) AS sw,
+                              toks
+                       FROM t),
+                 scored AS (SELECT doc_id, CAST(n AS BIGINT) AS n_tokens,
+                   round(0.4 * least((CASE WHEN n > 0 THEN sw / n ELSE 0.0 END) / 0.2, 1.0)
+                       + 0.3 * least(n / 50.0, 1.0)
+                       + 0.3 * (1.0 - least(abs((CASE WHEN n > 0
+                             THEN CAST(list_sum(list_transform(toks, x -> length(x))) AS DOUBLE) / n
+                             ELSE 0.0 END) - 5.0) / 5.0, 1.0)), 6) AS q
+                   FROM m),
+                 tiered AS (SELECT doc_id, n_tokens,
+                                   CASE WHEN q >= 0.75 THEN 'high'
+                                        WHEN q >= 0.5 THEN 'mid'
+                                        ELSE 'low' END AS tier,
+                                   CASE WHEN q >= 0.75 THEN 4
+                                        WHEN q >= 0.5 THEN 2
+                                        ELSE 1 END AS n_epochs
+                            FROM scored),
+                 sched AS (SELECT doc_id, n_tokens, tier,
+                                  CAST(unnest(generate_series(1, n_epochs)) AS INT) AS epoch
+                           FROM tiered),
+                 keyed AS (SELECT *,
+                                  CAST(('0x' || substr(md5(doc_id || ':' || epoch || ':epoch:v1'), 1, 15))
+                                       AS BIGINT) AS k
+                           FROM sched)
+            SELECT tier, epoch,
+                   CAST(COUNT(*) AS BIGINT) AS n_docs,
+                   CAST(SUM(n_tokens) AS BIGINT) AS sum_tokens,
+                   CAST(SUM(doc_id) AS BIGINT) AS id_checksum,
+                   MIN(k) AS min_key, MAX(k) AS max_key
+            FROM keyed GROUP BY tier, epoch""",
         "q151_hcat_partitioned": """
             SELECT source,
                    CAST(COUNT(*) AS BIGINT) AS n_docs,

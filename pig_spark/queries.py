@@ -3920,6 +3920,68 @@ def q153_ivfpq_probe(spark: SparkSession, sf: str) -> DataFrame:
     return similarity.ivfpq_topk(e, query, k=20)
 
 
+def q154_epoch_schedule(spark: SparkSession, sf: str) -> DataFrame:
+    """Data-constrained repetition schedule (Muennighoff et al. 2023,
+    "Scaling Data-Constrained Language Models"): when unique tokens
+    run out, repeat the BEST data for a few epochs instead of
+    everything once — the epochs axis the mixing family lacked
+    (weights q95, temperature q140, shards q143/q149). Tiers come
+    from q48's quality score by fixed THRESHOLDS (≥0.75 → 4 epochs,
+    ≥0.5 → 2, else 1 — never a global rank: thresholds keep the stage
+    map-only where terciles would shuffle); each (doc, epoch) replica
+    draws a deterministic shuffle key (md5-60 of doc:epoch:salt, the
+    q143 deal) so every epoch re-orders differently but
+    reproducibly. Output = the schedule manifest per (tier, epoch):
+    docs, tokens, id checksum, key range.
+
+    100 TB design: scoring is the q48 map-only codegen; the explode
+    is schedule-sized (≤4× the corpus, exactly the replication the
+    trainer will read anyway); the manifest is ONE partial-aggregated
+    groupBy on ≤7 (tier, epoch) keys — the deliberately-hot-key-safe
+    aggregate shape (q143 rule)."""
+    from .functions.dedup import md5_60
+    from .functions.text import quality_score_from_tokens, tokenize_ws
+
+    d = spark.read.parquet(f"{sf}/documents.parquet").select("doc_id", "text")
+    staged = d.select(
+        "doc_id",
+        F.size(tokenize_ws(F.col("text"))).cast("long").alias("n_tokens"),
+        quality_score_from_tokens(tokenize_ws(F.col("text"))).alias("q"),
+    )
+    tiered = staged.select(
+        "doc_id",
+        "n_tokens",
+        F.when(F.col("q") >= 0.75, F.lit("high"))
+        .when(F.col("q") >= 0.5, F.lit("mid"))
+        .otherwise(F.lit("low"))
+        .alias("tier"),
+        F.when(F.col("q") >= 0.75, F.lit(4))
+        .when(F.col("q") >= 0.5, F.lit(2))
+        .otherwise(F.lit(1))
+        .alias("n_epochs"),
+    )
+    sched = tiered.select(
+        "doc_id", "n_tokens", "tier",
+        F.explode(F.sequence(F.lit(1), F.col("n_epochs"))).alias("epoch"),
+    )
+    keyed = sched.withColumn(
+        "k",
+        md5_60(
+            F.concat(
+                F.col("doc_id").cast("string"), F.lit(":"),
+                F.col("epoch").cast("string"), F.lit(":epoch:v1"),
+            )
+        ),
+    )
+    return keyed.groupBy("tier", "epoch").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").alias("sum_tokens"),
+        F.sum("doc_id").alias("id_checksum"),
+        F.min("k").alias("min_key"),
+        F.max("k").alias("max_key"),
+    )
+
+
 from .pigmix import PIGMIX_QUERIES  # noqa: E402  (avoids circular import)
 
 _ALL: dict[str, Callable[[SparkSession, str], DataFrame]] = {
@@ -3934,30 +3996,32 @@ _ALL.update(PIGMIX_QUERIES)
 # the window arithmetic is EXACT — VERDICT r6 #3). Freshness after r9
 # (computed from CORRECTNESS_r0*.json latest-evidence per query):
 # r9:50, r8:46, r7:46, r6:21 — matching VERDICT r9's histogram.
-#   tier 0 (5): new-in-r10 queries — q149 (token-balanced shard
+#   tier 0 (6): new-in-r10 queries — q149 (token-balanced shard
 #     export), q150 (incremental exact-substring dedup), q151
 #     (HCatalog partitioned store/load surface), q152 (product-
-#     quantization codes + ADC scan), q153 (IVF-PQ composed probe).
-#     No existing query's lowering changed this round (the facade/
-#     structure fixes touch loaders and tests, not query plans).
+#     quantization codes + ADC scan), q153 (IVF-PQ composed probe),
+#     q154 (quality-tier epoch-repetition schedule). No existing
+#     query's lowering changed this round (the facade/structure
+#     fixes touch loaders and tests, not query plans).
 #   tier 1 (21): the ENTIRE r6-evidence block — exactly the set
 #     COVERAGE.md's r9 window notes scheduled to lead r10
 #     (q55/q57/q58/q59/q60/q65/q66/q67/q75/q77/q78/q84/q87/q89/q90/
 #     q92–q97), alphabetical. Freshness floor moves r6 → r7.
-#   tier 2 (24): the r7-evidence block, alphabetical — pm01–pm05/
+#   tier 2 (23): the r7-evidence block, alphabetical — pm01–pm05/
 #     pm09–pm11, q106/q107/q109/q110/q111/q119/q11/q122/q124/q125/
-#     q126/q12/q15/q16/q17/q18. The alphabetical tail of the r7
-#     block (q20/q21/q22/q24/q25/q26/q27/q28/q29/q30/q33/q34/q35/
-#     q36/q37/q40/q41/q42/q43/q74/q88/q98 — 22 queries) stays at r7
+#     q126/q12/q15/q16/q17. The alphabetical tail of the r7 block
+#     (q18/q20/q21/q22/q24/q25/q26/q27/q28/q29/q30/q33/q34/q35/q36/
+#     q37/q40/q41/q42/q43/q74/q88/q98 — 23 queries) stays at r7
 #     evidence and LEADS tier 1 next round.
 #   tier 3: everything r8/r9-verified.
-# 5 + 21 + 24 = 50.
+# 6 + 21 + 23 = 50.
 _NEW_R10 = {
     "q149_balanced_shards",               # new: exact greedy quota shards
     "q150_incremental_substring_dedup",   # new: stored-index ExactSubstr
     "q151_hcat_partitioned",              # new: HCatalog catalog surface
     "q152_pq_ann",                        # new: PQ codes + ADC scan
     "q153_ivfpq_probe",                   # new: IVF-PQ composed probe
+    "q154_epoch_schedule",                # new: quality-tier epoch repeats
 }
 # latest driver evidence = round 6 (the whole block fits this window)
 _STALE_R6 = {

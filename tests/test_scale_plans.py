@@ -659,3 +659,18 @@ def test_ivfpq_probe_plan(spark, sf_dir):
     assert "Window" not in phys, phys
     assert "PythonUDF" not in phys and "EvalPython" not in phys, phys
     assert "Join" not in phys, phys
+
+
+def test_epoch_schedule_plan(spark, sf_dir):
+    """q154 (epoch-repetition schedule): scoring/tiering/explode are
+    map-only codegen; the ONLY exchange is the ≤7-key manifest
+    aggregate with a map-side partial (the deliberately-hot-key-safe
+    shape); no Window, no Python, no join."""
+    from pig_spark.queries import q154_epoch_schedule
+
+    df = q154_epoch_schedule(spark, sf_dir)
+    phys = df._jdf.queryExecution().executedPlan().toString()
+    assert phys.count("Exchange hashpartitioning") == 1, phys
+    assert "partial_" in phys, phys
+    assert "Window" not in phys and "Join" not in phys, phys
+    assert "PythonUDF" not in phys and "EvalPython" not in phys, phys
