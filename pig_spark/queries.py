@@ -3943,10 +3943,11 @@ def q154_epoch_schedule(spark: SparkSession, sf: str) -> DataFrame:
     from .functions.text import quality_score_from_tokens, tokenize_ws
 
     d = spark.read.parquet(f"{sf}/documents.parquet").select("doc_id", "text")
-    staged = d.select(
+    toks = d.select("doc_id", tokenize_ws(F.col("text")).alias("__tk"))
+    staged = toks.select(
         "doc_id",
-        F.size(tokenize_ws(F.col("text"))).cast("long").alias("n_tokens"),
-        quality_score_from_tokens(tokenize_ws(F.col("text"))).alias("q"),
+        F.size("__tk").cast("long").alias("n_tokens"),
+        quality_score_from_tokens(F.col("__tk")).alias("q"),
     )
     tiered = staged.select(
         "doc_id",
