@@ -13,6 +13,7 @@ from pyspark.sql import functions as F
 
 from . import bags, datetime, dedup, math, ml, piggybank, similarity, string, text
 from .bags import *  # noqa: F401,F403
+from .testudf import *  # noqa: F401,F403 — reference e2e test-UDF jar, engine-side
 from .datetime import *  # noqa: F401,F403
 from .math import *  # noqa: F401,F403
 from .piggybank import *  # noqa: F401,F403

@@ -487,19 +487,26 @@ class Parser:
             if self.peek().kind == "str":
                 path = self._string()
             else:
-                parts = []
-                while not (
-                    (self.peek().kind == "op" and self.peek().text == ";")
-                    or (self.peek().kind == "kw" and self.peek().text == "using")
+                # unquoted path = ONE whitespace-delimited token run
+                # (adjacent tokens only — `register x.jar` with no
+                # terminating ';' is legal in the reference corpus, so
+                # a whitespace break ends the path, never the next
+                # statement's tokens)
+                parts = [self.next()]
+                while (
+                    not (self.peek().kind == "op" and self.peek().text == ";")
+                    and not (self.peek().kind == "kw" and self.peek().text == "using")
+                    and self.peek().kind != "eof"
+                    and self.peek().pos == parts[-1].pos + len(parts[-1].text)
                 ):
-                    parts.append(self.next().text)
-                path = "".join(parts)
+                    parts.append(self.next())
+                path = "".join(t.text for t in parts)
             engine = namespace = None
             if self.accept("kw", "using"):
                 engine = self._ident()
                 if self.accept("kw", "as"):
                     namespace = self._ident()
-            self.expect("op", ";")
+            self.accept("op", ";")  # optional — corpus registers omit it
             return Register(path, engine, namespace)
         if kw == "set":
             # dotted conf keys (SET mapreduce.input.fileinputformat.
@@ -728,7 +735,7 @@ class Parser:
                     if not self.accept("op", ","):
                         break
                 if self.accept("kw", "using"):
-                    self._comparator_clause("nested ORDER")
+                    self._comparator_clause("nested ORDER", cols)
                 nested.append(NestedStmt(alias, "order", src, cols))
             elif t.kind == "kw" and t.text == "limit":
                 self.next()
@@ -789,15 +796,25 @@ class Parser:
             return self.next().text
         return self._dotted()
 
-    def _comparator_clause(self, ctx: str) -> None:
+    # ComparisonFunc classes with a KNOWN total order, expressible as
+    # sort-key direction flips (the test-UDF jar's OrdDesc:
+    # compare(t1,t2) = t2.compareTo(t1) — full natural-order reverse)
+    _KNOWN_COMPARATORS = {"orddesc": "reverse"}
+
+    def _comparator_clause(self, ctx: str, keys: list | None = None) -> None:
         """``USING <java ComparisonFunc class>`` after ORDER keys —
-        deprecated in Pig since 0.9; comparator callbacks cannot run
-        here. Warn (sort falls back to natural key order); comparators
-        expressible as key functions should sort BY that expression."""
+        deprecated in Pig since 0.9. A KNOWN comparator rewrites the
+        sort-key directions in place (the SURVEY §2.7 mapping:
+        comparators → sort-key expressions); an arbitrary class can't
+        run here — warn and fall back to natural key order."""
         parts = [self._ident()]
         while self.peek().kind == "op" and self.peek().text == ".":
             self.next()
             parts.append(self._ident())
+        leaf = parts[-1].lower()
+        if self._KNOWN_COMPARATORS.get(leaf) == "reverse" and keys is not None:
+            keys[:] = [(expr, not asc) for expr, asc in keys]
+            return
         import warnings
 
         warnings.warn(
@@ -971,7 +988,7 @@ class Parser:
         self.expect("kw", "by")
         keys = self._sort_keys()
         if self.accept("kw", "using"):
-            self._comparator_clause("ORDER")
+            self._comparator_clause("ORDER", keys)
         return Order(rel, keys)
 
     def _sort_keys(self) -> list[tuple[object, bool]]:

@@ -214,9 +214,20 @@ LOADER_FORMAT = {
     # Byte-level interop with Java Pig's BinStorage files is out of
     # scope (COVERAGE.md §2.5), exactly as version-interop is in Pig.
     "binstorage": "parquet",
+    # test-UDF jar (test/e2e/pig/udfs): SimpleCollectableLoader IS
+    # PigStorage plus the CollectableLoadFunc marker (map-side
+    # `group ... using 'collected'` eligibility — the engine's
+    # collected-group path keys on the clause, not the loader)
+    "simplecollectableloader": "pigstorage",
 }
 
 AGG_FUNCS = {"count", "count_star", "sum", "avg", "min", "max"}
+
+# jar bundles whose classes are implemented ENGINE-SIDE — REGISTERing
+# them succeeds without the file (functions/piggybank.py,
+# functions/testudf.py; the datafu leaves the corpus uses resolve from
+# the builtin registry); any OTHER missing jar raises ERROR 101
+_ENGINE_JARS = {"piggybank.jar", "testudf.jar", "datafu.jar"}
 
 
 class _JavaStub:
@@ -939,6 +950,25 @@ class PigTranslator:
                 else:
                     table = stmt.path
                 store_fn = lambda d, u=url, t=table: store_db(d, u, t)  # noqa: E731
+            elif storer == "stringstore":
+                # test-UDF jar StringStore (storefunc/StringStore.java):
+                # putNext writes tuple.toString() — one Pig-rendered
+                # tuple per line, complex values in their Pig text forms
+                def _store_stringstore(d, p=stmt.path):
+                    from ..sources import _complex_to_pig_text
+
+                    dfs = _complex_to_pig_text(d)
+                    line = F.concat(
+                        F.lit("("),
+                        F.concat_ws(",", *[
+                            F.coalesce(dfs[c].cast("string"), F.lit(""))
+                            for c in dfs.columns
+                        ]),
+                        F.lit(")"),
+                    )
+                    dfs.select(line.alias("value")).write.text(p)
+
+                store_fn = _store_stringstore
             elif storer in LOADER_FORMAT:
                 fmt = LOADER_FORMAT[storer]
                 opts = {}
@@ -1042,6 +1072,25 @@ class PigTranslator:
             self.registered.append(stmt.rel)  # recorded no-op: code is Python-native
         elif isinstance(stmt, G.Register):
             self.registered.append(stmt.path)
+            import os as _os
+
+            if (
+                stmt.path.endswith(".jar")
+                and "://" not in stmt.path
+                and not any(ch in stmt.path for ch in "*?{[")
+                and _os.path.basename(stmt.path) not in _ENGINE_JARS
+                and not _os.path.exists(stmt.path)
+            ):
+                # QueryParserDriver.registerJar: a registered jar must
+                # exist (ERROR 101) — except the bundles whose classes
+                # ship ENGINE-SIDE (piggybank/test-UDF/datafu leaves
+                # resolve from functions/, so their registration is
+                # meaningful without the file)
+                raise ValueError(
+                    f"pig latin: file '{stmt.path}' does not exist "
+                    "(ERROR 101; REGISTER checks the path — "
+                    "QueryParserDriver.registerJar)"
+                )
             engine = (stmt.engine or "").lower()
             if engine in ("jruby", "javascript", "groovy"):
                 # scripting engines whose runtime isn't Python: can't
@@ -1122,7 +1171,17 @@ class PigTranslator:
                     "__invoke__", _INVOKER_RETURNS[leaf], full, params,
                 )
             else:
-                self.defines[stmt.alias] = stmt.func
+                leaf = stmt.func.rsplit(".", 1)[-1]
+                factory = getattr(PF, leaf, None)
+                if stmt.args and factory is not None and getattr(factory, "__pig_ctor__", False):
+                    # ctor-arg eval classes (the test-UDF jar surface:
+                    # Udfcachetest('path#link'), TestingAccumulatorHelper
+                    # ('true'), ... — functions/testudf.py): bind the
+                    # constructor strings NOW, exactly when the Java
+                    # ctor runs; the alias maps to the bound column fn
+                    self.defines[stmt.alias] = factory(*[str(a) for a in stmt.args])
+                else:
+                    self.defines[stmt.alias] = stmt.func
         elif isinstance(stmt, G.AssertStmt):
             rel = self._rel(stmt.rel)
             self.aliases[stmt.rel] = RelInfo(rel.assert_by(self._expr(stmt.cond, rel), stmt.msg or ""))
@@ -1217,6 +1276,7 @@ class PigTranslator:
         spec: dict = {
             "cmd": stmt.func, "ship": [], "in_sep": "\t", "out_sep": "\t",
             "in_file": None, "out_file": None,
+            "serialize": None, "deserialize": None,
         }
 
         def parse_serde(items: list):
@@ -1234,7 +1294,7 @@ class PigTranslator:
                 None,
             )
             if idx is None:
-                return target, None  # INPUT(stdin) — default serde
+                return target, None, None  # INPUT(stdin) — default serde
             cls_parts: list[str] = []
             args: list[str] = []
             in_args = False
@@ -1249,6 +1309,14 @@ class PigTranslator:
                     cls_parts.append(v)
             cls = "".join(cls_parts)
             base = cls.rsplit(".", 1)[-1]
+            from ..functions.testudf import STREAM_SERDES
+
+            if base.lower() in STREAM_SERDES:
+                # the reference test-UDF serdes (StreamingDump =
+                # PigToStream tuple-format writer, DumpStreamer =
+                # StreamToPig paren-strip parser) run as the engine's
+                # Python serialize/deserialize hooks
+                return target, None, STREAM_SERDES[base.lower()]
             if base != "PigStreaming":
                 raise NameError(
                     f"DEFINE {stmt.alias}: stream serde {cls!r} is a Java "
@@ -1256,18 +1324,28 @@ class PigTranslator:
                     "PigStreaming('<delim>') or pass Python callables via "
                     "Relation.stream_through(serialize=..., deserialize=...)"
                 )
-            return target, (args[0] if args else "\t")
+            return target, (args[0] if args else "\t"), None
 
         for kind, items in extras:
             if kind in ("ship", "cache"):
                 spec["ship"].extend(v for k, v in items if k == "str")
             elif kind in ("input", "output"):
-                target, d = parse_serde(items)
+                target, d, serde = parse_serde(items)
                 side = "in" if kind == "input" else "out"
                 if target is not None:
                     spec[f"{side}_file"] = target
                 if d is not None:
                     spec[f"{side}_sep"] = d
+                if serde is not None:
+                    role, fn = serde
+                    want = "serialize" if kind == "input" else "deserialize"
+                    if role != want:
+                        raise NameError(
+                            f"DEFINE {stmt.alias}: serde is a "
+                            f"{'PigToStream' if role == 'serialize' else 'StreamToPig'} "
+                            f"— wrong side for {kind.upper()}()"
+                        )
+                    spec[role] = fn
             # stderr('dir' [limit n]) is a task-log routing directive —
             # no dataflow effect (GruntParser handles it as logging)
         # SHIP is job-scoped in Pig (JobControlCompiler distributes
@@ -1332,6 +1410,19 @@ class PigTranslator:
             cand = toks[0]
         if cand and not _os.path.isabs(cand) and _os.path.isfile(cand):
             self._add_job_ship(cand)
+        if toks[0].lower() == "perl" and cand and _os.path.isfile(cand):
+            # a perl script's `use`d modules resolve from @INC '.' =
+            # the task cwd, so sibling .pm files must travel WITH the
+            # script (the reference harness ships
+            # PigStreamingModule.pm explicitly for exactly this;
+            # StreamingCommandUtils has no module scanner, so Pig
+            # users ship by hand — the engine does it for them).
+            # Applies to absolute script paths too: the script file
+            # stays cluster-visible but the task cwd moves.
+            import glob as _glob
+
+            for pm in _glob.glob(_os.path.join(_os.path.dirname(_os.path.abspath(cand)), "*.pm")):
+                self._add_job_ship(pm)
 
     # ------------------------------------------------------------------
     def _op(self, op, out_alias: str) -> RelInfo:
@@ -1423,6 +1514,8 @@ class PigTranslator:
                         spec["cmd"], str_ddl, ship=self._job_ship or None,
                         in_sep=spec["in_sep"], out_sep=spec["out_sep"],
                         in_file=spec["in_file"], out_file=spec["out_file"],
+                        serialize=spec.get("serialize"),
+                        deserialize=spec.get("deserialize"),
                     ))
                 cmd = spec
             self._autoship(cmd)  # inline `stream X through \`perl x.pl\``
@@ -1531,6 +1624,28 @@ class PigTranslator:
                     else:
                         outs.append(utf8_cast(c, f.type).alias(f.name))
                 df = df.select(*outs)
+            return Relation(df)
+        if loader == "dumploader":
+            # test-UDF jar DumpLoader (storefunc/DumpLoader.java): one
+            # tuple per line '(f1, f2, ... )' — the Java strips char 0
+            # and the LAST TWO chars (its data always ends ' )'), then
+            # splits on ',' and trims. Arity discovered from the data
+            # (the reference appends fields at runtime).
+            raw = self.spark.read.text(op.path)
+            body = F.expr("substring(value, 2, greatest(length(value) - 3, 0))")
+            arr = F.transform(F.split(body, ","), lambda x: F.trim(x))
+            n_row = raw.select(F.size(arr).alias("n")).first()
+            n = int(n_row["n"]) if n_row is not None else 0
+            df = raw.select(
+                *[F.element_at(arr, i + 1).alias(f"_c{i}") for i in range(max(n, 1))]
+            )
+            if op.schema:
+                df = df.select(*[
+                    utf8_cast(df[df.columns[i]], f.type).alias(f.name)
+                    if i < len(df.columns)
+                    else F.lit(None).cast(pig_field_ddl(f.type) if f.type else "string").alias(f.name)
+                    for i, f in enumerate(op.schema)
+                ])
             return Relation(df)
         fmt = LOADER_FORMAT.get(loader, loader)
         opts = {}
@@ -1995,15 +2110,40 @@ class PigTranslator:
                     fields.append(c.alias(new_name))
                 out = Relation(df.select(*others, *fields))
                 continue
-            n_before = len(out.df.columns) - 1  # flatten consumes `name`
+            before_cols = out.df.columns
             out = out.flatten(name)
             if schema is not None:
                 df = out.df
-                splat = df.columns[n_before:]
-                if len(splat) != len(schema):
+                if df.columns == before_cols:
+                    # identity flatten (scalar/passthrough): the
+                    # column stays IN PLACE — the append-at-end splat
+                    # arithmetic would mis-claim the following columns
+                    splat = [name]
+                else:
+                    # flatten consumed `name`, appended its fields
+                    splat = df.columns[len(before_cols) - 1:]
+                if len(splat) != len(schema) and len(schema) == 1:
+                    # UDFs whose declared output schema is an opaque
+                    # BAG/MAP (CreateTupleBag/flatten(map) shapes):
+                    # Pig's AS names the DECLARED single field, but
+                    # runtime arity wins and the splat keeps its own
+                    # names — schema is advisory (LogicalSchema merge),
+                    # not an arity assertion. Warn and keep ours.
+                    import warnings
+
+                    warnings.warn(
+                        f"FLATTEN AS names 1 field but the value splats into "
+                        f"{len(splat)} columns — keeping generated names "
+                        f"{splat} (Pig: runtime arity wins over the declared "
+                        "schema)",
+                        stacklevel=2,
+                    )
+                    schema = None
+                elif len(splat) != len(schema):
                     raise ValueError(
                         f"pig latin: FLATTEN AS schema has {len(schema)} fields, got {len(splat)} columns"
                     )
+            if schema is not None:
                 for cur, (new_name, ftype) in zip(splat, schema):
                     col = df[cur]
                     if ftype is not None:
@@ -3921,6 +4061,9 @@ class PigTranslator:
         if isinstance(e, G.Cast):
             return self._nested_agg(e.operand, g, pipes).cast(PIG_TO_SPARK_TYPE[e.type])
         if not (isinstance(e, G.Call) and e.func.lower() in AGG_FUNCS and e.args):
+            hooked = self._bag_udf(e, g, pipes)
+            if hooked is not None:
+                return hooked
             # not a pipe aggregate — fall back to the plain grouped path
             return self._agg_expr(e, g)
         fn = e.func.lower()
@@ -4218,7 +4361,56 @@ class PigTranslator:
             return _binop(e.op, self._agg_expr(e.left, g), self._agg_expr(e.right, g))
         if isinstance(e, (G.Num, G.Str)):
             return self._expr(e, g.child)
+        hooked = self._bag_udf(e, g, {})
+        if hooked is not None:
+            return hooked
         raise NotImplementedError(f"aggregate expression {e}")
+
+    def _bag_udf(self, e, g: GroupedInfo, pipes: dict) -> Column | None:
+        """Registry eval funcs in AGGREGATE position over a pipe or
+        the grouped relation (the test-UDF jar surface —
+        AllFirstLetter(d), NonAlgNonAccCount(a), DEFINEd
+        TestingAccumulatorHelper aliases): the argument bag ASSEMBLES
+        (the order-preserving pipe assembly, so nested-ORDER feeds a
+        sorted bag) and the function evaluates over it IN-ROW —
+        EvalFunc-over-DataBag semantics with Pig's own reducer-bag
+        footprint. Only functions declaring ``__wants_elem_type__``
+        participate (functions/testudf.py protocol); the probed bag
+        element type makes field-0 access schema-safe."""
+        if not (isinstance(e, G.Call) and e.args and isinstance(e.args[0], G.Col)):
+            return None
+        fname = self.defines.get(e.func, e.func)
+        fn = None
+        if callable(fname) and not isinstance(fname, (str, tuple, dict)):
+            fn = fname
+        elif isinstance(fname, str) and fname.count(".") >= 2:
+            fn = getattr(PF, fname.rsplit(".", 1)[-1], None)
+        if fn is None or not getattr(fn, "__wants_elem_type__", False):
+            return None
+        head, _, rest = e.args[0].name.partition(".")
+        if pipes and head in pipes:
+            bag = self._pipe_bag(head, rest or None, g, pipes)
+        elif head == g.child_alias:
+            child = g.child
+            if rest:
+                leaf = rest.split("::")[-1]
+                bag = F.collect_list(
+                    F.struct(self._expr(G.Col(rest), child).alias(leaf))
+                )
+            else:
+                bag = F.collect_list(
+                    F.struct(*[child.df[c] for c in child.df.columns])
+                )
+        else:
+            return None
+        elem = (
+            g.child.df.limit(0)
+            .groupBy()
+            .agg(bag.alias("__pb"))
+            .schema["__pb"]
+            .dataType.elementType
+        )
+        return fn(bag, _elem=elem)
 
     # ------------------------------------------------------------------
     def _join(self, op: G.Join) -> Relation:
@@ -4633,6 +4825,12 @@ class PigTranslator:
             for i, pt in enumerate(ptypes[: len(args)]):
                 args[i] = args[i].cast(pig_field_ddl(pt))
             return F.java_method(F.lit(cls), F.lit(method), *args).cast(ret)
+        if callable(fname) and not isinstance(fname, (str, tuple, dict)):
+            # DEFINE-bound column function (ctor-arg eval classes)
+            args = [self._expr(a, rel) for a in e.args]
+            if getattr(fname, "__wants_rel__", False):
+                return fname(*args, _rel=rel)
+            return fname(*args)
         if not isinstance(fname, str):  # exec-command DEFINE used as a UDF
             raise NameError(
                 f"{e.func!r} is DEFINEd as a stream command; it can only follow STREAM ... THROUGH"
@@ -4659,7 +4857,10 @@ class PigTranslator:
                     if match is not None:
                         fn = getattr(PF, match)
                 if fn is not None:
-                    return fn(*[self._expr(a, rel) for a in e.args])
+                    args = [self._expr(a, rel) for a in e.args]
+                    if getattr(fn, "__wants_rel__", False):
+                        return fn(*args, _rel=rel)
+                    return fn(*args)
                 raise NameError(
                     f"pig latin: {fname!r} is a Java UDF class — this engine cannot load "
                     f"JVM classes; no builtin named {java_leaf!r} matches. Port it as a "

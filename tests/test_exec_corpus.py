@@ -8,8 +8,10 @@ END-TO-END
 on this engine against synthesized versions of the reference's own
 fixtures (generate_data.pl shapes: studenttab, votertab, nulltabs,
 studentcolon, studentcomplextab, allscalar, prerank, textdoc, CJK
-utf8 paths, ctrl-A delimited). Current: 534/550 + 16 documented-
-unsupported = 550/550 (r6 closes the :SCRIPTHOMEPATH: families: the
+utf8 paths, ctrl-A delimited). Current: 590/606 + 16 documented-
+unsupported = 606/606 (r10 adds hcat.conf and the 54 former
+testudf.jar snippets — the jar's classes are engine-side in
+functions/testudf.py) (r6 closes the :SCRIPTHOMEPATH: families: the
 reference's shipped jython/streaming_python scripting-UDF files and
 perl streaming scripts run VERBATIM — substituted to the reference's
 own macros/streaming/udfs dirs — plus streaming_local.conf and
@@ -20,8 +22,9 @@ does-the-translator-produce-a-runnable-plan gate, not a value oracle
 gates are the 141 DuckDB-oracle queries and the differential fuzz
 batteries).
 
-Skipped (environmental, not engine gaps): snippets needing Java test
-UDF jars or HCatalog/HBase. Documented-unsupported is now a CLOSED
+Skipped (environmental, not engine gaps): snippets needing Hadoop
+version switches, a second input cluster path, or mapred example
+jars. Documented-unsupported is now a CLOSED
 LIST (r7, _NOTIMPL_KINDS): each NotImplementedError must match a
 recorded COVERAGE.md scope decision (non-Python scripting engines,
 NATIVE/MAPREDUCE, custom-jar HiveUDAF, Hive ctor params) — anything
@@ -48,7 +51,7 @@ _CONFS = (
     "streaming_local.conf",  # r6: perl-script STREAM suites run verbatim
     "hcat.conf",  # r10: Grunt `sql` DDL + HCat surface (sources/hcatalog.py)
 )
-_FLOOR = 535
+_FLOOR = 585
 
 # :SCRIPTHOMEPATH: is the harness's per-suite script directory
 # (TestDriverPig.pm:84 substitutes $testCmd->{'scriptPath'}); the
@@ -65,12 +68,15 @@ _SCRIPT_HOME = {
 }
 
 _SKIP_MARKERS = (
-    "testudf.jar", ":mapredjars:",
+    ":mapredjars:",
     "hadoopversion", ":inpath2:", "cache(",
     # the former ":hcat"/"hbase" markers matched ZERO snippets in any
     # conf (grep-verified r10): the reference has no hbase e2e conf at
     # all, and hcat.conf — the only HCat surface — now RUNS through
-    # sources/hcatalog.py (the `sql` command + HCatLoader/HCatStorer)
+    # sources/hcatalog.py (the `sql` command + HCatLoader/HCatStorer).
+    # The former "testudf.jar" marker (54 snippets) is GONE too: the
+    # jar's classes are implemented engine-side
+    # (functions/testudf.py), so those snippets now execute
     "#!/usr/bin",  # embedded jython DRIVER script, not Pig (utf8.conf)
 )
 
@@ -291,6 +297,10 @@ def test_reference_e2e_corpus_executes(spark, fixture_dir):
                         .replace(":OUTPATH:", f"{out_root}/{outn}")
                         .replace(":PIGGYBANKJAR:", "piggybank.jar;")
                         .replace(":SCRIPTHOMEPATH:", _SCRIPT_HOME.get(conf, ""))
+                        # REGISTER of a jar is classpath bookkeeping
+                        # (a no-op here — the test-UDF classes resolve
+                        # engine-side from functions/testudf.py)
+                        .replace(":FUNCPATH:", fixture_dir)
                     )
                     try:
                         run(spark, script, params=params or None)
@@ -335,7 +345,7 @@ def test_reference_e2e_corpus_executes(spark, fixture_dir):
 # nightly.conf carry a few more (bad macro arity, duplicate aliases,
 # scalar >1-row …). The reference harness asserts these FAIL.
 _NEG_CONFS = _CONFS + ("negative.conf",)
-_NEG_FLOOR = 33
+_NEG_FLOOR = 58
 
 # negative snippets that do NOT raise here, each a deliberate leniency
 # (this engine supports a shape old Pig rejected) — documented
@@ -421,6 +431,7 @@ def test_reference_e2e_corpus_negative(spark, fixture_dir):
                         .replace(":OUTPATH:", f"{out_root}/{outn}")
                         .replace(":PIGGYBANKJAR:", "piggybank.jar;")
                         .replace(":SCRIPTHOMEPATH:", _SCRIPT_HOME.get(conf, f"{_CONF_DIR}/../streaming"))
+                        .replace(":FUNCPATH:", fixture_dir)
                     )
                     try:
                         rels = run(spark, script, params=params or None)
