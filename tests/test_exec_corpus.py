@@ -8,10 +8,12 @@ END-TO-END
 on this engine against synthesized versions of the reference's own
 fixtures (generate_data.pl shapes: studenttab, votertab, nulltabs,
 studentcolon, studentcomplextab, allscalar, prerank, textdoc, CJK
-utf8 paths, ctrl-A delimited). Current: 590/606 + 16 documented-
-unsupported = 606/606 (r10 adds hcat.conf and the 54 former
+utf8 paths, ctrl-A delimited). Current: 590/609 + 19 documented-
+unsupported = 609/609 (r10 adds hcat.conf, the 54 former
 testudf.jar snippets — the jar's classes are engine-side in
-functions/testudf.py) (r6 closes the :SCRIPTHOMEPATH: families: the
+functions/testudf.py — and the 3 `native` snippets, which raise the
+recorded NATIVE/MAPREDUCE scope decision as visible
+documented-unsupported rows) (r6 closes the :SCRIPTHOMEPATH: families: the
 reference's shipped jython/streaming_python scripting-UDF files and
 perl streaming scripts run VERBATIM — substituted to the reference's
 own macros/streaming/udfs dirs — plus streaming_local.conf and
@@ -22,9 +24,9 @@ does-the-translator-produce-a-runnable-plan gate, not a value oracle
 gates are the 141 DuckDB-oracle queries and the differential fuzz
 batteries).
 
-Skipped (environmental, not engine gaps): snippets needing Hadoop
-version switches, a second input cluster path, or mapred example
-jars. Documented-unsupported is now a CLOSED
+Skipped: only the two utf8.conf jython DRIVER scripts (embedded
+orchestration driver files, not Pig Latin — the turing_jython suite
+covers that entry point). Documented-unsupported is now a CLOSED
 LIST (r7, _NOTIMPL_KINDS): each NotImplementedError must match a
 recorded COVERAGE.md scope decision (non-Python scripting engines,
 NATIVE/MAPREDUCE, custom-jar HiveUDAF, Hive ctor params) — anything
@@ -68,8 +70,11 @@ _SCRIPT_HOME = {
 }
 
 _SKIP_MARKERS = (
-    ":mapredjars:",
-    "hadoopversion", ":inpath2:", "cache(",
+    # the former ":mapredjars:" marker is gone (r10): the 3 `native`
+    # snippets now RUN and raise the RECORDED NATIVE/MAPREDUCE scope
+    # decision — visible documented-unsupported rows, not skips.
+    # "hadoopversion"/":inpath2:"/"cache(" matched zero snippets
+    # (grep-verified r10) and are dropped as dead entries.
     # the former ":hcat"/"hbase" markers matched ZERO snippets in any
     # conf (grep-verified r10): the reference has no hbase e2e conf at
     # all, and hcat.conf — the only HCat surface — now RUNS through
@@ -301,6 +306,7 @@ def test_reference_e2e_corpus_executes(spark, fixture_dir):
                         # (a no-op here — the test-UDF classes resolve
                         # engine-side from functions/testudf.py)
                         .replace(":FUNCPATH:", fixture_dir)
+                        .replace(":MAPREDJARS:", fixture_dir)
                     )
                     try:
                         run(spark, script, params=params or None)
@@ -345,7 +351,7 @@ def test_reference_e2e_corpus_executes(spark, fixture_dir):
 # nightly.conf carry a few more (bad macro arity, duplicate aliases,
 # scalar >1-row …). The reference harness asserts these FAIL.
 _NEG_CONFS = _CONFS + ("negative.conf",)
-_NEG_FLOOR = 58
+_NEG_FLOOR = 60
 
 # negative snippets that do NOT raise here, each a deliberate leniency
 # (this engine supports a shape old Pig rejected) — documented
