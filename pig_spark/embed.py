@@ -205,6 +205,23 @@ class Pig:
     compileFromFile = compile_from_file  # noqa: N815
 
     @staticmethod
+    def sql(stmt: str) -> int:
+        """Pig.sql("sql <ddl>;") — scripting/Pig.java's sql()
+        delegates to GruntParser.processSQLCommand (pig.sql.type=hcat;
+        GruntParser.java:1267): the command must START with the sql
+        keyword, the statement goes to the SQL engine — here Spark's
+        own catalog (sources/hcatalog.py). Returns 0 on success, as
+        the e2e drivers assert (``ret == 0``)."""
+        s = stmt.strip()
+        if not s[:3].lower() == "sql":
+            # GruntParser.java:1269 — same check, same message
+            raise OSError("sql command not start with sql keyword")
+        from .sources.hcatalog import run_sql
+
+        run_sql(_ambient_spark(), s[3:])
+        return 0
+
+    @staticmethod
     def fs(cmd: str) -> int:
         """Pig.fs("-mkdir p" / "-rmr p" / "-copyFromLocal a b" /
         "-ls p") — hadoop FsShell command string, local-filesystem

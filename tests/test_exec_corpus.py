@@ -8,12 +8,12 @@ END-TO-END
 on this engine against synthesized versions of the reference's own
 fixtures (generate_data.pl shapes: studenttab, votertab, nulltabs,
 studentcolon, studentcomplextab, allscalar, prerank, textdoc, CJK
-utf8 paths, ctrl-A delimited). Current: 590/609 + 19 documented-
-unsupported = 609/609 (r10 adds hcat.conf, the 54 former
-testudf.jar snippets — the jar's classes are engine-side in
-functions/testudf.py — and the 3 `native` snippets, which raise the
-recorded NATIVE/MAPREDUCE scope decision as visible
-documented-unsupported rows) (r6 closes the :SCRIPTHOMEPATH: families: the
+utf8 paths, ctrl-A delimited). Current: 592/611 + 19 documented-
+unsupported = 611/611 — ZERO skipped snippets (r10: hcat.conf, the
+54 former testudf.jar snippets via functions/testudf.py, the 3
+`native` snippets as visible NATIVE/MAPREDUCE documented-unsupported
+rows, and the 2 utf8.conf jython drivers through the turing_jython
+shims + Pig.sql) (r6 closes the :SCRIPTHOMEPATH: families: the
 reference's shipped jython/streaming_python scripting-UDF files and
 perl streaming scripts run VERBATIM — substituted to the reference's
 own macros/streaming/udfs dirs — plus streaming_local.conf and
@@ -24,9 +24,9 @@ does-the-translator-produce-a-runnable-plan gate, not a value oracle
 gates are the 141 DuckDB-oracle queries and the differential fuzz
 batteries).
 
-Skipped: only the two utf8.conf jython DRIVER scripts (embedded
-orchestration driver files, not Pig Latin — the turing_jython suite
-covers that entry point). Documented-unsupported is now a CLOSED
+Nothing is skipped any more — every extractable positive snippet
+runs (the two utf8.conf jython DRIVER scripts route through the
+turing_jython shims). Documented-unsupported is now a CLOSED
 LIST (r7, _NOTIMPL_KINDS): each NotImplementedError must match a
 recorded COVERAGE.md scope decision (non-Python scripting engines,
 NATIVE/MAPREDUCE, custom-jar HiveUDAF, Hive ctor params) — anything
@@ -53,7 +53,7 @@ _CONFS = (
     "streaming_local.conf",  # r6: perl-script STREAM suites run verbatim
     "hcat.conf",  # r10: Grunt `sql` DDL + HCat surface (sources/hcatalog.py)
 )
-_FLOOR = 585
+_FLOOR = 590
 
 # :SCRIPTHOMEPATH: is the harness's per-suite script directory
 # (TestDriverPig.pm:84 substitutes $testCmd->{'scriptPath'}); the
@@ -79,10 +79,11 @@ _SKIP_MARKERS = (
     # conf (grep-verified r10): the reference has no hbase e2e conf at
     # all, and hcat.conf — the only HCat surface — now RUNS through
     # sources/hcatalog.py (the `sql` command + HCatLoader/HCatStorer).
-    # The former "testudf.jar" marker (54 snippets) is GONE too: the
-    # jar's classes are implemented engine-side
-    # (functions/testudf.py), so those snippets now execute
-    "#!/usr/bin",  # embedded jython DRIVER script, not Pig (utf8.conf)
+    # The former "testudf.jar" marker (54 snippets) is GONE too (the
+    # jar's classes are implemented engine-side, functions/testudf.py),
+    # and the "#!/usr/bin" marker with it: the two utf8.conf jython
+    # DRIVER scripts route through the turing_jython shim+transpile.
+    # The tuple is EMPTY — every extractable positive snippet runs.
 )
 
 
@@ -307,8 +308,33 @@ def test_reference_e2e_corpus_executes(spark, fixture_dir):
                         # engine-side from functions/testudf.py)
                         .replace(":FUNCPATH:", fixture_dir)
                         .replace(":MAPREDJARS:", fixture_dir)
+                        .replace(":TMP:", f"{out_root}/tmp{outn}")
                     )
                     try:
+                        if s.lstrip().startswith("#!"):
+                            # embedded jython DRIVER scripts
+                            # (utf8.conf CJK-path drivers): route
+                            # through the turing_jython machinery —
+                            # org.apache.pig.scripting shims over
+                            # pig_spark.embed + the py2→py3 transpile
+                            from test_jython_corpus import (
+                                _install_shims,
+                                _restore_shims,
+                                py2to3,
+                            )
+
+                            os.makedirs(f"{out_root}/tmp{outn}", exist_ok=True)
+                            monkey: dict = {}
+                            _install_shims(monkey)
+                            try:
+                                exec(  # noqa: S102 — reference-corpus driver scripts
+                                    compile(py2to3(script), f"<driver {outn}>", "exec"),
+                                    {"__name__": f"exec_jydriver_{outn}"},
+                                )
+                            finally:
+                                _restore_shims(monkey)
+                            ok += 1
+                            continue
                         run(spark, script, params=params or None)
                         ok += 1
                     except NotImplementedError as e:
