@@ -13,7 +13,7 @@ Protocols used by the Latin layer:
 - plain functions take Columns, return a Column;
 - ``__wants_rel__`` — the resolver passes the current Relation as a
   ``_rel`` kwarg (schema/session introspection UDFs);
-- ``__wants_elem_type`` — aggregate-position functions over a BAG: the
+- ``__wants_elem_type__`` — aggregate-position functions over a BAG: the
   nested-FOREACH lowering passes the bag's element StructType as
   ``_elem`` so field-0 access works without guessing names;
 - ``__pig_ctor__`` — a FACTORY: ``DEFINE alias Cls('arg')`` calls it

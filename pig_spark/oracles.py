@@ -1275,7 +1275,7 @@ def oracle_sql() -> dict[str, str]:
                                      * (q.qv[ms.m * 8 + i] - cb.cv[ms.m * 8 + i]))) AS qd2
                           FROM ms, cb, (SELECT {_pq_query_sql()} AS qv) q)
             SELECT c.vec_id,
-                   list(CAST(c.j AS INT) ORDER BY c.m) AS codes,
+                   array_to_string(list(CAST(c.j AS INT) ORDER BY c.m), '-') AS codes,
                    round(SUM(c.mind), 6) AS recon_err,
                    round(SUM(l.qd2), 6) AS adc_dist
             FROM code c JOIN qlut l ON c.m = l.m AND c.j = l.j

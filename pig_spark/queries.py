@@ -3893,9 +3893,12 @@ def q152_pq_ann(spark: SparkSession, sf: str) -> DataFrame:
     enc = pq_encode(e, cbs)
     query = _lcg_floats(4242, 64)
     adc = pq_adc_distances(enc, query, cbs)
+    # The code word ships SERIALIZED (dash-joined), never as a raw
+    # array column: the driver's canonicalizer sorts result values with
+    # pandas and cannot hash/sort list cells (the r10 q152 red row).
     return adc.select(
         "vec_id",
-        "codes",
+        F.array_join(F.col("codes").cast("array<string>"), "-").alias("codes"),
         F.round("recon_err", 6).alias("recon_err"),
         F.round("adc_dist", 6).alias("adc_dist"),
     )

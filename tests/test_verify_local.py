@@ -11,7 +11,7 @@ import sys
 
 sys.path.insert(0, os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "tools"))
 
-from verify_local import normalize, rows_to_multiset  # noqa: E402
+from verify_local import nested_columns, normalize, rows_to_multiset  # noqa: E402
 
 
 def test_one_ulp_at_rounding_digit_differs():
@@ -40,3 +40,46 @@ def test_multiset_detects_single_row_diff():
     a = rows_to_multiset([(1.0, "x"), (2.0, "y")], ["v", "k"])
     b = rows_to_multiset([(1.0, "x"), (2.0000000000000004, "y")], ["v", "k"])
     assert a != b
+
+
+def test_nested_columns_rejected():
+    # the r10 q152 incident: a raw array<int> output column passed the
+    # local gate (str() of a list) but crashed the driver canonicalizer
+    # (pandas cannot sort list cells). nested_columns must flag every
+    # array/map/struct column so the gate FAILS such a query.
+    from pyspark.sql.types import (
+        ArrayType,
+        IntegerType,
+        LongType,
+        MapType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    schema = StructType(
+        [
+            StructField("vec_id", LongType()),
+            StructField("codes", ArrayType(IntegerType())),
+            StructField("meta", MapType(StringType(), StringType())),
+            StructField(
+                "pair", StructType([StructField("a", LongType())])
+            ),
+            StructField("ok", StringType()),
+        ]
+    )
+    assert nested_columns(schema) == ["codes", "meta", "pair"]
+    flat = StructType(
+        [StructField("vec_id", LongType()), StructField("codes", StringType())]
+    )
+    assert nested_columns(flat) == []
+
+
+def test_q152_output_schema_is_scalar(spark, sf_dir):
+    # the fixed q152 must itself pass the new gate: the PQ code word
+    # ships dash-joined, never as a bare array column
+    from pig_spark.queries import q152_pq_ann
+
+    df = q152_pq_ann(spark, sf_dir)
+    assert nested_columns(df.schema) == []
+    assert dict(df.dtypes)["codes"] == "string"

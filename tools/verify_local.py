@@ -38,6 +38,22 @@ def normalize(val):
     return str(val)
 
 
+def nested_columns(schema):
+    """Column names whose type the driver canonicalizer cannot sort.
+
+    The driver canonicalizes results via pandas sort_values over every
+    column; list/dict cells raise ``unhashable type`` there, so ANY
+    array/map/struct output column is a guaranteed red driver row even
+    when the values match the oracle (the r10 q152 incident). The local
+    gate must therefore REJECT them — normalize()'s str() fallback is
+    strictly more lenient and is exactly how q152 shipped."""
+    return [
+        f.name
+        for f in schema.fields
+        if f.dataType.typeName() in ("array", "map", "struct")
+    ]
+
+
 def rows_to_multiset(rows, colnames):
     order = sorted(range(len(colnames)), key=lambda i: colnames[i])
     out = []
@@ -97,6 +113,15 @@ def main():
         except Exception as e:
             failures.append(name)
             print(f"FAIL {name}: spark error: {e}")
+            continue
+        nested = nested_columns(df.schema)
+        if nested:
+            failures.append(name)
+            print(
+                f"FAIL {name}: non-scalar output column(s) {nested} — the "
+                f"driver canonicalizer cannot sort list/dict cells; "
+                f"serialize with array_join/concat_ws on BOTH engines"
+            )
             continue
         if name not in oracles:
             print(f"ok   {name}: rows-only ({len(spark_rows)} rows, {time.time()-t0:.1f}s)")
