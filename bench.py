@@ -97,9 +97,11 @@ HEADLINE = [
     "q152_pq_ann",  # r10: PQ codes + ADC scan, one map-only projection
     "q153_ivfpq_probe",  # r10: IVF-PQ composed probe (FAISS IVFPQ shape)
     "q154_epoch_schedule",  # r10: quality-tier epoch-repetition manifest
-    # q139 (classifier trainer) and q144 (BPE trainer) deliberately not
-    # headliners: they are multi-job iterative training runs, not ETL
-    # queries — gated by the oracle, timed nowhere
+    # q139 (classifier trainer), q144 (BPE trainer), and q155 (residual
+    # IVF-PQ, which embeds the coarse+PQ codebook TRAINER) deliberately
+    # not headliners: they are multi-job iterative training runs, not
+    # ETL queries — gated by the oracle, timed nowhere. The ANN scale
+    # rungs time the q153 PROBE (the per-query serving path).
 ]
 
 

@@ -1324,6 +1324,62 @@ def oracle_sql() -> dict[str, str]:
                         JOIN cand ON cand.vec_id = c.vec_id
             GROUP BY c.vec_id
             ORDER BY adc_dist ASC, c.vec_id ASC LIMIT 20""",
+        "q155_residual_ivfpq": f"""
+            WITH cents AS (
+                SELECT vec_id AS cid, CAST(embedding AS DOUBLE[]) AS cv
+                FROM embeddings WHERE vec_id < {similarity.IVF_NLIST}),
+                 qprobe AS (
+                SELECT cid FROM cents
+                ORDER BY list_dot_product(cv, {qv}) / (sqrt(list_dot_product(cv, cv)) * {qnorm}) DESC, cid ASC
+                LIMIT {similarity.IVF_NPROBE}),
+                 ranked AS (
+                SELECT e.vec_id, c.cid,
+                       row_number() OVER (PARTITION BY e.vec_id ORDER BY
+                           list_dot_product(CAST(e.embedding AS DOUBLE[]), c.cv)
+                           / (sqrt(list_dot_product(CAST(e.embedding AS DOUBLE[]), CAST(e.embedding AS DOUBLE[])))
+                              * sqrt(list_dot_product(c.cv, c.cv))) DESC, c.cid ASC) AS rn
+                FROM embeddings e CROSS JOIN cents c),
+                 resid AS (
+                SELECT e.vec_id, a.cid AS cell,
+                       list_transform(range(1, {similarity.EMB_DIM + 1}), i ->
+                           CAST(e.embedding[i] AS DOUBLE) - c2.cv[i]) AS r
+                FROM embeddings e JOIN ranked a ON e.vec_id = a.vec_id AND a.rn = 1
+                                  JOIN cents c2 ON c2.cid = a.cid),
+                 cb AS (SELECT vec_id - {similarity.PQ_RES_SEED_LO} AS j, r AS rv
+                        FROM resid
+                        WHERE vec_id >= {similarity.PQ_RES_SEED_LO}
+                          AND vec_id < {similarity.PQ_RES_SEED_LO + similarity.PQ_K}),
+                 cand AS (SELECT vec_id, cell, r FROM resid
+                          WHERE cell IN (SELECT cid FROM qprobe)),
+                 ms AS (SELECT unnest(range(0, {similarity.PQ_M})) AS m),
+                 sub AS (SELECT c.vec_id, ms.m, cb.j,
+                                list_sum(list_transform(range(1, 9), i ->
+                                    (c.r[ms.m * 8 + i] - cb.rv[ms.m * 8 + i])
+                                    * (c.r[ms.m * 8 + i] - cb.rv[ms.m * 8 + i]))) AS d2
+                         FROM cand c, ms, cb),
+                 best AS (SELECT vec_id, m, MIN(d2) AS mind
+                          FROM sub GROUP BY vec_id, m),
+                 code AS (SELECT s.vec_id, s.m, MIN(s.j) AS j
+                          FROM sub s JOIN best b
+                            ON s.vec_id = b.vec_id AND s.m = b.m AND s.d2 = b.mind
+                          GROUP BY s.vec_id, s.m),
+                 qres AS (SELECT c.cid,
+                                 list_transform(range(1, {similarity.EMB_DIM + 1}), i ->
+                                     q.qv[i] - c.cv[i]) AS qr
+                          FROM cents c, (SELECT {qv} AS qv) q
+                          WHERE c.cid IN (SELECT cid FROM qprobe)),
+                 qlut AS (SELECT qres.cid, ms.m, cb.j,
+                                 list_sum(list_transform(range(1, 9), i ->
+                                     (qres.qr[ms.m * 8 + i] - cb.rv[ms.m * 8 + i])
+                                     * (qres.qr[ms.m * 8 + i] - cb.rv[ms.m * 8 + i]))) AS qd2
+                          FROM ms, cb, qres)
+            SELECT c.vec_id, MIN(cand.cell) AS cell,
+                   round(SUM(l.qd2), 6) AS adc_dist,
+                   true AS refined_ok
+            FROM code c JOIN cand ON cand.vec_id = c.vec_id
+                        JOIN qlut l ON l.cid = cand.cell AND c.m = l.m AND c.j = l.j
+            GROUP BY c.vec_id
+            ORDER BY adc_dist ASC, c.vec_id ASC LIMIT 20""",
         "q154_epoch_schedule": f"""
             WITH t AS (SELECT doc_id, {_toks('text')} AS toks FROM documents),
                  m AS (SELECT doc_id,

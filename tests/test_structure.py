@@ -65,3 +65,41 @@ def test_doc_query_counts_match_catalog():
         f"SCALE.md header says {m.group(1)} queries but queries() has {n} — "
         "update the doc (this is the r8/r9 verdict drift class)"
     )
+
+
+def test_gate_window_matches_freshness_plan():
+    """The driver gates the FIRST 50 queries() entries; the window is
+    now GENERATED from driver-evidence freshness (VERDICT r10 #5),
+    not hand-derived. This pins the generated order to the tool's
+    plan so a hand edit of _TIER0 or a new CORRECTNESS file can never
+    silently desynchronize the two."""
+    sys.path.insert(0, str(REPO))
+    sys.path.insert(0, str(REPO / "tools"))
+    try:
+        from freshness import WINDOW, latest_evidence, window_plan
+
+        from pig_spark.queries import _TIER0, QUERIES
+    finally:
+        sys.path.pop(0)
+        sys.path.pop(0)
+    names = list(QUERIES)
+    plan = window_plan(_TIER0, latest_evidence(names))
+    assert names[:WINDOW] == plan, (
+        "queries() window diverges from tools/freshness.py plan; "
+        f"first diff: {next((a, b) for a, b in zip(names, plan) if a != b)}"
+    )
+    # tier 0 must lead the window (new/changed queries re-verify first)
+    assert names[: len(_TIER0)] == sorted(_TIER0)
+
+
+def test_freshness_green_row_definition():
+    """latest_evidence counts only GREEN rows: the r10 file has q152
+    as a crashed row (nulls) — its evidence must NOT be r10."""
+    sys.path.insert(0, str(REPO / "tools"))
+    try:
+        from freshness import latest_evidence
+    finally:
+        sys.path.pop(0)
+    ev = latest_evidence(["q152_pq_ann", "q153_ivfpq_probe"])
+    assert ev["q153_ivfpq_probe"] == 10
+    assert ev["q152_pq_ann"] < 10
