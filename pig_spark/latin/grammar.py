@@ -491,11 +491,14 @@ class Parser:
                 # (adjacent tokens only — `register x.jar` with no
                 # terminating ';' is legal in the reference corpus, so
                 # a whitespace break ends the path, never the next
-                # statement's tokens)
+                # statement's tokens). An ADJACENT `using` keyword
+                # token stays part of the path (`register my-using.jar`
+                # — r10 ADVICE); the engine clause's `using` is always
+                # whitespace-separated, so the pos check alone ends the
+                # run before it
                 parts = [self.next()]
                 while (
                     not (self.peek().kind == "op" and self.peek().text == ";")
-                    and not (self.peek().kind == "kw" and self.peek().text == "using")
                     and self.peek().kind != "eof"
                     and self.peek().pos == parts[-1].pos + len(parts[-1].text)
                 ):

@@ -1629,13 +1629,18 @@ class PigTranslator:
             # test-UDF jar DumpLoader (storefunc/DumpLoader.java): one
             # tuple per line '(f1, f2, ... )' — the Java strips char 0
             # and the LAST TWO chars (its data always ends ' )'), then
-            # splits on ',' and trims. Arity discovered from the data
-            # (the reference appends fields at runtime).
+            # splits on ',' and trims. The reference appends fields
+            # per ROW at runtime (ragged tuples); a DataFrame needs one
+            # arity, so take max(size) over the FILE (one aggregate —
+            # r10 ADVICE: first() silently truncated any later row
+            # with more fields). Rows shorter than the max pad with
+            # nulls where the reference would emit a shorter tuple —
+            # the relational-schema divergence, not data loss.
             raw = self.spark.read.text(op.path)
             body = F.expr("substring(value, 2, greatest(length(value) - 3, 0))")
             arr = F.transform(F.split(body, ","), lambda x: F.trim(x))
-            n_row = raw.select(F.size(arr).alias("n")).first()
-            n = int(n_row["n"]) if n_row is not None else 0
+            n_row = raw.agg(F.max(F.size(arr)).alias("n")).first()
+            n = int(n_row["n"]) if n_row is not None and n_row["n"] is not None else 0
             df = raw.select(
                 *[F.element_at(arr, i + 1).alias(f"_c{i}") for i in range(max(n, 1))]
             )

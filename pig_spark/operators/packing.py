@@ -23,8 +23,9 @@ knob, not data), and cross-partition offsets from a tiny
 per-(shard, partition) totals table. Output is IDENTICAL to the
 single-window formulation (differential-tested).
 
-Strict caps, when required, run per-shard afterwards (each bucket is
-tiny).
+Strict caps, when required, run per-bucket afterwards — each coarse
+bucket is budget-bounded, so :func:`pack_strict` re-packs it
+exact-greedily with an in-row fold (the nested-FOREACH shape).
 """
 
 from __future__ import annotations
@@ -177,3 +178,85 @@ def shard_assign(
     return df.withColumn(key_name, k).withColumn(
         shard_name, (F.col(key_name) % n_shards).cast("long")
     )
+
+
+def pack_strict(
+    df: DataFrame,
+    tokens: str | Column,
+    budget: int,
+    order: str,
+    shard: str | None = None,
+    bucket_col: str = "bucket",
+    pack_col: str = "pack",
+) -> DataFrame:
+    """STRICT-cap packing — the per-shard capped re-pack the module
+    docstring promises (VERDICT r10 #8): :func:`pack_by_budget` may
+    overshoot by one boundary-straddling document; when the budget is
+    a hard ceiling (a context window, not a target), each coarse
+    bucket re-packs EXACT-greedily so no (bucket, pack) group exceeds
+    ``budget`` unless it is a single document larger than the budget
+    (which must stay whole — the tight strict bound).
+
+    Shape (the nested-FOREACH idiom): coarse buckets are
+    budget-BOUNDED by construction (≤ budget + max-doc tokens), so
+    collecting one bucket's (order, tokens) pairs into a bag is a
+    bounded-size aggregate — never a data-sized bag; the exact greedy
+    fold (inherently sequential — the reset point depends on every
+    prior reset) runs IN-ROW over that sorted bag via ``aggregate``
+    (codegen, no Python, no driver collect), and the assignments
+    explode back and equi-join to the rows on the unique ``order``
+    key. One extra shuffle pair vs pack_by_budget, both on bounded
+    groups. ``order`` is required: strict greedy has no meaning
+    without a deterministic sequence."""
+    tok = F.col(tokens) if isinstance(tokens, str) else tokens
+    shard_cols = [shard] if shard else []
+    coarse = pack_by_budget(
+        df, tokens, budget, shard=shard, order=order, bucket_col="__coarse"
+    )
+    otype = dict(df.dtypes)[order]
+    slim = coarse.select(
+        *shard_cols,
+        "__coarse",
+        F.col(order).alias("o"),
+        tok.cast("long").alias("t"),
+    )
+    bags = slim.groupBy(*shard_cols, "__coarse").agg(
+        F.array_sort(F.collect_list(F.struct("o", "t"))).alias("__bag")
+    )
+
+    def _step(acc, x):
+        # close the current pack when adding x would overshoot a
+        # NON-EMPTY pack; an oversized document opens its own pack
+        reset = (acc["cur"] + x["t"] > F.lit(budget)) & (acc["cur"] > 0)
+        idx = F.when(reset, acc["idx"] + 1).otherwise(acc["idx"])
+        cur = F.when(reset, x["t"]).otherwise(acc["cur"] + x["t"])
+        return F.struct(
+            cur.alias("cur"),
+            idx.alias("idx"),
+            F.concat(
+                acc["out"], F.array(F.struct(x["o"].alias("o"), idx.alias("idx")))
+            ).alias("out"),
+        )
+
+    init = F.struct(
+        F.lit(0).cast("bigint").alias("cur"),
+        F.lit(0).alias("idx"),
+        F.array().cast(f"array<struct<o:{otype},idx:int>>").alias("out"),
+    )
+    packed = bags.select(
+        *shard_cols,
+        "__coarse",
+        F.explode(F.aggregate("__bag", init, _step)["out"]).alias("__a"),
+    ).select(
+        *shard_cols,
+        F.col("__coarse").alias(bucket_col),
+        F.col("__a.o").alias("__o"),
+        F.col("__a.idx").alias(pack_col),
+    )
+    joined = df.join(
+        packed,
+        on=[df[order] == packed["__o"]]
+        + [df[c] == packed[c] for c in shard_cols],
+        how="inner",
+    )
+    return joined.drop(packed["__o"]).drop(*[packed[c] for c in shard_cols])

@@ -158,10 +158,29 @@ def slashisize(s: str) -> str:
     so ``-lt row\x00`` compares as the NUL byte, not four literal
     characters. Spark strings compare by UTF-8 binary order, so the
     decoded form matches HBase's byte-lexicographic scan range for the
-    UTF-8 keys the facade writes. Keys containing SPACES still cannot
-    be expressed (the option string tokenizes on whitespace — divergence
-    documented alongside the per-region ``-limit`` note above)."""
-    return _SLASHISIZE.sub(lambda m: chr(int(m.group(1), 16)), s)
+    UTF-8 keys the facade writes — for escapes in ``\x00``–``\x7f``
+    ONLY: a codepoint ≥ 0x80 encodes as TWO UTF-8 bytes (0xC2/0xC3
+    lead), which sorts differently from the single raw byte
+    Bytes.toBytesBinary produces, so such a bound would silently scan
+    a different range (r10 ADVICE). Rejected with a clear error; the
+    facade's own keys are UTF-8 strings, so sub-0x80 boundaries can
+    express every range between them. Keys containing SPACES still
+    cannot be expressed (the option string tokenizes on whitespace —
+    divergence documented alongside the per-region ``-limit`` note
+    above)."""
+
+    def _decode(m: re.Match) -> str:
+        b = int(m.group(1), 16)
+        if b >= 0x80:
+            raise ValueError(
+                f"HBaseStorage: \\x{b:02x} range escape is not order-faithful "
+                "under UTF-8 string comparison (codepoints >= 0x80 encode as "
+                "two bytes and sort differently from the raw byte "
+                "Bytes.toBytesBinary produces); use escapes in \\x00-\\x7f"
+            )
+        return chr(b)
+
+    return _SLASHISIZE.sub(_decode, s)
 
 
 def _next_ts(spark: SparkSession, path: str) -> int:

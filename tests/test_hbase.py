@@ -259,3 +259,21 @@ def test_latin_load_store_hbase(spark, tmp_path):
     assert sorted((r["rowkey"], r["copy_n"]) for r in back.collect()) == [
         ("u1", "3"), ("u2", "4"),
     ]
+
+
+def test_slashisize_rejects_non_ascii_escapes():
+    r"""r10 ADVICE: \xNN escapes >= 0x80 decode to a codepoint whose
+    UTF-8 encoding is TWO bytes, which sorts differently from the raw
+    byte Bytes.toBytesBinary produces — such a range bound would
+    silently scan a different range. The facade rejects them with a
+    clear error; sub-0x80 escapes stay order-faithful."""
+    import pytest
+
+    from pig_spark.sources.hbase import slashisize
+
+    assert slashisize(r"row\x00") == "row\x00"
+    assert slashisize(r"row\x7f") == "row\x7f"
+    with pytest.raises(ValueError, match="order-faithful"):
+        slashisize(r"row\xff")
+    with pytest.raises(ValueError, match="order-faithful"):
+        slashisize(r"row\x80")

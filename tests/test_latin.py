@@ -2561,3 +2561,17 @@ def test_piggybank_deprecated_string_spellings(spark, tmp_path):
     by_s = {r[4]: r for r in rows}
     assert by_s["abc"][2] == 1 and by_s["abc"][3] == "123"
     assert by_s["xyz"][2] == 0 and by_s["xyz"][3] is None
+
+
+def test_register_path_with_embedded_using_keyword(spark, tmp_path):
+    """r10 ADVICE: an unquoted REGISTER path whose lexed tokens include
+    an ADJACENT `using` keyword (register my-using.jar) must keep the
+    whole token run as the path — only a whitespace-separated `using`
+    starts the engine clause."""
+    from pig_spark.latin import translator
+
+    jar = tmp_path / "my-using.jar"
+    jar.write_bytes(b"PK")
+    tr = translator(spark)
+    tr.run(f"REGISTER {jar};")
+    assert tr.registered == [str(jar)]

@@ -174,3 +174,26 @@ def test_swap_createmap_testboolean(spark, student):
     assert tuple(out["sw"]) == ("20", "alice")
     assert out["m"] == {"alice": "20"}
     assert out["t1"] == ""
+
+
+def test_dump_loader_ragged_arity_max_over_file(spark, tmp_path):
+    """r10 ADVICE: DumpLoader's arity must come from the WHOLE file
+    (the reference appends fields per row), not the first row — a
+    later row with more fields was silently truncated. Rows shorter
+    than the max pad with nulls (documented divergence: the reference
+    emits a shorter tuple; a DataFrame needs one arity)."""
+    src = tmp_path / "ragged"
+    src.mkdir()
+    (src / "part-0").write_text("(a, b )\n(c, d, e )\n(f )\n")
+    out = str(tmp_path / "out")
+    run(spark, f"""
+        c = load '{src}' using DumpLoader();
+        store c into '{out}' using PigStorage(',');
+    """)
+    lines = sorted(
+        ln
+        for f in os.listdir(out) if f.startswith("part")
+        for ln in open(os.path.join(out, f)).read().splitlines()
+    )
+    # 3 columns everywhere; missing trailing fields are empty (null)
+    assert lines == ["a,b,", "c,d,e", "f,,"]

@@ -1,0 +1,159 @@
+"""Round-11 measurement settlements (VERDICT r10 "Next round" #4),
+one session, sf0.1 — the standing three-pair protocol applied to every
+unsettled reading in the official BENCH_r10.json record:
+
+1. q01 control = 1.58 (worst control marker shipped in any round) and
+   the r9→r10 per-query deltas q130 = 1.70×, q132 = 1.46×,
+   q109 = 1.41×: THREE adjacent A/B pairs each against the r10 round
+   commit. No r10 code change touched any of these queries' lowering,
+   so the control leg and current leg execute the same plan class —
+   consistent ~1.0 ratios attribute the driver readings to the
+   documented end-of-round multi-tenant load spike; consistent
+   deviation would be code-attributable (and impossible here unless
+   the r11 window reordering somehow perturbed them).
+2. q134 100× rung inverted pair ([3.6, 11.2] in the driver record):
+   three adjacent 100× runs on the bench's own synthetic corpus —
+   the q137 warm-up-transient rule says read the LAST of ≥3.
+
+Prints one JSON line. Advisory tooling — not part of bench.py's
+driver-facing output.
+"""
+
+from __future__ import annotations
+
+import importlib
+import json
+import os
+import shutil
+import subprocess
+import sys
+import tempfile
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+PAIRS = int(os.environ.get("SETTLE_PAIRS", "3"))
+MARKERS = [
+    "q01_group_agg",                    # control 1.58 in BENCH_r10
+    "q130_bigram_lm_perplexity",        # 1.70x vs BENCH_r09
+    "q132_paragraph_near_dup",          # 1.46x vs BENCH_r09
+    "q109_incremental_dedup_verified",  # 1.41x vs BENCH_r09
+]
+
+
+def _noop(df):
+    df.write.format("noop").mode("overwrite").save()
+
+
+def _swap(mods):
+    for k in [k for k in sys.modules if k == "pig_spark" or k.startswith("pig_spark.")]:
+        del sys.modules[k]
+    sys.modules.update(mods)
+
+
+def main() -> None:
+    sys.path.insert(0, REPO)
+    from pig_spark.session import get_spark
+
+    spark = get_spark(
+        "settle_r11",
+        extra_conf={"spark.driver.memory": os.environ.get("SPARK_GRAFT_DRIVER_MEM", "20g")},
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+    out: dict = {"sf_dir": SF_DIR}
+
+    # --- 1. A/B pairs vs the r10 round commit ------------------------
+    log = subprocess.run(
+        ["git", "-C", REPO, "log", "--format=%H %s"], capture_output=True, text=True, check=True
+    ).stdout
+    head = subprocess.run(
+        ["git", "-C", REPO, "rev-parse", "HEAD"], capture_output=True, text=True, check=True
+    ).stdout.strip()
+    ref = subject = None
+    for ln in log.splitlines():
+        sha, _, subj = ln.partition(" ")
+        if sha != head and " round " in f" {subj}" and ":" in subj:
+            ref, subject = sha, subj
+            break
+    assert ref, "no prior round commit found"
+    wt = tempfile.mkdtemp(prefix="pig_spark_settle_")
+    subprocess.run(
+        ["git", "-C", REPO, "worktree", "add", "--detach", "--force", wt, ref],
+        check=True, capture_output=True,
+    )
+    from pig_spark.queries import QUERIES as CUR
+
+    saved = {k: v for k, v in sys.modules.items() if k == "pig_spark" or k.startswith("pig_spark.")}
+    try:
+        for k in list(saved):
+            del sys.modules[k]
+        sys.path.insert(0, wt)
+        qmod = importlib.import_module("pig_spark.queries")
+        wt_mods = {k: v for k, v in sys.modules.items() if k == "pig_spark" or k.startswith("pig_spark.")}
+        sys.path.remove(wt)
+        out["ab"] = {"ref": ref[:12], "subject": subject, "markers": {}}
+        for marker in MARKERS:
+            ctrl_fn, cur_fn = qmod.QUERIES[marker], CUR[marker]
+            _swap(wt_mods); _noop(ctrl_fn(spark, SF_DIR))  # warm both legs
+            _swap(saved); _noop(cur_fn(spark, SF_DIR))
+            pairs = []
+            for _ in range(PAIRS):
+                _swap(wt_mods)
+                t0 = time.time(); _noop(ctrl_fn(spark, SF_DIR)); c = time.time() - t0
+                _swap(saved)
+                t0 = time.time(); _noop(cur_fn(spark, SF_DIR)); x = time.time() - t0
+                pairs.append({"ctrl": round(c, 3), "cur": round(x, 3), "ratio": round(x / c, 3)})
+            out["ab"]["markers"][marker] = pairs
+    finally:
+        _swap(saved)
+        subprocess.run(["git", "-C", REPO, "worktree", "remove", "--force", wt], capture_output=True)
+        shutil.rmtree(wt, ignore_errors=True)
+
+    # --- 2. q134 100× rung: three adjacent runs ----------------------
+    from pyspark.sql import functions as F
+
+    copies = 100
+    alpha = "abcdefghijklmnopqrstuvwxyz"
+    vowels = "aeiou"
+    vperms = ["aeiou", "eioua", "iouae", "ouaei"]
+    targets = []
+    for r in range(26):
+        rot = alpha[r:] + alpha[:r]
+        for vp in vperms:
+            targets.append("".join(vp[vowels.index(c)] if c in vowels else c for c in rot))
+    targets = targets[:copies]
+    d = spark.read.parquet(f"{SF_DIR}/documents.parquet").select("doc_id", "text", "lang")
+    parts = [
+        d.select(
+            (F.col("doc_id") * copies + i).alias("doc_id"),
+            F.translate(F.col("text"), alpha, targets[i]).alias("text"),
+            "lang",
+        )
+        for i in range(copies)
+    ]
+    big = parts[0]
+    for p in parts[1:]:
+        big = big.unionByName(p)
+    tmp1 = tempfile.mkdtemp(prefix="settle_x1_")
+    tmp100 = tempfile.mkdtemp(prefix="settle_x100_")
+    try:
+        d.write.mode("overwrite").parquet(f"{tmp1}/documents.parquet")
+        big.repartition(32).write.mode("overwrite").parquet(f"{tmp100}/documents.parquet")
+        for t in (tmp1, tmp100):
+            _noop(spark.read.parquet(f"{t}/documents.parquet"))
+        q134 = CUR["q134_char_contamination"]
+        t0 = time.time(); _noop(q134(spark, tmp1)); base = round(time.time() - t0, 3)
+        runs = []
+        for _ in range(3):
+            t0 = time.time(); _noop(q134(spark, tmp100)); runs.append(round(time.time() - t0, 3))
+        out["q134_100x"] = {"base_1x": base, "runs_100x": runs,
+                            "ratios": [round(r / base, 2) for r in runs]}
+    finally:
+        shutil.rmtree(tmp1, ignore_errors=True)
+        shutil.rmtree(tmp100, ignore_errors=True)
+
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()
