@@ -393,6 +393,79 @@ def _xlarge_bench(spark, sf_dir: str, results: dict) -> None:
         shutil.rmtree(tmp100, ignore_errors=True)
 
 
+def _ann_scale_bench(spark, sf_dir: str, results: dict) -> None:
+    """ANN scale rungs (VERDICT r10 #9 — the dedup/LM families carry
+    rungs; the ANN family's 100 TB claim deserves the same evidence):
+    q153 (IVF-PQ probe — the serving path) and q152 (PQ encode + ADC
+    full scan) re-timed on 25× and 100× synthetic EMBEDDINGS corpora.
+    Each copy keeps the original vectors with a per-copy deterministic
+    element offset (+i·1e-3), so cell geometry stays realistic while
+    ids stay unique; vec_id remaps to vec_id·copies + i, which keeps
+    the 16 lowest ids as near-copies of the original centroid seeds.
+    Probe cost should scale ~nprobe/nlist-sub-linearly for q153 (cell
+    pruning prunes the same FRACTION at any size) and ~linearly for
+    q152 (a full-corpus encode scan — the honest comparison line).
+    Both readings of an adjacent pair are recorded (first = noise
+    control, repeat = the scaling signal — the r5 #7 rule).
+    Skip with SPARK_GRAFT_ANN_BENCH=0."""
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from pig_spark.queries import QUERIES
+
+    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select("vec_id", "embedding")
+    rung_queries = ("q153_ivfpq_probe", "q152_pq_ann")
+    tmp1 = tempfile.mkdtemp(prefix="pig_spark_ann1_")
+    out: dict[str, dict] = {}
+    try:
+        e.write.mode("overwrite").parquet(f"{tmp1}/embeddings.parquet")
+        spark.read.parquet(f"{tmp1}/embeddings.parquet").write.format("noop").mode("overwrite").save()
+        base: dict[str, float] = {}
+        for name in rung_queries:
+            t0 = time.time()
+            QUERIES[name](spark, tmp1).write.format("noop").mode("overwrite").save()
+            base[name] = round(time.time() - t0, 3)
+        out["queries_1x"] = base
+        for copies in (25, 100):
+            parts = [
+                e.select(
+                    (F.col("vec_id") * copies + i).alias("vec_id"),
+                    # cast back to float so the stored format (and scan
+                    # bytes/row) matches the 1x control exactly
+                    F.transform(
+                        F.col("embedding").cast("array<double>"),
+                        lambda x, i=i: x + F.lit(i * 1e-3),
+                    ).cast("array<float>").alias("embedding"),
+                )
+                for i in range(copies)
+            ]
+            big = parts[0]
+            for p in parts[1:]:
+                big = big.unionByName(p)
+            tmpN = tempfile.mkdtemp(prefix=f"pig_spark_ann{copies}_")
+            try:
+                big.repartition(32).write.mode("overwrite").parquet(
+                    f"{tmpN}/embeddings.parquet"
+                )
+                spark.read.parquet(f"{tmpN}/embeddings.parquet").write.format("noop").mode("overwrite").save()
+                qN: dict[str, float] = {}
+                for name in rung_queries:
+                    t0 = time.time()
+                    QUERIES[name](spark, tmpN).write.format("noop").mode("overwrite").save()
+                    qN[name] = round(time.time() - t0, 3)
+                    t0 = time.time()
+                    QUERIES[name](spark, tmpN).write.format("noop").mode("overwrite").save()
+                    qN[f"{name}_repeat"] = round(time.time() - t0, 3)
+                out[f"queries_{copies}x"] = qN
+            finally:
+                shutil.rmtree(tmpN, ignore_errors=True)
+        results["sf_ann"] = out
+    finally:
+        shutil.rmtree(tmp1, ignore_errors=True)
+
+
 def _pigmix_scale_bench(spark, sf_dir: str, results: dict) -> None:
     """PigMix sf1-shape smoke (VERDICT r5 #8): pm01–pm17 re-timed on a
     10× synthetic rung over the bench SF — events/customer/supplier
@@ -653,6 +726,8 @@ def main():
         _scale_bench(spark, sf_dir, results)
     if os.environ.get("SPARK_GRAFT_XLARGE_BENCH", "1") != "0":
         _xlarge_bench(spark, sf_dir, results)
+    if os.environ.get("SPARK_GRAFT_ANN_BENCH", "1") != "0":
+        _ann_scale_bench(spark, sf_dir, results)
     if os.environ.get("SPARK_GRAFT_PIGMIX_SF1", "1") != "0":
         _pigmix_scale_bench(spark, sf_dir, results)
     print(json.dumps(results))
