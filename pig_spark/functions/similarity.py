@@ -927,3 +927,54 @@ def pq_refined_pipeline_contract(
         "refined_recon": refined_recon,
         "ok": ok,
     }
+
+
+# ---------------------------------------------------------------------
+# k-center coreset selection — greedy farthest-point traversal
+# (Gonzalez 1985; the diversity/coreset subset-selection stage of
+# data-curation pipelines: pick k maximally-spread exemplars, assign
+# every vector to its nearest exemplar)
+# ---------------------------------------------------------------------
+def kcenter_select(
+    df: DataFrame,
+    k: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> list[tuple[int, list[float]]]:
+    """Greedy k-center (farthest-point) selection: seed = the lowest-id
+    vector; each step picks the vector MAXIMIZING its min squared-L2
+    distance to the chosen set (ties → lowest id). Returns the chosen
+    ``[(id, vector)]`` in selection order. Gonzalez's classic
+    2-approximation to the k-center objective — the deterministic,
+    engine-mirrorable core of coreset/diversity data selection.
+
+    100 TB design: k passes, each a MAP-ONLY projection (the ≤k chosen
+    vectors ride as plan literals, ≤ k·dim doubles) + a TakeOrdered(1)
+    — never a global sort, never a shuffle of the vectors; the driver
+    holds k rows. At billions of vectors run the traversal over the
+    IVF-cell centroid table or a deterministic sample first (the same
+    trainer-sampling story as pq_refined_pipeline_contract), then
+    assign everything with one more map-only pass."""
+    if k <= 0:
+        raise ValueError(f"kcenter_select: k must be positive, got {k}")
+    v = F.col(vec_col).cast("array<double>")
+    first = (
+        df.select(F.col(id_col), v.alias("__v"))
+        .orderBy(F.col(id_col).asc())
+        .limit(1)
+        .collect()
+    )
+    if not first:
+        raise ValueError("kcenter_select: empty input")
+    chosen = [(int(first[0][0]), [float(x) for x in first[0][1]])]
+    for _ in range(k - 1):
+        dists = [_sub_d2(v, _vec_lit(cv)) for _, cv in chosen]
+        mind = dists[0] if len(dists) == 1 else F.least(*dists)
+        row = (
+            df.select(F.col(id_col), v.alias("__v"), mind.alias("__md"))
+            .orderBy(F.col("__md").desc(), F.col(id_col).asc())
+            .limit(1)
+            .collect()
+        )[0]
+        chosen.append((int(row[0]), [float(x) for x in row[1]]))
+    return chosen

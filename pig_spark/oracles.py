@@ -224,6 +224,54 @@ def _bigram_lm_ctes() -> str:
                  agg AS (SELECT doc_id, AVG(lp) AS al FROM ps GROUP BY doc_id)"""
 
 
+def _kcenter_sql(k: int) -> str:
+    """q156's DuckDB twin, GENERATED: greedy k-center is inherently
+    sequential (step t depends on every prior pick), so the oracle
+    unrolls the same k selection steps the engine runs — each a
+    max-min-distance argmax with the identical (md DESC, vec_id ASC)
+    tie-break, over the identical left-to-right list_sum fold, so the
+    doubles and the winners match bit-for-bit."""
+
+    def d2(a: str, b: str) -> str:
+        return (
+            f"list_sum(list_transform(range(1, {similarity.EMB_DIM + 1}), "
+            f"i -> ({a}[i] - {b}[i]) * ({a}[i] - {b}[i])))"
+        )
+
+    parts = [
+        "e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)",
+        "c0 AS (SELECT vec_id, v FROM e ORDER BY vec_id ASC LIMIT 1)",
+        f"d0 AS (SELECT e.vec_id, e.v, {d2('e.v', 'c0.v')} AS md FROM e, c0)",
+    ]
+    for t in range(1, k):
+        parts.append(
+            f"c{t} AS (SELECT vec_id, v FROM d{t - 1} "
+            f"ORDER BY md DESC, vec_id ASC LIMIT 1)"
+        )
+        if t < k - 1:
+            parts.append(
+                f"d{t} AS (SELECT d.vec_id, d.v, "
+                f"least(d.md, {d2('d.v', f'c{t}.v')}) AS md "
+                f"FROM d{t - 1} d, c{t})"
+            )
+    union = " UNION ALL ".join(f"SELECT vec_id, v FROM c{t}" for t in range(k))
+    parts.append(f"cents AS ({union})")
+    parts.append(
+        "ranked AS (SELECT e.vec_id, c.vec_id AS cid, "
+        f"{d2('e.v', 'c.v')} AS dd, "
+        "ROW_NUMBER() OVER (PARTITION BY e.vec_id "
+        f"ORDER BY {d2('e.v', 'c.v')} ASC, c.vec_id ASC) AS rn "
+        "FROM e, cents c)"
+    )
+    return (
+        "WITH " + ",\n ".join(parts) + "\n"
+        "SELECT r.vec_id, CAST(r.cid AS BIGINT) AS center_id, "
+        "round(r.dd, 6) AS dist, "
+        "r.vec_id IN (SELECT vec_id FROM cents) AS is_center "
+        "FROM ranked r WHERE r.rn = 1"
+    )
+
+
 def oracle_sql() -> dict[str, str]:
     rows = dedup.MINHASH_K // dedup.MINHASH_BANDS
     lang_scores, lang_case = _lang_case()
@@ -1380,6 +1428,7 @@ def oracle_sql() -> dict[str, str]:
                         JOIN qlut l ON l.cid = cand.cell AND c.m = l.m AND c.j = l.j
             GROUP BY c.vec_id
             ORDER BY adc_dist ASC, c.vec_id ASC LIMIT 20""",
+        "q156_kcenter_coreset": _kcenter_sql(6),
         "q154_epoch_schedule": f"""
             WITH t AS (SELECT doc_id, {_toks('text')} AS toks FROM documents),
                  m AS (SELECT doc_id,

@@ -4018,6 +4018,44 @@ def q155_residual_ivfpq(spark: SparkSession, sf: str) -> DataFrame:
     return topk.withColumn("refined_ok", F.lit(bool(contract["ok"])))
 
 
+def q156_kcenter_coreset(spark: SparkSession, sf: str) -> DataFrame:
+    """Greedy k-center coreset selection (Gonzalez 1985 farthest-point
+    traversal) — the diversity/coreset subset-selection stage of a
+    data-curation pipeline (pick k maximally-spread exemplars, assign
+    every vector to its nearest one): the complement of the dedup
+    family, which removes the CLOSE pairs; this finds the SPREAD-OUT
+    representatives (active-learning coresets, data pruning, eval-set
+    seeding). Deterministic: seed = lowest id, each step maximizes min
+    squared-L2 distance to the chosen set (ties → lowest id); every
+    selection step and the final assignment are exact SQL, so the
+    DuckDB twin unrolls the same k steps.
+
+    100 TB design (similarity.kcenter_select): k passes, each a
+    MAP-ONLY projection with the ≤k chosen vectors as plan literals +
+    a TakeOrdered(1) — no shuffle of the vectors, driver holds k rows;
+    the assignment is one more map-only pass (the ivf_assign idiom).
+    At billions of vectors the traversal runs over the IVF centroid
+    table or a deterministic sample first, then assigns everything."""
+    from .functions.similarity import kcenter_select, kmeans_assign_l2
+
+    k = 6
+    e = _t(spark, sf, "embeddings").df
+    centers = kcenter_select(e, k)
+    center_ids = sorted(cid for cid, _ in centers)
+    assigned = kmeans_assign_l2(
+        e.select("vec_id", F.col("embedding").cast("array<double>").alias("__v")),
+        sorted(centers),  # id order → first-match tie-break = lowest center id
+        vec_col="__v",
+        dist_col="__d",
+    )
+    return assigned.select(
+        "vec_id",
+        F.col("__cell").cast("long").alias("center_id"),
+        F.round("__d", 6).alias("dist"),
+        F.col("vec_id").isin(*center_ids).alias("is_center"),
+    )
+
+
 from .pigmix import PIGMIX_QUERIES  # noqa: E402  (avoids circular import)
 
 _ALL: dict[str, Callable[[SparkSession, str], DataFrame]] = {
@@ -4046,6 +4084,7 @@ _ALL.update(PIGMIX_QUERIES)
 _TIER0 = [
     "q152_pq_ann",            # r10 red (canonicalizer), codes now serialized
     "q155_residual_ivfpq",    # new: residual IVF-PQ + refined-codebook contract
+    "q156_kcenter_coreset",   # new: greedy k-center coreset selection
 ]
 
 

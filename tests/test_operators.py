@@ -1229,3 +1229,41 @@ def test_pack_strict_hard_cap_and_stability(spark):
     b = {r["id"]: (r["bucket"], r["pack"]) for r in again.collect()}
     assert a == b
     out.unpersist()
+
+
+def test_kcenter_greedy_invariants(spark, sf_dir):
+    """q156's operator contract (similarity.kcenter_select): greedy
+    farthest-point traversal — the seed is the lowest id, centers are
+    distinct, and the selection gap (each pick's min distance to the
+    prior set) is NON-INCREASING (min-dist to a growing set can only
+    shrink per point, so its max over points shrinks too — the
+    Gonzalez 2-approximation invariant). Assignment closes the loop:
+    every center assigns to itself at distance 0."""
+    from pig_spark.functions.similarity import kcenter_select
+    from pig_spark.queries import q156_kcenter_coreset
+
+    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+        "vec_id", "embedding"
+    )
+    centers = kcenter_select(e, 6)
+    ids = [cid for cid, _ in centers]
+    assert len(set(ids)) == 6
+    min_id = e.agg(F.min("vec_id")).first()[0]
+    assert ids[0] == min_id
+
+    def d2(a, b):
+        return sum((x - y) * (x - y) for x, y in zip(a, b))
+
+    gaps = [
+        min(d2(centers[t][1], centers[s][1]) for s in range(t))
+        for t in range(1, 6)
+    ]
+    assert all(a >= b - 1e-9 for a, b in zip(gaps, gaps[1:])), gaps
+
+    out = q156_kcenter_coreset(spark, sf_dir).cache()
+    cen = {r["vec_id"]: r for r in out.where("is_center").collect()}
+    assert sorted(cen) == sorted(ids)
+    for vid, r in cen.items():
+        assert r["center_id"] == vid and r["dist"] == 0.0, dict(r.asDict())
+    assert out.count() == e.count()
+    out.unpersist()

@@ -695,3 +695,19 @@ def test_residual_ivfpq_probe_plan(spark, sf_dir):
     assert "Window" not in phys, phys
     assert "PythonUDF" not in phys and "EvalPython" not in phys, phys
     assert "Join" not in phys, phys
+
+
+def test_kcenter_assignment_plan_is_map_only(spark, sf_dir):
+    """q156 (k-center coreset): the final assignment is ONE map-only
+    codegen projection over the embedding scan — the k chosen vectors
+    are plan literals; no shuffle, no Window, no Python, no join. (The
+    k selection passes are each map-only + TakeOrdered(1) by
+    construction — kcenter_select collects one row per pass.)"""
+    from pig_spark.queries import q156_kcenter_coreset
+
+    df = q156_kcenter_coreset(spark, sf_dir)
+    phys = df._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in phys, phys
+    assert "Window" not in phys, phys
+    assert "PythonUDF" not in phys and "EvalPython" not in phys, phys
+    assert "Join" not in phys, phys
