@@ -342,7 +342,7 @@ def oracle_sql() -> dict[str, str]:
                    + 0.3 * (1.0 - least(abs((CASE WHEN n > 0 THEN CAST(list_sum(list_transform(toks, t -> length(t))) AS DOUBLE) / n ELSE 0.0 END) - 5.0) / 5.0, 1.0)), 6) AS q
         FROM m"""
 
-    return {
+    out = {
         "q01_group_agg": f"""
             SELECT l_returnflag, l_linestatus,
                    {_dsum('l_quantity')} AS sum_qty,
@@ -2226,6 +2226,11 @@ def oracle_sql() -> dict[str, str]:
                  USING (event_id)""",
         **_pigmix_oracles(),
     }
+    # q157 probes the STORED index with the same query/k as q153; the
+    # round-trip must reproduce the in-memory probe bit-for-bit, so
+    # its oracle IS q153's oracle
+    out["q157_ann_index_probe"] = out["q153_ivfpq_probe"]
+    return out
 
 
 def _bloom_oracle() -> str:

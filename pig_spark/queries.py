@@ -4056,6 +4056,38 @@ def q156_kcenter_coreset(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q157_ann_index_probe(spark: SparkSession, sf: str) -> DataFrame:
+    """Persisted ANN index round-trip — the deployment layout every
+    IVF/PQ scale note promises, made real: PQ codes STORED as parquet
+    partitioned by IVF cell (similarity.ann_index_store — 8-byte rows,
+    ~32× smaller than the vectors) with a model sidecar, then probed
+    from disk (ann_index_probe): the sidecar picks the nprobe cells
+    driver-side and the scan's PartitionFilters prune every other
+    cell's files BEFORE they open (plan-pinned in test_scale_plans).
+    Same query vector and k as q153, and the oracle IS q153's oracle:
+    the store/load round-trip must reproduce the in-memory probe's
+    answer bit-for-bit — an index that changes answers is a bug, not
+    an optimization.
+
+    100 TB design: the index build is ONE map-only encode pass + a
+    partitioned write; a probe reads nprobe/nlist of an
+    already-32×-smaller table and never deserializes a vector; the
+    model sidecar is an object-store GET, not a data scan."""
+    import hashlib
+    import tempfile
+
+    from .functions import similarity
+
+    path = (
+        f"{tempfile.gettempdir()}/pig_spark_ann_index_"
+        f"{hashlib.md5(sf.encode()).hexdigest()[:8]}"
+    )
+    e = _t(spark, sf, "embeddings").df
+    similarity.ann_index_store(e, path)
+    query = [((i * 37) % 13 - 6) / 13.0 for i in range(similarity.EMB_DIM)]
+    return similarity.ann_index_probe(spark, path, query, k=20)
+
+
 from .pigmix import PIGMIX_QUERIES  # noqa: E402  (avoids circular import)
 
 _ALL: dict[str, Callable[[SparkSession, str], DataFrame]] = {
@@ -4085,6 +4117,7 @@ _TIER0 = [
     "q152_pq_ann",            # r10 red (canonicalizer), codes now serialized
     "q155_residual_ivfpq",    # new: residual IVF-PQ + refined-codebook contract
     "q156_kcenter_coreset",   # new: greedy k-center coreset selection
+    "q157_ann_index_probe",   # new: persisted cell-partitioned ANN index
 ]
 
 

@@ -711,3 +711,61 @@ def test_kcenter_assignment_plan_is_map_only(spark, sf_dir):
     assert "Window" not in phys, phys
     assert "PythonUDF" not in phys and "EvalPython" not in phys, phys
     assert "Join" not in phys, phys
+
+
+def test_ann_index_probe_partition_prunes(spark, sf_dir, tmp_path):
+    """q157 (persisted ANN index): the probe's scan must carry the
+    cell filter as PartitionFilters — non-probed cells' files never
+    open (the claim every IVF/PQ scale note makes, pinned on the real
+    stored layout) — and the ranking stays map-only + TakeOrdered
+    with no Window/Python/Join."""
+    from pig_spark.functions.similarity import (
+        EMB_DIM,
+        IVF_NPROBE,
+        ann_index_probe,
+        ann_index_store,
+    )
+
+    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+        "vec_id", "embedding"
+    )
+    path = str(tmp_path / "ann_index")
+    ann_index_store(e, path)
+    query = [((i * 37) % 13 - 6) / 13.0 for i in range(EMB_DIM)]
+    df = ann_index_probe(spark, path, query, k=20)
+    phys = df._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [" in phys, phys
+    assert "cell" in phys.split("PartitionFilters:")[1][:160], phys
+    assert "TakeOrderedAndProject" in phys, phys
+    assert "Window" not in phys and "Join" not in phys, phys
+    assert "PythonUDF" not in phys and "EvalPython" not in phys, phys
+    # the scan reads CODES, never vectors
+    assert "embedding" not in phys.split("ReadSchema:")[-1], phys
+
+
+def test_ann_index_roundtrip_matches_inmemory_probe(spark, sf_dir, tmp_path):
+    """q157's contract: the stored index reproduces the in-memory q153
+    probe bit-for-bit (same ids, cells, and rounded distances) — an
+    index that changes answers is a bug, not an optimization."""
+    from pig_spark.functions.similarity import (
+        EMB_DIM,
+        ann_index_probe,
+        ann_index_store,
+        ivfpq_topk,
+    )
+
+    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+        "vec_id", "embedding"
+    )
+    path = str(tmp_path / "ann_index")
+    ann_index_store(e, path)
+    query = [((i * 37) % 13 - 6) / 13.0 for i in range(EMB_DIM)]
+    stored = [
+        (r["vec_id"], r["cell"], r["adc_dist"])
+        for r in ann_index_probe(spark, path, query, k=20).collect()
+    ]
+    direct = [
+        (r["vec_id"], r["cell"], r["adc_dist"])
+        for r in ivfpq_topk(e, query, k=20).collect()
+    ]
+    assert stored == direct
