@@ -636,3 +636,59 @@ def histogram_rollup_stream(
         F.window(F.col(ts_col), window), *(keys or []), bin_col
     )
     return grouped.agg(F.count(F.lit(1)).alias("n"))
+
+
+def ann_index_ingest_stream(
+    vec_stream: DataFrame,
+    model: dict,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Streaming twin of ``similarity.ann_index_store``'s encode stage:
+    vectors arriving on a stream encode against the FIXED
+    offline-trained model (centroids + codebooks ride as plan
+    literals — pure Column expressions, legal in streaming; no state,
+    no watermark needed) into ``(id, cell, codes)`` rows. Write with
+    ``writeStream.partitionBy("cell")`` (see
+    :func:`write_ann_index_stream`) to APPEND into the same
+    cell-partitioned layout ``ann_index_probe`` scans — fresh vectors
+    become probe-visible at the micro-batch cadence, and the probe's
+    PartitionFilters pruning works identically on streamed files.
+
+    The model is deliberately an INPUT: codebook training is the
+    offline batch job (pq_refined_pipeline_contract's sampling story);
+    re-encoding history after a model refresh is the batch path's job,
+    exactly like the signature-index refresh contract of
+    :func:`incremental_dedup_stream`."""
+    from ..functions.similarity import ivf_assign, pq_encode
+
+    centroids = [(int(c), [float(x) for x in v]) for c, v in model["centroids"]]
+    cbs = [[[float(x) for x in cw] for cw in cb] for cb in model["codebooks"]]
+    enc = pq_encode(
+        ivf_assign(vec_stream, centroids, id_col, vec_col), cbs, id_col, vec_col,
+        keep=["__cell"],
+    )
+    return enc.select(F.col(id_col), F.col("__cell").alias("cell"), "codes")
+
+
+def write_ann_index_stream(df: DataFrame, path: str, checkpoint: str):
+    """Start the cell-partitioned append sink for
+    :func:`ann_index_ingest_stream`. Deliberately ``foreachBatch`` +
+    a plain batch write, NOT the native parquet sink: the native sink
+    drops a ``_spark_metadata`` transaction log in the directory, and
+    any later read of a directory containing one exposes ONLY the
+    sink-logged files — silently hiding the batch-built index rows
+    the stream is appending NEXT TO. foreachBatch writes the same
+    partitionBy(cell) layout with no metadata log, so one probe scans
+    batch history and streamed arrivals together (exactly-once
+    degrades to at-least-once on batch replay — acceptable for an
+    index whose rows are deterministic re-encodes)."""
+    return (
+        df.writeStream.foreachBatch(
+            lambda batch, _id: batch.write.mode("append")
+            .partitionBy("cell")
+            .parquet(path)
+        )
+        .option("checkpointLocation", checkpoint)
+        .start()
+    )

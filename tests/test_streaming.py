@@ -934,3 +934,103 @@ def test_substring_dedup_stream_requires_timestamp(spark, sf_dir):
     d = spark.read.parquet(f"{sf_dir}/documents.parquet")
     with pytest.raises(ValueError, match="ts_col"):
         substring_dedup_stream(d, d.limit(0))
+
+
+def test_ann_index_ingest_stream_matches_batch(spark, sf_dir, tmp_path):
+    """Streaming/batch parity for the persisted ANN index (q157's
+    layout): the batch job builds the index + model on the FIRST half
+    of the vectors; the SECOND half arrives on a file stream, encodes
+    against the same fixed model (pure Column ops, no state), and
+    appends into the same cell-partitioned directory. After the
+    bounded stream drains: (a) the streamed rows' (cell, codes) are
+    bit-identical to batch-encoding the same vectors with the same
+    model, and (b) a probe over the combined on-disk index equals the
+    probe computed from the union in memory."""
+    from pig_spark.functions.similarity import (
+        EMB_DIM,
+        ann_index_probe,
+        ann_index_store,
+        ivf_assign,
+        pq_adc_distances,
+        pq_encode,
+    )
+    from pig_spark.streaming import ann_index_ingest_stream, write_ann_index_stream
+
+    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+        "vec_id", "embedding"
+    )
+    # split by id RANGE: the batch half must contain the model's seed
+    # ids (centroids = lowest 16, PQ seeds = [16, 32)) — exactly the
+    # deployment shape where the index bootstraps on day-one data and
+    # later arrivals stream in
+    mid = e.count() // 2
+    half_a = e.where(f"vec_id < {mid}")
+    half_b = e.where(f"vec_id >= {mid}")
+    idx = str(tmp_path / "ann_index")
+    model = ann_index_store(half_a, idx)
+
+    feed = str(tmp_path / "feed")
+    half_b.write.mode("overwrite").parquet(feed)
+    src = spark.readStream.schema(e.schema).parquet(feed)
+    q = write_ann_index_stream(
+        ann_index_ingest_stream(src, model),
+        idx,
+        str(tmp_path / "ckpt"),
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    centroids = [(int(c), [float(x) for x in v]) for c, v in model["centroids"]]
+    cbs = model["codebooks"]
+    stored = {
+        r["vec_id"]: (r["cell"], tuple(r["codes"]))
+        for r in spark.read.parquet(idx).collect()
+    }
+    want_b = {
+        r["vec_id"]: (r["__cell"], tuple(r["codes"]))
+        for r in pq_encode(
+            ivf_assign(half_b, centroids), cbs, keep=["__cell"]
+        ).collect()
+    }
+    assert len(stored) == e.count()
+    for vid, want in want_b.items():
+        assert stored[vid] == want, (vid, stored[vid], want)
+
+    # end-to-end: probe over the combined on-disk index == in-memory
+    # ADC rank over the union encoded with the same model
+    query = [((i * 37) % 13 - 6) / 13.0 for i in range(EMB_DIM)]
+
+    def _cos(a, b):
+        na = sum(x * x for x in a) ** 0.5
+        nb = sum(x * x for x in b) ** 0.5
+        return sum(x * y for x, y in zip(a, b)) / (na * nb)
+
+    cells = [
+        cid
+        for cid, _ in sorted(
+            centroids, key=lambda c: (-_cos(query, c[1]), c[0])
+        )[:3]
+    ]
+    got = [
+        (r["vec_id"], r["cell"], r["adc_dist"])
+        for r in ann_index_probe(spark, idx, query, k=20).collect()
+    ]
+    mem = pq_adc_distances(
+        pq_encode(ivf_assign(e, centroids), cbs, keep=["__cell"]).where(
+            F.col("__cell").isin(*cells)
+        ),
+        query,
+        cbs,
+    )
+    want = [
+        (r["vec_id"], r["__cell"], r["adc_dist"])
+        for r in mem.select(
+            "vec_id", "__cell", F.round("adc_dist", 6).alias("adc_dist")
+        )
+        .orderBy(F.col("adc_dist").asc(), F.col("vec_id").asc())
+        .limit(20)
+        .collect()
+    ]
+    assert got == want
