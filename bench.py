@@ -99,6 +99,7 @@ HEADLINE = [
     "q154_epoch_schedule",  # r10: quality-tier epoch-repetition manifest
     "q156_kcenter_coreset",  # r11: greedy k-center coreset, k map-only passes
     "q157_ann_index_probe",  # r11: store cell-partitioned PQ index + pruned probe
+    "q158_sequence_manifest",  # r11: GPT-style fixed-length sequence spans
     # q139 (classifier trainer), q144 (BPE trainer), and q155 (residual
     # IVF-PQ, which embeds the coarse+PQ codebook TRAINER) deliberately
     # not headliners: they are multi-job iterative training runs, not

@@ -260,3 +260,82 @@ def pack_strict(
         how="inner",
     )
     return joined.drop(packed["__o"]).drop(*[packed[c] for c in shard_cols])
+
+
+def sequence_spans(
+    df: DataFrame,
+    tokens: str | Column,
+    seq_len: int,
+    order: str,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Fixed-length sequence ASSEMBLY manifest — the GPT-style
+    pretraining data format: the token stream (documents concatenated
+    in ``order``) is cut into back-to-back sequences of EXACTLY
+    ``seq_len`` tokens, documents crossing boundaries are split (no
+    padding, no document alignment), and the output records every
+    (sequence, document) span: where in the doc it starts, where in
+    the sequence it lands, and its length. This manifest IS the
+    .bin/.idx index a training loader consumes; downstream the text
+    gather is one equi-join on doc_id.
+
+    All integer math, fully deterministic given ``order``: a doc with
+    exclusive token offset ``off`` and length ``n`` covers sequences
+    floor(off/L) .. floor((off+n-1)/L), contributing one span per
+    crossed sequence. The final (partial) sequence is emitted too —
+    the trainer's drop-last is a filter on span accounting, not lost
+    data.
+
+    100 TB design: the exclusive offset is the same two-pass
+    distributed prefix sum as :func:`pack_by_budget` (range-partition
+    + partition-LOCAL window + tiny broadcast offsets — never a
+    data-sized window partition); the explode emits ~n/L + 1 rows per
+    doc (stream-sized / L, the output's own size) in the SAME map
+    stage; nothing else shuffles."""
+    if seq_len <= 0:
+        raise ValueError(f"sequence_spans: seq_len must be positive, got {seq_len}")
+    tok = F.col(tokens) if isinstance(tokens, str) else tokens
+    # two-pass exclusive prefix sum (the pack_by_budget shape —
+    # partition-LOCAL windows only, tiny broadcast offsets table)
+    parts = df.select(
+        F.col(id_col), F.col(order), tok.cast("long").alias("__n")
+    ).where(F.col("__n") > 0)
+    parts = parts.repartitionByRange(F.col(order)).withColumn(
+        "__pid", F.spark_partition_id()
+    )
+    w_local = Window.partitionBy("__pid").orderBy(order).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    local = parts.withColumn("__cum_local", F.sum("__n").over(w_local))
+    totals = local.groupBy("__pid").agg(F.sum("__n").alias("__tot"))
+    w_off = Window.orderBy("__pid").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = totals.withColumn(
+        "__off", F.coalesce(F.sum("__tot").over(w_off), F.lit(0))
+    ).select("__pid", "__off")
+    joined = local.join(F.broadcast(offsets), "__pid")
+    off = (F.col("__off") + F.col("__cum_local") - F.col("__n")).alias("__doc_off")
+    staged = joined.select(id_col, order, "__n", off)
+    # explode one span per crossed sequence: sequences floor(off/L) ..
+    # floor((off+n-1)/L); F.sequence is ascending here (lo ≤ hi always,
+    # since n ≥ 1)
+    lo = F.floor(F.col("__doc_off") / seq_len).cast("long")
+    hi = F.floor((F.col("__doc_off") + F.col("__n") - 1) / seq_len).cast("long")
+    spans = staged.select(
+        id_col,
+        order,
+        "__n",
+        "__doc_off",
+        F.explode(F.sequence(lo, hi)).alias("seq_id"),
+    )
+    seq_start = F.col("seq_id") * seq_len  # global token pos of seq head
+    span_start_glob = F.greatest(F.col("__doc_off"), seq_start)
+    span_end_glob = F.least(
+        F.col("__doc_off") + F.col("__n"), seq_start + seq_len
+    )
+    return spans.select(
+        F.col("seq_id"),
+        F.col(id_col),
+        (span_start_glob - F.col("__doc_off")).alias("start_in_doc"),
+        (span_start_glob - seq_start).alias("start_in_seq"),
+        (span_end_glob - span_start_glob).alias("span_len"),
+    )

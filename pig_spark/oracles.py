@@ -1429,6 +1429,27 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY c.vec_id
             ORDER BY adc_dist ASC, c.vec_id ASC LIMIT 20""",
         "q156_kcenter_coreset": _kcenter_sql(6),
+        "q158_sequence_manifest": f"""
+            WITH t AS (SELECT doc_id,
+                              CAST(len({_toks('text')}) AS BIGINT) AS n
+                       FROM documents),
+                 o AS (SELECT doc_id, n,
+                              COALESCE(SUM(n) OVER (ORDER BY doc_id
+                                  ROWS BETWEEN UNBOUNDED PRECEDING
+                                  AND 1 PRECEDING), 0) AS off
+                       FROM t WHERE n > 0),
+                 s AS (SELECT doc_id, n, off,
+                              unnest(generate_series(CAST(off // 512 AS BIGINT),
+                                  CAST((off + n - 1) // 512 AS BIGINT))) AS seq_id
+                       FROM o)
+            SELECT CAST(seq_id AS BIGINT) AS seq_id, doc_id,
+                   CAST(greatest(off, seq_id * 512) - off AS BIGINT)
+                       AS start_in_doc,
+                   CAST(greatest(off, seq_id * 512) - seq_id * 512 AS BIGINT)
+                       AS start_in_seq,
+                   CAST(least(off + n, seq_id * 512 + 512)
+                        - greatest(off, seq_id * 512) AS BIGINT) AS span_len
+            FROM s""",
         "q154_epoch_schedule": f"""
             WITH t AS (SELECT doc_id, {_toks('text')} AS toks FROM documents),
                  m AS (SELECT doc_id,

@@ -4088,6 +4088,34 @@ def q157_ann_index_probe(spark: SparkSession, sf: str) -> DataFrame:
     return similarity.ann_index_probe(spark, path, query, k=20)
 
 
+def q158_sequence_manifest(spark: SparkSession, sf: str) -> DataFrame:
+    """Fixed-length sequence ASSEMBLY manifest (operators/packing.
+    sequence_spans) — the GPT-style pretraining data format the
+    packing family was building toward: the corpus token stream
+    (documents concatenated by doc_id) cuts into back-to-back
+    sequences of EXACTLY 512 tokens, documents split across sequence
+    boundaries (no padding, no alignment), and each (sequence,
+    document) span records where in the doc it starts, where in the
+    sequence it lands, and its length — the .bin/.idx index a
+    training loader consumes; the text gather downstream is one
+    equi-join on doc_id.
+
+    100 TB design: ONE two-pass distributed prefix sum (the
+    pack_by_budget scheme — partition-LOCAL windows, tiny broadcast
+    offsets, no data-sized window partition) + a spans-sized explode
+    in the same map stage. Everything after the offset join is pure
+    integer codegen, and the DuckDB twin reproduces it exactly —
+    no floats anywhere."""
+    from .functions.text import tokenize_ws
+    from .operators.packing import sequence_spans
+
+    d = spark.read.parquet(f"{sf}/documents.parquet").select(
+        "doc_id",
+        F.size(tokenize_ws(F.col("text"))).cast("long").alias("n_tokens"),
+    )
+    return sequence_spans(d, "n_tokens", 512, order="doc_id")
+
+
 from .pigmix import PIGMIX_QUERIES  # noqa: E402  (avoids circular import)
 
 _ALL: dict[str, Callable[[SparkSession, str], DataFrame]] = {
@@ -4118,6 +4146,7 @@ _TIER0 = [
     "q155_residual_ivfpq",    # new: residual IVF-PQ + refined-codebook contract
     "q156_kcenter_coreset",   # new: greedy k-center coreset selection
     "q157_ann_index_probe",   # new: persisted cell-partitioned ANN index
+    "q158_sequence_manifest", # new: fixed-length sequence assembly spans
 ]
 
 

@@ -1267,3 +1267,53 @@ def test_kcenter_greedy_invariants(spark, sf_dir):
         assert r["center_id"] == vid and r["dist"] == 0.0, dict(r.asDict())
     assert out.count() == e.count()
     out.unpersist()
+
+
+def test_sequence_spans_tile_exactly(spark, sf_dir):
+    """q158's operator contract (packing.sequence_spans): the spans
+    are a PERFECT TILING — per document they are contiguous from 0
+    and sum to its token count (nothing lost, nothing duplicated);
+    per sequence they are contiguous from 0 and sum to exactly
+    seq_len for every sequence but the last partial one; and the
+    manifest is identical across incoming partition layouts."""
+    from pig_spark.functions.text import tokenize_ws
+    from pig_spark.operators.packing import sequence_spans
+
+    L = 512
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id",
+        F.size(tokenize_ws(F.col("text"))).cast("long").alias("n"),
+    )
+    toks = {r["doc_id"]: r["n"] for r in d.collect() if r["n"] > 0}
+    total = sum(toks.values())
+    rows = sequence_spans(d, "n", L, order="doc_id").collect()
+
+    by_doc: dict = {}
+    by_seq: dict = {}
+    for r in rows:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+        by_seq.setdefault(r["seq_id"], []).append(r)
+    assert set(by_doc) == set(toks)
+    for doc, spans in by_doc.items():
+        spans.sort(key=lambda r: r["start_in_doc"])
+        assert spans[0]["start_in_doc"] == 0
+        pos = 0
+        for s in spans:
+            assert s["start_in_doc"] == pos, (doc, s)
+            pos += s["span_len"]
+        assert pos == toks[doc], (doc, pos, toks[doc])
+    n_seqs = -(-total // L)
+    assert sorted(by_seq) == list(range(n_seqs))
+    for seq, spans in by_seq.items():
+        spans.sort(key=lambda r: r["start_in_seq"])
+        assert spans[0]["start_in_seq"] == 0
+        pos = 0
+        for s in spans:
+            assert s["start_in_seq"] == pos, (seq, s)
+            pos += s["span_len"]
+        want = L if seq < n_seqs - 1 else total - L * (n_seqs - 1)
+        assert pos == want, (seq, pos, want)
+    # layout stability
+    again = sequence_spans(d.repartition(13), "n", L, order="doc_id").collect()
+    key = lambda r: (r["seq_id"], r["doc_id"], r["start_in_seq"], r["span_len"])  # noqa: E731
+    assert sorted(map(key, rows)) == sorted(map(key, again))

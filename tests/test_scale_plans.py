@@ -769,3 +769,21 @@ def test_ann_index_roundtrip_matches_inmemory_probe(spark, sf_dir, tmp_path):
         for r in ivfpq_topk(e, query, k=20).collect()
     ]
     assert stored == direct
+
+
+def test_sequence_manifest_plan(spark, sf_dir):
+    """q158 (fixed-length sequence assembly): the prefix sum is the
+    pack_by_budget two-pass scheme (local windows partition by __pid;
+    the only unpartitioned window runs over the tiny per-partition
+    totals table), the offsets table is a broadcast join, the explode
+    is spans-sized in the same map stage. No Python, no cartesian."""
+    from pig_spark.queries import q158_sequence_manifest
+
+    df = q158_sequence_manifest(spark, sf_dir)
+    opt = df._jdf.queryExecution().optimizedPlan().toString()
+    assert not unpartitioned_windows(opt), unpartitioned_windows(opt)
+    phys = df._jdf.queryExecution().executedPlan().toString()
+    assert "PythonUDF" not in phys and "EvalPython" not in phys, phys
+    assert "CartesianProduct" not in phys, phys
+    assert "BroadcastHashJoin" in phys, phys
+    assert "Generate explode" in phys or "Generate" in phys, phys
