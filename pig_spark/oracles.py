@@ -224,6 +224,38 @@ def _bigram_lm_ctes() -> str:
                  agg AS (SELECT doc_id, AVG(lp) AS al FROM ps GROUP BY doc_id)"""
 
 
+def _seq_ctes() -> str:
+    """Shared CTE chain for the q158/q159 sequence-assembly family:
+    token counts → exclusive corpus offset (by doc_id) → one span per
+    crossed L=512 sequence — all integer math, mirroring
+    operators/packing.sequence_spans exactly."""
+    return f"""
+            WITH t AS (SELECT doc_id,
+                              CAST(len({_toks('text')}) AS BIGINT) AS n
+                       FROM documents),
+                 o AS (SELECT doc_id, n,
+                              COALESCE(SUM(n) OVER (ORDER BY doc_id
+                                  ROWS BETWEEN UNBOUNDED PRECEDING
+                                  AND 1 PRECEDING), 0) AS off
+                       FROM t WHERE n > 0),
+                 s AS (SELECT doc_id, n, off,
+                              unnest(generate_series(CAST(off // 512 AS BIGINT),
+                                  CAST((off + n - 1) // 512 AS BIGINT))) AS seq_id
+                       FROM o),
+                 spans AS (SELECT CAST(seq_id AS BIGINT) AS seq_id, doc_id,
+                                  CAST(greatest(off, seq_id * 512) - off
+                                       AS BIGINT) AS start_in_doc,
+                                  CAST(greatest(off, seq_id * 512) - seq_id * 512
+                                       AS BIGINT) AS start_in_seq,
+                                  CAST(least(off + n, seq_id * 512 + 512)
+                                       - greatest(off, seq_id * 512)
+                                       AS BIGINT) AS span_len
+                           FROM s)"""
+
+
+_SEQ_CTES = _seq_ctes()
+
+
 def _kcenter_sql(k: int) -> str:
     """q156's DuckDB twin, GENERATED: greedy k-center is inherently
     sequential (step t depends on every prior pick), so the oracle
@@ -1429,27 +1461,22 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY c.vec_id
             ORDER BY adc_dist ASC, c.vec_id ASC LIMIT 20""",
         "q156_kcenter_coreset": _kcenter_sql(6),
-        "q158_sequence_manifest": f"""
-            WITH t AS (SELECT doc_id,
-                              CAST(len({_toks('text')}) AS BIGINT) AS n
-                       FROM documents),
-                 o AS (SELECT doc_id, n,
-                              COALESCE(SUM(n) OVER (ORDER BY doc_id
-                                  ROWS BETWEEN UNBOUNDED PRECEDING
-                                  AND 1 PRECEDING), 0) AS off
-                       FROM t WHERE n > 0),
-                 s AS (SELECT doc_id, n, off,
-                              unnest(generate_series(CAST(off // 512 AS BIGINT),
-                                  CAST((off + n - 1) // 512 AS BIGINT))) AS seq_id
-                       FROM o)
-            SELECT CAST(seq_id AS BIGINT) AS seq_id, doc_id,
-                   CAST(greatest(off, seq_id * 512) - off AS BIGINT)
-                       AS start_in_doc,
-                   CAST(greatest(off, seq_id * 512) - seq_id * 512 AS BIGINT)
-                       AS start_in_seq,
-                   CAST(least(off + n, seq_id * 512 + 512)
-                        - greatest(off, seq_id * 512) AS BIGINT) AS span_len
-            FROM s""",
+        "q158_sequence_manifest": _SEQ_CTES + """
+            SELECT seq_id, doc_id, start_in_doc, start_in_seq, span_len
+            FROM spans""",
+        "q159_sequence_gather": _SEQ_CTES + f""",
+                 dtok AS (SELECT doc_id, {_toks('text')} AS tk
+                          FROM documents),
+                 pieces AS (SELECT sp.seq_id, sp.start_in_seq,
+                                   (d.tk)[sp.start_in_doc + 1 :
+                                          sp.start_in_doc + sp.span_len] AS piece
+                            FROM spans sp JOIN dtok d USING (doc_id))
+            SELECT seq_id,
+                   CAST(COUNT(*) AS BIGINT) AS n_spans,
+                   CAST(SUM(len(piece)) AS BIGINT) AS n_tokens,
+                   md5(string_agg(array_to_string(piece, ' '), ' '
+                       ORDER BY start_in_seq)) AS fp
+            FROM pieces GROUP BY seq_id""",
         "q154_epoch_schedule": f"""
             WITH t AS (SELECT doc_id, {_toks('text')} AS toks FROM documents),
                  m AS (SELECT doc_id,

@@ -4116,6 +4116,53 @@ def q158_sequence_manifest(spark: SparkSession, sf: str) -> DataFrame:
     return sequence_spans(d, "n_tokens", 512, order="doc_id")
 
 
+def q159_sequence_gather(spark: SparkSession, sf: str) -> DataFrame:
+    """Sequence GATHER — the consumer of q158's manifest: join the
+    (sequence, document) spans back to the documents, slice each
+    span's tokens out of its doc, and assemble every training
+    sequence in span order. Output per sequence: span count, token
+    count, and the md5 fingerprint of the assembled token stream —
+    the loader-side integrity check (fingerprint both engines, so the
+    gate proves the ASSEMBLED BYTES match, not just the span math).
+
+    100 TB design: the manifest is spans-sized (corpus/L); the gather
+    is ONE equi-join on doc_id (AQE-broadcastable manifest side per
+    partition at low span fan-out) and ONE groupBy(seq_id) whose
+    groups are ≤ L tokens by construction — the in-group sort is an
+    array_sort over a ≤ L-token bag, never a window; text shuffles
+    once, sliced to exactly the spans needed."""
+    from .functions.text import tokenize_ws
+    from .operators.packing import sequence_spans
+
+    L = 512
+    d = spark.read.parquet(f"{sf}/documents.parquet").select(
+        "doc_id", tokenize_ws(F.col("text")).alias("tk")
+    )
+    sized = d.select("doc_id", F.size("tk").cast("long").alias("n"))
+    spans = sequence_spans(sized, "n", L, order="doc_id")
+    joined = spans.join(d, "doc_id").select(
+        "seq_id",
+        "start_in_seq",
+        F.slice("tk", F.col("start_in_doc").cast("int") + 1,
+                F.col("span_len").cast("int")).alias("piece"),
+    )
+    assembled = joined.groupBy("seq_id").agg(
+        F.count(F.lit(1)).alias("n_spans"),
+        F.flatten(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("start_in_seq", "piece"))),
+                lambda x: x["piece"],
+            )
+        ).alias("toks"),
+    )
+    return assembled.select(
+        "seq_id",
+        F.col("n_spans").cast("long").alias("n_spans"),
+        F.size("toks").cast("long").alias("n_tokens"),
+        F.md5(F.array_join("toks", " ")).alias("fp"),
+    )
+
+
 from .pigmix import PIGMIX_QUERIES  # noqa: E402  (avoids circular import)
 
 _ALL: dict[str, Callable[[SparkSession, str], DataFrame]] = {
@@ -4147,6 +4194,7 @@ _TIER0 = [
     "q156_kcenter_coreset",   # new: greedy k-center coreset selection
     "q157_ann_index_probe",   # new: persisted cell-partitioned ANN index
     "q158_sequence_manifest", # new: fixed-length sequence assembly spans
+    "q159_sequence_gather",   # new: assemble the packed sequences + fingerprint
 ]
 
 

@@ -787,3 +787,17 @@ def test_sequence_manifest_plan(spark, sf_dir):
     assert "CartesianProduct" not in phys, phys
     assert "BroadcastHashJoin" in phys, phys
     assert "Generate explode" in phys or "Generate" in phys, phys
+
+
+def test_sequence_gather_plan(spark, sf_dir):
+    """q159 (sequence gather): ONE doc_id equi-join + ONE seq_id
+    groupBy whose in-group assembly is an array_sort over a ≤ L-token
+    bag — no Window anywhere, no Python, no cartesian."""
+    from pig_spark.queries import q159_sequence_gather
+
+    df = q159_sequence_gather(spark, sf_dir)
+    opt = df._jdf.queryExecution().optimizedPlan().toString()
+    assert not unpartitioned_windows(opt), unpartitioned_windows(opt)
+    phys = df._jdf.queryExecution().executedPlan().toString()
+    assert "PythonUDF" not in phys and "EvalPython" not in phys, phys
+    assert "CartesianProduct" not in phys, phys
