@@ -4180,14 +4180,16 @@ _ALL.update(PIGMIX_QUERIES)
 # only hand-maintained input (new/changed-this-round queries), and
 # tests/test_structure.py pins the first 50 QUERIES entries to
 # freshness.window_plan(_TIER0). r11 plan (histogram r10:49 r9:50
-# r8:46 r7:23 + 2 unverified-new — q152's r10 row was RED, so its
-# evidence is r0):
-#   tier 0 (2): q152 (PQ codes — r10's only red row, output now
-#     serialized) and q155 (residual IVF-PQ, new).
+# r8:46 r7:23 + the new/changed tier 0 — q152's r10 row was RED, so
+# its evidence is r0):
+#   tier 0 (6): q152 (PQ codes — r10's only red row, output now
+#     serialized) and the five new r11 queries (q155 residual IVF-PQ,
+#     q156 k-center coreset, q157 persisted ANN index, q158 sequence
+#     manifest, q159 sequence gather).
 #   tier 1 (23): the ENTIRE r7-evidence tail (q18…q98) that
 #     COVERAGE.md scheduled to lead this round. Floor moves r7 → r8.
-#   tier 2 (25): the r8-evidence block, alphabetical (pm06…q13).
-# 2 + 23 + 25 = 50.
+#   tier 2 (21): the r8-evidence block, alphabetical.
+# 6 + 23 + 21 = 50.
 _TIER0 = [
     "q152_pq_ann",            # r10 red (canonicalizer), codes now serialized
     "q155_residual_ivfpq",    # new: residual IVF-PQ + refined-codebook contract
