@@ -404,8 +404,12 @@ def _ann_scale_bench(spark, sf_dir: str, results: dict) -> None:
     full scan) re-timed on 25× and 100× synthetic EMBEDDINGS corpora.
     Each copy keeps the original vectors with a per-copy deterministic
     element offset (+i·1e-3), so cell geometry stays realistic while
-    ids stay unique; vec_id remaps to vec_id·copies + i, which keeps
-    the 16 lowest ids as near-copies of the original centroid seeds.
+    ids stay unique; vec_id remaps to vec_id + i·N (N = corpus size),
+    so copy 0 keeps the ORIGINAL ids — the 16 coarse-centroid seeds
+    and the PQ seed block [16, 32) are the original vectors, not 32
+    near-identical copies of vector 0 (the first rung shipped
+    vec_id·copies + i, which collapsed every centroid onto vector 0's
+    neighborhood and destroyed the cell pruning under test).
     Probe cost should scale ~nprobe/nlist-sub-linearly for q153 (cell
     pruning prunes the same FRACTION at any size) and ~linearly for
     q152 (a full-corpus encode scan — the honest comparison line).
@@ -432,10 +436,11 @@ def _ann_scale_bench(spark, sf_dir: str, results: dict) -> None:
             QUERIES[name](spark, tmp1).write.format("noop").mode("overwrite").save()
             base[name] = round(time.time() - t0, 3)
         out["queries_1x"] = base
+        n_vecs = e.count()
         for copies in (25, 100):
             parts = [
                 e.select(
-                    (F.col("vec_id") * copies + i).alias("vec_id"),
+                    (F.col("vec_id") + F.lit(i * n_vecs)).alias("vec_id"),
                     # cast back to float so the stored format (and scan
                     # bytes/row) matches the 1x control exactly
                     F.transform(
@@ -871,6 +876,22 @@ def _audit_summary(results: dict) -> dict:
         t10 = sum(pm["queries_10x"].values())
         if t1 > 0:
             summary["pigmix_10x_over_1x"] = round(t10 / t1, 2)
+    sa = results.get("sf_ann") or {}
+    if sa.get("queries_1x"):
+        # ANN rung ratios survive the tail-truncation window too:
+        # per query [first, repeat] over the 1× base at each multiple
+        ann: dict[str, dict] = {}
+        for mult in ("25x", "100x"):
+            block = sa.get(f"queries_{mult}") or {}
+            ann[mult] = {
+                m.split("_")[0]: [
+                    round(block[m] / sa["queries_1x"][m], 1),
+                    round(block.get(f"{m}_repeat", block[m]) / sa["queries_1x"][m], 1),
+                ]
+                for m in sa["queries_1x"]
+                if m in block and sa["queries_1x"][m] > 0
+            }
+        summary["scale_ann"] = ann
     summary["queries"] = {q: round(t, 2) for q, t in results["queries"].items()}
     # defensive: stay inside the driver's 2000-char tail window — the
     # audit fields (total/control/geomean/scale ratios) always fit;
