@@ -442,10 +442,14 @@ def _ann_scale_bench(spark, sf_dir: str, results: dict) -> None:
                 e.select(
                     (F.col("vec_id") + F.lit(i * n_vecs)).alias("vec_id"),
                     # cast back to float so the stored format (and scan
-                    # bytes/row) matches the 1x control exactly
+                    # bytes/row) matches the 1x control exactly.
+                    # closure-bind the copy number via a factory: a
+                    # 2-arg transform lambda receives the array INDEX
+                    # as its second param (defaulted params count
+                    # toward arity), which silently rebinds i
                     F.transform(
                         F.col("embedding").cast("array<double>"),
-                        lambda x, i=i: x + F.lit(i * 1e-3),
+                        (lambda c: lambda x: x + F.lit(c * 1e-3))(i),
                     ).cast("array<float>").alias("embedding"),
                 )
                 for i in range(copies)

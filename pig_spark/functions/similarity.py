@@ -621,7 +621,7 @@ def pq_residual_codebooks(
 
     def _cos(a: list[float], b: list[float], bn: float) -> float:
         an = sum(x * x for x in a) ** 0.5
-        return sum(x * y for x, y in zip(a, b)) / (an * bn)
+        return sum(x * y for x, y in zip(a, b)) / (an * bn) if an and bn else 0.0
 
     cnorms = [sum(x * x for x in cv) ** 0.5 for _, cv in centroids]
     ordered = []
@@ -944,9 +944,13 @@ def kcenter_select(
     """Greedy k-center (farthest-point) selection: seed = the lowest-id
     vector; each step picks the vector MAXIMIZING its min squared-L2
     distance to the chosen set (ties → lowest id). Returns the chosen
-    ``[(id, vector)]`` in selection order. Gonzalez's classic
-    2-approximation to the k-center objective — the deterministic,
-    engine-mirrorable core of coreset/diversity data selection.
+    ``[(id, vector)]`` in selection order — FEWER than k when the
+    input has fewer than k distinct points (a duplicate center would
+    break the nearest-center tie-break, so selection stops early;
+    callers sizing structures off the result must use ``len(result)``,
+    not k). Gonzalez's classic 2-approximation to the k-center
+    objective — the deterministic, engine-mirrorable core of
+    coreset/diversity data selection.
 
     100 TB design: k passes, each a MAP-ONLY projection (the ≤k chosen
     vectors ride as plan literals, ≤ k·dim doubles) + a TakeOrdered(1)
@@ -976,6 +980,11 @@ def kcenter_select(
             .limit(1)
             .collect()
         )[0]
+        if any(int(row[0]) == cid for cid, _ in chosen):
+            # every remaining vector coincides with a chosen center
+            # (k exceeds the number of distinct points) — a duplicate
+            # center would break the nearest-center tie-break, so stop
+            break
         chosen.append((int(row[0]), [float(x) for x in row[1]]))
     return chosen
 

@@ -284,7 +284,9 @@ def sequence_spans(
     floor(off/L) .. floor((off+n-1)/L), contributing one span per
     crossed sequence. The final (partial) sequence is emitted too —
     the trainer's drop-last is a filter on span accounting, not lost
-    data.
+    data. ZERO-token documents contribute no span and are dropped
+    from the manifest (they have no bytes to pack); count them
+    upstream if their ids must be accounted for.
 
     100 TB design: the exclusive offset is the same two-pass
     distributed prefix sum as :func:`pack_by_budget` (range-partition

@@ -4074,13 +4074,19 @@ def q157_ann_index_probe(spark: SparkSession, sf: str) -> DataFrame:
     already-32×-smaller table and never deserializes a vector; the
     model sidecar is an object-store GET, not a data scan."""
     import hashlib
+    import os
     import tempfile
 
     from .functions import similarity
 
+    # per-(sf, PROCESS) path: the returned DataFrame is evaluated
+    # lazily by the caller, so the directory must outlive this call —
+    # keying by pid removes the cross-session overwrite race of a
+    # world-shared path while staying stable across re-invocations in
+    # one session (re-store overwrites in place)
     path = (
         f"{tempfile.gettempdir()}/pig_spark_ann_index_"
-        f"{hashlib.md5(sf.encode()).hexdigest()[:8]}"
+        f"{hashlib.md5(sf.encode()).hexdigest()[:8]}_{os.getpid()}"
     )
     e = _t(spark, sf, "embeddings").df
     similarity.ann_index_store(e, path)
@@ -4219,7 +4225,18 @@ def _latest_evidence() -> dict[str, int]:
         # pass our own keys: freshness would otherwise import the
         # entry module, which imports this module (mid-initialization)
         return latest_evidence(_ALL)
-    except Exception:
+    except Exception as e:
+        # LOUD fallback: a corrupt CORRECTNESS file or tooling error
+        # must not silently collapse the gate window to alphabetical —
+        # the rotation guarantee is the point of the generated window
+        import warnings
+
+        warnings.warn(
+            f"freshness evidence unavailable ({e!r}); gate window falls "
+            "back to tier0 + alphabetical — fix tools/freshness.py or "
+            "the CORRECTNESS_r*.json files",
+            stacklevel=2,
+        )
         return {}
     finally:
         _sys.path.remove(tools)

@@ -173,10 +173,11 @@ def slashisize(s: str) -> str:
         b = int(m.group(1), 16)
         if b >= 0x80:
             raise ValueError(
-                f"HBaseStorage: \\x{b:02x} range escape is not order-faithful "
+                f"slashisize: \\x{b:02x} range escape is not order-faithful "
                 "under UTF-8 string comparison (codepoints >= 0x80 encode as "
                 "two bytes and sort differently from the raw byte "
-                "Bytes.toBytesBinary produces); use escapes in \\x00-\\x7f"
+                "Bytes.toBytesBinary produces); use escapes in \\x00-\\x7f "
+                "(applies to HBaseStorage and AccumuloStorage ranges)"
             )
         return chr(b)
 

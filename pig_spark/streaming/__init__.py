@@ -680,15 +680,34 @@ def write_ann_index_stream(df: DataFrame, path: str, checkpoint: str):
     sink-logged files — silently hiding the batch-built index rows
     the stream is appending NEXT TO. foreachBatch writes the same
     partitionBy(cell) layout with no metadata log, so one probe scans
-    batch history and streamed arrivals together (exactly-once
-    degrades to at-least-once on batch replay — acceptable for an
-    index whose rows are deterministic re-encodes)."""
+    batch history and streamed arrivals together.
+
+    Replay safety: a plain append is NOT idempotent per epoch — a
+    failure after the append but before the checkpoint commit would
+    re-append the batch on restart, and duplicated rows DO change a
+    probe's top-k (the duplicate displaces a real neighbor). Each
+    epoch therefore writes an underscore-prefixed marker file (readers
+    ignore ``_``-paths) and a replayed epoch that finds its marker
+    skips the append. The residual window (crash BETWEEN the data
+    append and the marker write) remains — at deployment close it
+    with an object-store conditional PUT, or dedup the probe side on
+    the id column (rows are deterministic re-encodes, so duplicates
+    are identical and dropDuplicates restores exactness)."""
+    import os
+
+    marker_dir = os.path.join(path, "_streamed_epochs")
+
+    def _append_once(batch: DataFrame, epoch_id: int) -> None:
+        marker = os.path.join(marker_dir, str(epoch_id))
+        if os.path.exists(marker):
+            return  # replayed epoch: its rows are already in the index
+        batch.write.mode("append").partitionBy("cell").parquet(path)
+        os.makedirs(marker_dir, exist_ok=True)
+        with open(marker, "w"):
+            pass
+
     return (
-        df.writeStream.foreachBatch(
-            lambda batch, _id: batch.write.mode("append")
-            .partitionBy("cell")
-            .parquet(path)
-        )
+        df.writeStream.foreachBatch(_append_once)
         .option("checkpointLocation", checkpoint)
         .start()
     )

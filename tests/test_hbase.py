@@ -204,7 +204,9 @@ def test_binary_caster_decodes_by_requested_type(spark, tmp_path):
 def test_rowkey_range_slashisize_escapes(spark, tmp_path):
     r"""-gt/-lt values decode \xNN escapes (Utils.slashisize /
     Bytes.toBytesBinary) — the common HBase idiom for binary range
-    boundaries like 'prefix\x00'..'prefix\xFF'."""
+    boundaries like 'prefix\x00'..'prefix\x7f'. (Escapes >= 0x80 are
+    REJECTED — not order-faithful under UTF-8 string comparison; see
+    test_slashisize_rejects_non_ascii_escapes.)"""
     t = str(tmp_path)
     _write_cells(
         t,

@@ -109,12 +109,14 @@ def main():
         try:
             df = fn(spark, sf_dir)
             spark_cols = df.columns
-            spark_rows = df.collect()
+            # schema-only gate BEFORE collect: a nested-output red row
+            # should cost plan analysis, not a full query execution
+            nested = nested_columns(df.schema)
+            spark_rows = df.collect() if not nested else []
         except Exception as e:
             failures.append(name)
             print(f"FAIL {name}: spark error: {e}")
             continue
-        nested = nested_columns(df.schema)
         if nested:
             failures.append(name)
             print(
