@@ -101,6 +101,7 @@ HEADLINE = [
     "q157_ann_index_probe",  # r11: store cell-partitioned PQ index + pruned probe
     "q158_sequence_manifest",  # r11: GPT-style fixed-length sequence spans
     "q159_sequence_gather",  # r11: assemble packed sequences + md5 integrity
+    "q160_epoch_shuffle",  # r11: per-epoch loader order via two-pass rank
     # q139 (classifier trainer), q144 (BPE trainer), and q155 (residual
     # IVF-PQ, which embeds the coarse+PQ codebook TRAINER) deliberately
     # not headliners: they are multi-job iterative training runs, not

@@ -1464,6 +1464,22 @@ def oracle_sql() -> dict[str, str]:
         "q158_sequence_manifest": _SEQ_CTES + """
             SELECT seq_id, doc_id, start_in_doc, start_in_seq, span_len
             FROM spans""",
+        "q160_epoch_shuffle": _SEQ_CTES + """,
+                 seqs AS (SELECT seq_id, SUM(span_len) AS n_tokens
+                          FROM spans GROUP BY seq_id),
+                 fanned AS (SELECT seq_id, n_tokens,
+                                   unnest(generate_series(0, 2)) AS epoch
+                            FROM seqs),
+                 keyed AS (SELECT epoch, seq_id, n_tokens,
+                                  CAST(('0x' || substr(md5(seq_id || ':epoch:'
+                                        || epoch), 1, 15)) AS BIGINT)
+                                      AS shuffle_key
+                           FROM fanned)
+            SELECT CAST(epoch AS BIGINT) AS epoch, seq_id, shuffle_key,
+                   CAST(n_tokens AS BIGINT) AS n_tokens,
+                   CAST(ROW_NUMBER() OVER (ORDER BY epoch, shuffle_key,
+                                           seq_id) AS BIGINT) AS pos
+            FROM keyed""",
         "q159_sequence_gather": _SEQ_CTES + f""",
                  dtok AS (SELECT doc_id, {_toks('text')} AS tk
                           FROM documents),

@@ -4169,6 +4169,67 @@ def q159_sequence_gather(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q160_epoch_shuffle(spark: SparkSession, sf: str) -> DataFrame:
+    """Deterministic per-EPOCH shuffle order over the training
+    sequences — the loader-side companion of q158/q159: each epoch
+    reads the same sequences in a different, fully reproducible order
+    (shuffle key = md5-60 of seq_id + the epoch salt — the
+    shard_assign re-deal idiom: no RNG, engine- and retry-stable;
+    bumping the epoch re-deals the permutation). Output: one row per
+    (epoch, sequence) with its shuffle key and its GLOBAL position
+    under (epoch, key, seq_id) — per-epoch position is pos minus the
+    epoch block offset, and the oracle reproduces the rank exactly.
+
+    100 TB design: the manifest is sequences-sized (corpus/L); the
+    3-epoch fan-out is a map-only explode; the position comes from
+    the engine's distributed two-pass RANK (operators/rank — the
+    POCounter/PORank shape: range-partition the key domain,
+    partition-local windows, tiny offsets table), NEVER a
+    single-partition row_number window."""
+    from .functions.dedup import md5_60
+    from .functions.text import tokenize_ws
+    from .operators.packing import sequence_spans
+    from .operators.rank import rank
+
+    epochs = 3
+    d = spark.read.parquet(f"{sf}/documents.parquet").select(
+        "doc_id",
+        F.size(tokenize_ws(F.col("text"))).cast("long").alias("n"),
+    )
+    seqs = (
+        sequence_spans(d, "n", 512, order="doc_id")
+        .groupBy("seq_id")
+        .agg(F.sum("span_len").alias("n_tokens"))
+    )
+    fanned = seqs.select(
+        "seq_id",
+        "n_tokens",
+        F.explode(F.array(*[F.lit(e) for e in range(epochs)])).alias("epoch"),
+    )
+    keyed = fanned.withColumn(
+        "shuffle_key",
+        md5_60(F.concat(F.col("seq_id").cast("string"),
+                        F.lit(":epoch:"), F.col("epoch").cast("string"))),
+    )
+    # the two-pass rank consumes its input twice (key domain + join
+    # back); checkpoint the SEQUENCES-sized manifest so the prefix-sum
+    # lineage underneath runs once (the q142 localCheckpoint pattern —
+    # epochs × corpus/L rows, never corpus-sized)
+    keyed = keyed.localCheckpoint(eager=True)
+    ranked = rank(
+        keyed,
+        by=[F.col("epoch"), F.col("shuffle_key"), F.col("seq_id")],
+        name="pos",
+    )
+    return ranked.select(
+        F.col("epoch").cast("long").alias("epoch"),
+        "seq_id",
+        "shuffle_key",
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        F.col("pos").cast("long").alias("pos"),
+    )
+
+
 from .pigmix import PIGMIX_QUERIES  # noqa: E402  (avoids circular import)
 
 _ALL: dict[str, Callable[[SparkSession, str], DataFrame]] = {
@@ -4188,14 +4249,14 @@ _ALL.update(PIGMIX_QUERIES)
 # freshness.window_plan(_TIER0). r11 plan (histogram r10:49 r9:50
 # r8:46 r7:23 + the new/changed tier 0 — q152's r10 row was RED, so
 # its evidence is r0):
-#   tier 0 (6): q152 (PQ codes — r10's only red row, output now
-#     serialized) and the five new r11 queries (q155 residual IVF-PQ,
+#   tier 0 (7): q152 (PQ codes — r10's only red row, output now
+#     serialized) and the six new r11 queries (q155 residual IVF-PQ,
 #     q156 k-center coreset, q157 persisted ANN index, q158 sequence
-#     manifest, q159 sequence gather).
+#     manifest, q159 sequence gather, q160 epoch shuffle).
 #   tier 1 (23): the ENTIRE r7-evidence tail (q18…q98) that
 #     COVERAGE.md scheduled to lead this round. Floor moves r7 → r8.
-#   tier 2 (21): the r8-evidence block, alphabetical.
-# 6 + 23 + 21 = 50.
+#   tier 2 (20): the r8-evidence block, alphabetical.
+# 7 + 23 + 20 = 50.
 _TIER0 = [
     "q152_pq_ann",            # r10 red (canonicalizer), codes now serialized
     "q155_residual_ivfpq",    # new: residual IVF-PQ + refined-codebook contract
@@ -4203,6 +4264,7 @@ _TIER0 = [
     "q157_ann_index_probe",   # new: persisted cell-partitioned ANN index
     "q158_sequence_manifest", # new: fixed-length sequence assembly spans
     "q159_sequence_gather",   # new: assemble the packed sequences + fingerprint
+    "q160_epoch_shuffle",     # new: deterministic per-epoch loader order
 ]
 
 

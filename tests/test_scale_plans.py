@@ -801,3 +801,17 @@ def test_sequence_gather_plan(spark, sf_dir):
     phys = df._jdf.queryExecution().executedPlan().toString()
     assert "PythonUDF" not in phys and "EvalPython" not in phys, phys
     assert "CartesianProduct" not in phys, phys
+
+
+def test_epoch_shuffle_plan(spark, sf_dir):
+    """q160 (per-epoch loader order): the position comes from the
+    two-pass distributed RANK — no data-sized single-partition
+    window anywhere in the plan; no Python, no cartesian."""
+    from pig_spark.queries import q160_epoch_shuffle
+
+    df = q160_epoch_shuffle(spark, sf_dir)
+    opt = df._jdf.queryExecution().optimizedPlan().toString()
+    assert not unpartitioned_windows(opt), unpartitioned_windows(opt)
+    phys = df._jdf.queryExecution().executedPlan().toString()
+    assert "PythonUDF" not in phys and "EvalPython" not in phys, phys
+    assert "CartesianProduct" not in phys, phys
