@@ -786,7 +786,7 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_chunks,
                    CAST(SUM(n_tokens) AS BIGINT) AS total_tokens
             FROM c WHERE n_tokens >= 8 GROUP BY doc_id""",
-        "q103_log_parse": """
+        "q103_log_parse": r"""
             WITH l AS (
                 SELECT event_id,
                        '10.0.' || CAST(user_id % 256 AS VARCHAR) || '.' || CAST(user_id % 7 AS VARCHAR)

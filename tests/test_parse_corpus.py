@@ -1,4 +1,4 @@
-"""Grammar coverage over the reference's ENTIRE e2e corpus.
+r"""Grammar coverage over the reference's ENTIRE e2e corpus.
 
 Every Pig snippet in the reference e2e suites (test/e2e/pig/tests/
 *.conf — the queries real Pig users' regression suite runs) must

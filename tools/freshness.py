@@ -57,13 +57,19 @@ def latest_evidence(names=None) -> dict[str, int]:
         for name, row in rows.items():
             if name not in evidence or not isinstance(row, dict):
                 continue
-            green = bool(row.get("rows_match")) and row.get("hash_match") in (
-                True,
-                None,  # rows-only queries carry no hash
-            )
-            if green:
+            if is_green(row):
                 evidence[name] = max(evidence[name], rnd)
     return evidence
+
+
+def is_green(row: dict) -> bool:
+    """THE evidence predicate: a driver row counts as green evidence
+    iff rows matched and, when a hash was computed, the hash matched.
+    A red or crashed row (nulls) is NOT evidence."""
+    return bool(row.get("rows_match")) and row.get("hash_match") in (
+        True,
+        None,  # rows-only queries carry no hash
+    )
 
 
 def window_plan(tier0: list[str], evidence: dict[str, int]) -> list[str]:
