@@ -256,6 +256,50 @@ def _seq_ctes() -> str:
 _SEQ_CTES = _seq_ctes()
 
 
+def _bpe_seg_ctes(n_merges: int = 6) -> str:
+    """q161's training replay, GENERATED: BPE merge learning is
+    inherently sequential (step t counts pairs over step t-1's
+    segmentation), so the oracle unrolls the same ``n_merges`` steps
+    the engine's train_bpe runs — each an exact pair-count argmax
+    with the identical (cnt DESC, a ASC, b ASC) tie-break, then the
+    greedy left-to-right merge as a ``list_reduce`` over a
+    string-encoded accumulator (symbols space-joined; whitespace
+    tokenization guarantees no symbol contains the separator). The
+    fold reproduces ml._merge_pair's semantics exactly, including
+    the deferred-prev rule: after a merge the accumulator's last
+    symbol is a||b, which can never equal a again (b nonempty), so a
+    freshly merged symbol never immediately re-merges — the
+    'aaa' + (a,a) -> [aa, a] reference case."""
+    parts = [
+        f"toks AS (SELECT doc_id, {_toks('lower(text)')} AS tk FROM documents)",
+        "words AS (SELECT doc_id, g.i AS pos, tk[g.i] AS w "
+        "FROM toks, unnest(generate_series(1, len(tk))) AS g(i))",
+        "wt AS (SELECT w, COUNT(*) AS c FROM words GROUP BY w)",
+        "seg0 AS (SELECT w, c, string_split(w, '') AS seg FROM wt)",
+    ]
+    for s in range(1, n_merges + 1):
+        prev = f"seg{s - 1}"
+        parts.append(
+            f"p{s} AS (SELECT u.s.a AS a, u.s.b AS b, SUM(c) AS cnt "
+            f"FROM (SELECT c, list_transform(range(1, len(seg)), "
+            f"i -> struct_pack(a := seg[i], b := seg[i+1])) AS ps "
+            f"FROM {prev} WHERE len(seg) >= 2) t, unnest(t.ps) AS u(s) "
+            f"GROUP BY 1, 2)"
+        )
+        parts.append(
+            f"m{s} AS (SELECT a, b FROM p{s} "
+            f"ORDER BY cnt DESC, a ASC, b ASC LIMIT 1)"
+        )
+        parts.append(
+            f"seg{s} AS (SELECT w, c, CASE WHEN len(seg) <= 1 THEN seg "
+            f"ELSE string_split(list_reduce(seg, (acc, x) -> CASE "
+            f"WHEN string_split(acc, ' ')[-1] = m{s}.a AND x = m{s}.b "
+            f"THEN left(acc, length(acc) - length(m{s}.a)) || m{s}.a || m{s}.b "
+            f"ELSE acc || ' ' || x END), ' ') END AS seg FROM {prev}, m{s})"
+        )
+    return "WITH " + ",\n ".join(parts)
+
+
 def _kcenter_sql(k: int) -> str:
     """q156's DuckDB twin, GENERATED: greedy k-center is inherently
     sequential (step t depends on every prior pick), so the oracle
@@ -1480,6 +1524,51 @@ def oracle_sql() -> dict[str, str]:
                    CAST(ROW_NUMBER() OVER (ORDER BY epoch, shuffle_key,
                                            seq_id) AS BIGINT) AS pos
             FROM keyed""",
+        "q161_bpe_sequence_pack": _bpe_seg_ctes(6) + """,
+                 vocab AS (SELECT DISTINCT u.s AS sym
+                           FROM seg6, unnest(seg6.seg) AS u(s)),
+                 vid AS (SELECT sym, CAST(ROW_NUMBER() OVER (ORDER BY sym ASC)
+                                          AS BIGINT) AS id
+                         FROM vocab),
+                 dseg AS (SELECT w, g.i AS p, seg[g.i] AS sym
+                          FROM seg6,
+                               unnest(generate_series(1, len(seg))) AS g(i)),
+                 dict AS (SELECT w, list(id ORDER BY p) AS ids
+                          FROM dseg JOIN vid USING (sym) GROUP BY w),
+                 dw AS (SELECT doc_id, pos, ids FROM words JOIN dict USING (w)),
+                 docids AS (SELECT doc_id, flatten(list(ids ORDER BY pos)) AS ids
+                            FROM dw GROUP BY doc_id),
+                 t2 AS (SELECT doc_id, CAST(len(ids) AS BIGINT) AS n
+                        FROM docids),
+                 o2 AS (SELECT doc_id, n,
+                               COALESCE(SUM(n) OVER (ORDER BY doc_id
+                                   ROWS BETWEEN UNBOUNDED PRECEDING
+                                   AND 1 PRECEDING), 0) AS off
+                        FROM t2 WHERE n > 0),
+                 s2 AS (SELECT doc_id, n, off,
+                               unnest(generate_series(CAST(off // 256 AS BIGINT),
+                                   CAST((off + n - 1) // 256 AS BIGINT))) AS seq_id
+                        FROM o2),
+                 spans2 AS (SELECT CAST(seq_id AS BIGINT) AS seq_id, doc_id,
+                                   CAST(greatest(off, seq_id * 256) - off
+                                        AS BIGINT) AS start_in_doc,
+                                   CAST(greatest(off, seq_id * 256) - seq_id * 256
+                                        AS BIGINT) AS start_in_seq,
+                                   CAST(least(off + n, seq_id * 256 + 256)
+                                        - greatest(off, seq_id * 256)
+                                        AS BIGINT) AS span_len
+                            FROM s2),
+                 pieces AS (SELECT sp.seq_id, sp.start_in_seq,
+                                   (d.ids)[sp.start_in_doc + 1 :
+                                           sp.start_in_doc + sp.span_len] AS piece
+                            FROM spans2 sp JOIN docids d USING (doc_id))
+            SELECT seq_id,
+                   CAST(COUNT(*) AS BIGINT) AS n_spans,
+                   CAST(SUM(len(piece)) AS BIGINT) AS n_tokens,
+                   md5(string_agg(array_to_string(
+                           list_transform(piece, x -> CAST(x AS VARCHAR)), ' '),
+                       ' ' ORDER BY start_in_seq)) AS fp
+            FROM pieces GROUP BY seq_id""",
         "q159_sequence_gather": _SEQ_CTES + f""",
                  dtok AS (SELECT doc_id, {_toks('text')} AS tk
                           FROM documents),

@@ -803,6 +803,23 @@ def test_sequence_gather_plan(spark, sf_dir):
     assert "CartesianProduct" not in phys, phys
 
 
+def test_bpe_sequence_pack_plan(spark, sf_dir):
+    """q161 (BPE-id sequence packing): the segmentation join's build
+    side is the word-type dictionary — vocabulary-sized by
+    construction, broadcast explicitly (the VERDICT r11 'stays
+    vocabulary-sized' pin); the prefix sum is the two-pass scheme
+    (no data-sized window partition); no Python, no cartesian."""
+    from pig_spark.queries import q161_bpe_sequence_pack
+
+    df = q161_bpe_sequence_pack(spark, sf_dir)
+    opt = df._jdf.queryExecution().optimizedPlan().toString()
+    assert not unpartitioned_windows(opt), unpartitioned_windows(opt)
+    phys = df._jdf.queryExecution().executedPlan().toString()
+    assert "PythonUDF" not in phys and "EvalPython" not in phys, phys
+    assert "CartesianProduct" not in phys, phys
+    assert "BroadcastHashJoin" in phys, phys
+
+
 def test_epoch_shuffle_plan(spark, sf_dir):
     """q160 (per-epoch loader order): the position comes from the
     two-pass distributed RANK — no data-sized single-partition
