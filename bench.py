@@ -102,11 +102,16 @@ HEADLINE = [
     "q158_sequence_manifest",  # r11: GPT-style fixed-length sequence spans
     "q159_sequence_gather",  # r11: assemble packed sequences + md5 integrity
     "q160_epoch_shuffle",  # r11: per-epoch loader order via two-pass rank
-    # q139 (classifier trainer), q144 (BPE trainer), and q155 (residual
-    # IVF-PQ, which embeds the coarse+PQ codebook TRAINER) deliberately
-    # not headliners: they are multi-job iterative training runs, not
-    # ETL queries — gated by the oracle, timed nowhere. The ANN scale
-    # rungs time the q153 PROBE (the per-query serving path).
+    "q162_strict_pack",  # r12: hard-cap greedy packing, in-row fold
+    "q163_loader_batches",  # r12: per-epoch fixed-size loader batches
+    # q139 (classifier trainer), q144 (BPE trainer), q155 (residual
+    # IVF-PQ, which embeds the coarse+PQ codebook TRAINER), and q161
+    # (BPE-id sequence packing, which embeds the q144 trainer)
+    # deliberately not headliners: they are multi-job iterative
+    # training runs, not ETL queries — gated by the oracle, timed
+    # nowhere. The ANN scale rungs time the q153 PROBE (the per-query
+    # serving path); q157's one-time index build is reported as its
+    # own non-summed row (q157_index_build_s).
 ]
 
 

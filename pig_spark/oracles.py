@@ -1569,6 +1569,58 @@ def oracle_sql() -> dict[str, str]:
                            list_transform(piece, x -> CAST(x AS VARCHAR)), ' '),
                        ' ' ORDER BY start_in_seq)) AS fp
             FROM pieces GROUP BY seq_id""",
+        "q162_strict_pack": f"""
+            WITH RECURSIVE t AS (SELECT doc_id,
+                                        CAST(len({_toks('text')}) AS BIGINT) AS n
+                                 FROM documents),
+                 c AS (SELECT doc_id, n,
+                              SUM(n) OVER (ORDER BY doc_id
+                                  ROWS UNBOUNDED PRECEDING) AS cum
+                       FROM t),
+                 coarse AS (SELECT doc_id, n,
+                                   CAST(FLOOR((cum - n) / 1024.0) AS BIGINT)
+                                       AS bucket
+                            FROM c),
+                 seq AS (SELECT doc_id, n, bucket,
+                                ROW_NUMBER() OVER (PARTITION BY bucket
+                                                   ORDER BY doc_id) AS rn
+                         FROM coarse),
+                 r AS (
+                     SELECT bucket, rn, doc_id, n,
+                            n AS cur, CAST(0 AS BIGINT) AS idx
+                     FROM seq WHERE rn = 1
+                     UNION ALL
+                     SELECT s.bucket, s.rn, s.doc_id, s.n,
+                            CASE WHEN r.cur + s.n > 1024 AND r.cur > 0
+                                 THEN s.n ELSE r.cur + s.n END,
+                            CASE WHEN r.cur + s.n > 1024 AND r.cur > 0
+                                 THEN r.idx + 1 ELSE r.idx END
+                     FROM r JOIN seq s
+                       ON s.bucket = r.bucket AND s.rn = r.rn + 1)
+            SELECT doc_id, n AS n_tokens, bucket, idx AS pack FROM r""",
+        "q163_loader_batches": _SEQ_CTES + """,
+                 seqs AS (SELECT seq_id, SUM(span_len) AS n_tokens
+                          FROM spans GROUP BY seq_id),
+                 fanned AS (SELECT seq_id, n_tokens,
+                                   unnest(generate_series(0, 2)) AS epoch
+                            FROM seqs),
+                 keyed AS (SELECT epoch, seq_id, n_tokens,
+                                  CAST(('0x' || substr(md5(seq_id || ':epoch:'
+                                        || epoch), 1, 15)) AS BIGINT)
+                                      AS shuffle_key
+                           FROM fanned),
+                 ordered AS (SELECT epoch, seq_id, n_tokens,
+                                    CAST(ROW_NUMBER() OVER (ORDER BY epoch,
+                                        shuffle_key, seq_id) AS BIGINT) AS pos
+                             FROM keyed),
+                 n AS (SELECT COUNT(*) AS n FROM ordered WHERE epoch = 0)
+            SELECT CAST(epoch AS BIGINT) AS epoch, seq_id,
+                   CAST(n_tokens AS BIGINT) AS n_tokens,
+                   CAST(pos - 1 - epoch * n.n AS BIGINT) AS pos_in_epoch,
+                   CAST(FLOOR((pos - 1 - epoch * n.n) / 32.0) AS BIGINT)
+                       AS batch_id,
+                   CAST((pos - 1 - epoch * n.n) % 32 AS BIGINT) AS pos_in_batch
+            FROM ordered, n""",
         "q159_sequence_gather": _SEQ_CTES + f""",
                  dtok AS (SELECT doc_id, {_toks('text')} AS tk
                           FROM documents),

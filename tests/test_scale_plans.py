@@ -820,6 +820,38 @@ def test_bpe_sequence_pack_plan(spark, sf_dir):
     assert "BroadcastHashJoin" in phys, phys
 
 
+def test_strict_pack_plan(spark, sf_dir):
+    """q162 (strict-cap packing): coarse buckets via the two-pass
+    prefix sum (local windows partition by __pid — never a data-sized
+    partition), the exact greedy fold runs IN-ROW over budget-bounded
+    bags (no Python), assignments join back on the unique order key —
+    no cartesian anywhere."""
+    from pig_spark.queries import q162_strict_pack
+
+    df = q162_strict_pack(spark, sf_dir)
+    opt = df._jdf.queryExecution().optimizedPlan().toString()
+    assert not unpartitioned_windows(opt), unpartitioned_windows(opt)
+    phys = df._jdf.queryExecution().executedPlan().toString()
+    assert "PythonUDF" not in phys and "EvalPython" not in phys, phys
+    assert "CartesianProduct" not in phys, phys
+
+
+def test_loader_batches_plan(spark, sf_dir):
+    """q163 (loader micro-batches): q160's two-pass rank + ONE tiny
+    count aggregate broadcast back (the scalar-projection idiom) —
+    the cross join must be a broadcast of the 1-row count, never a
+    CartesianProduct; batching is map-only integer codegen."""
+    from pig_spark.queries import q163_loader_batches
+
+    df = q163_loader_batches(spark, sf_dir)
+    opt = df._jdf.queryExecution().optimizedPlan().toString()
+    assert not unpartitioned_windows(opt), unpartitioned_windows(opt)
+    phys = df._jdf.queryExecution().executedPlan().toString()
+    assert "PythonUDF" not in phys and "EvalPython" not in phys, phys
+    assert "CartesianProduct" not in phys, phys
+    assert "BroadcastNestedLoopJoin" in phys, phys
+
+
 def test_epoch_shuffle_plan(spark, sf_dir):
     """q160 (per-epoch loader order): the position comes from the
     two-pass distributed RANK — no data-sized single-partition
