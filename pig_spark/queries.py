@@ -4041,6 +4041,17 @@ def q156_kcenter_coreset(spark: SparkSession, sf: str) -> DataFrame:
     k = 6
     e = _t(spark, sf, "embeddings").df
     centers = kcenter_select(e, k)
+    # the generated oracle (_kcenter_sql) always unrolls EXACTLY k
+    # selection steps, while kcenter_select stops early on degenerate
+    # inputs (< k distinct vectors) — fail loudly instead of silently
+    # diverging from the twin (ADVICE r11); the embeddings fixture
+    # guarantees >= k distinct vectors at every sf
+    if len(centers) != k:
+        raise ValueError(
+            f"q156: corpus has only {len(centers)} distinct vectors, "
+            f"but the unrolled k-center oracle requires exactly k={k} — "
+            "engine and oracle would diverge on this degenerate input"
+        )
     center_ids = sorted(cid for cid, _ in centers)
     assigned = kmeans_assign_l2(
         e.select("vec_id", F.col("embedding").cast("array<double>").alias("__v")),
@@ -4461,16 +4472,24 @@ def _latest_evidence() -> dict[str, int]:
         # entry module, which imports this module (mid-initialization)
         return latest_evidence(_ALL)
     except Exception as e:
-        # LOUD fallback: a corrupt CORRECTNESS file or tooling error
-        # must not silently collapse the gate window to alphabetical —
-        # the rotation guarantee is the point of the generated window
-        import warnings
-
-        warnings.warn(
-            f"freshness evidence unavailable ({e!r}); gate window falls "
-            "back to tier0 + alphabetical — fix tools/freshness.py or "
-            "the CORRECTNESS_r*.json files",
-            stacklevel=2,
+        # UNMISSABLE fallback (ADVICE r11: warnings.warn was easy to
+        # lose in driver logs): a corrupt CORRECTNESS file or tooling
+        # error must not silently collapse the gate window to
+        # alphabetical — the rotation guarantee is the point of the
+        # generated window. A stderr banner survives log scraping, and
+        # tests/test_structure.py::test_gate_window_matches_freshness_
+        # plan fails hard on the divergence (it recomputes the plan
+        # with the tool directly). Deliberately NOT raising here:
+        # bricking all 176 queries at import over one bad artifact is
+        # a worse failure mode than a stale-but-valid window.
+        print(
+            "=" * 72
+            + f"\npig_spark.queries: FRESHNESS EVIDENCE UNAVAILABLE ({e!r})\n"
+            "gate window falls back to tier0 + alphabetical — rotation\n"
+            "guarantee VOID; fix tools/freshness.py or the\n"
+            "CORRECTNESS_r*.json files before trusting this round's gate\n"
+            + "=" * 72,
+            file=_sys.stderr,
         )
         return {}
     finally:

@@ -692,19 +692,28 @@ def write_ann_index_stream(df: DataFrame, path: str, checkpoint: str):
     append and the marker write) remains — at deployment close it
     with an object-store conditional PUT, or dedup the probe side on
     the id column (rows are deterministic re-encodes, so duplicates
-    are identical and dropDuplicates restores exactness)."""
-    import os
+    are identical and dropDuplicates restores exactness).
 
-    marker_dir = os.path.join(path, "_streamed_epochs")
+    Marker IO goes through the Hadoop FileSystem resolved FROM THE
+    PATH (ADVICE r11: driver-local os.path/open would silently target
+    a bogus local directory for hdfs:// / s3a:// index paths, so the
+    idempotence guard would never fire and replayed epochs would
+    append duplicates) — the same filesystem the data append writes
+    to, local or remote."""
 
     def _append_once(batch: DataFrame, epoch_id: int) -> None:
-        marker = os.path.join(marker_dir, str(epoch_id))
-        if os.path.exists(marker):
+        spark = batch.sparkSession
+        jvm = spark._jvm
+        hconf = spark.sparkContext._jsc.hadoopConfiguration()
+        marker = jvm.org.apache.hadoop.fs.Path(
+            f"{path}/_streamed_epochs/{epoch_id}"
+        )
+        fs = marker.getFileSystem(hconf)
+        if fs.exists(marker):
             return  # replayed epoch: its rows are already in the index
         batch.write.mode("append").partitionBy("cell").parquet(path)
-        os.makedirs(marker_dir, exist_ok=True)
-        with open(marker, "w"):
-            pass
+        fs.mkdirs(marker.getParent())
+        fs.createNewFile(marker)
 
     return (
         df.writeStream.foreachBatch(_append_once)

@@ -1184,6 +1184,85 @@ def test_pq_refined_pipeline_contract_and_generalization(spark, sf_dir):
     assert ref_full <= 0.9 * raw_full, (ref_full, raw_full)
 
 
+def test_residual_ivfpq_recall_on_clustered_fixture(spark):
+    """The CLUSTERED recall property (VERDICT r11 missing #2): the
+    q155 contract pins quantization energy because recall@20 is
+    parity on the structureless LCG corpus — which left a recall
+    regression on clustered data invisible to the gate. This fixture
+    is a deterministic mixture of Gaussians (16 well-separated
+    centers = IVF_NLIST, vector i in cluster i % 16, seeded LCG noise
+    — ids [0,16) land one per cluster, so the lowest-id bootstrap
+    centroids approximate the true centers and ids [16,32) give the
+    residual trainer one seed per cluster). Here residual encoding
+    provably helps, and the ordering is pinned:
+
+        raw PQ < residual IVF-PQ < refined-codebook residual
+
+    (measured mean recall@20 over 4 queries: 0.675 / 0.7125 / 0.7375
+    — margins below leave room only for cross-platform float jitter,
+    the fixture itself is fully deterministic). The energy contract
+    must also hold, and far more strongly than on the LCG corpus
+    (measured 72% cut vs 48%): residuals of clustered data
+    concentrate near the origin, which is the entire point of
+    residual encoding (Jégou et al. §V)."""
+    from pig_spark.functions.similarity import (
+        EMB_DIM,
+        IVF_NLIST,
+        _lcg_floats,
+        ivfpq_residual_topk,
+        ivfpq_topk,
+        pq_refined_pipeline_contract,
+    )
+
+    noise, k, nq = 0.6, 20, 4
+    centers = [
+        [4.0 * (x - 0.5) for x in _lcg_floats(1000 + g, EMB_DIM)]
+        for g in range(IVF_NLIST)
+    ]
+    rows = []
+    for i in range(480):
+        nz = [noise * (x - 0.5) for x in _lcg_floats(50_000 + i, EMB_DIM)]
+        rows.append(
+            (i, [c + z for c, z in zip(centers[i % IVF_NLIST], nz)])
+        )
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>").cache()
+    df.count()
+    try:
+        c = pq_refined_pipeline_contract(df, sample_mod=1)
+        assert c["ok"] is True
+        # clustered data: the energy cut is dramatic, not marginal
+        assert c["refined_recon"] < 0.5 * c["raw_recon"], (
+            c["refined_recon"],
+            c["raw_recon"],
+        )
+        means = {"raw": 0.0, "res": 0.0, "ref": 0.0}
+        for qi in range(nq):
+            qz = [noise * (x - 0.5) for x in _lcg_floats(90_000 + qi, EMB_DIM)]
+            q = [
+                a + b for a, b in zip(centers[(qi * 5) % IVF_NLIST], qz)
+            ]
+            # exact L2 ground truth, driver-side over the tiny fixture
+            d2 = sorted(
+                (sum((a - b) ** 2 for a, b in zip(q, v)), i) for i, v in rows
+            )
+            gt = {i for _, i in d2[:k]}
+            raw = {r["vec_id"] for r in ivfpq_topk(df, q, k).collect()}
+            res = {r["vec_id"] for r in ivfpq_residual_topk(df, q, k).collect()}
+            ref = {
+                r["vec_id"]
+                for r in ivfpq_residual_topk(
+                    df, q, k, codebooks=c["codebooks"]
+                ).collect()
+            }
+            for key, s in (("raw", raw), ("res", res), ("ref", ref)):
+                means[key] += len(s & gt) / k / nq
+        assert means["res"] >= means["raw"] + 0.025, means
+        assert means["ref"] >= means["res"] + 0.015, means
+        assert means["ref"] >= means["raw"] + 0.05, means
+    finally:
+        df.unpersist()
+
+
 def test_pack_strict_hard_cap_and_stability(spark):
     """pack_strict's contract (VERDICT r10 #8 — the per-bucket capped
     re-pack the packing module docstring promised): every

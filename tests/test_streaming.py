@@ -936,6 +936,48 @@ def test_substring_dedup_stream_requires_timestamp(spark, sf_dir):
         substring_dedup_stream(d, d.limit(0))
 
 
+def test_ann_index_stream_replay_skips_marked_epochs(spark, sf_dir, tmp_path):
+    """The epoch-marker idempotence guard actually fires on replay:
+    a restarted stream with a WIPED checkpoint re-delivers the same
+    feed as epoch 0 again — without the marker the plain append would
+    duplicate every row (and duplicates change probe top-k). Also
+    pins the ADVICE r11 fix: markers go through the Hadoop FileSystem
+    resolved from the index path (here an explicit file:// URI — the
+    driver-local os.path guard would have worked for a bare local
+    path but silently never fired for any scheme'd URI)."""
+    import shutil
+
+    from pig_spark.functions.similarity import ann_index_store
+    from pig_spark.streaming import ann_index_ingest_stream, write_ann_index_stream
+
+    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+        "vec_id", "embedding"
+    )
+    mid = e.count() // 2
+    idx = "file://" + str(tmp_path / "ann_index")
+    model = ann_index_store(e.where(f"vec_id < {mid}"), str(tmp_path / "ann_index"))
+    feed = str(tmp_path / "feed")
+    e.where(f"vec_id >= {mid}").write.mode("overwrite").parquet(feed)
+
+    def _run(ckpt: str) -> None:
+        src = spark.readStream.schema(e.schema).parquet(feed)
+        q = write_ann_index_stream(ann_index_ingest_stream(src, model), idx, ckpt)
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+
+    _run(str(tmp_path / "ckpt"))
+    n_after_first = spark.read.parquet(idx).count()
+    assert n_after_first == e.count()
+    assert (tmp_path / "ann_index" / "_streamed_epochs" / "0").exists()
+    # replay: wipe the checkpoint so the restarted stream re-delivers
+    # the same batch as epoch 0 — the marker must skip the append
+    shutil.rmtree(str(tmp_path / "ckpt"))
+    _run(str(tmp_path / "ckpt"))
+    assert spark.read.parquet(idx).count() == n_after_first
+
+
 def test_ann_index_ingest_stream_matches_batch(spark, sf_dir, tmp_path):
     """Streaming/batch parity for the persisted ANN index (q157's
     layout): the batch job builds the index + model on the FIRST half
