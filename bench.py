@@ -104,6 +104,9 @@ HEADLINE = [
     "q160_epoch_shuffle",  # r11: per-epoch loader order via two-pass rank
     "q162_strict_pack",  # r12: hard-cap greedy packing, in-row fold
     "q163_loader_batches",  # r12: per-epoch fixed-size loader batches
+    "q164_source_mixture",  # r12: temperature mixture draw, WindowGroupLimit
+    "q165_fim_transform",  # r12: fill-in-the-middle PSM, map-only
+    "q166_length_buckets",  # r12: length-bucket padding accounting
     # q139 (classifier trainer), q144 (BPE trainer), q155 (residual
     # IVF-PQ, which embeds the coarse+PQ codebook TRAINER), and q161
     # (BPE-id sequence packing, which embeds the q144 trainer)
@@ -648,18 +651,27 @@ def _control_bench(spark, sf_dir: str, results: dict) -> None:
             xfn = _CURRENT_QUERIES.get(name)
             if fn is None or xfn is None:
                 continue
-            # de-bias: the headline loop already warmed the CURRENT
-            # query; warm the control once untimed, then time control
-            # and current back-to-back — adjacent in time, equal
-            # JVM/OS-cache warmth, so the ratio is code-attributable.
-            # Each leg runs under ITS OWN sys.modules set (swap is a
-            # dict update — microseconds).
+            # de-bias SYMMETRICALLY: warm BOTH legs once untimed, then
+            # time control and current back-to-back — adjacent in
+            # time, equal JVM/OS-cache warmth AND equal plan-compile
+            # state, so the ratio is code-attributable. Until r12 only
+            # the control leg was warmed (the headline loop had warmed
+            # the current query MINUTES earlier — long enough for the
+            # codegen/plan caches to evict), so the current leg's
+            # timed run could absorb a fresh plan compile the control
+            # leg had just paid untimed: the likely mechanism behind
+            # the driver-record q01 control reading hot two rounds
+            # running (r10 1.58, r11 1.29) while same-day builder
+            # panels sat flat (VERDICT r11 wrong #2). Each leg runs
+            # under ITS OWN sys.modules set (swap is a dict update —
+            # microseconds).
             _swap(wt_mods)
             fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
             t0 = time.time()
             fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
             ctrl[name] = round(time.time() - t0, 3)
             _swap(saved)
+            xfn(spark, sf_dir).write.format("noop").mode("overwrite").save()
             t0 = time.time()
             xfn(spark, sf_dir).write.format("noop").mode("overwrite").save()
             cur_adj[name] = round(time.time() - t0, 3)

@@ -1621,6 +1621,101 @@ def oracle_sql() -> dict[str, str]:
                        AS batch_id,
                    CAST((pos - 1 - epoch * n.n) % 32 AS BIGINT) AS pos_in_batch
             FROM ordered, n""",
+        "q164_source_mixture": f"""
+            WITH t AS (SELECT doc_id, source,
+                              CAST(len({_toks('text')}) AS BIGINT) AS n
+                       FROM documents),
+                 s AS (SELECT source, SUM(n) AS ns FROM t GROUP BY source),
+                 tot AS (SELECT list_sum(list(sqrt(CAST(ns AS DOUBLE))
+                                   ORDER BY source)) AS z
+                         FROM s),
+                 ideal AS (SELECT source, ns,
+                                  200.0 * sqrt(CAST(ns AS DOUBLE)) / tot.z
+                                      AS ideal
+                           FROM s, tot),
+                 based AS (SELECT source, ideal,
+                                  CAST(FLOOR(ideal) AS BIGINT) AS base,
+                                  ideal - FLOOR(ideal) AS frac
+                           FROM ideal),
+                 lo AS (SELECT CAST(200 - SUM(base) AS BIGINT) AS leftover
+                        FROM based),
+                 ranked AS (SELECT *, ROW_NUMBER() OVER (ORDER BY frac DESC,
+                                source ASC) AS fr
+                            FROM based),
+                 q AS (SELECT source, ideal,
+                              base + CASE WHEN fr <= lo.leftover
+                                          THEN 1 ELSE 0 END AS quota
+                       FROM ranked, lo),
+                 keyed AS (SELECT source, doc_id,
+                                  CAST(('0x' || substr(md5(doc_id || ':mix:v1'),
+                                        1, 15)) AS BIGINT) AS k
+                           FROM t),
+                 sel AS (SELECT source, doc_id,
+                                ROW_NUMBER() OVER (PARTITION BY source
+                                    ORDER BY k ASC, doc_id ASC) AS rn
+                         FROM keyed)
+            SELECT sel.source, sel.doc_id,
+                   CAST(sel.rn AS BIGINT) AS sel_rank,
+                   CAST(q.quota AS BIGINT) AS quota,
+                   round(q.ideal / 200.0, 6) AS w
+            FROM sel JOIN q ON sel.source = q.source
+            WHERE sel.rn <= q.quota""",
+        "q165_fim_transform": f"""
+            WITH d AS (SELECT doc_id, {_toks('text')} AS tk FROM documents),
+                 m AS (SELECT doc_id, tk, CAST(len(tk) AS BIGINT) AS n,
+                              CAST(('0x' || substr(md5(doc_id || ':fim:p'),
+                                    1, 15)) AS BIGINT) AS h1,
+                              CAST(('0x' || substr(md5(doc_id || ':fim:m'),
+                                    1, 15)) AS BIGINT) AS h2
+                       FROM d),
+                 cut AS (SELECT doc_id, tk, n,
+                                CAST(h1 % (n - 1) AS BIGINT) AS p_len,
+                                CAST(1 + (h2 % (n - (h1 % (n - 1)) - 1))
+                                     AS BIGINT) AS m_len
+                         FROM m WHERE n >= 3),
+                 asm AS (SELECT doc_id, n, p_len, m_len,
+                                n - p_len - m_len AS s_len,
+                                '<PRE> '
+                                || COALESCE(array_to_string(
+                                       tk[1 : CAST(p_len AS INT)], ' '), '')
+                                || ' <SUF> '
+                                || COALESCE(array_to_string(
+                                       tk[CAST(p_len + m_len + 1 AS INT) :
+                                          CAST(n AS INT)], ' '), '')
+                                || ' <MID> '
+                                || array_to_string(tk[CAST(p_len + 1 AS INT) :
+                                                      CAST(p_len + m_len AS INT)], ' ')
+                                    AS psm
+                         FROM cut)
+            SELECT doc_id, n AS n_tokens, p_len, m_len, s_len,
+                   md5(psm) AS fp, true AS fim_applied
+            FROM asm
+            UNION ALL
+            SELECT doc_id, n, NULL, NULL, NULL,
+                   md5(COALESCE(array_to_string(tk, ' '), '')), false
+            FROM m WHERE n < 3""",
+        "q166_length_buckets": f"""
+            WITH d AS (SELECT CAST(len({_toks('text')}) AS BIGINT) AS n
+                       FROM documents),
+                 b AS (SELECT n,
+                              CASE WHEN n <= 16 THEN 16
+                                   WHEN n <= 32 THEN 32
+                                   WHEN n <= 64 THEN 64
+                                   WHEN n <= 128 THEN 128
+                                   WHEN n <= 256 THEN 256
+                                   WHEN n <= 512 THEN 512
+                                   WHEN n <= 1024 THEN 1024
+                                   WHEN n <= 2048 THEN 2048
+                                   ELSE 4096 END AS bucket
+                       FROM d),
+                 g AS (SELECT bucket, CAST(COUNT(*) AS BIGINT) AS n_docs,
+                              CAST(SUM(n) AS BIGINT) AS sum_tokens
+                       FROM b GROUP BY bucket)
+            SELECT CAST(bucket AS BIGINT) AS bucket, n_docs, sum_tokens,
+                   CAST(bucket * n_docs AS BIGINT) AS padded_tokens,
+                   round(1.0 - CAST(sum_tokens AS DOUBLE) / (bucket * n_docs), 6)
+                       AS waste_ratio
+            FROM g""",
         "q159_sequence_gather": _SEQ_CTES + f""",
                  dtok AS (SELECT doc_id, {_toks('text')} AS tk
                           FROM documents),

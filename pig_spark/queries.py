@@ -4418,6 +4418,157 @@ def q163_loader_batches(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q164_source_mixture(spark: SparkSession, sf: str) -> DataFrame:
+    """Temperature-weighted SOURCE MIXTURE sampling — the data-mixing
+    stage of a pretraining pipeline (LLaMA/T5 practice: sample source
+    s with probability ∝ n_s^α, α=0.5, so low-resource sources are
+    upsampled relative to their token share): per-source token masses
+    → temperature weights → integer quotas by largest remainder →
+    deterministic without-replacement draw of each source's quota
+    (rank by the md5 re-deal key — no RNG, engine- and retry-stable).
+
+    100 TB design: the statistics table is SOURCES-sized (collected
+    driver-side — the model-sized exception class; quota/weight ride
+    back as literal maps, and Python float arithmetic is the same
+    IEEE doubles as both engines, the r11 argmax-parity rule); the
+    draw is ONE window whose ``row_number ≤ 200`` LITERAL bound
+    lowers to Partial+Final WindowGroupLimit — each map task keeps at
+    most 200 rows per source BEFORE the exchange, so a source's
+    billions of rows never pile into one window partition."""
+    import math
+
+    from .functions.dedup import md5_60
+    from .functions.text import token_count
+
+    from pyspark.sql import Window
+
+    D = 200  # total draws per mixture round
+    t = spark.read.parquet(f"{sf}/documents.parquet").select(
+        "doc_id", "source", token_count(F.col("text")).alias("n")
+    )
+    stats = sorted(
+        (r["source"], int(r["ns"]))
+        for r in t.groupBy("source").agg(F.sum("n").alias("ns")).collect()
+    )
+    z = sum(math.sqrt(ns) for _, ns in stats)
+    ideal = {src: D * math.sqrt(ns) / z for src, ns in stats}
+    base = {src: math.floor(v) for src, v in ideal.items()}
+    leftover = D - sum(base.values())
+    extras = set(
+        src
+        for src, _ in sorted(
+            ideal.items(), key=lambda kv: (-(kv[1] - base[kv[0]]), kv[0])
+        )[:leftover]
+    )
+    quota = {src: base[src] + (1 if src in extras else 0) for src, _ in stats}
+    qmap = F.create_map(
+        *[x for src, q in quota.items() for x in (F.lit(src), F.lit(q))]
+    )
+    wmap = F.create_map(
+        *[x for src, v in ideal.items() for x in (F.lit(src), F.lit(v / D))]
+    )
+    keyed = t.select(
+        "source",
+        "doc_id",
+        md5_60(F.concat(F.col("doc_id").cast("string"), F.lit(":mix:v1"))).alias(
+            "__k"
+        ),
+    )
+    w = Window.partitionBy("source").orderBy(F.asc("__k"), F.asc("doc_id"))
+    sel = keyed.withColumn("rn", F.row_number().over(w)).filter(
+        (F.col("rn") <= D)  # literal bound → WindowGroupLimit lowering
+        & (F.col("rn") <= F.element_at(qmap, F.col("source")))
+    )
+    return sel.select(
+        "source",
+        "doc_id",
+        F.col("rn").cast("long").alias("sel_rank"),
+        F.element_at(qmap, F.col("source")).cast("long").alias("quota"),
+        F.round(F.element_at(wmap, F.col("source")), 6).alias("w"),
+    )
+
+
+def q165_fim_transform(spark: SparkSession, sf: str) -> DataFrame:
+    """Fill-in-the-middle TRANSFORMATION (Bavarian et al. 2022 — the
+    FIM objective pretraining pipelines apply to a fraction of
+    documents): each doc with ≥3 tokens splits into
+    (prefix, middle, suffix) at deterministic md5-drawn cut points
+    and reassembles in PSM order ``<PRE> p <SUF> s <MID> m``; shorter
+    docs pass through untransformed. Output per doc: the three span
+    lengths and the md5 fingerprint of the reassembled token stream —
+    byte-level parity, both engines.
+
+    100 TB design: pure map-only codegen (tokenize → two md5-mod cut
+    draws → three slices → concat) — no shuffle, no Python, no state;
+    the re-deal keys are the shard_assign idiom (versioned salts, no
+    RNG, retry-stable)."""
+    from .functions.dedup import md5_60
+    from .functions.text import tokenize_ws
+
+    d = spark.read.parquet(f"{sf}/documents.parquet").select(
+        "doc_id", tokenize_ws(F.col("text")).alias("tk")
+    )
+    n = F.size("tk").cast("long")
+    h1 = md5_60(F.concat(F.col("doc_id").cast("string"), F.lit(":fim:p")))
+    h2 = md5_60(F.concat(F.col("doc_id").cast("string"), F.lit(":fim:m")))
+    p_len = h1 % (n - 1)  # prefix in [0, n-2]
+    m_len = F.lit(1) + h2 % (n - p_len - 1)  # middle >= 1
+    s_len = n - p_len - m_len
+    joined = lambda c: F.array_join(c, " ")  # noqa: E731
+    psm = F.concat(
+        F.lit("<PRE> "),
+        joined(F.slice("tk", 1, p_len.cast("int"))),
+        F.lit(" <SUF> "),
+        joined(F.slice("tk", (p_len + m_len + 1).cast("int"), s_len.cast("int"))),
+        F.lit(" <MID> "),
+        joined(F.slice("tk", (p_len + 1).cast("int"), m_len.cast("int"))),
+    )
+    applied = n >= 3
+    return d.select(
+        "doc_id",
+        n.alias("n_tokens"),
+        F.when(applied, p_len).otherwise(F.lit(None)).cast("long").alias("p_len"),
+        F.when(applied, m_len).otherwise(F.lit(None)).cast("long").alias("m_len"),
+        F.when(applied, s_len).otherwise(F.lit(None)).cast("long").alias("s_len"),
+        F.md5(F.when(applied, psm).otherwise(joined(F.col("tk")))).alias("fp"),
+        applied.alias("fim_applied"),
+    )
+
+
+def q166_length_buckets(spark: SparkSession, sf: str) -> DataFrame:
+    """Length-BUCKETED batching accounting — the dynamic-batching
+    planner's input (pad every doc in a bucket to the bucket ceiling;
+    the waste ratio tells the loader how much compute padding burns):
+    power-of-two token-length buckets (16 floor … 4096 cap), per
+    bucket the doc count, true token mass, padded mass and the
+    padding-waste ratio. Integer CASE laddering on both engines —
+    never float log2 (exact-power boundaries would ride rounding).
+
+    100 TB design: map-only bucket assignment + ONE partial-aggregated
+    groupBy on a ≤9-value key; output is buckets-sized."""
+    from .functions.text import token_count
+
+    d = spark.read.parquet(f"{sf}/documents.parquet").select(
+        token_count(F.col("text")).alias("n")
+    )
+    bounds = [16, 32, 64, 128, 256, 512, 1024, 2048, 4096]
+    bucket = F.lit(bounds[-1])
+    for b in reversed(bounds):
+        bucket = F.when(F.col("n") <= b, F.lit(b)).otherwise(bucket)
+    g = d.select("n", bucket.alias("bucket")).groupBy("bucket").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n").alias("sum_tokens"),
+    )
+    padded = F.col("bucket") * F.col("n_docs")
+    return g.select(
+        F.col("bucket").cast("long").alias("bucket"),
+        F.col("n_docs").cast("long").alias("n_docs"),
+        F.col("sum_tokens").cast("long").alias("sum_tokens"),
+        padded.cast("long").alias("padded_tokens"),
+        F.round(F.lit(1.0) - F.col("sum_tokens") / padded, 6).alias("waste_ratio"),
+    )
+
+
 from .pigmix import PIGMIX_QUERIES  # noqa: E402  (avoids circular import)
 
 _ALL: dict[str, Callable[[SparkSession, str], DataFrame]] = {
@@ -4439,16 +4590,21 @@ _ALL.update(PIGMIX_QUERIES)
 # its evidence is r0):
 # r12 plan (histogram after r11: r11:50 r10:49 r9:50 r8:26 — zero
 # red rows, so tier 0 is just this round's NEW queries):
-#   tier 0: the new r12 queries (q161 BPE-id sequence packing, …).
+#   tier 0 (3): the new r12 queries (q161 BPE-id sequence packing,
+#     q162 strict-cap packing, q163 loader micro-batches).
 #   tier 1 (26): the ENTIRE r8-evidence tail (q13/q14, q19, q32,
 #     q44–q51, q54, q56, q61–q64, q68–q71, q131, q133–q135) — all 26
 #     re-verified green at sf0.01 by the r11 judge, so rotation is
 #     de-risked. Floor moves r8 → r9.
-#   tier 2: the r9-evidence block, alphabetical, filling to 50.
+#   tier 2 (21): the r9-evidence block, alphabetical (q09…q132).
+# 3 + 26 + 21 = 50.
 _TIER0 = [
     "q161_bpe_sequence_pack",  # new: sequence family over BPE token ids
     "q162_strict_pack",        # new: strict-cap packing, driver-gated
     "q163_loader_batches",     # new: per-epoch fixed-size loader batches
+    "q164_source_mixture",     # new: temperature-weighted source sampling
+    "q165_fim_transform",      # new: fill-in-the-middle PSM reassembly
+    "q166_length_buckets",     # new: length-bucket padding accounting
 ]
 
 

@@ -852,6 +852,48 @@ def test_loader_batches_plan(spark, sf_dir):
     assert "BroadcastNestedLoopJoin" in phys, phys
 
 
+def test_source_mixture_plan(spark, sf_dir):
+    """q164 (temperature mixture draw): the per-source without-
+    replacement draw must lower to Partial+Final WindowGroupLimit
+    (the literal rn ≤ 200 bound) so a source's billions of rows are
+    capped MAP-SIDE before the exchange — never a full data-sized
+    window partition; quota/weight ride as literal maps (no join);
+    no Python, no cartesian."""
+    from pig_spark.queries import q164_source_mixture
+
+    df = q164_source_mixture(spark, sf_dir)
+    phys = df._jdf.queryExecution().executedPlan().toString()
+    assert "WindowGroupLimit" in phys, phys
+    assert "PythonUDF" not in phys and "EvalPython" not in phys, phys
+    assert "CartesianProduct" not in phys, phys
+
+
+def test_fim_transform_plan(spark, sf_dir):
+    """q165 (fill-in-the-middle): pure map-only codegen — tokenize,
+    two md5-mod cut draws, three slices, concat. NO exchange of any
+    kind, no window, no Python."""
+    from pig_spark.queries import q165_fim_transform
+
+    df = q165_fim_transform(spark, sf_dir)
+    phys = df._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in phys, phys
+    assert "Window" not in phys, phys
+    assert "PythonUDF" not in phys and "EvalPython" not in phys, phys
+
+
+def test_length_buckets_plan(spark, sf_dir):
+    """q166 (length-bucket padding accounting): map-only bucket CASE
+    ladder + ONE partial-aggregated groupBy on a ≤9-value key — a
+    single exchange, partial aggregation before it."""
+    from pig_spark.queries import q166_length_buckets
+
+    df = q166_length_buckets(spark, sf_dir)
+    phys = df._jdf.queryExecution().executedPlan().toString()
+    assert phys.count("Exchange") <= 2, phys  # agg shuffle (+ AQE read)
+    assert "HashAggregate" in phys, phys
+    assert "PythonUDF" not in phys and "EvalPython" not in phys, phys
+
+
 def test_epoch_shuffle_plan(spark, sf_dir):
     """q160 (per-epoch loader order): the position comes from the
     two-pass distributed RANK — no data-sized single-partition
