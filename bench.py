@@ -107,6 +107,7 @@ HEADLINE = [
     "q164_source_mixture",  # r12: temperature mixture draw, WindowGroupLimit
     "q165_fim_transform",  # r12: fill-in-the-middle PSM, map-only
     "q166_length_buckets",  # r12: length-bucket padding accounting
+    "q167_sequence_store_roundtrip",  # r12: persisted loader artifact read-back
     # q139 (classifier trainer), q144 (BPE trainer), q155 (residual
     # IVF-PQ, which embeds the coarse+PQ codebook TRAINER), and q161
     # (BPE-id sequence packing, which embeds the q144 trainer)
@@ -727,6 +728,15 @@ def main():
     ensure_ann_index(spark, sf_dir)
     ann_build_s = round(time.time() - t0, 3)
 
+    # same convention for the persisted sequence store: build once
+    # untimed, report the build as its own row, and the q167 headline
+    # row times the loader's SERVING path (blocked read + fingerprint)
+    from pig_spark.queries import ensure_sequence_store
+
+    t0 = time.time()
+    ensure_sequence_store(spark, sf_dir)
+    seq_build_s = round(time.time() - t0, 3)
+
     from pig_spark.pigmix import PIGMIX_QUERIES
 
     # median-of-N headline (VERDICT r7 #5: round grading hinges on a
@@ -761,6 +771,7 @@ def main():
         # summed into the per-query serving total — the q157 row above
         # is now probe-only)
         "q157_index_build_s": ann_build_s,
+        "q167_store_build_s": seq_build_s,
         "headline_runs": n_runs,
         "queries_all_runs": samples,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,

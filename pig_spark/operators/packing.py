@@ -268,6 +268,7 @@ def sequence_spans(
     seq_len: int,
     order: str,
     id_col: str = "doc_id",
+    base_offset: int = 0,
 ) -> DataFrame:
     """Fixed-length sequence ASSEMBLY manifest — the GPT-style
     pretraining data format: the token stream (documents concatenated
@@ -293,7 +294,13 @@ def sequence_spans(
     + partition-LOCAL window + tiny broadcast offsets — never a
     data-sized window partition); the explode emits ~n/L + 1 rows per
     doc (stream-sized / L, the output's own size) in the SAME map
-    stage; nothing else shuffles."""
+    stage; nothing else shuffles.
+
+    ``base_offset`` shifts the whole token stream: a streaming ingest
+    continuing an existing manifest passes the committed corpus total
+    so the new batch's spans land after (and possibly inside the
+    partial tail of) the sequences already written — see
+    ``streaming.write_sequence_manifest_stream``."""
     if seq_len <= 0:
         raise ValueError(f"sequence_spans: seq_len must be positive, got {seq_len}")
     tok = F.col(tokens) if isinstance(tokens, str) else tokens
@@ -315,7 +322,10 @@ def sequence_spans(
         "__off", F.coalesce(F.sum("__tot").over(w_off), F.lit(0))
     ).select("__pid", "__off")
     joined = local.join(F.broadcast(offsets), "__pid")
-    off = (F.col("__off") + F.col("__cum_local") - F.col("__n")).alias("__doc_off")
+    off = (
+        F.col("__off") + F.col("__cum_local") - F.col("__n")
+        + F.lit(int(base_offset))
+    ).alias("__doc_off")
     staged = joined.select(id_col, order, "__n", off)
     # explode one span per crossed sequence: sequences floor(off/L) ..
     # floor((off+n-1)/L); F.sequence is ascending here (lo ≤ hi always,
@@ -341,3 +351,74 @@ def sequence_spans(
         (span_start_glob - seq_start).alias("start_in_seq"),
         (span_end_glob - span_start_glob).alias("span_len"),
     )
+
+
+def gather_sequences(spans: DataFrame, docs: DataFrame,
+                     tokens_col: str = "tk",
+                     id_col: str = "doc_id") -> DataFrame:
+    """Assemble training sequences from a span manifest: join the
+    (sequence, document) spans back to the token arrays, slice each
+    span out of its doc, and concatenate in span order. Output:
+    (seq_id, n_spans, toks) — ``toks`` is the assembled ≤ L-token
+    stream. This is q159's gather factored out so the persisted store
+    (:func:`sequence_store`) and the in-memory query share ONE body.
+
+    100 TB design: ONE equi-join on ``id_col`` (manifest side is
+    spans-sized = corpus/L) and ONE groupBy(seq_id) whose groups are
+    ≤ L tokens by construction — the in-group sort is an array_sort
+    over a bounded bag, never a window; text shuffles once, sliced to
+    exactly the spans needed."""
+    joined = spans.join(docs.select(id_col, tokens_col), id_col).select(
+        "seq_id",
+        "start_in_seq",
+        F.slice(
+            tokens_col,
+            F.col("start_in_doc").cast("int") + 1,
+            F.col("span_len").cast("int"),
+        ).alias("piece"),
+    )
+    return joined.groupBy("seq_id").agg(
+        F.count(F.lit(1)).alias("n_spans"),
+        F.flatten(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("start_in_seq", "piece"))),
+                lambda x: x["piece"],
+            )
+        ).alias("toks"),
+    )
+
+
+def sequence_store(
+    df: DataFrame,
+    path: str,
+    seq_len: int,
+    tokens_col: str = "tk",
+    id_col: str = "doc_id",
+    block: int = 1024,
+) -> None:
+    """Materialize the packed-sequence artifact a training loader
+    consumes (the parquet-native .bin/.idx pair): the span MANIFEST
+    (:func:`sequence_spans` over the token counts) and the ASSEMBLED
+    sequences (seq_id, n_spans, toks), both written PARTITIONED BY
+    seq_id BLOCK (floor(seq_id / block)) so a loader rank reading its
+    contiguous seq_id range prunes to its blocks via PartitionFilters
+    before a file opens — the q157 ANN-index deployment shape applied
+    to the loader artifact.
+
+    100 TB design: manifest + gather reuse q158/q159's shapes (two-pass
+    prefix sum, one doc_id equi-join, ≤ L-token array_sort bags); the
+    partitioned writes are the only extra cost and they ARE the
+    product — the assembled table is written once and read every
+    epoch by every rank, so the write amortizes immediately. ``block``
+    sizes a partition directory at block × L tokens (default ~0.5M
+    tokens at L=512): big enough that file counts stay sane at 100 TB,
+    small enough that a rank's range maps to whole blocks."""
+    sized = df.select(id_col, F.size(tokens_col).cast("long").alias("__n"))
+    spans = sequence_spans(sized, "__n", seq_len, order=id_col, id_col=id_col)
+    spans.withColumn("part", F.floor(F.col("seq_id") / block)).write.mode(
+        "overwrite"
+    ).partitionBy("part").parquet(f"{path}/manifest")
+    assembled = gather_sequences(spans, df, tokens_col=tokens_col, id_col=id_col)
+    assembled.withColumn("part", F.floor(F.col("seq_id") / block)).write.mode(
+        "overwrite"
+    ).partitionBy("part").parquet(f"{path}/sequences")

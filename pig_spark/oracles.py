@@ -2530,6 +2530,10 @@ def oracle_sql() -> dict[str, str]:
     # round-trip must reproduce the in-memory probe bit-for-bit, so
     # its oracle IS q153's oracle
     out["q157_ann_index_probe"] = out["q153_ivfpq_probe"]
+    # q167 reads the PERSISTED sequence store back and must reproduce
+    # the in-memory gather (q159) bit-for-bit — same oracle, same
+    # output contract (seq_id, n_spans, n_tokens, fp)
+    out["q167_sequence_store_roundtrip"] = out["q159_sequence_gather"]
     return out
 
 

@@ -4171,7 +4171,7 @@ def q159_sequence_gather(spark: SparkSession, sf: str) -> DataFrame:
     array_sort over a ≤ L-token bag, never a window; text shuffles
     once, sliced to exactly the spans needed."""
     from .functions.text import tokenize_ws
-    from .operators.packing import sequence_spans
+    from .operators.packing import gather_sequences, sequence_spans
 
     L = 512
     d = spark.read.parquet(f"{sf}/documents.parquet").select(
@@ -4179,21 +4179,7 @@ def q159_sequence_gather(spark: SparkSession, sf: str) -> DataFrame:
     )
     sized = d.select("doc_id", F.size("tk").cast("long").alias("n"))
     spans = sequence_spans(sized, "n", L, order="doc_id")
-    joined = spans.join(d, "doc_id").select(
-        "seq_id",
-        "start_in_seq",
-        F.slice("tk", F.col("start_in_doc").cast("int") + 1,
-                F.col("span_len").cast("int")).alias("piece"),
-    )
-    assembled = joined.groupBy("seq_id").agg(
-        F.count(F.lit(1)).alias("n_spans"),
-        F.flatten(
-            F.transform(
-                F.array_sort(F.collect_list(F.struct("start_in_seq", "piece"))),
-                lambda x: x["piece"],
-            )
-        ).alias("toks"),
-    )
+    assembled = gather_sequences(spans, d)
     return assembled.select(
         "seq_id",
         F.col("n_spans").cast("long").alias("n_spans"),
@@ -4569,6 +4555,70 @@ def q166_length_buckets(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+_SEQ_STORE_BUILT: set[str] = set()
+
+
+def ensure_sequence_store(spark: SparkSession, sf: str) -> str:
+    """Build the persisted packed-sequence artifact for ``sf`` ONCE
+    per process and return its path — the ensure_ann_index convention
+    verbatim (pid-keyed temp path so parallel sessions can't race,
+    memoized so lazy DataFrames returned by q167 outlive the call,
+    atexit rmtree so the artifact doesn't leak across runs; bench.py
+    pre-builds it untimed and reports the build as its own row so the
+    q167 headline row times the SERVING path only)."""
+    import atexit
+    import hashlib
+    import os
+    import shutil
+    import tempfile
+
+    from .functions.text import tokenize_ws
+    from .operators.packing import sequence_store
+
+    path = (
+        f"{tempfile.gettempdir()}/pig_spark_seq_store_"
+        f"{hashlib.md5(sf.encode()).hexdigest()[:8]}_{os.getpid()}"
+    )
+    if path in _SEQ_STORE_BUILT:
+        return path
+    d = spark.read.parquet(f"{sf}/documents.parquet").select(
+        "doc_id", tokenize_ws(F.col("text")).alias("tk")
+    )
+    sequence_store(d, path, 512)
+    _SEQ_STORE_BUILT.add(path)
+    atexit.register(shutil.rmtree, path, ignore_errors=True)
+    return path
+
+
+def q167_sequence_store_roundtrip(spark: SparkSession, sf: str) -> DataFrame:
+    """Persisted packed-sequence artifact round-trip — the loader's
+    .bin/.idx made real and verified: ``sequence_store`` writes the
+    span manifest AND the assembled sequences partitioned by seq_id
+    block (operators/packing.py), this query reads the sequences back
+    from DISK and emits q159's integrity rows (seq_id, n_spans,
+    n_tokens, md5 of the assembled token stream). The oracle IS
+    q159's oracle: the store/load round-trip must reproduce the
+    in-memory gather bit-for-bit — a loader artifact that changes
+    bytes is a bug (the q157 index convention applied to the loader).
+
+    100 TB design: the build is q158+q159's plans plus two partitioned
+    writes (amortized over every epoch × every rank that reads them);
+    the serving path a rank actually runs — read a contiguous seq_id
+    range — prunes to its blocks via PartitionFilters before a file
+    opens (plan-pinned in test_scale_plans). Reference: Pig's
+    STORE-then-LOAD round-trip contract (store/load symmetry,
+    src/org/apache/pig/builtin/PigStorage.java) applied to the
+    training-loader artifact."""
+    path = ensure_sequence_store(spark, sf)
+    stored = spark.read.parquet(f"{path}/sequences")
+    return stored.select(
+        "seq_id",
+        F.col("n_spans").cast("long").alias("n_spans"),
+        F.size("toks").cast("long").alias("n_tokens"),
+        F.md5(F.array_join("toks", " ")).alias("fp"),
+    )
+
+
 from .pigmix import PIGMIX_QUERIES  # noqa: E402  (avoids circular import)
 
 _ALL: dict[str, Callable[[SparkSession, str], DataFrame]] = {
@@ -4590,14 +4640,16 @@ _ALL.update(PIGMIX_QUERIES)
 # its evidence is r0):
 # r12 plan (histogram after r11: r11:50 r10:49 r9:50 r8:26 — zero
 # red rows, so tier 0 is just this round's NEW queries):
-#   tier 0 (3): the new r12 queries (q161 BPE-id sequence packing,
-#     q162 strict-cap packing, q163 loader micro-batches).
+#   tier 0 (7): the new r12 queries (q161 BPE-id sequence packing,
+#     q162 strict-cap packing, q163 loader micro-batches, q164
+#     source mixture, q165 FIM, q166 length buckets, q167 persisted
+#     sequence store).
 #   tier 1 (26): the ENTIRE r8-evidence tail (q13/q14, q19, q32,
 #     q44–q51, q54, q56, q61–q64, q68–q71, q131, q133–q135) — all 26
 #     re-verified green at sf0.01 by the r11 judge, so rotation is
 #     de-risked. Floor moves r8 → r9.
-#   tier 2 (21): the r9-evidence block, alphabetical (q09…q132).
-# 3 + 26 + 21 = 50.
+#   tier 2 (17): the r9-evidence block, alphabetical.
+# 7 + 26 + 17 = 50.
 _TIER0 = [
     "q161_bpe_sequence_pack",  # new: sequence family over BPE token ids
     "q162_strict_pack",        # new: strict-cap packing, driver-gated
@@ -4605,6 +4657,7 @@ _TIER0 = [
     "q164_source_mixture",     # new: temperature-weighted source sampling
     "q165_fim_transform",      # new: fill-in-the-middle PSM reassembly
     "q166_length_buckets",     # new: length-bucket padding accounting
+    "q167_sequence_store_roundtrip",  # new: persisted loader artifact
 ]
 
 

@@ -720,3 +720,77 @@ def write_ann_index_stream(df: DataFrame, path: str, checkpoint: str):
         .option("checkpointLocation", checkpoint)
         .start()
     )
+
+
+def write_sequence_manifest_stream(
+    doc_stream: DataFrame,
+    path: str,
+    seq_len: int,
+    checkpoint: str,
+    tokens_col: str = "n_tokens",
+    id_col: str = "doc_id",
+):
+    """Streaming twin of the q158 sequence-manifest builder: documents
+    arriving on a stream pack into the SAME back-to-back global token
+    stream the batch manifest describes. Each micro-batch runs the
+    batch ``sequence_spans`` plan shifted by the corpus token total
+    COMMITTED SO FAR (``base_offset``), so a new batch's spans
+    continue exactly where the previous batch ended — filling the
+    partial tail sequence first, then opening new sequences. Within a
+    micro-batch, order = ``id_col`` (deterministic); across batches,
+    order = arrival — exactly a training loader's append-only .idx.
+    Batch/stream parity: streaming the corpus in id order, in ANY
+    batch split, yields bit-identically the batch manifest (tested).
+
+    The running offset is DERIVED, not stored: it is
+    ``SUM(span_len)`` over the manifest directory itself. Spark's
+    batch commit protocol only makes committed files visible, so the
+    derived offset always equals the data a reader can see — there is
+    no sidecar to drift out of sync, and a crash between "data
+    committed" and "offset recorded" cannot exist by construction.
+    Epoch replay (checkpoint recovery re-delivering a committed
+    batch) is guarded by the ann-index underscore-marker convention,
+    through the Hadoop FileSystem resolved from the path (never
+    driver-local os.path — ADVICE r11).
+
+    100 TB design: per batch it IS the batch plan (two-pass prefix
+    sum + spans-sized explode); the offset read is a column-pruned
+    aggregate over the spans-sized manifest (corpus/L rows — compact
+    to :func:`~pig_spark.operators.packing.sequence_store`'s blocked
+    layout when the loader wants pruned reads); the appended files
+    partition naturally by arrival."""
+    from ..operators.packing import sequence_spans
+
+    manifest = f"{path}/manifest"
+
+    def _append_once(batch: DataFrame, epoch_id: int) -> None:
+        spark = batch.sparkSession
+        jvm = spark._jvm
+        hconf = spark.sparkContext._jsc.hadoopConfiguration()
+        marker = jvm.org.apache.hadoop.fs.Path(
+            f"{path}/_manifest_epochs/{epoch_id}"
+        )
+        fs = marker.getFileSystem(hconf)
+        if fs.exists(marker):
+            return  # replayed epoch: its spans are already committed
+        offset = 0
+        if fs.exists(jvm.org.apache.hadoop.fs.Path(manifest)):
+            row = (
+                spark.read.parquet(manifest)
+                .agg(F.sum(F.col("span_len").cast("long")))
+                .first()
+            )
+            offset = int(row[0] or 0)
+        spans = sequence_spans(
+            batch, tokens_col, seq_len, order=id_col, id_col=id_col,
+            base_offset=offset,
+        )
+        spans.write.mode("append").parquet(manifest)
+        fs.mkdirs(marker.getParent())
+        fs.createNewFile(marker)
+
+    return (
+        doc_stream.writeStream.foreachBatch(_append_once)
+        .option("checkpointLocation", checkpoint)
+        .start()
+    )

@@ -906,3 +906,41 @@ def test_epoch_shuffle_plan(spark, sf_dir):
     phys = df._jdf.queryExecution().executedPlan().toString()
     assert "PythonUDF" not in phys and "EvalPython" not in phys, phys
     assert "CartesianProduct" not in phys, phys
+
+
+def test_sequence_store_rank_read_partition_prunes(spark, sf_dir):
+    """q167 (persisted sequence store): a loader rank reading its
+    contiguous seq_id range must prune to its seq_id BLOCKS via
+    PartitionFilters — non-owned blocks' files never open (the q157
+    deployment claim applied to the loader artifact) — and the
+    stored-side read is a bare columnar scan: no shuffle, no window,
+    no Python."""
+    from pig_spark.queries import ensure_sequence_store
+
+    path = ensure_sequence_store(spark, sf_dir)
+    rank_read = (
+        spark.read.parquet(f"{path}/sequences")
+        .where("part >= 0 AND part <= 0")
+        .select("seq_id", "n_spans", "toks")
+    )
+    phys = rank_read._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [" in phys, phys
+    assert "part" in phys.split("PartitionFilters:")[1][:160], phys
+    assert "Exchange" not in phys, phys
+    assert "Window" not in phys, phys
+    assert "PythonUDF" not in phys and "EvalPython" not in phys, phys
+
+
+def test_sequence_store_roundtrip_matches_inmemory_gather(spark, sf_dir):
+    """q167's contract: the persisted store read back from disk
+    reproduces the in-memory q159 gather bit-for-bit (same seq_ids,
+    span counts, token counts, and assembled-stream fingerprints) —
+    a loader artifact that changes bytes is a bug."""
+    from pig_spark.queries import (
+        q159_sequence_gather,
+        q167_sequence_store_roundtrip,
+    )
+
+    want = {tuple(r) for r in q159_sequence_gather(spark, sf_dir).collect()}
+    got = {tuple(r) for r in q167_sequence_store_roundtrip(spark, sf_dir).collect()}
+    assert got == want and len(want) > 0

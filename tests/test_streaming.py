@@ -1076,3 +1076,113 @@ def test_ann_index_ingest_stream_matches_batch(spark, sf_dir, tmp_path):
         .collect()
     ]
     assert got == want
+
+
+def test_sequence_manifest_stream_matches_batch(spark, sf_dir, tmp_path):
+    """Batch/stream parity for the sequence manifest (q158's streaming
+    twin): streaming the corpus in id order — in an arbitrary batch
+    split — produces bit-identically the batch manifest. The second
+    epoch's spans must CONTINUE the global token stream (fill the
+    partial tail sequence, then open new sequences), which is exactly
+    what the manifest-derived base_offset guarantees."""
+    import os
+    import time
+
+    from pig_spark.functions.text import tokenize_ws
+    from pig_spark.operators.packing import sequence_spans
+    from pig_spark.streaming import write_sequence_manifest_stream
+
+    L = 512
+    d = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .select("doc_id", F.size(tokenize_ws(F.col("text"))).cast("long").alias("n_tokens"))
+        .where("n_tokens > 0")
+    )
+    mid = d.agg(F.expr("percentile_approx(doc_id, 0.5)")).first()[0]
+    feed = tmp_path / "seq_feed"
+    feed.mkdir()
+    # two files, id-split, mtimes ordered so the file source delivers
+    # low ids first (oldest-first listing) with maxFilesPerTrigger=1
+    d.where(f"doc_id < {mid}").coalesce(1).write.parquet(str(feed / "a"))
+    d.where(f"doc_id >= {mid}").coalesce(1).write.parquet(str(feed / "b"))
+    now = time.time()
+    for sub, ts in (("a", now - 60), ("b", now)):
+        for f in (feed / sub).rglob("*.parquet"):
+            os.utime(f, (ts, ts))
+    src = (
+        spark.readStream.schema(d.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(feed / "*"))
+    )
+    out = str(tmp_path / "seq_manifest_store")
+    q = write_sequence_manifest_stream(
+        src, out, L, str(tmp_path / "ckpt"), tokens_col="n_tokens"
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    got = {
+        tuple(r)
+        for r in spark.read.parquet(f"{out}/manifest")
+        .select("seq_id", "doc_id", "start_in_doc", "start_in_seq", "span_len")
+        .collect()
+    }
+    want = {
+        tuple(r)
+        for r in sequence_spans(d, "n_tokens", L, order="doc_id")
+        .select("seq_id", "doc_id", "start_in_doc", "start_in_seq", "span_len")
+        .collect()
+    }
+    assert got == want and len(want) > 0
+    # the split actually exercised the continuation: some sequence
+    # holds spans from BOTH halves (the boundary sequence)
+    both = (
+        spark.read.parquet(f"{out}/manifest")
+        .groupBy("seq_id")
+        .agg(
+            F.sum(F.when(F.col("doc_id") < mid, 1).otherwise(0)).alias("lo"),
+            F.sum(F.when(F.col("doc_id") >= mid, 1).otherwise(0)).alias("hi"),
+        )
+        .where("lo > 0 AND hi > 0")
+        .count()
+    )
+    assert both > 0
+
+
+def test_sequence_manifest_stream_replay_skips_marked_epochs(spark, sf_dir, tmp_path):
+    """Replay (wiped checkpoint re-delivering the same feed as epoch
+    0) must not duplicate manifest spans OR double-advance the
+    derived offset — the epoch marker skips the append, and because
+    the offset is derived from committed data there is no counter to
+    corrupt."""
+    import shutil
+
+    from pig_spark.functions.text import tokenize_ws
+    from pig_spark.streaming import write_sequence_manifest_stream
+
+    d = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .select("doc_id", F.size(tokenize_ws(F.col("text"))).cast("long").alias("n_tokens"))
+        .where("n_tokens > 0")
+        .limit(50)
+    )
+    feed = str(tmp_path / "feed")
+    d.write.parquet(feed)
+    out = str(tmp_path / "seq_manifest_store")
+
+    def _run(ckpt: str) -> None:
+        src = spark.readStream.schema(d.schema).parquet(feed)
+        q = write_sequence_manifest_stream(src, out, 512, ckpt, tokens_col="n_tokens")
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+
+    _run(str(tmp_path / "ckpt"))
+    n_first = spark.read.parquet(f"{out}/manifest").count()
+    assert n_first > 0
+    shutil.rmtree(str(tmp_path / "ckpt"))
+    _run(str(tmp_path / "ckpt"))
+    assert spark.read.parquet(f"{out}/manifest").count() == n_first
