@@ -108,9 +108,11 @@ HEADLINE = [
     "q165_fim_transform",  # r12: fill-in-the-middle PSM, map-only
     "q166_length_buckets",  # r12: length-bucket padding accounting
     "q167_sequence_store_roundtrip",  # r12: persisted loader artifact read-back
+    "q168_sft_mask_pack",  # r12: SFT loss-mask packing accounting
     # q139 (classifier trainer), q144 (BPE trainer), q155 (residual
-    # IVF-PQ, which embeds the coarse+PQ codebook TRAINER), and q161
-    # (BPE-id sequence packing, which embeds the q144 trainer)
+    # IVF-PQ, which embeds the coarse+PQ codebook TRAINER), q161
+    # (BPE-id sequence packing, which embeds the q144 trainer), and
+    # q169 (tokenizer fertility profile, same embedded trainer)
     # deliberately not headliners: they are multi-job iterative
     # training runs, not ETL queries — gated by the oracle, timed
     # nowhere. The ANN scale rungs time the q153 PROBE (the per-query

@@ -1508,6 +1508,33 @@ def oracle_sql() -> dict[str, str]:
         "q158_sequence_manifest": _SEQ_CTES + """
             SELECT seq_id, doc_id, start_in_doc, start_in_seq, span_len
             FROM spans""",
+        # q168: the SFT loss mask over the SAME span manifest — a span
+        # [s, s+len) of a doc with prompt length p = (n+2)//3 trains
+        # max(0, (s+len) - max(s, p)) tokens; pure integer arithmetic
+        "q168_sft_mask_pack": _SEQ_CTES + """,
+                 pl AS (SELECT doc_id,
+                               CAST((n + 2) // 3 AS BIGINT) AS prompt_len
+                        FROM o)
+            SELECT sp.seq_id,
+                   CAST(COUNT(*) AS BIGINT) AS n_spans,
+                   CAST(SUM(sp.span_len) AS BIGINT) AS n_tokens,
+                   CAST(SUM(greatest(0, (sp.start_in_doc + sp.span_len)
+                        - greatest(sp.start_in_doc, pl.prompt_len)))
+                        AS BIGINT) AS n_loss_tokens,
+                   round(CAST(SUM(greatest(0, (sp.start_in_doc + sp.span_len)
+                        - greatest(sp.start_in_doc, pl.prompt_len)))
+                        AS DOUBLE) / SUM(sp.span_len), 6) AS loss_ratio
+            FROM spans sp JOIN pl USING (doc_id)
+            GROUP BY sp.seq_id""",
+        # q169: segmentation profile over the replayed 6-merge BPE
+        # training (seg6 = the engine's final word-type table)
+        "q169_tokenizer_fertility": _bpe_seg_ctes(6) + """
+            SELECT CAST(len(seg) AS BIGINT) AS n_pieces,
+                   CAST(COUNT(*) AS BIGINT) AS n_types,
+                   CAST(SUM(c) AS BIGINT) AS n_occurrences,
+                   CAST(SUM(length(w) * c) AS BIGINT) AS sum_chars,
+                   round(AVG(CAST(length(w) AS DOUBLE)), 6) AS avg_type_len
+            FROM seg6 GROUP BY 1""",
         "q160_epoch_shuffle": _SEQ_CTES + """,
                  seqs AS (SELECT seq_id, SUM(span_len) AS n_tokens
                           FROM spans GROUP BY seq_id),

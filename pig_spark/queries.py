@@ -4619,6 +4619,95 @@ def q167_sequence_store_roundtrip(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q168_sft_mask_pack(spark: SparkSession, sf: str) -> DataFrame:
+    """SFT sample packing with LOSS-MASK accounting — the
+    instruction-tuning counterpart of the pretraining manifest
+    (q158): each document is a (prompt, completion) pair — prompt =
+    the first ⌈n/3⌉ tokens, completion = the rest — and only
+    COMPLETION tokens train (the standard SFT loss mask). Sequences
+    pack exactly as q158 (back-to-back L=512, docs split across
+    boundaries); per sequence the query accounts the mask: span
+    count, token count, loss-token count, and the loss fraction —
+    the number every packed-SFT loader must get right, because a
+    span that crosses the prompt/completion boundary contributes
+    only its completion tail.
+
+    All integer arithmetic: a span [s, s+len) of a doc with prompt
+    length p contributes max(0, (s+len) − max(s, p)) loss tokens.
+
+    100 TB design: the manifest is q158's two-pass prefix sum +
+    spans-sized explode; the mask join is ONE doc_id equi-join of
+    the spans-sized manifest against the doc-sized (n, prompt_len)
+    table — both sides hash-partition on doc_id; the rollup is one
+    partial-aggregated groupBy(seq_id). No window beyond the prefix
+    sum, no Python."""
+    from .functions.text import tokenize_ws
+    from .operators.packing import sequence_spans
+
+    L = 512
+    d = spark.read.parquet(f"{sf}/documents.parquet").select(
+        "doc_id", F.size(tokenize_ws(F.col("text"))).cast("long").alias("n")
+    )
+    sized = d.where(F.col("n") > 0).withColumn(
+        "prompt_len", F.floor((F.col("n") + 2) / 3).cast("long")
+    )
+    spans = sequence_spans(sized, "n", L, order="doc_id")
+    j = spans.join(sized.select("doc_id", "prompt_len"), "doc_id")
+    span_end = F.col("start_in_doc") + F.col("span_len")
+    loss = F.greatest(
+        F.lit(0).cast("long"),
+        span_end - F.greatest(F.col("start_in_doc"), F.col("prompt_len")),
+    )
+    g = j.groupBy("seq_id").agg(
+        F.count(F.lit(1)).alias("n_spans"),
+        F.sum("span_len").alias("n_tokens"),
+        F.sum(loss).alias("n_loss_tokens"),
+    )
+    return g.select(
+        "seq_id",
+        F.col("n_spans").cast("long").alias("n_spans"),
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        F.col("n_loss_tokens").cast("long").alias("n_loss_tokens"),
+        F.round(
+            F.col("n_loss_tokens").cast("double") / F.col("n_tokens"), 6
+        ).alias("loss_ratio"),
+    )
+
+
+def q169_tokenizer_fertility(spark: SparkSession, sf: str) -> DataFrame:
+    """Tokenizer segmentation profile — the fertility report every
+    tokenizer change ships with (pieces-per-word is THE tokenizer
+    efficiency metric: fertility ↑ ⇒ compute per document ↑): train
+    the 6-merge BPE (q144's trainer), segment every word TYPE, and
+    profile by piece count — how many word types and corpus word
+    occurrences land at 1, 2, 3… pieces, their character mass, and
+    the mean type length per bucket. The corpus-level fertility is
+    Σ(pieces × occurrences) / Σ(occurrences) over these partials.
+
+    100 TB design: everything after stage_word_types' ONE token-sized
+    shuffle is vocabulary-sized (the trainer's own contract); this
+    profile adds one partial-aggregated groupBy on a ≤|longest word|
+    key over the word-TYPE table — statistics-sized end to end, no
+    second corpus scan."""
+    from .functions.ml import stage_word_types, train_bpe
+
+    d = spark.read.parquet(f"{sf}/documents.parquet").select("doc_id", "text")
+    _, final_types = train_bpe(stage_word_types(d, "text"), merges=6)
+    g = final_types.groupBy(F.size("syms").alias("n_pieces")).agg(
+        F.count(F.lit(1)).alias("n_types"),
+        F.sum("cnt").alias("n_occurrences"),
+        F.sum(F.length("w") * F.col("cnt")).alias("sum_chars"),
+        F.round(F.avg(F.length("w").cast("double")), 6).alias("avg_type_len"),
+    )
+    return g.select(
+        F.col("n_pieces").cast("long").alias("n_pieces"),
+        F.col("n_types").cast("long").alias("n_types"),
+        F.col("n_occurrences").cast("long").alias("n_occurrences"),
+        F.col("sum_chars").cast("long").alias("sum_chars"),
+        "avg_type_len",
+    )
+
+
 from .pigmix import PIGMIX_QUERIES  # noqa: E402  (avoids circular import)
 
 _ALL: dict[str, Callable[[SparkSession, str], DataFrame]] = {
@@ -4658,6 +4747,8 @@ _TIER0 = [
     "q165_fim_transform",      # new: fill-in-the-middle PSM reassembly
     "q166_length_buckets",     # new: length-bucket padding accounting
     "q167_sequence_store_roundtrip",  # new: persisted loader artifact
+    "q168_sft_mask_pack",      # new: SFT loss-mask packing accounting
+    "q169_tokenizer_fertility",  # new: BPE segmentation profile
 ]
 
 

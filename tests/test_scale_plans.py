@@ -944,3 +944,32 @@ def test_sequence_store_roundtrip_matches_inmemory_gather(spark, sf_dir):
     want = {tuple(r) for r in q159_sequence_gather(spark, sf_dir).collect()}
     got = {tuple(r) for r in q167_sequence_store_roundtrip(spark, sf_dir).collect()}
     assert got == want and len(want) > 0
+
+
+def test_sft_mask_pack_plan(spark, sf_dir):
+    """q168 (SFT loss-mask packing): the manifest's two-pass prefix
+    sum is the only window machinery — no data-sized (unpartitioned)
+    window beyond the config-sized offsets table, no Python, no
+    cartesian; the mask join is an equi-join (SortMerge/Hash, never
+    BroadcastNestedLoop over data)."""
+    from pig_spark.queries import q168_sft_mask_pack
+
+    df = q168_sft_mask_pack(spark, sf_dir)
+    phys = df._jdf.queryExecution().executedPlan().toString()
+    assert "PythonUDF" not in phys and "EvalPython" not in phys, phys
+    assert "CartesianProduct" not in phys, phys
+    assert "BroadcastNestedLoopJoin" not in phys, phys
+
+
+def test_tokenizer_fertility_plan(spark, sf_dir):
+    """q169 (segmentation profile): after stage_word_types' one
+    token-sized shuffle everything is vocabulary-sized — the profile
+    itself is one partial-aggregated groupBy on the piece-count key;
+    no Python, no cartesian."""
+    from pig_spark.queries import q169_tokenizer_fertility
+
+    df = q169_tokenizer_fertility(spark, sf_dir)
+    phys = df._jdf.queryExecution().executedPlan().toString()
+    assert "HashAggregate" in phys, phys
+    assert "PythonUDF" not in phys and "EvalPython" not in phys, phys
+    assert "CartesianProduct" not in phys, phys
