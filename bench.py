@@ -109,6 +109,7 @@ HEADLINE = [
     "q166_length_buckets",  # r12: length-bucket padding accounting
     "q167_sequence_store_roundtrip",  # r12: persisted loader artifact read-back
     "q168_sft_mask_pack",  # r12: SFT loss-mask packing accounting
+    "q170_ffd_pack",  # r12: first-fit-decreasing bin packing, in-row fold
     # q139 (classifier trainer), q144 (BPE trainer), q155 (residual
     # IVF-PQ, which embeds the coarse+PQ codebook TRAINER), q161
     # (BPE-id sequence packing, which embeds the q144 trainer), and

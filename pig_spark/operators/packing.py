@@ -422,3 +422,103 @@ def sequence_store(
     assembled.withColumn("part", F.floor(F.col("seq_id") / block)).write.mode(
         "overwrite"
     ).partitionBy("part").parquet(f"{path}/sequences")
+
+
+def pack_ffd(
+    df: DataFrame,
+    tokens: str | Column,
+    budget: int,
+    order: str,
+    shard: str | None = None,
+    bucket_col: str = "bucket",
+    bin_col: str = "bin",
+    coarse_factor: int = 4,
+) -> DataFrame:
+    """First-Fit-Decreasing bin packing — the padding-MINIMIZING
+    packer SFT pipelines use when samples must not cross bin
+    boundaries (no doc splitting, no cross-contamination): sort each
+    group's documents by token count DESCENDING (ties by ``order``),
+    then place each into the FIRST bin with enough remaining
+    capacity, opening a new bin when none fits. FFD is the classic
+    11/9·OPT + 6/9 bin-packing approximation — materially fewer
+    padding tokens than the greedy in-order pack when lengths vary.
+
+    Distributed shape (the pack_strict contract): global FFD is
+    inherently sequential, so the scalable formulation runs FFD
+    EXACTLY within budget-bounded coarse buckets (``coarse_factor`` ×
+    ``budget`` per bucket via :func:`pack_by_budget`'s two-pass
+    prefix sum — each holds ~``coarse_factor`` bins). The in-bucket
+    fold runs IN-ROW over the sorted bounded bag via ``aggregate``
+    (codegen: the bin-capacity array rides in the accumulator —
+    first-fit = array_position over a capacity predicate, capacity
+    update = index-aware transform), and assignments explode back and
+    equi-join on the unique ``order`` key. An oversized document
+    (> budget) opens its own bin and nothing joins it (remaining
+    capacity goes negative, which no document fits).
+
+    100 TB design: bags are ≤ coarse_factor × budget tokens by
+    construction — never data-sized; the accumulator holds ≤
+    coarse_factor + 1 bins; no Python, no driver collect, two bounded
+    shuffle pairs total."""
+    tok = F.col(tokens) if isinstance(tokens, str) else tokens
+    shard_cols = [shard] if shard else []
+    coarse = pack_by_budget(
+        df, tokens, budget * coarse_factor, shard=shard, order=order,
+        bucket_col="__coarse",
+    )
+    otype = dict(df.dtypes)[order]
+    slim = coarse.select(
+        *shard_cols,
+        "__coarse",
+        F.col(order).alias("o"),
+        tok.cast("long").alias("t"),
+    )
+    # sort key (-t, o): token count DESC, order key ASC — the
+    # "decreasing" in FFD, deterministic under ties
+    bags = slim.groupBy(*shard_cols, "__coarse").agg(
+        F.array_sort(
+            F.collect_list(F.struct((-F.col("t")).alias("nt"), "o", "t"))
+        ).alias("__bag")
+    )
+
+    def _step(acc, x):
+        fits = F.transform(acc["bins"], lambda b: b >= x["t"])
+        pos = F.array_position(fits, F.lit(True))  # 1-based; 0 = no fit
+        newb = pos == 0
+        bin_ = F.when(newb, F.size(acc["bins"])).otherwise(pos - 1).cast("int")
+        grown = F.concat(
+            acc["bins"], F.array((F.lit(budget) - x["t"]).cast("bigint"))
+        )
+        updated = F.transform(
+            acc["bins"],
+            lambda b, i: F.when(i == pos - 1, b - x["t"]).otherwise(b),
+        )
+        return F.struct(
+            F.when(newb, grown).otherwise(updated).alias("bins"),
+            F.concat(
+                acc["out"],
+                F.array(F.struct(x["o"].alias("o"), bin_.alias("bin"))),
+            ).alias("out"),
+        )
+
+    init = F.struct(
+        F.array().cast("array<bigint>").alias("bins"),
+        F.array().cast(f"array<struct<o:{otype},bin:int>>").alias("out"),
+    )
+    packed = bags.select(
+        *shard_cols,
+        "__coarse",
+        F.explode(F.aggregate("__bag", init, _step)["out"]).alias("__a"),
+    ).select(
+        *shard_cols,
+        F.col("__coarse").alias(bucket_col),
+        F.col("__a.o").alias("__o"),
+        F.col("__a.bin").alias(bin_col),
+    )
+    joined = df.join(
+        packed,
+        on=[df[order] == packed["__o"]]
+        + [df[c] == packed[c] for c in shard_cols],
+        how="inner",
+    )
+    return joined.drop(packed["__o"]).drop(*[packed[c] for c in shard_cols])

@@ -1625,6 +1625,48 @@ def oracle_sql() -> dict[str, str]:
                      FROM r JOIN seq s
                        ON s.bucket = r.bucket AND s.rn = r.rn + 1)
             SELECT doc_id, n AS n_tokens, bucket, idx AS pack FROM r""",
+        # q170: FFD replay — recursive CTE whose state is the LIST of
+        # remaining bin capacities; list_position returns 0/NULL when
+        # no bin fits (both handled), slicing splices the updated bin
+        "q170_ffd_pack": f"""
+            WITH RECURSIVE t AS (SELECT doc_id,
+                                        CAST(len({_toks('text')}) AS BIGINT) AS n
+                                 FROM documents),
+                 c AS (SELECT doc_id, n,
+                              SUM(n) OVER (ORDER BY doc_id
+                                  ROWS UNBOUNDED PRECEDING) AS cum
+                       FROM t),
+                 coarse AS (SELECT doc_id, n,
+                                   CAST(FLOOR((cum - n) / 4096.0) AS BIGINT)
+                                       AS bucket
+                            FROM c),
+                 seq AS (SELECT doc_id, n, bucket,
+                                ROW_NUMBER() OVER (PARTITION BY bucket
+                                                   ORDER BY n DESC, doc_id)
+                                    AS rn
+                         FROM coarse),
+                 r AS (
+                     SELECT bucket, rn, doc_id, n,
+                            CAST(0 AS BIGINT) AS bin,
+                            [CAST(1024 - n AS BIGINT)] AS bins
+                     FROM seq WHERE rn = 1
+                     UNION ALL
+                     SELECT s.bucket, s.rn, s.doc_id, s.n,
+                            CASE WHEN COALESCE(f.fit, 0) = 0
+                                 THEN len(r.bins)
+                                 ELSE f.fit - 1 END,
+                            CASE WHEN COALESCE(f.fit, 0) = 0
+                                 THEN list_append(r.bins,
+                                      CAST(1024 - s.n AS BIGINT))
+                                 ELSE r.bins[:f.fit-1]
+                                      || [r.bins[f.fit] - s.n]
+                                      || r.bins[f.fit+1:] END
+                     FROM r JOIN seq s
+                       ON s.bucket = r.bucket AND s.rn = r.rn + 1,
+                          LATERAL (SELECT list_position(
+                              list_transform(r.bins, b -> b >= s.n),
+                              true) AS fit) f)
+            SELECT doc_id, n AS n_tokens, bucket, bin FROM r""",
         "q163_loader_batches": _SEQ_CTES + """,
                  seqs AS (SELECT seq_id, SUM(span_len) AS n_tokens
                           FROM spans GROUP BY seq_id),

@@ -4619,6 +4619,36 @@ def q167_sequence_store_roundtrip(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q170_ffd_pack(spark: SparkSession, sf: str) -> DataFrame:
+    """First-Fit-Decreasing packing (operators/packing.pack_ffd) —
+    the padding-minimizing SFT packer: documents pack WHOLE (no
+    splitting, no cross-contamination) into ≤1024-token bins,
+    largest-first, each into the first bin that fits. Within
+    4096-token coarse buckets the fold is exact FFD (the classic
+    11/9·OPT approximation); output is the per-document (bucket, bin)
+    assignment — the strongest gate: a single first-fit mis-step
+    shifts every later placement in the bucket.
+
+    The DuckDB twin unrolls the same fold with a recursive CTE whose
+    state is the LIST of remaining bin capacities (first-fit =
+    list_position over a capacity predicate, update = list slicing) —
+    identical tie-breaks (size DESC, doc_id ASC), so assignments
+    match exactly."""
+    from .functions.text import token_count
+    from .operators.packing import pack_ffd
+
+    d = spark.read.parquet(f"{sf}/documents.parquet").select(
+        "doc_id", token_count(F.col("text")).alias("n_tokens")
+    )
+    packed = pack_ffd(d, "n_tokens", 1024, order="doc_id")
+    return packed.select(
+        "doc_id",
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        F.col("bucket").cast("long").alias("bucket"),
+        F.col("bin").cast("long").alias("bin"),
+    )
+
+
 def q168_sft_mask_pack(spark: SparkSession, sf: str) -> DataFrame:
     """SFT sample packing with LOSS-MASK accounting — the
     instruction-tuning counterpart of the pretraining manifest
@@ -4749,6 +4779,7 @@ _TIER0 = [
     "q167_sequence_store_roundtrip",  # new: persisted loader artifact
     "q168_sft_mask_pack",      # new: SFT loss-mask packing accounting
     "q169_tokenizer_fertility",  # new: BPE segmentation profile
+    "q170_ffd_pack",           # new: first-fit-decreasing bin packing
 ]
 
 

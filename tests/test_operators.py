@@ -1396,3 +1396,69 @@ def test_sequence_spans_tile_exactly(spark, sf_dir):
     again = sequence_spans(d.repartition(13), "n", L, order="doc_id").collect()
     key = lambda r: (r["seq_id"], r["doc_id"], r["start_in_seq"], r["span_len"])  # noqa: E731
     assert sorted(map(key, rows)) == sorted(map(key, again))
+
+
+def test_pack_ffd_invariants(spark):
+    """pack_ffd's contract: every (bucket, bin) group's token total is
+    ≤ budget unless the group is a single oversized document; rows
+    preserved exactly once; FFD never uses MORE bins per bucket than
+    the in-order greedy pack (the whole point of decreasing-first);
+    a pure-Python FFD replay over each bucket's sorted docs matches
+    the engine's assignment exactly; and the assignment is identical
+    across incoming partition layouts."""
+    import random
+
+    from pig_spark.operators.packing import pack_ffd
+
+    rng = random.Random(23)
+    rows = [(i, rng.choice([1, 7, 60, 199, 251])) for i in range(300)]
+    rows += [(1000, 900), (1001, 450)]
+    df = spark.createDataFrame(rows, "id long, tok long")
+    budget = 400
+    out = pack_ffd(df, "tok", budget, order="id").cache()
+    assert out.count() == len(rows)
+    groups = out.groupBy("bucket", "bin").agg(
+        F.sum("tok").alias("tot"), F.count("*").alias("n")
+    ).collect()
+    for g in groups:
+        assert g["tot"] <= budget or g["n"] == 1, dict(g.asDict())
+
+    # Python FFD replay per bucket — exact assignment parity
+    got = {r["id"]: (r["bucket"], r["bin"]) for r in out.collect()}
+    from collections import defaultdict
+
+    buckets = defaultdict(list)
+    for r in out.collect():
+        buckets[r["bucket"]].append((r["tok"], r["id"]))
+    for b, docs in buckets.items():
+        bins: list = []
+        for tok, did in sorted(docs, key=lambda p: (-p[0], p[1])):
+            for j, rem in enumerate(bins):
+                if rem >= tok:
+                    bins[j] -= tok
+                    break
+            else:
+                j = len(bins)
+                bins.append(budget - tok)
+            assert got[did] == (b, j), (did, got[did], (b, j))
+
+    # FFD uses no more bins per bucket than the IN-ORDER greedy pack
+    # of the same bucket (the point of decreasing-first)
+    for b, docs in buckets.items():
+        n_ffd_bins = len({got[did][1] for _, did in docs})
+        cur, n_greedy_bins = 0, 0
+        for tok, _ in sorted(docs, key=lambda p: p[1]):  # id order
+            if cur and cur + tok > budget:
+                cur = tok
+                n_greedy_bins += 1
+            else:
+                if cur == 0:
+                    n_greedy_bins += 1
+                cur += tok
+        assert n_ffd_bins <= n_greedy_bins, (b, n_ffd_bins, n_greedy_bins)
+
+    # retry stability across partition layouts
+    again = pack_ffd(df.repartition(13), "tok", budget, order="id")
+    assert {tuple(r) for r in again.select("id", "bucket", "bin").collect()} == {
+        tuple(r) for r in out.select("id", "bucket", "bin").collect()
+    }

@@ -973,3 +973,17 @@ def test_tokenizer_fertility_plan(spark, sf_dir):
     assert "HashAggregate" in phys, phys
     assert "PythonUDF" not in phys and "EvalPython" not in phys, phys
     assert "CartesianProduct" not in phys, phys
+
+
+def test_ffd_pack_plan(spark, sf_dir):
+    """q170 (FFD packing): bags are coarse-bucket-bounded aggregates,
+    the FFD fold is in-row codegen (no Python anywhere), assignments
+    come back via an equi-join — no cartesian, no data-sized
+    (unpartitioned) window beyond the tiny offsets table."""
+    from pig_spark.queries import q170_ffd_pack
+
+    df = q170_ffd_pack(spark, sf_dir)
+    phys = df._jdf.queryExecution().executedPlan().toString()
+    assert "PythonUDF" not in phys and "EvalPython" not in phys, phys
+    assert "CartesianProduct" not in phys, phys
+    assert "BroadcastNestedLoopJoin" not in phys, phys
