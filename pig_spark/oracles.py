@@ -1625,6 +1625,7 @@ def oracle_sql() -> dict[str, str]:
                      FROM r JOIN seq s
                        ON s.bucket = r.bucket AND s.rn = r.rn + 1)
             SELECT doc_id, n AS n_tokens, bucket, idx AS pack FROM r""",
+        "q171_bm25_topk": _bm25_sql(),
         # q170: FFD replay — recursive CTE whose state is the LIST of
         # remaining bin capacities; list_position returns 0/NULL when
         # no bin fits (both handled), slicing splices the updated bin
@@ -2604,6 +2605,60 @@ def oracle_sql() -> dict[str, str]:
     # output contract (seq_id, n_spans, n_tokens, fp)
     out["q167_sequence_store_roundtrip"] = out["q159_sequence_gather"]
     return out
+
+
+def _bm25_sql() -> str:
+    """q171's DuckDB twin — identical Okapi BM25 expression tree
+    (k1=1.2, b=0.75, idf = ln((N−df+0.5)/(df+0.5)+1)), and the
+    per-doc score summed by the SAME left-to-right fold in term
+    order (list_sum over list(c ORDER BY t) ≙ F.aggregate over the
+    term-sorted bag) so the doubles match bit-for-bit before the
+    shared round(…, 6). The query table is generated from the same
+    constant the Spark side uses."""
+    from .queries import _BM25_QUERIES
+
+    values = ", ".join(
+        f"({qid}, '{t}')"
+        for qid, q in _BM25_QUERIES
+        for t in sorted(set(q.split()))
+    )
+    return f"""
+            WITH toks AS (SELECT doc_id, {_toks('lower(text)')} AS tk
+                          FROM documents),
+                 terms AS (SELECT doc_id, u.t
+                           FROM toks, unnest(toks.tk) AS u(t)),
+                 dl AS (SELECT doc_id, COUNT(*) AS dl
+                        FROM terms GROUP BY doc_id),
+                 tf AS (SELECT doc_id, t, COUNT(*) AS tf
+                        FROM terms GROUP BY doc_id, t),
+                 dfreq AS (SELECT t, COUNT(*) AS df FROM tf GROUP BY t),
+                 stats AS (SELECT COUNT(*) AS N, SUM(dl) AS total_dl
+                           FROM dl),
+                 q(qid, t) AS (VALUES {values}),
+                 scored AS (SELECT q.qid, tf.doc_id, tf.t,
+                                   ln((stats.N - dfreq.df + 0.5)
+                                      / (dfreq.df + 0.5) + 1.0)
+                                   * (tf.tf * 2.2)
+                                   / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl
+                                      / (CAST(stats.total_dl AS DOUBLE)
+                                         / stats.N))) AS c
+                            FROM tf
+                            JOIN dl USING (doc_id)
+                            JOIN dfreq USING (t)
+                            JOIN q USING (t), stats),
+                 agg AS (SELECT qid, doc_id,
+                                round(list_sum(list(c ORDER BY t)), 6)
+                                    AS bm25,
+                                COUNT(*) AS n_terms
+                         FROM scored GROUP BY qid, doc_id),
+                 ranked AS (SELECT qid, doc_id, bm25, n_terms,
+                                   ROW_NUMBER() OVER (PARTITION BY qid
+                                       ORDER BY bm25 DESC, doc_id) AS rnk
+                            FROM agg)
+            SELECT CAST(qid AS BIGINT) AS qid, doc_id, bm25,
+                   CAST(n_terms AS BIGINT) AS n_terms,
+                   CAST(rnk AS BIGINT) AS rnk
+            FROM ranked WHERE rnk <= 5"""
 
 
 def _bloom_oracle() -> str:

@@ -4619,6 +4619,94 @@ def q167_sequence_store_roundtrip(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+_BM25_QUERIES = [
+    (0, "hash join order"),
+    (1, "window sort merge"),
+    (2, "fast vector scan"),
+    (3, "slow batch stream"),
+    (4, "spark table filter"),
+]
+
+
+def q171_bm25_topk(spark: SparkSession, sf: str) -> DataFrame:
+    """BM25 top-k retrieval — the classic full-text ranking every
+    eval/dedup/retrieval stage leans on (Robertson/Sparck-Jones; the
+    Okapi formula with k1=1.2, b=0.75): score 5 fixed queries against
+    the corpus through an inverted-index join and return each
+    query's top-5 documents. idf = ln((N − df + 0.5)/(df + 0.5) + 1),
+    tf normalization by doc length against the corpus mean.
+
+    Cross-engine float policy (the argmin/fold rule): the per-doc
+    score SUMS its matched-term contributions in TERM ORDER via a
+    sequential fold (F.aggregate over the term-sorted bag ≙ DuckDB
+    list_sum over list(... ORDER BY t)) — never an unordered SUM —
+    then rounds to 6; ranking orders by (rounded score DESC, doc_id).
+
+    100 TB design: posting lists (term, doc, tf, dl) are ONE
+    token-sized shuffle; query terms and the (N, avgdl) statistics
+    row broadcast (model-sized); df(term) is a term-sized partial
+    aggregate joined on the posting term — the inverted-index shape,
+    no corpus re-scan per query; top-5 per query lowers to
+    Partial+Final WindowGroupLimit (literal bound), capping map-side
+    before the exchange."""
+    from pyspark.sql import Window
+
+    from .functions.text import tokenize_ws
+
+    k1, b = 1.2, 0.75
+    d = spark.read.parquet(f"{sf}/documents.parquet").select(
+        "doc_id", F.explode(tokenize_ws(F.lower(F.col("text")))).alias("t")
+    )
+    dl = d.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
+    tf = d.groupBy("doc_id", "t").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = tf.groupBy("t").agg(F.count(F.lit(1)).alias("df"))
+    stats = dl.agg(
+        F.count(F.lit(1)).alias("N"), F.sum("dl").alias("total_dl")
+    )
+    qterms = spark.createDataFrame(
+        [(qid, t) for qid, q in _BM25_QUERIES for t in sorted(set(q.split()))],
+        "qid int, t string",
+    )
+    posting = tf.join(dl, "doc_id").join(dfreq, "t")
+    avgdl = F.col("total_dl").cast("double") / F.col("N")
+    idf = F.log(
+        (F.col("N") - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1.0
+    )
+    contrib = (
+        idf
+        * (F.col("tf") * (k1 + 1.0))
+        / (F.col("tf") + k1 * (0.25 + b * F.col("dl") / avgdl))
+    )
+    scored = (
+        posting.join(F.broadcast(qterms), "t")
+        .crossJoin(F.broadcast(stats))
+        .select("qid", "doc_id", "t", contrib.alias("c"))
+    )
+    agg = scored.groupBy("qid", "doc_id").agg(
+        F.round(
+            F.aggregate(
+                F.array_sort(F.collect_list(F.struct("t", "c"))),
+                F.lit(0.0),
+                lambda acc, x: acc + x["c"],
+            ),
+            6,
+        ).alias("bm25"),
+        F.count(F.lit(1)).alias("n_terms"),
+    )
+    w = Window.partitionBy("qid").orderBy(F.desc("bm25"), F.asc("doc_id"))
+    return (
+        agg.withColumn("rnk", F.row_number().over(w))
+        .where(F.col("rnk") <= 5)
+        .select(
+            F.col("qid").cast("long").alias("qid"),
+            "doc_id",
+            "bm25",
+            F.col("n_terms").cast("long").alias("n_terms"),
+            F.col("rnk").cast("long").alias("rnk"),
+        )
+    )
+
+
 def q170_ffd_pack(spark: SparkSession, sf: str) -> DataFrame:
     """First-Fit-Decreasing packing (operators/packing.pack_ffd) —
     the padding-minimizing SFT packer: documents pack WHOLE (no
@@ -4780,6 +4868,7 @@ _TIER0 = [
     "q168_sft_mask_pack",      # new: SFT loss-mask packing accounting
     "q169_tokenizer_fertility",  # new: BPE segmentation profile
     "q170_ffd_pack",           # new: first-fit-decreasing bin packing
+    "q171_bm25_topk",          # new: Okapi BM25 top-k retrieval
 ]
 
 

@@ -987,3 +987,19 @@ def test_ffd_pack_plan(spark, sf_dir):
     assert "PythonUDF" not in phys and "EvalPython" not in phys, phys
     assert "CartesianProduct" not in phys, phys
     assert "BroadcastNestedLoopJoin" not in phys, phys
+
+
+def test_bm25_topk_plan(spark, sf_dir):
+    """q171 (BM25): query terms and the 1-row statistics broadcast;
+    the top-5-per-query literal bound lowers to Partial+Final
+    WindowGroupLimit (map-side cap before the exchange); no Python,
+    no cartesian; the only BroadcastNestedLoopJoin is the 1-row
+    statistics scalar (the q163 scalar-projection class)."""
+    from pig_spark.queries import q171_bm25_topk
+
+    df = q171_bm25_topk(spark, sf_dir)
+    phys = df._jdf.queryExecution().executedPlan().toString()
+    assert "WindowGroupLimit" in phys, phys
+    assert "BroadcastHashJoin" in phys, phys
+    assert "PythonUDF" not in phys and "EvalPython" not in phys, phys
+    assert "CartesianProduct" not in phys, phys
