@@ -111,6 +111,7 @@ HEADLINE = [
     "q168_sft_mask_pack",  # r12: SFT loss-mask packing accounting
     "q170_ffd_pack",  # r12: first-fit-decreasing bin packing, in-row fold
     "q171_bm25_topk",  # r12: Okapi BM25 inverted-index top-k
+    "q172_position_ids",  # r12: packed position/segment id fingerprints
     # q139 (classifier trainer), q144 (BPE trainer), q155 (residual
     # IVF-PQ, which embeds the coarse+PQ codebook TRAINER), q161
     # (BPE-id sequence packing, which embeds the q144 trainer), and

@@ -1626,6 +1626,30 @@ def oracle_sql() -> dict[str, str]:
                        ON s.bucket = r.bucket AND s.rn = r.rn + 1)
             SELECT doc_id, n AS n_tokens, bucket, idx AS pack FROM r""",
         "q171_bm25_topk": _bm25_sql(),
+        # q172: position ids CONTINUE within a doc across sequence
+        # boundaries; segment ids number spans per sequence — both
+        # fingerprinted byte-level (the q159 convention)
+        "q172_position_ids": _SEQ_CTES + """,
+                 ordered AS (SELECT seq_id, start_in_seq, start_in_doc,
+                                    span_len,
+                                    ROW_NUMBER() OVER (PARTITION BY seq_id
+                                        ORDER BY start_in_seq) - 1 AS seg
+                             FROM spans),
+                 streams AS (SELECT seq_id, start_in_seq, span_len,
+                                    array_to_string(generate_series(
+                                        start_in_doc,
+                                        start_in_doc + span_len - 1), ' ')
+                                        AS ps,
+                                    array_to_string(list_transform(
+                                        generate_series(1, span_len),
+                                        z -> seg), ' ') AS ss
+                             FROM ordered)
+            SELECT seq_id,
+                   CAST(COUNT(*) AS BIGINT) AS n_spans,
+                   CAST(SUM(span_len) AS BIGINT) AS n_tokens,
+                   md5(string_agg(ps, ' ' ORDER BY start_in_seq)) AS fp_pos,
+                   md5(string_agg(ss, ' ' ORDER BY start_in_seq)) AS fp_seg
+            FROM streams GROUP BY seq_id""",
         # q170: FFD replay — recursive CTE whose state is the LIST of
         # remaining bin capacities; list_position returns 0/NULL when
         # no bin fits (both handled), slicing splices the updated bin

@@ -4707,6 +4707,61 @@ def q171_bm25_topk(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q172_position_ids(spark: SparkSession, sf: str) -> DataFrame:
+    """Packed-sequence POSITION-ID / SEGMENT-ID emission — the two
+    streams a packed-attention loader must get exactly right next to
+    the tokens themselves: position ids CONTINUE within a document
+    across sequence boundaries (span [s, s+len) of a doc emits
+    positions s … s+len−1 — a doc split across sequences resumes,
+    not resets), and segment ids number each sequence's spans
+    0 … n_spans−1 in order (the block-diagonal attention mask that
+    stops cross-document attention inside a packed sequence). Emits
+    per-sequence md5 fingerprints of both streams — byte-level
+    integrity, the q159 convention.
+
+    100 TB design: everything on top of the q158 manifest is in-row
+    (sorted-bag transform over ≤ L-token sequences — the position
+    array is built per sequence inside the aggregate, never
+    exploded); one groupBy(seq_id) with bounded groups, no window, no
+    Python."""
+    from .functions.text import tokenize_ws
+    from .operators.packing import sequence_spans
+
+    L = 512
+    d = spark.read.parquet(f"{sf}/documents.parquet").select(
+        "doc_id", F.size(tokenize_ws(F.col("text"))).cast("long").alias("n")
+    )
+    spans = sequence_spans(d.where(F.col("n") > 0), "n", L, order="doc_id")
+    bags = spans.groupBy("seq_id").agg(
+        F.array_sort(
+            F.collect_list(F.struct("start_in_seq", "start_in_doc", "span_len"))
+        ).alias("sp")
+    )
+    pos_stream = F.flatten(
+        F.transform(
+            "sp",
+            lambda x: F.sequence(
+                x["start_in_doc"], x["start_in_doc"] + x["span_len"] - 1
+            ),
+        )
+    )
+    seg_stream = F.flatten(
+        F.transform(
+            "sp",
+            lambda x, i: F.transform(
+                F.sequence(F.lit(1).cast("long"), x["span_len"]), lambda _: i
+            ),
+        )
+    )
+    return bags.select(
+        "seq_id",
+        F.size("sp").cast("long").alias("n_spans"),
+        F.size(pos_stream).cast("long").alias("n_tokens"),
+        F.md5(F.array_join(pos_stream, " ")).alias("fp_pos"),
+        F.md5(F.array_join(seg_stream, " ")).alias("fp_seg"),
+    )
+
+
 def q170_ffd_pack(spark: SparkSession, sf: str) -> DataFrame:
     """First-Fit-Decreasing packing (operators/packing.pack_ffd) —
     the padding-minimizing SFT packer: documents pack WHOLE (no
@@ -4869,6 +4924,7 @@ _TIER0 = [
     "q169_tokenizer_fertility",  # new: BPE segmentation profile
     "q170_ffd_pack",           # new: first-fit-decreasing bin packing
     "q171_bm25_topk",          # new: Okapi BM25 top-k retrieval
+    "q172_position_ids",       # new: packed position/segment id streams
 ]
 
 

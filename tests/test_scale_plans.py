@@ -1003,3 +1003,17 @@ def test_bm25_topk_plan(spark, sf_dir):
     assert "BroadcastHashJoin" in phys, phys
     assert "PythonUDF" not in phys and "EvalPython" not in phys, phys
     assert "CartesianProduct" not in phys, phys
+
+
+def test_position_ids_plan(spark, sf_dir):
+    """q172 (position/segment ids): built entirely in-row over the
+    ≤ L-token per-sequence bags — the position stream is never
+    exploded; the only window machinery is the manifest's two-pass
+    prefix sum; no Python, no cartesian."""
+    from pig_spark.queries import q172_position_ids
+
+    df = q172_position_ids(spark, sf_dir)
+    phys = df._jdf.queryExecution().executedPlan().toString()
+    assert "PythonUDF" not in phys and "EvalPython" not in phys, phys
+    assert "CartesianProduct" not in phys, phys
+    assert "Generate" not in phys.split("HashAggregate")[0], phys
