@@ -112,6 +112,7 @@ HEADLINE = [
     "q170_ffd_pack",  # r12: first-fit-decreasing bin packing, in-row fold
     "q171_bm25_topk",  # r12: Okapi BM25 inverted-index top-k
     "q172_position_ids",  # r12: packed position/segment id fingerprints
+    "q173_ann_batch_probe",  # r12: 4-query batch ANN probe, one pruned scan
     # q139 (classifier trainer), q144 (BPE trainer), q155 (residual
     # IVF-PQ, which embeds the coarse+PQ codebook TRAINER), q161
     # (BPE-id sequence packing, which embeds the q144 trainer), and

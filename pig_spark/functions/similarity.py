@@ -1078,3 +1078,93 @@ def ann_index_probe(
         .orderBy(F.col("adc_dist").asc(), F.col(id_col).asc())
         .limit(k)
     )
+
+
+def ann_index_batch_probe(
+    spark,
+    path: str,
+    queries: list[tuple[int, list[float]]],
+    k: int,
+    nprobe: int = IVF_NPROBE,
+) -> DataFrame:
+    """BATCH probe of the stored index — the serving-fleet shape: N
+    query vectors answered by ONE plan over ONE pruned scan. Per
+    query the sidecar picks its ``nprobe`` cells and builds its ADC
+    LUT driver-side (model-sized, the ann_index_probe convention);
+    the (qid, cell, lut) table ships as a BROADCAST DataFrame (not a
+    plan literal — no janino compile cost at any batch size), the
+    scan filters to the UNION of probed cells (PartitionFilters still
+    prune), and a broadcast hash equi-join on ``cell`` fans each
+    surviving code row out to exactly the queries probing its cell.
+    Distance = the same left-to-right m-term LUT fold as the single
+    probe; per-query top-k caps map-side via WindowGroupLimit.
+
+    100 TB design: thousands of concurrent queries stay ONE scan of
+    the union cells — the broadcast grows with queries × nprobe (KBs
+    each), never with data; per-row work is queries-matching-this-
+    cell × m lookups. Each query's answer is bit-identical to its
+    own ann_index_probe call (tested)."""
+    import json
+    import os
+
+    from pyspark.sql import Window
+
+    with open(os.path.join(path, ANN_MODEL_FILE)) as f:
+        model = json.load(f)
+    centroids = [(int(c), [float(x) for x in v]) for c, v in model["centroids"]]
+    cbs = [[[float(x) for x in cw] for cw in cb] for cb in model["codebooks"]]
+    id_col = model["id_col"]
+    m, dsub = len(cbs), len(cbs[0][0])
+
+    def _cos(a: list[float], b: list[float]) -> float:
+        na = sum(x * x for x in a) ** 0.5
+        nb = sum(x * x for x in b) ** 0.5
+        return sum(x * y for x, y in zip(a, b)) / (na * nb) if na and nb else 0.0
+
+    rows = []
+    union_cells: set[int] = set()
+    for qid, q in queries:
+        qvec = [float(x) for x in q]
+        probe = sorted(centroids, key=lambda c: (-_cos(qvec, c[1]), c[0]))[:nprobe]
+        luts = [
+            [
+                sum(
+                    (a - b) * (a - b)
+                    for a, b in zip(qvec[mm * dsub : (mm + 1) * dsub], cw)
+                )
+                for cw in cbs[mm]
+            ]
+            for mm in range(m)
+        ]
+        for cid, _ in probe:
+            rows.append((int(qid), int(cid), luts))
+            union_cells.add(int(cid))
+    qdf = spark.createDataFrame(
+        rows, "qid int, cell int, adc array<array<double>>"
+    )
+    codes = spark.read.parquet(path).filter(
+        F.col("cell").isin(*sorted(union_cells))
+    )
+    j = codes.join(F.broadcast(qdf), "cell")
+    dist = None
+    for mm in range(m):
+        term = F.element_at(
+            F.element_at(F.col("adc"), mm + 1),
+            F.element_at(F.col("codes"), mm + 1) + 1,
+        )
+        dist = term if dist is None else dist + term
+    w = Window.partitionBy("qid").orderBy(
+        F.round(dist, 6).asc(), F.col(id_col).asc()
+    )
+    return (
+        j.withColumn("adc_dist", F.round(dist, 6))
+        .withColumn("rnk", F.row_number().over(w))
+        .where(F.col("rnk") <= k)
+        .select(
+            F.col("qid").cast("long").alias("qid"),
+            F.col(id_col),
+            F.col("cell").cast("long").alias("cell"),
+            "adc_dist",
+            F.col("rnk").cast("long").alias("rnk"),
+        )
+    )

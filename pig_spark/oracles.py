@@ -1626,6 +1626,7 @@ def oracle_sql() -> dict[str, str]:
                        ON s.bucket = r.bucket AND s.rn = r.rn + 1)
             SELECT doc_id, n AS n_tokens, bucket, idx AS pack FROM r""",
         "q171_bm25_topk": _bm25_sql(),
+        "q173_ann_batch_probe": _batch_ivfpq_sql(),
         # q172: position ids CONTINUE within a doc across sequence
         # boundaries; segment ids number spans per sequence — both
         # fingerprinted byte-level (the q159 convention)
@@ -2629,6 +2630,83 @@ def oracle_sql() -> dict[str, str]:
     # output contract (seq_id, n_spans, n_tokens, fp)
     out["q167_sequence_store_roundtrip"] = out["q159_sequence_gather"]
     return out
+
+
+def _batch_ivfpq_sql() -> str:
+    """q173's DuckDB twin, GENERATED from the same query constant the
+    Spark side uses: q153's encode-replay chain (bootstrap centroids
+    and codebooks derived from the data) joined against a VALUES
+    query table — per-query probe-cell ranking (identical cosine
+    expression and (sim DESC, cid ASC) tie-break), per-(query, m, j)
+    ADC LUT, the m-ordered fold sum, and per-query top-10 on
+    (rounded dist ASC, vec_id ASC)."""
+    from .queries import _ann_batch_queries
+
+    vals = ", ".join(
+        f"({qid}, {_vec_sql(v)})" for qid, v in _ann_batch_queries()
+    )
+    return f"""
+            WITH qs(qid, qv) AS (VALUES {vals}),
+                 cents AS (
+                SELECT vec_id AS cid, CAST(embedding AS DOUBLE[]) AS cv
+                FROM embeddings WHERE vec_id < {similarity.IVF_NLIST}),
+                 qprobe AS (
+                SELECT qid, cid FROM (
+                    SELECT q.qid, c.cid,
+                           row_number() OVER (PARTITION BY q.qid ORDER BY
+                               list_dot_product(c.cv, q.qv)
+                               / (sqrt(list_dot_product(c.cv, c.cv))
+                                  * sqrt(list_dot_product(q.qv, q.qv)))
+                               DESC, c.cid ASC) AS rn
+                    FROM cents c, qs q)
+                WHERE rn <= {similarity.IVF_NPROBE}),
+                 ranked AS (
+                SELECT e.vec_id, c.cid,
+                       row_number() OVER (PARTITION BY e.vec_id ORDER BY
+                           list_dot_product(CAST(e.embedding AS DOUBLE[]), c.cv)
+                           / (sqrt(list_dot_product(CAST(e.embedding AS DOUBLE[]), CAST(e.embedding AS DOUBLE[])))
+                              * sqrt(list_dot_product(c.cv, c.cv))) DESC, c.cid ASC) AS rn
+                FROM embeddings e CROSS JOIN cents c),
+                 cand AS (
+                SELECT e.vec_id, CAST(e.embedding AS DOUBLE[]) AS v, a.cid AS cell
+                FROM embeddings e JOIN ranked a ON e.vec_id = a.vec_id AND a.rn = 1
+                WHERE a.cid IN (SELECT DISTINCT cid FROM qprobe)),
+                 cb AS (SELECT vec_id AS j, CAST(embedding AS DOUBLE[]) AS cv
+                        FROM embeddings WHERE vec_id < 16),
+                 ms AS (SELECT unnest(range(0, 8)) AS m),
+                 sub AS (SELECT c.vec_id, ms.m, cb.j,
+                                list_sum(list_transform(range(1, 9), i ->
+                                    (c.v[ms.m * 8 + i] - cb.cv[ms.m * 8 + i])
+                                    * (c.v[ms.m * 8 + i] - cb.cv[ms.m * 8 + i]))) AS d2
+                         FROM cand c, ms, cb),
+                 best AS (SELECT vec_id, m, MIN(d2) AS mind
+                          FROM sub GROUP BY vec_id, m),
+                 code AS (SELECT s.vec_id, s.m, MIN(s.j) AS j
+                          FROM sub s JOIN best b
+                            ON s.vec_id = b.vec_id AND s.m = b.m AND s.d2 = b.mind
+                          GROUP BY s.vec_id, s.m),
+                 qlut AS (SELECT q.qid, ms.m, cb.j,
+                                 list_sum(list_transform(range(1, 9), i ->
+                                     (q.qv[ms.m * 8 + i] - cb.cv[ms.m * 8 + i])
+                                     * (q.qv[ms.m * 8 + i] - cb.cv[ms.m * 8 + i]))) AS qd2
+                          FROM ms, cb, qs q),
+                 dists AS (SELECT p.qid, c.vec_id, MIN(cand.cell) AS cell,
+                                  round(list_sum(list(l.qd2 ORDER BY l.m)), 6)
+                                      AS adc_dist
+                           FROM code c
+                           JOIN cand ON cand.vec_id = c.vec_id
+                           JOIN qprobe p ON p.cid = cand.cell
+                           JOIN qlut l ON l.qid = p.qid
+                                      AND c.m = l.m AND c.j = l.j
+                           GROUP BY p.qid, c.vec_id),
+                 fin AS (SELECT qid, vec_id, cell, adc_dist,
+                                row_number() OVER (PARTITION BY qid
+                                    ORDER BY adc_dist ASC, vec_id ASC) AS rn
+                         FROM dists)
+            SELECT CAST(qid AS BIGINT) AS qid, vec_id,
+                   CAST(cell AS BIGINT) AS cell, adc_dist,
+                   CAST(rn AS BIGINT) AS rnk
+            FROM fin WHERE rn <= 10"""
 
 
 def _bm25_sql() -> str:

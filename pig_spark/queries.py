@@ -4707,6 +4707,42 @@ def q171_bm25_topk(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def _ann_batch_queries() -> list[tuple[int, list[float]]]:
+    """The fixed 4-query batch q173 probes — deterministic LCG draws
+    (distinct seeds, the q152 query-vector convention) shared with
+    the generated DuckDB twin."""
+    from .functions import similarity
+
+    return [
+        (i, similarity._lcg_floats(7100 + i, similarity.EMB_DIM))
+        for i in range(4)
+    ]
+
+
+def q173_ann_batch_probe(spark: SparkSession, sf: str) -> DataFrame:
+    """BATCH ANN probe — the serving-fleet shape q157's single probe
+    only hints at: 4 query vectors answered by ONE plan over ONE
+    pruned scan of the persisted index
+    (similarity.ann_index_batch_probe). Per query the model sidecar
+    picks nprobe cells and builds the ADC LUT driver-side; the
+    (qid, cell, lut) table ships as a BROADCAST DataFrame (no plan
+    literal, no janino compile cost at any batch size); a broadcast
+    hash join on cell fans each code row out to exactly the queries
+    probing its cell; per-query top-10 caps map-side via
+    WindowGroupLimit. Each query's rows are bit-identical to its own
+    single ann_index_probe (tested).
+
+    The DuckDB twin replays the encode (q153's chain) against a
+    VALUES query table — per-query probe ranking, per-(query, m, j)
+    LUT, ordered m-fold sum, per-query top-10."""
+    from .functions import similarity
+
+    path = ensure_ann_index(spark, sf)
+    return similarity.ann_index_batch_probe(
+        spark, path, _ann_batch_queries(), k=10
+    )
+
+
 def q172_position_ids(spark: SparkSession, sf: str) -> DataFrame:
     """Packed-sequence POSITION-ID / SEGMENT-ID emission — the two
     streams a packed-attention loader must get exactly right next to
@@ -4925,6 +4961,7 @@ _TIER0 = [
     "q170_ffd_pack",           # new: first-fit-decreasing bin packing
     "q171_bm25_topk",          # new: Okapi BM25 top-k retrieval
     "q172_position_ids",       # new: packed position/segment id streams
+    "q173_ann_batch_probe",    # new: multi-query ANN serving, one scan
 ]
 
 

@@ -1017,3 +1017,46 @@ def test_position_ids_plan(spark, sf_dir):
     assert "PythonUDF" not in phys and "EvalPython" not in phys, phys
     assert "CartesianProduct" not in phys, phys
     assert "Generate" not in phys.split("HashAggregate")[0], phys
+
+
+def test_ann_batch_probe_plan_and_parity(spark, sf_dir, tmp_path):
+    """q173 (batch ANN probe): ONE pruned scan serves every query —
+    PartitionFilters carry the union-of-cells filter, the query fan-
+    out is a BroadcastHashJoin on cell, per-query top-k lowers to
+    WindowGroupLimit, the scan never reads vectors, and no Python
+    anywhere. Parity: each query's batch rows are bit-identical to
+    its own single ann_index_probe call."""
+    from pig_spark.functions.similarity import (
+        EMB_DIM,
+        _lcg_floats,
+        ann_index_batch_probe,
+        ann_index_probe,
+        ann_index_store,
+    )
+
+    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+        "vec_id", "embedding"
+    )
+    path = str(tmp_path / "ann_index")
+    ann_index_store(e, path)
+    queries = [(i, _lcg_floats(7100 + i, EMB_DIM)) for i in range(4)]
+    batch = ann_index_batch_probe(spark, path, queries, k=10)
+    phys = batch._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [" in phys, phys
+    assert "cell" in phys.split("PartitionFilters:")[1][:200], phys
+    assert "BroadcastHashJoin" in phys, phys
+    assert "WindowGroupLimit" in phys, phys
+    assert "PythonUDF" not in phys and "EvalPython" not in phys, phys
+    assert "embedding" not in phys.split("ReadSchema:")[-1], phys
+
+    got = {}
+    for r in batch.collect():
+        got.setdefault(r["qid"], set()).add(
+            (r["vec_id"], r["cell"], r["adc_dist"])
+        )
+    for qid, q in queries:
+        want = {
+            (r["vec_id"], r["cell"], r["adc_dist"])
+            for r in ann_index_probe(spark, path, q, k=10).collect()
+        }
+        assert got[qid] == want and len(want) == 10, qid
