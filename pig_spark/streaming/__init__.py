@@ -794,3 +794,104 @@ def write_sequence_manifest_stream(
         .option("checkpointLocation", checkpoint)
         .start()
     )
+
+
+def write_sequence_store_stream(
+    doc_stream: DataFrame,
+    path: str,
+    seq_len: int,
+    checkpoint: str,
+    tokens_col: str = "tk",
+    id_col: str = "doc_id",
+    block: int = 1024,
+):
+    """Streaming build of the PERSISTED sequence store
+    (:func:`~pig_spark.operators.packing.sequence_store`'s artifact,
+    maintained incrementally): each micro-batch (a) appends its span
+    manifest shifted by the committed corpus offset (the
+    write_sequence_manifest_stream contract), (b) appends its raw
+    token arrays to a docs side table, and (c) FINALIZES every
+    newly-COMPLETE sequence — a sequence materializes only when the
+    corpus total has passed its end, so the boundary sequence that
+    straddles two micro-batches assembles exactly once, from spans of
+    BOTH batches, when its second half arrives. The partial tail is
+    never written (a training loader must not see a short sequence
+    mid-stream; the batch job's drop-last equivalent).
+
+    Every piece of state is DERIVED from committed data — offset =
+    SUM(span_len) over the manifest, finalized count = the sequences
+    table's row count (seq_ids are dense by construction) — so no
+    counter can drift from what a reader sees. Epoch replay is
+    guarded by the underscore-marker convention (Hadoop FS from the
+    path); the residual crash window (docs appended, marker missing)
+    leaves only duplicate IDENTICAL doc rows, which finalization
+    drops with dropDuplicates(id) — exactness is unaffected.
+
+    100 TB design: per batch = the batch plans (prefix sum, one
+    equi-join gather over only the NEW sequences' spans); the
+    finalization scan prunes the manifest to the new seq_id blocks
+    via PartitionFilters (part carries floor(seq_id/block)); the docs
+    side table is read filtered by the gather join's keys — compact
+    it on the loader's cadence."""
+    from ..operators.packing import gather_sequences, sequence_spans
+
+    manifest = f"{path}/manifest"
+    docs_p = f"{path}/docs"
+    seqs_p = f"{path}/sequences"
+
+    def _ingest(batch: DataFrame, epoch_id: int) -> None:
+        spark = batch.sparkSession
+        jvm = spark._jvm
+        hconf = spark.sparkContext._jsc.hadoopConfiguration()
+        marker = jvm.org.apache.hadoop.fs.Path(
+            f"{path}/_store_epochs/{epoch_id}"
+        )
+        fs = marker.getFileSystem(hconf)
+        if fs.exists(marker):
+            return
+        offset = 0
+        if fs.exists(jvm.org.apache.hadoop.fs.Path(manifest)):
+            row = (
+                spark.read.parquet(manifest)
+                .agg(F.sum(F.col("span_len").cast("long")))
+                .first()
+            )
+            offset = int(row[0] or 0)
+        sized = batch.select(
+            F.col(id_col), F.size(tokens_col).cast("long").alias("__n")
+        ).where(F.col("__n") > 0)
+        spans = sequence_spans(
+            sized, "__n", seq_len, order=id_col, id_col=id_col,
+            base_offset=offset,
+        )
+        spans.withColumn(
+            "part", F.floor(F.col("seq_id") / block)
+        ).write.mode("append").partitionBy("part").parquet(manifest)
+        batch.select(id_col, tokens_col).write.mode("append").parquet(docs_p)
+        total = sized.agg(F.sum("__n")).first()[0] or 0
+        n_complete = (offset + int(total)) // seq_len
+        n_done = 0
+        if fs.exists(jvm.org.apache.hadoop.fs.Path(seqs_p)):
+            n_done = spark.read.parquet(seqs_p).count()
+        if n_complete > n_done:
+            man = spark.read.parquet(manifest).where(
+                (F.col("part") >= n_done // block)
+                & (F.col("part") <= (n_complete - 1) // block)
+                & (F.col("seq_id") >= n_done)
+                & (F.col("seq_id") < n_complete)
+            )
+            docs = spark.read.parquet(docs_p).dropDuplicates([id_col])
+            out = gather_sequences(
+                man, docs, tokens_col=tokens_col, id_col=id_col
+            )
+            out.withColumn(
+                "part", F.floor(F.col("seq_id") / block)
+            ).write.mode("append").partitionBy("part").parquet(seqs_p)
+        fs.mkdirs(marker.getParent())
+        fs.createNewFile(marker)
+
+    return (
+        doc_stream.writeStream.foreachBatch(_ingest)
+        .option("checkpointLocation", checkpoint)
+        .start()
+    )

@@ -1186,3 +1186,115 @@ def test_sequence_manifest_stream_replay_skips_marked_epochs(spark, sf_dir, tmp_
     shutil.rmtree(str(tmp_path / "ckpt"))
     _run(str(tmp_path / "ckpt"))
     assert spark.read.parquet(f"{out}/manifest").count() == n_first
+
+
+def test_sequence_store_stream_matches_batch(spark, sf_dir, tmp_path):
+    """Streaming sequence-store build: after streaming the corpus in
+    id order (two micro-batches), the finalized sequences on disk are
+    bit-identical — span counts, token streams — to the COMPLETE
+    prefix of the batch sequence_store over the same corpus; the
+    partial tail sequence is never written; and the boundary sequence
+    (spans from both batches) assembled exactly once."""
+    import os
+    import time
+
+    from pig_spark.functions.text import tokenize_ws
+    from pig_spark.operators.packing import sequence_store
+    from pig_spark.streaming import write_sequence_store_stream
+
+    L = 512
+    d = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .select("doc_id", tokenize_ws(F.col("text")).alias("tk"))
+        .where(F.size("tk") > 0)
+    )
+    mid = d.agg(F.expr("percentile_approx(doc_id, 0.5)")).first()[0]
+    feed = tmp_path / "store_feed"
+    feed.mkdir()
+    d.where(f"doc_id < {mid}").coalesce(1).write.parquet(str(feed / "a"))
+    d.where(f"doc_id >= {mid}").coalesce(1).write.parquet(str(feed / "b"))
+    now = time.time()
+    for sub, ts in (("a", now - 60), ("b", now)):
+        for f in (feed / sub).rglob("*.parquet"):
+            os.utime(f, (ts, ts))
+    src = (
+        spark.readStream.schema(d.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(feed / "*"))
+    )
+    out = str(tmp_path / "seq_store_stream")
+    q = write_sequence_store_stream(src, out, L, str(tmp_path / "ckpt"))
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    batch_path = str(tmp_path / "seq_store_batch")
+    sequence_store(d, batch_path, L)
+    total = d.agg(F.sum(F.size("tk"))).first()[0]
+    n_complete = total // L
+
+    def _fp(df):
+        return {
+            tuple(r)
+            for r in df.select(
+                "seq_id",
+                F.col("n_spans").cast("long"),
+                F.md5(F.array_join("toks", " ")),
+            ).collect()
+        }
+
+    got = spark.read.parquet(f"{out}/sequences")
+    want = spark.read.parquet(f"{batch_path}/sequences").where(
+        f"seq_id < {n_complete}"
+    )
+    assert got.count() == n_complete  # no partial tail
+    assert _fp(got) == _fp(want)
+    # the boundary sequence really straddled the two micro-batches
+    boundary = (
+        spark.read.parquet(f"{out}/manifest")
+        .groupBy("seq_id")
+        .agg(
+            F.sum(F.when(F.col("doc_id") < mid, 1).otherwise(0)).alias("lo"),
+            F.sum(F.when(F.col("doc_id") >= mid, 1).otherwise(0)).alias("hi"),
+        )
+        .where("lo > 0 AND hi > 0")
+        .count()
+    )
+    assert boundary > 0
+
+
+def test_sequence_store_stream_replay_is_idempotent(spark, sf_dir, tmp_path):
+    """Replay (wiped checkpoint) must not duplicate manifest spans,
+    docs rows feeding future gathers, or finalized sequences."""
+    import shutil
+
+    from pig_spark.functions.text import tokenize_ws
+    from pig_spark.streaming import write_sequence_store_stream
+
+    d = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .select("doc_id", tokenize_ws(F.col("text")).alias("tk"))
+        .where(F.size("tk") > 0)
+        .limit(100)
+    )
+    feed = str(tmp_path / "feed")
+    d.write.parquet(feed)
+    out = str(tmp_path / "seq_store_stream")
+
+    def _run(ckpt: str) -> None:
+        src = spark.readStream.schema(d.schema).parquet(feed)
+        q = write_sequence_store_stream(src, out, 512, ckpt)
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+
+    _run(str(tmp_path / "ckpt"))
+    n_man = spark.read.parquet(f"{out}/manifest").count()
+    n_seq = spark.read.parquet(f"{out}/sequences").count()
+    assert n_man > 0 and n_seq > 0
+    shutil.rmtree(str(tmp_path / "ckpt"))
+    _run(str(tmp_path / "ckpt"))
+    assert spark.read.parquet(f"{out}/manifest").count() == n_man
+    assert spark.read.parquet(f"{out}/sequences").count() == n_seq
