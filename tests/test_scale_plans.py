@@ -1060,3 +1060,64 @@ def test_ann_batch_probe_plan_and_parity(spark, sf_dir, tmp_path):
             for r in ann_index_probe(spark, path, q, k=10).collect()
         }
         assert got[qid] == want and len(want) == 10, qid
+
+
+def test_ann_index_compact_preserves_probes(spark, sf_dir, tmp_path):
+    """ann_index_compact: after a streamed-style multi-append (many
+    files per cell), compaction leaves ONE data file per cell and
+    every probe — single and batch — answers bit-identically; the
+    sidecar rides along through the Hadoop FS API."""
+    import glob
+
+    from pig_spark.functions.similarity import (
+        EMB_DIM,
+        _lcg_floats,
+        ann_index_batch_probe,
+        ann_index_compact,
+        ann_index_probe,
+        ann_index_store,
+        ivf_assign,
+        pq_encode,
+    )
+
+    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+        "vec_id", "embedding"
+    )
+    mid = e.count() // 2
+    idx = str(tmp_path / "ann_index")
+    model = ann_index_store(e.where(f"vec_id < {mid}"), idx)
+    # simulate streamed appends: second half in 3 separate appends
+    centroids = [(int(c), [float(x) for x in v]) for c, v in model["centroids"]]
+    cbs = model["codebooks"]
+    rest = pq_encode(
+        ivf_assign(e.where(f"vec_id >= {mid}"), centroids), cbs,
+        keep=["__cell"],
+    ).select("vec_id", F.col("__cell").alias("cell"), "codes")
+    for i in range(3):
+        rest.where(f"vec_id % 3 = {i}").write.mode("append").partitionBy(
+            "cell"
+        ).parquet(idx)
+
+    compacted = str(tmp_path / "ann_index_compact")
+    ann_index_compact(spark, idx, compacted)
+    per_cell = {}
+    for f in glob.glob(f"{compacted}/cell=*/*.parquet"):
+        cell = f.split("cell=")[1].split("/")[0]
+        per_cell[cell] = per_cell.get(cell, 0) + 1
+    assert per_cell and all(n == 1 for n in per_cell.values()), per_cell
+
+    q = _lcg_floats(7100, EMB_DIM)
+    before = [tuple(r) for r in ann_index_probe(spark, idx, q, k=20).collect()]
+    after = [
+        tuple(r) for r in ann_index_probe(spark, compacted, q, k=20).collect()
+    ]
+    assert before == after and len(after) == 20
+    queries = [(i, _lcg_floats(7100 + i, EMB_DIM)) for i in range(3)]
+    b_before = {
+        tuple(r) for r in ann_index_batch_probe(spark, idx, queries, 10).collect()
+    }
+    b_after = {
+        tuple(r)
+        for r in ann_index_batch_probe(spark, compacted, queries, 10).collect()
+    }
+    assert b_before == b_after and len(b_after) == 30
