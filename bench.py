@@ -113,6 +113,7 @@ HEADLINE = [
     "q171_bm25_topk",  # r12: Okapi BM25 inverted-index top-k
     "q172_position_ids",  # r12: packed position/segment id fingerprints
     "q173_ann_batch_probe",  # r12: 4-query batch ANN probe, one pruned scan
+    "q174_epoch_budget_planner",  # r12: epoch/repetition budget water-filling
     # q139 (classifier trainer), q144 (BPE trainer), q155 (residual
     # IVF-PQ, which embeds the coarse+PQ codebook TRAINER), q161
     # (BPE-id sequence packing, which embeds the q144 trainer), and

@@ -1627,6 +1627,48 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, n AS n_tokens, bucket, idx AS pack FROM r""",
         "q171_bm25_topk": _bm25_sql(),
         "q173_ann_batch_probe": _batch_ivfpq_sql(),
+        # q174: 2-round water-filling — every cross-source sum is a
+        # left-to-right fold in source order (list_sum ≙ the Spark
+        # side's Python sum over the sorted stats); rounding in-plan
+        "q174_epoch_budget_planner": f"""
+            WITH pd AS (SELECT source,
+                               CAST(len({_toks('text')}) AS BIGINT) AS n
+                        FROM documents),
+                 a AS (SELECT source, CAST(SUM(n) AS BIGINT) AS n_tokens
+                       FROM pd GROUP BY source),
+                 tot AS (SELECT SUM(n_tokens) AS total FROM a),
+                 w AS (SELECT source, n_tokens,
+                              sqrt(CAST(n_tokens AS DOUBLE)) AS w
+                       FROM a),
+                 sw AS (SELECT list_sum(list(w ORDER BY source)) AS sw
+                        FROM w),
+                 r1 AS (SELECT source, n_tokens, w,
+                               (2 * tot.total * w) / sw.sw AS desired,
+                               4.0 * n_tokens AS cap
+                        FROM w, tot, sw),
+                 r1b AS (SELECT source, n_tokens, w, cap,
+                                desired > cap AS capped,
+                                CASE WHEN desired > cap THEN cap
+                                     ELSE desired END AS alloc1
+                         FROM r1),
+                 lo AS (SELECT 2 * tot.total
+                               - list_sum(list(alloc1 ORDER BY source))
+                                   AS leftover,
+                               COALESCE(list_sum(list(w ORDER BY source)
+                                   FILTER (WHERE NOT capped)), 0.0) AS sw2
+                        FROM r1b, tot GROUP BY tot.total),
+                 r2 AS (SELECT source, n_tokens, w, capped,
+                               CASE WHEN capped OR lo.sw2 <= 0 THEN alloc1
+                                    ELSE least(alloc1
+                                         + (lo.leftover * w) / lo.sw2, cap)
+                               END AS alloc2
+                        FROM r1b, lo)
+            SELECT source, n_tokens,
+                   round(w, 6) AS weight,
+                   round(alloc2, 6) AS alloc_tokens,
+                   round(alloc2 / n_tokens, 6) AS epochs,
+                   capped
+            FROM r2""",
         # q172: position ids CONTINUE within a doc across sequence
         # boundaries; segment ids number spans per sequence — both
         # fingerprinted byte-level (the q159 convention)

@@ -4707,6 +4707,88 @@ def q171_bm25_topk(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def _plan_epoch_budget(
+    stats: list[tuple[str, int]], t_mult: int, rep_cap: float
+) -> list[tuple[str, float, float, bool]]:
+    """The q174 planner core, factored for direct unit testing (the
+    fixture's uniform sources never trip the cap, so the capped/
+    redistribution branch is exercised synthetically in
+    test_operators): 2-round water-filling over SOURCES-sized stats.
+    Every cross-source sum is a left-to-right fold in source order
+    (Python sum ≙ DuckDB list_sum over source-ordered lists);
+    math.sqrt is the IEEE sqrt (≙ DuckDB sqrt — x ** 0.5 is pow and
+    may differ in the last ulp). Returns (source, weight_raw,
+    alloc_raw, capped) — raw doubles; ALL rounding happens in-plan on
+    both engines."""
+    import math
+
+    stats = sorted(stats)
+    total = sum(n for _, n in stats)
+    T, R = t_mult * total, rep_cap
+    ws = [(s, math.sqrt(float(n))) for s, n in stats]
+    sw = sum(w for _, w in ws)
+    plan: dict[str, tuple[float, float, bool]] = {}
+    for (s, n), (_, w) in zip(stats, ws):
+        desired = (T * w) / sw
+        cap = R * n
+        capped = desired > cap
+        plan[s] = (w, cap if capped else desired, capped)
+    leftover = T - sum(a for _, a, _ in plan.values())
+    sw2 = sum(w for s, w in ws if not plan[s][2])
+    rows = []
+    for (s, n), (_, w) in zip(stats, ws):
+        w_, a1, capped = plan[s]
+        if capped or sw2 <= 0:
+            a2 = a1
+        else:
+            a2 = min(a1 + (leftover * w) / sw2, R * n)
+        rows.append((s, w_, a2, capped))
+    return rows
+
+
+def q174_epoch_budget_planner(spark: SparkSession, sf: str) -> DataFrame:
+    """Epoch/repetition BUDGET PLANNER — the data-recipe artifact
+    (LLaMA/DoReMi practice): given a training token budget T = 2×
+    corpus and a repetition cap R = 4 epochs, allocate T across
+    sources by temperature weight w_s = √n_s, capped at R·n_s, with
+    ONE proportional redistribution of the capped leftover among
+    uncapped sources (then clamped again — the documented 2-round
+    water-filling contract; a fully-capped corpus leaves the
+    remainder unallocated). Output per source: tokens, weight,
+    allocation, epochs, capped flag.
+
+    Engine split (the q164 precedent): the corpus token aggregate is
+    Spark's (one partial-aggregated groupBy over the token-sized
+    scan); the planner math runs driver-side over the SOURCES-sized
+    stats (20 rows — the model-sized exception class) with every sum
+    a left-to-right fold in source order (Python sum ≙ DuckDB
+    list_sum over source-ordered lists), raw doubles join back as a
+    broadcast literal table, and ALL rounding happens in-plan
+    (F.round ≙ DuckDB round — never Python's banker's round)."""
+    from .functions.text import token_count
+
+    d = spark.read.parquet(f"{sf}/documents.parquet").select(
+        "source", token_count(F.col("text")).alias("n")
+    )
+    agg = d.groupBy("source").agg(F.sum("n").alias("n_tokens"))
+    stats = sorted(
+        ((r["source"], int(r["n_tokens"])) for r in agg.collect()),
+    )
+    rows = _plan_epoch_budget(stats, t_mult=2, rep_cap=4.0)
+    lit = spark.createDataFrame(
+        rows, "source string, w double, alloc double, capped boolean"
+    )
+    j = agg.join(F.broadcast(lit), "source")
+    return j.select(
+        "source",
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        F.round("w", 6).alias("weight"),
+        F.round("alloc", 6).alias("alloc_tokens"),
+        F.round(F.col("alloc") / F.col("n_tokens"), 6).alias("epochs"),
+        "capped",
+    )
+
+
 def _ann_batch_queries() -> list[tuple[int, list[float]]]:
     """The fixed 4-query batch q173 probes — deterministic LCG draws
     (distinct seeds, the q152 query-vector convention) shared with
@@ -4962,6 +5044,7 @@ _TIER0 = [
     "q171_bm25_topk",          # new: Okapi BM25 top-k retrieval
     "q172_position_ids",       # new: packed position/segment id streams
     "q173_ann_batch_probe",    # new: multi-query ANN serving, one scan
+    "q174_epoch_budget_planner",  # new: capped water-filling data recipe
 ]
 
 

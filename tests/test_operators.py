@@ -1462,3 +1462,36 @@ def test_pack_ffd_invariants(spark):
     assert {tuple(r) for r in again.select("id", "bucket", "bin").collect()} == {
         tuple(r) for r in out.select("id", "bucket", "bin").collect()
     }
+
+
+def test_plan_epoch_budget_caps_and_redistribution():
+    """The q174 planner's capped branch (dead on the uniform fixture,
+    live here): a giant source plus many small ones under a tight
+    repetition cap — small sources cap at R epochs, their surplus
+    redistributes proportionally to the uncapped giant, the total
+    never exceeds the budget, and a fully-capped corpus leaves the
+    remainder unallocated."""
+    from pig_spark.queries import _plan_epoch_budget
+
+    stats = [("big", 1_000_000)] + [(f"s{i:02d}", 1_000) for i in range(10)]
+    rows = _plan_epoch_budget(stats, t_mult=2, rep_cap=4.0)
+    by = {s: (w, a, c) for s, w, a, c in rows}
+    total = sum(n for _, n in stats)
+    # sqrt weighting gives every small source desired ≈ T·w/Σw ≫ 4·1000
+    for i in range(10):
+        w, a, c = by[f"s{i:02d}"]
+        assert c and a == 4.0 * 1_000, (i, a, c)
+    w, a, c = by["big"]
+    assert not c
+    # the giant absorbed the redistributed surplus: more than its
+    # round-1 desired share, and the grand total stays within budget
+    import math
+
+    sw = sum(math.sqrt(float(n)) for _, n in sorted(stats))
+    desired_big = (2 * total * math.sqrt(1_000_000.0)) / sw
+    assert a > desired_big
+    assert sum(a for _, _, a, _ in rows) <= 2 * total + 1e-6
+    # fully capped: everything at R·n, leftover unallocated
+    rows2 = _plan_epoch_budget([("a", 100), ("b", 100)], t_mult=10, rep_cap=2.0)
+    assert all(c for _, _, _, c in rows2)
+    assert sum(a for _, _, a, _ in rows2) == 2.0 * 200

@@ -1121,3 +1121,18 @@ def test_ann_index_compact_preserves_probes(spark, sf_dir, tmp_path):
         for r in ann_index_batch_probe(spark, compacted, queries, 10).collect()
     }
     assert b_before == b_after and len(b_after) == 30
+
+
+def test_epoch_budget_planner_plan(spark, sf_dir):
+    """q174 (budget planner): ONE partial-aggregated groupBy over the
+    token-sized scan; the planner table joins back as a BROADCAST
+    hash join; no Python, no cartesian, no window."""
+    from pig_spark.queries import q174_epoch_budget_planner
+
+    df = q174_epoch_budget_planner(spark, sf_dir)
+    phys = df._jdf.queryExecution().executedPlan().toString()
+    assert "HashAggregate" in phys, phys
+    assert "BroadcastHashJoin" in phys, phys
+    assert "PythonUDF" not in phys and "EvalPython" not in phys, phys
+    assert "CartesianProduct" not in phys, phys
+    assert "Window" not in phys, phys
