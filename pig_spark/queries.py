@@ -5020,16 +5020,17 @@ _ALL.update(PIGMIX_QUERIES)
 # its evidence is r0):
 # r12 plan (histogram after r11: r11:50 r10:49 r9:50 r8:26 — zero
 # red rows, so tier 0 is just this round's NEW queries):
-#   tier 0 (7): the new r12 queries (q161 BPE-id sequence packing,
-#     q162 strict-cap packing, q163 loader micro-batches, q164
-#     source mixture, q165 FIM, q166 length buckets, q167 persisted
-#     sequence store).
+#   tier 0 (14): the new r12 queries q161–q174 (BPE-id packing,
+#     strict-cap pack, loader batches, source mixture, FIM, length
+#     buckets, persisted sequence store, SFT mask pack, tokenizer
+#     fertility, FFD pack, BM25, position ids, batch ANN probe,
+#     epoch budget planner).
 #   tier 1 (26): the ENTIRE r8-evidence tail (q13/q14, q19, q32,
 #     q44–q51, q54, q56, q61–q64, q68–q71, q131, q133–q135) — all 26
 #     re-verified green at sf0.01 by the r11 judge, so rotation is
 #     de-risked. Floor moves r8 → r9.
-#   tier 2 (17): the r9-evidence block, alphabetical.
-# 7 + 26 + 17 = 50.
+#   tier 2 (10): the r9-evidence block head, alphabetical.
+# 14 + 26 + 10 = 50.
 _TIER0 = [
     "q161_bpe_sequence_pack",  # new: sequence family over BPE token ids
     "q162_strict_pack",        # new: strict-cap packing, driver-gated

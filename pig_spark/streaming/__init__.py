@@ -785,7 +785,11 @@ def write_sequence_manifest_stream(
             batch, tokens_col, seq_len, order=id_col, id_col=id_col,
             base_offset=offset,
         )
-        spans.write.mode("append").parquet(manifest)
+        # an all-empty batch appends nothing: an empty partitionless
+        # write can leave a directory a later schema-inferring read
+        # chokes on, so only touch the manifest with real spans
+        if spans.limit(1).count() > 0:
+            spans.write.mode("append").parquet(manifest)
         fs.mkdirs(marker.getParent())
         fs.createNewFile(marker)
 
@@ -860,6 +864,14 @@ def write_sequence_store_stream(
         sized = batch.select(
             F.col(id_col), F.size(tokens_col).cast("long").alias("__n")
         ).where(F.col("__n") > 0)
+        total = sized.agg(F.sum("__n")).first()[0] or 0
+        if int(total) == 0:
+            # all-empty batch: nothing to pack; mark and move on (an
+            # empty partitioned append can leave a directory a later
+            # schema-inferring read chokes on)
+            fs.mkdirs(marker.getParent())
+            fs.createNewFile(marker)
+            return
         spans = sequence_spans(
             sized, "__n", seq_len, order=id_col, id_col=id_col,
             base_offset=offset,
@@ -868,7 +880,6 @@ def write_sequence_store_stream(
             "part", F.floor(F.col("seq_id") / block)
         ).write.mode("append").partitionBy("part").parquet(manifest)
         batch.select(id_col, tokens_col).write.mode("append").parquet(docs_p)
-        total = sized.agg(F.sum("__n")).first()[0] or 0
         n_complete = (offset + int(total)) // seq_len
         n_done = 0
         if fs.exists(jvm.org.apache.hadoop.fs.Path(seqs_p)):
