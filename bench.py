@@ -372,6 +372,7 @@ def _xlarge_bench(spark, sf_dir: str, results: dict) -> None:
         "q130_bigram_lm_perplexity",
         "q134_char_contamination",
         "q137_exact_substring_dedup",  # r9: the newest dedup family carries its own rung
+        "q158_sequence_manifest",  # r12: the loader family's two-pass prefix sum + explode
     )
     d = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "text", "lang")
     parts = [

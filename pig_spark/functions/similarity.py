@@ -998,6 +998,44 @@ def kcenter_select(
 ANN_MODEL_FILE = "_ann_model.json"
 
 
+def _model_path_fs(spark, path: str):
+    jvm = spark._jvm
+    hconf = spark.sparkContext._jsc.hadoopConfiguration()
+    p = jvm.org.apache.hadoop.fs.Path(f"{path}/{ANN_MODEL_FILE}")
+    return p, p.getFileSystem(hconf), jvm
+
+
+def _read_model(spark, path: str) -> dict:
+    """Model-sidecar GET through the Hadoop FileSystem resolved from
+    the path (the ADVICE r11 rule: driver-local ``open()`` silently
+    targets a bogus local file for hdfs:// / s3a:// index paths — the
+    write half already went through the FS API, the read half must
+    too). Local paths resolve to the local FS; behavior there is
+    unchanged."""
+    import json
+
+    p, fs, jvm = _model_path_fs(spark, path)
+    stream = fs.open(p)
+    try:
+        data = bytes(jvm.org.apache.commons.io.IOUtils.toByteArray(stream))
+    finally:
+        stream.close()
+    return json.loads(data.decode())
+
+
+def _write_model(spark, path: str, model: dict) -> None:
+    """Model-sidecar PUT through the Hadoop FileSystem (see
+    :func:`_read_model`)."""
+    import json
+
+    p, fs, _ = _model_path_fs(spark, path)
+    out = fs.create(p, True)
+    try:
+        out.write(json.dumps(model).encode())
+    finally:
+        out.close()
+
+
 def ann_index_store(
     df: DataFrame,
     path: str,
@@ -1012,9 +1050,6 @@ def ann_index_store(
     encode pass over the corpus; the partitioned write is the only
     shuffle-ish step (DataFrameWriter partitionBy groups files by
     cell). Returns the model dict."""
-    import json
-    import os
-
     centroids = bootstrap_centroids(df, id_col, vec_col)
     cbs = pq_codebooks(df, id_col, vec_col)
     enc = pq_encode(
@@ -1029,9 +1064,9 @@ def ann_index_store(
         "codebooks": cbs,
     }
     # model sidecar rides next to the data (an object-store PUT at
-    # deployment; plain file IO here — it is model-sized by contract)
-    with open(os.path.join(path, ANN_MODEL_FILE), "w") as f:
-        json.dump(model, f)
+    # deployment) — through the Hadoop FS resolved from the path, so
+    # a remote index path gets its sidecar where the data went
+    _write_model(df.sparkSession, path, model)
     return model
 
 
@@ -1050,11 +1085,7 @@ def ann_index_probe(
     top-k is a TakeOrdered. Produces bit-identically the same answer
     as the in-memory q153 probe — the index round-trip adds no
     approximation."""
-    import json
-    import os
-
-    with open(os.path.join(path, ANN_MODEL_FILE)) as f:
-        model = json.load(f)
+    model = _read_model(spark, path)
     qvec = [float(x) for x in query]
     centroids = [(int(c), [float(x) for x in v]) for c, v in model["centroids"]]
     cbs = [[[float(x) for x in cw] for cw in cb] for cb in model["codebooks"]]
@@ -1104,13 +1135,9 @@ def ann_index_batch_probe(
     each), never with data; per-row work is queries-matching-this-
     cell × m lookups. Each query's answer is bit-identical to its
     own ann_index_probe call (tested)."""
-    import json
-    import os
-
     from pyspark.sql import Window
 
-    with open(os.path.join(path, ANN_MODEL_FILE)) as f:
-        model = json.load(f)
+    model = _read_model(spark, path)
     centroids = [(int(c), [float(x) for x in v]) for c, v in model["centroids"]]
     cbs = [[[float(x) for x in cw] for cw in cb] for cb in model["codebooks"]]
     id_col = model["id_col"]
@@ -1121,31 +1148,37 @@ def ann_index_batch_probe(
         nb = sum(x * x for x in b) ** 0.5
         return sum(x * y for x, y in zip(a, b)) / (na * nb) if na and nb else 0.0
 
-    rows = []
+    cell_rows = []
+    lut_rows = []
     union_cells: set[int] = set()
     for qid, q in queries:
         qvec = [float(x) for x in q]
         probe = sorted(centroids, key=lambda c: (-_cos(qvec, c[1]), c[0]))[:nprobe]
-        luts = [
+        lut_rows.append((
+            int(qid),
             [
-                sum(
-                    (a - b) * (a - b)
-                    for a, b in zip(qvec[mm * dsub : (mm + 1) * dsub], cw)
-                )
-                for cw in cbs[mm]
-            ]
-            for mm in range(m)
-        ]
+                [
+                    sum(
+                        (a - b) * (a - b)
+                        for a, b in zip(qvec[mm * dsub : (mm + 1) * dsub], cw)
+                    )
+                    for cw in cbs[mm]
+                ]
+                for mm in range(m)
+            ],
+        ))
         for cid, _ in probe:
-            rows.append((int(qid), int(cid), luts))
+            cell_rows.append((int(qid), int(cid)))
             union_cells.add(int(cid))
-    qdf = spark.createDataFrame(
-        rows, "qid int, cell int, adc array<array<double>>"
-    )
+    # each query's m×k LUT ships ONCE (its own broadcast row), not
+    # once per probed cell — the (qid, cell) pair table is the only
+    # thing that grows with nprobe
+    qcells = spark.createDataFrame(cell_rows, "qid int, cell int")
+    qluts = spark.createDataFrame(lut_rows, "qid int, adc array<array<double>>")
     codes = spark.read.parquet(path).filter(
         F.col("cell").isin(*sorted(union_cells))
     )
-    j = codes.join(F.broadcast(qdf), "cell")
+    j = codes.join(F.broadcast(qcells), "cell").join(F.broadcast(qluts), "qid")
     dist = None
     for mm in range(m):
         term = F.element_at(
@@ -1188,11 +1221,7 @@ def ann_index_compact(spark, path: str, out_path: str) -> None:
     after a burst of streamed epochs — and swap the serving path
     atomically (out_path is a new directory; at deployment, flip a
     pointer/manifest rather than renaming in place)."""
-    import json
-    import os
-
-    with open(os.path.join(path, ANN_MODEL_FILE)) as f:
-        model = json.load(f)
+    model = _read_model(spark, path)
     id_col = model["id_col"]
     idx = spark.read.parquet(path)
     (
@@ -1202,12 +1231,4 @@ def ann_index_compact(spark, path: str, out_path: str) -> None:
         .partitionBy("cell")
         .parquet(out_path)
     )
-    jvm = spark._jvm
-    hconf = spark.sparkContext._jsc.hadoopConfiguration()
-    dst = jvm.org.apache.hadoop.fs.Path(f"{out_path}/{ANN_MODEL_FILE}")
-    fs = dst.getFileSystem(hconf)
-    out = fs.create(dst, True)
-    try:
-        out.write(json.dumps(model).encode())
-    finally:
-        out.close()
+    _write_model(spark, out_path, model)

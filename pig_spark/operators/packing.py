@@ -414,7 +414,13 @@ def sequence_store(
     tokens at L=512): big enough that file counts stay sane at 100 TB,
     small enough that a rank's range maps to whole blocks."""
     sized = df.select(id_col, F.size(tokens_col).cast("long").alias("__n"))
-    spans = sequence_spans(sized, "__n", seq_len, order=id_col, id_col=id_col)
+    # spans feed TWO consumers (manifest write + gather join): cut the
+    # lineage once so the prefix-sum plan and the scan under it don't
+    # re-execute (the q160 manifest-reuse convention) — the
+    # materialized spans are corpus/L rows, cheap by construction
+    spans = sequence_spans(
+        sized, "__n", seq_len, order=id_col, id_col=id_col
+    ).localCheckpoint()
     spans.withColumn("part", F.floor(F.col("seq_id") / block)).write.mode(
         "overwrite"
     ).partitionBy("part").parquet(f"{path}/manifest")

@@ -4274,7 +4274,7 @@ def q161_bpe_sequence_pack(spark: SparkSession, sf: str) -> DataFrame:
     edge-tested on the 'aaa'+(a,a) case)."""
     from .functions.ml import stage_word_types, train_bpe
     from .functions.text import tokenize_ws
-    from .operators.packing import sequence_spans
+    from .operators.packing import gather_sequences, sequence_spans
 
     L = 256
     d = spark.read.parquet(f"{sf}/documents.parquet").select("doc_id", "text")
@@ -4312,24 +4312,7 @@ def q161_bpe_sequence_pack(spark: SparkSession, sf: str) -> DataFrame:
     )
     sized = docids.select("doc_id", F.size("ids").cast("long").alias("n"))
     spans = sequence_spans(sized, "n", L, order="doc_id")
-    joined = spans.join(docids, "doc_id").select(
-        "seq_id",
-        "start_in_seq",
-        F.slice(
-            "ids",
-            F.col("start_in_doc").cast("int") + 1,
-            F.col("span_len").cast("int"),
-        ).alias("piece"),
-    )
-    assembled = joined.groupBy("seq_id").agg(
-        F.count(F.lit(1)).alias("n_spans"),
-        F.flatten(
-            F.transform(
-                F.array_sort(F.collect_list(F.struct("start_in_seq", "piece"))),
-                lambda x: x["piece"],
-            )
-        ).alias("toks"),
-    )
+    assembled = gather_sequences(spans, docids, tokens_col="ids")
     return assembled.select(
         "seq_id",
         F.col("n_spans").cast("long").alias("n_spans"),

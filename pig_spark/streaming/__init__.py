@@ -742,21 +742,24 @@ def write_sequence_manifest_stream(
     Batch/stream parity: streaming the corpus in id order, in ANY
     batch split, yields bit-identically the batch manifest (tested).
 
-    The running offset is DERIVED, not stored: it is
-    ``SUM(span_len)`` over the manifest directory itself. Spark's
-    batch commit protocol only makes committed files visible, so the
-    derived offset always equals the data a reader can see — there is
-    no sidecar to drift out of sync, and a crash between "data
-    committed" and "offset recorded" cannot exist by construction.
-    Epoch replay (checkpoint recovery re-delivering a committed
-    batch) is guarded by the ann-index underscore-marker convention,
-    through the Hadoop FileSystem resolved from the path (never
-    driver-local os.path — ADVICE r11).
+    BOTH pieces of state are DERIVED from the manifest itself, and
+    the epoch id rides IN the appended rows (``__epoch``) — so the
+    replay skip-check and the data share ONE atomic parquet commit:
+    offset = ``SUM(span_len)`` over committed rows, replay = "rows
+    with my epoch already exist". A crash between "data committed"
+    and "bookkeeping recorded" cannot exist because there is no
+    bookkeeping outside the data; a crash BEFORE the commit leaves
+    nothing visible and the replay re-runs cleanly. (A side-file
+    marker — the ann-index convention — would leave a window where
+    the data committed but the marker didn't, and the re-derived
+    offset would shift the replayed spans into NON-identical
+    duplicates; deriving both from the data closes it.)
 
     100 TB design: per batch it IS the batch plan (two-pass prefix
-    sum + spans-sized explode); the offset read is a column-pruned
-    aggregate over the spans-sized manifest (corpus/L rows — compact
-    to :func:`~pig_spark.operators.packing.sequence_store`'s blocked
+    sum + spans-sized explode); the offset and skip reads are
+    column-pruned aggregates over the spans-sized manifest (corpus/L
+    rows — compact to
+    :func:`~pig_spark.operators.packing.sequence_store`'s blocked
     layout when the loader wants pruned reads); the appended files
     partition naturally by arrival."""
     from ..operators.packing import sequence_spans
@@ -767,31 +770,26 @@ def write_sequence_manifest_stream(
         spark = batch.sparkSession
         jvm = spark._jvm
         hconf = spark.sparkContext._jsc.hadoopConfiguration()
-        marker = jvm.org.apache.hadoop.fs.Path(
-            f"{path}/_manifest_epochs/{epoch_id}"
-        )
-        fs = marker.getFileSystem(hconf)
-        if fs.exists(marker):
-            return  # replayed epoch: its spans are already committed
+        fs = jvm.org.apache.hadoop.fs.Path(manifest).getFileSystem(hconf)
         offset = 0
         if fs.exists(jvm.org.apache.hadoop.fs.Path(manifest)):
-            row = (
-                spark.read.parquet(manifest)
-                .agg(F.sum(F.col("span_len").cast("long")))
-                .first()
-            )
+            m = spark.read.parquet(manifest)
+            if m.where(F.col("__epoch") == epoch_id).limit(1).count() > 0:
+                return  # replayed epoch: its spans are already committed
+            row = m.agg(F.sum(F.col("span_len").cast("long"))).first()
             offset = int(row[0] or 0)
+        # an all-empty batch appends nothing (an empty write can leave
+        # a directory a later schema-inferring read chokes on) — and
+        # with no appended rows the epoch has nothing to skip anyway
+        if batch.where(F.col(tokens_col) > 0).limit(1).count() == 0:
+            return
         spans = sequence_spans(
             batch, tokens_col, seq_len, order=id_col, id_col=id_col,
             base_offset=offset,
         )
-        # an all-empty batch appends nothing: an empty partitionless
-        # write can leave a directory a later schema-inferring read
-        # chokes on, so only touch the manifest with real spans
-        if spans.limit(1).count() > 0:
-            spans.write.mode("append").parquet(manifest)
-        fs.mkdirs(marker.getParent())
-        fs.createNewFile(marker)
+        spans.withColumn("__epoch", F.lit(epoch_id)).write.mode(
+            "append"
+        ).parquet(manifest)
 
     return (
         doc_stream.writeStream.foreachBatch(_append_once)
@@ -823,13 +821,19 @@ def write_sequence_store_stream(
     mid-stream; the batch job's drop-last equivalent).
 
     Every piece of state is DERIVED from committed data — offset =
-    SUM(span_len) over the manifest, finalized count = the sequences
-    table's row count (seq_ids are dense by construction) — so no
-    counter can drift from what a reader sees. Epoch replay is
-    guarded by the underscore-marker convention (Hadoop FS from the
-    path); the residual crash window (docs appended, marker missing)
-    leaves only duplicate IDENTICAL doc rows, which finalization
-    drops with dropDuplicates(id) — exactness is unaffected.
+    SUM(span_len) over the manifest, the replay skip-check = "my
+    ``__epoch`` already has manifest rows" (the id rides IN the
+    manifest rows, so skip-check and data share ONE atomic parquet
+    commit — no side-marker window can shift a replayed batch into
+    non-identical duplicates), finalized count = the sequences
+    table's row count (seq_ids are dense by construction). Write
+    order bounds the remaining crash windows: docs append FIRST (a
+    replay re-appends IDENTICAL rows, deduped on read), the manifest
+    append is the epoch's commit point, and finalization runs at the
+    TOP of every batch as well as the bottom — a crash between the
+    manifest commit and the sequences write self-heals on the next
+    batch (or restart), because the gap is recomputed from committed
+    state every time.
 
     100 TB design: per batch = the batch plans (prefix sum, one
     equi-join gather over only the NEW sequences' spans); the
@@ -843,44 +847,7 @@ def write_sequence_store_stream(
     docs_p = f"{path}/docs"
     seqs_p = f"{path}/sequences"
 
-    def _ingest(batch: DataFrame, epoch_id: int) -> None:
-        spark = batch.sparkSession
-        jvm = spark._jvm
-        hconf = spark.sparkContext._jsc.hadoopConfiguration()
-        marker = jvm.org.apache.hadoop.fs.Path(
-            f"{path}/_store_epochs/{epoch_id}"
-        )
-        fs = marker.getFileSystem(hconf)
-        if fs.exists(marker):
-            return
-        offset = 0
-        if fs.exists(jvm.org.apache.hadoop.fs.Path(manifest)):
-            row = (
-                spark.read.parquet(manifest)
-                .agg(F.sum(F.col("span_len").cast("long")))
-                .first()
-            )
-            offset = int(row[0] or 0)
-        sized = batch.select(
-            F.col(id_col), F.size(tokens_col).cast("long").alias("__n")
-        ).where(F.col("__n") > 0)
-        total = sized.agg(F.sum("__n")).first()[0] or 0
-        if int(total) == 0:
-            # all-empty batch: nothing to pack; mark and move on (an
-            # empty partitioned append can leave a directory a later
-            # schema-inferring read chokes on)
-            fs.mkdirs(marker.getParent())
-            fs.createNewFile(marker)
-            return
-        spans = sequence_spans(
-            sized, "__n", seq_len, order=id_col, id_col=id_col,
-            base_offset=offset,
-        )
-        spans.withColumn(
-            "part", F.floor(F.col("seq_id") / block)
-        ).write.mode("append").partitionBy("part").parquet(manifest)
-        batch.select(id_col, tokens_col).write.mode("append").parquet(docs_p)
-        n_complete = (offset + int(total)) // seq_len
+    def _finalize(spark, fs, jvm, n_complete: int) -> None:
         n_done = 0
         if fs.exists(jvm.org.apache.hadoop.fs.Path(seqs_p)):
             n_done = spark.read.parquet(seqs_p).count()
@@ -898,8 +865,44 @@ def write_sequence_store_stream(
             out.withColumn(
                 "part", F.floor(F.col("seq_id") / block)
             ).write.mode("append").partitionBy("part").parquet(seqs_p)
-        fs.mkdirs(marker.getParent())
-        fs.createNewFile(marker)
+
+    def _ingest(batch: DataFrame, epoch_id: int) -> None:
+        spark = batch.sparkSession
+        jvm = spark._jvm
+        hconf = spark.sparkContext._jsc.hadoopConfiguration()
+        fs = jvm.org.apache.hadoop.fs.Path(manifest).getFileSystem(hconf)
+        offset = 0
+        if fs.exists(jvm.org.apache.hadoop.fs.Path(manifest)):
+            m = spark.read.parquet(manifest)
+            offset = int(
+                m.agg(F.sum(F.col("span_len").cast("long"))).first()[0] or 0
+            )
+            # heal any finalization gap a prior crash left (committed
+            # manifest, missing sequences) BEFORE the skip check, so a
+            # restart repairs the store even when the epoch replays
+            _finalize(spark, fs, jvm, offset // seq_len)
+            if m.where(F.col("__epoch") == epoch_id).limit(1).count() > 0:
+                return  # replayed epoch: already committed
+        sized = batch.select(
+            F.col(id_col), F.size(tokens_col).cast("long").alias("__n")
+        ).where(F.col("__n") > 0)
+        total = sized.agg(F.sum("__n")).first()[0] or 0
+        if int(total) == 0:
+            # all-empty batch: nothing to pack, nothing to record (an
+            # empty partitioned append can leave a directory a later
+            # schema-inferring read chokes on; replaying it is a no-op)
+            return
+        # docs BEFORE the manifest commit point: a crash between the
+        # two re-appends identical doc rows on replay (deduped on read)
+        batch.select(id_col, tokens_col).write.mode("append").parquet(docs_p)
+        spans = sequence_spans(
+            sized, "__n", seq_len, order=id_col, id_col=id_col,
+            base_offset=offset,
+        )
+        spans.withColumn("part", F.floor(F.col("seq_id") / block)).withColumn(
+            "__epoch", F.lit(epoch_id)
+        ).write.mode("append").partitionBy("part").parquet(manifest)
+        _finalize(spark, fs, jvm, (offset + int(total)) // seq_len)
 
     return (
         doc_stream.writeStream.foreachBatch(_ingest)

@@ -1151,12 +1151,12 @@ def test_sequence_manifest_stream_matches_batch(spark, sf_dir, tmp_path):
     assert both > 0
 
 
-def test_sequence_manifest_stream_replay_skips_marked_epochs(spark, sf_dir, tmp_path):
+def test_sequence_manifest_stream_replay_is_idempotent(spark, sf_dir, tmp_path):
     """Replay (wiped checkpoint re-delivering the same feed as epoch
     0) must not duplicate manifest spans OR double-advance the
-    derived offset — the epoch marker skips the append, and because
-    the offset is derived from committed data there is no counter to
-    corrupt."""
+    derived offset — the epoch id rides IN the manifest rows, so the
+    skip-check and the data share one atomic commit and there is no
+    marker window that could shift a replayed batch."""
     import shutil
 
     from pig_spark.functions.text import tokenize_ws
@@ -1298,3 +1298,72 @@ def test_sequence_store_stream_replay_is_idempotent(spark, sf_dir, tmp_path):
     _run(str(tmp_path / "ckpt"))
     assert spark.read.parquet(f"{out}/manifest").count() == n_man
     assert spark.read.parquet(f"{out}/sequences").count() == n_seq
+
+
+def test_sequence_store_stream_heals_partial_crash(spark, sf_dir, tmp_path):
+    """The bounded crash windows actually heal: (a) docs appended but
+    manifest not committed (crash before the epoch's commit point) —
+    the re-run re-appends identical doc rows and dedups on read; (b)
+    manifest committed but sequences not finalized — the next run's
+    top-of-batch heal closes the gap. Final store must equal the
+    clean-run store bit-for-bit."""
+    from pig_spark.functions.text import tokenize_ws
+    from pig_spark.streaming import write_sequence_store_stream
+
+    d = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .select("doc_id", tokenize_ws(F.col("text")).alias("tk"))
+        .where(F.size("tk") > 0)
+        .limit(60)
+    )
+    feed = str(tmp_path / "feed")
+    d.write.parquet(feed)
+    out = str(tmp_path / "store")
+    # (a) simulate the pre-commit crash: docs landed, manifest didn't
+    d.write.mode("append").parquet(f"{out}/docs")
+
+    def _run(ckpt: str) -> None:
+        src = spark.readStream.schema(d.schema).parquet(feed)
+        q = write_sequence_store_stream(src, out, 512, ckpt)
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+
+    _run(str(tmp_path / "ckpt"))
+    got = {
+        tuple(r)
+        for r in spark.read.parquet(f"{out}/sequences")
+        .select("seq_id", "n_spans", F.md5(F.array_join("toks", " ")))
+        .collect()
+    }
+    # clean reference run
+    clean = str(tmp_path / "clean")
+    _run_ckpt = str(tmp_path / "ckpt2")
+    src = spark.readStream.schema(d.schema).parquet(feed)
+    q = write_sequence_store_stream(src, clean, 512, _run_ckpt)
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    want = {
+        tuple(r)
+        for r in spark.read.parquet(f"{clean}/sequences")
+        .select("seq_id", "n_spans", F.md5(F.array_join("toks", " ")))
+        .collect()
+    }
+    assert got == want and len(want) > 0
+    # (b) wipe the sequences table (manifest committed, finalization
+    # lost) — a replayed restart heals it from committed state
+    import shutil
+
+    shutil.rmtree(f"{out}/sequences")
+    shutil.rmtree(str(tmp_path / "ckpt"))
+    _run(str(tmp_path / "ckpt"))
+    healed = {
+        tuple(r)
+        for r in spark.read.parquet(f"{out}/sequences")
+        .select("seq_id", "n_spans", F.md5(F.array_join("toks", " ")))
+        .collect()
+    }
+    assert healed == want
