@@ -722,6 +722,50 @@ def write_ann_index_stream(df: DataFrame, path: str, checkpoint: str):
     )
 
 
+
+def _batch_signature(sized: DataFrame, id_col: str) -> str:
+    """Content signature of a micro-batch — the sequence family's
+    replay key: (row count, order-insensitive sum of per-row md5-60
+    hashes, token total). Identical content ⇒ identical signature, so
+    a re-delivered batch skips NO MATTER how the engine numbered it
+    (checkpoint-scoped batch ids collide across fresh checkpoints —
+    keying on content distinguishes "same data replayed" from "new
+    run, new data", which a bare epoch id cannot). Wrapping long
+    overflow in the hash sum is deterministic and fine for a
+    fingerprint. One batch-sized aggregate, no driver-side rows
+    beyond the 1-row result."""
+    row = sized.agg(
+        F.count(F.lit(1)).alias("c"),
+        F.sum(
+            F.conv(
+                F.substring(
+                    F.md5(F.concat_ws(":", F.col(id_col), F.col("__n"))),
+                    1, 15,
+                ),
+                16, 10,
+            ).cast("long")
+        ).alias("h"),
+        F.sum("__n").alias("t"),
+    ).first()
+    return f"{row['c']}_{row['h']}_{row['t']}"
+
+
+def _read_committed(spark, dir_path: str):
+    """Read a parquet directory that may not exist, may hold only a
+    crashed write's ``_temporary`` litter (fs.exists true, zero
+    committed files — schema inference throws), or may predate a
+    schema addition. Returns the DataFrame or None for "nothing
+    committed"; callers treat None as empty state. This is the
+    recovery-path guard: without it, a crash during the very FIRST
+    append wedges every restart on the schema-inference error."""
+    from pyspark.errors import AnalysisException
+
+    try:
+        return spark.read.parquet(dir_path)
+    except AnalysisException:
+        return None
+
+
 def write_sequence_manifest_stream(
     doc_stream: DataFrame,
     path: str,
@@ -743,17 +787,29 @@ def write_sequence_manifest_stream(
     batch split, yields bit-identically the batch manifest (tested).
 
     BOTH pieces of state are DERIVED from the manifest itself, and
-    the epoch id rides IN the appended rows (``__epoch``) — so the
-    replay skip-check and the data share ONE atomic parquet commit:
-    offset = ``SUM(span_len)`` over committed rows, replay = "rows
-    with my epoch already exist". A crash between "data committed"
-    and "bookkeeping recorded" cannot exist because there is no
+    the replay key rides IN the appended rows (``__epoch`` = the
+    batch's CONTENT signature, :func:`_batch_signature`) — so the
+    skip-check and the data share ONE atomic parquet commit: offset =
+    ``SUM(span_len)`` over committed rows, replay = "rows with my
+    signature already exist". A crash between "data committed" and
+    "bookkeeping recorded" cannot exist because there is no
     bookkeeping outside the data; a crash BEFORE the commit leaves
-    nothing visible and the replay re-runs cleanly. (A side-file
-    marker — the ann-index convention — would leave a window where
-    the data committed but the marker didn't, and the re-derived
-    offset would shift the replayed spans into NON-identical
-    duplicates; deriving both from the data closes it.)
+    nothing committed (the recovery read tolerates the _temporary
+    litter) and the replay re-runs cleanly. Content keying also means
+    a NEW stream over NEW files with a fresh checkpoint appends
+    correctly even though its batch ids restart at 0 — only
+    identical content skips. The skip granularity is the BATCH: a
+    re-delivery chopped into different batch boundaries is not
+    recognized (same as any batch-level idempotence, markers
+    included) — recovery replays use the checkpoint, which preserves
+    batch composition. (A side-file marker — the ann-index
+    convention — would leave a window where the data committed but
+    the marker didn't, and the re-derived offset would shift the
+    replayed spans into NON-identical duplicates; deriving both from
+    the data closes it.) Manifests written before the signature
+    column existed read as "no signatures recorded" (no skip
+    protection for pre-upgrade replays — rebuild or accept the
+    one-time risk).
 
     100 TB design: per batch it IS the batch plan (two-pass prefix
     sum + spans-sized explode); the offset and skip reads are
@@ -768,26 +824,37 @@ def write_sequence_manifest_stream(
 
     def _append_once(batch: DataFrame, epoch_id: int) -> None:
         spark = batch.sparkSession
-        jvm = spark._jvm
-        hconf = spark.sparkContext._jsc.hadoopConfiguration()
-        fs = jvm.org.apache.hadoop.fs.Path(manifest).getFileSystem(hconf)
-        offset = 0
-        if fs.exists(jvm.org.apache.hadoop.fs.Path(manifest)):
-            m = spark.read.parquet(manifest)
-            if m.where(F.col("__epoch") == epoch_id).limit(1).count() > 0:
-                return  # replayed epoch: its spans are already committed
-            row = m.agg(F.sum(F.col("span_len").cast("long"))).first()
-            offset = int(row[0] or 0)
+        sized = batch.select(
+            F.col(id_col), F.col(tokens_col).cast("long").alias("__n")
+        ).where(F.col("__n") > 0)
         # an all-empty batch appends nothing (an empty write can leave
         # a directory a later schema-inferring read chokes on) — and
-        # with no appended rows the epoch has nothing to skip anyway
-        if batch.where(F.col(tokens_col) > 0).limit(1).count() == 0:
+        # with no appended rows there is nothing to skip on replay
+        if sized.limit(1).count() == 0:
             return
+        sig = _batch_signature(sized, id_col)
+        offset = 0
+        m = _read_committed(spark, manifest)
+        if m is not None:
+            # ONE manifest pass returns both the offset and the
+            # replay flag (pre-signature manifests have no column —
+            # read as "no signatures recorded")
+            seen = (
+                F.max(F.when(F.col("__epoch") == sig, 1))
+                if "__epoch" in m.columns
+                else F.lit(None)
+            )
+            row = m.agg(
+                F.sum(F.col("span_len").cast("long")), seen.alias("seen")
+            ).first()
+            if row["seen"] is not None:
+                return  # same content already committed: replay
+            offset = int(row[0] or 0)
         spans = sequence_spans(
             batch, tokens_col, seq_len, order=id_col, id_col=id_col,
             base_offset=offset,
         )
-        spans.withColumn("__epoch", F.lit(epoch_id)).write.mode(
+        spans.withColumn("__epoch", F.lit(sig)).write.mode(
             "append"
         ).parquet(manifest)
 
@@ -822,18 +889,22 @@ def write_sequence_store_stream(
 
     Every piece of state is DERIVED from committed data — offset =
     SUM(span_len) over the manifest, the replay skip-check = "my
-    ``__epoch`` already has manifest rows" (the id rides IN the
-    manifest rows, so skip-check and data share ONE atomic parquet
-    commit — no side-marker window can shift a replayed batch into
-    non-identical duplicates), finalized count = the sequences
-    table's row count (seq_ids are dense by construction). Write
-    order bounds the remaining crash windows: docs append FIRST (a
-    replay re-appends IDENTICAL rows, deduped on read), the manifest
-    append is the epoch's commit point, and finalization runs at the
-    TOP of every batch as well as the bottom — a crash between the
-    manifest commit and the sequences write self-heals on the next
-    batch (or restart), because the gap is recomputed from committed
-    state every time.
+    batch's CONTENT signature already has manifest rows" (``__epoch``
+    = :func:`_batch_signature`, riding IN the rows: skip-check and
+    data share ONE atomic parquet commit, no side-marker window can
+    shift a replayed batch into non-identical duplicates, and a NEW
+    stream with a fresh checkpoint never collides with old batch
+    numbering), finalized count = the sequences table's row count
+    (seq_ids are dense by construction). Write order bounds the
+    remaining crash windows: docs append FIRST (a replay re-appends
+    IDENTICAL rows, deduped on read), the manifest append is the
+    batch's commit point, and finalization self-heals: it runs once
+    at the first batch after a (re)start as well as after every
+    append — a crash between the manifest commit and the sequences
+    write is repaired from committed state. The recovery reads
+    tolerate a crashed first write's ``_temporary`` litter
+    (:func:`_read_committed`); pre-signature manifests read as "no
+    signatures recorded".
 
     100 TB design: per batch = the batch plans (prefix sum, one
     equi-join gather over only the NEW sequences' spans); the
@@ -866,32 +937,51 @@ def write_sequence_store_stream(
                 "part", F.floor(F.col("seq_id") / block)
             ).write.mode("append").partitionBy("part").parquet(seqs_p)
 
+    healed = {"done": False}
+
     def _ingest(batch: DataFrame, epoch_id: int) -> None:
         spark = batch.sparkSession
         jvm = spark._jvm
         hconf = spark.sparkContext._jsc.hadoopConfiguration()
         fs = jvm.org.apache.hadoop.fs.Path(manifest).getFileSystem(hconf)
-        offset = 0
-        if fs.exists(jvm.org.apache.hadoop.fs.Path(manifest)):
-            m = spark.read.parquet(manifest)
-            offset = int(
-                m.agg(F.sum(F.col("span_len").cast("long"))).first()[0] or 0
-            )
-            # heal any finalization gap a prior crash left (committed
-            # manifest, missing sequences) BEFORE the skip check, so a
-            # restart repairs the store even when the epoch replays
-            _finalize(spark, fs, jvm, offset // seq_len)
-            if m.where(F.col("__epoch") == epoch_id).limit(1).count() > 0:
-                return  # replayed epoch: already committed
         sized = batch.select(
             F.col(id_col), F.size(tokens_col).cast("long").alias("__n")
         ).where(F.col("__n") > 0)
-        total = sized.agg(F.sum("__n")).first()[0] or 0
-        if int(total) == 0:
+        stats = sized.agg(
+            F.count(F.lit(1)).alias("c"), F.sum("__n").alias("t")
+        ).first()
+        offset = 0
+        sig = None
+        m = _read_committed(spark, manifest)
+        if m is not None:
+            if int(stats["c"] or 0) > 0:
+                sig = _batch_signature(sized, id_col)
+            # ONE manifest pass: offset + replay flag together
+            seen = (
+                F.max(F.when(F.col("__epoch") == sig, 1))
+                if sig is not None and "__epoch" in m.columns
+                else F.lit(None)
+            )
+            row = m.agg(
+                F.sum(F.col("span_len").cast("long")), seen.alias("seen")
+            ).first()
+            offset = int(row[0] or 0)
+            if not healed["done"]:
+                # first batch after a (re)start: repair any
+                # finalization gap a prior crash left (committed
+                # manifest, missing sequences); steady-state batches
+                # skip this — only a crash can open a gap
+                _finalize(spark, fs, jvm, offset // seq_len)
+                healed["done"] = True
+            if row["seen"] is not None:
+                return  # same content already committed: replay
+        if int(stats["t"] or 0) == 0:
             # all-empty batch: nothing to pack, nothing to record (an
             # empty partitioned append can leave a directory a later
             # schema-inferring read chokes on; replaying it is a no-op)
             return
+        if sig is None:
+            sig = _batch_signature(sized, id_col)
         # docs BEFORE the manifest commit point: a crash between the
         # two re-appends identical doc rows on replay (deduped on read)
         batch.select(id_col, tokens_col).write.mode("append").parquet(docs_p)
@@ -900,9 +990,9 @@ def write_sequence_store_stream(
             base_offset=offset,
         )
         spans.withColumn("part", F.floor(F.col("seq_id") / block)).withColumn(
-            "__epoch", F.lit(epoch_id)
+            "__epoch", F.lit(sig)
         ).write.mode("append").partitionBy("part").parquet(manifest)
-        _finalize(spark, fs, jvm, (offset + int(total)) // seq_len)
+        _finalize(spark, fs, jvm, (offset + int(stats["t"])) // seq_len)
 
     return (
         doc_stream.writeStream.foreachBatch(_ingest)

@@ -1367,3 +1367,60 @@ def test_sequence_store_stream_heals_partial_crash(spark, sf_dir, tmp_path):
         .collect()
     }
     assert healed == want
+
+
+def test_sequence_manifest_stream_new_run_appends_new_data(spark, sf_dir, tmp_path):
+    """Content-keyed replay (not batch-id-keyed): a NEW stream over
+    NEW files with a FRESH checkpoint — whose batch ids restart at
+    0 — must APPEND, not silently skip against the old run's batch 0;
+    and re-delivering the first run's content must still skip. Also
+    pins `_temporary`-litter recovery: a crashed first write's leftover
+    directory must not wedge the offset read."""
+    from pig_spark.functions.text import tokenize_ws
+    from pig_spark.streaming import write_sequence_manifest_stream
+
+    d = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .select("doc_id", F.size(tokenize_ws(F.col("text"))).cast("long").alias("n_tokens"))
+        .where("n_tokens > 0")
+    )
+    mid = d.agg(F.expr("percentile_approx(doc_id, 0.5)")).first()[0]
+    out = str(tmp_path / "manifest_store")
+    # simulate a crashed first write: _temporary litter, no data files
+    import os
+
+    os.makedirs(f"{out}/manifest/_temporary/0", exist_ok=True)
+
+    def _run(feed: str, ckpt: str) -> None:
+        src = spark.readStream.schema(d.schema).parquet(feed)
+        q = write_sequence_manifest_stream(src, out, 512, ckpt)
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+
+    feed_a = str(tmp_path / "feed_a")
+    feed_b = str(tmp_path / "feed_b")
+    d.where(f"doc_id < {mid}").write.parquet(feed_a)
+    d.where(f"doc_id >= {mid}").write.parquet(feed_b)
+
+    _run(feed_a, str(tmp_path / "ckpt_a"))
+    n_a = spark.read.parquet(f"{out}/manifest").count()
+    assert n_a > 0
+    # NEW run, NEW data, FRESH checkpoint (batch ids restart at 0)
+    _run(feed_b, str(tmp_path / "ckpt_b"))
+    n_ab = spark.read.parquet(f"{out}/manifest").count()
+    assert n_ab > n_a, "new run's data was silently skipped"
+    # second half's spans continue the global stream (offset carried)
+    total_a = d.where(f"doc_id < {mid}").agg(F.sum("n_tokens")).first()[0]
+    first_b_span = (
+        spark.read.parquet(f"{out}/manifest")
+        .where(f"doc_id >= {mid}")
+        .agg(F.min(F.col("seq_id") * 512 + F.col("start_in_seq")))
+        .first()[0]
+    )
+    assert first_b_span == total_a
+    # re-delivering feed A's content with yet another fresh checkpoint
+    # skips (same signatures)
+    _run(feed_a, str(tmp_path / "ckpt_c"))
+    assert spark.read.parquet(f"{out}/manifest").count() == n_ab
