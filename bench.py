@@ -114,6 +114,7 @@ HEADLINE = [
     "q172_position_ids",  # r12: packed position/segment id fingerprints
     "q173_ann_batch_probe",  # r12: 4-query batch ANN probe, one pruned scan
     "q174_epoch_budget_planner",  # r12: epoch/repetition budget water-filling
+    "q175_ann_recall_report",  # r12: recall@k report, probe vs exact top-k
     # q139 (classifier trainer), q144 (BPE trainer), q155 (residual
     # IVF-PQ, which embeds the coarse+PQ codebook TRAINER), q161
     # (BPE-id sequence packing, which embeds the q144 trainer), and

@@ -2667,6 +2667,28 @@ def oracle_sql() -> dict[str, str]:
     # round-trip must reproduce the in-memory probe bit-for-bit, so
     # its oracle IS q153's oracle
     out["q157_ann_index_probe"] = out["q153_ivfpq_probe"]
+    # q175 embeds the already-oracled q153 (probe) and q44 (exact
+    # top-k) bodies as subqueries — one source of truth per side —
+    # and intersects them with identical rank keys on both engines
+    out["q175_ann_recall_report"] = f"""
+            WITH ap AS (SELECT vec_id,
+                               ROW_NUMBER() OVER (ORDER BY adc_dist ASC,
+                                                  vec_id ASC) AS ra
+                        FROM ({out["q153_ivfpq_probe"]}) p),
+                 ex AS (SELECT vec_id,
+                               ROW_NUMBER() OVER (ORDER BY score DESC,
+                                                  vec_id ASC) AS rb
+                        FROM ({out["q44_cosine_topk"]}) x),
+                 j AS (SELECT ap.ra, ex.rb FROM ap JOIN ex USING (vec_id)),
+                 ks(k) AS (VALUES (1), (5), (10), (20))
+            SELECT CAST(ks.k AS BIGINT) AS k,
+                   CAST(COALESCE(SUM(CASE WHEN j.ra <= ks.k
+                                          AND j.rb <= ks.k THEN 1 END), 0)
+                        AS BIGINT) AS n_overlap,
+                   round(CAST(COALESCE(SUM(CASE WHEN j.ra <= ks.k
+                                               AND j.rb <= ks.k THEN 1 END),
+                                       0) AS DOUBLE) / ks.k, 6) AS recall
+            FROM ks LEFT JOIN j ON true GROUP BY ks.k"""
     # q167 reads the PERSISTED sequence store back and must reproduce
     # the in-memory gather (q159) bit-for-bit — same oracle, same
     # output contract (seq_id, n_spans, n_tokens, fp)

@@ -1136,3 +1136,21 @@ def test_epoch_budget_planner_plan(spark, sf_dir):
     assert "PythonUDF" not in phys and "EvalPython" not in phys, phys
     assert "CartesianProduct" not in phys, phys
     assert "Window" not in phys, phys
+
+
+def test_ann_recall_report_plan(spark, sf_dir):
+    """q175 (recall report): upstream reuses the pinned probe/top-k
+    plans; the report arithmetic runs over ≤20-row inputs (the
+    constant-sized window partitions are deliberate); no Python, no
+    cartesian product (the 4×≤20 k-fan-out is the broadcast
+    scalar-projection class)."""
+    from pig_spark.queries import q175_ann_recall_report
+
+    df = q175_ann_recall_report(spark, sf_dir)
+    phys = df._jdf.queryExecution().executedPlan().toString()
+    assert "PythonUDF" not in phys and "EvalPython" not in phys, phys
+    assert "CartesianProduct" not in phys, phys
+    rows = {r["k"]: r for r in df.collect()}
+    assert set(rows) == {1, 5, 10, 20}
+    for k, r in rows.items():
+        assert 0 <= r["n_overlap"] <= k
