@@ -4785,34 +4785,30 @@ def q175_ann_recall_report(spark: SparkSession, sf: str) -> DataFrame:
     distance/score + vec_id tie-break) and intersect on vec_id, so
     the report is exact cross-engine; the DuckDB twin embeds the
     already-oracled q153 and q44 bodies as subqueries — one source
-    of truth per side. The k-fan-out is a 4-row broadcast against a
-    ≤20-row join result (the scalar-projection class); everything
-    upstream reuses the pinned probe/top-k plans."""
-    from pyspark.sql import Window
-
+    of truth per side. The heavy lifting (probe + exact top-k) runs
+    the pinned Spark plans; the two 20-row results then collect and
+    rank DRIVER-side (the kcenter/scalar model-sized exception class
+    — a constant-partition window over 20 rows would trip the
+    catalog-wide unpartitioned-window audit after Catalyst folds the
+    literal key, and a distributed rank of 20 rows buys nothing);
+    the recall division rounds IN-PLAN on both engines."""
     from .functions import similarity
 
     e = _t(spark, sf, "embeddings").df
     query = [((i * 37) % 13 - 6) / 13.0 for i in range(similarity.EMB_DIM)]
-    approx = similarity.ivfpq_topk(e, query, k=20)
-    exact = similarity.cosine_topk(e, query, 20)
-    wa = Window.partitionBy(F.lit(1)).orderBy(
-        F.col("adc_dist").asc(), F.col("vec_id").asc()
-    )
-    wb = Window.partitionBy(F.lit(1)).orderBy(
-        F.col("score").desc(), F.col("vec_id").asc()
-    )
-    ra = approx.select("vec_id", F.row_number().over(wa).alias("ra"))
-    rb = exact.select("vec_id", F.row_number().over(wb).alias("rb"))
-    j = ra.join(rb, "vec_id").select("ra", "rb")
-    ks = spark.createDataFrame([(1,), (5,), (10,), (20,)], "k int")
-    hit = F.when((F.col("ra") <= F.col("k")) & (F.col("rb") <= F.col("k")), 1)
-    g = ks.join(j, F.lit(True), "left").groupBy("k").agg(
-        F.coalesce(F.sum(hit), F.lit(0)).alias("n_overlap")
-    )
-    return g.select(
-        F.col("k").cast("long").alias("k"),
-        F.col("n_overlap").cast("long").alias("n_overlap"),
+    # both collects are ordered limit-20 results — rank = position
+    a_ids = [r["vec_id"] for r in similarity.ivfpq_topk(e, query, k=20).collect()]
+    e_ids = [r["vec_id"] for r in similarity.cosine_topk(e, query, 20).collect()]
+    ra = {v: i + 1 for i, v in enumerate(a_ids)}
+    rb = {v: i + 1 for i, v in enumerate(e_ids)}
+    rows = [
+        (k, sum(1 for v, i in ra.items() if i <= k and rb.get(v, 99) <= k))
+        for k in (1, 5, 10, 20)
+    ]
+    lit = spark.createDataFrame(rows, "k long, n_overlap long")
+    return lit.select(
+        "k",
+        "n_overlap",
         F.round(F.col("n_overlap").cast("double") / F.col("k"), 6).alias(
             "recall"
         ),
