@@ -643,6 +643,37 @@ def char_shingles(col: Column, n: int = CHAR_SHINGLE_N) -> Column:
     )
 
 
+def _char_gram_hashes_staged(chars: Column, n: int = CHAR_SHINGLE_N) -> Column:
+    """Distinct xxhash64 values of the stride-1 character n-grams over
+    a PRE-STAGED char-array column (``split(lower(text), '')`` staged
+    as a projection — the module staging rule: ``chars`` must be a
+    column attribute, probed per element, never an inline split).
+
+    r12 optimization of :func:`_char_shingles_staged` for the
+    contamination counting paths (guide §1.2 "per-task work"):
+    ``substr(i, n)`` on a UTF8String scans from the string head to
+    locate codepoint ``i``, so materializing the n-char substring at
+    every position is O(len²) bytes scanned per document; splitting to
+    a char array ONCE and hashing a reference-copied ``slice`` per
+    position is O(len·n) reference work with no byte copying. Gram
+    hashes are equality keys only — every consumer counts overlap
+    between distinct-gram sets, so any collision-free hash yields
+    identical counts to the materialized-substring form (equal char
+    runs hash equal; 64-bit collisions are the same negligible class
+    the md5/xxhash pipeline already accepts everywhere else).
+
+    Texts shorter than ``n`` clamp to ONE whole-string gram (the
+    word_shingles clamp, preserved: ``slice`` past the array end
+    returns the short tail)."""
+    n_sh = F.greatest(F.size(chars) - F.lit(n - 1), F.lit(1))
+    return F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(1), n_sh),
+            lambda i: F.xxhash64(F.slice(chars, i.cast("int"), n)),
+        )
+    )
+
+
 def char_contamination_check(
     train: DataFrame,
     bench: DataFrame,
@@ -659,20 +690,19 @@ def char_contamination_check(
     :func:`contamination_check`: the eval side's distinct char-gram
     hashes broadcast, ONE train scan, ONE doc-id groupBy; only 64-bit
     xxhash64 values ever shuffle (counts are hash-agnostic — the
-    oracle compares raw-string overlap and gets identical counts)."""
-    staged = train.select(id_col, F.lower(F.col(text_col)).alias("__t"))
-    tr = staged.select(id_col, _char_shingles_staged(F.col("__t"), n).alias("__sh"))
-    # hash IN-ROW, explode LONGS (r8, same as contamination_check)
-    tr_grams = tr.select(
-        id_col, F.transform("__sh", lambda g: F.xxhash64(g)).alias("__gha")
-    ).select(id_col, F.explode("__gha").alias("__gh"))
-    bstaged = bench.select(F.lower(F.col(text_col)).alias("__t"))
+    oracle compares raw-string overlap and gets identical counts).
+    r12: grams are hashed straight off a staged char array
+    (:func:`_char_gram_hashes_staged`) instead of materializing every
+    n-char substring — O(len·n) per doc, was O(len²) byte scanning."""
+    staged = train.select(
+        id_col, F.split(F.lower(F.col(text_col)), "").alias("__c")
+    )
+    tr_grams = staged.select(
+        id_col, F.explode(_char_gram_hashes_staged(F.col("__c"), n)).alias("__gh")
+    )
+    bstaged = bench.select(F.split(F.lower(F.col(text_col)), "").alias("__c"))
     bench_grams = (
-        bstaged.select(
-            F.transform(
-                _char_shingles_staged(F.col("__t"), n), lambda g: F.xxhash64(g)
-            ).alias("__gha")
-        )
+        bstaged.select(_char_gram_hashes_staged(F.col("__c"), n).alias("__gha"))
         .select(F.explode("__gha").alias("__gh"))
         .distinct()
         .withColumn("__hit", F.lit(1))

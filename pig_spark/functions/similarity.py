@@ -70,13 +70,18 @@ def cosine_topk(df: DataFrame, query: list[float], k: int, id_col: str = "vec_id
 
 
 def lsh_bucket(vec_col: Column) -> Column:
-    """Random-hyperplane bucket id: bit p = sign(v · h_p)."""
+    """Random-hyperplane bucket id: bit p = sign(v · h_p). r12: one
+    zip_with over the plane/power literals (see band_bucket) — same
+    integer fold, identical buckets."""
     v = vec_col.cast("array<double>")
-    bucket = F.lit(0)
-    for p, plane in enumerate(HYPERPLANES):
-        bit = F.when(dot(v, _vec_lit(plane)) > 0, F.lit(1 << p)).otherwise(F.lit(0))
-        bucket = bucket + bit
-    return bucket.cast("int")
+    planes_lit = F.array(*[_vec_lit(plane) for plane in HYPERPLANES])
+    pows = F.array(*[F.lit(1 << p) for p in range(len(HYPERPLANES))])
+    bits = F.zip_with(
+        planes_lit,
+        pows,
+        lambda pl, pw: F.when(dot(v, pl) > 0, pw).otherwise(F.lit(0)),
+    )
+    return F.aggregate(bits, F.lit(0), lambda acc, x: acc + x).cast("int")
 
 
 def ann_topk_lsh(df: DataFrame, query: list[float], k: int, id_col: str = "vec_id", vec_col: str = "embedding", probes: int = 1) -> DataFrame:
@@ -119,16 +124,29 @@ def ivf_assign(df: DataFrame, centroids: list[tuple[int, list[float]]], id_col: 
     # expression tree per centroid (2^nlist nodes -> analyzer OOM).
     # array_position(scores, array_max(scores)) is linear and its
     # first-match rule gives the lowest-cid tie-break for free.
+    # r12 (the pq_encode lambda rule): scores come from ONE zip_with
+    # over the nested centroid literal — 1 lambda, not nlist unrolled
+    # 64-element dot folds (compile cost ∝ expression count), and the
+    # vector cast + its norm are STAGED columns probed per lambda
+    # call instead of re-folding norm(v) once per centroid. Same
+    # left-to-right arithmetic per score — bit-identical argmax.
     v = F.col(vec_col).cast("array<double>")
-    nv = norm(v)
-    scores = []
-    for _, cvec in centroids:
-        cnorm = sum(x * x for x in cvec) ** 0.5
-        scores.append(dot(v, _vec_lit(cvec)) / (nv * F.lit(cnorm)))
+    cvecs = F.array(*[_vec_lit(cvec) for _, cvec in centroids])
+    cnorms = F.array(
+        *[F.lit(sum(x * x for x in cvec) ** 0.5) for _, cvec in centroids]
+    )
     cids = F.array(*[F.lit(cid) for cid, _ in centroids])
-    staged = df.withColumn("__cscores", F.array(*scores))
+    staged = df.withColumn("__vd", v).withColumn("__nv", norm(F.col("__vd")))
+    staged = staged.withColumn(
+        "__cscores",
+        F.zip_with(
+            cvecs,
+            cnorms,
+            lambda c, n: dot(F.col("__vd"), c) / (F.col("__nv") * n),
+        ),
+    )
     cell = F.element_at(cids, F.array_position("__cscores", F.array_max("__cscores")).cast("int"))
-    return staged.withColumn("__cell", cell.cast("int")).drop("__cscores")
+    return staged.withColumn("__cell", cell.cast("int")).drop("__cscores", "__vd", "__nv")
 
 
 def bootstrap_centroids(df: DataFrame, id_col: str = "vec_id", vec_col: str = "embedding", nlist: int = IVF_NLIST) -> list[tuple[int, list[float]]]:
@@ -190,11 +208,21 @@ def pair_hyperplanes(bands: int = PAIR_BANDS, planes: int = PAIR_PLANES) -> list
 def band_bucket(v: Column, planes: list[list[float]]) -> Column:
     """One band's bucket id from sign bits of v · h_p. ``v`` must
     already be array<double> (cast once in the caller — HOF lambdas get
-    no common-subexpression elimination)."""
-    bucket = F.lit(0)
-    for p, plane in enumerate(planes):
-        bucket = bucket + F.when(dot(v, _vec_lit(plane)) > 0, F.lit(1 << p)).otherwise(F.lit(0))
-    return bucket.cast("int")
+    no common-subexpression elimination).
+
+    r12 (the pq_encode lambda rule): sign bits come from ONE zip_with
+    over (nested plane literal, power-of-two literal) — 1 lambda per
+    band, not ``planes`` unrolled 64-element dot folds; the bit sum is
+    the same left-to-right integer fold (exact), so buckets are
+    identical."""
+    planes_lit = F.array(*[_vec_lit(plane) for plane in planes])
+    pows = F.array(*[F.lit(1 << p) for p in range(len(planes))])
+    bits = F.zip_with(
+        planes_lit,
+        pows,
+        lambda pl, pw: F.when(dot(v, pl) > 0, pw).otherwise(F.lit(0)),
+    )
+    return F.aggregate(bits, F.lit(0), lambda acc, x: acc + x).cast("int")
 
 
 def cosine_lsh_pairs(
@@ -312,26 +340,34 @@ def kmeans_assign_l2(
     first-match rule as the lowest-cid tie-break. Distances fold in
     dimension order, so the argmin is reproducible cross-engine.
     ``dist_col`` optionally keeps the min squared distance (the
-    inertia term) without re-deriving it."""
+    inertia term) without re-deriving it.
+
+    r12 (the pq_encode lambda rule): distances come from ONE
+    transform over the nested centroid literal — 1 lambda, not nlist
+    unrolled L2 folds — with the cast vector STAGED (``__vd``) so the
+    lambda probes an attribute. Fold order per distance unchanged —
+    bit-identical argmin."""
     v = F.col(vec_col).cast("array<double>")
-    dists = []
-    for _, cvec in centroids:
-        dists.append(
-            F.aggregate(
-                F.zip_with(v, _vec_lit(cvec), lambda a, b: (a - b) * (a - b)),
+    cvecs = F.array(*[_vec_lit(cvec) for _, cvec in centroids])
+    cids = F.array(*[F.lit(cid) for cid, _ in centroids])
+    staged = df.withColumn("__vd", v).withColumn(
+        "__cdist",
+        F.transform(
+            cvecs,
+            lambda c: F.aggregate(
+                F.zip_with(F.col("__vd"), c, lambda a, b: (a - b) * (a - b)),
                 F.lit(0.0),
                 lambda acc, x: acc + x,
-            )
-        )
-    cids = F.array(*[F.lit(cid) for cid, _ in centroids])
-    staged = df.withColumn("__cdist", F.array(*dists))
+            ),
+        ),
+    )
     cell = F.element_at(
         cids, F.array_position("__cdist", F.array_min("__cdist")).cast("int")
     )
     staged = staged.withColumn(out_col, cell.cast("int"))
     if dist_col is not None:
         staged = staged.withColumn(dist_col, F.array_min("__cdist"))
-    return staged.drop("__cdist")
+    return staged.drop("__cdist", "__vd")
 
 
 def kmeans_refine_l2(
@@ -405,14 +441,21 @@ def pq_codebooks(
     vec_col: str = "embedding",
     m: int = PQ_M,
     k: int = PQ_K,
+    seeds: list[tuple[int, list[float]]] | None = None,
 ) -> list[list[list[float]]]:
     """Deterministic PQ codebooks — subspace slices of the ``k``
     bootstrap vectors (lowest ids: the ``bootstrap_centroids`` pick,
     no RNG, SQL-mirrorable). ``[subspace][codeword] -> dsub floats``.
     A real deployment refines each subspace codebook with
     ``kmeans_refine_l2`` over the subvectors — encode/ADC are
-    identical either way (the q146 pattern)."""
-    seeds = bootstrap_centroids(df, id_col, vec_col, nlist=k)
+    identical either way (the q146 pattern).
+
+    ``seeds``: pass an already-collected ``bootstrap_centroids(df,
+    nlist=k)`` result to skip the duplicate seed collect — callers
+    that also need the coarse centroids (ivfpq_topk, ann_index_store;
+    PQ_K == IVF_NLIST so the two collects are THE SAME 16 rows) were
+    paying two scan jobs for one model (r12, guide §1.2: one pass)."""
+    seeds = seeds if seeds is not None else bootstrap_centroids(df, id_col, vec_col, nlist=k)
     if len(seeds) < k:
         raise ValueError(f"pq_codebooks: need {k} seed vectors, found {len(seeds)}")
     d = len(seeds[0][1])
@@ -534,7 +577,9 @@ def ivfpq_topk(
 
     probe = sorted(centroids, key=lambda c: (-_cos(qvec, c[1]), c[0]))[:nprobe]
     cells = [cid for cid, _ in probe]
-    cbs = pq_codebooks(df, id_col, vec_col)
+    # PQ_K == IVF_NLIST: the codebook seeds ARE the centroid rows
+    # already collected above — reuse them (one scan job, not two)
+    cbs = pq_codebooks(df, id_col, vec_col, seeds=centroids)
     cand = ivf_assign(df, centroids, id_col, vec_col).filter(
         F.col("__cell").isin(*cells)
     )
@@ -1051,7 +1096,8 @@ def ann_index_store(
     shuffle-ish step (DataFrameWriter partitionBy groups files by
     cell). Returns the model dict."""
     centroids = bootstrap_centroids(df, id_col, vec_col)
-    cbs = pq_codebooks(df, id_col, vec_col)
+    # PQ_K == IVF_NLIST: reuse the centroid collect as codebook seeds
+    cbs = pq_codebooks(df, id_col, vec_col, seeds=centroids)
     enc = pq_encode(
         ivf_assign(df, centroids, id_col, vec_col), cbs, id_col, vec_col,
         keep=["__cell"],

@@ -165,21 +165,29 @@ def rolling_hash_fingerprint(col: Column, window: int = 4) -> Column:
 
 
 def window_fingerprints(tokens: Column, w: int) -> Column:
-    """md5-60 fingerprint of every stride-1 ``w``-token window:
+    """xxhash64 fingerprint of every stride-1 ``w``-token window:
     ``array<long>``, one entry per start position (empty when fewer
-    than ``w`` tokens). O(w) per position — slice + array_join + md5;
-    the zip_with chain that wins at n = 2..4 is O(w²) at this width
-    (SCALE.md expression rules). Shared by the ExactSubstr family
-    (q137/q138/q150 via ``queries._substr_wins``) and its streaming
-    twin (``streaming.substring_dedup_stream``)."""
-    from .dedup import md5_60
-
+    than ``w`` tokens). O(w) per position — slice (reference copy) +
+    one xxhash64 over the w-element sub-array; the zip_with chain that
+    wins at n = 2..4 is O(w²) at this width (SCALE.md expression
+    rules). r12 optimization (guide §1.2 "per-task work"): the
+    original shape was md5-60 of ``array_join(slice, " ")`` — per
+    position that allocated a ~6·w-byte string, ran a cryptographic
+    hash, and parsed hex via ``conv``; hashing the sliced token array
+    directly drops all three (and removes the join-separator collision
+    class: ["a b","c"] vs ["a","b c"] no longer collide). Fingerprints
+    are equality keys only — every consumer (q137/q138/q150, the
+    streaming twin, their DuckDB oracles) compares counts derived from
+    fingerprint equality, never the hash values themselves, so any
+    collision-free hash yields identical results. Shared by the
+    ExactSubstr family (q137/q138/q150 via ``queries._substr_wins``)
+    and its streaming twin (``streaming.substring_dedup_stream``)."""
     n_g = (F.size(tokens) - F.lit(w - 1)).cast("int")
     return F.when(
         n_g > 0,
         F.transform(
             F.sequence(F.lit(0), n_g - 1),
-            lambda i: md5_60(F.array_join(F.slice(tokens, i + 1, w), " ")),
+            lambda i: F.xxhash64(F.slice(tokens, i + 1, w)),
         ),
     ).otherwise(F.array().cast("array<long>"))
 

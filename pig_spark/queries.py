@@ -3054,8 +3054,9 @@ def _substr_staged(spark: SparkSession, sf: str):
 
 
 def _substr_wins(staged):
-    """(doc_id, pos, h): the stride-1 W-token rolling-window md5-60
-    fingerprints — in-row codegen, O(W) per position (q137 doc)."""
+    """(doc_id, pos, h): the stride-1 W-token rolling-window xxhash64
+    fingerprints — in-row, O(W) per position (q137 doc; r12: was
+    md5-60 of the joined window string — see window_fingerprints)."""
     from pyspark.sql import functions as F
 
     from .functions.text import window_fingerprints
@@ -3096,7 +3097,7 @@ def q137_exact_substring_dedup(spark: SparkSession, sf: str) -> DataFrame:
     (earlier doc, or earlier position in the same doc) is duplicated
     text. Approximated scalably with stride-1 fixed-length rolling
     window fingerprints: every token position opens a 50-token window,
-    its md5-60 fingerprint is first-come-first-kept corpus-wide
+    its xxhash64 fingerprint is first-come-first-kept corpus-wide
     (dedup.first_occurrence — the skew-safe aggregate), and each
     LATER occurrence marks its 50-token span as duplicated. Output is
     per-doc dedup accounting: window/token counts, the distinct token
@@ -3108,11 +3109,12 @@ def q137_exact_substring_dedup(spark: SparkSession, sf: str) -> DataFrame:
     rolling_hash_fingerprint (functions/text.py) at the q129 rebuild
     granularity.
 
-    100 TB design: window fingerprints are in-row codegen over the
-    STAGED token array (one slice + array_join + md5 per position —
-    O(W) per window; the zip_with chain that wins at n=2..4 loses
-    here: 49 chained concats re-copy the accumulated string, O(W²)
-    per position). The hot boilerplate fingerprint is combined
+    100 TB design: window fingerprints are in-row over the STAGED
+    token array (one reference-copy slice + one xxhash64 per position
+    — O(W) per window; r12: was array_join + md5 per position. The
+    zip_with chain that wins at n=2..4 loses here: 49 chained concats
+    re-copy the accumulated string, O(W²) per position). The hot
+    boilerplate fingerprint is combined
     map-side by first_occurrence (aggregate, never a window); later
     occurrences come from an equi-JOIN on the 8-byte fingerprint —
     joins, unlike window partitions, AQE can skew-split. Coverage
@@ -3257,10 +3259,14 @@ def q140_quality_mixture(spark: SparkSession, sf: str) -> DataFrame:
 
     100 TB design: ONE tiny per-language aggregate (count + mean
     weight) broadcast back; scoring and the accept filter are
-    map-only codegen; the corpus never shuffles (the q95 shape). The
-    weight expression evaluates twice (aggregate + filter), both
-    map-side — cheaper than materializing a corpus-sized scored
-    intermediate."""
+    map-only codegen; the corpus never shuffles (the q95 shape). r12
+    (guide §8 "decide with small rows"): the scored proxy table
+    (doc_id, lang, score — ~24 bytes/row, NO text) is
+    localCheckpointed once, so the classifier (tokenize + feature
+    hash + dot product over every token) runs ONE corpus scan instead
+    of two — the aggregate and the accept filter both read the proxy.
+    This is the q142 idiom: materialize the lightweight decision
+    table, never the corpus."""
     from pyspark.sql import functions as F
 
     from .functions import text as T
@@ -3272,7 +3278,7 @@ def q140_quality_mixture(spark: SparkSession, sf: str) -> DataFrame:
         T.hashed_score_from_features(
             T.hashed_features(T.tokenize_ws(F.col("text")))
         ).alias("__score"),
-    )
+    ).localCheckpoint()
     weight = F.when(F.col("__score") > 0, F.lit(1.5)).otherwise(F.lit(0.5))
     kept = quality_mixture_sample(
         staged, "lang", "doc_id", weight, alpha=0.5, target_frac=0.2
@@ -3739,7 +3745,7 @@ def q150_incremental_substring_dedup(spark: SparkSession, sf: str) -> DataFrame:
     closing the incremental family at every dedup granularity the
     engine offers (minhash q100, paragraphs paragraph_dedup_stream,
     now suffix windows): the OLD corpus (doc_id % 10 != 0) owns a
-    stored fingerprint index (distinct window md5-60s — band-
+    stored fingerprint index (distinct window xxhash64s — band-
     partitioned parquet at scale); the NEW batch (doc_id % 10 == 0)
     fingerprints ONLY ITSELF and probes the index by equi-join — old
     corpus text is never re-read and old×old pairs never form. A new
@@ -4372,7 +4378,13 @@ def q163_loader_batches(spark: SparkSession, sf: str) -> DataFrame:
     the epoch offset is pos − epoch·N where N (sequences per epoch)
     is ONE tiny aggregate broadcast back — the scalar-projection
     exception class (q37's global-ntile idiom), never a data-sized
-    window; batching itself is map-only integer codegen."""
+    window; batching itself is map-only integer codegen. The q160
+    subtree has two consumers (the epoch-size aggregate and the batch
+    projection) but needs NO materialization: both sides aggregate
+    after the same exchanges, so ReusedExchange dedupes the pipeline
+    at runtime (r12: a localCheckpoint here measured ~10% SLOWER
+    in-session — the eager job is pure overhead when reuse already
+    applies)."""
     df = q160_epoch_shuffle(spark, sf)
     n = df.where(F.col("epoch") == 0).agg(F.count(F.lit(1)).alias("__n"))
     b = df.crossJoin(F.broadcast(n))
@@ -4625,13 +4637,19 @@ def q171_bm25_topk(spark: SparkSession, sf: str) -> DataFrame:
     list_sum over list(... ORDER BY t)) — never an unordered SUM —
     then rounds to 6; ranking orders by (rounded score DESC, doc_id).
 
-    100 TB design: posting lists (term, doc, tf, dl) are ONE
-    token-sized shuffle; query terms and the (N, avgdl) statistics
-    row broadcast (model-sized); df(term) is a term-sized partial
-    aggregate joined on the posting term — the inverted-index shape,
-    no corpus re-scan per query; top-5 per query lowers to
-    Partial+Final WindowGroupLimit (literal bound), capping map-side
-    before the exchange."""
+    100 TB design (r12, guide §2.3/§3 "prune before the shuffle"):
+    the full-vocabulary term-frequency table is never built at all —
+    the broadcast query-term filter drops non-query TOKENS before any
+    aggregate, so the (doc, term, tf) posting aggregate and df(term)
+    only ever shuffle query-matched rows; doc length is its own
+    narrow aggregate straight off the token stream (every token
+    counts toward dl, so that pass cannot be pruned). dl and tfq each
+    have two consumers but need no materialization: each consumer
+    re-aggregates after the SAME exchange, so ReusedExchange dedupes
+    at runtime (r12: localCheckpoints here measured ~8% slower
+    in-session — eager jobs with no double-eval to save). Top-5 per
+    query lowers to Partial+Final WindowGroupLimit (literal bound),
+    capping map-side before the exchange."""
     from pyspark.sql import Window
 
     from .functions.text import tokenize_ws
@@ -4640,9 +4658,9 @@ def q171_bm25_topk(spark: SparkSession, sf: str) -> DataFrame:
     d = spark.read.parquet(f"{sf}/documents.parquet").select(
         "doc_id", F.explode(tokenize_ws(F.lower(F.col("text")))).alias("t")
     )
+    # doc length straight off the token stream — narrow, map-side
+    # combinable; consumed by posting probe AND stats (ReusedExchange)
     dl = d.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
-    tf = d.groupBy("doc_id", "t").agg(F.count(F.lit(1)).alias("tf"))
-    dfreq = tf.groupBy("t").agg(F.count(F.lit(1)).alias("df"))
     stats = dl.agg(
         F.count(F.lit(1)).alias("N"), F.sum("dl").alias("total_dl")
     )
@@ -4650,7 +4668,17 @@ def q171_bm25_topk(spark: SparkSession, sf: str) -> DataFrame:
         [(qid, t) for qid, q in _BM25_QUERIES for t in sorted(set(q.split()))],
         "qid int, t string",
     )
-    posting = tf.join(dl, "doc_id").join(dfreq, "t")
+    # prune FIRST: drop non-query tokens before the posting aggregate
+    # (broadcast hash join on the tiny term list); consumed by df
+    # counting AND the scoring join (ReusedExchange)
+    tfq = (
+        d.join(F.broadcast(qterms.select("t").distinct()), "t")
+        .groupBy("doc_id", "t")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    # (doc_id, t) is unique in tfq, so a plain count IS the doc freq
+    dfreq = tfq.groupBy("t").agg(F.count(F.lit(1)).alias("df"))
+    posting = tfq.join(dl, "doc_id").join(F.broadcast(dfreq), "t")
     avgdl = F.col("total_dl").cast("double") / F.col("N")
     idf = F.log(
         (F.col("N") - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1.0
@@ -4791,14 +4819,28 @@ def q175_ann_recall_report(spark: SparkSession, sf: str) -> DataFrame:
     — a constant-partition window over 20 rows would trip the
     catalog-wide unpartitioned-window audit after Catalyst folds the
     literal key, and a distributed rank of 20 rows buys nothing);
-    the recall division rounds IN-PLAN on both engines."""
+    the recall division rounds IN-PLAN on both engines.
+
+    r12 (guide §2.6 "overlap independent jobs"): the approximate and
+    exact sides share no state — two driver threads submit both jobs
+    at once, so the exact side's scan back-fills executors the probe
+    side leaves idle instead of running after it. Results identical:
+    each side is its own ordered limit-20 collect either way."""
+    from concurrent.futures import ThreadPoolExecutor
+
     from .functions import similarity
 
     e = _t(spark, sf, "embeddings").df
     query = [((i * 37) % 13 - 6) / 13.0 for i in range(similarity.EMB_DIM)]
     # both collects are ordered limit-20 results — rank = position
-    a_ids = [r["vec_id"] for r in similarity.ivfpq_topk(e, query, k=20).collect()]
-    e_ids = [r["vec_id"] for r in similarity.cosine_topk(e, query, 20).collect()]
+    with ThreadPoolExecutor(max_workers=2) as pool:
+        fa = pool.submit(
+            lambda: [r["vec_id"] for r in similarity.ivfpq_topk(e, query, k=20).collect()]
+        )
+        fe = pool.submit(
+            lambda: [r["vec_id"] for r in similarity.cosine_topk(e, query, 20).collect()]
+        )
+        a_ids, e_ids = fa.result(), fe.result()
     ra = {v: i + 1 for i, v in enumerate(a_ids)}
     rb = {v: i + 1 for i, v in enumerate(e_ids)}
     rows = [

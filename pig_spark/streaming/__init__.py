@@ -401,8 +401,8 @@ def substring_dedup_stream(
     """Streaming twin of q150: exact-substring dedup AT INGEST —
     arriving documents fingerprint their stride-1 ``window``-token
     windows (``text.window_fingerprints``) and probe the STORED
-    fingerprint index (q150's old-corpus index: distinct md5-60 window
-    hashes, column ``fh``) by stream-static join; the output is the
+    fingerprint index (q150's old-corpus index: distinct xxhash64
+    window hashes, column ``fh``) by stream-static join; the output is the
     per-document dup accounting the batch family emits:
     ``(doc_id, n_tokens, n_windows, n_dup_windows, n_dup_tokens,
     dup_ratio, keep)``, once per document.
