@@ -238,11 +238,19 @@ def _hashed_stage(shingled: DataFrame, id_col: str, keep: Sequence[str] = ()) ->
 
 
 def _sig_expr() -> Column:
-    def _perm(a: int, b: int):
-        return lambda h: (h * a + b) % MINHASH_PRIME
-
-    return F.array(
-        *[F.array_min(F.transform(F.col("__h"), _perm(MINHASH_A[i], MINHASH_B[i]))) for i in range(MINHASH_K)]
+    """r12 (the expression-count rule): the K permuted mins come from
+    ONE zip_with over the (a, b) coefficient literals — 2 lambdas
+    total, not K unrolled transform+array_min trees (compile cost ∝
+    expression count). Arithmetic per position is unchanged
+    ((h·a + b) mod P, same min) — signatures bit-identical."""
+    a_lit = F.array(*[F.lit(a) for a in MINHASH_A])
+    b_lit = F.array(*[F.lit(b) for b in MINHASH_B])
+    return F.zip_with(
+        a_lit,
+        b_lit,
+        lambda a, b: F.array_min(
+            F.transform(F.col("__h"), lambda h: (h * a + b) % MINHASH_PRIME)
+        ),
     )
 
 
@@ -263,6 +271,10 @@ def minhash_lsh_pairs(
         StorageLevel.MEMORY_AND_DISK
     )
     sigs = docs.select(F.col(id_col), _sig_expr().alias("signature"))
+    # band hash = xxhash64 of the signature slice (r12: was md5 of the
+    # comma-joined stringified slice — string build + crypto hash per
+    # band for a value that is only ever an equality join key; equal
+    # slices hash equal under any hash, so candidates are identical)
     bands = sigs.select(
         F.col(id_col),
         F.explode(
@@ -270,7 +282,7 @@ def minhash_lsh_pairs(
                 *[
                     F.struct(
                         F.lit(b).alias("band"),
-                        F.md5(F.array_join(F.transform(F.slice("signature", b * rows + 1, rows), lambda v: v.cast("string")), ",")).alias("bh"),
+                        F.xxhash64(F.slice("signature", b * rows + 1, rows)).alias("bh"),
                     )
                     for b in range(MINHASH_BANDS)
                 ]
@@ -395,7 +407,16 @@ def simhash(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     bit_b(doc) = 1 iff Σ_tokens (bit_b(md5_32(token)) ? 1 : -1) > 0.
     Two projections, no shuffle; near-dup grouping = groupBy(simhash).
     The token-hash array is materialized before the 32 per-bit
-    aggregates so md5 runs once per token, not 32×."""
+    aggregates so md5 runs once per token, not 32×.
+
+    r12 note (measured, kept UNROLLED on purpose): rewriting the 32
+    per-bit folds as one transform-over-pows nested lambda (the
+    expression-count rule that wins elsewhere) measured a 3×
+    REGRESSION in-session (2.35 → 7.33 s at sf0.1) — the unrolled
+    aggregates stay inside whole-stage codegen while nested
+    transform(aggregate(...)) evaluates interpreted per element.
+    Expression count here is 32, well under the compile-cost
+    threshold; runtime dominates."""
     toks = tokenize_ws(F.lower(F.col(text_col)))
     staged = df.select(F.col(id_col), F.transform(toks, md5_32).alias("__th"))
 
@@ -422,6 +443,8 @@ def signature_index(
     :func:`minhash_signatures`."""
     rows = MINHASH_K // MINHASH_BANDS
     sigs = minhash_signatures(df, text_col, id_col, keep=keep)
+    # band hash = xxhash64 of the signature slice (r12, the
+    # minhash_lsh_pairs note: bh is only ever an equality join key)
     return sigs.select(
         F.col(id_col),
         *keep,
@@ -431,15 +454,7 @@ def signature_index(
                 *[
                     F.struct(
                         F.lit(b).alias("band"),
-                        F.md5(
-                            F.array_join(
-                                F.transform(
-                                    F.slice("signature", b * rows + 1, rows),
-                                    lambda v: v.cast("string"),
-                                ),
-                                ",",
-                            )
-                        ).alias("bh"),
+                        F.xxhash64(F.slice("signature", b * rows + 1, rows)).alias("bh"),
                     )
                     for b in range(MINHASH_BANDS)
                 ]
