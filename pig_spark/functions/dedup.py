@@ -238,19 +238,23 @@ def _hashed_stage(shingled: DataFrame, id_col: str, keep: Sequence[str] = ()) ->
 
 
 def _sig_expr() -> Column:
-    """r12 (the expression-count rule): the K permuted mins come from
-    ONE zip_with over the (a, b) coefficient literals — 2 lambdas
-    total, not K unrolled transform+array_min trees (compile cost ∝
-    expression count). Arithmetic per position is unchanged
-    ((h·a + b) mod P, same min) — signatures bit-identical."""
-    a_lit = F.array(*[F.lit(a) for a in MINHASH_A])
-    b_lit = F.array(*[F.lit(b) for b in MINHASH_B])
-    return F.zip_with(
-        a_lit,
-        b_lit,
-        lambda a, b: F.array_min(
-            F.transform(F.col("__h"), lambda h: (h * a + b) % MINHASH_PRIME)
-        ),
+    """The K permuted mins as K unrolled transform+array_min trees.
+
+    r12 note (measured, kept UNROLLED on purpose — the simhash rule):
+    folding the K trees into one zip_with over the (a, b) coefficient
+    literals (`zip_with(a, b, lambda: array_min(transform(__h, …)))`)
+    measured a 5× REGRESSION in isolation (1.33 → 6.75 s on documents,
+    1.64 → 7.80 s on paragraphs at sf0.1): a lambda nested inside
+    another lambda's body drops the whole tree to interpreted
+    per-element evaluation, while K separate top-level HOF trees each
+    evaluate efficiently. K = 16 is far below the compile-cost
+    threshold where the expression-count rewrite pays."""
+
+    def _perm(a: int, b: int):
+        return lambda h: (h * a + b) % MINHASH_PRIME
+
+    return F.array(
+        *[F.array_min(F.transform(F.col("__h"), _perm(MINHASH_A[i], MINHASH_B[i]))) for i in range(MINHASH_K)]
     )
 
 
@@ -265,11 +269,24 @@ def minhash_lsh_pairs(
     of the verification join (3 references). At cluster scale this is
     the canonical two-job shape (materialize signatures, then bucket-
     join); MEMORY_AND_DISK spills cleanly if the corpus exceeds RAM.
+
+    r12: the persisted stage carries two HASH arrays per doc — __h
+    (md5_32, the signature contract) and __hv (xxhash64, the verify
+    key) — and never the gram strings, so the cache and both verify-
+    join shuffles move 8 bytes/gram instead of ~20-char strings.
+    Verification intersects __hv: xxhash64 is injective on the
+    distinct gram sets up to the same negligible 64-bit collision
+    class the fingerprint/band paths already accept, so |∩| and |∪|
+    — hence every Jaccard — are identical. In-session A/B: q41
+    1.68 → 1.45 s (−14%) at sf0.1.
     """
     rows = MINHASH_K // MINHASH_BANDS
-    docs = _hashed_stage(shingle_stage(df, text_col, id_col), id_col).persist(
-        StorageLevel.MEMORY_AND_DISK
-    )
+    sh = shingle_stage(df, text_col, id_col)
+    docs = sh.select(
+        F.col(id_col),
+        F.transform("__sh", md5_32).alias("__h"),
+        F.transform("__sh", lambda g: F.xxhash64(g)).alias("__hv"),
+    ).persist(StorageLevel.MEMORY_AND_DISK)
     sigs = docs.select(F.col(id_col), _sig_expr().alias("signature"))
     # band hash = xxhash64 of the signature slice (r12: was md5 of the
     # comma-joined stringified slice — string build + crypto hash per
@@ -312,13 +329,17 @@ def minhash_lsh_pairs(
         .select(F.col("__p.a").alias("id_a"), F.col("__p.b").alias("id_b"))
         .distinct()
     )
-    return _verify_jaccard(cand, docs, id_col, threshold)
+    return _verify_jaccard(cand, docs, id_col, threshold, sh_col="__hv")
 
 
-def _verify_jaccard(pairs: DataFrame, docs: DataFrame, id_col: str, threshold: float) -> DataFrame:
-    """Exact Jaccard on candidate pairs; `docs` is a (id, __sh) stage."""
-    a = docs.select(F.col(id_col).alias("id_a"), F.col("__sh").alias("sh_a"))
-    b = docs.select(F.col(id_col).alias("id_b"), F.col("__sh").alias("sh_b"))
+def _verify_jaccard(
+    pairs: DataFrame, docs: DataFrame, id_col: str, threshold: float, sh_col: str = "__sh"
+) -> DataFrame:
+    """Exact Jaccard on candidate pairs; `docs` carries one distinct-
+    shingle array per id in ``sh_col`` (gram strings, or any
+    injective per-gram hash — set sizes are identical either way)."""
+    a = docs.select(F.col(id_col).alias("id_a"), F.col(sh_col).alias("sh_a"))
+    b = docs.select(F.col(id_col).alias("id_b"), F.col(sh_col).alias("sh_b"))
     joined = pairs.join(a, "id_a").join(b, "id_b")
     inter = F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
     union = F.size(F.array_union("sh_a", "sh_b")).cast("double")
@@ -549,12 +570,17 @@ def incremental_minhash_pairs(
             new_df.select(id_col), id_col, "left_anti"
         )
     )
+    # r12: the exact re-verify intersects xxhash64 gram arrays, not
+    # gram strings — set sizes (hence Jaccard) are identical under an
+    # injective hash, and the two verify joins shuffle 8 bytes/gram
+    # (the minhash_lsh_pairs __hv rule)
+    _hv = lambda c: F.transform(c, lambda g: F.xxhash64(g))  # noqa: E731
     new_sh = shingle_stage(
         new_df.join(new_ids, id_col, "left_semi"), text_col, id_col
-    ).select(F.col(id_col).alias("new_id"), F.col("__sh").alias("sh_new"))
+    ).select(F.col(id_col).alias("new_id"), _hv(F.col("__sh")).alias("sh_new"))
     old_sh = shingle_stage(
         match_src.join(match_ids, id_col, "left_semi"), text_col, id_col
-    ).select(F.col(id_col).alias("match_id"), F.col("__sh").alias("sh_old"))
+    ).select(F.col(id_col).alias("match_id"), _hv(F.col("__sh")).alias("sh_old"))
     inter = F.size(F.array_intersect("sh_new", "sh_old"))
     union = F.size("sh_new") + F.size("sh_old") - inter
     return (

@@ -109,9 +109,34 @@ def media_from_documents(docs: DataFrame) -> DataFrame:
     return docs.select("doc_id", "n_chars", "text").mapInPandas(_run, schema=MEDIA_SCHEMA)
 
 
+def _fake_headers_vec(payloads) -> "tuple":
+    """Vectorized default-codec header parse for a whole batch
+    (guide §4.2: hand batches to native code, not per-row Python):
+    ONE numpy view over the concatenated 16-byte headers replaces a
+    `struct.unpack` + dict per row. Semantics identical to
+    :func:`_fake_decode` including the NotImplementedError on any
+    non-synthetic payload."""
+    import numpy as np
+
+    hsize = _HDR.size
+    heads = []
+    for p in payloads:
+        b = bytes(p)
+        if len(b) < hsize or b[:4] != _MAGIC:
+            _fake_decode(b)  # raises the codec NotImplementedError
+        heads.append(b[:hsize])
+    if not heads:
+        e = np.empty(0, dtype=np.int32)
+        return e, e, e
+    arr = np.frombuffer(b"".join(heads), dtype="<i4").reshape(len(heads), 4)
+    return arr[:, 1], arr[:, 2], arr[:, 3]
+
+
 def extract_metadata(df: DataFrame, codec: Codec = _fake_decode, payload_col: str = "payload") -> DataFrame:
     """Decode headers → typed meta struct. Arrow-batched; payloads stay
-    in-executor (never collected)."""
+    in-executor (never collected). With the default codec the header
+    parse is numpy-vectorized per batch (r12, guide §4.2); an injected
+    real codec keeps the per-payload loop (its decode IS the work)."""
     out_schema = T.StructType(
         [f for f in df.schema.fields if f.name != "meta"]
         + [MEDIA_SCHEMA["meta"]]
@@ -119,12 +144,19 @@ def extract_metadata(df: DataFrame, codec: Codec = _fake_decode, payload_col: st
 
     def _run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            metas = []
-            for payload in pdf[payload_col]:
-                m = codec(bytes(payload))
-                metas.append(
-                    {"width": m["width"], "height": m["height"], "duration_ms": m["duration_ms"], "codec": "fake"}
-                )
+            if codec is _fake_decode:
+                w, h, d = _fake_headers_vec(pdf[payload_col])
+                metas = [
+                    {"width": int(wi), "height": int(hi), "duration_ms": int(di), "codec": "fake"}
+                    for wi, hi, di in zip(w, h, d)
+                ]
+            else:
+                metas = []
+                for payload in pdf[payload_col]:
+                    m = codec(bytes(payload))
+                    metas.append(
+                        {"width": m["width"], "height": m["height"], "duration_ms": m["duration_ms"], "codec": "fake"}
+                    )
             pdf = pdf.drop(columns=["meta"], errors="ignore")
             pdf["meta"] = metas
             yield pdf
@@ -168,16 +200,25 @@ def extract_features(df: DataFrame, codec: Codec = _fake_decode) -> DataFrame:
     )
 
     def _run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
         for pdf in batches:
             feats = []
             for payload in pdf["payload"]:
                 m = codec(bytes(payload))
                 body = m["body"] or b"\x00"
-                hist = [0.0] * FEATURE_DIM
-                for byte in body:
-                    hist[byte % FEATURE_DIM] += 1.0
-                total = sum(hist) or 1.0
-                feats.append([v / total for v in hist])
+                # r12 (guide §4.2): the interpreted per-BYTE histogram
+                # loop becomes one numpy bincount over a zero-copy
+                # uint8 view — same bins (byte % DIM), same float
+                # normalization, identical vectors; with a real model
+                # codec this inner path is where the forward pass
+                # batches
+                hist = np.bincount(
+                    np.frombuffer(body, dtype=np.uint8) % FEATURE_DIM,
+                    minlength=FEATURE_DIM,
+                ).astype("float64")
+                total = hist.sum() or 1.0
+                feats.append((hist / total).tolist())
             yield pd.DataFrame({"id": pdf["id"], "features": feats})
 
     return df.mapInPandas(_run, schema=out_schema)

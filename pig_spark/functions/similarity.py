@@ -238,38 +238,63 @@ def cosine_lsh_pairs(
     the exact all-pairs form (:func:`cosine_allpairs_exact`) is
     O(n²) and exists only as a small-scale verification baseline.
 
-    Plan shape (the same scheme as dedup.minhash_lsh_pairs):
+    Plan shape (r12 — the same scheme as dedup.minhash_lsh_pairs,
+    guide §8 "decide with small rows, move big rows once"):
 
-    1. one projection computes the cast vector, its norm, and ``bands``
-       bucket ids (sign bits of hyperplane dot products) — map-only;
-    2. posexplode to (band, bucket) keys, equi-JOIN on them — a plain
-       shuffled hash/sort-merge join, never a cartesian: candidates are
-       only same-bucket pairs;
-    3. exact cosine verifies candidates; DISTINCT dedups pairs that
-       collide in several bands.
+    1. one projection computes the cast vector and ``bands`` bucket
+       ids (sign bits of hyperplane dot products) — map-only;
+    2. candidate pairs from the LIGHT (band, bucket, id) stream only:
+       one groupBy(band, bucket) shuffle of ~24-byte rows → sorted
+       member array → in-array pair expansion → DISTINCT (dedups
+       pairs that collide in several bands). The pre-r12 shape
+       self-joined on (band, bucket) with the 64-double vector and
+       its norm ON BOTH LEGS — 2·bands copies of every vector through
+       the exchange to serve a decision that needs only ids;
+    3. exact cosine verifies candidates: the distinct pairs equi-join
+       the (id, vector, norm) projection once per side, so vector
+       bytes cross the network once per side, unreplicated — and only
+       for ids that are in some candidate pair.
 
     100 TB: bucket count must scale with corpus size — 2^planes
-    buckets/band caps join parallelism and per-bucket pair work, so
-    size ``planes`` ~ log2(n / target_bucket_rows). Replication is
-    ``bands``×. Hot buckets (skewed embedding clusters) fall under AQE
-    skew-join splitting. No vector bags are materialized anywhere.
+    buckets/band caps per-bucket pair work, so size ``planes`` ~
+    log2(n / target_bucket_rows). Replication is ``bands``× of the
+    24-byte key stream, not of vectors. Hot buckets (skewed embedding
+    clusters) expand in-array per bucket — the m²/2 expansion is
+    bounded by bucket size exactly as in minhash_lsh_pairs; the
+    verify joins fall under AQE skew splitting. No vector bags are
+    materialized anywhere.
     """
     hps = pair_hyperplanes(bands, planes)
     v = F.col(vec_col).cast("array<double>")
     staged = df.select(F.col(id_col).alias("__id"), v.alias("__v"))
-    staged = staged.select(
+    keyed = staged.select(
         "__id",
-        "__v",
-        norm(F.col("__v")).alias("__n"),
-        F.array(*[band_bucket(F.col("__v"), planes_b) for planes_b in hps]).alias("__bks"),
+        F.posexplode(
+            F.array(*[band_bucket(F.col("__v"), planes_b) for planes_b in hps])
+        ).alias("band", "bucket"),
     )
-    keyed = staged.select("__id", "__v", "__n", F.posexplode("__bks").alias("band", "bucket"))
-    a = keyed.select("band", "bucket", F.col("__id").alias("id_a"), F.col("__v").alias("va"), F.col("__n").alias("na"))
-    b = keyed.select("band", "bucket", F.col("__id").alias("id_b"), F.col("__v").alias("vb"), F.col("__n").alias("nb"))
-    cand = a.join(b, on=["band", "bucket"]).filter(F.col("id_a") < F.col("id_b"))
+    ids_arr = F.array_sort(F.collect_list("__id"))
+    grouped = keyed.groupBy("band", "bucket").agg(ids_arr.alias("__ids")).filter(F.size("__ids") > 1)
+    pair_structs = F.flatten(
+        F.transform(
+            "__ids",
+            lambda x, i: F.transform(
+                F.slice("__ids", i + 2, F.size("__ids")),
+                lambda y: F.struct(x.alias("a"), y.alias("b")),
+            ),
+        )
+    )
+    cand = (
+        grouped.select(F.explode(pair_structs).alias("__p"))
+        .select(F.col("__p.a").alias("id_a"), F.col("__p.b").alias("id_b"))
+        .distinct()
+    )
+    a = staged.select(F.col("__id").alias("id_a"), F.col("__v").alias("va"), norm(F.col("__v")).alias("na"))
+    b = staged.select(F.col("__id").alias("id_b"), F.col("__v").alias("vb"), norm(F.col("__v")).alias("nb"))
+    verified = cand.join(a, "id_a").join(b, "id_b")
     score = dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb"))
-    scored = cand.select("id_a", "id_b", F.round(score, 6).alias("cos_sim"))
-    return scored.filter(F.col("cos_sim") >= threshold).distinct()
+    scored = verified.select("id_a", "id_b", F.round(score, 6).alias("cos_sim"))
+    return scored.filter(F.col("cos_sim") >= threshold)
 
 
 def cosine_allpairs_exact(df: DataFrame, threshold: float, id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:

@@ -2625,7 +2625,16 @@ def q130_bigram_lm_perplexity(spark: SparkSession, sf: str) -> DataFrame:
     V, B, OOV, LAMBDA, THRESH = 4096, 8192, 1e-9, 0.7, -3.5
     d = spark.read.parquet(f"{sf}/documents.parquet").select("doc_id", "text")
     toks = F.filter(F.split(F.lower(F.trim(F.col("text"))), r"\s+"), lambda x: x != "")
-    td = d.select("doc_id", toks.alias("tk"))
+    # r12: the token table itself is checkpointed — it feeds THREE
+    # corpus-scale consumers (unigram explode, bigram explode via gs,
+    # per-doc scoring via gs) that diverge before any exchange, so
+    # without it the trim+lower+regex-split pass ran per consumer.
+    # In-session A/B: 3.02 → 2.20 s (−27%) at sf0.1 (guide §8
+    # "decide with small rows" — materialize the token proxy, never
+    # re-derive it; contrast q76/q136 where the same move measured
+    # SLOWER because their reused stage sits behind a shuffle that
+    # ReusedExchange already dedups).
+    td = d.select("doc_id", toks.alias("tk")).localCheckpoint()
 
     # unigram table: ONE aggregate, materialized once for its three
     # consumers (top-V, total, P(w2|w1) denominators)
