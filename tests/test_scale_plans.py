@@ -458,16 +458,20 @@ def test_bigram_lm_plan(spark, sf_dir):
     exchange (the bigram count — the unigram count ran once into a
     localCheckpoint) plus one vocabulary-sized bucket groupBy for the
     two-level probe maps (fold_bucketed_map — ≤12k rows, never
-    data-sized); two documents scans (bigram count + scoring);
-    top-V/top-B are distributed TakeOrdered; no doc_id partitioning,
-    no Python."""
+    data-sized); the documents scan + tokenize ran ONCE into the r12
+    token-table localCheckpoint (guide §8), so the plan reads the
+    checkpointed RDDs — td twice (bigram count + scoring), cnt three
+    times (top-V, total, denominators) — and touches parquet zero
+    times; top-V/top-B are distributed TakeOrdered; no doc_id
+    partitioning, no Python."""
     from pig_spark.queries import q130_bigram_lm_perplexity
 
     df = q130_bigram_lm_perplexity(spark, sf_dir)
     phys = df._jdf.queryExecution().executedPlan().toString()
     opt = df._jdf.queryExecution().optimizedPlan().toString()
     assert phys.count("Exchange hashpartitioning") == 2, phys
-    assert phys.count("Scan parquet") == 2, phys
+    assert phys.count("Scan parquet") == 0, phys
+    assert phys.count("Scan ExistingRDD") == 5, phys
     assert phys.count("TakeOrderedAndProject") == 2, phys
     assert "hashpartitioning(doc_id" not in phys, phys
     # both remaining exchanges key on grouping expressions (the bigram
