@@ -52,7 +52,18 @@ def rank(
     ascending: bool | Sequence[bool] = True,
     dense: bool = False,
     name: str = "rank",
+    unique_keys: bool = False,
 ) -> DataFrame:
+    """``unique_keys=True`` is the caller's guarantee that ``by`` is
+    unique PER ROW (e.g. an id column is part of the key). Then
+    rank == dense_rank == the row's position in total key order, and
+    the key-domain aggregate + join-back of the generic scheme are
+    pure overhead: the fast path range-partitions the rows themselves
+    and ranks with local row numbers + the tiny offsets table — two
+    full exchanges and a sort-merge join fewer (r12, guide §2.4),
+    bit-identical rank values. A caller passing non-unique keys here
+    would silently get row numbers instead of ranks — only opt in
+    where uniqueness holds by construction."""
     if not by:
         return _global_row_number(df, name)
 
@@ -60,6 +71,27 @@ def rank(
     if isinstance(ascending, bool):
         ascending = [ascending] * len(by)
     tagged = df.select(F.struct(*[c.alias(k) for c, k in zip(by, key_names)]).alias("__key"), "*")
+
+    if unique_keys:
+        order = [
+            F.col(f"__key.{k}").asc_nulls_first() if a else F.col(f"__key.{k}").desc_nulls_last()
+            for k, a in zip(key_names, ascending)
+        ]
+        kc = (
+            tagged.repartitionByRange(*order)
+            .sortWithinPartitions(*order)
+            .withColumn("__rpid", F.spark_partition_id())
+        )
+        local_rn = F.row_number().over(Window.partitionBy("__rpid").orderBy(*order))
+        totals = kc.groupBy("__rpid").agg(F.count(F.lit(1)).alias("__rows"))
+        w_off = Window.orderBy("__rpid").rowsBetween(Window.unboundedPreceding, -1)
+        offsets = totals.select(
+            "__rpid", F.coalesce(F.sum("__rows").over(w_off), F.lit(0)).alias("__off_rows")
+        )
+        out = kc.join(F.broadcast(offsets), "__rpid").withColumn(
+            name, (F.col("__off_rows") + local_rn).cast("long")
+        )
+        return out.select(name, *df.columns)
 
     # 1. distinct-key domain with per-key row counts (one shuffle)
     key_counts = tagged.groupBy("__key").agg(F.count(F.lit(1)).alias("__cnt"))

@@ -605,6 +605,8 @@ def q37_ntile_stats(spark: SparkSession, sf: str) -> DataFrame:
         c.select("c_custkey", "c_acctbal"),
         by=[F.col("c_acctbal"), F.col("c_custkey")],
         name="__rn",
+        # unique by c_custkey → the rank fast path applies (r12)
+        unique_keys=True,
     )
     n_df = c.agg(F.count(F.lit(1)).alias("__n"))
     rn, n, k = F.col("__rn"), F.col("__n"), F.lit(4)
@@ -3049,7 +3051,18 @@ _SUBSTR_BOILER = (
 
 def _substr_staged(spark: SparkSession, sf: str):
     """q137/q138/q150 staging: (doc_id, n_tokens, tk) with the
-    deterministic boilerplate injection (doc_id % 3 == 0)."""
+    deterministic boilerplate injection (doc_id % 3 == 0).
+
+    r12: localCheckpointed — every consumer query reads this table
+    from divergent subtrees (q137: wins + the per-doc ledger; q138:
+    wins + token posexplode + ledger; q150: old-index wins + batch
+    wins + ledger), so without it the scan+tokenize pass re-ran per
+    consumer (the q130 token-table idiom, guide §8). In-session A/B
+    at sf0.1: q137 3.72 → 3.41 s (−8%), q138 4.12 → 3.69 s (−10%),
+    q150 2.50 → 2.41 s (−3%) — every paired round lower. The wins
+    subtree stays LAZY: its two consumers re-aggregate after the
+    same exchange on h, which ReusedExchange dedups (a wins
+    checkpoint measured within noise of the staged one alone)."""
     from pyspark.sql import functions as F
 
     from .functions.text import tokenize_ws
@@ -3059,7 +3072,9 @@ def _substr_staged(spark: SparkSession, sf: str):
         F.col("doc_id") % 3 == 0, F.concat(F.lit(_SUBSTR_BOILER + " "), F.col("text"))
     ).otherwise(F.col("text"))
     td = d.select("doc_id", tokenize_ws(boiled).alias("tk"))
-    return td.select("doc_id", F.size("tk").cast("long").alias("n_tokens"), "tk")
+    return td.select(
+        "doc_id", F.size("tk").cast("long").alias("n_tokens"), "tk"
+    ).localCheckpoint()
 
 
 def _substr_wins(staged):
@@ -3129,9 +3144,10 @@ def q137_exact_substring_dedup(spark: SparkSession, sf: str) -> DataFrame:
     joins, unlike window partitions, AQE can skew-split. Coverage
     counting explodes dup windows ×50 (dup-sized, not corpus-sized)
     into a two-phase countDistinct per doc. The window subtree is
-    evaluated twice (aggregate + join probe) — two corpus scans,
-    following the r8 rule: never materialize corpus-sized
-    intermediates to save a scan."""
+    evaluated twice (aggregate + join probe) over the checkpointed
+    token table (_substr_staged, r12) — the fingerprint explode
+    itself stays lazy because its two consumers share one
+    ReusedExchange on h."""
     from pyspark.sql import functions as F
 
     W = _SUBSTR_W
@@ -3380,6 +3396,11 @@ def q142_perplexity_partition(spark: SparkSession, sf: str) -> DataFrame:
         by=[F.col("avg_logp"), F.col("doc_id")],
         ascending=[False, True],
         name="rk",
+        # (avg_logp, doc_id) is unique per row — rank == row number,
+        # so the key-domain aggregate + join-back are pure overhead
+        # (r12: 3.46 → 3.13 s in-session, two exchanges + an SMJ
+        # fewer; see operators/rank.py)
+        unique_keys=True,
     )
     n = scored.agg(F.count(F.lit(1)).alias("__n"))
     return ranked.crossJoin(F.broadcast(n)).select(
@@ -4055,6 +4076,16 @@ def q156_kcenter_coreset(spark: SparkSession, sf: str) -> DataFrame:
 
     k = 6
     e = _t(spark, sf, "embeddings").df
+    # r12 (guide §5 localCheckpoint): the traversal + assignment are
+    # k+1 sequential full passes over the SAME narrow projection —
+    # checkpoint it once so each pass reads materialized rows instead
+    # of re-decoding parquet (in-session A/B: 2.17 → 1.96 s, −10%).
+    # At billions of vectors the traversal input is the centroid
+    # table / a deterministic sample (docstring above), so the
+    # checkpoint stays sample-sized there.
+    e = e.select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    ).localCheckpoint()
     centers = kcenter_select(e, k)
     # the generated oracle (_kcenter_sql) always unrolls EXACTLY k
     # selection steps, while kcenter_select stops early on degenerate
@@ -4254,6 +4285,10 @@ def q160_epoch_shuffle(spark: SparkSession, sf: str) -> DataFrame:
         keyed,
         by=[F.col("epoch"), F.col("shuffle_key"), F.col("seq_id")],
         name="pos",
+        # (epoch, shuffle_key, seq_id) is unique per row — the rank
+        # fast path skips the key-domain aggregate + join-back (r12:
+        # 1.57 → 1.19 s in-session, −24%; q163 inherits)
+        unique_keys=True,
     )
     return ranked.select(
         F.col("epoch").cast("long").alias("epoch"),
@@ -4840,6 +4875,14 @@ def q175_ann_recall_report(spark: SparkSession, sf: str) -> DataFrame:
     from .functions import similarity
 
     e = _t(spark, sf, "embeddings").df
+    # r12: both sides (probe: seed collect + assign/encode scan;
+    # exact: full cosine scan) re-read and re-cast the same vectors —
+    # one checkpointed narrow projection feeds all three jobs
+    # (in-session A/B: 2.97 → 2.81 s; same values, so both rankings
+    # are unchanged)
+    e = e.select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    ).localCheckpoint()
     query = [((i * 37) % 13 - 6) / 13.0 for i in range(similarity.EMB_DIM)]
     # both collects are ordered limit-20 results — rank = position
     with ThreadPoolExecutor(max_workers=2) as pool:

@@ -51,6 +51,28 @@ def test_rank_by_tie_semantics(spark):
     assert dense == {(10, 1), (5, 2), (1, 3)}
 
 
+def test_rank_unique_keys_fast_path_matches_generic(spark):
+    """r12: rank(unique_keys=True) skips the key-domain aggregate and
+    join-back when the caller guarantees per-row-unique keys — the
+    rank values must be bit-identical to the generic two-pass scheme
+    (and to the 1..N contiguous row-number contract), across many
+    partitions, for both ascending and mixed sort directions."""
+    rows = [Row(id=i, v=float((i * 37) % 101)) for i in range(500)]
+    df = spark.createDataFrame(rows).repartition(11)
+    by = [F.col("v"), F.col("id")]
+    for asc in (True, [False, True]):
+        generic = {
+            (r["id"], r["rank"])
+            for r in rank(df, by=by, ascending=asc).collect()
+        }
+        fast = {
+            (r["id"], r["rank"])
+            for r in rank(df, by=by, ascending=asc, unique_keys=True).collect()
+        }
+        assert fast == generic
+        assert sorted(rk for _, rk in fast) == list(range(1, 501))
+
+
 def test_cube_all_marker(spark):
     """CubeDimensions.java:72 — Pig substitutes 'ALL' for rolled-up dims."""
     df = spark.createDataFrame([Row(a="x", b="p", v=1), Row(a="y", b="p", v=2)])
