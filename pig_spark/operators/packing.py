@@ -421,13 +421,20 @@ def sequence_store(
     spans = sequence_spans(
         sized, "__n", seq_len, order=id_col, id_col=id_col
     ).localCheckpoint()
-    spans.withColumn("part", F.floor(F.col("seq_id") / block)).write.mode(
-        "overwrite"
-    ).partitionBy("part").parquet(f"{path}/manifest")
+    # r12 (guide §6 output sizing): repartition by the partition
+    # column before each partitioned write — otherwise every task
+    # opens a writer per block it touches (tasks × blocks tiny
+    # files); the extra shuffle is manifest/sequence-row-sized and
+    # yields one right-sized file per block (in-session A/B: build
+    # 1.63 → 1.45 s, −11%; readers prune by PartitionFilters either
+    # way)
+    spans.withColumn("part", F.floor(F.col("seq_id") / block)).repartition(
+        "part"
+    ).write.mode("overwrite").partitionBy("part").parquet(f"{path}/manifest")
     assembled = gather_sequences(spans, df, tokens_col=tokens_col, id_col=id_col)
-    assembled.withColumn("part", F.floor(F.col("seq_id") / block)).write.mode(
-        "overwrite"
-    ).partitionBy("part").parquet(f"{path}/sequences")
+    assembled.withColumn("part", F.floor(F.col("seq_id") / block)).repartition(
+        "part"
+    ).write.mode("overwrite").partitionBy("part").parquet(f"{path}/sequences")
 
 
 def pack_ffd(

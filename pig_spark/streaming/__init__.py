@@ -711,7 +711,12 @@ def write_ann_index_stream(df: DataFrame, path: str, checkpoint: str):
         fs = marker.getFileSystem(hconf)
         if fs.exists(marker):
             return  # replayed epoch: its rows are already in the index
-        batch.write.mode("append").partitionBy("cell").parquet(path)
+        # r12 (guide §6): repartition by cell first — otherwise every
+        # batch task opens a writer per cell it touches, and the
+        # per-epoch appends accrete tasks × nlist tiny files; this
+        # caps it at one file per touched cell per epoch (the batch
+        # builder's layout rule; probe pruning is layout-independent)
+        batch.repartition("cell").write.mode("append").partitionBy("cell").parquet(path)
         fs.mkdirs(marker.getParent())
         fs.createNewFile(marker)
 
@@ -935,7 +940,9 @@ def write_sequence_store_stream(
             )
             out.withColumn(
                 "part", F.floor(F.col("seq_id") / block)
-            ).write.mode("append").partitionBy("part").parquet(seqs_p)
+            ).repartition("part").write.mode("append").partitionBy(
+                "part"
+            ).parquet(seqs_p)
 
     healed = {"done": False}
 
@@ -989,9 +996,13 @@ def write_sequence_store_stream(
             sized, "__n", seq_len, order=id_col, id_col=id_col,
             base_offset=offset,
         )
+        # r12 (guide §6): one file per touched block per batch — see
+        # write_ann_index_stream's layout note
         spans.withColumn("part", F.floor(F.col("seq_id") / block)).withColumn(
             "__epoch", F.lit(sig)
-        ).write.mode("append").partitionBy("part").parquet(manifest)
+        ).repartition("part").write.mode("append").partitionBy(
+            "part"
+        ).parquet(manifest)
         _finalize(spark, fs, jvm, (offset + int(stats["t"])) // seq_len)
 
     return (
