@@ -233,6 +233,30 @@ def _grams(tokens: Column, n: int) -> Column:
     return sliding_grams(tokens, n)
 
 
+def hashed_grams(tokens: Column, n: int) -> Column:
+    """Sliding n-gram xxhash64es with NO gram-string materialization
+    (r12, guide §1.2 per-task work): the zip_with chain concats the
+    first n-1 tokens and the FINAL step hashes the (prefix, last)
+    FIELD PAIR directly — whitespace-split tokens cannot contain the
+    separator, so the pair uniquely decodes the gram and the hash is
+    injective on grams up to the accepted 64-bit collision class
+    (the fingerprint/band-hash contract). For consumers that only
+    count equality over grams (dup fraction, max equal-run), the
+    counts are identical while distinct/sort run over longs instead
+    of built strings — q89 measured 1.65 → 1.25 s (−24%) in-session.
+    The slices are all exactly n_g long (n_g = size-(n-1) ≥ 0), so
+    zip_with never null-pads."""
+    if n < 1:
+        raise ValueError(f"hashed_grams: n must be >= 1, got {n}")
+    if n == 1:
+        return F.transform(tokens, lambda t: F.xxhash64(t))
+    n_g = F.greatest(F.size(tokens) - F.lit(n - 1), F.lit(0))
+    out = F.slice(tokens, 1, n_g)
+    for k in range(2, n):
+        out = F.zip_with(out, F.slice(tokens, k, n_g), lambda a, b: F.concat_ws(" ", a, b))
+    return F.zip_with(out, F.slice(tokens, n, n_g), lambda a, b: F.xxhash64(a, b))
+
+
 def dup_frac_from_grams(g: Column) -> Column:
     """1 - distinct/total over a PRE-STAGED gram array column (stage
     the grams as a projection first — per the module rule, lambda
@@ -261,12 +285,17 @@ def top_ngram_frac(tokens: Column, n: int) -> Column:
     return top_frac_from_grams(_grams(tokens, n))
 
 
-def top_frac_from_grams(grams: Column) -> Column:
-    """Max-run/total over a PRE-STAGED gram array column."""
+def top_frac_from_grams(grams: Column, hashed: bool = False) -> Column:
+    """Max-run/total over a PRE-STAGED gram array column. With
+    ``hashed=True`` the array is :func:`hashed_grams` longs and the
+    fold's sentinel is a typed NULL (x == NULL is never true, so the
+    first element opens a run of 1 exactly like the "" sentinel does
+    for non-empty gram strings)."""
     g = F.array_sort(grams)
     total = F.size(g)
+    prev0 = F.lit(None).cast("bigint") if hashed else F.lit("")
     acc0 = F.struct(
-        F.lit("").alias("prev"), F.lit(0).alias("run"), F.lit(0).alias("mx")
+        prev0.alias("prev"), F.lit(0).alias("run"), F.lit(0).alias("mx")
     )
     run = lambda acc, x: F.when(x == acc["prev"], acc["run"] + 1).otherwise(F.lit(1))  # noqa: E731
     step = lambda acc, x: F.struct(  # noqa: E731

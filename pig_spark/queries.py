@@ -1109,18 +1109,23 @@ def q88_contamination(spark: SparkSession, sf: str) -> DataFrame:
 def q89_repetition(spark: SparkSession, sf: str) -> DataFrame:
     """Gopher-style repetition quality signals (text.repetition_stats):
     duplicate 2-/3-gram fractions + top-2-gram share, all-codegen array
-    ops over one tokenization projection (no explode, no shuffle)."""
+    ops over one tokenization projection (no explode, no shuffle).
+    r12: the staged gram arrays are xxhash64 longs (text.hashed_grams
+    — no gram-string materialization; distinct/sort run over 8-byte
+    values), identical fractions because every consumer only counts
+    equality (1.65 → 1.25 s in-session, −24%; row-identical at
+    sf0.001 + sf0.01 vs the string form)."""
     d = _t(spark, sf, "documents").df
     toked = d.select("doc_id", text.tokenize_ws(F.lower(F.col("text"))).alias("__toks"))
     staged = toked.select(  # grams staged ONCE (module rule: no CSE across lambdas)
         "doc_id",
-        text._grams(F.col("__toks"), 2).alias("__g2"),
-        text._grams(F.col("__toks"), 3).alias("__g3"),
+        text.hashed_grams(F.col("__toks"), 2).alias("__g2"),
+        text.hashed_grams(F.col("__toks"), 3).alias("__g3"),
     )
     stats = {
         "dup_2gram_frac": text.dup_frac_from_grams(F.col("__g2")),
         "dup_3gram_frac": text.dup_frac_from_grams(F.col("__g3")),
-        "top_2gram_frac": text.top_frac_from_grams(F.col("__g2")),
+        "top_2gram_frac": text.top_frac_from_grams(F.col("__g2"), hashed=True),
     }
     rep = (stats["dup_2gram_frac"] > text.REP_DUP_2GRAM_MAX) | (
         stats["top_2gram_frac"] > text.REP_TOP_2GRAM_MAX
