@@ -715,6 +715,104 @@ def _char_gram_hashes_staged(chars: Column, n: int = CHAR_SHINGLE_N) -> Column:
     )
 
 
+_POLY_C = 0x9E3779B97F4A7C15 | 1  # odd 64-bit multiplier (golden-ratio mix)
+
+
+def _poly_c_pow(k: int) -> int:
+    """C^k mod 2^64 as a SIGNED long literal (Java-wrap arithmetic —
+    the session runs ANSI off, so long overflow wraps like Java)."""
+    v = pow(_POLY_C, k, 1 << 64)
+    return v - (1 << 64) if v >= (1 << 63) else v
+
+
+def char_gram_hash_stage(
+    df: DataFrame, chars_col: str, id_col: str, n: int = CHAR_SHINGLE_N
+) -> DataFrame:
+    """(id, __gha: array<long>) — distinct hashes of the stride-1
+    character n-grams of a PRE-STAGED char-array column, via the
+    DOUBLING polynomial (r13, guide §1.2 per-task work).
+
+    The r12 form hashed ``slice(chars, i, n)`` per position — n
+    per-element hash calls per gram (~28M one-char string hashes at
+    sf0.1, 2.5 s of the q134 body). This builds the Rabin-Karp
+    polynomial H(gram) = Σ code(c_{i+k})·C^(n-1-k) mod 2^64 with the
+    doubling construction — ⌈log2 n⌉ zip_with levels, ONE multiply-add
+    per position per level (p_{2w}[j] = p_w[j]·C^w + p_w[j+w]), each
+    level staged as its own projection column (the module staging
+    rule). Total O(L·log n) long ops instead of O(L·n) string hashes —
+    q134 body 3.41 → 2.26 s in-session (−34%).
+
+    Equal char windows hash equal by construction; distinct windows
+    collide only in the negligible 64-bit class the pipeline already
+    accepts (gram hashes are equality keys only — verified
+    row-identical on q134/q136/q147 at sf0.001/sf0.01/sf0.1). The
+    final ``xxhash64(poly, width)`` mixes the polynomial and tags the
+    gram WIDTH, so the short-doc clamp gram (one whole-string gram for
+    docs under n chars, the word_shingles clamp) can never collide
+    with a full-width gram."""
+    widths: list[int] = []
+    w, rem, pows = 1, n, []
+    while w <= n:
+        pows.append(w)
+        w *= 2
+    for p in reversed(pows):  # greedy binary decomposition of n
+        while rem >= p:
+            widths.append(p)
+            rem -= p
+    max_pow = max(widths)
+
+    def _mul_add(width: int):
+        cw = F.lit(_poly_c_pow(width))
+        return lambda a, b: a * cw + b
+
+    out = df.select(
+        F.col(id_col),
+        F.size(chars_col).alias("__len"),
+        F.transform(chars_col, lambda c: F.ascii(c).cast("bigint")).alias("__p1"),
+    )
+    lvl, w = {1: "__p1"}, 1
+    while w < max_pow:
+        nxt, prev = w * 2, lvl[w]
+        out = out.select(
+            "*",
+            F.zip_with(
+                prev,
+                F.slice(F.col(prev), 1 + w, F.greatest(F.size(prev) - w, F.lit(0))),
+                _mul_add(w),
+            ).alias(f"__p{nxt}"),
+        )
+        lvl[nxt] = f"__p{nxt}"
+        w = nxt
+    acc_col, acc_w = lvl[widths[0]], widths[0]
+    for wd in widths[1:]:
+        nm = f"__q{acc_w + wd}"
+        out = out.select(
+            "*",
+            F.zip_with(
+                acc_col,
+                F.slice(
+                    F.col(lvl[wd]), 1 + acc_w, F.greatest(F.size(lvl[wd]) - acc_w, F.lit(0))
+                ),
+                _mul_add(wd),
+            ).alias(nm),
+        )
+        acc_col, acc_w = nm, acc_w + wd
+    assert acc_w == n
+    full = F.aggregate(
+        F.col("__p1"), F.lit(0).cast("bigint"), lambda acc, c: acc * F.lit(_poly_c_pow(1)) + c
+    )
+    # zip_with pads the shorter side with nulls — every level carries a
+    # null tail, so only the first L-n+1 positions are valid grams
+    grams = F.when(
+        F.col("__len") >= n,
+        F.transform(
+            F.slice(F.col(acc_col), 1, F.col("__len") - F.lit(n - 1)),
+            lambda h: F.xxhash64(h, F.lit(n)),
+        ),
+    ).otherwise(F.array(F.xxhash64(full, F.col("__len"))))
+    return out.select(F.col(id_col), F.array_distinct(grams).alias("__gha"))
+
+
 def char_contamination_check(
     train: DataFrame,
     bench: DataFrame,
@@ -730,21 +828,28 @@ def char_contamination_check(
     corpora). Same distributed shape as the word-gram
     :func:`contamination_check`: the eval side's distinct char-gram
     hashes broadcast, ONE train scan, ONE doc-id groupBy; only 64-bit
-    xxhash64 values ever shuffle (counts are hash-agnostic — the
-    oracle compares raw-string overlap and gets identical counts).
-    r12: grams are hashed straight off a staged char array
-    (:func:`_char_gram_hashes_staged`) instead of materializing every
-    n-char substring — O(len·n) per doc, was O(len²) byte scanning."""
-    staged = train.select(
-        id_col, F.split(F.lower(F.col(text_col)), "").alias("__c")
+    hash values ever shuffle (counts are hash-agnostic — the oracle
+    compares raw-string overlap and gets identical counts).
+    r12: grams hashed straight off a staged char array — O(len·n),
+    was O(len²) byte scanning. r13: the doubling polynomial
+    (:func:`char_gram_hash_stage`) — O(len·log n) long ops.
+
+    Both explodes are explode_OUTER on purpose (r13): outer=true stops
+    InferFiltersFromGenerate from injecting a size>0 filter whose
+    pushdown INLINES the whole staging chain into one interpreted
+    Filter (measured 3.8 → 50 s!); the clamp guarantees every doc ≥ 1
+    gram, so outer is semantically identical to explode here."""
+    tr = char_gram_hash_stage(
+        train.select(id_col, F.split(F.lower(F.col(text_col)), "").alias("__c")),
+        "__c", id_col, n,
     )
-    tr_grams = staged.select(
-        id_col, F.explode(_char_gram_hashes_staged(F.col("__c"), n)).alias("__gh")
+    tr_grams = tr.select(id_col, F.explode_outer("__gha").alias("__gh"))
+    bgr = char_gram_hash_stage(
+        bench.select(F.lit(1).alias("__bid"), F.split(F.lower(F.col(text_col)), "").alias("__c")),
+        "__c", "__bid", n,
     )
-    bstaged = bench.select(F.split(F.lower(F.col(text_col)), "").alias("__c"))
     bench_grams = (
-        bstaged.select(_char_gram_hashes_staged(F.col("__c"), n).alias("__gha"))
-        .select(F.explode("__gha").alias("__gh"))
+        bgr.select(F.explode_outer("__gha").alias("__gh"))
         .distinct()
         .withColumn("__hit", F.lit(1))
     )

@@ -1132,8 +1132,15 @@ def ann_index_store(
     # per cell it touches (tasks × nlist tiny files); one cheap
     # shuffle of the 8-byte code rows yields one right-sized file per
     # cell instead (in-session A/B: build 3.87 → 3.29 s, −15%; the
-    # probe's PartitionFilters pruning is layout-independent)
-    enc.repartition("cell").write.mode("overwrite").partitionBy("cell").parquet(path)
+    # probe's PartitionFilters pruning is layout-independent).
+    # Skew tradeoff (ADVICE r12): hash-routing each cell to ONE task
+    # makes a hot cell a single-task writer — maxRecordsPerFile caps
+    # the file size it can produce (~8M code rows ≈ a few hundred MB);
+    # if cell skew ever dominates the build, switch to
+    # repartition("cell", salt) at the cost of >1 file per cell.
+    enc.repartition("cell").write.option(
+        "maxRecordsPerFile", 8_000_000
+    ).mode("overwrite").partitionBy("cell").parquet(path)
     model = {
         "version": 1,
         "id_col": id_col,

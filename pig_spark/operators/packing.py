@@ -427,14 +427,22 @@ def sequence_store(
     # files); the extra shuffle is manifest/sequence-row-sized and
     # yields one right-sized file per block (in-session A/B: build
     # 1.63 → 1.45 s, −11%; readers prune by PartitionFilters either
-    # way)
+    # way). Skew note (ADVICE r12): `part` is a fixed-size range of
+    # seq_ids, so partitions are uniform by construction; the
+    # maxRecordsPerFile caps below are insurance for a caller passing
+    # a block size far above the default (manifest rows are ~tens of
+    # bytes, sequence rows carry the seq_len token array).
     spans.withColumn("part", F.floor(F.col("seq_id") / block)).repartition(
         "part"
-    ).write.mode("overwrite").partitionBy("part").parquet(f"{path}/manifest")
+    ).write.option("maxRecordsPerFile", 8_000_000).mode("overwrite").partitionBy(
+        "part"
+    ).parquet(f"{path}/manifest")
     assembled = gather_sequences(spans, df, tokens_col=tokens_col, id_col=id_col)
     assembled.withColumn("part", F.floor(F.col("seq_id") / block)).repartition(
         "part"
-    ).write.mode("overwrite").partitionBy("part").parquet(f"{path}/sequences")
+    ).write.option("maxRecordsPerFile", 500_000).mode("overwrite").partitionBy(
+        "part"
+    ).parquet(f"{path}/sequences")
 
 
 def pack_ffd(

@@ -29,6 +29,7 @@ Pig's RANK prepends a 1-based rank column:
 
 from __future__ import annotations
 
+import os
 from collections.abc import Sequence
 
 from pyspark.sql import Column, DataFrame, Window
@@ -83,6 +84,22 @@ def rank(
             .withColumn("__rpid", F.spark_partition_id())
         )
         local_rn = F.row_number().over(Window.partitionBy("__rpid").orderBy(*order))
+        # opt-in uniqueness validation (ADVICE r12): a caller violating
+        # the unique_keys contract silently gets row numbers, so under
+        # SPARK_GRAFT_DEBUG_ASSERTS=1 every row checks that its
+        # predecessor in key order carries a DIFFERENT key (equal keys
+        # are adjacent within a range partition, and equal keys always
+        # land in the same range partition, so adjacency covers every
+        # duplicate). assert_true yields NULL when the guard holds; it
+        # is folded into the rank sum (+0) so column pruning cannot
+        # remove it. Off by default — zero plan change.
+        if os.environ.get("SPARK_GRAFT_DEBUG_ASSERTS") == "1":
+            prev_key = F.lag("__key").over(Window.partitionBy("__rpid").orderBy(*order))
+            guard = F.assert_true(
+                prev_key.isNull() | (prev_key != F.col("__key")),
+                F.lit("rank(unique_keys=True): duplicate sort key"),
+            )
+            local_rn = local_rn + F.coalesce(guard.cast("int"), F.lit(0))
         totals = kc.groupBy("__rpid").agg(F.count(F.lit(1)).alias("__rows"))
         w_off = Window.orderBy("__rpid").rowsBetween(Window.unboundedPreceding, -1)
         offsets = totals.select(

@@ -43,6 +43,37 @@ def davg(col: Column, scale: int = 2) -> Column:
 _DEC = "decimal(18,2)"
 
 
+def _ckpt_if_small(df: DataFrame, default_max_bytes: int = 16 << 30) -> DataFrame:
+    """localCheckpoint a multiply-consumed stage ONLY when its
+    optimized-plan size estimate is under a threshold (r13, VERDICT
+    r12 #3 / guide §5): the sf-scale win of materializing a reused
+    corpus-scale projection (q130's token table, the q137/q138/q150
+    substring staging, q175's cast embeddings) becomes a liability at
+    the 100 TB design point — a second copy of the corpus pinned to
+    executor local storage, plus lineage truncation (a lost executor
+    cannot recompute, it fails the job). Above the threshold the
+    stage keeps its LAZY shape: consumers re-derive it, which is the
+    documented r9 rule for corpus-sized intermediates.
+
+    Threshold: `SPARK_GRAFT_CKPT_MAX_BYTES` (bytes), default 16 GiB —
+    orders of magnitude above any local-mode SF, orders of magnitude
+    below a 100 TB corpus; size it to a small fraction of cluster
+    local-disk in production. Estimate failures (e.g. plans without
+    statistics) fall back to checkpointing, preserving the r12
+    behavior."""
+    import os
+
+    from .operators.skew import plan_size_bytes
+
+    max_bytes = int(os.environ.get("SPARK_GRAFT_CKPT_MAX_BYTES", str(default_max_bytes)))
+    try:
+        if plan_size_bytes(df) > max_bytes:
+            return df
+    except Exception:
+        pass
+    return df.localCheckpoint()
+
+
 # ----------------------------------------------------------------------
 # core relational operators (SURVEY §2.2)
 # ----------------------------------------------------------------------
@@ -2640,8 +2671,10 @@ def q130_bigram_lm_perplexity(spark: SparkSession, sf: str) -> DataFrame:
     # "decide with small rows" — materialize the token proxy, never
     # re-derive it; contrast q76/q136 where the same move measured
     # SLOWER because their reused stage sits behind a shuffle that
-    # ReusedExchange already dedups).
-    td = d.select("doc_id", toks.alias("tk")).localCheckpoint()
+    # ReusedExchange already dedups). r13: size-guarded — this table
+    # is corpus-sized, so above SPARK_GRAFT_CKPT_MAX_BYTES it stays
+    # lazy (see _ckpt_if_small; VERDICT r12 #3).
+    td = _ckpt_if_small(d.select("doc_id", toks.alias("tk")))
 
     # unigram table: ONE aggregate, materialized once for its three
     # consumers (top-V, total, P(w2|w1) denominators)
@@ -3067,7 +3100,11 @@ def _substr_staged(spark: SparkSession, sf: str):
     q150 2.50 → 2.41 s (−3%) — every paired round lower. The wins
     subtree stays LAZY: its two consumers re-aggregate after the
     same exchange on h, which ReusedExchange dedups (a wins
-    checkpoint measured within noise of the staged one alone)."""
+    checkpoint measured within noise of the staged one alone).
+
+    r13: size-guarded (_ckpt_if_small) — the staged table is
+    corpus-sized, so above SPARK_GRAFT_CKPT_MAX_BYTES it keeps the
+    lazy r9 shape (VERDICT r12 #3 / ADVICE r12; SCALE.md entry)."""
     from pyspark.sql import functions as F
 
     from .functions.text import tokenize_ws
@@ -3077,9 +3114,9 @@ def _substr_staged(spark: SparkSession, sf: str):
         F.col("doc_id") % 3 == 0, F.concat(F.lit(_SUBSTR_BOILER + " "), F.col("text"))
     ).otherwise(F.col("text"))
     td = d.select("doc_id", tokenize_ws(boiled).alias("tk"))
-    return td.select(
-        "doc_id", F.size("tk").cast("long").alias("n_tokens"), "tk"
-    ).localCheckpoint()
+    return _ckpt_if_small(
+        td.select("doc_id", F.size("tk").cast("long").alias("n_tokens"), "tk")
+    )
 
 
 def _substr_wins(staged):
@@ -4884,10 +4921,15 @@ def q175_ann_recall_report(spark: SparkSession, sf: str) -> DataFrame:
     # exact: full cosine scan) re-read and re-cast the same vectors —
     # one checkpointed narrow projection feeds all three jobs
     # (in-session A/B: 2.97 → 2.81 s; same values, so both rankings
-    # are unchanged)
-    e = e.select(
-        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
-    ).localCheckpoint()
+    # are unchanged). r13: size-guarded — at billions of vectors this
+    # projection is data-sized, so above SPARK_GRAFT_CKPT_MAX_BYTES
+    # both sides re-cast from the parquet scan instead (ADVICE r12).
+    # The checkpoint (when taken) is EAGER, so the 2-thread pool below
+    # never serializes on a shared first materialization — each side
+    # scans the already-materialized RDD (VERDICT r12 #8).
+    e = _ckpt_if_small(
+        e.select("vec_id", F.col("embedding").cast("array<double>").alias("embedding"))
+    )
     query = [((i * 37) % 13 - 6) / 13.0 for i in range(similarity.EMB_DIM)]
     # both collects are ordered limit-20 results — rank = position
     with ThreadPoolExecutor(max_workers=2) as pool:

@@ -715,8 +715,12 @@ def write_ann_index_stream(df: DataFrame, path: str, checkpoint: str):
         # batch task opens a writer per cell it touches, and the
         # per-epoch appends accrete tasks × nlist tiny files; this
         # caps it at one file per touched cell per epoch (the batch
-        # builder's layout rule; probe pruning is layout-independent)
-        batch.repartition("cell").write.mode("append").partitionBy("cell").parquet(path)
+        # builder's layout rule; probe pruning is layout-independent).
+        # maxRecordsPerFile: a hot cell is a single-task writer — cap
+        # its file size (ADVICE r12; ann_index_store's skew note)
+        batch.repartition("cell").write.option(
+            "maxRecordsPerFile", 8_000_000
+        ).mode("append").partitionBy("cell").parquet(path)
         fs.mkdirs(marker.getParent())
         fs.createNewFile(marker)
 
@@ -940,7 +944,9 @@ def write_sequence_store_stream(
             )
             out.withColumn(
                 "part", F.floor(F.col("seq_id") / block)
-            ).repartition("part").write.mode("append").partitionBy(
+            ).repartition("part").write.option(
+                "maxRecordsPerFile", 500_000
+            ).mode("append").partitionBy(
                 "part"
             ).parquet(seqs_p)
 
@@ -1000,7 +1006,9 @@ def write_sequence_store_stream(
         # write_ann_index_stream's layout note
         spans.withColumn("part", F.floor(F.col("seq_id") / block)).withColumn(
             "__epoch", F.lit(sig)
-        ).repartition("part").write.mode("append").partitionBy(
+        ).repartition("part").write.option(
+            "maxRecordsPerFile", 8_000_000
+        ).mode("append").partitionBy(
             "part"
         ).parquet(manifest)
         _finalize(spark, fs, jvm, (offset + int(stats["t"])) // seq_len)

@@ -290,6 +290,44 @@ def test_repetition_stats_crafted(spark):
     assert out[4]["t2"] == 1.0
 
 
+def test_hashed_grams_parity_with_string_grams(spark):
+    """text.hashed_grams: dup_frac and top_frac(hashed=True) match the
+    string-gram lowering on the edge cases — empty doc, doc shorter
+    than n, all-equal tokens, and a normal mixed doc (ADVICE r12: the
+    parity was only diff-tested in-session; this pins it)."""
+    from pyspark.sql import functions as F
+
+    from pig_spark.functions import text
+
+    docs = spark.createDataFrame(
+        [
+            (1, ""),                       # empty doc -> no tokens
+            (2, "x"),                      # shorter than n
+            (3, "loop loop loop loop"),    # all-equal tokens
+            (4, "a b a b a b"),            # repeats
+            (5, "all words differ here"),  # all distinct
+        ],
+        "doc_id: long, text: string",
+    )
+    toked = docs.select("doc_id", text.tokenize_ws(F.lower(F.col("text"))).alias("__t"))
+    for n in (2, 3):
+        staged = toked.select(
+            "doc_id",
+            text._grams(F.col("__t"), n).alias("__gs"),
+            text.hashed_grams(F.col("__t"), n).alias("__gh"),
+        )
+        rows = staged.select(
+            "doc_id",
+            text.dup_frac_from_grams(F.col("__gs")).alias("ds"),
+            text.dup_frac_from_grams(F.col("__gh")).alias("dh"),
+            text.top_frac_from_grams(F.col("__gs")).alias("ts"),
+            text.top_frac_from_grams(F.col("__gh"), hashed=True).alias("th"),
+        ).collect()
+        for r in rows:
+            assert r["ds"] == r["dh"], (n, r)
+            assert r["ts"] == r["th"], (n, r)
+
+
 def test_contamination_check_edges(spark):
     """dedup.contamination: zero-overlap and full-overlap docs."""
     from pig_spark.functions.dedup import contamination_check

@@ -73,6 +73,22 @@ def test_rank_unique_keys_fast_path_matches_generic(spark):
         assert sorted(rk for _, rk in fast) == list(range(1, 501))
 
 
+def test_rank_unique_keys_debug_assert(spark, monkeypatch):
+    """r13 (ADVICE r12): SPARK_GRAFT_DEBUG_ASSERTS=1 makes the
+    unique_keys fast path raise on a violated uniqueness contract and
+    stay bit-identical when the contract holds."""
+    import pig_spark.operators.rank as rank_mod
+
+    monkeypatch.setenv("SPARK_GRAFT_DEBUG_ASSERTS", "1")
+    rows = [Row(id=i, v=float((i * 37) % 101)) for i in range(200)]
+    df = spark.createDataFrame(rows).repartition(7)
+    ok = rank_mod.rank(df, by=[F.col("v"), F.col("id")], unique_keys=True).collect()
+    assert sorted(r["rank"] for r in ok) == list(range(1, 201))
+    dup = rank_mod.rank(df, by=[F.col("v")], unique_keys=True)  # v repeats
+    with pytest.raises(Exception, match="duplicate sort key"):
+        dup.collect()
+
+
 def test_cube_all_marker(spark):
     """CubeDimensions.java:72 — Pig substitutes 'ALL' for rolled-up dims."""
     df = spark.createDataFrame([Row(a="x", b="p", v=1), Row(a="y", b="p", v=2)])

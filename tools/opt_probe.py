@@ -53,7 +53,7 @@ def main() -> None:
         if os.path.exists(p):
             spark.read.parquet(p).write.format("noop").mode("overwrite").save()
 
-    plans_dir = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "plans", "r12")
+    plans_dir = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "plans", os.environ.get("OPT_PROBE_PLANS", "r13"))
     samples: dict[str, list[float]] = {}
     for name in args.queries:
         fn = QUERIES[name]
