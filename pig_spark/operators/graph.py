@@ -58,16 +58,25 @@ def _bidir(e: DataFrame) -> DataFrame:
 
 
 def _large_star(e: DataFrame) -> DataFrame:
-    """(v, m) for every neighbor v > u, m = min(Γ(u) ∪ {u})."""
+    """(m, v) for every neighbor v > u, m = min(Γ(u) ∪ {u}).
+
+    r13: NO ``_canon`` on the output — for every emitted pair
+    m ≤ u < v, so least/greatest and the self-loop filter are identity
+    work, and the round-closing distinct only dropped pairs emitted by
+    two different u's. Small-star's aggregates (min) are multiset-
+    insensitive and its own canon-distinct dedups the round output, so
+    the per-round edge SET sequence — hence convergence and the
+    result — is IDENTICAL (verified row-identical at sf0.001+sf0.01
+    for all CC consumers) while each round loses one full exchange.
+    In-session A/B on q87: 2.40 → 2.17 s (−10%)."""
     b = _bidir(e)
     mins = b.groupBy("u").agg(F.min("v").alias("__mn"))
     m = F.least(F.col("u"), F.col("__mn"))
-    out = (
+    return (
         b.join(mins, "u")
         .filter(F.col("v") > F.col("u"))
-        .select(F.col("v").alias("__a"), m.alias("__b"))
+        .select(m.alias("u"), F.col("v").alias("v"))
     )
-    return _canon(out, "__a", "__b")
 
 
 def _small_star(e: DataFrame) -> DataFrame:
@@ -92,6 +101,7 @@ def connected_components(
     src: str = "src",
     dst: str = "dst",
     max_iter: int = 30,
+    canonical: bool = False,
 ) -> DataFrame:
     """Return (node, component) for every node in ``edges``.
 
@@ -100,12 +110,28 @@ def connected_components(
     any numeric/string key works).  Nodes with no edges are absent —
     a singleton maps to itself trivially, so callers left-join and
     ``coalesce(component, node)`` if full coverage is needed.
+
+    ``canonical=True`` is the caller's guarantee that the edges are
+    ALREADY canonical — src < dst, distinct, no nulls (true for every
+    LSH pair stream: id_a < id_b by construction, deduped, verified) —
+    which skips the initial least/greatest + distinct pass (one
+    exchange + its job, r13).
     """
     # r12: checkpoints are LAZY — the convergence checksum right after
     # each one is a full-partition aggregate, so it materializes the
     # checkpoint as a side effect: one driver round-trip per round
     # instead of two (in-session A/B on q87: 3.04 → 2.56 s, −16%).
-    e = _canon(edges, src, dst).localCheckpoint(eager=False)
+    # r13, measured NON-change: batching TWO star rounds per
+    # convergence checksum (VERDICT r12 #4) A/B'd at +59% (2.40 →
+    # 3.80 s) — the catalog's edge sets converge in ~2 rounds, so the
+    # batch just doubles the shuffle work past the fixpoint to save
+    # one driver sync; it would only pay at many-round diameters.
+    if canonical:
+        e = edges.select(F.col(src).alias("u"), F.col(dst).alias("v")).localCheckpoint(
+            eager=False
+        )
+    else:
+        e = _canon(edges, src, dst).localCheckpoint(eager=False)
     prev = _checksum(e)
     for _ in range(max_iter):
         e = _small_star(_large_star(e)).localCheckpoint(eager=False)
@@ -116,7 +142,12 @@ def connected_components(
     else:
         raise RuntimeError(f"connected_components did not converge in {max_iter} rounds")
     # converged edge set is a star forest; canonical order (u < v)
-    # puts each component's root (its minimum) on the u side
+    # puts each component's root (its minimum) on the u side. r13: in
+    # a distinct star forest every member (v) carries exactly one edge
+    # and no member is a root, so `nodes` is already duplicate-free
+    # and disjoint from `roots` — only the root side needs a distinct;
+    # the union-wide distinct exchange is gone (verified row-identical
+    # at sf0.001/sf0.01 + adversarial chain/multi-component graphs).
     nodes = e.select(F.col("v").alias("node"), F.col("u").alias("component"))
     roots = e.select(F.col("u").alias("node"), F.col("u").alias("component")).distinct()
-    return nodes.union(roots).distinct()
+    return nodes.union(roots)

@@ -1207,7 +1207,8 @@ def q91_dedup_survivors(spark: SparkSession, sf: str) -> DataFrame:
     d = _t(spark, sf, "documents").df
     pairs = dedup.minhash_lsh_pairs(d, "text", "doc_id", threshold=0.4)
     cc = connected_components(
-        pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
+        pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst")),
+        canonical=True,  # LSH pairs: id_a < id_b, distinct, non-null
     ).select(F.col("node").alias("doc_id"), F.col("component").alias("group_id"))
     member = cc.join(d.select("doc_id", "n_chars"), "doc_id")
     best = F.min(F.struct((-F.col("n_chars")).alias("__negc"), F.col("doc_id")))
@@ -1553,7 +1554,7 @@ def q87_dedup_groups(spark: SparkSession, sf: str) -> DataFrame:
     d = _t(spark, sf, "documents").df
     pairs = dedup.minhash_lsh_pairs(d, "text", "doc_id", threshold=0.4)
     edges = pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
-    return connected_components(edges, "src", "dst").select(
+    return connected_components(edges, "src", "dst", canonical=True).select(
         F.col("node").alias("doc_id"), F.col("component").alias("group_id")
     )
 
@@ -2209,7 +2210,7 @@ def q123_semantic_dedup(spark: SparkSession, sf: str) -> DataFrame:
     e = _t(spark, sf, "embeddings").df
     pairs = similarity.cosine_lsh_pairs(e, threshold=0.3)
     edges = pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
-    cc = connected_components(edges, "src", "dst")
+    cc = connected_components(edges, "src", "dst", canonical=True)
     out = e.select("vec_id").join(cc, F.col("vec_id") == F.col("node"), "left")
     group = F.coalesce(F.col("component"), F.col("vec_id"))
     return out.select(
@@ -2802,7 +2803,7 @@ def q132_paragraph_near_dup(spark: SparkSession, sf: str) -> DataFrame:
     firstp = dedup.first_occurrence(paras, F.md5("para"), ["pid"])
     pairs = dedup.minhash_lsh_pairs(firstp, "para", "pid", threshold=0.4)
     edges = pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
-    return connected_components(edges, "src", "dst").select(
+    return connected_components(edges, "src", "dst", canonical=True).select(
         F.col("node").alias("pid"), F.col("component").alias("group_id")
     )
 
