@@ -17,7 +17,9 @@ consumed by both the Spark expressions here and the SQL generators in
 
 from __future__ import annotations
 
-from pyspark.sql import Column
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 # deterministic per-language marker lists for the n-gram/stopword
@@ -190,6 +192,83 @@ def window_fingerprints(tokens: Column, w: int) -> Column:
             lambda i: F.xxhash64(F.slice(tokens, i + 1, w)),
         ),
     ).otherwise(F.array().cast("array<long>"))
+
+
+def window_fingerprint_stage(
+    df: "DataFrame", tokens_col: str, keep: Sequence[str], w: int
+) -> "DataFrame":
+    """(keep..., __wfp: array<long>) — :func:`window_fingerprints`
+    lowered through the DOUBLING polynomial (r13, guide §1.2; the
+    dedup.char_gram_hash_stage construction): each token is xxhash64'd
+    ONCE, then ⌈log2 w⌉ staged zip_with levels build every w-wide
+    window hash with one long multiply-add per position per level —
+    O(L·log w) instead of O(L·w) per-element hashing (at w = 50 the
+    r12 form hashed 50 strings per position). Fingerprints stay
+    equality keys only (the window_fingerprints contract): equal
+    windows hash equal by construction, distinct windows collide in
+    the accepted 64-bit class. Empty array when fewer than w tokens
+    (same clamp).
+
+    Callers must explode the staged column with posexplode_OUTER (not
+    posexplode): outer=false lets InferFiltersFromGenerate inject a
+    size>0 filter whose pushdown inlines the whole level chain into
+    one interpreted Filter (the q134 r13 lesson — a measured 13×
+    regression class). Filter the null row above the Generate instead.
+    In-session A/B on the q137 fingerprint slice: 0.98 → 0.84 s; q137
+    body measured with the full pipeline (see OPTIMIZATION_r13.md)."""
+    from .dedup import _poly_c_pow
+
+    widths: list[int] = []
+    rem, p, pows = w, 1, []
+    while p <= w:
+        pows.append(p)
+        p *= 2
+    for p in reversed(pows):
+        while rem >= p:
+            widths.append(p)
+            rem -= p
+    max_pow = max(widths)
+
+    def _mul_add(width: int):
+        cw = F.lit(_poly_c_pow(width))
+        return lambda a, b: a * cw + b
+
+    out = df.select(
+        *keep,
+        F.size(tokens_col).alias("__wlen"),
+        F.transform(tokens_col, lambda t: F.xxhash64(t)).alias("__w1"),
+    )
+    lvl, cur = {1: "__w1"}, 1
+    while cur < max_pow:
+        nxt, prev = cur * 2, lvl[cur]
+        out = out.select(
+            "*",
+            F.zip_with(
+                prev,
+                F.slice(F.col(prev), 1 + cur, F.greatest(F.size(prev) - cur, F.lit(0))),
+                _mul_add(cur),
+            ).alias(f"__w{nxt}"),
+        )
+        lvl[nxt] = f"__w{nxt}"
+        cur = nxt
+    acc_col, acc_w = lvl[widths[0]], widths[0]
+    for wd in widths[1:]:
+        nm = f"__wq{acc_w + wd}"
+        out = out.select(
+            "*",
+            F.zip_with(
+                acc_col,
+                F.slice(F.col(lvl[wd]), 1 + acc_w, F.greatest(F.size(lvl[wd]) - acc_w, F.lit(0))),
+                _mul_add(wd),
+            ).alias(nm),
+        )
+        acc_col, acc_w = nm, acc_w + wd
+    assert acc_w == w
+    fps = F.when(
+        F.col("__wlen") >= w,
+        F.slice(F.col(acc_col), 1, F.col("__wlen") - F.lit(w - 1)),
+    ).otherwise(F.array().cast("array<long>"))
+    return out.select(*keep, fps.alias("__wfp"))
 
 
 # repetition thresholds (Gopher-style corpus-quality rules; mirrored

@@ -3121,16 +3121,23 @@ def _substr_staged(spark: SparkSession, sf: str):
 
 
 def _substr_wins(staged):
-    """(doc_id, pos, h): the stride-1 W-token rolling-window xxhash64
-    fingerprints — in-row, O(W) per position (q137 doc; r12: was
-    md5-60 of the joined window string — see window_fingerprints)."""
+    """(doc_id, pos, h): the stride-1 W-token rolling-window
+    fingerprints — r13: the doubling-polynomial stage
+    (text.window_fingerprint_stage, O(L·log W) long ops; r12 hashed a
+    50-element string slice per position, r11 md5'd the joined window
+    string). posexplode_OUTER + null filter per the stage's
+    InferFiltersFromGenerate contract (rows identical: only docs with
+    ≥1 window survive either way)."""
     from pyspark.sql import functions as F
 
-    from .functions.text import window_fingerprints
+    from .functions.text import window_fingerprint_stage
 
-    return staged.select(
-        "doc_id", F.posexplode(window_fingerprints(F.col("tk"), _SUBSTR_W)).alias("pos", "h")
-    ).select("doc_id", F.col("pos").cast("long").alias("pos"), "h")
+    fp = window_fingerprint_stage(staged, "tk", ["doc_id"], _SUBSTR_W)
+    return (
+        fp.select("doc_id", F.posexplode_outer("__wfp").alias("pos", "h"))
+        .where(F.col("h").isNotNull())
+        .select("doc_id", F.col("pos").cast("long").alias("pos"), "h")
+    )
 
 
 def _substr_dup_windows(spark: SparkSession, sf: str):

@@ -420,7 +420,7 @@ def substring_dedup_stream(
     exactly ``window`` tokens, so the union folds as
     ``Σ min(window, next_start − start) + window`` — no distinct
     aggregate in the stream (unsupported) and no second stateful op."""
-    from ..functions.text import tokenize_ws, window_fingerprints
+    from ..functions.text import tokenize_ws, window_fingerprint_stage
 
     if ts_col not in doc_stream.columns:
         raise ValueError(
@@ -432,11 +432,18 @@ def substring_dedup_stream(
     tk = doc_stream.select(
         id_col, ts_col, tokenize_ws(F.col(text_col)).alias("__tk")
     )
-    staged = tk.select(
+    # r13: the doubling-polynomial fingerprint stage (the batch
+    # family's lowering — the stored index's hashes MUST match, and
+    # q150/_substr_wins build it from the same stage)
+    sized = tk.select(
+        id_col, ts_col, F.size("__tk").cast("long").alias("__n_tk"), "__tk"
+    )
+    fp = window_fingerprint_stage(sized, "__tk", [id_col, ts_col, "__n_tk"], W)
+    staged = fp.select(
         id_col,
         ts_col,
-        F.size("__tk").cast("long").alias("__n_tk"),
-        F.posexplode_outer(window_fingerprints(F.col("__tk"), W)).alias("pos", "h"),
+        "__n_tk",
+        F.posexplode_outer("__wfp").alias("pos", "h"),
     )
     probed = staged.join(
         fp_index_df.select(F.col("fh")), staged["h"] == F.col("fh"), "left"
