@@ -368,17 +368,16 @@ def ngram_jaccard_pairs(
     that many docs (stopword-grams — THE skew control at corpus scale;
     None = exact, matches the oracle).
     """
-    docs = shingle_stage(df, text_col, id_col, n).persist(StorageLevel.MEMORY_AND_DISK)
-    sizes = docs.select(id_col, F.size("__sh").alias("__n"))
-    # explode BEFORE hashing: a hash inside a transform lambda would
-    # build a throwaway hashed array per row (2.3× slower measured at
-    # sf0.1). xxhash64, not md5 (r7): the gram hash is only a grouping
-    # key — the output (pairs + Jaccard counts) is identical under any
-    # collision-free hash, so the hot path takes the codegen-cheap
-    # 64-bit hash rather than the crypto digest.
-    posting = docs.select(F.col(id_col), F.explode("__sh").alias("__s")).select(
-        F.col(id_col), F.xxhash64(F.col("__s")).alias("g")
+    # r13: the persisted stage carries the polynomial gram HASHES, not
+    # gram strings (word_gram_hash_stage — cache and posting shuffle
+    # move 8 bytes/gram; pairs + Jaccard counts are identical under an
+    # injective relabeling, verified row-identical at both SFs).
+    # explode_OUTER per the InferFiltersFromGenerate pushdown lesson.
+    docs = word_gram_hash_stage(df, text_col, id_col, n).persist(
+        StorageLevel.MEMORY_AND_DISK
     )
+    sizes = docs.select(id_col, F.size("__gha").alias("__n"))
+    posting = docs.select(F.col(id_col), F.explode_outer("__gha").alias("g"))
     if max_doc_freq is not None:
         hot = posting.groupBy("g").count().filter(F.col("count") > max_doc_freq).select("g")
         posting = posting.join(F.broadcast(hot), "g", "left_anti")
@@ -614,30 +613,22 @@ def contamination_check(
     size join under AQE). No shuffle ever carries gram strings — only
     60-bit hashes — and the train corpus is scanned once.
     """
-    tr = shingle_stage(train, text_col, id_col, n)
     # ONE corpus pass: every doc has ≥1 shingle (word_shingles clamps),
     # so n_grams = exploded-gram count and the broadcast LEFT join lets
     # a single groupBy produce both totals and hit counts — no second
     # scan/tokenization, no join-back for zero-overlap docs.
-    # xxhash64, not md5 (r7): the gram hash never surfaces in the
-    # output — only overlap COUNTS do, which any collision-free hash
-    # reproduces — so the hot path takes the codegen-cheap 64-bit hash
-    # (the crypto digest costs ~10× per gram and its cost scales with
-    # corpus size); md5_60 stays the contract only where hash VALUES
-    # persist or cross to the oracle (incremental index, bloom).
-    # hash IN-ROW, explode LONGS (r8): exploding 20-odd-char gram
-    # strings then hashing row-at-a-time measured ~17% slower than
-    # hashing inside the staged array and exploding 8-byte longs
-    tr_grams = tr.select(
-        id_col, F.transform("__sh", lambda g: F.xxhash64(g)).alias("__gha")
-    ).select(id_col, F.explode("__gha").alias("__gh"))
+    # r13: gram hashes come from the doubling polynomial over per-token
+    # xxhash64 values (word_gram_hash_stage) — the gram hash never
+    # surfaces in the output, only overlap COUNTS do, which any
+    # injective relabeling reproduces (verified row-identical at
+    # sf0.001/0.01/0.1); md5_60 stays the contract only where hash
+    # VALUES persist or cross to the oracle (incremental index, bloom).
+    # explode_OUTER per the InferFiltersFromGenerate pushdown lesson.
+    tr = word_gram_hash_stage(train, text_col, id_col, n)
+    tr_grams = tr.select(id_col, F.explode_outer("__gha").alias("__gh"))
     bench_grams = (
-        bench.select(
-            F.transform(
-                word_shingles(F.col(text_col), n), lambda g: F.xxhash64(g)
-            ).alias("__gha")
-        )
-        .select(F.explode("__gha").alias("__gh"))
+        word_gram_hash_stage(bench, text_col, id_col, n)
+        .select(F.explode_outer("__gha").alias("__gh"))
         .distinct()
         .withColumn("__hit", F.lit(1))
     )
@@ -725,37 +716,29 @@ def _poly_c_pow(k: int) -> int:
     return v - (1 << 64) if v >= (1 << 63) else v
 
 
-def char_gram_hash_stage(
-    df: DataFrame, chars_col: str, id_col: str, n: int = CHAR_SHINGLE_N
+def _poly_gram_hashes(
+    df: DataFrame, id_col: str, n: int, empty_is_gram: bool
 ) -> DataFrame:
-    """(id, __gha: array<long>) — distinct hashes of the stride-1
-    character n-grams of a PRE-STAGED char-array column, via the
-    DOUBLING polynomial (r13, guide §1.2 per-task work).
+    """Shared doubling-polynomial core: ``df`` carries (id_col, __len,
+    __p1: array<long> of per-element codes); returns (id_col, __gha:
+    array<long>) — the DISTINCT hashes of every stride-1 n-element
+    window, with the short-input clamp (one whole-input gram, width-
+    tagged via the final ``xxhash64(poly, width)`` mix so cross-width
+    collisions are impossible). ``empty_is_gram`` keeps the clamp gram
+    even for __len == 0 (the word_shingles ``[""]`` clamp; char inputs
+    always have __len ≥ 1 because split("") is [""]).
 
-    The r12 form hashed ``slice(chars, i, n)`` per position — n
-    per-element hash calls per gram (~28M one-char string hashes at
-    sf0.1, 2.5 s of the q134 body). This builds the Rabin-Karp
-    polynomial H(gram) = Σ code(c_{i+k})·C^(n-1-k) mod 2^64 with the
-    doubling construction — ⌈log2 n⌉ zip_with levels, ONE multiply-add
-    per position per level (p_{2w}[j] = p_w[j]·C^w + p_w[j+w]), each
-    level staged as its own projection column (the module staging
-    rule). Total O(L·log n) long ops instead of O(L·n) string hashes —
-    q134 body 3.41 → 2.26 s in-session (−34%).
-
-    Equal char windows hash equal by construction; distinct windows
-    collide only in the negligible 64-bit class the pipeline already
-    accepts (gram hashes are equality keys only — verified
-    row-identical on q134/q136/q147 at sf0.001/sf0.01/sf0.1). The
-    final ``xxhash64(poly, width)`` mixes the polynomial and tags the
-    gram WIDTH, so the short-doc clamp gram (one whole-string gram for
-    docs under n chars, the word_shingles clamp) can never collide
-    with a full-width gram."""
+    Every level is its own projection (the module staging rule);
+    consumers must explode __gha with explode_OUTER — outer=false lets
+    InferFiltersFromGenerate inject a size>0 filter whose pushdown
+    inlines this whole chain into one interpreted Filter (measured
+    13× regression, r13)."""
     widths: list[int] = []
     w, rem, pows = 1, n, []
     while w <= n:
         pows.append(w)
         w *= 2
-    for p in reversed(pows):  # greedy binary decomposition of n
+    for p in reversed(pows):
         while rem >= p:
             widths.append(p)
             rem -= p
@@ -765,11 +748,7 @@ def char_gram_hash_stage(
         cw = F.lit(_poly_c_pow(width))
         return lambda a, b: a * cw + b
 
-    out = df.select(
-        F.col(id_col),
-        F.size(chars_col).alias("__len"),
-        F.transform(chars_col, lambda c: F.ascii(c).cast("bigint")).alias("__p1"),
-    )
+    out = df
     lvl, w = {1: "__p1"}, 1
     while w < max_pow:
         nxt, prev = w * 2, lvl[w]
@@ -802,15 +781,80 @@ def char_gram_hash_stage(
         F.col("__p1"), F.lit(0).cast("bigint"), lambda acc, c: acc * F.lit(_poly_c_pow(1)) + c
     )
     # zip_with pads the shorter side with nulls — every level carries a
-    # null tail, so only the first L-n+1 positions are valid grams
+    # null tail, so only the first __len-n+1 positions are valid grams
+    clamp = F.array(F.xxhash64(full, F.col("__len")))
     grams = F.when(
         F.col("__len") >= n,
         F.transform(
             F.slice(F.col(acc_col), 1, F.col("__len") - F.lit(n - 1)),
             lambda h: F.xxhash64(h, F.lit(n)),
         ),
-    ).otherwise(F.array(F.xxhash64(full, F.col("__len"))))
+    ).otherwise(
+        clamp
+        if empty_is_gram
+        else F.when(F.col("__len") > 0, clamp).otherwise(F.array().cast("array<long>"))
+    )
     return out.select(F.col(id_col), F.array_distinct(grams).alias("__gha"))
+
+
+def word_gram_hash_stage(
+    df: DataFrame, text_col: str, id_col: str, n: int = SHINGLE_N
+) -> DataFrame:
+    """(id, __gha: array<long>) — distinct word n-gram hashes via the
+    doubling polynomial over per-TOKEN xxhash64 values (r13, guide
+    §1.2): each token is hashed once, then ⌈log2 n⌉ staged multiply-
+    add levels replace the zip_with concat chain + per-gram string
+    hash (two ~6·n-byte string allocations and an ~18-byte hash input
+    per gram at n = 3). Matches :func:`word_shingles`' distinct +
+    clamp semantics (short doc → one whole-doc gram; empty doc → one
+    width-0 gram, the ``[""]`` clamp) under an injective relabeling —
+    consumers that only COUNT gram equality (contamination_check,
+    ngram_jaccard_pairs) get identical results, verified row-identical
+    at sf0.001/sf0.01/sf0.1. NOT for the minhash/signature paths:
+    their gram hash (md5_32 of the gram STRING) is the oracle-pinned
+    signature contract."""
+    toks = tokenize_ws(F.lower(F.col(text_col)))
+    staged = df.select(F.col(id_col), toks.alias("__t"))
+    coded = staged.select(
+        F.col(id_col),
+        F.size("__t").alias("__len"),
+        F.transform("__t", lambda t: F.xxhash64(t)).alias("__p1"),
+    )
+    return _poly_gram_hashes(coded, id_col, n, empty_is_gram=True)
+
+
+def char_gram_hash_stage(
+    df: DataFrame, chars_col: str, id_col: str, n: int = CHAR_SHINGLE_N
+) -> DataFrame:
+    """(id, __gha: array<long>) — distinct hashes of the stride-1
+    character n-grams of a PRE-STAGED char-array column, via the
+    DOUBLING polynomial (r13, guide §1.2 per-task work).
+
+    The r12 form hashed ``slice(chars, i, n)`` per position — n
+    per-element hash calls per gram (~28M one-char string hashes at
+    sf0.1, 2.5 s of the q134 body). This builds the Rabin-Karp
+    polynomial H(gram) = Σ code(c_{i+k})·C^(n-1-k) mod 2^64 with the
+    doubling construction — ⌈log2 n⌉ zip_with levels, ONE multiply-add
+    per position per level (p_{2w}[j] = p_w[j]·C^w + p_w[j+w]), each
+    level staged as its own projection column (the module staging
+    rule). Total O(L·log n) long ops instead of O(L·n) string hashes —
+    q134 body 3.41 → 2.26 s in-session (−34%).
+
+    Equal char windows hash equal by construction; distinct windows
+    collide only in the negligible 64-bit class the pipeline already
+    accepts (gram hashes are equality keys only — verified
+    row-identical on q134/q136/q147 at sf0.001/sf0.01/sf0.1). The
+    final ``xxhash64(poly, width)`` mixes the polynomial and tags the
+    gram WIDTH, so the short-doc clamp gram (one whole-string gram for
+    docs under n chars, the word_shingles clamp) can never collide
+    with a full-width gram."""
+    coded = df.select(
+        F.col(id_col),
+        F.size(chars_col).alias("__len"),
+        F.transform(chars_col, lambda c: F.ascii(c).cast("bigint")).alias("__p1"),
+    )
+    # __len >= 1 always (split("") is [""]) so empty_is_gram is moot
+    return _poly_gram_hashes(coded, id_col, n, empty_is_gram=True)
 
 
 def char_contamination_check(
@@ -895,16 +939,17 @@ def contamination_check_bloom(
     """
     from .bloom import build_bloom_packed, might_contain_packed
 
-    tr = shingle_stage(train, text_col, id_col, n)
-    # xxhash64 like the exact path (r7): bloom false positives are
-    # exactly re-verified below, so the output is identical under any
-    # collision-free hash — the bloom's bit positions just move
-    tr_grams = tr.select(id_col, F.explode("__sh").alias("__g")).select(
-        id_col, F.xxhash64(F.col("__g")).alias("__gh")
+    # polynomial gram hashes like the exact path (r13): bloom false
+    # positives are exactly re-verified below, so the output is
+    # identical under any collision-free hash — the bloom's bit
+    # positions just move. explode_OUTER per the
+    # InferFiltersFromGenerate pushdown lesson.
+    tr_grams = word_gram_hash_stage(train, text_col, id_col, n).select(
+        id_col, F.explode_outer("__gha").alias("__gh")
     )
     bench_grams = (
-        bench.select(F.explode(word_shingles(F.col(text_col), n)).alias("__g"))
-        .select(F.xxhash64(F.col("__g")).alias("__gh"))
+        word_gram_hash_stage(bench, text_col, id_col, n)
+        .select(F.explode_outer("__gha").alias("__gh"))
         .distinct()
     )
     bloom = build_bloom_packed(bench_grams, "__gh", bloom_m, bloom_k)
