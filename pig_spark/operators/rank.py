@@ -47,6 +47,22 @@ def _global_row_number(df: DataFrame, name: str) -> DataFrame:
     return out.drop("__pid", "__mid", "__off")
 
 
+def _range_offsets(parted: DataFrame) -> DataFrame:
+    """(__rpid, __off_rows): cumulative row offsets per range
+    partition, computed from the UNSORTED exchange output (row counts
+    are order-invariant, so this subtree reuses the range exchange
+    without paying the local sort the ranked side needs). ≤ shuffle-
+    partition-count rows — the only single-partition window, bounded
+    by cluster config, not data."""
+    totals = parted.groupBy(F.spark_partition_id().alias("__rpid")).agg(
+        F.count(F.lit(1)).alias("__rows")
+    )
+    w_off = Window.orderBy("__rpid").rowsBetween(Window.unboundedPreceding, -1)
+    return totals.select(
+        "__rpid", F.coalesce(F.sum("__rows").over(w_off), F.lit(0)).alias("__off_rows")
+    )
+
+
 def rank(
     df: DataFrame,
     by: Sequence[Column],
@@ -78,35 +94,58 @@ def rank(
             F.col(f"__key.{k}").asc_nulls_first() if a else F.col(f"__key.{k}").desc_nulls_last()
             for k, a in zip(key_names, ascending)
         ]
-        kc = (
-            tagged.repartitionByRange(*order)
-            .sortWithinPartitions(*order)
-            .withColumn("__rpid", F.spark_partition_id())
-        )
-        local_rn = F.row_number().over(Window.partitionBy("__rpid").orderBy(*order))
-        # opt-in uniqueness validation (ADVICE r12): a caller violating
-        # the unique_keys contract silently gets row numbers, so under
-        # SPARK_GRAFT_DEBUG_ASSERTS=1 every row checks that its
-        # predecessor in key order carries a DIFFERENT key (equal keys
-        # are adjacent within a range partition, and equal keys always
-        # land in the same range partition, so adjacency covers every
-        # duplicate). assert_true yields NULL when the guard holds; it
-        # is folded into the rank sum (+0) so column pruning cannot
-        # remove it. Off by default — zero plan change.
+        parted = tagged.repartitionByRange(*order)
         if os.environ.get("SPARK_GRAFT_DEBUG_ASSERTS") == "1":
+            # opt-in uniqueness validation (ADVICE r12): a caller
+            # violating the unique_keys contract silently gets row
+            # numbers, so under SPARK_GRAFT_DEBUG_ASSERTS=1 every row
+            # checks that its predecessor in key order carries a
+            # DIFFERENT key (equal keys are adjacent within a range
+            # partition, and equal keys always land in the same range
+            # partition, so adjacency covers every duplicate).
+            # assert_true yields NULL when the guard holds; it is
+            # folded into the rank sum (+0) so column pruning cannot
+            # remove it. This branch keeps the window lowering (lag
+            # needs one anyway); the default path below never builds
+            # a window — zero plan change when the flag is off.
+            kc = parted.sortWithinPartitions(*order).withColumn(
+                "__rpid", F.spark_partition_id()
+            )
+            local_rn = F.row_number().over(Window.partitionBy("__rpid").orderBy(*order))
             prev_key = F.lag("__key").over(Window.partitionBy("__rpid").orderBy(*order))
             guard = F.assert_true(
                 prev_key.isNull() | (prev_key != F.col("__key")),
                 F.lit("rank(unique_keys=True): duplicate sort key"),
             )
             local_rn = local_rn + F.coalesce(guard.cast("int"), F.lit(0))
-        totals = kc.groupBy("__rpid").agg(F.count(F.lit(1)).alias("__rows"))
-        w_off = Window.orderBy("__rpid").rowsBetween(Window.unboundedPreceding, -1)
-        offsets = totals.select(
-            "__rpid", F.coalesce(F.sum("__rows").over(w_off), F.lit(0)).alias("__off_rows")
+            out = kc.join(F.broadcast(_range_offsets(parted)), "__rpid").withColumn(
+                name, (F.col("__off_rows") + local_rn).cast("long")
+            )
+            return out.select(name, *df.columns)
+        # r13: the r12 lowering computed the local row number with a
+        # window PARTITIONED BY __rpid — Catalyst cannot know that
+        # __rpid (= spark_partition_id) already matches the physical
+        # layout, so the window re-exchanged AND re-sorted the whole
+        # relation by hash(__rpid). Instead, evaluate
+        # monotonically_increasing_id ABOVE the local sort: its
+        # documented layout is partition_id·2³³ + index-within-
+        # partition with consecutive indexes, so the low 33 bits ARE
+        # the local row number in sorted order (both expressions are
+        # non-deterministic, which pins the projection above the Sort).
+        # One data-sized exchange total (the range partitioning); rank
+        # values are bit-identical (offset + local position is
+        # invariant to how the position is computed). q142 plan: 3
+        # data-sized exchanges → 1; in-session A/B q142 full 4.37 →
+        # ~3.5 s class (see OPTIMIZATION_r13.md).
+        kc = parted.sortWithinPartitions(*order).select(
+            "*",
+            F.spark_partition_id().alias("__rpid"),
+            (F.monotonically_increasing_id().bitwiseAND(F.lit((1 << 33) - 1)) + 1).alias(
+                "__lrn"
+            ),
         )
-        out = kc.join(F.broadcast(offsets), "__rpid").withColumn(
-            name, (F.col("__off_rows") + local_rn).cast("long")
+        out = kc.join(F.broadcast(_range_offsets(parted)), "__rpid").withColumn(
+            name, (F.col("__off_rows") + F.col("__lrn")).cast("long")
         )
         return out.select(name, *df.columns)
 

@@ -73,6 +73,30 @@ def test_rank_unique_keys_fast_path_matches_generic(spark):
         assert sorted(rk for _, rk in fast) == list(range(1, 501))
 
 
+def test_rank_unique_keys_no_data_window(spark):
+    """r13: the default unique-keys lowering computes local row numbers
+    from monotonically_increasing_id above the range sort — NO window
+    over the data (the r12 window re-exchanged and re-sorted the whole
+    relation by hash(__rpid)). The only Window left is the offsets
+    cumulative sum over ≤ shuffle-partition-count rows; the only
+    data-sized exchange is the range partitioning itself."""
+    rows = [Row(id=i, v=float((i * 37) % 101)) for i in range(100)]
+    df = spark.createDataFrame(rows).repartition(5)
+    plan = (
+        rank(df, by=[F.col("v"), F.col("id")], unique_keys=True)
+        ._jdf.queryExecution()
+        .optimizedPlan()
+        .toString()
+    )
+    # the only window left is the offsets cumulative sum over the tiny
+    # per-partition totals table (ordered by __rpid); the data never
+    # passes through row_number
+    assert "row_number" not in plan, plan
+    assert "monotonically_increasing_id" in plan, plan
+    assert plan.count("windowspecdefinition") == 1, plan
+    assert "windowspecdefinition(__rpid" in plan, plan
+
+
 def test_rank_unique_keys_debug_assert(spark, monkeypatch):
     """r13 (ADVICE r12): SPARK_GRAFT_DEBUG_ASSERTS=1 makes the
     unique_keys fast path raise on a violated uniqueness contract and

@@ -29,6 +29,13 @@ def main() -> None:
     ap.add_argument("spec", help="module:function returning {name: builder}")
     ap.add_argument("--sf", default=os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"))
     ap.add_argument("--rounds", type=int, default=5)
+    ap.add_argument(
+        "--keep-cache",
+        action="store_true",
+        help="skip the between-runs cache cleanup (needed when builders "
+        "share a module-level checkpointed input — unpersisting a "
+        "checkpoint makes it unrecomputable)",
+    )
     args = ap.parse_args()
 
     mod_name, fn_name = args.spec.split(":")
@@ -42,17 +49,35 @@ def main() -> None:
     )
     spark.sparkContext.setLogLevel("ERROR")
 
+    def _drop_cached_state() -> None:
+        if args.keep_cache:
+            return
+        # UNTIMED: builders that persist()/localCheckpoint() leak one
+        # cached RDD per evaluation; without this the session's memory
+        # fills round over round and later samples read 2-3× slower on
+        # identical code (measured r13 — q132_f_full 3.56 → 10.71 s by
+        # round 5). The real queries run one evaluation per session, so
+        # dropping the state BETWEEN timed runs matches the bench.
+        spark.catalog.clearCache()
+        jsc = spark.sparkContext._jsc.sc()
+        rdds = jsc.getPersistentRDDs()
+        it = rdds.iterator()
+        while it.hasNext():
+            it.next()._2().unpersist(False)
+
     names = list(builders)
     samples: dict[str, list[float]] = {n: [] for n in names}
     # one untimed warm pass per variant
     for n in names:
         builders[n](spark, args.sf).write.format("noop").mode("overwrite").save()
+        _drop_cached_state()
     for r in range(args.rounds):
         for n in names:
             spark.sparkContext.setJobDescription(f"variant {n} round{r}")
             t0 = time.time()
             builders[n](spark, args.sf).write.format("noop").mode("overwrite").save()
             samples[n].append(round(time.time() - t0, 3))
+            _drop_cached_state()
     spark.sparkContext.setJobDescription(None)
     print(json.dumps({
         "sf": args.sf,
