@@ -27,7 +27,12 @@ import tempfile
 
 from pyspark.sql import SparkSession
 
-DEFAULT_SHUFFLE_PARTITIONS = 32
+# r13: env-parameterised (VERDICT r12 scale rule — scale-dependent
+# settings must be conf/env, never a constant tuned to local[32]). The
+# default stays 32 so the driver's bench is comparable across rounds;
+# a cluster deployment sets SPARK_GRAFT_SHUFFLE_PARTITIONS ~2-3x total
+# cores and lets AQE coalescing shrink what over-provisioning costs.
+DEFAULT_SHUFFLE_PARTITIONS = int(os.environ.get("SPARK_GRAFT_SHUFFLE_PARTITIONS", "32"))
 
 
 def _ship_package(spark: SparkSession) -> None:
