@@ -44,31 +44,37 @@ _DEC = "decimal(18,2)"
 
 
 def _ckpt_if_small(df: DataFrame, default_max_bytes: int = 16 << 30) -> DataFrame:
-    """localCheckpoint a multiply-consumed stage ONLY when its
-    optimized-plan size estimate is under a threshold (r13, VERDICT
-    r12 #3 / guide §5): the sf-scale win of materializing a reused
-    corpus-scale projection (q130's token table, the q137/q138/q150
-    substring staging, q175's cast embeddings) becomes a liability at
-    the 100 TB design point — a second copy of the corpus pinned to
-    executor local storage, plus lineage truncation (a lost executor
-    cannot recompute, it fails the job). Above the threshold the
-    stage keeps its LAZY shape: consumers re-derive it, which is the
-    documented r9 rule for corpus-sized intermediates.
+    """Materialize a multiply-consumed stage: localCheckpoint when its
+    optimized-plan size estimate is under a threshold, persist
+    DISK_ONLY above it (r13, VERDICT r12 #3 / guide §5).
 
-    Threshold: `SPARK_GRAFT_CKPT_MAX_BYTES` (bytes), default 16 GiB —
-    orders of magnitude above any local-mode SF, orders of magnitude
-    below a 100 TB corpus; size it to a small fraction of cluster
-    local-disk in production. Estimate failures (e.g. plans without
-    statistics) fall back to checkpointing, preserving the r12
-    behavior."""
+    The sf-scale win of materializing a reused corpus-scale projection
+    (q130's token table, the q137/q138/q150 substring staging, q175's
+    cast embeddings) must not become the 100 TB liability the r9 rule
+    warned about. localCheckpoint has TWO at-scale problems: the copy
+    is pinned to executor storage until the session drops it, and the
+    lineage truncation means a lost executor cannot recompute — the
+    job fails. Above the threshold the stage therefore switches to
+    ``persist(DISK_ONLY)``: still ONE derivation shared by every
+    consumer (the first r13 guard simply skipped materialization,
+    which re-derived the stage per consumer — the 100× rung read
+    q130 3× and q137 2× slower for it), but the blocks are evictable
+    under pressure and the lineage is intact, so degradation is
+    recompute, never failure. Disk footprint matches the checkpoint it
+    replaces; a deployment sizes `SPARK_GRAFT_CKPT_MAX_BYTES` (bytes,
+    default 16 GiB) to a small fraction of cluster local disk.
+    Estimate failures (plans without statistics) fall back to
+    checkpointing, preserving the r12 behavior."""
     import os
+
+    from pyspark import StorageLevel
 
     from .operators.skew import plan_size_bytes
 
     max_bytes = int(os.environ.get("SPARK_GRAFT_CKPT_MAX_BYTES", str(default_max_bytes)))
     try:
         if plan_size_bytes(df) > max_bytes:
-            return df
+            return df.persist(StorageLevel.DISK_ONLY)
     except Exception:
         pass
     return df.localCheckpoint()

@@ -481,25 +481,34 @@ def test_bigram_lm_plan(spark, sf_dir):
 
 
 def test_corpus_checkpoint_guard(spark, sf_dir, monkeypatch):
-    """r13 (VERDICT r12 #3): the corpus-scale localCheckpoints (q130's
+    """r13 (VERDICT r12 #3): the corpus-scale materializations (q130's
     token table, the q137/q138/q150 substring staging) are
-    size-guarded — with SPARK_GRAFT_CKPT_MAX_BYTES=0 the stages keep
-    their LAZY shape (parquet scans back in the plan, no ExistingRDD
-    from eager materialization) and the results are row-identical."""
+    size-guarded — with SPARK_GRAFT_CKPT_MAX_BYTES=0 the stages
+    switch from localCheckpoint to a DISK_ONLY persist: the plan shows
+    an InMemoryTableScan whose cached relation still carries the
+    parquet scan (lineage preserved — a lost executor recomputes,
+    blocks evict under pressure), the eager-checkpoint ExistingRDD is
+    gone, and the results are row-identical."""
     from pig_spark.queries import q130_bigram_lm_perplexity, q137_exact_substring_dedup
 
     base130 = {tuple(r) for r in q130_bigram_lm_perplexity(spark, sf_dir).collect()}
     base137 = {tuple(r) for r in q137_exact_substring_dedup(spark, sf_dir).collect()}
 
     monkeypatch.setenv("SPARK_GRAFT_CKPT_MAX_BYTES", "0")
-    lazy130 = q130_bigram_lm_perplexity(spark, sf_dir)
-    phys = lazy130._jdf.queryExecution().executedPlan().toString()
-    assert phys.count("Scan parquet") > 0, phys  # td guard skipped -> lazy scans
-    assert {tuple(r) for r in lazy130.collect()} == base130
-    lazy137 = q137_exact_substring_dedup(spark, sf_dir)
-    phys = lazy137._jdf.queryExecution().executedPlan().toString()
-    assert phys.count("Scan parquet") > 0, phys
-    assert {tuple(r) for r in lazy137.collect()} == base137
+    try:
+        lazy130 = q130_bigram_lm_perplexity(spark, sf_dir)
+        phys = lazy130._jdf.queryExecution().executedPlan().toString()
+        assert "InMemoryTableScan" in phys, phys  # guard -> DISK_ONLY persist
+        opt = lazy130._jdf.queryExecution().optimizedPlan().toString()
+        assert "StorageLevel(disk, 1 replicas)" in opt, opt  # DISK_ONLY
+        assert "Scan parquet" in phys or "FileScan parquet" in opt, opt  # lineage kept
+        assert {tuple(r) for r in lazy130.collect()} == base130
+        lazy137 = q137_exact_substring_dedup(spark, sf_dir)
+        phys = lazy137._jdf.queryExecution().executedPlan().toString()
+        assert "InMemoryTableScan" in phys, phys
+        assert {tuple(r) for r in lazy137.collect()} == base137
+    finally:
+        spark.catalog.clearCache()
 
 
 def test_dsir_plan(spark, sf_dir):
